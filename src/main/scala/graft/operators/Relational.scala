@@ -1,0 +1,417 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.A — the relational engine substrate.
+  *
+  * Every query is a declarative DataFrame plan: filters/projections reach
+  * the parquet scan, dims are broadcast, aggregates run partial+final, and
+  * top-n goes through TakeOrderedAndProject. Deterministic ORDER BY with a
+  * unique tie-break key on every result (oracle parity contract).
+  */
+object Relational extends QueryModule {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  // q01: TPC-H Q1-shaped pricing summary. Partial aggregation makes the
+  // shuffle carry only |groups| rows per task regardless of fact size.
+  private def q01(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2)
+          .as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // q02: proves predicate + projection pushdown — the scan must read only
+  // 5 columns and skip row groups via the shipdate/quantity filters.
+  private def q02(t: Tables): DataFrame =
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+          col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // q03: fact⋈dim with an explicit broadcast — customer is tiny relative
+  // to orders at any SF, so the join runs shuffle-free on the fact side.
+  private def q03(t: Tables): DataFrame =
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+
+  // q04: EXISTS as a left-semi join — no row duplication, build side is
+  // the filtered lineitem keys only.
+  private def q04(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") && col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      .join(
+        t.lineitem.filter(col("l_quantity") >= 49).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  // q05: 5-way star join. region/nation/customer broadcast; the only
+  // shuffle is lineitem⋈orders on orderkey (AQE can further re-plan).
+  private def q05(t: Tables): DataFrame =
+    t.lineitem
+      .join(
+        t.orders.filter(
+          col("o_orderdate") >= ts("1995-01-01 00:00:00") && col("o_orderdate") < ts("1997-01-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  // q06: tight-range scan-aggregate; whole query is one codegen stage.
+  private def q06(t: Tables): DataFrame =
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  // q07: NOT EXISTS as left-anti join (customers inactive since 1999).
+  private def q07(t: Tables): DataFrame =
+    t.customer
+      .join(
+        t.orders.filter(col("o_orderdate") >= ts("1999-01-01 00:00:00")).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  // q08: left-outer join + null-aware aggregation (count(col) skips nulls).
+  private def q08(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+      .orderBy(col("c_custkey"))
+
+  // q09: multi-distinct aggregation (Expand-based plan).
+  private def q09(t: Tables): DataFrame =
+    t.customer
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        countDistinct(col("c_custkey")).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("bal"))
+      .orderBy(col("c_mktsegment"))
+
+  // q10: per-key top-n via row_number window — one shuffle on the
+  // partition key; never a global sort.
+  private def q10(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  // q11: running total (rows-frame window). Accumulation order is pinned
+  // by (o_orderdate, o_orderkey) so partial sums are reproducible.
+  private def q11(t: Tables): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // q12: global top-n — planned as TakeOrderedAndProject (per-partition
+  // heaps + driver merge), not a full sort.
+  private def q12(t: Tables): DataFrame =
+    t.lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(25)
+
+  // q13: INTERSECT / EXCEPT set semantics (distinct).
+  private def q13(t: Tables): DataFrame = {
+    val early = t.orders
+      .filter(col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      .select(col("o_custkey").as("custkey"))
+    val late = t.orders
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+      .select(col("o_custkey").as("custkey"))
+    val negative = t.customer.filter(col("c_acctbal") < 0).select(col("c_custkey").as("custkey"))
+    early.intersect(late).except(negative).orderBy(col("custkey"))
+  }
+
+  // q14: pivot-style conditional aggregation, fully codegen'd.
+  private def q14(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+        round(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")).otherwise(0.0)), 2)
+          .as("urgent_value"))
+      .orderBy(col("o_custkey"))
+
+  // q15: HAVING against a scalar subquery (broadcast single-row cross).
+  private def q15(t: Tables): DataFrame = {
+    val globalAvg = t.part.agg(avg(col("p_retailprice")).as("global_avg"))
+    t.part
+      .groupBy(col("p_brand"))
+      .agg(avg(col("p_retailprice")).as("brand_avg"), count(lit(1)).as("n"))
+      .join(broadcast(globalAvg))
+      .filter(col("brand_avg") > col("global_avg"))
+      .select(col("p_brand"), round(col("brand_avg"), 2).as("avg_price"), col("n"))
+      .orderBy(col("p_brand"))
+  }
+
+  // q16: ROLLUP over the region→nation hierarchy (Expand-based).
+  private def q16(t: Tables): DataFrame =
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_cust"),
+        col("bal"))
+      .orderBy(col("region_name"), col("nation_name"))
+
+  // q17: tumbling time bucket == streaming window().start on a batch plan.
+  private def q17(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  // q18: string expression block (LIKE / substr / upper / concat).
+  private def q18(t: Tables): DataFrame =
+    t.part
+      .filter(col("p_name").like("%blue%") || col("p_name").like("%green%"))
+      .groupBy(col("p_brand"), upper(substring(col("p_type"), 1, 8)).as("type_prefix"))
+      .agg(count(lit(1)).as("n"), round(max(col("p_retailprice")), 2).as("max_price"))
+      .orderBy(col("p_brand"), col("type_prefix"))
+
+  // q19: three-valued-logic audit — outer-join-induced nulls through
+  // count/coalesce/avg(nullif).
+  private def q19(t: Tables): DataFrame =
+    t.customer
+      .join(
+        t.orders,
+        col("o_custkey") === col("c_custkey") && col("o_totalprice") > 450000,
+        "left")
+      .groupBy(coalesce(col("o_orderstatus"), lit("NONE")).as("status"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(avg(nullif(col("o_totalprice"), lit(0.0))), lit(-1.0)), 2).as("avg_big_price"))
+      .orderBy(col("status"))
+
+  // q20: gap-based sessionization (30 min) — the batch twin of the
+  // streaming session operator. Two windows over one shuffle on user_id.
+  private def q20(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = t.events
+      .select(col("user_id"), col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn(
+        "is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+    marked
+      .withColumn("session_id", sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, d) => q01(Tables(s, d))),
+    "q02_filter_project" -> ((s, d) => q02(Tables(s, d))),
+    "q03_top_revenue" -> ((s, d) => q03(Tables(s, d))),
+    "q04_order_priority" -> ((s, d) => q04(Tables(s, d))),
+    "q05_region_revenue" -> ((s, d) => q05(Tables(s, d))),
+    "q06_revenue_delta" -> ((s, d) => q06(Tables(s, d))),
+    "q07_customers_no_orders" -> ((s, d) => q07(Tables(s, d))),
+    "q08_order_fill" -> ((s, d) => q08(Tables(s, d))),
+    "q09_distinct_agg" -> ((s, d) => q09(Tables(s, d))),
+    "q10_top_orders_per_cust" -> ((s, d) => q10(Tables(s, d))),
+    "q11_running_totals" -> ((s, d) => q11(Tables(s, d))),
+    "q12_global_top" -> ((s, d) => q12(Tables(s, d))),
+    "q13_set_ops" -> ((s, d) => q13(Tables(s, d))),
+    "q14_conditional_agg" -> ((s, d) => q14(Tables(s, d))),
+    "q15_above_avg_groups" -> ((s, d) => q15(Tables(s, d))),
+    "q16_rollup_sales" -> ((s, d) => q16(Tables(s, d))),
+    "q17_hourly_events" -> ((s, d) => q17(Tables(s, d))),
+    "q18_string_report" -> ((s, d) => q18(Tables(s, d))),
+    "q19_null_audit" -> ((s, d) => q19(Tables(s, d))),
+    "q20_user_sessions" -> ((s, d) => q20(Tables(s, d)))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | round(avg(l_extendedprice),2) AS avg_price,
+        | round(avg(l_discount),2) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_top_revenue" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_revenue_delta" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_order_fill" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q09_distinct_agg" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+        | count(DISTINCT c_custkey) AS n_cust, round(sum(c_acctbal),2) AS bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q10_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q11_running_totals" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q12_global_top" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin,
+    "q13_set_ops" ->
+      """SELECT custkey FROM (
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        | INTERSECT
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |) EXCEPT SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin,
+    "q14_conditional_agg" ->
+      """SELECT o_custkey,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+        | round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END),2) AS urgent_value
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q15_above_avg_groups" ->
+      """SELECT p_brand, round(avg(p_retailprice),2) AS avg_price, count(*) AS n
+        |FROM part GROUP BY p_brand
+        |HAVING avg(p_retailprice) > (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_brand""".stripMargin,
+    "q16_rollup_sales" ->
+      """SELECT coalesce(r_name,'ALL') AS region_name, coalesce(n_name,'ALL') AS nation_name,
+        | count(*) AS n_cust, round(sum(c_acctbal),2) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q17_hourly_events" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+        | count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q18_string_report" ->
+      """SELECT p_brand, upper(substr(p_type,1,8)) AS type_prefix, count(*) AS n,
+        | round(max(p_retailprice),2) AS max_price
+        |FROM part WHERE p_name LIKE '%blue%' OR p_name LIKE '%green%'
+        |GROUP BY p_brand, upper(substr(p_type,1,8))
+        |ORDER BY p_brand, type_prefix""".stripMargin,
+    "q19_null_audit" ->
+      """SELECT coalesce(o_orderstatus,'NONE') AS status, count(*) AS n_rows,
+        | count(o_orderkey) AS n_orders,
+        | round(coalesce(avg(nullif(o_totalprice, 0.0)), -1.0), 2) AS avg_big_price
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 450000
+        |GROUP BY coalesce(o_orderstatus,'NONE') ORDER BY status""".stripMargin,
+    "q20_user_sessions" ->
+      """WITH marked AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        | SELECT user_id, us,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM marked
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(us) AS start_us, max(us) AS end_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}

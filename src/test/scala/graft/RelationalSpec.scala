@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query with an oracle is declared, and vice-versa keys align") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${os.diff(qs)}")
+  }
+
+  test("q01 pricing summary has the 4 flag/status groups with sane sums") {
+    val rows = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect()
+    assert(rows.length >= 4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("q10 emits at most 3 orders per customer") {
+    val df = SparkEntry.queries("q10_top_orders_per_cust")(spark, sf)
+    val max = df.groupBy("o_custkey").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect()(0).getLong(0)
+    assert(max <= 3)
+  }
+
+  test("q20 sessions never have a within-session gap > 30 minutes") {
+    // session end-start bounded by (n_events-1)*gap is implied; check ids are dense from 1
+    val df = SparkEntry.queries("q20_user_sessions")(spark, sf)
+    val bad = df
+      .groupBy("user_id")
+      .agg(
+        org.apache.spark.sql.functions.max("session_id").as("max_sid"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(org.apache.spark.sql.functions.col("max_sid") =!= org.apache.spark.sql.functions.col("n"))
+      .count()
+    assert(bad == 0, "session ids are not dense 1..n per user")
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
