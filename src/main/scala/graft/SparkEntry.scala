@@ -8,7 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    operators.Relational
+    operators.Relational,
+    operators.Lake,
+    operators.TextAnalysis,
+    operators.Dedup
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.D — deduplication for the training-data pipeline.
+  *
+  * Scale shape: every op buckets before it pairs. Signatures/minhashes are
+  * computed map-side inside codegen (no shuffle), candidate generation
+  * joins on (band, signature) buckets — never a global cross join — and
+  * exact Jaccard verification runs only on bucket-cohabiting pairs.
+  */
+object Dedup extends QueryModule {
+
+  private val Bands = 8
+
+  // word-3-gram shingles, identical construction in both engines
+  private val shinglesSpark =
+    """transform(sequence(1, size(words) - 2),
+      |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ',
+      |              element_at(words, i + 2)))""".stripMargin
+  private val shinglesDuck =
+    "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
+
+  private def withShingles(t: Tables): DataFrame =
+    t.documents
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesSpark))
+
+  /** Exact dedup via content hash — the distributed analogue of geostore's
+    * per-file checksum identity (`check_files_checksums`). groupBy on
+    * md5(text) is one narrow shuffle of (hash → count).
+    */
+  private def q35(t: Tables): DataFrame =
+    t.documents
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_texts"))
+      .orderBy(col("source"))
+
+  /** Per-doc minhash signatures: Bands salted 1-row minhashes, min taken
+    * over lexicographic md5 order. Entirely map-side (zero shuffle).
+    */
+  private def q36(t: Tables): DataFrame = {
+    val sigs = (0 until Bands).map { b =>
+      expr(s"array_min(transform(shingles, s -> md5(concat('$b:', s))))").as(s"sig_$b")
+    }
+    withShingles(t)
+      .select(col("doc_id") +: sigs: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** LSH banding: candidate pairs = docs agreeing on ≥1 band signature.
+    * The self-join shuffles on (band, sig) — bucket-local, so cost scales
+    * with bucket occupancy, not corpus².
+    */
+  private def q37(t: Tables): DataFrame = {
+    val stackArgs = (0 until Bands).map(b => s"$b, sig_$b").mkString(", ")
+    val narrow = q36(t).select(col("doc_id"), expr(s"stack($Bands, $stackArgs)").as(Seq("band", "sig")))
+    val a = narrow.as("a")
+    val b = narrow.as("b")
+    a.join(
+        b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact word-3-gram Jaccard on shingle-sharing pairs (the verify stage
+    * after LSH). |A∩B| from a bucket join on shingle, |A∪B| by
+    * inclusion-exclusion — no list materialization on the pair side.
+    */
+  private def q38(t: Tables): DataFrame = {
+    val sh = withShingles(t)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = sh
+      .as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard", col("shared") / (col("sa.nsh") + col("sb.nsh") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -- simhash: 16-bit, bit-majority over token md5s -------------------
+  // The arithmetic is generated once and rendered to BOTH engines so the
+  // semantics cannot drift. (A native 64-bit Catalyst Expression variant
+  // lives in graft.functions.SimHash64.)
+
+  private def hexval(c: String) =
+    s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+
+  // 16-bit int from the first 4 hex chars of md5(word)
+  private def wordVal(h: String) =
+    s"(${hexval(s"substr($h, 1, 1)")} * 4096 + ${hexval(s"substr($h, 2, 1)")} * 256 + " +
+      s"${hexval(s"substr($h, 3, 1)")} * 16 + ${hexval(s"substr($h, 4, 1)")})"
+
+  private def onesExprs(intDiv: String): Seq[String] =
+    (0 until 16).map(j => s"sum((v $intDiv ${1 << j}) % 2) AS ones_$j")
+
+  private val simhashExpr: String =
+    "CAST(" + (0 until 16)
+      .map(j => s"(CASE WHEN 2 * ones_$j >= nw THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)"
+
+  private def q39(t: Tables): DataFrame = {
+    val words = t.documents
+      .withColumn("w", explode(split(col("text"), " ")))
+      .select(col("doc_id"), expr(wordVal("substr(md5(w), 1, 4)")).as("v"))
+    val aggs = count(lit(1)).as("nw") +: onesExprs("div").map(e => expr(e.replace(" AS ", " AS ")))
+    val bits = words
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    bits
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .withColumn("bucket", expr("CAST(simhash div 16 AS BIGINT)"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_exact_dedup" -> ((s, d) => q35(Tables(s, d))),
+    "q36_minhash_sigs" -> ((s, d) => q36(Tables(s, d))),
+    "q37_lsh_pairs" -> ((s, d) => q37(Tables(s, d))),
+    "q38_ngram_jaccard" -> ((s, d) => q38(Tables(s, d))),
+    "q39_simhash" -> ((s, d) => q39(Tables(s, d)))
+  )
+
+  private val duckWords = "SELECT doc_id, string_split(text, ' ') AS words FROM documents"
+  private val duckShingleArms = (0 until Bands)
+    .map(b =>
+      s"SELECT doc_id, $b AS band, list_aggregate(list_transform(shingles, s -> md5('$b:' || s)), 'min') AS sig FROM sh")
+    .mkString("\n UNION ALL\n ")
+
+  override def oracleSql: Map[String, String] = Map(
+    "q35_exact_dedup" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS n_distinct_texts,
+        | count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q36_minhash_sigs" -> {
+      val cols = (0 until Bands)
+        .map(b => s"list_aggregate(list_transform(shingles, s -> md5('$b:' || s)), 'min') AS sig_$b")
+        .mkString(",\n ")
+      s"""SELECT doc_id,
+         | $cols
+         |FROM (SELECT doc_id, $shinglesDuck AS shingles FROM ($duckWords))
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q37_lsh_pairs" ->
+      s"""WITH w AS ($duckWords),
+         | sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),
+         | sigs AS (
+         | $duckShingleArms
+         | )
+         |SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_shared_bands
+         |FROM sigs s1 JOIN sigs s2
+         |  ON s1.band = s2.band AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id
+         |GROUP BY s1.doc_id, s2.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+    "q38_ngram_jaccard" ->
+      s"""WITH w AS ($duckWords),
+         | sh AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),
+         | sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         | inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         | round(shared / (sa.nsh + sb.nsh - shared), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE shared / (sa.nsh + sb.nsh - shared) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q39_simhash" -> {
+      val ones = onesExprs("//").mkString(",\n  ")
+      s"""WITH wv AS (
+         | SELECT doc_id, ${wordVal("substr(md5(w), 1, 4)")} AS v
+         | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+         | bits AS (
+         | SELECT doc_id, count(*) AS nw,
+         |  $ones
+         | FROM wv GROUP BY doc_id)
+         |SELECT doc_id, $simhashExpr AS simhash,
+         | CAST(($simhashExpr) // 16 AS BIGINT) AS bucket
+         |FROM bits ORDER BY doc_id""".stripMargin
+    }
+  )
+}

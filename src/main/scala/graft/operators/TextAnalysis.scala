@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C — text analysis for the training-data pipeline.
+  *
+  * All operators are pure per-row expression pipelines (split / lambda
+  * higher-order functions / hash), so they run inside whole-stage codegen
+  * next to the scan and only the final rollup shuffles. At 100 TB this is
+  * the shape you want: CPU-bound map work, no wide intermediate state.
+  */
+object TextAnalysis extends QueryModule {
+
+  // Function-word list for the synthetic corpus (full vocab is 31 terms).
+  private val stopList = Seq("the", "a", "of", "and")
+  private val stopSqlIn = stopList.map(w => s"'$w'").mkString(", ")
+
+  // words/doc as a reusable fragment (identical split semantics both engines
+  // for single-space-separated corpora).
+  private def withWords(t: Tables): DataFrame =
+    t.documents.withColumn("words", split(col("text"), " "))
+
+  /** Per-language corpus statistics: doc counts, length distribution,
+    * stopword ratio. avg-word-length derived arithmetically from chars so
+    * no second pass over the tokens is needed.
+    */
+  private def q30(t: Tables): DataFrame =
+    withWords(t)
+      .withColumn("n_words", size(col("words")))
+      .withColumn(
+        "n_stop",
+        size(expr(s"filter(words, w -> w IN ($stopSqlIn))")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(avg(col("n_words")), 2).as("avg_words"),
+        round(avg((col("n_chars") - (col("n_words") - 1)) / col("n_words")), 4).as("avg_word_len"),
+        round(avg(col("n_stop") / col("n_words")), 4).as("stop_ratio"))
+      .orderBy(col("lang"))
+
+  /** Stopword-profile language ID vs the labeled lang (confusion counts).
+    * Profiles are tiny broadcast-free literal sets; classification is a
+    * deterministic argmax with a fixed tie order.
+    */
+  private def q31(t: Tables): DataFrame = {
+    def score(words: String*) =
+      s"size(filter(words, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    withWords(t)
+      .withColumn("en_s", expr(score("the", "a", "of", "and", "is")))
+      .withColumn("es_s", expr(score("el", "la", "de", "y", "es")))
+      .withColumn("de_s", expr(score("der", "die", "das", "und", "ist")))
+      .withColumn("fr_s", expr(score("le", "la", "de", "et", "est")))
+      .withColumn(
+        "predicted",
+        expr("""CASE WHEN en_s >= es_s AND en_s >= de_s AND en_s >= fr_s AND en_s > 0 THEN 'en'
+               |     WHEN es_s >= de_s AND es_s >= fr_s AND es_s > 0 THEN 'es'
+               |     WHEN de_s >= fr_s AND de_s > 0 THEN 'de'
+               |     WHEN fr_s > 0 THEN 'fr'
+               |     ELSE 'und' END""".stripMargin))
+      .groupBy(col("lang").as("labeled"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("labeled"), col("predicted"))
+  }
+
+  /** Token counting: whitespace tokens, regex word tokens, and a BPE-ish
+    * ~4-chars/token estimate — corpus totals per source.
+    */
+  private def q32(t: Tables): DataFrame =
+    withWords(t)
+      .withColumn("ws_tokens", size(col("words")))
+      .withColumn(
+        "re_tokens",
+        size(expr("filter(split(text, '[^a-z0-9]+'), x -> x != '')")))
+      .withColumn("bpe_est", ceil(col("n_chars") / 4.0))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("re_tokens")).as("total_re_tokens"),
+        sum(col("bpe_est")).as("total_bpe_est"))
+      .orderBy(col("source"))
+
+  /** Composite quality score + keep/drop rates per source. The score is a
+    * fixed expression tree so both engines produce bit-identical doubles.
+    */
+  private def q33(t: Tables): DataFrame =
+    withWords(t)
+      .withColumn("n_words", size(col("words")))
+      .withColumn(
+        "n_stop",
+        size(expr(s"filter(words, w -> w IN ($stopSqlIn))")))
+      .withColumn(
+        "score",
+        round(
+          least(col("n_words") / lit(100.0), lit(1.0)) * 0.5
+            + (col("n_stop") / col("n_words")) * 2.0
+            + when(col("n_chars") >= 100, 0.2).otherwise(0.0),
+          4))
+      .withColumn("keep", col("score") >= 0.45)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        round(avg(col("score")), 4).as("avg_score"))
+      .orderBy(col("source"))
+
+  /** Per-document fingerprint: lexicographic min of md5 over word-3-gram
+    * shingles (a 1-perm minhash — reference-free analogue of geostore's
+    * content hashing, usable for near-dup grouping).
+    */
+  private def q34(t: Tables): DataFrame =
+    withWords(t)
+      .withColumn(
+        "fingerprint",
+        expr(
+          """array_min(transform(sequence(1, size(words) - 2),
+            |  i -> md5(concat(element_at(words, i), ' ',
+            |                  element_at(words, i + 1), ' ',
+            |                  element_at(words, i + 2)))))""".stripMargin))
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_stats" -> ((s, d) => q30(Tables(s, d))),
+    "q31_lang_id" -> ((s, d) => q31(Tables(s, d))),
+    "q32_token_count" -> ((s, d) => q32(Tables(s, d))),
+    "q33_quality_score" -> ((s, d) => q33(Tables(s, d))),
+    "q34_doc_fingerprint" -> ((s, d) => q34(Tables(s, d)))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q30_text_stats" ->
+      s"""WITH w AS (SELECT lang, n_chars, string_split(text, ' ') AS words FROM documents),
+         | d AS (SELECT lang, n_chars, len(words) AS n_words,
+         |   len(list_filter(words, w -> w IN ($stopSqlIn))) AS n_stop FROM w)
+         |SELECT lang, count(*) AS n_docs,
+         | round(avg(n_chars),2) AS avg_chars,
+         | round(avg(n_words),2) AS avg_words,
+         | round(avg((n_chars - (n_words - 1)) / n_words),4) AS avg_word_len,
+         | round(avg(n_stop / n_words),4) AS stop_ratio
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q31_lang_id" ->
+      """WITH w AS (SELECT lang, string_split(text, ' ') AS words FROM documents),
+        | s AS (SELECT lang,
+        |  len(list_filter(words, x -> x IN ('the','a','of','and','is'))) AS en_s,
+        |  len(list_filter(words, x -> x IN ('el','la','de','y','es'))) AS es_s,
+        |  len(list_filter(words, x -> x IN ('der','die','das','und','ist'))) AS de_s,
+        |  len(list_filter(words, x -> x IN ('le','la','de','et','est'))) AS fr_s
+        | FROM w),
+        | p AS (SELECT lang,
+        |  CASE WHEN en_s >= es_s AND en_s >= de_s AND en_s >= fr_s AND en_s > 0 THEN 'en'
+        |       WHEN es_s >= de_s AND es_s >= fr_s AND es_s > 0 THEN 'es'
+        |       WHEN de_s >= fr_s AND de_s > 0 THEN 'de'
+        |       WHEN fr_s > 0 THEN 'fr'
+        |       ELSE 'und' END AS predicted
+        | FROM s)
+        |SELECT lang AS labeled, predicted, count(*) AS n
+        |FROM p GROUP BY lang, predicted ORDER BY labeled, predicted""".stripMargin,
+    "q32_token_count" ->
+      """WITH d AS (SELECT source, n_chars,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x != '')) AS re_tokens,
+        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+        | CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
+        | CAST(sum(bpe_est) AS BIGINT) AS total_bpe_est
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q33_quality_score" ->
+      s"""WITH w AS (SELECT source, n_chars, string_split(text, ' ') AS words FROM documents),
+         | d AS (SELECT source, n_chars, len(words) AS n_words,
+         |   len(list_filter(words, w -> w IN ($stopSqlIn))) AS n_stop FROM w),
+         | sc AS (SELECT source,
+         |   round(least(n_words / 100.0, 1.0) * 0.5
+         |     + (n_stop / n_words) * 2.0
+         |     + CASE WHEN n_chars >= 100 THEN 0.2 ELSE 0.0 END, 4) AS score
+         | FROM d)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN score >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         | round(avg(score),4) AS avg_score
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+    "q34_doc_fingerprint" ->
+      """SELECT doc_id,
+        | list_aggregate(list_transform(range(1, len(words) - 1),
+        |   i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2])), 'min') AS fingerprint
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |ORDER BY doc_id""".stripMargin
+  )
+}
