@@ -11,7 +11,10 @@ object SparkEntry {
     operators.Relational,
     operators.Lake,
     operators.TextAnalysis,
-    operators.Dedup
+    operators.Dedup,
+    operators.Similarity,
+    operators.Multimodal,
+    operators.StreamingOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

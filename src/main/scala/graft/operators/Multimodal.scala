@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.F — multimodal column plumbing.
+  *
+  * Media payloads are opaque `binary` columns with typed metadata beside
+  * them. The Spark-side plumbing — schema, batch shape, partitioning,
+  * deterministic metadata derivation — is real; the codec work (actual
+  * image/audio decode) is stubbed deterministically because no media libs
+  * ship in this container (see `DecodeStub`). At production scale the stub
+  * body is the only thing that changes.
+  */
+object Multimodal extends QueryModule {
+
+  /** Typed record for the mapPartitions decode path. */
+  final case class MediaRow(doc_id: Long, media_type: String, byte_len: Long, width: Long, height: Long)
+
+  /** The codec seam: one function per batch of payload bytes. Real systems
+    * put libjpeg/ffmpeg here (or a Pandas UDF via mapInPandas on the
+    * PySpark side); the container has neither, so dimensions derive
+    * deterministically from the payload. Runs as mapPartitions so the
+    * per-partition batch shape (vectorized decode, model warm-up) is real.
+    */
+  object DecodeStub {
+    def decode(docId: Long, payload: Array[Byte], mediaType: String): MediaRow = {
+      val w = 16L + (docId % 16) * 8
+      val h = 16L + ((docId / 16) % 16) * 8
+      MediaRow(docId, mediaType, payload.length.toLong, w, h)
+    }
+  }
+
+  /** Typed decode pipeline over the binary column — partition-parallel,
+    * no shuffle; the operator a training pipeline runs before feature
+    * extraction.
+    */
+  def decodeAll(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    blobs(Tables(spark, dir))
+      .select(col("doc_id"), col("payload"), col("media_type"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, mt) => DecodeStub.decode(id, bytes, mt) })
+  }
+
+  // payload plumbing: utf-8 bytes of text stand in for media bytes; the
+  // media_type "magic sniff" is a deterministic function of the first byte.
+  private def blobs(t: Tables): DataFrame =
+    t.documents
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn(
+        "media_type",
+        expr("""CASE ascii(substr(text, 1, 1)) % 3
+               |  WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END""".stripMargin))
+
+  /** Binary payload + typed metadata row — the multimodal table schema. */
+  private def q44(t: Tables): DataFrame =
+    blobs(t)
+      .select(
+        col("doc_id"),
+        col("payload"),
+        col("media_type"),
+        length(col("payload")).cast("long").as("byte_len"),
+        expr("16 + (doc_id % 16) * 8").as("width"),
+        expr("16 + ((doc_id div 16) % 16) * 8").as("height"))
+      .orderBy(col("doc_id"))
+
+  /** Frame sampling plumbing: one row per 50-byte frame offset with an
+    * 8-byte preview — explode is linear in payload bytes and stays
+    * map-side (the shape video frame-extraction has at scale).
+    */
+  private def q45(t: Tables): DataFrame =
+    t.documents
+      .withColumn("n_frames", expr("CAST(n_chars div 50 AS BIGINT) + 1"))
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1)")).as("frame_id"))
+      .select(
+        col("doc_id"),
+        col("frame_id"),
+        expr("substr(text, CAST(frame_id * 50 + 1 AS INT), 8)").as("sample"))
+      .orderBy(col("doc_id"), col("frame_id"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_blob_meta" -> ((s, d) => q44(Tables(s, d))),
+    "q45_frame_sample" -> ((s, d) => q45(Tables(s, d)))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q44_blob_meta" ->
+      """SELECT doc_id,
+        | CAST(text AS BLOB) AS payload,
+        | CASE ascii(substr(text, 1, 1)) % 3
+        |   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        | 16 + (doc_id % 16) * 8 AS width,
+        | 16 + ((doc_id // 16) % 16) * 8 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q45_frame_sample" ->
+      """SELECT doc_id,
+        | unnest(range(0, (n_chars // 50) + 1)) AS frame_id,
+        | unnest(list_transform(range(0, (n_chars // 50) + 1),
+        |   f -> substr(text, CAST(f * 50 + 1 AS INTEGER), 8))) AS sample
+        |FROM documents ORDER BY doc_id, frame_id""".stripMargin
+  )
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.E — similarity search over the embedding column.
+  *
+  * All cosine math runs in double with fixed left-to-right accumulation so
+  * both engines produce the same bits; outputs carry round(·,6). Scale
+  * shape: q40/q43 broadcast the (small) query set against the corpus,
+  * q41 is the exactness baseline, q42 is the 100 TB path — sign-LSH
+  * buckets so the self-join shuffles corpus²/buckets, not corpus².
+  */
+object Similarity extends QueryModule {
+
+  private val Dim = 64
+
+  // embedding → double[] plus L2 norm, computed once per vector map-side.
+  private def vectors(t: Tables): DataFrame =
+    t.embeddings
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+
+  // dot product with sequential accumulation (matches DuckDB list_sum)
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  /** Brute-force cosine top-k: the correctness baseline every ANN variant
+    * is judged against. Query set broadcasts; the corpus is scanned once.
+    */
+  private def q40(t: Tables): DataFrame = {
+    val corpus = vectors(t)
+    val queries = corpus
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(dot("qv", "v") / (col("qnrm") * col("nrm")), 6))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= 5)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("nn_rank"))
+      .orderBy(col("query_id"), col("nn_rank"))
+  }
+
+  /** All near-dup pairs ≥ 0.35 cosine — exact all-pairs baseline (the
+    * bucketed q42 is the production path at scale).
+    */
+  private def q41(t: Tables): DataFrame = {
+    val e = vectors(t).select(col("vec_id"), col("v"), col("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(dot("va", "vb") / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.35)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // 4-bit coordinate-sign bucket (an axis-aligned random-hyperplane LSH)
+  private val bucketSpark =
+    """(CASE WHEN element_at(v, 1) >= 0 THEN 8 ELSE 0 END) +
+      |(CASE WHEN element_at(v, 2) >= 0 THEN 4 ELSE 0 END) +
+      |(CASE WHEN element_at(v, 3) >= 0 THEN 2 ELSE 0 END) +
+      |(CASE WHEN element_at(v, 4) >= 0 THEN 1 ELSE 0 END)""".stripMargin
+
+  /** Sign-LSH ANN: bucket on coordinate signs, search only within the
+    * bucket. Shuffles both sides on bucket — corpus²/16 pair work here,
+    * and the bucket count grows with more sign bits at larger scale.
+    */
+  private def q42(t: Tables): DataFrame = {
+    val e = vectors(t).withColumn("bucket", expr(bucketSpark))
+    val a = e.select(col("bucket"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val b = e.select(col("bucket").as("b_bucket"), col("vec_id"), col("v"), col("nrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    a.join(b, col("bucket") === col("b_bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(dot("qv", "v") / (col("qnrm") * col("nrm")), 6))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= 3)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("nn_rank"))
+      .orderBy(col("query_id"), col("nn_rank"))
+  }
+
+  /** IVF-style coarse search: `label` is the coarse cluster id; probe the
+    * query's own partition only (nprobe=1). Query set broadcasts, corpus
+    * partition-prunes on the cluster key.
+    */
+  private def q43(t: Tables): DataFrame = {
+    val corpus = vectors(t).select(col("label"), col("vec_id"), col("v"), col("nrm"))
+    val queries = vectors(t)
+      .filter(col("vec_id") < 10)
+      .select(col("label").as("qlabel"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus
+      .join(broadcast(queries), col("label") === col("qlabel"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(dot("qv", "v") / (col("qnrm") * col("nrm")), 6))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= 5)
+      .select(
+        col("qid").as("query_id"),
+        col("label"),
+        col("vec_id").as("neighbor_id"),
+        col("cos_sim"),
+        col("nn_rank"))
+      .orderBy(col("query_id"), col("nn_rank"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cosine_topk" -> ((s, d) => q40(Tables(s, d))),
+    "q41_embedding_neardup" -> ((s, d) => q41(Tables(s, d))),
+    "q42_ann_sign_lsh" -> ((s, d) => q42(Tables(s, d))),
+    "q43_ivf_search" -> ((s, d) => q43(Tables(s, d)))
+  )
+
+  // shared DuckDB fragments
+  private val duckVectors =
+    s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | n AS (SELECT vec_id, label, v,
+       |   sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> v[i] * v[i]))) AS nrm FROM e)""".stripMargin
+  private def duckDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
+  private val duckBucket =
+    """(CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END) +
+      |(CASE WHEN v[2] >= 0 THEN 4 ELSE 0 END) +
+      |(CASE WHEN v[3] >= 0 THEN 2 ELSE 0 END) +
+      |(CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END)""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      s"""WITH $duckVectors,
+         | q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+         | c AS (SELECT qid, vec_id AS neighbor_id,
+         |   round(${duckDot("qv", "v")} / (qnrm * nrm), 6) AS cos_sim
+         |  FROM q, n WHERE vec_id <> qid),
+         | r AS (SELECT qid AS query_id, neighbor_id, cos_sim,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS nn_rank
+         |  FROM c)
+         |SELECT query_id, neighbor_id, cos_sim, nn_rank FROM r WHERE nn_rank <= 5
+         |ORDER BY query_id, nn_rank""".stripMargin,
+    "q41_embedding_neardup" ->
+      s"""WITH $duckVectors,
+         | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |   round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q42_ann_sign_lsh" ->
+      s"""WITH $duckVectors,
+         | eb AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM n),
+         | c AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+         |   round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         | r AS (SELECT qid AS query_id, neighbor_id, cos_sim,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS nn_rank
+         |  FROM c)
+         |SELECT query_id, neighbor_id, cos_sim, nn_rank FROM r WHERE nn_rank <= 3
+         |ORDER BY query_id, nn_rank""".stripMargin,
+    "q43_ivf_search" ->
+      s"""WITH $duckVectors,
+         | q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+         | c AS (SELECT qid, n.label, vec_id AS neighbor_id,
+         |   round(${duckDot("qv", "v")} / (qnrm * nrm), 6) AS cos_sim
+         |  FROM q JOIN n ON n.label = qlabel AND n.vec_id <> qid),
+         | r AS (SELECT qid AS query_id, label, neighbor_id, cos_sim,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS nn_rank
+         |  FROM c)
+         |SELECT query_id, label, neighbor_id, cos_sim, nn_rank FROM r WHERE nn_rank <= 5
+         |ORDER BY query_id, nn_rank""".stripMargin
+  )
+}

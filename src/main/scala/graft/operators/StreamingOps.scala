@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.G — Structured Streaming operator semantics, proven on
+  * batch plans. The identical transformations run as `readStream` plans in
+  * `graft.streaming` (see StreamingSpec): Spark's unified Dataset API means
+  * the logical plan here IS the streaming plan minus watermark bookkeeping.
+  */
+object StreamingOps extends QueryModule {
+
+  /** Tumbling 15-minute window aggregation — the batch twin of
+    * `withWatermark("ts","10 minutes").groupBy(window($"ts","15 minutes"))`.
+    */
+  private def q46(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n_events"), col("n_users"), col("total_value"))
+      .orderBy(col("window_start"))
+
+  /** Streaming dedup (`dropDuplicates` within a watermark) batch twin:
+    * keep the earliest event per (user, type, minute) — deterministic
+    * keep-first via row_number, exactly what the state store does.
+    */
+  private def q47(t: Tables): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), col("minute_start"))
+      .orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("minute_start", window(col("ts"), "1 minute").getField("start"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("event_type"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_stream_tumbling" -> ((s, d) => q46(Tables(s, d))),
+    "q47_stream_dedup" -> ((s, d) => q47(Tables(s, d)))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q46_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+        | time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
+        | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        | round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start""".stripMargin,
+    "q47_stream_dedup" ->
+      """WITH d AS (
+        | SELECT event_type,
+        |  row_number() OVER (PARTITION BY user_id, event_type, time_bucket(INTERVAL '1 minute', ts)
+        |                     ORDER BY ts, event_id) AS rn
+        | FROM events)
+        |SELECT event_type, count(*) AS n_unique FROM d WHERE rn = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2.H — source/sink round trips: partitioned parquet, csv,
+  * json, and partition pruning on read.
+  */
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String = java.nio.file.Files.createTempDirectory("graft_src").toString
+
+  test("partitioned parquet write + partition-pruned read") {
+    val dir = tmp()
+    val docs = Tables(spark, sf).documents
+    docs.write.partitionBy("lang").mode("overwrite").parquet(s"$dir/docs")
+    val back = spark.read.parquet(s"$dir/docs")
+    assert(back.count() == docs.count())
+    val en = back.filter(col("lang") === "en")
+    // partition pruning: the physical plan must carry the partition filter
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"), s"no partition pruning in:\n$plan")
+    assert(en.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("csv round trip preserves rows and schema-on-read works") {
+    val dir = tmp()
+    val cust = Tables(spark, sf).customer
+    cust.write.option("header", "true").mode("overwrite").csv(s"$dir/cust")
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(s"$dir/cust")
+    assert(back.count() == cust.count())
+    assert(back.columns.sorted.sameElements(cust.columns.sorted))
+  }
+
+  test("json round trip preserves rows") {
+    val dir = tmp()
+    val nation = Tables(spark, sf).nation
+    nation.write.mode("overwrite").json(s"$dir/nation")
+    val back = spark.read.json(s"$dir/nation")
+    assert(back.count() == nation.count())
+  }
+
+  test("parquet scan pushes filters and prunes columns") {
+    val df = Tables(spark, sf).lineitem
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), scan)
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
+  }
+}
+
+/** The typed mapPartitions decode path for multimodal payloads. */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("decodeAll runs the stubbed codec partition-parallel with real schema") {
+    val out = operators.Multimodal.decodeAll(spark, sf).collect()
+    assert(out.length == 500)
+    assert(out.forall(r => r.byte_len > 0 && r.width >= 16 && r.height >= 16))
+    assert(out.map(_.media_type).toSet.subsetOf(Set("image", "audio", "video")))
+  }
+}

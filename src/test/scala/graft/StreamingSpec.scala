@@ -1,0 +1,115 @@
+package graft
+
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming proofs (SURVEY.md §2.G): the batch-equivalent
+  * queries q46/q47 run as real readStream plans, plus the custom stateful
+  * sessionization operator.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val us = 1000000L
+
+  test("tumbling window agg runs as a streaming query (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double)] // (ts_us, user, value)
+    ms.addData((0L, 1L, 1.0), (60L * us, 2L, 2.0), (16L * 60L * us, 1L, 3.0))
+    val agg = ms
+      .toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("user_id"), col("_3").as("value"))
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("win_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_out").collect()
+    assert(rows.length == 2) // two 15-min windows
+    assert(rows.map(_.getAs[Long]("n")).sum == 3)
+  }
+
+  test("streaming dropDuplicates dedups within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)] // (ts_us, event_id) with dup ids
+    ms.addData((0L, 1L), (1L * us, 1L), (2L * us, 2L))
+    val dedup = ms
+      .toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("event_id"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+    val q = dedup.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").select("event_id").distinct().count() == 2)
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("flatMapGroupsWithState sessionization emits gap-closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // base epoch well past 0: events at/below the initial watermark (epoch
+    // 0) are dropped as late by the stateful operator
+    val t0 = 1000000L * us
+    // session 1: two events 1 min apart; then a 60-min gap opens session 2
+    ms.addData(Ev(7L, 1L, t0), Ev(7L, 2L, t0 + 60L * us))
+    val withTs = ms
+      .toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 minute")
+      .as[Ev]
+    val sessions = Sessionize.sessionize(withTs, gapMs = 30L * 60L * 1000L)
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_out")
+      .start()
+    q.processAllAvailable()
+    ms.addData(Ev(7L, 3L, t0 + 3600L * us)) // 60 min later → closes session 1
+    q.processAllAvailable()
+    ms.addData(Ev(7L, 4L, t0 + 3L * 3600L * us)) // advances watermark → timeout fires
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out").as[Sessionize.SessionOut].collect().sortBy(_.start_us)
+    assert(out.nonEmpty, "no session emitted")
+    assert(
+      out.head.n_events == 2 && out.head.start_us == t0 && out.head.end_us == t0 + 60L * us,
+      s"emitted sessions: ${out.toList}")
+  }
+
+  test("streaming file source reads the events table shape") {
+    // prove the readStream→transform→writeStream path over files
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Tables(spark, sf).events.limit(100).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val counts = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/in")
+      .groupBy(col("event_type"))
+      .count()
+    val q = counts.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("file_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("file_out").as[(String, Long)].collect().map(_._2).sum == 100L)
+  }
+}
