@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.GraftFunctions.cosine_sim
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,15 +18,10 @@ object Similarity extends QueryModule {
 
   private val Dim = 64
 
-  // embedding → double[] plus L2 norm, computed once per vector map-side.
-  private def vectors(t: Tables): DataFrame =
-    t.embeddings
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
-
-  // dot product with sequential accumulation (matches DuckDB list_sum)
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+  // raw float[] vectors; the cosine kernel (graft.functions.CosineSim,
+  // native codegen) widens to double and accumulates left-to-right, so
+  // results are bit-identical to the oracle's double formula.
+  private def vectors(t: Tables): DataFrame = t.embeddings.withColumnRenamed("embedding", "v")
 
   /** Brute-force cosine top-k: the correctness baseline every ANN variant
     * is judged against. Query set broadcasts; the corpus is scanned once.
@@ -34,12 +30,12 @@ object Similarity extends QueryModule {
     val corpus = vectors(t)
     val queries = corpus
       .filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
     corpus
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(dot("qv", "v") / (col("qnrm") * col("nrm")), 6))
+      .withColumn("cos_sim", round(cosine_sim(col("qv"), col("v")), 6))
       .withColumn("nn_rank", row_number().over(w))
       .filter(col("nn_rank") <= 5)
       .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("nn_rank"))
@@ -50,12 +46,12 @@ object Similarity extends QueryModule {
     * bucketed q42 is the production path at scale).
     */
   private def q41(t: Tables): DataFrame = {
-    val e = vectors(t).select(col("vec_id"), col("v"), col("nrm"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val e = vectors(t).select(col("vec_id"), col("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(dot("va", "vb") / (col("na") * col("nb")), 6))
+      .withColumn("cos_sim", round(cosine_sim(col("va"), col("vb")), 6))
       .filter(col("cos_sim") >= 0.35)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
       .orderBy(col("id_a"), col("id_b"))
@@ -74,12 +70,12 @@ object Similarity extends QueryModule {
     */
   private def q42(t: Tables): DataFrame = {
     val e = vectors(t).withColumn("bucket", expr(bucketSpark))
-    val a = e.select(col("bucket"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val b = e.select(col("bucket").as("b_bucket"), col("vec_id"), col("v"), col("nrm"))
+    val a = e.select(col("bucket"), col("vec_id").as("qid"), col("v").as("qv"))
+    val b = e.select(col("bucket").as("b_bucket"), col("vec_id"), col("v"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
     a.join(b, col("bucket") === col("b_bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(dot("qv", "v") / (col("qnrm") * col("nrm")), 6))
+      .withColumn("cos_sim", round(cosine_sim(col("qv"), col("v")), 6))
       .withColumn("nn_rank", row_number().over(w))
       .filter(col("nn_rank") <= 3)
       .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"), col("nn_rank"))
@@ -91,15 +87,15 @@ object Similarity extends QueryModule {
     * partition-prunes on the cluster key.
     */
   private def q43(t: Tables): DataFrame = {
-    val corpus = vectors(t).select(col("label"), col("vec_id"), col("v"), col("nrm"))
+    val corpus = vectors(t).select(col("label"), col("vec_id"), col("v"))
     val queries = vectors(t)
       .filter(col("vec_id") < 10)
-      .select(col("label").as("qlabel"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .select(col("label").as("qlabel"), col("vec_id").as("qid"), col("v").as("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
     corpus
       .join(broadcast(queries), col("label") === col("qlabel"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", round(dot("qv", "v") / (col("qnrm") * col("nrm")), 6))
+      .withColumn("cos_sim", round(cosine_sim(col("qv"), col("v")), 6))
       .withColumn("nn_rank", row_number().over(w))
       .filter(col("nn_rank") <= 5)
       .select(

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.{GraftFunctions, SimHashImpl}
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("simhash64: near-identical texts land within small hamming distance") {
+    val a = SimHashImpl.compute(UTF8String.fromString("the quick brown fox jumps over the lazy dog"))
+    val b = SimHashImpl.compute(UTF8String.fromString("the quick brown fox jumps over the lazy cat"))
+    val c = SimHashImpl.compute(UTF8String.fromString("completely different content entirely unrelated"))
+    assert(SimHashImpl.hamming(a, b) < SimHashImpl.hamming(a, c))
+    assert(SimHashImpl.compute(UTF8String.fromString("")) == 0L)
+    assert(SimHashImpl.compute(UTF8String.fromString("  spaced   out  ")) ==
+      SimHashImpl.compute(UTF8String.fromString("spaced out")))
+  }
+
+  test("simhash64 Column API runs under codegen over the documents table") {
+    val df = Tables(spark, sf).documents
+      .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sh"))
+    val rows = df.collect()
+    assert(rows.length == 500)
+    // interpreted eval must agree with the codegen'd column
+    val doc0 = Tables(spark, sf).documents.filter(col("doc_id") === 0).collect()(0).getAs[String]("text")
+    val expected = SimHashImpl.compute(UTF8String.fromString(doc0))
+    assert(rows.find(_.getLong(0) == 0L).get.getAs[Long]("sh") == expected)
+  }
+
+  test("cosine_sim native kernel matches the HOF double formula") {
+    val e = Tables(spark, sf).embeddings.limit(50)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val both = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("native", GraftFunctions.cosine_sim(col("va"), col("vb")))
+      .withColumn("vda", expr("transform(va, x -> CAST(x AS DOUBLE))"))
+      .withColumn("vdb", expr("transform(vb, x -> CAST(x AS DOUBLE))"))
+      .withColumn("dot", expr("aggregate(zip_with(vda, vdb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("na", expr("sqrt(aggregate(vda, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      .withColumn("nb", expr("sqrt(aggregate(vdb, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      .withColumn("hof", col("dot") / (col("na") * col("nb")))
+    val bad = both.filter(col("native") =!= col("hof")).count()
+    assert(bad == 0, s"$bad pairs differ between native kernel and HOF formula")
+  }
+
+  test("SQL registration exposes simhash64 and cosine_sim") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT simhash64('a b c') AS sh, cosine_sim(array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS cs").collect()(0)
+    assert(r.getAs[Long]("sh") == SimHashImpl.compute(UTF8String.fromString("a b c")))
+    assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-12)
+  }
+
+  test("GraftExtensions injects functions into a fresh session") {
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val got = s2.sql("SELECT simhash64('x y z') AS sh").collect()(0).getAs[Long]("sh")
+      assert(got == SimHashImpl.compute(UTF8String.fromString("x y z")))
+    } finally {
+      SparkSession.clearActiveSession()
+      old.foreach { s => SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s) }
+    }
+  }
+}
