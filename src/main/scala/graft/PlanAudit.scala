@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: audits the physical plan of every query against the scale
+  * invariants in SURVEY.md §5 and prints one line per query.
+  *
+  *   sbt "runMain graft.PlanAudit /root/testdata/sf0.001"
+  *
+  * Checks (heuristic, WARN not FAIL — some shapes are legitimately
+  * different): exchange (shuffle) count, broadcast joins present where
+  * declared, pushed filters on scans, no cartesian product except the
+  * intentionally-crossing similarity baselines.
+  */
+object PlanAudit {
+  private val expectBroadcast = Set(
+    "q03_top_revenue", "q05_region_revenue", "q15_above_avg_groups", "q16_rollup_sales",
+    "q27_catalog_tree", "q40_cosine_topk", "q41_embedding_neardup", "q43_ivf_search")
+  private val allowCross = Set("q40_cosine_topk", "q41_embedding_neardup")
+  // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
+  private val exchangeBudget: Map[String, Int] = Map(
+    "q37_lsh_pairs" -> 4, "q38_ngram_jaccard" -> 5, "q13_set_ops" -> 4,
+    "q29_version_diff" -> 6, "q42_ann_sign_lsh" -> 4).withDefaultValue(3)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var warns = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length - "BroadcastExchange".r.findAllIn(plan).length
+      val issues = Seq.newBuilder[String]
+      if (exchanges > exchangeBudget(name)) issues += s"shuffles=$exchanges>budget=${exchangeBudget(name)}"
+      if (expectBroadcast(name) && !plan.contains("BroadcastExchange")) issues += "no-broadcast"
+      if (!allowCross(name) && plan.contains("Cross")) issues += "cartesian"
+      // flag only a Filter whose direct child scan pushed nothing — a filter
+      // on a window/join-computed column legitimately can't push down
+      val lines = plan.linesIterator.toVector
+      val badPush = lines.zipWithIndex.exists { case (l, i) =>
+        l.contains("Filter (") && lines.drop(i + 1).headOption.exists(n =>
+          n.contains("FileScan") && n.contains("PushedFilters: []"))
+      }
+      if (badPush) issues += "unpushed-scan-filter"
+      val tag = { val i = issues.result(); if (i.isEmpty) "OK  " else { warns += 1; "WARN" } }
+      println(f"$tag $name%-26s shuffles=$exchanges%-2d ${issues.result().mkString(", ")}")
+    }
+    println(s"${if (warns == 0) "ALL OK" else s"$warns warnings"}")
+    spark.stop()
+  }
+}

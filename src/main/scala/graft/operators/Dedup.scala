@@ -41,14 +41,29 @@ object Dedup extends QueryModule {
       .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_texts"))
       .orderBy(col("source"))
 
-  /** Per-doc minhash signatures: Bands salted 1-row minhashes, min taken
-    * over lexicographic md5 order. Entirely map-side (zero shuffle).
+  // 32-bit int from the first 8 hex chars of an md5 string — the same
+  // ascii-arithmetic rendered to both engines (no hex→int builtin in both).
+  private def hexint32(m: String): String =
+    (1 to 8)
+      .map(p => s"CAST(${hexval(s"substr($m, $p, 1)")} AS BIGINT) * ${1L << ((8 - p) * 4)}")
+      .mkString("(", " + ", ")")
+
+  // band-b linear rehash of the base shingle hash (classic k-minhash from
+  // one strong hash): h_b(x) = (a_b·x + c_b) mod (2³¹−1)
+  private def bandHash(b: Int, h: String): String =
+    s"(($h * ${2 * b + 1} + ${7919 * b}) % 2147483647)"
+
+  /** Per-doc minhash signatures: one md5 per shingle (two-level transform
+    * so the digest array materializes once), then Bands cheap linear
+    * rehashes — 8× less hashing than salted-md5-per-band. Entirely
+    * map-side (zero shuffle).
     */
   private def q36(t: Tables): DataFrame = {
     val sigs = (0 until Bands).map { b =>
-      expr(s"array_min(transform(shingles, s -> md5(concat('$b:', s))))").as(s"sig_$b")
+      expr(s"array_min(transform(hashes, h -> ${bandHash(b, "h")}))").as(s"sig_$b")
     }
     withShingles(t)
+      .withColumn("hashes", expr(s"transform(transform(shingles, s -> md5(s)), m -> ${hexint32("m")})"))
       .select(col("doc_id") +: sigs: _*)
       .orderBy(col("doc_id"))
   }
@@ -137,9 +152,11 @@ object Dedup extends QueryModule {
   )
 
   private val duckWords = "SELECT doc_id, string_split(text, ' ') AS words FROM documents"
+  private val duckHashes =
+    s"list_transform(list_transform(shingles, s -> md5(s)), m -> ${hexint32("m")})"
   private val duckShingleArms = (0 until Bands)
     .map(b =>
-      s"SELECT doc_id, $b AS band, list_aggregate(list_transform(shingles, s -> md5('$b:' || s)), 'min') AS sig FROM sh")
+      s"SELECT doc_id, $b AS band, list_aggregate(list_transform(hashes, h -> ${bandHash(b, "h")}), 'min') AS sig FROM sh")
     .mkString("\n UNION ALL\n ")
 
   override def oracleSql: Map[String, String] = Map(
@@ -150,16 +167,18 @@ object Dedup extends QueryModule {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q36_minhash_sigs" -> {
       val cols = (0 until Bands)
-        .map(b => s"list_aggregate(list_transform(shingles, s -> md5('$b:' || s)), 'min') AS sig_$b")
+        .map(b => s"list_aggregate(list_transform(hashes, h -> ${bandHash(b, "h")}), 'min') AS sig_$b")
         .mkString(",\n ")
       s"""SELECT doc_id,
          | $cols
-         |FROM (SELECT doc_id, $shinglesDuck AS shingles FROM ($duckWords))
+         |FROM (SELECT doc_id, $duckHashes AS hashes
+         |      FROM (SELECT doc_id, $shinglesDuck AS shingles FROM ($duckWords)))
          |ORDER BY doc_id""".stripMargin
     },
     "q37_lsh_pairs" ->
       s"""WITH w AS ($duckWords),
-         | sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),
+         | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),
+         | sh AS (SELECT doc_id, $duckHashes AS hashes FROM shl),
          | sigs AS (
          | $duckShingleArms
          | )
