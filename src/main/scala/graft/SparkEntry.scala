@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.Multimodal,
-    operators.StreamingOps
+    operators.StreamingOps,
+    operators.Extras
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

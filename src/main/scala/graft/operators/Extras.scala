@@ -1,0 +1,257 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.I — extended coverage: geospatial primitives (the
+  * reference's domain), JSON/STAC property extraction, as-of join,
+  * bucketed range join, the window-function suite, exact group
+  * statistics, and sketch-based distinct counting.
+  */
+object Extras extends QueryModule {
+
+  // ---- synthetic deterministic coordinates (the test tables carry no
+  // geo columns; same integer-arithmetic formula on both engines) ----
+  private val lonSql = "CAST((c_custkey * 7919) % 360000 AS DOUBLE) / 1000 - 180"
+  private val latSql = "CAST((c_custkey * 104729) % 170000 AS DOUBLE) / 1000 - 85"
+  private def sLon = "CAST((s_suppkey * 7919) % 360000 AS DOUBLE) / 1000 - 180"
+  private def sLat = "CAST((s_suppkey * 104729) % 170000 AS DOUBLE) / 1000 - 85"
+
+  /** Geohash-style spatial bucketing: 5°×5° grid cells, occupancy counts.
+    * Pure integer/double arithmetic — the partition key a geo lake shards
+    * on (geostore's datasets are spatially tiled the same way).
+    */
+  private def q48(t: Tables): DataFrame =
+    t.customer
+      .withColumn("lon", expr(lonSql))
+      .withColumn("lat", expr(latSql))
+      .withColumn("cell_id", expr("CAST(floor((lon + 180) / 5) AS BIGINT) * 100 + CAST(floor((lat + 85) / 5) AS BIGINT)"))
+      .groupBy(col("cell_id"))
+      // sum, not avg: cell groups are small, and an avg of 2-decimal money
+      // can land exactly on a .005 rounding boundary where engine sum order
+      // decides the rounded digit; sums of 2-decimal data round stably
+      .agg(count(lit(1)).as("n_points"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("cell_id"))
+
+  /** Bounding-box filter — the STAC item spatial-extent query
+    * (`check_stac_metadata` validates exactly these bbox fields).
+    */
+  private def q49(t: Tables): DataFrame =
+    t.customer
+      .withColumn("lon", expr(lonSql))
+      .withColumn("lat", expr(latSql))
+      .filter(col("lon").between(-30.0, 30.0) && col("lat").between(-20.0, 40.0))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_in_bbox"))
+      .orderBy(col("n_name"))
+
+  /** Haversine distance: suppliers × customers within 3000 km. Trig is
+    * last-ulp engine-dependent, so outputs round to 3 decimals.
+    */
+  private def q50(t: Tables): DataFrame = {
+    val cust = t.customer
+      .select(col("c_custkey"), expr(lonSql).as("clon"), expr(latSql).as("clat"))
+    val supp = t.supplier
+      .select(col("s_suppkey"), expr(sLon).as("slon"), expr(sLat).as("slat"))
+    val hav =
+      """2 * 6371 * asin(sqrt(
+        |  pow(sin(radians(clat - slat) / 2), 2) +
+        |  cos(radians(slat)) * cos(radians(clat)) * pow(sin(radians(clon - slon) / 2), 2)))""".stripMargin
+    cust
+      .crossJoin(broadcast(supp))
+      .withColumn("dist_km", expr(hav))
+      .filter(col("dist_km") < 3000)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_within"), round(min(col("dist_km")), 3).as("min_km"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** JSON property extraction — STAC items/collections are JSON documents;
+    * geostore's validators read typed properties out of them
+    * (`check_stac_metadata/utils.py`). events.props is the JSON column.
+    */
+  private def q51(t: Tables): DataFrame =
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        round(avg(col("k")), 2).as("avg_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+
+  /** As-of join: for each purchase, the most recent prior click of the
+    * same user — the point-in-time feature join every training pipeline
+    * needs. Implemented as union+window (one shuffle on user_id), the
+    * formulation that scales; a sort-merge per key would shuffle twice.
+    */
+  private def q52(t: Tables): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("last_click_us", max(when(col("event_type") === "click", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("us").as("purchase_us"),
+        coalesce(col("last_click_us"), lit(-1L)).as("last_click_us"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  /** Bucketed range join (see RangeJoin): orders priced into quadratic
+    * price bands via bucket equi-join instead of a nested-loop BETWEEN.
+    */
+  private def q53(t: Tables): DataFrame = {
+    val spark = t.spark
+    val bands = spark
+      .range(0, 20)
+      .select(
+        col("id").as("band"),
+        (col("id") * col("id") * 2000).as("lo"),
+        ((col("id") + 1) * (col("id") + 1) * 2000).as("hi"))
+    RangeJoin
+      .bucketed(t.orders, col("o_totalprice"), bands, col("lo"), col("hi"), 25000L)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("band"))
+  }
+
+  /** Window-function suite: lead/lag/ntile/percent_rank/first/last over
+    * one partitioning — all share a single shuffle+sort.
+    */
+  private def q54(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        first(col("o_orderkey")).over(wFull).as("first_order"),
+        last(col("o_orderkey")).over(wFull).as("last_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Exact group statistics: interpolated percentiles, sample stddev. */
+  private def q55(t: Tables): DataFrame =
+    t.customer
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+        round(expr("percentile(c_acctbal, 0.95)"), 4).as("p95"),
+        round(stddev_samp(col("c_acctbal")), 4).as("sd"),
+        round(min(col("c_acctbal")), 2).as("lo"),
+        round(max(col("c_acctbal")), 2).as("hi"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Sketch-based distinct counting: HLL approx vs exact, asserted within
+    * 10% — the only cross-engine-stable way to oracle-check an approx
+    * aggregate (the sketches themselves differ by implementation).
+    */
+  private def q56(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .select(
+        col("event_type"),
+        col("n_exact"),
+        (abs(col("approx") - col("n_exact")) <= col("n_exact") * 0.1).as("approx_ok"))
+      .orderBy(col("event_type"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_geo_cells" -> ((s, d) => q48(Tables(s, d))),
+    "q49_bbox_filter" -> ((s, d) => q49(Tables(s, d))),
+    "q50_haversine" -> ((s, d) => q50(Tables(s, d))),
+    "q51_json_props" -> ((s, d) => q51(Tables(s, d))),
+    "q52_asof_join" -> ((s, d) => q52(Tables(s, d))),
+    "q53_range_join" -> ((s, d) => q53(Tables(s, d))),
+    "q54_window_suite" -> ((s, d) => q54(Tables(s, d))),
+    "q55_group_stats" -> ((s, d) => q55(Tables(s, d))),
+    "q56_approx_distinct" -> ((s, d) => q56(Tables(s, d)))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q48_geo_cells" ->
+      s"""WITH g AS (SELECT c_acctbal, $lonSql AS lon, $latSql AS lat FROM customer)
+         |SELECT CAST(floor((lon + 180) / 5) AS BIGINT) * 100 + CAST(floor((lat + 85) / 5) AS BIGINT) AS cell_id,
+         | count(*) AS n_points, round(sum(c_acctbal), 2) AS sum_bal
+         |FROM g GROUP BY cell_id ORDER BY cell_id""".stripMargin,
+    "q49_bbox_filter" ->
+      s"""WITH g AS (SELECT c_nationkey, $lonSql AS lon, $latSql AS lat FROM customer)
+         |SELECT n_name, count(*) AS n_in_bbox
+         |FROM g JOIN nation ON c_nationkey = n_nationkey
+         |WHERE lon BETWEEN -30 AND 30 AND lat BETWEEN -20 AND 40
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q50_haversine" ->
+      s"""WITH c AS (SELECT c_custkey, $lonSql AS clon, $latSql AS clat FROM customer),
+         | s AS (SELECT s_suppkey, $sLon AS slon, $sLat AS slat FROM supplier),
+         | d AS (SELECT s_suppkey,
+         |   2 * 6371 * asin(sqrt(
+         |     pow(sin(radians(clat - slat) / 2), 2) +
+         |     cos(radians(slat)) * cos(radians(clat)) * pow(sin(radians(clon - slon) / 2), 2))) AS dist_km
+         |  FROM c, s)
+         |SELECT s_suppkey, count(*) AS n_within, round(min(dist_km), 3) AS min_km
+         |FROM d WHERE dist_km < 3000
+         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q51_json_props" ->
+      """WITH j AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(k) AS n_with_k, round(avg(k), 2) AS avg_k,
+        | count(DISTINCT k) AS n_distinct_k
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q52_asof_join" ->
+      """WITH t AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |  max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        | FROM events WHERE event_type IN ('purchase', 'click'))
+        |SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+        | coalesce(last_click_us, -1) AS last_click_us
+        |FROM t WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin,
+    "q53_range_join" ->
+      """WITH bands AS (SELECT b AS band, b*b*2000 AS lo, (b+1)*(b+1)*2000 AS hi FROM range(0, 20) t(b))
+        |SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM bands JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q54_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | first_value(o_orderkey) OVER wf AS first_order,
+        | last_value(o_orderkey) OVER wf AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q55_group_stats" ->
+      """SELECT c_mktsegment,
+        | round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+        | round(quantile_cont(c_acctbal, 0.95), 4) AS p95,
+        | round(stddev_samp(c_acctbal), 4) AS sd,
+        | round(min(c_acctbal), 2) AS lo,
+        | round(max(c_acctbal), 2) AS hi
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q56_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |   <= count(DISTINCT user_id) * 0.1 AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
