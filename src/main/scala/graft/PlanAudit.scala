@@ -16,7 +16,10 @@ object PlanAudit {
   private val expectBroadcast = Set(
     "q03_top_revenue", "q05_region_revenue", "q15_above_avg_groups", "q16_rollup_sales",
     "q27_catalog_tree", "q40_cosine_topk", "q41_embedding_neardup", "q43_ivf_search")
-  private val allowCross = Set("q40_cosine_topk", "q41_embedding_neardup")
+  private val allowCross = Set("q40_cosine_topk", "q41_embedding_neardup", "q50_haversine")
+  // q50's band join key is computed from c_custkey, so Spark synthesizes an
+  // isnotnull(<computed>) filter above the scan — nothing to push down.
+  private val allowUnpushed = Set("q50_haversine")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 4, "q38_ngram_jaccard" -> 5, "q13_set_ops" -> 4,
@@ -46,7 +49,7 @@ object PlanAudit {
         l.contains("Filter (") && lines.drop(i + 1).headOption.exists(n =>
           n.contains("FileScan") && n.contains("PushedFilters: []"))
       }
-      if (badPush) issues += "unpushed-scan-filter"
+      if (badPush && !allowUnpushed(name)) issues += "unpushed-scan-filter"
       val tag = { val i = issues.result(); if (i.isEmpty) "OK  " else { warns += 1; "WARN" } }
       println(f"$tag $name%-26s shuffles=$exchanges%-2d ${issues.result().mkString(", ")}")
     }

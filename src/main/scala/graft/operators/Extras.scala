@@ -52,16 +52,38 @@ object Extras extends QueryModule {
     * last-ulp engine-dependent, so outputs round to 3 decimals.
     */
   private def q50(t: Tables): DataFrame = {
-    val cust = t.customer
-      .select(col("c_custkey"), expr(lonSql).as("clon"), expr(latSql).as("clat"))
-    val supp = t.supplier
-      .select(col("s_suppkey"), expr(sLon).as("slon"), expr(sLat).as("slat"))
+    // radians and cos(lat) precompute per SIDE, not per pair: the join
+    // evaluates the distance |cust|·|supp| times, so hoisting 5 of the 10
+    // trig calls out of the pair expression halves the hot-loop trig.
+    // (The oracle mirrors this exact expression tree — FP is not
+    // associative, so both engines must build the same tree.)
+    val cust = t.customer.select(
+      col("c_custkey"),
+      expr(s"radians($lonSql)").as("clon_r"),
+      expr(s"radians($latSql)").as("clat_r"),
+      expr(s"cos(radians($latSql))").as("cos_clat"))
+    val supp = t.supplier.select(
+      col("s_suppkey"),
+      expr(s"radians($sLon)").as("slon_r"),
+      expr(s"radians($sLat)").as("slat_r"),
+      expr(s"cos(radians($sLat))").as("cos_slat"))
     val hav =
       """2 * 6371 * asin(sqrt(
-        |  pow(sin(radians(clat - slat) / 2), 2) +
-        |  cos(radians(slat)) * cos(radians(clat)) * pow(sin(radians(clon - slon) / 2), 2)))""".stripMargin
-    cust
-      .crossJoin(broadcast(supp))
+        |  pow(sin((clat_r - slat_r) / 2), 2) +
+        |  cos_slat * cos_clat * pow(sin((clon_r - slon_r) / 2), 2)))""".stripMargin
+    // Lossless spatial prejoin: haversine ≥ R·|Δlat|, so a pair > 27° of
+    // latitude apart can never be within 3000 km. Banding latitude at 27°
+    // and equi-joining (supplier replicated to ±1 band) turns the
+    // cartesian BNLJ with an interpreted trig condition into a codegen'd
+    // BroadcastHashJoin over ~half the pairs — the exact filter below
+    // keeps results identical to the all-pairs formula (and the oracle).
+    val bandWidth = 27.0
+    val custB = cust.withColumn("band", floor((expr(latSql) + 85) / bandWidth).cast("long"))
+    val suppB = supp
+      .withColumn("off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("band", floor((expr(sLat) + 85) / bandWidth).cast("long") + col("off"))
+    custB
+      .join(broadcast(suppB), Seq("band"))
       .withColumn("dist_km", expr(hav))
       .filter(col("dist_km") < 3000)
       .groupBy(col("s_suppkey"))
@@ -196,12 +218,14 @@ object Extras extends QueryModule {
          |WHERE lon BETWEEN -30 AND 30 AND lat BETWEEN -20 AND 40
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q50_haversine" ->
-      s"""WITH c AS (SELECT c_custkey, $lonSql AS clon, $latSql AS clat FROM customer),
-         | s AS (SELECT s_suppkey, $sLon AS slon, $sLat AS slat FROM supplier),
+      s"""WITH c AS (SELECT c_custkey, radians($lonSql) AS clon_r, radians($latSql) AS clat_r,
+         |   cos(radians($latSql)) AS cos_clat FROM customer),
+         | s AS (SELECT s_suppkey, radians($sLon) AS slon_r, radians($sLat) AS slat_r,
+         |   cos(radians($sLat)) AS cos_slat FROM supplier),
          | d AS (SELECT s_suppkey,
          |   2 * 6371 * asin(sqrt(
-         |     pow(sin(radians(clat - slat) / 2), 2) +
-         |     cos(radians(slat)) * cos(radians(clat)) * pow(sin(radians(clon - slon) / 2), 2))) AS dist_km
+         |     pow(sin((clat_r - slat_r) / 2), 2) +
+         |     cos_slat * cos_clat * pow(sin((clon_r - slon_r) / 2), 2))) AS dist_km
          |  FROM c, s)
          |SELECT s_suppkey, count(*) AS n_within, round(min(dist_km), 3) AS min_km
          |FROM d WHERE dist_km < 3000
