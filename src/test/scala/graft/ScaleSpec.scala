@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-mechanics evidence (SURVEY.md §5): bucketed co-located joins,
+  * salted aggregation, AQE presence.
+  */
+class ScaleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bucketed tables co-locate: join plans with zero shuffle exchanges") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    assert(warehouse.nonEmpty)
+    Tables(spark, sf).orders.write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables(spark, sf).customer.write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = spark
+        .table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(sum(col("o_totalprice")).as("t"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(
+        !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted aggregation merges to the same totals as direct groupBy") {
+    val li = Tables(spark, sf).lineitem
+    val direct = li
+      .groupBy(col("l_returnflag").as("key"))
+      .agg(sum(col("l_quantity")).as("total"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2))))
+      .toMap
+    val salted = operators.Skew
+      .saltedSumCount(li, col("l_returnflag"), col("l_quantity"), saltBuckets = 7)
+      .collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2))))
+      .toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (t, n)) =>
+      assert(n == direct(k)._2, s"count mismatch for $k")
+      assert(math.abs(t - direct(k)._1) < 1e-6, s"sum mismatch for $k")
+    }
+  }
+
+  test("adaptive query execution is on in the bench/verify sessions") {
+    // Bench/Verify build their own sessions with AQE; the shared test
+    // session inherits Spark 4 defaults where AQE is enabled.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+}
