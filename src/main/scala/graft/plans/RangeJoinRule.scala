@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Catalyst optimizer rule: rewrite naive interval joins into bucketed
+  * equi-joins (the logical-plan form of operators.RangeJoin).
+  *
+  * Matches `fact ⋈ bands ON v >= lo AND v < hi` where `v` comes from one
+  * side and `lo`/`hi` (integral) from the other. OSS Spark plans this as a
+  * BroadcastNestedLoopJoin — O(|fact|·|bands|) interpreted comparisons.
+  * The rewrite:
+  *
+  *   bands' = bands GENERATE explode(sequence(lo div w, (hi-1) div w)) AS b
+  *   fact'  = fact  PROJECT  floor(v / w) AS b
+  *   fact' ⋈ bands' ON b = b AND v >= lo AND v < hi
+  *
+  * which Catalyst then plans as a hash join on `b` with the range
+  * predicate as residual — shuffle parallel, codegen'd, AQE-splittable.
+  * Bucket width comes from `spark.graft.rangejoin.bucketWidth` (row
+  * count × width tradeoff; default 1024).
+  *
+  * Injected by [[GraftExtensions]]; proven equivalent in RangeJoinRuleSpec.
+  */
+case class RangeJoinRule(bucketWidth: Long = 1024L) extends Rule[LogicalPlan] {
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case LongType | org.apache.spark.sql.types.IntegerType => true
+    case _ => false
+  }
+
+  // the analyzer wraps the integral band bounds in cast-to-double for the
+  // comparison against a double probe value — match through the cast
+  private def uncast(e: Expression): Expression = e match {
+    case c: Cast => uncast(c.child)
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(And(
+          ge @ GreaterThanOrEqual(v1, loC),
+          lt @ LessThan(v2, hiC))), hint)
+        if v1.semanticEquals(v2) &&
+          v1.references.subsetOf(left.outputSet) && loC.references.subsetOf(right.outputSet) &&
+          hiC.references.subsetOf(right.outputSet) &&
+          integral(uncast(loC)) && integral(uncast(hiC)) &&
+          (v1.dataType == DoubleType || integral(v1)) =>
+      val lo = uncast(loC)
+      val hi = uncast(hiC)
+      val w = Literal(bucketWidth, LongType)
+      val longLo = Cast(lo, LongType)
+      val longHi = Cast(hi, LongType)
+      // bands side: explode the bucket range each interval overlaps
+      // Sequence is TimeZoneAwareExpression: unresolved until a zone is set
+      val seq = new Sequence(
+        IntegralDivide(longLo, w),
+        IntegralDivide(Subtract(longHi, Literal(1L, LongType)), w),
+        Literal(1L, LongType)).withTimeZone(conf.sessionLocalTimeZone)
+      val bandBucket = AttributeReference("__graft_bucket_r", LongType, nullable = true)()
+      val bandsExploded = Generate(
+        Explode(seq),
+        unrequiredChildIndex = Nil,
+        outer = false,
+        qualifier = None,
+        generatorOutput = Seq(bandBucket),
+        child = right)
+      // fact side: arithmetic bucket of the probe value
+      val factBucketExpr = Cast(Floor(Divide(Cast(v1, DoubleType), Cast(w, DoubleType))), LongType)
+      val factBucket = Alias(factBucketExpr, "__graft_bucket_l")()
+      val factProjected = Project(left.output :+ factBucket, left)
+      val rewritten = Join(
+        factProjected,
+        bandsExploded,
+        Inner,
+        Some(And(EqualTo(factBucket.toAttribute, bandBucket), And(ge, lt))),
+        hint)
+      // strip the internal bucket columns
+      Project(j.output, rewritten)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected optimizer rule must turn a naive BETWEEN join into a
+  * bucketed equi-join (hash join on the synthetic bucket) and produce
+  * identical results to the unoptimized plan.
+  */
+class RangeJoinRuleSpec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark => base}
+
+  private def withExtSession[T](f: SparkSession => T): T = {
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try f(
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new GraftExtensions).getOrCreate())
+    finally {
+      SparkSession.clearActiveSession()
+      old.foreach { s => SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s) }
+    }
+  }
+
+  test("BETWEEN join rewrites to a bucketed hash join with equal results") {
+    // expected result computed on the plain session (no rule)
+    val expected = {
+      val orders = Tables(base, sf).orders
+      val bands = base.range(0, 20).select(
+        col("id").as("band"),
+        (col("id") * col("id") * 2000).as("lo"),
+        ((col("id") + 1) * (col("id") + 1) * 2000).as("hi"))
+      orders.join(bands, col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band")).count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    withExtSession { s =>
+      val orders = Tables(s, sf).orders
+      val bands = s.range(0, 20).select(
+        col("id").as("band"),
+        (col("id") * col("id") * 2000).as("lo"),
+        ((col("id") + 1) * (col("id") + 1) * 2000).as("hi"))
+      val joined = orders
+        .join(bands, col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__graft_bucket"), s"rule did not fire:\n$optimized")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"), s"still BNLJ:\n$physical")
+      val got = joined.groupBy(col("band")).count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, s"result drift: got=$got expected=$expected")
+    }
+  }
+
+  test("rule leaves non-range joins untouched") {
+    withExtSession { s =>
+      val o = Tables(s, sf).orders
+      val c = Tables(s, sf).customer
+      val j = o.join(c, col("o_custkey") === col("c_custkey"))
+      assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+      assert(j.count() > 0)
+    }
+  }
+}
