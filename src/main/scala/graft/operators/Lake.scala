@@ -48,7 +48,8 @@ object Lake extends QueryModule {
   }
 
   /** Multihash checksum verification — reference
-    * `check_files_checksums/utils.py:16` (sha256 multihash `1220…`).
+    * `check_files_checksums/utils.py:27` (get_multihash_digest) +
+    * `utils.py:89` (validate_url_multihash — sha256 multihash `1220…`).
     * Expected hashes are synthesized with a deterministic corruption at
     * doc_id % 50 == 0 so both match and mismatch paths execute. The hash
     * runs codegen'd (sha2) next to the scan — no shuffle at all.
@@ -64,7 +65,7 @@ object Lake extends QueryModule {
       .withColumn("valid", col("computed") === col("expected"))
       .orderBy(col("doc_id"))
 
-  /** Fixed-size batch assignment — reference `content_iterator/task.py:24`
+  /** Fixed-size batch assignment — reference `content_iterator/task.py:9`
     * (MAX_ITERATION_SIZE pagination). One shuffle on dataset_id; batch ids
     * derived with integer math (never a double).
     */

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants per operator family — properties the DuckDB hash
+  * compare can't express (recall, containment, monotonicity).
+  */
+class DedupSemanticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("LSH candidates recall the high-Jaccard pairs") {
+    // every verified pair with jaccard >= 0.5 should be surfaced by the
+    // 8-band LSH with overwhelming probability: P(miss) = (1-j)^8 <= 0.4%
+    val jac = SparkEntry.queries("q38_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = SparkEntry.queries("q37_lsh_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val recalled = jac.intersect(lsh).size
+    assert(jac.nonEmpty)
+    assert(recalled >= math.ceil(jac.size * 0.9).toInt,
+      s"LSH recalled $recalled of ${jac.size} true near-dup pairs")
+  }
+
+  test("exact-dedup counts are consistent with corpus size") {
+    val rows = SparkEntry.queries("q35_exact_dedup")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == 500)
+    rows.foreach(r => assert(r.getAs[Long]("n_dup_docs") >= 0))
+  }
+
+  test("simhash of near-identical docs is closer than of unrelated docs") {
+    val sh = SparkEntry.queries("q39_simhash")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash"))).toMap
+    // top verified near-dup pair vs a far pair
+    val top = SparkEntry.queries("q38_ngram_jaccard")(spark, sf)
+      .orderBy(col("jaccard").desc).limit(1).collect()(0)
+    val (a, b) = (top.getAs[Long]("doc_a"), top.getAs[Long]("doc_b"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val nearDist = ham(sh(a), sh(b))
+    val farDists = (0L to 20L).filter(i => i != a && i != b).map(i => ham(sh(a), sh(i)))
+    assert(nearDist <= farDists.min,
+      s"near pair hamming $nearDist vs min unrelated ${farDists.min}")
+  }
+}
+
+class SimilaritySemanticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("sign-LSH ANN recalls planted near-duplicate vectors") {
+    // The testdata embeddings are near-random (max pairwise cos ≈ 0.5), so
+    // sign-LSH top-1 recall there is the ~1/16 bucket-collision baseline —
+    // not a correctness signal. The operator's actual contract: genuinely
+    // similar vectors share sign buckets. Plant scaled copies (cos = 1,
+    // identical signs) and require the bucketed search to pair them.
+    import spark.implicits._
+    val base = (0 until 20).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => (((i * 31 + d * 7) % 13) - 6).toFloat + 0.5f))
+    }
+    val dups = base.map { case (i, v) => (i + 100L, v.map(_ * 1.001f)) }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val e = df.withColumn(
+      "bucket",
+      expr("""(CASE WHEN element_at(embedding, 1) >= 0 THEN 8 ELSE 0 END) +
+             |(CASE WHEN element_at(embedding, 2) >= 0 THEN 4 ELSE 0 END) +
+             |(CASE WHEN element_at(embedding, 3) >= 0 THEN 2 ELSE 0 END) +
+             |(CASE WHEN element_at(embedding, 4) >= 0 THEN 1 ELSE 0 END)""".stripMargin))
+    val a = e.select(col("bucket"), col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("bucket").as("bb"), col("vec_id").as("ib"), col("embedding").as("vb"))
+    val found = a
+      .join(b, col("bucket") === col("bb") && col("ia") < col("ib"))
+      .withColumn("cos", graft.functions.GraftFunctions.cosine_sim(col("va"), col("vb")))
+      .filter(col("cos") > 0.9999)
+      .select(col("ia"), col("ib"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    base.foreach { case (i, _) =>
+      assert(found.contains((i, i + 100L)), s"planted near-dup pair ($i, ${i + 100}) not recalled")
+    }
+  }
+
+  test("cosine top-k ranks are dense and bounded") {
+    val rows = SparkEntry.queries("q40_cosine_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("nn_rank")).sorted.sameElements(1 to 5))
+      val sims = rs.sortBy(_.getAs[Int]("nn_rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, "similarity not monotone in rank")
+    }
+  }
+}
+
+class LakeSemanticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("checksum validation flags exactly the synthesized corruptions") {
+    val rows = SparkEntry.queries("q23_checksum_validate")(spark, sf).collect()
+    rows.foreach { r =>
+      val expectInvalid = r.getAs[Long]("doc_id") % 50 == 0
+      assert(r.getAs[Boolean]("valid") == !expectInvalid)
+      assert(r.getAs[String]("computed").startsWith("1220"))
+      assert(r.getAs[String]("computed").length == 4 + 64)
+    }
+  }
+
+  test("content batches respect MAX_ITERATION_SIZE and tile the assets") {
+    val rows = SparkEntry.queries("q24_content_batches")(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Long]("n_items") <= 25))
+    val total = rows.map(_.getAs[Long]("n_items")).sum
+    assert(total == 500)
+  }
+
+  test("catalog tree has exactly one root level and consistent parents") {
+    val rows = SparkEntry.queries("q27_catalog_tree")(spark, sf).collect()
+    val byDepth = rows.groupBy(_.getAs[Int]("depth"))
+    assert(byDepth(0).length == 5) // regions
+    assert(byDepth(0).forall(_.isNullAt(3)))
+    val regionIds = byDepth(0).map(_.getAs[Long]("node_id")).toSet
+    assert(byDepth(1).forall(r => regionIds.contains(r.getAs[Long]("parent_id"))))
+  }
+}
