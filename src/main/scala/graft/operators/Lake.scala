@@ -167,7 +167,59 @@ object Lake extends QueryModule {
       .orderBy(col("change"), col("custkey"))
   }
 
+  /** Import status join — reference `import_status/get.py` +
+    * `upload_status/` (one status row per dataset version from step
+    * state + validation + upload counters). The three aspects derive from
+    * the version log: latest step state (argmax), error counts, and
+    * asset-upload progress — joined on the dataset key, dims broadcast.
+    */
+  private def q57(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val stepState = t.events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("dataset_id"), col("event_type").as("step_state"))
+    val counters = t.events
+      .groupBy(col("user_id").as("dataset_id"))
+      .agg(
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_uploads"),
+        count(lit(1)).as("n_events"))
+    counters
+      .join(stepState, Seq("dataset_id"))
+      .withColumn(
+        "status",
+        // rate, not count: a count threshold would flip with scale factor
+        when(col("n_errors") > col("n_events") * 0.2, "FAILED")
+          .when(col("step_state") === "purchase", "COMPLETE")
+          .otherwise("IN_PROGRESS"))
+      .select(col("dataset_id"), col("step_state"), col("n_errors"), col("n_uploads"),
+        col("n_events"), col("status"))
+      .orderBy(col("dataset_id"))
+  }
+
+  /** Root-catalog merge — reference `populate_catalog/task.py` (add child
+    * links for new datasets, keep existing, no duplicates). Existing =
+    * catalog rows already linked; incoming = current dataset listing;
+    * merge = union-distinct with a provenance flag (append-if-absent).
+    */
+  private def q58(t: Tables): DataFrame = {
+    val existing = t.documents
+      .filter(col("source").like("src1%"))
+      .select(col("source").as("child_id"))
+      .distinct()
+    val incoming = t.documents.select(col("source").as("child_id")).distinct()
+    existing
+      .withColumn("provenance", lit("existing"))
+      .unionAll(
+        incoming.join(existing, Seq("child_id"), "left_anti").withColumn("provenance", lit("added")))
+      .orderBy(col("child_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_import_status" -> ((s, d) => q57(Tables(s, d))),
+    "q58_catalog_merge" -> ((s, d) => q58(Tables(s, d))),
     "q21_dataset_list" -> ((s, d) => q21(Tables(s, d))),
     "q22_current_versions" -> ((s, d) => q22(Tables(s, d))),
     "q23_checksum_validate" -> ((s, d) => q23(Tables(s, d))),
@@ -180,6 +232,32 @@ object Lake extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q57_import_status" ->
+      """WITH latest AS (
+        | SELECT user_id AS dataset_id, event_type AS step_state FROM (
+        |  SELECT user_id, event_type,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1),
+        | counters AS (
+        | SELECT user_id AS dataset_id,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_uploads,
+        |  count(*) AS n_events
+        | FROM events GROUP BY user_id)
+        |SELECT c.dataset_id, step_state, n_errors, n_uploads, n_events,
+        | CASE WHEN n_errors > n_events * 0.2 THEN 'FAILED'
+        |      WHEN step_state = 'purchase' THEN 'COMPLETE'
+        |      ELSE 'IN_PROGRESS' END AS status
+        |FROM counters c JOIN latest l ON c.dataset_id = l.dataset_id
+        |ORDER BY c.dataset_id""".stripMargin,
+    "q58_catalog_merge" ->
+      """WITH existing AS (SELECT DISTINCT source AS child_id FROM documents WHERE source LIKE 'src1%'),
+        | incoming AS (SELECT DISTINCT source AS child_id FROM documents)
+        |SELECT child_id, 'existing' AS provenance FROM existing
+        |UNION ALL
+        |SELECT child_id, 'added' AS provenance FROM incoming
+        |WHERE child_id NOT IN (SELECT child_id FROM existing)
+        |ORDER BY child_id""".stripMargin,
     "q21_dataset_list" ->
       """SELECT source AS dataset_id, count(*) AS n_assets,
         | CAST(sum(n_chars) AS BIGINT) AS total_bytes,
