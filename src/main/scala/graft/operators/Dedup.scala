@@ -23,8 +23,12 @@ object Dedup extends QueryModule {
   private val shinglesDuck =
     "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
 
+  // The documents table arrives as one parquet file (one scan partition);
+  // the shingle/hash map work is the expensive part, so spread it across
+  // the cluster first — a 5k-row shuffle buys n-way parallel HOF eval.
   private def withShingles(t: Tables): DataFrame =
     t.documents
+      .repartition(col("doc_id"))
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesSpark))
 
@@ -93,6 +97,9 @@ object Dedup extends QueryModule {
   private def q38(t: Tables): DataFrame = {
     val sh = withShingles(t)
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("s"))
+    // sizes from the exploded rows: the aggregated (small) relation makes
+    // a clean broadcast build side — measured faster than recomputing the
+    // shingle arrays map-side for the join
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = sh
       .as("a")
@@ -131,6 +138,7 @@ object Dedup extends QueryModule {
 
   private def q39(t: Tables): DataFrame = {
     val words = t.documents
+      .repartition(col("doc_id"))
       .withColumn("w", explode(split(col("text"), " ")))
       .select(col("doc_id"), expr(wordVal("substr(md5(w), 1, 4)")).as("v"))
     val aggs = count(lit(1)).as("nw") +: onesExprs("div").map(e => expr(e.replace(" AS ", " AS ")))

@@ -19,8 +19,10 @@ object TextAnalysis extends QueryModule {
 
   // words/doc as a reusable fragment (identical split semantics both engines
   // for single-space-separated corpora).
+  // single-file scan → repartition so the lambda-heavy map work runs
+  // parallel instead of on the one scan partition (see Dedup.withShingles)
   private def withWords(t: Tables): DataFrame =
-    t.documents.withColumn("words", split(col("text"), " "))
+    t.documents.repartition(col("doc_id")).withColumn("words", split(col("text"), " "))
 
   /** Per-language corpus statistics: doc counts, length distribution,
     * stopword ratio. avg-word-length derived arithmetically from chars so
