@@ -193,7 +193,30 @@ object Extras extends QueryModule {
         (abs(col("approx") - col("n_exact")) <= col("n_exact") * 0.1).as("approx_ok"))
       .orderBy(col("event_type"))
 
+  /** Pivot: long→wide reshape (`.pivot()` with explicit values so the
+    * plan avoids the extra distinct-values job).
+    */
+  private def q59(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("o_orderpriority"))
+
+  /** Typed Aggregator UDAF (functions.GeoMean): geometric mean of order
+    * value per priority — partial-aggregable custom aggregation.
+    */
+  private def q60(t: Tables): DataFrame = {
+    val geoMean = udaf(graft.functions.GeoMean)
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(round(geoMean(col("o_totalprice")), 4).as("geo_price"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_pivot" -> ((s, d) => q59(Tables(s, d))),
+    "q60_typed_agg" -> ((s, d) => q60(Tables(s, d))),
     "q48_geo_cells" -> ((s, d) => q48(Tables(s, d))),
     "q49_bbox_filter" -> ((s, d) => q49(Tables(s, d))),
     "q50_haversine" -> ((s, d) => q50(Tables(s, d))),
@@ -206,6 +229,16 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q59_pivot" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q60_typed_agg" ->
+      """SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 4) AS geo_price,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q48_geo_cells" ->
       s"""WITH g AS (SELECT c_acctbal, $lonSql AS lon, $latSql AS lat FROM customer)
          |SELECT CAST(floor((lon + 180) / 5) AS BIGINT) * 100 + CAST(floor((lat + 85) / 5) AS BIGINT) AS cell_id,
