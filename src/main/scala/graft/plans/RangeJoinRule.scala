@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Injected by [[GraftExtensions]]; proven equivalent in RangeJoinRuleSpec.
   */
-case class RangeJoinRule(bucketWidth: Long = 1024L) extends Rule[LogicalPlan] {
+case class RangeJoinRule(bucketWidth: Long = 1024L) extends Rule[LogicalPlan] with PredicateHelper {
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case LongType | org.apache.spark.sql.types.IntegerType => true
@@ -39,17 +39,40 @@ case class RangeJoinRule(bucketWidth: Long = 1024L) extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** Find a `(v >= lo, v < hi)` pair among the condition's conjuncts where
+    * v is from `left` and lo/hi from `right`; returns (v, lo, hi, residual
+    * conjuncts incl. the range pair itself as post-filter).
+    */
+  private def findRangePair(
+      conjuncts: Seq[Expression],
+      left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Expression)] = {
+    val ges = conjuncts.collect {
+      case GreaterThanOrEqual(v, lo)
+          if v.references.subsetOf(left.outputSet) &&
+            lo.references.subsetOf(right.outputSet) && integral(uncast(lo)) =>
+        (v, uncast(lo))
+    }
+    val lts = conjuncts.collect {
+      case LessThan(v, hi)
+          if v.references.subsetOf(left.outputSet) &&
+            hi.references.subsetOf(right.outputSet) && integral(uncast(hi)) =>
+        (v, uncast(hi))
+    }
+    (for {
+      (v1, lo) <- ges
+      (v2, hi) <- lts
+      if v1.semanticEquals(v2) && (v1.dataType == DoubleType || integral(v1))
+    } yield (v1, lo, hi)).headOption
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(And(
-          ge @ GreaterThanOrEqual(v1, loC),
-          lt @ LessThan(v2, hiC))), hint)
-        if v1.semanticEquals(v2) &&
-          v1.references.subsetOf(left.outputSet) && loC.references.subsetOf(right.outputSet) &&
-          hiC.references.subsetOf(right.outputSet) &&
-          integral(uncast(loC)) && integral(uncast(hiC)) &&
-          (v1.dataType == DoubleType || integral(v1)) =>
-      val lo = uncast(loC)
-      val hi = uncast(hiC)
+    // the __graft_bucket guard stops the rule re-firing on its own output
+    // (the rewritten condition still contains the original range pair)
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !cond.references.exists(_.name.startsWith("__graft_bucket")) &&
+          findRangePair(splitConjunctivePredicates(cond), left, right).isDefined =>
+      val (v1, lo, hi) = findRangePair(splitConjunctivePredicates(cond), left, right).get
       val w = Literal(bucketWidth, LongType)
       val longLo = Cast(lo, LongType)
       val longHi = Cast(hi, LongType)
@@ -71,11 +94,13 @@ case class RangeJoinRule(bucketWidth: Long = 1024L) extends Rule[LogicalPlan] {
       val factBucketExpr = Cast(Floor(Divide(Cast(v1, DoubleType), Cast(w, DoubleType))), LongType)
       val factBucket = Alias(factBucketExpr, "__graft_bucket_l")()
       val factProjected = Project(left.output :+ factBucket, left)
+      // original condition (range pair + any residual conjuncts) stays as
+      // the post-bucket filter; only the bucket equality is new
       val rewritten = Join(
         factProjected,
         bandsExploded,
         Inner,
-        Some(And(EqualTo(factBucket.toAttribute, bandBucket), And(ge, lt))),
+        Some(And(EqualTo(factBucket.toAttribute, bandBucket), cond)),
         hint)
       // strip the internal bucket columns
       Project(j.output, rewritten)

@@ -55,6 +55,30 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("rule handles extra conjuncts in the join condition") {
+    withExtSession { s =>
+      val orders = Tables(s, sf).orders
+      val bands = s.range(0, 20).select(
+        col("id").as("band"),
+        (col("id") * col("id") * 2000).as("lo"),
+        ((col("id") + 1) * (col("id") + 1) * 2000).as("hi"))
+      val joined = orders.join(
+        bands,
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi") &&
+          col("band") % 2 === 0)
+      assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
+        "rule did not fire with residual conjunct")
+      val expected = Tables(SparkTestSession.spark, sf).orders.join(
+        SparkTestSession.spark.range(0, 20).select(
+          col("id").as("band"),
+          (col("id") * col("id") * 2000).as("lo"),
+          ((col("id") + 1) * (col("id") + 1) * 2000).as("hi")),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi") &&
+          col("band") % 2 === 0).count()
+      assert(joined.count() == expected)
+    }
+  }
+
   test("rule leaves non-range joins untouched") {
     withExtSession { s =>
       val o = Tables(s, sf).orders

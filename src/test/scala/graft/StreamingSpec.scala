@@ -92,6 +92,36 @@ class StreamingSpec extends AnyFunSuite {
       s"emitted sessions: ${out.toList}")
   }
 
+  test("stream-stream interval join pairs purchases with recent clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1000000L * us
+    val clicks = MemoryStream[(Long, Long)] // (user, ts_us)
+    val purchases = MemoryStream[(Long, Long)]
+    val c = clicks
+      .toDF()
+      .select(col("_1").as("user_c"), timestamp_micros(col("_2")).as("ts_c"))
+      .withWatermark("ts_c", "10 minutes")
+    val p = purchases
+      .toDF()
+      .select(col("_1").as("user_p"), timestamp_micros(col("_2")).as("ts_p"))
+      .withWatermark("ts_p", "10 minutes")
+    val joined = c.join(
+      p,
+      col("user_c") === col("user_p") &&
+        col("ts_p") >= col("ts_c") &&
+        col("ts_p") <= col("ts_c") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("ss_join").start()
+    clicks.addData((1L, t0), (2L, t0))
+    purchases.addData((1L, t0 + 5L * 60L * us)) // within 10 min → joins
+    purchases.addData((2L, t0 + 30L * 60L * us)) // outside window → dropped
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ss_join").collect()
+    assert(rows.length == 1, s"expected 1 joined row, got ${rows.toList}")
+    assert(rows(0).getAs[Long]("user_c") == 1L)
+  }
+
   test("streaming file source reads the events table shape") {
     // prove the readStream→transform→writeStream path over files
     import spark.implicits._
