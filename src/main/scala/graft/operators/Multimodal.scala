@@ -83,9 +83,27 @@ object Multimodal extends QueryModule {
         expr("substr(text, CAST(frame_id * 50 + 1 AS INT), 8)").as("sample"))
       .orderBy(col("doc_id"), col("frame_id"))
 
+  /** Feature extraction over payload bytes: 16-bin byte histogram per
+    * dataset — the shape of real per-asset featurization (explode is
+    * linear in payload bytes, aggregates map-side, shuffles only
+    * |datasets|·16 rows). The codec-specific features would slot into the
+    * same plan where the ascii bucket expression sits.
+    */
+  private def q61(t: Tables): DataFrame =
+    t.documents
+      .repartition(col("doc_id"))
+      .select(
+        col("source"),
+        explode(expr("transform(sequence(1, n_chars), i -> ascii(substr(text, CAST(i AS INT), 1)) div 16)"))
+          .as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_bytes"))
+      .orderBy(col("source"), col("bucket"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_blob_meta" -> ((s, d) => q44(Tables(s, d))),
-    "q45_frame_sample" -> ((s, d) => q45(Tables(s, d)))
+    "q45_frame_sample" -> ((s, d) => q45(Tables(s, d))),
+    "q61_byte_histogram" -> ((s, d) => q61(Tables(s, d)))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -103,6 +121,13 @@ object Multimodal extends QueryModule {
         | unnest(range(0, (n_chars // 50) + 1)) AS frame_id,
         | unnest(list_transform(range(0, (n_chars // 50) + 1),
         |   f -> substr(text, CAST(f * 50 + 1 AS INTEGER), 8))) AS sample
-        |FROM documents ORDER BY doc_id, frame_id""".stripMargin
+        |FROM documents ORDER BY doc_id, frame_id""".stripMargin,
+    "q61_byte_histogram" ->
+      """SELECT source, bucket, count(*) AS n_bytes FROM (
+        | SELECT source,
+        |  unnest(list_transform(range(1, n_chars + 1),
+        |    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) // 16 AS BIGINT))) AS bucket
+        | FROM documents)
+        |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
   )
 }
