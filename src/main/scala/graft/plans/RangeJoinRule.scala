@@ -76,11 +76,16 @@ case class RangeJoinRule(bucketWidth: Long = 1024L) extends Rule[LogicalPlan] wi
       val w = Literal(bucketWidth, LongType)
       val longLo = Cast(lo, LongType)
       val longHi = Cast(hi, LongType)
+      // Floor-division on BOTH sides: IntegralDivide truncates toward zero,
+      // which disagrees with the probe side's Floor for negative bounds and
+      // would silently drop matches. Double division is exact for |x|<2^53.
+      def floorDiv(x: Expression): Expression =
+        Cast(Floor(Divide(Cast(x, DoubleType), Cast(w, DoubleType))), LongType)
       // bands side: explode the bucket range each interval overlaps
       // Sequence is TimeZoneAwareExpression: unresolved until a zone is set
       val seq = new Sequence(
-        IntegralDivide(longLo, w),
-        IntegralDivide(Subtract(longHi, Literal(1L, LongType)), w),
+        floorDiv(longLo),
+        floorDiv(Subtract(longHi, Literal(1L, LongType))),
         Literal(1L, LongType)).withTimeZone(conf.sessionLocalTimeZone)
       val bandBucket = AttributeReference("__graft_bucket_r", LongType, nullable = true)()
       val bandsExploded = Generate(

@@ -79,6 +79,21 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("rule is correct for negative range bounds (floor vs truncate division)") {
+    withExtSession { s =>
+      import s.implicits._
+      // values straddling zero; intervals with negative lo
+      val facts = Seq(-2500.0, -1500.0, -100.0, 0.0, 100.0, 1500.0).toDF("v")
+      val bands = Seq((0L, -2000L, -1000L), (1L, -1000L, 1000L), (2L, 1000L, 2000L))
+        .toDF("band", "lo", "hi")
+      val joined = facts.join(bands, col("v") >= col("lo") && col("v") < col("hi"))
+      assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+      val got = joined.select("v", "band").collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+      val expected = Set((-1500.0, 0L), (-100.0, 1L), (0.0, 1L), (100.0, 1L), (1500.0, 2L))
+      assert(got == expected, s"got $got")
+    }
+  }
+
   test("rule leaves non-range joins untouched") {
     withExtSession { s =>
       val o = Tables(s, sf).orders
