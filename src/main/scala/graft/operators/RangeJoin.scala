@@ -30,8 +30,15 @@ object RangeJoin {
       lo: Column,
       hi: Column,
       bucketWidth: Long): DataFrame = {
+    // floor-division on BOTH sides: a bare cast of the double quotient
+    // truncates toward zero and disagrees with the fact side's floor for
+    // negative bounds (same hazard fixed in plans.RangeJoinRule)
     val bandBuckets = bands
-      .withColumn("__bucket", explode(sequence(lo.divide(bucketWidth).cast("long"), (hi - 1).divide(bucketWidth).cast("long"))))
+      .withColumn(
+        "__bucket",
+        explode(sequence(
+          floor(lo / bucketWidth).cast("long"),
+          floor((hi - 1) / bucketWidth).cast("long"))))
     val factBuckets = fact
       .withColumn("__bucket", floor(value / bucketWidth).cast("long"))
     factBuckets
