@@ -151,7 +151,49 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Dup-cluster assignment: connected components over the verified
+    * near-dup pairs (jaccard ≥ 0.5) — the step that turns pairwise LSH
+    * output into "keep one per group" at corpus scale. Iterative min-label
+    * propagation; each round is one shuffle and the loop converges in
+    * O(component diameter) rounds (near-dup components are tiny, so ≤ the
+    * fixed bound here; production graphs use the same loop with
+    * large-star/small-star contraction).
+    */
+  private def q62(t: Tables): DataFrame = {
+    val pairs = q38(t).select(col("doc_a"), col("doc_b"))
+    // materialize once: every loop action would otherwise re-run the whole
+    // Jaccard pipeline through the edges lineage
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u")).distinct()
+    var labels = nodes.select(col("u"), col("u").as("comp"))
+    var iter = 0
+    var converged = false
+    while (iter < 15 && !converged) {
+      // min label among self and neighbours' labels
+      val fromNeighbours = edges
+        .join(labels.withColumnRenamed("u", "v2"), col("v") === col("v2"))
+        .select(col("u"), col("comp"))
+      val next = labels
+        .unionAll(fromNeighbours)
+        .groupBy(col("u"))
+        .agg(min(col("comp")).as("comp"))
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "old"), Seq("u"))
+        .filter(col("comp") =!= col("old"))
+        .limit(1)
+        .count()
+      labels = next.localCheckpoint(true)
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("u").as("doc_id"), col("comp").as("component_id")).orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_dup_clusters" -> ((s, d) => q62(Tables(s, d))),
     "q35_exact_dedup" -> ((s, d) => q35(Tables(s, d))),
     "q36_minhash_sigs" -> ((s, d) => q36(Tables(s, d))),
     "q37_lsh_pairs" -> ((s, d) => q37(Tables(s, d))),
@@ -168,6 +210,28 @@ object Dedup extends QueryModule {
     .mkString("\n UNION ALL\n ")
 
   override def oracleSql: Map[String, String] = Map(
+    "q62_dup_clusters" ->
+      s"""WITH RECURSIVE w AS ($duckWords),
+         | sh AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),
+         | sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         | inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         | jpairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE shared / (sa.nsh + sb.nsh - shared) >= 0.5),
+         | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |           UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         | nodes AS (SELECT DISTINCT u FROM edges),
+         | reach(u, v) AS (
+         |  SELECT u, u AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, min(v) AS component_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "q35_exact_dedup" ->
       """SELECT source, count(*) AS n_docs,
         | count(DISTINCT md5(text)) AS n_distinct_texts,

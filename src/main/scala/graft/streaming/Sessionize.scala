@@ -43,7 +43,10 @@ object Sessionize {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts_us - s.end_us <= gapUs =>
-                  open = Some(OpenSession(s.start_us, math.max(s.end_us, e.ts_us), s.n + 1))
+                  // min() on start too: a late-but-in-watermark event can
+                  // precede the open session's first event
+                  open = Some(OpenSession(
+                    math.min(s.start_us, e.ts_us), math.max(s.end_us, e.ts_us), s.n + 1))
                 case Some(s) =>
                   closed += SessionOut(userId, s.start_us, s.end_us, s.n)
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1))
