@@ -163,9 +163,13 @@ object Dedup extends QueryModule {
     val pairs = q38(t).select(col("doc_a"), col("doc_b"))
     // materialize once: every loop action would otherwise re-run the whole
     // Jaccard pipeline through the edges lineage
+    // the candidate-pair graph is orders of magnitude smaller than the
+    // corpus — size the loop's partitioning to the graph, not the session
+    // default, or fixed per-job overhead dominates the tiny iterations
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .repartition(4)
       .localCheckpoint(true)
     val nodes = edges.select(col("u")).distinct()
     var labels = nodes.select(col("u"), col("u").as("comp"))
@@ -180,13 +184,19 @@ object Dedup extends QueryModule {
         .unionAll(fromNeighbours)
         .groupBy(col("u"))
         .agg(min(col("comp")).as("comp"))
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "old"), Seq("u"))
-        .filter(col("comp") =!= col("old"))
-        .limit(1)
-        .count()
-      labels = next.localCheckpoint(true)
-      converged = changed == 0
+        .coalesce(4)
+      val nextCp = next.localCheckpoint(true)
+      // near-dup components have tiny diameters: skip the convergence
+      // action for the first two rounds (they almost never converge sooner)
+      if (iter >= 2) {
+        val changed = nextCp
+          .join(labels.withColumnRenamed("comp", "old"), Seq("u"))
+          .filter(col("comp") =!= col("old"))
+          .limit(1)
+          .count()
+        converged = changed == 0
+      }
+      labels = nextCp
       iter += 1
     }
     labels.select(col("u").as("doc_id"), col("comp").as("component_id")).orderBy(col("doc_id"))
