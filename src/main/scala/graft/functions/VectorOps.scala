@@ -88,6 +88,12 @@ object GraftFunctions {
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
 
+  def minhash_sigs(c: Column, bands: Int): Column =
+    Bridge.column(MinHashSigs(Bridge.expression(c), bands))
+
+  def shingle_set(c: Column): Column =
+    Bridge.column(ShingleSet(Bridge.expression(c)))
+
   /** Register the SQL-callable names on an existing session (the
     * extension-free path used by tests and the driver mains).
     */

@@ -57,19 +57,18 @@ object Dedup extends QueryModule {
   private def bandHash(b: Int, h: String): String =
     s"(($h * ${2 * b + 1} + ${7919 * b}) % 2147483647)"
 
-  /** Per-doc minhash signatures: one md5 per shingle (two-level transform
-    * so the digest array materializes once), then Bands cheap linear
-    * rehashes — 8× less hashing than salted-md5-per-band. Entirely
-    * map-side (zero shuffle).
+  /** Per-doc minhash signatures via the native one-pass kernel
+    * (functions.MinHashSigs) — identical semantics to the expression
+    * pipeline the oracle mirrors (md5 per shingle → 32-bit int → Bands
+    * linear rehashes), but one codegen'd loop per row instead of k
+    * interpreted array passes. Entirely map-side (zero shuffle).
     */
   private def q36(t: Tables): DataFrame = {
-    val sigs = (0 until Bands).map { b =>
-      expr(s"array_min(transform(hashes, h -> ${bandHash(b, "h")}))").as(s"sig_$b")
-    }
-    withShingles(t)
-      .withColumn("hashes", expr(s"transform(transform(shingles, s -> md5(s)), m -> ${hexint32("m")})"))
-      .select(col("doc_id") +: sigs: _*)
-      .orderBy(col("doc_id"))
+    val base = t.documents
+      .repartition(col("doc_id"))
+      .withColumn("sigs", graft.functions.GraftFunctions.minhash_sigs(col("text"), Bands))
+    val cols = (0 until Bands).map(b => element_at(col("sigs"), b + 1).as(s"sig_$b"))
+    base.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
   }
 
   /** LSH banding: candidate pairs = docs agreeing on ≥1 band signature.
@@ -95,8 +94,9 @@ object Dedup extends QueryModule {
     * inclusion-exclusion — no list materialization on the pair side.
     */
   private def q38(t: Tables): DataFrame = {
-    val sh = withShingles(t)
-      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("s"))
+    val sh = t.documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions.shingle_set(col("text"))).as("s"))
     // sizes from the exploded rows: the aggregated (small) relation makes
     // a clean broadcast build side — measured faster than recomputing the
     // shingle arrays map-side for the join
