@@ -94,6 +94,9 @@ object GraftFunctions {
   def shingle_set(c: Column): Column =
     Bridge.column(ShingleSet(Bridge.expression(c)))
 
+  def byte_histogram(c: Column): Column =
+    Bridge.column(ByteHistogram(Bridge.expression(c)))
+
   /** Register the SQL-callable names on an existing session (the
     * extension-free path used by tests and the driver mains).
     */
@@ -101,5 +104,11 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("simhash64", exprs => SimHash64(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash_sigs",
+      exprs => MinHashSigs(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+    registry.createOrReplaceTempFunction("shingle_set", exprs => ShingleSet(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("byte_histogram", exprs => ByteHistogram(exprs.head), "built-in")
   }
 }

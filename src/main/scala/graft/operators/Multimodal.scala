@@ -94,10 +94,10 @@ object Multimodal extends QueryModule {
       .repartition(col("doc_id"))
       .select(
         col("source"),
-        explode(expr("transform(sequence(1, n_chars), i -> ascii(substr(text, CAST(i AS INT), 1)) div 16)"))
-          .as("bucket"))
-      .groupBy(col("source"), col("bucket"))
-      .agg(count(lit(1)).as("n_bytes"))
+        posexplode(graft.functions.GraftFunctions.byte_histogram(col("text"))).as(Seq("bin", "cnt")))
+      .filter(col("cnt") > 0) // oracle's unnest-per-char form never emits empty bins
+      .groupBy(col("source"), col("bin").cast("long").as("bucket"))
+      .agg(sum(col("cnt")).as("n_bytes"))
       .orderBy(col("source"), col("bucket"))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
