@@ -202,7 +202,24 @@ object Dedup extends QueryModule {
     labels.select(col("u").as("doc_id"), col("comp").as("component_id")).orderBy(col("doc_id"))
   }
 
+  /** Simhash candidate pairing: same Hamming-bucket pairs within radius 3
+    * — the cheap (no-shingle-join) dup screen simhash exists for. Bucket
+    * join keeps the self-join corpus²/buckets; the verified-pair analysis
+    * shows true near-dups land at Hamming ≤ 2.
+    */
+  private def q63(t: Tables): DataFrame = {
+    val sims = q39(t)
+    val a = sims.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("bucket"))
+    val b = sims.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS INT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_simhash_pairs" -> ((s, d) => q63(Tables(s, d))),
     "q62_dup_clusters" -> ((s, d) => q62(Tables(s, d))),
     "q35_exact_dedup" -> ((s, d) => q35(Tables(s, d))),
     "q36_minhash_sigs" -> ((s, d) => q36(Tables(s, d))),
@@ -220,6 +237,23 @@ object Dedup extends QueryModule {
     .mkString("\n UNION ALL\n ")
 
   override def oracleSql: Map[String, String] = Map(
+    "q63_simhash_pairs" -> {
+      val ones = onesExprs("//").mkString(",\n  ")
+      s"""WITH wv AS (
+         | SELECT doc_id, ${wordVal("substr(md5(w), 1, 4)")} AS v
+         | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+         | bits AS (
+         | SELECT doc_id, count(*) AS nw,
+         |  $ones
+         | FROM wv GROUP BY doc_id),
+         | sims AS (SELECT doc_id, $simhashExpr AS simhash,
+         |  CAST(($simhashExpr) // 16 AS BIGINT) AS bucket FROM bits)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sims a JOIN sims b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q62_dup_clusters" ->
       s"""WITH RECURSIVE w AS ($duckWords),
          | sh AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, SimHash64}
+import graft.functions.{ByteHistogram, CosineSim, MinHashSigs, ShingleSet, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -26,5 +26,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
         exprs => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("minhash_sigs"),
+        new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+        exprs => MinHashSigs(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("shingle_set"),
+        new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+        exprs => ShingleSet(exprs.head)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("byte_histogram"),
+        new ExpressionInfo(classOf[ByteHistogram].getName, "byte_histogram"),
+        exprs => ByteHistogram(exprs.head)))
   }
 }
