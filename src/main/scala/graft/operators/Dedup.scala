@@ -202,19 +202,32 @@ object Dedup extends QueryModule {
     labels.select(col("u").as("doc_id"), col("comp").as("component_id")).orderBy(col("doc_id"))
   }
 
-  /** Simhash candidate pairing: same Hamming-bucket pairs within radius 3
-    * — the cheap (no-shingle-join) dup screen simhash exists for. Bucket
-    * join keeps the self-join corpus²/buckets; the verified-pair analysis
-    * shows true near-dups land at Hamming ≤ 2.
+  /** Simhash candidate pairing with GUARANTEED recall at radius 3:
+    * pigeonhole blocking (Charikar-style). The 16-bit simhash splits into
+    * 4 blocks of 4 bits; a pair differing in ≤ 3 bits must agree on at
+    * least one whole block, so the union of the four block-joins contains
+    * every radius-3 pair. Each block join is bucket-local
+    * (corpus²/16-per-block), candidates dedup via distinct, and the exact
+    * Hamming filter prunes block-collision noise.
     */
   private def q63(t: Tables): DataFrame = {
-    val sims = q39(t)
-    val a = sims.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("bucket"))
-    val b = sims.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("bucket").as("bucket_b"))
-    a.join(b, col("bucket") === col("bucket_b") && col("doc_a") < col("doc_b"))
-      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS INT)"))
+    val sims = q39(t).select(col("doc_id"), col("simhash"))
+    val blockArgs = (0 until 4)
+      .map(k => s"$k, CAST((simhash div ${1L << (4 * k)}) % 16 AS BIGINT)")
+      .mkString(", ")
+    val blocks = sims.select(col("doc_id"), col("simhash"), expr(s"stack(4, $blockArgs)").as(Seq("blk", "bval")))
+    val cand = blocks
+      .as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
+      .distinct()
+    cand
       .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -239,6 +252,9 @@ object Dedup extends QueryModule {
   override def oracleSql: Map[String, String] = Map(
     "q63_simhash_pairs" -> {
       val ones = onesExprs("//").mkString(",\n  ")
+      val blockArms = (0 until 4)
+        .map(k => s"SELECT doc_id, simhash, $k AS blk, CAST((simhash // ${1L << (4 * k)}) % 16 AS BIGINT) AS bval FROM sims")
+        .mkString("\n  UNION ALL\n  ")
       s"""WITH wv AS (
          | SELECT doc_id, ${wordVal("substr(md5(w), 1, 4)")} AS v
          | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
@@ -246,12 +262,16 @@ object Dedup extends QueryModule {
          | SELECT doc_id, count(*) AS nw,
          |  $ones
          | FROM wv GROUP BY doc_id),
-         | sims AS (SELECT doc_id, $simhashExpr AS simhash,
-         |  CAST(($simhashExpr) // 16 AS BIGINT) AS bucket FROM bits)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         | CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |FROM sims a JOIN sims b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         | sims AS (SELECT doc_id, $simhashExpr AS simhash FROM bits),
+         | blocks AS (
+         |  $blockArms
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |  FROM blocks a JOIN blocks b
+         |   ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q62_dup_clusters" ->
