@@ -25,7 +25,9 @@ object PlanAudit {
     "q37_lsh_pairs" -> 4, "q38_ngram_jaccard" -> 7, "q13_set_ops" -> 4,
     "q29_version_diff" -> 6, "q42_ann_sign_lsh" -> 4,
     // union-of-distincts + anti join (populate_catalog shape)
-    "q58_catalog_merge" -> 5).withDefaultValue(3)
+    "q58_catalog_merge" -> 5,
+    // repartition + block self-join + pair-distinct + output sort
+    "q63_simhash_pairs" -> 5).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
