@@ -15,22 +15,10 @@ object Dedup extends QueryModule {
 
   private val Bands = 8
 
-  // word-3-gram shingles, identical construction in both engines
-  private val shinglesSpark =
-    """transform(sequence(1, size(words) - 2),
-      |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ',
-      |              element_at(words, i + 2)))""".stripMargin
+  // word-3-gram shingle fragment for the DuckDB oracles (the Spark side
+  // runs the native kernels in graft.functions with identical semantics)
   private val shinglesDuck =
     "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
-
-  // The documents table arrives as one parquet file (one scan partition);
-  // the shingle/hash map work is the expensive part, so spread it across
-  // the cluster first — a 5k-row shuffle buys n-way parallel HOF eval.
-  private def withShingles(t: Tables): DataFrame =
-    t.documents
-      .repartition(col("doc_id"))
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("shingles", expr(shinglesSpark))
 
   /** Exact dedup via content hash — the distributed analogue of geostore's
     * per-file checksum identity (`check_files_checksums`). groupBy on

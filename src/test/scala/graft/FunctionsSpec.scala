@@ -54,6 +54,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-12)
   }
 
+  test("minhash_sigs/shingle_set/byte_histogram kernels: SQL surface + edges") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT minhash_sigs('a b c d', 4) AS mh, shingle_set('a b c a b c') AS sh,
+        |byte_histogram('aA !') AS bh, minhash_sigs('x y', 4) AS mh_null""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](r.fieldIndex("mh")).length == 4)
+    // repeated shingles collapse; first-occurrence order
+    assert(r.getSeq[String](r.fieldIndex("sh")).toList == List("a b c", "b c a", "c a b"))
+    // 'a'→bin6, 'A'→bin4, ' ' and '!'→bin2
+    val bh = r.getSeq[Long](r.fieldIndex("bh"))
+    assert(bh(6) == 1 && bh(4) == 1 && bh(2) == 2 && bh.sum == 4)
+    // <3 tokens → null, not an error
+    assert(r.isNullAt(r.fieldIndex("mh_null")))
+  }
+
+  test("minhash kernel equals the generated-arithmetic pipeline on real docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf).documents
+    val shingleExpr =
+      """transform(sequence(1, size(split(text, ' ')) - 2),
+        |  i -> concat(element_at(split(text, ' '), i), ' ',
+        |              element_at(split(text, ' '), i + 1), ' ',
+        |              element_at(split(text, ' '), i + 2)))""".stripMargin
+    def hexval(c: String) =
+      s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+    val hexint = (1 to 8)
+      .map(p => s"CAST(${hexval(s"substr(m, $p, 1)")} AS BIGINT) * ${1L << ((8 - p) * 4)}")
+      .mkString("(", " + ", ")")
+    val sigs = (0 until 8)
+      .map(b => s"array_min(transform(hashes, h -> ((h * ${2 * b + 1} + ${7919 * b}) % 2147483647)))")
+      .mkString("array(", ", ", ")")
+    val bad = docs
+      .withColumn("hashes", expr(s"transform(transform($shingleExpr, s -> md5(s)), m -> $hexint)"))
+      .select(
+        GraftFunctions.minhash_sigs(col("text"), 8).as("k"),
+        expr(sigs).as("e"))
+      .filter(col("k") =!= col("e"))
+      .count()
+    assert(bad == 0, s"$bad docs differ between kernel and expression pipeline")
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val old = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
