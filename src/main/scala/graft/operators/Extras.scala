@@ -214,7 +214,23 @@ object Extras extends QueryModule {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Deterministic train/val/test split assignment — hash-mod bucketing
+    * (Knuth multiplicative) so the split is stable across runs, machines,
+    * and engines; THE way a 100 TB corpus gets split without a shuffle or
+    * a random seed dependency. 80/10/10 per dataset.
+    */
+  private def q64(t: Tables): DataFrame =
+    t.documents
+      .withColumn("h", expr("(doc_id * 2654435761) % 100"))
+      .withColumn(
+        "split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("source"), col("split"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_hash_split" -> ((s, d) => q64(Tables(s, d))),
     "q59_pivot" -> ((s, d) => q59(Tables(s, d))),
     "q60_typed_agg" -> ((s, d) => q60(Tables(s, d))),
     "q48_geo_cells" -> ((s, d) => q48(Tables(s, d))),
@@ -229,6 +245,12 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q64_hash_split" ->
+      """WITH s AS (SELECT source, n_chars, (doc_id * 2654435761) % 100 AS h FROM documents)
+        |SELECT source,
+        | CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
     "q59_pivot" ->
       """SELECT o_orderpriority,
         | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
