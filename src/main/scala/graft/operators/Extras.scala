@@ -229,7 +229,25 @@ object Extras extends QueryModule {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
       .orderBy(col("source"), col("split"))
 
+  /** Weighted corpus mixing: per-source sampling rates applied via the
+    * same seedless hash — up-weight the `src1*` family to 100%, keep the
+    * rest at 40%. The mixing step of every multi-source training run,
+    * shuffle-free and reproducible.
+    */
+  private def q65(t: Tables): DataFrame =
+    t.documents
+      .withColumn("h", expr("(doc_id * 2654435761) % 100"))
+      .withColumn("rate", when(col("source").like("src1%"), 100).otherwise(40))
+      .withColumn("kept", col("h") < col("rate"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),
+        max(col("rate")).as("rate_pct"))
+      .orderBy(col("source"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
     "q64_hash_split" -> ((s, d) => q64(Tables(s, d))),
     "q59_pivot" -> ((s, d) => q59(Tables(s, d))),
     "q60_typed_agg" -> ((s, d) => q60(Tables(s, d))),
@@ -245,6 +263,13 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q65_corpus_mix" ->
+      """WITH m AS (SELECT source, (doc_id * 2654435761) % 100 AS h,
+        |  CASE WHEN source LIKE 'src1%' THEN 100 ELSE 40 END AS rate FROM documents)
+        |SELECT source, count(*) AS n_total,
+        | CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        | max(rate) AS rate_pct
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q64_hash_split" ->
       """WITH s AS (SELECT source, n_chars, (doc_id * 2654435761) % 100 AS h FROM documents)
         |SELECT source,
