@@ -217,7 +217,25 @@ object Lake extends QueryModule {
       .orderBy(col("child_id"))
   }
 
+  /** STAC-document schema validation — reference
+    * `check_stac_metadata/stac_validators.py` (jsonschema checks per
+    * document: required property present, typed, in range). Runs as pure
+    * JSON-path expressions next to the scan; per-type failure-class
+    * counts roll up map-side (the validation_results shape).
+    */
+  private def q66(t: Tables): DataFrame =
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("k").isNotNull && col("k") >= 80, 1L).otherwise(0L)).as("n_out_of_range"),
+        sum(when(col("k").isNotNull && col("k") < 80, 1L).otherwise(0L)).as("n_valid"))
+      .orderBy(col("event_type"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_stac_validation" -> ((s, d) => q66(Tables(s, d))),
     "q57_import_status" -> ((s, d) => q57(Tables(s, d))),
     "q58_catalog_merge" -> ((s, d) => q58(Tables(s, d))),
     "q21_dataset_list" -> ((s, d) => q21(Tables(s, d))),
@@ -232,6 +250,13 @@ object Lake extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q66_stac_validation" ->
+      """WITH j AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        | CAST(sum(CASE WHEN k IS NOT NULL AND k >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_range,
+        | CAST(sum(CASE WHEN k IS NOT NULL AND k < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q57_import_status" ->
       """WITH latest AS (
         | SELECT user_id AS dataset_id, event_type AS step_state FROM (
