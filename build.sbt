@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON from sbt's stdout. The
+// default LoggedOutput strategy prefixes every forked-process line with
+// "[info] " and appends a "[success] Total time" trailer, which breaks
+// that parse — send child stdout through verbatim and drop the trailer.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -54,12 +54,16 @@ object Multimodal extends QueryModule {
         expr("""CASE ascii(substr(text, 1, 1)) % 3
                |  WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END""".stripMargin))
 
-  /** Binary payload + typed metadata row — the multimodal table schema. */
+  /** Binary payload + typed metadata row — the multimodal table schema.
+    * The payload itself stays binary in `blobs`/`decodeAll` (MultimodalSpec);
+    * the oracle-compared output carries md5(payload) because the driver's
+    * pandas comparator cannot hash raw byte columns.
+    */
   private def q44(t: Tables): DataFrame =
     blobs(t)
       .select(
         col("doc_id"),
-        col("payload"),
+        md5(col("payload")).as("payload_md5"),
         col("media_type"),
         length(col("payload")).cast("long").as("byte_len"),
         expr("16 + (doc_id % 16) * 8").as("width"),
@@ -109,7 +113,7 @@ object Multimodal extends QueryModule {
   override def oracleSql: Map[String, String] = Map(
     "q44_blob_meta" ->
       """SELECT doc_id,
-        | CAST(text AS BLOB) AS payload,
+        | md5(CAST(text AS BLOB)) AS payload_md5,
         | CASE ascii(substr(text, 1, 1)) % 3
         |   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
