@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Helpers for iterative DataFrame algorithms (connected components,
+  * frontier traversals): each round must cut lineage or the plan tree —
+  * and every action's recomputation — grows with the iteration count.
+  */
+object Iterate {
+
+  /** Cut lineage between loop rounds. Default: localCheckpoint (fast, but
+    * executor-storage-pinned — a lost executor restarts the job). On a
+    * real cluster set `graft.checkpoint.reliable=true` plus a checkpoint
+    * dir and rounds persist to reliable storage instead, so the loop
+    * survives executor loss at the cost of one HDFS/S3 write per round.
+    */
+  def cutLineage(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val reliable = df.sparkSession.conf
+      .getOption("graft.checkpoint.reliable").exists(_.toBoolean) && sc.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+  }
+}

@@ -10,6 +10,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.Relational,
     operators.Lake,
+    operators.CatalogOps,
     operators.TextAnalysis,
     operators.Dedup,
     operators.Similarity,

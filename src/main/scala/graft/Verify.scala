@@ -13,14 +13,16 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // scheduler mode is a SparkConf read at context creation (a local
+      // property would be a no-op); FAIR keeps one slow query from
+      // starving the rest when several run concurrently below
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Queries are independent jobs; run several concurrently so the 32
     // local cores aren't idle between the small per-query jobs (Spark's
-    // scheduler is thread-safe; FAIR mode keeps one slow query from
-    // starving the rest).
-    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+    // scheduler is thread-safe).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)

@@ -1,0 +1,272 @@
+package graft.operators
+
+import graft.{Iterate, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.B (extension) — catalog *maintenance* semantics from the
+  * reference that round-2 review flagged as missing: arbitrary-depth
+  * traversal, upsert, metadata rewrite, and status-change notification.
+  *
+  * These four are the write/maintenance half of the geostore surface (the
+  * read half lives in `Lake`): a lake engine that can only query its
+  * catalog but not walk, merge, rewrite, or watch it cannot replace the
+  * reference.
+  */
+object CatalogOps extends QueryModule {
+
+  /** The synthetic link graph for q67: a binary tree over doc_ids
+    * (arbitrary depth — grows with the corpus) plus deterministic
+    * back-edges every 17th node, which create cycles so the visited-set
+    * semantics of the reference traversal are actually exercised.
+    */
+  private def linkEdges(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"))
+    val tree = docs
+      .select(col("doc_id").as("src"), explode(array(col("doc_id") * 2 + 1, col("doc_id") * 2 + 2)).as("dst"))
+      // keep only links whose target document exists (≡ a child/item link
+      // pointing at a real object); semi-join stays broadcast-size on dims
+      .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    val back = docs
+      .filter(col("doc_id") % 17 === 0 && col("doc_id") > 0)
+      .select(col("doc_id").as("src"), ((col("doc_id") - 1) / 2).cast("long").as("dst"))
+    tree.select(col("src"), col("dst")).unionAll(back)
+  }
+
+  /** Arbitrary-depth recursive catalog traversal with visited-URL dedup —
+    * reference `check_stac_metadata/utils.py:191-258` (`validate()`
+    * recurses through child/item links; `traversed_urls` at :257 prevents
+    * revisiting, which also makes link cycles safe). Spark shape: a
+    * level-synchronous frontier BFS — each round is one join of the
+    * (small) frontier against the edge relation plus an anti-join against
+    * the visited set, with lineage cut per round (`Iterate.cutLineage`).
+    * Rounds = graph depth (log-scale in catalog size), not row count, and
+    * every round's join is frontier-sized — the loop never rescans the
+    * corpus. Output: every reachable node with its BFS depth (min link
+    * distance from the root), which is exactly the traversal order class
+    * the reference's recursion produces.
+    */
+  private def q67(t: Tables): DataFrame = {
+    val edges = Iterate.cutLineage(linkEdges(t).repartition(col("dst")))
+    val root = t.documents
+      .filter(col("doc_id") === 0)
+      .select(col("doc_id").as("node_id"), lit(0).as("depth"))
+    var visited = Iterate.cutLineage(root)
+    var frontier = visited
+    var d = 0
+    var done = false
+    while (d < 64 && !done) {
+      val next = frontier
+        .join(edges, col("node_id") === col("src"))
+        .select(col("dst").as("node_id"))
+        .distinct()
+        .join(visited, Seq("node_id"), "left_anti")
+        .withColumn("depth", lit(d + 1))
+      val nextCp = Iterate.cutLineage(next)
+      if (nextCp.isEmpty) done = true
+      else {
+        visited = Iterate.cutLineage(visited.unionAll(nextCp))
+        frontier = nextCp
+        d += 1
+      }
+    }
+    visited.orderBy(col("node_id"))
+  }
+
+  /** Idempotent catalog upsert (keep-latest merge) — reference
+    * `datasets/update.py:14-58` (update_dataset: fetch → mutate attributes
+    * → save) and `datasets/create.py`/`delete.py`. The distributed
+    * re-expression: merge a change batch (updates at a higher revision +
+    * brand-new keys) into the catalog in ONE shuffle — union both sides,
+    * then a single window over the key resolves keep-latest (row_number on
+    * revision) and classifies the action (insert/update/unchanged) from
+    * the per-key source count. No read-modify-write per row, no second
+    * pass.
+    */
+  private def q68(t: Tables): DataFrame = {
+    val base = t.documents.select(
+      col("doc_id").as("dataset_key"),
+      concat(col("source"), lit("/"), col("doc_id").cast("string")).as("title"),
+      lit(1).as("revision"),
+      lit("base").as("origin"))
+    val changes = t.documents
+      .filter(col("doc_id") % 3 === 0)
+      .select(
+        col("doc_id").as("dataset_key"),
+        concat(col("source"), lit("-v2")).as("title"),
+        lit(2).as("revision"),
+        lit("change").as("origin"))
+      .unionAll(
+        t.documents
+          .filter(col("doc_id") % 10 === 7)
+          .select(
+            (col("doc_id") + 1000000).as("dataset_key"),
+            concat(lit("new-"), col("source")).as("title"),
+            lit(1).as("revision"),
+            lit("change").as("origin")))
+    val byKey = Window.partitionBy(col("dataset_key"))
+    val latest = byKey.orderBy(col("revision").desc, col("origin"))
+    base
+      .unionAll(changes)
+      .withColumn("rn", row_number().over(latest))
+      .withColumn("n_src", count(lit(1)).over(byKey))
+      .filter(col("rn") === 1)
+      .select(
+        col("dataset_key"),
+        col("title"),
+        col("revision"),
+        when(col("n_src") === 2, "updated")
+          .when(col("origin") === "change", "inserted")
+          .otherwise("unchanged")
+          .as("action"))
+      .orderBy(col("dataset_key"))
+  }
+
+  /** Import-time STAC metadata rewrite — reference
+    * `import_metadata_file/task.py:34-70`: drop rel=self links
+    * (delete_self_links), rewrite hrefs to their basename
+    * (change_href_to_basename), and point the root link at
+    * `../catalog.json` (update_root_link). The JSON plumbing is real:
+    * each document's links render through to_json, parse back with
+    * from_json, and the rewrite runs as filter/transform HOFs inside the
+    * parsed structure — all codegen-adjacent expression work next to the
+    * scan, no shuffle until the final ordering. Output is the rewritten
+    * link list exploded to rows (the JSON-serialization-agnostic form both
+    * engines can hash-compare).
+    */
+  private def q69(t: Tables): DataFrame = {
+    val built = t.documents.select(
+      col("doc_id"),
+      to_json(
+        struct(
+          array(
+            struct(
+              lit("self").as("rel"),
+              concat(lit("s3://staging/"), col("source"), lit("/"), col("doc_id").cast("string"), lit(".json"))
+                .as("href")),
+            struct(
+              lit("root").as("rel"),
+              concat(lit("s3://staging/"), col("source"), lit("/catalog.json")).as("href")),
+            struct(
+              lit("child").as("rel"),
+              concat(lit("s3://staging/"), col("source"), lit("/"), (col("doc_id") + 1).cast("string"), lit(".json"))
+                .as("href"))).as("links"))).as("stac_json"))
+    built
+      .withColumn(
+        "doc",
+        from_json(col("stac_json"), "struct<links:array<struct<rel:string,href:string>>>", Map.empty[String, String]))
+      .withColumn(
+        "links2",
+        expr("""transform(
+               |  filter(doc.links, x -> x.rel <> 'self'),
+               |  x -> named_struct('rel', x.rel, 'href',
+               |    CASE WHEN x.rel = 'root' THEN '../catalog.json'
+               |         ELSE regexp_replace(x.href, '.*/', '') END))""".stripMargin))
+      .select(col("doc_id"), posexplode(col("links2")).as(Seq("pos", "link")))
+      .select(col("doc_id"), col("pos"), col("link.rel").as("rel"), col("link.href").as("href"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Status-change notification rows — reference
+    * `notify_status_update/task.py:63-110` (SNS publish + Slack post when
+    * a dataset's step-function state changes). Batch form of the stream
+    * detector: one window over (dataset, time) finds every state
+    * transition and emits one notification row with the message the
+    * reference would post. The streaming twin (flatMapGroupsWithState
+    * carrying last-seen state) is spec-tested in `StreamingSpec`.
+    */
+  private def q70(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("from_state", lag(col("event_type"), 1).over(w))
+      .filter(col("from_state").isNotNull && col("from_state") =!= col("event_type"))
+      .select(
+        col("user_id").as("dataset_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("at_us"),
+        col("from_state"),
+        col("event_type").as("to_state"),
+        concat(
+          lit("dataset "),
+          col("user_id").cast("string"),
+          lit(": "),
+          col("from_state"),
+          lit(" -> "),
+          col("event_type")).as("message"))
+      .orderBy(col("dataset_id"), col("at_us"), col("event_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_catalog_walk" -> ((s, d) => q67(Tables(s, d))),
+    "q68_dataset_upsert" -> ((s, d) => q68(Tables(s, d))),
+    "q69_href_rewrite" -> ((s, d) => q69(Tables(s, d))),
+    "q70_status_notify" -> ((s, d) => q70(Tables(s, d)))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q67_catalog_walk" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
+        | tree AS (
+        |  SELECT doc_id AS src, 2 * doc_id + 1 AS dst FROM docs
+        |  UNION ALL SELECT doc_id, 2 * doc_id + 2 FROM docs),
+        | edges AS (
+        |  SELECT src, dst FROM tree WHERE dst IN (SELECT doc_id FROM docs)
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id - 1) // 2 FROM docs WHERE doc_id % 17 = 0 AND doc_id > 0),
+        | walk(node_id, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node_id, 0 AS depth
+        |  UNION
+        |  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.node_id
+        |  WHERE w.depth < 64)
+        |SELECT node_id, min(depth) AS depth FROM walk
+        |GROUP BY node_id ORDER BY node_id""".stripMargin,
+    "q68_dataset_upsert" ->
+      """WITH base AS (
+        |  SELECT doc_id AS dataset_key, source || '/' || CAST(doc_id AS VARCHAR) AS title,
+        |   1 AS revision FROM documents),
+        | changes AS (
+        |  SELECT doc_id AS dataset_key, source || '-v2' AS title, 2 AS revision
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new-' || source, 1 FROM documents WHERE doc_id % 10 = 7)
+        |SELECT coalesce(c.dataset_key, b.dataset_key) AS dataset_key,
+        | coalesce(c.title, b.title) AS title,
+        | coalesce(c.revision, b.revision) AS revision,
+        | CASE WHEN b.dataset_key IS NULL THEN 'inserted'
+        |      WHEN c.dataset_key IS NULL THEN 'unchanged'
+        |      ELSE 'updated' END AS action
+        |FROM base b FULL OUTER JOIN changes c ON b.dataset_key = c.dataset_key
+        |ORDER BY dataset_key""".stripMargin,
+    "q69_href_rewrite" ->
+      """WITH built AS (
+        | SELECT doc_id,
+        |  [{'rel': 'self', 'href': 's3://staging/' || source || '/' || CAST(doc_id AS VARCHAR) || '.json'},
+        |   {'rel': 'root', 'href': 's3://staging/' || source || '/catalog.json'},
+        |   {'rel': 'child', 'href': 's3://staging/' || source || '/' || CAST(doc_id + 1 AS VARCHAR) || '.json'}] AS links
+        | FROM documents),
+        | rewritten AS (
+        | SELECT doc_id,
+        |  list_transform(
+        |   list_filter(links, x -> x.rel <> 'self'),
+        |   x -> {'rel': x.rel,
+        |         'href': CASE WHEN x.rel = 'root' THEN '../catalog.json'
+        |                      ELSE regexp_replace(x.href, '.*/', '') END}) AS lks
+        | FROM built)
+        |SELECT doc_id,
+        | unnest(list_transform(range(1, len(lks) + 1), i -> CAST(i - 1 AS INTEGER))) AS pos,
+        | unnest(list_transform(lks, x -> x.rel)) AS rel,
+        | unnest(list_transform(lks, x -> x.href)) AS href
+        |FROM rewritten ORDER BY doc_id, pos""".stripMargin,
+    "q70_status_notify" ->
+      """WITH x AS (
+        | SELECT user_id, event_id, ts, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_state
+        | FROM events)
+        |SELECT user_id AS dataset_id, event_id, epoch_us(ts) AS at_us,
+        | from_state, event_type AS to_state,
+        | 'dataset ' || CAST(user_id AS VARCHAR) || ': ' || from_state || ' -> ' || event_type AS message
+        |FROM x WHERE from_state IS NOT NULL AND from_state <> event_type
+        |ORDER BY dataset_id, at_us, event_id""".stripMargin
+  )
+}

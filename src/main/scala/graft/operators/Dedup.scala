@@ -77,8 +77,12 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact word-3-gram Jaccard on shingle-sharing pairs (the verify stage
-    * after LSH). |A∩B| from a bucket join on shingle, |A∪B| by
+  /** Exact word-3-gram Jaccard on the q37 LSH candidates (the verify
+    * stage after LSH). The pair work is bounded by band collisions, NOT by
+    * shingle frequency: intersections are computed by joining each
+    * candidate's shingles against the (doc_id, shingle)-keyed exploded
+    * relation, so a stop-word shingle shared by k docs costs one probe per
+    * candidate containing it instead of k² self-join rows. |A∪B| by
     * inclusion-exclusion — no list materialization on the pair side.
     */
   private def q38(t: Tables): DataFrame = {
@@ -89,10 +93,11 @@ object Dedup extends QueryModule {
     // a clean broadcast build side — measured faster than recomputing the
     // shingle arrays map-side for the join
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val inter = sh
-      .as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = q37(t).select(col("doc_a"), col("doc_b"))
+    val inter = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -147,18 +152,24 @@ object Dedup extends QueryModule {
     * fixed bound here; production graphs use the same loop with
     * large-star/small-star contraction).
     */
+  private def cutLineage(df: DataFrame): DataFrame = graft.Iterate.cutLineage(df)
+
   private def q62(t: Tables): DataFrame = {
     val pairs = q38(t).select(col("doc_a"), col("doc_b"))
     // materialize once: every loop action would otherwise re-run the whole
     // Jaccard pipeline through the edges lineage
-    // the candidate-pair graph is orders of magnitude smaller than the
-    // corpus — size the loop's partitioning to the graph, not the session
-    // default, or fixed per-job overhead dominates the tiny iterations
-    val edges = pairs
+    val raw = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .repartition(4)
-      .localCheckpoint(true)
+      .persist()
+    // the candidate-pair graph is orders of magnitude smaller than the
+    // corpus — size the loop's partitioning to the measured edge count
+    // (~250k edges/partition), not the session default, or fixed per-job
+    // overhead dominates the tiny iterations; cap at session parallelism
+    val maxParts = t.spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nParts = math.min(math.max(maxParts, 4), math.max(4, (raw.count() / 250000L + 1).toInt))
+    val edges = cutLineage(raw.repartition(nParts))
+    raw.unpersist()
     val nodes = edges.select(col("u")).distinct()
     var labels = nodes.select(col("u"), col("u").as("comp"))
     var iter = 0
@@ -172,8 +183,8 @@ object Dedup extends QueryModule {
         .unionAll(fromNeighbours)
         .groupBy(col("u"))
         .agg(min(col("comp")).as("comp"))
-        .coalesce(4)
-      val nextCp = next.localCheckpoint(true)
+        .coalesce(nParts)
+      val nextCp = cutLineage(next)
       // near-dup components have tiny diameters: skip the convergence
       // action for the first two rounds (they almost never converge sooner)
       if (iter >= 2) {
@@ -191,17 +202,23 @@ object Dedup extends QueryModule {
   }
 
   /** Simhash candidate pairing with GUARANTEED recall at radius 3:
-    * pigeonhole blocking (Charikar-style). The 16-bit simhash splits into
-    * 4 blocks of 4 bits; a pair differing in ≤ 3 bits must agree on at
-    * least one whole block, so the union of the four block-joins contains
-    * every radius-3 pair. Each block join is bucket-local
-    * (corpus²/16-per-block), candidates dedup via distinct, and the exact
-    * Hamming filter prunes block-collision noise.
+    * pigeonhole blocking (Charikar-style) over the native 64-bit kernel
+    * (`functions.SimHash64`, FNV-1a per token + bit majority, codegen'd
+    * next to the scan). The 64-bit simhash splits into 4 blocks of 16
+    * bits; a pair differing in ≤ 3 bits must agree on at least one whole
+    * block, so the union of the four block-joins contains every radius-3
+    * pair. Each block join key ranges over 4·65,536 values — bucket
+    * occupancy (and so pair work) keeps shrinking as the corpus grows
+    * past the key space, instead of freezing at a constant bucket count.
+    * Candidates dedup via distinct and the exact Hamming filter
+    * (`bit_count(a^b)`) prunes block-collision noise.
     */
   private def q63(t: Tables): DataFrame = {
-    val sims = q39(t).select(col("doc_id"), col("simhash"))
+    val sims = t.documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"))
     val blockArgs = (0 until 4)
-      .map(k => s"$k, CAST((simhash div ${1L << (4 * k)}) % 16 AS BIGINT)")
+      .map(k => s"$k, CAST(shiftrightunsigned(simhash, ${16 * k}) & 65535 AS BIGINT)")
       .mkString(", ")
     val blocks = sims.select(col("doc_id"), col("simhash"), expr(s"stack(4, $blockArgs)").as(Seq("blk", "bval")))
     val cand = blocks
@@ -239,20 +256,65 @@ object Dedup extends QueryModule {
       s"SELECT doc_id, $b AS band, list_aggregate(list_transform(hashes, h -> ${bandHash(b, "h")}), 'min') AS sig FROM sh")
     .mkString("\n UNION ALL\n ")
 
+  // shared CTE chain for q38/q62: LSH candidates (q37's pair set) then
+  // exact Jaccard restricted to those candidates — the same restriction
+  // the Spark plans apply
+  private val duckJpairsCtes =
+    s"""w AS ($duckWords),
+       | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),
+       | sh AS (SELECT doc_id, $duckHashes AS hashes FROM shl),
+       | sigs AS (
+       | $duckShingleArms
+       | ),
+       | cand AS (
+       |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+       |  FROM sigs s1 JOIN sigs s2
+       |   ON s1.band = s2.band AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id),
+       | shx AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),
+       | sizes AS (SELECT doc_id, count(*) AS nsh FROM shx GROUP BY doc_id),
+       | inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+       |  FROM cand c
+       |  JOIN shx a ON a.doc_id = c.doc_a
+       |  JOIN shx b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY c.doc_a, c.doc_b),
+       | jpairs AS (
+       |  SELECT doc_a, doc_b, round(shared / (sa.nsh + sb.nsh - shared), 4) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE shared / (sa.nsh + sb.nsh - shared) >= 0.5)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "q63_simhash_pairs" -> {
-      val ones = onesExprs("//").mkString(",\n  ")
+      // FNV-1a 64-bit per token (the exact arithmetic of
+      // functions.SimHashImpl) folded in HUGEINT mod 2^64, bit-majority,
+      // then the same 4×16-bit pigeonhole blocking as the Spark plan
+      val fnvFold =
+        "(acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT"
+      val ones64 = (0 until 64)
+        .map(j => s"sum(CAST((hu // ${BigInt(1) << j}::HUGEINT) % 2 AS BIGINT)) AS ones_$j")
+        .mkString(",\n  ")
+      val simExpr = (0 until 64)
+        .map(j => s"(CASE WHEN 2 * ones_$j >= nw THEN ${BigInt(1) << j}::HUGEINT ELSE 0::HUGEINT END)")
+        .mkString(" + ")
       val blockArms = (0 until 4)
-        .map(k => s"SELECT doc_id, simhash, $k AS blk, CAST((simhash // ${1L << (4 * k)}) % 16 AS BIGINT) AS bval FROM sims")
+        .map(k =>
+          s"SELECT doc_id, simhash, $k AS blk, CAST((hu // ${BigInt(1) << (16 * k)}::HUGEINT) % 65536 AS BIGINT) AS bval FROM sims2")
         .mkString("\n  UNION ALL\n  ")
-      s"""WITH wv AS (
-         | SELECT doc_id, ${wordVal("substr(md5(w), 1, 4)")} AS v
-         | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
-         | bits AS (
-         | SELECT doc_id, count(*) AS nw,
-         |  $ones
-         | FROM wv GROUP BY doc_id),
-         | sims AS (SELECT doc_id, $simhashExpr AS simhash FROM bits),
+      s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         | hv AS (SELECT doc_id, list_reduce(
+         |   [14695981039346656037::HUGEINT] ||
+         |     list_transform(range(1, len(w) + 1), i -> ascii(substr(w, i, 1))::HUGEINT),
+         |   $fnvFold) AS hu FROM words WHERE w <> ''),
+         | bits AS (SELECT doc_id, count(*) AS nw,
+         |  $ones64
+         | FROM hv GROUP BY doc_id),
+         | sims AS (SELECT doc_id, ($simExpr) AS hu FROM bits),
+         | sims2 AS (SELECT doc_id, hu,
+         |   CAST(hu - (CASE WHEN hu >= 9223372036854775808::HUGEINT
+         |     THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) AS BIGINT) AS simhash
+         |  FROM sims),
          | blocks AS (
          |  $blockArms
          | ),
@@ -265,18 +327,7 @@ object Dedup extends QueryModule {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q62_dup_clusters" ->
-      s"""WITH RECURSIVE w AS ($duckWords),
-         | sh AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),
-         | sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-         | inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         | jpairs AS (
-         |  SELECT doc_a, doc_b FROM inter
-         |  JOIN sizes sa ON sa.doc_id = doc_a
-         |  JOIN sizes sb ON sb.doc_id = doc_b
-         |  WHERE shared / (sa.nsh + sb.nsh - shared) >= 0.5),
+      s"""WITH RECURSIVE $duckJpairsCtes,
          | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
          |           UNION ALL SELECT doc_b, doc_a FROM jpairs),
          | nodes AS (SELECT DISTINCT u FROM edges),
@@ -313,19 +364,8 @@ object Dedup extends QueryModule {
          |  ON s1.band = s2.band AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id
          |GROUP BY s1.doc_id, s2.doc_id ORDER BY doc_a, doc_b""".stripMargin,
     "q38_ngram_jaccard" ->
-      s"""WITH w AS ($duckWords),
-         | sh AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),
-         | sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-         | inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT doc_a, doc_b,
-         | round(shared / (sa.nsh + sb.nsh - shared), 4) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON sa.doc_id = doc_a
-         |JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE shared / (sa.nsh + sb.nsh - shared) >= 0.5
+      s"""WITH $duckJpairsCtes
+         |SELECT doc_a, doc_b, jaccard FROM jpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q39_simhash" -> {
       val ones = onesExprs("//").mkString(",\n  ")

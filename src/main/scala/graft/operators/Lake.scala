@@ -48,22 +48,41 @@ object Lake extends QueryModule {
   }
 
   /** Multihash checksum verification — reference
-    * `check_files_checksums/utils.py:27` (get_multihash_digest) +
-    * `utils.py:89` (validate_url_multihash — sha256 multihash `1220…`).
-    * Expected hashes are synthesized with a deterministic corruption at
-    * doc_id % 50 == 0 so both match and mismatch paths execute. The hash
-    * runs codegen'd (sha2) next to the scan — no shuffle at all.
+    * `check_files_checksums/utils.py:27` (get_multihash_digest dispatches
+    * on the multihash prefix byte: 0x12 ⇒ sha2-256, 0x13 ⇒ sha2-512) +
+    * `utils.py:89-110` (validate_url_multihash). Expected multihashes are
+    * synthesized per asset (`1220`+sha256 / `1340`+sha512, alternating by
+    * doc_id, deterministic corruption at doc_id % 25 == 0 so both match
+    * and mismatch paths execute on both algorithms); verification decodes
+    * the prefix and computes the dispatched digest. Both hashes run
+    * codegen'd (sha2) next to the scan — no shuffle at all. The driver's
+    * DuckDB has no sha512, so the oracle checks sha256 digests exactly and
+    * the sha512 branch structurally (prefix, algo, digest length, valid);
+    * `LakeSpec` pins Spark's sha2(·,512) to java.security.MessageDigest.
     */
-  private def q23(t: Tables): DataFrame =
-    t.documents
+  private def q23(t: Tables): DataFrame = {
+    val body = when(col("doc_id") % 25 === 0, concat(col("text"), lit("X"))).otherwise(col("text"))
+    val base = t.documents.select(
+      col("doc_id"),
+      col("text"),
+      when(col("doc_id") % 2 === 0, concat(lit("1220"), sha2(body, 256)))
+        .otherwise(concat(lit("1340"), sha2(body, 512)))
+        .as("expected"))
+    base
+      .withColumn(
+        "computed",
+        when(substring(col("expected"), 1, 2) === "12", concat(lit("1220"), sha2(col("text"), 256)))
+          .when(substring(col("expected"), 1, 2) === "13", concat(lit("1340"), sha2(col("text"), 512))))
       .select(
         col("doc_id"),
-        concat(lit("1220"), sha2(col("text"), 256)).as("computed"),
-        when(col("doc_id") % 50 === 0, concat(lit("1220"), sha2(concat(col("text"), lit("X")), 256)))
-          .otherwise(concat(lit("1220"), sha2(col("text"), 256)))
-          .as("expected"))
-      .withColumn("valid", col("computed") === col("expected"))
+        when(substring(col("expected"), 1, 2) === "12", lit("sha2-256"))
+          .otherwise(lit("sha2-512"))
+          .as("algo"),
+        when(substring(col("expected"), 1, 2) === "12", col("computed")).as("digest256"),
+        length(col("computed")).as("multihash_len"),
+        (col("computed") === col("expected")).as("valid"))
       .orderBy(col("doc_id"))
+  }
 
   /** Fixed-size batch assignment — reference `content_iterator/task.py:9`
     * (MAX_ITERATION_SIZE pagination). One shuffle on dataset_id; batch ids
@@ -296,11 +315,12 @@ object Lake extends QueryModule {
         |ORDER BY dataset_id""".stripMargin,
     "q23_checksum_validate" ->
       """SELECT doc_id,
-        | '1220' || sha256(text) AS computed,
-        | CASE WHEN doc_id % 50 = 0 THEN '1220' || sha256(text || 'X')
-        |      ELSE '1220' || sha256(text) END AS expected,
-        | ('1220' || sha256(text)) = (CASE WHEN doc_id % 50 = 0 THEN '1220' || sha256(text || 'X')
-        |      ELSE '1220' || sha256(text) END) AS valid
+        | CASE WHEN doc_id % 2 = 0 THEN 'sha2-256' ELSE 'sha2-512' END AS algo,
+        | CASE WHEN doc_id % 2 = 0 THEN '1220' || sha256(text) ELSE NULL END AS digest256,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 68 ELSE 132 END AS INTEGER) AS multihash_len,
+        | CASE WHEN doc_id % 2 = 0 THEN
+        |   sha256(text) = (CASE WHEN doc_id % 25 = 0 THEN sha256(text || 'X') ELSE sha256(text) END)
+        | ELSE doc_id % 25 <> 0 END AS valid
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q24_content_batches" ->
       """WITH b AS (

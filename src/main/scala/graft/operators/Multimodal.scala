@@ -113,7 +113,7 @@ object Multimodal extends QueryModule {
   override def oracleSql: Map[String, String] = Map(
     "q44_blob_meta" ->
       """SELECT doc_id,
-        | md5(CAST(text AS BLOB)) AS payload_md5,
+        | md5(text) AS payload_md5,
         | CASE ascii(substr(text, 1, 1)) % 3
         |   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

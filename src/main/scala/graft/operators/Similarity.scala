@@ -57,16 +57,25 @@ object Similarity extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  // 4-bit coordinate-sign bucket (an axis-aligned random-hyperplane LSH)
-  private val bucketSpark =
-    """(CASE WHEN element_at(v, 1) >= 0 THEN 8 ELSE 0 END) +
-      |(CASE WHEN element_at(v, 2) >= 0 THEN 4 ELSE 0 END) +
-      |(CASE WHEN element_at(v, 3) >= 0 THEN 2 ELSE 0 END) +
-      |(CASE WHEN element_at(v, 4) >= 0 THEN 1 ELSE 0 END)""".stripMargin
+  /** Sign bits for the q42 LSH bucket. Bucket count = 2^SignBits, so pair
+    * work in the bucketed self-join is ~corpus²/2^SignBits: at 100 TB size
+    * this to keep expected bucket occupancy bounded (n vectors → use
+    * ~log2(n/target_occupancy) bits, 16+ for billions of rows; recall is
+    * then recovered by multi-probing neighbor buckets or unioning several
+    * independent sign projections, exactly like q37's minhash bands).
+    */
+  private val SignBits = 8
+
+  // coordinate-sign bucket (an axis-aligned random-hyperplane LSH),
+  // generated once for both engines from the same bit layout
+  private def signBucket(elem: Int => String): String =
+    (0 until SignBits)
+      .map(i => s"(CASE WHEN ${elem(i + 1)} >= 0 THEN ${1 << (SignBits - 1 - i)} ELSE 0 END)")
+      .mkString(" +\n")
+  private val bucketSpark = signBucket(i => s"element_at(v, $i)")
 
   /** Sign-LSH ANN: bucket on coordinate signs, search only within the
-    * bucket. Shuffles both sides on bucket — corpus²/16 pair work here,
-    * and the bucket count grows with more sign bits at larger scale.
+    * bucket. Shuffles both sides on bucket — corpus²/2^SignBits pair work.
     */
   private def q42(t: Tables): DataFrame = {
     val e = vectors(t).withColumn("bucket", expr(bucketSpark))
@@ -121,11 +130,7 @@ object Similarity extends QueryModule {
        |   sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> v[i] * v[i]))) AS nrm FROM e)""".stripMargin
   private def duckDot(a: String, b: String) =
     s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
-  private val duckBucket =
-    """(CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END) +
-      |(CASE WHEN v[2] >= 0 THEN 4 ELSE 0 END) +
-      |(CASE WHEN v[3] >= 0 THEN 2 ELSE 0 END) +
-      |(CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END)""".stripMargin
+  private val duckBucket = signBucket(i => s"v[$i]")
 
   override def oracleSql: Map[String, String] = Map(
     "q40_cosine_topk" ->

@@ -32,8 +32,9 @@ class InventorySpec extends AnyFunSuite {
   test("query ids are unique across modules") {
     // Map construction would silently drop duplicates; count via the module list
     val all = Seq(
-      operators.Relational, operators.Lake, operators.TextAnalysis, operators.Dedup,
-      operators.Similarity, operators.Multimodal, operators.StreamingOps, operators.Extras)
+      operators.Relational, operators.Lake, operators.CatalogOps, operators.TextAnalysis,
+      operators.Dedup, operators.Similarity, operators.Multimodal, operators.StreamingOps,
+      operators.Extras)
       .flatMap(_.queries.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query ids: $dups")

@@ -98,10 +98,34 @@ class LakeSemanticsSpec extends AnyFunSuite {
   test("checksum validation flags exactly the synthesized corruptions") {
     val rows = SparkEntry.queries("q23_checksum_validate")(spark, sf).collect()
     rows.foreach { r =>
-      val expectInvalid = r.getAs[Long]("doc_id") % 50 == 0
+      val id = r.getAs[Long]("doc_id")
+      val expectInvalid = id % 25 == 0
       assert(r.getAs[Boolean]("valid") == !expectInvalid)
-      assert(r.getAs[String]("computed").startsWith("1220"))
-      assert(r.getAs[String]("computed").length == 4 + 64)
+      if (id % 2 == 0) {
+        assert(r.getAs[String]("algo") == "sha2-256")
+        assert(r.getAs[String]("digest256").startsWith("1220"))
+        assert(r.getAs[Int]("multihash_len") == 4 + 64)
+      } else {
+        assert(r.getAs[String]("algo") == "sha2-512")
+        assert(r.isNullAt(r.fieldIndex("digest256")))
+        assert(r.getAs[Int]("multihash_len") == 4 + 128)
+      }
+    }
+  }
+
+  test("sha2-512 branch matches java.security.MessageDigest") {
+    // the DuckDB oracle has no sha512, so pin Spark's sha2(·,512) — the
+    // exact function q23's 0x13-prefix dispatch uses — to the JDK here
+    val rows = Tables(spark, sf).documents
+      .filter(col("doc_id") % 2 === 1)
+      .limit(5)
+      .select(col("text"), sha2(col("text"), 512).as("d"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val md = java.security.MessageDigest.getInstance("SHA-512")
+      val hex = md.digest(r.getAs[String]("text").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("d") == hex)
     }
   }
 

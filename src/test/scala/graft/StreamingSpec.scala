@@ -92,6 +92,29 @@ class StreamingSpec extends AnyFunSuite {
       s"emitted sessions: ${out.toList}")
   }
 
+  test("flatMapGroupsWithState emits status changes across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StateChanges
+    val ms = MemoryStream[StateChanges.Ev]
+    val t0 = 1000000L * us
+    ms.addData(
+      StateChanges.Ev(1L, 1L, t0, "pending"),
+      StateChanges.Ev(1L, 2L, t0 + us, "running"))
+    val q = StateChanges.detect(ms.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("chg_out").start()
+    q.processAllAvailable()
+    // second batch: first event repeats the carried state (no emission),
+    // the second flips it — proves the state survives the batch boundary
+    ms.addData(
+      StateChanges.Ev(1L, 3L, t0 + 2 * us, "running"),
+      StateChanges.Ev(1L, 4L, t0 + 3 * us, "failed"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("chg_out").as[StateChanges.Change].collect().sortBy(_.at_us)
+    assert(rows.map(c => (c.from_state, c.to_state)).toSeq ==
+      Seq(("pending", "running"), ("running", "failed")))
+  }
+
   test("stream-stream interval join pairs purchases with recent clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
