@@ -19,7 +19,10 @@ object PlanAudit {
   private val allowCross = Set("q40_cosine_topk", "q41_embedding_neardup", "q50_haversine")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
-  private val allowUnpushed = Set("q50_haversine")
+  // q69's filter is Spark's own size(links)>0 guard under posexplode, over
+  // a from_json-computed structure — inherently unpushable; the scan still
+  // prunes to (doc_id, source).
+  private val allowUnpushed = Set("q50_haversine", "q69_href_rewrite")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 4, "q38_ngram_jaccard" -> 7, "q13_set_ops" -> 4,

@@ -52,6 +52,9 @@ object CatalogOps extends QueryModule {
     val root = t.documents
       .filter(col("doc_id") === 0)
       .select(col("doc_id").as("node_id"), lit(0).as("depth"))
+    // visited = union of per-round checkpointed frontiers: each leaf has
+    // cut lineage already, so the union needs no O(|visited|) re-write per
+    // round and the plan stays depth-wide (bounded by the 64-round cap)
     var visited = Iterate.cutLineage(root)
     var frontier = visited
     var d = 0
@@ -66,7 +69,7 @@ object CatalogOps extends QueryModule {
       val nextCp = Iterate.cutLineage(next)
       if (nextCp.isEmpty) done = true
       else {
-        visited = Iterate.cutLineage(visited.unionAll(nextCp))
+        visited = visited.unionAll(nextCp)
         frontier = nextCp
         d += 1
       }

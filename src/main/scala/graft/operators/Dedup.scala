@@ -79,30 +79,31 @@ object Dedup extends QueryModule {
 
   /** Exact word-3-gram Jaccard on the q37 LSH candidates (the verify
     * stage after LSH). The pair work is bounded by band collisions, NOT by
-    * shingle frequency: intersections are computed by joining each
-    * candidate's shingles against the (doc_id, shingle)-keyed exploded
-    * relation, so a stop-word shingle shared by k docs costs one probe per
-    * candidate containing it instead of k² self-join rows. |A∪B| by
-    * inclusion-exclusion — no list materialization on the pair side.
+    * shingle frequency: each candidate pair fetches both docs' distinct
+    * shingle sets (computed map-side by the native kernel, no explode) via
+    * two key-joins and intersects them locally — a stop-word shingle
+    * shared by k docs never produces k² rows anywhere. |A∩B| via
+    * array_intersect, |A∪B| by inclusion-exclusion. At 100 TB the
+    * candidate side is orders of magnitude smaller than the corpus, so
+    * the two joins move candidate-count·|shingles| bytes, not corpus².
     */
   private def q38(t: Tables): DataFrame = {
-    val sh = t.documents
+    val arrs = t.documents
       .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(graft.functions.GraftFunctions.shingle_set(col("text"))).as("s"))
-    // sizes from the exploded rows: the aggregated (small) relation makes
-    // a clean broadcast build side — measured faster than recomputing the
-    // shingle arrays map-side for the join
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
+      .withColumn("nsh", size(col("arr")).cast("long"))
     val cand = q37(t).select(col("doc_a"), col("doc_b"))
-    val inter = cand
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard", col("shared") / (col("sa.nsh") + col("sb.nsh") - col("shared")))
+    cand
+      .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("shared", size(array_intersect(col("a.arr"), col("b.arr"))).cast("long"))
+      // union size 0 (two shingle-less docs) would divide by zero under
+      // ANSI; the when() drops those pairs like the oracle's inner joins do
+      .withColumn(
+        "jaccard",
+        when(
+          col("a.nsh") + col("b.nsh") > col("shared"),
+          col("shared") / (col("a.nsh") + col("b.nsh") - col("shared"))))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
