@@ -30,7 +30,10 @@ object PlanAudit {
     // union-of-distincts + anti join (populate_catalog shape)
     "q58_catalog_merge" -> 5,
     // repartition + block self-join + pair-distinct + output sort
-    "q63_simhash_pairs" -> 5).withDefaultValue(3)
+    "q63_simhash_pairs" -> 5,
+    // explode→centroid agg→broadcast join→pair agg→argmin window→sort;
+    // every shuffle is narrow (|labels|·|dims|, then |vecs|·|labels| rows)
+    "q71_kmeans_step" -> 5).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

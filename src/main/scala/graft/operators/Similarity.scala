@@ -116,7 +116,55 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("nn_rank"))
   }
 
+  /** One Lloyd (k-means) refinement round for the IVF coarse quantizer —
+    * the build step q43 assumes: recompute per-cluster centroids, then
+    * reassign every vector to its nearest centroid. Distributed shape:
+    * centroid sums are partial-aggregable (one narrow shuffle of
+    * |labels|·|dims| rows), the 640-row centroid table broadcasts, and
+    * reassignment is a map-side join + one narrow (vec, label) shuffle —
+    * nothing quadratic, nothing driver-side.
+    *
+    * Determinism: FP centroid averaging is sum-order-dependent, so this
+    * runs the whole metric in integer arithmetic — coordinates quantize to
+    * q = floor(1000·v) and the comparison metric is
+    * Σ_d (q·cnt − Σq)² / cnt² ≡ cnt²·‖v − c‖², which both engines compute
+    * bit-identically (ties broken by label). At production scale swap the
+    * quantized metric for plain double centroids — the reassignment loop
+    * and plan shape stay the same; only the exactness guarantee (needed
+    * here for the cross-engine oracle) is quantization's job.
+    */
+  private def q71(t: Tables): DataFrame = {
+    val ev = t.embeddings
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("dim"),
+        floor(col("v").cast("double") * 1000).cast("long").as("q"))
+    val cent = ev
+      .groupBy(col("label").as("clabel"), col("dim").as("cdim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+    val diff = col("q") * col("cnt") - col("sq")
+    val scored = ev
+      .join(broadcast(cent), col("dim") === col("cdim"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(diff * diff).as("num"), max(col("cnt")).as("cnt"))
+      .withColumn("dist", col("num").cast("double") / (col("cnt") * col("cnt")).cast("double"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("clabel"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("vec_id"),
+        col("label").as("old_label"),
+        col("clabel").as("new_label"),
+        floor(col("dist") * 10000).cast("long").as("dist_e4"))
+      .orderBy(col("vec_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_kmeans_step" -> ((s, d) => q71(Tables(s, d))),
     "q40_cosine_topk" -> ((s, d) => q40(Tables(s, d))),
     "q41_embedding_neardup" -> ((s, d) => q41(Tables(s, d))),
     "q42_ann_sign_lsh" -> ((s, d) => q42(Tables(s, d))),
@@ -133,6 +181,29 @@ object Similarity extends QueryModule {
   private val duckBucket = signBucket(i => s"v[$i]")
 
   override def oracleSql: Map[String, String] = Map(
+    "q71_kmeans_step" ->
+      s"""WITH ev AS (
+         | SELECT vec_id, label,
+         |  unnest(list_transform(range(1, ${Dim + 1}), i -> CAST(i - 1 AS INTEGER))) AS dim,
+         |  unnest(list_transform(range(1, ${Dim + 1}),
+         |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS q
+         | FROM embeddings),
+         | cent AS (
+         | SELECT label AS clabel, dim AS cdim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+         | FROM ev GROUP BY label, dim),
+         | scored AS (
+         | SELECT vec_id, label, clabel,
+         |  CAST(sum((q * cnt - sq) * (q * cnt - sq)) AS BIGINT) AS num, max(cnt) AS cnt
+         | FROM ev JOIN cent ON dim = cdim GROUP BY vec_id, label, clabel),
+         | ranked AS (
+         | SELECT vec_id, label, clabel,
+         |  CAST(num AS DOUBLE) / CAST(cnt * cnt AS DOUBLE) AS dist,
+         |  CAST(row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY CAST(num AS DOUBLE) / CAST(cnt * cnt AS DOUBLE), clabel) AS INTEGER) AS rn
+         | FROM scored)
+         |SELECT vec_id, label AS old_label, clabel AS new_label,
+         | CAST(floor(dist * 10000) AS BIGINT) AS dist_e4
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q40_cosine_topk" ->
       s"""WITH $duckVectors,
          | q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),

@@ -125,7 +125,45 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("fingerprint"))
       .orderBy(col("doc_id"))
 
+  // PII patterns shared by Spark and the oracle: plain RE2-compatible
+  // character classes so Java regex and DuckDB RE2 agree exactly
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneRe = """\+1-555-[0-9]+"""
+  private val UrlRe = """https://[A-Za-z0-9./]+"""
+
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * before anything else sees the text. The synthetic corpus carries no
+    * PII, so each doc gets a deterministic injected email/phone/URL (built
+    * identically in the oracle) and the operator detects and redacts them:
+    * per-doc match counts via regexp_extract_all and placeholder
+    * substitution via chained regexp_replace. Pure codegen string work
+    * next to the scan — at 100 TB this runs at scan speed with zero
+    * shuffle before the output ordering.
+    */
+  private def q72(t: Tables): DataFrame = {
+    val raw = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com call +1-555-"), col("doc_id").cast("string"),
+      lit(" at https://ex.com/u/"), col("doc_id").cast("string"))
+    t.documents
+      .repartition(col("doc_id"))
+      .withColumn("raw", raw)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("raw"), lit(UrlRe), lit(0))).as("n_urls"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), lit(EmailRe), lit("<EMAIL>")),
+            lit(PhoneRe), lit("<PHONE>")),
+          lit(UrlRe), lit("<URL>")).as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_pii_scrub" -> ((s, d) => q72(Tables(s, d))),
     "q30_text_stats" -> ((s, d) => q30(Tables(s, d))),
     "q31_lang_id" -> ((s, d) => q31(Tables(s, d))),
     "q32_token_count" -> ((s, d) => q32(Tables(s, d))),
@@ -134,6 +172,22 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q72_pii_scrub" ->
+      s"""WITH r AS (
+         | SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@example.com call +1-555-' || CAST(doc_id AS VARCHAR) ||
+         |  ' at https://ex.com/u/' || CAST(doc_id AS VARCHAR) AS raw
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(raw, '$EmailRe')) AS INTEGER) AS n_emails,
+         | CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS INTEGER) AS n_phones,
+         | CAST(len(regexp_extract_all(raw, '$UrlRe')) AS INTEGER) AS n_urls,
+         | regexp_replace(regexp_replace(regexp_replace(raw,
+         |   '$EmailRe', '<EMAIL>', 'g'),
+         |   '$PhoneRe', '<PHONE>', 'g'),
+         |   '$UrlRe', '<URL>', 'g') AS scrubbed
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q30_text_stats" ->
       s"""WITH w AS (SELECT lang, n_chars, string_split(text, ' ') AS words FROM documents),
          | d AS (SELECT lang, n_chars, len(words) AS n_words,

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the catalog-maintenance operators (q67–q70)
+  * and the round-3 pipeline additions (q71, q72) — properties the DuckDB
+  * hash compare can't express (BFS structure, merge idempotence, redaction
+  * completeness).
+  */
+class CatalogOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("catalog walk visits each node once, at a BFS-consistent depth") {
+    val rows = SparkEntry.queries("q67_catalog_walk")(spark, sf).collect()
+    val depth = rows.map(r => r.getAs[Long]("node_id") -> r.getAs[Int]("depth")).toMap
+    assert(depth.size == rows.length, "a node was visited twice")
+    assert(depth(0L) == 0)
+    // tree children must sit exactly one level below their parent unless a
+    // back-edge reached them earlier (min-depth semantics)
+    depth.foreach { case (id, d) =>
+      if (id != 0L) {
+        val parent = (id - 1) / 2
+        assert(depth.contains(parent), s"node $id reachable but parent $parent not visited")
+        assert(d <= depth(parent) + 1, s"node $id depth $d vs parent depth ${depth(parent)}")
+      }
+    }
+    // the cycle back-edges (i -> parent) must not duplicate or deepen anything
+    assert(rows.length == 500, "every document node is reachable in the binary-tree graph")
+  }
+
+  test("upsert output has unique keys and classifies actions correctly") {
+    val rows = SparkEntry.queries("q68_dataset_upsert")(spark, sf).collect()
+    val keys = rows.map(_.getAs[Long]("dataset_key"))
+    assert(keys.distinct.length == keys.length, "merge emitted a duplicate key")
+    rows.foreach { r =>
+      val k = r.getAs[Long]("dataset_key")
+      val action = r.getAs[String]("action")
+      val rev = r.getAs[Int]("revision")
+      if (k >= 1000000) assert(action == "inserted" && rev == 1)
+      else if (k % 3 == 0) assert(action == "updated" && rev == 2, s"key $k: $action rev $rev")
+      else assert(action == "unchanged" && rev == 1)
+    }
+  }
+
+  test("href rewrite drops self links, basenames hrefs, redirects root") {
+    val rows = SparkEntry.queries("q69_href_rewrite")(spark, sf).collect()
+    assert(rows.forall(_.getAs[String]("rel") != "self"))
+    rows.foreach { r =>
+      val href = r.getAs[String]("href")
+      r.getAs[String]("rel") match {
+        case "root" => assert(href == "../catalog.json")
+        case _ => assert(!href.contains("/") && href.endsWith(".json"), s"not a basename: $href")
+      }
+    }
+  }
+
+  test("status notifications fire exactly on state changes") {
+    val rows = SparkEntry.queries("q70_status_notify")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("from_state") != r.getAs[String]("to_state"))
+      assert(r.getAs[String]("message").contains(r.getAs[String]("to_state")))
+    }
+  }
+
+  test("k-means step assigns every vector exactly once to a valid cluster") {
+    val rows = SparkEntry.queries("q71_kmeans_step")(spark, sf).collect()
+    val labels = Tables(spark, sf).embeddings
+      .select(col("label")).distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    assert(rows.map(_.getAs[Number]("vec_id").longValue).distinct.length == rows.length)
+    assert(rows.forall(r => labels.contains(r.getAs[Number]("new_label").longValue)))
+    // a refinement step of a reasonable initial assignment keeps most
+    // points (sanity: the step is a refinement, not a shuffle of labels)
+    val kept = rows.count(r =>
+      r.getAs[Number]("old_label").longValue == r.getAs[Number]("new_label").longValue)
+    assert(kept > 0, "no vector kept its cluster — metric is broken")
+  }
+
+  test("PII scrub redacts every injected email, phone, and URL") {
+    val rows = SparkEntry.queries("q72_pii_scrub")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") == 1 && r.getAs[Int]("n_phones") == 1 && r.getAs[Int]("n_urls") == 1)
+      val s = r.getAs[String]("scrubbed")
+      assert(!s.contains("@") && !s.contains("+1-555") && !s.contains("https://"))
+      assert(s.contains("<EMAIL>") && s.contains("<PHONE>") && s.contains("<URL>"))
+    }
+  }
+}
