@@ -25,9 +25,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Keys shortened to the unique qNN prefix and values rounded to ms so
+    // the whole line stays well under 2000 chars: the driver keeps only the
+    // last 2000 chars of stdout, and the full-name line (~3.4 KB for 72
+    // queries) was truncated mid-line and never parsed (BENCH_r01/r02
+    // "parsed": null).
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000
+    }.mkString("{", ",", "}")
+    val total = math.rint(results.map(_._2).sum * 1000) / 1000
     spark.stop()
     // Print after stop so the JSON is the last line on stdout — the driver
     // parses it from the tail of the sbt output.
