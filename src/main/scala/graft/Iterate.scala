@@ -20,4 +20,18 @@ object Iterate {
       .getOption("graft.checkpoint.reliable").exists(_.toBoolean) && sc.getCheckpointDir.isDefined
     if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
   }
+
+  /** Lazy variant: the checkpoint materializes with the caller's next
+    * action instead of an extra eager job — use when the loop already runs
+    * a per-round action (e.g. a convergence probe), so each round costs
+    * one scheduled job, not two. Missing partitions of a partially
+    *-evaluated first action (a limit) are filled in by Spark's checkpoint
+    * completion before lineage is cut.
+    */
+  def cutLineageLazy(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val reliable = df.sparkSession.conf
+      .getOption("graft.checkpoint.reliable").exists(_.toBoolean) && sc.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+  }
 }

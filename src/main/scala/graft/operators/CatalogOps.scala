@@ -47,8 +47,24 @@ object CatalogOps extends QueryModule {
     * distance from the root), which is exactly the traversal order class
     * the reference's recursion produces.
     */
+  /** Hops batched per scheduled round: each round's job chains `Hops`
+    * frontier expansions before the one checkpoint, so the per-round
+    * scheduling/checkpoint overhead — which dominates when the frontier is
+    * small — is paid depth/Hops times, not depth times. The chain carries
+    * NO per-hop dedup (that would make hop h's plan re-embed hops 1..h-1
+    * and blow the plan up exponentially); duplicate walks within a round
+    * are bounded by out-degree^Hops and collapse in the round's single
+    * min-depth groupBy, after which one anti-join removes already-visited
+    * nodes. A node's min walk depth within the round equals its true BFS
+    * depth (the shortest path's prefix ends on the previous frontier), so
+    * the semantics are exactly those of the 1-hop loop.
+    */
+  private val Hops = 4
+
   private def q67(t: Tables): DataFrame = {
-    val edges = Iterate.cutLineage(linkEdges(t).repartition(col("dst")))
+    // partitioned by src — the key every hop probes — so the (large) edge
+    // side never re-shuffles; only the frontier moves
+    val edges = Iterate.cutLineage(linkEdges(t).repartition(col("src")))
     val root = t.documents
       .filter(col("doc_id") === 0)
       .select(col("doc_id").as("node_id"), lit(0).as("depth"))
@@ -56,22 +72,39 @@ object CatalogOps extends QueryModule {
     // cut lineage already, so the union needs no O(|visited|) re-write per
     // round and the plan stays depth-wide (bounded by the 64-round cap)
     var visited = Iterate.cutLineage(root)
-    var frontier = visited
+    var frontier = visited.select(col("node_id"))
     var d = 0
     var done = false
     while (d < 64 && !done) {
-      val next = frontier
-        .join(edges, col("node_id") === col("src"))
-        .select(col("dst").as("node_id"))
-        .distinct()
-        .join(visited, Seq("node_id"), "left_anti")
-        .withColumn("depth", lit(d + 1))
-      val nextCp = Iterate.cutLineage(next)
-      if (nextCp.isEmpty) done = true
+      var hops = Vector.empty[DataFrame]
+      var hopF = frontier
+      for (h <- 1 to Hops) {
+        val nxt = hopF
+          .join(edges, col("node_id") === col("src"))
+          .select(col("dst").as("node_id"))
+        hops = hops :+ nxt.withColumn("depth", lit(d + h))
+        hopF = nxt
+      }
+      val roundNew = hops
+        .reduce(_ unionAll _)
+        .groupBy(col("node_id"))
+        .agg(min(col("depth")).as("depth"))
+        .join(visited.select(col("node_id")), Seq("node_id"), "left_anti")
+      val roundCp = Iterate.cutLineage(roundNew)
+      // loop-control statistics only (≤ Hops rows off checkpointed data,
+      // not a data collect): which depths produced new nodes this round
+      val depths = roundCp
+        .groupBy(col("depth")).count()
+        .collect().map(_.getInt(0))
+      if (depths.isEmpty) done = true
       else {
-        visited = visited.unionAll(nextCp)
-        frontier = nextCp
-        d += 1
+        visited = visited.unionAll(roundCp)
+        // every node deeper than d+Hops has a predecessor at exactly
+        // d+Hops (all of which are first discovered this round); if that
+        // last hop found nothing the traversal is complete
+        if (!depths.contains(d + Hops)) done = true
+        else frontier = roundCp.filter(col("depth") === d + Hops).select(col("node_id"))
+        d += Hops
       }
     }
     visited.orderBy(col("node_id"))

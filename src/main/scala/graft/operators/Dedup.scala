@@ -63,9 +63,20 @@ object Dedup extends QueryModule {
     * The self-join shuffles on (band, sig) — bucket-local, so cost scales
     * with bucket occupancy, not corpus².
     */
-  private def q37(t: Tables): DataFrame = {
-    val stackArgs = (0 until Bands).map(b => s"$b, sig_$b").mkString(", ")
-    val narrow = q36(t).select(col("doc_id"), expr(s"stack($Bands, $stackArgs)").as(Seq("band", "sig")))
+  /** Unsorted LSH candidate pairs — shared by q37 (which adds the
+    * presentation sort) and the q38/q62 consumers (which don't need it, so
+    * the range exchange + sort never runs inside their pipelines).
+    */
+  private def lshCandidates(t: Tables): DataFrame = {
+    // (band, sig) rows straight off the kernel array via posexplode —
+    // same values q36 widens into sig_b columns, minus q36's per-band
+    // projection and presentation sort
+    val narrow = t.documents
+      .repartition(col("doc_id"))
+      .select(
+        col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.minhash_sigs(col("text"), Bands))
+          .as(Seq("band", "sig")))
     val a = narrow.as("a")
     val b = narrow.as("b")
     a.join(
@@ -74,8 +85,10 @@ object Dedup extends QueryModule {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  private def q37(t: Tables): DataFrame =
+    lshCandidates(t).orderBy(col("doc_a"), col("doc_b"))
 
   /** Exact word-3-gram Jaccard on the q37 LSH candidates (the verify
     * stage after LSH). The pair work is bounded by band collisions, NOT by
@@ -87,12 +100,12 @@ object Dedup extends QueryModule {
     * candidate side is orders of magnitude smaller than the corpus, so
     * the two joins move candidate-count·|shingles| bytes, not corpus².
     */
-  private def q38(t: Tables): DataFrame = {
+  private def jaccardPairs(t: Tables): DataFrame = {
     val arrs = t.documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
       .withColumn("nsh", size(col("arr")).cast("long"))
-    val cand = q37(t).select(col("doc_a"), col("doc_b"))
+    val cand = lshCandidates(t).select(col("doc_a"), col("doc_b"))
     cand
       .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
       .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
@@ -106,8 +119,10 @@ object Dedup extends QueryModule {
           col("shared") / (col("a.nsh") + col("b.nsh") - col("shared"))))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  private def q38(t: Tables): DataFrame =
+    jaccardPairs(t).orderBy(col("doc_a"), col("doc_b"))
 
   // -- simhash: 16-bit, bit-majority over token md5s -------------------
   // The arithmetic is generated once and rendered to BOTH engines so the
@@ -156,12 +171,18 @@ object Dedup extends QueryModule {
   private def cutLineage(df: DataFrame): DataFrame = graft.Iterate.cutLineage(df)
 
   private def q62(t: Tables): DataFrame = {
-    val pairs = q38(t).select(col("doc_a"), col("doc_b"))
+    val pairs = jaccardPairs(t).select(col("doc_a"), col("doc_b"))
     // materialize once: every loop action would otherwise re-run the whole
-    // Jaccard pipeline through the edges lineage
+    // Jaccard pipeline through the edges lineage. Symmetrize with one
+    // explode pass — a self-union would embed (and run) the Jaccard
+    // pipeline's tail twice.
     val raw = pairs
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .select(
+        explode(
+          array(
+            struct(col("doc_a").as("u"), col("doc_b").as("v")),
+            struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
     // the candidate-pair graph is orders of magnitude smaller than the
     // corpus — size the loop's partitioning to the measured edge count
@@ -180,24 +201,45 @@ object Dedup extends QueryModule {
       val fromNeighbours = edges
         .join(labels.withColumnRenamed("u", "v2"), col("v") === col("v2"))
         .select(col("u"), col("comp"))
-      val next = labels
+      val oneHop = labels
         .unionAll(fromNeighbours)
         .groupBy(col("u"))
         .agg(min(col("comp")).as("comp"))
+      // path compression (pointer jumping): follow comp → label(comp)
+      // inside the same round's job. Labels are node ids, label(c) ≤ c and
+      // stays within the component, so the fixpoint (min node id per
+      // component) is unchanged while convergence drops from O(diameter)
+      // to O(log diameter) rounds.
+      val next = oneHop
+        .as("x")
+        .join(
+          oneHop.select(col("u").as("cu"), col("comp").as("ccomp")).as("m"),
+          col("x.comp") === col("cu"),
+          "left")
+        .select(
+          col("x.u").as("u"),
+          least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
         .coalesce(nParts)
-      val nextCp = cutLineage(next)
-      // near-dup components have tiny diameters: skip the convergence
-      // action for the first two rounds (they almost never converge sooner)
-      if (iter >= 2) {
-        val changed = nextCp
-          .join(labels.withColumnRenamed("comp", "old"), Seq("u"))
-          .filter(col("comp") =!= col("old"))
-          .limit(1)
-          .count()
-        converged = changed == 0
-      }
+      // one scheduled job per round: the convergence probe doubles as the
+      // action that materializes the (lazy) checkpoint. Round 0 cannot have
+      // converged (any edge forces a label change), so it checkpoints
+      // eagerly without the probe.
+      val nextCp =
+        if (iter == 0) cutLineage(next)
+        else {
+          val cp = graft.Iterate.cutLineageLazy(next)
+          val changed = cp
+            .join(labels.withColumnRenamed("comp", "old"), Seq("u"))
+            .filter(col("comp") =!= col("old"))
+            .limit(1)
+            .count()
+          converged = changed == 0
+          cp
+        }
       labels = nextCp
       iter += 1
+      if (sys.env.contains("GRAFT_DEBUG"))
+        System.err.println(s"[q62] round $iter done at ${System.nanoTime() / 1e9}")
     }
     labels.select(col("u").as("doc_id"), col("comp").as("component_id")).orderBy(col("doc_id"))
   }
