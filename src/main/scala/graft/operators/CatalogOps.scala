@@ -72,17 +72,24 @@ object CatalogOps extends QueryModule {
     // cut lineage already, so the union needs no O(|visited|) re-write per
     // round and the plan stays depth-wide (bounded by the 64-round cap)
     var visited = Iterate.cutLineage(root)
-    var frontier = visited.select(col("node_id"))
+    var frontier = visited
     var d = 0
     var done = false
     while (d < 64 && !done) {
+      // depth rides along as a column (frontier.depth + 1 per hop) instead
+      // of a per-round lit(d+h), keeping every round's plan shape — and
+      // generated code — identical. Hop joins stay shuffle joins: the
+      // frontier side is the only thing that moves (edges are
+      // src-partitioned), and AQE already turns tiny frontiers into
+      // broadcasts at runtime without a per-hop BroadcastExchange
+      // round-trip in the driver.
       var hops = Vector.empty[DataFrame]
       var hopF = frontier
       for (h <- 1 to Hops) {
         val nxt = hopF
           .join(edges, col("node_id") === col("src"))
-          .select(col("dst").as("node_id"))
-        hops = hops :+ nxt.withColumn("depth", lit(d + h))
+          .select(col("dst").as("node_id"), (col("depth") + 1).as("depth"))
+        hops = hops :+ nxt
         hopF = nxt
       }
       val roundNew = hops
@@ -92,18 +99,19 @@ object CatalogOps extends QueryModule {
         .join(visited.select(col("node_id")), Seq("node_id"), "left_anti")
       val roundCp = Iterate.cutLineage(roundNew)
       // loop-control statistics only (≤ Hops rows off checkpointed data,
-      // not a data collect): which depths produced new nodes this round
-      val depths = roundCp
+      // not a data collect): new-node count per depth this round
+      val stats = roundCp
         .groupBy(col("depth")).count()
-        .collect().map(_.getInt(0))
-      if (depths.isEmpty) done = true
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      if (stats.isEmpty) done = true
       else {
         visited = visited.unionAll(roundCp)
         // every node deeper than d+Hops has a predecessor at exactly
         // d+Hops (all of which are first discovered this round); if that
         // last hop found nothing the traversal is complete
-        if (!depths.contains(d + Hops)) done = true
-        else frontier = roundCp.filter(col("depth") === d + Hops).select(col("node_id"))
+        val lastHop = stats.toMap.getOrElse(d + Hops, 0L)
+        if (lastHop == 0L) done = true
+        else frontier = roundCp.filter(col("depth") === d + Hops)
         d += Hops
       }
     }
