@@ -281,7 +281,45 @@ object Dedup extends QueryModule {
     cand.orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Benchmark decontamination: find training documents that share enough
+    * word-3-gram shingles with a held-out eval set (doc_id % 97 == 0 here)
+    * — the overlap check every serious training-data pipeline runs before
+    * training. Scale shape: the eval side is a small fraction of the
+    * corpus, shingle sets are distinct-per-doc (native kernel, map-side),
+    * and shingles that occur in more than `HotShingleCap` eval docs are
+    * dropped before the join — the standard frequency cap that keeps a
+    * stop-word shingle from fanning every training doc out to the whole
+    * eval set. Join work is then |train shingles| · (bounded eval
+    * occupancy), linear in corpus size.
+    */
+  private val HotShingleCap = 50
+  private val MinSharedShingles = 2
+
+  private def q75(t: Tables): DataFrame = {
+    val shingled = t.documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
+    val evalSh = shingled
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_doc"), explode(col("arr")).as("s"))
+    val hot = evalSh
+      .groupBy(col("s")).agg(count(lit(1)).as("nf"))
+      .filter(col("nf") > HotShingleCap)
+      .select(col("s"))
+    val evalKept = evalSh.join(broadcast(hot), Seq("s"), "left_anti")
+    val trainSh = shingled
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_doc"), explode(col("arr")).as("s"))
+    trainSh
+      .join(evalKept, Seq("s"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedShingles)
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_decontaminate" -> ((s, d) => q75(Tables(s, d))),
     "q63_simhash_pairs" -> ((s, d) => q63(Tables(s, d))),
     "q62_dup_clusters" -> ((s, d) => q62(Tables(s, d))),
     "q35_exact_dedup" -> ((s, d) => q35(Tables(s, d))),
@@ -329,6 +367,18 @@ object Dedup extends QueryModule {
        |  WHERE shared / (sa.nsh + sb.nsh - shared) >= 0.5)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q75_decontaminate" ->
+      s"""WITH w AS ($duckWords),
+         | shx AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),
+         | ev AS (SELECT doc_id AS eval_doc, s FROM shx WHERE doc_id % 97 = 0),
+         | hot AS (SELECT s FROM ev GROUP BY s HAVING count(*) > $HotShingleCap),
+         | evk AS (SELECT * FROM ev WHERE s NOT IN (SELECT s FROM hot)),
+         | tr AS (SELECT doc_id AS train_doc, s FROM shx WHERE doc_id % 97 <> 0)
+         |SELECT train_doc, eval_doc, count(*) AS n_shared
+         |FROM tr JOIN evk USING (s)
+         |GROUP BY train_doc, eval_doc
+         |HAVING count(*) >= $MinSharedShingles
+         |ORDER BY train_doc, eval_doc""".stripMargin,
     "q63_simhash_pairs" -> {
       // FNV-1a 64-bit per token (the exact arithmetic of
       // functions.SimHashImpl) folded in HUGEINT mod 2^64, bit-majority,

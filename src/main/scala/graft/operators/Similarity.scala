@@ -163,8 +163,91 @@ object Similarity extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF search with multi-probe (nprobe=2): q43 probes only the query's
+    * own coarse cell, which loses neighbors that fall just across the cell
+    * boundary; probing the nprobe closest centroids is how IVF recovers
+    * recall at scale without widening to a full scan. Distances to
+    * centroids run in the same integer-quantized metric as q71 (exact in
+    * both engines); the 2·|queries|-row probe list broadcasts, and the
+    * corpus join stays equi on the cluster label — partition-prunable,
+    * nprobe/|cells| of the corpus read per query batch.
+    */
+  private def q74(t: Tables): DataFrame = {
+    val ev = t.embeddings
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("dim"),
+        floor(col("v").cast("double") * 1000).cast("long").as("q"))
+    val cent = ev
+      .groupBy(col("label").as("clabel"), col("dim").as("cdim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+    val qv = ev.filter(col("vec_id") < 10)
+    val diff = col("q") * col("cnt") - col("sq")
+    val probes = qv
+      .join(broadcast(cent), col("dim") === col("cdim"))
+      .groupBy(col("vec_id").as("qid"), col("clabel"))
+      .agg(sum(diff * diff).as("num"), max(col("cnt")).as("cnt"))
+      .withColumn("dist", col("num").cast("double") / (col("cnt") * col("cnt")).cast("double"))
+      .withColumn("probe_rank", row_number().over(Window.partitionBy(col("qid")).orderBy(col("dist"), col("clabel"))))
+      .filter(col("probe_rank") <= 2)
+      .select(col("qid"), col("clabel"), col("probe_rank"))
+    val corpus = vectors(t).select(col("label"), col("vec_id"), col("v"))
+    val queries = vectors(t).filter(col("vec_id") < 10).select(col("vec_id").as("qid2"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus
+      .join(broadcast(probes), col("label") === col("clabel"))
+      .join(broadcast(queries), col("qid") === col("qid2"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(cosine_sim(col("qv"), col("v")), 6))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= 5)
+      .select(
+        col("qid").as("query_id"),
+        col("label"),
+        col("probe_rank"),
+        col("vec_id").as("neighbor_id"),
+        col("cos_sim"),
+        col("nn_rank"))
+      .orderBy(col("query_id"), col("nn_rank"))
+  }
+
+  /** Int8 scalar quantization of the embedding corpus — the compression
+    * step an ANN index at 100 TB actually ships (4× smaller vectors, one
+    * (scale, zero-point) pair per dimension). Entirely integer arithmetic
+    * (coordinates pre-quantized to q=floor(1000·v), affine-mapped to
+    * 0..255 with integer floor division, reconstructed the same way) so
+    * both engines agree bit-for-bit. Per-dim aggregation is narrow
+    * (64·|corpus| rows partial-agg to 64); the stats broadcast back for
+    * the error pass — two narrow shuffles total, nothing quadratic.
+    */
+  private def q78(t: Tables): DataFrame = {
+    val ev = t.embeddings
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), floor(col("v").cast("double") * 1000).cast("long").as("q"))
+    val stats = ev.groupBy(col("dim")).agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+    ev.join(broadcast(stats), Seq("dim"))
+      .withColumn(
+        "q8",
+        when(col("mx") > col("mn"), expr("((q - mn) * 255) div (mx - mn)")).otherwise(lit(0L)))
+      .withColumn("dq", col("mn") + expr("(q8 * (mx - mn)) div 255"))
+      .withColumn("err", abs(col("dq") - col("q")))
+      .groupBy(col("dim"))
+      .agg(
+        max(col("mn")).as("mn"),
+        max(col("mx")).as("mx"),
+        sum(col("err")).as("total_abs_err"),
+        count(lit(1)).as("n"))
+      .orderBy(col("dim"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_kmeans_step" -> ((s, d) => q71(Tables(s, d))),
+    "q74_ivf_multiprobe" -> ((s, d) => q74(Tables(s, d))),
+    "q78_embedding_quantize" -> ((s, d) => q78(Tables(s, d))),
     "q40_cosine_topk" -> ((s, d) => q40(Tables(s, d))),
     "q41_embedding_neardup" -> ((s, d) => q41(Tables(s, d))),
     "q42_ann_sign_lsh" -> ((s, d) => q42(Tables(s, d))),
@@ -180,7 +263,57 @@ object Similarity extends QueryModule {
     s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
   private val duckBucket = signBucket(i => s"v[$i]")
 
+  // shared integer-quantized (vec_id, label, dim, q) CTE for q71/q74/q78
+  private val duckEv =
+    s"""ev AS (
+       | SELECT vec_id, label,
+       |  unnest(list_transform(range(1, ${Dim + 1}), i -> CAST(i - 1 AS INTEGER))) AS dim,
+       |  unnest(list_transform(range(1, ${Dim + 1}),
+       |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS q
+       | FROM embeddings)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "q74_ivf_multiprobe" ->
+      s"""WITH $duckEv,
+         | cent AS (
+         | SELECT label AS clabel, dim AS cdim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+         | FROM ev GROUP BY label, dim),
+         | scored AS (
+         | SELECT vec_id AS qid, clabel,
+         |  CAST(sum((q * cnt - sq) * (q * cnt - sq)) AS BIGINT) AS num, max(cnt) AS cnt
+         | FROM ev JOIN cent ON dim = cdim WHERE vec_id < 10 GROUP BY vec_id, clabel),
+         | pr AS (
+         | SELECT qid, clabel,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY CAST(num AS DOUBLE) / CAST(cnt * cnt AS DOUBLE), clabel) AS INTEGER) AS probe_rank
+         | FROM scored),
+         | probes AS (SELECT * FROM pr WHERE probe_rank <= 2),
+         | $duckVectors,
+         | qset AS (SELECT vec_id AS qid2, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+         | c AS (
+         | SELECT p.qid, n.label, p.probe_rank, n.vec_id AS neighbor_id,
+         |  round(${duckDot("qv", "v")} / (qnrm * nrm), 6) AS cos_sim
+         | FROM probes p
+         | JOIN n ON n.label = p.clabel
+         | JOIN qset ON qid2 = p.qid
+         | WHERE n.vec_id <> p.qid),
+         | r AS (
+         | SELECT qid AS query_id, label, probe_rank, neighbor_id, cos_sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS nn_rank
+         | FROM c)
+         |SELECT query_id, label, probe_rank, neighbor_id, cos_sim, nn_rank
+         |FROM r WHERE nn_rank <= 5 ORDER BY query_id, nn_rank""".stripMargin,
+    "q78_embedding_quantize" ->
+      s"""WITH $duckEv,
+         | stats AS (SELECT dim, min(q) AS mn, max(q) AS mx FROM ev GROUP BY dim),
+         | qq AS (
+         | SELECT e.dim, e.q, s.mn, s.mx,
+         |  CASE WHEN s.mx > s.mn THEN ((e.q - s.mn) * 255) // (s.mx - s.mn) ELSE 0 END AS q8
+         | FROM ev e JOIN stats s ON e.dim = s.dim),
+         | rec AS (SELECT dim, q, mn, mx, mn + (q8 * (mx - mn)) // 255 AS dq FROM qq)
+         |SELECT dim, max(mn) AS mn, max(mx) AS mx,
+         | CAST(sum(abs(dq - q)) AS BIGINT) AS total_abs_err, count(*) AS n
+         |FROM rec GROUP BY dim ORDER BY dim""".stripMargin,
     "q71_kmeans_step" ->
       s"""WITH ev AS (
          | SELECT vec_id, label,

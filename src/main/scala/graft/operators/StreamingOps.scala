@@ -43,9 +43,44 @@ object StreamingOps extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Stream-stream interval join batch twin: purchases attributed to a
+    * prior click by the same user within 30 minutes — the
+    * `clicks.withWatermark ⋈ purchases.withWatermark ON user AND p.ts
+    * BETWEEN c.ts AND c.ts + 30 min` plan (state bounded by the watermark
+    * exactly like the range predicate bounds this join). Equi-key user_id
+    * carries the shuffle; the time predicate evaluates inside the join, so
+    * pair work is per-user-bounded, never cross-user. The streaming form
+    * runs in `StreamingSpec` on two MemoryStreams.
+    */
+  private def q73(t: Tables): DataFrame = {
+    val clicks = t.events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), unix_micros(col("ts")).as("c_us"))
+    val purchases = t.events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_us"),
+        col("value"))
+    clicks
+      .join(
+        purchases,
+        col("user_id") === col("p_user") &&
+          col("p_us") >= col("c_us") &&
+          col("p_us") <= col("c_us") + 1800L * 1000000L)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        round(sum(col("value")), 2).as("attr_value"))
+      .orderBy(col("user_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_stream_tumbling" -> ((s, d) => q46(Tables(s, d))),
-    "q47_stream_dedup" -> ((s, d) => q47(Tables(s, d)))
+    "q47_stream_dedup" -> ((s, d) => q47(Tables(s, d))),
+    "q73_stream_join" -> ((s, d) => q73(Tables(s, d)))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -62,6 +97,19 @@ object StreamingOps extends QueryModule {
         |                     ORDER BY ts, event_id) AS rn
         | FROM events)
         |SELECT event_type, count(*) AS n_unique FROM d WHERE rn = 1
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q73_stream_join" ->
+      """WITH c AS (
+        | SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        | FROM events WHERE event_type = 'click'),
+        | p AS (
+        | SELECT user_id AS p_user, event_id AS purchase_id, epoch_us(ts) AS p_us, value
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_pairs,
+        | count(DISTINCT purchase_id) AS n_purchases,
+        | round(sum(value), 2) AS attr_value
+        |FROM c JOIN p ON user_id = p_user
+        | AND p_us >= c_us AND p_us <= c_us + 1800 * 1000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

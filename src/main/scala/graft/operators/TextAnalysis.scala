@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.C — text analysis for the training-data pipeline.
@@ -162,7 +163,54 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact corpus heavy hitters: top-50 tokens by frequency with a stable
+    * tie-break. The two-level aggregate is the scale shape — map-side
+    * partial counts collapse each partition's token stream before the one
+    * narrow (token → count) shuffle, and the top-k runs as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of 50-row
+    * heads), never a global sort. The sketch alternative (count-min) only
+    * pays off when the vocabulary itself outgrows executor memory.
+    */
+  private def q76(t: Tables): DataFrame =
+    withWords(t)
+      .select(explode(col("words")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  /** Bigram language-model counts: n(w1 w2), n(w1·) and the conditional
+    * probability p(w2|w1) — the statistics behind perplexity-style quality
+    * filters and contamination n-gram checks. One narrow shuffle on
+    * (w1, w2) for the pair counts; n(w1·) comes from a window sum over the
+    * already-partial-agg'd pairs (w1-partitioned), so the raw token stream
+    * is never shuffled twice.
+    */
+  private def q77(t: Tables): DataFrame = {
+    val pairs = withWords(t)
+      .select(
+        explode(
+          expr(
+            """transform(sequence(1, size(words) - 1),
+              |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
+          .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+    val byW1 = Window.partitionBy(col("w1"))
+    pairs
+      .withColumn("n_w1", sum(col("n_bigram")).over(byW1))
+      .filter(col("n_bigram") >= 10)
+      .withColumn("p", round(col("n_bigram") / col("n_w1"), 4))
+      .select(col("w1"), col("w2"), col("n_bigram"), col("n_w1"), col("p"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_heavy_hitters" -> ((s, d) => q76(Tables(s, d))),
+    "q77_bigram_lm" -> ((s, d) => q77(Tables(s, d))),
     "q72_pii_scrub" -> ((s, d) => q72(Tables(s, d))),
     "q30_text_stats" -> ((s, d) => q30(Tables(s, d))),
     "q31_lang_id" -> ((s, d) => q31(Tables(s, d))),
@@ -172,6 +220,25 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q76_heavy_hitters" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS n FROM tok WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q77_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        | bg AS (
+        |  SELECT unnest(list_transform(range(1, len(words)),
+        |    i -> {'w1': words[i], 'w2': words[i + 1]})) AS b
+        |  FROM w),
+        | p AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bg WHERE b.w1 <> '' AND b.w2 <> ''),
+        | cnt AS (SELECT w1, w2, count(*) AS n_bigram FROM p GROUP BY w1, w2),
+        | tot AS (
+        |  SELECT w1, w2, n_bigram,
+        |   CAST(sum(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
+        |  FROM cnt)
+        |SELECT w1, w2, n_bigram, n_w1, round(n_bigram / n_w1, 4) AS p
+        |FROM tot WHERE n_bigram >= 10 ORDER BY w1, w2""".stripMargin,
     "q72_pii_scrub" ->
       s"""WITH r AS (
          | SELECT doc_id,

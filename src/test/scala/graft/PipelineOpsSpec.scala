@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-3 pipeline additions (q73–q78) —
+  * properties beyond the DuckDB hash compare (attribution bounds,
+  * multi-probe structure, decontamination side conditions, LM count
+  * consistency, quantization error bounds).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("stream-join attribution only pairs users with both event kinds") {
+    val t = Tables(spark, sf)
+    val rows = SparkEntry.queries("q73_stream_join")(spark, sf).collect()
+    val withClicks = t.events
+      .filter(col("event_type") === "click")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    val withPurch = t.events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(withClicks(u) && withPurch(u), s"user $u lacks a click or purchase")
+      assert(r.getAs[Long]("n_pairs") >= r.getAs[Long]("n_purchases"))
+    }
+  }
+
+  test("multi-probe IVF returns ranked neighbors from at most two cells") {
+    val rows = SparkEntry.queries("q74_ivf_multiprobe")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getAs[Int]("nn_rank"))
+      assert(ranked.map(_.getAs[Int]("nn_rank")).toSeq == (1 to ranked.length))
+      // similarity non-increasing in rank
+      val sims = ranked.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(rs.map(_.getAs[Int]("probe_rank")).forall(pr => pr == 1 || pr == 2))
+      // at most two distinct cells probed
+      assert(rs.map(_.getAs[Number]("label").longValue).distinct.length <= 2)
+    }
+  }
+
+  test("multi-probe recall is at least single-cell recall vs brute force") {
+    def neighbors(q: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (k, rs) => k -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val brute = neighbors("q40_cosine_topk")
+    val multi = neighbors("q74_ivf_multiprobe")
+    val single = neighbors("q43_ivf_search")
+    val (mHits, sHits) = brute.keys.toSeq.map { q =>
+      val b = brute(q)
+      ((multi.getOrElse(q, Set.empty) & b).size, (single.getOrElse(q, Set.empty) & b).size)
+    }.unzip
+    assert(mHits.sum >= sHits.sum, s"multi-probe recall ${mHits.sum} < single ${sHits.sum}")
+  }
+
+  test("decontamination never reports an eval doc as a train doc") {
+    val rows = SparkEntry.queries("q75_decontaminate")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("train_doc") % 97 != 0, "eval doc leaked into the train side")
+      assert(r.getAs[Long]("eval_doc") % 97 == 0)
+      assert(r.getAs[Long]("n_shared") >= 2)
+    }
+  }
+
+  test("heavy hitters are the true top tokens with a stable tie order") {
+    val t = Tables(spark, sf)
+    val rows = SparkEntry.queries("q76_heavy_hitters")(spark, sf).collect()
+    assert(rows.length <= 50 && rows.nonEmpty)
+    val counts = rows.map(_.getAs[Long]("n"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "not sorted by count")
+    val total = t.documents
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .filter(col("tk") =!= "").count()
+    assert(counts.sum <= total)
+  }
+
+  test("bigram counts are internally consistent (n_w1 = sum over kept+dropped)") {
+    val rows = SparkEntry.queries("q77_bigram_lm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("w1")).foreach { case (_, rs) =>
+      val nW1 = rs.map(_.getAs[Long]("n_w1")).distinct
+      assert(nW1.length == 1, "n_w1 differs within one w1 group")
+      assert(rs.map(_.getAs[Long]("n_bigram")).sum <= nW1.head)
+    }
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p")
+      assert(p > 0.0 && p <= 1.0)
+    }
+  }
+
+  test("int8 quantization error is bounded by the step size") {
+    val rows = SparkEntry.queries("q78_embedding_quantize")(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val span = r.getAs[Long]("mx") - r.getAs[Long]("mn")
+      val step = span / 255 + 1 // integer floor step upper bound
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("total_abs_err") <= n * step, s"dim ${r.getAs[Int]("dim")}")
+    }
+  }
+}
