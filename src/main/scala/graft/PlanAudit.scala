@@ -22,7 +22,9 @@ object PlanAudit {
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
   // a from_json-computed structure — inherently unpushable; the scan still
   // prunes to (doc_id, source).
-  private val allowUnpushed = Set("q50_haversine", "q69_href_rewrite")
+  // q76's token <> '' filter sits above an explode of a computed split —
+  // nothing exists at the scan to push; the scan still prunes to (text).
+  private val allowUnpushed = Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 4, "q38_ngram_jaccard" -> 7, "q13_set_ops" -> 4,
@@ -33,7 +35,23 @@ object PlanAudit {
     "q63_simhash_pairs" -> 5,
     // explode→centroid agg→broadcast join→pair agg→argmin window→sort;
     // every shuffle is narrow (|labels|·|dims|, then |vecs|·|labels| rows)
-    "q71_kmeans_step" -> 5).withDefaultValue(3)
+    "q71_kmeans_step" -> 5,
+    // centroid agg → probe scoring agg → probe-rank window → neighbor
+    // top-k window → sort; probe list and queries broadcast, so all five
+    // exchanges move |queries|- or |labels|-scale rows, never the corpus
+    "q74_ivf_multiprobe" -> 5,
+    // repartition → eval-shingle freq agg (hot cap) → anti-join →
+    // pair agg → sort; each keyed on shingle or pair, linear in corpus
+    "q75_decontaminate" -> 5,
+    // corpus hash window + component join + source rollup + sort, plus
+    // the q62 edge materialization's repartition — the loop itself runs
+    // on checkpointed edges outside this plan
+    "q79_dedup_report" -> 5,
+    // repartition → bigram pair agg → w1 window marginal → sort
+    "q77_bigram_lm" -> 4,
+    // repartition → per-dim stats agg → broadcast back → per-dim error
+    // agg → sort; every shuffle is |dims|- or |corpus·dims|-narrow
+    "q78_embedding_quantize" -> 5).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.D — deduplication for the training-data pipeline.
@@ -170,7 +171,7 @@ object Dedup extends QueryModule {
     */
   private def cutLineage(df: DataFrame): DataFrame = graft.Iterate.cutLineage(df)
 
-  private def q62(t: Tables): DataFrame = {
+  private def components(t: Tables): DataFrame = {
     val pairs = jaccardPairs(t).select(col("doc_a"), col("doc_b"))
     // materialize once: every loop action would otherwise re-run the whole
     // Jaccard pipeline through the edges lineage. Symmetrize with one
@@ -241,7 +242,40 @@ object Dedup extends QueryModule {
       if (sys.env.contains("GRAFT_DEBUG"))
         System.err.println(s"[q62] round $iter done at ${System.nanoTime() / 1e9}")
     }
-    labels.select(col("u").as("doc_id"), col("comp").as("component_id")).orderBy(col("doc_id"))
+    labels.select(col("u").as("doc_id"), col("comp").as("component_id"))
+  }
+
+  private def q62(t: Tables): DataFrame =
+    components(t).orderBy(col("doc_id"))
+
+  /** End-to-end dedup report — the pipeline deliverable the individual
+    * stages (q35 exact, q37/q38 candidates+verify, q62 clusters) feed: per
+    * source, how many documents survive deduplication. Drop policy is the
+    * standard keep-minimum: a doc is an exact drop if it isn't the
+    * smallest doc_id of its md5(text) group, else a near-dup drop if its
+    * q62 component labels a smaller doc. One window over the content hash
+    * + one left join of the (tiny) component table — the corpus itself is
+    * scanned once and shuffled once on the hash.
+    */
+  private def q79(t: Tables): DataFrame = {
+    val comp = components(t)
+    val docs = t.documents.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val keeperW = Window.partitionBy(col("h"))
+    docs
+      .withColumn("keeper", min(col("doc_id")).over(keeperW))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("exact_drop", col("doc_id") =!= col("keeper"))
+      .withColumn(
+        "near_drop",
+        !col("exact_drop") && col("component_id").isNotNull && col("component_id") =!= col("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("exact_drop").cast("long")).as("n_exact_drop"),
+        sum(col("near_drop").cast("long")).as("n_near_drop"),
+        (count(lit(1)) - sum(col("exact_drop").cast("long")) - sum(col("near_drop").cast("long")))
+          .as("n_keep"))
+      .orderBy(col("source"))
   }
 
   /** Simhash candidate pairing with GUARANTEED recall at radius 3:
@@ -319,6 +353,7 @@ object Dedup extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_dedup_report" -> ((s, d) => q79(Tables(s, d))),
     "q75_decontaminate" -> ((s, d) => q75(Tables(s, d))),
     "q63_simhash_pairs" -> ((s, d) => q63(Tables(s, d))),
     "q62_dup_clusters" -> ((s, d) => q62(Tables(s, d))),
@@ -419,6 +454,29 @@ object Dedup extends QueryModule {
          |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "q79_dedup_report" ->
+      s"""WITH RECURSIVE $duckJpairsCtes,
+         | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |           UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         | nodes AS (SELECT DISTINCT u FROM edges),
+         | reach(u, v) AS (
+         |  SELECT u, u AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         | comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+         | d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         | k AS (SELECT doc_id, source, min(doc_id) OVER (PARTITION BY h) AS keeper FROM d),
+         | f AS (
+         |  SELECT k.source,
+         |   (k.doc_id <> keeper) AS exact_drop,
+         |   (k.doc_id = keeper AND c.component_id IS NOT NULL AND c.component_id <> k.doc_id) AS near_drop
+         |  FROM k LEFT JOIN comp c ON c.doc_id = k.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN exact_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_drop,
+         | CAST(sum(CASE WHEN near_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_near_drop,
+         | CAST(count(*) - sum(CASE WHEN exact_drop THEN 1 ELSE 0 END)
+         |   - sum(CASE WHEN near_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "q62_dup_clusters" ->
       s"""WITH RECURSIVE $duckJpairsCtes,
          | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs

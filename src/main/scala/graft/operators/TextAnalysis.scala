@@ -208,7 +208,60 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** Sequence packing for pretraining batch prep: documents stream into
+    * fixed 2048-token bins per source in deterministic doc_id order (a doc
+    * is never split; its bin is the 2048-block its cumulative token end
+    * falls in — the streaming-pack policy). Token estimate is the q32
+    * BPE-ish (n_chars+3) div 4 in exact integer arithmetic. One shuffle on
+    * source carries both the running-sum window and the rollup; per-source
+    * streams pack independently, which is exactly how packing parallelizes
+    * across a 1000-executor ingest.
+    */
+  private def q80(t: Tables): DataFrame = {
+    val Cap = 2048L
+    val bySrc = Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.documents
+      .select(col("doc_id"), col("source"), expr("CAST((n_chars + 3) div 4 AS BIGINT)").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(bySrc))
+      .withColumn("bin", expr(s"CAST((cum - 1) div $Cap AS BIGINT)"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("bin_tokens")).as("total_tokens"),
+        max(col("n_docs")).as("max_docs_per_bin"),
+        round(sum(col("bin_tokens")) / (count(lit(1)) * Cap), 4).as("fill_ratio"))
+      .orderBy(col("source"))
+  }
+
+  /** Intra-document repetition filter (the Gopher-style quality signal):
+    * repetition ratio = 1 − |distinct word-3-grams| / |word-3-grams|. The
+    * distinct count comes from the native shingle-set kernel next to the
+    * scan — no explode, no shuffle before the per-source rollup.
+    */
+  private def q81(t: Tables): DataFrame =
+    withWords(t)
+      .withColumn("total_sh", greatest(size(col("words")) - 2, lit(0)).cast("long"))
+      .withColumn(
+        "distinct_sh",
+        size(graft.functions.GraftFunctions.shingle_set(col("text"))).cast("long"))
+      .withColumn(
+        "rep_ratio",
+        when(col("total_sh") > 0, lit(1.0) - col("distinct_sh") / col("total_sh")).otherwise(lit(0.0)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rep_ratio") > 0.2, 1L).otherwise(0L)).as("n_flagged"),
+        round(avg(col("rep_ratio")), 4).as("avg_rep_ratio"))
+      .orderBy(col("source"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_seq_pack" -> ((s, d) => q80(Tables(s, d))),
+    "q81_repetition" -> ((s, d) => q81(Tables(s, d))),
     "q76_heavy_hitters" -> ((s, d) => q76(Tables(s, d))),
     "q77_bigram_lm" -> ((s, d) => q77(Tables(s, d))),
     "q72_pii_scrub" -> ((s, d) => q72(Tables(s, d))),
@@ -220,6 +273,38 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q80_seq_pack" ->
+      """WITH d AS (
+        | SELECT doc_id, source, CAST((n_chars + 3) // 4 AS BIGINT) AS toks FROM documents),
+        | c AS (
+        | SELECT source, toks,
+        |  sum(toks) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM d),
+        | b AS (SELECT source, CAST((cum - 1) // 2048 AS BIGINT) AS bin, toks FROM c),
+        | g AS (
+        | SELECT source, bin, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
+        | FROM b GROUP BY source, bin)
+        |SELECT source, count(*) AS n_bins,
+        | CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+        | max(n_docs) AS max_docs_per_bin,
+        | round(sum(bin_tokens) / (count(*) * 2048), 4) AS fill_ratio
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q81_repetition" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+        | s AS (
+        | SELECT doc_id, source,
+        |  CAST(greatest(len(words) - 2, 0) AS BIGINT) AS total_sh,
+        |  CAST(len(list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS BIGINT) AS distinct_sh
+        | FROM w),
+        | r AS (
+        | SELECT source,
+        |  CASE WHEN total_sh > 0 THEN 1.0 - distinct_sh / total_sh ELSE 0.0 END AS rep_ratio
+        | FROM s)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        | round(avg(rep_ratio), 4) AS avg_rep_ratio
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q76_heavy_hitters" ->
       """WITH tok AS (
         | SELECT unnest(string_split(text, ' ')) AS token FROM documents)

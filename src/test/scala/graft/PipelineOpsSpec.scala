@@ -94,6 +94,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup report partitions every document into exactly one bucket") {
+    val t = Tables(spark, sf)
+    val rows = SparkEntry.queries("q79_dedup_report")(spark, sf).collect()
+    val totals = rows.map { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(
+        n == r.getAs[Long]("n_exact_drop") + r.getAs[Long]("n_near_drop") + r.getAs[Long]("n_keep"),
+        s"buckets don't partition in ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("n_keep") >= 1, "a source lost every document")
+      n
+    }
+    assert(totals.sum == t.documents.count(), "report covers the whole corpus")
+  }
+
+  test("sequence packing conserves tokens and fills bins") {
+    val t = Tables(spark, sf)
+    val rows = SparkEntry.queries("q80_seq_pack")(spark, sf).collect()
+    val expected = t.documents
+      .select(expr("CAST((n_chars + 3) div 4 AS BIGINT)").as("toks"))
+      .agg(sum(col("toks"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum == expected, "tokens lost in packing")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bins") >= 1 && r.getAs[Long]("max_docs_per_bin") >= 1)
+      assert(r.getAs[Double]("fill_ratio") > 0.0)
+    }
+  }
+
+  test("repetition ratios are valid proportions") {
+    val rows = SparkEntry.queries("q81_repetition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_rep_ratio")
+      assert(avg >= 0.0 && avg < 1.0)
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("int8 quantization error is bounded by the step size") {
     val rows = SparkEntry.queries("q78_embedding_quantize")(spark, sf).collect()
     assert(rows.length == 64)
