@@ -104,10 +104,37 @@ object Multimodal extends QueryModule {
       .agg(sum(col("cnt")).as("n_bytes"))
       .orderBy(col("source"), col("bucket"))
 
+  /** Modality triage: split the asset stream by sniffed media type and
+    * price the decode work per (dataset, modality) — bytes for audio,
+    * pixel area for images, frames×area for video. This is the planning
+    * query a decode fleet runs to size per-modality worker pools; the cost
+    * model slots in where real codec profiles would. Pure map-side
+    * expressions over one scan + a |sources|·|modalities| rollup.
+    */
+  private def q82(t: Tables): DataFrame =
+    blobs(t)
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .withColumn("width", expr("16 + (doc_id % 16) * 8"))
+      .withColumn("height", expr("16 + ((doc_id div 16) % 16) * 8"))
+      .withColumn("n_frames", expr("CAST(byte_len div 50 AS BIGINT) + 1"))
+      .withColumn(
+        "decode_cost",
+        expr("""CASE media_type
+               |  WHEN 'audio' THEN byte_len
+               |  WHEN 'image' THEN width * height
+               |  ELSE n_frames * width * height END""".stripMargin))
+      .groupBy(col("source"), col("media_type"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("byte_len")).as("total_bytes"),
+        sum(col("decode_cost")).as("total_cost"))
+      .orderBy(col("source"), col("media_type"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_blob_meta" -> ((s, d) => q44(Tables(s, d))),
     "q45_frame_sample" -> ((s, d) => q45(Tables(s, d))),
-    "q61_byte_histogram" -> ((s, d) => q61(Tables(s, d)))
+    "q61_byte_histogram" -> ((s, d) => q61(Tables(s, d))),
+    "q82_modality_split" -> ((s, d) => q82(Tables(s, d)))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -132,6 +159,27 @@ object Multimodal extends QueryModule {
         |  unnest(list_transform(range(1, n_chars + 1),
         |    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) // 16 AS BIGINT))) AS bucket
         | FROM documents)
-        |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+        |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    "q82_modality_split" ->
+      """WITH m AS (
+        | SELECT source,
+        |  CASE ascii(substr(text, 1, 1)) % 3
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  16 + (doc_id % 16) * 8 AS width,
+        |  16 + ((doc_id // 16) % 16) * 8 AS height,
+        |  CAST(octet_length(CAST(text AS BLOB)) // 50 AS BIGINT) + 1 AS n_frames
+        | FROM documents),
+        | c AS (
+        | SELECT source, media_type, byte_len,
+        |  CASE media_type
+        |    WHEN 'audio' THEN byte_len
+        |    WHEN 'image' THEN width * height
+        |    ELSE n_frames * width * height END AS decode_cost
+        | FROM m)
+        |SELECT source, media_type, count(*) AS n_assets,
+        | CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        | CAST(sum(decode_cost) AS BIGINT) AS total_cost
+        |FROM c GROUP BY source, media_type ORDER BY source, media_type""".stripMargin
   )
 }

@@ -77,10 +77,47 @@ object StreamingOps extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** Watermark late-data accounting — the batch reconstruction of what a
+    * `withWatermark("ts", "10 minutes")` pipeline drops. Micro-batches are
+    * replayed from arrival order (event_id div 1000); the watermark before
+    * each batch is the running max event time over all PRIOR batches minus
+    * the 10-minute delay — exactly Spark's micro-batch watermark rule. The
+    * per-batch maxima aggregate narrowly (|batches| rows), the running max
+    * is a window over that tiny relation, and the flags broadcast back, so
+    * the event stream itself is scanned once and shuffled once into the
+    * 15-minute-window rollup.
+    */
+  private def q83(t: Tables): DataFrame = {
+    val DelayUs = 600L * 1000000L
+    // the synthetic arrival log: event time plus a deterministic hash
+    // jitter of up to ~32 min, so a realistic fraction of events arrives
+    // out of order (the raw event_id order is time-sorted — nothing would
+    // ever be late). In production the arrival offset IS the log offset;
+    // the row_number here only reconstructs it for the batch twin.
+    val ev = t.events
+      .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("arrival_key", col("us") + expr("(event_id * 2654435761) % 97") * 20000000L)
+      .withColumn(
+        "batch",
+        expr("CAST((row_number() OVER (ORDER BY arrival_key, event_id) - 1) div 1000 AS BIGINT)"))
+    val batchMax = ev.groupBy(col("batch")).agg(max(col("us")).as("bmax"))
+    val wmW = Window.orderBy(col("batch")).rowsBetween(Window.unboundedPreceding, -1)
+    val wm = batchMax.withColumn("wm_us", max(col("bmax")).over(wmW) - DelayUs)
+    ev.join(broadcast(wm.select(col("batch"), col("wm_us"))), Seq("batch"))
+      .withColumn("late", col("wm_us").isNotNull && col("us") < col("wm_us"))
+      .groupBy(window(col("ts"), "15 minutes").getField("start").as("window_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("late").cast("long")).as("n_late"),
+        (count(lit(1)) - sum(col("late").cast("long"))).as("n_on_time"))
+      .orderBy(col("window_start"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_stream_tumbling" -> ((s, d) => q46(Tables(s, d))),
     "q47_stream_dedup" -> ((s, d) => q47(Tables(s, d))),
-    "q73_stream_join" -> ((s, d) => q73(Tables(s, d)))
+    "q73_stream_join" -> ((s, d) => q73(Tables(s, d))),
+    "q83_late_data" -> ((s, d) => q83(Tables(s, d)))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -110,6 +147,29 @@ object StreamingOps extends QueryModule {
         | round(sum(value), 2) AS attr_value
         |FROM c JOIN p ON user_id = p_user
         | AND p_us >= c_us AND p_us <= c_us + 1800 * 1000000
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q83_late_data" ->
+      """WITH e0 AS (
+        | SELECT event_id, ts, epoch_us(ts) AS us,
+        |  epoch_us(ts) + ((event_id * 2654435761) % 97) * 20000000 AS arrival_key
+        | FROM events),
+        | ev AS (
+        | SELECT event_id, ts, us,
+        |  (row_number() OVER (ORDER BY arrival_key, event_id) - 1) // 1000 AS batch
+        | FROM e0),
+        | bm AS (SELECT batch, max(us) AS bmax FROM ev GROUP BY batch),
+        | wm AS (
+        | SELECT batch,
+        |  max(bmax) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   - 600 * 1000000 AS wm_us
+        | FROM bm),
+        | f AS (
+        | SELECT ev.ts, (wm.wm_us IS NOT NULL AND ev.us < wm.wm_us) AS late
+        | FROM ev JOIN wm ON ev.batch = wm.batch)
+        |SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+        | count(*) AS n_events,
+        | CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        | CAST(count(*) - sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time
+        |FROM f GROUP BY 1 ORDER BY window_start""".stripMargin
   )
 }

@@ -131,6 +131,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("modality triage covers every asset and prices audio by bytes") {
+    val t = Tables(spark, sf)
+    val rows = SparkEntry.queries("q82_modality_split")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_assets")).sum == t.documents.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_cost") > 0)
+      if (r.getAs[String]("media_type") == "audio")
+        assert(r.getAs[Long]("total_cost") == r.getAs[Long]("total_bytes"))
+    }
+  }
+
+  test("late-data accounting conserves events and splits them exactly") {
+    val t = Tables(spark, sf)
+    val rows = SparkEntry.queries("q83_late_data")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(
+        r.getAs[Long]("n_events") == r.getAs[Long]("n_late") + r.getAs[Long]("n_on_time"))
+    }
+    assert(rows.map(_.getAs[Long]("n_events")).sum == t.events.count())
+  }
+
   test("int8 quantization error is bounded by the step size") {
     val rows = SparkEntry.queries("q78_embedding_quantize")(spark, sf).collect()
     assert(rows.length == 64)
