@@ -259,8 +259,45 @@ object TextAnalysis extends QueryModule {
         round(avg(col("rep_ratio")), 4).as("avg_rep_ratio"))
       .orderBy(col("source"))
 
+  /** The composed preprocessing gate — the decision a real ingest makes
+    * per document, with a reason code for observability: first matching
+    * rule wins (too_short → repetitive → low_quality → kept). Reuses the
+    * q33 score and the q81 repetition ratio verbatim (one expression tree,
+    * both engines), all computed next to the scan in one pass; the only
+    * shuffle is the (source, reason) rollup. Reason-coded drop accounting
+    * is what lets a 100 TB pipeline explain WHERE its yield went.
+    */
+  private def q84(t: Tables): DataFrame =
+    withWords(t)
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_stop", size(expr(s"filter(words, w -> w IN ($stopSqlIn))")))
+      .withColumn(
+        "score",
+        round(
+          least(col("n_words") / lit(100.0), lit(1.0)) * 0.5
+            + (col("n_stop") / col("n_words")) * 2.0
+            + when(col("n_chars") >= 100, 0.2).otherwise(0.0),
+          4))
+      .withColumn("total_sh", greatest(size(col("words")) - 2, lit(0)).cast("long"))
+      .withColumn(
+        "distinct_sh",
+        size(graft.functions.GraftFunctions.shingle_set(col("text"))).cast("long"))
+      .withColumn(
+        "rep_ratio",
+        when(col("total_sh") > 0, lit(1.0) - col("distinct_sh") / col("total_sh")).otherwise(lit(0.0)))
+      .withColumn(
+        "reason",
+        when(col("n_chars") < 50, "too_short")
+          .when(col("rep_ratio") > 0.2, "repetitive")
+          .when(col("score") < 0.45, "low_quality")
+          .otherwise("kept"))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"), col("reason"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_seq_pack" -> ((s, d) => q80(Tables(s, d))),
+    "q84_quality_gate" -> ((s, d) => q84(Tables(s, d))),
     "q81_repetition" -> ((s, d) => q81(Tables(s, d))),
     "q76_heavy_hitters" -> ((s, d) => q76(Tables(s, d))),
     "q77_bigram_lm" -> ((s, d) => q77(Tables(s, d))),
@@ -273,6 +310,32 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q84_quality_gate" ->
+      s"""WITH w AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS words, text FROM documents),
+         | s AS (
+         | SELECT source, n_chars,
+         |  round(
+         |   least(len(words) / 100.0, 1.0) * 0.5
+         |    + (len(list_filter(words, x -> x IN ($stopSqlIn))) / len(words)) * 2.0
+         |    + CASE WHEN n_chars >= 100 THEN 0.2 ELSE 0.0 END, 4) AS score,
+         |  CAST(greatest(len(words) - 2, 0) AS BIGINT) AS total_sh,
+         |  CAST(len(list_distinct(list_transform(range(1, len(words) - 1),
+         |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS BIGINT) AS distinct_sh
+         | FROM w),
+         | r AS (
+         | SELECT source, n_chars, score,
+         |  CASE WHEN total_sh > 0 THEN 1.0 - distinct_sh / total_sh ELSE 0.0 END AS rep_ratio
+         | FROM s),
+         | g AS (
+         | SELECT source, n_chars,
+         |  CASE WHEN n_chars < 50 THEN 'too_short'
+         |       WHEN rep_ratio > 0.2 THEN 'repetitive'
+         |       WHEN score < 0.45 THEN 'low_quality'
+         |       ELSE 'kept' END AS reason
+         | FROM r)
+         |SELECT source, reason, count(*) AS n_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM g GROUP BY source, reason ORDER BY source, reason""".stripMargin,
     "q80_seq_pack" ->
       """WITH d AS (
         | SELECT doc_id, source, CAST((n_chars + 3) // 4 AS BIGINT) AS toks FROM documents),

@@ -152,6 +152,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_events")).sum == t.events.count())
   }
 
+  test("quality gate reasons partition the corpus and agree with q33 keeps") {
+    val t = Tables(spark, sf)
+    val rows = SparkEntry.queries("q84_quality_gate")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == t.documents.count())
+    val valid = Set("too_short", "repetitive", "low_quality", "kept")
+    rows.foreach(r => assert(valid(r.getAs[String]("reason"))))
+    // gate keeps can never exceed q33's keeps (the gate adds more rules)
+    val gateKept = rows.filter(_.getAs[String]("reason") == "kept")
+      .map(_.getAs[Long]("n_docs")).sum
+    val q33Kept = SparkEntry.queries("q33_quality_score")(spark, sf).collect()
+      .map(_.getAs[Long]("n_keep")).sum
+    assert(gateKept <= q33Kept)
+  }
+
   test("int8 quantization error is bounded by the step size") {
     val rows = SparkEntry.queries("q78_embedding_quantize")(spark, sf).collect()
     assert(rows.length == 64)
