@@ -17,6 +17,7 @@ object Time {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())

@@ -17,6 +17,7 @@ object Verify {
       // property would be a no-op); FAIR keeps one slow query from
       // starving the rest when several run concurrently below
       .config("spark.scheduler.mode", "FAIR")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -35,15 +35,15 @@ object RangeJoin {
     // negative bounds (same hazard fixed in plans.RangeJoinRule)
     val bandBuckets = bands
       .withColumn(
-        "__bucket",
+        "__graft_bucket",
         explode(sequence(
           floor(lo / bucketWidth).cast("long"),
           floor((hi - 1) / bucketWidth).cast("long"))))
     val factBuckets = fact
-      .withColumn("__bucket", floor(value / bucketWidth).cast("long"))
+      .withColumn("__graft_bucket", floor(value / bucketWidth).cast("long"))
     factBuckets
-      .join(broadcast(bandBuckets), Seq("__bucket"))
+      .join(broadcast(bandBuckets), Seq("__graft_bucket"))
       .filter(value >= lo && value < hi)
-      .drop("__bucket")
+      .drop("__graft_bucket")
   }
 }

@@ -12,6 +12,7 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config(
         "spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
