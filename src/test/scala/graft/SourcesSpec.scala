@@ -49,6 +49,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), scan)
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
   }
+
+  test("streaming file sink writes exactly-once parquet with a checkpoint") {
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("graft_sink_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    // seed the source directory with one batch of files
+    Tables(spark, sf).documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, source STRING, n_chars BIGINT")
+      .parquet(in)
+      .withColumn("tokens", expr("CAST((n_chars + 3) div 4 AS BIGINT)"))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val written = spark.read.parquet(outDir)
+    assert(written.count() == 500)
+    assert(written.columns.contains("tokens"))
+    // restart over the same checkpoint: no new data → no duplicate rows
+    val q2 = stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(outDir).count() == 500, "checkpoint replay duplicated rows")
+  }
+
 }
 
 /** The typed mapPartitions decode path for multimodal payloads. */
