@@ -79,7 +79,8 @@ object StreamingOps extends QueryModule {
 
   /** Watermark late-data accounting — the batch reconstruction of what a
     * `withWatermark("ts", "10 minutes")` pipeline drops. Micro-batches are
-    * replayed from arrival order (event_id div 1000); the watermark before
+    * hourly windows of arrival time (a map-side bucket — no global
+    * ordering anywhere); the watermark before
     * each batch is the running max event time over all PRIOR batches minus
     * the 10-minute delay — exactly Spark's micro-batch watermark rule. The
     * per-batch maxima aggregate narrowly (|batches| rows), the running max
@@ -92,14 +93,13 @@ object StreamingOps extends QueryModule {
     // the synthetic arrival log: event time plus a deterministic hash
     // jitter of up to ~32 min, so a realistic fraction of events arrives
     // out of order (the raw event_id order is time-sorted — nothing would
-    // ever be late). In production the arrival offset IS the log offset;
-    // the row_number here only reconstructs it for the batch twin.
+    // ever be late). Micro-batches are hourly windows of ARRIVAL time —
+    // a pure map-side bucket, no global ordering anywhere, so the batch
+    // assignment parallelizes like any other scan work at 100 TB.
     val ev = t.events
       .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
-      .withColumn("arrival_key", col("us") + expr("(event_id * 2654435761) % 97") * 20000000L)
-      .withColumn(
-        "batch",
-        expr("CAST((row_number() OVER (ORDER BY arrival_key, event_id) - 1) div 1000 AS BIGINT)"))
+      .withColumn("arrival_us", col("us") + expr("(event_id * 2654435761) % 97") * 20000000L)
+      .withColumn("batch", expr("arrival_us div 3600000000"))
     val batchMax = ev.groupBy(col("batch")).agg(max(col("us")).as("bmax"))
     val wmW = Window.orderBy(col("batch")).rowsBetween(Window.unboundedPreceding, -1)
     val wm = batchMax.withColumn("wm_us", max(col("bmax")).over(wmW) - DelayUs)
@@ -149,14 +149,10 @@ object StreamingOps extends QueryModule {
         | AND p_us >= c_us AND p_us <= c_us + 1800 * 1000000
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q83_late_data" ->
-      """WITH e0 AS (
+      """WITH ev AS (
         | SELECT event_id, ts, epoch_us(ts) AS us,
-        |  epoch_us(ts) + ((event_id * 2654435761) % 97) * 20000000 AS arrival_key
+        |  (epoch_us(ts) + ((event_id * 2654435761) % 97) * 20000000) // 3600000000 AS batch
         | FROM events),
-        | ev AS (
-        | SELECT event_id, ts, us,
-        |  (row_number() OVER (ORDER BY arrival_key, event_id) - 1) // 1000 AS batch
-        | FROM e0),
         | bm AS (SELECT batch, max(us) AS bmax FROM ev GROUP BY batch),
         | wm AS (
         | SELECT batch,
