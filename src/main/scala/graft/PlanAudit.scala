@@ -25,6 +25,9 @@ object PlanAudit {
   // q76's token <> '' filter sits above an explode of a computed split —
   // nothing exists at the scan to push; the scan still prunes to (text).
   private val allowUnpushed = Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters")
+  // q83's running-max window runs over the per-batch maxima relation —
+  // |batches| rows (stream duration / batch interval), never event volume
+  private val allowGlobalWindow = Set("q83_late_data")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 4, "q38_ngram_jaccard" -> 7, "q13_set_ops" -> 4,
@@ -51,7 +54,10 @@ object PlanAudit {
     "q77_bigram_lm" -> 4,
     // repartition → per-dim stats agg → broadcast back → per-dim error
     // agg → sort; every shuffle is |dims|- or |corpus·dims|-narrow
-    "q78_embedding_quantize" -> 5).withDefaultValue(3)
+    "q78_embedding_quantize" -> 5,
+    // per-batch max agg → single-partition exchange for the (tiny,
+    // |batches|-row) running-max window → 15-min rollup → sort
+    "q83_late_data" -> 4).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -78,6 +84,12 @@ object PlanAudit {
           n.contains("FileScan") && n.contains("PushedFilters: []"))
       }
       if (badPush && !allowUnpushed(name)) issues += "unpushed-scan-filter"
+      // an unpartitioned window serializes the whole relation through one
+      // task — only legal over a provably tiny relation (q83's per-batch
+      // maxima: |batches| rows, bounded by stream duration, not volume)
+      val globalWindow = plan.linesIterator.exists(l =>
+        l.contains("Window ") && l.contains("], [], ["))
+      if (globalWindow && !allowGlobalWindow(name)) issues += "unpartitioned-window"
       val tag = { val i = issues.result(); if (i.isEmpty) "OK  " else { warns += 1; "WARN" } }
       println(f"$tag $name%-26s shuffles=$exchanges%-2d ${issues.result().mkString(", ")}")
     }
