@@ -14,6 +14,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // single-file test tables: split scans so map work parallelizes
+      // (SURVEY §5 — at cluster scale the 128 MB default is correct)
+      .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

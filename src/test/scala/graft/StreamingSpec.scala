@@ -38,6 +38,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == 3)
   }
 
+  test("append-mode window agg emits only watermark-closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)] // (ts_us, value)
+    val t0 = 1000000L * us
+    ms.addData((t0, 1.0), (t0 + 60L * us, 2.0))
+    val agg = ms
+      .toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("value"))
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(sum(col("value")).as("v"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("append_out")
+      .start()
+    q.processAllAvailable()
+    // first batch: watermark still below the window end → nothing emitted
+    assert(spark.table("append_out").count() == 0, "window emitted before watermark closed it")
+    // an event 40 min later pushes the watermark past the first window
+    ms.addData((t0 + 2400L * us, 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("append_out").collect()
+    assert(rows.length == 1, s"exactly the closed window should emit, got ${rows.length}")
+    assert(rows.head.getAs[Double]("v") == 3.0)
+  }
+
   test("streaming dropDuplicates dedups within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
