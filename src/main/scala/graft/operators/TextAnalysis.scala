@@ -118,11 +118,16 @@ object TextAnalysis extends QueryModule {
     withWords(t)
       .withColumn(
         "fingerprint",
+        // CASE guard: sequence(1, n) runs DESCENDING for n < 1 (a <3-word
+        // doc), which would touch index 0 and fault under ANSI; such docs
+        // have no shingles so their fingerprint is null
         expr(
-          """array_min(transform(sequence(1, size(words) - 2),
-            |  i -> md5(concat(element_at(words, i), ' ',
-            |                  element_at(words, i + 1), ' ',
-            |                  element_at(words, i + 2)))))""".stripMargin))
+          """CASE WHEN size(words) >= 3 THEN
+            |  array_min(transform(sequence(1, size(words) - 2),
+            |    i -> md5(concat(element_at(words, i), ' ',
+            |                    element_at(words, i + 1), ' ',
+            |                    element_at(words, i + 2)))))
+            |ELSE NULL END""".stripMargin))
       .select(col("doc_id"), col("fingerprint"))
       .orderBy(col("doc_id"))
 
@@ -189,6 +194,10 @@ object TextAnalysis extends QueryModule {
     */
   private def q77(t: Tables): DataFrame = {
     val pairs = withWords(t)
+      // guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] for a
+      // single-word doc — index 0 then faults under ANSI. Such docs have
+      // no bigrams; dropping them mirrors the oracle's empty range(1, 1).
+      .filter(size(col("words")) >= 2)
       .select(
         explode(
           expr(
@@ -223,8 +232,15 @@ object TextAnalysis extends QueryModule {
       .partitionBy(col("source"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // floor at one token: an empty document still occupies a slot, and the
+    // running sum stays ≥ 1 so the integer bin floor-division can never see
+    // a non-positive argument (Spark div truncates, DuckDB // floors — they
+    // disagree below zero)
     t.documents
-      .select(col("doc_id"), col("source"), expr("CAST((n_chars + 3) div 4 AS BIGINT)").as("toks"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr("CAST(greatest((n_chars + 3) div 4, 1) AS BIGINT)").as("toks"))
       .withColumn("cum", sum(col("toks")).over(bySrc))
       .withColumn("bin", expr(s"CAST((cum - 1) div $Cap AS BIGINT)"))
       .groupBy(col("source"), col("bin"))
@@ -338,7 +354,7 @@ object TextAnalysis extends QueryModule {
          |FROM g GROUP BY source, reason ORDER BY source, reason""".stripMargin,
     "q80_seq_pack" ->
       """WITH d AS (
-        | SELECT doc_id, source, CAST((n_chars + 3) // 4 AS BIGINT) AS toks FROM documents),
+        | SELECT doc_id, source, CAST(greatest((n_chars + 3) // 4, 1) AS BIGINT) AS toks FROM documents),
         | c AS (
         | SELECT source, toks,
         |  sum(toks) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
