@@ -241,7 +241,36 @@ object CatalogOps extends QueryModule {
       .orderBy(col("dataset_id"), col("at_us"), col("event_id"))
   }
 
+  /** Version-retention GC planning — the maintenance pass a lake that
+    * keeps every dataset version (reference `dataset_versions/create.py`
+    * appends forever; `datasets/delete.py` only deletes whole datasets)
+    * eventually needs: keep the newest K versions per dataset, report what
+    * the rest would reclaim. One window over the (dataset, version-time)
+    * log — the same single shuffle as the q22 latest-pointer — then a
+    * per-dataset rollup of the tail. Nothing is deleted here; the output
+    * is the GC work list (which is exactly how a 100 TB lake runs it:
+    * plan as a query, execute as a storage batch job).
+    */
+  private def q85(t: Tables): DataFrame = {
+    val Keep = 3
+    val byDataset = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("vrank", row_number().over(byDataset))
+      .filter(col("vrank") > Keep)
+      .groupBy(col("user_id").as("dataset_id"))
+      .agg(
+        count(lit(1)).as("n_gc_versions"),
+        round(sum(col("value")), 2).as("reclaim_bytes"),
+        min(col("event_id")).as("oldest_version"),
+        max(col("event_id")).as("newest_gc_version"))
+      .orderBy(col("dataset_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_retention_gc" -> ((s, d) => q85(Tables(s, d))),
     "q67_catalog_walk" -> ((s, d) => q67(Tables(s, d))),
     "q68_dataset_upsert" -> ((s, d) => q68(Tables(s, d))),
     "q69_href_rewrite" -> ((s, d) => q69(Tables(s, d))),
@@ -249,6 +278,17 @@ object CatalogOps extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q85_retention_gc" ->
+      """WITH v AS (
+        | SELECT user_id, event_id, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INTEGER) AS vrank
+        | FROM events)
+        |SELECT user_id AS dataset_id, count(*) AS n_gc_versions,
+        | round(sum(value), 2) AS reclaim_bytes,
+        | min(event_id) AS oldest_version,
+        | max(event_id) AS newest_gc_version
+        |FROM v WHERE vrank > 3
+        |GROUP BY user_id ORDER BY dataset_id""".stripMargin,
     "q67_catalog_walk" ->
       """WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
         | tree AS (

@@ -78,6 +78,18 @@ class CatalogOpsSpec extends AnyFunSuite {
     assert(kept > 0, "no vector kept its cluster — metric is broken")
   }
 
+  test("retention GC keeps exactly the newest 3 versions per dataset") {
+    val t = Tables(spark, sf)
+    val rows = SparkEntry.queries("q85_retention_gc")(spark, sf).collect()
+    val versionsPerDataset = t.events.groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reported = rows.map(r => r.getAs[Long]("dataset_id") -> r.getAs[Long]("n_gc_versions")).toMap
+    versionsPerDataset.foreach { case (ds, n) =>
+      if (n > 3) assert(reported.get(ds).contains(n - 3), s"dataset $ds: $n versions")
+      else assert(!reported.contains(ds), s"dataset $ds with $n versions must not GC")
+    }
+  }
+
   test("PII scrub redacts every injected email, phone, and URL") {
     val rows = SparkEntry.queries("q72_pii_scrub")(spark, sf).collect()
     rows.foreach { r =>
