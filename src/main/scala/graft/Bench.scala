@@ -37,6 +37,10 @@ object Bench {
     // last 2000 chars of stdout, and the full-name line (~3.4 KB for 72
     // queries) was truncated mid-line and never parsed (BENCH_r01/r02
     // "parsed": null).
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    require(
+      prefixes.distinct.length == prefixes.length,
+      "duplicate qNN prefix would silently drop a timing from the JSON line")
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000
     }.mkString("{", ",", "}")

@@ -31,6 +31,10 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
     val futures = todo.map { case (name, fn) =>
       scala.concurrent.Future {
+        // FAIR scheduling applies BETWEEN pools and the default pool is
+        // FIFO inside — each query needs its own pool or a long job
+        // submitted first still starves the rest
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")

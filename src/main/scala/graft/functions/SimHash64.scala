@@ -24,13 +24,23 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(s"simhash64 needs a string input, got ${child.dataType}")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // also null for a zero-token (empty/whitespace-only) document — a
+  // simhash of "no tokens" is not 0L (that would collide every empty doc
+  // into one all-blocks bucket); null drops the doc from blocking, which
+  // is what the q63 oracle's WHERE w <> '' does
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =
-    SimHashImpl.compute(input.asInstanceOf[UTF8String])
+    SimHashImpl.computeOrNull(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("simhash")
+      s"""java.lang.Long $tmp = graft.functions.SimHashImpl.computeOrNull($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -40,6 +50,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 object SimHashImpl {
   private final val FnvOffset = 0xcbf29ce484222325L
   private final val FnvPrime = 0x100000001b3L
+
+  /** Null for a zero-token input (see SimHash64.nullable), else the hash. */
+  def computeOrNull(s: UTF8String): java.lang.Long = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length && bytes(i) == ' ') i += 1
+    if (i == bytes.length) null else java.lang.Long.valueOf(compute(s))
+  }
 
   def compute(s: UTF8String): Long = {
     val bytes = s.getBytes

@@ -145,7 +145,9 @@ object CatalogOps extends QueryModule {
         t.documents
           .filter(col("doc_id") % 10 === 7)
           .select(
-            (col("doc_id") + 1000000).as("dataset_key"),
+            // negative namespace: disjoint from real doc_id keys at ANY corpus
+            // size (an additive offset collides once doc_id exceeds it)
+            (-(col("doc_id") + 1)).as("dataset_key"),
             concat(lit("new-"), col("source")).as("title"),
             lit(1).as("revision"),
             lit("change").as("origin")))
@@ -299,7 +301,7 @@ object CatalogOps extends QueryModule {
         |  UNION ALL
         |  SELECT doc_id, (doc_id - 1) // 2 FROM docs WHERE doc_id % 17 = 0 AND doc_id > 0),
         | walk(node_id, depth) AS (
-        |  SELECT CAST(0 AS BIGINT) AS node_id, 0 AS depth
+        |  SELECT CAST(doc_id AS BIGINT) AS node_id, 0 AS depth FROM docs WHERE doc_id = 0
         |  UNION
         |  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.node_id
         |  WHERE w.depth < 64)
@@ -313,7 +315,7 @@ object CatalogOps extends QueryModule {
         |  SELECT doc_id AS dataset_key, source || '-v2' AS title, 2 AS revision
         |  FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'new-' || source, 1 FROM documents WHERE doc_id % 10 = 7)
+        |  SELECT -(doc_id + 1), 'new-' || source, 1 FROM documents WHERE doc_id % 10 = 7)
         |SELECT coalesce(c.dataset_key, b.dataset_key) AS dataset_key,
         | coalesce(c.title, b.title) AS title,
         | coalesce(c.revision, b.revision) AS revision,

@@ -430,11 +430,18 @@ object Dedup extends QueryModule {
         .map(k =>
           s"SELECT doc_id, simhash, $k AS blk, CAST((hu // ${BigInt(1) << (16 * k)}::HUGEINT) % 65536 AS BIGINT) AS bval FROM sims2")
         .mkString("\n  UNION ALL\n  ")
+      // the kernel folds raw UTF-8 BYTES; ascii() would fold code points
+      // and diverge on any non-ASCII token, so the oracle walks the hex
+      // encoding of each word byte-by-byte (hex() emits uppercase)
+      val uhex = (c: String) =>
+        s"(CASE WHEN ascii($c) >= 65 THEN ascii($c) - 55 ELSE ascii($c) - 48 END)"
       s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         | wx AS (SELECT doc_id, hex(encode(w)) AS hx FROM words WHERE w <> ''),
          | hv AS (SELECT doc_id, list_reduce(
          |   [14695981039346656037::HUGEINT] ||
-         |     list_transform(range(1, len(w) + 1), i -> ascii(substr(w, i, 1))::HUGEINT),
-         |   $fnvFold) AS hu FROM words WHERE w <> ''),
+         |     list_transform(range(1, len(hx) // 2 + 1),
+         |       i -> (${uhex("substr(hx, 2*i-1, 1)")} * 16 + ${uhex("substr(hx, 2*i, 1)")})::HUGEINT),
+         |   $fnvFold) AS hu FROM wx),
          | bits AS (SELECT doc_id, count(*) AS nw,
          |  $ones64
          | FROM hv GROUP BY doc_id),

@@ -133,8 +133,12 @@ object Similarity extends QueryModule {
     * and plan shape stay the same; only the exactness guarantee (needed
     * here for the cross-engine oracle) is quantization's job.
     */
-  private def q71(t: Tables): DataFrame = {
-    val ev = t.embeddings
+  /** Integer-quantized (vec_id, label, dim, q) exploded view — the shared
+    * exactness contract of q71/q74/q78 (one expression tree, mirrored by
+    * the `duckEv` oracle fragment below).
+    */
+  private def quantizedEv(t: Tables): DataFrame =
+    t.embeddings
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(
@@ -142,9 +146,17 @@ object Similarity extends QueryModule {
         col("label"),
         col("dim"),
         floor(col("v").cast("double") * 1000).cast("long").as("q"))
-    val cent = ev
-      .groupBy(col("label").as("clabel"), col("dim").as("cdim"))
+
+  /** Per-(cluster, dim) centroid sums over the quantized view — shared by
+    * the q71 Lloyd step and the q74 probe scoring.
+    */
+  private def centroidsOf(ev: DataFrame): DataFrame =
+    ev.groupBy(col("label").as("clabel"), col("dim").as("cdim"))
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+
+  private def q71(t: Tables): DataFrame = {
+    val ev = quantizedEv(t)
+    val cent = centroidsOf(ev)
     val diff = col("q") * col("cnt") - col("sq")
     val scored = ev
       .join(broadcast(cent), col("dim") === col("cdim"))
@@ -173,17 +185,8 @@ object Similarity extends QueryModule {
     * nprobe/|cells| of the corpus read per query batch.
     */
   private def q74(t: Tables): DataFrame = {
-    val ev = t.embeddings
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .select(
-        col("vec_id"),
-        col("label"),
-        col("dim"),
-        floor(col("v").cast("double") * 1000).cast("long").as("q"))
-    val cent = ev
-      .groupBy(col("label").as("clabel"), col("dim").as("cdim"))
-      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+    val ev = quantizedEv(t)
+    val cent = centroidsOf(ev)
     val qv = ev.filter(col("vec_id") < 10)
     val diff = col("q") * col("cnt") - col("sq")
     val probes = qv
@@ -315,12 +318,7 @@ object Similarity extends QueryModule {
          | CAST(sum(abs(dq - q)) AS BIGINT) AS total_abs_err, count(*) AS n
          |FROM rec GROUP BY dim ORDER BY dim""".stripMargin,
     "q71_kmeans_step" ->
-      s"""WITH ev AS (
-         | SELECT vec_id, label,
-         |  unnest(list_transform(range(1, ${Dim + 1}), i -> CAST(i - 1 AS INTEGER))) AS dim,
-         |  unnest(list_transform(range(1, ${Dim + 1}),
-         |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS q
-         | FROM embeddings),
+      s"""WITH $duckEv,
          | cent AS (
          | SELECT label AS clabel, dim AS cdim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
          | FROM ev GROUP BY label, dim),

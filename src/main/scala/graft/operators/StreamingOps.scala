@@ -98,7 +98,10 @@ object StreamingOps extends QueryModule {
     // assignment parallelizes like any other scan work at 100 TB.
     val ev = t.events
       .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
-      .withColumn("arrival_us", col("us") + expr("(event_id * 2654435761) % 97") * 20000000L)
+      // reduce BEFORE multiplying: event_id * bigconstant would overflow
+      // Long past ~3.5e9 events (Spark wraps, DuckDB errors); 53 is
+      // coprime to 97 so this is still a full permutation of 0..96
+      .withColumn("arrival_us", col("us") + expr("((event_id % 97) * 53 + 17) % 97") * 20000000L)
       .withColumn("batch", expr("arrival_us div 3600000000"))
     val batchMax = ev.groupBy(col("batch")).agg(max(col("us")).as("bmax"))
     val wmW = Window.orderBy(col("batch")).rowsBetween(Window.unboundedPreceding, -1)
@@ -151,7 +154,7 @@ object StreamingOps extends QueryModule {
     "q83_late_data" ->
       """WITH ev AS (
         | SELECT event_id, ts, epoch_us(ts) AS us,
-        |  (epoch_us(ts) + ((event_id * 2654435761) % 97) * 20000000) // 3600000000 AS batch
+        |  (epoch_us(ts) + (((event_id % 97) * 53 + 17) % 97) * 20000000) // 3600000000 AS batch
         | FROM events),
         | bm AS (SELECT batch, max(us) AS bmax FROM ev GROUP BY batch),
         | wm AS (

@@ -89,9 +89,12 @@ object TextAnalysis extends QueryModule {
   /** Composite quality score + keep/drop rates per source. The score is a
     * fixed expression tree so both engines produce bit-identical doubles.
     */
-  private def q33(t: Tables): DataFrame =
-    withWords(t)
-      .withColumn("n_words", size(col("words")))
+  /** The composite quality score over a words'd frame — ONE expression
+    * tree shared by q33 and the q84 gate (and mirrored verbatim in both
+    * oracles), so the two operators cannot drift.
+    */
+  private def withQualityScore(df: DataFrame): DataFrame =
+    df.withColumn("n_words", size(col("words")))
       .withColumn(
         "n_stop",
         size(expr(s"filter(words, w -> w IN ($stopSqlIn))")))
@@ -102,6 +105,21 @@ object TextAnalysis extends QueryModule {
             + (col("n_stop") / col("n_words")) * 2.0
             + when(col("n_chars") >= 100, 0.2).otherwise(0.0),
           4))
+
+  /** The repetition ratio (1 − distinct/total word-3-grams) — shared by
+    * q81 and the q84 gate the same way.
+    */
+  private def withRepRatio(df: DataFrame): DataFrame =
+    df.withColumn("total_sh", greatest(size(col("words")) - 2, lit(0)).cast("long"))
+      .withColumn(
+        "distinct_sh",
+        size(graft.functions.GraftFunctions.shingle_set(col("text"))).cast("long"))
+      .withColumn(
+        "rep_ratio",
+        when(col("total_sh") > 0, lit(1.0) - col("distinct_sh") / col("total_sh")).otherwise(lit(0.0)))
+
+  private def q33(t: Tables): DataFrame =
+    withQualityScore(withWords(t))
       .withColumn("keep", col("score") >= 0.45)
       .groupBy(col("source"))
       .agg(
@@ -260,14 +278,7 @@ object TextAnalysis extends QueryModule {
     * scan — no explode, no shuffle before the per-source rollup.
     */
   private def q81(t: Tables): DataFrame =
-    withWords(t)
-      .withColumn("total_sh", greatest(size(col("words")) - 2, lit(0)).cast("long"))
-      .withColumn(
-        "distinct_sh",
-        size(graft.functions.GraftFunctions.shingle_set(col("text"))).cast("long"))
-      .withColumn(
-        "rep_ratio",
-        when(col("total_sh") > 0, lit(1.0) - col("distinct_sh") / col("total_sh")).otherwise(lit(0.0)))
+    withRepRatio(withWords(t))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -284,23 +295,7 @@ object TextAnalysis extends QueryModule {
     * is what lets a 100 TB pipeline explain WHERE its yield went.
     */
   private def q84(t: Tables): DataFrame =
-    withWords(t)
-      .withColumn("n_words", size(col("words")))
-      .withColumn("n_stop", size(expr(s"filter(words, w -> w IN ($stopSqlIn))")))
-      .withColumn(
-        "score",
-        round(
-          least(col("n_words") / lit(100.0), lit(1.0)) * 0.5
-            + (col("n_stop") / col("n_words")) * 2.0
-            + when(col("n_chars") >= 100, 0.2).otherwise(0.0),
-          4))
-      .withColumn("total_sh", greatest(size(col("words")) - 2, lit(0)).cast("long"))
-      .withColumn(
-        "distinct_sh",
-        size(graft.functions.GraftFunctions.shingle_set(col("text"))).cast("long"))
-      .withColumn(
-        "rep_ratio",
-        when(col("total_sh") > 0, lit(1.0) - col("distinct_sh") / col("total_sh")).otherwise(lit(0.0)))
+    withRepRatio(withQualityScore(withWords(t)))
       .withColumn(
         "reason",
         when(col("n_chars") < 50, "too_short")

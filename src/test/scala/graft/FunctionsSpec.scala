@@ -15,9 +15,23 @@ class FunctionsSpec extends AnyFunSuite {
     val b = SimHashImpl.compute(UTF8String.fromString("the quick brown fox jumps over the lazy cat"))
     val c = SimHashImpl.compute(UTF8String.fromString("completely different content entirely unrelated"))
     assert(SimHashImpl.hamming(a, b) < SimHashImpl.hamming(a, c))
-    assert(SimHashImpl.compute(UTF8String.fromString("")) == 0L)
     assert(SimHashImpl.compute(UTF8String.fromString("  spaced   out  ")) ==
       SimHashImpl.compute(UTF8String.fromString("spaced out")))
+  }
+
+  test("simhash64 edge semantics: null for zero tokens, UTF-8 bytes hashed") {
+    import spark.implicits._
+    // zero-token docs drop out of blocking (null), matching the oracle's
+    // WHERE w <> '' — not 0L, which would bucket every empty doc together
+    assert(SimHashImpl.computeOrNull(UTF8String.fromString("")) == null)
+    assert(SimHashImpl.computeOrNull(UTF8String.fromString("   ")) == null)
+    val viaColumn = Seq("", "   ", "café").toDF("text")
+      .select(GraftFunctions.simhash64(col("text")).as("sh")).collect()
+    assert(viaColumn(0).isNullAt(0) && viaColumn(1).isNullAt(0))
+    // a single token's simhash IS its FNV-1a-64 over UTF-8 BYTES (majority
+    // of one vote); 'café' = 63 61 66 c3 a9 — the value below is the
+    // byte-fold, distinct from a code-point fold, pinning oracle parity
+    assert(viaColumn(2).getLong(0) == 5253592154431032713L)
   }
 
   test("simhash64 Column API runs under codegen over the documents table") {
