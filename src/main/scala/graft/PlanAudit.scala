@@ -22,9 +22,11 @@ object PlanAudit {
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
   // a from_json-computed structure — inherently unpushable; the scan still
   // prunes to (doc_id, source).
-  // q76's token <> '' filter sits above an explode of a computed split —
-  // nothing exists at the scan to push; the scan still prunes to (text).
-  private val allowUnpushed = Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters")
+  // q76's token <> '' filter and q77's size(words) >= 2 guard sit above a
+  // computed split — nothing exists at the scan to push; the scans still
+  // prune to (text) / (doc_id, text).
+  private val allowUnpushed =
+    Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume
   private val allowGlobalWindow = Set("q83_late_data")
