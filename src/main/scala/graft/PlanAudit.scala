@@ -33,6 +33,8 @@ object PlanAudit {
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 4, "q38_ngram_jaccard" -> 7, "q13_set_ops" -> 4,
+    // same candidate-bounded two-key-join shape as q38, minus its filter
+    "q86_minhash_estimate" -> 5,
     "q29_version_diff" -> 6, "q42_ann_sign_lsh" -> 4,
     // union-of-distincts + anti join (populate_catalog shape)
     "q58_catalog_merge" -> 5,

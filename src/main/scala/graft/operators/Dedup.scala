@@ -125,6 +125,40 @@ object Dedup extends QueryModule {
   private def q38(t: Tables): DataFrame =
     jaccardPairs(t).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Estimator audit: the minhash band-agreement rate (n_shared_bands /
+    * Bands — each band signature is an independent 1-permutation minhash,
+    * so agreement probability ≈ Jaccard) against the exact shingle-set
+    * Jaccard, per LSH candidate pair. This is the calibration query an
+    * LSH deployment runs before trusting its thresholds at 100 TB: same
+    * candidate-bounded cost shape as q38, with the absolute estimator
+    * error alongside.
+    */
+  private def q86(t: Tables): DataFrame = {
+    val arrs = t.documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
+      .withColumn("nsh", size(col("arr")).cast("long"))
+    val cand = lshCandidates(t)
+    cand
+      .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("shared", size(array_intersect(col("a.arr"), col("b.arr"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        when(
+          col("a.nsh") + col("b.nsh") > col("shared"),
+          col("shared") / (col("a.nsh") + col("b.nsh") - col("shared"))))
+      .filter(col("jaccard").isNotNull)
+      .withColumn("est_jaccard", col("n_shared_bands") / lit(Bands.toDouble))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"),
+        round(col("jaccard"), 4).as("jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 4).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // -- simhash: 16-bit, bit-majority over token md5s -------------------
   // The arithmetic is generated once and rendered to BOTH engines so the
   // semantics cannot drift. (A native 64-bit Catalyst Expression variant
@@ -353,6 +387,7 @@ object Dedup extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_minhash_estimate" -> ((s, d) => q86(Tables(s, d))),
     "q79_dedup_report" -> ((s, d) => q79(Tables(s, d))),
     "q75_decontaminate" -> ((s, d) => q75(Tables(s, d))),
     "q63_simhash_pairs" -> ((s, d) => q63(Tables(s, d))),
@@ -402,6 +437,37 @@ object Dedup extends QueryModule {
        |  WHERE shared / (sa.nsh + sb.nsh - shared) >= 0.5)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q86_minhash_estimate" ->
+      s"""WITH w AS ($duckWords),
+         | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),
+         | sh AS (SELECT doc_id, $duckHashes AS hashes FROM shl),
+         | sigs AS (
+         | $duckShingleArms
+         | ),
+         | cand AS (
+         |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_shared_bands
+         |  FROM sigs s1 JOIN sigs s2
+         |   ON s1.band = s2.band AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id
+         |  GROUP BY 1, 2),
+         | shx AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),
+         | sizes AS (SELECT doc_id, count(*) AS nsh FROM shx GROUP BY doc_id),
+         | ps AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |  FROM cand c
+         |  JOIN shx a ON a.doc_id = c.doc_a
+         |  JOIN shx b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         | f AS (
+         |  SELECT c.doc_a, c.doc_b, c.n_shared_bands, coalesce(p.shared, 0) AS shared
+         |  FROM cand c LEFT JOIN ps p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
+         |SELECT f.doc_a, f.doc_b,
+         | round(n_shared_bands / ${Bands}.0, 4) AS est_jaccard,
+         | round(shared / (sa.nsh + sb.nsh - shared), 4) AS jaccard,
+         | round(abs(n_shared_bands / ${Bands}.0 - shared / (sa.nsh + sb.nsh - shared)), 4) AS abs_err
+         |FROM f
+         |JOIN sizes sa ON sa.doc_id = f.doc_a
+         |JOIN sizes sb ON sb.doc_id = f.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q75_decontaminate" ->
       s"""WITH w AS ($duckWords),
          | shx AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),

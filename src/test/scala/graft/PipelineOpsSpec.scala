@@ -166,6 +166,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gateKept <= q33Kept)
   }
 
+  test("minhash estimator calibration is a valid, informative audit") {
+    val rows = SparkEntry.queries("q86_minhash_estimate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val j = r.getAs[Double]("jaccard")
+      assert(est >= 0.0 && est <= 1.0 && j >= 0.0 && j <= 1.0)
+      assert(math.abs(r.getAs[Double]("abs_err") - math.abs(est - j)) < 1e-3)
+    }
+    // the estimator must carry signal: mean error well below chance
+    val meanErr = rows.map(_.getAs[Double]("abs_err")).sum / rows.length
+    assert(meanErr < 0.4, f"mean |est - jaccard| = $meanErr%.3f")
+  }
+
   test("int8 quantization error is bounded by the step size") {
     val rows = SparkEntry.queries("q78_embedding_quantize")(spark, sf).collect()
     assert(rows.length == 64)
