@@ -35,7 +35,11 @@ object PlanAudit {
     "q37_lsh_pairs" -> 4, "q38_ngram_jaccard" -> 7, "q13_set_ops" -> 4,
     // same candidate-bounded two-key-join shape as q38, minus its filter
     "q86_minhash_estimate" -> 5,
-    "q29_version_diff" -> 6, "q42_ann_sign_lsh" -> 4,
+    "q29_version_diff" -> 6,
+    // candidate-bounded union-of-K-projections (q38's shape): slim bucket
+    // self-join + pair distinct + two vector-fetch key joins + top-k sort;
+    // every exchange is pair- or corpus-linear, never pair×vector-width
+    "q42_ann_sign_lsh" -> 8,
     // union-of-distincts + anti join (populate_catalog shape)
     "q58_catalog_merge" -> 5,
     // repartition + block self-join + pair-distinct + output sort

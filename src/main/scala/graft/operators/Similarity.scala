@@ -57,33 +57,56 @@ object Similarity extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Sign bits for the q42 LSH bucket. Bucket count = 2^SignBits, so pair
-    * work in the bucketed self-join is ~corpus²/2^SignBits: at 100 TB size
-    * this to keep expected bucket occupancy bounded (n vectors → use
-    * ~log2(n/target_occupancy) bits, 16+ for billions of rows; recall is
-    * then recovered by multi-probing neighbor buckets or unioning several
-    * independent sign projections, exactly like q37's minhash bands).
+  /** Sign-LSH tuning, runtime-configurable (no recompile at scale):
+    *
+    *   - `graft.ann.signBits` (default 8): bucket count = 2^bits, so pair
+    *     work in the bucketed self-join is ~corpus²/2^bits. At 100 TB set
+    *     ~log2(n/target_occupancy) — 16+ bits for billions of rows.
+    *   - `graft.ann.signProjections` (default 2): K independent sign
+    *     projections whose candidate sets are unioned, exactly like q37's
+    *     minhash bands — raising bits cuts per-bucket cost, raising K
+    *     recovers the recall that sharper buckets lose.
+    *
+    * Each projection p reads its own coordinate window (dims p·bits+1 …
+    * p·bits+bits, mod Dim) — an axis-aligned random-hyperplane family,
+    * deterministic so the oracle renders the identical bit layout.
     */
-  private val SignBits = 8
+  private val DefaultSignBits = 8
+  private val DefaultSignProjections = 2
 
-  // coordinate-sign bucket (an axis-aligned random-hyperplane LSH),
-  // generated once for both engines from the same bit layout
-  private def signBucket(elem: Int => String): String =
-    (0 until SignBits)
-      .map(i => s"(CASE WHEN ${elem(i + 1)} >= 0 THEN ${1 << (SignBits - 1 - i)} ELSE 0 END)")
+  private def signBucket(elem: Int => String, bits: Int, proj: Int): String =
+    (0 until bits)
+      .map { i =>
+        val dim = (proj * bits + i) % Dim + 1
+        s"(CASE WHEN ${elem(dim)} >= 0 THEN ${1 << (bits - 1 - i)} ELSE 0 END)"
+      }
       .mkString(" +\n")
-  private val bucketSpark = signBucket(i => s"element_at(v, $i)")
 
-  /** Sign-LSH ANN: bucket on coordinate signs, search only within the
-    * bucket. Shuffles both sides on bucket — corpus²/2^SignBits pair work.
+  /** Sign-LSH ANN, candidate-bounded (q38's shape): slim (proj, bucket,
+    * vec_id) rows self-join per projection, candidate pairs dedup across
+    * projections, and only then do two key-joins fetch the vectors for the
+    * cosine pass — a hot bucket never drags 2·|v| floats per pair through
+    * the shuffle, and pair work is Θ(Σ bucket²) over K·2^bits buckets.
     */
   private def q42(t: Tables): DataFrame = {
-    val e = vectors(t).withColumn("bucket", expr(bucketSpark))
-    val a = e.select(col("bucket"), col("vec_id").as("qid"), col("v").as("qv"))
-    val b = e.select(col("bucket").as("b_bucket"), col("vec_id"), col("v"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
-    a.join(b, col("bucket") === col("b_bucket"))
+    val bits = t.spark.conf.get("graft.ann.signBits", DefaultSignBits.toString).toInt
+    val projs = t.spark.conf.get("graft.ann.signProjections", DefaultSignProjections.toString).toInt
+    require(bits >= 1 && bits <= 30, s"graft.ann.signBits out of range: $bits")
+    require(projs >= 1 && projs <= Dim, s"graft.ann.signProjections out of range: $projs")
+    val e = vectors(t)
+    val bucketCols = (0 until projs).map(p => expr(signBucket(i => s"element_at(v, $i)", bits, p)))
+    val keyed = e.select(col("vec_id"), posexplode(array(bucketCols: _*)).as(Seq("proj", "bucket")))
+    val cand = keyed
+      .join(
+        keyed.select(col("proj").as("p2"), col("bucket").as("b2"), col("vec_id").as("qid")),
+        col("proj") === col("p2") && col("bucket") === col("b2"))
       .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    cand
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
       .withColumn("cos_sim", round(cosine_sim(col("qv"), col("v")), 6))
       .withColumn("nn_rank", row_number().over(w))
       .filter(col("nn_rank") <= 3)
@@ -264,7 +287,11 @@ object Similarity extends QueryModule {
        |   sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> v[i] * v[i]))) AS nrm FROM e)""".stripMargin
   private def duckDot(a: String, b: String) =
     s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
-  private val duckBucket = signBucket(i => s"v[$i]")
+  // oracle renders the conf-default projection family; a non-default conf
+  // changes candidate recall at runtime without a recompile (spec-covered)
+  private val duckBuckets = (0 until DefaultSignProjections)
+    .map(p => s"SELECT vec_id, $p AS proj, ${signBucket(i => s"v[$i]", DefaultSignBits, p)} AS bucket FROM n")
+    .mkString("\n  UNION ALL\n  ")
 
   // shared integer-quantized (vec_id, label, dim, q) CTE for q71/q74/q78
   private val duckEv =
@@ -355,10 +382,14 @@ object Similarity extends QueryModule {
          |ORDER BY id_a, id_b""".stripMargin,
     "q42_ann_sign_lsh" ->
       s"""WITH $duckVectors,
-         | eb AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM n),
-         | c AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
-         |   round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
-         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         | eb AS (
+         |  $duckBuckets),
+         | cand AS (
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM eb a JOIN eb b ON a.proj = b.proj AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         | c AS (SELECT cand.qid, cand.nid AS neighbor_id,
+         |   round(${duckDot("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS cos_sim
+         |  FROM cand JOIN n q ON q.vec_id = cand.qid JOIN n x ON x.vec_id = cand.nid),
          | r AS (SELECT qid AS query_id, neighbor_id, cos_sim,
          |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS nn_rank
          |  FROM c)

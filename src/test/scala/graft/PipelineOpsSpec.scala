@@ -190,4 +190,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("total_abs_err") <= n * step, s"dim ${r.getAs[Int]("dim")}")
     }
   }
+
+  test("q42 sign-LSH is runtime-tunable and projections/bits behave monotonically") {
+    def run(bits: Int, projs: Int): Array[org.apache.spark.sql.Row] = {
+      spark.conf.set("graft.ann.signBits", bits.toString)
+      spark.conf.set("graft.ann.signProjections", projs.toString)
+      try SparkEntry.queries("q42_ann_sign_lsh")(spark, sf).collect()
+      finally {
+        spark.conf.unset("graft.ann.signBits")
+        spark.conf.unset("graft.ann.signProjections")
+      }
+    }
+    def pairs(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def bestSim(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
+      rows.filter(_.getAs[Int]("nn_rank") == 1)
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cos_sim")).toMap
+    val k1 = run(8, 1)
+    val k2 = run(8, 2) // conf default — must match the oracle family
+    // unioning a second projection can only add candidates, so each query's
+    // rank-1 similarity is non-decreasing and no query disappears
+    assert(pairs(k2).nonEmpty && bestSim(k1).keySet.subsetOf(bestSim(k2).keySet))
+    bestSim(k1).foreach { case (q, s1) => assert(bestSim(k2)(q) >= s1 - 1e-9, s"query $q") }
+    // the same coordinate window at fewer bits is a coarser partition of the
+    // same projection, so its candidate pool is a superset: rank-1 quality
+    // at 4 bits dominates 8 bits for the shared queries (K=1)
+    val c4 = run(4, 1)
+    bestSim(k1).foreach { case (q, s8) => assert(bestSim(c4)(q) >= s8 - 1e-9, s"query $q") }
+    // a non-default config that changes the bucket family entirely still runs
+    assert(run(12, 3).nonEmpty)
+  }
 }
