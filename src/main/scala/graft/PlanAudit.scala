@@ -32,9 +32,9 @@ object PlanAudit {
   private val allowGlobalWindow = Set("q83_late_data")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
-    "q37_lsh_pairs" -> 4, "q38_ngram_jaccard" -> 7, "q13_set_ops" -> 4,
+    "q37_lsh_pairs" -> 3, "q38_ngram_jaccard" -> 6, "q13_set_ops" -> 4,
     // same candidate-bounded two-key-join shape as q38, minus its filter
-    "q86_minhash_estimate" -> 5,
+    "q86_minhash_estimate" -> 4,
     "q29_version_diff" -> 6,
     // candidate-bounded union-of-K-projections (q38's shape): slim bucket
     // self-join + pair distinct + two vector-fetch key joins + top-k sort;
@@ -42,27 +42,26 @@ object PlanAudit {
     "q42_ann_sign_lsh" -> 8,
     // union-of-distincts + anti join (populate_catalog shape)
     "q58_catalog_merge" -> 5,
-    // repartition + block self-join + pair-distinct + output sort
-    "q63_simhash_pairs" -> 5,
+    // block self-join + pair-distinct + output sort
+    "q63_simhash_pairs" -> 4,
     // explode→centroid agg→broadcast join→pair agg→argmin window→sort;
     // every shuffle is narrow (|labels|·|dims|, then |vecs|·|labels| rows)
-    "q71_kmeans_step" -> 5,
+    "q71_kmeans_step" -> 4,
     // centroid agg → probe scoring agg → probe-rank window → neighbor
     // top-k window → sort; probe list and queries broadcast, so all five
     // exchanges move |queries|- or |labels|-scale rows, never the corpus
     "q74_ivf_multiprobe" -> 5,
-    // repartition → eval-shingle freq agg (hot cap) → anti-join →
-    // pair agg → sort; each keyed on shingle or pair, linear in corpus
-    "q75_decontaminate" -> 5,
-    // corpus hash window + component join + source rollup + sort, plus
-    // the q62 edge materialization's repartition — the loop itself runs
-    // on checkpointed edges outside this plan
+    // eval-shingle freq agg (hot cap) → anti-join → pair agg → sort;
+    // each keyed on shingle or pair, linear in corpus
+    "q75_decontaminate" -> 4,
+    // corpus hash window + component join + source rollup + sort —
+    // the q62 loop itself runs on checkpointed edges outside this plan
     "q79_dedup_report" -> 5,
-    // repartition → bigram pair agg → w1 window marginal → sort
-    "q77_bigram_lm" -> 4,
-    // repartition → per-dim stats agg → broadcast back → per-dim error
-    // agg → sort; every shuffle is |dims|- or |corpus·dims|-narrow
-    "q78_embedding_quantize" -> 5,
+    // bigram pair agg → w1 window marginal → sort
+    "q77_bigram_lm" -> 3,
+    // per-dim stats agg → broadcast back → per-dim error agg → sort;
+    // every shuffle is |dims|- or |corpus·dims|-narrow
+    "q78_embedding_quantize" -> 4,
     // per-batch max agg → single-partition exchange for the (tiny,
     // |batches|-row) running-max window → 15-min rollup → sort
     "q83_late_data" -> 4).withDefaultValue(3)

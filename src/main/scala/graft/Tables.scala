@@ -36,6 +36,22 @@ final case class Tables(spark: SparkSession, dir: String) {
   def embeddings: DataFrame = t("embeddings")
 }
 
+object Tables {
+  /** Local-mode crutch, OFF by default: a single parquet file arrives as
+    * one scan partition on local[n], serializing lambda-heavy map work —
+    * `graft.local.split=true` buys back parallelism with an explicit
+    * repartition. At cluster scale the scan's own splitting
+    * (`spark.sql.files.maxPartitionBytes`) already parallelizes, and an
+    * unconditional corpus-wide repartition would be a full extra shuffle
+    * before map-side work that needs no co-partitioning — so the default
+    * plan carries no exchange here. Bench/Time instead split local scans
+    * via maxPartitionBytes=2m.
+    */
+  def localSplit(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    if (df.sparkSession.conf.get("graft.local.split", "false").toBoolean) df.repartition(key)
+    else df
+}
+
 /** A bundle of named queries plus their DuckDB oracle SQL. SparkEntry
   * assembles the full inventory from these (SURVEY.md §2).
   */

@@ -53,8 +53,7 @@ object Dedup extends QueryModule {
     * interpreted array passes. Entirely map-side (zero shuffle).
     */
   private def q36(t: Tables): DataFrame = {
-    val base = t.documents
-      .repartition(col("doc_id"))
+    val base = Tables.localSplit(t.documents, col("doc_id"))
       .withColumn("sigs", graft.functions.GraftFunctions.minhash_sigs(col("text"), Bands))
     val cols = (0 until Bands).map(b => element_at(col("sigs"), b + 1).as(s"sig_$b"))
     base.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
@@ -72,8 +71,7 @@ object Dedup extends QueryModule {
     // (band, sig) rows straight off the kernel array via posexplode —
     // same values q36 widens into sig_b columns, minus q36's per-band
     // projection and presentation sort
-    val narrow = t.documents
-      .repartition(col("doc_id"))
+    val narrow = Tables.localSplit(t.documents, col("doc_id"))
       .select(
         col("doc_id"),
         posexplode(graft.functions.GraftFunctions.minhash_sigs(col("text"), Bands))
@@ -102,8 +100,7 @@ object Dedup extends QueryModule {
     * the two joins move candidate-count·|shingles| bytes, not corpus².
     */
   private def jaccardPairs(t: Tables): DataFrame = {
-    val arrs = t.documents
-      .repartition(col("doc_id"))
+    val arrs = Tables.localSplit(t.documents, col("doc_id"))
       .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
       .withColumn("nsh", size(col("arr")).cast("long"))
     val cand = lshCandidates(t).select(col("doc_a"), col("doc_b"))
@@ -134,8 +131,7 @@ object Dedup extends QueryModule {
     * error alongside.
     */
   private def q86(t: Tables): DataFrame = {
-    val arrs = t.documents
-      .repartition(col("doc_id"))
+    val arrs = Tables.localSplit(t.documents, col("doc_id"))
       .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
       .withColumn("nsh", size(col("arr")).cast("long"))
     val cand = lshCandidates(t)
@@ -181,8 +177,7 @@ object Dedup extends QueryModule {
       .mkString(" + ") + " AS BIGINT)"
 
   private def q39(t: Tables): DataFrame = {
-    val words = t.documents
-      .repartition(col("doc_id"))
+    val words = Tables.localSplit(t.documents, col("doc_id"))
       .withColumn("w", explode(split(col("text"), " ")))
       .select(col("doc_id"), expr(wordVal("substr(md5(w), 1, 4)")).as("v"))
     val aggs = count(lit(1)).as("nw") +: onesExprs("div").map(e => expr(e.replace(" AS ", " AS ")))
@@ -325,8 +320,7 @@ object Dedup extends QueryModule {
     * (`bit_count(a^b)`) prunes block-collision noise.
     */
   private def q63(t: Tables): DataFrame = {
-    val sims = t.documents
-      .repartition(col("doc_id"))
+    val sims = Tables.localSplit(t.documents, col("doc_id"))
       .select(col("doc_id"), graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"))
     val blockArgs = (0 until 4)
       .map(k => s"$k, CAST(shiftrightunsigned(simhash, ${16 * k}) & 65535 AS BIGINT)")
@@ -364,8 +358,7 @@ object Dedup extends QueryModule {
   private val MinSharedShingles = 2
 
   private def q75(t: Tables): DataFrame = {
-    val shingled = t.documents
-      .repartition(col("doc_id"))
+    val shingled = Tables.localSplit(t.documents, col("doc_id"))
       .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
     val evalSh = shingled
       .filter(col("doc_id") % 97 === 0)

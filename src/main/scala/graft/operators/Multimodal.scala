@@ -94,8 +94,7 @@ object Multimodal extends QueryModule {
     * same plan where the ascii bucket expression sits.
     */
   private def q61(t: Tables): DataFrame =
-    t.documents
-      .repartition(col("doc_id"))
+    Tables.localSplit(t.documents, col("doc_id"))
       .select(
         col("source"),
         posexplode(graft.functions.GraftFunctions.byte_histogram(col("text"))).as(Seq("bin", "cnt")))

@@ -161,8 +161,7 @@ object Similarity extends QueryModule {
     * the `duckEv` oracle fragment below).
     */
   private def quantizedEv(t: Tables): DataFrame =
-    t.embeddings
-      .repartition(col("vec_id"))
+    Tables.localSplit(t.embeddings, col("vec_id"))
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(
         col("vec_id"),
@@ -250,8 +249,7 @@ object Similarity extends QueryModule {
     * the error pass — two narrow shuffles total, nothing quadratic.
     */
   private def q78(t: Tables): DataFrame = {
-    val ev = t.embeddings
-      .repartition(col("vec_id"))
+    val ev = Tables.localSplit(t.embeddings, col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim"), floor(col("v").cast("double") * 1000).cast("long").as("q"))
     val stats = ev.groupBy(col("dim")).agg(min(col("q")).as("mn"), max(col("q")).as("mx"))

@@ -20,10 +20,10 @@ object TextAnalysis extends QueryModule {
 
   // words/doc as a reusable fragment (identical split semantics both engines
   // for single-space-separated corpora).
-  // single-file scan → repartition so the lambda-heavy map work runs
-  // parallel instead of on the one scan partition (see Dedup.withShingles)
+  // map-side only — no repartition by default (Tables.localSplit is the
+  // conf-gated local-mode crutch; at scale the scan split parallelizes)
   private def withWords(t: Tables): DataFrame =
-    t.documents.repartition(col("doc_id")).withColumn("words", split(col("text"), " "))
+    Tables.localSplit(t.documents, col("doc_id")).withColumn("words", split(col("text"), " "))
 
   /** Per-language corpus statistics: doc counts, length distribution,
     * stopword ratio. avg-word-length derived arithmetically from chars so
@@ -170,8 +170,7 @@ object TextAnalysis extends QueryModule {
       lit(" contact user"), col("doc_id").cast("string"),
       lit("@example.com call +1-555-"), col("doc_id").cast("string"),
       lit(" at https://ex.com/u/"), col("doc_id").cast("string"))
-    t.documents
-      .repartition(col("doc_id"))
+    Tables.localSplit(t.documents, col("doc_id"))
       .withColumn("raw", raw)
       .select(
         col("doc_id"),
