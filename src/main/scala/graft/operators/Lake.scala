@@ -253,7 +253,156 @@ object Lake extends QueryModule {
         sum(when(col("k").isNotNull && col("k") < 80, 1L).otherwise(0L)).as("n_valid"))
       .orderBy(col("event_type"))
 
+  // ---------------------------------------------------------------------
+  // q87/q88 — Draft7-fidelity STAC validation, schema-as-data.
+  //
+  // Reference `check_stac_metadata/stac_validators.py:1-103` validates each
+  // metadata document with a jsonschema Draft7Validator over the published
+  // STAC/LINZ schemas. A Draft7 schema is itself data — a set of
+  // (field, keyword, argument) constraints — so the Spark-first rendering
+  // is a RULES RELATION evaluated against every document, not hand-rolled
+  // per-field code: adding a schema row changes validation without a
+  // recompile, exactly like dropping a new schema.json into the store.
+  // Rule rows below carry the STAC 1.0.0 catalog/item-spec keywords the
+  // reference resolves (required/enum on stac_version & type, the
+  // datetime format, numeric gsd ≥ minimum, id pattern).
+  //
+  // The document corpus is synthesized deterministically from `documents`
+  // via ONE shared SQL fragment rendered into both engines (same trick as
+  // q42's bucket layout), so the oracle parses byte-identical JSON.
+
+  /** (rule_id, field, Draft7 keyword, argument). `enum` args are
+    * '|'-separated; `pattern` is anchored, backslash-free regex (identical
+    * dialect subset in Spark and DuckDB); '' = keyword takes no argument.
+    */
+  private val stacRules: Seq[(Int, String, String, String)] = Seq(
+    (1, "id", "required", ""),
+    (2, "id", "pattern", "^item-[0-9]+$"),
+    (3, "stac_version", "required", ""),
+    (4, "stac_version", "enum", "1.0.0|0.9.0"),
+    (5, "type", "enum", "Catalog|Collection|Feature"),
+    (6, "description", "required", ""),
+    (7, "properties.datetime", "pattern",
+      "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}Z$"),
+    (8, "properties.gsd", "type_number", ""),
+    (9, "properties.gsd", "minimum", "10"))
+
+  /** STAC-item-ish JSON per document row, with every failure class the
+    * rules can flag injected on deterministic doc_id strides (missing id,
+    * bad pattern, wrong version, invalid type enum, absent description,
+    * malformed datetime, string-typed / below-minimum gsd).
+    */
+  private val stacDocJson: String =
+    """'{' ||
+      |CASE WHEN doc_id % 23 = 0 THEN ''
+      |     ELSE '"id":"' || CASE WHEN doc_id % 11 = 0 THEN 'Item_' ELSE 'item-' END || doc_id || '",' END ||
+      |CASE WHEN doc_id % 41 = 0 THEN ''
+      |     ELSE '"stac_version":"' || CASE WHEN doc_id % 7 = 0 THEN '2.0-beta' ELSE '1.0.0' END || '",' END ||
+      |'"type":"' || CASE WHEN doc_id % 13 = 0 THEN 'Item'
+      |              WHEN doc_id % 3 = 0 THEN 'Catalog'
+      |              WHEN doc_id % 3 = 1 THEN 'Collection'
+      |              ELSE 'Feature' END || '",' ||
+      |CASE WHEN doc_id % 5 = 0 THEN '' ELSE '"description":"asset ' || doc_id || '",' END ||
+      |'"properties":{"datetime":"' ||
+      |CASE WHEN doc_id % 17 = 0 THEN '2024-13-99'
+      |     ELSE '2024-01-' || lpad('' || (doc_id % 28 + 1), 2, '0') || 'T00:00:00Z' END ||
+      |'","gsd":' ||
+      |CASE WHEN doc_id % 19 = 0 THEN '"high"'
+      |     WHEN doc_id % 29 = 0 THEN '-5'
+      |     ELSE '' || (doc_id % 97) END ||
+      |'}}'""".stripMargin
+
+  /** Draft7 keyword dispatch over (kind, arg, v=extracted value). Keywords
+    * are independent (a null value only fails `required`, matching
+    * jsonschema: absent fields skip type/enum/pattern/minimum checks).
+    * `rlikePredicate` abstracts the one function-name difference between
+    * engines (RLIKE vs regexp_matches).
+    */
+  private def stacDispatch(rlikePredicate: String): String =
+    s"""CASE kind
+       | WHEN 'required' THEN CASE WHEN v IS NULL THEN 1 ELSE 0 END
+       | WHEN 'enum' THEN CASE WHEN v IS NOT NULL
+       |   AND instr('|' || arg || '|', '|' || v || '|') = 0 THEN 1 ELSE 0 END
+       | WHEN 'type_number' THEN CASE WHEN v IS NOT NULL
+       |   AND TRY_CAST(v AS DOUBLE) IS NULL THEN 1 ELSE 0 END
+       | WHEN 'pattern' THEN CASE WHEN v IS NOT NULL
+       |   AND NOT ($rlikePredicate) THEN 1 ELSE 0 END
+       | WHEN 'minimum' THEN CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+       |   AND TRY_CAST(v AS DOUBLE) < CAST(arg AS DOUBLE) THEN 1 ELSE 0 END
+       | ELSE 0 END""".stripMargin
+
+  /** Schema-driven validation rollup: one row per rule with doc and
+    * violation counts plus the first offending doc. Scale shape: the rules
+    * relation is constant-size and rides inside a map-side explode (values
+    * extracted with literal JSON paths before the explode, so each path is
+    * parsed once per row, codegen'd) — the only shuffle is the |rules|-row
+    * final aggregate. Linear in corpus at any SF.
+    */
+  private def q87(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), expr(stacDocJson).as("j"))
+    val ruleStructs = stacRules.map { case (id, f, k, a) =>
+      struct(
+        lit(id).as("rule_id"), lit(f).as("field"), lit(k).as("kind"), lit(a).as("arg"),
+        get_json_object(col("j"), s"$$.$f").as("v"))
+    }
+    docs
+      .select(col("doc_id"), explode(array(ruleStructs: _*)).as("r"))
+      .select(col("doc_id"), col("r.rule_id"), col("r.field"), col("r.kind"), col("r.arg"), col("r.v"))
+      .withColumn("violated", expr(stacDispatch("v RLIKE arg")))
+      .groupBy(col("rule_id"), col("field"), col("kind"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("violated")).as("n_violations"),
+        min(when(col("violated") === 1, col("doc_id"))).as("first_bad_doc"))
+      .orderBy(col("rule_id"))
+  }
+
+  /** Latest-version-per-extension resolution — reference
+    * `check_stac_metadata/stac_validators.py:37-44`
+    * (`get_latest_extension_schema_version`: scandir, fullmatch
+    * `v\d+\.\d+\.\d+`, sort by parsed version descending, take the head;
+    * pinned by reference `tests/test_get_latest_extension_schema_version
+    * .py`). Candidate directory names are synthesized per dataset with the
+    * shared fragment (including non-version names the fullmatch must
+    * ignore); parse = regexp_extract of the three numeric components (''
+    * on no match → TRY_CAST null in both engines, standing in for
+    * fullmatch). One distinct + one |extensions|-row aggregate + one
+    * window over ≤ |versions| rows per extension — nothing corpus-wide.
+    */
+  private val q88Dirname: String =
+    """CASE WHEN doc_id % 31 = 0 THEN 'draft'
+      |     WHEN doc_id % 37 = 0 THEN 'v1.2'
+      |     ELSE 'v' || (doc_id % 4) || '.' || (doc_id % 12) || '.' || (doc_id % 10) END""".stripMargin
+  private val q88Pattern = "^v([0-9]+)[.]([0-9]+)[.]([0-9]+)$"
+
+  private def q88(t: Tables): DataFrame = {
+    val cand = t.documents
+      .select(col("source").as("extension"), expr(q88Dirname).as("dirname"))
+      .distinct()
+    val m = cand
+      .withColumn("maj", expr(s"TRY_CAST(regexp_extract(dirname, '$q88Pattern', 1) AS BIGINT)"))
+      .withColumn("mn", expr(s"TRY_CAST(regexp_extract(dirname, '$q88Pattern', 2) AS BIGINT)"))
+      .withColumn("pt", expr(s"TRY_CAST(regexp_extract(dirname, '$q88Pattern', 3) AS BIGINT)"))
+    // one partial-aggregable pass: the head-of-sort is a lexicographic
+    // struct max over (maj, mn, pt) — no window, no self-join; the triple
+    // uniquely determines the dirname so no tie-break is needed
+    m.groupBy(col("extension"))
+      .agg(
+        max(when(col("maj").isNotNull, struct(col("maj"), col("mn"), col("pt"), col("dirname"))))
+          .as("best"),
+        sum(when(col("maj").isNotNull, 1L).otherwise(0L)).as("n_versions"),
+        sum(when(col("maj").isNull, 1L).otherwise(0L)).as("n_ignored"))
+      .select(
+        col("extension"),
+        expr("substr(best.dirname, 2)").as("latest_version"),
+        col("n_versions"),
+        col("n_ignored"))
+      .orderBy(col("extension"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_schema_validate" -> ((s, d) => q87(Tables(s, d))),
+    "q88_latest_schema_version" -> ((s, d) => q88(Tables(s, d))),
     "q66_stac_validation" -> ((s, d) => q66(Tables(s, d))),
     "q57_import_status" -> ((s, d) => q57(Tables(s, d))),
     "q58_catalog_merge" -> ((s, d) => q58(Tables(s, d))),
@@ -268,7 +417,46 @@ object Lake extends QueryModule {
     "q29_version_diff" -> ((s, d) => q29(Tables(s, d)))
   )
 
+  private val stacRulesSql: String = stacRules
+    .map { case (id, f, k, a) =>
+      if (id == 1) s"SELECT $id AS rule_id, '$f' AS field, '$k' AS kind, '$a' AS arg"
+      else s"SELECT $id, '$f', '$k', '$a'"
+    }
+    .mkString("\n  UNION ALL ")
+
   override def oracleSql: Map[String, String] = Map(
+    "q87_schema_validate" ->
+      s"""WITH docs AS (SELECT doc_id, $stacDocJson AS j FROM documents),
+         | rules AS (
+         |  $stacRulesSql),
+         | ev AS (SELECT doc_id, rule_id, field, kind, arg,
+         |   json_extract_string(j, '$$.' || field) AS v
+         |  FROM docs CROSS JOIN rules),
+         | x AS (SELECT doc_id, rule_id, field, kind,
+         |   ${stacDispatch("regexp_matches(v, arg)")} AS violated
+         |  FROM ev)
+         |SELECT rule_id, field, kind, count(*) AS n_docs,
+         | CAST(sum(violated) AS BIGINT) AS n_violations,
+         | min(CASE WHEN violated = 1 THEN doc_id END) AS first_bad_doc
+         |FROM x GROUP BY rule_id, field, kind ORDER BY rule_id""".stripMargin,
+    "q88_latest_schema_version" ->
+      s"""WITH cand AS (SELECT DISTINCT source AS extension, $q88Dirname AS dirname FROM documents),
+         | m AS (SELECT extension, dirname,
+         |   TRY_CAST(regexp_extract(dirname, '$q88Pattern', 1) AS BIGINT) AS maj,
+         |   TRY_CAST(regexp_extract(dirname, '$q88Pattern', 2) AS BIGINT) AS mn,
+         |   TRY_CAST(regexp_extract(dirname, '$q88Pattern', 3) AS BIGINT) AS pt
+         |  FROM cand),
+         | s AS (SELECT extension,
+         |   CAST(sum(CASE WHEN maj IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_versions,
+         |   CAST(sum(CASE WHEN maj IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ignored
+         |  FROM m GROUP BY extension),
+         | r AS (SELECT extension, dirname,
+         |   row_number() OVER (PARTITION BY extension
+         |     ORDER BY maj DESC, mn DESC, pt DESC, dirname) AS rn
+         |  FROM m WHERE maj IS NOT NULL),
+         | l AS (SELECT extension, substr(dirname, 2) AS latest_version FROM r WHERE rn = 1)
+         |SELECT s.extension, latest_version, n_versions, n_ignored
+         |FROM s JOIN l ON s.extension = l.extension ORDER BY s.extension""".stripMargin,
     "q66_stac_validation" ->
       """WITH j AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, count(*) AS n_docs,

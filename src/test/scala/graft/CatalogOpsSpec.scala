@@ -90,6 +90,30 @@ class CatalogOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("schema-driven STAC validation checks every doc against every rule") {
+    val t = Tables(spark, sf)
+    val nDocs = t.documents.count()
+    val rows = SparkEntry.queries("q87_schema_validate")(spark, sf).collect()
+    assert(rows.length == 9, "one row per schema rule")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == nDocs, s"rule ${r.getAs[Int]("rule_id")} skipped docs")
+      val v = r.getAs[Long]("n_violations")
+      assert(v >= 0 && v < nDocs, s"rule ${r.getAs[Int]("rule_id")}")
+      if (v > 0) assert(!r.isNullAt(r.fieldIndex("first_bad_doc")))
+    }
+    // every injected failure stride fires: all 9 Draft7 rules catch something
+    assert(rows.count(_.getAs[Long]("n_violations") > 0) == 9)
+  }
+
+  test("latest-schema-version resolution picks the semver max and ignores non-versions") {
+    val rows = SparkEntry.queries("q88_latest_schema_version")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("latest_version").matches("[0-9]+\\.[0-9]+\\.[0-9]+"))
+      assert(r.getAs[Long]("n_versions") > 0 && r.getAs[Long]("n_ignored") >= 0)
+    }
+  }
+
   test("PII scrub redacts every injected email, phone, and URL") {
     val rows = SparkEntry.queries("q72_pii_scrub")(spark, sf).collect()
     rows.foreach { r =>
