@@ -97,6 +97,9 @@ object GraftFunctions {
   def byte_histogram(c: Column): Column =
     Bridge.column(ByteHistogram(Bridge.expression(c)))
 
+  def subword_count(c: Column): Column =
+    Bridge.column(SubwordCount(Bridge.expression(c)))
+
   /** Register the SQL-callable names on an existing session (the
     * extension-free path used by tests and the driver mains).
     */
@@ -110,5 +113,6 @@ object GraftFunctions {
       "built-in")
     registry.createOrReplaceTempFunction("shingle_set", exprs => ShingleSet(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("byte_histogram", exprs => ByteHistogram(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("subword_count", exprs => SubwordCount(exprs.head), "built-in")
   }
 }

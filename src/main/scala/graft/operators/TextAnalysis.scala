@@ -18,6 +18,12 @@ object TextAnalysis extends QueryModule {
   private val stopList = Seq("the", "a", "of", "and")
   private val stopSqlIn = stopList.map(w => s"'$w'").mkString(", ")
 
+  // the subword vocab as a longest-first regex alternation — the oracle's
+  // closed-form mirror of the native maximal-munch kernel (Subword.scala)
+  private val subwordAlt = graft.functions.SubwordKernel.regexAlternation
+  private val subwordTokensSql =
+    s"length(regexp_replace(text, '$subwordAlt', '#', 'g')) - (length(text) - length(replace(text, ' ', '')))"
+
   // words/doc as a reusable fragment (identical split semantics both engines
   // for single-space-separated corpora).
   // map-side only — no repartition by default (Tables.localSplit is the
@@ -68,8 +74,12 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("labeled"), col("predicted"))
   }
 
-  /** Token counting: whitespace tokens, regex word tokens, and a BPE-ish
-    * ~4-chars/token estimate — corpus totals per source.
+  /** Token counting: whitespace tokens, regex word tokens, and REAL
+    * subword tokens from the native greedy longest-match vocab kernel
+    * (functions/Subword.scala) — corpus totals per source. The oracle
+    * reproduces maximal munch in closed form: the vocab rendered as a
+    * longest-first regex alternation, each match collapsed to one char,
+    * `tokens = length(after) − n_spaces`.
     */
   private def q32(t: Tables): DataFrame =
     withWords(t)
@@ -77,13 +87,13 @@ object TextAnalysis extends QueryModule {
       .withColumn(
         "re_tokens",
         size(expr("filter(split(text, '[^a-z0-9]+'), x -> x != '')")))
-      .withColumn("bpe_est", ceil(col("n_chars") / 4.0))
+      .withColumn("subword_tokens", graft.functions.GraftFunctions.subword_count(col("text")))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("ws_tokens")).as("total_ws_tokens"),
         sum(col("re_tokens")).as("total_re_tokens"),
-        sum(col("bpe_est")).as("total_bpe_est"))
+        sum(col("subword_tokens")).as("total_subword_tokens"))
       .orderBy(col("source"))
 
   /** Composite quality score + keep/drop rates per source. The score is a
@@ -249,6 +259,7 @@ object TextAnalysis extends QueryModule {
       .partitionBy(col("source"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // real token counts from the native subword kernel (q32's vocab);
     // floor at one token: an empty document still occupies a slot, and the
     // running sum stays ≥ 1 so the integer bin floor-division can never see
     // a non-positive argument (Spark div truncates, DuckDB // floors — they
@@ -257,7 +268,7 @@ object TextAnalysis extends QueryModule {
       .select(
         col("doc_id"),
         col("source"),
-        expr("CAST(greatest((n_chars + 3) div 4, 1) AS BIGINT)").as("toks"))
+        greatest(graft.functions.GraftFunctions.subword_count(col("text")), lit(1L)).as("toks"))
       .withColumn("cum", sum(col("toks")).over(bySrc))
       .withColumn("bin", expr(s"CAST((cum - 1) div $Cap AS BIGINT)"))
       .groupBy(col("source"), col("bin"))
@@ -347,8 +358,8 @@ object TextAnalysis extends QueryModule {
          | CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY source, reason ORDER BY source, reason""".stripMargin,
     "q80_seq_pack" ->
-      """WITH d AS (
-        | SELECT doc_id, source, CAST(greatest((n_chars + 3) // 4, 1) AS BIGINT) AS toks FROM documents),
+      s"""WITH d AS (
+         | SELECT doc_id, source, CAST(greatest($subwordTokensSql, 1) AS BIGINT) AS toks FROM documents),
         | c AS (
         | SELECT source, toks,
         |  sum(toks) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
@@ -441,16 +452,16 @@ object TextAnalysis extends QueryModule {
         |SELECT lang AS labeled, predicted, count(*) AS n
         |FROM p GROUP BY lang, predicted ORDER BY labeled, predicted""".stripMargin,
     "q32_token_count" ->
-      """WITH d AS (SELECT source, n_chars,
-        |  len(string_split(text, ' ')) AS ws_tokens,
-        |  len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x != '')) AS re_tokens,
-        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est
-        | FROM documents)
-        |SELECT source, count(*) AS n_docs,
-        | CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
-        | CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
-        | CAST(sum(bpe_est) AS BIGINT) AS total_bpe_est
-        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+      s"""WITH d AS (SELECT source, n_chars,
+         |  len(string_split(text, ' ')) AS ws_tokens,
+         |  len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x != '')) AS re_tokens,
+         |  $subwordTokensSql AS subword_tokens
+         | FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+         | CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
+         | CAST(sum(subword_tokens) AS BIGINT) AS total_subword_tokens
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q33_quality_score" ->
       s"""WITH w AS (SELECT source, n_chars, string_split(text, ' ') AS words FROM documents),
          | d AS (SELECT source, n_chars, len(words) AS n_words,

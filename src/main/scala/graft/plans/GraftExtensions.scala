@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ByteHistogram, CosineSim, MinHashSigs, ShingleSet, SimHash64}
+import graft.functions.{ByteHistogram, CosineSim, MinHashSigs, ShingleSet, SimHash64, SubwordCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -41,5 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("byte_histogram"),
         new ExpressionInfo(classOf[ByteHistogram].getName, "byte_histogram"),
         exprs => ByteHistogram(exprs.head)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("subword_count"),
+        new ExpressionInfo(classOf[SubwordCount].getName, "subword_count"),
+        exprs => SubwordCount(exprs.head)))
   }
 }

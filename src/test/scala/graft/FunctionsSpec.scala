@@ -109,6 +109,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad docs differ between kernel and expression pipeline")
   }
 
+  test("subword kernel: maximal munch over the merge vocab") {
+    def n(s: String): Long = graft.functions.SubwordKernel.count(UTF8String.fromString(s))
+    assert(n("") == 0)
+    assert(n("   ") == 0) // whitespace is never a token
+    assert(n("xyz") == 3) // no merges → per-char tokens
+    assert(n("the") == 1) // trigram merge
+    assert(n("thee") == 2) // "the"+"e": longest match wins at position 0
+    assert(n("ing") == 1) // trigram beats "in"+"g"
+    assert(n("nthe") == 2) // "nt"+"he": no trigram at 0, bigram, then bigram
+    assert(n("a b") == 2) // merges never cross a space
+  }
+
+  test("subword kernel equals the oracle's regex closed form on the corpus") {
+    // the DuckDB oracle reproduces maximal munch as longest-first regex
+    // alternation replace; the same formula in Spark must agree with the
+    // native kernel on every document, or the oracle mirror is a lie
+    val alt = graft.functions.SubwordKernel.regexAlternation
+    val bad = Tables(spark, sf).documents
+      .withColumn("k", graft.functions.GraftFunctions.subword_count(col("text")))
+      .withColumn(
+        "r",
+        length(regexp_replace(col("text"), alt, "#"))
+          - (length(col("text")) - length(regexp_replace(col("text"), " ", ""))))
+      .filter(col("k") =!= col("r"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val old = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()

@@ -112,7 +112,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val t = Tables(spark, sf)
     val rows = SparkEntry.queries("q80_seq_pack")(spark, sf).collect()
     val expected = t.documents
-      .select(expr("CAST(greatest((n_chars + 3) div 4, 1) AS BIGINT)").as("toks"))
+      .select(greatest(graft.functions.GraftFunctions.subword_count(col("text")), lit(1L)).as("toks"))
       .agg(sum(col("toks"))).collect()(0).getLong(0)
     assert(rows.map(_.getAs[Long]("total_tokens")).sum == expected, "tokens lost in packing")
     rows.foreach { r =>
