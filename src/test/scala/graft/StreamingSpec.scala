@@ -144,6 +144,81 @@ class StreamingSpec extends AnyFunSuite {
       Seq(("pending", "running"), ("running", "failed")))
   }
 
+  test("event-time timeout closes an idle user's session with no further events from them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val t0 = 1000000L * us
+    // user 7 sends exactly one event and goes silent; only OTHER users'
+    // traffic advances the watermark — the session must close through
+    // GroupState.hasTimedOut, never through a gap comparison on its own key
+    ms.addData(Ev(7L, 1L, t0), Ev(9L, 2L, t0))
+    val withTs = ms
+      .toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 minute")
+      .as[Ev]
+    val sessions = Sessionize.sessionize(withTs, gapMs = 30L * 60L * 1000L)
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("sess_timeout").start()
+    q.processAllAvailable()
+    ms.addData(Ev(9L, 3L, t0 + 2L * 3600L * us)) // watermark → t0 + 2h − 1min
+    q.processAllAvailable()
+    ms.addData(Ev(9L, 4L, t0 + 4L * 3600L * us)) // next batch fires the timeout
+    q.processAllAvailable()
+    q.stop()
+    val seven = spark.table("sess_timeout").as[Sessionize.SessionOut]
+      .collect().filter(_.user_id == 7L)
+    assert(
+      seven.toSeq == Seq(Sessionize.SessionOut(7L, t0, t0, 1L)),
+      s"user 7's idle session not closed by timeout: ${seven.toList}")
+  }
+
+  test("stream-stream left-outer join emits unmatched clicks after watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1000000L * us
+    val clicks = MemoryStream[(Long, Long)] // (user, ts_us)
+    val purchases = MemoryStream[(Long, Long)]
+    val c = clicks
+      .toDF()
+      .select(col("_1").as("user_c"), timestamp_micros(col("_2")).as("ts_c"))
+      .withWatermark("ts_c", "10 minutes")
+    val p = purchases
+      .toDF()
+      .select(col("_1").as("user_p"), timestamp_micros(col("_2")).as("ts_p"))
+      .withWatermark("ts_p", "10 minutes")
+    val joined = c.join(
+      p,
+      col("user_c") === col("user_p") &&
+        col("ts_p") >= col("ts_c") &&
+        col("ts_p") <= col("ts_c") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("ss_left").start()
+    clicks.addData((1L, t0), (2L, t0))
+    purchases.addData((1L, t0 + 5L * 60L * us)) // user 1 converts
+    q.processAllAvailable()
+    // push BOTH watermarks far past user 2's join horizon (ts_c + 10 min):
+    // only then may the state store evict the buffered click and emit it
+    // with a null purchase side
+    clicks.addData((99L, t0 + 2L * 3600L * us))
+    purchases.addData((99L, t0 + 2L * 3600L * us))
+    q.processAllAvailable()
+    clicks.addData((99L, t0 + 4L * 3600L * us)) // one more batch to flush eviction
+    purchases.addData((99L, t0 + 4L * 3600L * us))
+    q.processAllAvailable()
+    q.stop()
+    // scope to the fixture users (the watermark-nudge user 99 self-joins)
+    val rows = spark.table("ss_left").collect().filter(_.getAs[Long]("user_c") < 10L)
+    val matched = rows.filter(r => !r.isNullAt(r.fieldIndex("user_p")))
+    val evicted = rows.filter(r => r.isNullAt(r.fieldIndex("user_p")))
+    assert(matched.map(_.getAs[Long]("user_c")).toSeq == Seq(1L), s"rows: ${rows.toList}")
+    assert(
+      evicted.map(_.getAs[Long]("user_c")).toSeq == Seq(2L),
+      s"user 2's unmatched click never evicted: ${rows.toList}")
+  }
+
   test("stream-stream interval join pairs purchases with recent clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
