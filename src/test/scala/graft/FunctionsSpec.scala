@@ -137,6 +137,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("subword kernel equals the regex closed form on randomized inputs") {
+    // seeded fuzz over a harsher alphabet than the corpus: dense merge
+    // collisions ('t','h','e','i','n','g'), spaces, and non-ascii chars
+    // (must be single-char tokens — the packed-int lookup guards them)
+    val rnd = new scala.util.Random(42)
+    val alphabet = "thein gersatox éß日"
+    val pat = java.util.regex.Pattern.compile(graft.functions.SubwordKernel.regexAlternation)
+    (1 to 2000).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val after = pat.matcher(s).replaceAll("#")
+      val expected = after.count(_ != ' ').toLong
+      val got = graft.functions.SubwordKernel.count(UTF8String.fromString(s))
+      assert(got == expected, s"input '$s': kernel $got vs regex $expected")
+    }
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val old = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
