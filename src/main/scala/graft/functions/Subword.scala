@@ -86,7 +86,13 @@ object SubwordKernel {
           && bi((c0 << 7) | str.charAt(i + 1))) {
         tokens += 1; i += 2
       } else {
-        tokens += 1; i += 1
+        // one token per CODE POINT, not per UTF-16 unit: a supplementary
+        // char (surrogate pair) must count once, as the oracle's
+        // length()-based closed form counts code points
+        tokens += 1
+        i += (if (Character.isHighSurrogate(c0) && i + 1 < n
+                  && Character.isLowSurrogate(str.charAt(i + 1))) 2
+              else 1)
       }
     }
     tokens

@@ -456,7 +456,7 @@ object Lake extends QueryModule {
          |  FROM m WHERE maj IS NOT NULL),
          | l AS (SELECT extension, substr(dirname, 2) AS latest_version FROM r WHERE rn = 1)
          |SELECT s.extension, latest_version, n_versions, n_ignored
-         |FROM s JOIN l ON s.extension = l.extension ORDER BY s.extension""".stripMargin,
+         |FROM s LEFT JOIN l ON s.extension = l.extension ORDER BY s.extension""".stripMargin,
     "q66_stac_validation" ->
       """WITH j AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, count(*) AS n_docs,

@@ -62,9 +62,14 @@ object CatalogStore {
     val out = f.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8"))
     finally out.close()
-    // rename is atomic on HDFS/local posix — readers see old or new, never torn
-    if (f.exists(pointer(dir))) f.delete(pointer(dir), false)
-    require(f.rename(tmp, pointer(dir)), s"publish rename failed for v=$version")
+    // FileContext rename with OVERWRITE is the atomic replace primitive on
+    // HDFS and local posix — readers see the old or new pointer, never a
+    // missing or torn one (a delete-then-rename would leave a window where
+    // the store has no pointer at all, and a crash in it would need manual
+    // repair)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, pointer(dir), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def snapshotPath(dir: String, version: Long) = s"$dir/v=$version"
@@ -104,7 +109,10 @@ object CatalogStore {
     */
   private def merged(base: DataFrame, changes: DataFrame): DataFrame = {
     val byKey = Window.partitionBy(col("dataset_key"))
-    val latest = byKey.orderBy(col("revision").desc, col("origin"))
+    // title as the final tie-break: a malformed batch carrying two rows for
+    // one key at the same revision still yields a DETERMINISTIC snapshot
+    // (same input → same durable catalog), instead of task-scheduling luck
+    val latest = byKey.orderBy(col("revision").desc, col("origin"), col("title"))
     base.select(col("dataset_key"), col("title"), col("revision")).withColumn("origin", lit("base"))
       .unionByName(
         changes.select(col("dataset_key"), col("title"), col("revision"))
@@ -122,6 +130,13 @@ object CatalogStore {
 
   /** Apply a change batch. Returns the published version and action
     * counts; a batch that changes nothing publishes nothing.
+    *
+    * Concurrency contract: SINGLE WRITER — like the reference, where a
+    * dataset's update runs inside one step-function execution at a time.
+    * There is no commit coordinator here (that is Delta/Iceberg territory);
+    * the pre-publish pointer recheck below turns most concurrent-writer
+    * races into a loud failure instead of a silently lost batch, but it is
+    * a guard, not a guarantee.
     */
   def upsert(spark: SparkSession, dir: String, changes: DataFrame): UpsertStats = {
     val current = currentVersion(spark, dir)
@@ -135,6 +150,10 @@ object CatalogStore {
     else {
       val next = current + 1
       write(m, dir, next)
+      val observed = currentVersion(spark, dir)
+      if (!observed.contains(current))
+        throw new IllegalStateException(
+          s"concurrent writer detected at $dir: read v=$current, now ${observed.getOrElse("none")} — batch NOT published")
       publish(spark, dir, next)
       UpsertStats(next, ins, upd, unch)
     }

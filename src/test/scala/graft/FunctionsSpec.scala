@@ -142,12 +142,15 @@ class FunctionsSpec extends AnyFunSuite {
     // collisions ('t','h','e','i','n','g'), spaces, and non-ascii chars
     // (must be single-char tokens — the packed-int lookup guards them)
     val rnd = new scala.util.Random(42)
-    val alphabet = "thein gersatox éß日"
+    // code-point alphabet incl. an astral char (surrogate pair) — one token
+    val alphabet = "thein gersatox éß日 😀".codePoints().toArray
     val pat = java.util.regex.Pattern.compile(graft.functions.SubwordKernel.regexAlternation)
     (1 to 2000).foreach { _ =>
-      val s = Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val s = Seq.fill(rnd.nextInt(40))(
+        Character.toChars(alphabet(rnd.nextInt(alphabet.length))).mkString).mkString
       val after = pat.matcher(s).replaceAll("#")
-      val expected = after.count(_ != ' ').toLong
+      // expected counts CODE POINTS (the engines' length() semantics)
+      val expected = after.codePoints().filter(_ != ' ').count()
       val got = graft.functions.SubwordKernel.count(UTF8String.fromString(s))
       assert(got == expected, s"input '$s': kernel $got vs regex $expected")
     }
