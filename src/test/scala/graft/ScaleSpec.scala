@@ -54,6 +54,20 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("graft.local.split gates the local-mode repartition crutch, default off") {
+    val docs = Tables(spark, sf).documents
+    def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.logical.toString.contains("RepartitionByExpression")
+    // default: no conf set → the plan must carry NO corpus-wide shuffle
+    assert(!hasRepartition(Tables.localSplit(docs, col("doc_id"))))
+    spark.conf.set("graft.local.split", "true")
+    try assert(hasRepartition(Tables.localSplit(docs, col("doc_id"))))
+    finally spark.conf.unset("graft.local.split")
+    // and a representative map-side operator inherits the default-off plan
+    val q36 = SparkEntry.queries("q36_minhash_sigs")(spark, sf)
+    assert(!q36.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"))
+  }
+
   test("adaptive query execution is on in the bench/verify sessions") {
     // Bench/Verify build their own sessions with AQE; the shared test
     // session inherits Spark 4 defaults where AQE is enabled.
