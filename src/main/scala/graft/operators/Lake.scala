@@ -292,7 +292,7 @@ object Lake extends QueryModule {
     * bad pattern, wrong version, invalid type enum, absent description,
     * malformed datetime, string-typed / below-minimum gsd).
     */
-  private val stacDocJson: String =
+  private[graft] val stacDocJson: String =
     """'{' ||
       |CASE WHEN doc_id % 23 = 0 THEN ''
       |     ELSE '"id":"' || CASE WHEN doc_id % 11 = 0 THEN 'Item_' ELSE 'item-' END || doc_id || '",' END ||
@@ -331,15 +331,14 @@ object Lake extends QueryModule {
        |   AND TRY_CAST(v AS DOUBLE) < CAST(arg AS DOUBLE) THEN 1 ELSE 0 END
        | ELSE 0 END""".stripMargin
 
-  /** Schema-driven validation rollup: one row per rule with doc and
-    * violation counts plus the first offending doc. Scale shape: the rules
-    * relation is constant-size and rides inside a map-side explode (values
-    * extracted with literal JSON paths before the explode, so each path is
-    * parsed once per row, codegen'd) — the only shuffle is the |rules|-row
-    * final aggregate. Linear in corpus at any SF.
+  /** Per-(doc, rule) violation flags over any (doc_id, j) frame — the
+    * map-side stage shared by batch q87 and its streaming twin in
+    * `StreamingSpec` (the reference validates at import time, i.e. on a
+    * stream of arriving metadata; the same rules relation and dispatch
+    * serve both). Values are extracted with literal JSON paths before the
+    * explode, so each path parses once per row inside codegen.
     */
-  private def q87(t: Tables): DataFrame = {
-    val docs = t.documents.select(col("doc_id"), expr(stacDocJson).as("j"))
+  private[graft] def stacViolations(docs: DataFrame): DataFrame = {
     val ruleStructs = stacRules.map { case (id, f, k, a) =>
       struct(
         lit(id).as("rule_id"), lit(f).as("field"), lit(k).as("kind"), lit(a).as("arg"),
@@ -349,13 +348,28 @@ object Lake extends QueryModule {
       .select(col("doc_id"), explode(array(ruleStructs: _*)).as("r"))
       .select(col("doc_id"), col("r.rule_id"), col("r.field"), col("r.kind"), col("r.arg"), col("r.v"))
       .withColumn("violated", expr(stacDispatch("v RLIKE arg")))
+  }
+
+  /** The deterministic STAC-ish doc corpus as (doc_id, j) — shared by q87
+    * and the streaming-twin spec.
+    */
+  private[graft] def stacDocs(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"), expr(stacDocJson).as("j"))
+
+  /** Schema-driven validation rollup: one row per rule with doc and
+    * violation counts plus the first offending doc. Scale shape: the rules
+    * relation is constant-size and rides inside a map-side explode — the
+    * only shuffle is the |rules|-row final aggregate. Linear in corpus at
+    * any SF.
+    */
+  private def q87(t: Tables): DataFrame =
+    stacViolations(stacDocs(t))
       .groupBy(col("rule_id"), col("field"), col("kind"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("violated")).as("n_violations"),
         min(when(col("violated") === 1, col("doc_id"))).as("first_bad_doc"))
       .orderBy(col("rule_id"))
-  }
 
   /** Latest-version-per-extension resolution — reference
     * `check_stac_metadata/stac_validators.py:37-44`

@@ -249,6 +249,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("user_c") == 1L)
   }
 
+  test("streaming STAC validation matches the batch q87 rollup on the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the reference validates metadata AT IMPORT TIME — a stream of
+    // arriving docs; the same rules relation + dispatch stage as batch
+    // q87 aggregates per rule in complete mode
+    val ms = MemoryStream[Long]
+    val docIds = (0L until 200L)
+    val streamDocs = ms.toDF().select(
+      col("value").as("doc_id"),
+      expr(graft.operators.Lake.stacDocJson).as("j"))
+    val agg = graft.operators.Lake.stacViolations(streamDocs)
+      .groupBy(col("rule_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("violated")).as("n_violations"),
+        min(when(col("violated") === 1, col("doc_id"))).as("first_bad_doc"))
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName("stac_stream").start()
+    ms.addData(docIds.take(100): _*)
+    q.processAllAvailable()
+    ms.addData(docIds.drop(100): _*) // second batch revises the totals
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stac_stream").collect()
+      .map(r => r.getAs[Int]("rule_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_violations"), r.getAs[Any]("first_bad_doc")))
+      .toMap
+    val batch = graft.operators.Lake
+      .stacViolations(
+        spark.range(0, 200).select(col("id").as("doc_id"), expr(graft.operators.Lake.stacDocJson).as("j")))
+      .groupBy(col("rule_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("violated")).as("n_violations"),
+        min(when(col("violated") === 1, col("doc_id"))).as("first_bad_doc"))
+      .collect()
+      .map(r => r.getAs[Int]("rule_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_violations"), r.getAs[Any]("first_bad_doc")))
+      .toMap
+    assert(streamed == batch, s"stream $streamed\nbatch $batch")
+    assert(batch.size == 9 && batch.values.forall(_._1 == 200L))
+  }
+
   test("checkpointed parquet sink is exactly-once across restarts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
