@@ -35,7 +35,6 @@ object PlanAudit {
     "q37_lsh_pairs" -> 3, "q38_ngram_jaccard" -> 6, "q13_set_ops" -> 4,
     // same candidate-bounded two-key-join shape as q38, minus its filter
     "q86_minhash_estimate" -> 4,
-    "q29_version_diff" -> 6,
     // candidate-bounded union-of-K-projections (q38's shape): slim bucket
     // self-join + pair distinct + two vector-fetch key joins + top-k sort;
     // every exchange is pair- or corpus-linear, never pair×vector-width

@@ -173,16 +173,25 @@ object Lake extends QueryModule {
     * as anti-join EXCEPTs, labeled and unioned.
     */
   private def q29(t: Tables): DataFrame = {
-    def custs(lo: String, hi: String) =
-      t.orders
-        .filter(col("o_orderdate") >= ts(lo) && col("o_orderdate") < ts(hi))
-        .select(col("o_custkey").as("custkey"))
-        .distinct()
-    val v1 = custs("1996-01-01 00:00:00", "1997-01-01 00:00:00")
-    val v2 = custs("1997-01-01 00:00:00", "1998-01-01 00:00:00")
-    v2.except(v1)
-      .select(lit("added").as("change"), col("custkey"))
-      .unionAll(v1.except(v2).select(lit("removed").as("change"), col("custkey")))
+    // one scan + one shuffle: membership in each version is a per-key max
+    // over presence flags (partial-aggregable), then the diff is a flag
+    // comparison — the anti-join formulation scanned orders twice and
+    // shuffled the distinct sets two more times; the oracle deliberately
+    // keeps the EXCEPT form as an independent derivation of the same set
+    t.orders
+      .filter(
+        col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(when(col("o_orderdate") < ts("1997-01-01 00:00:00"), 1).otherwise(0)).as("in_v1"),
+        max(when(col("o_orderdate") >= ts("1997-01-01 00:00:00"), 1).otherwise(0)).as("in_v2"))
+      .withColumn(
+        "change",
+        when(col("in_v2") === 1 && col("in_v1") === 0, "added")
+          .when(col("in_v1") === 1 && col("in_v2") === 0, "removed"))
+      .filter(col("change").isNotNull)
+      .select(col("change"), col("custkey"))
       .orderBy(col("change"), col("custkey"))
   }
 
