@@ -14,7 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  private val Bands = 8
+  private val DefaultBands = 8
+
+  /** LSH band count, runtime-tunable like q42's sign bits: more bands =
+    * more recall and more candidate pairs. The oracle (and q36's widened
+    * sig_b schema) renders at the default; a non-default conf re-tunes
+    * every LSH consumer (q37/q38/q62/q79/q86) without a recompile.
+    */
+  private def bands(t: Tables): Int = {
+    val b = t.spark.conf.get("graft.lsh.bands", DefaultBands.toString).toInt
+    require(b >= 1 && b <= 64, s"graft.lsh.bands out of range: $b")
+    b
+  }
 
   // word-3-gram shingle fragment for the DuckDB oracles (the Spark side
   // runs the native kernels in graft.functions with identical semantics)
@@ -54,8 +65,8 @@ object Dedup extends QueryModule {
     */
   private def q36(t: Tables): DataFrame = {
     val base = Tables.localSplit(t.documents, col("doc_id"))
-      .withColumn("sigs", graft.functions.GraftFunctions.minhash_sigs(col("text"), Bands))
-    val cols = (0 until Bands).map(b => element_at(col("sigs"), b + 1).as(s"sig_$b"))
+      .withColumn("sigs", graft.functions.GraftFunctions.minhash_sigs(col("text"), bands(t)))
+    val cols = (0 until bands(t)).map(b => element_at(col("sigs"), b + 1).as(s"sig_$b"))
     base.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
   }
 
@@ -74,7 +85,7 @@ object Dedup extends QueryModule {
     val narrow = Tables.localSplit(t.documents, col("doc_id"))
       .select(
         col("doc_id"),
-        posexplode(graft.functions.GraftFunctions.minhash_sigs(col("text"), Bands))
+        posexplode(graft.functions.GraftFunctions.minhash_sigs(col("text"), bands(t)))
           .as(Seq("band", "sig")))
     val a = narrow.as("a")
     val b = narrow.as("b")
@@ -145,7 +156,7 @@ object Dedup extends QueryModule {
           col("a.nsh") + col("b.nsh") > col("shared"),
           col("shared") / (col("a.nsh") + col("b.nsh") - col("shared"))))
       .filter(col("jaccard").isNotNull)
-      .withColumn("est_jaccard", col("n_shared_bands") / lit(Bands.toDouble))
+      .withColumn("est_jaccard", col("n_shared_bands") / lit(bands(t).toDouble))
       .select(
         col("doc_a"),
         col("doc_b"),
@@ -395,7 +406,7 @@ object Dedup extends QueryModule {
   private val duckWords = "SELECT doc_id, string_split(text, ' ') AS words FROM documents"
   private val duckHashes =
     s"list_transform(list_transform(shingles, s -> md5(s)), m -> ${hexint32("m")})"
-  private val duckShingleArms = (0 until Bands)
+  private val duckShingleArms = (0 until DefaultBands)
     .map(b =>
       s"SELECT doc_id, $b AS band, list_aggregate(list_transform(hashes, h -> ${bandHash(b, "h")}), 'min') AS sig FROM sh")
     .mkString("\n UNION ALL\n ")
@@ -454,9 +465,9 @@ object Dedup extends QueryModule {
          |  SELECT c.doc_a, c.doc_b, c.n_shared_bands, coalesce(p.shared, 0) AS shared
          |  FROM cand c LEFT JOIN ps p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
          |SELECT f.doc_a, f.doc_b,
-         | round(n_shared_bands / ${Bands}.0, 4) AS est_jaccard,
+         | round(n_shared_bands / ${DefaultBands}.0, 4) AS est_jaccard,
          | round(shared / (sa.nsh + sb.nsh - shared), 4) AS jaccard,
-         | round(abs(n_shared_bands / ${Bands}.0 - shared / (sa.nsh + sb.nsh - shared)), 4) AS abs_err
+         | round(abs(n_shared_bands / ${DefaultBands}.0 - shared / (sa.nsh + sb.nsh - shared)), 4) AS abs_err
          |FROM f
          |JOIN sizes sa ON sa.doc_id = f.doc_a
          |JOIN sizes sb ON sb.doc_id = f.doc_b
@@ -560,7 +571,7 @@ object Dedup extends QueryModule {
         | count(*) - count(DISTINCT md5(text)) AS n_dup_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q36_minhash_sigs" -> {
-      val cols = (0 until Bands)
+      val cols = (0 until DefaultBands)
         .map(b => s"list_aggregate(list_transform(hashes, h -> ${bandHash(b, "h")}), 'min') AS sig_$b")
         .mkString(",\n ")
       s"""SELECT doc_id,

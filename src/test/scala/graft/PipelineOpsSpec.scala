@@ -191,6 +191,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft.lsh.bands re-tunes the minhash family at runtime") {
+    def withBands[A](n: Int)(f: => A): A = {
+      spark.conf.set("graft.lsh.bands", n.toString)
+      try f finally spark.conf.unset("graft.lsh.bands")
+    }
+    // q36's widened schema follows the conf
+    assert(withBands(4) {
+      SparkEntry.queries("q36_minhash_sigs")(spark, sf).columns.count(_.startsWith("sig_"))
+    } == 4)
+    // band hashes depend only on the band index, so bands=16 evaluates a
+    // superset of bands=8's buckets → candidate pairs are a superset
+    def pairs(n: Int): Set[(Long, Long)] = withBands(n) {
+      SparkEntry.queries("q37_lsh_pairs")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    }
+    val (p8, p16) = (pairs(8), pairs(16))
+    assert(p8.subsetOf(p16), s"lost pairs at 16 bands: ${(p8 -- p16).take(3)}")
+  }
+
   test("q42 sign-LSH is runtime-tunable and projections/bits behave monotonically") {
     def run(bits: Int, projs: Int): Array[org.apache.spark.sql.Row] = {
       spark.conf.set("graft.ann.signBits", bits.toString)
