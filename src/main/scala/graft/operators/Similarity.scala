@@ -207,6 +207,10 @@ object Similarity extends QueryModule {
     * nprobe/|cells| of the corpus read per query batch.
     */
   private def q74(t: Tables): DataFrame = {
+    // nprobe is THE runtime IVF knob (recall vs cells read) — conf'd like
+    // graft.ann.*; the oracle renders at the default of 2
+    val nprobe = t.spark.conf.get("graft.ivf.nprobe", "2").toInt
+    require(nprobe >= 1, s"graft.ivf.nprobe out of range: $nprobe")
     val ev = quantizedEv(t)
     val cent = centroidsOf(ev)
     val qv = ev.filter(col("vec_id") < 10)
@@ -217,7 +221,7 @@ object Similarity extends QueryModule {
       .agg(sum(diff * diff).as("num"), max(col("cnt")).as("cnt"))
       .withColumn("dist", col("num").cast("double") / (col("cnt") * col("cnt")).cast("double"))
       .withColumn("probe_rank", row_number().over(Window.partitionBy(col("qid")).orderBy(col("dist"), col("clabel"))))
-      .filter(col("probe_rank") <= 2)
+      .filter(col("probe_rank") <= nprobe)
       .select(col("qid"), col("clabel"), col("probe_rank"))
     val corpus = vectors(t).select(col("label"), col("vec_id"), col("v"))
     val queries = vectors(t).filter(col("vec_id") < 10).select(col("vec_id").as("qid2"), col("v").as("qv"))

@@ -254,7 +254,10 @@ object TextAnalysis extends QueryModule {
     * across a 1000-executor ingest.
     */
   private def q80(t: Tables): DataFrame = {
-    val Cap = 2048L
+    // bin capacity in (real, q32-vocab) tokens — the context-length knob;
+    // oracle renders at the default of 2048
+    val Cap = t.spark.conf.get("graft.pack.tokens", "2048").toLong
+    require(Cap >= 1, s"graft.pack.tokens out of range: $Cap")
     val bySrc = Window
       .partitionBy(col("source"))
       .orderBy(col("doc_id"))
