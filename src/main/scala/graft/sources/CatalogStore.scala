@@ -99,8 +99,23 @@ object CatalogStore {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val v = currentVersion(spark, dir)
       .getOrElse(throw new IllegalStateException(s"no published catalog at $dir"))
-    spark.read.parquet(snapshotPath(dir, v)).select("dataset_key", "title", "revision")
+    readVersion(spark, dir, v)
   }
+
+  /** Time travel: read a specific retained snapshot. Versions are
+    * immutable once published, so any version GC hasn't reclaimed is a
+    * consistent point-in-time catalog.
+    */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
+    spark.read.parquet(snapshotPath(dir, version)).select("dataset_key", "title", "revision")
+
+  /** All snapshot versions on disk (published or not), ascending. */
+  def listVersions(spark: SparkSession, dir: String): Seq[Long] =
+    fs(spark, dir).listStatus(new Path(dir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+      .sorted
 
   /** Keep-latest merge of the current snapshot with a change batch —
     * q68's kernel with explicit per-key actions: a change wins only with a
@@ -167,12 +182,7 @@ object CatalogStore {
     require(keep >= 1, "must keep at least one version")
     val f = fs(spark, dir)
     val current = currentVersion(spark, dir).getOrElse(return Seq.empty)
-    val versions = f.listStatus(new Path(dir)).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
-      .sorted(Ordering[Long].reverse)
-    val doomed = versions.drop(keep).filter(_ != current)
+    val doomed = listVersions(spark, dir).reverse.drop(keep).filter(_ != current)
     doomed.foreach(v => f.delete(new Path(snapshotPath(dir, v)), true))
     doomed
   }

@@ -96,6 +96,11 @@ class CatalogStoreSpec extends AnyFunSuite {
     val more = changes().withColumn("revision", lit(3)) // v=3
     CatalogStore.upsert(spark, dir, more)
     assert(CatalogStore.currentVersion(spark, dir).contains(3L))
+    assert(CatalogStore.listVersions(spark, dir) == Seq(1L, 2L, 3L))
+
+    // time travel: v=1 is still the pristine initial catalog
+    val v1 = CatalogStore.readVersion(spark, dir, 1L).collect()
+    assert(v1.length == base().count() && !v1.exists(_.getAs[String]("title").endsWith("-v2")))
 
     val reclaimed = CatalogStore.gcVersions(spark, dir, keep = 1)
     assert(reclaimed.toSet == Set(1L, 2L))
