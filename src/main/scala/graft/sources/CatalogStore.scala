@@ -102,20 +102,32 @@ object CatalogStore {
     readVersion(spark, dir, v)
   }
 
-  /** Time travel: read a specific retained snapshot. Versions are
-    * immutable once published, so any version GC hasn't reclaimed is a
-    * consistent point-in-time catalog.
+  /** Time travel: read a specific PUBLISHED snapshot. Published versions
+    * are immutable, so any one GC hasn't reclaimed is a consistent
+    * point-in-time catalog. Versions above the pointer are refused — an
+    * orphan dir from a crashed writer is not data (it may be partial, and
+    * the next upsert clobbers it), upholding the store invariant that only
+    * `_CURRENT` makes a version live.
     */
-  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val current = currentVersion(spark, dir)
+      .getOrElse(throw new IllegalStateException(s"no published catalog at $dir"))
+    require(version <= current, s"v=$version was never published (current is v=$current)")
     spark.read.parquet(snapshotPath(dir, version)).select("dataset_key", "title", "revision")
+  }
 
-  /** All snapshot versions on disk (published or not), ascending. */
-  def listVersions(spark: SparkSession, dir: String): Seq[Long] =
+  /** Retained PUBLISHED snapshot versions, ascending (orphan dirs above
+    * the pointer are excluded — see [[readVersion]]).
+    */
+  def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val current = currentVersion(spark, dir).getOrElse(return Seq.empty)
     fs(spark, dir).listStatus(new Path(dir)).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+      .filter(_ <= current)
       .sorted
+  }
 
   /** Keep-latest merge of the current snapshot with a change batch —
     * q68's kernel with explicit per-key actions: a change wins only with a

@@ -83,6 +83,9 @@ class CatalogStoreSpec extends AnyFunSuite {
       .write.partitionBy("shard").parquet(s"$dir/v=2")
     assert(CatalogStore.currentVersion(spark, dir).contains(1L))
     assert(!snapshot(dir).exists(_._2 == "GARBAGE")) // reads ignore the orphan
+    // the orphan is not data: time travel refuses it, listings omit it
+    intercept[IllegalArgumentException](CatalogStore.readVersion(spark, dir, 2L))
+    assert(CatalogStore.listVersions(spark, dir) == Seq(1L))
     val s = CatalogStore.upsert(spark, dir, changes())
     assert(s.version == 2L) // orphan dir overwritten, then published
     assert(snapshot(dir).count(_._2.endsWith("-v2")) > 0)

@@ -65,7 +65,7 @@ class ScaleSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.local.split")
     // and a representative map-side operator inherits the default-off plan
     val q36 = SparkEntry.queries("q36_minhash_sigs")(spark, sf)
-    assert(!q36.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"))
+    assert(!hasRepartition(q36))
   }
 
   test("adaptive query execution is on in the bench/verify sessions") {

@@ -257,38 +257,30 @@ class StreamingSpec extends AnyFunSuite {
     // q87 aggregates per rule in complete mode
     val ms = MemoryStream[Long]
     val docIds = (0L until 200L)
-    val streamDocs = ms.toDF().select(
+    def docsOf(ids: org.apache.spark.sql.DataFrame) = ids.select(
       col("value").as("doc_id"),
       expr(graft.operators.Lake.stacDocJson).as("j"))
-    val agg = graft.operators.Lake.stacViolations(streamDocs)
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(col("rule_id"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("violated")).as("n_violations"),
         min(when(col("violated") === 1, col("doc_id"))).as("first_bad_doc"))
-    val q = agg.writeStream
+    def toMapOf(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getAs[Int]("rule_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_violations"), r.getAs[Any]("first_bad_doc")))
+      .toMap
+    val q = rollup(graft.operators.Lake.stacViolations(docsOf(ms.toDF()))).writeStream
       .outputMode("complete").format("memory").queryName("stac_stream").start()
     ms.addData(docIds.take(100): _*)
     q.processAllAvailable()
     ms.addData(docIds.drop(100): _*) // second batch revises the totals
     q.processAllAvailable()
     q.stop()
-    val streamed = spark.table("stac_stream").collect()
-      .map(r => r.getAs[Int]("rule_id") ->
-        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_violations"), r.getAs[Any]("first_bad_doc")))
-      .toMap
-    val batch = graft.operators.Lake
-      .stacViolations(
-        spark.range(0, 200).select(col("id").as("doc_id"), expr(graft.operators.Lake.stacDocJson).as("j")))
-      .groupBy(col("rule_id"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("violated")).as("n_violations"),
-        min(when(col("violated") === 1, col("doc_id"))).as("first_bad_doc"))
-      .collect()
-      .map(r => r.getAs[Int]("rule_id") ->
-        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_violations"), r.getAs[Any]("first_bad_doc")))
-      .toMap
+    val streamed = toMapOf(spark.table("stac_stream").collect())
+    val batch = toMapOf(
+      rollup(graft.operators.Lake.stacViolations(
+        docsOf(spark.range(0, 200).select(col("id").as("value"))))).collect())
     assert(streamed == batch, s"stream $streamed\nbatch $batch")
     assert(batch.size == 9 && batch.values.forall(_._1 == 200L))
   }
