@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -283,6 +283,11 @@ object Lake extends QueryModule {
   /** (rule_id, field, Draft7 keyword, argument). `enum` args are
     * '|'-separated; `pattern` is anchored, backslash-free regex (identical
     * dialect subset in Spark and DuckDB); '' = keyword takes no argument.
+    * `items_pattern` is the nested-array keyword class (Draft7 `items` +
+    * `pattern` composed): field carries a `#` placeholder for the array
+    * index (`links[#].href` = every element's href must match the arg
+    * regex); the check probes the first [[MaxProbedItems]] elements —
+    * the documented bound of this renderer, not of the rule format.
     */
   private val stacRules: Seq[(Int, String, String, String)] = Seq(
     (1, "id", "required", ""),
@@ -294,12 +299,61 @@ object Lake extends QueryModule {
     (7, "properties.datetime", "pattern",
       "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}Z$"),
     (8, "properties.gsd", "type_number", ""),
-    (9, "properties.gsd", "minimum", "10"))
+    (9, "properties.gsd", "minimum", "10"),
+    (10, "links[#].href", "items_pattern",
+      "^https://data[.]example[.]com/[0-9]+/[a-z]$"))
+
+  /** How many array elements an `items_pattern` rule probes (fixed so the
+    * value extraction stays a literal-path codegen expression in Spark and
+    * a static fragment in the oracle; real STAC items carry a handful of
+    * links, and the bound is per-RULE, not per-corpus).
+    */
+  private val MaxProbedItems = 4
+
+  private[graft] val knownKinds =
+    Set("required", "enum", "type_number", "pattern", "minimum", "items_pattern")
+
+  /** The validation rules RELATION — by default the built-in STAC 1.0.0
+    * rows above, but overridable at RUNTIME via `graft.stac.rulesPath`
+    * (a parquet or JSON-lines file of (rule_id, field, kind, arg) rows):
+    * the Spark rendering of the reference's drop-a-schema-file workflow
+    * (`check_stac_metadata/stac_validators.py:45-103` registers schema
+    * FILES in a FileObjectStore — new rules are data, never a deploy).
+    * Rules are schema-scale metadata (tens of rows), so they load on the
+    * driver at plan-build time and compile into literal JSON-path
+    * expressions — the rules file changes the PLAN, not a join side, and
+    * the per-document work stays one codegen'd map-side stage.
+    */
+  private[graft] def loadRules(spark: SparkSession): Seq[(Int, String, String, String)] = {
+    val path = spark.conf.get("graft.stac.rulesPath", "")
+    if (path.isEmpty) stacRules
+    else {
+      val df =
+        if (path.endsWith(".json") || path.endsWith(".jsonl"))
+          spark.read.schema("rule_id INT, field STRING, kind STRING, arg STRING").json(path)
+        else
+          spark.read.parquet(path)
+            .selectExpr("CAST(rule_id AS INT) AS rule_id", "field", "kind", "arg")
+      val rows = df.collect() // metadata-scale: a schema store, not a data table
+      require(rows.nonEmpty && rows.length <= 10000,
+        s"graft.stac.rulesPath=$path must hold 1..10000 rules, got ${rows.length}")
+      val rules = rows.toSeq.map { r =>
+        require(!r.anyNull, s"graft.stac.rulesPath=$path has a null rule column")
+        (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))
+      }.sortBy(_._1)
+      rules.foreach { case (id, _, kind, _) =>
+        require(knownKinds(kind), s"rule $id: unknown Draft7 keyword kind '$kind'")
+      }
+      rules
+    }
+  }
 
   /** STAC-item-ish JSON per document row, with every failure class the
     * rules can flag injected on deterministic doc_id strides (missing id,
     * bad pattern, wrong version, invalid type enum, absent description,
-    * malformed datetime, string-typed / below-minimum gsd).
+    * malformed datetime, string-typed / below-minimum gsd, a links array
+    * with a non-conforming href, and docs with no links array at all —
+    * the absent-field skip path of the `items_pattern` keyword).
     */
   private[graft] val stacDocJson: String =
     """'{' ||
@@ -312,6 +366,10 @@ object Lake extends QueryModule {
       |              WHEN doc_id % 3 = 1 THEN 'Collection'
       |              ELSE 'Feature' END || '",' ||
       |CASE WHEN doc_id % 5 = 0 THEN '' ELSE '"description":"asset ' || doc_id || '",' END ||
+      |CASE WHEN doc_id % 53 = 0 THEN ''
+      |     ELSE '"links":[{"href":"https://data.example.com/' || doc_id || '/a"},{"href":"' ||
+      |          CASE WHEN doc_id % 43 = 0 THEN 'http://insecure.example.org/'
+      |               ELSE 'https://data.example.com/' END || doc_id || '/b"}],' END ||
       |'"properties":{"datetime":"' ||
       |CASE WHEN doc_id % 17 = 0 THEN '2024-13-99'
       |     ELSE '2024-01-' || lpad('' || (doc_id % 28 + 1), 2, '0') || 'T00:00:00Z' END ||
@@ -323,11 +381,15 @@ object Lake extends QueryModule {
 
   /** Draft7 keyword dispatch over (kind, arg, v=extracted value). Keywords
     * are independent (a null value only fails `required`, matching
-    * jsonschema: absent fields skip type/enum/pattern/minimum checks).
-    * `rlikePredicate` abstracts the one function-name difference between
-    * engines (RLIKE vs regexp_matches).
+    * jsonschema: absent fields skip type/enum/pattern/minimum checks; an
+    * absent array renders `items_pattern`'s v as '' and skips the same
+    * way — Draft7 `items` is vacuous over a missing property).
+    * `rlikePredicate` / `anyItemFails` abstract the two engine
+    * differences: RLIKE vs regexp_matches, and the any-element-fails
+    * lambda over the ';'-joined probed elements (Spark `exists` vs
+    * DuckDB `list_filter`; both may reference the outer `arg` column).
     */
-  private def stacDispatch(rlikePredicate: String): String =
+  private def stacDispatch(rlikePredicate: String, anyItemFails: String): String =
     s"""CASE kind
        | WHEN 'required' THEN CASE WHEN v IS NULL THEN 1 ELSE 0 END
        | WHEN 'enum' THEN CASE WHEN v IS NOT NULL
@@ -338,6 +400,8 @@ object Lake extends QueryModule {
        |   AND NOT ($rlikePredicate) THEN 1 ELSE 0 END
        | WHEN 'minimum' THEN CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
        |   AND TRY_CAST(v AS DOUBLE) < CAST(arg AS DOUBLE) THEN 1 ELSE 0 END
+       | WHEN 'items_pattern' THEN CASE WHEN v IS NOT NULL AND v <> ''
+       |   AND ($anyItemFails) THEN 1 ELSE 0 END
        | ELSE 0 END""".stripMargin
 
   /** Per-(doc, rule) violation flags over any (doc_id, j) frame — the
@@ -347,16 +411,31 @@ object Lake extends QueryModule {
     * serve both). Values are extracted with literal JSON paths before the
     * explode, so each path parses once per row inside codegen.
     */
-  private[graft] def stacViolations(docs: DataFrame): DataFrame = {
-    val ruleStructs = stacRules.map { case (id, f, k, a) =>
+  private[graft] def stacViolations(docs: DataFrame): DataFrame =
+    stacViolations(docs, loadRules(docs.sparkSession))
+
+  private[graft] def stacViolations(
+      docs: DataFrame, rules: Seq[(Int, String, String, String)]): DataFrame = {
+    // per-rule value extraction, literal JSON paths so each parses once per
+    // row inside codegen; items_pattern probes the first MaxProbedItems
+    // array slots and ';'-joins the present ones (concat_ws skips NULLs, so
+    // an absent array yields '' — the dispatch's skip marker)
+    def valueOf(f: String, kind: String): Column =
+      if (kind == "items_pattern")
+        concat_ws(";", (0 until MaxProbedItems).map(i =>
+          get_json_object(col("j"), s"$$.${f.replace("#", i.toString)}")): _*)
+      else get_json_object(col("j"), s"$$.$f")
+    val ruleStructs = rules.map { case (id, f, k, a) =>
       struct(
         lit(id).as("rule_id"), lit(f).as("field"), lit(k).as("kind"), lit(a).as("arg"),
-        get_json_object(col("j"), s"$$.$f").as("v"))
+        valueOf(f, k).as("v"))
     }
     docs
       .select(col("doc_id"), explode(array(ruleStructs: _*)).as("r"))
       .select(col("doc_id"), col("r.rule_id"), col("r.field"), col("r.kind"), col("r.arg"), col("r.v"))
-      .withColumn("violated", expr(stacDispatch("v RLIKE arg")))
+      .withColumn("violated", expr(stacDispatch(
+        "v RLIKE arg",
+        "exists(split(v, ';'), e -> NOT (e RLIKE arg))")))
   }
 
   /** The deterministic STAC-ish doc corpus as (doc_id, j) — shared by q87
@@ -453,10 +532,15 @@ object Lake extends QueryModule {
          | rules AS (
          |  $stacRulesSql),
          | ev AS (SELECT doc_id, rule_id, field, kind, arg,
-         |   json_extract_string(j, '$$.' || field) AS v
+         |   CASE WHEN kind = 'items_pattern' THEN concat_ws(';',
+         |     ${(0 until MaxProbedItems).map(i =>
+               s"json_extract_string(j, '$$.' || replace(field, '#', '$i'))").mkString(",\n         |     ")})
+         |   ELSE json_extract_string(j, '$$.' || field) END AS v
          |  FROM docs CROSS JOIN rules),
          | x AS (SELECT doc_id, rule_id, field, kind,
-         |   ${stacDispatch("regexp_matches(v, arg)")} AS violated
+         |   ${stacDispatch(
+              "regexp_matches(v, arg)",
+              "len(list_filter(str_split(v, ';'), e -> NOT regexp_matches(e, arg))) > 0")} AS violated
          |  FROM ev)
          |SELECT rule_id, field, kind, count(*) AS n_docs,
          | CAST(sum(violated) AS BIGINT) AS n_violations,

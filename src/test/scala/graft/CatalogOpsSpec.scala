@@ -94,15 +94,48 @@ class CatalogOpsSpec extends AnyFunSuite {
     val t = Tables(spark, sf)
     val nDocs = t.documents.count()
     val rows = SparkEntry.queries("q87_schema_validate")(spark, sf).collect()
-    assert(rows.length == 9, "one row per schema rule")
+    assert(rows.length == 10, "one row per schema rule")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_docs") == nDocs, s"rule ${r.getAs[Int]("rule_id")} skipped docs")
       val v = r.getAs[Long]("n_violations")
       assert(v >= 0 && v < nDocs, s"rule ${r.getAs[Int]("rule_id")}")
       if (v > 0) assert(!r.isNullAt(r.fieldIndex("first_bad_doc")))
     }
-    // every injected failure stride fires: all 9 Draft7 rules catch something
-    assert(rows.count(_.getAs[Long]("n_violations") > 0) == 9)
+    // every injected failure stride fires: all 10 Draft7 rules catch
+    // something (incl. the nested-array items_pattern over links[#].href)
+    assert(rows.count(_.getAs[Long]("n_violations") > 0) == 10)
+  }
+
+  test("validation rules are data: a rules file swaps the rule set with no recompile") {
+    val dir = java.nio.file.Files.createTempDirectory("stac-rules").toFile
+    try {
+      val f = new java.io.File(dir, "rules.jsonl")
+      // one brand-new rule (license required) plus a re-parameterized
+      // pattern — neither exists in the compiled-in defaults
+      java.nio.file.Files.writeString(f.toPath,
+        """{"rule_id": 1, "field": "license", "kind": "required", "arg": ""}
+          |{"rule_id": 2, "field": "type", "kind": "enum", "arg": "Feature"}
+          |{"rule_id": 3, "field": "links[#].href", "kind": "items_pattern", "arg": "^https://.*$"}
+          |""".stripMargin)
+      spark.conf.set("graft.stac.rulesPath", f.getAbsolutePath)
+      val rows = SparkEntry.queries("q87_schema_validate")(spark, sf)
+        .collect().map(r => r.getAs[Int]("rule_id") ->
+          (r.getAs[String]("field"), r.getAs[Long]("n_violations"))).toMap
+      assert(rows.size == 3, "the rules file REPLACES the built-in relation")
+      assert(rows(1)._1 == "license")
+      // no doc carries a license field -> the new rule flags every doc
+      val nDocs = Tables(spark, sf).documents.count()
+      assert(rows(1)._2 == nDocs)
+      // enum narrowed to Feature-only: strictly more violations than the
+      // default three-value enum produces
+      assert(rows(2)._2 > 0)
+      // scheme-only href pattern: the http:// stride still fails, so the
+      // items keyword class is honored through the file path too
+      assert(rows(3)._2 > 0)
+    } finally {
+      spark.conf.unset("graft.stac.rulesPath")
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
   }
 
   test("latest-schema-version resolution picks the semver max and ignores non-versions") {
