@@ -303,13 +303,6 @@ object Lake extends QueryModule {
     (10, "links[#].href", "items_pattern",
       "^https://data[.]example[.]com/[0-9]+/[a-z]$"))
 
-  /** How many array elements an `items_pattern` rule probes (fixed so the
-    * value extraction stays a literal-path codegen expression in Spark and
-    * a static fragment in the oracle; real STAC items carry a handful of
-    * links, and the bound is per-RULE, not per-corpus).
-    */
-  private val MaxProbedItems = 4
-
   private[graft] val knownKinds =
     Set("required", "enum", "type_number", "pattern", "minimum", "items_pattern")
 
@@ -379,14 +372,16 @@ object Lake extends QueryModule {
       |     ELSE '' || (doc_id % 97) END ||
       |'}}'""".stripMargin
 
-  /** Draft7 keyword dispatch over (kind, arg, v=extracted value). Keywords
-    * are independent (a null value only fails `required`, matching
-    * jsonschema: absent fields skip type/enum/pattern/minimum checks; an
-    * absent array renders `items_pattern`'s v as '' and skips the same
-    * way — Draft7 `items` is vacuous over a missing property).
+  /** Draft7 keyword dispatch over (kind, arg, v=extracted scalar value,
+    * items=extracted array values). Keywords are independent (a null value
+    * only fails `required`, matching jsonschema: absent fields skip
+    * type/enum/pattern/minimum checks; an absent or non-array `items`
+    * renders NULL/empty and skips the same way — Draft7 `items` is vacuous
+    * over a missing or non-array property, and a null ELEMENT — an array
+    * entry missing the sub-field — is vacuous for that element).
     * `rlikePredicate` / `anyItemFails` abstract the two engine
     * differences: RLIKE vs regexp_matches, and the any-element-fails
-    * lambda over the ';'-joined probed elements (Spark `exists` vs
+    * lambda over the FULL extracted `items` array (Spark `exists` vs
     * DuckDB `list_filter`; both may reference the outer `arg` column).
     */
   private def stacDispatch(rlikePredicate: String, anyItemFails: String): String =
@@ -400,9 +395,32 @@ object Lake extends QueryModule {
        |   AND NOT ($rlikePredicate) THEN 1 ELSE 0 END
        | WHEN 'minimum' THEN CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
        |   AND TRY_CAST(v AS DOUBLE) < CAST(arg AS DOUBLE) THEN 1 ELSE 0 END
-       | WHEN 'items_pattern' THEN CASE WHEN v IS NOT NULL AND v <> ''
+       | WHEN 'items_pattern' THEN CASE WHEN items IS NOT NULL
        |   AND ($anyItemFails) THEN 1 ELSE 0 END
        | ELSE 0 END""".stripMargin
+
+  /** Full-array element extraction for an `items_pattern` rule whose field
+    * is `<array>[#].<path>` (e.g. `links[#].href`): parse the WHOLE array
+    * with `from_json` and project each element's sub-path, so validation
+    * covers EVERY element (Draft7 `items` semantics — a bad href at index
+    * 40 fails just like index 0) and element values are never round-tripped
+    * through a joined scalar (a legal ';' or any other character in the
+    * value cannot split or merge elements). Still one codegen'd map-side
+    * expression per rule; a scalar/object under the array key parses to
+    * NULL → vacuous, matching jsonschema.
+    */
+  private def itemsOf(f: String): Column = {
+    import org.apache.spark.sql.types._
+    val sep = f.indexOf("[#].")
+    require(sep > 0 && sep + 4 < f.length,
+      s"items_pattern field must be '<array>[#].<path>', got '$f'")
+    val (base, sub) = (f.substring(0, sep), f.substring(sep + 4).split('.').toSeq)
+    val elemSchema = sub.foldRight(StringType: DataType)((n, inner) =>
+      StructType(Seq(StructField(n, inner))))
+    transform(
+      from_json(get_json_object(col("j"), s"$$.$base"), ArrayType(elemSchema)),
+      e => sub.foldLeft(e)((c, n) => c.getField(n)))
+  }
 
   /** Per-(doc, rule) violation flags over any (doc_id, j) frame — the
     * map-side stage shared by batch q87 and its streaming twin in
@@ -417,25 +435,27 @@ object Lake extends QueryModule {
   private[graft] def stacViolations(
       docs: DataFrame, rules: Seq[(Int, String, String, String)]): DataFrame = {
     // per-rule value extraction, literal JSON paths so each parses once per
-    // row inside codegen; items_pattern probes the first MaxProbedItems
-    // array slots and ';'-joins the present ones (concat_ws skips NULLs, so
-    // an absent array yields '' — the dispatch's skip marker)
+    // row inside codegen; scalar keywords read `v`, items_pattern reads the
+    // full `items` array (the other slot stays NULL — one uniform struct
+    // schema across the exploded rules array)
     def valueOf(f: String, kind: String): Column =
-      if (kind == "items_pattern")
-        concat_ws(";", (0 until MaxProbedItems).map(i =>
-          get_json_object(col("j"), s"$$.${f.replace("#", i.toString)}")): _*)
+      if (kind == "items_pattern") lit(null).cast("string")
       else get_json_object(col("j"), s"$$.$f")
+    def arrayOf(f: String, kind: String): Column =
+      if (kind == "items_pattern") itemsOf(f) else lit(null).cast("array<string>")
     val ruleStructs = rules.map { case (id, f, k, a) =>
       struct(
         lit(id).as("rule_id"), lit(f).as("field"), lit(k).as("kind"), lit(a).as("arg"),
-        valueOf(f, k).as("v"))
+        valueOf(f, k).as("v"), arrayOf(f, k).as("items"))
     }
     docs
       .select(col("doc_id"), explode(array(ruleStructs: _*)).as("r"))
-      .select(col("doc_id"), col("r.rule_id"), col("r.field"), col("r.kind"), col("r.arg"), col("r.v"))
+      .select(
+        col("doc_id"), col("r.rule_id"), col("r.field"), col("r.kind"), col("r.arg"),
+        col("r.v"), col("r.items"))
       .withColumn("violated", expr(stacDispatch(
         "v RLIKE arg",
-        "exists(split(v, ';'), e -> NOT (e RLIKE arg))")))
+        "exists(items, e -> e IS NOT NULL AND NOT (e RLIKE arg))")))
   }
 
   /** The deterministic STAC-ish doc corpus as (doc_id, j) — shared by q87
@@ -532,15 +552,18 @@ object Lake extends QueryModule {
          | rules AS (
          |  $stacRulesSql),
          | ev AS (SELECT doc_id, rule_id, field, kind, arg,
-         |   CASE WHEN kind = 'items_pattern' THEN concat_ws(';',
-         |     ${(0 until MaxProbedItems).map(i =>
-               s"json_extract_string(j, '$$.' || replace(field, '#', '$i'))").mkString(",\n         |     ")})
-         |   ELSE json_extract_string(j, '$$.' || field) END AS v
+         |   CASE WHEN kind = 'items_pattern' THEN NULL
+         |   ELSE json_extract_string(j, '$$.' || field) END AS v,
+         |   CASE WHEN kind = 'items_pattern' THEN
+         |     list_transform(
+         |       range(CAST(json_array_length(j, '$$.' || split_part(field, '[', 1)) AS BIGINT)),
+         |       i -> json_extract_string(j, '$$.' || replace(field, '#', CAST(i AS VARCHAR))))
+         |   ELSE NULL END AS items
          |  FROM docs CROSS JOIN rules),
          | x AS (SELECT doc_id, rule_id, field, kind,
          |   ${stacDispatch(
               "regexp_matches(v, arg)",
-              "len(list_filter(str_split(v, ';'), e -> NOT regexp_matches(e, arg))) > 0")} AS violated
+              "len(list_filter(items, e -> e IS NOT NULL AND NOT regexp_matches(e, arg))) > 0")} AS violated
          |  FROM ev)
          |SELECT rule_id, field, kind, count(*) AS n_docs,
          | CAST(sum(violated) AS BIGINT) AS n_violations,

@@ -106,6 +106,33 @@ class CatalogOpsSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Long]("n_violations") > 0) == 10)
   }
 
+  test("items_pattern is true Draft7: EVERY element checked, values never split on ';'") {
+    // jsonschema semantics pinned directly (not via the oracle, which could
+    // share a defect): `items` applies to every array element, an element
+    // missing the sub-field is vacuous, and element VALUES are opaque — a
+    // legal ';' (valid in URIs) must not fragment them
+    val rules = Seq((1, "links[#].href", "items_pattern", "^https://ok[.]example[.]com/.*$"))
+    val docs = spark.createDataFrame(Seq(
+      // 6 links, ONLY the 6th bad — beyond any fixed probe bound
+      (1L, """{"links":[{"href":"https://ok.example.com/1"},{"href":"https://ok.example.com/2"},
+             {"href":"https://ok.example.com/3"},{"href":"https://ok.example.com/4"},
+             {"href":"https://ok.example.com/5"},{"href":"http://BAD.example.com/6"}]}"""
+        .replaceAll("\n\\s*", "")),
+      // conforming href CONTAINING ';' (path params are legal URI syntax)
+      (2L, """{"links":[{"href":"https://ok.example.com/a;jsessionid=1;x=2"}]}"""),
+      // element without the sub-field is vacuous for that element
+      (3L, """{"links":[{"rel":"self"},{"href":"https://ok.example.com/b"}]}"""),
+      // absent array, empty array, non-array: all vacuous per Draft7
+      (4L, """{"id":"no-links"}"""),
+      (5L, """{"links":[]}"""),
+      (6L, """{"links":"not-an-array"}""")
+    )).toDF("doc_id", "j")
+    val got = graft.operators.Lake.stacViolations(docs, rules)
+      .select("doc_id", "violated").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("violated")).toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0, 6L -> 0), s"got $got")
+  }
+
   test("validation rules are data: a rules file swaps the rule set with no recompile") {
     val dir = java.nio.file.Files.createTempDirectory("stac-rules").toFile
     try {
