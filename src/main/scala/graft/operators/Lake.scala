@@ -312,6 +312,15 @@ object Lake extends QueryModule {
     * the Spark rendering of the reference's drop-a-schema-file workflow
     * (`check_stac_metadata/stac_validators.py:45-103` registers schema
     * FILES in a FileObjectStore — new rules are data, never a deploy).
+    *
+    * A rule of kind `ref` composes rule stores the way the reference's
+    * `RefResolver` composes schema files (`stac_validators.py:1-60`: a
+    * Draft7Validator over a directory where one schema `$ref`s another,
+    * resolved locally): its `arg` names ANOTHER rules file whose rows
+    * splice in at that point, resolved recursively at load time (relative
+    * `arg`s resolve against the including file's directory; include cycles
+    * and duplicate rule_ids across the closure fail loudly).
+    *
     * Rules are schema-scale metadata (tens of rows), so they load on the
     * driver at plan-build time and compile into literal JSON-path
     * expressions — the rules file changes the PLAN, not a join side, and
@@ -321,23 +330,47 @@ object Lake extends QueryModule {
     val path = spark.conf.get("graft.stac.rulesPath", "")
     if (path.isEmpty) stacRules
     else {
-      val df =
-        if (path.endsWith(".json") || path.endsWith(".jsonl"))
-          spark.read.schema("rule_id INT, field STRING, kind STRING, arg STRING").json(path)
-        else
-          spark.read.parquet(path)
-            .selectExpr("CAST(rule_id AS INT) AS rule_id", "field", "kind", "arg")
-      val rows = df.collect() // metadata-scale: a schema store, not a data table
-      require(rows.nonEmpty && rows.length <= 10000,
-        s"graft.stac.rulesPath=$path must hold 1..10000 rules, got ${rows.length}")
-      val rules = rows.toSeq.map { r =>
-        require(!r.anyNull, s"graft.stac.rulesPath=$path has a null rule column")
-        (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))
-      }.sortBy(_._1)
-      rules.foreach { case (id, _, kind, _) =>
-        require(knownKinds(kind), s"rule $id: unknown Draft7 keyword kind '$kind'")
+      val rules = loadRulesFile(spark, new org.apache.hadoop.fs.Path(path), Set.empty)
+      val dups = rules.groupBy(_._1).collect { case (id, rs) if rs.size > 1 => id }
+      require(dups.isEmpty,
+        s"graft.stac.rulesPath=$path: duplicate rule_id(s) after ref resolution: ${dups.toSeq.sorted.mkString(",")}")
+      require(rules.length <= 10000,
+        s"graft.stac.rulesPath=$path resolves to ${rules.length} rules, max 10000")
+      rules.sortBy(_._1)
+    }
+  }
+
+  private def loadRulesFile(
+      spark: SparkSession,
+      p: org.apache.hadoop.fs.Path,
+      visiting: Set[String]): Seq[(Int, String, String, String)] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val canonical = fs.makeQualified(p)
+    require(!visiting(canonical.toString),
+      s"rules ref cycle: $canonical is already on the include path ${visiting.mkString(" -> ")}")
+    val path = canonical.toString
+    val df =
+      if (path.endsWith(".json") || path.endsWith(".jsonl"))
+        spark.read.schema("rule_id INT, field STRING, kind STRING, arg STRING").json(path)
+      else
+        spark.read.parquet(path)
+          .selectExpr("CAST(rule_id AS INT) AS rule_id", "field", "kind", "arg")
+    val rows = df.collect() // metadata-scale: a schema store, not a data table
+    require(rows.nonEmpty && rows.length <= 10000,
+      s"rules file $path must hold 1..10000 rules, got ${rows.length}")
+    rows.toSeq.flatMap { r =>
+      require(!r.anyNull, s"rules file $path has a null rule column")
+      val rule = (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))
+      rule._3 match {
+        case "ref" =>
+          val target = new org.apache.hadoop.fs.Path(rule._4)
+          val resolved = if (target.isAbsolute) target
+            else new org.apache.hadoop.fs.Path(canonical.getParent, rule._4)
+          loadRulesFile(spark, resolved, visiting + canonical.toString)
+        case kind =>
+          require(knownKinds(kind), s"rule ${rule._1}: unknown Draft7 keyword kind '$kind'")
+          Seq(rule)
       }
-      rules
     }
   }
 

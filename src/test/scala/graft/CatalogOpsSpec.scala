@@ -165,6 +165,53 @@ class CatalogOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a ref rule splices another rules file in at load time; cycles fail loudly") {
+    // the reference's RefResolver shape (stac_validators.py:1-60): a STAC
+    // schema $refs a shared core schema in the same store — here a root
+    // rules file pulls in a common fragment by relative path
+    val dir = java.nio.file.Files.createTempDirectory("stac-ref").toFile
+    try {
+      java.nio.file.Files.writeString(new java.io.File(dir, "core.jsonl").toPath,
+        """{"rule_id": 101, "field": "id", "kind": "required", "arg": ""}
+          |{"rule_id": 102, "field": "stac_version", "kind": "enum", "arg": "1.0.0"}
+          |""".stripMargin)
+      java.nio.file.Files.writeString(new java.io.File(dir, "root.jsonl").toPath,
+        """{"rule_id": 1, "field": "license", "kind": "required", "arg": ""}
+          |{"rule_id": 2, "field": "", "kind": "ref", "arg": "core.jsonl"}
+          |""".stripMargin)
+      spark.conf.set("graft.stac.rulesPath", s"${dir.getAbsolutePath}/root.jsonl")
+      val rows = SparkEntry.queries("q87_schema_validate")(spark, sf)
+        .collect().map(r => r.getAs[Int]("rule_id") -> r.getAs[String]("field")).toMap
+      // composed store: the root's own rule plus BOTH included rules, the
+      // ref row itself resolved away
+      assert(rows == Map(1 -> "license", 101 -> "id", 102 -> "stac_version"))
+
+      // a cycle across files is a load-time error, not a hang
+      java.nio.file.Files.writeString(new java.io.File(dir, "a.jsonl").toPath,
+        """{"rule_id": 1, "field": "", "kind": "ref", "arg": "b.jsonl"}""" + "\n")
+      java.nio.file.Files.writeString(new java.io.File(dir, "b.jsonl").toPath,
+        """{"rule_id": 2, "field": "", "kind": "ref", "arg": "a.jsonl"}""" + "\n")
+      spark.conf.set("graft.stac.rulesPath", s"${dir.getAbsolutePath}/a.jsonl")
+      val e = intercept[IllegalArgumentException](
+        SparkEntry.queries("q87_schema_validate")(spark, sf).collect())
+      assert(e.getMessage.contains("cycle"))
+
+      // duplicate ids across the closure fail loudly (a silent shadow would
+      // mis-attribute violations)
+      java.nio.file.Files.writeString(new java.io.File(dir, "dup.jsonl").toPath,
+        """{"rule_id": 101, "field": "type", "kind": "required", "arg": ""}
+          |{"rule_id": 3, "field": "", "kind": "ref", "arg": "core.jsonl"}
+          |""".stripMargin)
+      spark.conf.set("graft.stac.rulesPath", s"${dir.getAbsolutePath}/dup.jsonl")
+      val d = intercept[IllegalArgumentException](
+        SparkEntry.queries("q87_schema_validate")(spark, sf).collect())
+      assert(d.getMessage.contains("duplicate rule_id"))
+    } finally {
+      spark.conf.unset("graft.stac.rulesPath")
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("latest-schema-version resolution picks the semver max and ignores non-versions") {
     val rows = SparkEntry.queries("q88_latest_schema_version")(spark, sf).collect()
     assert(rows.nonEmpty)
