@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,19 +14,29 @@ import org.apache.spark.sql.functions._
   * Layout under `dir`:
   * {{{
   *   v=1/shard=0..15/part-*.parquet   immutable catalog snapshots
-  *   v=2/...
-  *   _CURRENT                         pointer file: the published version
+  *   v=1/_COMMITTED                   marker: the snapshot is published
+  *   _staging/v2-<uuid>/...           a writer's private, in-flight snapshot
   * }}}
   *
-  * Write protocol (crash-safe, idempotent — the batch analog of the
-  * exactly-once streaming sink spec'd in SourcesSpec):
-  *   1. merge change batch against the CURRENT snapshot (keep-latest by
+  * Write protocol (crash-safe, idempotent, COMPARE-AND-SWAP — the batch
+  * analog of the exactly-once streaming sink spec'd in SourcesSpec):
+  *   1. merge change batch against the current snapshot (keep-latest by
   *      revision; base wins ties so replays are no-ops),
   *   2. if the batch changes nothing, short-circuit: no new version,
-  *   3. else write snapshot v=N+1 (overwrite — an orphan dir from a
-  *      crashed run is clobbered, never read, because only _CURRENT makes
-  *      a version live),
-  *   4. publish by writing _CURRENT via temp-file + atomic rename.
+  *   3. else write snapshot + `_COMMITTED` marker into a PRIVATE staging
+  *      dir (unique per attempt — concurrent writers never share a path),
+  *   4. publish by renaming staging → `v=N` WITHOUT overwrite: the rename
+  *      is the atomic claim of version N (HDFS renames are atomic in the
+  *      NameNode; posix rename onto a non-empty dir fails), so of two
+  *      writers that both merged against v=N−1, exactly one wins and the
+  *      loser throws — a concurrent batch can be REJECTED but never LOST.
+  *      The reference gets this serialization from its step-function
+  *      executions; the store supplies its own.
+  *
+  * The published version is derived, never pointed at: current = max v
+  * whose dir holds `_COMMITTED`. A crash before rename leaves only private
+  * staging junk (reclaimed by GC); there is no pointer file to tear and no
+  * recheck-then-publish window.
   *
   * Scale shape: the merge is one |catalog|+|batch| union → per-key window
   * (single shuffle on dataset_key); snapshots are sharded by key hash so
@@ -39,42 +49,41 @@ object CatalogStore {
   final case class UpsertStats(version: Long, inserted: Long, updated: Long, unchanged: Long)
 
   private val Shards = 16
+  private val Marker = "_COMMITTED"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def pointer(dir: String) = new Path(dir, "_CURRENT")
-
-  /** The published version, if any. */
-  def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
-    val f = fs(spark, dir)
-    if (!f.exists(pointer(dir))) None
-    else {
-      val in = f.open(pointer(dir))
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
-    }
-  }
-
-  private def publish(spark: SparkSession, dir: String, version: Long): Unit = {
-    val f = fs(spark, dir)
-    val tmp = new Path(dir, s"_CURRENT.tmp-$version")
-    val out = f.create(tmp, true)
-    try out.write(version.toString.getBytes("UTF-8"))
-    finally out.close()
-    // FileContext rename with OVERWRITE is the atomic replace primitive on
-    // HDFS and local posix — readers see the old or new pointer, never a
-    // missing or torn one (a delete-then-rename would leave a window where
-    // the store has no pointer at all, and a crash in it would need manual
-    // repair)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, pointer(dir), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
-
   private def snapshotPath(dir: String, version: Long) = s"$dir/v=$version"
 
-  private def write(df: DataFrame, dir: String, version: Long): Unit =
+  private def isCommitted(f: FileSystem, dir: String, version: Long): Boolean =
+    f.exists(new Path(snapshotPath(dir, version), Marker))
+
+  /** Committed snapshot versions, ascending. Only the atomic publish
+    * rename creates a `_COMMITTED` marker, so presence IS publication; a
+    * marker-less `v=N` dir (pre-CAS crash debris, manual garbage) is not
+    * data and is invisible here.
+    */
+  def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) return Seq.empty
+    f.listStatus(new Path(dir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+      .filter(v => isCommitted(f, dir, v))
+      .sorted
+  }
+
+  /** The published version, if any: the newest committed snapshot. */
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] =
+    listVersions(spark, dir).lastOption
+
+  /** Write the snapshot into a private staging dir and drop the commit
+    * marker in it — everything after this is a single atomic rename.
+    */
+  private[graft] def stage(df: DataFrame, dir: String, version: Long): Path = {
+    val staging = new Path(dir, s"_staging/v$version-${java.util.UUID.randomUUID()}")
     df.select(
         col("dataset_key"),
         col("title"),
@@ -83,15 +92,56 @@ object CatalogStore {
       .write
       .partitionBy("shard")
       .mode("overwrite")
-      .parquet(snapshotPath(dir, version))
+      .parquet(staging.toString)
+    val f = df.sparkSession.sparkContext.hadoopConfiguration
+    val out = staging.getFileSystem(f).create(new Path(staging, Marker), false)
+    out.close()
+    staging
+  }
+
+  /** In-JVM claim serialization: the Spark driver is the commit
+    * coordinator (as in Delta's local log protocol), so two writer threads
+    * in one driver serialize here and the existence check below is
+    * race-free. Cross-process safety rests on the no-overwrite rename
+    * being atomic in the filesystem (HDFS: atomic in the NameNode; object
+    * stores need their own conditional-put committer). RawLocalFileSystem
+    * alone would NOT suffice cross-thread — its rename can fall back to a
+    * copy INTO an existing destination dir, letting two racers both
+    * "succeed" — which is exactly what this lock forecloses.
+    */
+  private val commitLock = new Object
+
+  /** The CAS publish: claim `v=N` by renaming the staged snapshot onto it
+    * with NO overwrite. Exactly one claimant of a version succeeds; the
+    * loser throws loudly with its batch unpublished (re-read and retry is
+    * the caller's move). A marker-less `v=N` dir occupying the slot is
+    * crash debris, not data — it is cleared and the slot claimed.
+    */
+  private[graft] def commit(spark: SparkSession, dir: String, staging: Path, version: Long): Unit = {
+    val dst = new Path(snapshotPath(dir, version))
+    val fc = FileContext.getFileContext(
+      new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    def lose(cause: Throwable): Nothing = {
+      fs(spark, dir).delete(staging, true)
+      throw new IllegalStateException(
+        s"concurrent writer committed v=$version at $dir first — batch NOT published", cause)
+    }
+    commitLock.synchronized {
+      val f = fs(spark, dir)
+      if (isCommitted(f, dir, version))
+        lose(new java.nio.file.FileAlreadyExistsException(dst.toString))
+      if (f.exists(dst)) f.delete(dst, true) // uncommitted orphan in the slot: not data
+      try fc.rename(staging, dst)
+      catch { case e: java.io.IOException => lose(e) }
+    }
+  }
 
   /** Create the store with an initial catalog of (dataset_key, title,
     * revision) rows. Fails if already initialized.
     */
   def init(spark: SparkSession, dir: String, initial: DataFrame): Long = {
     require(currentVersion(spark, dir).isEmpty, s"catalog at $dir already initialized")
-    write(initial, dir, 1L)
-    publish(spark, dir, 1L)
+    commit(spark, dir, stage(initial, dir, 1L), 1L)
     1L
   }
 
@@ -104,29 +154,13 @@ object CatalogStore {
 
   /** Time travel: read a specific PUBLISHED snapshot. Published versions
     * are immutable, so any one GC hasn't reclaimed is a consistent
-    * point-in-time catalog. Versions above the pointer are refused — an
-    * orphan dir from a crashed writer is not data (it may be partial, and
-    * the next upsert clobbers it), upholding the store invariant that only
-    * `_CURRENT` makes a version live.
+    * point-in-time catalog. Marker-less dirs are refused — crash debris is
+    * not data (it may be partial; the next claimant clears it).
     */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    val current = currentVersion(spark, dir)
-      .getOrElse(throw new IllegalStateException(s"no published catalog at $dir"))
-    require(version <= current, s"v=$version was never published (current is v=$current)")
+    require(isCommitted(fs(spark, dir), dir, version),
+      s"v=$version was never published at $dir")
     spark.read.parquet(snapshotPath(dir, version)).select("dataset_key", "title", "revision")
-  }
-
-  /** Retained PUBLISHED snapshot versions, ascending (orphan dirs above
-    * the pointer are excluded — see [[readVersion]]).
-    */
-  def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
-    val current = currentVersion(spark, dir).getOrElse(return Seq.empty)
-    fs(spark, dir).listStatus(new Path(dir)).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
-      .filter(_ <= current)
-      .sorted
   }
 
   /** Keep-latest merge of the current snapshot with a change batch —
@@ -158,17 +192,17 @@ object CatalogStore {
   /** Apply a change batch. Returns the published version and action
     * counts; a batch that changes nothing publishes nothing.
     *
-    * Concurrency contract: SINGLE WRITER — like the reference, where a
-    * dataset's update runs inside one step-function execution at a time.
-    * There is no commit coordinator here (that is Delta/Iceberg territory);
-    * the pre-publish pointer recheck below turns most concurrent-writer
-    * races into a loud failure instead of a silently lost batch, but it is
-    * a guard, not a guarantee.
+    * Concurrency contract: optimistic CAS. The merge runs against the
+    * current snapshot; publishing claims version current+1 atomically. If
+    * another writer publishes in between, this batch FAILS LOUDLY with
+    * nothing written — never silently lost, never merged against a stale
+    * base. Callers retry by re-invoking (the merge then sees the new
+    * current).
     */
   def upsert(spark: SparkSession, dir: String, changes: DataFrame): UpsertStats = {
     val current = currentVersion(spark, dir)
       .getOrElse(throw new IllegalStateException(s"no published catalog at $dir"))
-    val m = merged(read(spark, dir), changes).localCheckpoint()
+    val m = merged(readVersion(spark, dir, current), changes).localCheckpoint()
     val counts = m.groupBy(col("action")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val (ins, upd) = (counts.getOrElse("inserted", 0L), counts.getOrElse("updated", 0L))
@@ -176,19 +210,17 @@ object CatalogStore {
     if (ins + upd == 0) UpsertStats(current, 0L, 0L, unch)
     else {
       val next = current + 1
-      write(m, dir, next)
-      val observed = currentVersion(spark, dir)
-      if (!observed.contains(current))
-        throw new IllegalStateException(
-          s"concurrent writer detected at $dir: read v=$current, now ${observed.getOrElse("none")} — batch NOT published")
-      publish(spark, dir, next)
+      commit(spark, dir, stage(m, dir, next), next)
       UpsertStats(next, ins, upd, unch)
     }
   }
 
   /** Version-retention GC — q85's execute side: drop all but the newest
-    * `keep` snapshots (the published one always survives). Pure directory
-    * removal; returns the versions reclaimed.
+    * `keep` snapshots (the published one always survives) and sweep
+    * abandoned staging dirs. Pure directory removal; returns the versions
+    * reclaimed. Not concurrency-safe against in-flight writers (their
+    * staging may be swept) — run it like the reference runs maintenance,
+    * between imports.
     */
   def gcVersions(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must keep at least one version")
@@ -196,6 +228,7 @@ object CatalogStore {
     val current = currentVersion(spark, dir).getOrElse(return Seq.empty)
     val doomed = listVersions(spark, dir).reverse.drop(keep).filter(_ != current)
     doomed.foreach(v => f.delete(new Path(snapshotPath(dir, v)), true))
+    f.delete(new Path(dir, "_staging"), true)
     doomed
   }
 }

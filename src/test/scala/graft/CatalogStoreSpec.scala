@@ -77,8 +77,8 @@ class CatalogStoreSpec extends AnyFunSuite {
   test("an orphan snapshot dir from a crashed writer is never read and gets clobbered") {
     val dir = tmp()
     CatalogStore.init(spark, dir, base())
-    // simulate a writer that died after writing v=2 but before publishing:
-    // v=2 exists with garbage content, _CURRENT still says 1
+    // simulate crash debris occupying the v=2 slot WITHOUT a _COMMITTED
+    // marker (a pre-CAS writer that died mid-write, or manual garbage)
     base().limit(3).withColumn("title", lit("GARBAGE")).withColumn("shard", lit(0))
       .write.partitionBy("shard").parquet(s"$dir/v=2")
     assert(CatalogStore.currentVersion(spark, dir).contains(1L))
@@ -87,9 +87,67 @@ class CatalogStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](CatalogStore.readVersion(spark, dir, 2L))
     assert(CatalogStore.listVersions(spark, dir) == Seq(1L))
     val s = CatalogStore.upsert(spark, dir, changes())
-    assert(s.version == 2L) // orphan dir overwritten, then published
+    assert(s.version == 2L) // orphan dir cleared, slot claimed, published
     assert(snapshot(dir).count(_._2.endsWith("-v2")) > 0)
     assert(!snapshot(dir).exists(_._2 == "GARBAGE"))
+  }
+
+  test("CAS publish: two writers racing for one version — exactly one wins, the loser fails loudly") {
+    val dir = tmp()
+    CatalogStore.init(spark, dir, base())
+    // both writers merged against v=1 and stage their v=2 privately —
+    // staging dirs are unique, so neither sees the other's files
+    def batchOf(tag: String, off: Long) = base().limit(1)
+      .select((col("dataset_key") - off).as("dataset_key"),
+        lit(tag).as("title"), lit(1).as("revision"))
+    val sA = CatalogStore.stage(batchOf("winner", 10000L), dir, 2L)
+    val sB = CatalogStore.stage(batchOf("loser", 10001L), dir, 2L)
+    CatalogStore.commit(spark, dir, sA, 2L)
+    val e = intercept[IllegalStateException](CatalogStore.commit(spark, dir, sB, 2L))
+    assert(e.getMessage.contains("NOT published"))
+    // the slot holds exactly the winner's snapshot; the loser's staging is
+    // reclaimed and nothing it wrote is visible anywhere
+    assert(CatalogStore.currentVersion(spark, dir).contains(2L))
+    val titles = CatalogStore.readVersion(spark, dir, 2L)
+      .collect().map(_.getAs[String]("title")).toSet
+    assert(titles == Set("winner"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_staging")).isEmpty)
+    // the loser retries the FULL upsert: it re-merges against the winner's
+    // catalog and lands v=3 — rejected, re-applied, never lost
+    val retry = CatalogStore.upsert(spark, dir, batchOf("loser", 10001L))
+    assert(retry.version == 3L && retry.inserted == 1L)
+    assert(snapshot(dir).map(_._2).count(t => t == "winner" || t == "loser") == 2)
+  }
+
+  test("concurrent upserts from many threads: published batches are all applied, failures are loud") {
+    val dir = tmp()
+    CatalogStore.init(spark, dir, base())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val outcomes = Await.result(
+      Future.sequence((1 to 4).map { i =>
+        Future(scala.util.Try(CatalogStore.upsert(spark, dir,
+          base().limit(1).select((col("dataset_key") - 20000L - i).as("dataset_key"),
+            lit(s"writer-$i").as("title"), lit(1).as("revision")))))
+      }),
+      Duration.Inf)
+    val wins = outcomes.collect { case scala.util.Success(s) => s }
+    val losses = outcomes.collect { case scala.util.Failure(e) => e }
+    assert(wins.nonEmpty, "at least one writer must win")
+    losses.foreach { e =>
+      assert(e.isInstanceOf[IllegalStateException] && e.getMessage.contains("NOT published"),
+        s"a loser must fail loudly, got: $e")
+    }
+    // winners claimed DISTINCT versions and every winner's row is in the
+    // final catalog — a published batch is never lost
+    assert(wins.map(_.version).distinct.length == wins.length)
+    val titles = snapshot(dir).map(_._2)
+    wins.foreach(w => assert(w.inserted == 1L))
+    val applied = titles.count(_.startsWith("writer-"))
+    assert(applied == wins.length, s"expected ${wins.length} applied batches, found $applied")
   }
 
   test("retention GC drops old snapshots, never the published one") {
