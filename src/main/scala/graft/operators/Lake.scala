@@ -286,8 +286,8 @@ object Lake extends QueryModule {
     * `items_pattern` is the nested-array keyword class (Draft7 `items` +
     * `pattern` composed): field carries a `#` placeholder for the array
     * index (`links[#].href` = every element's href must match the arg
-    * regex); the check probes the first [[MaxProbedItems]] elements —
-    * the documented bound of this renderer, not of the rule format.
+    * regex); the check validates EVERY element of the array (full Draft7
+    * `items` semantics — see `itemsOf`), with no probe bound.
     */
   private val stacRules: Seq[(Int, String, String, String)] = Seq(
     (1, "id", "required", ""),

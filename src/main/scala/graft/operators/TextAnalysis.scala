@@ -247,9 +247,11 @@ object TextAnalysis extends QueryModule {
   /** Sequence packing for pretraining batch prep: documents stream into
     * fixed 2048-token bins per source in deterministic doc_id order (a doc
     * is never split; its bin is the 2048-block its cumulative token end
-    * falls in — the streaming-pack policy). Token estimate is the q32
-    * BPE-ish (n_chars+3) div 4 in exact integer arithmetic. One shuffle on
-    * source carries both the running-sum window and the rollup; per-source
+    * falls in — the streaming-pack policy). Token counts come from the
+    * native subword kernel (q32's greedy longest-match vocab,
+    * functions/Subword.scala), floored at one token per document. One
+    * shuffle on source carries both the running-sum window and the rollup;
+    * per-source
     * streams pack independently, which is exactly how packing parallelizes
     * across a 1000-executor ingest.
     */
