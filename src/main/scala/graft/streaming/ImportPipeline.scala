@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Lake
+import graft.sources.CatalogStore
+
+/** The reference's END-TO-END import pipeline as one wired streaming flow —
+  * `import_metadata_file/task.py:34-58` (fetch + link rewrite) →
+  * `check_stac_metadata/task.py` (schema validation, results recorded per
+  * URL via `validation_results_model.py`) → `populate_catalog/task.py:74+`
+  * (catalog update), which the reference chains as step-function states
+  * over SQS/Lambda. Here the chain is a Structured Streaming file source
+  * feeding one `foreachBatch` stage per micro-batch:
+  *
+  *   1. IMPORT — rewrite each arriving doc's links the way the importer
+  *      does before `put_object` (`import_metadata_file/task.py:46-53`:
+  *      drop `self` links, point `root` at the parent catalog, reduce
+  *      other hrefs to basenames).
+  *   2. VALIDATE — the q87 rules relation + dispatch (`Lake
+  *      .stacViolations`), the same map-side stage batch q87 uses.
+  *   3. SPLIT — docs with zero violations are accepted; violators land in
+  *      a quarantine lake with their offending rule ids (the reference's
+  *      per-URL validation-results records; a failed check routes the
+  *      step function away from import — `check_stac_metadata/task.py`
+  *      saves the error and the state machine stops the dataset version).
+  *   4. PUBLISH — accepted docs are written to the storage lake and their
+  *      (dataset_key, title, revision) rows upserted into the
+  *      `CatalogStore` (populate_catalog's root-catalog update).
+  *
+  * EXACTLY-ONCE across restarts, without a transactional sink: the
+  * streaming checkpoint makes batch REPLAY the only failure mode (a crash
+  * after side-effects but before the commit marker re-runs the same batch
+  * id with the same file list), and every side-effect is idempotent under
+  * replay —
+  *   - accepted/quarantine parquet goes to a DETERMINISTIC per-batch dir
+  *     (`batch=<id>`) in overwrite mode: a replay rewrites the same rows
+  *     at the same path;
+  *   - `CatalogStore.upsert` keeps the base row on revision ties, so
+  *     re-applying an already-published change batch publishes nothing
+  *     (the store's documented replays-are-no-ops contract).
+  *
+  * Scale shape: everything before the upsert is map-side per micro-batch
+  * (the rules relation rides inside an explode); the upsert is the
+  * store's single keyed shuffle. A 1000-executor ingest partitions by
+  * arriving file, exactly like the reference fans Lambda invocations out
+  * per metadata URL.
+  */
+object ImportPipeline {
+
+  /** Arriving-metadata schema: one row per staged STAC doc. */
+  val inputSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, dataset_key STRING, title STRING, revision BIGINT, j STRING")
+
+  final case class BatchStats(batchId: Long, accepted: Long, quarantined: Long, publishedVersion: Long)
+
+  /** The importer's link rewrite (`import_metadata_file/task.py:46-53`) as
+    * one codegen'd expression over the raw doc JSON: `self` links are
+    * dropped, the `root` link is re-pointed at the parent catalog, every
+    * other href becomes its basename. Returns the rewritten links as a
+    * TYPED array column (the Spark-idiomatic form of the importer's
+    * in-place JSON mutation — stored next to the raw doc, so downstream
+    * readers get parsed links without re-parsing JSON); NULL when the doc
+    * has no `links` array (the importer's `.get(STAC_LINKS_KEY, [])`).
+    */
+  private[graft] def rewriteLinks(j: Column): Column = {
+    val links = from_json(
+      get_json_object(j, "$.links"),
+      "array<struct<rel:string,href:string>>",
+      Map.empty[String, String])
+    transform(
+      filter(links, x => x.getField("rel") =!= lit("self")),
+      x => struct(
+        x.getField("rel").as("rel"),
+        when(x.getField("rel") === lit("root"), lit("../catalog.json"))
+          .otherwise(regexp_replace(x.getField("href"), ".*/", ""))
+          .as("href")))
+  }
+
+  /** One micro-batch through validate → split → publish. Exposed so the
+    * spec can drive a replay directly; `start` wires it into foreachBatch.
+    */
+  private[graft] def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      catalogDir: String,
+      acceptedDir: String,
+      quarantineDir: String,
+      rules: Seq[(Int, String, String, String)]): BatchStats = {
+    val imported = batch
+      .withColumn("links", rewriteLinks(col("j")))
+      .persist()
+    try {
+      val badDocs = Lake
+        .stacViolations(imported.select(col("doc_id"), col("j")), rules)
+        .filter(col("violated") === 1)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("rule_id"))).as("violated_rules"))
+      val quarantined = imported.join(badDocs, Seq("doc_id")).persist()
+      val accepted = imported
+        .join(badDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .persist()
+      try {
+        // deterministic per-batch dirs + overwrite = idempotent replay
+        quarantined.write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
+        accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch=$batchId")
+        val stats = CatalogStore.upsert(
+          spark, catalogDir,
+          accepted.select(col("dataset_key"), col("title"), col("revision")))
+        BatchStats(batchId, accepted.count(), quarantined.count(), stats.version)
+      } finally {
+        quarantined.unpersist()
+        accepted.unpersist()
+      }
+    } finally imported.unpersist()
+  }
+
+  /** Start the wired pipeline over a streaming file source of arriving
+    * metadata. The `CatalogStore` at `catalogDir` must already be
+    * initialized (the reference likewise imports into an existing root
+    * catalog). Restart with the same `checkpointDir` resumes exactly-once.
+    */
+  def start(
+      spark: SparkSession,
+      sourceDir: String,
+      catalogDir: String,
+      acceptedDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      rules: Option[Seq[(Int, String, String, String)]] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val resolved = rules.getOrElse(Lake.loadRules(spark))
+    spark.readStream
+      .schema(inputSchema)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, catalogDir, acceptedDir, quarantineDir, resolved)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.CatalogStore
+import graft.streaming.ImportPipeline
+
+/** The wired END-TO-END lake-manager flow — the reference's whole import
+  * pipeline (`import_metadata_file/task.py` → `check_stac_metadata/task.py`
+  * → `populate_catalog/task.py`) as ONE running chain: streaming file
+  * source → link rewrite → q87 rules validation → accept/quarantine split
+  * → CatalogStore upsert → read-back, including an exactly-once restart
+  * from a crash that happened AFTER the side-effects but BEFORE the
+  * streaming commit (the replayed batch must publish nothing new).
+  */
+class ImportPipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // the q87 keyword subset this spec exercises: a required field and an
+  // enum — enough to force both sides of the accept/quarantine split
+  private val rules = Seq(
+    (1, "id", "required", ""),
+    (2, "stac_version", "enum", "1.0.0|0.9.0"))
+
+  /** A STAC-ish arriving doc; `valid=false` drops the required `id`. */
+  private def doc(docId: Long, key: String, title: String, rev: Long, valid: Boolean)
+      : (Long, String, String, Long, String) = {
+    val idField = if (valid) s""""id":"item-$docId",""" else ""
+    val j =
+      s"""{$idField"stac_version":"1.0.0","links":[
+         |{"rel":"self","href":"s3://staging/src/$docId.json"},
+         |{"rel":"root","href":"s3://staging/src/catalog.json"},
+         |{"rel":"data","href":"s3://staging/src/asset-$docId.tif"}]}"""
+        .stripMargin.replace("\n", "")
+    (docId, key, title, rev, j)
+  }
+
+  private def writeBatch(dir: String, docs: Seq[(Long, String, String, Long, String)]): Unit = {
+    import spark.implicits._
+    docs.toDF("doc_id", "dataset_key", "title", "revision", "j")
+      .coalesce(1)
+      .write.mode("append").parquet(dir)
+  }
+
+  private def runOnce(root: String): Unit = {
+    val q = ImportPipeline.start(
+      spark,
+      sourceDir = s"$root/in",
+      catalogDir = s"$root/catalog",
+      acceptedDir = s"$root/accepted",
+      quarantineDir = s"$root/quarantine",
+      checkpointDir = s"$root/ckpt",
+      rules = Some(rules))
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  private def catalogMap(root: String): Map[String, (String, Long)] =
+    CatalogStore.read(spark, s"$root/catalog").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("end-to-end import: source → validate → quarantine split → upsert → read-back, exactly-once across a mid-flow restart") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_import").toString
+
+    // the pre-existing root catalog the reference imports into
+    CatalogStore.init(spark, s"$root/catalog",
+      Seq(("ds-a", "Alpha v1", 1L), ("ds-b", "Beta v1", 1L))
+        .toDF("dataset_key", "title", "revision"))
+
+    // ---- batch 0: two valid docs (one update, one insert) + one invalid
+    writeBatch(s"$root/in", Seq(
+      doc(1L, "ds-a", "Alpha v2", 2L, valid = true),
+      doc(2L, "ds-c", "Gamma v1", 1L, valid = true),
+      doc(3L, "ds-d", "Delta v1", 1L, valid = false)))
+    runOnce(root)
+
+    // read-back: the accepted changes are published, the invalid one is not
+    assert(CatalogStore.currentVersion(spark, s"$root/catalog").contains(2L))
+    val cat1 = catalogMap(root)
+    assert(cat1 == Map(
+      "ds-a" -> ("Alpha v2", 2L),
+      "ds-b" -> ("Beta v1", 1L),
+      "ds-c" -> ("Gamma v1", 1L)), s"catalog after batch 0: $cat1")
+
+    // quarantine holds exactly the invalid doc, with the violated rule ids
+    val quar = spark.read.parquet(s"$root/quarantine/batch=0")
+    val quarRows = quar.select(col("doc_id"), col("violated_rules")).collect()
+    assert(quarRows.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(quarRows.head.getSeq[Int](1) == Seq(1), "only the `id required` rule fires")
+
+    // accepted lake carries the importer's link rewrite: self dropped,
+    // root relativized, data href reduced to its basename
+    val acc = spark.read.parquet(s"$root/accepted/batch=0")
+    assert(acc.count() == 2)
+    val links = acc.filter(col("doc_id") === 1L)
+      .select(explode(col("links")).as("l"))
+      .select(col("l.rel"), col("l.href"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(links == Set("root" -> "../catalog.json", "data" -> "asset-1.tif"),
+      s"rewritten links: $links")
+
+    // ---- simulate a crash AFTER batch 0's side-effects but BEFORE the
+    // streaming commit marker: Spark then REPLAYS batch 0 on restart —
+    // the exactly-once claim rests on every side-effect being a replay
+    // no-op (deterministic overwrite dirs + revision-tie upsert)
+    val committed = new java.io.File(s"$root/ckpt/commits/0")
+    assert(committed.exists, "checkpoint layout changed — commits/0 missing")
+    assert(committed.delete())
+    // the local ChecksumFs sidecar would block Spark's re-write of the
+    // commit marker; a real HDFS crash leaves no such residue
+    new java.io.File(s"$root/ckpt/commits/.0.crc").delete()
+
+    // batch 1 arrives while we're "down": ds-a advances to rev 3
+    writeBatch(s"$root/in", Seq(doc(4L, "ds-a", "Alpha v3", 3L, valid = true)))
+    runOnce(root)
+
+    // the replay of batch 0 published NOTHING (version went 2→3, not 2→4):
+    // its changes tie the catalog's revisions and base wins ties
+    assert(CatalogStore.currentVersion(spark, s"$root/catalog").contains(3L))
+    val cat2 = catalogMap(root)
+    assert(cat2 == Map(
+      "ds-a" -> ("Alpha v3", 3L),
+      "ds-b" -> ("Beta v1", 1L),
+      "ds-c" -> ("Gamma v1", 1L)), s"catalog after restart: $cat2")
+
+    // quarantine and accepted lakes are unchanged by the replay — same
+    // rows, same per-batch dirs, no duplicates
+    assert(spark.read.parquet(s"$root/quarantine/batch=0").count() == 1)
+    assert(spark.read.parquet(s"$root/accepted/batch=0").count() == 2)
+    assert(spark.read.parquet(s"$root/accepted/batch=1")
+      .select(col("doc_id")).as[Long].collect().toSeq == Seq(4L))
+
+    // time travel still sees every published step of the import history
+    assert(CatalogStore.listVersions(spark, s"$root/catalog") == Seq(1L, 2L, 3L))
+    assert(CatalogStore.readVersion(spark, s"$root/catalog", 2L)
+      .filter(col("dataset_key") === "ds-a")
+      .select(col("revision")).as[Long].head() == 2L)
+  }
+
+  test("a doc violating multiple rules quarantines once with all rule ids; an all-invalid batch publishes nothing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_import2").toString
+    CatalogStore.init(spark, s"$root/catalog",
+      Seq(("ds-a", "Alpha v1", 1L)).toDF("dataset_key", "title", "revision"))
+
+    // missing id AND an off-enum stac_version → both rules fire on one doc
+    val bad = (9L, "ds-z", "Zeta v1", 1L,
+      """{"stac_version":"2.0.0","links":[{"rel":"self","href":"s3://x/y.json"}]}""")
+    writeBatch(s"$root/in", Seq(bad))
+    runOnce(root)
+
+    // nothing publishable: catalog stays at v1 (no empty snapshot churn)
+    assert(CatalogStore.currentVersion(spark, s"$root/catalog").contains(1L))
+    val quar = spark.read.parquet(s"$root/quarantine/batch=0")
+    assert(quar.count() == 1)
+    assert(quar.select(col("violated_rules")).head().getSeq[Int](0) == Seq(1, 2))
+    assert(spark.read.parquet(s"$root/accepted/batch=0").isEmpty)
+  }
+}
