@@ -202,15 +202,30 @@ object TextAnalysis extends QueryModule {
     * TakeOrderedAndProject (per-partition heaps + driver merge of 50-row
     * heads), never a global sort. The sketch alternative (count-min) only
     * pays off when the vocabulary itself outgrows executor memory.
+    *
+    * Token frequency is Zipfian — at 100 TB the head tokens each carry
+    * billions of rows, and map-side partial aggregation alone leaves one
+    * reducer holding every partial for the hottest key. `graft.skew.salt=N`
+    * (default 0 = off) reroutes the count through [[Skew.saltedSumCount]]'s
+    * two-stage salted aggregate: N×-fanned evenly-sized partial groups,
+    * then a |vocab|-row merge. Same output, hash-identical.
     */
-  private def q76(t: Tables): DataFrame =
-    withWords(t)
+  private def q76(t: Tables): DataFrame = {
+    val tokens = withWords(t)
       .select(explode(col("words")).as("token"))
       .filter(col("token") =!= "")
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
+    val saltBuckets = t.spark.conf.get("graft.skew.salt", "0").toInt
+    require(saltBuckets >= 0, s"graft.skew.salt out of range: $saltBuckets")
+    val counts =
+      if (saltBuckets > 0)
+        Skew.saltedSumCount(tokens, col("token"), lit(1L), saltBuckets)
+          .select(col("key").as("token"), col("n"))
+      else
+        tokens.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    counts
       .orderBy(col("n").desc, col("token"))
       .limit(50)
+  }
 
   /** Bigram language-model counts: n(w1 w2), n(w1·) and the conditional
     * probability p(w2|w1) — the statistics behind perplexity-style quality

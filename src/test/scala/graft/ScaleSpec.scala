@@ -54,6 +54,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q76 under graft.skew.salt: identical top-50, two-stage salted plan") {
+    def run() = SparkEntry.queries("q76_heavy_hitters")(spark, sf)
+    val direct = run()
+    val directRows = direct.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(!direct.queryExecution.executedPlan.toString.contains("__salt"),
+      "default plan must not salt")
+    spark.conf.set("graft.skew.salt", "8")
+    try {
+      val salted = run()
+      // plan shape: stage 1 groups on (token, __salt), stage 2 merges per
+      // token — the hot key is spread across 8 evenly-sized partials
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), s"salted plan missing the salt stage:\n$plan")
+      val saltedRows = salted.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(saltedRows == directRows, "salted top-50 diverges from direct")
+    } finally spark.conf.unset("graft.skew.salt")
+  }
+
   test("graft.local.split gates the local-mode repartition crutch, default off") {
     val docs = Tables(spark, sf).documents
     def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
