@@ -7,42 +7,69 @@ import org.apache.spark.sql.functions._
 /** SURVEY.md §2.F — multimodal column plumbing.
   *
   * Media payloads are opaque `binary` columns with typed metadata beside
-  * them. The Spark-side plumbing — schema, batch shape, partitioning,
-  * deterministic metadata derivation — is real; the codec work (actual
-  * image/audio decode) is stubbed deterministically because no media libs
-  * ship in this container (see `DecodeStub`). At production scale the stub
-  * body is the only thing that changes.
+  * them. The Spark-side plumbing — schema, batch shape, partitioning —
+  * is real, and so is the image path of the codec: payloads that ARE
+  * images (PNG/JPEG/GIF/BMP) decode through JDK `javax.imageio` to their
+  * true pixel dimensions (see `Codec`). Non-image payloads (this corpus's
+  * text-as-bytes stand-ins, plus audio/video which have no JDK decoder)
+  * keep a deterministic metadata derivation so every query stays
+  * reproducible without shipping media libs.
   */
 object Multimodal extends QueryModule {
 
   /** Typed record for the mapPartitions decode path. */
   final case class MediaRow(doc_id: Long, media_type: String, byte_len: Long, width: Long, height: Long)
 
-  /** The codec seam: one function per batch of payload bytes. Real systems
-    * put libjpeg/ffmpeg here (or a Pandas UDF via mapInPandas on the
-    * PySpark side); the container has neither, so dimensions derive
-    * deterministically from the payload. Runs as mapPartitions so the
-    * per-partition batch shape (vectorized decode, model warm-up) is real.
+  /** The codec: one function per payload. Image formats the JDK reads
+    * natively (sniffed by magic bytes first, so the non-image hot path
+    * never touches ImageIO's reader registry) return REAL decoded
+    * width/height; everything else falls back to the deterministic
+    * derivation. Real systems widen the image branch with libjpeg-turbo /
+    * ffmpeg (or a Pandas UDF via mapInPandas on the PySpark side); the
+    * seam and the per-partition batch shape don't change.
     */
-  object DecodeStub {
+  object Codec {
+    /** PNG / JPEG / GIF / BMP magic-byte sniff — the formats JDK ImageIO
+      * decodes out of the box.
+      */
+    private[graft] def looksLikeImage(p: Array[Byte]): Boolean =
+      p.length >= 8 && {
+        (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+        (p(0) == 'B' && p(1) == 'M')
+      }
+
     def decode(docId: Long, payload: Array[Byte], mediaType: String): MediaRow = {
-      val w = 16L + (docId % 16) * 8
-      val h = 16L + ((docId / 16) % 16) * 8
-      MediaRow(docId, mediaType, payload.length.toLong, w, h)
+      val img =
+        if (!looksLikeImage(payload)) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null } // truncated/corrupt header
+      if (img != null)
+        MediaRow(docId, mediaType, payload.length.toLong, img.getWidth.toLong, img.getHeight.toLong)
+      else {
+        val w = 16L + (docId % 16) * 8
+        val h = 16L + ((docId / 16) % 16) * 8
+        MediaRow(docId, mediaType, payload.length.toLong, w, h)
+      }
     }
   }
 
-  /** Typed decode pipeline over the binary column — partition-parallel,
-    * no shuffle; the operator a training pipeline runs before feature
-    * extraction.
+  /** Typed decode pipeline over any (doc_id, payload, media_type) blob
+    * frame — partition-parallel, no shuffle; the operator a training
+    * pipeline runs before feature extraction.
     */
-  def decodeAll(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
-    blobs(Tables(spark, dir))
-      .select(col("doc_id"), col("payload"), col("media_type"))
+  def decodeBlobs(df: DataFrame): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id"), col("payload"), col("media_type"))
       .as[(Long, Array[Byte], String)]
-      .mapPartitions(_.map { case (id, bytes, mt) => DecodeStub.decode(id, bytes, mt) })
+      .mapPartitions(_.map { case (id, bytes, mt) => Codec.decode(id, bytes, mt) })
   }
+
+  /** `decodeBlobs` over the corpus's stand-in blob table. */
+  def decodeAll(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    decodeBlobs(blobs(Tables(spark, dir)))
 
   // payload plumbing: utf-8 bytes of text stand in for media bytes; the
   // media_type "magic sniff" is a deterministic function of the first byte.

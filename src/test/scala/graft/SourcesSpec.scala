@@ -90,10 +90,37 @@ class SourcesSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("decodeAll runs the stubbed codec partition-parallel with real schema") {
+  test("decodeAll runs the codec partition-parallel with real schema") {
     val out = operators.Multimodal.decodeAll(spark, sf).collect()
     assert(out.length == 500)
     assert(out.forall(r => r.byte_len > 0 && r.width >= 16 && r.height >= 16))
     assert(out.map(_.media_type).toSet.subsetOf(Set("image", "audio", "video")))
+  }
+
+  test("real PNG payloads decode to their true pixel dimensions via javax.imageio") {
+    import spark.implicits._
+    // synthesize real PNGs in-test: doc_id N is an (N+1)×(2N+3) image —
+    // dimensions the deterministic fallback could never produce together
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val blobs = (1L to 8L)
+      .map(i => (i, png(i.toInt + 1, 2 * i.toInt + 3), "image"))
+      .toDF("doc_id", "payload", "media_type")
+    val out = operators.Multimodal.decodeBlobs(blobs).collect().sortBy(_.doc_id)
+    out.foreach { r =>
+      assert(r.width == r.doc_id + 1, s"doc ${r.doc_id}: width ${r.width}")
+      assert(r.height == 2 * r.doc_id + 3, s"doc ${r.doc_id}: height ${r.height}")
+      assert(r.byte_len > 8, "a real PNG is bigger than its magic")
+    }
+    // and a non-image payload in the same frame takes the deterministic path
+    val mixed = Seq((20L, "just text".getBytes("UTF-8"), "audio"))
+      .toDF("doc_id", "payload", "media_type")
+    val fallback = operators.Multimodal.decodeBlobs(mixed).head()
+    assert(fallback.width == 16L + (20L % 16) * 8 && fallback.height == 16L + ((20L / 16) % 16) * 8)
   }
 }
