@@ -280,7 +280,7 @@ object Lake extends QueryModule {
   // via ONE shared SQL fragment rendered into both engines (same trick as
   // q42's bucket layout), so the oracle parses byte-identical JSON.
 
-  /** (rule_id, field, Draft7 keyword, argument). `enum` args are
+  /** One validation rule row. `enum` args are
     * '|'-separated; `pattern` is anchored, backslash-free regex (identical
     * dialect subset in Spark and DuckDB); '' = keyword takes no argument.
     * `items_pattern` is the nested-array keyword class (Draft7 `items` +
@@ -288,19 +288,37 @@ object Lake extends QueryModule {
     * index (`links[#].href` = every element's href must match the arg
     * regex); the check validates EVERY element of the array (full Draft7
     * `items` semantics — see `itemsOf`), with no probe bound.
+    *
+    * `appliesTo` TYPE-SCOPES the rule — the Spark rendering of the
+    * reference's per-type validator selection (`check_stac_metadata/
+    * stac_validators.py:90-103` composes a distinct validator for Catalog
+    * / Collection / Item and `utils.py:191` dispatches on the document's
+    * `type`): a '|'-separated list of `type` values the rule validates,
+    * '' = every document. A doc outside the rule's scope (including one
+    * with no `type` at all) is never flagged by it.
     */
-  private val stacRules: Seq[(Int, String, String, String)] = Seq(
-    (1, "id", "required", ""),
-    (2, "id", "pattern", "^item-[0-9]+$"),
-    (3, "stac_version", "required", ""),
-    (4, "stac_version", "enum", "1.0.0|0.9.0"),
-    (5, "type", "enum", "Catalog|Collection|Feature"),
-    (6, "description", "required", ""),
-    (7, "properties.datetime", "pattern",
-      "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}Z$"),
-    (8, "properties.gsd", "type_number", ""),
-    (9, "properties.gsd", "minimum", "10"),
-    (10, "links[#].href", "items_pattern",
+  private[graft] final case class Rule(
+      id: Int, field: String, kind: String, arg: String, appliesTo: String = "")
+
+  /** The built-in STAC 1.0.0 rows, type-scoped the way the reference's
+    * schemas are: `description` is required by the catalog-spec and
+    * collection-spec (not the item-spec); `datetime` and `gsd` live in the
+    * item-spec's `properties`. Core `id`/`stac_version`/`type`/link
+    * keywords are common to all three composed validators.
+    */
+  private val stacRules: Seq[Rule] = Seq(
+    Rule(1, "id", "required", ""),
+    Rule(2, "id", "pattern", "^item-[0-9]+$"),
+    Rule(3, "stac_version", "required", ""),
+    Rule(4, "stac_version", "enum", "1.0.0|0.9.0"),
+    Rule(5, "type", "enum", "Catalog|Collection|Feature"),
+    Rule(6, "description", "required", "", appliesTo = "Catalog|Collection"),
+    Rule(7, "properties.datetime", "pattern",
+      "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}Z$",
+      appliesTo = "Feature"),
+    Rule(8, "properties.gsd", "type_number", "", appliesTo = "Feature"),
+    Rule(9, "properties.gsd", "minimum", "10", appliesTo = "Feature"),
+    Rule(10, "links[#].href", "items_pattern",
       "^https://data[.]example[.]com/[0-9]+/[a-z]$"))
 
   private[graft] val knownKinds =
@@ -326,49 +344,59 @@ object Lake extends QueryModule {
     * expressions — the rules file changes the PLAN, not a join side, and
     * the per-document work stays one codegen'd map-side stage.
     */
-  private[graft] def loadRules(spark: SparkSession): Seq[(Int, String, String, String)] = {
+  private[graft] def loadRules(spark: SparkSession): Seq[Rule] = {
     val path = spark.conf.get("graft.stac.rulesPath", "")
     if (path.isEmpty) stacRules
     else {
       val rules = loadRulesFile(spark, new org.apache.hadoop.fs.Path(path), Set.empty)
-      val dups = rules.groupBy(_._1).collect { case (id, rs) if rs.size > 1 => id }
+      val dups = rules.groupBy(_.id).collect { case (id, rs) if rs.size > 1 => id }
       require(dups.isEmpty,
         s"graft.stac.rulesPath=$path: duplicate rule_id(s) after ref resolution: ${dups.toSeq.sorted.mkString(",")}")
       require(rules.length <= 10000,
         s"graft.stac.rulesPath=$path resolves to ${rules.length} rules, max 10000")
-      rules.sortBy(_._1)
+      rules.sortBy(_.id)
     }
   }
 
   private def loadRulesFile(
       spark: SparkSession,
       p: org.apache.hadoop.fs.Path,
-      visiting: Set[String]): Seq[(Int, String, String, String)] = {
+      visiting: Set[String]): Seq[Rule] = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val canonical = fs.makeQualified(p)
     require(!visiting(canonical.toString),
       s"rules ref cycle: $canonical is already on the include path ${visiting.mkString(" -> ")}")
     val path = canonical.toString
-    val df =
+    // applies_to is OPTIONAL in the file (4-column stores predate it):
+    // absent column or null cell defaults to '' = rule applies to all types
+    val raw =
       if (path.endsWith(".json") || path.endsWith(".jsonl"))
-        spark.read.schema("rule_id INT, field STRING, kind STRING, arg STRING").json(path)
-      else
-        spark.read.parquet(path)
-          .selectExpr("CAST(rule_id AS INT) AS rule_id", "field", "kind", "arg")
+        spark.read
+          .schema("rule_id INT, field STRING, kind STRING, arg STRING, applies_to STRING")
+          .json(path)
+      else {
+        val pq = spark.read.parquet(path)
+        val applies =
+          if (pq.columns.contains("applies_to")) col("applies_to") else lit(null).cast("string")
+        pq.select(
+          col("rule_id").cast("int").as("rule_id"),
+          col("field"), col("kind"), col("arg"), applies.as("applies_to"))
+      }
+    val df = raw.withColumn("applies_to", coalesce(col("applies_to"), lit("")))
     val rows = df.collect() // metadata-scale: a schema store, not a data table
     require(rows.nonEmpty && rows.length <= 10000,
       s"rules file $path must hold 1..10000 rules, got ${rows.length}")
     rows.toSeq.flatMap { r =>
       require(!r.anyNull, s"rules file $path has a null rule column")
-      val rule = (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))
-      rule._3 match {
+      val rule = Rule(r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+      rule.kind match {
         case "ref" =>
-          val target = new org.apache.hadoop.fs.Path(rule._4)
+          val target = new org.apache.hadoop.fs.Path(rule.arg)
           val resolved = if (target.isAbsolute) target
-            else new org.apache.hadoop.fs.Path(canonical.getParent, rule._4)
+            else new org.apache.hadoop.fs.Path(canonical.getParent, rule.arg)
           loadRulesFile(spark, resolved, visiting + canonical.toString)
         case kind =>
-          require(knownKinds(kind), s"rule ${rule._1}: unknown Draft7 keyword kind '$kind'")
+          require(knownKinds(kind), s"rule ${rule.id}: unknown Draft7 keyword kind '$kind'")
           Seq(rule)
       }
     }
@@ -416,21 +444,31 @@ object Lake extends QueryModule {
     * differences: RLIKE vs regexp_matches, and the any-element-fails
     * lambda over the FULL extracted `items` array (Spark `exists` vs
     * DuckDB `list_filter`; both may reference the outer `arg` column).
+    *
+    * The outer CASE is the TYPE-SCOPE gate (see [[Rule.appliesTo]]): a
+    * non-'' `applies_to` only fires on docs whose `doc_type` is in its
+    * '|'-list — the reference's dispatch of each document to its own
+    * type's composed validator. Shared verbatim by both engines, so the
+    * oracle scope-checks identically.
     */
   private def stacDispatch(rlikePredicate: String, anyItemFails: String): String =
-    s"""CASE kind
-       | WHEN 'required' THEN CASE WHEN v IS NULL THEN 1 ELSE 0 END
-       | WHEN 'enum' THEN CASE WHEN v IS NOT NULL
-       |   AND instr('|' || arg || '|', '|' || v || '|') = 0 THEN 1 ELSE 0 END
-       | WHEN 'type_number' THEN CASE WHEN v IS NOT NULL
-       |   AND TRY_CAST(v AS DOUBLE) IS NULL THEN 1 ELSE 0 END
-       | WHEN 'pattern' THEN CASE WHEN v IS NOT NULL
-       |   AND NOT ($rlikePredicate) THEN 1 ELSE 0 END
-       | WHEN 'minimum' THEN CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
-       |   AND TRY_CAST(v AS DOUBLE) < CAST(arg AS DOUBLE) THEN 1 ELSE 0 END
-       | WHEN 'items_pattern' THEN CASE WHEN items IS NOT NULL
-       |   AND ($anyItemFails) THEN 1 ELSE 0 END
-       | ELSE 0 END""".stripMargin
+    s"""CASE
+       | WHEN applies_to <> '' AND (doc_type IS NULL
+       |   OR instr('|' || applies_to || '|', '|' || doc_type || '|') = 0) THEN 0
+       | ELSE CASE kind
+       |  WHEN 'required' THEN CASE WHEN v IS NULL THEN 1 ELSE 0 END
+       |  WHEN 'enum' THEN CASE WHEN v IS NOT NULL
+       |    AND instr('|' || arg || '|', '|' || v || '|') = 0 THEN 1 ELSE 0 END
+       |  WHEN 'type_number' THEN CASE WHEN v IS NOT NULL
+       |    AND TRY_CAST(v AS DOUBLE) IS NULL THEN 1 ELSE 0 END
+       |  WHEN 'pattern' THEN CASE WHEN v IS NOT NULL
+       |    AND NOT ($rlikePredicate) THEN 1 ELSE 0 END
+       |  WHEN 'minimum' THEN CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+       |    AND TRY_CAST(v AS DOUBLE) < CAST(arg AS DOUBLE) THEN 1 ELSE 0 END
+       |  WHEN 'items_pattern' THEN CASE WHEN items IS NOT NULL
+       |    AND ($anyItemFails) THEN 1 ELSE 0 END
+       |  ELSE 0 END
+       |END""".stripMargin
 
   /** Full-array element extraction for an `items_pattern` rule whose field
     * is `<array>[#].<path>` (e.g. `links[#].href`): parse the WHOLE array
@@ -466,7 +504,7 @@ object Lake extends QueryModule {
     stacViolations(docs, loadRules(docs.sparkSession))
 
   private[graft] def stacViolations(
-      docs: DataFrame, rules: Seq[(Int, String, String, String)]): DataFrame = {
+      docs: DataFrame, rules: Seq[Rule]): DataFrame = {
     // per-rule value extraction, literal JSON paths so each parses once per
     // row inside codegen; scalar keywords read `v`, items_pattern reads the
     // full `items` array (the other slot stays NULL — one uniform struct
@@ -476,16 +514,21 @@ object Lake extends QueryModule {
       else get_json_object(col("j"), s"$$.$f")
     def arrayOf(f: String, kind: String): Column =
       if (kind == "items_pattern") itemsOf(f) else lit(null).cast("array<string>")
-    val ruleStructs = rules.map { case (id, f, k, a) =>
+    val ruleStructs = rules.map { r =>
       struct(
-        lit(id).as("rule_id"), lit(f).as("field"), lit(k).as("kind"), lit(a).as("arg"),
-        valueOf(f, k).as("v"), arrayOf(f, k).as("items"))
+        lit(r.id).as("rule_id"), lit(r.field).as("field"), lit(r.kind).as("kind"),
+        lit(r.arg).as("arg"), lit(r.appliesTo).as("applies_to"),
+        valueOf(r.field, r.kind).as("v"), arrayOf(r.field, r.kind).as("items"))
     }
     docs
-      .select(col("doc_id"), explode(array(ruleStructs: _*)).as("r"))
+      // doc-level type, extracted ONCE per row for the scope gate
       .select(
-        col("doc_id"), col("r.rule_id"), col("r.field"), col("r.kind"), col("r.arg"),
-        col("r.v"), col("r.items"))
+        col("doc_id"),
+        get_json_object(col("j"), "$.type").as("doc_type"),
+        explode(array(ruleStructs: _*)).as("r"))
+      .select(
+        col("doc_id"), col("doc_type"), col("r.rule_id"), col("r.field"), col("r.kind"),
+        col("r.arg"), col("r.applies_to"), col("r.v"), col("r.items"))
       .withColumn("violated", expr(stacDispatch(
         "v RLIKE arg",
         "exists(items, e -> e IS NOT NULL AND NOT (e RLIKE arg))")))
@@ -573,9 +616,11 @@ object Lake extends QueryModule {
   )
 
   private val stacRulesSql: String = stacRules
-    .map { case (id, f, k, a) =>
-      if (id == 1) s"SELECT $id AS rule_id, '$f' AS field, '$k' AS kind, '$a' AS arg"
-      else s"SELECT $id, '$f', '$k', '$a'"
+    .map { r =>
+      if (r.id == 1)
+        s"SELECT ${r.id} AS rule_id, '${r.field}' AS field, '${r.kind}' AS kind, " +
+          s"'${r.arg}' AS arg, '${r.appliesTo}' AS applies_to"
+      else s"SELECT ${r.id}, '${r.field}', '${r.kind}', '${r.arg}', '${r.appliesTo}'"
     }
     .mkString("\n  UNION ALL ")
 
@@ -584,7 +629,8 @@ object Lake extends QueryModule {
       s"""WITH docs AS (SELECT doc_id, $stacDocJson AS j FROM documents),
          | rules AS (
          |  $stacRulesSql),
-         | ev AS (SELECT doc_id, rule_id, field, kind, arg,
+         | ev AS (SELECT doc_id, rule_id, field, kind, arg, applies_to,
+         |   json_extract_string(j, '$$.type') AS doc_type,
          |   CASE WHEN kind = 'items_pattern' THEN NULL
          |   ELSE json_extract_string(j, '$$.' || field) END AS v,
          |   CASE WHEN kind = 'items_pattern' THEN

@@ -90,7 +90,7 @@ object ImportPipeline {
       catalogDir: String,
       acceptedDir: String,
       quarantineDir: String,
-      rules: Seq[(Int, String, String, String)]): BatchStats = {
+      rules: Seq[Lake.Rule]): BatchStats = {
     val imported = batch
       .withColumn("links", rewriteLinks(col("j")))
       .persist()
@@ -131,7 +131,7 @@ object ImportPipeline {
       acceptedDir: String,
       quarantineDir: String,
       checkpointDir: String,
-      rules: Option[Seq[(Int, String, String, String)]] = None,
+      rules: Option[Seq[Lake.Rule]] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val resolved = rules.getOrElse(Lake.loadRules(spark))
     spark.readStream

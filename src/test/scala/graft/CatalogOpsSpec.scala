@@ -111,7 +111,8 @@ class CatalogOpsSpec extends AnyFunSuite {
     // share a defect): `items` applies to every array element, an element
     // missing the sub-field is vacuous, and element VALUES are opaque — a
     // legal ';' (valid in URIs) must not fragment them
-    val rules = Seq((1, "links[#].href", "items_pattern", "^https://ok[.]example[.]com/.*$"))
+    val rules = Seq(
+      graft.operators.Lake.Rule(1, "links[#].href", "items_pattern", "^https://ok[.]example[.]com/.*$"))
     val docs = spark.createDataFrame(Seq(
       // 6 links, ONLY the 6th bad — beyond any fixed probe bound
       (1L, """{"links":[{"href":"https://ok.example.com/1"},{"href":"https://ok.example.com/2"},
@@ -131,6 +132,47 @@ class CatalogOpsSpec extends AnyFunSuite {
       .select("doc_id", "violated").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("violated")).toMap
     assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0, 6L -> 0), s"got $got")
+  }
+
+  test("applies_to scopes a rule to its document type, like the reference's per-type validators") {
+    // the reference composes one validator per STAC type and dispatches on
+    // the document's `type` (stac_validators.py:90-103, utils.py:191): a
+    // Collection-only `license required` rule must NOT flag Items
+    val rules = Seq(
+      graft.operators.Lake.Rule(1, "license", "required", "", appliesTo = "Collection"),
+      graft.operators.Lake.Rule(2, "id", "required", ""))
+    val docs = spark.createDataFrame(Seq(
+      (1L, """{"type":"Collection","id":"c1"}"""),          // scoped rule fires
+      (2L, """{"type":"Feature","id":"i1"}"""),             // out of scope: clean
+      (3L, """{"type":"Collection","id":"c2","license":"MIT"}"""), // in scope, satisfied
+      (4L, """{"id":"untyped"}"""),                          // no type: scoped rule skips
+      (5L, """{"type":"Feature"}""")                         // unscoped rule still fires
+    )).toDF("doc_id", "j")
+    val got = graft.operators.Lake.stacViolations(docs, rules)
+      .filter(col("violated") === 1)
+      .select("doc_id", "rule_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rule_id"))).toSet
+    assert(got == Set((1L, 1), (5L, 2)), s"got $got")
+  }
+
+  test("4-column rules files (no applies_to) load with the apply-to-all default") {
+    val dir = java.nio.file.Files.createTempDirectory("stac-4col").toFile
+    try {
+      java.nio.file.Files.writeString(new java.io.File(dir, "legacy.jsonl").toPath,
+        """{"rule_id": 1, "field": "license", "kind": "required", "arg": ""}
+          |{"rule_id": 2, "field": "id", "kind": "required", "arg": "", "applies_to": "Feature"}
+          |""".stripMargin)
+      spark.conf.set("graft.stac.rulesPath", s"${dir.getAbsolutePath}/legacy.jsonl")
+      val loaded = graft.operators.Lake.loadRules(spark)
+      assert(loaded == Seq(
+        graft.operators.Lake.Rule(1, "license", "required", "", appliesTo = ""),
+        graft.operators.Lake.Rule(2, "id", "required", "", appliesTo = "Feature")))
+      // and the full q87 plan still runs green over the loaded store
+      assert(SparkEntry.queries("q87_schema_validate")(spark, sf).count() == 2)
+    } finally {
+      spark.conf.unset("graft.stac.rulesPath")
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
   }
 
   test("validation rules are data: a rules file swaps the rule set with no recompile") {

@@ -21,8 +21,8 @@ class ImportPipelineSpec extends AnyFunSuite {
   // the q87 keyword subset this spec exercises: a required field and an
   // enum — enough to force both sides of the accept/quarantine split
   private val rules = Seq(
-    (1, "id", "required", ""),
-    (2, "stac_version", "enum", "1.0.0|0.9.0"))
+    graft.operators.Lake.Rule(1, "id", "required", ""),
+    graft.operators.Lake.Rule(2, "stac_version", "enum", "1.0.0|0.9.0"))
 
   /** A STAC-ish arriving doc; `valid=false` drops the required `id`. */
   private def doc(docId: Long, key: String, title: String, rev: Long, valid: Boolean)
