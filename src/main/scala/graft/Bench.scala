@@ -6,9 +6,18 @@ import org.apache.spark.sql.SparkSession
   * one JSON line on stdout (driver contract).
   */
 object Bench {
+  /** 1-minute host load average, so environment contention is
+    * self-documenting in the bench line (round-over-round totals have
+    * drifted >2× on byte-identical binaries when the host was busy).
+    */
+  private def loadAvg(): Double =
+    math.rint(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,6 +47,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    val nReps = 2
     val results = (rep(), rep()) match {
       case (r1, r2) => r1.zip(r2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     }
@@ -54,10 +64,13 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000
     }.mkString("{", ",", "}")
     val total = math.rint(results.map(_._2).sum * 1000) / 1000
+    val loadEnd = loadAvg()
     spark.stop()
     // Print after stop so the JSON is the last line on stdout — the driver
     // parses it from the tail of the sbt output.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""reps":$nReps,"agg":"min","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus}""")
     Console.out.flush()
   }
 }
