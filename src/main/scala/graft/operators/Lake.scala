@@ -289,6 +289,14 @@ object Lake extends QueryModule {
     * regex); the check validates EVERY element of the array (full Draft7
     * `items` semantics — see `itemsOf`), with no probe bound.
     *
+    * `no_dup_keys` (field and arg unused) flags documents whose TOP-LEVEL
+    * JSON object repeats a key — the reference rejects these at parse time
+    * via an `object_pairs_hook` (`check_stac_metadata/utils.py:297-314`,
+    * `report_duplicate_object_names`), because `json.load`, like every
+    * JSON-path extractor, silently keeps only one of the pair. Malformed
+    * and non-object docs are NOT this rule's concern (that's the parse
+    * check) and pass it vacuously.
+    *
     * `appliesTo` TYPE-SCOPES the rule — the Spark rendering of the
     * reference's per-type validator selection (`check_stac_metadata/
     * stac_validators.py:90-103` composes a distinct validator for Catalog
@@ -319,10 +327,12 @@ object Lake extends QueryModule {
     Rule(8, "properties.gsd", "type_number", "", appliesTo = "Feature"),
     Rule(9, "properties.gsd", "minimum", "10", appliesTo = "Feature"),
     Rule(10, "links[#].href", "items_pattern",
-      "^https://data[.]example[.]com/[0-9]+/[a-z]$"))
+      "^https://data[.]example[.]com/[0-9]+/[a-z]$"),
+    Rule(11, "", "no_dup_keys", ""))
 
   private[graft] val knownKinds =
-    Set("required", "enum", "type_number", "pattern", "minimum", "items_pattern")
+    Set("required", "enum", "type_number", "pattern", "minimum", "items_pattern",
+      "no_dup_keys")
 
   /** The validation rules RELATION — by default the built-in STAC 1.0.0
     * rows above, but overridable at RUNTIME via `graft.stac.rulesPath`
@@ -406,11 +416,15 @@ object Lake extends QueryModule {
     * rules can flag injected on deterministic doc_id strides (missing id,
     * bad pattern, wrong version, invalid type enum, absent description,
     * malformed datetime, string-typed / below-minimum gsd, a links array
-    * with a non-conforming href, and docs with no links array at all —
-    * the absent-field skip path of the `items_pattern` keyword).
+    * with a non-conforming href, docs with no links array at all —
+    * the absent-field skip path of the `items_pattern` keyword — and a
+    * duplicated top-level key on the %47 stride, duplicating a key no
+    * OTHER rule extracts so the engines' first-vs-last duplicate-pick
+    * behavior can never skew a value check).
     */
   private[graft] val stacDocJson: String =
     """'{' ||
+      |CASE WHEN doc_id % 47 = 0 THEN '"extra":1,"extra":2,' ELSE '' END ||
       |CASE WHEN doc_id % 23 = 0 THEN ''
       |     ELSE '"id":"' || CASE WHEN doc_id % 11 = 0 THEN 'Item_' ELSE 'item-' END || doc_id || '",' END ||
       |CASE WHEN doc_id % 41 = 0 THEN ''
@@ -451,7 +465,8 @@ object Lake extends QueryModule {
     * type's composed validator. Shared verbatim by both engines, so the
     * oracle scope-checks identically.
     */
-  private def stacDispatch(rlikePredicate: String, anyItemFails: String): String =
+  private def stacDispatch(
+      rlikePredicate: String, anyItemFails: String, hasDupKeys: String): String =
     s"""CASE
        | WHEN applies_to <> '' AND (doc_type IS NULL
        |   OR instr('|' || applies_to || '|', '|' || doc_type || '|') = 0) THEN 0
@@ -467,6 +482,8 @@ object Lake extends QueryModule {
        |    AND TRY_CAST(v AS DOUBLE) < CAST(arg AS DOUBLE) THEN 1 ELSE 0 END
        |  WHEN 'items_pattern' THEN CASE WHEN items IS NOT NULL
        |    AND ($anyItemFails) THEN 1 ELSE 0 END
+       |  WHEN 'no_dup_keys' THEN CASE WHEN items IS NOT NULL
+       |    AND ($hasDupKeys) THEN 1 ELSE 0 END
        |  ELSE 0 END
        |END""".stripMargin
 
@@ -510,10 +527,15 @@ object Lake extends QueryModule {
     // full `items` array (the other slot stays NULL — one uniform struct
     // schema across the exploded rules array)
     def valueOf(f: String, kind: String): Column =
-      if (kind == "items_pattern") lit(null).cast("string")
+      if (kind == "items_pattern" || kind == "no_dup_keys") lit(null).cast("string")
       else get_json_object(col("j"), s"$$.$f")
-    def arrayOf(f: String, kind: String): Column =
-      if (kind == "items_pattern") itemsOf(f) else lit(null).cast("array<string>")
+    // no_dup_keys reuses the `items` slot for the RAW top-level key list
+    // (json_object_keys keeps repeats; NULL on malformed/non-object docs)
+    def arrayOf(f: String, kind: String): Column = kind match {
+      case "items_pattern" => itemsOf(f)
+      case "no_dup_keys"   => json_object_keys(col("j"))
+      case _               => lit(null).cast("array<string>")
+    }
     val ruleStructs = rules.map { r =>
       struct(
         lit(r.id).as("rule_id"), lit(r.field).as("field"), lit(r.kind).as("kind"),
@@ -531,7 +553,8 @@ object Lake extends QueryModule {
         col("r.arg"), col("r.applies_to"), col("r.v"), col("r.items"))
       .withColumn("violated", expr(stacDispatch(
         "v RLIKE arg",
-        "exists(items, e -> e IS NOT NULL AND NOT (e RLIKE arg))")))
+        "exists(items, e -> e IS NOT NULL AND NOT (e RLIKE arg))",
+        "size(items) > size(array_distinct(items))")))
   }
 
   /** The deterministic STAC-ish doc corpus as (doc_id, j) — shared by q87
@@ -631,18 +654,20 @@ object Lake extends QueryModule {
          |  $stacRulesSql),
          | ev AS (SELECT doc_id, rule_id, field, kind, arg, applies_to,
          |   json_extract_string(j, '$$.type') AS doc_type,
-         |   CASE WHEN kind = 'items_pattern' THEN NULL
+         |   CASE WHEN kind IN ('items_pattern', 'no_dup_keys') THEN NULL
          |   ELSE json_extract_string(j, '$$.' || field) END AS v,
          |   CASE WHEN kind = 'items_pattern' THEN
          |     list_transform(
          |       range(CAST(json_array_length(j, '$$.' || split_part(field, '[', 1)) AS BIGINT)),
          |       i -> json_extract_string(j, '$$.' || replace(field, '#', CAST(i AS VARCHAR))))
+         |   WHEN kind = 'no_dup_keys' THEN json_keys(TRY_CAST(j AS JSON))
          |   ELSE NULL END AS items
          |  FROM docs CROSS JOIN rules),
          | x AS (SELECT doc_id, rule_id, field, kind,
          |   ${stacDispatch(
               "regexp_matches(v, arg)",
-              "len(list_filter(items, e -> e IS NOT NULL AND NOT regexp_matches(e, arg))) > 0")} AS violated
+              "len(list_filter(items, e -> e IS NOT NULL AND NOT regexp_matches(e, arg))) > 0",
+              "len(items) > len(list_distinct(items))")} AS violated
          |  FROM ev)
          |SELECT rule_id, field, kind, count(*) AS n_docs,
          | CAST(sum(violated) AS BIGINT) AS n_violations,

@@ -94,16 +94,16 @@ class CatalogOpsSpec extends AnyFunSuite {
     val t = Tables(spark, sf)
     val nDocs = t.documents.count()
     val rows = SparkEntry.queries("q87_schema_validate")(spark, sf).collect()
-    assert(rows.length == 10, "one row per schema rule")
+    assert(rows.length == 11, "one row per schema rule")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_docs") == nDocs, s"rule ${r.getAs[Int]("rule_id")} skipped docs")
       val v = r.getAs[Long]("n_violations")
       assert(v >= 0 && v < nDocs, s"rule ${r.getAs[Int]("rule_id")}")
       if (v > 0) assert(!r.isNullAt(r.fieldIndex("first_bad_doc")))
     }
-    // every injected failure stride fires: all 10 Draft7 rules catch
-    // something (incl. the nested-array items_pattern over links[#].href)
-    assert(rows.count(_.getAs[Long]("n_violations") > 0) == 10)
+    // every injected failure stride fires: all 11 rules catch something
+    // (incl. the nested-array items_pattern and the duplicate-key stride)
+    assert(rows.count(_.getAs[Long]("n_violations") > 0) == 11)
   }
 
   test("items_pattern is true Draft7: EVERY element checked, values never split on ';'") {
@@ -153,6 +153,24 @@ class CatalogOpsSpec extends AnyFunSuite {
       .select("doc_id", "rule_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rule_id"))).toSet
     assert(got == Set((1L, 1), (5L, 2)), s"got $got")
+  }
+
+  test("no_dup_keys flags a repeated top-level JSON key; clean docs pass") {
+    // the reference rejects duplicate object names at parse time
+    // (check_stac_metadata/utils.py:297-314) because json.load — like any
+    // JSON-path extractor — silently keeps one of the pair
+    val rules = Seq(graft.operators.Lake.Rule(1, "", "no_dup_keys", ""))
+    val docs = spark.createDataFrame(Seq(
+      (1L, """{"id":"a","id":"b"}"""),                    // top-level repeat: flagged
+      (2L, """{"id":"a","type":"Feature"}"""),            // clean: passes
+      (3L, """{"id":"a","nested":{"k":1,"k":2}}"""),      // NESTED repeat: top-level rule passes
+      (4L, """not json"""),                                // malformed: the parse check's job
+      (5L, """[1,2]""")                                    // non-object: vacuous
+    )).toDF("doc_id", "j")
+    val got = graft.operators.Lake.stacViolations(docs, rules)
+      .select("doc_id", "violated").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("violated")).toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0), s"got $got")
   }
 
   test("4-column rules files (no applies_to) load with the apply-to-all default") {
