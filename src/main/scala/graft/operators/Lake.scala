@@ -289,6 +289,11 @@ object Lake extends QueryModule {
     * regex); the check validates EVERY element of the array (full Draft7
     * `items` semantics — see `itemsOf`), with no probe bound.
     *
+    * `one_of` (field unused) is the COMPOSITE branch keyword — arg names
+    * alternative groups of leaf rule ids ('|' between branches, ','
+    * within; see `stacViolations`): the doc passes iff exactly one branch
+    * is fully satisfied, Draft7 `oneOf` (one branch = `allOf`).
+    *
     * `no_dup_keys` (field and arg unused) flags documents whose TOP-LEVEL
     * JSON object repeats a key — the reference rejects these at parse time
     * via an `object_pairs_hook` (`check_stac_metadata/utils.py:297-314`,
@@ -332,7 +337,7 @@ object Lake extends QueryModule {
 
   private[graft] val knownKinds =
     Set("required", "enum", "type_number", "pattern", "minimum", "items_pattern",
-      "no_dup_keys")
+      "no_dup_keys", "one_of")
 
   /** The validation rules RELATION — by default the built-in STAC 1.0.0
     * rows above, but overridable at RUNTIME via `graft.stac.rulesPath`
@@ -516,12 +521,40 @@ object Lake extends QueryModule {
     * stream of arriving metadata; the same rules relation and dispatch
     * serve both). Values are extracted with literal JSON paths before the
     * explode, so each path parses once per row inside codegen.
+    *
+    * Rules of kind `one_of` are COMPOSITE — the Draft7 branch keyword the
+    * reference's schemas use to accept alternative document shapes
+    * (`stac_validators.py:87-103` composes validators whose schemas carry
+    * `oneOf`/`allOf` branches). The composite's `arg` names alternative
+    * groups of LEAF rule ids — '|' between branches, ',' within one
+    * (`"1,2|3"` = rules 1 AND 2 both pass, or rule 3 passes): the doc
+    * satisfies the composite iff EXACTLY ONE branch's rules all pass
+    * (Draft7 `oneOf`; a single-branch composite is `allOf`). Branch
+    * members are consulted as they stand, own scope gates included, and
+    * the composite carries its own `applies_to` like any rule. Composites
+    * add one narrow per-doc shuffle to fold leaf flags; a rule set without
+    * them (the built-ins) keeps the pure map-side plan.
     */
   private[graft] def stacViolations(docs: DataFrame): DataFrame =
     stacViolations(docs, loadRules(docs.sparkSession))
 
   private[graft] def stacViolations(
-      docs: DataFrame, rules: Seq[Rule]): DataFrame = {
+      docs: DataFrame, allRules: Seq[Rule]): DataFrame = {
+    val (composites, rules) = allRules.partition(_.kind == "one_of")
+    // validate composite branch refs BEFORE any plan is built, so a bad
+    // rules file fails loudly at load, not mid-query
+    val leafIds = rules.map(_.id).toSet
+    val parsedComposites = composites.map { c =>
+      val branches = c.arg.split('|').toSeq.map(_.split(',').toSeq.map { s =>
+        val id = s.trim.toInt
+        require(leafIds(id),
+          s"one_of rule ${c.id}: branch member $id is not a leaf rule id")
+        id
+      })
+      require(branches.nonEmpty && branches.forall(_.nonEmpty),
+        s"one_of rule ${c.id}: arg must be '|'-separated groups of rule ids, got '${c.arg}'")
+      c -> branches
+    }
     // per-rule value extraction, literal JSON paths so each parses once per
     // row inside codegen; scalar keywords read `v`, items_pattern reads the
     // full `items` array (the other slot stays NULL — one uniform struct
@@ -542,7 +575,7 @@ object Lake extends QueryModule {
         lit(r.arg).as("arg"), lit(r.appliesTo).as("applies_to"),
         valueOf(r.field, r.kind).as("v"), arrayOf(r.field, r.kind).as("items"))
     }
-    docs
+    val leafFlags = docs
       // doc-level type, extracted ONCE per row for the scope gate
       .select(
         col("doc_id"),
@@ -555,6 +588,42 @@ object Lake extends QueryModule {
         "v RLIKE arg",
         "exists(items, e -> e IS NOT NULL AND NOT (e RLIKE arg))",
         "size(items) > size(array_distinct(items))")))
+    if (parsedComposites.isEmpty) leafFlags
+    else leafFlags.unionByName(compositeFlags(leafFlags, parsedComposites))
+  }
+
+  /** `one_of` flags derived from the leaf flags: fold each doc's leaf
+    * verdicts into a map (the one narrow |docs|-key shuffle composites
+    * cost), then evaluate every composite's branch groups against it —
+    * violated unless EXACTLY ONE branch has all its rules passing. Output
+    * schema matches the leaf frame so the rollup sees one uniform
+    * relation.
+    */
+  private def compositeFlags(
+      leafFlags: DataFrame, parsed: Seq[(Rule, Seq[Seq[Int]])]): DataFrame = {
+    val perDoc = leafFlags
+      .groupBy(col("doc_id"), col("doc_type"))
+      .agg(map_from_entries(collect_list(struct(col("rule_id"), col("violated")))).as("flags"))
+    val compStructs = parsed.map { case (c, branches) =>
+      val passed = branches
+        .map(b => when(b.map(id => element_at(col("flags"), lit(id)) === 0).reduce(_ && _), 1)
+          .otherwise(0))
+        .reduce(_ + _)
+      val inScope =
+        if (c.appliesTo.isEmpty) lit(true)
+        else col("doc_type").isNotNull &&
+          lit(s"|${c.appliesTo}|").contains(concat(lit("|"), col("doc_type"), lit("|")))
+      struct(
+        lit(c.id).as("rule_id"), lit(c.field).as("field"), lit(c.kind).as("kind"),
+        lit(c.arg).as("arg"), lit(c.appliesTo).as("applies_to"),
+        lit(null).cast("string").as("v"), lit(null).cast("array<string>").as("items"),
+        when(!inScope, 0).when(passed === 1, 0).otherwise(1).as("violated"))
+    }
+    perDoc
+      .select(col("doc_id"), col("doc_type"), explode(array(compStructs: _*)).as("r"))
+      .select(
+        col("doc_id"), col("doc_type"), col("r.rule_id"), col("r.field"), col("r.kind"),
+        col("r.arg"), col("r.applies_to"), col("r.v"), col("r.items"), col("r.violated"))
   }
 
   /** The deterministic STAC-ish doc corpus as (doc_id, j) — shared by q87

@@ -155,6 +155,45 @@ class CatalogOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 1), (5L, 2)), s"got $got")
   }
 
+  test("one_of accepts exactly one of two document shapes, like Draft7 oneOf branches") {
+    // the reference's schemas compose oneOf branches for alternative
+    // document shapes (stac_validators.py:87-103): here a doc must be
+    // EITHER a Collection carrying license+extent (rules 1,2) OR a
+    // Feature carrying geometry (rule 3) — never both, never neither
+    val rules = Seq(
+      graft.operators.Lake.Rule(1, "license", "required", ""),
+      graft.operators.Lake.Rule(2, "extent", "required", ""),
+      graft.operators.Lake.Rule(3, "geometry", "required", ""),
+      graft.operators.Lake.Rule(10, "", "one_of", "1,2|3"))
+    val docs = spark.createDataFrame(Seq(
+      (1L, """{"license":"MIT","extent":[1]}"""),            // branch 1 only: passes
+      (2L, """{"geometry":{"type":"Point"}}"""),              // branch 2 only: passes
+      (3L, """{"license":"MIT"}"""),                          // half of branch 1: violated
+      (4L, """{"license":"MIT","extent":[1],"geometry":{}}"""), // BOTH branches: violated (oneOf, not anyOf)
+      (5L, """{"id":"bare"}""")                                // neither: violated
+    )).toDF("doc_id", "j")
+    val got = graft.operators.Lake.stacViolations(docs, rules)
+      .filter(col("rule_id") === 10)
+      .select("doc_id", "violated").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("violated")).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1), s"got $got")
+
+    // a scoped composite skips out-of-scope docs entirely
+    val scoped = rules.init :+
+      graft.operators.Lake.Rule(10, "", "one_of", "1,2|3", appliesTo = "Collection")
+    val doc = Seq((6L, """{"type":"Feature","id":"bare"}""")) // would violate if in scope
+    val g2 = graft.operators.Lake.stacViolations(
+      spark.createDataFrame(doc).toDF("doc_id", "j"), scoped)
+      .filter(col("rule_id") === 10).select("violated").collect().map(_.getInt(0)).toSeq
+    assert(g2 == Seq(0))
+
+    // a branch member that is not a leaf rule id fails loudly at plan time
+    val bad = Seq(graft.operators.Lake.Rule(1, "", "one_of", "99"))
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Lake.stacViolations(spark.createDataFrame(doc).toDF("doc_id", "j"), bad))
+    assert(e.getMessage.contains("not a leaf rule id"))
+  }
+
   test("no_dup_keys flags a repeated top-level JSON key; clean docs pass") {
     // the reference rejects duplicate object names at parse time
     // (check_stac_metadata/utils.py:297-314) because json.load — like any
