@@ -289,6 +289,14 @@ object Lake extends QueryModule {
     * regex); the check validates EVERY element of the array (full Draft7
     * `items` semantics — see `itemsOf`), with no probe bound.
     *
+    * `format` is the Draft7 format checker the reference attaches to its
+    * validators (`stac_validators.py:88-89`: `FormatChecker()`), going
+    * beyond what a `pattern` rule can say — arg names the format:
+    * `date-time` = RFC3339 UTC shape AND a real calendar check (a
+    * shape-perfect Feb 30 fails, which no regex can decide); `uri` =
+    * scheme://non-space. Absent fields pass vacuously like every
+    * value keyword.
+    *
     * `one_of` (field unused) is the COMPOSITE branch keyword — arg names
     * alternative groups of leaf rule ids ('|' between branches, ','
     * within; see `stacViolations`): the doc passes iff exactly one branch
@@ -333,11 +341,14 @@ object Lake extends QueryModule {
     Rule(9, "properties.gsd", "minimum", "10", appliesTo = "Feature"),
     Rule(10, "links[#].href", "items_pattern",
       "^https://data[.]example[.]com/[0-9]+/[a-z]$"),
-    Rule(11, "", "no_dup_keys", ""))
+    Rule(11, "", "no_dup_keys", ""),
+    Rule(12, "properties.datetime", "format", "date-time", appliesTo = "Feature"))
 
   private[graft] val knownKinds =
     Set("required", "enum", "type_number", "pattern", "minimum", "items_pattern",
-      "no_dup_keys", "one_of")
+      "no_dup_keys", "one_of", "format")
+
+  private[graft] val knownFormats = Set("date-time", "uri")
 
   /** The validation rules RELATION — by default the built-in STAC 1.0.0
     * rows above, but overridable at RUNTIME via `graft.stac.rulesPath`
@@ -470,8 +481,29 @@ object Lake extends QueryModule {
     * type's composed validator. Shared verbatim by both engines, so the
     * oracle scope-checks identically.
     */
+  /** The `format` keyword's violated predicate, parameterized on the
+    * engine's literal-regex matcher (`v RLIKE '<pat>'` vs
+    * `regexp_matches(v, '<pat>')`). `date-time` composes the RFC3339 UTC
+    * shape with TRY_CAST's calendar validation (both engines null out
+    * impossible dates like Feb 30); the shape check runs first so
+    * cast-leniency (date-only strings parse in both engines) can't leak
+    * through. Patterns stay in the backslash-free dialect both engines'
+    * string literals pass through unescaped.
+    */
+  private def formatViolatedSql(matches: String => String): String = {
+    val dateTimeShape =
+      "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}([.][0-9]+)?Z$"
+    val uriShape = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^ ]+$"
+    s"""CASE arg
+       |  WHEN 'date-time' THEN NOT (${matches(dateTimeShape)})
+       |    OR TRY_CAST(v AS TIMESTAMP) IS NULL
+       |  WHEN 'uri' THEN NOT (${matches(uriShape)})
+       |  ELSE false END""".stripMargin
+  }
+
   private def stacDispatch(
-      rlikePredicate: String, anyItemFails: String, hasDupKeys: String): String =
+      rlikePredicate: String, anyItemFails: String, hasDupKeys: String,
+      formatViolated: String): String =
     s"""CASE
        | WHEN applies_to <> '' AND (doc_type IS NULL
        |   OR instr('|' || applies_to || '|', '|' || doc_type || '|') = 0) THEN 0
@@ -489,6 +521,8 @@ object Lake extends QueryModule {
        |    AND ($anyItemFails) THEN 1 ELSE 0 END
        |  WHEN 'no_dup_keys' THEN CASE WHEN items IS NOT NULL
        |    AND ($hasDupKeys) THEN 1 ELSE 0 END
+       |  WHEN 'format' THEN CASE WHEN v IS NOT NULL
+       |    AND ($formatViolated) THEN 1 ELSE 0 END
        |  ELSE 0 END
        |END""".stripMargin
 
@@ -541,8 +575,10 @@ object Lake extends QueryModule {
   private[graft] def stacViolations(
       docs: DataFrame, allRules: Seq[Rule]): DataFrame = {
     val (composites, rules) = allRules.partition(_.kind == "one_of")
-    // validate composite branch refs BEFORE any plan is built, so a bad
-    // rules file fails loudly at load, not mid-query
+    // validate composite branch refs and format names BEFORE any plan is
+    // built, so a bad rules file fails loudly at load, not mid-query
+    rules.filter(_.kind == "format").foreach(r =>
+      require(knownFormats(r.arg), s"rule ${r.id}: unknown format '${r.arg}'"))
     val leafIds = rules.map(_.id).toSet
     val parsedComposites = composites.map { c =>
       val branches = c.arg.split('|').toSeq.map(_.split(',').toSeq.map { s =>
@@ -587,7 +623,8 @@ object Lake extends QueryModule {
       .withColumn("violated", expr(stacDispatch(
         "v RLIKE arg",
         "exists(items, e -> e IS NOT NULL AND NOT (e RLIKE arg))",
-        "size(items) > size(array_distinct(items))")))
+        "size(items) > size(array_distinct(items))",
+        formatViolatedSql(p => s"v RLIKE '$p'"))))
     if (parsedComposites.isEmpty) leafFlags
     else leafFlags.unionByName(compositeFlags(leafFlags, parsedComposites))
   }
@@ -736,7 +773,8 @@ object Lake extends QueryModule {
          |   ${stacDispatch(
               "regexp_matches(v, arg)",
               "len(list_filter(items, e -> e IS NOT NULL AND NOT regexp_matches(e, arg))) > 0",
-              "len(items) > len(list_distinct(items))")} AS violated
+              "len(items) > len(list_distinct(items))",
+              formatViolatedSql(p => s"regexp_matches(v, '$p')"))} AS violated
          |  FROM ev)
          |SELECT rule_id, field, kind, count(*) AS n_docs,
          | CAST(sum(violated) AS BIGINT) AS n_violations,

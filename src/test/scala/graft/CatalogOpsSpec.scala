@@ -94,16 +94,17 @@ class CatalogOpsSpec extends AnyFunSuite {
     val t = Tables(spark, sf)
     val nDocs = t.documents.count()
     val rows = SparkEntry.queries("q87_schema_validate")(spark, sf).collect()
-    assert(rows.length == 11, "one row per schema rule")
+    assert(rows.length == 12, "one row per schema rule")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_docs") == nDocs, s"rule ${r.getAs[Int]("rule_id")} skipped docs")
       val v = r.getAs[Long]("n_violations")
       assert(v >= 0 && v < nDocs, s"rule ${r.getAs[Int]("rule_id")}")
       if (v > 0) assert(!r.isNullAt(r.fieldIndex("first_bad_doc")))
     }
-    // every injected failure stride fires: all 11 rules catch something
-    // (incl. the nested-array items_pattern and the duplicate-key stride)
-    assert(rows.count(_.getAs[Long]("n_violations") > 0) == 11)
+    // every injected failure stride fires: all 12 rules catch something
+    // (incl. the nested-array items_pattern, the duplicate-key stride, and
+    // the malformed-datetime stride through the format checker)
+    assert(rows.count(_.getAs[Long]("n_violations") > 0) == 12)
   }
 
   test("items_pattern is true Draft7: EVERY element checked, values never split on ';'") {
@@ -192,6 +193,33 @@ class CatalogOpsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       graft.operators.Lake.stacViolations(spark.createDataFrame(doc).toDF("doc_id", "j"), bad))
     assert(e.getMessage.contains("not a leaf rule id"))
+  }
+
+  test("format checker: date-time rejects calendar-impossible dates regex can't; uri checks scheme") {
+    // the reference attaches jsonschema's FormatChecker to its validators
+    // (stac_validators.py:88-89) — format goes beyond pattern: a
+    // shape-perfect Feb 30 must fail
+    val rules = Seq(
+      graft.operators.Lake.Rule(1, "dt", "format", "date-time"),
+      graft.operators.Lake.Rule(2, "href", "format", "uri"))
+    val docs = spark.createDataFrame(Seq(
+      (1L, """{"dt":"2024-01-05T00:00:00Z","href":"https://x.example/a"}"""), // both fine
+      (2L, """{"dt":"2024-02-30T00:00:00Z"}"""), // shape-valid, calendar-impossible
+      (3L, """{"dt":"2024-01-05"}"""),           // castable but not RFC3339 date-time
+      (4L, """{"href":"not a uri"}"""),
+      (5L, """{"id":"no-fields"}""")             // absent fields pass vacuously
+    )).toDF("doc_id", "j")
+    val got = graft.operators.Lake.stacViolations(docs, rules)
+      .filter(col("violated") === 1)
+      .select("doc_id", "rule_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rule_id"))).toSet
+    assert(got == Set((2L, 1), (3L, 1), (4L, 2)), s"got $got")
+
+    // unknown format names fail loudly at plan time
+    val bad = Seq(graft.operators.Lake.Rule(1, "dt", "format", "ipv6"))
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Lake.stacViolations(docs, bad))
+    assert(e.getMessage.contains("unknown format"))
   }
 
   test("no_dup_keys flags a repeated top-level JSON key; clean docs pass") {
