@@ -41,6 +41,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == nation.count())
   }
 
+  test("orc round trip preserves rows and pushes filters") {
+    val dir = tmp()
+    val orders = Tables(spark, sf).orders
+    orders.write.mode("overwrite").orc(s"$dir/orders")
+    val back = spark.read.orc(s"$dir/orders")
+    assert(back.count() == orders.count())
+    assert(back.columns.sorted.sameElements(orders.columns.sorted))
+    // ORC scans push predicates just like parquet — the format is not a
+    // second-class citizen at scale
+    val plan = back.filter(col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(o_totalprice"), plan)
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), plan)
+  }
+
   test("parquet scan pushes filters and prunes columns") {
     val df = Tables(spark, sf).lineitem
       .filter(col("l_quantity") > 45)
