@@ -22,12 +22,17 @@ import graft.sources.CatalogStore
   *      other hrefs to basenames).
   *   2. VALIDATE — the q87 rules relation + dispatch (`Lake
   *      .stacViolations`), the same map-side stage batch q87 uses.
-  *   3. SPLIT — docs with zero violations are accepted; violators land in
-  *      a quarantine lake with their offending rule ids (the reference's
-  *      per-URL validation-results records; a failed check routes the
-  *      step function away from import — `check_stac_metadata/task.py`
-  *      saves the error and the state machine stops the dataset version).
-  *   4. PUBLISH — accepted docs are written to the storage lake and their
+  *   3. CHECKSUM (optional) — every asset each doc declares is verified
+  *      against the staged payloads by multihash (`check_files_checksums/
+  *      utils.py:89-110`, q23's dispatch); a missing or corrupt asset
+  *      fails its doc like a rule violation does.
+  *   4. SPLIT — docs with zero violations and zero bad assets are
+  *      accepted; the rest land in a quarantine lake with their offending
+  *      rule ids and bad-asset counts (the reference's per-URL
+  *      validation-results records; a failed check routes the step
+  *      function away from import — `check_stac_metadata/task.py` saves
+  *      the error and the state machine stops the dataset version).
+  *   5. PUBLISH — accepted docs are written to the storage lake and their
   *      (dataset_key, title, revision) rows upserted into the
   *      `CatalogStore` (populate_catalog's root-catalog update).
   *
@@ -80,8 +85,46 @@ object ImportPipeline {
           .as("href")))
   }
 
-  /** One micro-batch through validate → split → publish. Exposed so the
-    * spec can drive a replay directly; `start` wires it into foreachBatch.
+  /** Declared assets extracted from a doc's STAC `assets` dict — one row
+    * per (doc, asset) with the href and the `file:checksum` multihash the
+    * reference's checksum step verifies (`check_stac_metadata/utils.py`
+    * registers each asset as a ProcessingAssetType.DATA item;
+    * `check_files_checksums/utils.py:89-110` validates it). Docs without
+    * an `assets` object produce no rows (nothing to verify).
+    */
+  private[graft] def declaredAssets(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        explode(from_json(
+          get_json_object(col("j"), "$.assets"),
+          "map<string,struct<href:string,`file:checksum`:string>>",
+          Map.empty[String, String])).as(Seq("asset_name", "a")))
+      .select(
+        col("doc_id"), col("asset_name"),
+        col("a.href").as("href"), col("a.`file:checksum`").as("expected"))
+
+  /** Multihash verification, q23's dispatch (`check_files_checksums/
+    * utils.py:27`): prefix 0x12 ⇒ sha2-256 (`1220` + 32-byte digest),
+    * 0x13 ⇒ sha2-512 (`1340` + 64-byte digest); unknown prefixes never
+    * verify. Codegen'd sha2 next to the scan — no shuffle.
+    */
+  private[graft] def multihashOk(expected: Column, payload: Column): Column =
+    when(substring(expected, 1, 2) === "12",
+      concat(lit("1220"), sha2(payload, 256)) === expected)
+      .when(substring(expected, 1, 2) === "13",
+        concat(lit("1340"), sha2(payload, 512)) === expected)
+      .otherwise(lit(false))
+
+  /** One micro-batch through validate → checksum → split → publish.
+    * Exposed so the spec can drive a replay directly; `start` wires it
+    * into foreachBatch. `assetPayloads` is the staged-object lookup
+    * (href, payload) the reference's checksum Lambda reads from the
+    * staging bucket; when supplied, a doc is accepted only if EVERY
+    * declared asset's payload is present and its multihash verifies —
+    * failures quarantine the doc with `n_bad_assets` alongside any rule
+    * violations (the reference likewise fails the dataset version on
+    * either check).
     */
   private[graft] def processBatch(
       spark: SparkSession,
@@ -90,16 +133,32 @@ object ImportPipeline {
       catalogDir: String,
       acceptedDir: String,
       quarantineDir: String,
-      rules: Seq[Lake.Rule]): BatchStats = {
+      rules: Seq[Lake.Rule],
+      assetPayloads: Option[DataFrame] = None): BatchStats = {
     val imported = batch
       .withColumn("links", rewriteLinks(col("j")))
       .persist()
     try {
-      val badDocs = Lake
+      val badRules = Lake
         .stacViolations(imported.select(col("doc_id"), col("j")), rules)
         .filter(col("violated") === 1)
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("rule_id"))).as("violated_rules"))
+      val badDocs = assetPayloads match {
+        case None =>
+          badRules.withColumn("n_bad_assets", lit(0L))
+        case Some(payloads) =>
+          val badAssets = declaredAssets(imported)
+            .join(payloads.select(col("href"), col("payload")), Seq("href"), "left")
+            .filter(col("payload").isNull || !multihashOk(col("expected"), col("payload")))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_bad_assets"))
+          badRules.join(badAssets, Seq("doc_id"), "full_outer")
+            .select(
+              col("doc_id"),
+              coalesce(col("violated_rules"), array().cast("array<int>")).as("violated_rules"),
+              coalesce(col("n_bad_assets"), lit(0L)).as("n_bad_assets"))
+      }
       val quarantined = imported.join(badDocs, Seq("doc_id")).persist()
       val accepted = imported
         .join(badDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -132,6 +191,7 @@ object ImportPipeline {
       quarantineDir: String,
       checkpointDir: String,
       rules: Option[Seq[Lake.Rule]] = None,
+      assetPayloads: Option[DataFrame] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val resolved = rules.getOrElse(Lake.loadRules(spark))
     spark.readStream
@@ -141,7 +201,9 @@ object ImportPipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, catalogDir, acceptedDir, quarantineDir, resolved)
+        processBatch(
+          spark, batch, batchId, catalogDir, acceptedDir, quarantineDir, resolved,
+          assetPayloads)
         ()
       }
       .start()

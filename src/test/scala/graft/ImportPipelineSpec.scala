@@ -140,6 +140,61 @@ class ImportPipelineSpec extends AnyFunSuite {
       .select(col("revision")).as[Long].head() == 2L)
   }
 
+  test("asset checksum stage: a corrupt or missing staged payload quarantines its doc") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_import3").toString
+    CatalogStore.init(spark, s"$root/catalog",
+      Seq(("ds-a", "Alpha v1", 1L)).toDF("dataset_key", "title", "revision"))
+
+    def sha256hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+        .map("%02x".format(_)).mkString
+    val good = "good asset bytes".getBytes("UTF-8")
+    val corrupt = "original bytes".getBytes("UTF-8")
+    def docWithAssets(docId: Long, key: String, rev: Long, assets: (String, String)*) = {
+      val assetJson = assets
+        .map { case (name, mh) =>
+          s""""$name":{"href":"s3://staging/$name","file:checksum":"$mh"}""" }
+        .mkString(",")
+      (docId, key, s"Title $docId", rev,
+        s"""{"id":"item-$docId","stac_version":"1.0.0","assets":{$assetJson}}""")
+    }
+    writeBatch(s"$root/in", Seq(
+      // all assets verify: accepted
+      docWithAssets(1L, "ds-b", 1L, "a1" -> s"1220${sha256hex(good)}"),
+      // declared multihash was computed over DIFFERENT bytes: quarantined
+      docWithAssets(2L, "ds-c", 1L, "a2" -> s"1220${sha256hex(corrupt)}"),
+      // asset never staged: quarantined
+      docWithAssets(3L, "ds-d", 1L, "missing" -> s"1220${sha256hex(good)}"),
+      // no assets at all: nothing to verify, accepted
+      (4L, "ds-e", "Title 4", 1L, """{"id":"item-4","stac_version":"1.0.0"}""")))
+
+    val payloads = Seq(
+      ("s3://staging/a1", good),
+      ("s3://staging/a2", "tampered bytes".getBytes("UTF-8")))
+      .toDF("href", "payload")
+    val q = ImportPipeline.start(
+      spark,
+      sourceDir = s"$root/in",
+      catalogDir = s"$root/catalog",
+      acceptedDir = s"$root/accepted",
+      quarantineDir = s"$root/quarantine",
+      checkpointDir = s"$root/ckpt",
+      rules = Some(rules),
+      assetPayloads = Some(payloads))
+    q.processAllAvailable()
+    q.stop()
+
+    val cat = catalogMap(root)
+    assert(cat.keySet == Set("ds-a", "ds-b", "ds-e"), s"catalog: $cat")
+    val quar = spark.read.parquet(s"$root/quarantine/batch=0")
+      .select(col("doc_id"), col("violated_rules"), col("n_bad_assets")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getLong(2))).toMap
+    assert(quar == Map(
+      2L -> (Seq.empty[Int], 1L),   // checksum-only failure: no rule ids
+      3L -> (Seq.empty[Int], 1L)), s"quarantine: $quar")
+  }
+
   test("a doc violating multiple rules quarantines once with all rule ids; an all-invalid batch publishes nothing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_import2").toString
