@@ -72,6 +72,31 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.skew.salt")
   }
 
+  test("q38's mirrored self-join sides reuse one exchange: each kernel runs once") {
+    // the LSH verify joins the same kernel-derived frame on both sides
+    // (minhash sigs for candidates, shingle sets for a/b). AQE dedupes the
+    // mirrored exchanges ONLY while the kernels canonicalize equal — if a
+    // refactor breaks Expression equality (e.g. an Array-typed field),
+    // corpus-wide kernel work and shuffle bytes silently DOUBLE at 100 TB.
+    // Pin the reuse on the executed final plan, auto-broadcast off.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q38_ngram_jaccard")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val fin = plan.indexOf("== Initial Plan ==") match {
+        case -1 => plan
+        case i  => plan.substring(0, i)
+      }
+      assert(fin.contains("isFinalPlan=true") || fin.contains("Final Plan"),
+        s"expected an executed adaptive plan:\n$fin")
+      val reused = "ReusedExchange".r.findAllIn(fin).length
+      assert(reused >= 2, s"expected both mirrored exchanges reused, got $reused:\n$fin")
+      assert("minhash_sigs".r.findAllIn(fin).length == 1, "minhash kernel must run once")
+      assert("shingle_set".r.findAllIn(fin).length == 1, "shingle kernel must run once")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("graft.local.split gates the local-mode repartition crutch, default off") {
     val docs = Tables(spark, sf).documents
     def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
