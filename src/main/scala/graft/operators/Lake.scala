@@ -297,10 +297,11 @@ object Lake extends QueryModule {
     * scheme://non-space. Absent fields pass vacuously like every
     * value keyword.
     *
-    * `one_of` (field unused) is the COMPOSITE branch keyword — arg names
-    * alternative groups of leaf rule ids ('|' between branches, ','
-    * within; see `stacViolations`): the doc passes iff exactly one branch
-    * is fully satisfied, Draft7 `oneOf` (one branch = `allOf`).
+    * `one_of` / `any_of` / `all_of` (field unused) are the COMPOSITE
+    * branch keywords, Draft7's three applicators — arg names groups of
+    * leaf rule ids ('|' between branches, ',' within; see
+    * `stacViolations`): the doc passes iff exactly one / at least one /
+    * every branch is fully satisfied.
     *
     * `no_dup_keys` (field and arg unused) flags documents whose TOP-LEVEL
     * JSON object repeats a key — the reference rejects these at parse time
@@ -346,7 +347,9 @@ object Lake extends QueryModule {
 
   private[graft] val knownKinds =
     Set("required", "enum", "type_number", "pattern", "minimum", "items_pattern",
-      "no_dup_keys", "one_of", "format")
+      "no_dup_keys", "one_of", "any_of", "all_of", "format")
+
+  private[graft] val compositeKinds = Set("one_of", "any_of", "all_of")
 
   private[graft] val knownFormats = Set("date-time", "uri")
 
@@ -556,14 +559,15 @@ object Lake extends QueryModule {
     * serve both). Values are extracted with literal JSON paths before the
     * explode, so each path parses once per row inside codegen.
     *
-    * Rules of kind `one_of` are COMPOSITE — the Draft7 branch keyword the
-    * reference's schemas use to accept alternative document shapes
-    * (`stac_validators.py:87-103` composes validators whose schemas carry
-    * `oneOf`/`allOf` branches). The composite's `arg` names alternative
-    * groups of LEAF rule ids — '|' between branches, ',' within one
-    * (`"1,2|3"` = rules 1 AND 2 both pass, or rule 3 passes): the doc
-    * satisfies the composite iff EXACTLY ONE branch's rules all pass
-    * (Draft7 `oneOf`; a single-branch composite is `allOf`). Branch
+    * Rules of kind `one_of`/`any_of`/`all_of` are COMPOSITE — the Draft7
+    * branch applicators the reference's schemas use to accept alternative
+    * document shapes (`stac_validators.py:87-103` composes validators
+    * whose schemas carry `oneOf`/`allOf` branches). The composite's `arg`
+    * names groups of LEAF rule ids — '|' between branches, ',' within one
+    * (`"1,2|3"` = the branch {rules 1 AND 2} and the branch {rule 3}):
+    * the doc satisfies the composite iff exactly one (`one_of`) / at
+    * least one (`any_of`) / every (`all_of`) branch's rules all pass,
+    * Draft7's applicator semantics. Branch
     * members are consulted as they stand, own scope gates included, and
     * the composite carries its own `applies_to` like any rule. Composites
     * add one narrow per-doc shuffle to fold leaf flags; a rule set without
@@ -574,7 +578,7 @@ object Lake extends QueryModule {
 
   private[graft] def stacViolations(
       docs: DataFrame, allRules: Seq[Rule]): DataFrame = {
-    val (composites, rules) = allRules.partition(_.kind == "one_of")
+    val (composites, rules) = allRules.partition(r => compositeKinds(r.kind))
     // validate composite branch refs and format names BEFORE any plan is
     // built, so a bad rules file fails loudly at load, not mid-query
     rules.filter(_.kind == "format").foreach(r =>
@@ -584,11 +588,11 @@ object Lake extends QueryModule {
       val branches = c.arg.split('|').toSeq.map(_.split(',').toSeq.map { s =>
         val id = s.trim.toInt
         require(leafIds(id),
-          s"one_of rule ${c.id}: branch member $id is not a leaf rule id")
+          s"${c.kind} rule ${c.id}: branch member $id is not a leaf rule id")
         id
       })
       require(branches.nonEmpty && branches.forall(_.nonEmpty),
-        s"one_of rule ${c.id}: arg must be '|'-separated groups of rule ids, got '${c.arg}'")
+        s"${c.kind} rule ${c.id}: arg must be '|'-separated groups of rule ids, got '${c.arg}'")
       c -> branches
     }
     // per-rule value extraction, literal JSON paths so each parses once per
@@ -629,10 +633,11 @@ object Lake extends QueryModule {
     else leafFlags.unionByName(compositeFlags(leafFlags, parsedComposites))
   }
 
-  /** `one_of` flags derived from the leaf flags: fold each doc's leaf
-    * verdicts into a map (the one narrow |docs|-key shuffle composites
-    * cost), then evaluate every composite's branch groups against it —
-    * violated unless EXACTLY ONE branch has all its rules passing. Output
+  /** Composite (`one_of`/`any_of`/`all_of`) flags derived from the leaf
+    * flags: fold each doc's leaf verdicts into a map (the one narrow
+    * |docs|-key shuffle composites cost), then evaluate every composite's
+    * branch groups against it — violated unless the kind's quota of fully
+    * passing branches is met (exactly one / at least one / all). Output
     * schema matches the leaf frame so the rollup sees one uniform
     * relation.
     */
@@ -646,6 +651,11 @@ object Lake extends QueryModule {
         .map(b => when(b.map(id => element_at(col("flags"), lit(id)) === 0).reduce(_ && _), 1)
           .otherwise(0))
         .reduce(_ + _)
+      val satisfied = c.kind match {
+        case "one_of" => passed === 1
+        case "any_of" => passed >= 1
+        case "all_of" => passed === branches.length
+      }
       val inScope =
         if (c.appliesTo.isEmpty) lit(true)
         else col("doc_type").isNotNull &&
@@ -654,7 +664,7 @@ object Lake extends QueryModule {
         lit(c.id).as("rule_id"), lit(c.field).as("field"), lit(c.kind).as("kind"),
         lit(c.arg).as("arg"), lit(c.appliesTo).as("applies_to"),
         lit(null).cast("string").as("v"), lit(null).cast("array<string>").as("items"),
-        when(!inScope, 0).when(passed === 1, 0).otherwise(1).as("violated"))
+        when(!inScope, 0).when(satisfied, 0).otherwise(1).as("violated"))
     }
     perDoc
       .select(col("doc_id"), col("doc_type"), explode(array(compStructs: _*)).as("r"))

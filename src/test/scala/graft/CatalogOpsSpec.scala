@@ -195,6 +195,28 @@ class CatalogOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a leaf rule id"))
   }
 
+  test("any_of and all_of complete Draft7's applicators over the same branch groups") {
+    val rules = Seq(
+      graft.operators.Lake.Rule(1, "license", "required", ""),
+      graft.operators.Lake.Rule(2, "geometry", "required", ""),
+      graft.operators.Lake.Rule(20, "", "any_of", "1|2"),
+      graft.operators.Lake.Rule(21, "", "all_of", "1|2"))
+    val docs = spark.createDataFrame(Seq(
+      (1L, """{"license":"MIT","geometry":{}}"""), // both: any_of ok, all_of ok
+      (2L, """{"license":"MIT"}"""),               // one: any_of ok, all_of violated
+      (3L, """{"id":"bare"}""")                    // neither: both violated
+    )).toDF("doc_id", "j")
+    val got = graft.operators.Lake.stacViolations(docs, rules)
+      .filter(col("rule_id") >= 20)
+      .select("doc_id", "rule_id", "violated").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rule_id")) -> r.getAs[Int]("violated"))
+      .toMap
+    assert(got == Map(
+      (1L, 20) -> 0, (1L, 21) -> 0,
+      (2L, 20) -> 0, (2L, 21) -> 1,
+      (3L, 20) -> 1, (3L, 21) -> 1), s"got $got")
+  }
+
   test("format checker: date-time rejects calendar-impossible dates regex can't; uri checks scheme") {
     // the reference attaches jsonschema's FormatChecker to its validators
     // (stac_validators.py:88-89) — format goes beyond pattern: a
