@@ -48,6 +48,13 @@ object CatalogStore {
 
   final case class UpsertStats(version: Long, inserted: Long, updated: Long, unchanged: Long)
 
+  /** Legal dataset titles — reference `dataset_properties.py:4`
+    * (TITLE_PATTERN): ASCII alphanumerics, underscore, hyphen, plus the
+    * macron vowels (āēīōūĀĒĪŌŪ) te reo Māori placenames need. Anchored
+    * whole-string match, one or more characters.
+    */
+  val TitlePattern: String = "^[āēīōūĀĒĪŌŪA-Za-z0-9_-]+$"
+
   private val Shards = 16
   private val Marker = "_COMMITTED"
 
@@ -187,6 +194,59 @@ object CatalogStore {
           .when(col("origin") === "change" && col("revision") > col("base_rev"), "updated")
           .otherwise("unchanged"))
       .select(col("dataset_key"), col("title"), col("revision"), col("action"))
+  }
+
+  /** CREATE-mode validation — reference `datasets/create.py:19-39`. The
+    * reference rejects a create whose title fails TITLE_PATTERN
+    * (BAD_REQUEST, jsonschema `pattern`) or whose title already exists in
+    * the `datasets_title_idx` GSI (CONFLICT). Returned as a violations
+    * relation — (dataset_key, title, violation) with violation ∈
+    * {"title_pattern", "title_conflict"} — the same classify-don't-throw
+    * shape as the STAC rules engine (Lake.scala), so callers can report
+    * every bad row in one pass instead of failing on the first.
+    *
+    * A title held by the SAME dataset_key does not conflict (an idempotent
+    * replay of a create must stay a no-op); a title held by a different
+    * key — in the published snapshot or by another row of this batch — does.
+    *
+    * Scale shape: pattern check is an rlike next to the scan; the conflict
+    * check is one shuffle on title (union snapshot+batch, count distinct
+    * keys per title via a window) — no per-row index probe, no driver loop.
+    */
+  def createViolations(spark: SparkSession, dir: String, newDatasets: DataFrame): DataFrame = {
+    val batch = newDatasets.select(col("dataset_key"), col("title"))
+    val badPattern = batch
+      .filter(col("title").isNull || !col("title").rlike(TitlePattern))
+      .withColumn("violation", lit("title_pattern"))
+    val existing = read(spark, dir).select(col("dataset_key"), col("title"))
+    val byTitle = Window.partitionBy(col("title"))
+    val conflicts = existing.withColumn("origin", lit("base"))
+      .unionByName(batch.withColumn("origin", lit("new")))
+      .withColumn("n_keys", size(collect_set(col("dataset_key")).over(byTitle)))
+      .filter(col("origin") === "new" && col("n_keys") > 1)
+      .select(col("dataset_key"), col("title"))
+      .withColumn("violation", lit("title_conflict"))
+    badPattern.unionByName(conflicts)
+  }
+
+  /** Create new datasets — the batch analog of reference
+    * `datasets/create.py` POST. Validates titles (pattern + uniqueness vs
+    * the published snapshot AND within the batch) and fails LOUDLY with a
+    * violation summary before anything is staged; a clean batch publishes
+    * through the same CAS [[upsert]] path. Replaying an already-applied
+    * create is a no-op (no conflict, no new version).
+    */
+  def create(spark: SparkSession, dir: String, newDatasets: DataFrame): UpsertStats = {
+    val bad = createViolations(spark, dir, newDatasets)
+      .groupBy(col("violation")).agg(count(lit(1)).as("n"), min(col("title")).as("example"))
+      .collect() // violation kinds only: ≤2 rows
+    if (bad.nonEmpty) {
+      val detail = bad.map(r =>
+        s"${r.getAs[String]("violation")}: ${r.getAs[Long]("n")} row(s), e.g. '${r.getAs[String]("example")}'")
+      throw new IllegalArgumentException(
+        s"create rejected at $dir — ${detail.mkString("; ")}")
+    }
+    upsert(spark, dir, newDatasets)
   }
 
   /** Apply a change batch. Returns the published version and action

@@ -150,6 +150,55 @@ class CatalogStoreSpec extends AnyFunSuite {
     assert(applied == wins.length, s"expected ${wins.length} applied batches, found $applied")
   }
 
+  // reference datasets/create.py:19-39 — POST rejects a title failing
+  // TITLE_PATTERN (BAD_REQUEST) or already held by another dataset
+  // (CONFLICT via datasets_title_idx); pinned by
+  // tests/test_datasets_endpoint.py:61-62 and tests/test_cli.py:142
+  test("create: duplicate title under a different key is a CONFLICT; pattern violations are BAD_REQUEST-classified") {
+    val dir = tmp()
+    def row(key: Long, title: String) = spark.range(1)
+      .select(lit(key).as("dataset_key"), lit(title).as("title"), lit(1).as("revision"))
+    CatalogStore.init(spark, dir, row(1L, "Wellington_Aerial-2024"))
+
+    // clean create: macron vowels are legal TITLE_PATTERN characters
+    val ok = CatalogStore.create(spark, dir, row(2L, "Ōtāhuhu_LiDAR-2026"))
+    assert(ok.version == 2L && ok.inserted == 1L)
+
+    // CONFLICT: same title, different dataset_key — rejected, nothing published
+    val conflict = intercept[IllegalArgumentException](
+      CatalogStore.create(spark, dir, row(3L, "Wellington_Aerial-2024")))
+    assert(conflict.getMessage.contains("title_conflict"))
+    assert(CatalogStore.currentVersion(spark, dir).contains(2L))
+
+    // BAD_REQUEST analog: spaces/punctuation fail TITLE_PATTERN
+    val bad = intercept[IllegalArgumentException](
+      CatalogStore.create(spark, dir, row(4L, "bad title!")))
+    assert(bad.getMessage.contains("title_pattern"))
+    assert(CatalogStore.currentVersion(spark, dir).contains(2L))
+
+    // replaying an applied create is a no-op, not a conflict (same key holds it)
+    val replay = CatalogStore.create(spark, dir, row(2L, "Ōtāhuhu_LiDAR-2026"))
+    assert(replay.version == 2L && replay.inserted == 0L && replay.updated == 0L)
+  }
+
+  test("createViolations classifies every bad row in one pass, including intra-batch duplicate titles") {
+    val dir = tmp()
+    def rows(t: (Long, String)*) = {
+      import spark.implicits._
+      t.toDF("dataset_key", "title").withColumn("revision", lit(1))
+    }
+    CatalogStore.init(spark, dir, rows(1L -> "existing-title"))
+    val batch = rows(
+      2L -> "existing-title",   // conflicts with the snapshot
+      3L -> "twin", 4L -> "twin", // intra-batch duplicate: both flagged
+      5L -> "has space",        // pattern
+      6L -> "fine_Title-ā")     // clean
+    val v = CatalogStore.createViolations(spark, dir, batch)
+      .collect().map(r => (r.getAs[Long]("dataset_key"), r.getAs[String]("violation"))).toSet
+    assert(v == Set((2L, "title_conflict"), (3L, "title_conflict"),
+      (4L, "title_conflict"), (5L, "title_pattern")))
+  }
+
   test("retention GC drops old snapshots, never the published one") {
     val dir = tmp()
     CatalogStore.init(spark, dir, base())
