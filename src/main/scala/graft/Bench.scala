@@ -16,7 +16,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // parsed up front: a non-numeric SPARK_GRAFT_CPUS fails HERE, not as
+    // malformed JSON in the driver's artifact
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,9 +49,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    // one constant drives both the runs and the JSON "reps" field
     val nReps = 2
-    val results = (rep(), rep()) match {
-      case (r1, r2) => r1.zip(r2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val reps: Seq[Seq[(String, Double)]] = Seq.fill(nReps)(rep())
+    val results = reps.head.indices.map { i =>
+      reps.head(i)._1 -> reps.map(_(i)._2).min
     }
     // Keys shortened to the unique qNN prefix and values rounded to ms so
     // the whole line stays well under 2000 chars: the driver keeps only the
@@ -64,13 +68,27 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 1000) / 1000
     }.mkString("{", ",", "}")
     val total = math.rint(results.map(_._2).sum * 1000) / 1000
+    // Per-rep times as integer-centisecond arrays aligned to the sorted
+    // query order of "queries" — a round-N outlier is self-adjudicating
+    // (both-reps-slow = sustained contention or regression; one-rep-slow =
+    // a transient the min already discards) without a manual re-run.
+    // Centisecond ints keep ~88 queries × nReps inside the driver's
+    // 2000-char tail window even on a contended (all-slow) run.
+    val repArrays = reps.zipWithIndex.map { case (r, i) =>
+      s""""rep${i + 1}_cs":[${r.map(x => math.rint(x._2 * 100).toLong).mkString(",")}]"""
+    }.mkString(",")
     val loadEnd = loadAvg()
     spark.stop()
     // Print after stop so the JSON is the last line on stdout — the driver
     // parses it from the tail of the sbt output.
-    println(
+    val head =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""reps":$nReps,"agg":"min","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus}""")
+        s""""reps":$nReps,"agg":"min","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus"""
+    val line = s"$head,$repArrays}"
+    // the driver keeps only the last 2000 chars of output: an over-budget
+    // line would truncate MID-JSON and parse as nothing, so degrade to the
+    // headline-only form instead of risking the whole artifact
+    println(if (line.length <= 1900) line else s"""$head,"reps_detail":"omitted:over-budget"}""")
     Console.out.flush()
   }
 }
