@@ -233,6 +233,15 @@ object TextAnalysis extends QueryModule {
     * (w1, w2) for the pair counts; n(w1·) comes from a window sum over the
     * already-partial-agg'd pairs (w1-partitioned), so the raw token stream
     * is never shuffled twice.
+    *
+    * Skew: the default window's per-w1 partition is vocabulary-bounded
+    * (its input is the (w1, w2) PAIR table, never raw tokens — a stopword
+    * w1's partition holds |distinct w2| rows, not its billions of
+    * occurrences), so the window survives scale. Still, under
+    * `graft.skew.salt=N` the marginal reroutes through
+    * [[Skew.saltedSumCount]] (q76's two-stage family) and joins back on
+    * w1 — turning the residual hot partition into join skew, which AQE's
+    * skew-join splitting DOES handle. Hash-identical output either way.
     */
   private def q77(t: Tables): DataFrame = {
     val pairs = withWords(t)
@@ -250,9 +259,18 @@ object TextAnalysis extends QueryModule {
       .filter(col("w1") =!= "" && col("w2") =!= "")
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_bigram"))
-    val byW1 = Window.partitionBy(col("w1"))
-    pairs
-      .withColumn("n_w1", sum(col("n_bigram")).over(byW1))
+    val saltBuckets = t.spark.conf.get("graft.skew.salt", "0").toInt
+    require(saltBuckets >= 0, s"graft.skew.salt out of range: $saltBuckets")
+    val withMarginal =
+      if (saltBuckets > 0) {
+        val marginals = Skew.saltedSumCount(pairs, col("w1"), col("n_bigram"), saltBuckets)
+          .select(col("key").as("w1"), col("total").as("n_w1"))
+        pairs.join(marginals, "w1")
+      } else {
+        val byW1 = Window.partitionBy(col("w1"))
+        pairs.withColumn("n_w1", sum(col("n_bigram")).over(byW1))
+      }
+    withMarginal
       .filter(col("n_bigram") >= 10)
       .withColumn("p", round(col("n_bigram") / col("n_w1"), 4))
       .select(col("w1"), col("w2"), col("n_bigram"), col("n_w1"), col("p"))

@@ -72,6 +72,26 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.skew.salt")
   }
 
+  test("q77 under graft.skew.salt: identical rows, marginal reroutes through the salted two-stage + join") {
+    def run() = SparkEntry.queries("q77_bigram_lm")(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val direct = run()
+    assert(!direct.queryExecution.executedPlan.toString.contains("__salt"),
+      "default plan must not salt")
+    val directRows = rows(direct)
+    spark.conf.set("graft.skew.salt", "8")
+    try {
+      val salted = run()
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), s"salted plan missing the salt stage:\n$plan")
+      // the window is gone: the marginal comes back as a JOIN on w1, the
+      // skew shape AQE can split at runtime
+      assert(!plan.contains("Window"), s"salted path must not keep the w1 window:\n$plan")
+      assert(rows(salted) == directRows, "salted bigram LM diverges from direct")
+    } finally spark.conf.unset("graft.skew.salt")
+  }
+
   test("q38's mirrored self-join sides reuse one exchange: each kernel runs once") {
     // the LSH verify joins the same kernel-derived frame on both sides
     // (minhash sigs for candidates, shingle sets for a/b). AQE dedupes the
