@@ -160,7 +160,7 @@ object Similarity extends QueryModule {
     * exactness contract of q71/q74/q78 (one expression tree, mirrored by
     * the `duckEv` oracle fragment below).
     */
-  private def quantizedEv(t: Tables): DataFrame =
+  private[graft] def quantizedEv(t: Tables): DataFrame =
     Tables.localSplit(t.embeddings, col("vec_id"))
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(
@@ -176,11 +176,17 @@ object Similarity extends QueryModule {
     ev.groupBy(col("label").as("clabel"), col("dim").as("cdim"))
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
 
-  private def q71(t: Tables): DataFrame = {
-    val ev = quantizedEv(t)
-    val cent = centroidsOf(ev)
+  /** One Lloyd reassignment against an explicit (vec_id, label)
+    * assignment — the kernel q71 exposes as a query and [[trainIvf]]
+    * iterates to a fixed point. Centroids recompute from the CURRENT
+    * assignment, broadcast, and every vector re-scores against all of
+    * them in the shared integer-quantized metric.
+    */
+  private[graft] def lloydStep(ev: DataFrame, assign: DataFrame): DataFrame = {
+    val evA = ev.drop("label").join(assign.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val cent = centroidsOf(evA)
     val diff = col("q") * col("cnt") - col("sq")
-    val scored = ev
+    val scored = evA
       .join(broadcast(cent), col("dim") === col("cdim"))
       .groupBy(col("vec_id"), col("label"), col("clabel"))
       .agg(sum(diff * diff).as("num"), max(col("cnt")).as("cnt"))
@@ -194,7 +200,64 @@ object Similarity extends QueryModule {
         col("label").as("old_label"),
         col("clabel").as("new_label"),
         floor(col("dist") * 10000).cast("long").as("dist_e4"))
-      .orderBy(col("vec_id"))
+  }
+
+  /** The corpus's own labels as a (vec_id, label) assignment — q71's
+    * starting point and [[trainIvf]]'s default initialization.
+    */
+  private[graft] def initialAssign(ev: DataFrame): DataFrame =
+    ev.select(col("vec_id"), col("label")).distinct()
+
+  private def q71(t: Tables): DataFrame = {
+    val ev = quantizedEv(t)
+    lloydStep(ev, initialAssign(ev)).orderBy(col("vec_id"))
+  }
+
+  /** A trained IVF coarse quantizer: the converged assignment, its
+    * centroid table (the (clabel, cdim, sq, cnt) shape q43/q74 probe),
+    * rounds actually run, and the per-round reassignment counts (the
+    * convergence trace — last entry 0 iff a fixed point was reached).
+    */
+  final case class IvfModel(
+      assign: DataFrame, centroids: DataFrame, rounds: Int, movedPerRound: Seq[Long])
+
+  /** Train the IVF coarse quantizer: iterate [[lloydStep]] until no
+    * vector changes cluster (or `maxRounds`). The §2.E pipeline-completeness
+    * step q71 is one round of — no reference analog.
+    *
+    * Loop discipline is q62's (connected components): each round cuts
+    * lineage on the ASSIGNMENT ONLY — a |corpus|-row (vec_id, label)
+    * frame, never the |corpus|·|dims| exploded view, which recomputes
+    * from the columnar scan each round exactly as distributed k-means
+    * re-reads (or caches) its training set. The driver sees one Long per
+    * round (the moved count, which doubles as the convergence probe and
+    * materializes the lazy checkpoint); centroids broadcast; nothing
+    * quadratic, nothing driver-side.
+    *
+    * Termination: Lloyd's algorithm monotonically decreases the quantized
+    * objective and the argmin tie-break (label order) is deterministic,
+    * so a fixed point exists; `maxRounds` bounds the worst case.
+    */
+  def trainIvf(t: Tables, maxRounds: Int = 25, init: Option[DataFrame] = None): IvfModel = {
+    require(maxRounds >= 1, s"maxRounds out of range: $maxRounds")
+    val ev = quantizedEv(t)
+    var assign = graft.Iterate.cutLineage(init.getOrElse(initialAssign(ev)))
+    val moved = scala.collection.mutable.ArrayBuffer[Long]()
+    var converged = false
+    while (moved.length < maxRounds && !converged) {
+      val step = graft.Iterate.cutLineageLazy(lloydStep(ev, assign))
+      // loop-control statistic only (one Long), not a data collect; this
+      // count is also the action that materializes the lazy checkpoint
+      val m = step.filter(col("old_label") =!= col("new_label")).count()
+      moved += m
+      assign = step.select(col("vec_id"), col("new_label").as("label"))
+      converged = m == 0L
+    }
+    IvfModel(
+      assign,
+      centroidsOf(ev.drop("label").join(assign, Seq("vec_id"))),
+      moved.length,
+      moved.toSeq)
   }
 
   /** IVF search with multi-probe (nprobe=2): q43 probes only the query's
@@ -206,12 +269,25 @@ object Similarity extends QueryModule {
     * corpus join stays equi on the cluster label — partition-prunable,
     * nprobe/|cells| of the corpus read per query batch.
     */
-  private def q74(t: Tables): DataFrame = {
+  private def q74(t: Tables): DataFrame = ivfSearch(t, relabel = None)
+
+  /** The q74 search, parameterized on the coarse assignment: `relabel`
+    * swaps the corpus's stored labels for a trained [[IvfModel]]'s
+    * assignment — the centroid table and probe list then derive from the
+    * trained quantizer while every join/broadcast/window below stays
+    * byte-identical. This is how a [[trainIvf]] output feeds the search
+    * unchanged.
+    */
+  private[graft] def ivfSearch(t: Tables, relabel: Option[DataFrame]): DataFrame = {
     // nprobe is THE runtime IVF knob (recall vs cells read) — conf'd like
     // graft.ann.*; the oracle renders at the default of 2
     val nprobe = t.spark.conf.get("graft.ivf.nprobe", "2").toInt
     require(nprobe >= 1, s"graft.ivf.nprobe out of range: $nprobe")
-    val ev = quantizedEv(t)
+    def relabeled(df: DataFrame): DataFrame = relabel match {
+      case Some(a) => df.drop("label").join(a.select(col("vec_id"), col("label")), Seq("vec_id"))
+      case None    => df
+    }
+    val ev = relabeled(quantizedEv(t))
     val cent = centroidsOf(ev)
     val qv = ev.filter(col("vec_id") < 10)
     val diff = col("q") * col("cnt") - col("sq")
@@ -223,7 +299,7 @@ object Similarity extends QueryModule {
       .withColumn("probe_rank", row_number().over(Window.partitionBy(col("qid")).orderBy(col("dist"), col("clabel"))))
       .filter(col("probe_rank") <= nprobe)
       .select(col("qid"), col("clabel"), col("probe_rank"))
-    val corpus = vectors(t).select(col("label"), col("vec_id"), col("v"))
+    val corpus = relabeled(vectors(t)).select(col("label"), col("vec_id"), col("v"))
     val queries = vectors(t).filter(col("vec_id") < 10).select(col("vec_id").as("qid2"), col("v").as("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
     corpus

@@ -59,6 +59,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mHits.sum >= sHits.sum, s"multi-probe recall ${mHits.sum} < single ${sHits.sum}")
   }
 
+  test("trainIvf: Lloyd iterates 3+ rounds from a scrambled start to a fixed point that feeds the q74 search unchanged") {
+    val t = Tables(spark, sf)
+    // deliberately scrambled initialization — far from the stored labels,
+    // so convergence must take several genuine reassignment rounds
+    val k = t.embeddings.select(col("label")).distinct().count()
+    val scrambled = t.embeddings.select(
+      col("vec_id"), pmod(col("vec_id") * 31 + 7, lit(k)).cast("int").as("label"))
+    val model = operators.Similarity.trainIvf(t, maxRounds = 25, init = Some(scrambled))
+
+    // converged (last round moved nothing) after ≥3 substantive rounds
+    assert(model.movedPerRound.last == 0L,
+      s"did not converge in 25 rounds: ${model.movedPerRound}")
+    assert(model.rounds >= 3, s"expected ≥3 rounds, trace: ${model.movedPerRound}")
+    assert(model.movedPerRound.init.forall(_ > 0L), "converged rounds must terminate the loop")
+
+    // a genuine fixed point: one more Lloyd step moves nothing
+    val ev = operators.Similarity.quantizedEv(t)
+    val extra = operators.Similarity.lloydStep(ev, model.assign)
+      .filter(col("old_label") =!= col("new_label")).count()
+    assert(extra == 0L, "assignment is not a Lloyd fixed point")
+
+    // the trained assignment is total and centroid table has q43/q74's shape
+    assert(model.assign.count() == t.embeddings.count())
+    assert(model.centroids.columns.toSeq == Seq("clabel", "cdim", "sq", "cnt"))
+
+    // and it feeds the q74 search UNCHANGED: same code path, trained labels
+    val rows = operators.Similarity.ivfSearch(t, relabel = Some(model.assign)).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getAs[Int]("nn_rank"))
+      assert(ranked.map(_.getAs[Int]("nn_rank")).toSeq == (1 to ranked.length))
+      assert(rs.map(_.getAs[Int]("probe_rank")).forall(pr => pr == 1 || pr == 2))
+    }
+  }
+
   test("decontamination never reports an eval doc as a train doc") {
     val rows = SparkEntry.queries("q75_decontaminate")(spark, sf).collect()
     rows.foreach { r =>
