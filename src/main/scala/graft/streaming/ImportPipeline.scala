@@ -126,6 +126,18 @@ object ImportPipeline {
     * violations (the reference likewise fails the dataset version on
     * either check).
     */
+  /** Duplicate rule ids would silently corrupt the composite-flags
+    * map_from_entries fold and quarantine attribution; `loadRules`
+    * enforces uniqueness for file-loaded rule sets, and this mirrors that
+    * require for caller-supplied ones (ADVICE r8).
+    */
+  private def requireUniqueRuleIds(rules: Seq[Lake.Rule]): Seq[Lake.Rule] = {
+    val dups = rules.groupBy(_.id).collect { case (id, rs) if rs.size > 1 => id }
+    require(dups.isEmpty,
+      s"duplicate rule_id(s) in resolved rule set: ${dups.toSeq.sorted.mkString(",")}")
+    rules
+  }
+
   private[graft] def processBatch(
       spark: SparkSession,
       batch: DataFrame,
@@ -134,7 +146,26 @@ object ImportPipeline {
       acceptedDir: String,
       quarantineDir: String,
       rules: Seq[Lake.Rule],
-      assetPayloads: Option[DataFrame] = None): BatchStats = {
+      assetPayloads: Option[DataFrame] = None): BatchStats =
+    processTagged(
+      spark, batch, batchId, batchId.toString, catalogDir, acceptedDir, quarantineDir,
+      rules, assetPayloads)
+
+  /** The batch kernel, keyed by an output-dir `tag` so streaming batches
+    * (`batch=<id>`) and quarantine reprocess runs (`batch=reproc-<id>`)
+    * can never collide on a path.
+    */
+  private def processTagged(
+      spark: SparkSession,
+      batch: DataFrame,
+      statsId: Long,
+      tag: String,
+      catalogDir: String,
+      acceptedDir: String,
+      quarantineDir: String,
+      rules: Seq[Lake.Rule],
+      assetPayloads: Option[DataFrame]): BatchStats = {
+    requireUniqueRuleIds(rules)
     val imported = batch
       .withColumn("links", rewriteLinks(col("j")))
       .persist()
@@ -165,12 +196,12 @@ object ImportPipeline {
         .persist()
       try {
         // deterministic per-batch dirs + overwrite = idempotent replay
-        quarantined.write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
-        accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch=$batchId")
+        quarantined.write.mode("overwrite").parquet(s"$quarantineDir/batch=$tag")
+        accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch=$tag")
         val stats = CatalogStore.upsert(
           spark, catalogDir,
           accepted.select(col("dataset_key"), col("title"), col("revision")))
-        BatchStats(batchId, accepted.count(), quarantined.count(), stats.version)
+        BatchStats(statsId, accepted.count(), quarantined.count(), stats.version)
       } finally {
         quarantined.unpersist()
         accepted.unpersist()
@@ -193,7 +224,8 @@ object ImportPipeline {
       rules: Option[Seq[Lake.Rule]] = None,
       assetPayloads: Option[DataFrame] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val resolved = rules.getOrElse(Lake.loadRules(spark))
+    // fail BEFORE the stream starts, not per-batch inside foreachBatch
+    val resolved = requireUniqueRuleIds(rules.getOrElse(Lake.loadRules(spark)))
     spark.readStream
       .schema(inputSchema)
       .parquet(sourceDir)
@@ -207,5 +239,65 @@ object ImportPipeline {
         ()
       }
       .start()
+  }
+
+  /** Re-validate everything in quarantine against the CURRENT rules
+    * relation and promote now-clean docs through the exact same
+    * split/publish kernel — the reference's fix-and-reupload loop (a
+    * failed dataset version re-enters the state machine and re-runs
+    * `check_stac_metadata` after the metadata or the schema registry is
+    * fixed). Docs that still fail re-quarantine under `batch=reproc-<id>`
+    * with their violation attribution RECOMPUTED against the current
+    * rules; the consumed quarantine dirs are removed last.
+    *
+    * Idempotent under crash-replay at every window, provided the caller
+    * reuses the same `reprocessId` until a run completes (and picks a new
+    * one after): outputs go to deterministic overwrite dirs keyed by the
+    * id, the publish is the store's replays-are-no-op upsert, and a crash
+    * before the final dir sweep just means the rerun re-reads the
+    * originals plus its own still-bad output — deduplicated by doc_id —
+    * and converges to the same state. The catalog version advances at
+    * most once per actual promotion, never on replay.
+    *
+    * Scale shape: identical to a streaming batch (map-side validate, one
+    * keyed upsert shuffle); the quarantine read is a plain parquet scan
+    * over the per-batch dirs.
+    */
+  def reprocessQuarantine(
+      spark: SparkSession,
+      catalogDir: String,
+      acceptedDir: String,
+      quarantineDir: String,
+      reprocessId: Long,
+      rules: Option[Seq[Lake.Rule]] = None,
+      assetPayloads: Option[DataFrame] = None): BatchStats = {
+    val resolved = requireUniqueRuleIds(rules.getOrElse(Lake.loadRules(spark)))
+    val tag = s"reproc-$reprocessId"
+    val qRoot = new org.apache.hadoop.fs.Path(quarantineDir)
+    val hfs = qRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val currentVersion = CatalogStore.currentVersion(spark, catalogDir)
+      .getOrElse(throw new IllegalStateException(s"no published catalog at $catalogDir"))
+    val consumed =
+      if (!hfs.exists(qRoot)) Seq.empty
+      else hfs.listStatus(qRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath)
+        .filterNot(_.getName == s"batch=$tag")
+    if (consumed.isEmpty) return BatchStats(reprocessId, 0L, 0L, currentVersion)
+    // a crashed earlier attempt's own still-bad output re-enters the input
+    // so the rerun converges instead of forgetting its re-attribution
+    val own = new org.apache.hadoop.fs.Path(qRoot, s"batch=$tag")
+    val inputDirs = (consumed ++ (if (hfs.exists(own)) Seq(own) else Nil)).map(_.toString)
+    val input = spark.read.parquet(inputDirs: _*)
+      .select(col("doc_id"), col("dataset_key"), col("title"), col("revision"), col("j"))
+      .dropDuplicates("doc_id")
+      // cut from the source files: the kernel's writes and the sweep below
+      // must not race a lazy re-scan of dirs we are about to delete
+      .localCheckpoint(true)
+    val stats = processTagged(
+      spark, input, reprocessId, tag, catalogDir, acceptedDir, quarantineDir,
+      resolved, assetPayloads)
+    consumed.foreach(p => hfs.delete(p, true))
+    stats
   }
 }

@@ -195,6 +195,73 @@ class ImportPipelineSpec extends AnyFunSuite {
       3L -> (Seq.empty[Int], 1L)), s"quarantine: $quar")
   }
 
+  test("quarantine reprocess: a doc rejected under rule set A is promoted after the rules fix, catalog advances once") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_reproc").toString
+    CatalogStore.init(spark, s"$root/catalog",
+      Seq(("ds-a", "Alpha v1", 1L)).toDF("dataset_key", "title", "revision"))
+
+    // rule set A is over-strict: it also requires a `license` field no doc carries
+    val rulesA = rules :+ graft.operators.Lake.Rule(3, "license", "required", "")
+    writeBatch(s"$root/in", Seq(
+      doc(1L, "ds-n", "New v1", 1L, valid = true),   // fails only the license rule
+      doc(2L, "ds-m", "Malformed v1", 1L, valid = false))) // genuinely bad: no id
+    val q = ImportPipeline.start(
+      spark,
+      sourceDir = s"$root/in",
+      catalogDir = s"$root/catalog",
+      acceptedDir = s"$root/accepted",
+      quarantineDir = s"$root/quarantine",
+      checkpointDir = s"$root/ckpt",
+      rules = Some(rulesA))
+    q.processAllAvailable()
+    q.stop()
+
+    // both docs quarantined, nothing published
+    assert(CatalogStore.currentVersion(spark, s"$root/catalog").contains(1L))
+    assert(spark.read.parquet(s"$root/quarantine/batch=0").count() == 2)
+
+    // the fix: reprocess against the CORRECTED rule set (license rule dropped)
+    val stats = ImportPipeline.reprocessQuarantine(
+      spark,
+      catalogDir = s"$root/catalog",
+      acceptedDir = s"$root/accepted",
+      quarantineDir = s"$root/quarantine",
+      reprocessId = 1L,
+      rules = Some(rules))
+    assert(stats == ImportPipeline.BatchStats(1L, 1L, 1L, 2L), s"stats: $stats")
+
+    // the now-clean doc is promoted through the SAME upsert: version 1→2
+    assert(CatalogStore.currentVersion(spark, s"$root/catalog").contains(2L))
+    val cat = catalogMap(root)
+    assert(cat == Map("ds-a" -> ("Alpha v1", 1L), "ds-n" -> ("New v1", 1L)), s"catalog: $cat")
+    assert(spark.read.parquet(s"$root/accepted/batch=reproc-1")
+      .select(col("doc_id")).as[Long].collect().toSeq == Seq(1L))
+
+    // the genuinely-bad doc stays quarantined, attribution RECOMPUTED
+    // against the current rules ([1], not the stale [1, 3]); the consumed
+    // batch dirs are swept
+    val quarDirs = new java.io.File(s"$root/quarantine").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(quarDirs == Set("batch=reproc-1"), s"quarantine dirs: $quarDirs")
+    val still = spark.read.parquet(s"$root/quarantine/batch=reproc-1")
+      .select(col("doc_id"), col("violated_rules")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(still == Map(2L -> Seq(1)), s"still quarantined: $still")
+
+    // replaying the SAME reprocess id is a complete no-op: its own output
+    // dir is not input, nothing publishes, the version holds at 2
+    val replay = ImportPipeline.reprocessQuarantine(
+      spark,
+      catalogDir = s"$root/catalog",
+      acceptedDir = s"$root/accepted",
+      quarantineDir = s"$root/quarantine",
+      reprocessId = 1L,
+      rules = Some(rules))
+    assert(replay == ImportPipeline.BatchStats(1L, 0L, 0L, 2L), s"replay: $replay")
+    assert(CatalogStore.listVersions(spark, s"$root/catalog") == Seq(1L, 2L))
+  }
+
   test("a doc violating multiple rules quarantines once with all rule ids; an all-invalid batch publishes nothing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_import2").toString
