@@ -40,12 +40,22 @@ object Multimodal extends QueryModule {
         (p(0) == 'B' && p(1) == 'M')
       }
 
+    // ImageIO's default InputStream path spools through a temp-FILE cache —
+    // one disk round-trip per decode in the mapPartitions hot path; decode
+    // from memory instead (process-wide, idempotent)
+    javax.imageio.ImageIO.setUseCache(false)
+
     def decode(docId: Long, payload: Array[Byte], mediaType: String): MediaRow = {
       val img =
         if (!looksLikeImage(payload)) null
         else
+          // NonFatal, not just IOException: ImageIO readers throw
+          // RuntimeExceptions (CMMException, ArrayIndexOutOfBounds,
+          // IllegalArgument) on payloads that pass the magic sniff but are
+          // corrupt past the header — one bad blob in 100 TB must fall
+          // back, not fail the job
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: java.io.IOException => null } // truncated/corrupt header
+          catch { case scala.util.control.NonFatal(_) => null }
       if (img != null)
         MediaRow(docId, mediaType, payload.length.toLong, img.getWidth.toLong, img.getHeight.toLong)
       else {

@@ -139,4 +139,26 @@ class MultimodalSpec extends AnyFunSuite {
     val fallback = operators.Multimodal.decodeBlobs(mixed).head()
     assert(fallback.width == 16L + (20L % 16) * 8 && fallback.height == 16L + ((20L / 16) % 16) * 8)
   }
+
+  test("a corrupt payload that passes the magic sniff falls back instead of failing the job") {
+    import spark.implicits._
+    // valid PNG magic, garbage body: ImageIO readers throw on these (not
+    // always IOException — CMM/IndexOutOfBounds/IllegalArgument too); the
+    // codec must degrade to the deterministic derivation, never propagate
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      Array.fill[Byte](64)(0x5A)
+    val truncated = {
+      val img = new java.awt.image.BufferedImage(9, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray.take(30)
+    }
+    val blobs = Seq((3L, corrupt, "image"), (4L, truncated, "image"))
+      .toDF("doc_id", "payload", "media_type")
+    val out = operators.Multimodal.decodeBlobs(blobs).collect().sortBy(_.doc_id)
+    assert(out.length == 2)
+    out.foreach(r =>
+      assert(r.width == 16L + (r.doc_id % 16) * 8 && r.height == 16L + ((r.doc_id / 16) % 16) * 8,
+        s"doc ${r.doc_id} did not take the fallback: $r"))
+  }
 }
