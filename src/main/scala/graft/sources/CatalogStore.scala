@@ -86,10 +86,38 @@ object CatalogStore {
   def currentVersion(spark: SparkSession, dir: String): Option[Long] =
     listVersions(spark, dir).lastOption
 
+  /** Snapshot manifest: row count + order-independent content hash
+    * (bit_xor of per-row xxhash64 — commutative, so shard/task order
+    * can't change it; per-key uniqueness in every snapshot rules out the
+    * xor pair-cancellation degeneracy). Computed from the files as
+    * written and carried INSIDE the `_COMMITTED` marker, so publication
+    * and integrity are one atomic artifact.
+    */
+  private def manifestOf(df: DataFrame): (Long, Long) = {
+    val r = df
+      .agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(dataset_key, title, revision))"), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def parseManifest(s: String): Option[(Long, Long)] = {
+    val m = """\{"rows":(-?\d+),"xor":(-?\d+)\}""".r
+    s.trim match {
+      case m(rows, x) => Some((rows.toLong, x.toLong))
+      case _          => None
+    }
+  }
+
   /** Write the snapshot into a private staging dir and drop the commit
-    * marker in it — everything after this is a single atomic rename.
+    * marker — carrying the snapshot manifest, computed by reading BACK
+    * the staged files (so the manifest certifies what landed on disk, not
+    * what the writer meant to write) — everything after this is a single
+    * atomic rename.
     */
   private[graft] def stage(df: DataFrame, dir: String, version: Long): Path = {
+    val spark = df.sparkSession
     val staging = new Path(dir, s"_staging/v$version-${java.util.UUID.randomUUID()}")
     df.select(
         col("dataset_key"),
@@ -100,9 +128,12 @@ object CatalogStore {
       .partitionBy("shard")
       .mode("overwrite")
       .parquet(staging.toString)
-    val f = df.sparkSession.sparkContext.hadoopConfiguration
+    val (rows, x) = manifestOf(
+      spark.read.parquet(staging.toString).select("dataset_key", "title", "revision"))
+    val f = spark.sparkContext.hadoopConfiguration
     val out = staging.getFileSystem(f).create(new Path(staging, Marker), false)
-    out.close()
+    try out.write(s"""{"rows":$rows,"xor":$x}""".getBytes("UTF-8"))
+    finally out.close()
     staging
   }
 
@@ -163,11 +194,36 @@ object CatalogStore {
     * are immutable, so any one GC hasn't reclaimed is a consistent
     * point-in-time catalog. Marker-less dirs are refused — crash debris is
     * not data (it may be partial; the next claimant clears it).
+    *
+    * Integrity: the snapshot is re-counted and re-hashed against the
+    * manifest its `_COMMITTED` marker carries, so a silently-partial
+    * snapshot (a lost part file reads as a smaller, VALID parquet
+    * dataset) or a rewritten row fails LOUDLY here instead of serving
+    * wrong answers. Catalogs are metadata-scale, so the verification
+    * scan is cheap; an unparseable marker is treated as corruption, not
+    * leniency.
     */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    require(isCommitted(fs(spark, dir), dir, version),
-      s"v=$version was never published at $dir")
-    spark.read.parquet(snapshotPath(dir, version)).select("dataset_key", "title", "revision")
+    val f = fs(spark, dir)
+    require(isCommitted(f, dir, version), s"v=$version was never published at $dir")
+    val markerPath = new Path(snapshotPath(dir, version), Marker)
+    val markerBody = {
+      val buf = new Array[Byte](f.getFileStatus(markerPath).getLen.toInt)
+      val in = f.open(markerPath)
+      try in.readFully(0, buf)
+      finally in.close()
+      new String(buf, "UTF-8")
+    }
+    val (wantRows, wantXor) = parseManifest(markerBody).getOrElse(
+      throw new IllegalStateException(
+        s"v=$version at $dir: unreadable snapshot manifest in $Marker — refusing to serve"))
+    val df = spark.read.parquet(snapshotPath(dir, version)).select("dataset_key", "title", "revision")
+    val (gotRows, gotXor) = manifestOf(df)
+    if (gotRows != wantRows || gotXor != wantXor)
+      throw new IllegalStateException(
+        s"v=$version at $dir is CORRUPT: manifest says rows=$wantRows xor=$wantXor, " +
+          s"snapshot reads rows=$gotRows xor=$gotXor — refusing to serve")
+    df
   }
 
   /** Keep-latest merge of the current snapshot with a change batch —

@@ -150,6 +150,37 @@ class CatalogStoreSpec extends AnyFunSuite {
     assert(applied == wins.length, s"expected ${wins.length} applied batches, found $applied")
   }
 
+  test("snapshot manifest: losing a part file post-publish fails reads loudly instead of serving a partial catalog") {
+    val dir = tmp()
+    CatalogStore.init(spark, dir, base())
+    CatalogStore.upsert(spark, dir, changes()) // v=2, the published snapshot
+    val before = snapshot(dir)
+
+    // silent corruption: delete ONE shard's part file — the remaining
+    // files still read as a perfectly valid (smaller) parquet dataset
+    val v2 = new java.io.File(s"$dir/v=2")
+    val part = v2.listFiles().filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet")).head
+    assert(part.delete())
+
+    val e = intercept[IllegalStateException](CatalogStore.read(spark, dir).collect())
+    assert(e.getMessage.contains("CORRUPT"), s"got: ${e.getMessage}")
+    // time travel to the corrupted version refuses too; older versions still serve
+    intercept[IllegalStateException](CatalogStore.readVersion(spark, dir, 2L))
+    assert(CatalogStore.readVersion(spark, dir, 1L).count() == base().count())
+
+    // a rewritten marker (manifest itself damaged) is corruption, not leniency
+    val dir2 = tmp()
+    CatalogStore.init(spark, dir2, base())
+    val marker = new java.io.File(s"$dir2/v=1/_COMMITTED")
+    new java.io.File(s"$dir2/v=1/._COMMITTED.crc").delete() // local ChecksumFs sidecar
+    val w = new java.io.FileWriter(marker); w.write("garbage"); w.close()
+    val e2 = intercept[IllegalStateException](CatalogStore.read(spark, dir2).collect())
+    assert(e2.getMessage.contains("manifest"), s"got: ${e2.getMessage}")
+
+    assert(before.nonEmpty) // sanity: the store really had published data
+  }
+
   // reference datasets/create.py:19-39 — POST rejects a title failing
   // TITLE_PATTERN (BAD_REQUEST) or already held by another dataset
   // (CONFLICT via datasets_title_idx); pinned by
