@@ -100,6 +100,9 @@ object GraftFunctions {
   def subword_count(c: Column): Column =
     Bridge.column(SubwordCount(Bridge.expression(c)))
 
+  def json_key_paths(c: Column): Column =
+    Bridge.column(JsonKeyPaths(Bridge.expression(c)))
+
   /** Register the SQL-callable names on an existing session (the
     * extension-free path used by tests and the driver mains).
     */
@@ -114,5 +117,6 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("shingle_set", exprs => ShingleSet(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("byte_histogram", exprs => ByteHistogram(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("subword_count", exprs => SubwordCount(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("json_key_paths", exprs => JsonKeyPaths(exprs.head), "built-in")
   }
 }

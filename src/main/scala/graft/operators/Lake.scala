@@ -297,19 +297,29 @@ object Lake extends QueryModule {
     * scheme://non-space. Absent fields pass vacuously like every
     * value keyword.
     *
-    * `one_of` / `any_of` / `all_of` (field unused) are the COMPOSITE
-    * branch keywords, Draft7's three applicators — arg names groups of
+    * `contains` is Draft7's array-existential applicator: field takes the
+    * same `<array>[#].<path>` form as `items_pattern`, and the doc passes
+    * iff AT LEAST ONE element's value matches the arg regex. An empty
+    * array fails (Draft7: `contains` over `[]` is invalid); a missing or
+    * non-array property is vacuous, exactly like `items`.
+    *
+    * `one_of` / `any_of` / `all_of` / `not` (field unused) are the
+    * COMPOSITE branch keywords, Draft7's applicators — arg names groups of
     * leaf rule ids ('|' between branches, ',' within; see
     * `stacViolations`): the doc passes iff exactly one / at least one /
-    * every branch is fully satisfied.
+    * every / NO branch is fully satisfied (`not` inverts its subschema:
+    * `not` over a branch {required: x} forbids x).
     *
-    * `no_dup_keys` (field and arg unused) flags documents whose TOP-LEVEL
-    * JSON object repeats a key — the reference rejects these at parse time
-    * via an `object_pairs_hook` (`check_stac_metadata/utils.py:297-314`,
+    * `no_dup_keys` (field and arg unused) flags documents whose JSON
+    * repeats a key within one object scope at ANY nesting depth (array
+    * elements are index-disambiguated) — the reference rejects these at
+    * parse time via an `object_pairs_hook` walking every object
+    * (`check_stac_metadata/utils.py:297-314`,
     * `report_duplicate_object_names`), because `json.load`, like every
-    * JSON-path extractor, silently keeps only one of the pair. Malformed
-    * and non-object docs are NOT this rule's concern (that's the parse
-    * check) and pass it vacuously.
+    * JSON-path extractor, silently keeps only one of the pair. The
+    * check rides the native `json_key_paths` kernel (one streaming
+    * Jackson pass per doc). Malformed and non-object docs are NOT this
+    * rule's concern (that's the parse check) and pass it vacuously.
     *
     * `appliesTo` TYPE-SCOPES the rule — the Spark rendering of the
     * reference's per-type validator selection (`check_stac_metadata/
@@ -343,13 +353,17 @@ object Lake extends QueryModule {
     Rule(10, "links[#].href", "items_pattern",
       "^https://data[.]example[.]com/[0-9]+/[a-z]$"),
     Rule(11, "", "no_dup_keys", ""),
-    Rule(12, "properties.datetime", "format", "date-time", appliesTo = "Feature"))
+    Rule(12, "properties.datetime", "format", "date-time", appliesTo = "Feature"),
+    // Draft7 `contains`: the links array (when present) must hold at least
+    // one canonical-host /b link — fails exactly the %43 insecure-mirror
+    // stride (its only /b link is http) and the Draft7 empty-array case
+    Rule(13, "links[#].href", "contains", "^https://data[.]example[.]com/[0-9]+/b$"))
 
   private[graft] val knownKinds =
     Set("required", "enum", "type_number", "pattern", "minimum", "items_pattern",
-      "no_dup_keys", "one_of", "any_of", "all_of", "format")
+      "no_dup_keys", "one_of", "any_of", "all_of", "format", "contains", "not")
 
-  private[graft] val compositeKinds = Set("one_of", "any_of", "all_of")
+  private[graft] val compositeKinds = Set("one_of", "any_of", "all_of", "not")
 
   private[graft] val knownFormats = Set("date-time", "uri")
 
@@ -505,8 +519,8 @@ object Lake extends QueryModule {
   }
 
   private def stacDispatch(
-      rlikePredicate: String, anyItemFails: String, hasDupKeys: String,
-      formatViolated: String): String =
+      rlikePredicate: String, anyItemFails: String, anyItemMatches: String,
+      hasDupKeys: String, formatViolated: String): String =
     s"""CASE
        | WHEN applies_to <> '' AND (doc_type IS NULL
        |   OR instr('|' || applies_to || '|', '|' || doc_type || '|') = 0) THEN 0
@@ -522,6 +536,8 @@ object Lake extends QueryModule {
        |    AND TRY_CAST(v AS DOUBLE) < CAST(arg AS DOUBLE) THEN 1 ELSE 0 END
        |  WHEN 'items_pattern' THEN CASE WHEN items IS NOT NULL
        |    AND ($anyItemFails) THEN 1 ELSE 0 END
+       |  WHEN 'contains' THEN CASE WHEN items IS NOT NULL
+       |    AND NOT ($anyItemMatches) THEN 1 ELSE 0 END
        |  WHEN 'no_dup_keys' THEN CASE WHEN items IS NOT NULL
        |    AND ($hasDupKeys) THEN 1 ELSE 0 END
        |  WHEN 'format' THEN CASE WHEN v IS NOT NULL
@@ -600,14 +616,23 @@ object Lake extends QueryModule {
     // full `items` array (the other slot stays NULL — one uniform struct
     // schema across the exploded rules array)
     def valueOf(f: String, kind: String): Column =
-      if (kind == "items_pattern" || kind == "no_dup_keys") lit(null).cast("string")
+      if (kind == "items_pattern" || kind == "contains" || kind == "no_dup_keys")
+        lit(null).cast("string")
       else get_json_object(col("j"), s"$$.$f")
-    // no_dup_keys reuses the `items` slot for the RAW top-level key list
-    // (json_object_keys keeps repeats; NULL on malformed/non-object docs)
+    // no_dup_keys reuses the `items` slot for the key-PATH list at EVERY
+    // nesting depth (the native json_key_paths kernel keeps repeats and
+    // index-disambiguates array elements, so a repeated path ⇔ a duplicate
+    // key within one object scope — the reference's object_pairs_hook
+    // fires at every depth, check_stac_metadata/utils.py:297-314; NULL on
+    // malformed/non-object docs). The oracle twin checks top-level
+    // json_keys — the corpus's injected duplicates are top-level, and the
+    // nested semantics are pinned engine-side in CatalogOpsSpec.
     def arrayOf(f: String, kind: String): Column = kind match {
-      case "items_pattern" => itemsOf(f)
-      case "no_dup_keys"   => json_object_keys(col("j"))
-      case _               => lit(null).cast("array<string>")
+      case "items_pattern" | "contains" => itemsOf(f)
+      case "no_dup_keys" =>
+        // cast unifies containsNull with the other branches' slot type
+        graft.functions.GraftFunctions.json_key_paths(col("j")).cast("array<string>")
+      case _                            => lit(null).cast("array<string>")
     }
     val ruleStructs = rules.map { r =>
       struct(
@@ -627,6 +652,7 @@ object Lake extends QueryModule {
       .withColumn("violated", expr(stacDispatch(
         "v RLIKE arg",
         "exists(items, e -> e IS NOT NULL AND NOT (e RLIKE arg))",
+        "exists(items, e -> e IS NOT NULL AND (e RLIKE arg))",
         "size(items) > size(array_distinct(items))",
         formatViolatedSql(p => s"v RLIKE '$p'"))))
     if (parsedComposites.isEmpty) leafFlags
@@ -655,6 +681,9 @@ object Lake extends QueryModule {
         case "one_of" => passed === 1
         case "any_of" => passed >= 1
         case "all_of" => passed === branches.length
+        // Draft7 `not`: the doc is valid iff it FAILS the subschema — here,
+        // iff no branch's rules all pass
+        case "not"    => passed === 0
       }
       val inScope =
         if (c.appliesTo.isEmpty) lit(true)
@@ -770,9 +799,9 @@ object Lake extends QueryModule {
          |  $stacRulesSql),
          | ev AS (SELECT doc_id, rule_id, field, kind, arg, applies_to,
          |   json_extract_string(j, '$$.type') AS doc_type,
-         |   CASE WHEN kind IN ('items_pattern', 'no_dup_keys') THEN NULL
+         |   CASE WHEN kind IN ('items_pattern', 'contains', 'no_dup_keys') THEN NULL
          |   ELSE json_extract_string(j, '$$.' || field) END AS v,
-         |   CASE WHEN kind = 'items_pattern' THEN
+         |   CASE WHEN kind IN ('items_pattern', 'contains') THEN
          |     list_transform(
          |       range(CAST(json_array_length(j, '$$.' || split_part(field, '[', 1)) AS BIGINT)),
          |       i -> json_extract_string(j, '$$.' || replace(field, '#', CAST(i AS VARCHAR))))
@@ -783,6 +812,7 @@ object Lake extends QueryModule {
          |   ${stacDispatch(
               "regexp_matches(v, arg)",
               "len(list_filter(items, e -> e IS NOT NULL AND NOT regexp_matches(e, arg))) > 0",
+              "len(list_filter(items, e -> e IS NOT NULL AND regexp_matches(e, arg))) > 0",
               "len(items) > len(list_distinct(items))",
               formatViolatedSql(p => s"regexp_matches(v, '$p')"))} AS violated
          |  FROM ev)

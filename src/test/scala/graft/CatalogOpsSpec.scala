@@ -94,17 +94,18 @@ class CatalogOpsSpec extends AnyFunSuite {
     val t = Tables(spark, sf)
     val nDocs = t.documents.count()
     val rows = SparkEntry.queries("q87_schema_validate")(spark, sf).collect()
-    assert(rows.length == 12, "one row per schema rule")
+    assert(rows.length == 13, "one row per schema rule")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_docs") == nDocs, s"rule ${r.getAs[Int]("rule_id")} skipped docs")
       val v = r.getAs[Long]("n_violations")
       assert(v >= 0 && v < nDocs, s"rule ${r.getAs[Int]("rule_id")}")
       if (v > 0) assert(!r.isNullAt(r.fieldIndex("first_bad_doc")))
     }
-    // every injected failure stride fires: all 12 rules catch something
-    // (incl. the nested-array items_pattern, the duplicate-key stride, and
-    // the malformed-datetime stride through the format checker)
-    assert(rows.count(_.getAs[Long]("n_violations") > 0) == 12)
+    // every injected failure stride fires: all 13 rules catch something
+    // (incl. the nested-array items_pattern, the duplicate-key stride, the
+    // malformed-datetime stride through the format checker, and the
+    // insecure-mirror stride through `contains`)
+    assert(rows.count(_.getAs[Long]("n_violations") > 0) == 13)
   }
 
   test("items_pattern is true Draft7: EVERY element checked, values never split on ';'") {
@@ -244,22 +245,54 @@ class CatalogOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown format"))
   }
 
-  test("no_dup_keys flags a repeated top-level JSON key; clean docs pass") {
-    // the reference rejects duplicate object names at parse time
+  test("no_dup_keys flags a repeated key at ANY depth, like the reference's object_pairs_hook") {
+    // the reference rejects duplicate object names at parse time via an
+    // object_pairs_hook that fires at every nesting level
     // (check_stac_metadata/utils.py:297-314) because json.load — like any
     // JSON-path extractor — silently keeps one of the pair
     val rules = Seq(graft.operators.Lake.Rule(1, "", "no_dup_keys", ""))
     val docs = spark.createDataFrame(Seq(
       (1L, """{"id":"a","id":"b"}"""),                    // top-level repeat: flagged
       (2L, """{"id":"a","type":"Feature"}"""),            // clean: passes
-      (3L, """{"id":"a","nested":{"k":1,"k":2}}"""),      // NESTED repeat: top-level rule passes
+      (3L, """{"id":"a","nested":{"k":1,"k":2}}"""),      // nested repeat: flagged
       (4L, """not json"""),                                // malformed: the parse check's job
-      (5L, """[1,2]""")                                    // non-object: vacuous
+      (5L, """[1,2]"""),                                   // non-object: vacuous
+      (6L, """{"a":{"k":1},"b":{"k":2}}"""),               // same key in SIBLING scopes: clean
+      (7L, """{"links":[{"href":"x","href":"y"}]}"""),     // repeat inside an array element: flagged
+      (8L, """{"links":[{"href":"x"},{"href":"y"}]}""")    // same key across array elements: clean
     )).toDF("doc_id", "j")
     val got = graft.operators.Lake.stacViolations(docs, rules)
       .select("doc_id", "violated").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("violated")).toMap
-    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0), s"got $got")
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 0,
+      6L -> 0, 7L -> 1, 8L -> 0), s"got $got")
+  }
+
+  test("contains and not complete the Draft7 applicators: array existential + schema inversion") {
+    // contains: at least one links href must be on the canonical host —
+    // Draft7 `contains` fails an empty array, skips a missing one
+    val rules = Seq(
+      graft.operators.Lake.Rule(1, "links[#].href", "contains", "^https://ok[.]example[.]com/.*$"),
+      graft.operators.Lake.Rule(2, "deprecated", "required", ""),
+      // Draft7 `not: {required: [deprecated]}` — the field is FORBIDDEN
+      graft.operators.Lake.Rule(30, "", "not", "2"))
+    val docs = spark.createDataFrame(Seq(
+      (1L, """{"links":[{"href":"http://other/1"},{"href":"https://ok.example.com/2"}]}"""), // one match: passes
+      (2L, """{"links":[{"href":"http://other/1"}]}"""),   // no match: violated
+      (3L, """{"links":[]}"""),                            // empty array: violated (Draft7)
+      (4L, """{"id":"no-links"}"""),                       // missing array: vacuous
+      (5L, """{"deprecated":true,"links":[{"href":"https://ok.example.com/a"}]}"""), // not-rule fires
+      (6L, """{"links":[{"href":"https://ok.example.com/a"}]}""")                    // clean of both
+    )).toDF("doc_id", "j")
+    val flags = graft.operators.Lake.stacViolations(docs, rules)
+    val contains = flags.filter(col("rule_id") === 1)
+      .select("doc_id", "violated").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("violated")).toMap
+    assert(contains == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0, 6L -> 0), s"contains: $contains")
+    val notRule = flags.filter(col("rule_id") === 30)
+      .select("doc_id", "violated").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("violated")).toMap
+    assert(notRule == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 1, 6L -> 0), s"not: $notRule")
   }
 
   test("4-column rules files (no applies_to) load with the apply-to-all default") {
