@@ -582,11 +582,16 @@ object Lake extends QueryModule {
     * names groups of LEAF rule ids — '|' between branches, ',' within one
     * (`"1,2|3"` = the branch {rules 1 AND 2} and the branch {rule 3}):
     * the doc satisfies the composite iff exactly one (`one_of`) / at
-    * least one (`any_of`) / every (`all_of`) branch's rules all pass,
-    * Draft7's applicator semantics. Branch
+    * least one (`any_of`) / every (`all_of`) / no (`not`) branch's rules
+    * all pass, Draft7's applicator semantics. Branch members may be LEAF
+    * rules or OTHER COMPOSITES — applicators nest to arbitrary depth
+    * (oneOf over anyOf over allOf, the reference schemas' real shape),
+    * resolved by dependency-ordered column substitution with reference
+    * cycles refused at plan time. Branch
     * members are consulted as they stand, own scope gates included, and
     * the composite carries its own `applies_to` like any rule. Composites
-    * add one narrow per-doc shuffle to fold leaf flags; a rule set without
+    * add one narrow per-doc shuffle to fold leaf flags — nesting depth
+    * adds NOTHING further; a rule set without
     * them (the built-ins) keeps the pure map-side plan.
     */
   private[graft] def stacViolations(docs: DataFrame): DataFrame =
@@ -600,16 +605,35 @@ object Lake extends QueryModule {
     rules.filter(_.kind == "format").foreach(r =>
       require(knownFormats(r.arg), s"rule ${r.id}: unknown format '${r.arg}'"))
     val leafIds = rules.map(_.id).toSet
+    val compositeIds = composites.map(_.id).toSet
     val parsedComposites = composites.map { c =>
       val branches = c.arg.split('|').toSeq.map(_.split(',').toSeq.map { s =>
         val id = s.trim.toInt
-        require(leafIds(id),
-          s"${c.kind} rule ${c.id}: branch member $id is not a leaf rule id")
+        require(leafIds(id) || compositeIds(id),
+          s"${c.kind} rule ${c.id}: branch member $id is not a known rule id")
+        require(id != c.id, s"${c.kind} rule ${c.id}: a composite cannot reference itself")
         id
       })
       require(branches.nonEmpty && branches.forall(_.nonEmpty),
         s"${c.kind} rule ${c.id}: arg must be '|'-separated groups of rule ids, got '${c.arg}'")
       c -> branches
+    }
+    // Draft7 applicators NEST (oneOf over anyOf over allOf …): a branch
+    // member may be another composite. Order them so every member is
+    // evaluated first, refusing reference cycles loudly at plan time.
+    val topoComposites = {
+      val byId = parsedComposites.map { case (c, b) => c.id -> ((c, b)) }.toMap
+      val done = scala.collection.mutable.LinkedHashMap.empty[Int, (Rule, Seq[Seq[Int]])]
+      def visit(id: Int, path: List[Int]): Unit =
+        if (!done.contains(id)) {
+          require(!path.contains(id),
+            s"composite rule cycle: ${(id :: path.takeWhile(_ != id) ::: List(id)).reverse.mkString(" -> ")}")
+          val (c, branches) = byId(id)
+          branches.flatten.filter(compositeIds).foreach(visit(_, id :: path))
+          done += id -> ((c, branches))
+        }
+      parsedComposites.foreach { case (c, _) => visit(c.id, Nil) }
+      done.values.toSeq
     }
     // per-rule value extraction, literal JSON paths so each parses once per
     // row inside codegen; scalar keywords read `v`, items_pattern reads the
@@ -655,27 +679,36 @@ object Lake extends QueryModule {
         "exists(items, e -> e IS NOT NULL AND (e RLIKE arg))",
         "size(items) > size(array_distinct(items))",
         formatViolatedSql(p => s"v RLIKE '$p'"))))
-    if (parsedComposites.isEmpty) leafFlags
-    else leafFlags.unionByName(compositeFlags(leafFlags, parsedComposites))
+    if (topoComposites.isEmpty) leafFlags
+    else leafFlags.unionByName(compositeFlags(leafFlags, topoComposites))
   }
 
-  /** Composite (`one_of`/`any_of`/`all_of`) flags derived from the leaf
-    * flags: fold each doc's leaf verdicts into a map (the one narrow
+  /** Composite (`one_of`/`any_of`/`all_of`/`not`) flags derived from the
+    * leaf flags: fold each doc's leaf verdicts into a map (the one narrow
     * |docs|-key shuffle composites cost), then evaluate every composite's
     * branch groups against it — violated unless the kind's quota of fully
-    * passing branches is met (exactly one / at least one / all). Output
-    * schema matches the leaf frame so the rollup sees one uniform
-    * relation.
+    * passing branches is met (exactly one / at least one / all / none).
+    *
+    * `parsed` arrives in dependency order, so NESTED applicators — a
+    * branch member that is itself a composite, Draft7's oneOf-over-anyOf
+    * shape at any depth — resolve as plain column-expression substitution:
+    * each composite's violated column is memoized and inlined into its
+    * consumers. Arbitrary nesting costs NO extra shuffle or pass; the
+    * whole applicator tree evaluates in the one projection over the
+    * per-doc flag map. Output schema matches the leaf frame so the rollup
+    * sees one uniform relation.
     */
   private def compositeFlags(
       leafFlags: DataFrame, parsed: Seq[(Rule, Seq[Seq[Int]])]): DataFrame = {
     val perDoc = leafFlags
       .groupBy(col("doc_id"), col("doc_type"))
       .agg(map_from_entries(collect_list(struct(col("rule_id"), col("violated")))).as("flags"))
+    val memo = scala.collection.mutable.Map.empty[Int, Column]
+    def violatedOf(id: Int): Column =
+      memo.getOrElse(id, element_at(col("flags"), lit(id)))
     val compStructs = parsed.map { case (c, branches) =>
       val passed = branches
-        .map(b => when(b.map(id => element_at(col("flags"), lit(id)) === 0).reduce(_ && _), 1)
-          .otherwise(0))
+        .map(b => when(b.map(id => violatedOf(id) === 0).reduce(_ && _), 1).otherwise(0))
         .reduce(_ + _)
       val satisfied = c.kind match {
         case "one_of" => passed === 1
@@ -689,11 +722,13 @@ object Lake extends QueryModule {
         if (c.appliesTo.isEmpty) lit(true)
         else col("doc_type").isNotNull &&
           lit(s"|${c.appliesTo}|").contains(concat(lit("|"), col("doc_type"), lit("|")))
+      val violated = when(!inScope, 0).when(satisfied, 0).otherwise(1)
+      memo += c.id -> violated
       struct(
         lit(c.id).as("rule_id"), lit(c.field).as("field"), lit(c.kind).as("kind"),
         lit(c.arg).as("arg"), lit(c.appliesTo).as("applies_to"),
         lit(null).cast("string").as("v"), lit(null).cast("array<string>").as("items"),
-        when(!inScope, 0).when(satisfied, 0).otherwise(1).as("violated"))
+        violated.as("violated"))
     }
     perDoc
       .select(col("doc_id"), col("doc_type"), explode(array(compStructs: _*)).as("r"))

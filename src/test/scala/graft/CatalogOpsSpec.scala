@@ -193,7 +193,7 @@ class CatalogOpsSpec extends AnyFunSuite {
     val bad = Seq(graft.operators.Lake.Rule(1, "", "one_of", "99"))
     val e = intercept[IllegalArgumentException](
       graft.operators.Lake.stacViolations(spark.createDataFrame(doc).toDF("doc_id", "j"), bad))
-    assert(e.getMessage.contains("not a leaf rule id"))
+    assert(e.getMessage.contains("not a known rule id"))
   }
 
   test("any_of and all_of complete Draft7's applicators over the same branch groups") {
@@ -266,6 +266,51 @@ class CatalogOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("violated")).toMap
     assert(got == Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 0,
       6L -> 0, 7L -> 1, 8L -> 0), s"got $got")
+  }
+
+  test("applicators NEST to arbitrary depth: oneOf over anyOf over not, cycles refused") {
+    // Draft7 schemas compose applicators recursively; here a doc must be
+    // EITHER (license OR extent, i.e. anyOf) present-AND-geometry-free
+    // (not:{required:[geometry]}) — a 3-level tree: one_of( any_of, not )
+    // branches compose at the top level
+    val rules = Seq(
+      graft.operators.Lake.Rule(1, "license", "required", ""),
+      graft.operators.Lake.Rule(2, "extent", "required", ""),
+      graft.operators.Lake.Rule(3, "geometry", "required", ""),
+      graft.operators.Lake.Rule(10, "", "any_of", "1|2"),   // license OR extent
+      graft.operators.Lake.Rule(11, "", "not", "3"),        // geometry FORBIDDEN
+      graft.operators.Lake.Rule(12, "", "all_of", "10,11")) // both sub-applicators
+    val docs = spark.createDataFrame(Seq(
+      (1L, """{"license":"MIT"}"""),                    // anyOf ok, no geometry: passes
+      (2L, """{"extent":[1],"geometry":{}}"""),          // anyOf ok but geometry present: violated
+      (3L, """{"id":"bare"}"""),                         // anyOf fails: violated
+      (4L, """{"license":"MIT","extent":[1]}""")         // both anyOf members, clean: passes
+    )).toDF("doc_id", "j")
+    val got = graft.operators.Lake.stacViolations(docs, rules)
+      .filter(col("rule_id") === 12)
+      .select("doc_id", "violated").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("violated")).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0), s"got $got")
+
+    // nested composites are ordinary rows: the inner applicators report too
+    val inner = graft.operators.Lake.stacViolations(docs, rules)
+      .filter(col("rule_id") === 11 && col("doc_id") === 2L)
+      .select("violated").collect().map(_.getInt(0)).toSeq
+    assert(inner == Seq(1))
+
+    // a reference cycle fails loudly at plan time, naming the loop
+    val cyclic = Seq(
+      graft.operators.Lake.Rule(1, "license", "required", ""),
+      graft.operators.Lake.Rule(20, "", "any_of", "21"),
+      graft.operators.Lake.Rule(21, "", "all_of", "20"))
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Lake.stacViolations(docs, cyclic))
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+    // and so does self-reference
+    val selfRef = Seq(graft.operators.Lake.Rule(30, "", "not", "30"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Lake.stacViolations(docs, selfRef))
+    assert(e2.getMessage.contains("cannot reference itself"), e2.getMessage)
   }
 
   test("contains and not complete the Draft7 applicators: array existential + schema inversion") {
