@@ -44,6 +44,13 @@ case class JsonKeyPaths(child: Expression) extends UnaryExpression {
 object JsonKeyPathsKernel {
   private val factory = new JsonFactory()
 
+  // path metacharacters inside a KEY are escaped so a literal "a.b" key
+  // can never collide with the path of b nested under a (a false
+  // duplicate would reject a valid document)
+  private def esc(name: String): String =
+    if (name.indexOf('.') < 0 && name.indexOf('[') < 0 && name.indexOf('\\') < 0) name
+    else name.replace("\\", "\\\\").replace(".", "\\.").replace("[", "\\[")
+
   def keyPaths(s: UTF8String): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     try {
@@ -61,13 +68,13 @@ object JsonKeyPathsKernel {
           t match {
             case JsonToken.FIELD_NAME =>
               pendingField = p.currentName()
-              out += UTF8String.fromString(prefix + pendingField)
+              out += UTF8String.fromString(prefix + esc(pendingField))
             case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
               // the segment naming THIS container, from the frame it sits in
               val seg = if (isArray) {
                 frames = (isArray, idx + 1, prefix) :: frames.tail
                 s"${prefix.stripSuffix(".")}[$idx]."
-              } else prefix + pendingField + "."
+              } else prefix + esc(pendingField) + "."
               frames = (t == JsonToken.START_ARRAY, 0, seg) :: frames
             case JsonToken.END_OBJECT | JsonToken.END_ARRAY =>
               frames = frames.tail

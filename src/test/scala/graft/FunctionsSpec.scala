@@ -156,6 +156,54 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("json_key_paths: randomized trees flag a dup IFF one was injected; metachar keys never collide") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def hasDup(json: String): Option[Boolean] =
+      Option(graft.functions.JsonKeyPathsKernel.keyPaths(UTF8String.fromString(json))).map { a =>
+        val ps = (0 until a.numElements()).map(a.getUTF8String(_).toString)
+        ps.size > ps.distinct.size
+      }
+
+    // adversarial keys whose literal text mimics path syntax: the kernel's
+    // segment escaping must keep them distinct from REAL nesting
+    assert(hasDup("""{"a.b":1,"a":{"b":2}}""").contains(false))
+    assert(hasDup("""{"x[0]":1,"x":[{"0":1}]}""").contains(false))
+    assert(hasDup("""{"a.b":1,"a.b":2}""").contains(true))
+    assert(hasDup("""{"a":{"b":1,"b":2}}""").contains(true))
+
+    // seeded fuzz: random trees with at most ONE injected duplicate, so
+    // the construction itself is the oracle
+    val rnd = new scala.util.Random(7)
+    val pool = Seq("id", "a.b", "a", "b", "k[0]", "k", "links", "x\\y", "properties", "0")
+    def quote(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    var injected = false
+    def genVal(depth: Int): String = rnd.nextInt(4) match {
+      case 0 if depth < 4 => genObj(depth + 1)
+      case 1 if depth < 4 =>
+        (0 until rnd.nextInt(3)).map(_ => genVal(depth + 1)).mkString("[", ",", "]")
+      case 2 => rnd.nextInt(100).toString
+      case _ => quote(pool(rnd.nextInt(pool.size)))
+    }
+    def genObj(depth: Int): String = {
+      val keys = rnd.shuffle(pool).take(1 + rnd.nextInt(4))
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      keys.foreach { k =>
+        fields += s"${quote(k)}:${genVal(depth)}"
+        if (!injected && rnd.nextDouble() < 0.08) {
+          fields += s"${quote(k)}:${genVal(depth)}" // the one duplicate
+          injected = true
+        }
+      }
+      fields.mkString("{", ",", "}")
+    }
+    (1 to 1500).foreach { i =>
+      injected = false
+      val json = genObj(0)
+      val got = hasDup(json)
+      assert(got.contains(injected), s"trial $i: injected=$injected got=$got doc=$json")
+    }
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val old = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
