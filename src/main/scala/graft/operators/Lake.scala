@@ -361,7 +361,8 @@ object Lake extends QueryModule {
 
   private[graft] val knownKinds =
     Set("required", "enum", "type_number", "pattern", "minimum", "items_pattern",
-      "no_dup_keys", "one_of", "any_of", "all_of", "format", "contains", "not")
+      "no_dup_keys", "one_of", "any_of", "all_of", "format", "contains", "not",
+      "min_items", "min_length", "max_length")
 
   private[graft] val compositeKinds = Set("one_of", "any_of", "all_of", "not")
 
@@ -534,6 +535,12 @@ object Lake extends QueryModule {
        |    AND NOT ($rlikePredicate) THEN 1 ELSE 0 END
        |  WHEN 'minimum' THEN CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
        |    AND TRY_CAST(v AS DOUBLE) < CAST(arg AS DOUBLE) THEN 1 ELSE 0 END
+       |  WHEN 'min_items' THEN CASE WHEN json_array_length(v) IS NOT NULL
+       |    AND json_array_length(v) < CAST(arg AS BIGINT) THEN 1 ELSE 0 END
+       |  WHEN 'min_length' THEN CASE WHEN v IS NOT NULL
+       |    AND length(v) < CAST(arg AS BIGINT) THEN 1 ELSE 0 END
+       |  WHEN 'max_length' THEN CASE WHEN v IS NOT NULL
+       |    AND length(v) > CAST(arg AS BIGINT) THEN 1 ELSE 0 END
        |  WHEN 'items_pattern' THEN CASE WHEN items IS NOT NULL
        |    AND ($anyItemFails) THEN 1 ELSE 0 END
        |  WHEN 'contains' THEN CASE WHEN items IS NOT NULL

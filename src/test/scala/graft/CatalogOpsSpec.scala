@@ -268,6 +268,27 @@ class CatalogOpsSpec extends AnyFunSuite {
       6L -> 0, 7L -> 1, 8L -> 0), s"got $got")
   }
 
+  test("min_items / min_length / max_length: the STAC specs' size keywords, vacuous off-type") {
+    // STAC item-spec bounds bbox with minItems and LINZ fields carry
+    // length bounds — Draft7 size keywords apply only to their own type
+    // (a non-array skips minItems, a non-string length reads its JSON text)
+    val rules = Seq(
+      graft.operators.Lake.Rule(1, "bbox", "min_items", "4"),
+      graft.operators.Lake.Rule(2, "title", "min_length", "3"),
+      graft.operators.Lake.Rule(3, "title", "max_length", "8"))
+    val docs = spark.createDataFrame(Seq(
+      (1L, """{"bbox":[1,2,3,4],"title":"okay"}"""),   // all pass
+      (2L, """{"bbox":[1,2],"title":"ab"}"""),          // short array AND short string
+      (3L, """{"bbox":"not-an-array","title":"waaaaay too long"}"""), // minItems vacuous; maxLength fires
+      (4L, """{"id":"none"}""")                          // absent fields: all vacuous
+    )).toDF("doc_id", "j")
+    val got = graft.operators.Lake.stacViolations(docs, rules)
+      .filter(col("violated") === 1)
+      .select("doc_id", "rule_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rule_id"))).toSet
+    assert(got == Set((2L, 1), (2L, 2), (3L, 3)), s"got $got")
+  }
+
   test("applicators NEST to arbitrary depth: oneOf over anyOf over not, cycles refused") {
     // Draft7 schemas compose applicators recursively; here a doc must be
     // EITHER (license OR extent, i.e. anyOf) present-AND-geometry-free
