@@ -48,6 +48,8 @@ object CatalogStore {
 
   final case class UpsertStats(version: Long, inserted: Long, updated: Long, unchanged: Long)
 
+  final case class DeleteStats(version: Long, deleted: Long)
+
   /** Legal dataset titles — reference `dataset_properties.py:4`
     * (TITLE_PATTERN): ASCII alphanumerics, underscore, hyphen, plus the
     * macron vowels (āēīōūĀĒĪŌŪ) te reo Māori placenames need. Anchored
@@ -329,6 +331,58 @@ object CatalogStore {
       commit(spark, dir, stage(m, dir, next), next)
       UpsertStats(next, ins, upd, unch)
     }
+  }
+
+  /** DELETE-mode validation — reference `datasets/delete.py:46-61`. The
+    * reference 404s a delete whose id doesn't exist and CONFLICTs when the
+    * dataset still owns storage objects (it lists the bucket prefix before
+    * deleting — "dataset versions still exist"). Returned as the same
+    * classify-don't-throw relation as [[createViolations]]:
+    * (dataset_key, violation) with violation ∈ {"not_found",
+    * "conflict_nonempty"}. `occupied` is the storage-side occupancy
+    * relation — dataset_key rows for datasets that still hold data (e.g.
+    * the accepted-docs lake keyed by dataset), the prefix-listing's
+    * relational analog. One broadcast-able key join each; no driver loop.
+    */
+  def deleteViolations(
+      spark: SparkSession, dir: String, keys: DataFrame, occupied: DataFrame): DataFrame = {
+    val k = keys.select(col("dataset_key")).distinct()
+    val existing = read(spark, dir).select(col("dataset_key"))
+    val notFound = k.join(existing, Seq("dataset_key"), "left_anti")
+      .withColumn("violation", lit("not_found"))
+    val conflict = k.join(existing, Seq("dataset_key"), "left_semi")
+      .join(occupied.select(col("dataset_key")).distinct(), Seq("dataset_key"), "left_semi")
+      .withColumn("violation", lit("conflict_nonempty"))
+    notFound.unionByName(conflict)
+  }
+
+  /** Delete datasets — the batch analog of reference `datasets/delete.py`
+    * DELETE. Every key must exist and be unoccupied (see
+    * [[deleteViolations]]) or the whole batch fails LOUDLY with a per-kind
+    * summary and nothing staged; a clean batch publishes the surviving
+    * snapshot through the same CAS path as upsert. Completes the CRUD set:
+    * create / read+time-travel / upsert / delete.
+    */
+  def delete(
+      spark: SparkSession, dir: String, keys: DataFrame, occupied: DataFrame): DeleteStats = {
+    val bad = deleteViolations(spark, dir, keys, occupied)
+      .groupBy(col("violation"))
+      .agg(count(lit(1)).as("n"), min(col("dataset_key").cast("string")).as("example"))
+      .collect() // violation kinds only: ≤2 rows
+    if (bad.nonEmpty) {
+      val detail = bad.map(r =>
+        s"${r.getAs[String]("violation")}: ${r.getAs[Long]("n")} key(s), e.g. '${r.getAs[String]("example")}'")
+      throw new IllegalArgumentException(s"delete rejected at $dir — ${detail.mkString("; ")}")
+    }
+    val current = currentVersion(spark, dir)
+      .getOrElse(throw new IllegalStateException(s"no published catalog at $dir"))
+    val k = keys.select(col("dataset_key")).distinct()
+    val nDoomed = k.count()
+    if (nDoomed == 0) return DeleteStats(current, 0L)
+    val survivors = readVersion(spark, dir, current).join(k, Seq("dataset_key"), "left_anti")
+    val next = current + 1
+    commit(spark, dir, stage(survivors, dir, next), next)
+    DeleteStats(next, nDoomed)
   }
 
   /** Version-retention GC — q85's execute side: drop all but the newest

@@ -230,6 +230,47 @@ class CatalogStoreSpec extends AnyFunSuite {
       (4L, "title_conflict"), (5L, "title_pattern")))
   }
 
+  // reference datasets/delete.py:46-61 — DELETE 404s a missing id and
+  // CONFLICTs when the dataset still owns storage objects ("dataset
+  // versions still exist", checked by listing the bucket prefix)
+  test("delete: guarded by existence and occupancy, publishes the surviving snapshot") {
+    val dir = tmp()
+    def rows(keys: Long*) = {
+      import spark.implicits._
+      keys.toDF("dataset_key")
+    }
+    def cat(t: (Long, String)*) = {
+      import spark.implicits._
+      t.toDF("dataset_key", "title").withColumn("revision", lit(1))
+    }
+    CatalogStore.init(spark, dir, cat(1L -> "keep-me", 2L -> "empty-one", 3L -> "occupied-one"))
+    val occupied = rows(3L) // dataset 3 still holds objects in the storage lake
+
+    // clean delete of an empty dataset: version advances, row gone
+    val s = CatalogStore.delete(spark, dir, rows(2L), occupied)
+    assert(s == CatalogStore.DeleteStats(2L, 1L))
+    assert(snapshot(dir).map(_._1) == Set(1L, 3L))
+
+    // NOT_FOUND: already deleted (a replay is loud, like the reference's 404)
+    val e404 = intercept[IllegalArgumentException](
+      CatalogStore.delete(spark, dir, rows(2L), occupied))
+    assert(e404.getMessage.contains("not_found"), e404.getMessage)
+
+    // CONFLICT: still-occupied dataset; nothing published either way
+    val e409 = intercept[IllegalArgumentException](
+      CatalogStore.delete(spark, dir, rows(3L), occupied))
+    assert(e409.getMessage.contains("conflict_nonempty"), e409.getMessage)
+    assert(CatalogStore.currentVersion(spark, dir).contains(2L))
+
+    // the violations relation reports every bad key in one pass
+    val v = CatalogStore.deleteViolations(spark, dir, rows(2L, 3L, 1L), occupied)
+      .collect().map(r => (r.getAs[Long]("dataset_key"), r.getAs[String]("violation"))).toSet
+    assert(v == Set((2L, "not_found"), (3L, "conflict_nonempty")), s"got $v")
+
+    // time travel still serves the pre-delete catalog
+    assert(CatalogStore.readVersion(spark, dir, 1L).count() == 3)
+  }
+
   test("retention GC drops old snapshots, never the published one") {
     val dir = tmp()
     CatalogStore.init(spark, dir, base())
