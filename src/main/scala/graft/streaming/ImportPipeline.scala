@@ -263,6 +263,21 @@ object ImportPipeline {
     * keyed upsert shuffle); the quarantine read is a plain parquet scan
     * over the per-batch dirs.
     */
+  /** The storage-side occupancy relation for `CatalogStore.delete`'s
+    * emptiness guard — reference `datasets/delete.py:53-61` lists the
+    * dataset's storage-bucket prefix before allowing a delete; here the
+    * storage analog is the accepted-docs lake, so occupancy = the
+    * distinct dataset keys it still holds (empty when the lake doesn't
+    * exist yet). One column-pruned scan, distinct is metadata-scale.
+    */
+  def occupancy(spark: SparkSession, acceptedDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(acceptedDir)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p) || !hfs.listStatus(p).exists(_.isDirectory))
+      spark.range(0).select(lit("").as("dataset_key"))
+    else spark.read.parquet(acceptedDir).select(col("dataset_key")).distinct()
+  }
+
   def reprocessQuarantine(
       spark: SparkSession,
       catalogDir: String,

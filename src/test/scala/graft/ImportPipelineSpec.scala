@@ -262,6 +262,33 @@ class ImportPipelineSpec extends AnyFunSuite {
     assert(CatalogStore.listVersions(spark, s"$root/catalog") == Seq(1L, 2L))
   }
 
+  test("occupancy from the accepted lake guards CatalogStore.delete end-to-end") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_occ").toString
+    CatalogStore.init(spark, s"$root/catalog",
+      Seq(("ds-a", "Alpha v1", 1L), ("ds-idle", "Idle v1", 1L))
+        .toDF("dataset_key", "title", "revision"))
+
+    // before any import: the lake is empty, both datasets are deletable-shaped
+    assert(ImportPipeline.occupancy(spark, s"$root/accepted").isEmpty)
+
+    // import a doc for ds-a only
+    writeBatch(s"$root/in", Seq(doc(1L, "ds-a", "Alpha v2", 2L, valid = true)))
+    runOnce(root)
+    val occ = ImportPipeline.occupancy(spark, s"$root/accepted")
+    assert(occ.collect().map(_.getString(0)).toSeq == Seq("ds-a"))
+
+    // ds-a still holds accepted objects: delete CONFLICTs, like the
+    // reference's storage-prefix listing; the idle dataset deletes fine
+    val e = intercept[IllegalArgumentException](CatalogStore.delete(
+      spark, s"$root/catalog", Seq("ds-a").toDF("dataset_key"), occ))
+    assert(e.getMessage.contains("conflict_nonempty"), e.getMessage)
+    val s = CatalogStore.delete(
+      spark, s"$root/catalog", Seq("ds-idle").toDF("dataset_key"), occ)
+    assert(s.deleted == 1L)
+    assert(!catalogMap(root).contains("ds-idle"))
+  }
+
   test("a doc violating multiple rules quarantines once with all rule ids; an all-invalid batch publishes nothing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_import2").toString
