@@ -333,6 +333,49 @@ object CatalogStore {
     }
   }
 
+  /** Point lookup by dataset_key — the DynamoDB get-item analog
+    * (reference `datasets/get.py:28-55`, `get_dataset_single`). The shard
+    * is computed DRIVER-SIDE with the same Murmur3 hash the writer
+    * partitioned by, so the read PARTITION-PRUNES to 1/16th of the
+    * snapshot files before the key filter even runs — the point-read
+    * access path a metadata store needs at scale, no full-snapshot scan,
+    * no manifest re-verification (that is `readVersion`'s job). `key`
+    * must carry the snapshot's key TYPE (a Long-keyed store probes with a
+    * Long). Returns (title, revision-as-long), None when absent (the
+    * reference's 404).
+    */
+  def get(spark: SparkSession, dir: String, key: Any): Option[(String, Long)] = {
+    val current = currentVersion(spark, dir)
+      .getOrElse(throw new IllegalStateException(s"no published catalog at $dir"))
+    // seed 42 = the default of SQL hash(), which stage()'s pmod(hash(key))
+    // partitioned by
+    val h = org.apache.spark.sql.catalyst.expressions
+      .Murmur3Hash(Seq(org.apache.spark.sql.catalyst.expressions.Literal(key)), 42)
+      .eval(null).asInstanceOf[Int]
+    val shard = ((h % Shards) + Shards) % Shards
+    spark.read.parquet(snapshotPath(dir, current))
+      .filter(col("shard") === shard && col("dataset_key") === lit(key))
+      .select(col("title"), col("revision").cast("long"))
+      .collect() // ≤1 row: snapshots are unique per key
+      .headOption
+      .map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** Lookup by title — the `datasets_title_idx` GSI analog (reference
+    * `datasets/get.py:58+`, `get_dataset_filter`). Titles are NOT the
+    * shard key, so this scans the (metadata-scale) snapshot with the
+    * title predicate pushed to parquet — the honest cost of a secondary
+    * index the store doesn't materialize; [[createViolations]] keeps
+    * titles unique, so ≤1 row returns.
+    */
+  def findByTitle(spark: SparkSession, dir: String, title: String): Option[(Any, Long)] =
+    read(spark, dir)
+      .filter(col("title") === title)
+      .select(col("dataset_key"), col("revision").cast("long"))
+      .collect()
+      .headOption
+      .map(r => (r.get(0), r.getLong(1)))
+
   /** DELETE-mode validation — reference `datasets/delete.py:46-61`. The
     * reference 404s a delete whose id doesn't exist and CONFLICTs when the
     * dataset still owns storage objects (it lists the bucket prefix before

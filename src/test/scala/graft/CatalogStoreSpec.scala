@@ -230,6 +230,25 @@ class CatalogStoreSpec extends AnyFunSuite {
       (4L, "title_conflict"), (5L, "title_pattern")))
   }
 
+  // reference datasets/get.py — point get by id (DynamoDB get-item) and
+  // lookup by title (the datasets_title_idx GSI)
+  test("point get probes only the key's shard and agrees with the writer's hash; title lookup finds unique titles") {
+    val dir = tmp()
+    CatalogStore.init(spark, dir, base())
+    // every sampled key must resolve — this pins the driver-side Murmur3
+    // shard derivation to the writer's pmod(hash(key)) partitioning: a
+    // seed or type mismatch would probe the wrong shard and return None
+    val sample = base().limit(25).collect()
+    sample.foreach { r =>
+      val (k, t) = (r.getAs[Long]("dataset_key"), r.getAs[String]("title"))
+      assert(CatalogStore.get(spark, dir, k).contains((t, 1L)), s"key $k missed its shard")
+    }
+    assert(CatalogStore.get(spark, dir, -987654321L).isEmpty) // the 404 path
+    val (k0, t0) = (sample.head.getAs[Long]("dataset_key"), sample.head.getAs[String]("title"))
+    assert(CatalogStore.findByTitle(spark, dir, t0).contains((k0, 1L)))
+    assert(CatalogStore.findByTitle(spark, dir, "no-such-title").isEmpty)
+  }
+
   // reference datasets/delete.py:46-61 — DELETE 404s a missing id and
   // CONFLICTs when the dataset still owns storage objects ("dataset
   // versions still exist", checked by listing the bucket prefix)
