@@ -290,6 +290,35 @@ class CatalogStoreSpec extends AnyFunSuite {
     assert(CatalogStore.readVersion(spark, dir, 1L).count() == 3)
   }
 
+  test("delete races an upsert through the same CAS: exactly one publishes, the loser is loud, state stays consistent") {
+    import spark.implicits._
+    val dir = tmp()
+    CatalogStore.init(spark, dir,
+      Seq((1L, "stay", 1), (2L, "doomed", 1)).toDF("dataset_key", "title", "revision"))
+    val empty = spark.range(0).select(col("id").as("dataset_key"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val (delOut, upOut) = Await.result(
+      Future(scala.util.Try(
+        CatalogStore.delete(spark, dir, Seq(2L).toDF("dataset_key"), empty)))
+        .zip(Future(scala.util.Try(CatalogStore.upsert(spark, dir,
+          Seq((3L, "newcomer", 1)).toDF("dataset_key", "title", "revision"))))),
+      Duration.Inf)
+    val failures = Seq(delOut, upOut).collect { case scala.util.Failure(e) => e }
+    failures.foreach(e => assert(
+      e.isInstanceOf[IllegalStateException] && e.getMessage.contains("NOT published"),
+      s"loser must fail loudly: $e"))
+    // whatever interleaving happened, the surviving catalog is one of the
+    // two serializable outcomes and every published version reads clean
+    val keys = snapshot(dir).map(_._1)
+    assert(Seq(delOut, upOut).count(_.isSuccess) >= 1)
+    if (failures.isEmpty) assert(keys == Set(1L, 3L)) // both serialized
+    else assert(keys == Set(1L, 3L) || keys == Set(1L) || keys == Set(1L, 2L, 3L), s"keys: $keys")
+    CatalogStore.listVersions(spark, dir).foreach(v =>
+      CatalogStore.readVersion(spark, dir, v).collect()) // manifests all verify
+  }
+
   test("retention GC drops old snapshots, never the published one") {
     val dir = tmp()
     CatalogStore.init(spark, dir, base())
