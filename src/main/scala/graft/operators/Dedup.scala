@@ -390,7 +390,54 @@ object Dedup extends QueryModule {
       .orderBy(col("train_doc"), col("eval_doc"))
   }
 
+  /** C4-style LINE-level exact dedup (Raffel et al. 2020 dedup occurrences
+    * of repeated "lines" across the whole corpus, keeping one): a line
+    * here is a fixed-width word chunk (`graft.dedup.lineWidth`, default 6
+    * — this corpus is single-line token text, so fixed windows stand in
+    * for sentence boundaries; the operator is separator-agnostic). The
+    * canonical copy of a repeated line is the one in the smallest doc_id;
+    * every other occurrence counts as removed. Per-source rollup: lines
+    * seen, lines a dedup pass would delete, canonical (doc, line) groups
+    * owned.
+    *
+    * Scale shape: chunking is map-side next to the scan; per-(doc, line)
+    * counts partial-agg into one keyed shuffle; canonical ownership is a
+    * groupBy(min) + join on the line key — deliberately NOT a window, so
+    * a Zipfian hot line (boilerplate at 100 TB) lands on AQE's
+    * skew-join splitting instead of a single window partition, the q77
+    * lesson applied from the start.
+    */
+  private def q89(t: Tables): DataFrame = {
+    val w = t.spark.conf.get("graft.dedup.lineWidth", "6").toInt
+    require(w >= 1 && w <= 64, s"graft.dedup.lineWidth out of range: $w")
+    val occ = t.documents
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("words"))
+      .select(
+        col("doc_id"), col("source"),
+        // the short-doc guard lives INSIDE the expression (empty array →
+        // explode emits nothing): a derived-column Filter would never
+        // push to the scan and sequence(0, -1) is DESCENDING, the q77 trap
+        explode(expr(
+          s"""CASE WHEN size(words) >= $w THEN
+             |  transform(sequence(0, size(words) div $w - 1),
+             |    i -> array_join(slice(words, i * $w + 1, $w), ' '))
+             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("line"))
+      .groupBy(col("source"), col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("cnt"))
+    val owners = occ.groupBy(col("line")).agg(min(col("doc_id")).as("min_doc"))
+    occ.join(owners, Seq("line"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_lines"),
+        sum(when(col("doc_id") === col("min_doc"), col("cnt") - 1).otherwise(col("cnt")))
+          .as("n_removed"),
+        sum(when(col("doc_id") === col("min_doc"), lit(1L)).otherwise(lit(0L)))
+          .as("n_canonical"))
+      .orderBy(col("source"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_line_dedup" -> ((s, d) => q89(Tables(s, d))),
     "q86_minhash_estimate" -> ((s, d) => q86(Tables(s, d))),
     "q79_dedup_report" -> ((s, d) => q79(Tables(s, d))),
     "q75_decontaminate" -> ((s, d) => q75(Tables(s, d))),
@@ -441,6 +488,19 @@ object Dedup extends QueryModule {
        |  WHERE shared / (sa.nsh + sb.nsh - shared) >= 0.5)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q89_line_dedup" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+        | f AS (SELECT * FROM w WHERE len(words) >= 6),
+        | c AS (SELECT doc_id, source,
+        |   unnest(list_transform(range(CAST(len(words) // 6 AS BIGINT)),
+        |     i -> array_to_string(words[i * 6 + 1 : i * 6 + 6], ' '))) AS line
+        |  FROM f),
+        | o AS (SELECT source, doc_id, line, count(*) AS cnt FROM c GROUP BY 1, 2, 3),
+        | m AS (SELECT line, min(doc_id) AS min_doc FROM o GROUP BY 1)
+        |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        | CAST(sum(CASE WHEN doc_id = min_doc THEN cnt - 1 ELSE cnt END) AS BIGINT) AS n_removed,
+        | CAST(sum(CASE WHEN doc_id = min_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
+        |FROM o JOIN m USING (line) GROUP BY source ORDER BY source""".stripMargin,
     "q86_minhash_estimate" ->
       s"""WITH w AS ($duckWords),
          | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),

@@ -94,6 +94,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("line dedup conserves lines: kept canonicals equal the corpus's distinct lines") {
+    val t = Tables(spark, sf)
+    val rows = SparkEntry.queries("q89_line_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (nLines, nRemoved, nCanonical) = rows.foldLeft((0L, 0L, 0L)) { case ((a, b, c), r) =>
+      (a + r.getAs[Long]("n_lines"), b + r.getAs[Long]("n_removed"), c + r.getAs[Long]("n_canonical"))
+    }
+    // a dedup pass keeps exactly one copy per distinct line, corpus-wide
+    val distinctLines = t.documents
+      .select(explode(expr(
+        """transform(sequence(0, size(split(text, ' ')) div 6 - 1),
+          |  i -> array_join(slice(split(text, ' '), i * 6 + 1, 6), ' '))""".stripMargin)).as("line"))
+      .distinct().count()
+    assert(nLines - nRemoved == distinctLines,
+      s"kept ${nLines - nRemoved} != distinct $distinctLines")
+    assert(nCanonical == distinctLines, "one canonical (doc, line) group per distinct line")
+    assert(nRemoved > 0, "this corpus has repeated lines; the operator must find them")
+  }
+
   test("decontamination never reports an eval doc as a train doc") {
     val rows = SparkEntry.queries("q75_decontaminate")(spark, sf).collect()
     rows.foreach { r =>
