@@ -92,6 +92,16 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.skew.salt")
   }
 
+  test("q89's canonical-ownership is a join, never a per-line window") {
+    // a Zipfian hot line (boilerplate at 100 TB) must land on AQE's
+    // skew-join splitting — a Window.partitionBy(line) would pin every
+    // occurrence of the hottest line to one task with no runtime remedy
+    val df = SparkEntry.queries("q89_line_dedup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q89 must not window over the line key:\n$plan")
+    assert(plan.contains("Join"), "canonical ownership joins on the line key")
+  }
+
   test("q38's mirrored self-join sides reuse one exchange: each kernel runs once") {
     // the LSH verify joins the same kernel-derived frame on both sides
     // (minhash sigs for candidates, shingle sets for a/b). AQE dedupes the
