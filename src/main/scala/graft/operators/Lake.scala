@@ -606,6 +606,12 @@ object Lake extends QueryModule {
 
   private[graft] def stacViolations(
       docs: DataFrame, allRules: Seq[Rule]): DataFrame = {
+    // duplicate ids would silently drop a composite from the dependency
+    // map and corrupt the per-doc flag fold — refuse them here so EVERY
+    // entry path (file load, ImportPipeline, direct calls) is guarded
+    val dupIds = allRules.groupBy(_.id).collect { case (id, rs) if rs.size > 1 => id }
+    require(dupIds.isEmpty,
+      s"duplicate rule_id(s) in rule set: ${dupIds.toSeq.sorted.mkString(",")}")
     val (composites, rules) = allRules.partition(r => compositeKinds(r.kind))
     // validate composite branch refs and format names BEFORE any plan is
     // built, so a bad rules file fails loudly at load, not mid-query
