@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   private val expectBroadcast = Set(
     "q03_top_revenue", "q05_region_revenue", "q15_above_avg_groups", "q16_rollup_sales",
-    "q27_catalog_tree", "q40_cosine_topk", "q41_embedding_neardup", "q43_ivf_search")
+    "q27_catalog_tree", "q40_cosine_topk", "q41_embedding_neardup", "q43_ivf_search",
+    "q90_tfidf", "q92_source_overlap")
   private val allowCross = Set("q40_cosine_topk", "q41_embedding_neardup", "q50_haversine")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
@@ -25,8 +26,11 @@ object PlanAudit {
   // q76's token <> '' filter and q77's size(words) >= 2 guard sit above a
   // computed split — nothing exists at the scan to push; the scans still
   // prune to (text) / (doc_id, text).
+  // q90's term <> '' filter sits above an exploded split — computed column,
+  // nothing at the scan to push (q76's class); the scan still prunes to
+  // (doc_id, text)
   private val allowUnpushed =
-    Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm")
+    Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm", "q90_tfidf")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume
   private val allowGlobalWindow = Set("q83_late_data")
@@ -43,9 +47,10 @@ object PlanAudit {
     "q58_catalog_merge" -> 5,
     // block self-join + pair-distinct + output sort
     "q63_simhash_pairs" -> 4,
-    // explode→centroid agg→broadcast join→pair agg→argmin window→sort;
+    // explode→centroid agg→broadcast join→pair agg→argmin window→sort,
+    // plus the r9 trainIvf relabel join (assignment keyed on vec_id);
     // every shuffle is narrow (|labels|·|dims|, then |vecs|·|labels| rows)
-    "q71_kmeans_step" -> 4,
+    "q71_kmeans_step" -> 6,
     // centroid agg → probe scoring agg → probe-rank window → neighbor
     // top-k window → sort; probe list and queries broadcast, so all five
     // exchanges move |queries|- or |labels|-scale rows, never the corpus
@@ -63,7 +68,20 @@ object PlanAudit {
     "q78_embedding_quantize" -> 4,
     // per-batch max agg → single-partition exchange for the (tiny,
     // |batches|-row) running-max window → 15-min rollup → sort
-    "q83_late_data" -> 4).withDefaultValue(3)
+    "q83_late_data" -> 4,
+    // tf agg → vocab-bounded df agg → term-keyed join → per-doc top-k
+    // window → sort; the doc-count scalar broadcasts
+    "q90_tfidf" -> 6,
+    // distinct (source, shingle) → per-shingle membership agg → pair agg,
+    // with the sizes branch hanging off the same membership relation. The
+    // shared 2-exchange subtree prints once PER BRANCH here (10 textual);
+    // at runtime AQE dedupes it — ScaleSpec pins ReusedExchange + a single
+    // shingle-kernel run, so the effective count is 6; size lookups
+    // broadcast
+    "q92_source_overlap" -> 10,
+    // (doc, line) occurrence agg → line-owner agg (+ ownership join) →
+    // source rollup → sort
+    "q89_line_dedup" -> 4).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -436,7 +436,61 @@ object Dedup extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Cross-source contamination matrix: pairwise shingle-set overlap
+    * between sources (distinct word-3-grams, the q34/q36 shingle space) —
+    * the audit that finds mirrored / cross-posted content BETWEEN corpus
+    * slices before mixing weights are chosen (q65's input). Only pairs
+    * sharing at least one shingle appear (an inner join — disjoint
+    * sources have jaccard 0 by construction and are omitted).
+    *
+    * Scale shape: the shingle kernel runs map-side; distinct
+    * (source, shingle) is one keyed shuffle; then each shingle collapses
+    * to its SORTED source membership list (≤|sources| entries — bounded
+    * by the slice count, not occurrence frequency) and emits its
+    * source-pair combinations directly, so there is NO self-join at all
+    * and per-shingle fan-out is bounded by |sources|²/2 — a constant,
+    * never corpus². Both the pair counts and the per-source set sizes
+    * derive from the same grouped relation (one corpus derivation, AQE
+    * exchange reuse collapses the two branches); sizes broadcast onto the
+    * |sources|²-row pair table.
+    */
+  private def q92(t: Tables): DataFrame = {
+    val sh = Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("source"),
+        explode(graft.functions.GraftFunctions.shingle_set(col("text"))).as("sh"))
+      .distinct()
+    val bySh = sh
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("source"))).as("srcs"))
+    // sizes derive from bySh, NOT from `sh` directly: |source's set| =
+    // number of membership lists containing it, and hanging both branches
+    // off the same post-aggregation subtree is what lets AQE's exchange
+    // reuse run the corpus scan + shingle kernel ONCE (a branch off `sh`
+    // inherits join-inferred IsNotNull filters that break canonical
+    // equality — measured, not theorized; ScaleSpec pins the reuse)
+    val sizes = bySh
+      .select(explode(col("srcs")).as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sz"))
+    bySh
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(2, size(srcs)),
+          |  i -> transform(sequence(1, i - 1),
+          |    j -> struct(element_at(srcs, j) AS s1, element_at(srcs, i) AS s2))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("s1"), col("sz").as("sz1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("sz").as("sz2"))), "s2")
+      .withColumn("jaccard", round(col("n_shared") / (col("sz1") + col("sz2") - col("n_shared")), 4))
+      .select(col("s1"), col("s2"), col("n_shared"), col("sz1"), col("sz2"), col("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_source_overlap" -> ((s, d) => q92(Tables(s, d))),
     "q89_line_dedup" -> ((s, d) => q89(Tables(s, d))),
     "q86_minhash_estimate" -> ((s, d) => q86(Tables(s, d))),
     "q79_dedup_report" -> ((s, d) => q79(Tables(s, d))),
@@ -488,6 +542,20 @@ object Dedup extends QueryModule {
        |  WHERE shared / (sa.nsh + sb.nsh - shared) >= 0.5)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q92_source_overlap" ->
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+         | sh AS (
+         |  SELECT DISTINCT source, sh FROM (
+         |   SELECT source, unnest($shinglesDuck) AS sh FROM w)),
+         | sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+         | itr AS (
+         |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT s1, s2, n_shared, z1.sz AS sz1, z2.sz AS sz2,
+         | round(n_shared / (z1.sz + z2.sz - n_shared), 4) AS jaccard
+         |FROM itr JOIN sz z1 ON z1.source = itr.s1 JOIN sz z2 ON z2.source = itr.s2
+         |ORDER BY s1, s2""".stripMargin,
     "q89_line_dedup" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
         | f AS (SELECT * FROM w WHERE len(words) >= 6),

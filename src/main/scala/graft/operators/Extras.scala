@@ -246,7 +246,32 @@ object Extras extends QueryModule {
         max(col("rate")).as("rate_pct"))
       .orderBy(col("source"))
 
+  /** Z-order curve cell statistics — the read-side audit of
+    * [[graft.sources.SpatialLayout]]'s write-side clustering: every point's
+    * Morton z-value (16 bits/dim, built-in bitwise ops only — codegen'd
+    * mask/shift ladder, no UDF), bucketed by the top 4 bits per dimension
+    * (z >> 24 → a 16×16 curve-cell grid), with per-cell occupancy and the
+    * lon/lat envelope. Tight per-cell envelopes are exactly why a z-sorted
+    * layout lets parquet footer stats prune bbox scans at 100 TB. Map-side
+    * expression work + one cell-keyed rollup shuffle.
+    */
+  private def q93(t: Tables): DataFrame =
+    t.customer
+      .withColumn("lon", expr(lonSql))
+      .withColumn("lat", expr(latSql))
+      .withColumn("z", graft.sources.SpatialLayout.zValue(col("lon"), col("lat")))
+      .withColumn("cell", shiftright(col("z"), 24))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        round(min(col("lon")), 4).as("min_lon"),
+        round(max(col("lon")), 4).as("max_lon"),
+        round(min(col("lat")), 4).as("min_lat"),
+        round(max(col("lat")), 4).as("max_lat"))
+      .orderBy(col("cell"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_zorder_cells" -> ((s, d) => q93(Tables(s, d))),
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
     "q64_hash_split" -> ((s, d) => q64(Tables(s, d))),
     "q59_pivot" -> ((s, d) => q59(Tables(s, d))),
@@ -263,6 +288,25 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q93_zorder_cells" ->
+      """WITH p AS (
+        | SELECT CAST((c_custkey * 7919) % 360000 AS DOUBLE) / 1000 - 180 AS lon,
+        |        CAST((c_custkey * 104729) % 170000 AS DOUBLE) / 1000 - 85 AS lat
+        | FROM customer),
+        | q AS (
+        | SELECT lon, lat,
+        |  CAST(least(greatest(floor((lon - (-180.0)) / 360.0 * 65536.0), 0.0), 65535.0) AS BIGINT) AS x1,
+        |  CAST(least(greatest(floor((lat - (-90.0)) / 180.0 * 65536.0), 0.0), 65535.0) AS BIGINT) AS y1
+        | FROM p),
+        | s2 AS (SELECT lon, lat, ((x1 | (x1 << 8)) & 16711935) AS x2, ((y1 | (y1 << 8)) & 16711935) AS y2 FROM q),
+        | s3 AS (SELECT lon, lat, ((x2 | (x2 << 4)) & 252645135) AS x3, ((y2 | (y2 << 4)) & 252645135) AS y3 FROM s2),
+        | s4 AS (SELECT lon, lat, ((x3 | (x3 << 2)) & 858993459) AS x4, ((y3 | (y3 << 2)) & 858993459) AS y4 FROM s3),
+        | s5 AS (SELECT lon, lat, ((x4 | (x4 << 1)) & 1431655765) AS x5, ((y4 | (y4 << 1)) & 1431655765) AS y5 FROM s4),
+        | z AS (SELECT lon, lat, (x5 | (y5 << 1)) >> 24 AS cell FROM s5)
+        |SELECT cell, count(*) AS n_points,
+        | round(min(lon), 4) AS min_lon, round(max(lon), 4) AS max_lon,
+        | round(min(lat), 4) AS min_lat, round(max(lat), 4) AS max_lat
+        |FROM z GROUP BY cell ORDER BY cell""".stripMargin,
     "q65_corpus_mix" ->
       """WITH m AS (SELECT source, (doc_id * 2654435761) % 100 AS h,
         |  CASE WHEN source LIKE 'src1%' THEN 100 ELSE 40 END AS rate FROM documents)

@@ -320,6 +320,72 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** TF-IDF top-3 terms per document — the classic salient-term extraction
+    * a corpus-exploration / topic-drilldown pipeline runs over every doc.
+    * Term frequencies aggregate map-side after the explode (one narrow
+    * (doc, term) shuffle); document frequency is a second vocabulary-
+    * bounded aggregate over the already-collapsed tf table (never the raw
+    * token stream); the corpus doc count joins as a single-row broadcast
+    * (q15's scalar pattern). The top-k is a per-doc row_number window over
+    * the ROUNDED score with a total (score desc, term) order, so ranking is
+    * deterministic cross-engine. At 100 TB every shuffle here is
+    * (doc × distinct-terms-in-doc)- or vocabulary-scale — never corpus².
+    */
+  private def q90(t: Tables): DataFrame = {
+    val tf = withWords(t)
+      .select(col("doc_id"), explode(col("words")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .join(broadcast(nDocs))
+      // round-4 BEFORE ranking: ln is the one transcendental in the suite,
+      // and ranking on the rounded value keeps a sub-ulp engine difference
+      // from ever flipping the top-k order
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+  }
+
+  /** Per-source length-outlier trim accounting: exact interpolated p05/p95
+    * character-length bounds per source, then below/above classification
+    * and the chars a p05–p95 trim would drop — the length-filter sizing
+    * query a pipeline runs before committing to a cutoff. The percentile
+    * runs as a window over the source partition, so classification reuses
+    * the same single shuffle and the rollup repartitions nothing.
+    *
+    * Scale note: `percentile` is exact (it buffers each group's values);
+    * at 100 TB per-source value sets are huge, so the cluster deployment
+    * swaps in `approx_percentile(…, 0.05, 10000)` — same plan shape, sketch
+    * memory instead of a value buffer. The oracle pins the exact variant.
+    */
+  private def q91(t: Tables): DataFrame = {
+    val bySrc = Window.partitionBy(col("source"))
+    Tables.localSplit(t.documents, col("doc_id"))
+      .select(col("source"), col("n_chars"))
+      .withColumn("p05", expr("percentile(n_chars, 0.05)").over(bySrc))
+      .withColumn("p95", expr("percentile(n_chars, 0.95)").over(bySrc))
+      .withColumn(
+        "cls",
+        when(col("n_chars") < col("p05"), "below")
+          .when(col("n_chars") > col("p95"), "above")
+          .otherwise("within"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(min(col("p05")), 2).as("p05"),
+        round(min(col("p95")), 2).as("p95"),
+        sum(when(col("cls") === "below", 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("cls") === "above", 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("cls") =!= "within", col("n_chars")).otherwise(0L)).as("chars_trimmed"))
+      .orderBy(col("source"))
+  }
+
   /** Intra-document repetition filter (the Gopher-style quality signal):
     * repetition ratio = 1 − |distinct word-3-grams| / |word-3-grams|. The
     * distinct count comes from the native shingle-set kernel next to the
@@ -361,6 +427,8 @@ object TextAnalysis extends QueryModule {
     "q76_heavy_hitters" -> ((s, d) => q76(Tables(s, d))),
     "q77_bigram_lm" -> ((s, d) => q77(Tables(s, d))),
     "q72_pii_scrub" -> ((s, d) => q72(Tables(s, d))),
+    "q90_tfidf" -> ((s, d) => q90(Tables(s, d))),
+    "q91_length_outliers" -> ((s, d) => q91(Tables(s, d))),
     "q30_text_stats" -> ((s, d) => q30(Tables(s, d))),
     "q31_lang_id" -> ((s, d) => q31(Tables(s, d))),
     "q32_token_count" -> ((s, d) => q32(Tables(s, d))),
@@ -369,6 +437,34 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q90_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+        | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |   round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM s)
+        |SELECT doc_id, term, tf, df, tfidf
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+    "q91_length_outliers" ->
+      """WITH b AS (
+        | SELECT source, n_chars,
+        |  quantile_cont(n_chars, 0.05) OVER (PARTITION BY source) AS p05,
+        |  quantile_cont(n_chars, 0.95) OVER (PARTITION BY source) AS p95
+        | FROM documents),
+        | c AS (SELECT source, n_chars, p05, p95,
+        |  CASE WHEN n_chars < p05 THEN 'below'
+        |       WHEN n_chars > p95 THEN 'above' ELSE 'within' END AS cls
+        | FROM b)
+        |SELECT source, count(*) AS n_docs,
+        | round(min(p05), 2) AS p05, round(min(p95), 2) AS p95,
+        | CAST(sum(CASE WHEN cls = 'below' THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        | CAST(sum(CASE WHEN cls = 'above' THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        | CAST(sum(CASE WHEN cls <> 'within' THEN n_chars ELSE 0 END) AS BIGINT) AS chars_trimmed
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q84_quality_gate" ->
       s"""WITH w AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS words, text FROM documents),
          | s AS (

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-10 corpus-audit operators (q90–q92):
+  * exact from-scratch recomputation on the collected corpus (independent
+  * Scala derivation, no Spark expressions), plus the structural bounds the
+  * DuckDB hash compare can't phrase.
+  */
+class CorpusAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // Spark's round() is BigDecimal HALF_UP — rint's half-even would drift
+  // on exact .5 scale boundaries
+  private def rnd(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val docs: Seq[(Long, String, String, Long)] =
+    Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("q90 tf-idf matches an independent per-doc recomputation") {
+    val byDoc = docs.map { case (id, text, _, _) =>
+      id -> text.split(" ").filter(_.nonEmpty).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    }.toMap
+    val dfreq = byDoc.values.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val n = docs.size.toDouble
+    val expected = byDoc.flatMap { case (id, tf) =>
+      tf.toSeq
+        .map { case (term, f) =>
+          val score = rnd(f * math.log(n / dfreq(term)), 4)
+          (id, term, f, dfreq(term), score)
+        }
+        .sortBy { case (_, term, _, _, score) => (-score, term) }
+        .take(3)
+    }.toSet
+    val got = SparkEntry.queries("q90_tfidf")(spark, sf).collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("term"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Double]("tfidf"))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("q91 trim accounting matches exact interpolated percentiles") {
+    def pctl(sorted: Seq[Long], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < sorted.length) sorted(lo) * (1 - frac) + sorted(lo + 1) * frac
+      else sorted(lo).toDouble
+    }
+    val expected = docs.groupBy(_._3).map { case (src, ds) =>
+      val lens = ds.map(_._4).sorted
+      val (p05, p95) = (pctl(lens, 0.05), pctl(lens, 0.95))
+      val below = ds.count(_._4 < p05)
+      val above = ds.count(_._4 > p95)
+      val trimmed = ds.filter(d => d._4 < p05 || d._4 > p95).map(_._4).sum
+      (src, ds.size.toLong, rnd(p05, 2), rnd(p95, 2), below.toLong, above.toLong, trimmed)
+    }.toSet
+    val got = SparkEntry.queries("q91_length_outliers")(spark, sf).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"), r.getAs[Double]("p05"),
+        r.getAs[Double]("p95"), r.getAs[Long]("n_below"), r.getAs[Long]("n_above"),
+        r.getAs[Long]("chars_trimmed"))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("q92 source-overlap matrix matches exact pairwise shingle sets") {
+    def shingles(text: String): Set[String] = {
+      val ws = text.split(" ")
+      if (ws.length < 3) Set.empty
+      else (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
+    }
+    val bySrc = docs.groupBy(_._3).map { case (src, ds) =>
+      src -> ds.map(d => shingles(d._2)).reduce(_ ++ _)
+    }
+    val expected = (for {
+      (s1, a) <- bySrc; (s2, b) <- bySrc if s1 < s2
+      inter = (a & b).size if inter > 0
+    } yield {
+      val jac = rnd(inter.toDouble / (a.size + b.size - inter), 4)
+      (s1, s2, inter.toLong, a.size.toLong, b.size.toLong, jac)
+    }).toSet
+    val got = SparkEntry.queries("q92_source_overlap")(spark, sf).collect().map { r =>
+      (r.getAs[String]("s1"), r.getAs[String]("s2"), r.getAs[Long]("n_shared"),
+        r.getAs[Long]("sz1"), r.getAs[Long]("sz2"), r.getAs[Double]("jaccard"))
+    }.toSet
+    assert(got == expected)
+    // pairwise bounds: shared never exceeds either side's set size
+    got.foreach { case (_, _, sh, sz1, sz2, jac) =>
+      assert(sh <= math.min(sz1, sz2) && jac > 0.0 && jac <= 1.0)
+    }
+  }
+}

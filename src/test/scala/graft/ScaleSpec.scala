@@ -127,6 +127,29 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q92's pair and size branches reuse one shingle derivation at runtime") {
+    // both branches of q92 (per-shingle membership pairs, per-source set
+    // sizes) hang off the same distinct (source, shingle) relation — AQE
+    // must dedupe the mirrored exchanges or the corpus-wide shingle kernel
+    // and distinct shuffle run twice at 100 TB
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q92_source_overlap")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val fin = plan.indexOf("== Initial Plan ==") match {
+        case -1 => plan
+        case i  => plan.substring(0, i)
+      }
+      assert(fin.contains("isFinalPlan=true") || fin.contains("Final Plan"),
+        s"expected an executed adaptive plan:\n$fin")
+      assert("ReusedExchange".r.findAllIn(fin).length >= 1,
+        s"expected the distinct (source, shingle) exchange reused:\n$fin")
+      assert("shingle_set".r.findAllIn(fin).length == 1,
+        "shingle kernel must run once")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("graft.local.split gates the local-mode repartition crutch, default off") {
     val docs = Tables(spark, sf).documents
     def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
