@@ -219,6 +219,32 @@ object Extras extends QueryModule {
     * and engines; THE way a 100 TB corpus gets split without a shuffle or
     * a random seed dependency. 80/10/10 per dataset.
     */
+  /** Balanced per-source cap — the "no source dominates" curation step: at
+    * most `graft.cap.docs` documents survive per source, selected by the
+    * q64 seedless Knuth hash (deterministic, engine-stable, no RNG state),
+    * with yield accounting per source. One shuffle on source carries both
+    * the selection window and the rollup; at 100 TB each source's stream
+    * caps independently — exactly how a 1000-executor ingest would run it.
+    * A window, not a global sort: ordering is per-source only.
+    */
+  private def q94(t: Tables): DataFrame = {
+    val k = t.spark.conf.get("graft.cap.docs", "15").toInt
+    require(k >= 1, s"graft.cap.docs out of range: $k")
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("h", expr("(doc_id * 2654435761) % 4294967296"))
+      .withColumn("kept", row_number().over(bySrc) <= k)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
   private def q64(t: Tables): DataFrame =
     t.documents
       .withColumn("h", expr("(doc_id * 2654435761) % 100"))
@@ -273,6 +299,7 @@ object Extras extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_zorder_cells" -> ((s, d) => q93(Tables(s, d))),
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
+    "q94_balanced_cap" -> ((s, d) => q94(Tables(s, d))),
     "q64_hash_split" -> ((s, d) => q64(Tables(s, d))),
     "q59_pivot" -> ((s, d) => q59(Tables(s, d))),
     "q60_typed_agg" -> ((s, d) => q60(Tables(s, d))),
@@ -288,6 +315,19 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q94_balanced_cap" ->
+      """WITH h AS (
+        | SELECT doc_id, source, n_chars, (doc_id * 2654435761) % 4294967296 AS h
+        | FROM documents),
+        | r AS (
+        | SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) <= 15 AS kept
+        | FROM h)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q93_zorder_cells" ->
       """WITH p AS (
         | SELECT CAST((c_custkey * 7919) % 360000 AS DOUBLE) / 1000 - 180 AS lon,

@@ -360,16 +360,25 @@ object TextAnalysis extends QueryModule {
     * the same single shuffle and the rollup repartitions nothing.
     *
     * Scale note: `percentile` is exact (it buffers each group's values);
-    * at 100 TB per-source value sets are huge, so the cluster deployment
-    * swaps in `approx_percentile(…, 0.05, 10000)` — same plan shape, sketch
-    * memory instead of a value buffer. The oracle pins the exact variant.
+    * at 100 TB per-source value sets are huge, so `graft.pctl.approx=true`
+    * reroutes both bounds through `approx_percentile(…, 10000)` — same
+    * plan shape and output schema, bounded sketch memory instead of a
+    * value buffer (the q76-salt pattern: the scale path is a conf, not a
+    * fork). The oracle pins the exact default; the approx path is
+    * spec-bounded against it.
     */
   private def q91(t: Tables): DataFrame = {
+    val approx = t.spark.conf.get("graft.pctl.approx", "false").toBoolean
     val bySrc = Window.partitionBy(col("source"))
+    // the cast goes OUTSIDE the window: .over must see the aggregate
+    // itself (approx_percentile returns the input's integral type)
+    def pctl(p: Double) =
+      if (approx) expr(s"approx_percentile(n_chars, $p, 10000)").over(bySrc).cast("double")
+      else expr(s"percentile(n_chars, $p)").over(bySrc)
     Tables.localSplit(t.documents, col("doc_id"))
       .select(col("source"), col("n_chars"))
-      .withColumn("p05", expr("percentile(n_chars, 0.05)").over(bySrc))
-      .withColumn("p95", expr("percentile(n_chars, 0.95)").over(bySrc))
+      .withColumn("p05", pctl(0.05))
+      .withColumn("p95", pctl(0.95))
       .withColumn(
         "cls",
         when(col("n_chars") < col("p05"), "below")

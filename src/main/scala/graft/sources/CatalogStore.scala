@@ -428,6 +428,69 @@ object CatalogStore {
     DeleteStats(next, nDoomed)
   }
 
+  final case class CompactStats(version: Long, filesBefore: Long, filesAfter: Long, rows: Long)
+
+  private def dataFileCount(f: FileSystem, dir: String, version: Long): Long = {
+    val it = f.listFiles(new Path(snapshotPath(dir, version)), true)
+    var n = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.startsWith("part-")) n += 1
+    }
+    n
+  }
+
+  /** Small-files compaction — the maintenance pass every parquet lake
+    * needs: each upsert's snapshot carries tasks×shards part files, and
+    * after N batches a metadata-scale catalog is thousands of tiny files
+    * whose open/footer cost dominates reads. Rewrites the CURRENT
+    * snapshot with rows co-located per shard (one range shuffle on the
+    * shard id → one file per shard) and publishes it through the SAME CAS
+    * path as any other writer, so compaction serializes against
+    * concurrent upserts instead of clobbering them — a racing batch makes
+    * the compactor lose loudly, like any optimistic writer.
+    *
+    * Content is proven unchanged, not assumed: the new snapshot's
+    * manifest (rows + order-independent xor) must equal the source
+    * version's, or compaction aborts with nothing published. No-ops when
+    * the snapshot is already at ≤ one file per shard.
+    */
+  def compact(spark: SparkSession, dir: String): CompactStats = {
+    val current = currentVersion(spark, dir)
+      .getOrElse(throw new IllegalStateException(s"no published catalog at $dir"))
+    val f = fs(spark, dir)
+    val before = dataFileCount(f, dir, current)
+    val df = readVersion(spark, dir, current) // manifest-verified source
+    val (srcRows, srcXor) = manifestOf(df)
+    if (before <= Shards) return CompactStats(current, before, before, srcRows)
+    val next = current + 1
+    // one task per shard: range-partition on the shard id the writer
+    // derives, so partitionBy(shard) emits exactly one file per shard
+    val clustered = df
+      .withColumn("shard", pmod(hash(col("dataset_key")), lit(Shards)))
+      .repartitionByRange(Shards, col("shard"))
+      .drop("shard")
+    val staging = stage(clustered, dir, next)
+    // the staged manifest certifies what landed on disk; equality with the
+    // source manifest proves the rewrite moved every row and nothing else
+    val markerBody = {
+      val in = f.open(new Path(staging, Marker))
+      try new String(
+        Iterator.continually(in.read()).takeWhile(_ != -1).map(_.toByte).toArray, "UTF-8")
+      finally in.close()
+    }
+    val (gotRows, gotXor) = parseManifest(markerBody).getOrElse(
+      throw new IllegalStateException(s"compaction staged an unreadable manifest at $staging"))
+    if (gotRows != srcRows || gotXor != srcXor) {
+      f.delete(staging, true)
+      throw new IllegalStateException(
+        s"compaction of v=$current would CHANGE content (rows $srcRows→$gotRows, " +
+          s"xor $srcXor→$gotXor) — aborted, nothing published")
+    }
+    commit(spark, dir, staging, next)
+    CompactStats(next, before, dataFileCount(f, dir, next), srcRows)
+  }
+
   /** Version-retention GC — q85's execute side: drop all but the newest
     * `keep` snapshots (the published one always survives) and sweep
     * abandoned staging dirs. Pure directory removal; returns the versions

@@ -319,6 +319,47 @@ class CatalogStoreSpec extends AnyFunSuite {
       CatalogStore.readVersion(spark, dir, v).collect()) // manifests all verify
   }
 
+  test("compaction rewrites the snapshot to one file per shard, content-identical, through the CAS") {
+    val dir = tmp()
+    // fragment the snapshot the way a real cluster does: the merge's task
+    // count (shuffle partitions) is co-prime with the 16 shards, so every
+    // task holds rows of MANY shards and partitionBy fans out tasks×shards
+    // files (at the spec default of 4 partitions, task = hash(key) % 4
+    // correlates with shard = hash(key) % 16 and every snapshot lands
+    // accidentally compact; AQE coalescing off so the 25 tasks survive)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "25")
+    try {
+      CatalogStore.init(spark, dir, base())
+      CatalogStore.upsert(spark, dir, changes())
+      CatalogStore.upsert(spark, dir, changes()
+        .withColumn("revision", col("revision") + 10))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    val vBefore = CatalogStore.currentVersion(spark, dir).get
+    val rowsBefore = snapshot(dir)
+    val st = CatalogStore.compact(spark, dir)
+    assert(st.filesBefore > 16,
+      s"fixture failed to fragment (only ${st.filesBefore} files) — the test proves nothing")
+    assert(st.version == vBefore + 1, "compaction publishes a NEW version via the CAS")
+    assert(st.filesAfter < st.filesBefore,
+      s"expected fewer files, got ${st.filesBefore} -> ${st.filesAfter}")
+    assert(st.filesAfter <= 16, s"one file per shard expected, got ${st.filesAfter}")
+    // content byte-identical (manifest-verified read agrees row-for-row)
+    assert(snapshot(dir) == rowsBefore)
+    assert(st.rows == rowsBefore.size)
+    // the pre-compaction version is still readable (time travel intact)
+    assert(CatalogStore.readVersion(spark, dir, vBefore).count() == rowsBefore.size)
+    // a second compaction is a no-op: already at <= one file per shard
+    val st2 = CatalogStore.compact(spark, dir)
+    assert(st2.version == st.version && st2.filesAfter == st.filesAfter)
+    // and a point get still prunes to the key's shard after the rewrite
+    val probe = rowsBefore.head
+    assert(CatalogStore.get(spark, dir, probe._1).contains((probe._2, probe._3.toLong)))
+  }
+
   test("retention GC drops old snapshots, never the published one") {
     val dir = tmp()
     CatalogStore.init(spark, dir, base())

@@ -69,6 +69,43 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q91 approx-percentile scale path keeps schema and brackets the exact bounds") {
+    val exact = SparkEntry.queries("q91_length_outliers")(spark, sf)
+    val exactRows = exact.collect().map(r => r.getAs[String]("source") ->
+      (r.getAs[Double]("p05"), r.getAs[Double]("p95"))).toMap
+    spark.conf.set("graft.pctl.approx", "true")
+    try {
+      val approx = SparkEntry.queries("q91_length_outliers")(spark, sf)
+      assert(approx.schema == exact.schema, "approx path must not change the output schema")
+      val rows = approx.collect()
+      assert(rows.length == exactRows.size)
+      rows.foreach { r =>
+        val (p05, p95) = exactRows(r.getAs[String]("source"))
+        // accuracy=10000 on ~25-value groups: the sketch is effectively
+        // exact up to interpolation (it returns a member value, the exact
+        // percentile interpolates between two) — bound by the nearest
+        // observed neighbors, generous slack for the small-group edges
+        assert(math.abs(r.getAs[Double]("p05") - p05) <= math.max(20.0, p05 * 0.2))
+        assert(math.abs(r.getAs[Double]("p95") - p95) <= math.max(20.0, p95 * 0.2))
+        assert(r.getAs[Long]("n_below") + r.getAs[Long]("n_above") <= r.getAs[Long]("n_docs") / 4)
+      }
+    } finally spark.conf.unset("graft.pctl.approx")
+  }
+
+  test("q94 balanced cap matches an independent per-source selection") {
+    val expected = docs.groupBy(_._3).map { case (src, ds) =>
+      val kept = ds
+        .sortBy(d => ((d._1 * 2654435761L) % 4294967296L, d._1))
+        .take(15)
+      (src, ds.size.toLong, kept.size.toLong, kept.map(_._4).sum, ds.map(_._4).sum)
+    }.toSet
+    val got = SparkEntry.queries("q94_balanced_cap")(spark, sf).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("kept_chars"), r.getAs[Long]("total_chars"))
+    }.toSet
+    assert(got == expected)
+  }
+
   test("q92 source-overlap matrix matches exact pairwise shingle sets") {
     def shingles(text: String): Set[String] = {
       val ws = text.split(" ")
