@@ -81,7 +81,12 @@ object PlanAudit {
     "q92_source_overlap" -> 10,
     // (doc, line) occurrence agg → line-owner agg (+ ownership join) →
     // source rollup → sort
-    "q89_line_dedup" -> 4).withDefaultValue(3)
+    "q89_line_dedup" -> 4,
+    // q92's exact chain (audit reference) + the sketch branch: distinct →
+    // per-source bottom-k window → sketch agg → |sources|²-row pair join;
+    // shared subtrees print per branch, AQE dedupes at runtime (the q92
+    // ScaleSpec pin covers the shared kernel)
+    "q95_overlap_sketch" -> 14).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -454,12 +454,22 @@ object Dedup extends QueryModule {
     * exchange reuse collapses the two branches); sizes broadcast onto the
     * |sources|²-row pair table.
     */
-  private def q92(t: Tables): DataFrame = {
-    val sh = Tables.localSplit(t.documents, col("doc_id"))
+  /** The distinct (source, shingle) relation both overlap operators build
+    * on: shingle kernel map-side, one keyed dedup shuffle.
+    */
+  private def sourceShingles(t: Tables): DataFrame =
+    Tables.localSplit(t.documents, col("doc_id"))
       .select(
         col("source"),
         explode(graft.functions.GraftFunctions.shingle_set(col("text"))).as("sh"))
       .distinct()
+
+  /** q92's unsorted kernel — (s1, s2, n_shared, sz1, sz2, jaccard) for
+    * every source pair sharing ≥1 shingle; q95 joins its exact jaccard
+    * column as the estimator-audit reference.
+    */
+  private def overlapPairs(t: Tables): DataFrame = {
+    val sh = sourceShingles(t)
     val bySh = sh
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(col("source"))).as("srcs"))
@@ -486,10 +496,60 @@ object Dedup extends QueryModule {
       .join(broadcast(sizes.select(col("source").as("s2"), col("sz").as("sz2"))), "s2")
       .withColumn("jaccard", round(col("n_shared") / (col("sz1") + col("sz2") - col("n_shared")), 4))
       .select(col("s1"), col("s2"), col("n_shared"), col("sz1"), col("sz2"), col("jaccard"))
+  }
+
+  private def q92(t: Tables): DataFrame =
+    overlapPairs(t).orderBy(col("s1"), col("s2"))
+
+  /** Bottom-k sketch estimate of the q92 overlap matrix, audited against
+    * the exact answer — q86's estimator-calibration pattern applied to
+    * cross-source contamination. At 100 TB per-source distinct-shingle
+    * sets outgrow exact set intersection; a bottom-k signature (the k
+    * smallest values of a shared hash over the distinct shingle space —
+    * coordinated sampling: the same shingle hashes identically in every
+    * source) estimates Jaccard as |S ∩ A_k ∩ B_k| / |S|, S = bottom-k of
+    * the union. Per-source sketch size is fixed (`graft.sketch.k`,
+    * default 64), so the pairwise stage moves |sources|·k values and the
+    * estimate is set arithmetic on two tiny sorted arrays.
+    *
+    * The hash is the q36/q37 hex-arithmetic int32 of md5 — the SAME
+    * fragment rendered to both engines, so the sketch (and therefore the
+    * estimate) is bit-reproducible cross-engine, like every other
+    * estimator audit in the suite.
+    */
+  private def q95(t: Tables): DataFrame = {
+    val k = t.spark.conf.get("graft.sketch.k", "64").toInt
+    require(k >= 1 && k <= 65536, s"graft.sketch.k out of range: $k")
+    val bySrcHash = Window.partitionBy(col("source")).orderBy(col("h"), col("sh"))
+    val bottomK = sourceShingles(t)
+      .withColumn("m", md5(col("sh")))
+      .withColumn("h", expr(hexint32("m")))
+      .withColumn("rn", row_number().over(bySrcHash))
+      .filter(col("rn") <= k)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("kh"))
+    val est = bottomK.as("a")
+      .join(bottomK.as("b"), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("s1"), col("b.source").as("s2"),
+        col("a.kh").as("kha"), col("b.kh").as("khb"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(kha, khb)), 1, $k)"))
+      .withColumn(
+        "inter",
+        expr("size(filter(u, x -> array_contains(kha, x) AND array_contains(khb, x)))"))
+      .withColumn("est_jaccard", round(col("inter") / size(col("u")), 4))
+    est
+      .join(
+        broadcast(overlapPairs(t).select(col("s1"), col("s2"), col("jaccard"))),
+        Seq("s1", "s2"), "left")
+      .withColumn("jaccard", coalesce(col("jaccard"), lit(0.0)))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 4))
+      .select(col("s1"), col("s2"), col("est_jaccard"), col("jaccard"), col("abs_err"))
       .orderBy(col("s1"), col("s2"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_overlap_sketch" -> ((s, d) => q95(Tables(s, d))),
     "q92_source_overlap" -> ((s, d) => q92(Tables(s, d))),
     "q89_line_dedup" -> ((s, d) => q89(Tables(s, d))),
     "q86_minhash_estimate" -> ((s, d) => q86(Tables(s, d))),
@@ -541,21 +601,48 @@ object Dedup extends QueryModule {
        |  JOIN sizes sb ON sb.doc_id = doc_b
        |  WHERE shared / (sa.nsh + sb.nsh - shared) >= 0.5)""".stripMargin
 
+  // shared oracle CTE chain for the q92/q95 overlap family: distinct
+  // (source, shingle), per-source set sizes, exact pairwise intersections
+  private val overlapDuckCtes =
+    s"""w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+       | sh AS (
+       |  SELECT DISTINCT source, sh FROM (
+       |   SELECT source, unnest($shinglesDuck) AS sh FROM w)),
+       | sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+       | itr AS (
+       |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY a.source, b.source)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "q92_source_overlap" ->
-      s"""WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
-         | sh AS (
-         |  SELECT DISTINCT source, sh FROM (
-         |   SELECT source, unnest($shinglesDuck) AS sh FROM w)),
-         | sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
-         | itr AS (
-         |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
-         |  GROUP BY a.source, b.source)
+      s"""WITH $overlapDuckCtes
          |SELECT s1, s2, n_shared, z1.sz AS sz1, z2.sz AS sz2,
          | round(n_shared / (z1.sz + z2.sz - n_shared), 4) AS jaccard
          |FROM itr JOIN sz z1 ON z1.source = itr.s1 JOIN sz z2 ON z2.source = itr.s2
          |ORDER BY s1, s2""".stripMargin,
+    "q95_overlap_sketch" ->
+      s"""WITH $overlapDuckCtes,
+         | hv AS (SELECT source, sh, ${hexint32("md5(sh)")} AS h FROM sh),
+         | r AS (SELECT source, sh, h,
+         |   row_number() OVER (PARTITION BY source ORDER BY h, sh) AS rn FROM hv),
+         | bk AS (SELECT source, list_sort(list(h)) AS kh FROM r WHERE rn <= 64 GROUP BY source),
+         | pr AS (SELECT a.source AS s1, b.source AS s2, a.kh AS kha, b.kh AS khb
+         |   FROM bk a JOIN bk b ON a.source < b.source),
+         | eu AS (SELECT s1, s2, kha, khb,
+         |   list_slice(list_sort(list_distinct(list_concat(kha, khb))), 1, 64) AS u FROM pr),
+         | ej AS (SELECT s1, s2,
+         |   round(len(list_filter(u, x -> list_contains(kha, x) AND list_contains(khb, x)))
+         |     / len(u), 4) AS est_jaccard
+         |  FROM eu),
+         | ex AS (
+         |  SELECT s1, s2, round(n_shared / (z1.sz + z2.sz - n_shared), 4) AS jaccard
+         |  FROM itr JOIN sz z1 ON z1.source = itr.s1 JOIN sz z2 ON z2.source = itr.s2)
+         |SELECT ej.s1, ej.s2, est_jaccard,
+         | coalesce(ex.jaccard, 0.0) AS jaccard,
+         | round(abs(est_jaccard - coalesce(ex.jaccard, 0.0)), 4) AS abs_err
+         |FROM ej LEFT JOIN ex ON ej.s1 = ex.s1 AND ej.s2 = ex.s2
+         |ORDER BY ej.s1, ej.s2""".stripMargin,
     "q89_line_dedup" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
         | f AS (SELECT * FROM w WHERE len(words) >= 6),

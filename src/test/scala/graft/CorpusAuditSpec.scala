@@ -106,12 +106,13 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  private def shingles(text: String): Set[String] = {
+    val ws = text.split(" ")
+    if (ws.length < 3) Set.empty
+    else (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
+  }
+
   test("q92 source-overlap matrix matches exact pairwise shingle sets") {
-    def shingles(text: String): Set[String] = {
-      val ws = text.split(" ")
-      if (ws.length < 3) Set.empty
-      else (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
-    }
     val bySrc = docs.groupBy(_._3).map { case (src, ds) =>
       src -> ds.map(d => shingles(d._2)).reduce(_ ++ _)
     }
@@ -131,5 +132,39 @@ class CorpusAuditSpec extends AnyFunSuite {
     got.foreach { case (_, _, sh, sz1, sz2, jac) =>
       assert(sh <= math.min(sz1, sz2) && jac > 0.0 && jac <= 1.0)
     }
+  }
+
+  test("q95 bottom-k sketch matches an independent estimator recomputation") {
+    val k = 64
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val bySrc = docs.groupBy(_._3).map { case (src, ds) =>
+      src -> ds.map(d => shingles(d._2)).reduce(_ ++ _)
+    }
+    val sketches = bySrc.map { case (src, set) =>
+      // bottom-k rows ordered by (hash, shingle) — the window's total order
+      src -> set.toSeq.map(s => (h32(s), s)).sortBy(identity).take(k).map(_._1)
+    }
+    val exactJac = (for {
+      (s1, a) <- bySrc; (s2, b) <- bySrc if s1 < s2
+      inter = (a & b).size if inter > 0
+    } yield (s1, s2) -> rnd(inter.toDouble / (a.size + b.size - inter), 4)).toMap
+    val expected = (for {
+      (s1, kha) <- sketches; (s2, khb) <- sketches if s1 < s2
+    } yield {
+      val u = (kha ++ khb).distinct.sorted.take(k)
+      val est = rnd(
+        u.count(x => kha.contains(x) && khb.contains(x)).toDouble / u.size, 4)
+      val exact = exactJac.getOrElse((s1, s2), 0.0)
+      (s1, s2, est, exact, rnd(math.abs(est - exact), 4))
+    }).toSet
+    val got = SparkEntry.queries("q95_overlap_sketch")(spark, sf).collect().map { r =>
+      (r.getAs[String]("s1"), r.getAs[String]("s2"), r.getAs[Double]("est_jaccard"),
+        r.getAs[Double]("jaccard"), r.getAs[Double]("abs_err"))
+    }.toSet
+    assert(got == expected)
   }
 }
