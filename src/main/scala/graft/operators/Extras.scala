@@ -219,6 +219,40 @@ object Extras extends QueryModule {
     * and engines; THE way a 100 TB corpus gets split without a shuffle or
     * a random seed dependency. 80/10/10 per dataset.
     */
+  /** Ordered-stage conversion funnel over the event stream: view →
+    * click-after-view → purchase-after-click, each stage's timestamp the
+    * user's FIRST qualifying event strictly after the prior stage (the
+    * sequence-pattern query behind product funnels; geostore's analog is
+    * the import state machine's stage progression, q57). Three chained
+    * per-user window minima share ONE user_id shuffle (each references
+    * the previous stage's column, so Catalyst stacks the Window nodes on
+    * the same partitioning), and the rollup is a global single-row
+    * summary. Time math in integer microseconds end to end — sums stay
+    * below 2^53, so cross-engine double aggregation is exact.
+    */
+  private def q96(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = t.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("us"))).over(byUser))
+      .withColumn(
+        "t2",
+        min(when(col("event_type") === "click" && col("us") > col("t1"), col("us"))).over(byUser))
+      .withColumn(
+        "t3",
+        min(when(col("event_type") === "purchase" && col("us") > col("t2"), col("us"))).over(byUser))
+    staged
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_purchase"),
+        round(avg(col("t3") - col("t1")) / 1000000.0, 2).as("avg_secs_to_convert"))
+      .withColumn("conv_rate", round(col("n_purchase") / col("n_view"), 4))
+  }
+
   /** Balanced per-source cap — the "no source dominates" curation step: at
     * most `graft.cap.docs` documents survive per source, selected by the
     * q64 seedless Knuth hash (deterministic, engine-stable, no RNG state),
@@ -299,6 +333,7 @@ object Extras extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_zorder_cells" -> ((s, d) => q93(Tables(s, d))),
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
+    "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
     "q94_balanced_cap" -> ((s, d) => q94(Tables(s, d))),
     "q64_hash_split" -> ((s, d) => q64(Tables(s, d))),
     "q59_pivot" -> ((s, d) => q59(Tables(s, d))),
@@ -315,6 +350,28 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q96_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        | s1 AS (SELECT user_id, event_type, us,
+        |   min(CASE WHEN event_type = 'view' THEN us END)
+        |     OVER (PARTITION BY user_id) AS t1 FROM e),
+        | s2 AS (SELECT user_id, event_type, us, t1,
+        |   min(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+        |     OVER (PARTITION BY user_id) AS t2 FROM s1),
+        | s3 AS (SELECT user_id, us, t1, t2,
+        |   min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+        |     OVER (PARTITION BY user_id) AS t3 FROM s2),
+        | u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        |   FROM s3 GROUP BY user_id),
+        | f AS (SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  round(avg(t3 - t1) / 1000000.0, 2) AS avg_secs_to_convert
+        | FROM u)
+        |SELECT n_users, n_view, n_click, n_purchase, avg_secs_to_convert,
+        | round(n_purchase / n_view, 4) AS conv_rate
+        |FROM f""".stripMargin,
     "q94_balanced_cap" ->
       """WITH h AS (
         | SELECT doc_id, source, n_chars, (doc_id * 2654435761) % 4294967296 AS h

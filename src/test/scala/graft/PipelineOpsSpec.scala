@@ -293,4 +293,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     // a non-default config that changes the bucket family entirely still runs
     assert(run(12, 3).nonEmpty)
   }
+
+  test("q96 funnel matches an independent per-user stage recomputation") {
+    val events = Tables(spark, sf).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = events.groupBy(_._1)
+    def firstAfter(es: Array[(Long, String, Long)], kind: String, after: Option[Long]) =
+      after.flatMap(a =>
+        es.filter(e => e._2 == kind && e._3 > a).map(_._3).sorted.headOption)
+    val stages = byUser.map { case (_, es) =>
+      val t1 = es.filter(_._2 == "view").map(_._3).sorted.headOption
+      val t2 = firstAfter(es, "click", t1)
+      val t3 = firstAfter(es, "purchase", t2)
+      (t1, t2, t3)
+    }.toSeq
+    val converted = stages.collect { case (Some(a), _, Some(c)) => c - a }
+    val expAvg = BigDecimal(converted.sum.toDouble / converted.size / 1000000.0)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = SparkEntry.queries("q96_funnel")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_users") == byUser.size)
+    assert(r.getAs[Long]("n_view") == stages.count(_._1.isDefined))
+    assert(r.getAs[Long]("n_click") == stages.count(_._2.isDefined))
+    assert(r.getAs[Long]("n_purchase") == stages.count(_._3.isDefined))
+    assert(r.getAs[Double]("avg_secs_to_convert") == expAvg)
+    // the funnel can only narrow
+    assert(r.getAs[Long]("n_view") >= r.getAs[Long]("n_click"))
+    assert(r.getAs[Long]("n_click") >= r.getAs[Long]("n_purchase"))
+  }
 }
