@@ -455,10 +455,16 @@ object Dedup extends QueryModule {
     * |sources|²-row pair table.
     */
   /** The distinct (source, shingle) relation both overlap operators build
-    * on: shingle kernel map-side, one keyed dedup shuffle.
+    * on: shingle kernel map-side, one keyed dedup shuffle. The explicit
+    * isNotNull matches the filter q95's source-comparison join would infer
+    * into ITS branch anyway — stating it here keeps every consumer's scan
+    * canonically identical, so AQE's exchange reuse sees one subtree and
+    * the corpus scan + kernel run once per query (ScaleSpec pins this for
+    * both q92 and q95).
     */
   private def sourceShingles(t: Tables): DataFrame =
     Tables.localSplit(t.documents, col("doc_id"))
+      .filter(col("source").isNotNull)
       .select(
         col("source"),
         explode(graft.functions.GraftFunctions.shingle_set(col("text"))).as("sh"))

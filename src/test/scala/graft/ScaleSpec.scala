@@ -150,6 +150,26 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q95's sketch and audit branches share the corpus derivation at runtime") {
+    // q95 hangs three consumers off the distinct (source, shingle)
+    // relation: the bottom-k sketch window, q92's membership pairs, and
+    // the set sizes. The kernel+distinct must run once, not per branch.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q95_overlap_sketch")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val fin = plan.indexOf("== Initial Plan ==") match {
+        case -1 => plan
+        case i  => plan.substring(0, i)
+      }
+      assert(fin.contains("isFinalPlan=true") || fin.contains("Final Plan"),
+        s"expected an executed adaptive plan:\n$fin")
+      val kernels = "shingle_set".r.findAllIn(fin).length
+      assert(kernels == 1, s"shingle kernel must run once, ran $kernels times")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("graft.local.split gates the local-mode repartition crutch, default off") {
     val docs = Tables(spark, sf).documents
     def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
