@@ -26,11 +26,12 @@ object PlanAudit {
   // q76's token <> '' filter and q77's size(words) >= 2 guard sit above a
   // computed split — nothing exists at the scan to push; the scans still
   // prune to (text) / (doc_id, text).
-  // q90's term <> '' filter sits above an exploded split — computed column,
-  // nothing at the scan to push (q76's class); the scan still prunes to
-  // (doc_id, text)
+  // q90's term <> '' filter and q97's size(words) >= 2 guard sit above an
+  // exploded/computed split — nothing at the scan to push (q76's class);
+  // the scans still prune to (doc_id, text) / (doc_id, source, text)
   private val allowUnpushed =
-    Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm", "q90_tfidf")
+    Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm",
+      "q90_tfidf", "q97_rare_bigrams")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume
   private val allowGlobalWindow = Set("q83_late_data")
@@ -86,7 +87,10 @@ object PlanAudit {
     // per-source bottom-k window → sketch agg → |sources|²-row pair join;
     // shared subtrees print per branch, AQE dedupes at runtime (the q92
     // ScaleSpec pin covers the shared kernel)
-    "q95_overlap_sketch" -> 14).withDefaultValue(3)
+    "q95_overlap_sketch" -> 14,
+    // corpus pair agg → (w1,w2) join repartition (doc side) → per-doc agg
+    // → source rollup → sort; the exploded stream prints per branch
+    "q97_rare_bigrams" -> 7).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

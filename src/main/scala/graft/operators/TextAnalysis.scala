@@ -277,6 +277,56 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** Rare-bigram quality filter — the integer-exact proxy for the
+    * perplexity filters (CCNet-style) that score documents against a
+    * corpus LM: a document whose bigrams are mostly corpus-rare
+    * (count < 10, q77's support threshold) is boilerplate-mangled,
+    * OCR-damaged, or off-distribution. True log-perplexity would average
+    * floats in engine-dependent order; rare-bigram counting keeps every
+    * aggregate integral (ratios are a single division of long sums, the
+    * flag is an integer cross-multiplication), so the result is
+    * bit-reproducible cross-engine like q64/q94's hash arithmetic.
+    *
+    * Scale shape: the doc-side explode is linear in corpus tokens (each
+    * occurrence must count toward its doc's total, so no pre-join
+    * collapse); the corpus LM side is the q77 pair aggregation
+    * (vocabulary-bounded); their join is equi on (w1, w2) — a Zipfian-hot
+    * bigram lands on AQE skew splitting, never a window — and the per-doc
+    * rollup partial-aggregates map-side. Docs with no bigram (<2 words)
+    * have nothing to score and are absent, both engines alike.
+    */
+  private def q97(t: Tables): DataFrame = {
+    val docBigrams = withWords(t)
+      .filter(size(col("words")) >= 2)
+      .select(
+        col("doc_id"), col("source"),
+        explode(
+          expr(
+            """transform(sequence(1, size(words) - 1),
+              |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
+          .as("bg"))
+      .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val corpusCounts = docBigrams
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_corpus"))
+    val perDoc = docBigrams
+      .join(corpusCounts, Seq("w1", "w2"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_corpus") < 10, 1L).otherwise(0L)).as("n_rare"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("total_bigrams"),
+        sum(col("n_rare")).as("rare_bigrams"),
+        round(sum(col("n_rare")) / sum(col("n_bigrams")), 4).as("rare_ratio"),
+        sum(when(col("n_rare") * 10 > col("n_bigrams") * 3, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("source"))
+  }
+
   /** Sequence packing for pretraining batch prep: documents stream into
     * fixed 2048-token bins per source in deterministic doc_id order (a doc
     * is never split; its bin is the 2048-block its cumulative token end
@@ -436,6 +486,7 @@ object TextAnalysis extends QueryModule {
     "q76_heavy_hitters" -> ((s, d) => q76(Tables(s, d))),
     "q77_bigram_lm" -> ((s, d) => q77(Tables(s, d))),
     "q72_pii_scrub" -> ((s, d) => q72(Tables(s, d))),
+    "q97_rare_bigrams" -> ((s, d) => q97(Tables(s, d))),
     "q90_tfidf" -> ((s, d) => q90(Tables(s, d))),
     "q91_length_outliers" -> ((s, d) => q91(Tables(s, d))),
     "q30_text_stats" -> ((s, d) => q30(Tables(s, d))),
@@ -446,6 +497,27 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q97_rare_bigrams" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+        | bg AS (
+        |  SELECT doc_id, source,
+        |   unnest(list_transform(range(1, len(words)),
+        |     i -> {'w1': words[i], 'w2': words[i + 1]})) AS b
+        |  FROM w),
+        | p AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg
+        |   WHERE b.w1 <> '' AND b.w2 <> ''),
+        | cc AS (SELECT w1, w2, count(*) AS n_corpus FROM p GROUP BY w1, w2),
+        | d AS (
+        |  SELECT p.source, p.doc_id, count(*) AS n_bigrams,
+        |   CAST(sum(CASE WHEN cc.n_corpus < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM p JOIN cc USING (w1, w2)
+        |  GROUP BY p.source, p.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+        | CAST(sum(n_rare) AS BIGINT) AS rare_bigrams,
+        | round(sum(n_rare) / sum(n_bigrams), 4) AS rare_ratio,
+        | CAST(sum(CASE WHEN n_rare * 10 > n_bigrams * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q90_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),

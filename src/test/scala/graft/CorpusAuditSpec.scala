@@ -134,6 +134,30 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q97 rare-bigram filter matches an independent recomputation") {
+    val docBigrams = docs.map { case (id, text, src, _) =>
+      // pair THEN drop empty-sided bigrams — the operator's (and q77's)
+      // order of operations, not filter-then-pair
+      val ws = text.split(" ")
+      (id, src, ws.zip(ws.tail).filter(p => p._1.nonEmpty && p._2.nonEmpty).toSeq)
+    }.filter(_._3.nonEmpty)
+    val corpus = docBigrams.flatMap(_._3).groupBy(identity).map { case (b, xs) => b -> xs.size }
+    val perDoc = docBigrams.map { case (_, src, bgs) =>
+      (src, bgs.size.toLong, bgs.count(corpus(_) < 10).toLong)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, ds) =>
+      val total = ds.map(_._2).sum
+      val rare = ds.map(_._3).sum
+      (src, ds.size.toLong, total, rare, rnd(rare.toDouble / total, 4),
+        ds.count(d => d._3 * 10 > d._2 * 3).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q97_rare_bigrams")(spark, sf).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"), r.getAs[Long]("total_bigrams"),
+        r.getAs[Long]("rare_bigrams"), r.getAs[Double]("rare_ratio"), r.getAs[Long]("n_flagged"))
+    }.toSet
+    assert(got == expected)
+  }
+
   test("q95 bottom-k sketch matches an independent estimator recomputation") {
     val k = 64
     def h32(s: String): Long = {

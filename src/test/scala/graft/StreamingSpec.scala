@@ -121,6 +121,54 @@ class StreamingSpec extends AnyFunSuite {
       s"emitted sessions: ${out.toList}")
   }
 
+  test("streaming funnel emits stage progressions matching q96's ordering rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Funnel
+    val ms = MemoryStream[Funnel.Ev]
+    val t0 = 1000000L * us
+    // batch 1 — user 1 views then clicks (delivered out of order inside
+    // the batch: the operator must sort); user 2 clicks with NO view yet
+    ms.addData(
+      Funnel.Ev(1L, t0 + 60L * us, "click"),
+      Funnel.Ev(1L, t0, "view"),
+      Funnel.Ev(2L, t0, "click"))
+    val q = Funnel.progressions(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("funnel_out").start()
+    q.processAllAvailable()
+    // batch 2 — user 1 purchases; user 2 finally views
+    ms.addData(Funnel.Ev(1L, t0 + 120L * us, "purchase"), Funnel.Ev(2L, t0 + 60L * us, "view"))
+    q.processAllAvailable()
+    // batch 3 — user 2's click at ts BEFORE their view: q96's strictly-after
+    // rule must reject it; a later click advances
+    ms.addData(Funnel.Ev(2L, t0 + 30L * us, "click"))
+    q.processAllAvailable()
+    ms.addData(Funnel.Ev(2L, t0 + 90L * us, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("funnel_out").as[Funnel.Stage].collect()
+      .map(s => (s.user_id, s.stage, s.us)).toSet
+    assert(out == Set(
+      (1L, "view", t0), (1L, "click", t0 + 60L * us), (1L, "purchase", t0 + 120L * us),
+      (2L, "view", t0 + 60L * us), (2L, "click", t0 + 90L * us)))
+    // and the completed user's stage times agree with the q96 batch rule
+    // applied to the full event log
+    val evs = Seq(
+      (1L, t0 + 60L * us, "click"), (1L, t0, "view"), (2L, t0, "click"),
+      (1L, t0 + 120L * us, "purchase"), (2L, t0 + 60L * us, "view"),
+      (2L, t0 + 30L * us, "click"), (2L, t0 + 90L * us, "click"))
+    val byUser = evs.groupBy(_._1)
+    byUser.foreach { case (u, es) =>
+      val t1 = es.filter(_._3 == "view").map(_._2).sorted.headOption
+      val t2 = t1.flatMap(a => es.filter(e => e._3 == "click" && e._2 > a).map(_._2).sorted.headOption)
+      val t3 = t2.flatMap(a => es.filter(e => e._3 == "purchase" && e._2 > a).map(_._2).sorted.headOption)
+      Seq("view" -> t1, "click" -> t2, "purchase" -> t3).foreach { case (st, t) =>
+        assert(t.map(ts => out((u, st, ts))).getOrElse(!out.exists(o => o._1 == u && o._2 == st)),
+          s"user $u stage $st: streaming $out vs batch rule $t")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState emits status changes across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
