@@ -158,8 +158,7 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("q95 bottom-k sketch matches an independent estimator recomputation") {
-    val k = 64
+  private def expectedSketch(k: Int): Set[(String, String, Double, Double, Double)] = {
     def h32(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -176,7 +175,7 @@ class CorpusAuditSpec extends AnyFunSuite {
       (s1, a) <- bySrc; (s2, b) <- bySrc if s1 < s2
       inter = (a & b).size if inter > 0
     } yield (s1, s2) -> rnd(inter.toDouble / (a.size + b.size - inter), 4)).toMap
-    val expected = (for {
+    (for {
       (s1, kha) <- sketches; (s2, khb) <- sketches if s1 < s2
     } yield {
       val u = (kha ++ khb).distinct.sorted.take(k)
@@ -185,10 +184,21 @@ class CorpusAuditSpec extends AnyFunSuite {
       val exact = exactJac.getOrElse((s1, s2), 0.0)
       (s1, s2, est, exact, rnd(math.abs(est - exact), 4))
     }).toSet
-    val got = SparkEntry.queries("q95_overlap_sketch")(spark, sf).collect().map { r =>
+  }
+
+  private def gotSketch(): Set[(String, String, Double, Double, Double)] =
+    SparkEntry.queries("q95_overlap_sketch")(spark, sf).collect().map { r =>
       (r.getAs[String]("s1"), r.getAs[String]("s2"), r.getAs[Double]("est_jaccard"),
         r.getAs[Double]("jaccard"), r.getAs[Double]("abs_err"))
     }.toSet
-    assert(got == expected)
+
+  test("q95 bottom-k sketch matches an independent estimator recomputation") {
+    assert(gotSketch() == expectedSketch(64))
+  }
+
+  test("q95 under a non-default graft.sketch.k retunes without recompile") {
+    spark.conf.set("graft.sketch.k", "16")
+    try assert(gotSketch() == expectedSketch(16))
+    finally spark.conf.unset("graft.sketch.k")
   }
 }
