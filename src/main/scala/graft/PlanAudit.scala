@@ -28,10 +28,13 @@ object PlanAudit {
   // prune to (text) / (doc_id, text).
   // q90's term <> '' filter and q97's size(words) >= 2 guard sit above an
   // exploded/computed split — nothing at the scan to push (q76's class);
-  // the scans still prune to (doc_id, text) / (doc_id, source, text)
+  // the scans still prune to (doc_id, text) / (doc_id, source, text).
+  // q98's query-term IN filter is the same class: it culls the exploded
+  // token stream map-side (the point of the operator), over a computed
+  // split the scan can't see
   private val allowUnpushed =
     Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm",
-      "q90_tfidf", "q97_rare_bigrams")
+      "q90_tfidf", "q97_rare_bigrams", "q98_bm25")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume
   private val allowGlobalWindow = Set("q83_late_data")
@@ -90,7 +93,11 @@ object PlanAudit {
     "q95_overlap_sketch" -> 14,
     // corpus pair agg → (w1,w2) join repartition (doc side) → per-doc agg
     // → source rollup → sort; the exploded stream prints per branch
-    "q97_rare_bigrams" -> 7).withDefaultValue(3)
+    "q97_rare_bigrams" -> 7,
+    // query-term tf agg → single-row stats agg → |query|-row df agg →
+    // per-doc sum; every exchange ≤ |docs|·|query| rows, top-20 is
+    // TakeOrderedAndProject (no sort exchange)
+    "q98_bm25" -> 5).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

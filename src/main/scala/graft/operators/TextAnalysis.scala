@@ -479,7 +479,143 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"), col("reason"))
 
+  // BM25 constants (Robertson k1/b defaults; the +1-inside-the-log idf is
+  // Lucene's non-negative variant). The query mixes the corpus's one rare
+  // term with two common ones so idf actually separates documents.
+  private val Bm25Terms = Seq("dup", "vector", "spark")
+
+  /** BM25 relevance ranking — corpus search scoring against a fixed query
+    * term set (the retrieval step of a RAG / data-curation pipeline).
+    *
+    * Scale shape: the explode filters to the query terms IMMEDIATELY
+    * (map-side, before any shuffle), so the (doc, term) aggregate moves at
+    * most |docs|·|query| rows, never the token stream; document frequency
+    * is a |query|-row aggregate over the collapsed tf table; corpus stats
+    * (N, avgdl) are a single-row broadcast (q15's scalar pattern); the
+    * top-k is TakeOrderedAndProject, never a global sort.
+    *
+    * Exactness: per-(doc, term) scores quantize to integer 1e4 units
+    * (round half-up, the q90 discipline — ln is the one transcendental) so
+    * the per-doc SUM is integer arithmetic, bit-reproducible cross-engine
+    * regardless of aggregation order; `bm25_e4` stays a long in the
+    * output.
+    */
+  private def q98(t: Tables): DataFrame = {
+    val docs = withWords(t)
+      .select(col("doc_id"), col("words"))
+      .withColumn("dl", size(col("words")).cast("long"))
+    // N and avgdl: long sum / long count in ONE division — both engines
+    // produce the identical double
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // fixed association mirrored textually in the oracle: idf first, then
+    // the saturation fraction, multiplied last
+    val idf = log(
+      ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val sat = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + (lit(1.2) * (lit(0.25) + ((lit(0.75) * col("dl")) / col("avgdl")))))
+    tf.join(broadcast(dfreq), "term")
+      .join(broadcast(stats))
+      .withColumn("score_e4", round(idf * sat * 10000, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("score_e4")).as("bm25_e4"))
+      .orderBy(col("bm25_e4").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Overlapping fixed-window chunking accounting — the RAG / context-
+    * window prep step: every document splits into `graft.chunk.width`-word
+    * windows advancing by `graft.chunk.stride` (width 32 / stride 24 ⇒ 8
+    * words of overlap carrying context across boundaries), and the rollup
+    * prices that choice per source: chunk counts, the duplicated words the
+    * overlap costs at storage/training time, and mean window fill.
+    *
+    * All integer math (chunk count and lengths are closed-form in
+    * n_words), the explode materializes the chunk relation map-side next
+    * to the scan, and ONE shuffle on source carries the rollup.
+    */
+  private def q99(t: Tables): DataFrame = {
+    val w = t.spark.conf.get("graft.chunk.width", "32").toInt
+    val s = t.spark.conf.get("graft.chunk.stride", "24").toInt
+    require(w >= 1, s"graft.chunk.width out of range: $w")
+    require(s >= 1 && s <= w, s"graft.chunk.stride out of range: $s (width $w)")
+    withWords(t)
+      .select(col("doc_id"), col("source"), size(col("words")).as("n_words"))
+      .withColumn(
+        "n_chunks",
+        when(col("n_words") <= w, 1)
+          .otherwise(expr(s"CAST((n_words - $w + ${s - 1}) div $s AS INT) + 1")))
+      .select(
+        col("source"), col("n_words"), col("n_chunks"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("chunk_len", least(lit(w), col("n_words") - col("chunk_id") * s).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("chunk_id") === 0, 1L).otherwise(0L)).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("total_chunk_words"),
+        (sum(col("chunk_len")) - sum(when(col("chunk_id") === 0, col("n_words")).otherwise(0L)))
+          .as("overlap_words"),
+        max(col("n_chunks")).as("max_chunks_per_doc"),
+        round(sum(col("chunk_len")) / (count(lit(1)) * w), 4).as("avg_fill"))
+      .orderBy(col("source"))
+  }
+
+  // the entropy alphabet: the corpus is lowercase-ASCII word text, so the
+  // 26 letters cover every non-space byte; rendered identically into both
+  // engines' transform lists
+  private val EntropyAlphabet = ('a' to 'z').map(_.toString)
+
+  /** Character-entropy quality signal — Shannon entropy (nats) of each
+    * document's letter distribution. Mojibake, binary spill, and
+    * single-character spam all collapse the distribution (low entropy);
+    * encrypted/compressed junk saturates it — a standard cheap filter
+    * column next to q33/q81 in a quality gate.
+    *
+    * Per-letter counts come from the length-delta-of-replace idiom — 26
+    * codegen'd string passes next to the scan, zero shuffle before the
+    * source rollup. (At 100 TB a single-pass native histogram Expression
+    * — ByteHistogram's shape with a 26-way bin — halves the scan CPU; the
+    * replace form keeps the oracle bit-identical and the plan shape is
+    * the same either way.) The entropy fold is an `aggregate` HOF with a
+    * FIXED left-to-right order over the literal alphabet, mirrored by a
+    * seeded list_reduce in DuckDB, so both engines accumulate the same
+    * doubles in the same order; round-4 absorbs the ln ulp.
+    */
+  private def q100(t: Tables): DataFrame = {
+    val alphaArr = s"array(${EntropyAlphabet.map(c => s"'$c'").mkString(", ")})"
+    Tables.localSplit(t.documents, col("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("cnts", expr(s"transform($alphaArr, c -> length(text) - length(replace(text, c, '')))"))
+      .withColumn("total", expr("aggregate(cnts, 0L, (a, x) -> a + x)"))
+      .withColumn(
+        "entropy",
+        expr(
+          """round(aggregate(cnts, CAST(0.0 AS DOUBLE),
+            |  (acc, c) -> acc + IF(c > 0,
+            |    -((CAST(c AS DOUBLE) / total) * ln(CAST(c AS DOUBLE) / total)),
+            |    CAST(0.0 AS DOUBLE))), 4)""".stripMargin))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("entropy")), 4).as("avg_entropy"),
+        round(min(col("entropy")), 4).as("min_entropy"),
+        round(max(col("entropy")), 4).as("max_entropy"),
+        sum(when(col("entropy") < 2.9, 1L).otherwise(0L)).as("n_low"))
+      .orderBy(col("source"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_bm25" -> ((s, d) => q98(Tables(s, d))),
+    "q99_doc_chunks" -> ((s, d) => q99(Tables(s, d))),
+    "q100_char_entropy" -> ((s, d) => q100(Tables(s, d))),
     "q80_seq_pack" -> ((s, d) => q80(Tables(s, d))),
     "q84_quality_gate" -> ((s, d) => q84(Tables(s, d))),
     "q81_repetition" -> ((s, d) => q81(Tables(s, d))),
@@ -497,6 +633,73 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q98_bm25" -> {
+      val qIn = Bm25Terms.map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         | stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM w),
+         | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         | tf AS (
+         |  SELECT tok.doc_id, tok.term, count(*) AS tf, max(w.dl) AS dl
+         |  FROM tok JOIN w ON w.doc_id = tok.doc_id
+         |  WHERE tok.term IN ($qIn)
+         |  GROUP BY tok.doc_id, tok.term),
+         | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         | s AS (
+         |  SELECT tf.doc_id,
+         |   CAST(round(
+         |     ln(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) *
+         |     ((CAST(tf AS DOUBLE) * 2.2) /
+         |      (CAST(tf AS DOUBLE) + (1.2 * (0.25 + ((0.75 * dl) / avgdl)))))
+         |     * 10000, 0) AS BIGINT) AS score_e4
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+         |SELECT doc_id, count(*) AS n_hit_terms,
+         | CAST(sum(score_e4) AS BIGINT) AS bm25_e4
+         |FROM s GROUP BY doc_id
+         |ORDER BY bm25_e4 DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q99_doc_chunks" ->
+      """WITH w AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_words FROM documents),
+        | c AS (SELECT doc_id, source, n_words,
+        |   CASE WHEN n_words <= 32 THEN 1
+        |        ELSE CAST((n_words - 32 + 23) // 24 AS INTEGER) + 1 END AS n_chunks
+        |  FROM w),
+        | x AS (SELECT source, n_words, n_chunks,
+        |   unnest(range(0, n_chunks)) AS chunk_id FROM c),
+        | y AS (SELECT source, n_words, n_chunks, chunk_id,
+        |   CAST(least(32, n_words - chunk_id * 24) AS BIGINT) AS chunk_len FROM x)
+        |SELECT source,
+        | CAST(sum(CASE WHEN chunk_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        | count(*) AS n_chunks,
+        | CAST(sum(chunk_len) AS BIGINT) AS total_chunk_words,
+        | CAST(sum(chunk_len) - sum(CASE WHEN chunk_id = 0 THEN n_words ELSE 0 END) AS BIGINT)
+        |   AS overlap_words,
+        | CAST(max(n_chunks) AS INTEGER) AS max_chunks_per_doc,
+        | round(sum(chunk_len) / (count(*) * 32), 4) AS avg_fill
+        |FROM y GROUP BY source ORDER BY source""".stripMargin,
+    "q100_char_entropy" -> {
+      val alphaList = s"[${EntropyAlphabet.map(c => s"'$c'").mkString(", ")}]"
+      s"""WITH c AS (
+         | SELECT doc_id, source,
+         |  list_transform($alphaList,
+         |    ch -> length(text) - length(replace(text, ch, ''))) AS cnts
+         | FROM documents),
+         | tot AS (SELECT doc_id, source, cnts,
+         |   list_reduce([0] || cnts, (a, x) -> a + x) AS total FROM c),
+         | e AS (
+         |  SELECT source, round(list_reduce(
+         |    [0.0] || list_transform(cnts,
+         |      ch -> CASE WHEN ch > 0
+         |        THEN -((CAST(ch AS DOUBLE) / total) * ln(CAST(ch AS DOUBLE) / total))
+         |        ELSE 0.0 END),
+         |    (acc, x) -> acc + x), 4) AS entropy
+         |  FROM tot)
+         |SELECT source, count(*) AS n_docs,
+         | round(avg(entropy), 4) AS avg_entropy,
+         | round(min(entropy), 4) AS min_entropy,
+         | round(max(entropy), 4) AS max_entropy,
+         | CAST(sum(CASE WHEN entropy < 2.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+         |FROM e GROUP BY source ORDER BY source""".stripMargin
+    },
     "q97_rare_bigrams" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
         | bg AS (

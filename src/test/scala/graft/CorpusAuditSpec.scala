@@ -201,4 +201,83 @@ class CorpusAuditSpec extends AnyFunSuite {
     try assert(gotSketch() == expectedSketch(16))
     finally spark.conf.unset("graft.sketch.k")
   }
+
+  test("q98 BM25 matches an independent integer-quantized recomputation") {
+    val terms = Set("dup", "vector", "spark")
+    val words = docs.map { case (id, text, _, _) => id -> text.split(" ", -1).toSeq }
+    val n = words.size.toLong
+    val avgdl = words.map(_._2.size.toLong).sum.toDouble / n
+    val tf = words.flatMap { case (id, ws) =>
+      ws.filter(terms).groupBy(identity).map { case (t, xs) => (id, t, xs.size.toLong, ws.size.toLong) }
+    }
+    val dfreq = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val perDoc = tf
+      .map { case (id, t, f, dl) =>
+        val df = dfreq(t)
+        val idf = math.log(((n - df) + 0.5) / (df + 0.5) + 1.0)
+        val sat = (f * 2.2) / (f + (1.2 * (0.25 + ((0.75 * dl) / avgdl))))
+        (id, rnd(idf * sat * 10000, 0).toLong)
+      }
+      .groupBy(_._1)
+      .map { case (id, xs) => (id, xs.size.toLong, xs.map(_._2).sum) }
+    val expected = perDoc.toSeq.sortBy { case (id, _, s) => (-s, id) }.take(20).toSet
+    val got = SparkEntry.queries("q98_bm25")(spark, sf).collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit_terms"), r.getAs[Long]("bm25_e4"))
+    }.toSet
+    assert(got == expected)
+    // the rank cut itself is stable: the 20th score strictly exceeds the 21st
+    // or ties are broken inside the kept set by doc_id — re-derive the 21st
+    val all = perDoc.toSeq.sortBy { case (id, _, s) => (-s, id) }
+    assert(all.take(20).map(_._3).min >= all.drop(20).headOption.map(_._3).getOrElse(Long.MinValue))
+  }
+
+  test("q99 chunking conserves words and prices the overlap exactly") {
+    val (w, s) = (32, 24)
+    val perDoc = docs.map { case (_, text, src, _) =>
+      val nWords = text.split(" ", -1).length
+      val nChunks = if (nWords <= w) 1 else (nWords - w + s - 1) / s + 1
+      val chunkLens = (0 until nChunks).map(i => math.min(w, nWords - i * s).toLong)
+      // every chunk is non-empty and starts inside the doc
+      assert(chunkLens.forall(_ >= 1))
+      (src, nWords.toLong, nChunks.toLong, chunkLens.sum)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, ds) =>
+      val totalChunkWords = ds.map(_._4).sum
+      val totalWords = ds.map(_._2).sum
+      (src, ds.size.toLong, ds.map(_._3).sum, totalChunkWords,
+        totalChunkWords - totalWords, ds.map(_._3).max.toInt,
+        rnd(totalChunkWords.toDouble / (ds.map(_._3).sum * w), 4))
+    }.toSet
+    val got = SparkEntry.queries("q99_doc_chunks")(spark, sf).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("total_chunk_words"), r.getAs[Long]("overlap_words"),
+        r.getAs[Int]("max_chunks_per_doc"), r.getAs[Double]("avg_fill"))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("q100 entropy matches an independent recomputation and is bounded by ln(26)") {
+    val perDoc = docs.map { case (_, text, src, _) =>
+      val cnts = ('a' to 'z').map(c => text.count(_ == c).toLong)
+      val total = cnts.sum.toDouble
+      // fold left-to-right over the alphabet, the operator's (and oracle's)
+      // exact accumulation order
+      val ent = rnd(
+        cnts.foldLeft(0.0)((acc, c) =>
+          acc + (if (c > 0) -((c / total) * math.log(c / total)) else 0.0)),
+        4)
+      assert(ent >= 0.0 && ent <= math.log(26) + 1e-9)
+      src -> ent
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, es) =>
+      (src, es.size.toLong, rnd(es.map(_._2).sum / es.size, 4),
+        rnd(es.map(_._2).min, 4), rnd(es.map(_._2).max, 4),
+        es.count(_._2 < 2.9).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q100_char_entropy")(spark, sf).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"), r.getAs[Double]("avg_entropy"),
+        r.getAs[Double]("min_entropy"), r.getAs[Double]("max_entropy"), r.getAs[Long]("n_low"))
+    }.toSet
+    assert(got == expected)
+  }
 }
