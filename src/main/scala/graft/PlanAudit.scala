@@ -31,10 +31,11 @@ object PlanAudit {
   // the scans still prune to (doc_id, text) / (doc_id, source, text).
   // q98's query-term IN filter is the same class: it culls the exploded
   // token stream map-side (the point of the operator), over a computed
-  // split the scan can't see
+  // split the scan can't see; q102's LM branches carry the same
+  // explode-guard (size(split)>0) above two-column scans
   private val allowUnpushed =
     Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm",
-      "q90_tfidf", "q97_rare_bigrams", "q98_bm25")
+      "q90_tfidf", "q97_rare_bigrams", "q98_bm25", "q102_dsir")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume
   private val allowGlobalWindow = Set("q83_late_data")
@@ -97,7 +98,16 @@ object PlanAudit {
     // query-term tf agg → single-row stats agg → |query|-row df agg →
     // per-doc sum; every exchange ≤ |docs|·|query| rows, top-20 is
     // TakeOrderedAndProject (no sort exchange)
-    "q98_bm25" -> 5).withDefaultValue(3)
+    "q98_bm25" -> 5,
+    // within-cluster pair join (one keyed shuffle per side) → pair-stat
+    // aggs + distinct-drop agg → per-label rollup joins (broadcast) →
+    // sort; pair work is Σ|cluster|², all exchanges label-keyed
+    "q101_semdedup" -> 7,
+    // corpus LM agg + target LM agg (vocab-bounded, printed once per
+    // consuming branch — weights AND scalar totals; AQE exchange reuse
+    // collapses the shared subtrees at runtime) → scalar rows → weight
+    // join (broadcast) → per-doc sum; top-20 is TakeOrderedAndProject
+    "q102_dsir" -> 7).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

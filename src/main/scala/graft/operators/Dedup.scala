@@ -554,7 +554,37 @@ object Dedup extends QueryModule {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** Deterministic content-hash train/val/test assignment — the split
+    * step every training pipeline runs before anything trains: each doc
+    * lands in a split by hashing its STABLE id (md5 → first-8-hex int,
+    * the q36/q95 cross-engine fragment), so membership is reproducible
+    * across runs, machines, and engines with no stored split table, and
+    * adding data never reshuffles existing assignments (the property a
+    * random() split lacks). Buckets 0–89 train / 90–94 val / 95–99 test.
+    *
+    * Scale shape: the hash + bucket + word count are all map-side next to
+    * the scan; ONE shuffle carries the (source, split) rollup; the
+    * per-source share divides long sums from a window over the 3·|sources|
+    * -row aggregate (metadata-scale, not corpus-scale).
+    */
+  private def q103(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+    Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (expr(s"${hexint32("md5(CAST(doc_id AS STRING))")}") % 100).as("bucket"))
+      .withColumn(
+        "split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+      .withColumn("doc_share", round(col("n_docs") / sum(col("n_docs")).over(w), 4))
+      .orderBy(col("source"), col("split"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_hash_split" -> ((s, d) => q103(Tables(s, d))),
     "q95_overlap_sketch" -> ((s, d) => q95(Tables(s, d))),
     "q92_source_overlap" -> ((s, d) => q92(Tables(s, d))),
     "q89_line_dedup" -> ((s, d) => q89(Tables(s, d))),
@@ -621,6 +651,19 @@ object Dedup extends QueryModule {
        |  GROUP BY a.source, b.source)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q103_hash_split" ->
+      s"""WITH d AS (
+         | SELECT source, len(string_split(text, ' ')) AS n_words,
+         |  ${hexint32("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+         | FROM documents),
+         | s AS (SELECT source, n_words,
+         |   CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |        ELSE 'test' END AS split FROM d),
+         | g AS (SELECT source, split, count(*) AS n_docs,
+         |   CAST(sum(n_words) AS BIGINT) AS n_words FROM s GROUP BY source, split)
+         |SELECT source, split, n_docs, n_words,
+         | round(n_docs / (sum(n_docs) OVER (PARTITION BY source)), 4) AS doc_share
+         |FROM g ORDER BY source, split""".stripMargin,
     "q92_source_overlap" ->
       s"""WITH $overlapDuckCtes
          |SELECT s1, s2, n_shared, z1.sz AS sz1, z2.sz AS sz2,

@@ -348,7 +348,61 @@ object Similarity extends QueryModule {
       .orderBy(col("dim"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): near-duplicate
+    * detection restricted to WITHIN coarse clusters — the scale path that
+    * makes embedding dedup feasible at 100 TB. q41's all-pairs baseline is
+    * Θ(n²); clustering first (here the `label` coarse assignment the IVF
+    * family already probes — q71's trained centroids at build time) bounds
+    * pair work to Σ|cluster|² ≈ n²/k, and the join is a keyed shuffle on
+    * the cluster id, so each cluster's quadratic runs data-local inside
+    * one partition, never a global cartesian.
+    *
+    * The drop rule is the deterministic greedy: within a cluster a vector
+    * is dropped iff some LOWER-id vector sits within the similarity
+    * threshold (`graft.semdedup.tau`, default 0.25 — calibrated to this
+    * corpus's intra-cluster similarity band; production embeddings run
+    * ~0.95+). Keep-lowest-id needs no iterative graph pass — one distinct
+    * over the pair relation — and the per-label report prices the dedup:
+    * pair volume, drops, survivors, tightest pair. The threshold compares
+    * the ROUNDED similarity (round-6, the family's contract) so the cut
+    * is bit-reproducible cross-engine; `sim_e6` sums are integer.
+    */
+  private def q101(t: Tables): DataFrame = {
+    val tau = t.spark.conf.get("graft.semdedup.tau", "0.25").toDouble
+    require(tau > 0.0 && tau < 1.0, s"graft.semdedup.tau out of range: $tau")
+    val e = vectors(t).select(col("label"), col("vec_id"), col("v"))
+    val pairs = e
+      .select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(
+        e.select(col("label").as("lb"), col("vec_id").as("id_b"), col("v").as("vb")),
+        col("label") === col("lb") && col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine_sim(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= tau)
+      .select(col("label"), col("id_a"), col("id_b"), col("cos_sim"))
+    val dropped = pairs
+      .groupBy(col("label"))
+      .agg(countDistinct(col("id_b")).as("n_dropped"))
+    val dupStats = pairs
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_dup_pairs"),
+        max(col("cos_sim")).as("max_sim"))
+    e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(broadcast(dupStats), Seq("label"), "left")
+      .join(broadcast(dropped), Seq("label"), "left")
+      .select(
+        col("label"),
+        col("n_vecs"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+        coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
+      .orderBy(col("label"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_semdedup" -> ((s, d) => q101(Tables(s, d))),
     "q71_kmeans_step" -> ((s, d) => q71(Tables(s, d))),
     "q74_ivf_multiprobe" -> ((s, d) => q74(Tables(s, d))),
     "q78_embedding_quantize" -> ((s, d) => q78(Tables(s, d))),
@@ -381,6 +435,24 @@ object Similarity extends QueryModule {
        | FROM embeddings)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q101_semdedup" ->
+      s"""WITH $duckVectors,
+         | p AS (
+         | SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+         | f AS (SELECT * FROM p WHERE cos_sim >= 0.25),
+         | d AS (SELECT label, count(DISTINCT id_b) AS n_dropped FROM f GROUP BY label),
+         | g AS (SELECT label, count(*) AS n_dup_pairs, max(cos_sim) AS max_sim
+         |   FROM f GROUP BY label),
+         | s AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label)
+         |SELECT s.label, CAST(n_vecs AS BIGINT) AS n_vecs,
+         | CAST(coalesce(n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+         | CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+         | CAST(n_vecs - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept,
+         | coalesce(max_sim, 0.0) AS max_sim
+         |FROM s LEFT JOIN g ON g.label = s.label LEFT JOIN d ON d.label = s.label
+         |ORDER BY s.label""".stripMargin,
     "q74_ivf_multiprobe" ->
       s"""WITH $duckEv,
          | cent AS (

@@ -612,7 +612,67 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, data selection via
+    * importance resampling): score every non-target document by how much
+    * more likely its tokens are under the TARGET slice's unigram LM than
+    * under the whole-corpus LM — the cheap proxy that selects "looks like
+    * the target domain" data at corpus scale. Target slice is
+    * `graft.dsir.target` (default src0).
+    *
+    * Scale shape: both LMs are vocabulary-bounded aggregates (the q77
+    * discipline — raw tokens collapse map-side before any shuffle);
+    * corpus totals are a single-row broadcast (q15's scalar pattern); the
+    * per-term weight table is vocabulary-sized and broadcasts onto the
+    * exploded token stream, so the only corpus-scale shuffle is the
+    * per-doc sum; top-20 is TakeOrderedAndProject. Three passes over
+    * (source, text) — an LM build and a scoring pass are inherently
+    * separate reads; each prunes to two columns.
+    *
+    * Exactness: Laplace-smoothed probs stay RATIONAL — the weight is one
+    * ln of a ratio of exactly-representable integer products (products
+    * < 2^53 at any SF here; at true 100-TB token counts the same weight
+    * splits into ln-difference form), quantized to integer 1e-4 units
+    * (round half-up, q90's discipline) so per-doc sums are long adds,
+    * bit-reproducible cross-engine regardless of order.
+    */
+  private def q102(t: Tables): DataFrame = {
+    val target = t.spark.conf.get("graft.dsir.target", "src0")
+    val tok = withWords(t)
+      .select(col("doc_id"), col("source"), explode(col("words")).as("term"))
+    val corpusLm = tok.groupBy(col("term")).agg(count(lit(1)).as("cc"))
+    val targetLm = tok
+      .filter(col("source") === target)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("ct"))
+    // V (vocab), corpus tokens, target tokens: vocabulary-bounded aggs
+    // collapsed to ONE scalar row, broadcast everywhere
+    val scalars = corpusLm
+      .agg(count(lit(1)).as("v"), sum(col("cc")).as("tc_total"))
+      .join(broadcast(targetLm.agg(coalesce(sum(col("ct")), lit(0L)).as("tt_total"))))
+    val weights = corpusLm
+      .join(broadcast(targetLm), Seq("term"), "left")
+      .join(broadcast(scalars))
+      .withColumn(
+        "w_e4",
+        round(
+          log(
+            ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") *
+              (col("tc_total") + col("v")).cast("double")) /
+              ((col("cc") + lit(1L)).cast("double") *
+                (col("tt_total") + col("v")).cast("double"))) * 10000, 0)
+          .cast("long"))
+      .select(col("term"), col("w_e4"))
+    tok
+      .filter(col("source") =!= target)
+      .join(broadcast(weights), Seq("term"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_e4")).as("score_e4"))
+      .orderBy(col("score_e4").desc, col("doc_id"))
+      .limit(20)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_dsir" -> ((s, d) => q102(Tables(s, d))),
     "q98_bm25" -> ((s, d) => q98(Tables(s, d))),
     "q99_doc_chunks" -> ((s, d) => q99(Tables(s, d))),
     "q100_char_entropy" -> ((s, d) => q100(Tables(s, d))),
@@ -633,6 +693,24 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q102_dsir" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+        | cc AS (SELECT term, count(*) AS cc FROM tok GROUP BY term),
+        | tc AS (SELECT term, count(*) AS ct FROM tok WHERE source = 'src0' GROUP BY term),
+        | sc AS (SELECT count(*) AS v, CAST(sum(cc) AS BIGINT) AS tc_total FROM cc),
+        | st AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt_total FROM tc),
+        | w AS (
+        |  SELECT cc.term,
+        |   CAST(round(ln(
+        |     (CAST(coalesce(ct, 0) + 1 AS DOUBLE) * CAST(tc_total + v AS DOUBLE)) /
+        |     (CAST(cc + 1 AS DOUBLE) * CAST(tt_total + v AS DOUBLE))) * 10000, 0) AS BIGINT) AS w_e4
+        |  FROM cc LEFT JOIN tc ON tc.term = cc.term CROSS JOIN sc CROSS JOIN st)
+        |SELECT doc_id, source, count(*) AS n_tokens,
+        | CAST(sum(w_e4) AS BIGINT) AS score_e4
+        |FROM tok JOIN w ON w.term = tok.term
+        |WHERE source <> 'src0'
+        |GROUP BY doc_id, source
+        |ORDER BY score_e4 DESC, doc_id LIMIT 20""".stripMargin,
     "q98_bm25" -> {
       val qIn = Bm25Terms.map(w => s"'$w'").mkString(", ")
       s"""WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),

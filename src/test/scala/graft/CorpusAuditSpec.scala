@@ -256,6 +256,68 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q102 DSIR importance scores match an independent LM-ratio recomputation") {
+    val target = "src0"
+    val toks = docs.map { case (id, text, src, _) => (id, src, text.split(" ", -1).toSeq) }
+    val cc = toks.flatMap(_._3).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val ct = toks.filter(_._2 == target).flatMap(_._3)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val v = cc.size.toLong
+    val tcTotal = cc.values.sum
+    val ttTotal = ct.values.sum
+    val w = cc.map { case (t, c) =>
+      t -> rnd(math.log(
+        ((ct.getOrElse(t, 0L) + 1).toDouble * (tcTotal + v).toDouble) /
+          ((c + 1).toDouble * (ttTotal + v).toDouble)) * 10000, 0).toLong
+    }
+    val perDoc = toks.filter(_._2 != target).map { case (id, src, ws) =>
+      (id, src, ws.size.toLong, ws.map(w).sum)
+    }
+    val all = perDoc.sortBy { case (id, _, _, s) => (-s, id) }
+    val expected = all.take(20).toSet
+    val got = SparkEntry.queries("q102_dsir")(spark, sf).collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("score_e4"))
+    }.toSet
+    assert(got == expected)
+    // the rank cut is stable at the boundary
+    assert(all.take(20).map(_._4).min >= all.drop(20).headOption.map(_._4).getOrElse(Long.MinValue))
+  }
+
+  test("q103 hash split matches an independent md5-bucket recomputation and partitions the corpus") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val perDoc = docs.map { case (id, text, src, _) =>
+      val b = bucket(id)
+      assert(b >= 0 && b < 100)
+      val split = if (b < 90) "train" else if (b < 95) "val" else "test"
+      (src, split, text.split(" ", -1).length.toLong)
+    }
+    val bySrc = perDoc.groupBy(_._1)
+    val expected = bySrc.flatMap { case (src, ds) =>
+      ds.groupBy(_._2).map { case (split, xs) =>
+        (src, split, xs.size.toLong, xs.map(_._3).sum,
+          rnd(xs.size.toDouble / ds.size, 4))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q103_hash_split")(spark, sf).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[String]("split"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_words"), r.getAs[Double]("doc_share"))
+    }.toSet
+    assert(got == expected)
+    // splits partition every source's docs (shares sum to 1 per source)
+    bySrc.foreach { case (src, ds) =>
+      // toSeq before summing: two splits with EQUAL doc counts must not
+      // collapse under Set.map
+      val splits = expected.filter(_._1 == src).toSeq
+      assert(splits.map(_._3).sum == ds.size.toLong)
+    }
+  }
+
   test("q100 entropy matches an independent recomputation and is bounded by ln(26)") {
     val perDoc = docs.map { case (_, text, src, _) =>
       val cnts = ('a' to 'z').map(c => text.count(_ == c).toLong)

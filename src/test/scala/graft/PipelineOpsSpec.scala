@@ -294,6 +294,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(run(12, 3).nonEmpty)
   }
 
+  test("q101 semdedup matches an independent within-cluster recomputation") {
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("label").intValue,
+        r.getAs[scala.collection.Seq[Float]]("embedding")))
+    def cos(a: scala.collection.Seq[Float], b: scala.collection.Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def expected(tau: Double) = vecs.groupBy(_._2).map { case (label, vs) =>
+      val sorted = vs.sortBy(_._1)
+      val pairs = for {
+        (ia, _, va) <- sorted; (ib, _, vb) <- sorted if ia < ib
+        c = rnd6(cos(va, vb)) if c >= tau
+      } yield (ia, ib, c)
+      (label, vs.size.toLong, pairs.size.toLong,
+        pairs.map(_._2).distinct.size.toLong,
+        vs.size.toLong - pairs.map(_._2).distinct.size.toLong,
+        if (pairs.isEmpty) 0.0 else pairs.map(_._3).max)
+    }.toSet
+    def got() = SparkEntry.queries("q101_semdedup")(spark, sf).collect().map { r =>
+      (r.getAs[Number]("label").intValue, r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("n_dup_pairs"), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("n_kept"), r.getAs[Double]("max_sim"))
+    }.toSet
+    assert(got() == expected(0.25))
+    // tighter threshold retunes at runtime, no recompile
+    spark.conf.set("graft.semdedup.tau", "0.35")
+    try assert(got() == expected(0.35))
+    finally spark.conf.unset("graft.semdedup.tau")
+  }
+
   test("q96 funnel matches an independent per-user stage recomputation") {
     val events = Tables(spark, sf).events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
