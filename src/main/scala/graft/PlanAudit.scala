@@ -107,7 +107,11 @@ object PlanAudit {
     // consuming branch — weights AND scalar totals; AQE exchange reuse
     // collapses the shared subtrees at runtime) → scalar rows → weight
     // join (broadcast) → per-doc sum; top-20 is TakeOrderedAndProject
-    "q102_dsir" -> 7).withDefaultValue(3)
+    "q102_dsir" -> 7,
+    // per-source sums branch + cross-doc distinct-fp branch (two-phase
+    // agg: (source, fp) partial → source final) + |sources|-row join +
+    // sort; the winnowing selection itself is all map-side array HOFs
+    "q105_winnow" -> 4).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

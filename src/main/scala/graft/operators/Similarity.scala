@@ -401,8 +401,41 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Cluster-balanced diversity sampling: after SemDeDup-style pruning,
+    * curation pipelines cap how many examples any one embedding cluster
+    * contributes (over-dense clusters are redundant; coverage of the
+    * tail matters more than more of the head). At most
+    * `graft.sample.perCluster` (default 8) vectors survive per coarse
+    * cluster (the IVF `label` the family already keys on), selected by
+    * the q64/q94 seedless Knuth multiplicative hash — deterministic,
+    * RNG-free, reproducible across runs and engines.
+    *
+    * Scale shape: ONE shuffle on the cluster label carries both the
+    * selection window and the rollup (the groupBy reuses the window's
+    * partitioning); the hash is map-side next to the scan. `kept_id_sum`
+    * is an integer checksum of the selected ids so the oracle pins the
+    * exact selection, not just its size.
+    */
+  private def q104(t: Tables): DataFrame = {
+    val k = t.spark.conf.get("graft.sample.perCluster", "8").toInt
+    require(k >= 1, s"graft.sample.perCluster out of range: $k")
+    val byLabel = Window.partitionBy(col("label")).orderBy(col("h"), col("vec_id"))
+    vectors(t)
+      .select(col("vec_id"), col("label"))
+      .withColumn("h", expr("(vec_id * 2654435761) % 4294967296"))
+      .withColumn("kept", row_number().over(byLabel) <= k)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("vec_id")).otherwise(0L)).as("kept_id_sum"))
+      .withColumn("sample_rate", round(col("n_kept") / col("n_vecs"), 4))
+      .orderBy(col("label"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_semdedup" -> ((s, d) => q101(Tables(s, d))),
+    "q104_cluster_sample" -> ((s, d) => q104(Tables(s, d))),
     "q71_kmeans_step" -> ((s, d) => q71(Tables(s, d))),
     "q74_ivf_multiprobe" -> ((s, d) => q74(Tables(s, d))),
     "q78_embedding_quantize" -> ((s, d) => q78(Tables(s, d))),
@@ -435,6 +468,19 @@ object Similarity extends QueryModule {
        | FROM embeddings)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q104_cluster_sample" ->
+      """WITH h AS (
+        | SELECT vec_id, label, (vec_id * 2654435761) % 4294967296 AS h
+        | FROM embeddings),
+        | r AS (
+        | SELECT label, vec_id,
+        |  row_number() OVER (PARTITION BY label ORDER BY h, vec_id) <= 8 AS kept
+        | FROM h)
+        |SELECT label, count(*) AS n_vecs,
+        | CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN kept THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+        | round(sum(CASE WHEN kept THEN 1 ELSE 0 END) / count(*), 4) AS sample_rate
+        |FROM r GROUP BY label ORDER BY label""".stripMargin,
     "q101_semdedup" ->
       s"""WITH $duckVectors,
          | p AS (

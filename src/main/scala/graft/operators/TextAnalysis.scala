@@ -479,6 +479,112 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"), col("reason"))
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    * algorithm): from each document's positional word-3-gram hash stream,
+    * keep the minimum hash of every `graft.winnow.window` (default 4)
+    * consecutive grams — the provably-bounded fingerprint subset that
+    * still detects any shared run of ≥ window+2 words. The selection
+    * knob a substring-robust near-dup index is built on: density is
+    * guaranteed ≈ 2/(window+1) regardless of content, so index size is
+    * a dial, not a hope. Hash order is lexicographic md5 (q34's
+    * fingerprint order — identical bits both engines, no int conversion).
+    *
+    * Scale shape: grams, window minima, and the per-doc distinct are all
+    * array HOFs NEXT TO THE SCAN (zero pre-rollup shuffle, the whole
+    * selection is codegen'd map work). The rollup is two source-keyed
+    * branches over that map-side relation — per-doc sums and the
+    * cross-doc distinct-fingerprint count (distinct must see every
+    * (source, fp) pair; it can never fold into the sum pass) — joined on
+    * |sources| rows.
+    */
+  private def q105(t: Tables): DataFrame = {
+    val w = t.spark.conf.get("graft.winnow.window", "4").toInt
+    require(w >= 1, s"graft.winnow.window out of range: $w")
+    val perDoc = withWords(t)
+      .withColumn("n_grams", greatest(size(col("words")) - 2, lit(0)).cast("long"))
+      .withColumn(
+        "hs",
+        // CASE guard: sequence(1, n) runs DESCENDING for n < 1 (q34's rule)
+        expr(
+          """CASE WHEN size(words) >= 3 THEN
+            |  transform(sequence(1, size(words) - 2),
+            |    i -> md5(concat_ws(' ', slice(words, i, 3))))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn(
+        "fps",
+        // slice clamps at the array end, so a short doc (n_grams < w)
+        // yields its single all-grams window
+        expr(
+          s"""CASE WHEN size(hs) > 0 THEN
+             |  array_distinct(transform(
+             |    sequence(1, greatest(size(hs) - $w + 1, 1)),
+             |    j -> array_min(slice(hs, j, $w))))
+             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .select(col("doc_id"), col("source"), col("n_grams"), col("fps"))
+    val stats = perDoc
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(size(col("fps")).cast("long")).as("n_selected"))
+    val distinctFp = perDoc
+      .select(col("source"), explode(col("fps")).as("fp"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("n_distinct_fp"))
+    stats
+      .join(distinctFp, Seq("source"), "left")
+      .select(
+        col("source"), col("n_docs"), col("n_grams"), col("n_selected"),
+        coalesce(col("n_distinct_fp"), lit(0L)).as("n_distinct_fp"),
+        when(col("n_grams") > 0, round(col("n_selected") / col("n_grams"), 4))
+          .otherwise(lit(0.0)).as("density"))
+      .orderBy(col("source"))
+  }
+
+  /** The composed curation funnel: per-source yield accounting across the
+    * standard pipeline stages — raw → quality gate → exact dedup — the
+    * end-to-end report a curation run publishes (each stage exists as its
+    * own audited operator; this is the composition that prices them
+    * together, so "where did my corpus go" has one answer). The gate is
+    * q84's exact decision tree via the SAME shared expression helpers
+    * (the stages cannot drift); dedup is q35's md5 text identity with
+    * q89's canonical rule — smallest doc_id corpus-wide among GATE
+    * SURVIVORS (dedup after filtering, the conventional order: a
+    * boilerplate doc must not survive because its canonical twin was
+    * dropped for quality).
+    *
+    * Scale shape: the gate is map-side expression work next to the scan;
+    * canonical ownership is one md5-keyed groupBy(min) + join — q89's
+    * join-not-window discipline, so a hot boilerplate text lands on AQE
+    * skew-join splitting instead of one window partition; the rollup is
+    * one source-keyed shuffle. Nothing is corpus².
+    */
+  private def q106(t: Tables): DataFrame = {
+    val gated = withRepRatio(withQualityScore(withWords(t)))
+      .withColumn(
+        "pass_gate",
+        col("n_chars") >= 50 && col("rep_ratio") <= 0.2 && col("score") >= 0.45)
+      .select(
+        col("doc_id"), col("source"), col("n_chars"), col("pass_gate"),
+        md5(col("text")).as("h"))
+    val canon = gated
+      .filter(col("pass_gate"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("canon_id"))
+    gated
+      .join(canon, Seq("h"), "left")
+      .withColumn("unique_kept", col("pass_gate") && col("doc_id") === col("canon_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("pass_gate"), 1L).otherwise(0L)).as("n_gate"),
+        sum(when(col("unique_kept"), 1L).otherwise(0L)).as("n_unique"),
+        sum(col("n_chars")).as("chars_raw"),
+        sum(when(col("unique_kept"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .withColumn("yield_share", round(col("n_unique") / col("n_raw"), 4))
+      .orderBy(col("source"))
+  }
+
   // BM25 constants (Robertson k1/b defaults; the +1-inside-the-log idf is
   // Lucene's non-negative variant). The query mixes the corpus's one rare
   // term with two common ones so idf actually separates documents.
@@ -678,6 +784,8 @@ object TextAnalysis extends QueryModule {
     "q100_char_entropy" -> ((s, d) => q100(Tables(s, d))),
     "q80_seq_pack" -> ((s, d) => q80(Tables(s, d))),
     "q84_quality_gate" -> ((s, d) => q84(Tables(s, d))),
+    "q105_winnow" -> ((s, d) => q105(Tables(s, d))),
+    "q106_curation_funnel" -> ((s, d) => q106(Tables(s, d))),
     "q81_repetition" -> ((s, d) => q81(Tables(s, d))),
     "q76_heavy_hitters" -> ((s, d) => q76(Tables(s, d))),
     "q77_bigram_lm" -> ((s, d) => q77(Tables(s, d))),
@@ -691,6 +799,27 @@ object TextAnalysis extends QueryModule {
     "q33_quality_score" -> ((s, d) => q33(Tables(s, d))),
     "q34_doc_fingerprint" -> ((s, d) => q34(Tables(s, d)))
   )
+
+  // The q33/q84 gate inputs (score + repetition ratio) as shared CTEs —
+  // one SQL fragment for every oracle that applies the gate (q84, q106),
+  // mirroring the shared withQualityScore/withRepRatio expression tree on
+  // the Spark side so the operators cannot drift in either engine.
+  private val gateCtesSql =
+    s"""w AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS words, md5(text) AS h FROM documents),
+       | s AS (
+       | SELECT doc_id, source, n_chars, h,
+       |  round(
+       |   least(len(words) / 100.0, 1.0) * 0.5
+       |    + (len(list_filter(words, x -> x IN ($stopSqlIn))) / len(words)) * 2.0
+       |    + CASE WHEN n_chars >= 100 THEN 0.2 ELSE 0.0 END, 4) AS score,
+       |  CAST(greatest(len(words) - 2, 0) AS BIGINT) AS total_sh,
+       |  CAST(len(list_distinct(list_transform(range(1, len(words) - 1),
+       |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS BIGINT) AS distinct_sh
+       | FROM w),
+       | r AS (
+       | SELECT doc_id, source, n_chars, h, score,
+       |  CASE WHEN total_sh > 0 THEN 1.0 - distinct_sh / total_sh ELSE 0.0 END AS rep_ratio
+       | FROM s)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "q102_dsir" ->
@@ -828,21 +957,7 @@ object TextAnalysis extends QueryModule {
         | CAST(sum(CASE WHEN cls <> 'within' THEN n_chars ELSE 0 END) AS BIGINT) AS chars_trimmed
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q84_quality_gate" ->
-      s"""WITH w AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS words, text FROM documents),
-         | s AS (
-         | SELECT source, n_chars,
-         |  round(
-         |   least(len(words) / 100.0, 1.0) * 0.5
-         |    + (len(list_filter(words, x -> x IN ($stopSqlIn))) / len(words)) * 2.0
-         |    + CASE WHEN n_chars >= 100 THEN 0.2 ELSE 0.0 END, 4) AS score,
-         |  CAST(greatest(len(words) - 2, 0) AS BIGINT) AS total_sh,
-         |  CAST(len(list_distinct(list_transform(range(1, len(words) - 1),
-         |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS BIGINT) AS distinct_sh
-         | FROM w),
-         | r AS (
-         | SELECT source, n_chars, score,
-         |  CASE WHEN total_sh > 0 THEN 1.0 - distinct_sh / total_sh ELSE 0.0 END AS rep_ratio
-         | FROM s),
+      s"""WITH $gateCtesSql,
          | g AS (
          | SELECT source, n_chars,
          |  CASE WHEN n_chars < 50 THEN 'too_short'
@@ -853,6 +968,49 @@ object TextAnalysis extends QueryModule {
          |SELECT source, reason, count(*) AS n_docs,
          | CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY source, reason ORDER BY source, reason""".stripMargin,
+    "q106_curation_funnel" ->
+      s"""WITH $gateCtesSql,
+         | g AS (
+         | SELECT doc_id, source, n_chars, h,
+         |  (n_chars >= 50 AND rep_ratio <= 0.2 AND score >= 0.45) AS pass_gate
+         | FROM r),
+         | c AS (SELECT h, min(doc_id) AS canon_id FROM g WHERE pass_gate GROUP BY h)
+         |SELECT source, count(*) AS n_raw,
+         | CAST(sum(CASE WHEN pass_gate THEN 1 ELSE 0 END) AS BIGINT) AS n_gate,
+         | CAST(sum(CASE WHEN pass_gate AND doc_id = canon_id THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         | CAST(sum(n_chars) AS BIGINT) AS chars_raw,
+         | CAST(sum(CASE WHEN pass_gate AND doc_id = canon_id THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+         | round(sum(CASE WHEN pass_gate AND doc_id = canon_id THEN 1 ELSE 0 END) / count(*), 4) AS yield_share
+         |FROM g LEFT JOIN c ON c.h = g.h
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q105_winnow" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        | g AS (
+        | SELECT doc_id, source, CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_grams,
+        |  CASE WHEN len(ws) >= 3 THEN
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> md5(array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END AS hs
+        | FROM d),
+        | f AS (
+        | SELECT doc_id, source, n_grams,
+        |  CASE WHEN len(hs) > 0 THEN
+        |    list_distinct(list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+        |      j -> list_min(list_slice(hs, j, j + 3))))
+        |  ELSE CAST([] AS VARCHAR[]) END AS fps
+        | FROM g),
+        | s AS (
+        | SELECT source, count(*) AS n_docs, CAST(sum(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(sum(len(fps)) AS BIGINT) AS n_selected
+        | FROM f GROUP BY source),
+        | x AS (
+        | SELECT source, count(DISTINCT fp) AS n_distinct_fp
+        | FROM (SELECT source, unnest(fps) AS fp FROM f) GROUP BY source)
+        |SELECT s.source, n_docs, n_grams, n_selected,
+        | CAST(coalesce(n_distinct_fp, 0) AS BIGINT) AS n_distinct_fp,
+        | CASE WHEN n_grams > 0 THEN round(n_selected / n_grams, 4) ELSE 0.0 END AS density
+        |FROM s LEFT JOIN x ON x.source = s.source
+        |ORDER BY s.source""".stripMargin,
     "q80_seq_pack" ->
       s"""WITH d AS (
          | SELECT doc_id, source, CAST(greatest($subwordTokensSql, 1) AS BIGINT) AS toks FROM documents),

@@ -318,6 +318,80 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q105 winnowing matches an independent recomputation and respects the coverage bound") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w = 4
+    val perDoc = docs.map { case (_, text, src, _) =>
+      val ws = text.split(" ", -1).toSeq
+      val grams =
+        if (ws.length >= 3) (0 to ws.length - 3).map(i => md5hex(ws.slice(i, i + 3).mkString(" ")))
+        else Seq.empty[String]
+      val nWin = math.max(grams.length - w + 1, 1)
+      val fps =
+        if (grams.isEmpty) Seq.empty[String]
+        else (0 until nWin).map(j => grams.slice(j, j + w).min).distinct
+      (src, grams.length.toLong, fps)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, ds) =>
+      val grams = ds.map(_._2).sum
+      val sel = ds.map(_._3.size.toLong).sum
+      (src, ds.size.toLong, grams, sel,
+        ds.flatMap(_._3).distinct.size.toLong,
+        if (grams > 0) rnd(sel.toDouble / grams, 4) else 0.0)
+    }.toSet
+    val got = SparkEntry.queries("q105_winnow")(spark, sf).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_selected"), r.getAs[Long]("n_distinct_fp"), r.getAs[Double]("density"))
+    }.toSet
+    assert(got == expected)
+    // the winnowing guarantee, per doc: every window contributes one
+    // fingerprint and one fingerprint covers ≤ w windows, so
+    // ⌈windows/w⌉ ≤ selected ≤ windows
+    perDoc.filter(_._2 > 0).foreach { case (_, g, fps) =>
+      val nWin = math.max(g - w + 1, 1)
+      assert(fps.size <= nWin)
+      assert(fps.size >= math.ceil(nWin.toDouble / w).toInt)
+    }
+  }
+
+  test("q106 funnel matches an independent gate+dedup recomputation and agrees with q84") {
+    val stop = Set("the", "a", "of", "and")
+    val staged = docs.map { case (id, text, src, nc) =>
+      val ws = text.split(" ", -1).toSeq
+      val score = rnd(
+        math.min(ws.size / 100.0, 1.0) * 0.5
+          + (ws.count(stop).toDouble / ws.size) * 2.0
+          + (if (nc >= 100) 0.2 else 0.0), 4)
+      val totalSh = math.max(ws.size - 2, 0)
+      val distinctSh =
+        if (ws.size >= 3) (0 to ws.size - 3).map(i => ws.slice(i, i + 3).mkString(" ")).distinct.size
+        else 0
+      val rep = if (totalSh > 0) 1.0 - distinctSh.toDouble / totalSh else 0.0
+      (id, src, nc, nc >= 50 && rep <= 0.2 && score >= 0.45, text)
+    }
+    val canonIds = staged.filter(_._4).groupBy(_._5).map { case (_, xs) => xs.map(_._1).min }.toSet
+    val expected = staged.groupBy(_._2).map { case (src, ds) =>
+      val unique = ds.filter(d => d._4 && canonIds(d._1))
+      (src, ds.size.toLong, ds.count(_._4).toLong, unique.size.toLong,
+        ds.map(_._3).sum, unique.map(_._3).sum,
+        rnd(unique.size.toDouble / ds.size, 4))
+    }.toSet
+    val got = SparkEntry.queries("q106_curation_funnel")(spark, sf).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_raw"), r.getAs[Long]("n_gate"),
+        r.getAs[Long]("n_unique"), r.getAs[Long]("chars_raw"), r.getAs[Long]("chars_kept"),
+        r.getAs[Double]("yield_share"))
+    }.toSet
+    assert(got == expected)
+    // the funnel's gate stage is exactly q84's kept bucket, per source
+    val kept = SparkEntry.queries("q84_quality_gate")(spark, sf).collect()
+      .filter(_.getAs[String]("reason") == "kept")
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    expected.foreach { case (src, _, nGate, _, _, _, _) =>
+      assert(kept.getOrElse(src, 0L) == nGate)
+    }
+  }
+
   test("q100 entropy matches an independent recomputation and is bounded by ln(26)") {
     val perDoc = docs.map { case (_, text, src, _) =>
       val cnts = ('a' to 'z').map(c => text.count(_ == c).toLong)

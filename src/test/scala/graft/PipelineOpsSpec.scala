@@ -335,6 +335,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.semdedup.tau")
   }
 
+  test("q104 cluster sample matches an independent hash-rank recomputation and retunes the cap") {
+    def rnd4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("label").intValue))
+    def expected(k: Int) = vecs.groupBy(_._2).map { case (label, vs) =>
+      val kept = vs.map(_._1).sortBy(id => ((id * 2654435761L) % 4294967296L, id)).take(k)
+      (label, vs.length.toLong, kept.length.toLong, kept.sum,
+        rnd4(kept.length.toDouble / vs.length))
+    }.toSet
+    def got() = SparkEntry.queries("q104_cluster_sample")(spark, sf).collect().map { r =>
+      (r.getAs[Number]("label").intValue, r.getAs[Long]("n_vecs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("kept_id_sum"), r.getAs[Double]("sample_rate"))
+    }.toSet
+    assert(got() == expected(8))
+    // the cap is a runtime conf, not a recompile
+    spark.conf.set("graft.sample.perCluster", "3")
+    try assert(got() == expected(3))
+    finally spark.conf.unset("graft.sample.perCluster")
+  }
+
   test("q96 funnel matches an independent per-user stage recomputation") {
     val events = Tables(spark, sf).events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
