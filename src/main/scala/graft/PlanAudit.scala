@@ -111,7 +111,12 @@ object PlanAudit {
     // per-source sums branch + cross-doc distinct-fp branch (two-phase
     // agg: (source, fp) partial → source final) + |sources|-row join +
     // sort; the winnowing selection itself is all map-side array HOFs
-    "q105_winnow" -> 4).withDefaultValue(3)
+    "q105_winnow" -> 4,
+    // base-hash distinct + batch canonical agg + (band,sig) index probe
+    // (base distinct + batch side) + near-id distinct + classification
+    // joins + rollup — every exchange keyed on h/(band,sig)/doc_id and
+    // bounded by the batch or the deduplicated base index, never base²
+    "q107_delta_dedup" -> 6).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

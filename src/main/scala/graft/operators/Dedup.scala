@@ -583,8 +583,64 @@ object Dedup extends QueryModule {
       .orderBy(col("source"), col("split"))
   }
 
+  /** Incremental (delta) dedup — the PRODUCTION dedup shape: a new crawl
+    * batch (the `src1*` source family) deduped against the already-curated
+    * base corpus, not corpus-wide from scratch. At 100 TB nobody re-pays
+    * Θ(corpus) per arriving batch: the base side of every probe here is
+    * exactly the artifact a real lake keeps precomputed (the distinct
+    * content-hash set and the distinct (band, sig) minhash index — both
+    * incremental-maintainable), so delta cost scales with |batch|, and
+    * this query IS the batch-side plan against those indexes (derived
+    * in-query here because the test lake stores none).
+    *
+    * Classification per incoming doc, first match wins: `exact_dup_base`
+    * (md5 ∈ base hash set), `exact_dup_batch` (q89's canonical rule
+    * within the batch — smallest doc_id owns), `near_dup_base` (≥1
+    * shared minhash band signature with ANY base doc — q37's LSH
+    * bucketing made ASYMMETRIC: incoming sigs probe the base index, so
+    * the join is |batch|-scale, never base×base), else `new_unique`.
+    *
+    * Scale shape: every shuffle is keyed on h, (band, sig), or doc_id and
+    * bounded by the batch or the (deduplicated) index — no self-join of
+    * the base side anywhere. `graft.lsh.bands` retunes recall at runtime
+    * (q36/q37's conf).
+    */
+  private def q107(t: Tables): DataFrame = {
+    val docs = Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("doc_id"), col("source"), col("text"), col("n_chars"),
+        md5(col("text")).as("h"), col("source").like("src1%").as("incoming"))
+    val base = docs.filter(!col("incoming"))
+    val inc = docs.filter(col("incoming"))
+    val baseHashes = base.select(col("h")).distinct().withColumn("in_base", lit(true))
+    val canon = inc.groupBy(col("h")).agg(min(col("doc_id")).as("canon_id"))
+    def sigRows(df: DataFrame) = df.select(
+      col("doc_id"),
+      posexplode(graft.functions.GraftFunctions.minhash_sigs(col("text"), bands(t)))
+        .as(Seq("band", "sig")))
+    val baseSigs = sigRows(base).select(col("band"), col("sig")).distinct()
+    val nearIds = sigRows(inc)
+      .join(baseSigs, Seq("band", "sig"))
+      .select(col("doc_id")).distinct()
+      .withColumn("near_base", lit(true))
+    inc
+      .join(baseHashes, Seq("h"), "left")
+      .join(canon, Seq("h"))
+      .join(nearIds, Seq("doc_id"), "left")
+      .withColumn(
+        "cls",
+        when(coalesce(col("in_base"), lit(false)), "exact_dup_base")
+          .when(col("doc_id") =!= col("canon_id"), "exact_dup_batch")
+          .when(coalesce(col("near_base"), lit(false)), "near_dup_base")
+          .otherwise("new_unique"))
+      .groupBy(col("source"), col("cls"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("source"), col("cls"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_hash_split" -> ((s, d) => q103(Tables(s, d))),
+    "q107_delta_dedup" -> ((s, d) => q107(Tables(s, d))),
     "q95_overlap_sketch" -> ((s, d) => q95(Tables(s, d))),
     "q92_source_overlap" -> ((s, d) => q92(Tables(s, d))),
     "q89_line_dedup" -> ((s, d) => q89(Tables(s, d))),
@@ -651,6 +707,39 @@ object Dedup extends QueryModule {
        |  GROUP BY a.source, b.source)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q107_delta_dedup" ->
+      s"""WITH w AS (
+         | SELECT doc_id, source, n_chars, string_split(text, ' ') AS words,
+         |  md5(text) AS h, source LIKE 'src1%' AS incoming
+         | FROM documents),
+         | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),
+         | sh AS (SELECT doc_id, $duckHashes AS hashes FROM shl),
+         | sigs AS (
+         | $duckShingleArms
+         | ),
+         | bh AS (SELECT DISTINCT h FROM w WHERE NOT incoming),
+         | cn AS (SELECT h, min(doc_id) AS canon_id FROM w WHERE incoming GROUP BY h),
+         | bs AS (
+         |  SELECT DISTINCT band, sig FROM sigs JOIN w USING (doc_id)
+         |  WHERE NOT incoming AND sig IS NOT NULL),
+         | nr AS (
+         |  SELECT DISTINCT s.doc_id FROM sigs s
+         |  JOIN w ww ON ww.doc_id = s.doc_id AND ww.incoming
+         |  JOIN bs ON bs.band = s.band AND bs.sig = s.sig),
+         | cls AS (
+         | SELECT w.source, w.n_chars,
+         |  CASE WHEN bh.h IS NOT NULL THEN 'exact_dup_base'
+         |       WHEN w.doc_id <> cn.canon_id THEN 'exact_dup_batch'
+         |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup_base'
+         |       ELSE 'new_unique' END AS cls
+         | FROM w
+         | LEFT JOIN bh ON bh.h = w.h
+         | JOIN cn ON cn.h = w.h
+         | LEFT JOIN nr ON nr.doc_id = w.doc_id
+         | WHERE w.incoming)
+         |SELECT source, cls, count(*) AS n_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM cls GROUP BY source, cls ORDER BY source, cls""".stripMargin,
     "q103_hash_split" ->
       s"""WITH d AS (
          | SELECT source, len(string_split(text, ' ')) AS n_words,

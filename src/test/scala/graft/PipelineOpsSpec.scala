@@ -358,6 +358,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.sample.perCluster")
   }
 
+  test("q107 delta dedup matches an independent incremental-classification recomputation") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hex32(m: String): Long = java.lang.Long.parseLong(m.take(8), 16)
+    // the kernel's minhash definition, rebuilt from its published formula
+    // (md5 → first-8-hex int → per-band linear rehash → min), independent
+    // of functions.MinHash
+    def sigs(text: String): Seq[(Int, Long)] = {
+      val ws = text.split(" ", -1)
+      if (ws.length < 3) Seq.empty
+      else {
+        val hs = (0 to ws.length - 3).map(i => hex32(md5hex(ws.slice(i, i + 3).mkString(" "))))
+        (0 until 8).map(b => b -> hs.map(h => (h * (2 * b + 1) + 7919L * b) % 2147483647L).min)
+      }
+    }
+    val rows = Tables(spark, sf).documents
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val (inc, base) = rows.partition(_._2.startsWith("src1"))
+    val baseH = base.map(r => md5hex(r._3)).toSet
+    val baseSigs = base.flatMap(r => sigs(r._3)).toSet
+    val canon = inc.groupBy(r => md5hex(r._3)).map { case (h, xs) => h -> xs.map(_._1).min }
+    val classed = inc.map { case (id, src, text, nc) =>
+      val h = md5hex(text)
+      val cls =
+        if (baseH(h)) "exact_dup_base"
+        else if (canon(h) != id) "exact_dup_batch"
+        else if (sigs(text).exists(baseSigs)) "near_dup_base"
+        else "new_unique"
+      (src, cls, nc)
+    }
+    val expected = classed.groupBy(t => (t._1, t._2)).map { case ((src, cls), xs) =>
+      (src, cls, xs.length.toLong, xs.map(_._3).sum)
+    }.toSet
+    val got = SparkEntry.queries("q107_delta_dedup")(spark, sf).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[String]("cls"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_chars"))
+    }.toSet
+    assert(got == expected)
+    // the four classes partition the incoming batch exactly
+    assert(classed.length == inc.length)
+    assert(expected.toSeq.map(_._3).sum == inc.length.toLong)
+  }
+
   test("q96 funnel matches an independent per-user stage recomputation") {
     val events = Tables(spark, sf).events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
