@@ -116,7 +116,11 @@ object PlanAudit {
     // (base distinct + batch side) + near-id distinct + classification
     // joins + rollup — every exchange keyed on h/(band,sig)/doc_id and
     // bounded by the batch or the deduplicated base index, never base²
-    "q107_delta_dedup" -> 6).withDefaultValue(3)
+    "q107_delta_dedup" -> 6,
+    // (media_type, profile) block self-join (one keyed shuffle per side)
+    // → pair rollup + blob/block rollup (countDistinct two-phase) →
+    // |modalities|-row join + sort; signatures are map-side kernel work
+    "q108_blob_neardup" -> 4).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

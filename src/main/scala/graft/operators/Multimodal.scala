@@ -170,10 +170,99 @@ object Multimodal extends QueryModule {
     "q44_blob_meta" -> ((s, d) => q44(Tables(s, d))),
     "q45_frame_sample" -> ((s, d) => q45(Tables(s, d))),
     "q61_byte_histogram" -> ((s, d) => q61(Tables(s, d))),
-    "q82_modality_split" -> ((s, d) => q82(Tables(s, d)))
+    "q82_modality_split" -> ((s, d) => q82(Tables(s, d))),
+    "q108_blob_neardup" -> ((s, d) => q108(Tables(s, d)))
   )
 
+  /** Near-duplicate blob detection — the perceptual-hash-shaped dedup the
+    * multimodal side of a pipeline runs (re-encoded/trivially-edited
+    * copies of the same asset share byte statistics even when exact
+    * hashes differ). Signature = the q61 byte histogram; BLOCKING key =
+    * the histogram's shape quantized to eighths of the payload
+    * ((bin·8) div len — all-integer, engine-exact), so only blobs with
+    * near-identical byte-class profiles ever pair; VERIFY = exact L1
+    * distance between raw histograms, near iff l1/(la+lb) ≤
+    * `graft.blob.tauPct`% (integer cross-multiplication, no floats).
+    *
+    * Scale shape: the kernel histogram and the block key are map-side
+    * next to the scan; the self-join is keyed (media_type, profile) —
+    * pair work is Σ|block|², bounded by the quantization dial, never
+    * corpus²; the L1 verify is 16 fixed codegen'd terms per pair. The
+    * same blocking-then-verify discipline as q37/q38, applied to binary
+    * payloads. Quantization boundary misses are the standard LSH recall
+    * trade — tighten tauPct/coarsen the profile to rebalance.
+    */
+  private def q108(t: Tables): DataFrame = {
+    val tauPct = t.spark.conf.get("graft.blob.tauPct", "5").toInt
+    require(tauPct >= 0 && tauPct <= 100, s"graft.blob.tauPct out of range: $tauPct")
+    val h = Tables.localSplit(blobs(t), col("doc_id"))
+      .select(
+        col("doc_id"), col("media_type"), col("n_chars").as("byte_len"),
+        graft.functions.GraftFunctions.byte_histogram(col("text")).as("hist"))
+      .withColumn(
+        "pkey",
+        concat_ws("_", expr("transform(hist, c -> CAST((c * 8) DIV byte_len AS STRING))")))
+    val a = h.select(
+      col("media_type"), col("pkey"), col("doc_id").as("id_a"),
+      col("hist").as("ha"), col("byte_len").as("la"))
+    val b = h.select(
+      col("media_type").as("mt_b"), col("pkey").as("pk_b"), col("doc_id").as("id_b"),
+      col("hist").as("hb"), col("byte_len").as("lb"))
+    val pairs = a
+      .join(
+        b,
+        col("media_type") === col("mt_b") && col("pkey") === col("pk_b") &&
+          col("id_a") < col("id_b"))
+      .withColumn(
+        "l1",
+        expr("aggregate(zip_with(ha, hb, (x, y) -> abs(x - y)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("near", col("l1") * 100 <= (col("la") + col("lb")) * tauPct)
+    val pairStats = pairs
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_cand_pairs"),
+        sum(when(col("near"), 1L).otherwise(0L)).as("n_near_pairs"))
+    h.groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_blobs"), countDistinct(col("pkey")).as("n_blocks"))
+      .join(pairStats, Seq("media_type"), "left")
+      .select(
+        col("media_type"), col("n_blobs"), col("n_blocks"),
+        coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
+        coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"))
+      .orderBy(col("media_type"))
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q108_blob_neardup" ->
+      """WITH d AS (
+        | SELECT doc_id, n_chars AS byte_len,
+        |  CASE ascii(substr(text, 1, 1)) % 3
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  list_transform(range(0, 16), b -> CAST(len(list_filter(range(1, n_chars + 1),
+        |    i -> ascii(substr(text, CAST(i AS INTEGER), 1)) // 16 = b)) AS BIGINT)) AS hist
+        | FROM documents),
+        | p AS (
+        | SELECT doc_id, media_type, byte_len, hist,
+        |  array_to_string(list_transform(hist, c -> CAST((c * 8) // byte_len AS VARCHAR)), '_') AS pkey
+        | FROM d),
+        | pr AS (
+        | SELECT a.media_type, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  list_sum(list_transform(range(1, 17), i -> abs(a.hist[i] - b.hist[i]))) AS l1,
+        |  a.byte_len + b.byte_len AS lsum
+        | FROM p a JOIN p b
+        |  ON a.media_type = b.media_type AND a.pkey = b.pkey AND a.doc_id < b.doc_id),
+        | ps AS (
+        | SELECT media_type, count(*) AS n_cand_pairs,
+        |  CAST(sum(CASE WHEN l1 * 100 <= lsum * 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_pairs
+        | FROM pr GROUP BY media_type),
+        | bs AS (
+        | SELECT media_type, count(*) AS n_blobs, count(DISTINCT pkey) AS n_blocks
+        | FROM p GROUP BY media_type)
+        |SELECT bs.media_type, n_blobs, n_blocks,
+        | CAST(coalesce(n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
+        | CAST(coalesce(n_near_pairs, 0) AS BIGINT) AS n_near_pairs
+        |FROM bs LEFT JOIN ps ON ps.media_type = bs.media_type
+        |ORDER BY bs.media_type""".stripMargin,
     "q44_blob_meta" ->
       """SELECT doc_id,
         | md5(text) AS payload_md5,

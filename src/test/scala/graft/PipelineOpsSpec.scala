@@ -403,6 +403,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(expected.toSeq.map(_._3).sum == inc.length.toLong)
   }
 
+  test("q108 blob near-dup matches an independent histogram-blocking recomputation") {
+    val rows = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    def mt(text: String) = text.head.toInt % 3 match {
+      case 0 => "image"
+      case 1 => "audio"
+      case _ => "video"
+    }
+    def hist(text: String): Array[Long] = {
+      val h = new Array[Long](16)
+      text.getBytes("UTF-8").foreach(b => h((b & 0xff) >>> 4) += 1)
+      h
+    }
+    val blobs = rows.map { case (id, text, nc) =>
+      val hh = hist(text)
+      (id, mt(text), nc, hh, hh.map(c => (c * 8) / nc).mkString("_"))
+    }
+    val expected = blobs.groupBy(_._2).map { case (m, bs) =>
+      val byBlock = bs.groupBy(_._5)
+      val verdicts = byBlock.values.flatMap { blk =>
+        for { x <- blk; y <- blk if x._1 < y._1 } yield {
+          val l1 = x._4.zip(y._4).map { case (p, q) => math.abs(p - q) }.sum
+          l1 * 100 <= (x._3 + y._3) * 5
+        }
+      }.toSeq
+      (m, bs.length.toLong, byBlock.size.toLong,
+        verdicts.length.toLong, verdicts.count(identity).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q108_blob_neardup")(spark, sf).collect().map { r =>
+      (r.getAs[String]("media_type"), r.getAs[Long]("n_blobs"), r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_cand_pairs"), r.getAs[Long]("n_near_pairs"))
+    }.toSet
+    assert(got == expected)
+  }
+
   test("q96 funnel matches an independent per-user stage recomputation") {
     val events = Tables(spark, sf).events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
