@@ -433,9 +433,50 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Embedding-table audit — the validation gate an ANN index build runs
+    * BEFORE trusting its vectors (one NaN poisons every distance it
+    * touches; zero vectors make cosine undefined; wild norms signal a
+    * broken encoder batch). Per cluster label: vector count, non-finite
+    * count (x−x ≠ 0 ⇔ NaN/±Inf, one engine-portable predicate — no isinf
+    * builtin needed), zero-vector count, and the squared-norm envelope
+    * (min/max/avg) quantized to integer 1e6 units so aggs are long-exact
+    * cross-engine (the q90 discipline; sums of squares accumulate
+    * left-to-right in double first, the family's contract).
+    *
+    * Scale shape: all per-vector math is map-side array HOFs next to the
+    * scan; ONE label-keyed shuffle carries the rollup.
+    */
+  private def q109(t: Tables): DataFrame = auditEmbeddings(vectors(t))
+
+  /** The q109 kernel over any (label, v: array<float>) frame — public so
+    * callers (and the spec) can audit arbitrary embedding relations,
+    * including ones that actually contain NaN/Inf/zero rows.
+    */
+  def auditEmbeddings(in: DataFrame): DataFrame = {
+    val e = in
+      .withColumn(
+        "norm2",
+        expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("nonfinite", expr("exists(v, x -> isnan(CAST(x AS DOUBLE) - CAST(x AS DOUBLE)))"))
+      .withColumn(
+        "norm2_e6",
+        when(col("nonfinite"), lit(null)).otherwise(
+          round(col("norm2") * 1e6, 0).cast("long")))
+    e.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("nonfinite"), 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(!col("nonfinite") && col("norm2_e6") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("norm2_e6")).as("min_norm2_e6"),
+        max(col("norm2_e6")).as("max_norm2_e6"),
+        round(avg(col("norm2_e6")), 2).as("avg_norm2_e6"))
+      .orderBy(col("label"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_semdedup" -> ((s, d) => q101(Tables(s, d))),
     "q104_cluster_sample" -> ((s, d) => q104(Tables(s, d))),
+    "q109_embedding_audit" -> ((s, d) => q109(Tables(s, d))),
     "q71_kmeans_step" -> ((s, d) => q71(Tables(s, d))),
     "q74_ivf_multiprobe" -> ((s, d) => q74(Tables(s, d))),
     "q78_embedding_quantize" -> ((s, d) => q78(Tables(s, d))),
@@ -468,6 +509,25 @@ object Similarity extends QueryModule {
        | FROM embeddings)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q109_embedding_audit" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | n AS (
+        | SELECT label,
+        |  list_sum(list_transform(v, x -> x * x)) AS norm2,
+        |  len(list_filter(v, x -> isnan(x - x))) > 0 AS nonfinite
+        | FROM e),
+        | q AS (
+        | SELECT label, nonfinite,
+        |  CASE WHEN nonfinite THEN NULL
+        |       ELSE CAST(round(norm2 * 1e6, 0) AS BIGINT) END AS norm2_e6
+        | FROM n)
+        |SELECT label, count(*) AS n_vecs,
+        | CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        | CAST(sum(CASE WHEN NOT nonfinite AND norm2_e6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        | min(norm2_e6) AS min_norm2_e6,
+        | max(norm2_e6) AS max_norm2_e6,
+        | round(avg(norm2_e6), 2) AS avg_norm2_e6
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
     "q104_cluster_sample" ->
       """WITH h AS (
         | SELECT vec_id, label, (vec_id * 2654435761) % 4294967296 AS h

@@ -439,6 +439,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q109 audit matches an independent norm recomputation and flags crafted degenerates") {
+    def rnd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getAs[Number]("label").intValue,
+        r.getAs[scala.collection.Seq[Float]]("embedding")))
+    val expected = vecs.groupBy(_._1).map { case (label, vs) =>
+      val n2 = vs.map { case (_, v) =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+        rnd(acc * 1e6, 0).toLong
+      }
+      (label, vs.length.toLong, 0L, n2.count(_ == 0L).toLong,
+        n2.min, n2.max, rnd(n2.sum.toDouble / n2.length, 2))
+    }.toSet
+    val got = SparkEntry.queries("q109_embedding_audit")(spark, sf).collect().map { r =>
+      (r.getAs[Number]("label").intValue, r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("n_nonfinite"), r.getAs[Long]("n_zero"),
+        r.getAs[Long]("min_norm2_e6"), r.getAs[Long]("max_norm2_e6"),
+        r.getAs[Double]("avg_norm2_e6"))
+    }.toSet
+    assert(got == expected)
+    // the kernel over a relation that actually contains degenerates
+    import spark.implicits._
+    val crafted = Seq(
+      (0, Seq(1f, 2f)),
+      (0, Seq(Float.NaN, 1f)),
+      (1, Seq(Float.PositiveInfinity, 1f)),
+      (1, Seq(0f, 0f)),
+      (1, Seq(3f, 4f))).toDF("label", "v")
+    val audit = graft.operators.Similarity.auditEmbeddings(crafted).collect()
+      .map(r => r.getAs[Number]("label").intValue ->
+        (r.getAs[Long]("n_nonfinite"), r.getAs[Long]("n_zero"))).toMap
+    assert(audit(0) == ((1L, 0L)))
+    assert(audit(1) == ((1L, 1L)))
+  }
+
   test("q96 funnel matches an independent per-user stage recomputation") {
     val events = Tables(spark, sf).events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
