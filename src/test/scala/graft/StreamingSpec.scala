@@ -333,6 +333,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size == 13 && batch.values.forall(_._1 == 200L))
   }
 
+  test("streaming delta dedup classifies arrivals against the static base like q107's exact stages") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // q107's exact stages as a LIVE flow: the arriving crawl batch streams
+    // in, the curated base is the static side of a stream-static join on
+    // the content hash (the precomputed index a real lake keeps), and
+    // within-stream dedup is key state that must survive micro-batch
+    // boundaries. (Unbounded dedup state here is deliberate — q47 owns the
+    // watermarked discipline.)
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (incA, baseA) = docs.partition(_._2.startsWith("src1"))
+    val base = baseA.toDF("doc_id", "source", "text")
+      .select(md5(col("text")).as("h")).distinct()
+      .withColumn("in_base", lit(true))
+    val ms = MemoryStream[(Long, String, String)]
+    val classified = ms.toDF()
+      .select(col("_1").as("doc_id"), md5(col("_3")).as("h"))
+      .join(base, Seq("h"), "left")
+      .withColumn("exact_base", coalesce(col("in_base"), lit(false)))
+    val qAll = classified.writeStream
+      .outputMode("append").format("memory").queryName("delta_all").start()
+    // canonical arrivals: base dups culled, then first-per-hash state dedup
+    val qNew = classified.filter(!col("exact_base")).dropDuplicates("h")
+      .writeStream
+      .outputMode("append").format("memory").queryName("delta_new").start()
+    // two micro-batches so the dedup state provably crosses the boundary
+    val (b1, b2) = incA.sortBy(_._1).splitAt(incA.length / 2)
+    ms.addData(b1: _*)
+    qAll.processAllAvailable(); qNew.processAllAvailable()
+    ms.addData(b2: _*)
+    qAll.processAllAvailable(); qNew.processAllAvailable()
+    qAll.stop(); qNew.stop()
+    // batch-side expectation, recomputed independently
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val baseH = baseA.map(d => md5hex(d._3)).toSet
+    val nBase = incA.count(d => baseH(md5hex(d._3)))
+    val nCanon = incA.filterNot(d => baseH(md5hex(d._3))).map(d => md5hex(d._3)).distinct.size
+    val all = spark.table("delta_all").collect()
+    assert(all.length == incA.length)
+    assert(all.count(_.getAs[Boolean]("exact_base")) == nBase)
+    assert(spark.table("delta_new").count() == nCanon.toLong)
+    // dup-in-batch arrivals = the remainder, so the three classes partition
+    assert((all.length - nBase - nCanon) >= 0)
+  }
+
   test("checkpointed parquet sink is exactly-once across restarts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
