@@ -108,10 +108,9 @@ object PlanAudit {
     // collapses the shared subtrees at runtime) → scalar rows → weight
     // join (broadcast) → per-doc sum; top-20 is TakeOrderedAndProject
     "q102_dsir" -> 7,
-    // per-source sums branch + cross-doc distinct-fp branch (two-phase
-    // agg: (source, fp) partial → source final) + |sources|-row join +
-    // sort; the winnowing selection itself is all map-side array HOFs
-    "q105_winnow" -> 4,
+    // one corpus pass: (source, fp) agg (per-doc stats ride the pos=0
+    // row) → |vocab|-scale source rollup → sort; selection is map-side
+    "q105_winnow" -> 3,
     // base-hash distinct + batch canonical agg + (band,sig) index probe
     // (base distinct + batch side) + near-id distinct + classification
     // joins + rollup — every exchange keyed on h/(band,sig)/doc_id and

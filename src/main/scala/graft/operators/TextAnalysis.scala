@@ -491,11 +491,13 @@ object TextAnalysis extends QueryModule {
     *
     * Scale shape: grams, window minima, and the per-doc distinct are all
     * array HOFs NEXT TO THE SCAN (zero pre-rollup shuffle, the whole
-    * selection is codegen'd map work). The rollup is two source-keyed
-    * branches over that map-side relation — per-doc sums and the
-    * cross-doc distinct-fingerprint count (distinct must see every
-    * (source, fp) pair; it can never fold into the sum pass) — joined on
-    * |sources| rows.
+    * selection is codegen'd map work) — and the corpus is read ONCE: the
+    * per-doc stats ride the posexplode_outer'd fingerprint stream on the
+    * pos=0 row (docs with no grams keep their null-fp row), so one
+    * (source, fp) aggregation feeds one |vocab|-scale source rollup —
+    * no second scan, no join, no Expand. The md5-per-gram kernel and the
+    * scan are the dominant costs at 100 TB; the earlier two-branch shape
+    * paid both twice (plus a join) for the same answer.
     */
   private def q105(t: Tables): DataFrame = {
     val w = t.spark.conf.get("graft.winnow.window", "4").toInt
@@ -521,23 +523,28 @@ object TextAnalysis extends QueryModule {
              |    j -> array_min(slice(hs, j, $w))))
              |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
       .select(col("doc_id"), col("source"), col("n_grams"), col("fps"))
-    val stats = perDoc
+    val exploded = perDoc
+      .select(
+        col("source"), col("n_grams"),
+        posexplode_outer(col("fps")).as(Seq("pos", "fp")))
+      .withColumn("first_row", coalesce(col("pos"), lit(0)) === 0)
+    val byFp = exploded
+      .groupBy(col("source"), col("fp"))
+      .agg(
+        count(col("fp")).as("n_sel_f"),
+        sum(when(col("first_row"), col("n_grams")).otherwise(0L)).as("g0"),
+        sum(when(col("first_row"), 1L).otherwise(0L)).as("d0"))
+    byFp
       .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_grams")).as("n_grams"),
-        sum(size(col("fps")).cast("long")).as("n_selected"))
-    val distinctFp = perDoc
-      .select(col("source"), explode(col("fps")).as("fp"))
-      .groupBy(col("source"))
-      .agg(countDistinct(col("fp")).as("n_distinct_fp"))
-    stats
-      .join(distinctFp, Seq("source"), "left")
-      .select(
-        col("source"), col("n_docs"), col("n_grams"), col("n_selected"),
-        coalesce(col("n_distinct_fp"), lit(0L)).as("n_distinct_fp"),
+        sum(col("d0")).as("n_docs"),
+        sum(col("g0")).as("n_grams"),
+        sum(col("n_sel_f")).as("n_selected"),
+        sum(when(col("fp").isNotNull, 1L).otherwise(0L)).as("n_distinct_fp"))
+      .withColumn(
+        "density",
         when(col("n_grams") > 0, round(col("n_selected") / col("n_grams"), 4))
-          .otherwise(lit(0.0)).as("density"))
+          .otherwise(lit(0.0)))
       .orderBy(col("source"))
   }
 
