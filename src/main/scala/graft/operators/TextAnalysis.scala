@@ -560,11 +560,17 @@ object TextAnalysis extends QueryModule {
     * boilerplate doc must not survive because its canonical twin was
     * dropped for quality).
     *
-    * Scale shape: the gate is map-side expression work next to the scan;
-    * canonical ownership is one md5-keyed groupBy(min) + join — q89's
-    * join-not-window discipline, so a hot boilerplate text lands on AQE
-    * skew-join splitting instead of one window partition; the rollup is
-    * one source-keyed shuffle. Nothing is corpus².
+    * Scale shape: the gate is map-side expression work next to the scan
+    * and runs ONCE — the canonical branch needs no gate at all, because
+    * the gate verdict is a pure function of `text`: every doc sharing a
+    * hash shares the verdict, so "min doc_id among gate survivors with
+    * this hash" equals "min doc_id among ALL docs with this hash"
+    * whenever the group passes (and is irrelevant when it fails). The
+    * ownership branch is therefore a slim 2-column scan → md5 →
+    * groupBy(min), and the join keeps q89's join-not-window discipline
+    * (hot boilerplate lands on AQE skew-join splitting, not one window
+    * partition); the rollup is one source-keyed shuffle. Nothing is
+    * corpus².
     */
   private def q106(t: Tables): DataFrame = {
     val gated = withRepRatio(withQualityScore(withWords(t)))
@@ -574,8 +580,8 @@ object TextAnalysis extends QueryModule {
       .select(
         col("doc_id"), col("source"), col("n_chars"), col("pass_gate"),
         md5(col("text")).as("h"))
-    val canon = gated
-      .filter(col("pass_gate"))
+    val canon = t.documents
+      .select(md5(col("text")).as("h"), col("doc_id"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("canon_id"))
     gated
