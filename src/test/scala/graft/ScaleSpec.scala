@@ -170,6 +170,21 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q106's ownership branch carries no gate kernel: shingle_set runs once") {
+    // the canonical branch is a slim (md5, min doc_id) derivation — the
+    // gate verdict is text-determined, so re-running the quality kernel on
+    // the ownership side would be pure waste; pin that it never creeps in
+    val df = SparkEntry.queries("q106_curation_funnel")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val fin = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i  => plan.substring(0, i)
+    }
+    val kernels = "shingle_set".r.findAllIn(fin).length
+    assert(kernels == 1, s"gate kernel must run once, ran $kernels times")
+  }
+
   test("graft.local.split gates the local-mode repartition crutch, default off") {
     val docs = Tables(spark, sf).documents
     def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
