@@ -119,7 +119,11 @@ object PlanAudit {
     // (media_type, profile) block self-join (one keyed shuffle per side)
     // → pair rollup + blob/block rollup (countDistinct two-phase) →
     // |modalities|-row join + sort; signatures are map-side kernel work
-    "q108_blob_neardup" -> 4).withDefaultValue(3)
+    "q108_blob_neardup" -> 4,
+    // vocab-bounded term agg (the one corpus-scale shuffle) → single-row
+    // totals agg (printed per consuming branch; broadcast back) →
+    // 3-pair vocab-scale agg → sort
+    "q110_split_shift" -> 5).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

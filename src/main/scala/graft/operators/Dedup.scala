@@ -638,8 +638,69 @@ object Dedup extends QueryModule {
       .orderBy(col("source"), col("cls"))
   }
 
+  /** Split-shift audit — the governance check after q103 assigns splits:
+    * is the test distribution actually exchangeable with train, or did
+    * the hash land a skewed slice? Total-variation distance between each
+    * split pair's unigram term distributions, computed ENTIRELY in
+    * integer arithmetic: TV = Σ|c_a·t_b − c_b·t_a| / (2·t_a·t_b), so
+    * unlike a KL/JS audit there is no transcendental anywhere — the sum
+    * is exact cross-engine and only the final one-division quantizes
+    * (round 6). The most-shifted term rides along via the zero-padded
+    * max-string trick (numeric-then-term lexicographic max — one agg, no
+    * window, deterministic ties).
+    *
+    * Scale shape: the ONLY corpus-scale shuffle is the (term) count agg
+    * (q77's vocabulary-bounded discipline — the split flag collapses into
+    * three conditional sums, not three passes); totals are a single-row
+    * broadcast; the 3-pair explode is vocab-scale. |c_a·t_b| ≤ 2^53
+    * holds to ~10¹³ tokens; past that, route through DECIMAL.
+    */
+  private def q110(t: Tables): DataFrame = {
+    val base = Tables.localSplit(t.documents, col("doc_id"))
+      .withColumn(
+        "bucket",
+        expr(s"${hexint32("md5(CAST(doc_id AS STRING))")}") % 100)
+      .withColumn(
+        "split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .select(col("split"), explode(split(col("text"), " ")).as("term"))
+    val counts = base
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("c_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("c_test"))
+    val totals = counts.agg(
+      sum(col("c_train")).as("t_train"),
+      sum(col("c_val")).as("t_val"),
+      sum(col("c_test")).as("t_test"))
+    def arm(a: String, b: String) = struct(
+      lit(a).as("split_a"), lit(b).as("split_b"),
+      col(s"c_$a").as("ca"), col(s"c_$b").as("cb"),
+      col(s"t_$a").as("ta"), col(s"t_$b").as("tb"), col("term").as("term"))
+    counts
+      .join(broadcast(totals))
+      .select(explode(array(arm("train", "val"), arm("train", "test"), arm("val", "test"))).as("p"))
+      .select(col("p.*"))
+      .filter(col("ca") + col("cb") > 0)
+      .withColumn("cross", abs(col("ca") * col("tb") - col("cb") * col("ta")))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max(col("ta")).as("tokens_a"),
+        max(col("tb")).as("tokens_b"),
+        sum(col("cross")).as("cross_sum"),
+        max(concat(lpad(col("cross").cast("string"), 20, "0"), lit(":"), col("term"))).as("topk"))
+      .select(
+        col("split_a"), col("split_b"), col("n_terms"), col("tokens_a"), col("tokens_b"),
+        round(col("cross_sum") / (lit(2.0) * col("tokens_a") * col("tokens_b")), 6).as("tv"),
+        expr("substr(topk, 22)").as("top_term"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_hash_split" -> ((s, d) => q103(Tables(s, d))),
+    "q110_split_shift" -> ((s, d) => q110(Tables(s, d))),
     "q107_delta_dedup" -> ((s, d) => q107(Tables(s, d))),
     "q95_overlap_sketch" -> ((s, d) => q95(Tables(s, d))),
     "q92_source_overlap" -> ((s, d) => q92(Tables(s, d))),
@@ -707,6 +768,37 @@ object Dedup extends QueryModule {
        |  GROUP BY a.source, b.source)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q110_split_shift" ->
+      s"""WITH d AS (
+         | SELECT ${hexint32("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket, text
+         | FROM documents),
+         | s AS (
+         | SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |        ELSE 'test' END AS split,
+         |  unnest(string_split(text, ' ')) AS term FROM d),
+         | c AS (
+         | SELECT term,
+         |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+         |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_val,
+         |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS c_test
+         | FROM s GROUP BY term),
+         | t AS (
+         | SELECT CAST(sum(c_train) AS BIGINT) AS t_train,
+         |  CAST(sum(c_val) AS BIGINT) AS t_val,
+         |  CAST(sum(c_test) AS BIGINT) AS t_test FROM c),
+         | p AS (
+         | SELECT 'train' AS split_a, 'val' AS split_b, c_train AS ca, c_val AS cb,
+         |  t_train AS ta, t_val AS tb, term FROM c CROSS JOIN t
+         | UNION ALL
+         | SELECT 'train', 'test', c_train, c_test, t_train, t_test, term FROM c CROSS JOIN t
+         | UNION ALL
+         | SELECT 'val', 'test', c_val, c_test, t_val, t_test, term FROM c CROSS JOIN t),
+         | f AS (SELECT *, abs(ca * tb - cb * ta) AS crs FROM p WHERE ca + cb > 0)
+         |SELECT split_a, split_b, count(*) AS n_terms,
+         | max(ta) AS tokens_a, max(tb) AS tokens_b,
+         | round(CAST(sum(crs) AS DOUBLE) / (2.0 * max(ta) * max(tb)), 6) AS tv,
+         | substr(max(lpad(CAST(crs AS VARCHAR), 20, '0') || ':' || term), 22) AS top_term
+         |FROM f GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
     "q107_delta_dedup" ->
       s"""WITH w AS (
          | SELECT doc_id, source, n_chars, string_split(text, ' ') AS words,

@@ -392,6 +392,45 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q110 split shift matches an independent total-variation recomputation") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val bySplit = docs
+      .map { case (id, text, _, _) =>
+        val b = bucket(id)
+        val split = if (b < 90) "train" else if (b < 95) "val" else "test"
+        split -> text.split(" ", -1).toSeq
+      }
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> xs.flatMap(_._2).groupBy(identity).map { case (t, ys) => t -> ys.size.toLong }
+      }
+    def counts(s: String) = bySplit.getOrElse(s, Map.empty[String, Long])
+    val expected = Seq(("train", "val"), ("train", "test"), ("val", "test")).map {
+      case (a, b) =>
+        val (ca, cb) = (counts(a), counts(b))
+        val (ta, tb) = (ca.values.sum, cb.values.sum)
+        val support = (ca.keySet ++ cb.keySet).toSeq
+        val crosses = support.map { t =>
+          t -> math.abs(ca.getOrElse(t, 0L) * tb - cb.getOrElse(t, 0L) * ta)
+        }
+        val top = crosses.maxBy { case (t, c) => (c, t) }
+        (a, b, support.size.toLong, ta, tb,
+          rnd(crosses.map(_._2).sum.toDouble / (2.0 * ta * tb), 6), top._1)
+    }.toSet
+    val got = SparkEntry.queries("q110_split_shift")(spark, sf).collect().map { r =>
+      (r.getAs[String]("split_a"), r.getAs[String]("split_b"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("tokens_a"), r.getAs[Long]("tokens_b"), r.getAs[Double]("tv"),
+        r.getAs[String]("top_term"))
+    }.toSet
+    assert(got == expected)
+    // TV is a [0,1] metric; an unbiased hash split should sit FAR from 1
+    expected.foreach { case (_, _, _, _, _, tv, _) => assert(tv >= 0.0 && tv <= 1.0) }
+  }
+
   test("q100 entropy matches an independent recomputation and is bounded by ln(26)") {
     val perDoc = docs.map { case (_, text, src, _) =>
       val cnts = ('a' to 'z').map(c => text.count(_ == c).toLong)
