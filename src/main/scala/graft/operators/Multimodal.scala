@@ -45,19 +45,36 @@ object Multimodal extends QueryModule {
     // from memory instead (process-wide, idempotent)
     javax.imageio.ImageIO.setUseCache(false)
 
+    /** Header-only dimension read: an ImageReader's getWidth/getHeight
+      * parse just the header, never the pixel data — the difference
+      * between O(header) and O(W·H·channels) per blob in the
+      * mapPartitions hot path. Returns null on any failure.
+      *
+      * NonFatal, not just IOException: ImageIO readers throw
+      * RuntimeExceptions (CMMException, ArrayIndexOutOfBounds,
+      * IllegalArgument) on payloads that pass the magic sniff but are
+      * corrupt past the header — one bad blob in 100 TB must fall back,
+      * not fail the job.
+      */
+    private def readDims(payload: Array[Byte]): (Long, Long) =
+      try {
+        val iis = javax.imageio.ImageIO
+          .createImageInputStream(new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val r = readers.next()
+            try { r.setInput(iis, true, true); (r.getWidth(0).toLong, r.getHeight(0).toLong) }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+
     def decode(docId: Long, payload: Array[Byte], mediaType: String): MediaRow = {
-      val img =
-        if (!looksLikeImage(payload)) null
-        else
-          // NonFatal, not just IOException: ImageIO readers throw
-          // RuntimeExceptions (CMMException, ArrayIndexOutOfBounds,
-          // IllegalArgument) on payloads that pass the magic sniff but are
-          // corrupt past the header — one bad blob in 100 TB must fall
-          // back, not fail the job
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case scala.util.control.NonFatal(_) => null }
-      if (img != null)
-        MediaRow(docId, mediaType, payload.length.toLong, img.getWidth.toLong, img.getHeight.toLong)
+      val dims = if (!looksLikeImage(payload)) null else readDims(payload)
+      if (dims != null)
+        MediaRow(docId, mediaType, payload.length.toLong, dims._1, dims._2)
       else {
         val w = 16L + (docId % 16) * 8
         val h = 16L + ((docId / 16) % 16) * 8

@@ -147,18 +147,26 @@ class MultimodalSpec extends AnyFunSuite {
     // codec must degrade to the deterministic derivation, never propagate
     val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
       Array.fill[Byte](64)(0x5A)
-    val truncated = {
+    def png9 = {
       val img = new java.awt.image.BufferedImage(9, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray.take(30)
+      bos.toByteArray
     }
-    val blobs = Seq((3L, corrupt, "image"), (4L, truncated, "image"))
+    // cut INSIDE the IHDR header (width survives, height doesn't): the
+    // header parse itself must fail → fallback
+    val midHeader = png9.take(20)
+    val blobs = Seq((3L, corrupt, "image"), (4L, midHeader, "image"))
       .toDF("doc_id", "payload", "media_type")
     val out = operators.Multimodal.decodeBlobs(blobs).collect().sortBy(_.doc_id)
     assert(out.length == 2)
     out.foreach(r =>
       assert(r.width == 16L + (r.doc_id % 16) * 8 && r.height == 16L + ((r.doc_id / 16) % 16) * 8,
         s"doc ${r.doc_id} did not take the fallback: $r"))
+    // cut AFTER the header (body gone): the header-only reader still
+    // recovers the true dimensions — dims cost O(header), not O(pixels)
+    val bodyGone = Seq((5L, png9.take(33), "image")).toDF("doc_id", "payload", "media_type")
+    val dims = operators.Multimodal.decodeBlobs(bodyGone).head()
+    assert(dims.width == 9L && dims.height == 9L, s"header-only read failed: $dims")
   }
 }
