@@ -185,6 +185,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(kernels == 1, s"gate kernel must run once, ran $kernels times")
   }
 
+  test("q107's asymmetric probe signs each side once: minhash kernel appears exactly twice") {
+    // base index + incoming probe each compute signatures over THEIR half —
+    // together one kernel pass over the corpus. A third occurrence means a
+    // branch re-derives a side (e.g. the near-id distinct re-signing the
+    // batch), which doubles kernel work at 100 TB.
+    val df = SparkEntry.queries("q107_delta_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val fin = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i  => plan.substring(0, i)
+    }
+    val kernels = "minhash_sigs".r.findAllIn(fin).length
+    assert(kernels == 2, s"minhash kernel must run once per side, found $kernels")
+  }
+
   test("graft.local.split gates the local-mode repartition crutch, default off") {
     val docs = Tables(spark, sf).documents
     def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
