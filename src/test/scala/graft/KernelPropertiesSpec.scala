@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{ByteHistogramKernel, MinHashKernel, SubwordKernel}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based pins for the native kernels' cross-engine contracts.
+  * Each kernel's correctness argument is an EQUIVALENCE claim ("the tight
+  * loop computes exactly what the oracle's closed form computes"); the
+  * corpus queries only exercise the corpus's character distribution, so
+  * these properties drive randomized inputs — including the edge shapes
+  * the corpus never produces (empty strings, runs of spaces, non-ASCII,
+  * surrogate pairs) — against independent reimplementations.
+  */
+class KernelPropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // text shaped to collide with the subword vocab AND to hit boundaries:
+  // letters, spaces (incl. runs), digits/punct, non-ASCII, an emoji
+  // (surrogate pair)
+  private val piece: Gen[String] = Gen.frequency(
+    8 -> Gen.oneOf(('a' to 'z').map(_.toString)),
+    3 -> Gen.oneOf(SubwordKernel.units),
+    2 -> Gen.const(" "),
+    1 -> Gen.oneOf(".", ",", "!", "0", "9", "A", "Z"),
+    1 -> Gen.oneOf("é", "中", "😀"))
+  private val text: Gen[String] = Gen.listOf(piece).map(_.mkString)
+
+  test("subword kernel == the oracle's regex closed form on arbitrary strings") {
+    val re = SubwordKernel.regexAlternation
+    check(Prop.forAll(text) { s =>
+      val after = s.replaceAll(re, "#")
+      // the oracle: length(after_replace) − n_spaces, in CODE POINTS
+      val expected = after.codePointCount(0, after.length) - s.count(_ == ' ')
+      SubwordKernel.count(UTF8String.fromString(s)) == expected.toLong
+    })
+  }
+
+  test("byte histogram kernel == a naive per-byte recount on arbitrary strings") {
+    check(Prop.forAll(text) { s =>
+      val bins = new Array[Long](16)
+      s.getBytes("UTF-8").foreach(b => bins((b & 0xff) >>> 4) += 1)
+      val got = ByteHistogramKernel.hist(UTF8String.fromString(s)).toLongArray()
+      got.toSeq == bins.toSeq
+    })
+  }
+
+  test("minhash kernel == the md5→int32→band-rehash pipeline on arbitrary strings") {
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    check(Prop.forAll(text, Gen.choose(1, 12)) { (s, bands) =>
+      val words = s.split(" ", -1)
+      val expected =
+        if (words.length < 3) null
+        else {
+          val hs = (0 to words.length - 3)
+            .map(i => java.lang.Long.parseLong(md5hex(words.slice(i, i + 3).mkString(" ")).take(8), 16))
+          (0 until bands).map { b =>
+            if (hs.isEmpty) Long.MaxValue
+            else hs.map(h => (h * (2 * b + 1) + 7919L * b) % 2147483647L).min
+          }
+        }
+      val got = Option(MinHashKernel.sigs(UTF8String.fromString(s), bands))
+        .map(_.toLongArray().toSeq).orNull
+      got == expected
+    })
+  }
+}
