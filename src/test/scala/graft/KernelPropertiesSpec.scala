@@ -50,6 +50,46 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("shingle kernel == first-occurrence-distinct word 3-grams on arbitrary strings") {
+    check(Prop.forAll(text) { s =>
+      val words = s.split(" ", -1)
+      val expected =
+        if (words.length < 3) null
+        else (0 to words.length - 3).map(i => words.slice(i, i + 3).mkString(" ")).distinct
+      val got = Option(graft.functions.ShingleKernel.distinctShingles(UTF8String.fromString(s)))
+        .map(_.toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq)
+        .orNull
+      got == expected
+    })
+  }
+
+  test("simhash64 kernel == an independent FNV-1a bit-majority recomputation") {
+    def fnv(tok: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      tok.foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+      h
+    }
+    check(Prop.forAll(text) { s =>
+      val toks = s.getBytes("UTF-8")
+        .foldLeft(List(Vector.empty[Byte])) { (acc, b) =>
+          if (b == ' '.toByte) Vector.empty[Byte] :: acc
+          else (acc.head :+ b) :: acc.tail
+        }
+        .reverse.filter(_.nonEmpty).map(_.toArray)
+      val expected: Any =
+        if (toks.isEmpty) null
+        else {
+          val hs = toks.map(fnv)
+          (0 until 64).foldLeft(0L) { (out, b) =>
+            val ones = hs.count(h => ((h >>> b) & 1L) == 1L)
+            if (2 * ones >= hs.length) out | (1L << b) else out
+          }
+        }
+      val got: Any = graft.functions.SimHashImpl.computeOrNull(UTF8String.fromString(s))
+      got == expected
+    })
+  }
+
   test("minhash kernel == the md5→int32→band-rehash pipeline on arbitrary strings") {
     def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
