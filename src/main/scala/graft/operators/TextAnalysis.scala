@@ -598,6 +598,49 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Cross-modal cluster-quality profile — the analysis that links the
+    * text-quality family (§C) to the embedding clusters (§E): embedding
+    * clusters concentrate boilerplate (the SemDeDup observation), so a
+    * per-cluster quality profile tells a curation run which clusters to
+    * drop wholesale, which to sample harder, and which are clean. Joins
+    * each vector's cluster label to its document's q84 gate verdict and
+    * q33 score (the SAME shared expression helpers — nothing re-derived).
+    *
+    * Exactness: the round-4 score quantizes to integer 1e-4 units before
+    * aggregation (q90's discipline), so per-cluster sums are long adds —
+    * order-independent cross-engine; the three output ratios are single
+    * divisions of exact longs.
+    *
+    * Scale shape: the gate is map-side next to the documents scan; the
+    * embeddings side prunes to (vec_id, label); one doc_id-keyed shuffle
+    * join + one label rollup. At 100 TB co-bucket both tables on the id
+    * to make the join exchange-free (SourcesSpec's bucketing pattern).
+    */
+  private def q111(t: Tables): DataFrame = {
+    val gated = withRepRatio(withQualityScore(withWords(t)))
+      .withColumn(
+        "pass_gate",
+        col("n_chars") >= 50 && col("rep_ratio") <= 0.2 && col("score") >= 0.45)
+      .select(
+        col("doc_id"), col("n_chars"),
+        expr("CAST(round(score * 10000, 0) AS BIGINT)").as("score_e4"), col("pass_gate"))
+    t.embeddings
+      .select(col("vec_id").as("doc_id"), col("label"))
+      .join(gated, Seq("doc_id"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pass_gate"), 1L).otherwise(0L)).as("n_pass"),
+        sum(col("score_e4")).as("sum_score_e4"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(
+        col("label"), col("n_docs"), col("n_pass"),
+        round(col("n_pass") / col("n_docs"), 4).as("pass_rate"),
+        round(col("sum_score_e4") / col("n_docs"), 2).as("avg_score_e4"),
+        round(col("sum_chars") / col("n_docs"), 2).as("avg_chars"))
+      .orderBy(col("label"))
+  }
+
   // BM25 constants (Robertson k1/b defaults; the +1-inside-the-log idf is
   // Lucene's non-negative variant). The query mixes the corpus's one rare
   // term with two common ones so idf actually separates documents.
@@ -799,6 +842,7 @@ object TextAnalysis extends QueryModule {
     "q84_quality_gate" -> ((s, d) => q84(Tables(s, d))),
     "q105_winnow" -> ((s, d) => q105(Tables(s, d))),
     "q106_curation_funnel" -> ((s, d) => q106(Tables(s, d))),
+    "q111_cluster_quality" -> ((s, d) => q111(Tables(s, d))),
     "q81_repetition" -> ((s, d) => q81(Tables(s, d))),
     "q76_heavy_hitters" -> ((s, d) => q76(Tables(s, d))),
     "q77_bigram_lm" -> ((s, d) => q77(Tables(s, d))),
@@ -981,6 +1025,20 @@ object TextAnalysis extends QueryModule {
          |SELECT source, reason, count(*) AS n_docs,
          | CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY source, reason ORDER BY source, reason""".stripMargin,
+    "q111_cluster_quality" ->
+      s"""WITH $gateCtesSql,
+         | g AS (
+         | SELECT doc_id, n_chars, CAST(round(score * 10000, 0) AS BIGINT) AS score_e4,
+         |  (n_chars >= 50 AND rep_ratio <= 0.2 AND score >= 0.45) AS pass_gate
+         | FROM r),
+         | e AS (SELECT vec_id AS doc_id, label FROM embeddings)
+         |SELECT label, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN pass_gate THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         | round(sum(CASE WHEN pass_gate THEN 1 ELSE 0 END) / count(*), 4) AS pass_rate,
+         | round(CAST(sum(score_e4) AS DOUBLE) / count(*), 2) AS avg_score_e4,
+         | round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars
+         |FROM e JOIN g USING (doc_id)
+         |GROUP BY label ORDER BY label""".stripMargin,
     "q106_curation_funnel" ->
       s"""WITH $gateCtesSql,
          | g AS (

@@ -431,6 +431,41 @@ class CorpusAuditSpec extends AnyFunSuite {
     expected.foreach { case (_, _, _, _, _, tv, _) => assert(tv >= 0.0 && tv <= 1.0) }
   }
 
+  test("q111 cluster quality matches an independent gate+join recomputation") {
+    val stop = Set("the", "a", "of", "and")
+    val labels = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("label").intValue).toMap
+    val staged = docs.flatMap { case (id, text, _, nc) =>
+      labels.get(id).map { label =>
+        val ws = text.split(" ", -1).toSeq
+        val score = rnd(
+          math.min(ws.size / 100.0, 1.0) * 0.5
+            + (ws.count(stop).toDouble / ws.size) * 2.0
+            + (if (nc >= 100) 0.2 else 0.0), 4)
+        val totalSh = math.max(ws.size - 2, 0)
+        val distinctSh =
+          if (ws.size >= 3) (0 to ws.size - 3).map(i => ws.slice(i, i + 3).mkString(" ")).distinct.size
+          else 0
+        val rep = if (totalSh > 0) 1.0 - distinctSh.toDouble / totalSh else 0.0
+        (label, nc, rnd(score * 10000, 0).toLong,
+          nc >= 50 && rep <= 0.2 && score >= 0.45)
+      }
+    }
+    val expected = staged.groupBy(_._1).map { case (label, ds) =>
+      val nPass = ds.count(_._4).toLong
+      (label, ds.size.toLong, nPass,
+        rnd(nPass.toDouble / ds.size, 4),
+        rnd(ds.map(_._3).sum.toDouble / ds.size, 2),
+        rnd(ds.map(_._2).sum.toDouble / ds.size, 2))
+    }.toSet
+    val got = SparkEntry.queries("q111_cluster_quality")(spark, sf).collect().map { r =>
+      (r.getAs[Number]("label").intValue, r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"),
+        r.getAs[Double]("pass_rate"), r.getAs[Double]("avg_score_e4"), r.getAs[Double]("avg_chars"))
+    }.toSet
+    assert(got == expected)
+  }
+
   test("q100 entropy matches an independent recomputation and is bounded by ln(26)") {
     val perDoc = docs.map { case (_, text, src, _) =>
       val cnts = ('a' to 'z').map(c => text.count(_ == c).toLong)
