@@ -201,6 +201,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(kernels == 2, s"minhash kernel must run once per side, found $kernels")
   }
 
+  test("q101's within-cluster self-join reads the embedding table once per side at most") {
+    // the pair join's two sides are the same (label, vec_id, v) relation —
+    // the wide vector column must not be scanned more than twice (once per
+    // join side); a regression that re-derives a side (e.g. for the size
+    // rollup) would re-read corpus×dim floats
+    val df = SparkEntry.queries("q101_semdedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val fin = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i  => plan.substring(0, i)
+    }
+    val reused = "ReusedExchange".r.findAllIn(fin).length
+    val scans = "Scan parquet".r.findAllIn(fin).length
+    assert(reused >= 1 || scans <= 2,
+      s"embedding scan fans out: $scans scans, $reused reuses\n$fin")
+  }
+
   test("graft.local.split gates the local-mode repartition crutch, default off") {
     val docs = Tables(spark, sf).documents
     def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
