@@ -355,7 +355,11 @@ object Similarity extends QueryModule {
     * family already probes — q71's trained centroids at build time) bounds
     * pair work to Σ|cluster|² ≈ n²/k, and the join is a keyed shuffle on
     * the cluster id, so each cluster's quadratic runs data-local inside
-    * one partition, never a global cartesian.
+    * one partition, never a global cartesian. A pathological mega-cluster
+    * is the residual risk: AQE's skew-join splitting spreads its probe
+    * side across tasks, and the real fix is upstream — retrain the
+    * quantizer (q71) with more centroids until cluster sizes are sane,
+    * which is the knob SemDeDup itself turns.
     *
     * The drop rule is the deterministic greedy: within a cluster a vector
     * is dropped iff some LOWER-id vector sits within the similarity
