@@ -554,7 +554,7 @@ object Dedup extends QueryModule {
       .orderBy(col("s1"), col("s2"))
   }
 
-  /** Deterministic content-hash train/val/test assignment — the split
+  /** Deterministic id-hash train/val/test assignment — the split
     * step every training pipeline runs before anything trains: each doc
     * lands in a split by hashing its STABLE id (md5 → first-8-hex int,
     * the q36/q95 cross-engine fragment), so membership is reproducible
