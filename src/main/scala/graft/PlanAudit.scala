@@ -123,7 +123,10 @@ object PlanAudit {
     // vocab-bounded term agg (the one corpus-scale shuffle) → single-row
     // totals agg (printed per consuming branch; broadcast back) →
     // 3-pair vocab-scale agg → sort
-    "q110_split_shift" -> 5).withDefaultValue(3)
+    "q110_split_shift" -> 5,
+    // single-row percentile cutoff agg (broadcast back) + split rollup
+    // with countDistinct (two-phase) + sort; classification is map-side
+    "q112_temporal_split" -> 4).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -279,6 +279,42 @@ object Extras extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Temporal train/val/test split over the event stream — the
+    * time-ordered counterpart of q103's id-hash split: event data must
+    * split by TIME (train on the past, evaluate on the future), or the
+    * eval window leaks signal that postdates the training cut. Cutoffs
+    * are the exact interpolated p80/p90 of event time — ONE single-row
+    * aggregate, broadcast onto the stream (q15's scalar pattern); every
+    * event classifies by two ≤-comparisons map-side; the per-split
+    * report (volume, distinct users, event-time envelope, purchase mix)
+    * is one split-keyed rollup. At 100 TB swap the exact percentile for
+    * `approx_percentile` (q91's conf discipline); everything else is
+    * already the scale shape.
+    */
+  private def q112(t: Tables): DataFrame = {
+    val e = t.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val cuts = e.agg(
+      expr("percentile(us, 0.8)").as("p80"),
+      expr("percentile(us, 0.9)").as("p90"))
+    e.join(broadcast(cuts))
+      .withColumn(
+        "split",
+        when(col("us") <= col("p80"), "train")
+          .when(col("us") <= col("p90"), "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("us")).as("us_min"),
+        max(col("us")).as("us_max"),
+        round(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) / count(lit(1)),
+          4).as("purchase_share"))
+      .orderBy(col("split"))
+  }
+
   private def q64(t: Tables): DataFrame =
     t.documents
       .withColumn("h", expr("(doc_id * 2654435761) % 100"))
@@ -346,7 +382,8 @@ object Extras extends QueryModule {
     "q53_range_join" -> ((s, d) => q53(Tables(s, d))),
     "q54_window_suite" -> ((s, d) => q54(Tables(s, d))),
     "q55_group_stats" -> ((s, d) => q55(Tables(s, d))),
-    "q56_approx_distinct" -> ((s, d) => q56(Tables(s, d)))
+    "q56_approx_distinct" -> ((s, d) => q56(Tables(s, d))),
+    "q112_temporal_split" -> ((s, d) => q112(Tables(s, d)))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -497,6 +534,19 @@ object Extras extends QueryModule {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         | abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
         |   <= count(DISTINCT user_id) * 0.1 AS approx_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q112_temporal_split" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        | c AS (SELECT quantile_cont(us, 0.8) AS p80, quantile_cont(us, 0.9) AS p90 FROM e),
+        | s AS (
+        | SELECT user_id, event_type, us,
+        |  CASE WHEN us <= p80 THEN 'train' WHEN us <= p90 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM e CROSS JOIN c)
+        |SELECT split, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(min(us) AS BIGINT) AS us_min, CAST(max(us) AS BIGINT) AS us_max,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / count(*), 4) AS purchase_share
+        |FROM s GROUP BY split ORDER BY split""".stripMargin
   )
 }

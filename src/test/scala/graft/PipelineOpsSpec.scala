@@ -478,6 +478,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(audit(1) == ((1L, 1L)))
   }
 
+  test("q112 temporal split matches an independent percentile recomputation and splits are time-ordered") {
+    def rnd4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pctl(sorted: IndexedSeq[Long], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < sorted.length) sorted(lo) * (1 - frac) + sorted(lo + 1) * frac
+      else sorted(lo).toDouble
+    }
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val sorted = ev.map(_._3).sorted.toIndexedSeq
+    val (p80, p90) = (pctl(sorted, 0.8), pctl(sorted, 0.9))
+    val staged = ev.map { case (u, et, us) =>
+      val split = if (us <= p80) "train" else if (us <= p90) "val" else "test"
+      (split, u, et, us)
+    }
+    val expected = staged.groupBy(_._1).map { case (split, xs) =>
+      (split, xs.size.toLong, xs.map(_._2).distinct.size.toLong,
+        xs.map(_._4).min, xs.map(_._4).max,
+        rnd4(xs.count(_._3 == "purchase").toDouble / xs.size))
+    }.toSet
+    val got = SparkEntry.queries("q112_temporal_split")(spark, sf).collect().map { r =>
+      (r.getAs[String]("split"), r.getAs[Long]("n_events"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("us_min"), r.getAs[Long]("us_max"), r.getAs[Double]("purchase_share"))
+    }.toSet
+    assert(got == expected)
+    // the whole point: splits are strictly time-ordered (no leakage)
+    val env = got.map(r => r._1 -> (r._4, r._5)).toMap
+    for {
+      (a, b) <- Seq(("train", "val"), ("val", "test"))
+      ((_, maxA), (minB, _)) <- env.get(a).zip(env.get(b))
+    } assert(maxA < minB, s"$a overlaps $b in time")
+  }
+
   test("q96 funnel matches an independent per-user stage recomputation") {
     val events = Tables(spark, sf).events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
