@@ -140,6 +140,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fallback.width == 16L + (20L % 16) * 8 && fallback.height == 16L + ((20L / 16) % 16) * 8)
   }
 
+  test("binaryFile source feeds real image files through the decode chain") {
+    import spark.implicits._
+    // the actual multimodal INGEST path: media files on disk → Spark's
+    // binaryFile source (path, length, content) → blob frame → codec.
+    // binaryFile never loads all files in one task; content is a regular
+    // binary column, so decodeBlobs composes unchanged.
+    val dir = java.nio.file.Files.createTempDirectory("graft_blobs")
+    try {
+      (1 to 4).foreach { i =>
+        val img = new java.awt.image.BufferedImage(
+          10 * i, 5 * i, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        javax.imageio.ImageIO.write(img, "png", dir.resolve(s"asset_$i.png").toFile)
+      }
+      val blobs = spark.read.format("binaryFile").load(dir.toString)
+        .select(
+          regexp_extract(col("path"), "asset_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+          col("content").as("payload"),
+          lit("image").as("media_type"))
+      val out = operators.Multimodal.decodeBlobs(blobs).collect().sortBy(_.doc_id)
+      assert(out.map(_.doc_id).toSeq == Seq(1L, 2L, 3L, 4L))
+      out.foreach { r =>
+        assert(r.width == 10 * r.doc_id && r.height == 5 * r.doc_id,
+          s"asset ${r.doc_id}: ${r.width}x${r.height}")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("a corrupt payload that passes the magic sniff falls back instead of failing the job") {
     import spark.implicits._
     // valid PNG magic, garbage body: ImageIO readers throw on these (not
