@@ -39,6 +39,37 @@ class CatalogStoreSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("dataset_key"), r.getAs[String]("title"), r.getAs[Int]("revision")))
       .toSet
 
+  test("upsert order-convergence: distinct-revision batches reach one state in any order") {
+    // the replay/merge contract at its core: with revisions totally
+    // ordered per key, the final catalog is the max-revision row per key
+    // REGARDLESS of batch application order — the property that makes
+    // out-of-order batch redelivery safe. (Revision TIES are the one
+    // documented exception: base wins, so ties are order-dependent by
+    // design — this fixture keeps revisions unique per key.)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val updates = (0 until 24).map { i =>
+      (rnd.nextInt(6).toLong, s"title_r${i + 2}", i + 2) // 6 keys, unique revisions
+    }
+    val batches: Seq[DataFrame] = updates.grouped(8).map(
+      _.toDF("dataset_key", "title", "revision")).toSeq
+    def applyAll(order: Seq[Int]): Set[(Long, String, Int)] = {
+      val dir = tmp()
+      CatalogStore.init(spark, dir,
+        (0L until 6L).map(k => (k, s"title_r1", 1)).toDF("dataset_key", "title", "revision"))
+      order.foreach(i => CatalogStore.upsert(spark, dir, batches(i)))
+      snapshot(dir)
+    }
+    val forward = applyAll(batches.indices)
+    val backward = applyAll(batches.indices.reverse)
+    val shuffled = applyAll(rnd.shuffle(batches.indices.toList))
+    assert(forward == backward && forward == shuffled)
+    // and the converged state is exactly max-revision-per-key
+    val expected = (updates ++ (0L until 6L).map(k => (k, "title_r1", 1)))
+      .groupBy(_._1).map { case (_, xs) => xs.maxBy(_._3) }.toSet
+    assert(forward == expected)
+  }
+
   test("init + read-back round-trips the initial catalog, sharded for pruning") {
     val dir = tmp()
     assert(CatalogStore.currentVersion(spark, dir).isEmpty)
