@@ -126,7 +126,11 @@ object PlanAudit {
     "q110_split_shift" -> 5,
     // single-row percentile cutoff agg (broadcast back) + split rollup
     // with countDistinct (two-phase) + sort; classification is map-side
-    "q112_temporal_split" -> 4).withDefaultValue(3)
+    "q112_temporal_split" -> 4,
+    // window-hash agg (partial collapses hot windows map-side) +
+    // position-attribution join (both sides keyed on the hash) + source
+    // rollup with countDistinct (two-phase) + sort
+    "q113_substring_windows" -> 4).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

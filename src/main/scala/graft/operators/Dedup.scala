@@ -698,8 +698,54 @@ object Dedup extends QueryModule {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** Exact-substring repeat detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the detection phase):
+    * any substring of ≥ K tokens repeated ANYWHERE in the corpus is
+    * caught, because every such run must contain a full stride-1 K-token
+    * window, and those windows are deduped corpus-wide. This is the
+    * guarantee q89's fixed-stride chunks cannot give (a repeat straddling
+    * a chunk boundary hides from stride=width; stride-1 has no
+    * boundaries). The suffix-array machinery of the paper buys the same
+    * detection in O(n log n) single-machine; the window-hash formulation
+    * is its shuffle-native equivalent — linear rows, all keyed.
+    *
+    * Scale shape: one md5 per token position (the shingle family's cost,
+    * map-side next to the scan); repeated windows = one hash-keyed agg
+    * (partial agg collapses hot windows map-side — a boilerplate window
+    * repeated k times shuffles once per partition, not k rows); position
+    * attribution joins back on the hash (q89's join-not-window
+    * discipline); one source rollup. `graft.dedup.windowTokens`
+    * (default 8) is K.
+    */
+  private def q113(t: Tables): DataFrame = {
+    val k = t.spark.conf.get("graft.dedup.windowTokens", "8").toInt
+    require(k >= 2 && k <= 64, s"graft.dedup.windowTokens out of range: $k")
+    val pos = Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("doc_id"), col("source"),
+        explode(expr(
+          s"""CASE WHEN size(split(text, ' ')) >= $k THEN
+             |  transform(sequence(1, size(split(text, ' ')) - $k + 1),
+             |    i -> md5(concat_ws(' ', slice(split(text, ' '), i, $k))))
+             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("h"))
+    val repeated = pos
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    pos
+      .join(repeated, Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("n_occ").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"),
+        countDistinct(when(col("n_occ").isNotNull, col("doc_id"))).as("n_docs_affected"))
+      .withColumn("dup_share", round(col("n_dup_windows") / col("n_windows"), 4))
+      .orderBy(col("source"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_hash_split" -> ((s, d) => q103(Tables(s, d))),
+    "q113_substring_windows" -> ((s, d) => q113(Tables(s, d))),
     "q110_split_shift" -> ((s, d) => q110(Tables(s, d))),
     "q107_delta_dedup" -> ((s, d) => q107(Tables(s, d))),
     "q95_overlap_sketch" -> ((s, d) => q95(Tables(s, d))),
@@ -768,6 +814,22 @@ object Dedup extends QueryModule {
        |  GROUP BY a.source, b.source)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q113_substring_windows" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        | p AS (
+        | SELECT doc_id, source,
+        |  unnest(CASE WHEN len(ws) >= 8 THEN
+        |    list_transform(range(1, len(ws) - 8 + 2),
+        |      i -> md5(array_to_string(list_slice(ws, i, i + 7), ' ')))
+        |   ELSE CAST([] AS VARCHAR[]) END) AS h
+        | FROM w),
+        | r AS (SELECT h, count(*) AS n_occ FROM p GROUP BY h HAVING count(*) > 1)
+        |SELECT source, count(*) AS n_windows,
+        | CAST(sum(CASE WHEN n_occ IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        | count(DISTINCT CASE WHEN n_occ IS NOT NULL THEN doc_id END) AS n_docs_affected,
+        | round(sum(CASE WHEN n_occ IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS dup_share
+        |FROM p LEFT JOIN r USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q110_split_shift" ->
       s"""WITH d AS (
          | SELECT ${hexint32("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket, text

@@ -466,6 +466,37 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q113 substring windows match an independent recomputation and the K conf retunes") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expected(k: Int) = {
+      val pos = docs.flatMap { case (id, text, src, _) =>
+        val ws = text.split(" ", -1)
+        if (ws.length < k) Seq.empty
+        else (0 to ws.length - k).map(i => (id, src, md5hex(ws.slice(i, i + k).mkString(" "))))
+      }
+      val repeats = pos.groupBy(_._3).filter(_._2.size > 1).keySet
+      pos.groupBy(_._2).map { case (src, xs) =>
+        val dup = xs.filter(p => repeats(p._3))
+        (src, xs.size.toLong, dup.size.toLong, dup.map(_._1).distinct.size.toLong,
+          rnd(dup.size.toDouble / xs.size, 4))
+      }.toSet
+    }
+    def got() = SparkEntry.queries("q113_substring_windows")(spark, sf).collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+        r.getAs[Long]("n_docs_affected"), r.getAs[Double]("dup_share"))
+    }.toSet
+    assert(got() == expected(8))
+    // K is a runtime conf; a smaller window can only flag MORE positions
+    spark.conf.set("graft.dedup.windowTokens", "5")
+    try {
+      val g5 = got()
+      assert(g5 == expected(5))
+      val d8 = expected(8).map(r => r._1 -> r._3).toMap
+      g5.foreach { case (src, _, dup5, _, _) => assert(dup5 >= d8.getOrElse(src, 0L)) }
+    } finally spark.conf.unset("graft.dedup.windowTokens")
+  }
+
   test("q100 entropy matches an independent recomputation and is bounded by ln(26)") {
     val perDoc = docs.map { case (_, text, src, _) =>
       val cnts = ('a' to 'z').map(c => text.count(_ == c).toLong)
