@@ -641,6 +641,36 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Gate-threshold sweep — the calibration table consulted BEFORE q84's
+    * 0.45 cutoff was fixed: every candidate score threshold priced
+    * (docs kept, chars kept, keep share) in ONE corpus pass. The score
+    * and repetition trees are the q33/q84 shared helpers (nothing
+    * re-derived); each doc emits one row per candidate threshold via a
+    * 3-struct explode (q110's arm trick — map-side, |thresholds|×
+    * corpus rows straight into a partial agg, never materialized); the
+    * only shuffle is the (threshold, source) rollup. Tuning tables like
+    * this are why the engine quantizes scores: the sweep is
+    * bit-reproducible, so picking a cutoff from it is too.
+    */
+  private def q114(t: Tables): DataFrame = {
+    val cuts = Seq(0.35, 0.45, 0.55)
+    val scored = withRepRatio(withQualityScore(withWords(t)))
+      .withColumn("base_pass", col("n_chars") >= 50 && col("rep_ratio") <= 0.2)
+      .select(col("source"), col("n_chars"), col("score"), col("base_pass"))
+    val arms = array(cuts.map(c =>
+      struct(lit(c).as("cut"), (col("base_pass") && col("score") >= c).as("kept"))): _*)
+    scored
+      .select(col("source"), col("n_chars"), explode(arms).as("a"))
+      .select(col("source"), col("n_chars"), col("a.cut").as("cut"), col("a.kept").as("kept"))
+      .groupBy(col("cut"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .withColumn("keep_share", round(col("n_kept") / col("n_docs"), 4))
+      .orderBy(col("cut"), col("source"))
+  }
+
   // BM25 constants (Robertson k1/b defaults; the +1-inside-the-log idf is
   // Lucene's non-negative variant). The query mixes the corpus's one rare
   // term with two common ones so idf actually separates documents.
@@ -843,6 +873,7 @@ object TextAnalysis extends QueryModule {
     "q105_winnow" -> ((s, d) => q105(Tables(s, d))),
     "q106_curation_funnel" -> ((s, d) => q106(Tables(s, d))),
     "q111_cluster_quality" -> ((s, d) => q111(Tables(s, d))),
+    "q114_gate_sweep" -> ((s, d) => q114(Tables(s, d))),
     "q81_repetition" -> ((s, d) => q81(Tables(s, d))),
     "q76_heavy_hitters" -> ((s, d) => q76(Tables(s, d))),
     "q77_bigram_lm" -> ((s, d) => q77(Tables(s, d))),
@@ -1025,6 +1056,24 @@ object TextAnalysis extends QueryModule {
          |SELECT source, reason, count(*) AS n_docs,
          | CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM g GROUP BY source, reason ORDER BY source, reason""".stripMargin,
+    "q114_gate_sweep" ->
+      s"""WITH $gateCtesSql,
+         | g AS (
+         | SELECT source, n_chars, score,
+         |  (n_chars >= 50 AND rep_ratio <= 0.2) AS base_pass
+         | FROM r),
+         | a AS (
+         | SELECT source, n_chars, CAST(0.35 AS DOUBLE) AS cut,
+         |  (base_pass AND score >= 0.35) AS kept FROM g
+         | UNION ALL
+         | SELECT source, n_chars, CAST(0.45 AS DOUBLE), (base_pass AND score >= 0.45) FROM g
+         | UNION ALL
+         | SELECT source, n_chars, CAST(0.55 AS DOUBLE), (base_pass AND score >= 0.55) FROM g)
+         |SELECT cut, source, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+         | round(sum(CASE WHEN kept THEN 1 ELSE 0 END) / count(*), 4) AS keep_share
+         |FROM a GROUP BY cut, source ORDER BY cut, source""".stripMargin,
     "q111_cluster_quality" ->
       s"""WITH $gateCtesSql,
          | g AS (

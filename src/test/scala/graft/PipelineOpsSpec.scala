@@ -515,6 +515,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     } assert(maxA < minB, s"$a overlaps $b in time")
   }
 
+  test("q114 sweep agrees with q84 at the production cut and keeps monotonically fewer as cuts rise") {
+    val rows = SparkEntry.queries("q114_gate_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Double]("cut"), r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept")))
+    // the 0.45 arm IS q84's gate, per source
+    val kept84 = SparkEntry.queries("q84_quality_gate")(spark, sf).collect()
+      .filter(_.getAs[String]("reason") == "kept")
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    rows.filter(_._1 == 0.45).foreach { case (_, src, _, nKept) =>
+      assert(kept84.getOrElse(src, 0L) == nKept, s"$src disagrees with q84")
+    }
+    // raising the cut can only shrink the kept set
+    val bySrc = rows.groupBy(_._2)
+    bySrc.values.foreach { arms =>
+      val sorted = arms.sortBy(_._1).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    // every arm sees the whole corpus
+    assert(rows.map(_._1).distinct.length == 3)
+    bySrc.values.foreach(arms => assert(arms.map(_._3).distinct.length == 1))
+  }
+
   test("q96 funnel matches an independent per-user stage recomputation") {
     val events = Tables(spark, sf).events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
