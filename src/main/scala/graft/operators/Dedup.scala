@@ -603,7 +603,11 @@ object Dedup extends QueryModule {
     * Scale shape: every shuffle is keyed on h, (band, sig), or doc_id and
     * bounded by the batch or the (deduplicated) index — no self-join of
     * the base side anywhere. `graft.lsh.bands` retunes recall at runtime
-    * (q36/q37's conf).
+    * (q36/q37's conf). When even the distinct base hash SET outgrows a
+    * shuffle join's comfort, the standard tightening is a Bloom filter
+    * over it broadcast as a pre-filter (false positives re-checked by
+    * this same exact join, so results are unchanged) — a pure pre-pass
+    * in front of this plan, not a different plan.
     */
   private def q107(t: Tables): DataFrame = {
     val docs = Tables.localSplit(t.documents, col("doc_id"))
