@@ -610,10 +610,15 @@ object Dedup extends QueryModule {
     * in front of this plan, not a different plan.
     */
   private def q107(t: Tables): DataFrame = {
+    // which source family is "the arriving batch" — a runtime conf like
+    // the family's other knobs (oracle renders the default)
+    val incoming = t.spark.conf.get("graft.delta.incoming", "src1%")
+    require(incoming.nonEmpty && !incoming.contains("'"),
+      s"graft.delta.incoming invalid: $incoming")
     val docs = Tables.localSplit(t.documents, col("doc_id"))
       .select(
         col("doc_id"), col("source"), col("text"), col("n_chars"),
-        md5(col("text")).as("h"), col("source").like("src1%").as("incoming"))
+        md5(col("text")).as("h"), col("source").like(incoming).as("incoming"))
     val base = docs.filter(!col("incoming"))
     val inc = docs.filter(col("incoming"))
     val baseHashes = base.select(col("h")).distinct().withColumn("in_base", lit(true))

@@ -377,30 +377,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
-    val (inc, base) = rows.partition(_._2.startsWith("src1"))
-    val baseH = base.map(r => md5hex(r._3)).toSet
-    val baseSigs = base.flatMap(r => sigs(r._3)).toSet
-    val canon = inc.groupBy(r => md5hex(r._3)).map { case (h, xs) => h -> xs.map(_._1).min }
-    val classed = inc.map { case (id, src, text, nc) =>
-      val h = md5hex(text)
-      val cls =
-        if (baseH(h)) "exact_dup_base"
-        else if (canon(h) != id) "exact_dup_batch"
-        else if (sigs(text).exists(baseSigs)) "near_dup_base"
-        else "new_unique"
-      (src, cls, nc)
+    def expected(prefix: String) = {
+      val (inc, base) = rows.partition(_._2.startsWith(prefix))
+      val baseH = base.map(r => md5hex(r._3)).toSet
+      val baseSigs = base.flatMap(r => sigs(r._3)).toSet
+      val canon = inc.groupBy(r => md5hex(r._3)).map { case (h, xs) => h -> xs.map(_._1).min }
+      val classed = inc.map { case (id, src, text, nc) =>
+        val h = md5hex(text)
+        val cls =
+          if (baseH(h)) "exact_dup_base"
+          else if (canon(h) != id) "exact_dup_batch"
+          else if (sigs(text).exists(baseSigs)) "near_dup_base"
+          else "new_unique"
+        (src, cls, nc)
+      }
+      // the four classes partition the incoming batch exactly
+      assert(classed.length == inc.length)
+      classed.groupBy(t => (t._1, t._2)).map { case ((src, cls), xs) =>
+        (src, cls, xs.length.toLong, xs.map(_._3).sum)
+      }.toSet
     }
-    val expected = classed.groupBy(t => (t._1, t._2)).map { case ((src, cls), xs) =>
-      (src, cls, xs.length.toLong, xs.map(_._3).sum)
-    }.toSet
-    val got = SparkEntry.queries("q107_delta_dedup")(spark, sf).collect().map { r =>
+    def got() = SparkEntry.queries("q107_delta_dedup")(spark, sf).collect().map { r =>
       (r.getAs[String]("source"), r.getAs[String]("cls"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("n_chars"))
     }.toSet
-    assert(got == expected)
-    // the four classes partition the incoming batch exactly
-    assert(classed.length == inc.length)
-    assert(expected.toSeq.map(_._3).sum == inc.length.toLong)
+    assert(got() == expected("src1"))
+    // which family is "the arriving batch" is a runtime conf, no recompile
+    spark.conf.set("graft.delta.incoming", "src2%")
+    try assert(got() == expected("src2"))
+    finally spark.conf.unset("graft.delta.incoming")
   }
 
   test("q108 blob near-dup matches an independent histogram-blocking recomputation") {
