@@ -88,9 +88,10 @@ object PlanAudit {
     // source rollup → sort
     "q89_line_dedup" -> 4,
     // q92's exact chain (audit reference) + the sketch branch: distinct →
-    // per-source bottom-k window → sketch agg → |sources|²-row pair join;
-    // shared subtrees print per branch, AQE dedupes at runtime (the q92
-    // ScaleSpec pin covers the shared kernel)
+    // per-source bounded bottom-k aggregate (map-side partial buffers, no
+    // window) → |sources|²-row pair join; shared subtrees print per
+    // branch, AQE dedupes at runtime (the q92 ScaleSpec pin covers the
+    // shared kernel)
     "q95_overlap_sketch" -> 14,
     // corpus pair agg → (w1,w2) join repartition (doc side) → per-doc agg
     // → source rollup → sort; the exploded stream prints per branch

@@ -522,18 +522,26 @@ object Dedup extends QueryModule {
     * fragment rendered to both engines, so the sketch (and therefore the
     * estimate) is bit-reproducible cross-engine, like every other
     * estimator audit in the suite.
+    *
+    * Scale shape (round 11): the sketch BUILD runs on the bounded
+    * bottom-k Aggregator ([[graft.functions.BottomK]]) — map-side size-k
+    * buffers merging associatively into the one source-keyed shuffle —
+    * NOT a `row_number` window over the source partition, which would
+    * serialize the per-source distinct-shingle stream (≈ tokens, the
+    * biggest input in the family) through one reducer per source: the
+    * exact bottleneck this operator exists to avoid.
     */
   private def q95(t: Tables): DataFrame = {
     val k = t.spark.conf.get("graft.sketch.k", "64").toInt
     require(k >= 1 && k <= 65536, s"graft.sketch.k out of range: $k")
-    val bySrcHash = Window.partitionBy(col("source")).orderBy(col("h"), col("sh"))
+    val sel = graft.functions.BottomK.agg(k, distinctK1 = false)(
+      col("h"), col("h"), lit(0L))
     val bottomK = sourceShingles(t)
       .withColumn("m", md5(col("sh")))
       .withColumn("h", expr(hexint32("m")))
-      .withColumn("rn", row_number().over(bySrcHash))
-      .filter(col("rn") <= k)
       .groupBy(col("source"))
-      .agg(sort_array(collect_list(col("h"))).as("kh"))
+      .agg(sel.as("sel"))
+      .select(col("source"), expr("transform(sel.items, x -> x.k1)").as("kh"))
     val est = bottomK.as("a")
       .join(bottomK.as("b"), col("a.source") < col("b.source"))
       .select(

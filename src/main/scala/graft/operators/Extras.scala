@@ -256,26 +256,39 @@ object Extras extends QueryModule {
   /** Balanced per-source cap — the "no source dominates" curation step: at
     * most `graft.cap.docs` documents survive per source, selected by the
     * q64 seedless Knuth hash (deterministic, engine-stable, no RNG state),
-    * with yield accounting per source. One shuffle on source carries both
-    * the selection window and the rollup; at 100 TB each source's stream
-    * caps independently — exactly how a 1000-executor ingest would run it.
-    * A window, not a global sort: ordering is per-source only.
+    * with yield accounting per source. Selection runs on the bounded
+    * bottom-k Aggregator ([[graft.functions.BottomK]]), NOT a per-source
+    * window: a `Window.partitionBy(source)` would hash the whole corpus
+    * into |sources| reducers (a handful, AQE-unsplittable), while the
+    * typed aggregate partial-merges size-k buffers map-side — every map
+    * task reduces its slice to ≤k candidate rows before the one
+    * source-keyed shuffle, which also carries the count/char rollup.
+    * That IS how a 1000-executor ingest caps each source's stream.
+    *
+    * Id-domain bound (both engines agree only inside it): the Knuth
+    * product `doc_id * 2654435761` stays in int64 for doc_id < ~3.47e9;
+    * past that Spark (non-ANSI) wraps while DuckDB raises — at larger id
+    * spaces route ids through a 32-bit fold first.
     */
   private def q94(t: Tables): DataFrame = {
     val k = t.spark.conf.get("graft.cap.docs", "15").toInt
     require(k >= 1, s"graft.cap.docs out of range: $k")
-    val bySrc = Window.partitionBy(col("source"))
-      .orderBy(col("h"), col("doc_id"))
+    val sel = graft.functions.BottomK.agg(k, distinctK1 = false)(
+      col("h"), col("doc_id"), col("n_chars").cast("long"))
     t.documents
-      .select(col("doc_id"), col("source"), col("n_chars"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("n_chars"))
       .withColumn("h", expr("(doc_id * 2654435761) % 4294967296"))
-      .withColumn("kept", row_number().over(bySrc) <= k)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+        sel.as("sel"),
         sum(col("n_chars")).as("total_chars"))
+      .select(
+        col("source"), col("n_docs"),
+        size(col("sel.items")).cast("long").as("n_kept"),
+        expr("aggregate(sel.items, CAST(0 AS BIGINT), (acc, x) -> acc + x.v)")
+          .as("kept_chars"),
+        col("total_chars"))
       .orderBy(col("source"))
   }
 

@@ -405,30 +405,37 @@ object TextAnalysis extends QueryModule {
   /** Per-source length-outlier trim accounting: exact interpolated p05/p95
     * character-length bounds per source, then below/above classification
     * and the chars a p05–p95 trim would drop — the length-filter sizing
-    * query a pipeline runs before committing to a cutoff. The percentile
-    * runs as a window over the source partition, so classification reuses
-    * the same single shuffle and the rollup repartitions nothing.
+    * query a pipeline runs before committing to a cutoff.
     *
-    * Scale note: `percentile` is exact (it buffers each group's values);
-    * at 100 TB per-source value sets are huge, so `graft.pctl.approx=true`
-    * reroutes both bounds through `approx_percentile(…, 10000)` — same
-    * plan shape and output schema, bounded sketch memory instead of a
-    * value buffer (the q76-salt pattern: the scale path is a conf, not a
-    * fork). The oracle pins the exact default; the approx path is
-    * spec-bounded against it.
+    * Scale shape (round 11): the bounds come from a
+    * `groupBy(source).agg(percentile)` — partial-aggregable (map-side
+    * buffer/sketch merge) — broadcast back onto a second slim
+    * (source, n_chars) scan for the per-row classification. The previous
+    * window form (`percentile(..).over(partitionBy(source))`) funneled
+    * the whole corpus into |sources| reducer partitions, which AQE
+    * cannot split; a second two-column scan is the cheap price for
+    * keeping classification map-side at 100 TB.
+    *
+    * Memory note: `percentile` is exact (it buffers each group's value
+    * COUNTS); at 100 TB per-source value sets are huge, so
+    * `graft.pctl.approx=true` reroutes both bounds through
+    * `approx_percentile(…, 10000)` — same plan shape and output schema,
+    * bounded sketch memory (the q76-salt pattern: the scale path is a
+    * conf, not a fork). The oracle pins the exact default; the approx
+    * path is spec-bounded against it.
     */
   private def q91(t: Tables): DataFrame = {
     val approx = t.spark.conf.get("graft.pctl.approx", "false").toBoolean
-    val bySrc = Window.partitionBy(col("source"))
-    // the cast goes OUTSIDE the window: .over must see the aggregate
-    // itself (approx_percentile returns the input's integral type)
     def pctl(p: Double) =
-      if (approx) expr(s"approx_percentile(n_chars, $p, 10000)").over(bySrc).cast("double")
-      else expr(s"percentile(n_chars, $p)").over(bySrc)
-    Tables.localSplit(t.documents, col("doc_id"))
+      if (approx) expr(s"approx_percentile(n_chars, $p, 10000)").cast("double")
+      else expr(s"percentile(n_chars, $p)")
+    val docs = Tables.localSplit(t.documents, col("doc_id"))
       .select(col("source"), col("n_chars"))
-      .withColumn("p05", pctl(0.05))
-      .withColumn("p95", pctl(0.95))
+    val bounds = docs
+      .groupBy(col("source"))
+      .agg(pctl(0.05).as("p05"), pctl(0.95).as("p95"))
+    docs
+      .join(broadcast(bounds), Seq("source"))
       .withColumn(
         "cls",
         when(col("n_chars") < col("p05"), "below")

@@ -110,4 +110,53 @@ class KernelPropertiesSpec extends AnyFunSuite {
       got == expected
     })
   }
+
+  // ---- bounded bottom-k aggregator (the q91/q94/q95 window replacement) ----
+
+  private val bkItem: Gen[graft.functions.BKItem] = for {
+    k1 <- Gen.choose(-20L, 20L) // small domain so ties and duplicates are common
+    k2 <- Gen.choose(-5L, 5L)
+    v <- Gen.choose(-100L, 100L)
+  } yield graft.functions.BKItem(k1, k2, v)
+
+  private def bkOrd: Ordering[graft.functions.BKItem] =
+    Ordering.by(i => (i.k1, i.k2, i.v))
+
+  test("bottom-k reduce == sort-and-take on arbitrary inputs, duplicates kept") {
+    check(Prop.forAll(Gen.listOf(bkItem), Gen.choose(1, 8)) { (xs, k) =>
+      val agg = graft.functions.BottomK(k, distinctK1 = false)
+      val got = xs.foldLeft(agg.zero)(agg.reduce).items
+      got == xs.sorted(bkOrd).take(k)
+    })
+  }
+
+  test("bottom-k distinct mode == dedup-by-k1-keep-min, then sort-and-take") {
+    check(Prop.forAll(Gen.listOf(bkItem), Gen.choose(1, 8)) { (xs, k) =>
+      val agg = graft.functions.BottomK(k, distinctK1 = true)
+      val got = xs.foldLeft(agg.zero)(agg.reduce).items
+      val expected = xs.groupBy(_.k1).values.map(_.min(bkOrd)).toSeq.sorted(bkOrd).take(k)
+      got == expected
+    })
+  }
+
+  test("bottom-k merge of arbitrary partition splits == single-partition reduce") {
+    // associativity + commutativity evidence: this is what licenses Spark
+    // to partial-aggregate map-side and merge buffers in any order
+    val gen = for {
+      xs <- Gen.listOf(bkItem)
+      cuts <- Gen.listOfN(3, Gen.choose(0, math.max(xs.length, 1)))
+      k <- Gen.choose(1, 8)
+      distinct <- Gen.oneOf(true, false)
+    } yield (xs, cuts.sorted, k, distinct)
+    check(Prop.forAll(gen) { case (xs, cuts, k, distinct) =>
+      val agg = graft.functions.BottomK(k, distinct)
+      val bounds = (0 +: cuts :+ xs.length).distinct.sorted
+      val parts = bounds.zip(bounds.tail).map { case (a, b) => xs.slice(a, b) }
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val single = xs.foldLeft(agg.zero)(agg.reduce)
+      merged.items == single.items
+    })
+  }
 }

@@ -152,8 +152,9 @@ class ScaleSpec extends AnyFunSuite {
 
   test("q95's sketch and audit branches share the corpus derivation at runtime") {
     // q95 hangs three consumers off the distinct (source, shingle)
-    // relation: the bottom-k sketch window, q92's membership pairs, and
-    // the set sizes. The kernel+distinct must run once, not per branch.
+    // relation: the bottom-k sketch aggregate, q92's membership pairs,
+    // and the set sizes. The kernel+distinct must run once, not per
+    // branch.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val df = SparkEntry.queries("q95_overlap_sketch")(spark, sf)
@@ -217,6 +218,26 @@ class ScaleSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(fin).length
     assert(reused >= 1 || scans <= 2,
       s"embedding scan fans out: $scans scans, $reused reuses\n$fin")
+  }
+
+  test("per-source selection runs on the bounded bottom-k aggregate, never a source window") {
+    // q91/q94/q95 select or bound per SOURCE — a key set of a handful of
+    // values. Window.partitionBy(source) would funnel the whole corpus
+    // into |sources| reducers (AQE cannot split a window partition); the
+    // BottomK/percentile groupBy shape partial-aggregates map-side, so
+    // only size-k buffers (or percentile sketches) shuffle. Pin: no
+    // Window operator anywhere in these plans, and the typed aggregate
+    // runs as ObjectHashAggregate with a partial stage below the
+    // exchange.
+    for (q <- Seq("q91_length_outliers", "q94_balanced_cap", "q95_overlap_sketch")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q funnels the corpus through a source window:\n$plan")
+    }
+    for (q <- Seq("q94_balanced_cap", "q95_overlap_sketch")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("partial_bottomk"),
+        s"$q lost the map-side partial bottom-k stage:\n$plan")
+    }
   }
 
   test("graft.local.split gates the local-mode repartition crutch, default off") {
