@@ -534,7 +534,11 @@ object Dedup extends QueryModule {
   private def q95(t: Tables): DataFrame = {
     val k = t.spark.conf.get("graft.sketch.k", "64").toInt
     require(k >= 1 && k <= 65536, s"graft.sketch.k out of range: $k")
-    val sel = graft.functions.BottomK.agg(k, distinctK1 = false)(
+    // distinct on the hash VALUE (round 11): two distinct shingles
+    // colliding on the same int32 must occupy ONE sketch slot, the
+    // textbook bottom-k definition — without it a collision biases the
+    // estimator by wasting a slot on a duplicate value
+    val sel = graft.functions.BottomK.agg(k, distinctK1 = true)(
       col("h"), col("h"), lit(0L))
     val bottomK = sourceShingles(t)
       .withColumn("m", md5(col("sh")))
@@ -932,9 +936,9 @@ object Dedup extends QueryModule {
          |ORDER BY s1, s2""".stripMargin,
     "q95_overlap_sketch" ->
       s"""WITH $overlapDuckCtes,
-         | hv AS (SELECT source, sh, ${hexint32("md5(sh)")} AS h FROM sh),
-         | r AS (SELECT source, sh, h,
-         |   row_number() OVER (PARTITION BY source ORDER BY h, sh) AS rn FROM hv),
+         | hv AS (SELECT DISTINCT source, ${hexint32("md5(sh)")} AS h FROM sh),
+         | r AS (SELECT source, h,
+         |   row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hv),
          | bk AS (SELECT source, list_sort(list(h)) AS kh FROM r WHERE rn <= 64 GROUP BY source),
          | pr AS (SELECT a.source AS s1, b.source AS s2, a.kh AS kha, b.kh AS khb
          |   FROM bk a JOIN bk b ON a.source < b.source),

@@ -412,7 +412,10 @@ object Similarity extends QueryModule {
     * `graft.sample.perCluster` (default 8) vectors survive per coarse
     * cluster (the IVF `label` the family already keys on), selected by
     * the q64/q94 seedless Knuth multiplicative hash — deterministic,
-    * RNG-free, reproducible across runs and engines.
+    * RNG-free, reproducible across runs and engines. Id-domain bound
+    * (q94's): `vec_id * 2654435761` stays in int64 for ids < ~3.47e9;
+    * past that Spark (non-ANSI) wraps while DuckDB raises — fold larger
+    * id spaces to 32 bits first.
     *
     * Scale shape: ONE shuffle on the cluster label carries both the
     * selection window and the rollup (the groupBy reuses the window's

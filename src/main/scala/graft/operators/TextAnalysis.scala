@@ -399,6 +399,10 @@ object TextAnalysis extends QueryModule {
       .withColumn("rn", row_number().over(byDoc))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+      // the global sort is the deterministic-dump contract (SURVEY §5) —
+      // a parallel range sort of the 3·|docs|-row OUTPUT, not a plan
+      // stage; at 100 TB the deliverable would be written partitioned
+      // and unsorted instead
       .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
   }
 

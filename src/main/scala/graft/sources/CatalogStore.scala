@@ -444,8 +444,9 @@ object CatalogStore {
     * needs: each upsert's snapshot carries tasks×shards part files, and
     * after N batches a metadata-scale catalog is thousands of tiny files
     * whose open/footer cost dominates reads. Rewrites the CURRENT
-    * snapshot with rows co-located per shard (one range shuffle on the
-    * shard id → one file per shard) and publishes it through the SAME CAS
+    * snapshot with rows co-located per shard (one hash shuffle whose
+    * partition id provably equals the writer's shard id → exactly one
+    * file per shard) and publishes it through the SAME CAS
     * path as any other writer, so compaction serializes against
     * concurrent upserts instead of clobbering them — a racing batch makes
     * the compactor lose loudly, like any optimistic writer.
@@ -464,12 +465,14 @@ object CatalogStore {
     val (srcRows, srcXor) = manifestOf(df)
     if (before <= Shards) return CompactStats(current, before, before, srcRows)
     val next = current + 1
-    // one task per shard: range-partition on the shard id the writer
-    // derives, so partitionBy(shard) emits exactly one file per shard
-    val clustered = df
-      .withColumn("shard", pmod(hash(col("dataset_key")), lit(Shards)))
-      .repartitionByRange(Shards, col("shard"))
-      .drop("shard")
+    // one task per shard, GUARANTEED: HashPartitioning's partition id is
+    // pmod(murmur3(keys, seed 42), n) — the very expression the writer
+    // uses for the shard column (SQL hash() is the same murmur3/42) — so
+    // repartition(Shards, dataset_key) lands partition i == shard i
+    // exactly. A repartitionByRange(shard) only samples boundaries: with
+    // 16 distinct values two shards can coalesce into one partition and
+    // the one-file-per-shard co-location silently degrades.
+    val clustered = df.repartition(Shards, col("dataset_key"))
     val staging = stage(clustered, dir, next)
     // the staged manifest certifies what landed on disk; equality with the
     // source manifest proves the rewrite moved every row and nothing else

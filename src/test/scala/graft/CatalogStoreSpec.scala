@@ -377,7 +377,16 @@ class CatalogStoreSpec extends AnyFunSuite {
     assert(st.version == vBefore + 1, "compaction publishes a NEW version via the CAS")
     assert(st.filesAfter < st.filesBefore,
       s"expected fewer files, got ${st.filesBefore} -> ${st.filesAfter}")
-    assert(st.filesAfter <= 16, s"one file per shard expected, got ${st.filesAfter}")
+    // EXACTLY one file per occupied shard: the compaction shuffle's
+    // partition id equals the writer's shard id (same pmod(murmur3, 16)
+    // expression), so no two shards can coalesce into one task — this is
+    // a guarantee, not the best-effort a sampled range partitioning gives
+    val occupiedShards = CatalogStore.readVersion(spark, dir, st.version)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("dataset_key")), lit(16)))
+      .distinct().count()
+    assert(st.filesAfter == occupiedShards,
+      s"one file per occupied shard expected: $occupiedShards shards, ${st.filesAfter} files")
     // content byte-identical (manifest-verified read agrees row-for-row)
     assert(snapshot(dir) == rowsBefore)
     assert(st.rows == rowsBefore.size)

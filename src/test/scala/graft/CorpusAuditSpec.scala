@@ -168,8 +168,9 @@ class CorpusAuditSpec extends AnyFunSuite {
       src -> ds.map(d => shingles(d._2)).reduce(_ ++ _)
     }
     val sketches = bySrc.map { case (src, set) =>
-      // bottom-k rows ordered by (hash, shingle) — the window's total order
-      src -> set.toSeq.map(s => (h32(s), s)).sortBy(identity).take(k).map(_._1)
+      // k smallest DISTINCT hash values — the textbook bottom-k sketch
+      // (a shingle collision must not occupy two slots)
+      src -> set.toSeq.map(h32).distinct.sorted.take(k)
     }
     val exactJac = (for {
       (s1, a) <- bySrc; (s2, b) <- bySrc if s1 < s2
