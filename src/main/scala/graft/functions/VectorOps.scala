@@ -103,6 +103,28 @@ object GraftFunctions {
   def json_key_paths(c: Column): Column =
     Bridge.column(JsonKeyPaths(Bridge.expression(c)))
 
+  /** Spark's native Bloom-filter aggregate (the engine's own runtime-join-
+    * filter sketch) over a LONG column — binary-serialized filter out.
+    * Not SQL-registered upstream, so bridged here for the q107 delta-dedup
+    * pre-pass.
+    */
+  def bloom_agg(c: Column, expectedItems: Long): Column =
+    Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        Bridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems))
+        .toAggregateExpression())
+
+  /** Membership probe against a CONSTANT serialized Bloom filter (the
+    * expression requires a foldable/scalar-subquery filter side — the same
+    * contract Spark's InjectRuntimeFilter satisfies by evaluating the
+    * build-side subquery first).
+    */
+  def bloom_might_contain(bloom: Column, value: Column): Column =
+    Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Bridge.expression(bloom), Bridge.expression(value)))
+
   /** Register the SQL-callable names on an existing session (the
     * extension-free path used by tests and the driver mains).
     */

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -615,11 +615,23 @@ object Dedup extends QueryModule {
     * Scale shape: every shuffle is keyed on h, (band, sig), or doc_id and
     * bounded by the batch or the (deduplicated) index — no self-join of
     * the base side anywhere. `graft.lsh.bands` retunes recall at runtime
-    * (q36/q37's conf). When even the distinct base hash SET outgrows a
-    * shuffle join's comfort, the standard tightening is a Bloom filter
-    * over it broadcast as a pre-filter (false positives re-checked by
-    * this same exact join, so results are unchanged) — a pure pre-pass
-    * in front of this plan, not a different plan.
+    * (q36/q37's conf).
+    *
+    * `graft.delta.bloom=true` (round 11) enables the beyond-memory
+    * tightening for when even the distinct base hash SET outgrows a
+    * shuffle join's comfort: Spark's native Bloom-filter sketch
+    * (`BloomFilterAggregate`, the engine's own runtime-join-filter
+    * machinery) is built over the base hashes and probed as a CONSTANT
+    * pre-filter on the arriving side — only `might_contain` hits pay the
+    * exact hash join (false positives are re-checked by that same join,
+    * so classification is provably unchanged; misses are definitively
+    * not in base — Bloom has no false negatives). Sizing rides
+    * `graft.delta.bloom.items` (expected distinct base hashes; Spark
+    * caps bits at its runtime-filter maximum). At 100 TB the filter is
+    * the incremental index artifact a lake keeps next to the hash set —
+    * derived in-query here because the test lake stores none, which is
+    * why the build shows as a one-row eager aggregate at plan
+    * construction.
     */
   private def q107(t: Tables): DataFrame = {
     // which source family is "the arriving batch" — a runtime conf like
@@ -644,8 +656,32 @@ object Dedup extends QueryModule {
       .join(baseSigs, Seq("band", "sig"))
       .select(col("doc_id")).distinct()
       .withColumn("near_base", lit(true))
-    inc
-      .join(baseHashes, Seq("h"), "left")
+    val useBloom = t.spark.conf.get("graft.delta.bloom", "false").toBoolean
+    val withBase =
+      if (!useBloom) inc.join(baseHashes, Seq("h"), "left")
+      else {
+        val items = t.spark.conf.get("graft.delta.bloom.items", "1048576").toLong
+        require(items >= 1, s"graft.delta.bloom.items out of range: $items")
+        // one-row eager aggregate: the serialized filter becomes a plan
+        // CONSTANT (BloomFilterMightContain's contract), broadcast with
+        // the closure like Spark's own evaluated runtime-filter subquery
+        val bfRow = base
+          .select(graft.functions.GraftFunctions
+            .bloom_agg(xxhash64(col("h")), items).as("bf"))
+          .head()
+        if (bfRow.isNullAt(0)) inc.join(baseHashes, Seq("h"), "left")
+        else {
+          val probe = graft.functions.GraftFunctions
+            .bloom_might_contain(lit(bfRow.getAs[Array[Byte]](0)), xxhash64(col("h")))
+          val pre = inc.withColumn("maybe", probe)
+          pre.filter(col("maybe"))
+            .join(baseHashes, Seq("h"), "left")
+            .unionByName(pre.filter(!col("maybe"))
+              .withColumn("in_base", lit(null).cast("boolean")))
+            .drop("maybe")
+        }
+      }
+    withBase
       .join(canon, Seq("h"))
       .join(nearIds, Seq("doc_id"), "left")
       .withColumn(
@@ -668,7 +704,10 @@ object Dedup extends QueryModule {
     * is exact cross-engine and only the final one-division quantizes
     * (round 6). The most-shifted term rides along via the zero-padded
     * max-string trick (numeric-then-term lexicographic max — one agg, no
-    * window, deterministic ties).
+    * window, deterministic ties). |c_a·t_b| ≤ 2^53 holds to ~10¹³ tokens;
+    * past that `graft.tv.decimal=true` routes the cross-products and
+    * their sum through DECIMAL (exact to 10³⁸) with the same plan shape
+    * and output — spec-pinned identical at current scale.
     *
     * Scale shape: the ONLY corpus-scale shuffle is the (term) count agg
     * (q77's vocabulary-bounded discipline — the split flag collapses into
@@ -677,6 +716,11 @@ object Dedup extends QueryModule {
     * holds to ~10¹³ tokens; past that, route through DECIMAL.
     */
   private def q110(t: Tables): DataFrame = {
+    // >2^53-token guard: DECIMAL(19,0) factors → DECIMAL(38,0) products
+    val big: Column => Column =
+      if (t.spark.conf.get("graft.tv.decimal", "false").toBoolean)
+        _.cast("decimal(19,0)")
+      else identity
     val base = Tables.localSplit(t.documents, col("doc_id"))
       .withColumn(
         "bucket",
@@ -704,7 +748,7 @@ object Dedup extends QueryModule {
       .select(explode(array(arm("train", "val"), arm("train", "test"), arm("val", "test"))).as("p"))
       .select(col("p.*"))
       .filter(col("ca") + col("cb") > 0)
-      .withColumn("cross", abs(col("ca") * col("tb") - col("cb") * col("ta")))
+      .withColumn("cross", abs(big(col("ca")) * big(col("tb")) - big(col("cb")) * big(col("ta"))))
       .groupBy(col("split_a"), col("split_b"))
       .agg(
         count(lit(1)).as("n_terms"),

@@ -202,6 +202,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(kernels == 2, s"minhash kernel must run once per side, found $kernels")
   }
 
+  test("q107 under graft.delta.bloom: identical classification, bloom pre-filter in plan") {
+    // the beyond-memory path: a Bloom sketch of the base hash set probes
+    // the arriving side BEFORE the exact join; false positives re-check
+    // through that join, misses skip it entirely — so the rollup must be
+    // bit-identical with the conf on, and the probe must actually be in
+    // the plan (not just documented)
+    def run() = SparkEntry.queries("q107_delta_dedup")(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val direct = run()
+    assert(!direct.queryExecution.executedPlan.toString.contains("might_contain"),
+      "default plan must not carry the bloom probe")
+    val directRows = rows(direct)
+    spark.conf.set("graft.delta.bloom", "true")
+    try {
+      val bloomed = run()
+      val plan = bloomed.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), s"bloom pre-filter missing from plan:\n$plan")
+      assert(rows(bloomed) == directRows, "bloom path diverges from the exact classification")
+    } finally spark.conf.unset("graft.delta.bloom")
+  }
+
   test("q101's within-cluster self-join reads the embedding table once per side at most") {
     // the pair join's two sides are the same (label, vec_id, v) relation —
     // the wide vector column must not be scanned more than twice (once per
