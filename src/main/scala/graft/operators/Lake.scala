@@ -321,6 +321,27 @@ object Lake extends QueryModule {
     * Jackson pass per doc). Malformed and non-object docs are NOT this
     * rule's concern (that's the parse check) and pass it vacuously.
     *
+    * `additional_properties` is Draft7's CLOSED-OBJECT keyword
+    * (`additionalProperties: false` with an enumerated `properties` set —
+    * the reference's Draft7Validator enforces whatever the schema says,
+    * closed objects included, `check_stac_metadata/stac_validators.py:
+    * 90-103`): `field` names the object scope ('' = the document root),
+    * `arg` the '|'-separated allowed key set, and the doc fails iff ANY
+    * key sits DIRECTLY under that scope without being in the set. Keys
+    * come from the same native `json_key_paths` kernel as `no_dup_keys`
+    * (one streaming Jackson pass; a direct child of scope S is a path
+    * `S.<key>` whose remainder holds no further '.'/'[' — so nested and
+    * array-element keys never leak into an outer scope's check).
+    * Malformed/non-object docs pass vacuously (the parse check's
+    * concern). Known limit: a key literally containing '.'/'[' arrives
+    * path-escaped and is treated as non-direct (never falsely flagged);
+    * such keys can't collide with legal STAC names.
+    *
+    * `property_names` is Draft7's other open-key keyword: same scope
+    * semantics, but `arg` is a regex every direct-child key NAME must
+    * match (jsonschema's `propertyNames: {pattern: …}`) — the same
+    * anchored backslash-free dialect as the `pattern` keyword.
+    *
     * `appliesTo` TYPE-SCOPES the rule — the Spark rendering of the
     * reference's per-type validator selection (`check_stac_metadata/
     * stac_validators.py:90-103` composes a distinct validator for Catalog
@@ -357,12 +378,23 @@ object Lake extends QueryModule {
     // Draft7 `contains`: the links array (when present) must hold at least
     // one canonical-host /b link — fails exactly the %43 insecure-mirror
     // stride (its only /b link is http) and the Draft7 empty-array case
-    Rule(13, "links[#].href", "contains", "^https://data[.]example[.]com/[0-9]+/b$"))
+    Rule(13, "links[#].href", "contains", "^https://data[.]example[.]com/[0-9]+/b$"),
+    // Draft7 closed root object: the %47 stride's injected "extra" key is
+    // outside the core STAC key set — the open-key-set keyword the r10
+    // survey deferred, now riding the same json_key_paths explode
+    Rule(14, "", "additional_properties",
+      "id|stac_version|type|description|links|properties"),
+    // Draft7 propertyNames: every root key must MATCH the name regex —
+    // the regex rendering of the same closed-key demand (fails the %47
+    // stride's "extra" through the other open-key dispatch arm)
+    Rule(15, "", "property_names",
+      "^(id|stac_version|type|description|links|properties)$"))
 
   private[graft] val knownKinds =
     Set("required", "enum", "type_number", "pattern", "minimum", "items_pattern",
       "no_dup_keys", "one_of", "any_of", "all_of", "format", "contains", "not",
-      "min_items", "min_length", "max_length")
+      "min_items", "min_length", "max_length", "additional_properties",
+      "property_names")
 
   private[graft] val compositeKinds = Set("one_of", "any_of", "all_of", "not")
 
@@ -521,7 +553,8 @@ object Lake extends QueryModule {
 
   private def stacDispatch(
       rlikePredicate: String, anyItemFails: String, anyItemMatches: String,
-      hasDupKeys: String, formatViolated: String): String =
+      hasDupKeys: String, formatViolated: String, hasExtraKeys: String,
+      hasBadKeyNames: String): String =
     s"""CASE
        | WHEN applies_to <> '' AND (doc_type IS NULL
        |   OR instr('|' || applies_to || '|', '|' || doc_type || '|') = 0) THEN 0
@@ -547,6 +580,10 @@ object Lake extends QueryModule {
        |    AND NOT ($anyItemMatches) THEN 1 ELSE 0 END
        |  WHEN 'no_dup_keys' THEN CASE WHEN items IS NOT NULL
        |    AND ($hasDupKeys) THEN 1 ELSE 0 END
+       |  WHEN 'additional_properties' THEN CASE WHEN items IS NOT NULL
+       |    AND ($hasExtraKeys) THEN 1 ELSE 0 END
+       |  WHEN 'property_names' THEN CASE WHEN items IS NOT NULL
+       |    AND ($hasBadKeyNames) THEN 1 ELSE 0 END
        |  WHEN 'format' THEN CASE WHEN v IS NOT NULL
        |    AND ($formatViolated) THEN 1 ELSE 0 END
        |  ELSE 0 END
@@ -604,6 +641,20 @@ object Lake extends QueryModule {
   private[graft] def stacViolations(docs: DataFrame): DataFrame =
     stacViolations(docs, loadRules(docs.sparkSession))
 
+  /** Shared Spark fragment for the open-key keywords: true iff ANY key
+    * path in `items` is a DIRECT child of scope `field` whose bare key
+    * name fails `violatedTest` (which sees the name as `__key`).
+    */
+  private def anyDirectChildKey(violatedTest: String): String = {
+    val key = "(CASE WHEN field = '' THEN p ELSE substr(p, length(field) + 2) END)"
+    s"""exists(items, p ->
+       |  (CASE WHEN field = '' THEN instr(p, '.') = 0 AND instr(p, '[') = 0
+       |        ELSE startswith(p, field || '.')
+       |             AND instr(substr(p, length(field) + 2), '.') = 0
+       |             AND instr(substr(p, length(field) + 2), '[') = 0 END)
+       |  AND ${violatedTest.replace("__key", key)})""".stripMargin
+  }
+
   private[graft] def stacViolations(
       docs: DataFrame, allRules: Seq[Rule]): DataFrame = {
     // duplicate ids would silently drop a composite from the dependency
@@ -653,7 +704,8 @@ object Lake extends QueryModule {
     // full `items` array (the other slot stays NULL — one uniform struct
     // schema across the exploded rules array)
     def valueOf(f: String, kind: String): Column =
-      if (kind == "items_pattern" || kind == "contains" || kind == "no_dup_keys")
+      if (kind == "items_pattern" || kind == "contains" || kind == "no_dup_keys"
+        || kind == "additional_properties" || kind == "property_names")
         lit(null).cast("string")
       else get_json_object(col("j"), s"$$.$f")
     // no_dup_keys reuses the `items` slot for the key-PATH list at EVERY
@@ -666,8 +718,9 @@ object Lake extends QueryModule {
     // nested semantics are pinned engine-side in CatalogOpsSpec.
     def arrayOf(f: String, kind: String): Column = kind match {
       case "items_pattern" | "contains" => itemsOf(f)
-      case "no_dup_keys" =>
-        // cast unifies containsNull with the other branches' slot type
+      case "no_dup_keys" | "additional_properties" | "property_names" =>
+        // cast unifies containsNull with the other branches' slot type;
+        // the open-key kinds scope the path list in the dispatch
         graft.functions.GraftFunctions.json_key_paths(col("j")).cast("array<string>")
       case _                            => lit(null).cast("array<string>")
     }
@@ -691,7 +744,13 @@ object Lake extends QueryModule {
         "exists(items, e -> e IS NOT NULL AND NOT (e RLIKE arg))",
         "exists(items, e -> e IS NOT NULL AND (e RLIKE arg))",
         "size(items) > size(array_distinct(items))",
-        formatViolatedSql(p => s"v RLIKE '$p'"))))
+        formatViolatedSql(p => s"v RLIKE '$p'"),
+        // a key path is a DIRECT child of scope `field` iff it extends it
+        // by exactly one segment (no further '.' or '['); the closed-set
+        // test is the same '|'-membership instr as the enum keyword, the
+        // name test the same RLIKE as the pattern keyword
+        anyDirectChildKey("instr('|' || arg || '|', '|' || __key || '|') = 0"),
+        anyDirectChildKey("NOT (__key RLIKE arg)"))))
     if (topoComposites.isEmpty) leafFlags
     else leafFlags.unionByName(compositeFlags(leafFlags, topoComposites))
   }
@@ -847,13 +906,15 @@ object Lake extends QueryModule {
          |  $stacRulesSql),
          | ev AS (SELECT doc_id, rule_id, field, kind, arg, applies_to,
          |   json_extract_string(j, '$$.type') AS doc_type,
-         |   CASE WHEN kind IN ('items_pattern', 'contains', 'no_dup_keys') THEN NULL
+         |   CASE WHEN kind IN ('items_pattern', 'contains', 'no_dup_keys',
+         |                      'additional_properties', 'property_names') THEN NULL
          |   ELSE json_extract_string(j, '$$.' || field) END AS v,
          |   CASE WHEN kind IN ('items_pattern', 'contains') THEN
          |     list_transform(
          |       range(CAST(json_array_length(j, '$$.' || split_part(field, '[', 1)) AS BIGINT)),
          |       i -> json_extract_string(j, '$$.' || replace(field, '#', CAST(i AS VARCHAR))))
-         |   WHEN kind = 'no_dup_keys' THEN json_keys(TRY_CAST(j AS JSON))
+         |   WHEN kind IN ('no_dup_keys', 'additional_properties', 'property_names')
+         |     THEN json_keys(TRY_CAST(j AS JSON))
          |   ELSE NULL END AS items
          |  FROM docs CROSS JOIN rules),
          | x AS (SELECT doc_id, rule_id, field, kind,
@@ -862,7 +923,12 @@ object Lake extends QueryModule {
               "len(list_filter(items, e -> e IS NOT NULL AND NOT regexp_matches(e, arg))) > 0",
               "len(list_filter(items, e -> e IS NOT NULL AND regexp_matches(e, arg))) > 0",
               "len(items) > len(list_distinct(items))",
-              formatViolatedSql(p => s"regexp_matches(v, '$p')"))} AS violated
+              formatViolatedSql(p => s"regexp_matches(v, '$p')"),
+              // the oracle's items slot holds TOP-LEVEL json_keys, which
+              // matches the built-in root-scope rules; nested scopes are
+              // engine-side semantics pinned in CatalogOpsSpec
+              "len(list_filter(items, p -> instr('|' || arg || '|', '|' || p || '|') = 0)) > 0",
+              "len(list_filter(items, p -> NOT regexp_matches(p, arg))) > 0")} AS violated
          |  FROM ev)
          |SELECT rule_id, field, kind, count(*) AS n_docs,
          | CAST(sum(violated) AS BIGINT) AS n_violations,

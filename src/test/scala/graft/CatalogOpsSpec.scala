@@ -94,18 +94,47 @@ class CatalogOpsSpec extends AnyFunSuite {
     val t = Tables(spark, sf)
     val nDocs = t.documents.count()
     val rows = SparkEntry.queries("q87_schema_validate")(spark, sf).collect()
-    assert(rows.length == 13, "one row per schema rule")
+    assert(rows.length == 15, "one row per schema rule")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_docs") == nDocs, s"rule ${r.getAs[Int]("rule_id")} skipped docs")
       val v = r.getAs[Long]("n_violations")
       assert(v >= 0 && v < nDocs, s"rule ${r.getAs[Int]("rule_id")}")
       if (v > 0) assert(!r.isNullAt(r.fieldIndex("first_bad_doc")))
     }
-    // every injected failure stride fires: all 13 rules catch something
+    // every injected failure stride fires: all 15 rules catch something
     // (incl. the nested-array items_pattern, the duplicate-key stride, the
-    // malformed-datetime stride through the format checker, and the
-    // insecure-mirror stride through `contains`)
-    assert(rows.count(_.getAs[Long]("n_violations") > 0) == 13)
+    // malformed-datetime stride through the format checker, the
+    // insecure-mirror stride through `contains`, and the %47 "extra" key
+    // through BOTH open-key arms — the closed-set additional_properties
+    // rule and the name-regex property_names rule)
+    assert(rows.count(_.getAs[Long]("n_violations") > 0) == 15)
+  }
+
+  test("additional_properties is true Draft7 closed-object: per-scope, depth-exact, vacuous on malformed") {
+    // jsonschema semantics pinned engine-side (the oracle twin only sees
+    // top-level json_keys): the scope's DIRECT children are checked, keys
+    // nested deeper or inside array elements belong to THEIR scope, and
+    // a malformed doc is the parse check's concern
+    val rules = Seq(
+      graft.operators.Lake.Rule(1, "", "additional_properties", "id|properties|links"),
+      graft.operators.Lake.Rule(2, "properties", "additional_properties", "datetime|gsd"),
+      // the name-regex twin keyword, scoped to the same nested object
+      graft.operators.Lake.Rule(3, "properties", "property_names", "^[a-z_]+$"))
+    val docs = spark.createDataFrame(Seq(
+      (1L, """{"id":"a","properties":{"datetime":"x","gsd":1}}"""),       // clean
+      (2L, """{"id":"a","extra":1}"""),                                    // root extra → rule 1
+      (3L, """{"id":"a","properties":{"datetime":"x","rogue":2}}"""),      // nested extra → rule 2 only (name "rogue" is regex-legal)
+      (4L, """{"id":"a","properties":{"datetime":{"deep":1}}}"""),         // depth-2 key is properties.datetime's scope, not properties'
+      (5L, """{"links":[{"href":"h","rel":"r"}]}"""),                      // array-element keys never leak to root
+      (6L, """not json at all"""),                                         // malformed: vacuous
+      (7L, """{"id":"a","id":"b"}"""),                                     // duplicate ALLOWED key is no_dup_keys' concern, not this rule's
+      (8L, """{"id":"a","properties":{"Datetime":"x"}}""")                 // bad NAME: fails the regex arm AND the closed set
+    )).toDF("doc_id", "j")
+    val got = graft.operators.Lake.stacViolations(docs, rules)
+      .filter(col("violated") === 1)
+      .select("doc_id", "rule_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rule_id"))).toSet
+    assert(got == Set((2L, 1), (3L, 2), (8L, 2), (8L, 3)), s"got $got")
   }
 
   test("items_pattern is true Draft7: EVERY element checked, values never split on ';'") {

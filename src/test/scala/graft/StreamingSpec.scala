@@ -330,7 +330,7 @@ class StreamingSpec extends AnyFunSuite {
       rollup(graft.operators.Lake.stacViolations(
         docsOf(spark.range(0, 200).select(col("id").as("value"))))).collect())
     assert(streamed == batch, s"stream $streamed\nbatch $batch")
-    assert(batch.size == 13 && batch.values.forall(_._1 == 200L))
+    assert(batch.size == 15 && batch.values.forall(_._1 == 200L))
   }
 
   test("streaming delta dedup classifies arrivals against the static base like q107's exact stages") {
