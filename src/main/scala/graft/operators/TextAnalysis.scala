@@ -625,7 +625,8 @@ object TextAnalysis extends QueryModule {
     * Scale shape: the gate is map-side next to the documents scan; the
     * embeddings side prunes to (vec_id, label); one doc_id-keyed shuffle
     * join + one label rollup. At 100 TB co-bucket both tables on the id
-    * to make the join exchange-free (SourcesSpec's bucketing pattern).
+    * to make the join exchange-free — proven end-to-end in ScaleSpec
+    * (bucketed doc/emb tables leave ONLY the label-rollup exchange).
     */
   private def q111(t: Tables): DataFrame = {
     val gated = withRepRatio(withQualityScore(withWords(t)))

@@ -242,6 +242,38 @@ class ScaleSpec extends AnyFunSuite {
       s"embedding scan fans out: $scans scans, $reused reuses\n$fin")
   }
 
+  test("q111's doc_id join goes exchange-free on co-bucketed tables, as the docstring promises") {
+    // q111 joins the gated documents projection to (vec_id, label) on the
+    // id; its docstring claims "at 100 TB co-bucket both tables on the id
+    // to make the join exchange-free". Prove it end-to-end: write both
+    // sides bucketed by the join id, run q111's join+rollup tail, and pin
+    // that the ONLY hash exchange left is the |labels|-keyed rollup — the
+    // corpus-scale doc_id shuffle is gone.
+    Tables(spark, sf).documents
+      .select(col("doc_id"), col("n_chars")).write
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("docs_q111_b")
+    Tables(spark, sf).embeddings
+      .select(col("vec_id").as("doc_id"), col("label")).write
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("emb_q111_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = spark.table("emb_q111_b")
+        .join(spark.table("docs_q111_b"), Seq("doc_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val plan = j.queryExecution.executedPlan.toString
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashExchanges == 1,
+        s"expected only the label-rollup exchange, got $hashExchanges:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+        s"the doc_id join still shuffles on bucketed tables:\n$plan")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("per-source selection runs on the bounded bottom-k aggregate, never a source window") {
     // q91/q94/q95 select or bound per SOURCE — a key set of a handful of
     // values. Window.partitionBy(source) would funnel the whole corpus

@@ -381,6 +381,63 @@ class StreamingSpec extends AnyFunSuite {
     assert((all.length - nBase - nCanon) >= 0)
   }
 
+  test("streaming split assignment matches the q103/q110 batch rule per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // q103's split (and q110's governance over it) is a PURE id-hash:
+    // bucket = int32(md5(doc_id)[0:8]) % 100 → train/val/test. Stateless,
+    // so the live twin is the same map-side expression on a stream — and
+    // every micro-batch's (source, split) doc/token counts must equal a
+    // batch recomputation over exactly the rows streamed so far (no
+    // state, no reshuffling of earlier assignments when data arrives).
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+      .toSeq.sortBy(_._1)
+    val ms = MemoryStream[(Long, String, Long)]
+    val assigned = ms.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("source"), col("_3").as("n_words"))
+      .withColumn(
+        "bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn(
+        "split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split"), col("n_words"))
+    val q = assigned.writeStream
+      .outputMode("append").format("memory").queryName("split_gov").start()
+    // the independent batch rule (CorpusAuditSpec pins this same
+    // recomputation equal to q103's output)
+    def md5bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    def splitOf(id: Long): String = {
+      val b = md5bucket(id)
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    var streamedSoFar = Seq.empty[(Long, String, Long)]
+    for (batch <- Seq(b1, b2)) {
+      ms.addData(batch: _*)
+      q.processAllAvailable()
+      streamedSoFar ++= batch
+      val expected = streamedSoFar
+        .groupBy(d => (d._2, splitOf(d._1)))
+        .map { case ((src, sp), ds) => (src, sp, ds.size.toLong, ds.map(_._3).sum) }
+        .toSet
+      val got = spark.table("split_gov")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"after ${streamedSoFar.size} docs: stream diverges from batch rule")
+    }
+    q.stop()
+  }
+
   test("checkpointed parquet sink is exactly-once across restarts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
