@@ -72,11 +72,24 @@ object Bench {
     // query order of "queries" — a round-N outlier is self-adjudicating
     // (both-reps-slow = sustained contention or regression; one-rep-slow =
     // a transient the min already discards) without a manual re-run.
-    // Centisecond ints keep ~88 queries × nReps inside the driver's
-    // 2000-char tail window even on a contended (all-slow) run.
     val repArrays = reps.zipWithIndex.map { case (r, i) =>
       s""""rep${i + 1}_cs":[${r.map(x => math.rint(x._2 * 100).toLong).mkString(",")}]"""
     }.mkString(",")
+    // At 114+ queries the full per-rep arrays overflow the driver's
+    // 2000-char tail window; the adjudication value lives almost entirely
+    // in the SLOWEST queries (the only ones an outlier story is ever
+    // about), so the fallback keeps per-rep centiseconds for the top-K by
+    // min time as a {"q38":[224,230],…} object instead of dropping all
+    // detail.
+    def slowestDetail(kSlow: Int): String = {
+      val byName = results.map(_._1).zipWithIndex.toMap
+      val entries = results.sortBy(-_._2).take(kSlow).sortBy(_._1).map { case (name, _) =>
+        val i = byName(name)
+        val cs = reps.map(r => math.rint(r(i)._2 * 100).toLong).mkString(",")
+        "\"" + name.takeWhile(_ != '_') + "\":[" + cs + "]"
+      }
+      s""""reps_detail":{${entries.mkString(",")}}"""
+    }
     val loadEnd = loadAvg()
     spark.stop()
     // Print after stop so the JSON is the last line on stdout — the driver
@@ -84,11 +97,13 @@ object Bench {
     val head =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""reps":$nReps,"agg":"min","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus"""
-    val line = s"$head,$repArrays}"
     // the driver keeps only the last 2000 chars of output: an over-budget
-    // line would truncate MID-JSON and parse as nothing, so degrade to the
-    // headline-only form instead of risking the whole artifact
-    println(if (line.length <= 1900) line else s"""$head,"reps_detail":"omitted:over-budget"}""")
+    // line would truncate MID-JSON and parse as nothing, so degrade in
+    // steps — full per-rep arrays, then slowest-12 detail, then none
+    val candidates =
+      Seq(s"$head,$repArrays}", s"$head,${slowestDetail(12)}}",
+        s"""$head,"reps_detail":"omitted:over-budget"}""")
+    println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
     Console.out.flush()
   }
 }
