@@ -17,7 +17,10 @@ object PlanAudit {
     "q03_top_revenue", "q05_region_revenue", "q15_above_avg_groups", "q16_rollup_sales",
     "q27_catalog_tree", "q40_cosine_topk", "q41_embedding_neardup", "q43_ivf_search",
     "q90_tfidf", "q92_source_overlap")
-  private val allowCross = Set("q40_cosine_topk", "q41_embedding_neardup", "q50_haversine")
+  // q115's ground-truth branch is the q40 broadcast-sample scan — the
+  // audit's declared, sample-bounded cost
+  private val allowCross =
+    Set("q40_cosine_topk", "q41_embedding_neardup", "q50_haversine", "q115_ivf_recall")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -131,7 +134,20 @@ object PlanAudit {
     // window-hash agg (partial collapses hot windows map-side) +
     // position-attribution join (both sides keyed on the hash) + source
     // rollup with countDistinct (two-phase) + sort
-    "q113_substring_windows" -> 4).withDefaultValue(3)
+    "q113_substring_windows" -> 4,
+    // q74's probe machinery (centroid agg + probe scoring agg + rank
+    // window) + the q40 truth branch (sample window) + swept-candidate
+    // window + per-query agg + final rollup + sort; the quantizedEv and
+    // vectors subtrees print once per consuming branch (AQE reuses at
+    // runtime) — every exchange is |sample|- or candidate-scale
+    "q115_ivf_recall" -> 11,
+    // q38's candidate chain (bucket self-join + pair agg + two shingle-set
+    // key joins, broadcasts absorbing most) + the |configs|-row sweep
+    // rollup + sort
+    "q116_lsh_tuning" -> 4,
+    // the same q38 chain + τ-explode distinct + dropped-chars join +
+    // pair/drop rollups + the 3-row assembly joins + sort
+    "q117_dedup_sweep" -> 7).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -166,6 +166,135 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** LSH band-count tuning table — the calibration consulted BEFORE
+    * `graft.lsh.bands` was fixed (q114's sweep pattern applied to the
+    * dedup family's own knob): for each candidate band budget, the
+    * candidate-pair volume (the cost: pairs the verify stage must fetch),
+    * verified pairs (exact Jaccard ≥ 0.5 among them), precision, and
+    * recall relative to the widest budget swept. Band hashes form a
+    * PREFIX family (band b's rehash depends only on b), so candidates at
+    * fewer bands are a subset of candidates at more bands, and ONE kernel
+    * pass at the current `graft.lsh.bands` prices every narrower budget:
+    * a pair's `first_band` (smallest agreeing band) decides membership in
+    * every config by a map-side comparison. No extra kernel work, no
+    * extra pair join — the sweep costs exactly one q38.
+    *
+    * Scale shape: q38's candidate-bounded discipline verbatim (bucket
+    * self-join on (band, sig), slim pair rows, two key-joins for shingle
+    * sets); the sweep explode is |configs|×|pairs| straight into a
+    * |configs|-row rollup. Recall is RELATIVE to the widest config (true
+    * recall needs all-pairs ground truth — q41's cost); labeled as such.
+    */
+  private def q116(t: Tables): DataFrame = {
+    val nb = bands(t)
+    val cfgs = (Seq(2, 4) :+ nb).distinct.sorted
+    val narrow = Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.minhash_sigs(col("text"), nb))
+          .as(Seq("band", "sig")))
+    val cand = narrow.as("a")
+      .join(
+        narrow.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(col("a.band")).as("first_band"))
+    val arrs = Tables.localSplit(t.documents, col("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
+      .withColumn("nsh", size(col("arr")).cast("long"))
+    cand
+      .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("shared", size(array_intersect(col("a.arr"), col("b.arr"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        when(
+          col("a.nsh") + col("b.nsh") > col("shared"),
+          col("shared") / (col("a.nsh") + col("b.nsh") - col("shared"))))
+      .filter(col("jaccard").isNotNull)
+      .select(col("first_band"), col("jaccard"), explode(array(cfgs.map(lit(_)): _*)).as("bands"))
+      .withColumn("cand", col("first_band") < col("bands"))
+      .groupBy(col("bands"))
+      .agg(
+        sum(when(col("cand"), 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("cand") && col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_verified"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_verified_max"))
+      .select(
+        col("bands"), col("n_candidates"), col("n_verified"),
+        when(col("n_candidates") > 0, round(col("n_verified") / col("n_candidates"), 4))
+          .as("precision"),
+        when(col("n_verified_max") > 0, round(col("n_verified") / col("n_verified_max"), 4))
+          .as("recall"))
+      .orderBy(col("bands"))
+  }
+
+  /** Dedup-threshold pricing — what each candidate Jaccard cutoff would
+    * actually DELETE (q114's sweep pattern applied to the near-dup
+    * decision): per τ, qualifying pairs, documents dropped under the
+    * family's canonical keep-smallest-id rule (a doc is dropped iff it is
+    * the larger id of ANY pair at ≥ τ — q35/q89's ownership, pair-local
+    * so no connected components needed), the chars those docs carry, and
+    * both as corpus shares. The table a curation run consults before
+    * committing to 0.5: "0.7 keeps 3 more docs per thousand and leaves
+    * this much boilerplate".
+    *
+    * Scale shape: one q38-cost candidate+verify pass; the τ explode is
+    * |τ|×|pairs| into a distinct on (τ, doc) and a |τ|-row rollup; the
+    * chars lookup joins the (slim) documents projection on the dropped
+    * ids. The τ dimension rides a single-row cross join so all |τ| rows
+    * appear even when a cutoff drops nothing.
+    */
+  private def q117(t: Tables): DataFrame = {
+    val taus = Seq(0.5, 0.7, 0.9)
+    val pairsJ = jaccardPairsAll(t)
+    val tauOf = explode(array(taus.map(lit(_)): _*)).as("tau")
+    val pairTau = pairsJ
+      .select(tauOf, col("doc_b"), col("jaccard"))
+      .filter(col("jaccard") >= col("tau"))
+    val pairCounts = pairTau.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+    val chars = t.documents.select(col("doc_id"), col("n_chars"))
+    val drops = pairTau
+      .select(col("tau"), col("doc_b")).distinct()
+      .join(chars, col("doc_b") === col("doc_id"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_docs_dropped"), sum(col("n_chars")).as("chars_dropped"))
+    val totals = t.documents
+      .agg(count(lit(1)).as("n_docs_total"), sum(col("n_chars")).as("chars_total"))
+    totals
+      .select(tauOf, col("n_docs_total"), col("chars_total"))
+      .join(broadcast(pairCounts), Seq("tau"), "left")
+      .join(broadcast(drops), Seq("tau"), "left")
+      .select(
+        col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"),
+        round(coalesce(col("n_docs_dropped"), lit(0L)) / col("n_docs_total"), 4).as("drop_share"),
+        round(coalesce(col("chars_dropped"), lit(0L)) / col("chars_total"), 4).as("chars_share"))
+      .orderBy(col("tau"))
+  }
+
+  /** q38's candidate+verify pairs WITHOUT the ≥0.5 cutoff — the τ-sweep's
+    * input (every LSH candidate with its exact Jaccard).
+    */
+  private def jaccardPairsAll(t: Tables): DataFrame = {
+    val arrs = Tables.localSplit(t.documents, col("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
+      .withColumn("nsh", size(col("arr")).cast("long"))
+    lshCandidates(t).select(col("doc_a"), col("doc_b"))
+      .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("shared", size(array_intersect(col("a.arr"), col("b.arr"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        when(
+          col("a.nsh") + col("b.nsh") > col("shared"),
+          col("shared") / (col("a.nsh") + col("b.nsh") - col("shared"))))
+      .filter(col("jaccard").isNotNull)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   // -- simhash: 16-bit, bit-majority over token md5s -------------------
   // The arithmetic is generated once and rendered to BOTH engines so the
   // semantics cannot drift. (A native 64-bit Catalyst Expression variant
@@ -809,6 +938,8 @@ object Dedup extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_lsh_tuning" -> ((s, d) => q116(Tables(s, d))),
+    "q117_dedup_sweep" -> ((s, d) => q117(Tables(s, d))),
     "q103_hash_split" -> ((s, d) => q103(Tables(s, d))),
     "q113_substring_windows" -> ((s, d) => q113(Tables(s, d))),
     "q110_split_shift" -> ((s, d) => q110(Tables(s, d))),
@@ -878,7 +1009,75 @@ object Dedup extends QueryModule {
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
        |  GROUP BY a.source, b.source)""".stripMargin
 
+  // shared oracle CTE tail for q116/q117: every LSH candidate pair with
+  // its exact Jaccard (q38's chain minus the 0.5 cutoff), plus the
+  // first agreeing band for the band sweep
+  private val sweepPairCtes =
+    s"""w AS ($duckWords),
+       | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),
+       | sh AS (SELECT doc_id, $duckHashes AS hashes FROM shl),
+       | sigs AS (
+       | $duckShingleArms
+       | ),
+       | cand AS (
+       |  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, min(s1.band) AS first_band
+       |  FROM sigs s1 JOIN sigs s2
+       |   ON s1.band = s2.band AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id
+       |  GROUP BY 1, 2),
+       | shx AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),
+       | sizes AS (SELECT doc_id, count(*) AS nsh FROM shx GROUP BY doc_id),
+       | ps AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+       |  FROM cand c
+       |  JOIN shx a ON a.doc_id = c.doc_a
+       |  JOIN shx b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY c.doc_a, c.doc_b),
+       | pj AS (
+       |  SELECT c.doc_a, c.doc_b, c.first_band, coalesce(p.shared, 0) AS shared,
+       |   sa.nsh AS na, sb.nsh AS nb
+       |  FROM cand c
+       |  LEFT JOIN ps p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b
+       |  WHERE sa.nsh + sb.nsh > coalesce(p.shared, 0)),
+       | x AS (SELECT doc_a, doc_b, first_band, shared / (na + nb - shared) AS jaccard FROM pj)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "q116_lsh_tuning" ->
+      s"""WITH $sweepPairCtes,
+         | cfg AS (SELECT unnest([2, 4, 8]) AS bands),
+         | e AS (SELECT bands, (first_band < bands) AS cand, jaccard FROM x CROSS JOIN cfg),
+         | g AS (SELECT bands,
+         |   CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+         |   CAST(sum(CASE WHEN cand AND jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+         |   CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified_max
+         |  FROM e GROUP BY bands)
+         |SELECT bands, n_candidates, n_verified,
+         | CASE WHEN n_candidates > 0 THEN round(n_verified / n_candidates, 4) END AS "precision",
+         | CASE WHEN n_verified_max > 0 THEN round(n_verified / n_verified_max, 4) END AS recall
+         |FROM g ORDER BY bands""".stripMargin,
+    "q117_dedup_sweep" ->
+      s"""WITH $sweepPairCtes,
+         | cfg AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE),
+         |                        CAST(0.9 AS DOUBLE)]) AS tau),
+         | pt AS (SELECT tau, doc_b, jaccard FROM x CROSS JOIN cfg WHERE jaccard >= tau),
+         | pc AS (SELECT tau, count(*) AS n_pairs FROM pt GROUP BY tau),
+         | dr AS (
+         |  SELECT tau, count(*) AS n_docs_dropped,
+         |   CAST(sum(n_chars) AS BIGINT) AS chars_dropped
+         |  FROM (SELECT DISTINCT tau, doc_b FROM pt) d
+         |  JOIN documents ON doc_id = d.doc_b GROUP BY tau),
+         | tot AS (SELECT count(*) AS n_docs_total,
+         |   CAST(sum(n_chars) AS BIGINT) AS chars_total FROM documents)
+         |SELECT tau,
+         | CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         | CAST(coalesce(n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped,
+         | CAST(coalesce(chars_dropped, 0) AS BIGINT) AS chars_dropped,
+         | round(coalesce(n_docs_dropped, 0) / n_docs_total, 4) AS drop_share,
+         | round(coalesce(chars_dropped, 0) / chars_total, 4) AS chars_share
+         |FROM cfg CROSS JOIN tot
+         |LEFT JOIN pc USING (tau) LEFT JOIN dr USING (tau)
+         |ORDER BY tau""".stripMargin,
     "q113_substring_windows" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
         | p AS (

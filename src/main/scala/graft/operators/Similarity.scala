@@ -319,6 +319,86 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("nn_rank"))
   }
 
+  /** IVF recall/cost audit — the calibration every ANN deployment runs
+    * BEFORE trusting `graft.ivf.nprobe` (q86's estimator-audit pattern
+    * applied to the index itself): for each candidate nprobe, the
+    * recall@10 of the IVF search against brute-force ground truth on the
+    * deterministic query sample, alongside the fraction of the corpus
+    * each probe budget actually reads — the recall-vs-cost curve the
+    * nprobe dial trades along.
+    *
+    * Probe ranking is q74's integer centroid-distance machinery
+    * verbatim; ranks are computed ONCE up to the widest budget and each
+    * narrower config selects by a map-side `probe_rank <= nprobe`
+    * comparison (the q116 prefix trick — sweeping costs one probe pass).
+    * Ground truth is the q40 brute-force shape: |queries| × corpus with
+    * the query set broadcast — the audit's declared cost, bounded by the
+    * sample (at 100 TB this sample IS how you'd run it). All recall and
+    * fraction arithmetic is integer sums with one final division, so the
+    * curve is bit-reproducible cross-engine.
+    */
+  private def q115(t: Tables): DataFrame = {
+    val k = 10
+    val cfgs = Seq(1, 2, 4)
+    val e = vectors(t).select(col("label"), col("vec_id"), col("v"))
+    val queries = vectors(t)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val truth = e
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(cosine_sim(col("qv"), col("v")), 6))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"))
+      .withColumn("in_truth", lit(true))
+    val ev = quantizedEv(t)
+    val cent = centroidsOf(ev)
+    val diff = col("q") * col("cnt") - col("sq")
+    val probes = ev
+      .filter(col("vec_id") < 10)
+      .join(broadcast(cent), col("dim") === col("cdim"))
+      .groupBy(col("vec_id").as("qid"), col("clabel"))
+      .agg(sum(diff * diff).as("num"), max(col("cnt")).as("cnt"))
+      .withColumn("dist", col("num").cast("double") / (col("cnt") * col("cnt")).cast("double"))
+      .withColumn(
+        "probe_rank",
+        row_number().over(Window.partitionBy(col("qid")).orderBy(col("dist"), col("clabel"))))
+      .filter(col("probe_rank") <= cfgs.max)
+      .select(col("qid"), col("clabel"), col("probe_rank"))
+    val cand = e
+      .join(broadcast(probes), col("label") === col("clabel"))
+      .join(broadcast(queries), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(cosine_sim(col("qv"), col("v")), 6))
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("probe_rank"))
+    val swept = cand
+      .select(
+        col("qid"), col("vec_id"), col("cos_sim"), col("probe_rank"),
+        explode(array(cfgs.map(lit(_)): _*)).as("nprobe"))
+      .filter(col("probe_rank") <= col("nprobe"))
+    val wc = Window.partitionBy(col("qid"), col("nprobe"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val perQuery = swept
+      .withColumn("rk", row_number().over(wc))
+      .join(truth, Seq("qid", "vec_id"), "left")
+      .groupBy(col("nprobe"), col("qid"))
+      .agg(
+        sum(when(col("rk") <= k && col("in_truth"), 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("n_cand"))
+    val nCorpus = e.agg(count(lit(1)).as("n_corpus"))
+    perQuery
+      .join(broadcast(nCorpus))
+      .groupBy(col("nprobe"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        round(sum(col("hits")) / (count(lit(1)) * k), 4).as("avg_recall"),
+        round(min(col("hits")) / lit(k.toDouble), 4).as("min_recall"),
+        round(sum(col("n_cand")) / (count(lit(1)) * max(col("n_corpus"))), 4).as("cand_frac"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Int8 scalar quantization of the embedding corpus — the compression
     * step an ANN index at 100 TB actually ships (4× smaller vectors, one
     * (scale, zero-point) pair per dimension). Entirely integer arithmetic
@@ -481,6 +561,7 @@ object Similarity extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_ivf_recall" -> ((s, d) => q115(Tables(s, d))),
     "q101_semdedup" -> ((s, d) => q101(Tables(s, d))),
     "q104_cluster_sample" -> ((s, d) => q104(Tables(s, d))),
     "q109_embedding_audit" -> ((s, d) => q109(Tables(s, d))),
@@ -516,6 +597,58 @@ object Similarity extends QueryModule {
        | FROM embeddings)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q115_ivf_recall" ->
+      s"""WITH $duckEv,
+         | cent AS (
+         | SELECT label AS clabel, dim AS cdim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+         | FROM ev GROUP BY label, dim),
+         | scored AS (
+         | SELECT vec_id AS qid, clabel,
+         |  CAST(sum((q * cnt - sq) * (q * cnt - sq)) AS BIGINT) AS num, max(cnt) AS cnt
+         | FROM ev JOIN cent ON dim = cdim WHERE vec_id < 10 GROUP BY vec_id, clabel),
+         | pr AS (
+         | SELECT qid, clabel,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY CAST(num AS DOUBLE) / CAST(cnt * cnt AS DOUBLE), clabel) AS INTEGER) AS probe_rank
+         | FROM scored),
+         | probes AS (SELECT * FROM pr WHERE probe_rank <= 4),
+         | $duckVectors,
+         | qset AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+         | tr AS (
+         | SELECT q.qid, n.vec_id,
+         |  round(${duckDot("qv", "v")} / (qnrm * nrm), 6) AS cos_sim
+         | FROM n CROSS JOIN qset q WHERE n.vec_id <> q.qid),
+         | tt AS (
+         | SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM tr) WHERE rk <= 10),
+         | cd AS (
+         | SELECT p.qid, n.vec_id,
+         |  round(${duckDot("qv", "v")} / (qnrm * nrm), 6) AS cos_sim, p.probe_rank
+         | FROM probes p
+         | JOIN n ON n.label = p.clabel
+         | JOIN qset q ON q.qid = p.qid
+         | WHERE n.vec_id <> p.qid),
+         | cfg AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         | sw AS (
+         | SELECT nprobe, qid, vec_id, cos_sim, probe_rank
+         | FROM cd CROSS JOIN cfg WHERE probe_rank <= nprobe),
+         | rkd AS (
+         | SELECT *, row_number() OVER (PARTITION BY qid, nprobe
+         |   ORDER BY cos_sim DESC, vec_id) AS rk FROM sw),
+         | pq AS (
+         | SELECT nprobe, rkd.qid AS qid,
+         |  CAST(sum(CASE WHEN rk <= 10 AND tt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  count(*) AS n_cand
+         | FROM rkd LEFT JOIN tt ON tt.qid = rkd.qid AND tt.vec_id = rkd.vec_id
+         | GROUP BY nprobe, rkd.qid),
+         | nc AS (SELECT count(*) AS n_corpus FROM embeddings)
+         |SELECT nprobe, count(*) AS n_queries,
+         | round(sum(hits) / (count(*) * 10), 4) AS avg_recall,
+         | round(min(hits) / 10, 4) AS min_recall,
+         | round(sum(n_cand) / (count(*) * max(n_corpus)), 4) AS cand_frac
+         |FROM pq CROSS JOIN nc GROUP BY nprobe ORDER BY nprobe""".stripMargin,
     "q109_embedding_audit" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | n AS (

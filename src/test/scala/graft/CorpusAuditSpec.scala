@@ -536,4 +536,52 @@ class CorpusAuditSpec extends AnyFunSuite {
     }.toSet
     assert(got == expected)
   }
+
+  test("q116 band sweep is monotone and its widest arm IS q38's verified pair set") {
+    val rows = SparkEntry.queries("q116_lsh_tuning")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_verified"), r.getAs[Double]("recall")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8))
+    // prefix family ⇒ candidates and verified both nondecreasing in bands
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 <= b._2 && a._3 <= b._3 })
+    // the widest arm is exactly the default pipeline's verified set (q38)
+    val q38Pairs = SparkEntry.queries("q38_ngram_jaccard")(spark, sf).count()
+    assert(rows.last._3 == q38Pairs, s"widest-arm verified ${rows.last._3} != q38 $q38Pairs")
+    assert(rows.last._4 == 1.0, "recall is defined relative to the widest arm")
+  }
+
+  test("q117 threshold pricing is monotone in tau and its 0.5 row prices q38's pairs") {
+    val rows = SparkEntry.queries("q117_dedup_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Double]("tau"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs_dropped"), r.getAs[Long]("chars_dropped")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.5, 0.7, 0.9))
+    // a stricter cutoff can only qualify fewer pairs and delete less
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 >= b._2 && a._3 >= b._3 && a._4 >= b._4
+    })
+    // τ=0.5 is the default pipeline: pairs = q38's rows, drops = its
+    // distinct larger-id docs under the keep-smallest-id rule
+    val q38Rows = SparkEntry.queries("q38_ngram_jaccard")(spark, sf).collect()
+    assert(rows.head._2 == q38Rows.length.toLong)
+    val dropped = q38Rows.map(_.getAs[Long]("doc_b")).distinct.length.toLong
+    assert(rows.head._3 == dropped, s"0.5-row drops ${rows.head._3} != q38-derived $dropped")
+  }
+
+  test("q115 recall curve is monotone in nprobe and bounded like a recall must be") {
+    val rows = SparkEntry.queries("q115_ivf_recall")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("n_queries"),
+        r.getAs[Double]("avg_recall"), r.getAs[Double]("min_recall"),
+        r.getAs[Double]("cand_frac")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4))
+    assert(rows.forall(r => r._2 == 10L), "the deterministic query sample is vec_id < 10")
+    // probing MORE cells can only add candidates, so recall and read
+    // fraction are nondecreasing, and every recall sits in [0, 1]
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 <= b._3 && a._5 <= b._5 })
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0 && r._4 >= 0.0 && r._4 <= r._3))
+    // the curve must actually climb somewhere or the audit measures nothing
+    assert(rows.last._3 > rows.head._3 || rows.head._3 == 1.0)
+  }
 }
