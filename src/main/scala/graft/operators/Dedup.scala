@@ -774,13 +774,28 @@ object Dedup extends QueryModule {
         md5(col("text")).as("h"), col("source").like(incoming).as("incoming"))
     val base = docs.filter(!col("incoming"))
     val inc = docs.filter(col("incoming"))
-    val baseHashes = base.select(col("h")).distinct().withColumn("in_base", lit(true))
-    val canon = inc.groupBy(col("h")).agg(min(col("doc_id")).as("canon_id"))
     def sigRows(df: DataFrame) = df.select(
       col("doc_id"),
       posexplode(graft.functions.GraftFunctions.minhash_sigs(col("text"), bands(t)))
         .as(Seq("band", "sig")))
-    val baseSigs = sigRows(base).select(col("band"), col("sig")).distinct()
+    // `graft.delta.index` (round 11) points at a sources.DedupIndex store:
+    // the base-side probes then READ the precomputed artifacts instead of
+    // deriving them from the base corpus — the docstring's "indexes a real
+    // lake keeps", now an actual code path. Band-family mismatch fails
+    // loudly (the store pins its bands at init).
+    val indexDir = t.spark.conf.get("graft.delta.index", "")
+    val (baseHashes, baseSigs) =
+      if (indexDir.isEmpty)
+        (base.select(col("h")).distinct().withColumn("in_base", lit(true)),
+          sigRows(base).select(col("band"), col("sig")).distinct())
+      else {
+        val sb = graft.sources.DedupIndex.storeBands(t.spark, indexDir)
+        require(sb == bands(t),
+          s"graft.delta.index at $indexDir was built at bands=$sb, session wants ${bands(t)} — rebuild")
+        (graft.sources.DedupIndex.hashes(t.spark, indexDir).withColumn("in_base", lit(true)),
+          graft.sources.DedupIndex.sigs(t.spark, indexDir))
+      }
+    val canon = inc.groupBy(col("h")).agg(min(col("doc_id")).as("canon_id"))
     val nearIds = sigRows(inc)
       .join(baseSigs, Seq("band", "sig"))
       .select(col("doc_id")).distinct()
@@ -794,7 +809,10 @@ object Dedup extends QueryModule {
         // one-row eager aggregate: the serialized filter becomes a plan
         // CONSTANT (BloomFilterMightContain's contract), broadcast with
         // the closure like Spark's own evaluated runtime-filter subquery
-        val bfRow = base
+        // built over baseHashes (the distinct set), so it composes with
+        // graft.delta.index: with a store configured, the filter derives
+        // from the stored artifact too — zero base-corpus reads
+        val bfRow = baseHashes
           .select(graft.functions.GraftFunctions
             .bloom_agg(xxhash64(col("h")), items).as("bf"))
           .head()

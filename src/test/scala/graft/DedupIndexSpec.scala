@@ -1,0 +1,130 @@
+package graft
+
+import graft.sources.DedupIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persistent incremental dedup index (sources.DedupIndex): LSM
+  * base+delta versioning through the CatalogStore CAS protocol, q107
+  * reading the stored artifacts instead of deriving the base, and the
+  * incremental == rebuild equivalence that makes "maintain, don't
+  * re-derive" an actual theorem about this code rather than a docstring.
+  */
+class DedupIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_dedupidx").toString
+
+  private def docsAll = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+  private def baseDocs = Tables(spark, sf).documents
+    .filter(!col("source").like("src1%")).select(col("doc_id"), col("text"))
+
+  private def view(dir: String): (Set[String], Set[(Int, Long)]) = (
+    DedupIndex.hashes(spark, dir).collect().map(_.getString(0)).toSet,
+    DedupIndex.sigs(spark, dir).collect()
+      .map(r => (r.getAs[Number]("band").intValue, r.getAs[Number]("sig").longValue)).toSet)
+
+  test("incremental appends converge to exactly the from-scratch rebuild") {
+    val (incr, scratch) = (tmp(), tmp())
+    // split the base corpus into an initial load and two arriving batches
+    val ids = baseDocs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (b0, rest) = ids.splitAt(ids.length / 2)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    def slice(s: Array[Long]) = baseDocs.filter(col("doc_id").isin(s: _*))
+    val st0 = DedupIndex.init(spark, incr, slice(b0), bands = 8)
+    assert(st0.version == 1L && st0.kind == "base" && st0.bands == 8)
+    val st1 = DedupIndex.append(spark, incr, slice(b1))
+    val st2 = DedupIndex.append(spark, incr, slice(b2))
+    assert(st2.version >= st1.version)
+    DedupIndex.init(spark, scratch, baseDocs, bands = 8)
+    assert(view(incr) == view(scratch), "delta chain diverges from a rebuild")
+    // totals in the stats equal the actual view sizes
+    val (h, s) = view(incr)
+    val cur = DedupIndex.append(spark, incr, slice(b0)) // nothing new: no-op
+    assert(cur.totalHashes == h.size.toLong && cur.totalSigs == s.size.toLong)
+  }
+
+  test("an arriving batch with nothing new publishes NO version") {
+    val dir = tmp()
+    DedupIndex.init(spark, dir, baseDocs, bands = 8)
+    val before = DedupIndex.listVersions(spark, dir)
+    val st = DedupIndex.append(spark, dir, baseDocs.limit(50))
+    assert(DedupIndex.listVersions(spark, dir) == before, "no-op append grew the version chain")
+    assert(st.version == before.last)
+  }
+
+  test("compact folds the chain into one base with an identical view; history stays readable") {
+    val dir = tmp()
+    val ids = baseDocs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (b0, b1) = ids.splitAt(ids.length / 2)
+    DedupIndex.init(spark, dir, baseDocs.filter(col("doc_id").isin(b0: _*)), bands = 8)
+    DedupIndex.append(spark, dir, baseDocs.filter(col("doc_id").isin(b1: _*)))
+    val before = view(dir)
+    val st = DedupIndex.compact(spark, dir)
+    assert(st.kind == "base")
+    assert(view(dir) == before, "compaction changed the index view")
+    // the chain now reads from the single new base
+    assert(DedupIndex.listVersions(spark, dir).size == 3) // v1 base, v2 delta, v3 base
+    // idempotent: already one base → no new version
+    assert(DedupIndex.compact(spark, dir).version == st.version)
+  }
+
+  test("q107 over the stored index classifies identically to the derived base") {
+    val dir = tmp()
+    def run() = SparkEntry.queries("q107_delta_dedup")(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val direct = rows(run())
+    DedupIndex.init(spark, dir, baseDocs, bands = 8)
+    spark.conf.set("graft.delta.index", dir)
+    try {
+      assert(rows(run()) == direct, "index-backed q107 diverges from the derived-base run")
+      // and it composes with the Bloom pre-pass (filter built from the store)
+      spark.conf.set("graft.delta.bloom", "true")
+      try assert(rows(run()) == direct, "index+bloom q107 diverges")
+      finally spark.conf.unset("graft.delta.bloom")
+    } finally spark.conf.unset("graft.delta.index")
+  }
+
+  test("band-family mismatch fails loudly instead of silently mixing signatures") {
+    val dir = tmp()
+    DedupIndex.init(spark, dir, baseDocs, bands = 4)
+    spark.conf.set("graft.delta.index", dir)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("q107_delta_dedup")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("rebuild"))
+    } finally spark.conf.unset("graft.delta.index")
+  }
+
+  test("concurrent version claim: exactly one writer publishes, the loser keeps nothing staged") {
+    val dir = tmp()
+    DedupIndex.init(spark, dir, baseDocs.limit(100), bands = 8)
+    // two racers append DIFFERENT novel batches toward the same v=2 slot
+    val ids = docsAll.filter(col("source").like("src1%")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val (r1, r2) = ids.splitAt(ids.length / 2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val results = Await.result(
+      Future.sequence(Seq(r1, r2).map(s => Future {
+        try Right(DedupIndex.append(spark, dir,
+          docsAll.filter(col("doc_id").isin(s: _*))))
+        catch { case e: IllegalStateException => Left(e) }
+      })),
+      5.minutes).toList
+    val wins = results.collect { case Right(st) => st }
+    assert(wins.nonEmpty, "no writer succeeded")
+    // whatever committed is a consistent chain; no staging debris remains
+    val staging = new org.apache.hadoop.fs.Path(dir, "_staging")
+    val f = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover =
+      if (f.exists(staging)) f.listStatus(staging).length else 0
+    assert(leftover == 0, s"$leftover staged dirs left behind")
+    DedupIndex.hashes(spark, dir).count() // chain readable
+  }
+}
