@@ -381,6 +381,41 @@ class StreamingSpec extends AnyFunSuite {
     assert((all.length - nBase - nCanon) >= 0)
   }
 
+  test("streaming delta dedup probes the STORED DedupIndex as its static side") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production wiring: the stream-static join's static side is the
+    // persistent index artifact, not a frame derived from the base corpus
+    // in the same job — classification must be identical either way
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
+    val baseDocs = Tables(spark, sf).documents
+      .filter(!col("source").like("src1%")).select(col("doc_id"), col("text"))
+    graft.sources.DedupIndex.init(spark, dir, baseDocs, bands = 8)
+    val stored = graft.sources.DedupIndex.hashes(spark, dir)
+      .withColumn("in_base", lit(true))
+    val arrivals = Tables(spark, sf).documents
+      .filter(col("source").like("src1%"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val classified = ms.toDF()
+      .select(col("_1").as("doc_id"), md5(col("_2")).as("h"))
+      .join(stored, Seq("h"), "left")
+      .withColumn("exact_base", coalesce(col("in_base"), lit(false)))
+    val q = classified.writeStream
+      .outputMode("append").format("memory").queryName("idx_delta").start()
+    ms.addData(arrivals: _*)
+    q.processAllAvailable(); q.stop()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val baseH = baseDocs.select(md5(col("text"))).collect().map(_.getString(0)).toSet
+    val expected = arrivals.count(d => baseH(md5hex(d._2)))
+    val got = spark.table("idx_delta")
+    assert(got.count() == arrivals.length.toLong)
+    assert(got.filter(col("exact_base")).count() == expected.toLong,
+      "stored-index static side diverges from the derived base hash set")
+  }
+
   test("streaming split assignment matches the q103/q110 batch rule per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
