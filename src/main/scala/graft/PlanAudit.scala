@@ -147,7 +147,12 @@ object PlanAudit {
     "q116_lsh_tuning" -> 4,
     // the same q38 chain + τ-explode distinct + dropped-chars join +
     // pair/drop rollups + the 3-row assembly joins + sort
-    "q117_dedup_sweep" -> 7).withDefaultValue(3)
+    "q117_dedup_sweep" -> 7,
+    // first-touch min agg (user-keyed) + event⋈first join (the key a
+    // 100 TB event lake buckets by — exchange-free on bucketed storage)
+    // + (cohort, offset, user) distinct + matrix agg + cohort-size agg
+    // (hangs off the first-touch subtree) + sort; sizes join broadcasts
+    "q119_cohort_retention" -> 6).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

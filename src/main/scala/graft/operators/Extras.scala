@@ -253,6 +253,41 @@ object Extras extends QueryModule {
       .withColumn("conv_rate", round(col("n_purchase") / col("n_view"), 4))
   }
 
+  /** Weekly retention-cohort matrix over the event stream — the engagement
+    * governance readout next to q96's funnel: cohort = ISO week (Monday
+    * truncation, identical in both engines) of a user's FIRST event; cell
+    * (cohort, k) = distinct users active k weeks later, with retention as
+    * the share of the cohort. Scale shape: the corpus-scale pass is ONE
+    * partial-aggregable min per user (first touch); events re-join the
+    * first-touch relation user-keyed — the same key a 100 TB event lake
+    * would bucket by, so on bucketed storage the join is exchange-free;
+    * the matrix aggregate runs after a (cohort, offset, user) distinct
+    * (|users|·|weeks active| rows, far below event volume); cohort sizes
+    * are a |cohorts|-row broadcast. Week offsets are exact date-integer
+    * arithmetic (both sides are Mondays, so the day delta is an exact
+    * multiple of 7) — no float anywhere until the final rounded ratio.
+    */
+  private def q119(t: Tables): DataFrame = {
+    val ev = t.events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    ev.join(first, Seq("user_id"))
+      .select(
+        col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("offset_weeks"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort"), col("offset_weeks"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .withColumn("retention", round(col("n_active") / col("cohort_size"), 4))
+      .select(
+        col("cohort"), col("offset_weeks"), col("n_active"),
+        col("cohort_size"), col("retention"))
+      .orderBy(col("cohort"), col("offset_weeks"))
+  }
+
   /** Balanced per-source cap — the "no source dominates" curation step: at
     * most `graft.cap.docs` documents survive per source, selected by the
     * q64 seedless Knuth hash (deterministic, engine-stable, no RNG state),
@@ -383,6 +418,7 @@ object Extras extends QueryModule {
     "q93_zorder_cells" -> ((s, d) => q93(Tables(s, d))),
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
     "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
+    "q119_cohort_retention" -> ((s, d) => q119(Tables(s, d))),
     "q94_balanced_cap" -> ((s, d) => q94(Tables(s, d))),
     "q64_hash_split" -> ((s, d) => q64(Tables(s, d))),
     "q59_pivot" -> ((s, d) => q59(Tables(s, d))),
@@ -400,6 +436,20 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q119_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        | f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+        | sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY cohort),
+        | c AS (SELECT DISTINCT f.cohort AS cohort,
+        |   CAST(datediff('day', f.cohort, e.wk) / 7 AS BIGINT) AS offset_weeks, e.user_id AS user_id
+        |  FROM e JOIN f USING (user_id)),
+        | m AS (SELECT cohort, offset_weeks, count(*) AS n_active
+        |   FROM c GROUP BY cohort, offset_weeks)
+        |SELECT m.cohort AS cohort, m.offset_weeks AS offset_weeks, m.n_active AS n_active,
+        | sz.cohort_size AS cohort_size,
+        | round(m.n_active / sz.cohort_size, 4) AS retention
+        |FROM m JOIN sz USING (cohort)
+        |ORDER BY cohort, offset_weeks""".stripMargin,
     "q96_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         | s1 AS (SELECT user_id, event_type, us,

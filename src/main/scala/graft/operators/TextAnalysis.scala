@@ -327,6 +327,49 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Distributed BPE merge-pair counting — the inner step of byte-pair-
+    * encoding tokenizer training (Sennrich et al. 2016): count adjacent
+    * character-pair occurrences weighted by word frequency and surface the
+    * top merge candidates. The scale fact the whole trainer rests on: pair
+    * statistics are a function of the DISTINCT-WORD frequency table, not
+    * the corpus — the only corpus-scale shuffle is the partial-aggregable
+    * word count (map-side combine collapses repeated words before the
+    * exchange); the pair explode, the pair aggregate, and every subsequent
+    * merge iteration run at vocab scale (millions of rows at 100 TB, not
+    * trillions of tokens). Top-50 is a TakeOrdered gather — no global
+    * sort — and the rank window runs on that bounded 50-row result.
+    * (c1, c2) ties break on the pair bytes, so output is deterministic
+    * cross-engine.
+    */
+  private def q118(t: Tables): DataFrame = {
+    val wf = t.documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+    val pairs = wf
+      .filter(length(col("w")) >= 2)
+      .select(
+        col("freq"),
+        explode(
+          expr(
+            """transform(sequence(1, length(w) - 1),
+              |  i -> struct(substring(w, i, 1) AS c1, substring(w, i + 1, 1) AS c2))""".stripMargin))
+          .as("p"))
+      .select(col("p.c1").as("c1"), col("p.c2").as("c2"), col("freq"))
+    pairs
+      .groupBy(col("c1"), col("c2"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("c1"), col("c2"))
+      .limit(50)
+      .withColumn(
+        "pair_rank",
+        row_number()
+          .over(Window.orderBy(col("pair_count").desc, col("c1"), col("c2")))
+          .cast("long"))
+      .orderBy(col("pair_rank"))
+  }
+
   /** Sequence packing for pretraining batch prep: documents stream into
     * fixed 2048-token bins per source in deterministic doc_id order (a doc
     * is never split; its bin is the 2048-block its cumulative token end
@@ -891,6 +934,7 @@ object TextAnalysis extends QueryModule {
     "q77_bigram_lm" -> ((s, d) => q77(Tables(s, d))),
     "q72_pii_scrub" -> ((s, d) => q72(Tables(s, d))),
     "q97_rare_bigrams" -> ((s, d) => q97(Tables(s, d))),
+    "q118_bpe_pairs" -> ((s, d) => q118(Tables(s, d))),
     "q90_tfidf" -> ((s, d) => q90(Tables(s, d))),
     "q91_length_outliers" -> ((s, d) => q91(Tables(s, d))),
     "q30_text_stats" -> ((s, d) => q30(Tables(s, d))),
@@ -1007,6 +1051,19 @@ object TextAnalysis extends QueryModule {
          | CAST(sum(CASE WHEN entropy < 2.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
          |FROM e GROUP BY source ORDER BY source""".stripMargin
     },
+    "q118_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        | wf AS (SELECT w, count(*) AS freq FROM tok WHERE w <> '' GROUP BY w),
+        | pr AS (
+        |  SELECT freq,
+        |   unnest(list_transform(range(1, length(w)),
+        |     i -> {'c1': substring(w, i, 1), 'c2': substring(w, i + 1, 1)})) AS p
+        |  FROM wf WHERE length(w) >= 2),
+        | pc AS (SELECT p.c1 AS c1, p.c2 AS c2, CAST(sum(freq) AS BIGINT) AS pair_count
+        |   FROM pr GROUP BY 1, 2)
+        |SELECT c1, c2, pair_count,
+        | CAST(row_number() OVER (ORDER BY pair_count DESC, c1, c2) AS BIGINT) AS pair_rank
+        |FROM pc ORDER BY pair_count DESC, c1, c2 LIMIT 50""".stripMargin,
     "q97_rare_bigrams" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
         | bg AS (

@@ -584,4 +584,26 @@ class CorpusAuditSpec extends AnyFunSuite {
     // the curve must actually climb somewhere or the audit measures nothing
     assert(rows.last._3 > rows.head._3 || rows.head._3 == 1.0)
   }
+
+  test("q118 BPE pair counts match an independent word-frequency recomputation") {
+    val wordFreq = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val pairCounts = wordFreq.toSeq.filter(_._1.length >= 2).flatMap { case (w, f) =>
+      w.toSeq.zip(w.toSeq.tail).map { case (a, b) => (a.toString, b.toString) -> f }
+    }.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2).sum }
+    val expected = pairCounts.toSeq
+      .sortBy { case ((c1, c2), n) => (-n, c1, c2) }
+      .take(50)
+      .zipWithIndex
+      .map { case (((c1, c2), n), i) => (c1, c2, n, (i + 1).toLong) }
+    val got = SparkEntry.queries("q118_bpe_pairs")(spark, sf).collect().map { r =>
+      (r.getAs[String]("c1"), r.getAs[String]("c2"),
+        r.getAs[Long]("pair_count"), r.getAs[Long]("pair_rank"))
+    }.toSeq
+    assert(got == expected)
+    // conservation bound: counted pair mass never exceeds the corpus's
+    // adjacent-slot count (len-1 slots per word occurrence)
+    val slots = wordFreq.collect { case (w, f) if w.length >= 2 => (w.length - 1).toLong * f }.sum
+    assert(got.map(_._3).sum <= slots)
+  }
 }

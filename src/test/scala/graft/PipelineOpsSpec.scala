@@ -570,4 +570,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_view") >= r.getAs[Long]("n_click"))
     assert(r.getAs[Long]("n_click") >= r.getAs[Long]("n_purchase"))
   }
+
+  test("q119 retention cohorts match an independent first-touch recomputation") {
+    import java.time.{DayOfWeek, ZoneOffset}
+    import java.time.temporal.ChronoUnit
+    // independent Monday truncation — plain java.time, no Spark date_trunc
+    val evs = Tables(spark, sf).events
+      .select(col("user_id"), col("ts"))
+      .collect()
+      .map { r =>
+        val d = r.getTimestamp(1).toInstant.atZone(ZoneOffset.UTC).toLocalDate
+        (r.getLong(0), d.minusDays((d.getDayOfWeek.getValue - DayOfWeek.MONDAY.getValue).toLong))
+      }
+    val firstTouch = evs.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min(Ordering.by((x: java.time.LocalDate) => x.toEpochDay)) }
+    val sizes = firstTouch.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val cells = evs.map { case (u, wk) =>
+      val cohort = firstTouch(u)
+      (cohort, ChronoUnit.DAYS.between(cohort, wk) / 7, u)
+    }.distinct
+    val expected = cells.groupBy(c => (c._1, c._2)).map { case ((cohort, off), xs) =>
+      val n = xs.size.toLong
+      (cohort.toString, off, n, sizes(cohort),
+        BigDecimal(n.toDouble / sizes(cohort)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = SparkEntry.queries("q119_cohort_retention")(spark, sf).collect().map { r =>
+      (r.getDate(0).toLocalDate.toString, r.getAs[Long]("offset_weeks"), r.getAs[Long]("n_active"),
+        r.getAs[Long]("cohort_size"), r.getAs[Double]("retention"))
+    }.toSet
+    assert(got == expected)
+    // week-0 cell IS the cohort: everyone is active the week they arrive
+    got.filter(_._2 == 0L).foreach { c => assert(c._3 == c._4 && c._5 == 1.0) }
+    // offsets are never negative (no event precedes its user's first touch)
+    assert(got.forall(_._2 >= 0L))
+  }
 }
