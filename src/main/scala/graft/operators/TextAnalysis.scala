@@ -370,6 +370,76 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("pair_rank"))
   }
 
+  final case class BpeModel(merges: Seq[(String, String)], symbolCount: Long, vocab: DataFrame)
+
+  /** Train a BPE merge table — the full tokenizer-training loop q118 is
+    * one step of (Sennrich et al. 2016, algorithm 1). The corpus is
+    * scanned ONCE (the partial-aggregable word-frequency aggregate);
+    * every merge round after that is vocab-scale: pair counting over the
+    * symbol arrays (map-side explode + agg), a 1-row argmax gather
+    * (count desc, byte-order tie-break — deterministic), and a left-fold
+    * merge apply (an `aggregate` higher-order function, pure map work).
+    * Loop discipline is trainIvf's ([[graft.operators.Similarity]]):
+    * lineage cuts per round on the vocab relation only, the driver sees
+    * one 2-string row per round (loop control, not a data collect), and
+    * the greedy merge is exactly the sequential algorithm — left-to-right
+    * non-overlapping, the fold's last-element check — so the distributed
+    * trainer is bit-identical to a single-machine reference.
+    */
+  def trainBpe(t: Tables, nMerges: Int = 10): BpeModel = {
+    require(nMerges >= 1, s"nMerges out of range: $nMerges")
+    val wf = t.documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .select(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
+        col("freq"))
+    var vocab = graft.Iterate.cutLineage(wf)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      // 1-row loop-control gather: the argmax merge candidate this round
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(
+          col("freq"),
+          explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))""".stripMargin))
+            .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        // left-fold merge apply: CASE branches keep element_at off the
+        // empty accumulator; a merged last element ("ab") no longer
+        // equals `a`, so the fold is the standard non-overlapping
+        // left-to-right BPE application
+        val folded = aggregate(
+          col("syms"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) === 0, array(x))
+              .when(
+                element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(
+                  slice(acc, lit(1), size(acc) - 1),
+                  array(concat(element_at(acc, -1), x))))
+              .otherwise(concat(acc, array(x))))
+        vocab = graft.Iterate.cutLineage(vocab.withColumn("syms", folded))
+      }
+    }
+    val symbolCount = vocab.select(explode(col("syms")).as("s")).distinct().count()
+    BpeModel(merges.toSeq, symbolCount, vocab)
+  }
+
   /** Sequence packing for pretraining batch prep: documents stream into
     * fixed 2048-token bins per source in deterministic doc_id order (a doc
     * is never split; its bin is the 2048-block its cumulative token end

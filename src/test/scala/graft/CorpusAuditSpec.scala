@@ -606,4 +606,31 @@ class CorpusAuditSpec extends AnyFunSuite {
     val slots = wordFreq.collect { case (w, f) if w.length >= 2 => (w.length - 1).toLong * f }.sum
     assert(got.map(_._3).sum <= slots)
   }
+
+  test("trainBpe reproduces the sequential BPE merge sequence") {
+    val wordFreq = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b) else acc :+ x
+      }
+    // the sequential reference algorithm, plain Scala
+    var vocab = wordFreq.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val expMerges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (_ <- 1 to 5) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case (syms, f) => syms.zip(syms.tail).foreach(p => counts(p) += f) }
+      if (counts.nonEmpty) {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        expMerges += best
+        vocab = vocab.map { case (syms, f) => (applyMerge(syms, best._1, best._2), f) }
+      }
+    }
+    val model = operators.TextAnalysis.trainBpe(Tables(spark, sf), 5)
+    assert(model.merges == expMerges.toSeq)
+    assert(model.symbolCount == vocab.flatMap(_._1).toSet.size.toLong)
+    // round 1 of the trainer IS q118's rank-1 row
+    val top = SparkEntry.queries("q118_bpe_pairs")(spark, sf).collect()(0)
+    assert(model.merges.head == ((top.getAs[String]("c1"), top.getAs[String]("c2"))))
+  }
 }
