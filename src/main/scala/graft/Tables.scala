@@ -20,17 +20,43 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's timestamp type (µs) can't represent directly. Read them as raw
-    * nanos longs and convert with integer division — never through a double,
-    * which can't hold an epoch-nanos value exactly.
+  /** The events table's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (unrepresentable in Spark's µs timestamp;
+    * loadable only as a raw nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong`), then timestamp[us] with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Adapt to whatever the
+    * files carry instead of binding to one generation: branch on the loaded
+    * schema and normalize `ts` to a session-TZ (UTC everywhere in this repo)
+    * TimestampType so downstream `window()`/`unix_micros`/oracle hashes are
+    * identical across physical encodings.
+    *
+    *  - LongType (nanos-as-long): integer-divide to µs — never through a
+    *    double, which can't hold an epoch-nanos value exactly.
+    *  - TimestampNTZType: cast; with the UTC session this is µs-identical.
+    *  - TimestampType: pass through.
+    *
+    * The legacy conf is set only on the retry path a NANOS file forces
+    * (plain schema inference throws on TIMESTAMP(NANOS)), and must then stay
+    * set for the session: the vectorized reader re-checks it per batch at
+    * execution time, so un-setting it after load would break the scan.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try t("events")
+      catch {
+        case _: Exception =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          t("events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalArgumentException(s"events.ts: unsupported physical type $other")
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

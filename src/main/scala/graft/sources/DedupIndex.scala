@@ -183,9 +183,10 @@ object DedupIndex {
     val (bh, bs) = derive(batch, bands)
     val newH = bh.join(hashes(spark, dir), Seq("h"), "left_anti")
     val newS = bs.join(sigs(spark, dir), Seq("band", "sig"), "left_anti")
+    // No pre-commit visibility check here: a concurrent appender may
+    // legitimately commit cur+1 between our stage and commit — commit()'s
+    // marker-CAS is the arbiter, and the loser's staging is deleted there.
     val staging = stage(spark, dir, cur + 1, "delta", bands, newH, newS)
-    val m = readMeta(fs(spark, dir), dir, cur + 1) // not yet committed: None
-    require(m.isEmpty, "staging must not be visible before commit")
     val stagedMeta = {
       val in = fs(spark, dir).open(new Path(staging, Marker))
       try new String(
