@@ -300,10 +300,13 @@ object Extras extends QueryModule {
     * source-keyed shuffle, which also carries the count/char rollup.
     * That IS how a 1000-executor ingest caps each source's stream.
     *
-    * Id-domain bound (both engines agree only inside it): the Knuth
-    * product `doc_id * 2654435761` stays in int64 for doc_id < ~3.47e9;
-    * past that Spark (non-ANSI) wraps while DuckDB raises — at larger id
-    * spaces route ids through a 32-bit fold first.
+    * Id-domain safety: ids pre-fold through `% 2147483647` (Mersenne
+    * prime 2^31−1) before the Knuth product, so the multiply stays in
+    * int64 for EVERY non-negative int64 id — no engine divergence
+    * (Spark-ANSI and DuckDB both raise on overflow; non-ANSI Spark
+    * silently wraps). The fold is the identity below 2^31, so hashes at
+    * test scale are unchanged; CorpusAuditSpec pins the folded hash at
+    * id = 2^33.
     */
   private def q94(t: Tables): DataFrame = {
     val k = t.spark.conf.get("graft.cap.docs", "15").toInt
@@ -312,7 +315,7 @@ object Extras extends QueryModule {
       col("h"), col("doc_id"), col("n_chars").cast("long"))
     t.documents
       .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("n_chars"))
-      .withColumn("h", expr("(doc_id * 2654435761) % 4294967296"))
+      .withColumn("h", expr("((doc_id % 2147483647) * 2654435761) % 4294967296"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -365,7 +368,7 @@ object Extras extends QueryModule {
 
   private def q64(t: Tables): DataFrame =
     t.documents
-      .withColumn("h", expr("(doc_id * 2654435761) % 100"))
+      .withColumn("h", expr("((doc_id % 2147483647) * 2654435761) % 100"))
       .withColumn(
         "split",
         when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
@@ -380,7 +383,7 @@ object Extras extends QueryModule {
     */
   private def q65(t: Tables): DataFrame =
     t.documents
-      .withColumn("h", expr("(doc_id * 2654435761) % 100"))
+      .withColumn("h", expr("((doc_id % 2147483647) * 2654435761) % 100"))
       .withColumn("rate", when(col("source").like("src1%"), 100).otherwise(40))
       .withColumn("kept", col("h") < col("rate"))
       .groupBy(col("source"))
@@ -474,7 +477,7 @@ object Extras extends QueryModule {
         |FROM f""".stripMargin,
     "q94_balanced_cap" ->
       """WITH h AS (
-        | SELECT doc_id, source, n_chars, (doc_id * 2654435761) % 4294967296 AS h
+        | SELECT doc_id, source, n_chars, ((doc_id % 2147483647) * 2654435761) % 4294967296 AS h
         | FROM documents),
         | r AS (
         | SELECT source, n_chars,
@@ -505,14 +508,14 @@ object Extras extends QueryModule {
         | round(min(lat), 4) AS min_lat, round(max(lat), 4) AS max_lat
         |FROM z GROUP BY cell ORDER BY cell""".stripMargin,
     "q65_corpus_mix" ->
-      """WITH m AS (SELECT source, (doc_id * 2654435761) % 100 AS h,
+      """WITH m AS (SELECT source, ((doc_id % 2147483647) * 2654435761) % 100 AS h,
         |  CASE WHEN source LIKE 'src1%' THEN 100 ELSE 40 END AS rate FROM documents)
         |SELECT source, count(*) AS n_total,
         | CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         | max(rate) AS rate_pct
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q64_hash_split" ->
-      """WITH s AS (SELECT source, n_chars, (doc_id * 2654435761) % 100 AS h FROM documents)
+      """WITH s AS (SELECT source, n_chars, ((doc_id % 2147483647) * 2654435761) % 100 AS h FROM documents)
         |SELECT source,
         | CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total

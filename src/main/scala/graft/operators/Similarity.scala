@@ -492,10 +492,9 @@ object Similarity extends QueryModule {
     * `graft.sample.perCluster` (default 8) vectors survive per coarse
     * cluster (the IVF `label` the family already keys on), selected by
     * the q64/q94 seedless Knuth multiplicative hash — deterministic,
-    * RNG-free, reproducible across runs and engines. Id-domain bound
-    * (q94's): `vec_id * 2654435761` stays in int64 for ids < ~3.47e9;
-    * past that Spark (non-ANSI) wraps while DuckDB raises — fold larger
-    * id spaces to 32 bits first.
+    * RNG-free, reproducible across runs and engines. Ids pre-fold
+    * through `% 2147483647` (q94's rule) so the product fits int64 for
+    * every non-negative int64 id in both engines.
     *
     * Scale shape: ONE shuffle on the cluster label carries both the
     * selection window and the rollup (the groupBy reuses the window's
@@ -509,7 +508,7 @@ object Similarity extends QueryModule {
     val byLabel = Window.partitionBy(col("label")).orderBy(col("h"), col("vec_id"))
     vectors(t)
       .select(col("vec_id"), col("label"))
-      .withColumn("h", expr("(vec_id * 2654435761) % 4294967296"))
+      .withColumn("h", expr("((vec_id % 2147483647) * 2654435761) % 4294967296"))
       .withColumn("kept", row_number().over(byLabel) <= k)
       .groupBy(col("label"))
       .agg(
@@ -670,7 +669,7 @@ object Similarity extends QueryModule {
         |FROM q GROUP BY label ORDER BY label""".stripMargin,
     "q104_cluster_sample" ->
       """WITH h AS (
-        | SELECT vec_id, label, (vec_id * 2654435761) % 4294967296 AS h
+        | SELECT vec_id, label, ((vec_id % 2147483647) * 2654435761) % 4294967296 AS h
         | FROM embeddings),
         | r AS (
         | SELECT label, vec_id,

@@ -95,7 +95,7 @@ class CorpusAuditSpec extends AnyFunSuite {
   test("q94 balanced cap matches an independent per-source selection") {
     val expected = docs.groupBy(_._3).map { case (src, ds) =>
       val kept = ds
-        .sortBy(d => ((d._1 * 2654435761L) % 4294967296L, d._1))
+        .sortBy(d => (((d._1 % 2147483647L) * 2654435761L) % 4294967296L, d._1))
         .take(15)
       (src, ds.size.toLong, kept.size.toLong, kept.map(_._4).sum, ds.map(_._4).sum)
     }.toSet
@@ -104,6 +104,24 @@ class CorpusAuditSpec extends AnyFunSuite {
         r.getAs[Long]("kept_chars"), r.getAs[Long]("total_chars"))
     }.toSet
     assert(got == expected)
+  }
+
+  test("the folded Knuth hash is total over int64 ids: exact value pinned at id = 2^33") {
+    import spark.implicits._
+    // Without the % 2147483647 pre-fold, 2^33 * 2654435761 overflows int64
+    // (Spark-ANSI and DuckDB would both raise; non-ANSI Spark would wrap
+    // and silently diverge from the oracle). Folded: 2^33 % (2^31-1) = 4,
+    // 4 * 2654435761 = 10617743044, % 2^32 = 2027808452 — same arithmetic
+    // in both engines.
+    val h = Seq(8589934592L).toDF("doc_id")
+      .selectExpr("((doc_id % 2147483647) * 2654435761) % 4294967296 AS h")
+      .head().getLong(0)
+    assert(h === 2027808452L)
+    // identity below the fold boundary: small ids hash exactly as before
+    val small = Seq(12345L).toDF("doc_id")
+      .selectExpr("((doc_id % 2147483647) * 2654435761) % 4294967296 AS h")
+      .head().getLong(0)
+    assert(small === (12345L * 2654435761L) % 4294967296L)
   }
 
   private def shingles(text: String): Set[String] = {

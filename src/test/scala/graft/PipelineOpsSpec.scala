@@ -343,7 +343,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getAs[Number]("label").intValue))
     def expected(k: Int) = vecs.groupBy(_._2).map { case (label, vs) =>
-      val kept = vs.map(_._1).sortBy(id => ((id * 2654435761L) % 4294967296L, id)).take(k)
+      val kept = vs.map(_._1).sortBy(id => (((id % 2147483647L) * 2654435761L) % 4294967296L, id)).take(k)
       (label, vs.length.toLong, kept.length.toLong, kept.sum,
         rnd4(kept.length.toDouble / vs.length))
     }.toSet
