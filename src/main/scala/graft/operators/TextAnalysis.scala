@@ -370,24 +370,49 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("pair_rank"))
   }
 
-  final case class BpeModel(merges: Seq[(String, String)], symbolCount: Long, vocab: DataFrame)
+  final case class BpeModel(
+      merges: Seq[(String, String)], symbolCount: Long, vocab: DataFrame, rounds: Int)
 
   /** Train a BPE merge table — the full tokenizer-training loop q118 is
     * one step of (Sennrich et al. 2016, algorithm 1). The corpus is
     * scanned ONCE (the partial-aggregable word-frequency aggregate);
     * every merge round after that is vocab-scale: pair counting over the
-    * symbol arrays (map-side explode + agg), a 1-row argmax gather
-    * (count desc, byte-order tie-break — deterministic), and a left-fold
-    * merge apply (an `aggregate` higher-order function, pure map work).
+    * symbol arrays (map-side explode + agg), a bounded loop-control
+    * gather, and a left-fold merge apply (an `aggregate` higher-order
+    * function, pure map work).
+    *
+    * Merges are BATCHED per round — the fix for the driver-paced
+    * sequential chain a 30k–50k-merge real train would otherwise be (one
+    * Spark job per merge, wall-clock bound by driver latency, not data).
+    * Each round gathers the top-`maxBatch` candidates (count desc,
+    * byte-order tie-break) and applies the longest PREFIX of that order
+    * that provably commutes with the sequential greedy algorithm:
+    *
+    *  - prefix-contiguous: stop at the first rejected candidate, never
+    *    skip past it — a skipped overlapping pair could be sequential's
+    *    genuine next pick once earlier merges reduce its count;
+    *  - pairwise symbol-disjoint, and no candidate symbol equals another
+    *    batch merge's concatenated output — so batch members never
+    *    compete for an adjacency and existing counts of later members
+    *    are untouched by earlier ones;
+    *  - created-pair bound: merging (a,b) can only create pairs
+    *    (p, ab) with count ≤ max count of pairs ending at `a`, and
+    *    (ab, s) with count ≤ max count of pairs starting at `b` — both
+    *    read off the round's own pair table; a later batch member must
+    *    STRICTLY beat every earlier member's bound, or the round stops
+    *    there (a created pair might outrank it in the sequential order).
+    *
+    * Under those guards the batch equals `|batch|` steps of sequential
+    * greedy exactly (spec-pinned against a scalar reference, traps
+    * included), while driver round-trips drop ~`maxBatch`-fold — at 50k
+    * merges and maxBatch=64 that is ~800 rounds instead of 50k jobs.
     * Loop discipline is trainIvf's ([[graft.operators.Similarity]]):
-    * lineage cuts per round on the vocab relation only, the driver sees
-    * one 2-string row per round (loop control, not a data collect), and
-    * the greedy merge is exactly the sequential algorithm — left-to-right
-    * non-overlapping, the fold's last-element check — so the distributed
-    * trainer is bit-identical to a single-machine reference.
+    * lineage cuts per round on the vocab relation only; driver gathers
+    * are ≤ maxBatch rows of loop control, never data.
     */
-  def trainBpe(t: Tables, nMerges: Int = 10): BpeModel = {
+  def trainBpe(t: Tables, nMerges: Int = 10, maxBatch: Int = 16): BpeModel = {
     require(nMerges >= 1, s"nMerges out of range: $nMerges")
+    require(maxBatch >= 1, s"maxBatch out of range: $maxBatch")
     val wf = t.documents
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -398,10 +423,11 @@ object TextAnalysis extends QueryModule {
         col("freq"))
     var vocab = graft.Iterate.cutLineage(wf)
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var rounds = 0
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
-      // 1-row loop-control gather: the argmax merge candidate this round
-      val best = vocab
+      val want = math.min(maxBatch, nMerges - merges.length)
+      val pairs = vocab
         .filter(size(col("syms")) >= 2)
         .select(
           col("freq"),
@@ -411,33 +437,65 @@ object TextAnalysis extends QueryModule {
             .as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("n"))
+        .persist()
+      // created-pair bounds off the same vocab-scale table: pairs ending
+      // at a candidate's left symbol / starting at its right symbol
+      val maxIn = pairs.groupBy(col("b").as("s")).agg(max(col("n")).as("max_in"))
+      val maxOut = pairs.groupBy(col("a").as("s")).agg(max(col("n")).as("max_out"))
+      val cands = pairs
+        .orderBy(col("n").desc, col("a"), col("b")).limit(want).as("t")
+        .join(maxIn.as("mi"), col("t.a") === col("mi.s"), "left")
+        .join(maxOut.as("mo"), col("t.b") === col("mo.s"), "left")
+        .select(
+          col("t.a"), col("t.b"), col("t.n"),
+          greatest(coalesce(col("mi.max_in"), lit(0L)),
+            coalesce(col("mo.max_out"), lit(0L))).as("bound"))
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1)
         .collect()
-      if (best.isEmpty) exhausted = true
+      pairs.unpersist()
+      if (cands.isEmpty) exhausted = true
       else {
-        val (a, b) = (best(0).getString(0), best(0).getString(1))
-        merges += ((a, b))
-        // left-fold merge apply: CASE branches keep element_at off the
-        // empty accumulator; a merged last element ("ab") no longer
-        // equals `a`, so the fold is the standard non-overlapping
-        // left-to-right BPE application
+        rounds += 1
+        final case class C(a: String, b: String, n: Long, bound: Long)
+        val ordered = cands.map(r => C(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        val sel = scala.collection.mutable.ArrayBuffer[C]()
+        var stop = false
+        for (c <- ordered if !stop) {
+          val syms = sel.iterator.flatMap(s => Iterator(s.a, s.b)).toSet
+          val outs = sel.iterator.map(s => s.a + s.b).toSet
+          val ok = sel.isEmpty || (
+            !syms(c.a) && !syms(c.b) && !outs(c.a) && !outs(c.b) &&
+              !syms(c.a + c.b) && !outs(c.a + c.b) &&
+              sel.forall(s => c.n > s.bound))
+          if (ok) sel += c else stop = true
+        }
+        merges ++= sel.map(c => (c.a, c.b))
+        // one fold pass applies the whole batch: disjointness means at most
+        // one rule can match at any position (all left symbols distinct and
+        // no merged output collides with a rule symbol), so a single
+        // left-to-right pass ≡ applying the merges one after another.
+        // CASE branches keep element_at off the empty accumulator; a merged
+        // last element ("ab") no longer equals any rule's `a`, so each rule
+        // is the standard non-overlapping left-to-right BPE application.
         val folded = aggregate(
           col("syms"),
           array().cast("array<string>"),
-          (acc, x) =>
-            when(size(acc) === 0, array(x))
-              .when(
-                element_at(acc, -1) === lit(a) && x === lit(b),
+          (acc, x) => {
+            val onMerge = sel.foldLeft(when(lit(false), acc)) { (w, c) =>
+              w.when(
+                element_at(acc, -1) === lit(c.a) && x === lit(c.b),
                 concat(
                   slice(acc, lit(1), size(acc) - 1),
                   array(concat(element_at(acc, -1), x))))
-              .otherwise(concat(acc, array(x))))
+            }
+            when(size(acc) === 0, array(x))
+              .otherwise(onMerge.otherwise(concat(acc, array(x))))
+          })
         vocab = graft.Iterate.cutLineage(vocab.withColumn("syms", folded))
       }
     }
     val symbolCount = vocab.select(explode(col("syms")).as("s")).distinct().count()
-    BpeModel(merges.toSeq, symbolCount, vocab)
+    BpeModel(merges.toSeq, symbolCount, vocab, rounds)
   }
 
   /** Sequence packing for pretraining batch prep: documents stream into

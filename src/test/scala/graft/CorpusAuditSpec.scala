@@ -651,4 +651,46 @@ class CorpusAuditSpec extends AnyFunSuite {
     val top = SparkEntry.queries("q118_bpe_pairs")(spark, sf).collect()(0)
     assert(model.merges.head == ((top.getAs[String]("c1"), top.getAs[String]("c2"))))
   }
+
+  test("batched trainBpe equals sequential greedy, overlap trap included, in fewer rounds") {
+    import spark.implicits._
+    // "xab" is the classic batching trap: round-1 candidates are
+    // (a,b):100, (x,a):100, (c,d):60, … — after merging (a,b) the CREATED
+    // pair (x,ab):100 is sequential's merge 2, so a naive "top-m by count"
+    // batch that skipped overlapping (x,a) and took (c,d) would diverge.
+    // The prefix-stop rule must cut round 1 at the (x,a) overlap; round 2
+    // may then batch (x,ab) with every remaining disjoint pair at once.
+    val words =
+      Seq.fill(100)("xab") ++ Seq.fill(60)("cd") ++ Seq.fill(55)("ef") ++
+        Seq.fill(50)("gh") ++ Seq.fill(45)("ij")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_crafted").toString
+    words.toDF("text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b) else acc :+ x
+      }
+    var vocab = words.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (w, xs) => (w.map(_.toString).toVector, xs.size.toLong) }
+    val expMerges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (_ <- 1 to 6) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case (syms, f) => syms.zip(syms.tail).foreach(p => counts(p) += f) }
+      if (counts.nonEmpty) {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        expMerges += best
+        vocab = vocab.map { case (syms, f) => (applyMerge(syms, best._1, best._2), f) }
+      }
+    }
+    assert(expMerges(1) == (("x", "ab")), "crafted trap must make the created pair merge 2")
+
+    val batched = operators.TextAnalysis.trainBpe(Tables(spark, dir), 6, maxBatch = 8)
+    val oneByOne = operators.TextAnalysis.trainBpe(Tables(spark, dir), 6, maxBatch = 1)
+    assert(batched.merges == expMerges.toSeq)
+    assert(oneByOne.merges == expMerges.toSeq)
+    // batching must actually compress the schedule: round 1 stops at the
+    // trap, round 2 takes the other five merges together
+    assert(batched.rounds == 2, s"expected 2 rounds, got ${batched.rounds}")
+    assert(oneByOne.rounds == 6)
+  }
 }
