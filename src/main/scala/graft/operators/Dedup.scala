@@ -27,6 +27,24 @@ object Dedup extends QueryModule {
     b
   }
 
+  /** Array of md5 hashes of every K-consecutive-token window of `text` —
+    * the shared kernel of q113's corpus-wide repeated-substring scan and
+    * [[graft.sources.DedupIndex]]'s persistent `windows` relation. One
+    * definition so a stored window set and an in-query derivation can
+    * never disagree on hashing.
+    */
+  private[graft] def windowHashes(k: Int): Column = expr(
+    s"""CASE WHEN size(split(text, ' ')) >= $k THEN
+       |  transform(sequence(1, size(split(text, ' ')) - $k + 1),
+       |    i -> md5(concat_ws(' ', slice(split(text, ' '), i, $k))))
+       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+
+  private def windowK(t: Tables): Int = {
+    val k = t.spark.conf.get("graft.dedup.windowTokens", "8").toInt
+    require(k >= 2 && k <= 64, s"graft.dedup.windowTokens out of range: $k")
+    k
+  }
+
   // word-3-gram shingle fragment for the DuckDB oracles (the Spark side
   // runs the native kernels in graft.functions with identical semantics)
   private val shinglesDuck =
@@ -842,6 +860,68 @@ object Dedup extends QueryModule {
       .orderBy(col("source"), col("cls"))
   }
 
+  /** Incremental substring decontamination — q113's repeated-window scan
+    * restructured the way q107 restructures exact/near dedup: the arriving
+    * batch (`graft.delta.incoming`) probes the BASE corpus's window-hash
+    * set instead of re-scanning the whole corpus, so per-batch cost is
+    * ∝ |batch| windows at any base size. With `graft.delta.index` pointing
+    * at a [[graft.sources.DedupIndex]] store, the base side reads the
+    * persistent `windows` relation (maintained incrementally, appends
+    * ∝ |batch|) — zero base-corpus reads; without it the base set derives
+    * in-query (the test-lake fallback, q107's rule). Window K must match
+    * the store's pinned value — mismatch fails loudly, the band-family
+    * rule. This IS the 100 TB shape for eval-set / boilerplate
+    * contamination checks on every arriving crawl batch.
+    *
+    * Per incoming window, first match wins: `base_dup` (window present in
+    * the curated base), `batch_dup` (repeated within the batch), else
+    * fresh; per-source rollup.
+    */
+  def deltaSubstring(t: Tables): DataFrame = {
+    val k = windowK(t)
+    val incoming = t.spark.conf.get("graft.delta.incoming", "src1%")
+    require(incoming.nonEmpty && !incoming.contains("'"),
+      s"graft.delta.incoming invalid: $incoming")
+    val docs = Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        col("source").like(incoming).as("incoming"))
+    val incPos = docs.filter(col("incoming"))
+      .select(col("doc_id"), col("source"), explode(windowHashes(k)).as("h"))
+    val indexDir = t.spark.conf.get("graft.delta.index", "")
+    val baseWin =
+      if (indexDir.isEmpty)
+        docs.filter(!col("incoming"))
+          .select(explode(windowHashes(k)).as("h")).distinct()
+          .withColumn("in_base", lit(true))
+      else {
+        val sk = graft.sources.DedupIndex.storeWindowK(t.spark, indexDir)
+        require(sk == k,
+          s"graft.delta.index at $indexDir was built at windowK=$sk, session wants $k — rebuild")
+        graft.sources.DedupIndex.windows(t.spark, indexDir)
+          .select(col("wh").as("h"), lit(true).as("in_base"))
+      }
+    val rep = incPos.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    incPos
+      .join(baseWin, Seq("h"), "left")
+      .join(rep, Seq("h"))
+      .withColumn(
+        "cls",
+        when(coalesce(col("in_base"), lit(false)), "base_dup")
+          .when(col("n_occ") > 1, "batch_dup")
+          .otherwise("fresh"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("cls") === "base_dup", 1L).otherwise(0L)).as("n_base_dup"),
+        sum(when(col("cls") === "batch_dup", 1L).otherwise(0L)).as("n_batch_dup"),
+        countDistinct(when(col("cls") =!= "fresh", col("doc_id"))).as("n_docs_affected"))
+      .withColumn(
+        "contaminated_share",
+        round((col("n_base_dup") + col("n_batch_dup")) / col("n_windows"), 4))
+      .orderBy(col("source"))
+  }
+
   /** Split-shift audit — the governance check after q103 assigns splits:
     * is the test distribution actually exchangeable with train, or did
     * the hash land a skewed slice? Total-variation distance between each
@@ -930,16 +1010,11 @@ object Dedup extends QueryModule {
     * (default 8) is K.
     */
   private def q113(t: Tables): DataFrame = {
-    val k = t.spark.conf.get("graft.dedup.windowTokens", "8").toInt
-    require(k >= 2 && k <= 64, s"graft.dedup.windowTokens out of range: $k")
+    val k = windowK(t)
     val pos = Tables.localSplit(t.documents, col("doc_id"))
       .select(
         col("doc_id"), col("source"),
-        explode(expr(
-          s"""CASE WHEN size(split(text, ' ')) >= $k THEN
-             |  transform(sequence(1, size(split(text, ' ')) - $k + 1),
-             |    i -> md5(concat_ws(' ', slice(split(text, ' '), i, $k))))
-             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("h"))
+        explode(windowHashes(k)).as("h"))
     val repeated = pos
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"))

@@ -4,11 +4,12 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persistent incremental dedup index — the precomputed artifact
-  * q107_delta_dedup's docstring assumes a real lake keeps next to the
-  * corpus: the distinct content-hash SET and the distinct minhash
-  * (band, sig) index of the curated base. With the index stored, a
-  * delta-dedup run derives NOTHING from the base — its cost is
+/** Persistent incremental dedup index — the precomputed artifacts
+  * q107_delta_dedup and Dedup.deltaSubstring assume a real lake keeps
+  * next to the corpus: the distinct content-hash SET, the distinct
+  * minhash (band, sig) index, and the distinct K-token window-hash set
+  * (q113's substring kernel) of the curated base. With the index stored,
+  * a delta run derives NOTHING from the base — its cost is
   * ∝ |arriving batch| plus an index read, at any base size.
   *
   * Storage is LSM-shaped, because that is what incremental maintenance
@@ -30,8 +31,9 @@ import org.apache.spark.sql.functions._
 object DedupIndex {
 
   final case class IndexStats(
-      version: Long, kind: String, bands: Int,
-      newHashes: Long, newSigs: Long, totalHashes: Long, totalSigs: Long)
+      version: Long, kind: String, bands: Int, windowK: Int,
+      newHashes: Long, newSigs: Long, newWindows: Long,
+      totalHashes: Long, totalSigs: Long, totalWindows: Long)
 
   private val Marker = "_COMMITTED"
   private val commitLock = new Object
@@ -41,7 +43,8 @@ object DedupIndex {
 
   private def versionPath(dir: String, v: Long) = s"$dir/v=$v"
 
-  private final case class Meta(kind: String, bands: Int, nh: Long, ns: Long)
+  private final case class Meta(
+      kind: String, bands: Int, wk: Int, nh: Long, ns: Long, nw: Long)
 
   private def readMeta(f: FileSystem, dir: String, v: Long): Option[Meta] = {
     val p = new Path(versionPath(dir, v), Marker)
@@ -51,10 +54,12 @@ object DedupIndex {
       try new String(
         Iterator.continually(in.read()).takeWhile(_ != -1).map(_.toByte).toArray, "UTF-8")
       finally in.close()
-    val m = """\{"kind":"(base|delta)","bands":(\d+),"nh":(\d+),"ns":(\d+)\}""".r
+    val m =
+      """\{"kind":"(base|delta)","bands":(\d+),"wk":(\d+),"nh":(\d+),"ns":(\d+),"nw":(\d+)\}""".r
     body.trim match {
-      case m(kind, bands, nh, ns) => Some(Meta(kind, bands.toInt, nh.toLong, ns.toLong))
-      case _                      => None
+      case m(kind, bands, wk, nh, ns, nw) =>
+        Some(Meta(kind, bands.toInt, wk.toInt, nh.toLong, ns.toLong, nw.toLong))
+      case _ => None
     }
   }
 
@@ -82,18 +87,28 @@ object DedupIndex {
       throw new IllegalStateException(s"no dedup index at $dir"))).get.bands
   }
 
-  /** Distinct content hashes and (band, sig) signature rows of a corpus
-    * frame — the exact fragments q107 derives in-query when no stored
-    * index exists.
+  /** The window token count K this store was built at (pinned at init). */
+  def storeWindowK(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    readMeta(f, dir, listVersions(spark, dir).headOption.getOrElse(
+      throw new IllegalStateException(s"no dedup index at $dir"))).get.wk
+  }
+
+  /** Distinct content hashes, (band, sig) signature rows, and K-token
+    * window hashes of a corpus frame — the exact fragments
+    * q107/deltaSubstring derive in-query when no stored index exists.
     */
-  private def derive(docs: DataFrame, bands: Int): (DataFrame, DataFrame) = {
+  private def derive(docs: DataFrame, bands: Int, wk: Int): (DataFrame, DataFrame, DataFrame) = {
     val hashes = docs.select(md5(col("text")).as("h")).distinct()
     val sigs = docs
       .select(posexplode(
         graft.functions.GraftFunctions.minhash_sigs(col("text"), bands))
         .as(Seq("band", "sig")))
       .distinct()
-    (hashes, sigs)
+    val windows = docs
+      .select(explode(graft.operators.Dedup.windowHashes(wk)).as("wh"))
+      .distinct()
+    (hashes, sigs, windows)
   }
 
   // version chain to read: the newest base and every later delta
@@ -117,18 +132,28 @@ object DedupIndex {
       .map(v => spark.read.parquet(s"${versionPath(dir, v)}/sigs"))
       .reduce(_.unionByName(_))
 
+  /** The current distinct K-token window-hash view (column `wh`). */
+  def windows(spark: SparkSession, dir: String): DataFrame =
+    readChain(spark, dir)
+      .map(v => spark.read.parquet(s"${versionPath(dir, v)}/windows"))
+      .reduce(_.unionByName(_))
+
   private def stage(
-      spark: SparkSession, dir: String, v: Long, kind: String, bands: Int,
-      hashes: DataFrame, sigs: DataFrame): Path = {
+      spark: SparkSession, dir: String, v: Long, kind: String, bands: Int, wk: Int,
+      hashes: DataFrame, sigs: DataFrame, windows: DataFrame): Path = {
     val staging = new Path(dir, s"_staging/v$v-${java.util.UUID.randomUUID()}")
     hashes.write.mode("overwrite").parquet(s"$staging/hashes")
     sigs.write.mode("overwrite").parquet(s"$staging/sigs")
+    windows.write.mode("overwrite").parquet(s"$staging/windows")
     // manifest counts read BACK from the staged files — certifying what
     // landed on disk, CatalogStore's rule
     val nh = spark.read.parquet(s"$staging/hashes").count()
     val ns = spark.read.parquet(s"$staging/sigs").count()
+    val nw = spark.read.parquet(s"$staging/windows").count()
     val out = fs(spark, dir).create(new Path(staging, Marker), false)
-    try out.write(s"""{"kind":"$kind","bands":$bands,"nh":$nh,"ns":$ns}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"kind":"$kind","bands":$bands,"wk":$wk,"nh":$nh,"ns":$ns,"nw":$nw}"""
+        .getBytes("UTF-8"))
     finally out.close()
     staging
   }
@@ -156,17 +181,21 @@ object DedupIndex {
     val f = fs(spark, dir)
     val m = readMeta(f, dir, v).get
     val chain = readChain(spark, dir)
-    val (th, ts) = chain.map(cv => { val cm = readMeta(f, dir, cv).get; (cm.nh, cm.ns) })
-      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
-    IndexStats(v, m.kind, m.bands, m.nh, m.ns, th, ts)
+    val (th, ts, tw) = chain
+      .map(cv => { val cm = readMeta(f, dir, cv).get; (cm.nh, cm.ns, cm.nw) })
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    IndexStats(v, m.kind, m.bands, m.wk, m.nh, m.ns, m.nw, th, ts, tw)
   }
 
   /** Build v=1 (a base) from the curated corpus. Fails if initialized. */
-  def init(spark: SparkSession, dir: String, docs: DataFrame, bands: Int): IndexStats = {
+  def init(
+      spark: SparkSession, dir: String, docs: DataFrame, bands: Int,
+      windowK: Int = 8): IndexStats = {
     require(bands >= 1 && bands <= 64, s"bands out of range: $bands")
+    require(windowK >= 2 && windowK <= 64, s"windowK out of range: $windowK")
     require(currentVersion(spark, dir).isEmpty, s"dedup index at $dir already initialized")
-    val (h, s) = derive(docs, bands)
-    commit(spark, dir, stage(spark, dir, 1L, "base", bands, h, s), 1L)
+    val (h, s, w) = derive(docs, bands, windowK)
+    commit(spark, dir, stage(spark, dir, 1L, "base", bands, windowK, h, s, w), 1L)
     stats(spark, dir, 1L)
   }
 
@@ -180,20 +209,22 @@ object DedupIndex {
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no dedup index at $dir — init first"))
     val bands = storeBands(spark, dir)
-    val (bh, bs) = derive(batch, bands)
+    val wk = storeWindowK(spark, dir)
+    val (bh, bs, bw) = derive(batch, bands, wk)
     val newH = bh.join(hashes(spark, dir), Seq("h"), "left_anti")
     val newS = bs.join(sigs(spark, dir), Seq("band", "sig"), "left_anti")
+    val newW = bw.join(windows(spark, dir), Seq("wh"), "left_anti")
     // No pre-commit visibility check here: a concurrent appender may
     // legitimately commit cur+1 between our stage and commit — commit()'s
     // marker-CAS is the arbiter, and the loser's staging is deleted there.
-    val staging = stage(spark, dir, cur + 1, "delta", bands, newH, newS)
+    val staging = stage(spark, dir, cur + 1, "delta", bands, wk, newH, newS, newW)
     val stagedMeta = {
       val in = fs(spark, dir).open(new Path(staging, Marker))
       try new String(
         Iterator.continually(in.read()).takeWhile(_ != -1).map(_.toByte).toArray, "UTF-8")
       finally in.close()
     }
-    if (stagedMeta.contains("\"nh\":0,\"ns\":0")) {
+    if (stagedMeta.contains("\"nh\":0,\"ns\":0,\"nw\":0")) {
       fs(spark, dir).delete(staging, true) // nothing new: no version
       stats(spark, dir, cur)
     } else {
@@ -213,18 +244,23 @@ object DedupIndex {
       throw new IllegalStateException(s"no dedup index at $dir"))
     if (readChain(spark, dir).size <= 1) return stats(spark, dir, cur) // already one base
     val bands = storeBands(spark, dir)
+    val wk = storeWindowK(spark, dir)
     val before = stats(spark, dir, cur)
-    val staging = stage(spark, dir, cur + 1, "base", bands, hashes(spark, dir), sigs(spark, dir))
+    val staging = stage(
+      spark, dir, cur + 1, "base", bands, wk,
+      hashes(spark, dir), sigs(spark, dir), windows(spark, dir))
     val f = fs(spark, dir)
     val in = f.open(new Path(staging, Marker))
     val body =
       try new String(
         Iterator.continually(in.read()).takeWhile(_ != -1).map(_.toByte).toArray, "UTF-8")
       finally in.close()
-    if (!body.contains(s""""nh":${before.totalHashes},"ns":${before.totalSigs}""")) {
+    val want =
+      s""""nh":${before.totalHashes},"ns":${before.totalSigs},"nw":${before.totalWindows}"""
+    if (!body.contains(want)) {
       f.delete(staging, true)
       throw new IllegalStateException(
-        s"compaction would CHANGE the index view (expected ${before.totalHashes}/${before.totalSigs}, staged $body) — aborted")
+        s"compaction would CHANGE the index view (expected $want, staged $body) — aborted")
     }
     commit(spark, dir, staging, cur + 1)
     stats(spark, dir, cur + 1)

@@ -20,10 +20,11 @@ class DedupIndexSpec extends AnyFunSuite {
   private def baseDocs = Tables(spark, sf).documents
     .filter(!col("source").like("src1%")).select(col("doc_id"), col("text"))
 
-  private def view(dir: String): (Set[String], Set[(Int, Long)]) = (
+  private def view(dir: String): (Set[String], Set[(Int, Long)], Set[String]) = (
     DedupIndex.hashes(spark, dir).collect().map(_.getString(0)).toSet,
     DedupIndex.sigs(spark, dir).collect()
-      .map(r => (r.getAs[Number]("band").intValue, r.getAs[Number]("sig").longValue)).toSet)
+      .map(r => (r.getAs[Number]("band").intValue, r.getAs[Number]("sig").longValue)).toSet,
+    DedupIndex.windows(spark, dir).collect().map(_.getString(0)).toSet)
 
   test("incremental appends converge to exactly the from-scratch rebuild") {
     val (incr, scratch) = (tmp(), tmp())
@@ -40,9 +41,10 @@ class DedupIndexSpec extends AnyFunSuite {
     DedupIndex.init(spark, scratch, baseDocs, bands = 8)
     assert(view(incr) == view(scratch), "delta chain diverges from a rebuild")
     // totals in the stats equal the actual view sizes
-    val (h, s) = view(incr)
+    val (h, s, w) = view(incr)
     val cur = DedupIndex.append(spark, incr, slice(b0)) // nothing new: no-op
     assert(cur.totalHashes == h.size.toLong && cur.totalSigs == s.size.toLong)
+    assert(cur.totalWindows == w.size.toLong)
   }
 
   test("an arriving batch with nothing new publishes NO version") {
@@ -85,6 +87,36 @@ class DedupIndexSpec extends AnyFunSuite {
       try assert(rows(run()) == direct, "index+bloom q107 diverges")
       finally spark.conf.unset("graft.delta.bloom")
     } finally spark.conf.unset("graft.delta.index")
+  }
+
+  test("deltaSubstring over the stored windows classifies identically to the derived base") {
+    val dir = tmp()
+    def run() = graft.operators.Dedup.deltaSubstring(Tables(spark, sf))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSeq
+    val direct = rows(run())
+    assert(direct.nonEmpty)
+    DedupIndex.init(spark, dir, baseDocs, bands = 8, windowK = 8)
+    spark.conf.set("graft.delta.index", dir)
+    try assert(rows(run()) == direct, "index-backed deltaSubstring diverges from derived-base run")
+    finally spark.conf.unset("graft.delta.index")
+  }
+
+  test("window-K mismatch fails loudly instead of probing a foreign window family") {
+    val dir = tmp()
+    DedupIndex.init(spark, dir, baseDocs, bands = 8, windowK = 8)
+    spark.conf.set("graft.delta.index", dir)
+    spark.conf.set("graft.dedup.windowTokens", "5")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Dedup.deltaSubstring(Tables(spark, sf)).collect()
+      }
+      assert(e.getMessage.contains("rebuild"))
+    } finally {
+      spark.conf.unset("graft.delta.index")
+      spark.conf.unset("graft.dedup.windowTokens")
+    }
   }
 
   test("band-family mismatch fails loudly instead of silently mixing signatures") {
