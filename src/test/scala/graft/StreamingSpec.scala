@@ -121,6 +121,41 @@ class StreamingSpec extends AnyFunSuite {
       s"emitted sessions: ${out.toList}")
   }
 
+  test("streaming cohort retention latches first touch and emits each (user, week) once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Cohort
+    val ms = MemoryStream[Cohort.Ev]
+    val day = 86400L * us
+    val mon = 4L * day + 12L * 3600L * us // Monday 1970-01-05, noon
+    // batch 1 — user 1 twice in week 0 (one emit), user 2 first seen in week 1
+    ms.addData(Cohort.Ev(1L, mon), Cohort.Ev(1L, mon + day), Cohort.Ev(2L, mon + 8L * day))
+    val q = Cohort.activations(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("cohort_out").start()
+    q.processAllAvailable()
+    // batch 2 — user 1 resurfaces two weeks later (new offset); user 2 again
+    // inside their cohort week (no emit)
+    ms.addData(Cohort.Ev(1L, mon + 15L * day), Cohort.Ev(2L, mon + 9L * day))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cohort_out").as[Cohort.Activation].collect().toSet
+    assert(out == Set(
+      Cohort.Activation(1L, 4L, 0L), Cohort.Activation(1L, 4L, 2L),
+      Cohort.Activation(2L, 11L, 0L)))
+    // the rollup of the emitted feed equals q119's batch matrix rule
+    // (per-user min week, distinct (cohort, offset, user)) on the full log
+    val log = Seq(
+      (1L, mon), (1L, mon + day), (2L, mon + 8L * day),
+      (1L, mon + 15L * day), (2L, mon + 9L * day))
+    def wkOf(ts: Long) = { val d = ts / day; d - ((d + 3) % 7) }
+    val first = log.groupBy(_._1).map { case (u, es) => u -> es.map(e => wkOf(e._2)).min }
+    val matrix = log.map { case (u, ts) => (first(u), (wkOf(ts) - first(u)) / 7, u) }
+      .distinct.groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.size }
+    val got = out.toSeq.groupBy(a => (a.cohort_day, a.offset_weeks))
+      .map { case (k, v) => k -> v.size }
+    assert(got == matrix)
+  }
+
   test("streaming funnel emits stage progressions matching q96's ordering rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
