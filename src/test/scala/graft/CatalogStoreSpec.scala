@@ -400,6 +400,55 @@ class CatalogStoreSpec extends AnyFunSuite {
     assert(CatalogStore.get(spark, dir, probe._1).contains((probe._2, probe._3.toLong)))
   }
 
+  test("compaction races an upsert through the same CAS: one version slot, loud loser, clean state") {
+    val dir = tmp()
+    // fragment the snapshot (same fixture trick as the compaction test) so
+    // the compactor has real work and a real stage→commit window to race in
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "25")
+    try {
+      CatalogStore.init(spark, dir, base())
+      CatalogStore.upsert(spark, dir, changes())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    val v0 = CatalogStore.currentVersion(spark, dir).get
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val racerUpsert = Seq((-999999L, "racer", 1)).toDF("dataset_key", "title", "revision")
+    val (cOut, uOut) = Await.result(
+      Future(scala.util.Try(CatalogStore.compact(spark, dir)))
+        .zip(Future(scala.util.Try(CatalogStore.upsert(spark, dir, racerUpsert)))),
+      Duration.Inf)
+    // any loser fails LOUDLY with nothing published, and at least one wins
+    Seq(cOut, uOut).collect { case scala.util.Failure(e) => e }.foreach(e => assert(
+      e.isInstanceOf[IllegalStateException] && e.getMessage.contains("NOT published"),
+      s"loser must fail loudly: $e"))
+    assert(Seq(cOut, uOut).count(_.isSuccess) >= 1)
+    // every published version still manifest-verifies, and the racer's row
+    // is present iff its upsert reported success
+    CatalogStore.listVersions(spark, dir).foreach(v =>
+      CatalogStore.readVersion(spark, dir, v).collect())
+    val keys = snapshot(dir).map(_._1)
+    assert(keys.contains(-999999L) == uOut.isSuccess, s"racer row vs outcome: $uOut")
+    // a compaction that won preserved content exactly (its stats say so and
+    // the manifest check inside compact proved it); one that lost left no
+    // version behind — either way the chain is v0 + the winners only
+    val expectedVersions = v0 + Seq(cOut, uOut).count(_.isSuccess)
+    assert(CatalogStore.currentVersion(spark, dir).contains(expectedVersions))
+    // staging left clean: losers deleted their dirs
+    val stagingPath = new org.apache.hadoop.fs.Path(dir, "_staging")
+    val f = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = if (f.exists(stagingPath)) f.listStatus(stagingPath).length else 0
+    assert(leftover == 0, s"$leftover staged dirs left behind")
+    // the store remains fully operational after the race: compact to quiescence
+    val st = CatalogStore.compact(spark, dir)
+    assert(st.rows == snapshot(dir).size.toLong)
+  }
+
   test("retention GC drops old snapshots, never the published one") {
     val dir = tmp()
     CatalogStore.init(spark, dir, base())
