@@ -36,9 +36,12 @@ object PlanAudit {
   // token stream map-side (the point of the operator), over a computed
   // split the scan can't see; q102's LM branches carry the same
   // explode-guard (size(split)>0) above two-column scans
+  // q121's token <> '' filter is q76's class exactly: above an exploded
+  // computed split, nothing at the scan to push; scan prunes to
+  // (doc_id, source, text)
   private val allowUnpushed =
     Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm",
-      "q90_tfidf", "q97_rare_bigrams", "q98_bm25", "q102_dsir")
+      "q90_tfidf", "q97_rare_bigrams", "q98_bm25", "q102_dsir", "q121_token_rarity")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume
   private val allowGlobalWindow = Set("q83_late_data")
@@ -152,7 +155,17 @@ object PlanAudit {
     // 100 TB event lake buckets by — exchange-free on bucketed storage)
     // + (cohort, offset, user) distinct + matrix agg + cohort-size agg
     // (hangs off the first-touch subtree) + sort; sizes join broadcasts
-    "q119_cohort_retention" -> 6).withDefaultValue(3)
+    "q119_cohort_retention" -> 6,
+    // two distinct-reductions (train set h-keyed, eval (split,h)-keyed),
+    // two h-keyed probe joins with their split-keyed rollups, final
+    // |splits|-row join+sort — every exchange window-vocabulary-bounded
+    "q120_split_leakage" -> 7,
+    // vocab-scale freq agg (w), the one corpus-scale token-keyed re-join,
+    // doc-keyed partial rollup, |sources|-row sort
+    "q121_token_rarity" -> 4,
+    // (source,h) distinct, h-keyed spread count, h-keyed join back,
+    // source rollup+sort — all bounded by the distinct window vocabulary
+    "q122_window_novelty" -> 5).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

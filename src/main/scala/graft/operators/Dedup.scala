@@ -860,6 +860,77 @@ object Dedup extends QueryModule {
       .orderBy(col("source"), col("cls"))
   }
 
+  /** Train→eval contamination audit — the governance readout run BEFORE
+    * shipping a split: which K-token windows of the val/test slices also
+    * appear in train (membership-inference / eval-inflation leakage,
+    * the Lee et al. 2022 dedup-before-split concern). Splits are q103's
+    * engine-stable md5 buckets; windows are q113's kernel, so this is
+    * the composition of two already-verified fragments.
+    *
+    * Scale shape: window hashes + split flag are map-side next to the
+    * scan; the train window SET is distinct-reduced before probing
+    * (vocab-scale, never the raw occurrence stream); both rollups are
+    * h-keyed then split-keyed shuffles — no cross join, no window
+    * functions. At 100 TB the train set is exactly the artifact
+    * [[graft.sources.DedupIndex]]'s windows relation persists (train IS
+    * the curated base), so production runs probe the stored index.
+    */
+  private def q120(t: Tables): DataFrame = {
+    val k = windowK(t)
+    val pos = Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("doc_id"),
+        (expr(hexint32("md5(CAST(doc_id AS STRING))")) % 100).as("bucket"),
+        explode(windowHashes(k)).as("h"))
+      .withColumn(
+        "split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+    val trainH = pos.filter(col("split") === "train")
+      .select(col("h")).distinct().withColumn("in_train", lit(true))
+    val ev = pos.filter(col("split") =!= "train")
+    val leakW = ev.select(col("split"), col("h")).distinct()
+      .join(trainH, Seq("h"), "left")
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_distinct_windows"),
+        sum(when(col("in_train"), 1L).otherwise(0L)).as("n_leaked_windows"))
+    val leakD = ev.join(trainH, Seq("h"), "left")
+      .groupBy(col("split"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(when(col("in_train"), col("doc_id"))).as("n_docs_leaked"))
+    leakW.join(leakD, Seq("split"))
+      .withColumn("leak_share", round(col("n_leaked_windows") / col("n_distinct_windows"), 4))
+      .orderBy(col("split"))
+  }
+
+  /** Per-source window novelty — the inverse readout of q92's overlap
+    * matrix at substring granularity: how much of each source's distinct
+    * K-token window vocabulary appears in NO other source. The corpus-mix
+    * signal for up/down-weighting a source (q65): a source whose windows
+    * are mostly shared buys nothing the mix doesn't already have.
+    *
+    * Scale shape: (source, window) pairs distinct-reduce map-side before
+    * the one h-keyed spread count; the source rollup rides the join back.
+    * Work is bounded by the distinct window vocabulary — never
+    * |sources|² and never the raw occurrence stream.
+    */
+  private def q122(t: Tables): DataFrame = {
+    val k = windowK(t)
+    val hs = Tables.localSplit(t.documents, col("doc_id"))
+      .select(col("source"), explode(windowHashes(k)).as("h"))
+      .distinct()
+    val spread = hs.groupBy(col("h")).agg(count(lit(1)).as("n_sources"))
+    hs.join(spread, Seq("h"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_distinct_windows"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_exclusive"),
+        sum(when(col("n_sources") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty_share", round(col("n_exclusive") / col("n_distinct_windows"), 4))
+      .orderBy(col("source"))
+  }
+
   /** Incremental substring decontamination — q113's repeated-window scan
     * restructured the way q107 restructures exact/near dedup: the arriving
     * batch (`graft.delta.incoming`) probes the BASE corpus's window-hash
@@ -1035,6 +1106,8 @@ object Dedup extends QueryModule {
     "q117_dedup_sweep" -> ((s, d) => q117(Tables(s, d))),
     "q103_hash_split" -> ((s, d) => q103(Tables(s, d))),
     "q113_substring_windows" -> ((s, d) => q113(Tables(s, d))),
+    "q120_split_leakage" -> ((s, d) => q120(Tables(s, d))),
+    "q122_window_novelty" -> ((s, d) => q122(Tables(s, d))),
     "q110_split_shift" -> ((s, d) => q110(Tables(s, d))),
     "q107_delta_dedup" -> ((s, d) => q107(Tables(s, d))),
     "q95_overlap_sketch" -> ((s, d) => q95(Tables(s, d))),
@@ -1187,6 +1260,53 @@ object Dedup extends QueryModule {
         | round(sum(CASE WHEN n_occ IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS dup_share
         |FROM p LEFT JOIN r USING (h)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q120_split_leakage" ->
+      s"""WITH w AS (
+         | SELECT doc_id, string_split(text, ' ') AS ws,
+         |  ${hexint32("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+         | FROM documents),
+         | s AS (
+         | SELECT doc_id,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |       ELSE 'test' END AS split, ws
+         | FROM w),
+         | p AS (
+         | SELECT doc_id, split,
+         |  unnest(CASE WHEN len(ws) >= 8 THEN
+         |    list_transform(range(1, len(ws) - 8 + 2),
+         |      i -> md5(array_to_string(list_slice(ws, i, i + 7), ' ')))
+         |   ELSE CAST([] AS VARCHAR[]) END) AS h
+         | FROM s),
+         | tr AS (SELECT DISTINCT h AS th FROM p WHERE split = 'train'),
+         | ev AS (SELECT * FROM p WHERE split <> 'train'),
+         | dw AS (SELECT DISTINCT split, h FROM ev),
+         | lw AS (
+         | SELECT split, count(*) AS n_distinct_windows,
+         |  CAST(sum(CASE WHEN th IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_windows
+         | FROM dw LEFT JOIN tr ON dw.h = tr.th GROUP BY split),
+         | ld AS (
+         | SELECT split, count(DISTINCT doc_id) AS n_docs,
+         |  count(DISTINCT CASE WHEN th IS NOT NULL THEN doc_id END) AS n_docs_leaked
+         | FROM ev LEFT JOIN tr ON ev.h = tr.th GROUP BY split)
+         |SELECT split, n_distinct_windows, n_leaked_windows, n_docs, n_docs_leaked,
+         | round(n_leaked_windows / n_distinct_windows, 4) AS leak_share
+         |FROM lw JOIN ld USING (split) ORDER BY split""".stripMargin,
+    "q122_window_novelty" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+        | p AS (
+        | SELECT source,
+        |  unnest(CASE WHEN len(ws) >= 8 THEN
+        |    list_transform(range(1, len(ws) - 8 + 2),
+        |      i -> md5(array_to_string(list_slice(ws, i, i + 7), ' ')))
+        |   ELSE CAST([] AS VARCHAR[]) END) AS h
+        | FROM w),
+        | d AS (SELECT DISTINCT source, h FROM p),
+        | sp AS (SELECT h, count(*) AS n_sources FROM d GROUP BY h)
+        |SELECT source, count(*) AS n_distinct_windows,
+        | CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+        | CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        | round(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) / count(*), 4) AS novelty_share
+        |FROM d JOIN sp USING (h) GROUP BY source ORDER BY source""".stripMargin,
     "q110_split_shift" ->
       s"""WITH d AS (
          | SELECT ${hexint32("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket, text

@@ -128,6 +128,78 @@ object TextAnalysis extends QueryModule {
         "rep_ratio",
         when(col("total_sh") > 0, lit(1.0) - col("distinct_sh") / col("total_sh")).otherwise(lit(0.0)))
 
+  /** Corpus-frequency token rarity audit — the OOV/noise readout of a
+    * tokenizer-bound corpus: per source, how much of the token stream is
+    * hapax-or-near (corpus frequency ≤ 2), how many documents carry any.
+    * A source dominated by rare tokens is OCR noise, markup, or a
+    * language the corpus can't support; a source with none adds no
+    * lexical coverage. Integer-exact end to end — the only division is
+    * the final rounded share (q110's discipline).
+    *
+    * Scale shape: the frequency table is the q77/q118 vocab-scale
+    * aggregate (map-side combine collapses repeated tokens before the
+    * exchange); the stream re-joins it token-keyed — the one
+    * corpus-scale shuffle, the natural key a token lake would bucket by.
+    * The per-doc and per-source rollups run on doc-keyed partials.
+    */
+  private def q121(t: Tables): DataFrame = {
+    val tok = withWords(t)
+      .select(col("doc_id"), col("source"), explode(col("words")).as("w"))
+      .filter(col("w") =!= "")
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val perDoc = tok
+      .join(freq, Seq("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("tf") <= 2, 1L).otherwise(0L)).as("n_rare"),
+        min(col("tf")).as("min_tf"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_rare")).as("total_rare"),
+        sum(when(col("n_rare") > 0, 1L).otherwise(0L)).as("n_docs_with_rare"),
+        min(col("min_tf")).as("min_tf"))
+      .withColumn("rare_share", round(col("total_rare") / col("total_tokens"), 4))
+      .orderBy(col("source"))
+  }
+
+  /** Quality-aware canonical selection — the dedup family's keep rule
+    * upgraded from "smallest doc_id owns" (q89/q107) to "best copy owns":
+    * within each exact-duplicate group (md5(text)), the highest
+    * quality-score copy survives, doc_id breaking ties. Real pipelines
+    * keep the best-formatted mirror of a duplicated page, not an
+    * arbitrary one; this is that selection with per-source yield
+    * accounting.
+    *
+    * Scale shape: the canonical pick is a groupBy(h) struct-max — a
+    * partial-aggregable agg on the hash key, NOT a per-group window
+    * (q89's join-not-window discipline); members re-join the 1-row-per-
+    * group result h-keyed. Score comparisons are per-row rounded doubles
+    * (q33's kernel) — no cross-row float accumulation anywhere except
+    * the final rounded average.
+    */
+  private def q123(t: Tables): DataFrame = {
+    val scored = withQualityScore(withWords(t))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("score"),
+        md5(col("text")).as("h"))
+    // max over (score, -doc_id): best score wins, smallest id breaks ties
+    val canon = scored.groupBy(col("h"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("h"), (-col("m.neg_id")).as("canon_id"))
+    scored.join(canon, Seq("h"))
+      .withColumn("kept", col("doc_id") === col("canon_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), col("n_chars").cast("long")).otherwise(0L)).as("chars_dropped"),
+        round(avg(when(col("kept"), col("score"))), 4).as("avg_kept_score"))
+      .orderBy(col("source"))
+  }
+
   private def q33(t: Tables): DataFrame =
     withQualityScore(withWords(t))
       .withColumn("keep", col("score") >= 0.45)
@@ -1069,7 +1141,9 @@ object TextAnalysis extends QueryModule {
     "q31_lang_id" -> ((s, d) => q31(Tables(s, d))),
     "q32_token_count" -> ((s, d) => q32(Tables(s, d))),
     "q33_quality_score" -> ((s, d) => q33(Tables(s, d))),
-    "q34_doc_fingerprint" -> ((s, d) => q34(Tables(s, d)))
+    "q34_doc_fingerprint" -> ((s, d) => q34(Tables(s, d))),
+    "q121_token_rarity" -> ((s, d) => q121(Tables(s, d))),
+    "q123_quality_keep" -> ((s, d) => q123(Tables(s, d)))
   )
 
   // The q33/q84 gate inputs (score + repetition ratio) as shared CTEs —
@@ -1446,6 +1520,44 @@ object TextAnalysis extends QueryModule {
          | CAST(sum(CASE WHEN score >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
          | round(avg(score),4) AS avg_score
          |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+    "q121_token_rarity" ->
+      """WITH tk AS (
+        | SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+        | t2 AS (SELECT * FROM tk WHERE w <> ''),
+        | f AS (SELECT w, count(*) AS tf FROM t2 GROUP BY w),
+        | pd AS (
+        | SELECT doc_id, source, count(*) AS n_tok,
+        |  CAST(sum(CASE WHEN tf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  min(tf) AS min_tf
+        | FROM t2 JOIN f USING (w) GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        | CAST(sum(n_rare) AS BIGINT) AS total_rare,
+        | CAST(sum(CASE WHEN n_rare > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_rare,
+        | min(min_tf) AS min_tf,
+        | round(sum(n_rare) / sum(n_tok), 4) AS rare_share
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+    "q123_quality_keep" ->
+      s"""WITH w AS (
+         | SELECT doc_id, source, n_chars, text, string_split(text, ' ') AS words
+         | FROM documents),
+         | d AS (
+         | SELECT doc_id, source, n_chars, text, len(words) AS n_words,
+         |  len(list_filter(words, x -> x IN ($stopSqlIn))) AS n_stop
+         | FROM w),
+         | sc AS (
+         | SELECT doc_id, source, n_chars, md5(text) AS h,
+         |  round(least(n_words / 100.0, 1.0) * 0.5 + (n_stop / n_words) * 2.0
+         |   + CASE WHEN n_chars >= 100 THEN 0.2 ELSE 0.0 END, 4) AS score
+         | FROM d),
+         | r AS (
+         | SELECT *, row_number() OVER (PARTITION BY h ORDER BY score DESC, doc_id) AS rk
+         | FROM sc)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped,
+         | round(avg(CASE WHEN rk = 1 THEN score END), 4) AS avg_kept_score
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q34_doc_fingerprint" ->
       """SELECT doc_id,
         | list_aggregate(list_transform(range(1, len(words) - 1),

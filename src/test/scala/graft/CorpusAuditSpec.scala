@@ -693,4 +693,105 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(batched.rounds == 2, s"expected 2 rounds, got ${batched.rounds}")
     assert(oneByOne.rounds == 6)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def winHashes(text: String, k: Int = 8): Seq[String] = {
+    val ws = text.split(" ", -1).toSeq
+    if (ws.size < k) Seq.empty
+    else (0 to ws.size - k).map(i => md5hex(ws.slice(i, i + k).mkString(" ")))
+  }
+
+  test("q121 token rarity matches an independent recomputation") {
+    val toks = docs.flatMap { case (id, text, src, _) =>
+      text.split(" ", -1).filter(_.nonEmpty).map(w => (id, src, w))
+    }
+    val freq = toks.groupBy(_._3).map { case (w, xs) => w -> xs.size.toLong }
+    val perDoc = toks.groupBy(t => (t._1, t._2)).map { case ((id, src), xs) =>
+      val tfs = xs.map(x => freq(x._3))
+      (id, src, xs.size.toLong, tfs.count(_ <= 2).toLong, tfs.min)
+    }
+    val expected = perDoc.groupBy(_._2).map { case (src, ds) =>
+      val totalTok = ds.map(_._3).sum
+      val totalRare = ds.map(_._4).sum
+      (src, ds.size.toLong, totalTok, totalRare, ds.count(_._4 > 0).toLong,
+        ds.map(_._5).min, rnd(totalRare.toDouble / totalTok, 4))
+    }.toSet
+    val got = SparkEntry.queries("q121_token_rarity")(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("q122 window novelty matches an independent recomputation") {
+    val pairs = docs.flatMap { case (_, text, src, _) => winHashes(text).map(h => (src, h)) }.distinct
+    val spread = pairs.groupBy(_._2).map { case (h, xs) => h -> xs.size }
+    val expected = pairs.groupBy(_._1).map { case (src, ps) =>
+      val n = ps.size.toLong
+      val excl = ps.count(p => spread(p._2) == 1).toLong
+      (src, n, excl, n - excl, rnd(excl.toDouble / n, 4))
+    }.toSet
+    val got = SparkEntry.queries("q122_window_novelty")(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("q123 quality keep matches an independent recomputation and beats arbitrary keep") {
+    val stop = Set("the", "a", "of", "and")
+    val scored = docs.map { case (id, text, src, nc) =>
+      val ws = text.split(" ", -1).toSeq
+      val score = rnd(
+        math.min(ws.size / 100.0, 1.0) * 0.5
+          + (ws.count(stop).toDouble / ws.size) * 2.0
+          + (if (nc >= 100) 0.2 else 0.0), 4)
+      (id, src, nc, score, text)
+    }
+    // per exact-dup group: best score wins, smallest id breaks ties
+    val keptIds = scored.groupBy(_._5).map { case (_, xs) =>
+      xs.minBy(d => (-d._4, d._1))._1
+    }.toSet
+    val expected = scored.groupBy(_._2).map { case (src, ds) =>
+      val kept = ds.filter(d => keptIds(d._1))
+      (src, ds.size.toLong, kept.size.toLong,
+        ds.filterNot(d => keptIds(d._1)).map(_._3).sum,
+        rnd(kept.map(_._4).sum / kept.size, 4))
+    }.toSet
+    val got = SparkEntry.queries("q123_quality_keep")(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    }.toSet
+    assert(got == expected)
+    // the quality rule never keeps a worse copy than the smallest-id rule
+    val byText = scored.groupBy(_._5)
+    byText.foreach { case (_, xs) =>
+      val q = xs.find(d => keptIds(d._1)).get._4
+      val arbitrary = xs.minBy(_._1)._4
+      assert(q >= arbitrary)
+    }
+  }
+
+  test("q120 split leakage invariants: bounded shares, q103-consistent split sizes") {
+    val rows = SparkEntry.queries("q120_split_leakage")(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    }
+    assert(rows.map(_._1).toSet == Set("val", "test"))
+    rows.foreach { case (_, nw, leakW, nd, leakD, share) =>
+      assert(leakW >= 0 && leakW <= nw, "leaked windows exceed distinct windows")
+      assert(leakD >= 0 && leakD <= nd, "leaked docs exceed split docs")
+      assert(share == rnd(leakW.toDouble / nw, 4))
+    }
+    // split membership agrees with the q103 bucket rule recomputed per doc
+    val bucket = docs.map { case (id, text, _, _) =>
+      val h = md5hex(id.toString).take(8)
+      val b = java.lang.Long.parseLong(h, 16) % 100
+      (id, if (b < 90) "train" else if (b < 95) "val" else "test",
+        text.split(" ", -1).size >= 8)
+    }
+    val expectedDocs = bucket.filter(d => d._2 != "train" && d._3)
+      .groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
+    rows.foreach { case (s, _, _, nd, _, _) => assert(expectedDocs(s) == nd, s"split $s") }
+  }
 }
