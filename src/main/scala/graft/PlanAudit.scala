@@ -165,7 +165,11 @@ object PlanAudit {
     "q121_token_rarity" -> 4,
     // (source,h) distinct, h-keyed spread count, h-keyed join back,
     // source rollup+sort — all bounded by the distinct window vocabulary
-    "q122_window_novelty" -> 5).withDefaultValue(3)
+    "q122_window_novelty" -> 5,
+    // |dims|-keyed accumulator agg, 1-row L1 total (single-partition agg),
+    // broadcast join back, |dims|-row output sort — nothing corpus-keyed
+    // after the map-side fold+explode
+    "q124_power_iter" -> 4).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

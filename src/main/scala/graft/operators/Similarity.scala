@@ -559,7 +559,43 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** One distributed power-iteration step toward the corpus second
+    * moment's leading direction: u = Σᵢ vᵢ (vᵢ·𝟙), the matvec (VᵀV)𝟙
+    * with the fixed all-ones start vector (deterministic, seedless —
+    * iterate by feeding u back as the next start, trainIvf's loop
+    * pattern; one step is the verifiable kernel). The whitening/PCA
+    * readout an embedding pipeline runs before deciding whether vectors
+    * need centering or dimension pruning.
+    *
+    * Cross-row float accumulation is order-dependent and can never
+    * hash-match an oracle, so each row's per-dimension contribution
+    * quantizes to e6 fixed point FIRST (q109's norm2_e6 discipline) and
+    * the cross-row sum is integer-exact. Per-row folds (the v·𝟙 sum and
+    * the product) stay float — both engines fold the same 64 doubles
+    * left-to-right, the q40-proven fragment.
+    *
+    * Scale shape: fold + posexplode are map-side next to the scan; ONE
+    * |dims|-keyed shuffle carries the accumulator; the L1 total is a
+    * 1-row broadcast joined back for the share column.
+    */
+  private def q124(t: Tables): DataFrame = {
+    val c = vectors(t)
+      .withColumn(
+        "s", expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"))
+      .select(posexplode(col("v")).as(Seq("d0", "x")), col("s"))
+      .select(
+        (col("d0") + 1).cast("long").as("dim"),
+        expr("CAST(round(CAST(x AS DOUBLE) * s * 1000000) AS BIGINT)").as("c"))
+    val agg = c.groupBy(col("dim")).agg(sum(col("c")).as("u_e6"))
+    val tot = agg.agg(sum(abs(col("u_e6"))).as("tot"))
+    agg.join(broadcast(tot))
+      .withColumn("share", round(col("u_e6") / col("tot"), 6))
+      .select(col("dim"), col("u_e6"), col("share"))
+      .orderBy(col("dim"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_power_iter" -> ((s, d) => q124(Tables(s, d))),
     "q115_ivf_recall" -> ((s, d) => q115(Tables(s, d))),
     "q101_semdedup" -> ((s, d) => q101(Tables(s, d))),
     "q104_cluster_sample" -> ((s, d) => q104(Tables(s, d))),
@@ -800,6 +836,16 @@ object Similarity extends QueryModule {
          |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS nn_rank
          |  FROM c)
          |SELECT query_id, label, neighbor_id, cos_sim, nn_rank FROM r WHERE nn_rank <= 5
-         |ORDER BY query_id, nn_rank""".stripMargin
+         |ORDER BY query_id, nn_rank""".stripMargin,
+    "q124_power_iter" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | r AS (SELECT v, list_sum(v) AS s FROM e),
+         | c AS (
+         | SELECT dim, CAST(round(v[dim] * s * 1000000) AS BIGINT) AS c
+         | FROM r CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS dim) d),
+         | a AS (SELECT dim, CAST(sum(c) AS BIGINT) AS u_e6 FROM c GROUP BY dim),
+         | t AS (SELECT CAST(sum(abs(u_e6)) AS BIGINT) AS tot FROM a)
+         |SELECT CAST(dim AS BIGINT) AS dim, u_e6, round(u_e6 / tot, 6) AS share
+         |FROM a, t ORDER BY dim""".stripMargin
   )
 }

@@ -11,6 +11,36 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("q124 power-iteration step matches an independent fixed-point recomputation") {
+    def rnd(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    // exact mirror of the query: per-row left-to-right double fold, per-
+    // dimension e6 quantization BEFORE the cross-row (integer) sum
+    val u = new Array[Long](dims)
+    vecs.foreach { v =>
+      var s = 0.0
+      v.foreach(x => s += x.toDouble)
+      var d = 0
+      while (d < dims) {
+        u(d) += BigDecimal(v(d).toDouble * s * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        d += 1
+      }
+    }
+    val tot = u.map(math.abs).sum
+    val expected = u.zipWithIndex
+      .map { case (acc, i) => ((i + 1).toLong, acc, rnd(acc.toDouble / tot, 6)) }.toSeq
+    val got = SparkEntry.queries("q124_power_iter")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // the direction is a unit-free readout: shares sum to ±1-ish L1 mass
+    assert(math.abs(got.map(g => math.abs(g._3)).sum - 1.0) < 1e-3)
+  }
+
   test("stream-join attribution only pairs users with both event kinds") {
     val t = Tables(spark, sf)
     val rows = SparkEntry.queries("q73_stream_join")(spark, sf).collect()
