@@ -6,6 +6,17 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // a relative outDir lands query-result debris in the repo working tree
+    // (once polluted the LoC/copy sweeps when a query name was passed as
+    // outDir by mistake). Refuse the obvious misuse — an outDir that looks
+    // like a query name — and warn on any other relative path; a hard
+    // failure on all relative paths could zero a driver run over hygiene.
+    require(
+      !SparkEntry.queries.contains(outDir),
+      s"outDir '$outDir' is a query name — pass <sfDir> <outDir> [query ...]")
+    if (!new java.io.File(outDir).isAbsolute)
+      System.err.println(
+        s"[verify] WARNING: relative outDir '$outDir' writes into the working tree")
     val only = args.drop(2).toSet // dev convenience; driver passes 2 args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
