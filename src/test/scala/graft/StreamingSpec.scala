@@ -451,6 +451,51 @@ class StreamingSpec extends AnyFunSuite {
       "stored-index static side diverges from the derived base hash set")
   }
 
+  test("streaming substring decontamination probes the STORED windows relation as its static side") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // r12 composition: the incremental-decontamination static side is
+    // DedupIndex's persistent windows relation — an arriving doc is
+    // contaminated live iff ANY of its K-token windows hits the stored
+    // base set, and that classification must equal the batch
+    // deltaSubstring base_dup rule over the same docs
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_win").toString
+    val baseDocs = Tables(spark, sf).documents
+      .filter(!col("source").like("src1%")).select(col("doc_id"), col("text"))
+    graft.sources.DedupIndex.init(spark, dir, baseDocs, bands = 8, windowK = 8)
+    val storedWin = graft.sources.DedupIndex.windows(spark, dir)
+      .select(col("wh").as("h"), lit(true).as("in_base"))
+    val arrivals = Tables(spark, sf).documents
+      .filter(col("source").like("src1%"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val flagged = ms.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+      .select(col("doc_id"), explode_outer(graft.operators.Dedup.windowHashes(8)).as("h"))
+      .join(storedWin, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(coalesce(col("in_base"), lit(false))).as("contaminated"))
+    val q = flagged.writeStream
+      .outputMode("complete").format("memory").queryName("win_delta").start()
+    ms.addData(arrivals: _*)
+    q.processAllAvailable(); q.stop()
+    // batch expectation via the scalar kernel
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def wins(text: String): Seq[String] = {
+      val ws = text.split(" ", -1).toSeq
+      if (ws.size < 8) Seq.empty
+      else (0 to ws.size - 8).map(i => md5hex(ws.slice(i, i + 8).mkString(" ")))
+    }
+    val baseW = baseDocs.collect().map(_.getString(1)).flatMap(wins).toSet
+    val expected = arrivals.map { case (id, text) => id -> wins(text).exists(baseW) }.toMap
+    val got = spark.table("win_delta").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == expected, "stored-windows static side diverges from the batch base_dup rule")
+    assert(got.values.exists(identity), "fixture has no contaminated doc — test proves nothing")
+  }
+
   test("streaming split assignment matches the q103/q110 batch rule per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
