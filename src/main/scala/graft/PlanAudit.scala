@@ -156,16 +156,16 @@ object PlanAudit {
     // + (cohort, offset, user) distinct + matrix agg + cohort-size agg
     // (hangs off the first-touch subtree) + sort; sizes join broadcasts
     "q119_cohort_retention" -> 6,
-    // two distinct-reductions (train set h-keyed, eval (split,h)-keyed),
-    // two h-keyed probe joins with their split-keyed rollups, final
-    // |splits|-row join+sort — every exchange window-vocabulary-bounded
-    "q120_split_leakage" -> 7,
+    // one h-keyed membership-set agg + split rollup (window level), one
+    // h-keyed doc-attribution probe join + its split rollup (countDistinct
+    // expands), final |splits|-row join+sort — window-vocabulary-bounded
+    "q120_split_leakage" -> 6,
     // vocab-scale freq agg (w), the one corpus-scale token-keyed re-join,
     // doc-keyed partial rollup, |sources|-row sort
     "q121_token_rarity" -> 4,
-    // (source,h) distinct, h-keyed spread count, h-keyed join back,
-    // source rollup+sort — all bounded by the distinct window vocabulary
-    "q122_window_novelty" -> 5,
+    // one h-keyed membership-set agg (collect_set partials dedup
+    // map-side), source rollup, output sort — window-vocabulary-bounded
+    "q122_window_novelty" -> 3,
     // |dims|-keyed accumulator agg, 1-row L1 total (single-partition agg),
     // broadcast join back, |dims|-row output sort — nothing corpus-keyed
     // after the map-side fold+explode

@@ -885,16 +885,28 @@ object Dedup extends QueryModule {
       .withColumn(
         "split",
         when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
-    val trainH = pos.filter(col("split") === "train")
-      .select(col("h")).distinct().withColumn("in_train", lit(true))
-    val ev = pos.filter(col("split") =!= "train")
-    val leakW = ev.select(col("split"), col("h")).distinct()
-      .join(trainH, Seq("h"), "left")
+    // q92/q122's membership-set trick: each window collapses to its
+    // distinct split set in one h-keyed agg; window-level leakage then
+    // explodes ≤|splits| rows per window — no distinct+join round trip.
+    // The doc-attribution rollup still probes the train set h-keyed (doc
+    // sets are unbounded, membership sets are not); its train side
+    // filters the SAME spread relation, so the exchange is reusable.
+    val spread = pos.select(col("split"), col("h"))
+      .groupBy(col("h"))
+      .agg(collect_set(col("split")).as("splits"))
+    val leakW = spread
+      .select(
+        explode(col("splits")).as("split"),
+        array_contains(col("splits"), "train").as("in_train"))
+      .filter(col("split") =!= "train")
       .groupBy(col("split"))
       .agg(
         count(lit(1)).as("n_distinct_windows"),
         sum(when(col("in_train"), 1L).otherwise(0L)).as("n_leaked_windows"))
-    val leakD = ev.join(trainH, Seq("h"), "left")
+    val trainH = spread.filter(array_contains(col("splits"), "train"))
+      .select(col("h"), lit(true).as("in_train"))
+    val leakD = pos.filter(col("split") =!= "train")
+      .join(trainH, Seq("h"), "left")
       .groupBy(col("split"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
@@ -910,18 +922,22 @@ object Dedup extends QueryModule {
     * signal for up/down-weighting a source (q65): a source whose windows
     * are mostly shared buys nothing the mix doesn't already have.
     *
-    * Scale shape: (source, window) pairs distinct-reduce map-side before
-    * the one h-keyed spread count; the source rollup rides the join back.
-    * Work is bounded by the distinct window vocabulary — never
-    * |sources|² and never the raw occurrence stream.
+    * Scale shape: q92's membership-set trick — each window collapses to
+    * its distinct source set in ONE h-keyed agg (collect_set partials
+    * dedup the occurrence stream map-side), then explodes ≤|sources|
+    * rows per window into the source rollup: two shuffles total, no
+    * distinct+join round trip. Work is bounded by the distinct window
+    * vocabulary × |sources| — never |sources|² and never the raw
+    * occurrence stream.
     */
   private def q122(t: Tables): DataFrame = {
     val k = windowK(t)
-    val hs = Tables.localSplit(t.documents, col("doc_id"))
+    val spread = Tables.localSplit(t.documents, col("doc_id"))
       .select(col("source"), explode(windowHashes(k)).as("h"))
-      .distinct()
-    val spread = hs.groupBy(col("h")).agg(count(lit(1)).as("n_sources"))
-    hs.join(spread, Seq("h"))
+      .groupBy(col("h"))
+      .agg(collect_set(col("source")).as("srcs"))
+      .select(explode(col("srcs")).as("source"), size(col("srcs")).as("n_sources"))
+    spread
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_distinct_windows"),
