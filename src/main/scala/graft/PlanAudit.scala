@@ -169,7 +169,11 @@ object PlanAudit {
     // |dims|-keyed accumulator agg, 1-row L1 total (single-partition agg),
     // broadcast join back, |dims|-row output sort — nothing corpus-keyed
     // after the map-side fold+explode
-    "q124_power_iter" -> 4).withDefaultValue(3)
+    "q124_power_iter" -> 4,
+    // (user, day) distinct (partial-agg map-side), ONE user-keyed shuffle
+    // shared by the rank window + island rollup, |streaks|-scale histogram
+    // agg, |lengths|-row sort
+    "q125_activity_streaks" -> 4).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -417,7 +417,37 @@ object Extras extends QueryModule {
         round(max(col("lat")), 4).as("max_lat"))
       .orderBy(col("cell"))
 
+  /** Consecutive-day activity streaks — the gaps-and-islands kernel every
+    * engagement stack runs (DAU streak badges, churn-risk run lengths):
+    * distinct (user, day) actives, island key = epoch-day − per-user day
+    * rank (constant within a consecutive run, the classic Tabibitosan
+    * trick — exact integer arithmetic, no session-gap floats), then the
+    * streak-length histogram with user attribution.
+    *
+    * Scale shape: the corpus-scale pass is the (user, day) distinct —
+    * partial-aggregable map-side, output |users|·|active days| ≪ events;
+    * the rank window and island rollup both ride ONE user-keyed shuffle
+    * (thousands of users — AQE-splittable, unlike a per-source window);
+    * the histogram agg is |streaks|-scale.
+    */
+  private def q125(t: Tables): DataFrame = {
+    val d = t.events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = d
+      .withColumn(
+        "grp",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    streaks
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("n_streaks"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("len"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_activity_streaks" -> ((s, d) => q125(Tables(s, d))),
     "q93_zorder_cells" -> ((s, d) => q93(Tables(s, d))),
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
     "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
@@ -439,6 +469,16 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q125_activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | r AS (
+        | SELECT user_id,
+        |  datediff('day', DATE '1970-01-01', day)
+        |   - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        | FROM d),
+        | s AS (SELECT user_id, grp, count(*) AS len FROM r GROUP BY user_id, grp)
+        |SELECT len, count(*) AS n_streaks, count(DISTINCT user_id) AS n_users
+        |FROM s GROUP BY len ORDER BY len""".stripMargin,
     "q119_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
         | f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),

@@ -41,6 +41,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got.map(g => math.abs(g._3)).sum - 1.0) < 1e-3)
   }
 
+  test("q125 activity streaks match an independent gaps-and-islands recomputation") {
+    val days = Tables(spark, sf).events
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val streaks = days.groupBy(_._1).toSeq.flatMap { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      // run lengths of consecutive epoch days
+      sorted.foldLeft(List.empty[(Int, Long)]) {
+        case ((last, len) :: rest, d) if d == last + 1 => (d, len + 1) :: rest
+        case (acc, d)                                  => (d, 1L) :: acc
+      }.map { case (_, len) => (u, len) }
+    }
+    val expected = streaks.groupBy(_._2).map { case (len, xs) =>
+      (len, xs.size.toLong, xs.map(_._1).distinct.size.toLong)
+    }.toSet
+    val got = SparkEntry.queries("q125_activity_streaks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // conservation: streak lengths weighted by count cover every active day
+    val totalDays = got.toSeq.map(g => g._1 * g._2).sum
+    assert(totalDays == days.length.toLong)
+  }
+
   test("stream-join attribution only pairs users with both event kinds") {
     val t = Tables(spark, sf)
     val rows = SparkEntry.queries("q73_stream_join")(spark, sf).collect()
