@@ -99,10 +99,19 @@ object Bench {
         s""""reps":$nReps,"agg":"min","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus"""
     // the driver keeps only the last 2000 chars of output: an over-budget
     // line would truncate MID-JSON and parse as nothing, so degrade in
-    // steps — full per-rep arrays, then slowest-12 detail, then none
+    // steps — full per-rep arrays, then slowest-12 detail, then none,
+    // then (as the query count keeps growing round over round) the same
+    // no-detail line with per-query values at 2 decimals instead of 3
+    val qs2 = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 100) / 100
+    }.mkString("{", ",", "}")
+    val head2 =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs2,"sf":"$sfDir",""" +
+        s""""reps":$nReps,"agg":"min","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus"""
     val candidates =
       Seq(s"$head,$repArrays}", s"$head,${slowestDetail(12)}}",
-        s"""$head,"reps_detail":"omitted:over-budget"}""")
+        s"""$head,"reps_detail":"omitted:over-budget"}""",
+        s"""$head2,"reps_detail":"omitted:over-budget"}""")
     println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
     Console.out.flush()
   }
