@@ -694,6 +694,46 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(oneByOne.rounds == 6)
   }
 
+  test("batched trainBpe equals sequential greedy on randomized corpora") {
+    import spark.implicits._
+    // the batching guards (prefix stop, symbol/concat disjointness,
+    // created-pair bound) are subtle enough that two crafted corpora are
+    // not proof — randomized small-alphabet corpora generate dense symbol
+    // collisions, ties, and created-pair races far beyond hand-built cases
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b) else acc :+ x
+      }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcde"
+      val words = (0 until (15 + rnd.nextInt(15))).map { _ =>
+        (1 to (1 + rnd.nextInt(5))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.distinct
+      val corpus = words.flatMap(w => Seq.fill(1 + rnd.nextInt(30))(w))
+      val dir = java.nio.file.Files.createTempDirectory(s"bpe_rand_$seed").toString
+      corpus.toDF("text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val n = 8
+      var vocab = corpus.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (w, xs) => (w.map(_.toString).toVector, xs.size.toLong) }
+      val exp = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var break = false
+      for (_ <- 1 to n if !break) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+        vocab.foreach { case (syms, f) => syms.zip(syms.tail).foreach(p => counts(p) += f) }
+        if (counts.isEmpty) break = true
+        else {
+          val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          exp += best
+          vocab = vocab.map { case (syms, f) => (applyMerge(syms, best._1, best._2), f) }
+        }
+      }
+      val got = operators.TextAnalysis.trainBpe(Tables(spark, dir), n, maxBatch = 4)
+      assert(got.merges == exp.toSeq,
+        s"seed=$seed: batched ${got.merges} != sequential ${exp.toSeq} (corpus ${words.mkString(",")})")
+    }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
