@@ -200,6 +200,41 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Context-length pricing for sequence packing — q80's streaming-pack
+    * policy swept across candidate caps {512, 2048, 8192}: bins consumed,
+    * fill ratio, and worst per-bin doc fan-in at each context length (the
+    * table consulted BEFORE committing to a context window, q114/q116/
+    * q117's sweep discipline). The per-source running token sum is
+    * cap-INDEPENDENT, so the whole sweep costs one q80: one window pass,
+    * a |caps|-way map-side explode, one (cap, source, bin) rollup.
+    * Integer arithmetic until each cap's final fill division.
+    */
+  private def q126(t: Tables): DataFrame = {
+    val caps = Seq(512L, 2048L, 8192L)
+    val bySrc = Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.documents
+      .select(
+        col("doc_id"), col("source"),
+        greatest(graft.functions.GraftFunctions.subword_count(col("text")), lit(1L)).as("toks"))
+      .withColumn("cum", sum(col("toks")).over(bySrc))
+      .select(
+        col("source"), col("toks"), col("cum"),
+        explode(array(caps.map(lit): _*)).as("cap"))
+      .withColumn("bin", expr("CAST((cum - 1) div cap AS BIGINT)"))
+      .groupBy(col("cap"), col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .groupBy(col("cap"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("bin_tokens")).as("total_tokens"),
+        max(col("n_docs")).as("max_docs_per_bin"),
+        round(sum(col("bin_tokens")) / (count(lit(1)) * col("cap")), 4).as("fill_ratio"))
+      .orderBy(col("cap"))
+  }
+
   private def q33(t: Tables): DataFrame =
     withQualityScore(withWords(t))
       .withColumn("keep", col("score") >= 0.45)
@@ -1143,7 +1178,8 @@ object TextAnalysis extends QueryModule {
     "q33_quality_score" -> ((s, d) => q33(Tables(s, d))),
     "q34_doc_fingerprint" -> ((s, d) => q34(Tables(s, d))),
     "q121_token_rarity" -> ((s, d) => q121(Tables(s, d))),
-    "q123_quality_keep" -> ((s, d) => q123(Tables(s, d)))
+    "q123_quality_keep" -> ((s, d) => q123(Tables(s, d))),
+    "q126_pack_sweep" -> ((s, d) => q126(Tables(s, d)))
   )
 
   // The q33/q84 gate inputs (score + repetition ratio) as shared CTEs —
@@ -1418,6 +1454,23 @@ object TextAnalysis extends QueryModule {
         | max(n_docs) AS max_docs_per_bin,
         | round(sum(bin_tokens) / (count(*) * 2048), 4) AS fill_ratio
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q126_pack_sweep" ->
+      s"""WITH d AS (
+         | SELECT doc_id, source, CAST(greatest($subwordTokensSql, 1) AS BIGINT) AS toks FROM documents),
+        | c AS (
+        | SELECT source, toks,
+        |  sum(toks) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM d),
+        | x AS (SELECT source, toks, cum, unnest([512, 2048, 8192]) AS cap FROM c),
+        | b AS (SELECT cap, source, CAST((cum - 1) // cap AS BIGINT) AS bin, toks FROM x),
+        | g AS (
+        | SELECT cap, source, bin, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
+        | FROM b GROUP BY cap, source, bin)
+        |SELECT CAST(cap AS BIGINT) AS cap, count(*) AS n_bins,
+        | CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+        | max(n_docs) AS max_docs_per_bin,
+        | round(sum(bin_tokens) / (count(*) * cap), 4) AS fill_ratio
+        |FROM g GROUP BY cap ORDER BY cap""".stripMargin,
     "q81_repetition" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
         | s AS (

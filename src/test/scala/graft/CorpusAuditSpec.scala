@@ -734,6 +734,23 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q126 pack sweep's 2048 row equals the q80 rollup; caps behave monotonically") {
+    val sweep = SparkEntry.queries("q126_pack_sweep")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val q80 = SparkEntry.queries("q80_seq_pack")(spark, sf).collect()
+    val row2048 = sweep.find(_._1 == 2048L).get
+    // the sweep's 2048 arm IS q80 aggregated over sources — same policy,
+    // same kernel, so the numbers must be identical, not merely close
+    assert(row2048._2 == q80.map(_.getAs[Long]("n_bins")).sum)
+    assert(row2048._3 == q80.map(_.getAs[Long]("total_tokens")).sum)
+    assert(row2048._4 == q80.map(_.getAs[Long]("max_docs_per_bin")).max)
+    // structural sanity across the sweep: token mass is cap-invariant,
+    // larger contexts never need more bins, fill stays in (0, 1]
+    assert(sweep.map(_._3).distinct.length == 1)
+    assert(sweep.sortBy(_._1).map(_._2).sliding(2).forall { case Array(a, b) => b <= a })
+    sweep.foreach { case (_, _, _, _, fill) => assert(fill > 0.0 && fill <= 1.0) }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
