@@ -98,6 +98,34 @@ object Multimodal extends QueryModule {
   def decodeAll(spark: SparkSession, dir: String): Dataset[MediaRow] =
     decodeBlobs(blobs(Tables(spark, dir)))
 
+  final case class ResizePlanRow(
+      doc_id: Long, media_type: String, src_w: Long, src_h: Long,
+      dst_w: Long, dst_h: Long, scale_e6: Long, resample: Boolean)
+
+  /** Aspect-preserving fit-within resize PLANNING — the geometry half of
+    * the resize stage a multimodal ingest runs before feature extraction.
+    * Target dims, integer-e6 scale factor, and whether a resample is
+    * needed at all are computed distributed (map-only, composing with
+    * decodeBlobs' partition-parallel shape, no shuffle); the pixel
+    * RESAMPLE itself is the declared stub seam — this container ships no
+    * media libs, and a real deployment drops libjpeg-turbo/ffmpeg (or a
+    * Pandas UDF via mapInPandas on the PySpark side) into the row map
+    * without changing the schema, batch shape, or partitioning. Never
+    * upscales (scale capped at 1.0); target dims floor at 1 px.
+    */
+  def resizePlan(df: DataFrame, maxW: Long, maxH: Long): Dataset[ResizePlanRow] = {
+    require(maxW >= 1 && maxH >= 1, s"target box out of range: ${maxW}x$maxH")
+    import df.sparkSession.implicits._
+    decodeBlobs(df).map { r =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / r.width, maxH.toDouble / r.height))
+      ResizePlanRow(
+        r.doc_id, r.media_type, r.width, r.height,
+        math.max(1L, math.round(r.width * scale)),
+        math.max(1L, math.round(r.height * scale)),
+        math.round(scale * 1e6), scale < 1.0)
+    }
+  }
+
   // payload plumbing: utf-8 bytes of text stand in for media bytes; the
   // media_type "magic sniff" is a deterministic function of the first byte.
   private def blobs(t: Tables): DataFrame =

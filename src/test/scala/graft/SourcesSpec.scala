@@ -113,6 +113,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_.media_type).toSet.subsetOf(Set("image", "audio", "video")))
   }
 
+  test("resizePlan fits the target box, preserves aspect, never upscales") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // wide, tall, tiny (no-op), and exactly-at-box payloads
+    val blobs = Seq(
+      (1L, png(100, 20), "image"), (2L, png(20, 100), "image"),
+      (3L, png(10, 10), "image"), (4L, png(64, 64), "image"))
+      .toDF("doc_id", "payload", "media_type")
+    val out = operators.Multimodal.resizePlan(blobs, 64, 64).collect().sortBy(_.doc_id).toSeq
+    out.foreach { r =>
+      assert(r.dst_w <= 64 && r.dst_h <= 64, s"doc ${r.doc_id} exceeds the box: $r")
+      assert(r.dst_w >= 1 && r.dst_h >= 1)
+      assert(r.scale_e6 <= 1000000L, s"doc ${r.doc_id} upscaled: $r")
+      // aspect preserved within the 1px rounding of the SHORT side
+      val expShort = math.round(
+        math.min(r.src_w, r.src_h).toDouble * r.scale_e6 / 1e6)
+      assert(math.abs(math.min(r.dst_w, r.dst_h) - expShort) <= 1)
+    }
+    val byId = out.map(r => r.doc_id -> r).toMap
+    assert(byId(1L).dst_w == 64 && byId(1L).dst_h == 13 && byId(1L).resample)
+    assert(byId(2L).dst_w == 13 && byId(2L).dst_h == 64 && byId(2L).resample)
+    assert(byId(3L).dst_w == 10 && byId(3L).dst_h == 10 && !byId(3L).resample)
+    assert(byId(4L).dst_w == 64 && byId(4L).dst_h == 64 && !byId(4L).resample)
+    assert(byId(3L).scale_e6 == 1000000L && byId(1L).scale_e6 == 640000L)
+  }
+
   test("real PNG payloads decode to their true pixel dimensions via javax.imageio") {
     import spark.implicits._
     // synthesize real PNGs in-test: doc_id N is an (N+1)×(2N+3) image —
