@@ -208,6 +208,15 @@ object Similarity extends QueryModule {
   private[graft] def initialAssign(ev: DataFrame): DataFrame =
     ev.select(col("vec_id"), col("label")).distinct()
 
+  /** The identity quantizer of the stored labels: the corpus's own
+    * assignment plus its centroid table — exactly what q43/q74 derive
+    * in-query, exposed as the pair [[graft.sources.IvfIndex]] persists.
+    */
+  private[graft] def corpusQuantizer(t: Tables): (DataFrame, DataFrame) = {
+    val ev = quantizedEv(t)
+    (initialAssign(ev), centroidsOf(ev))
+  }
+
   private def q71(t: Tables): DataFrame = {
     val ev = quantizedEv(t)
     lloydStep(ev, initialAssign(ev)).orderBy(col("vec_id"))
@@ -269,7 +278,20 @@ object Similarity extends QueryModule {
     * corpus join stays equi on the cluster label — partition-prunable,
     * nprobe/|cells| of the corpus read per query batch.
     */
-  private def q74(t: Tables): DataFrame = ivfSearch(t, relabel = None)
+  /** `graft.ivf.index=<dir>` points q74's assignment at a stored
+    * [[graft.sources.IvfIndex]] instead of the corpus's label column —
+    * the production wiring (a search session reads the index artifact,
+    * never re-derives assignments). An index initialized from
+    * [[corpusQuantizer]] yields byte-identical output, so the oracle
+    * contract is unchanged; IvfIndexSpec pins the equality.
+    */
+  private def q74(t: Tables): DataFrame = {
+    val idx = t.spark.conf.get("graft.ivf.index", "")
+    val relabel =
+      if (idx.isEmpty) None
+      else Some(graft.sources.IvfIndex.assign(t.spark, idx))
+    ivfSearch(t, relabel)
+  }
 
   /** The q74 search, parameterized on the coarse assignment: `relabel`
     * swaps the corpus's stored labels for a trained [[IvfModel]]'s
