@@ -89,4 +89,42 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.centroids(spark, dir).count() > 0)
     assert(IvfIndex.storeK(spark, dir) == labels.length.toLong)
   }
+
+  test("concurrent appends: exactly one writer claims a version slot, losers are loud and clean") {
+    // the DedupIndex race fixed this round (a pre-commit visibility check
+    // fired on a legitimate concurrent winner) lived in exactly this code
+    // shape — pin the contract here too
+    val dir = tmp()
+    val t = Tables(spark, sf)
+    def ev(pred: org.apache.spark.sql.Column) = t.embeddings.filter(pred)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("v").cast("double") * 1000).cast("long").as("q"))
+    val baseT = t.embeddings.filter(col("vec_id") < 100)
+    val baseEv = baseT
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("v").cast("double") * 1000).cast("long").as("q"))
+    val cent = baseEv.groupBy(col("label").as("clabel"), col("dim").as("cdim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+    IvfIndex.init(spark, dir, baseEv.select(col("vec_id"), col("label")).distinct(), cent)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val results = Await.result(
+      Future.sequence(Seq(
+        ev(col("vec_id") >= 100 && col("vec_id") < 300),
+        ev(col("vec_id") >= 300)).map(b => Future {
+        try Right(IvfIndex.append(spark, dir, b))
+        catch { case e: IllegalStateException => Left(e) }
+      })), 5.minutes)
+    assert(results.exists(_.isRight), "no appender succeeded")
+    results.collect { case Left(e) => e }.foreach(e =>
+      assert(e.getMessage.contains("NOT published"), s"loser must be loud: $e"))
+    val staging = new org.apache.hadoop.fs.Path(dir, "_staging")
+    val f = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = if (f.exists(staging)) f.listStatus(staging).length else 0
+    assert(leftover == 0, s"$leftover staged dirs left behind")
+    IvfIndex.assign(spark, dir).count() // chain readable
+  }
 }
