@@ -184,6 +184,53 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric-containment audit over the LSH candidate pairs (Broder
+    * 1997's containment coefficient c(A→B) = |A∩B|/|A|): per containment
+    * quartile, how many candidate pairs sit there, how many are the
+    * MISSED class — max one-sided containment ≥ τ
+    * (`graft.dedup.containment.tau`, default 0.8) while Jaccard < τ, the
+    * embedded-quote/subset duplicates a Jaccard-thresholded dedup pass
+    * structurally leaves behind (the union is dominated by the larger
+    * doc) — plus the worst containment−Jaccard gap per quartile. A
+    * non-zero `n_missed` row is the signal to run q113's window pass.
+    *
+    * Scale shape: q38's candidate-bounded verify verbatim (band join →
+    * slim pair set → two keyed shingle-set fetches → per-pair
+    * array_intersect); the quartile rollup is |buckets|-row. Declared
+    * recall caveat: candidates come from symmetric minhash LSH, which
+    * under-recalls extreme-containment pairs (that is WHY they are the
+    * missed class) — this query audits the candidate set the dedup pass
+    * actually had; the window index is the production recall path.
+    */
+  private def q127(t: Tables): DataFrame = {
+    val tau = t.spark.conf.get("graft.dedup.containment.tau", "0.8").toDouble
+    require(tau > 0.0 && tau <= 1.0, s"graft.dedup.containment.tau out of range: $tau")
+    val arrs = Tables.localSplit(t.documents, col("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
+      .withColumn("nsh", size(col("arr")).cast("long"))
+    lshCandidates(t)
+      .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("shared", size(array_intersect(col("a.arr"), col("b.arr"))).cast("long"))
+      .filter(col("shared") > 0)
+      // per-pair values round to 6 BEFORE any cross-row agg (q33's
+      // discipline: never accumulate unrounded floats across rows)
+      .withColumn(
+        "cont",
+        round(greatest(col("shared") / col("a.nsh"), col("shared") / col("b.nsh")), 6))
+      .withColumn(
+        "jaccard",
+        round(col("shared") / (col("a.nsh") + col("b.nsh") - col("shared")), 6))
+      .withColumn("bucket", least(floor(col("cont") * 4), lit(3L)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("cont") >= tau && col("jaccard") < tau, 1L).otherwise(0L)).as("n_missed"),
+        round(max(col("cont") - col("jaccard")), 4).as("max_gap"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+      .orderBy(col("bucket"))
+  }
+
   /** LSH band-count tuning table — the calibration consulted BEFORE
     * `graft.lsh.bands` was fixed (q114's sweep pattern applied to the
     * dedup family's own knob): for each candidate band budget, the
@@ -1130,6 +1177,7 @@ object Dedup extends QueryModule {
     "q92_source_overlap" -> ((s, d) => q92(Tables(s, d))),
     "q89_line_dedup" -> ((s, d) => q89(Tables(s, d))),
     "q86_minhash_estimate" -> ((s, d) => q86(Tables(s, d))),
+    "q127_containment" -> ((s, d) => q127(Tables(s, d))),
     "q79_dedup_report" -> ((s, d) => q79(Tables(s, d))),
     "q75_decontaminate" -> ((s, d) => q75(Tables(s, d))),
     "q63_simhash_pairs" -> ((s, d) => q63(Tables(s, d))),
@@ -1441,6 +1489,37 @@ object Dedup extends QueryModule {
         | CAST(sum(CASE WHEN doc_id = min_doc THEN cnt - 1 ELSE cnt END) AS BIGINT) AS n_removed,
         | CAST(sum(CASE WHEN doc_id = min_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
         |FROM o JOIN m USING (line) GROUP BY source ORDER BY source""".stripMargin,
+    "q127_containment" ->
+      s"""WITH w AS ($duckWords),
+         | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),
+         | sh AS (SELECT doc_id, $duckHashes AS hashes FROM shl),
+         | sigs AS (
+         | $duckShingleArms
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+         |  FROM sigs s1 JOIN sigs s2
+         |   ON s1.band = s2.band AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id),
+         | shx AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),
+         | sizes AS (SELECT doc_id, count(*) AS nsh FROM shx GROUP BY doc_id),
+         | inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |  FROM cand c
+         |  JOIN shx a ON a.doc_id = c.doc_a
+         |  JOIN shx b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         | p AS (
+         | SELECT round(greatest(shared / sa.nsh, shared / sb.nsh), 6) AS cont,
+         |        round(shared / (sa.nsh + sb.nsh - shared), 6) AS jaccard
+         | FROM inter
+         | JOIN sizes sa ON sa.doc_id = doc_a
+         | JOIN sizes sb ON sb.doc_id = doc_b),
+         | bk AS (SELECT CAST(least(floor(cont * 4), 3) AS BIGINT) AS bucket, cont, jaccard FROM p)
+         |SELECT bucket, count(*) AS n_pairs,
+         | CAST(sum(CASE WHEN cont >= 0.8 AND jaccard < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+         | round(max(cont - jaccard), 4) AS max_gap,
+         | round(avg(jaccard), 4) AS avg_jaccard
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q86_minhash_estimate" ->
       s"""WITH w AS ($duckWords),
          | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),

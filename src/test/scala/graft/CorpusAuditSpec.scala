@@ -751,6 +751,29 @@ class CorpusAuditSpec extends AnyFunSuite {
     sweep.foreach { case (_, _, _, _, fill) => assert(fill > 0.0 && fill <= 1.0) }
   }
 
+  test("q127 flags an embedded quote as the containment-missed class") {
+    import spark.implicits._
+    // doc 2 is a verbatim 20-word slice of doc 1: containment of the small
+    // side is 1.0 while Jaccard ~ 18/98 — exactly the pair a Jaccard-
+    // thresholded dedup pass leaves behind. docs 3/4 are exact duplicates:
+    // containment 1.0 AND Jaccard 1.0 — same bucket, NOT missed.
+    val big = (1 to 100).map(i => s"w$i").mkString(" ")
+    val quote = (41 to 60).map(i => s"w$i").mkString(" ")
+    val dup = (1 to 10).map(i => s"x$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("q127_crafted").toString
+    Seq((1L, big), (2L, quote), (3L, dup), (4L, dup))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q127_containment")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // both pairs land in the top containment quartile — the quote pair is
+    // missed (jaccard < 0.8), the exact dup is not
+    val (nPairs, nMissed, maxGap, _) = rows(3L)
+    assert(nPairs == 2L, s"expected the quote pair AND the dup pair as candidates: $rows")
+    assert(nMissed == 1L, s"exactly the quote pair is the missed class: $rows")
+    assert(maxGap > 0.7, s"quote pair's containment-jaccard gap should be ~0.82: $rows")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
