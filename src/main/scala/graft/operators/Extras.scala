@@ -393,6 +393,57 @@ object Extras extends QueryModule {
         max(col("rate")).as("rate_pct"))
       .orderBy(col("source"))
 
+  /** Temperature-sampling mix table — the source re-weighting plan every
+    * multilingual/multi-source pretraining run computes before q65
+    * applies rates (Arivazhagan et al. 2019's temperature sampling;
+    * UniMax is the T→∞ end): target share ∝ size^(1/T) for
+    * T ∈ {1, 2, ∞} — natural, square-root-flattened, uniform — with the
+    * implied per-source epoch count (target mass / natural mass, the
+    * repeat factor low-resource sources pay). Weights are kept
+    * integer-exact per engine-parity discipline: size^(1/T) is rendered
+    * as chars / round(sqrt(chars)) / 1 — IEEE sqrt is correctly rounded
+    * in both engines and the round makes it an exact BIGINT, so share
+    * sums are integer arithmetic and only the final share/epoch
+    * divisions quantize (round 4).
+    *
+    * Scale shape: ONE source-keyed rollup off the scan; the T explode,
+    * per-T weight totals, and shares all run on the |T|·|sources|-row
+    * metadata relation (a window over ≤ 3·|sources| rows, partitioned
+    * by T).
+    */
+  private def q128(t: Tables): DataFrame = {
+    val bySrc = t.documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("chars"))
+    val byT = Window.partitionBy(col("t_label"))
+    bySrc
+      .select(
+        col("source"), col("n_docs"), col("chars"),
+        explode(array(
+          struct(lit("T=1").as("t_label"), col("chars").as("w")),
+          struct(lit("T=2").as("t_label"),
+            round(sqrt(col("chars").cast("double"))).cast("long").as("w")),
+          struct(lit("T=inf").as("t_label"), lit(1L).as("w")))).as("tw"))
+      .select(col("source"), col("n_docs"), col("chars"),
+        col("tw.t_label").as("t_label"), col("tw.w").as("w"))
+      .withColumn("natural_share", round(col("chars") / sum(col("chars")).over(byT), 4))
+      .withColumn("target_share", round(col("w") / sum(col("w")).over(byT), 4))
+      // products through DOUBLE in both engines: long×long would wrap in
+      // Spark (non-ANSI) but raise in DuckDB once w·Σchars passes int64 —
+      // the q94 id-domain divergence class; double is deterministic and
+      // unbounded here, and the output quantizes to 4 anyway
+      .withColumn(
+        "epochs",
+        round(
+          (col("w").cast("double") * sum(col("chars")).over(byT).cast("double"))
+            / (sum(col("w")).over(byT).cast("double") * col("chars").cast("double")),
+          4))
+      .select(
+        col("t_label"), col("source"), col("n_docs"), col("chars"),
+        col("natural_share"), col("target_share"), col("epochs"))
+      .orderBy(col("t_label"), col("source"))
+  }
+
   /** Z-order curve cell statistics — the read-side audit of
     * [[graft.sources.SpatialLayout]]'s write-side clustering: every point's
     * Morton z-value (16 bits/dim, built-in bitwise ops only — codegen'd
@@ -448,6 +499,7 @@ object Extras extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_activity_streaks" -> ((s, d) => q125(Tables(s, d))),
+    "q128_temperature_mix" -> ((s, d) => q128(Tables(s, d))),
     "q93_zorder_cells" -> ((s, d) => q93(Tables(s, d))),
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
     "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
@@ -469,6 +521,25 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q128_temperature_mix" ->
+      """WITH s AS (
+        | SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        | FROM documents GROUP BY source),
+        | x AS (
+        | SELECT source, n_docs, chars, u.t_label, u.w FROM s, LATERAL (
+        |  SELECT 'T=1' AS t_label, chars AS w
+        |  UNION ALL SELECT 'T=2', CAST(round(sqrt(CAST(chars AS DOUBLE))) AS BIGINT)
+        |  UNION ALL SELECT 'T=inf', 1) u),
+        | tot AS (
+        | SELECT t_label, CAST(sum(chars) AS BIGINT) AS tc, CAST(sum(w) AS BIGINT) AS tw
+        | FROM x GROUP BY t_label)
+        |SELECT x.t_label, source, n_docs, chars,
+        | round(chars / tc, 4) AS natural_share,
+        | round(w / tw, 4) AS target_share,
+        | round((CAST(w AS DOUBLE) * CAST(tc AS DOUBLE))
+        |   / (CAST(tw AS DOUBLE) * CAST(chars AS DOUBLE)), 4) AS epochs
+        |FROM x JOIN tot ON x.t_label = tot.t_label
+        |ORDER BY x.t_label, source""".stripMargin,
     "q125_activity_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         | r AS (

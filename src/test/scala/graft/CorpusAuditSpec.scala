@@ -774,6 +774,36 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(maxGap > 0.7, s"quote pair's containment-jaccard gap should be ~0.82: $rows")
   }
 
+  test("q128 temperature mix: T=1 identity, T=inf uniform, T=2 strictly flattens") {
+    val rows = SparkEntry.queries("q128_temperature_mix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val byT = rows.groupBy(_._1)
+    assert(byT.keySet == Set("T=1", "T=2", "T=inf"))
+    val nSrc = byT("T=1").length
+    byT.foreach { case (t, rs) =>
+      assert(math.abs(rs.map(_._6).sum - 1.0) < 0.01, s"$t target shares don't sum to 1")
+      rs.foreach { case (_, src, _, _, _, _, ep) => assert(ep > 0, s"$t/$src epochs") }
+    }
+    // T=1 is the natural distribution: every source runs exactly one epoch
+    byT("T=1").foreach { case (_, src, _, _, nat, tgt, ep) =>
+      assert(nat == tgt, s"T=1 target must equal natural for $src")
+      assert(ep == 1.0, s"T=1 epochs must be 1.0 for $src")
+    }
+    // T=inf is uniform regardless of size
+    val unif = rnd(1.0 / nSrc, 4)
+    byT("T=inf").foreach { case (_, src, _, _, _, tgt, _) =>
+      assert(math.abs(tgt - unif) <= 0.0002, s"T=inf share for $src: $tgt vs $unif")
+    }
+    // T=2 sits between: the biggest source loses mass, the smallest gains,
+    // and epoch counts are monotone DECREASING in source size
+    val n2 = byT("T=2").sortBy(_._4)
+    assert(n2.last._6 <= n2.last._5, "largest source must flatten down at T=2")
+    assert(n2.head._6 >= n2.head._5, "smallest source must flatten up at T=2")
+    assert(n2.map(_._7).sliding(2).forall { case Array(a, b) => b <= a + 1e-9 },
+      "epochs must decrease with source size at T=2")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
