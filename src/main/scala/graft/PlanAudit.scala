@@ -39,9 +39,11 @@ object PlanAudit {
   // q121's token <> '' filter is q76's class exactly: above an exploded
   // computed split, nothing at the scan to push; scan prunes to
   // (doc_id, source, text)
+  // q130's token <> '' filter is the same class (q76's token stream)
   private val allowUnpushed =
     Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm",
-      "q90_tfidf", "q97_rare_bigrams", "q98_bm25", "q102_dsir", "q121_token_rarity")
+      "q90_tfidf", "q97_rare_bigrams", "q98_bm25", "q102_dsir", "q121_token_rarity",
+      "q130_cms_calibration")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume
   private val allowGlobalWindow = Set("q83_late_data")
@@ -170,6 +172,11 @@ object PlanAudit {
     // broadcast join back, |dims|-row output sort — nothing corpus-keyed
     // after the map-side fold+explode
     "q124_power_iter" -> 4,
+    // vocab token-count agg (the one corpus-scale shuffle; prints once per
+    // consuming branch — sketch AND probe top-50, AQE reuses at runtime) →
+    // (row, bucket) vocab-scale sketch agg → 50·d-row probe join
+    // (sketch broadcast) → per-token min agg → sort
+    "q130_cms_calibration" -> 5,
     // (user, day) distinct (partial-agg map-side), ONE user-keyed shuffle
     // shared by the rank window + island rollup, |streaks|-scale histogram
     // agg, |lengths|-row sort

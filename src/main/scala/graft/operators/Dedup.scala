@@ -65,14 +65,14 @@ object Dedup extends QueryModule {
 
   // 32-bit int from the first 8 hex chars of an md5 string — the same
   // ascii-arithmetic rendered to both engines (no hex→int builtin in both).
-  private def hexint32(m: String): String =
+  private[operators] def hexint32(m: String): String =
     (1 to 8)
       .map(p => s"CAST(${hexval(s"substr($m, $p, 1)")} AS BIGINT) * ${1L << ((8 - p) * 4)}")
       .mkString("(", " + ", ")")
 
   // band-b linear rehash of the base shingle hash (classic k-minhash from
   // one strong hash): h_b(x) = (a_b·x + c_b) mod (2³¹−1)
-  private def bandHash(b: Int, h: String): String =
+  private[operators] def bandHash(b: Int, h: String): String =
     s"(($h * ${2 * b + 1} + ${7919 * b}) % 2147483647)"
 
   /** Per-doc minhash signatures via the native one-pass kernel
@@ -229,6 +229,108 @@ object Dedup extends QueryModule {
         round(max(col("cont") - col("jaccard")), 4).as("max_gap"),
         round(avg(col("jaccard")), 4).as("avg_jaccard"))
       .orderBy(col("bucket"))
+  }
+
+  /** Edit-distance verify over the LSH candidates — the order-SENSITIVE
+    * second opinion next to q38's order-insensitive shingle Jaccard (new
+    * r12): per agreement class, how the two similarity notions co-vote on
+    * the same candidate pairs. Shingle Jaccard survives block moves and
+    * sentence reordering but a slot-filled template (every value token
+    * swapped) breaks all its containing 3-grams; character edit distance is
+    * the mirror image. The classes are the audit: `jaccard_only` pairs are
+    * reordered/moved-block duplicates an edit threshold would miss,
+    * `edit_only` pairs are template/slot-edit duplicates a shingle
+    * threshold would miss — a non-empty `edit_only` row is the signal that
+    * a Jaccard-only dedup pass is leaving template boilerplate behind.
+    *
+    * Scale shape: q38's candidate-bounded verify verbatim — ONE documents
+    * projection carries both per-doc features (shingle set from the native
+    * kernel + the capped text), so the pair stage is still two key joins;
+    * levenshtein cost per pair is bounded by `graft.dedup.edit.cap`²
+    * (default 256 chars — the declared cap that keeps per-pair work
+    * constant when docs are 100 KB; Spark's codegen'd levenshtein, DuckDB's
+    * built-in, both character-exact). Per-pair values round to 6 BEFORE the
+    * class rollup (q127's discipline); the rollup is ≤4 rows.
+    */
+  private def q129(t: Tables): DataFrame = {
+    val tau = t.spark.conf.get("graft.dedup.edit.tau", "0.5").toDouble
+    require(tau > 0.0 && tau <= 1.0, s"graft.dedup.edit.tau out of range: $tau")
+    val cap = t.spark.conf.get("graft.dedup.edit.cap", "256").toInt
+    require(cap >= 16 && cap <= 8192, s"graft.dedup.edit.cap out of range: $cap")
+    val feats = Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"),
+        substring(col("text"), 1, cap).as("cap_text"))
+      .withColumn("nsh", size(col("arr")).cast("long"))
+    lshCandidates(t)
+      .join(feats.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(feats.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("shared", size(array_intersect(col("a.arr"), col("b.arr"))).cast("long"))
+      .filter(col("shared") > 0)
+      .withColumn(
+        "jaccard",
+        round(col("shared") / (col("a.nsh") + col("b.nsh") - col("shared")), 6))
+      .withColumn(
+        "lev", levenshtein(col("a.cap_text"), col("b.cap_text")).cast("long"))
+      .withColumn(
+        "maxlen",
+        greatest(length(col("a.cap_text")), length(col("b.cap_text"))).cast("long"))
+      .withColumn(
+        "edit_sim",
+        when(col("maxlen") > 0, round(lit(1.0) - col("lev") / col("maxlen"), 6))
+          .otherwise(lit(1.0)))
+      .withColumn(
+        "cls",
+        when(col("jaccard") >= tau && col("edit_sim") >= tau, lit("both"))
+          .when(col("jaccard") >= tau, lit("jaccard_only"))
+          .when(col("edit_sim") >= tau, lit("edit_only"))
+          .otherwise(lit("neither")))
+      .groupBy(col("cls"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"),
+        round(avg(col("edit_sim")), 4).as("avg_edit_sim"),
+        round(max(abs(col("jaccard") - col("edit_sim"))), 4).as("max_gap"))
+      .orderBy(col("cls"))
+  }
+
+  /** Normalization-aware dedup uplift — how many extra duplicate docs a
+    * canonicalization pass (lowercase, collapse whitespace runs, trim)
+    * surfaces over raw byte-identity (new r12): the C4/CCNet
+    * normalize-before-hash step, priced per source. The corpus ships
+    * pre-normalized, so the messy renditions real crawls carry (case
+    * variants, doubled spaces, padding) are synthesized DETERMINISTICALLY
+    * in-query (q72's synthetic-PII trick, both engines verbatim): each doc
+    * gains an uppercased, double-spaced, edge-padded twin that raw md5
+    * cannot collapse and normalized md5 must.
+    *
+    * Scale shape: normalization + both hashes are map-side codegen string
+    * work next to the scan; the only shuffle is the per-source rollup
+    * whose two countDistincts ride one Expand-based multi-distinct (q09's
+    * machinery). At 100 TB this is scan-speed.
+    */
+  private def q131(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("source"), col("text"))
+    val messy = docs.select(
+      col("source"),
+      concat(
+        lit("  "),
+        upper(regexp_replace(col("text"), lit(" "), lit("  "))),
+        lit(" ")).as("text"))
+    docs.union(messy)
+      .withColumn("raw_h", md5(col("text")))
+      .withColumn(
+        "norm_h",
+        md5(trim(regexp_replace(lower(col("text")), lit(" +"), lit(" ")))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("distinct_raw"),
+        countDistinct(col("norm_h")).as("distinct_norm"))
+      .withColumn("uplift", col("distinct_raw") - col("distinct_norm"))
+      .withColumn("uplift_share", round(col("uplift") / col("distinct_raw"), 4))
+      .orderBy(col("source"))
   }
 
   /** LSH band-count tuning table — the calibration consulted BEFORE
@@ -1178,6 +1280,8 @@ object Dedup extends QueryModule {
     "q89_line_dedup" -> ((s, d) => q89(Tables(s, d))),
     "q86_minhash_estimate" -> ((s, d) => q86(Tables(s, d))),
     "q127_containment" -> ((s, d) => q127(Tables(s, d))),
+    "q129_edit_verify" -> ((s, d) => q129(Tables(s, d))),
+    "q131_norm_dedup" -> ((s, d) => q131(Tables(s, d))),
     "q79_dedup_report" -> ((s, d) => q79(Tables(s, d))),
     "q75_decontaminate" -> ((s, d) => q75(Tables(s, d))),
     "q63_simhash_pairs" -> ((s, d) => q63(Tables(s, d))),
@@ -1520,6 +1624,71 @@ object Dedup extends QueryModule {
          | round(max(cont - jaccard), 4) AS max_gap,
          | round(avg(jaccard), 4) AS avg_jaccard
          |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q129_edit_verify" ->
+      s"""WITH w AS ($duckWords),
+         | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),
+         | sh AS (SELECT doc_id, $duckHashes AS hashes FROM shl),
+         | sigs AS (
+         | $duckShingleArms
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+         |  FROM sigs s1 JOIN sigs s2
+         |   ON s1.band = s2.band AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id),
+         | shx AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),
+         | sizes AS (SELECT doc_id, count(*) AS nsh FROM shx GROUP BY doc_id),
+         | inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |  FROM cand c
+         |  JOIN shx a ON a.doc_id = c.doc_a
+         |  JOIN shx b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         | tx AS (SELECT doc_id, substr(text, 1, 256) AS cap_text FROM documents),
+         | p AS (
+         |  SELECT round(shared / (sa.nsh + sb.nsh - shared), 6) AS jaccard,
+         |   levenshtein(ta.cap_text, tb.cap_text) AS lev,
+         |   greatest(length(ta.cap_text), length(tb.cap_text)) AS maxlen
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  JOIN tx ta ON ta.doc_id = doc_a
+         |  JOIN tx tb ON tb.doc_id = doc_b),
+         | e AS (
+         |  SELECT jaccard,
+         |   CASE WHEN maxlen > 0 THEN round(1.0 - lev / maxlen, 6) ELSE 1.0 END AS edit_sim
+         |  FROM p),
+         | c AS (
+         |  SELECT jaccard, edit_sim,
+         |   CASE WHEN jaccard >= 0.5 AND edit_sim >= 0.5 THEN 'both'
+         |        WHEN jaccard >= 0.5 THEN 'jaccard_only'
+         |        WHEN edit_sim >= 0.5 THEN 'edit_only'
+         |        ELSE 'neither' END AS cls
+         |  FROM e)
+         |SELECT cls, count(*) AS n_pairs,
+         | round(avg(jaccard), 4) AS avg_jaccard,
+         | round(avg(edit_sim), 4) AS avg_edit_sim,
+         | round(max(abs(jaccard - edit_sim)), 4) AS max_gap
+         |FROM c GROUP BY cls ORDER BY cls""".stripMargin,
+    "q131_norm_dedup" ->
+      """WITH orig AS (SELECT source, text FROM documents),
+        | messy AS (
+        |  SELECT source,
+        |   '  ' || upper(regexp_replace(text, ' ', '  ', 'g')) || ' ' AS text
+        |  FROM documents),
+        | al AS (SELECT * FROM orig UNION ALL SELECT * FROM messy),
+        | h AS (
+        |  SELECT source, md5(text) AS raw_h,
+        |   md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_h
+        |  FROM al),
+        | g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |   CAST(count(DISTINCT raw_h) AS BIGINT) AS distinct_raw,
+        |   CAST(count(DISTINCT norm_h) AS BIGINT) AS distinct_norm
+        |  FROM h GROUP BY source)
+        |SELECT source, n_docs, distinct_raw, distinct_norm,
+        | distinct_raw - distinct_norm AS uplift,
+        | round((distinct_raw - distinct_norm) / distinct_raw, 4) AS uplift_share
+        |FROM g ORDER BY source""".stripMargin,
     "q86_minhash_estimate" ->
       s"""WITH w AS ($duckWords),
          | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),

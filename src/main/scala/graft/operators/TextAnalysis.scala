@@ -334,6 +334,64 @@ object TextAnalysis extends QueryModule {
       .limit(50)
   }
 
+  /** Count-min-sketch frequency-estimator calibration (new r12 — q86's
+    * estimator-audit pattern applied to the counting sketch, completing
+    * the sketch family next to q56's HLL and q95's bottom-k): a d=4 ×
+    * w=256 CMS (Cormode & Muthukrishnan 2005) built over the corpus token
+    * frequencies, audited against the exact counts of the q76 top-50
+    * tokens — per token, exact count, CMS estimate (min over the d cells
+    * its row hashes land in), and the overcount (the one-sided CMS error:
+    * est ≥ exact always; the table says whether w=256 is enough before a
+    * deployment trusts the sketch where the exact vocab no longer fits).
+    *
+    * Scale shape: the sketch is a function of the VOCAB frequency table,
+    * not the token stream — Σ_{tokens in bucket} count(token) ≡ the
+    * stream's bucket count — so the only corpus-scale shuffle is q76's
+    * partial-aggregable token count; the cell explode and (row, bucket)
+    * rollup are vocab-scale, the sketch itself is d·w = 1024 rows
+    * (broadcast onto the top-50 probes), and every value is an exact
+    * integer both engines. Row hashes are the family's md5-fragment int32
+    * + per-row linear rehash (q36's k-minhash-from-one-hash trick).
+    */
+  private def q130(t: Tables): DataFrame = {
+    // sketch geometry, runtime-tunable (the oracle renders at the
+    // defaults): narrower widths force collisions — how the spec exercises
+    // the overcount arm on a corpus whose vocab fits 256 buckets untouched
+    val d = t.spark.conf.get("graft.cms.depth", "4").toInt
+    require(d >= 1 && d <= 16, s"graft.cms.depth out of range: $d")
+    val w = t.spark.conf.get("graft.cms.width", "256").toInt
+    require(w >= 2 && w <= 65536, s"graft.cms.width out of range: $w")
+    val counts = withWords(t)
+      .select(explode(col("words")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val hashed = counts
+      .withColumn("m", md5(col("token")))
+      .withColumn("h", expr(Dedup.hexint32("m")))
+    val cellCols = (0 until d).map(i => expr(s"${Dedup.bandHash(i, "h")} % $w"))
+    val cells = hashed.select(
+      col("token"),
+      col("n"),
+      posexplode(array(cellCols: _*)).as(Seq("row", "bucket")))
+    val sketch = cells.groupBy(col("row"), col("bucket")).agg(sum(col("n")).as("cell"))
+    // the 50 probes re-derive their 4 cell keys from scratch (50·4 rows of
+    // map-side hashing) rather than re-joining the vocab-scale cells
+    // relation — the sketch, d·w rows, broadcasts onto them
+    val probes = counts
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+      .withColumn("m", md5(col("token")))
+      .withColumn("h", expr(Dedup.hexint32("m")))
+      .select(col("token"), col("n"), posexplode(array(cellCols: _*)).as(Seq("row", "bucket")))
+    probes
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("token"))
+      .agg(max(col("n")).as("n_exact"), min(col("cell")).as("n_est"))
+      .withColumn("overcount", col("n_est") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   /** Bigram language-model counts: n(w1 w2), n(w1·) and the conditional
     * probability p(w2|w1) — the statistics behind perplexity-style quality
     * filters and contamination n-gram checks. One narrow shuffle on
@@ -1178,6 +1236,7 @@ object TextAnalysis extends QueryModule {
     "q33_quality_score" -> ((s, d) => q33(Tables(s, d))),
     "q34_doc_fingerprint" -> ((s, d) => q34(Tables(s, d))),
     "q121_token_rarity" -> ((s, d) => q121(Tables(s, d))),
+    "q130_cms_calibration" -> ((s, d) => q130(Tables(s, d))),
     "q123_quality_keep" -> ((s, d) => q123(Tables(s, d))),
     "q126_pack_sweep" -> ((s, d) => q126(Tables(s, d)))
   )
@@ -1492,6 +1551,33 @@ object TextAnalysis extends QueryModule {
         | SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS n FROM tok WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q130_cms_calibration" -> {
+      val arms = (0 until 4)
+        .map(i => s"SELECT token, n, $i AS row, (${Dedup.bandHash(i, "h")}) % 256 AS bucket FROM hx")
+        .mkString("\n UNION ALL\n ")
+      s"""WITH tok AS (
+         | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         | cnt AS (
+         |  SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token),
+         | hx AS (
+         |  SELECT token, n, ${Dedup.hexint32("m")} AS h
+         |  FROM (SELECT token, n, md5(token) AS m FROM cnt)),
+         | cells AS (
+         | $arms
+         | ),
+         | sk AS (
+         |  SELECT row, bucket, CAST(sum(n) AS BIGINT) AS cell
+         |  FROM cells GROUP BY row, bucket),
+         | top AS (SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT 50),
+         | est AS (
+         |  SELECT c.token, max(c.n) AS n_exact, min(sk.cell) AS n_est
+         |  FROM top t
+         |  JOIN cells c ON c.token = t.token
+         |  JOIN sk ON sk.row = c.row AND sk.bucket = c.bucket
+         |  GROUP BY c.token)
+         |SELECT token, n_exact, n_est, n_est - n_exact AS overcount
+         |FROM est ORDER BY n_exact DESC, token""".stripMargin
+    },
     "q77_bigram_lm" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         | bg AS (

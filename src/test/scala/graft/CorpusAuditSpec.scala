@@ -904,4 +904,101 @@ class CorpusAuditSpec extends AnyFunSuite {
       .groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
     rows.foreach { case (s, _, _, nd, _, _) => assert(expectedDocs(s) == nd, s"split $s") }
   }
+
+  test("q129 separates reorder-duplicates from template-edit duplicates") {
+    import spark.implicits._
+    // three candidate pairs with DISJOINT vocabularies (so no cross-pair
+    // shares a shingle and the class table is exact):
+    //  - docs 1/2: byte-identical -> jaccard 1, edit_sim 1 -> 'both'
+    //  - docs 3/4: half-swapped block move -> shingles mostly survive
+    //    (jaccard ~0.85) but no positional alignment (edit_sim ~0) ->
+    //    'jaccard_only', the reordered duplicate an edit threshold misses
+    //  - docs 5/6: slot-filled template (every 6th word's digit swapped) ->
+    //    every containing 3-gram breaks (jaccard ~0.33) while the char
+    //    stream differs in 5 single-char substitutions (edit_sim ~0.97) ->
+    //    'edit_only', the template duplicate a shingle threshold misses
+    val dup = (1 to 20).map(i => s"d$i").mkString(" ")
+    val reorderA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val reorderB = ((16 to 30) ++ (1 to 15)).map(i => s"a$i").mkString(" ")
+    val tmplA = (1 to 30).map(i => s"b${i}x1y").mkString(" ")
+    val tmplB = (1 to 30).map(i => if (i % 6 == 0) s"b${i}x2y" else s"b${i}x1y").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("q129_crafted").toString
+    Seq((1L, dup), (2L, dup), (3L, reorderA), (4L, reorderB), (5L, tmplA), (6L, tmplB))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q129_edit_verify")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet == Set("both", "jaccard_only", "edit_only"),
+      s"expected exactly the three crafted classes: $rows")
+    assert(rows("both") == ((1L, 1.0, 1.0)), s"exact dup pair: $rows")
+    val (nJ, jJac, jEdit) = rows("jaccard_only")
+    assert(nJ == 1L && jJac >= 0.8 && jEdit < 0.5, s"reorder pair: $rows")
+    val (nE, eJac, eEdit) = rows("edit_only")
+    assert(nE == 1L && eJac < 0.5 && eEdit > 0.9, s"template pair: $rows")
+  }
+
+  test("q130 CMS estimates match a scalar sketch; narrow widths overcount, never under") {
+    // independent CMS recomputation on the collected corpus: the family's
+    // md5-fragment int32 + per-row linear rehash, d=4 rows
+    def cms(w: Int): (Map[String, Long], Map[(Int, Long), Long]) = {
+      val counts = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val sketch = scala.collection.mutable.Map[(Int, Long), Long]().withDefaultValue(0L)
+      counts.foreach { case (t, n) =>
+        val h = java.lang.Long.parseLong(md5hex(t).take(8), 16)
+        (0 until 4).foreach { i =>
+          sketch((i, ((h * (2 * i + 1) + 7919L * i) % 2147483647L) % w)) += n
+        }
+      }
+      (counts, sketch.toMap)
+    }
+    def estimate(t: String, w: Int, sketch: Map[(Int, Long), Long]): Long = {
+      val h = java.lang.Long.parseLong(md5hex(t).take(8), 16)
+      (0 until 4).map(i => sketch((i, ((h * (2 * i + 1) + 7919L * i) % 2147483647L) % w))).min
+    }
+    for (w <- Seq(256, 2)) {
+      spark.conf.set("graft.cms.width", w.toString)
+      try {
+        val (counts, sketch) = cms(w)
+        val rows = SparkEntry.queries("q130_cms_calibration")(spark, sf).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        assert(rows.length == math.min(50, counts.size))
+        rows.foreach { case (tok, exact, est, over) =>
+          assert(exact == counts(tok), s"w=$w exact($tok)")
+          assert(est == estimate(tok, w, sketch), s"w=$w est($tok)")
+          assert(over == est - exact && over >= 0, s"w=$w CMS must never undercount: $tok")
+        }
+        // at w=2 every token shares a bucket with most of the vocabulary —
+        // the overcount arm is genuinely exercised
+        if (w == 2) assert(rows.exists(_._4 > 0), "w=2 should collide somewhere")
+        else assert(rows.forall(_._4 == 0), "w=256 holds this vocab collision-free")
+      } finally spark.conf.unset("graft.cms.width")
+    }
+  }
+
+  test("q131 normalization collapses the synthesized messy twins exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q131_crafted").toString
+    // doc 2 is a pre-messy case/spacing variant of doc 1: raw md5 keeps all
+    // four renditions (2 docs + their 2 synthesized twins) apart, the
+    // normalized hash folds every one onto 'hello world'
+    Seq(("s1", 1L, "hello world"), ("s1", 2L, "HELLO  WORLD"), ("s2", 3L, "solo doc"))
+      .toDF("source", "doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q131_norm_dedup")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(rows("s1") == ((4L, 4L, 1L, 3L, 0.75)), s"s1: $rows")
+    assert(rows("s2") == ((2L, 2L, 1L, 1L, 0.5)), s"s2: $rows")
+    // invariant on the real corpus: every synthesized twin must collapse,
+    // so distinct_norm equals the ORIGINAL corpus's distinct text count
+    val got = SparkEntry.queries("q131_norm_dedup")(spark, sf).collect()
+    val origDistinct = docs.groupBy(_._3).map { case (s, xs) =>
+      s -> xs.map(_._2).distinct.size.toLong
+    }
+    got.foreach { r =>
+      assert(r.getAs[Long]("distinct_norm") == origDistinct(r.getAs[String]("source")))
+      assert(r.getAs[Long]("n_docs") == 2 * docs.count(_._3 == r.getAs[String]("source")))
+    }
+  }
 }

@@ -156,6 +156,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == matrix)
   }
 
+  test("streaming streaks maintain q125's islands across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaks
+    val ms = MemoryStream[Streaks.Ev]
+    val day = 86400L * us
+    def at(d: Long) = d * day + 6L * 3600L * us
+    // batch 1 — user 1 active days 10, 11 (one extension), duplicate on 11;
+    // user 2 active day 20 only
+    ms.addData(
+      Streaks.Ev(1L, at(10)), Streaks.Ev(1L, at(11)), Streaks.Ev(1L, at(11) + us),
+      Streaks.Ev(2L, at(20)))
+    val q = Streaks.updates(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("streaks_out").start()
+    q.processAllAvailable()
+    // batch 2 — user 1 extends to day 12, then gaps to 15 (new island);
+    // user 2's late day-19 event is dropped (cannot merge islands backward)
+    ms.addData(Streaks.Ev(1L, at(12)), Streaks.Ev(1L, at(15)), Streaks.Ev(2L, at(19)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("streaks_out").as[Streaks.StreakUpdate].collect()
+    assert(out.toSet == Set(
+      Streaks.StreakUpdate(1L, 10L, 1L), Streaks.StreakUpdate(1L, 10L, 2L),
+      Streaks.StreakUpdate(1L, 10L, 3L), Streaks.StreakUpdate(1L, 15L, 1L),
+      Streaks.StreakUpdate(2L, 20L, 1L)))
+    // the newest row per (user, start) IS q125's island table on the
+    // in-order portion of the log — recomputed with the batch Tabibitosan
+    // rule (day − rank island key) over the counted days
+    val counted = Map(1L -> Seq(10L, 11L, 12L, 15L), 2L -> Seq(20L))
+    val islands = counted.toSeq.flatMap { case (u, days) =>
+      days.sorted.zipWithIndex
+        .groupBy { case (d, i) => d - i }
+        .map { case (_, xs) => (u, xs.map(_._1).min, xs.size.toLong) }
+    }.toSet
+    val finalLens = out.groupBy(r => (r.user_id, r.start_day))
+      .map { case ((u, s), rs) => (u, s, rs.map(_.len_days).max) }.toSet
+    assert(finalLens == islands)
+  }
+
   test("streaming funnel emits stage progressions matching q96's ordering rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
