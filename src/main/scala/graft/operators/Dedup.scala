@@ -75,6 +75,18 @@ object Dedup extends QueryModule {
   private[operators] def bandHash(b: Int, h: String): String =
     s"(($h * ${2 * b + 1} + ${7919 * b}) % 2147483647)"
 
+  // q129's word→char compression: one printable-ASCII char (33..126, so
+  // byte ≡ char in every engine) per word from its md5's first byte —
+  // the same arithmetic rendered to both engines; words collide at 1/94
+  private def wordChar(w: String): String = {
+    val h = s"(${hexval(s"substr(md5($w), 1, 1)")} * 16 + ${hexval(s"substr(md5($w), 2, 1)")})"
+    s"chr(33 + $h % 94)"
+  }
+  private def wordString(textCol: String, cap: Int): String =
+    s"concat_ws('', transform(slice(split($textCol, ' '), 1, $cap), w -> ${wordChar("w")}))"
+  private def wordStringDuck(cap: Int): String =
+    s"array_to_string(list_transform(array_slice(string_split(text, ' '), 1, $cap), w -> ${wordChar("w")}), '')"
+
   /** Per-doc minhash signatures via the native one-pass kernel
     * (functions.MinHashSigs) — identical semantics to the expression
     * pipeline the oracle mirrors (md5 per shingle → 32-bit int → Bands
@@ -236,32 +248,43 @@ object Dedup extends QueryModule {
     * r12): per agreement class, how the two similarity notions co-vote on
     * the same candidate pairs. Shingle Jaccard survives block moves and
     * sentence reordering but a slot-filled template (every value token
-    * swapped) breaks all its containing 3-grams; character edit distance is
-    * the mirror image. The classes are the audit: `jaccard_only` pairs are
-    * reordered/moved-block duplicates an edit threshold would miss,
+    * swapped) breaks all its containing 3-grams; WORD-level edit distance
+    * is the mirror image. The classes are the audit: `jaccard_only` pairs
+    * are reordered/moved-block duplicates an edit threshold would miss,
     * `edit_only` pairs are template/slot-edit duplicates a shingle
     * threshold would miss — a non-empty `edit_only` row is the signal that
     * a Jaccard-only dedup pass is leaving template boilerplate behind.
     *
+    * Word-level, not char-level, by construction: each of the first
+    * `graft.dedup.edit.capWords` (default 128) words maps to ONE
+    * printable-ASCII char (`chr(33 + md5-byte % 94)` — the identical
+    * arithmetic rendered to both engines, ASCII so byte ≡ char under
+    * every levenshtein implementation), and the DP runs on the
+    * compressed string, so one
+    * DP cell = one word edit and per-pair cost is capWords² — ~25× below
+    * the char-level DP that made the first cut of this operator the
+    * bench's worst query (35 s at sf0.1 for 66 K candidate pairs of
+    * 256-char DPs), and the granularity the reorder/slot classes are
+    * actually defined at. Declared approximation: distinct words collide
+    * at 1/94 per pair of words, deterministically and identically in
+    * both engines.
+    *
     * Scale shape: q38's candidate-bounded verify verbatim — ONE documents
-    * projection carries both per-doc features (shingle set from the native
-    * kernel + the capped text), so the pair stage is still two key joins;
-    * levenshtein cost per pair is bounded by `graft.dedup.edit.cap`²
-    * (default 256 chars — the declared cap that keeps per-pair work
-    * constant when docs are 100 KB; Spark's codegen'd levenshtein, DuckDB's
-    * built-in, both character-exact). Per-pair values round to 6 BEFORE the
-    * class rollup (q127's discipline); the rollup is ≤4 rows.
+    * projection carries both per-doc features (shingle set from the
+    * native kernel + the compressed word string, both map-side), so the
+    * pair stage is still two key joins. Per-pair values round to 6 BEFORE
+    * the class rollup (q127's discipline); the rollup is ≤4 rows.
     */
   private def q129(t: Tables): DataFrame = {
     val tau = t.spark.conf.get("graft.dedup.edit.tau", "0.5").toDouble
     require(tau > 0.0 && tau <= 1.0, s"graft.dedup.edit.tau out of range: $tau")
-    val cap = t.spark.conf.get("graft.dedup.edit.cap", "256").toInt
-    require(cap >= 16 && cap <= 8192, s"graft.dedup.edit.cap out of range: $cap")
+    val cap = t.spark.conf.get("graft.dedup.edit.capWords", "128").toInt
+    require(cap >= 4 && cap <= 2048, s"graft.dedup.edit.capWords out of range: $cap")
     val feats = Tables.localSplit(t.documents, col("doc_id"))
       .select(
         col("doc_id"),
         graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"),
-        substring(col("text"), 1, cap).as("cap_text"))
+        expr(wordString("text", cap)).as("cap_text"))
       .withColumn("nsh", size(col("arr")).cast("long"))
     lshCandidates(t)
       .join(feats.as("a"), col("doc_a") === col("a.doc_id"))
@@ -1643,7 +1666,7 @@ object Dedup extends QueryModule {
          |  JOIN shx a ON a.doc_id = c.doc_a
          |  JOIN shx b ON b.doc_id = c.doc_b AND b.s = a.s
          |  GROUP BY c.doc_a, c.doc_b),
-         | tx AS (SELECT doc_id, substr(text, 1, 256) AS cap_text FROM documents),
+         | tx AS (SELECT doc_id, ${wordStringDuck(128)} AS cap_text FROM documents),
          | p AS (
          |  SELECT round(shared / (sa.nsh + sb.nsh - shared), 6) AS jaccard,
          |   levenshtein(ta.cap_text, tb.cap_text) AS lev,

@@ -444,6 +444,69 @@ object Extras extends QueryModule {
       .orderBy(col("t_label"), col("source"))
   }
 
+  /** Per-event-type user-concentration audit (new r12 — the Pareto
+    * readout next to q119's cohorts and q125's streaks): how much of each
+    * event type's volume the top decile of its users generates. A
+    * concentration shift is the canary for bot traffic, scraper storms,
+    * or a power-user feature change — the governance readout consulted
+    * before per-user event data feeds training.
+    *
+    * Scale shape: the corpus-scale pass is the partial-aggregable
+    * (event_type, user) count — output |users|·|types| ≪ event volume.
+    * The decile rank is an ntile window over that AGG table, partitioned
+    * by type: each partition holds |users active in that type| rows (the
+    * residual skew point at billions of users — swap the exact ntile for
+    * an `approx_percentile` count cutoff per q91's conf discipline when
+    * the per-type user set outgrows a partition); integer sums end to
+    * end, one final rounded division.
+    */
+  private def q133(t: Tables): DataFrame = {
+    val perUser = t.events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("n").desc, col("user_id"))
+    perUser
+      .withColumn("tile", ntile(10).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        sum(when(col("tile") === 1, col("n")).otherwise(0L)).as("top_decile_events"))
+      .withColumn("top_decile_share", round(col("top_decile_events") / col("n_events"), 4))
+      .orderBy(col("event_type"))
+  }
+
+  /** Inter-event idle-gap distribution (new r12 — the latency-shaped
+    * companion of q20's gap sessionization: the same lag gaps, profiled
+    * instead of thresholded): for each event, the time since its user's
+    * previous activity, rolled up per the ARRIVING event's type — exact
+    * interpolated p50/p95/max idle seconds. The table that tells an
+    * engagement stack what session timeout (q20's 30 min) and watermark
+    * delay (q83's) the data actually justifies.
+    *
+    * Scale shape: ONE user-keyed shuffle carries the lag window (the key
+    * a 100 TB event lake buckets by — exchange-free on bucketed storage);
+    * gaps stay integer µs until the final divide-and-round; the rollup is
+    * |types|-row. Exact `percentile` over the per-type gap multiset is the
+    * q55 parity pair (DuckDB `quantile_cont`); swap `approx_percentile`
+    * per q91's conf discipline at extreme gap volumes.
+    */
+  private def q134(t: Tables): DataFrame = {
+    val e = t.events.select(
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    e.withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_us", col("us") - col("prev"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)") / 1000000.0, 2).as("p50_s"),
+        round(expr("percentile(gap_us, 0.95)") / 1000000.0, 2).as("p95_s"),
+        round(max(col("gap_us")) / 1000000.0, 2).as("max_s"))
+      .orderBy(col("event_type"))
+  }
+
   /** Z-order curve cell statistics — the read-side audit of
     * [[graft.sources.SpatialLayout]]'s write-side clustering: every point's
     * Morton z-value (16 bits/dim, built-in bitwise ops only — codegen'd
@@ -500,6 +563,8 @@ object Extras extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_activity_streaks" -> ((s, d) => q125(Tables(s, d))),
     "q128_temperature_mix" -> ((s, d) => q128(Tables(s, d))),
+    "q133_user_concentration" -> ((s, d) => q133(Tables(s, d))),
+    "q134_event_gaps" -> ((s, d) => q134(Tables(s, d))),
     "q93_zorder_cells" -> ((s, d) => q93(Tables(s, d))),
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
     "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
@@ -521,6 +586,32 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q133_user_concentration" ->
+      """WITH pu AS (
+        | SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),
+        | tl AS (
+        | SELECT event_type, n,
+        |  ntile(10) OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS tile
+        | FROM pu)
+        |SELECT event_type,
+        | CAST(sum(n) AS BIGINT) AS n_events,
+        | count(*) AS n_users,
+        | CAST(sum(CASE WHEN tile = 1 THEN n ELSE 0 END) AS BIGINT) AS top_decile_events,
+        | round(sum(CASE WHEN tile = 1 THEN n ELSE 0 END) / sum(n), 4) AS top_decile_share
+        |FROM tl GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q134_event_gaps" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        | g AS (
+        | SELECT event_type,
+        |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+        | FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        | round(quantile_cont(gap_us, 0.5) / 1000000.0, 2) AS p50_s,
+        | round(quantile_cont(gap_us, 0.95) / 1000000.0, 2) AS p95_s,
+        | round(max(gap_us) / 1000000.0, 2) AS max_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q128_temperature_mix" ->
       """WITH s AS (
         | SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars

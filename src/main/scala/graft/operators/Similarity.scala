@@ -450,6 +450,75 @@ object Similarity extends QueryModule {
       .orderBy(col("dim"))
   }
 
+  /** Product-quantization assignment audit (new r12 — Jégou et al. 2011,
+    * the PQ codebook step next to q78's scalar quantization: PQ is the 8×+
+    * compression an ANN index ships when int8-per-dim is still too big):
+    * the vector splits into `graft.pq.m` subspaces (default 4×16 dims),
+    * each sub-vector snaps to its nearest of `graft.pq.k` codewords
+    * (default 8), and the audit reports per-(subspace, codeword) occupancy
+    * and mean squared quantization error — the table that says whether the
+    * codebook covers the distribution before the index trusts it (an
+    * unused codeword = wasted code space; one catch-all cell = lost
+    * recall).
+    *
+    * Codebook: the K vectors with the smallest family Knuth hash of
+    * vec_id (q104's seedless selection — deterministic, RNG-free,
+    * engine-stable), codewords identified by their source vec_id. That is
+    * declared: a deterministic sample in place of a trained codebook — a
+    * real deployment runs q71's Lloyd machinery per subspace, which swaps
+    * the codebook relation and nothing else.
+    *
+    * Scale shape: selection is one TakeOrdered-K gather; the M·K-row
+    * codebook broadcasts; distances are integer-exact map-side folds
+    * (per-dim e6 quantization FIRST — q124's discipline — then long
+    * arithmetic; per-pair sums ≤ 16·(4e6)² ≈ 2.6e14, no overflow); the
+    * argmin is a partial-aggregable min(struct) groupBy — the one narrow
+    * corpus-scale shuffle, M·n slim (ids, dist) rows — and the rollup is
+    * M·K rows.
+    */
+  private def q132(t: Tables): DataFrame = {
+    val m = t.spark.conf.get("graft.pq.m", "4").toInt
+    require(m >= 1 && m <= Dim && Dim % m == 0, s"graft.pq.m must divide $Dim: $m")
+    val k = t.spark.conf.get("graft.pq.k", "8").toInt
+    require(k >= 1 && k <= 256, s"graft.pq.k out of range: $k")
+    val sub = Dim / m
+    val e6 = Tables.localSplit(t.embeddings, col("vec_id"))
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("ve6"))
+    def subspaces(vecCol: String, outCol: String) =
+      explode(array((0 until m).map(i =>
+        struct(
+          lit(i).cast("long").as("subspace"),
+          expr(s"slice($vecCol, ${i * sub + 1}, $sub)").as(outCol))): _*))
+    val codebook = e6
+      .withColumn("h", expr("((vec_id % 2147483647) * 2654435761) % 4294967296"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cw"), subspaces("ve6", "csub").as("s"))
+      .select(col("cw"), col("s.subspace").as("subspace"), col("s.csub").as("csub"))
+    val dists = e6
+      .select(col("vec_id"), subspaces("ve6", "vsub").as("s"))
+      .select(col("vec_id"), col("s.subspace").as("subspace"), col("s.vsub").as("vsub"))
+      .join(broadcast(codebook), Seq("subspace"))
+      .withColumn(
+        "dist",
+        expr("aggregate(zip_with(vsub, csub, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, e) -> acc + e)"))
+    dists
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(min(struct(col("dist"), col("cw"))).as("best"))
+      .select(col("subspace"), col("best.cw").as("codeword"), col("best.dist").as("dist"))
+      .groupBy(col("subspace"), col("codeword"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("sum_dist"))
+      .withColumn(
+        "avg_sq_err",
+        round(col("sum_dist").cast("double") / col("n_assigned") / 1000000000000.0, 6))
+      .select(col("subspace"), col("codeword"), col("n_assigned"), col("avg_sq_err"))
+      .orderBy(col("subspace"), col("codeword"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): near-duplicate
     * detection restricted to WITHIN coarse clusters — the scale path that
     * makes embedding dedup feasible at 100 TB. q41's all-pairs baseline is
@@ -618,6 +687,7 @@ object Similarity extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_power_iter" -> ((s, d) => q124(Tables(s, d))),
+    "q132_pq_quantize" -> ((s, d) => q132(Tables(s, d))),
     "q115_ivf_recall" -> ((s, d) => q115(Tables(s, d))),
     "q101_semdedup" -> ((s, d) => q101(Tables(s, d))),
     "q104_cluster_sample" -> ((s, d) => q104(Tables(s, d))),
@@ -859,6 +929,35 @@ object Similarity extends QueryModule {
          |  FROM c)
          |SELECT query_id, label, neighbor_id, cos_sim, nn_rank FROM r WHERE nn_rank <= 5
          |ORDER BY query_id, nn_rank""".stripMargin,
+    "q132_pq_quantize" ->
+      s"""WITH e AS (
+         | SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |   x -> CAST(round(x * 1000000) AS BIGINT)) AS ve6
+         | FROM embeddings),
+         | sel AS (
+         | SELECT vec_id AS cw, ve6
+         | FROM (SELECT vec_id, ve6,
+         |        ((vec_id % 2147483647) * 2654435761) % 4294967296 AS h FROM e)
+         | ORDER BY h, vec_id LIMIT 8),
+         | cb AS (
+         | SELECT cw, m, array_slice(ve6, m * 16 + 1, (m + 1) * 16) AS csub
+         | FROM sel CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
+         | vs AS (
+         | SELECT vec_id, m, array_slice(ve6, m * 16 + 1, (m + 1) * 16) AS vsub
+         | FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
+         | d AS (
+         | SELECT vec_id, vs.m AS m, cw,
+         |  CAST(list_sum(list_transform(range(1, 17),
+         |   i -> (vsub[i] - csub[i]) * (vsub[i] - csub[i]))) AS BIGINT) AS dist
+         | FROM vs JOIN cb ON vs.m = cb.m),
+         | a AS (
+         | SELECT m, cw, dist,
+         |  row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cw) AS rn
+         | FROM d)
+         |SELECT m AS subspace, cw AS codeword, count(*) AS n_assigned,
+         | round(CAST(sum(dist) AS DOUBLE) / count(*) / 1000000000000.0, 6) AS avg_sq_err
+         |FROM a WHERE rn = 1 GROUP BY m, cw ORDER BY subspace, codeword""".stripMargin,
     "q124_power_iter" ->
       s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          | r AS (SELECT v, list_sum(v) AS s FROM e),

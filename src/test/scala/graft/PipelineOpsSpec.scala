@@ -65,6 +65,103 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(totalDays == days.length.toLong)
   }
 
+  test("q132 PQ assignment matches a scalar nearest-codeword recomputation") {
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def e6(v: Array[Float]): Array[Long] = v.map(x =>
+      BigDecimal(x.toDouble * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val knuth = vecs.map { case (id, _) => id -> ((id % 2147483647L) * 2654435761L) % 4294967296L }.toMap
+    for ((m, k) <- Seq((4, 8), (8, 4))) {
+      spark.conf.set("graft.pq.m", m.toString)
+      spark.conf.set("graft.pq.k", k.toString)
+      try {
+        val sub = 64 / m
+        val codebook = vecs.sortBy { case (id, _) => (knuth(id), id) }.take(k)
+          .map { case (id, v) => id -> e6(v) }
+        // per (vec, subspace): nearest codeword, ties to the smaller cw id
+        val assigns = vecs.flatMap { case (_, v) =>
+          val q = e6(v)
+          (0 until m).map { s =>
+            val vsub = q.slice(s * sub, (s + 1) * sub)
+            val (cw, dist) = codebook.map { case (cid, cv) =>
+              val csub = cv.slice(s * sub, (s + 1) * sub)
+              (cid, vsub.zip(csub).map { case (a, b) => (a - b) * (a - b) }.sum)
+            }.minBy { case (cid, d) => (d, cid) }
+            (s.toLong, cw, dist)
+          }
+        }
+        val expected = assigns.groupBy(a => (a._1, a._2)).map { case ((s, cw), xs) =>
+          (s, cw, xs.size.toLong,
+            BigDecimal(xs.map(_._3).sum.toDouble / xs.size / 1e12)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSet
+        val got = SparkEntry.queries("q132_pq_quantize")(spark, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        assert(got == expected, s"m=$m k=$k")
+        // every vector is assigned exactly once per subspace
+        assert(got.toSeq.groupBy(_._1).forall(_._2.map(_._3).sum == vecs.length.toLong))
+      } finally { spark.conf.unset("graft.pq.m"); spark.conf.unset("graft.pq.k") }
+    }
+  }
+
+  test("q133 concentration matches a scalar ntile recomputation and bounds") {
+    val evs = Tables(spark, sf).events
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = evs.groupBy(_._1).map { case (tpe, xs) =>
+      val perUser = xs.groupBy(_._2).map { case (u, es) => (u, es.size.toLong) }.toSeq
+        .sortBy { case (u, n) => (-n, u) }
+      // SQL ntile: first (users % 10) tiles get one extra row
+      val nUsers = perUser.size
+      val tile1 = nUsers / 10 + (if (nUsers % 10 > 0) 1 else 0)
+      val topN = perUser.take(tile1).map(_._2).sum
+      val total = xs.size.toLong
+      (tpe, total, nUsers.toLong, topN,
+        BigDecimal(topN.toDouble / total)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = SparkEntry.queries("q133_user_concentration")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == expected)
+    // the top decile can never hold less than its proportional share
+    got.foreach { case (tpe, _, nu, _, share) =>
+      assert(share >= 1.0 / nu - 1e-9, s"$tpe top-decile share below uniform floor") }
+  }
+
+  test("q134 idle gaps match a scalar lag recomputation with exact percentiles") {
+    def pctl(sorted: Seq[Long], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < sorted.length) sorted(lo) * (1 - frac) + sorted(lo + 1) * frac
+      else sorted(lo).toDouble
+    }
+    def rnd2(x: Double): Double =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = Tables(spark, sf).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(e => (e._3, e._4))
+      sorted.zip(sorted.tail).map { case (prev, cur) => (cur._2, cur._3 - prev._3) }
+    }
+    val expected = gaps.groupBy(_._1).map { case (tpe, xs) =>
+      val g = xs.map(_._2).sorted
+      (tpe, g.size.toLong, rnd2(pctl(g, 0.5) / 1e6), rnd2(pctl(g, 0.95) / 1e6),
+        rnd2(g.last / 1e6))
+    }.toSet
+    val got = SparkEntry.queries("q134_event_gaps")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got == expected)
+    // gap count conservation: every event except each user's first emits one gap
+    val nUsers = evs.map(_._1).distinct.length
+    assert(got.toSeq.map(_._2).sum == (evs.length - nUsers).toLong)
+  }
+
   test("stream-join attribution only pairs users with both event kinds") {
     val t = Tables(spark, sf)
     val rows = SparkEntry.queries("q73_stream_join")(spark, sf).collect()
