@@ -39,14 +39,19 @@ object PlanAudit {
   // q121's token <> '' filter is q76's class exactly: above an exploded
   // computed split, nothing at the scan to push; scan prunes to
   // (doc_id, source, text)
-  // q130's token <> '' filter is the same class (q76's token stream)
+  // q130's and q136's token <> '' filters are the same class (q76's
+  // token stream)
   private val allowUnpushed =
     Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm",
       "q90_tfidf", "q97_rare_bigrams", "q98_bm25", "q102_dsir", "q121_token_rarity",
-      "q130_cms_calibration")
+      "q130_cms_calibration", "q136_vocab_coverage")
   // q83's running-max window runs over the per-batch maxima relation —
-  // |batches| rows (stream duration / batch interval), never event volume
-  private val allowGlobalWindow = Set("q83_late_data")
+  // |batches| rows (stream duration / batch interval), never event volume.
+  // q136's cumulative runs over the count-of-counts HISTOGRAM — ≤ √(2·Σ)
+  // rows by the k(k+1)/2 pigeonhole (≈6 M at 2·10¹³ tokens), provably
+  // sublinear in both corpus and vocab; that bound is the whole point of
+  // its histogram formulation
+  private val allowGlobalWindow = Set("q83_late_data", "q136_vocab_coverage")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 3, "q38_ngram_jaccard" -> 6, "q13_set_ops" -> 4,
@@ -172,6 +177,11 @@ object PlanAudit {
     // broadcast join back, |dims|-row output sort — nothing corpus-keyed
     // after the map-side fold+explode
     "q124_power_iter" -> 4,
+    // vocab token-count agg (the one corpus-scale shuffle) → count-of-
+    // counts histogram agg → single-partition exchange for the (provably
+    // √-bounded) cumulative window → totals single-row agg (prints per
+    // consuming branch) → |cutoffs|-row sort
+    "q136_vocab_coverage" -> 5,
     // vocab token-count agg (the one corpus-scale shuffle; prints once per
     // consuming branch — sketch AND probe top-50, AQE reuses at runtime) →
     // (row, bucket) vocab-scale sketch agg → 50·d-row probe join

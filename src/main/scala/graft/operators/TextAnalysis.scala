@@ -96,6 +96,85 @@ object TextAnalysis extends QueryModule {
         sum(col("subword_tokens")).as("total_subword_tokens"))
       .orderBy(col("source"))
 
+  /** Tokenizer-fertility profile per language (new r12 — the
+    * tokenizer-eval readout a multilingual mix is weighed by: fertility,
+    * subword tokens per word, is the classic metric for how well a merge
+    * vocab fits a language, and a high-fertility language pays more
+    * context budget per sentence): per lang, docs, words, REAL subword
+    * tokens (q32's native greedy longest-match kernel — same vocab, same
+    * maximal munch), chars, fertility = tokens/words and compression =
+    * chars/token. The table consulted together with q128's temperature
+    * mix: a language can be upweighted by sampling AND still starve in
+    * effective tokens if its fertility is 2×.
+    *
+    * Scale shape: all per-doc counts are map-side kernel work next to the
+    * scan; the only shuffle is the |langs|-row rollup; integer sums, two
+    * final rounded divisions.
+    */
+  private def q135(t: Tables): DataFrame =
+    withWords(t)
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn(
+        "n_sub", graft.functions.GraftFunctions.subword_count(col("text")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_sub")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("fertility", round(col("total_tokens") / col("total_words"), 4))
+      .withColumn("chars_per_token", round(col("total_chars") / col("total_tokens"), 4))
+      .orderBy(col("lang"))
+
+  /** Vocabulary-coverage curve (new r12 — the vocab-size sizing table,
+    * q114's sweep discipline applied to tokenizer/embedding-table budget:
+    * "what share of the token stream do the top-N vocab entries cover"
+    * decides N before an embedding table is allocated): per candidate
+    * vocab budget {100, 1 000, 10 000}, the covered occurrence count and
+    * share under frequency-descending, token-ascending ranking.
+    *
+    * The scale trick: the curve is computed off the COUNT-OF-COUNTS
+    * histogram, never a ranked vocab. Ranking the vocab needs a global
+    * sort/window over |vocab| rows (100 M+ at corpus scale); but every
+    * token in a frequency bucket contributes the same occurrence mass, so
+    * the cumulative at any cutoff is `occ_before + (cutoff − tok_before)
+    * · n` read off the bucket containing the cutoff — exact under the
+    * tie-break by construction. The histogram has ≤ √(2·Σtokens)
+    * distinct frequencies (k distinct counts force Σ ≥ k(k+1)/2), so the
+    * one unpartitioned cumulative window runs over provably-sublinear
+    * rows (≈6 M at 2·10¹³ tokens) — the declared q83-class exemption.
+    * Corpus-scale work is exactly q76's partial-aggregable token count.
+    */
+  private def q136(t: Tables): DataFrame = {
+    val cutoffs = Seq(100L, 1000L, 10000L)
+    val counts = withWords(t)
+      .select(explode(col("words")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val hist = counts.groupBy(col("n")).agg(count(lit(1)).as("nt"))
+    val w = Window.orderBy(col("n").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("tok_before", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .withColumn("occ_before", coalesce(sum(col("nt") * col("n")).over(w), lit(0L)))
+    val tot = counts.agg(sum(col("n")).as("total_occ"), count(lit(1)).as("total_vocab"))
+    cum.join(broadcast(tot))
+      .select(
+        col("n"), col("nt"), col("tok_before"), col("occ_before"),
+        col("total_occ"), col("total_vocab"),
+        explode(array(cutoffs.map(lit(_)): _*)).as("cutoff"))
+      .withColumn("vocab_used", least(col("cutoff"), col("total_vocab")))
+      .filter(
+        col("tok_before") < col("vocab_used") &&
+          col("vocab_used") <= col("tok_before") + col("nt"))
+      .withColumn(
+        "covered_occ",
+        col("occ_before") + (col("vocab_used") - col("tok_before")) * col("n"))
+      .withColumn("coverage_share", round(col("covered_occ") / col("total_occ"), 4))
+      .select(col("cutoff"), col("vocab_used"), col("covered_occ"), col("coverage_share"))
+      .orderBy(col("cutoff"))
+  }
+
   /** Composite quality score + keep/drop rates per source. The score is a
     * fixed expression tree so both engines produce bit-identical doubles.
     */
@@ -1237,6 +1316,8 @@ object TextAnalysis extends QueryModule {
     "q34_doc_fingerprint" -> ((s, d) => q34(Tables(s, d))),
     "q121_token_rarity" -> ((s, d) => q121(Tables(s, d))),
     "q130_cms_calibration" -> ((s, d) => q130(Tables(s, d))),
+    "q135_tokenizer_fertility" -> ((s, d) => q135(Tables(s, d))),
+    "q136_vocab_coverage" -> ((s, d) => q136(Tables(s, d))),
     "q123_quality_keep" -> ((s, d) => q123(Tables(s, d))),
     "q126_pack_sweep" -> ((s, d) => q126(Tables(s, d)))
   )
@@ -1551,6 +1632,48 @@ object TextAnalysis extends QueryModule {
         | SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS n FROM tok WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q135_tokenizer_fertility" ->
+      s"""WITH d AS (
+         | SELECT lang, n_chars,
+         |  len(string_split(text, ' ')) AS n_words,
+         |  $subwordTokensSql AS n_sub
+         | FROM documents),
+         | g AS (
+         | SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS total_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         | FROM d GROUP BY lang)
+         |SELECT lang, n_docs, total_words, total_tokens, total_chars,
+         | round(total_tokens / total_words, 4) AS fertility,
+         | round(total_chars / total_tokens, 4) AS chars_per_token
+         |FROM g ORDER BY lang""".stripMargin,
+    "q136_vocab_coverage" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        | cnt AS (SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token),
+        | hist AS (SELECT n, count(*) AS nt FROM cnt GROUP BY n),
+        | cum AS (
+        | SELECT n, nt,
+        |  COALESCE(CAST(sum(nt) OVER (ORDER BY n DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before,
+        |  COALESCE(CAST(sum(nt * n) OVER (ORDER BY n DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS occ_before
+        | FROM hist),
+        | tot AS (
+        | SELECT CAST(sum(n) AS BIGINT) AS total_occ, count(*) AS total_vocab FROM cnt),
+        | arms AS (SELECT unnest([100, 1000, 10000]) AS cutoff),
+        | sel AS (
+        | SELECT cutoff, least(cutoff, total_vocab) AS vocab_used,
+        |  n, nt, tok_before, occ_before, total_occ
+        | FROM arms, tot, cum
+        | WHERE tok_before < least(cutoff, total_vocab)
+        |  AND least(cutoff, total_vocab) <= tok_before + nt)
+        |SELECT CAST(cutoff AS BIGINT) AS cutoff,
+        | CAST(vocab_used AS BIGINT) AS vocab_used,
+        | CAST(occ_before + (vocab_used - tok_before) * n AS BIGINT) AS covered_occ,
+        | round((occ_before + (vocab_used - tok_before) * n) / total_occ, 4) AS coverage_share
+        |FROM sel ORDER BY cutoff""".stripMargin,
     "q130_cms_calibration" -> {
       val arms = (0 until 4)
         .map(i => s"SELECT token, n, $i AS row, (${Dedup.bandHash(i, "h")}) % 256 AS bucket FROM hx")

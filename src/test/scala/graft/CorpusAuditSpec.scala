@@ -977,6 +977,47 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q135 fertility conserves q32's subword totals and stays in sane bounds") {
+    val rows = SparkEntry.queries("q135_tokenizer_fertility")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    // cross-query conservation: the per-lang rollup and q32's per-source
+    // rollup aggregate the SAME kernel counts, so corpus totals must match
+    val q32 = SparkEntry.queries("q32_token_count")(spark, sf).collect()
+    assert(rows.map(_._4).sum == q32.map(_.getAs[Long]("total_subword_tokens")).sum)
+    assert(rows.map(_._3).sum == q32.map(_.getAs[Long]("total_ws_tokens")).sum)
+    assert(rows.map(_._2).sum == docs.size.toLong)
+    rows.foreach { case (lang, _, words, toks, chars, fert, cpt) =>
+      // a greedy subword vocab never splits below 1 token/word on this
+      // single-space corpus, and a token is at most a whole word
+      assert(fert >= 1.0, s"$lang fertility < 1")
+      assert(rnd(toks.toDouble / words, 4) == fert, s"$lang fertility arithmetic")
+      assert(rnd(chars.toDouble / toks, 4) == cpt, s"$lang compression arithmetic")
+    }
+  }
+
+  test("q136 coverage matches a fully-ranked scalar recomputation") {
+    val counts = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    // the reference derivation ranks the WHOLE vocab (the thing the
+    // histogram formulation avoids doing distributedly) and takes exact
+    // top-N prefix sums under the (freq desc, token asc) tie-break
+    val ranked = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+    val totalOcc = ranked.map(_._2).sum
+    val expected = Seq(100L, 1000L, 10000L).map { c =>
+      val used = math.min(c, ranked.size.toLong)
+      val covered = ranked.take(used.toInt).map(_._2).sum
+      (c, used, covered, rnd(covered.toDouble / totalOcc, 4))
+    }.toSet
+    val got = SparkEntry.queries("q136_vocab_coverage")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    // coverage is monotone in the budget and caps at 1.0
+    val sorted = got.toSeq.sortBy(_._1)
+    assert(sorted.map(_._4).sliding(2).forall { case Seq(a, b) => b >= a; case _ => true })
+    assert(sorted.forall(_._4 <= 1.0))
+  }
+
   test("q131 normalization collapses the synthesized messy twins exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q131_crafted").toString
