@@ -24,6 +24,18 @@ object TextAnalysis extends QueryModule {
   private val subwordTokensSql =
     s"length(regexp_replace(text, '$subwordAlt', '#', 'g')) - (length(text) - length(replace(text, ' ', '')))"
 
+  // `graft.freq.store=<dir>` points the corpus-frequency consumers
+  // (q121/q130/q136) at sources.FreqStore's maintained vocab table instead
+  // of the in-query token-count aggregate — the incremental path: the one
+  // corpus-scale shuffle those queries pay becomes a vocab-scale read. A
+  // store initialized from the same corpus is output-identical
+  // (FreqStoreSpec pins it); the oracle always renders the derived form.
+  private def storedFreq(t: Tables): Option[DataFrame] =
+    t.spark.conf.get("graft.freq.store", "") match {
+      case ""  => None
+      case dir => Some(graft.sources.FreqStore.frequencies(t.spark, dir))
+    }
+
   // words/doc as a reusable fragment (identical split semantics both engines
   // for single-space-separated corpora).
   // map-side only — no repartition by default (Tables.localSplit is the
@@ -147,11 +159,12 @@ object TextAnalysis extends QueryModule {
     */
   private def q136(t: Tables): DataFrame = {
     val cutoffs = Seq(100L, 1000L, 10000L)
-    val counts = withWords(t)
-      .select(explode(col("words")).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
+    val counts = storedFreq(t).getOrElse(
+      withWords(t)
+        .select(explode(col("words")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n")))
     val hist = counts.groupBy(col("n")).agg(count(lit(1)).as("nt"))
     val w = Window.orderBy(col("n").desc).rowsBetween(Window.unboundedPreceding, -1)
     val cum = hist
@@ -225,7 +238,8 @@ object TextAnalysis extends QueryModule {
     val tok = withWords(t)
       .select(col("doc_id"), col("source"), explode(col("words")).as("w"))
       .filter(col("w") =!= "")
-    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val freq = storedFreq(t).map(_.select(col("token").as("w"), col("n").as("tf")))
+      .getOrElse(tok.groupBy(col("w")).agg(count(lit(1)).as("tf")))
     val perDoc = tok
       .join(freq, Seq("w"))
       .groupBy(col("doc_id"), col("source"))
@@ -440,11 +454,12 @@ object TextAnalysis extends QueryModule {
     require(d >= 1 && d <= 16, s"graft.cms.depth out of range: $d")
     val w = t.spark.conf.get("graft.cms.width", "256").toInt
     require(w >= 2 && w <= 65536, s"graft.cms.width out of range: $w")
-    val counts = withWords(t)
-      .select(explode(col("words")).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
+    val counts = storedFreq(t).getOrElse(
+      withWords(t)
+        .select(explode(col("words")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n")))
     val hashed = counts
       .withColumn("m", md5(col("token")))
       .withColumn("h", expr(Dedup.hexint32("m")))

@@ -1,0 +1,115 @@
+package graft
+
+import graft.sources.FreqStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persistent corpus-frequency store (sources.FreqStore): count-MERGE
+  * LSM versioning through the family CAS protocol — additive appends with
+  * no base probe at all — plus the consumer wiring (`graft.freq.store`)
+  * that turns q121/q130/q136's corpus-scale token shuffle into a
+  * vocab-scale read, proven output-identical.
+  */
+class FreqStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_freqstore").toString
+
+  private def docsAll = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+
+  private def scalarFreq(rows: Seq[String]): Map[String, Long] =
+    rows.flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+
+  private def view(dir: String): Map[String, Long] =
+    FreqStore.frequencies(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("incremental appends count-merge to exactly the from-scratch table") {
+    val dir = tmp()
+    val ids = docsAll.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (b0, rest) = ids.splitAt(ids.length / 2)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    def slice(s: Array[Long]) = docsAll.filter(col("doc_id").isin(s: _*))
+    val st0 = FreqStore.init(spark, dir, slice(b0))
+    assert(st0.version == 1L && st0.kind == "base")
+    FreqStore.append(spark, dir, slice(b1))
+    val st2 = FreqStore.append(spark, dir, slice(b2))
+    val expected = scalarFreq(docsAll.collect().map(_.getString(1)).toSeq)
+    assert(view(dir) == expected, "merged chain diverges from scratch derivation")
+    assert(st2.totalTokens == expected.values.sum)
+    // additive semantics: re-appending an already-counted batch DOUBLES
+    // its counts (the store tracks the accepted stream; dedup is upstream)
+    FreqStore.append(spark, dir, slice(b2))
+    val doubled = view(dir)
+    val b2freq = scalarFreq(slice(b2).collect().map(_.getString(1)).toSeq)
+    b2freq.foreach { case (t, n) =>
+      assert(doubled(t) == expected(t) + n, s"token $t not re-counted additively") }
+  }
+
+  test("a token-free batch publishes NO version") {
+    import spark.implicits._
+    val dir = tmp()
+    FreqStore.init(spark, dir, docsAll.limit(50))
+    val before = FreqStore.listVersions(spark, dir)
+    val st = FreqStore.append(
+      spark, dir, Seq((9999L, ""), (9998L, " ")).toDF("doc_id", "text"))
+    assert(FreqStore.listVersions(spark, dir) == before, "empty delta published")
+    assert(st.version == before.last)
+  }
+
+  test("compact folds the chain into one base; view and history intact") {
+    val dir = tmp()
+    val ids = docsAll.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (b0, b1) = ids.splitAt(ids.length / 2)
+    def slice(s: Array[Long]) = docsAll.filter(col("doc_id").isin(s: _*))
+    FreqStore.init(spark, dir, slice(b0))
+    FreqStore.append(spark, dir, slice(b1))
+    val before = view(dir)
+    val st = FreqStore.compact(spark, dir)
+    assert(st.kind == "base")
+    assert(view(dir) == before, "compaction changed the merged view")
+    // one more compact is a no-op (already a single base at the head)
+    assert(FreqStore.compact(spark, dir).version == st.version)
+    // history stays readable: the original base version still lists
+    assert(FreqStore.listVersions(spark, dir).contains(1L))
+  }
+
+  test("store-backed q121/q130/q136 equal their derived-table runs") {
+    val dir = tmp()
+    FreqStore.init(spark, dir, docsAll)
+    val consumers = Seq("q121_token_rarity", "q130_cms_calibration", "q136_vocab_coverage")
+    val derived = consumers.map(q => q -> SparkEntry.queries(q)(spark, sf).collect().toSeq).toMap
+    spark.conf.set("graft.freq.store", dir)
+    try consumers.foreach { q =>
+      val stored = SparkEntry.queries(q)(spark, sf).collect().toSeq
+      assert(stored == derived(q), s"$q diverges when reading the stored table")
+    } finally spark.conf.unset("graft.freq.store")
+  }
+
+  test("concurrent version claim: exactly one writer publishes, no staging debris") {
+    val dir = tmp()
+    val ids = docsAll.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (seed, rest) = ids.splitAt(ids.length / 2)
+    val (r1, r2) = rest.splitAt(rest.length / 2)
+    def slice(s: Array[Long]) = docsAll.filter(col("doc_id").isin(s: _*))
+    FreqStore.init(spark, dir, slice(seed))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val results = Await.result(
+      Future.sequence(Seq(r1, r2).map(s => Future {
+        try Right(FreqStore.append(spark, dir, slice(s)))
+        catch { case e: IllegalStateException => Left(e) }
+      })),
+      5.minutes).toList
+    assert(results.exists(_.isRight), "no writer succeeded")
+    val staging = new org.apache.hadoop.fs.Path(dir, "_staging")
+    val f = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = if (f.exists(staging)) f.listStatus(staging).length else 0
+    assert(leftover == 0, s"$leftover staged dirs left behind")
+    FreqStore.frequencies(spark, dir).count() // chain readable
+  }
+}
