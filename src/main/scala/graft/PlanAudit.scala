@@ -177,6 +177,14 @@ object PlanAudit {
     // broadcast join back, |dims|-row output sort — nothing corpus-keyed
     // after the map-side fold+explode
     "q124_power_iter" -> 4,
+    // label-keyed size agg + hit-pair label agg with countDistinct
+    // (two-phase expand) + flagged-join assembly + sort; the eval slice
+    // and flagged rollup broadcast
+    "q137_semantic_decon" -> 4,
+    // (type, day) count agg (the corpus-scale pass; prints once per
+    // consuming branch — profile AND stats) → |types|-row mean/σ agg
+    // (broadcast back) → profile-relation sort
+    "q138_volume_anomaly" -> 4,
     // vocab token-count agg (the one corpus-scale shuffle) → count-of-
     // counts histogram agg → single-partition exchange for the (provably
     // √-bounded) cumulative window → totals single-row agg (prints per

@@ -507,6 +507,41 @@ object Extras extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Daily volume-anomaly profile per event type (new r12 — the ops
+    * canary next to q133's concentration audit: a day whose volume sits
+    * ≥ 2σ from its type's mean is an outage, a bot storm, or a
+    * double-ingest, and event data feeds training only after those days
+    * are adjudicated): per (type, day), the count, the type's daily mean,
+    * the z-score, and the anomaly flag. All days report (the profile IS
+    * the deliverable; the flag column is the filter a consumer applies).
+    *
+    * Scale shape: the corpus-scale pass is the partial-aggregable
+    * (type, day) count — |types|·|days| rows out; the per-type mean/σ is
+    * a |types|-row agg broadcast back; everything after is
+    * profile-relation-scale. Float discipline: z rounds to 4 BEFORE the
+    * flag comparison (q101's round-then-compare rule — `avg`/
+    * `stddev_samp` parity is the q55 pair); a single-day or
+    * constant-volume type has no defined σ and flags nothing.
+    */
+  private def q138(t: Tables): DataFrame = {
+    val daily = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily
+      .groupBy(col("event_type"))
+      .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
+    daily
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn(
+        "z",
+        when(col("sd") > 0, round((col("n") - col("mu")) / col("sd"), 4)))
+      .select(
+        col("event_type"), col("day"), col("n"),
+        round(col("mu"), 2).as("mu"), col("z"),
+        (abs(coalesce(col("z"), lit(0.0))) >= 2.0).as("anomalous"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Z-order curve cell statistics — the read-side audit of
     * [[graft.sources.SpatialLayout]]'s write-side clustering: every point's
     * Morton z-value (16 bits/dim, built-in bitwise ops only — codegen'd
@@ -565,6 +600,7 @@ object Extras extends QueryModule {
     "q128_temperature_mix" -> ((s, d) => q128(Tables(s, d))),
     "q133_user_concentration" -> ((s, d) => q133(Tables(s, d))),
     "q134_event_gaps" -> ((s, d) => q134(Tables(s, d))),
+    "q138_volume_anomaly" -> ((s, d) => q138(Tables(s, d))),
     "q93_zorder_cells" -> ((s, d) => q93(Tables(s, d))),
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
     "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
@@ -599,6 +635,20 @@ object Extras extends QueryModule {
         | CAST(sum(CASE WHEN tile = 1 THEN n ELSE 0 END) AS BIGINT) AS top_decile_events,
         | round(sum(CASE WHEN tile = 1 THEN n ELSE 0 END) / sum(n), 4) AS top_decile_share
         |FROM tl GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q138_volume_anomaly" ->
+      """WITH d AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        | s AS (
+        | SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+        | FROM d GROUP BY event_type),
+        | z AS (
+        | SELECT d.event_type, day, n, mu,
+        |  CASE WHEN sd > 0 THEN round((n - mu) / sd, 4) END AS z
+        | FROM d JOIN s ON d.event_type = s.event_type)
+        |SELECT event_type, day, n, round(mu, 2) AS mu, z,
+        | abs(coalesce(z, 0.0)) >= 2.0 AS anomalous
+        |FROM z ORDER BY event_type, day""".stripMargin,
     "q134_event_gaps" ->
       """WITH e AS (
         | SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),

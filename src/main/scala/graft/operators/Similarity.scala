@@ -576,6 +576,53 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Semantic decontamination (new r12 — the embedding twin of q75's
+    * n-gram benchmark decontamination, the pass that catches PARAPHRASED
+    * eval leakage n-gram overlap structurally cannot): train vectors with
+    * cosine ≥ `graft.decon.tau` (default 0.25, corpus-calibrated) against
+    * any held-out eval vector (q75's deterministic 1/97 id slice), rolled
+    * up per coarse cluster label — contaminated count, hit pairs, worst
+    * similarity. A non-zero row after q75 runs clean is exactly the
+    * paraphrase class.
+    *
+    * Scale shape: the eval slice is 1/97 of the corpus and BROADCASTS;
+    * the comparison is label-bucketed (q101's blocking — pair work
+    * Σ|cluster|·|eval∩cluster|, never corpus×eval), with the same
+    * declared recall caveat as q101: a cross-label paraphrase is missed,
+    * and the IVF assignment is the dial. Sims round to 6 BEFORE the τ
+    * cut and the rollup (q101's discipline).
+    */
+  private def q137(t: Tables): DataFrame = {
+    val tau = t.spark.conf.get("graft.decon.tau", "0.25").toDouble
+    require(tau > 0.0 && tau < 1.0, s"graft.decon.tau out of range: $tau")
+    val e = vectors(t).select(col("label"), col("vec_id"), col("v"))
+    val eval = e.filter(col("vec_id") % 97 === 0)
+      .select(col("label"), col("vec_id").as("eval_id"), col("v").as("ev"))
+    val train = e.filter(col("vec_id") % 97 =!= 0)
+      .select(col("label"), col("vec_id").as("train_id"), col("v").as("tv"))
+    val hits = train
+      .join(broadcast(eval), Seq("label"))
+      .withColumn("cos_sim", round(cosine_sim(col("tv"), col("ev")), 6))
+      .filter(col("cos_sim") >= tau)
+    val flagged = hits
+      .groupBy(col("label"))
+      .agg(
+        countDistinct(col("train_id")).as("n_contaminated"),
+        count(lit(1)).as("n_hit_pairs"),
+        max(col("cos_sim")).as("max_sim"))
+    e.groupBy(col("label"))
+      .agg(
+        sum(when(col("vec_id") % 97 === 0, 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("vec_id") % 97 =!= 0, 1L).otherwise(0L)).as("n_train"))
+      .join(broadcast(flagged), Seq("label"), "left")
+      .select(
+        col("label"), col("n_eval"), col("n_train"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("n_hit_pairs"), lit(0L)).as("n_hit_pairs"),
+        coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
+      .orderBy(col("label"))
+  }
+
   /** Cluster-balanced diversity sampling: after SemDeDup-style pruning,
     * curation pipelines cap how many examples any one embedding cluster
     * contributes (over-dense clusters are redundant; coverage of the
@@ -688,6 +735,7 @@ object Similarity extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_power_iter" -> ((s, d) => q124(Tables(s, d))),
     "q132_pq_quantize" -> ((s, d) => q132(Tables(s, d))),
+    "q137_semantic_decon" -> ((s, d) => q137(Tables(s, d))),
     "q115_ivf_recall" -> ((s, d) => q115(Tables(s, d))),
     "q101_semdedup" -> ((s, d) => q101(Tables(s, d))),
     "q104_cluster_sample" -> ((s, d) => q104(Tables(s, d))),
@@ -808,6 +856,29 @@ object Similarity extends QueryModule {
         | CAST(sum(CASE WHEN kept THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
         | round(sum(CASE WHEN kept THEN 1 ELSE 0 END) / count(*), 4) AS sample_rate
         |FROM r GROUP BY label ORDER BY label""".stripMargin,
+    "q137_semantic_decon" ->
+      s"""WITH $duckVectors,
+         | ev AS (SELECT label, vec_id AS eval_id, v, nrm FROM n WHERE vec_id % 97 = 0),
+         | tr AS (SELECT label, vec_id AS train_id, v, nrm FROM n WHERE vec_id % 97 <> 0),
+         | h AS (
+         | SELECT tr.label, train_id,
+         |  round(${duckDot("tr.v", "ev.v")} / (tr.nrm * ev.nrm), 6) AS cos_sim
+         | FROM tr JOIN ev ON tr.label = ev.label),
+         | f AS (SELECT * FROM h WHERE cos_sim >= 0.25),
+         | g AS (
+         | SELECT label, count(DISTINCT train_id) AS n_contaminated,
+         |  count(*) AS n_hit_pairs, max(cos_sim) AS max_sim
+         | FROM f GROUP BY label),
+         | s AS (
+         | SELECT label,
+         |  CAST(sum(CASE WHEN vec_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+         |  CAST(sum(CASE WHEN vec_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+         | FROM e GROUP BY label)
+         |SELECT s.label, n_eval, n_train,
+         | CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         | CAST(coalesce(n_hit_pairs, 0) AS BIGINT) AS n_hit_pairs,
+         | coalesce(max_sim, 0.0) AS max_sim
+         |FROM s LEFT JOIN g ON g.label = s.label ORDER BY s.label""".stripMargin,
     "q101_semdedup" ->
       s"""WITH $duckVectors,
          | p AS (

@@ -486,6 +486,75 @@ class PipelineOpsSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.semdedup.tau")
   }
 
+  test("q137 semantic decontamination matches a scalar recomputation and retunes tau") {
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("label").intValue,
+        r.getAs[scala.collection.Seq[Float]]("embedding")))
+    def cos(a: scala.collection.Seq[Float], b: scala.collection.Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def expected(tau: Double) = vecs.groupBy(_._2).map { case (label, vs) =>
+      val (ev, tr) = vs.partition(_._1 % 97 == 0)
+      val hits = for {
+        (tid, _, tv) <- tr; (_, _, evv) <- ev
+        c = rnd6(cos(tv, evv)) if c >= tau
+      } yield (tid, c)
+      (label, ev.size.toLong, tr.size.toLong,
+        hits.map(_._1).distinct.size.toLong, hits.size.toLong,
+        if (hits.isEmpty) 0.0 else hits.map(_._2).max)
+    }.toSet
+    def got() = SparkEntry.queries("q137_semantic_decon")(spark, sf).collect().map { r =>
+      (r.getAs[Number]("label").intValue, r.getAs[Long]("n_eval"), r.getAs[Long]("n_train"),
+        r.getAs[Long]("n_contaminated"), r.getAs[Long]("n_hit_pairs"),
+        r.getAs[Double]("max_sim"))
+    }.toSet
+    assert(got() == expected(0.25))
+    assert(got().exists(_._4 > 0), "the corpus should surface some contamination at 0.25")
+    spark.conf.set("graft.decon.tau", "0.5")
+    try assert(got() == expected(0.5))
+    finally spark.conf.unset("graft.decon.tau")
+  }
+
+  test("q138 volume anomalies match a scalar z-score recomputation") {
+    def rnd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = Tables(spark, sf).events
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("day")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = evs.groupBy(_._1).flatMap { case (tpe, xs) =>
+      val daily = xs.groupBy(_._2).map { case (d, es) => (d, es.size.toLong) }.toSeq
+      val mu = daily.map(_._2).sum.toDouble / daily.size
+      val sd =
+        if (daily.size < 2) None
+        else {
+          val v = daily.map(d => (d._2 - mu) * (d._2 - mu)).sum / (daily.size - 1)
+          Some(math.sqrt(v)).filter(_ > 0)
+        }
+      daily.map { case (d, n) =>
+        val z = sd.map(s => rnd((n - mu) / s, 4))
+        (tpe, d, n, rnd(mu, 2), z, z.exists(v => math.abs(v) >= 2.0))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q138_volume_anomaly")(spark, sf).collect().map { r =>
+      (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5))
+    }.toSet
+    assert(got == expected)
+    // row-count conservation: one row per observed (type, day)
+    assert(got.size == evs.distinct.size)
+  }
+
   test("q104 cluster sample matches an independent hash-rank recomputation and retunes the cap") {
     def rnd4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
