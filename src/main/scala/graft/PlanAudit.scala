@@ -40,11 +40,11 @@ object PlanAudit {
   // computed split, nothing at the scan to push; scan prunes to
   // (doc_id, source, text)
   // q130's and q136's token <> '' filters are the same class (q76's
-  // token stream)
+  // token stream); q139's bigram guards are q77's class exactly
   private val allowUnpushed =
     Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm",
       "q90_tfidf", "q97_rare_bigrams", "q98_bm25", "q102_dsir", "q121_token_rarity",
-      "q130_cms_calibration", "q136_vocab_coverage")
+      "q130_cms_calibration", "q136_vocab_coverage", "q139_pmi")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume.
   // q136's cumulative runs over the count-of-counts HISTOGRAM — ≤ √(2·Σ)
@@ -177,6 +177,15 @@ object PlanAudit {
     // broadcast join back, |dims|-row output sort — nothing corpus-keyed
     // after the map-side fold+explode
     "q124_power_iter" -> 4,
+    // bigram pair agg (the one corpus-scale shuffle; prints once per
+    // consuming branch — support-filtered pairs, both marginals, and the
+    // scalar total; AQE reuses at runtime) → two vocab-scale marginal
+    // aggs + their joins; top-50 is TakeOrderedAndProject
+    "q139_pmi" -> 7,
+    // corpus-wide head-hash agg (partial agg collapses hot heads
+    // map-side) → hash-keyed membership join → source rollup with
+    // countDistinct (two-phase) → sort
+    "q140_prefix_boilerplate" -> 4,
     // label-keyed size agg + hit-pair label agg with countDistinct
     // (two-phase expand) + flagged-join assembly + sort; the eval slice
     // and flagged rollup broadcast

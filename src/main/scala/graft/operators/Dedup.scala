@@ -356,6 +356,43 @@ object Dedup extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Shared-head boilerplate detection (new r12 — the crawl-pipeline
+    * complement of q89's line dedup: scraped pages from one template
+    * share their OPENING — navigation, cookie banner, license header —
+    * while their bodies differ, so whole-doc and line-level dedup both
+    * under-report it): docs grouped by the md5 of their first
+    * `graft.dedup.prefixWords` (default 8) words, corpus-WIDE (template
+    * heads cross source boundaries), rolled up per source — distinct
+    * heads, the largest head-sharing group, docs whose head is shared
+    * (≥ 2 docs), and the shared-head share. A high share with low q35
+    * exact-dup counts is the template signature.
+    *
+    * Scale shape: the prefix hash is map-side next to the scan; ONE
+    * corpus-scale shuffle on the hash (partial agg collapses hot heads
+    * map-side — the boilerplate head IS the hot key, and it arrives
+    * pre-counted); membership re-joins hash-keyed (q89's
+    * join-not-window); one source rollup.
+    */
+  private def q140(t: Tables): DataFrame = {
+    val k = t.spark.conf.get("graft.dedup.prefixWords", "8").toInt
+    require(k >= 1 && k <= 64, s"graft.dedup.prefixWords out of range: $k")
+    val pre = Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, k))).as("p"))
+    val groups = pre.groupBy(col("p")).agg(count(lit(1)).as("n_docs_p"))
+    pre
+      .join(groups, Seq("p"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("p")).as("n_heads"),
+        max(col("n_docs_p")).as("max_head_docs"),
+        sum(when(col("n_docs_p") >= 2, 1L).otherwise(0L)).as("n_shared_head_docs"))
+      .withColumn("shared_share", round(col("n_shared_head_docs") / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
   /** LSH band-count tuning table — the calibration consulted BEFORE
     * `graft.lsh.bands` was fixed (q114's sweep pattern applied to the
     * dedup family's own knob): for each candidate band budget, the
@@ -1305,6 +1342,7 @@ object Dedup extends QueryModule {
     "q127_containment" -> ((s, d) => q127(Tables(s, d))),
     "q129_edit_verify" -> ((s, d) => q129(Tables(s, d))),
     "q131_norm_dedup" -> ((s, d) => q131(Tables(s, d))),
+    "q140_prefix_boilerplate" -> ((s, d) => q140(Tables(s, d))),
     "q79_dedup_report" -> ((s, d) => q79(Tables(s, d))),
     "q75_decontaminate" -> ((s, d) => q75(Tables(s, d))),
     "q63_simhash_pairs" -> ((s, d) => q63(Tables(s, d))),
@@ -1692,6 +1730,19 @@ object Dedup extends QueryModule {
          | round(avg(edit_sim), 4) AS avg_edit_sim,
          | round(max(abs(jaccard - edit_sim)), 4) AS max_gap
          |FROM c GROUP BY cls ORDER BY cls""".stripMargin,
+    "q140_prefix_boilerplate" ->
+      """WITH pre AS (
+        | SELECT doc_id, source,
+        |  md5(array_to_string(array_slice(string_split(text, ' '), 1, 8), ' ')) AS p
+        | FROM documents),
+        | g AS (SELECT p, count(*) AS n_docs_p FROM pre GROUP BY p),
+        | j AS (SELECT source, pre.p, n_docs_p FROM pre JOIN g ON pre.p = g.p)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(count(DISTINCT p) AS BIGINT) AS n_heads,
+        | CAST(max(n_docs_p) AS BIGINT) AS max_head_docs,
+        | CAST(sum(CASE WHEN n_docs_p >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_head_docs,
+        | round(sum(CASE WHEN n_docs_p >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS shared_share
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q131_norm_dedup" ->
       """WITH orig AS (SELECT source, text FROM documents),
         | messy AS (

@@ -220,6 +220,51 @@ object TextAnalysis extends QueryModule {
         "rep_ratio",
         when(col("total_sh") > 0, lit(1.0) - col("distinct_sh") / col("total_sh")).otherwise(lit(0.0)))
 
+  /** Adjacent-bigram PMI collocations (new r12 — Church & Hanks 1990, the
+    * distributional-statistics readout over q77's LM counts: the top-PMI
+    * pairs ARE the corpus's multi-word expressions, the candidates a
+    * tokenizer vocab or a phrase-aware index wants as single units):
+    * top-50 pairs by pointwise mutual information ln(N·c12/(c1·c2)) at
+    * support ≥ 10, with both marginals reported. PMI quantizes to integer
+    * 1e-4 units via ONE ln of a ratio of exact integer products (q102's
+    * discipline — never a difference of four ln's, whose fp error order
+    * differs per engine; round-4 absorbs the single ln's ulp).
+    *
+    * Scale shape: the one corpus-scale shuffle is q77's bigram pair agg;
+    * both marginals derive from the PAIR table (vocab-bounded — c1 is
+    * Σ_w2 c12, never a second pass over tokens), the total is a
+    * single-row broadcast, and top-50 is TakeOrderedAndProject.
+    */
+  private def q139(t: Tables): DataFrame = {
+    val bigrams = withWords(t)
+      .filter(size(col("words")) >= 2)
+      .select(
+        explode(
+          expr(
+            """transform(sequence(1, size(words) - 1),
+              |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
+          .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val pairCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val m1 = pairCounts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val m2 = pairCounts.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val tot = pairCounts.agg(sum(col("c12")).as("n_total"))
+    pairCounts
+      .filter(col("c12") >= 10)
+      .join(m1, Seq("w1"))
+      .join(m2, Seq("w2"))
+      .join(broadcast(tot))
+      .withColumn(
+        "pmi_e4",
+        expr("""CAST(round(ln((CAST(c12 AS DOUBLE) * CAST(n_total AS DOUBLE))
+                | / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 10000, 0) AS BIGINT)"""
+          .stripMargin))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"), col("pmi_e4"))
+      .orderBy(col("pmi_e4").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** Corpus-frequency token rarity audit — the OOV/noise readout of a
     * tokenizer-bound corpus: per source, how much of the token stream is
     * hapax-or-near (corpus frequency ≤ 2), how many documents carry any.
@@ -1332,6 +1377,7 @@ object TextAnalysis extends QueryModule {
     "q121_token_rarity" -> ((s, d) => q121(Tables(s, d))),
     "q130_cms_calibration" -> ((s, d) => q130(Tables(s, d))),
     "q135_tokenizer_fertility" -> ((s, d) => q135(Tables(s, d))),
+    "q139_pmi" -> ((s, d) => q139(Tables(s, d))),
     "q136_vocab_coverage" -> ((s, d) => q136(Tables(s, d))),
     "q123_quality_keep" -> ((s, d) => q123(Tables(s, d))),
     "q126_pack_sweep" -> ((s, d) => q126(Tables(s, d)))
@@ -1716,6 +1762,23 @@ object TextAnalysis extends QueryModule {
          |SELECT token, n_exact, n_est, n_est - n_exact AS overcount
          |FROM est ORDER BY n_exact DESC, token""".stripMargin
     },
+    "q139_pmi" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        | bg AS (
+        |  SELECT unnest(list_transform(range(1, len(words)),
+        |    i -> {'w1': words[i], 'w2': words[i + 1]})) AS b
+        |  FROM w),
+        | p AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bg WHERE b.w1 <> '' AND b.w2 <> ''),
+        | cnt AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2),
+        | m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cnt GROUP BY w1),
+        | m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM cnt GROUP BY w2),
+        | tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_total FROM cnt)
+        |SELECT w1, w2, c12, c1, c2,
+        | CAST(round(ln((CAST(c12 AS DOUBLE) * CAST(n_total AS DOUBLE))
+        |   / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 10000, 0) AS BIGINT) AS pmi_e4
+        |FROM cnt JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+        |WHERE c12 >= 10
+        |ORDER BY pmi_e4 DESC, w1, w2 LIMIT 50""".stripMargin,
     "q77_bigram_lm" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         | bg AS (

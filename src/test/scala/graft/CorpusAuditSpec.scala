@@ -1018,6 +1018,67 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(sorted.forall(_._4 <= 1.0))
   }
 
+  test("q139 PMI collocations match a scalar recomputation") {
+    val bigrams = docs.flatMap { case (_, text, _, _) =>
+      val w = text.split(" ", -1)
+      w.zip(w.tail).filter { case (a, b) => a.nonEmpty && b.nonEmpty }
+    }
+    val c12 = bigrams.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, xs) => w -> xs.values.sum }
+    val c2 = c12.groupBy(_._1._2).map { case (w, xs) => w -> xs.values.sum }
+    val n = c12.values.sum
+    val expected = c12.toSeq
+      .filter(_._2 >= 10)
+      .map { case ((w1, w2), c) =>
+        val pmi = BigDecimal(
+          math.log((c.toDouble * n.toDouble) / (c1(w1).toDouble * c2(w2).toDouble)) * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (w1, w2, c, c1(w1), c2(w2), pmi)
+      }
+      .sortBy { case (w1, w2, _, _, _, pmi) => (-pmi, w1, w2) }
+      .take(50)
+    val got = SparkEntry.queries("q139_pmi")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // PMI of an always-together pair is maximal: every pair's pmi is
+    // bounded by ln(N / c12) (c1, c2 >= c12)
+    got.foreach { case (w1, w2, c, _, _, pmi) =>
+      assert(pmi <= math.ceil(math.log(n.toDouble / c) * 10000).toLong, s"$w1 $w2") }
+  }
+
+  test("q140 shared heads match a scalar recomputation; shorter prefixes collide more") {
+    def share(k: Int): Map[String, (Long, Long, Long, Long)] = {
+      val pre = docs.map { case (id, text, src, _) =>
+        (id, src, text.split(" ", -1).take(k).mkString(" "))
+      }
+      val groups = pre.groupBy(_._3).map { case (p, xs) => p -> xs.size.toLong }
+      pre.groupBy(_._2).map { case (src, xs) =>
+        src -> (
+          xs.size.toLong,
+          xs.map(_._3).distinct.size.toLong,
+          xs.map(x => groups(x._3)).max,
+          xs.count(x => groups(x._3) >= 2).toLong)
+      }
+    }
+    for (k <- Seq(8, 3)) {
+      spark.conf.set("graft.dedup.prefixWords", k.toString)
+      try {
+        val expected = share(k)
+        val got = SparkEntry.queries("q140_prefix_boilerplate")(spark, sf).collect()
+          .map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toMap
+        assert(got == expected, s"k=$k")
+      } finally spark.conf.unset("graft.dedup.prefixWords")
+    }
+    // monotonicity: identical 8-word heads are identical 3-word heads,
+    // so the shared-head doc count can only grow as k shrinks
+    val s8 = share(8)
+    val s3 = share(3)
+    s8.keys.foreach(src => assert(s3(src)._4 >= s8(src)._4, src))
+  }
+
   test("q131 normalization collapses the synthesized messy twins exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q131_crafted").toString
