@@ -211,7 +211,52 @@ object Multimodal extends QueryModule {
         sum(col("decode_cost")).as("total_cost"))
       .orderBy(col("source"), col("media_type"))
 
+  /** Payload byte-entropy QA gate (new r12 — q100's entropy signal moved
+    * to the binary side: a blob whose byte distribution is degenerate is
+    * zero-padding, a truncated transfer, or a stuck encoder, and the
+    * entropy of the byte-class histogram flags it WITHOUT decoding — the
+    * pre-decode triage a 100 TB multimodal lake runs before paying codec
+    * cost): per (dataset, media type), Shannon entropy (nats) of each
+    * blob's 16-bin byte histogram — mean/min/max envelope plus the
+    * low-entropy count (< 1.0, degenerate byte mix).
+    *
+    * Float discipline is q100's fold plus q111's aggregation rule: the
+    * per-blob entropy fold runs left-to-right over the FIXED 16-bin
+    * array (both engines fold the same doubles in the same order), then
+    * quantizes to integer 1e-4 units BEFORE the rollup — so the mean is
+    * one division of an order-independent long sum, never an
+    * order-dependent double accumulation (which flipped a round-4
+    * boundary cell between engines on the first cut of this operator).
+    * Histogram is the q61 native kernel — map-side, zero pre-rollup
+    * shuffle.
+    */
+  private def q141(t: Tables): DataFrame =
+    Tables.localSplit(blobs(t), col("doc_id"))
+      .select(
+        col("source"), col("media_type"),
+        graft.functions.GraftFunctions.byte_histogram(col("text")).as("cnts"))
+      .withColumn("total", expr("aggregate(cnts, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn(
+        "e4",
+        expr(
+          """CAST(round(aggregate(cnts, CAST(0.0 AS DOUBLE),
+            |  (acc, c) -> acc + IF(c > 0,
+            |    -((CAST(c AS DOUBLE) / total) * ln(CAST(c AS DOUBLE) / total)),
+            |    CAST(0.0 AS DOUBLE))) * 10000, 0) AS BIGINT)""".stripMargin))
+      .groupBy(col("source"), col("media_type"))
+      .agg(
+        count(lit(1)).as("n_blobs"),
+        // half-up integer division keeps even the MEAN out of double
+        // rounding (Spark's round() decimalizes the shortest string,
+        // DuckDB rounds the binary double — 1.01005 splits them)
+        (expr("(2 * sum(e4) + count(1)) DIV (2 * count(1))") / 10000.0).as("avg_entropy"),
+        (min(col("e4")) / 10000.0).as("min_entropy"),
+        (max(col("e4")) / 10000.0).as("max_entropy"),
+        sum(when(col("e4") < 10000L, 1L).otherwise(0L)).as("n_low"))
+      .orderBy(col("source"), col("media_type"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_payload_entropy" -> ((s, d) => q141(Tables(s, d))),
     "q44_blob_meta" -> ((s, d) => q44(Tables(s, d))),
     "q45_frame_sample" -> ((s, d) => q45(Tables(s, d))),
     "q61_byte_histogram" -> ((s, d) => q61(Tables(s, d))),
@@ -330,6 +375,34 @@ object Multimodal extends QueryModule {
         |    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) // 16 AS BIGINT))) AS bucket
         | FROM documents)
         |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    "q141_payload_entropy" ->
+      """WITH h AS (
+        | SELECT source,
+        |  CASE ascii(substr(text, 1, 1)) % 3
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  list_transform(range(0, 16), b -> CAST(len(list_filter(
+        |    list_transform(range(1, n_chars + 1),
+        |      i -> ascii(substr(text, CAST(i AS INTEGER), 1)) // 16),
+        |    x -> x = b)) AS BIGINT)) AS cnts
+        | FROM documents),
+        | tot AS (
+        | SELECT source, media_type, cnts,
+        |  list_reduce([CAST(0 AS BIGINT)] || cnts, (a, x) -> a + x) AS total
+        | FROM h),
+        | e AS (
+        | SELECT source, media_type, CAST(round(list_reduce(
+        |   [0.0] || list_transform(cnts,
+        |     c -> CASE WHEN c > 0
+        |       THEN -((CAST(c AS DOUBLE) / total) * ln(CAST(c AS DOUBLE) / total))
+        |       ELSE 0.0 END),
+        |   (acc, x) -> acc + x) * 10000, 0) AS BIGINT) AS e4
+        | FROM tot)
+        |SELECT source, media_type, count(*) AS n_blobs,
+        | ((2 * CAST(sum(e4) AS BIGINT) + count(*)) // (2 * count(*))) / 10000.0 AS avg_entropy,
+        | min(e4) / 10000.0 AS min_entropy,
+        | max(e4) / 10000.0 AS max_entropy,
+        | CAST(sum(CASE WHEN e4 < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM e GROUP BY source, media_type ORDER BY source, media_type""".stripMargin,
     "q82_modality_split" ->
       """WITH m AS (
         | SELECT source,

@@ -1079,6 +1079,40 @@ class CorpusAuditSpec extends AnyFunSuite {
     s8.keys.foreach(src => assert(s3(src)._4 >= s8(src)._4, src))
   }
 
+  test("q141 payload entropy matches a scalar histogram-fold recomputation") {
+    def rnd4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perBlob = docs.map { case (_, text, src, _) =>
+      val mt = (text.head.toInt % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val cnts = new Array[Long](16)
+      text.foreach(c => cnts(c.toInt / 16) += 1)
+      val total = cnts.sum.toDouble
+      // the query's exact fold: left-to-right over the fixed 16-bin array
+      var acc = 0.0
+      cnts.foreach { c =>
+        if (c > 0) acc += -((c.toDouble / total) * math.log(c.toDouble / total))
+      }
+      // the query's quantization: integer 1e-4 units BEFORE aggregation
+      (src, mt, BigDecimal(acc * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val expected = perBlob.groupBy(p => (p._1, p._2)).map { case ((src, mt), xs) =>
+      val es = xs.map(_._3)
+      (src, mt, xs.size.toLong,
+        ((2 * es.sum + es.size) / (2 * es.size)) / 10000.0,
+        es.min / 10000.0, es.max / 10000.0, es.count(_ < 10000L).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q141_payload_entropy")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(got == expected)
+    // entropy over 16 bins is bounded by ln 16
+    got.foreach { case (src, mt, _, _, _, mx, _) =>
+      assert(mx <= math.log(16.0) + 1e-6, s"$src/$mt exceeds ln 16") }
+  }
+
   test("q131 normalization collapses the synthesized messy twins exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q131_crafted").toString
