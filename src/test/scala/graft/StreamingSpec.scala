@@ -195,6 +195,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalLens == islands)
   }
 
+  test("streaming anomaly verdicts judge each closed day against its strict prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Anomaly
+    val ms = MemoryStream[Anomaly.Ev]
+    val day = 86400L * us
+    def evs(d: Long, n: Int) = (0 until n).map(i => Anomaly.Ev("click", d * day + i * us))
+    // three quiet days (2, 3, 2 events), then a 40-event storm, then one
+    // closing event the day after so the storm day itself gets judged
+    ms.addData(evs(10, 2) ++ evs(11, 3): _*)
+    val q = Anomaly.verdicts(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("anomaly_out").start()
+    q.processAllAvailable()
+    ms.addData(evs(12, 2) ++ evs(13, 40) ++ evs(14, 1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("anomaly_out").as[Anomaly.DayVerdict].collect()
+      .map(v => v.day -> v).toMap
+    // day 10 closed with no history, day 11 with one prior day: no z
+    assert(out(10L).z.isEmpty && !out(10L).anomalous)
+    assert(out(11L).z.isEmpty && !out(11L).anomalous)
+    // day 12 judged against {2, 3}: z = (2 - 2.5)/0.7071 ≈ -0.7071 — quiet
+    assert(!out(12L).anomalous && math.abs(out(12L).z.get + 0.7071) < 1e-3)
+    // the 40-event storm judged against {2, 3, 2}: flagged
+    assert(out(13L).n == 40L && out(13L).anomalous, s"storm not flagged: $out")
+    // the prefix rule exactly: scalar Welford recomputation over {2,3,2}
+    val hist = Seq(2L, 3L, 2L)
+    val mu = hist.sum.toDouble / hist.size
+    val sd = math.sqrt(hist.map(h => (h - mu) * (h - mu)).sum / (hist.size - 1))
+    val expectedZ = BigDecimal((40L - mu) / sd)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(13L).z.contains(expectedZ))
+    // day 14 never closed (no later event): not judged
+    assert(!out.contains(14L))
+  }
+
   test("streaming funnel emits stage progressions matching q96's ordering rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
