@@ -356,6 +356,76 @@ object Dedup extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Planted-duplicate recall audit (new r12 — the self-test a dedup
+    * deployment runs to MEASURE its recall instead of trusting the
+    * minhash formula: every other recall number in the family is
+    * relative to the widest config (q116) or sample-bounded (q115);
+    * here ground truth exists BY CONSTRUCTION): each doc gets a
+    * deterministic perturbed twin (every k-th word replaced with a
+    * doc-unique marker, k swept over {5, 10, 20} — heavier perturbation
+    * = lower true Jaccard), and the audit reports, per k, how many
+    * planted (doc, twin) pairs the LSH band stage would CANDIDATE (≥ 1
+    * agreeing band signature) and how many the verify stage would
+    * confirm (exact Jaccard ≥ 0.5) — measured recall on known positives,
+    * the table that says whether `graft.lsh.bands` actually delivers at
+    * each duplication strength.
+    *
+    * Scale shape: the planted pair is doc-keyed, so NOTHING joins — both
+    * signature vectors and both shingle sets are computed in ONE
+    * projection per (doc, arm) row and compared element-wise map-side
+    * (zip_with band agreement, per-row array intersection); the only
+    * shuffle is the |arms|-row rollup. Kernel work is (1 + |arms|) ×
+    * corpus-linear. Per-pair Jaccards quantize to integer 1e-4 units and
+    * the mean uses half-up integer division (q141's rule — no double
+    * accumulation anywhere).
+    */
+  private def q142(t: Tables): DataFrame = {
+    val arms = Seq(5, 10, 20)
+    val nb = bands(t)
+    val base = Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("doc_id"), col("text"),
+        graft.functions.GraftFunctions.minhash_sigs(col("text"), nb).as("so"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sa"))
+      .select(
+        col("doc_id"), col("so"), col("sa"),
+        explode(array(arms.map(k => struct(
+          lit(k.toLong).as("k"),
+          expr(
+            s"""concat_ws(' ', transform(split(text, ' '),
+               |  (w, i) -> IF(i % $k = 0, concat('zz', CAST(doc_id AS STRING)), w)))"""
+              .stripMargin).as("pert"))): _*)).as("arm"))
+      .select(col("doc_id"), col("so"), col("sa"), col("arm.k").as("k"), col("arm.pert").as("pert"))
+      .withColumn("sp", graft.functions.GraftFunctions.minhash_sigs(col("pert"), nb))
+      .withColumn("sb", graft.functions.GraftFunctions.shingle_set(col("pert")))
+      .withColumn(
+        "n_agree",
+        expr("size(filter(zip_with(so, sp, (x, y) -> x = y), v -> v))").cast("long"))
+      .withColumn("shared", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("na", size(col("sa")).cast("long"))
+      .withColumn("nbs", size(col("sb")).cast("long"))
+      .filter(col("na") + col("nbs") > col("shared")) // shingle-less pairs drop
+      .withColumn(
+        "j_e4",
+        expr("CAST(round(CAST(shared AS DOUBLE) / (na + nbs - shared) * 10000, 0) AS BIGINT)"))
+    base
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_planted"),
+        sum(when(col("n_agree") >= 1, 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("j_e4") >= 5000L, 1L).otherwise(0L)).as("n_true_dups"),
+        sum(when(col("n_agree") >= 1 && col("j_e4") >= 5000L, 1L).otherwise(0L))
+          .as("n_recalled"),
+        sum(col("j_e4")).as("sum_j_e4"))
+      .select(
+        col("k"), col("n_planted"), col("n_candidates"), col("n_true_dups"),
+        when(col("n_true_dups") > 0, round(col("n_recalled") / col("n_true_dups"), 4))
+          .as("recall"),
+        (expr("(2 * sum_j_e4 + n_planted) DIV (2 * n_planted)") / 10000.0)
+          .as("avg_jaccard"))
+      .orderBy(col("k"))
+  }
+
   /** Shared-head boilerplate detection (new r12 — the crawl-pipeline
     * complement of q89's line dedup: scraped pages from one template
     * share their OPENING — navigation, cookie banner, license header —
@@ -1343,6 +1413,7 @@ object Dedup extends QueryModule {
     "q129_edit_verify" -> ((s, d) => q129(Tables(s, d))),
     "q131_norm_dedup" -> ((s, d) => q131(Tables(s, d))),
     "q140_prefix_boilerplate" -> ((s, d) => q140(Tables(s, d))),
+    "q142_planted_recall" -> ((s, d) => q142(Tables(s, d))),
     "q79_dedup_report" -> ((s, d) => q79(Tables(s, d))),
     "q75_decontaminate" -> ((s, d) => q75(Tables(s, d))),
     "q63_simhash_pairs" -> ((s, d) => q63(Tables(s, d))),
@@ -1355,6 +1426,21 @@ object Dedup extends QueryModule {
   )
 
   private val duckWords = "SELECT doc_id, string_split(text, ' ') AS words FROM documents"
+
+  // q142 fragments: shingles/perturbation over an arbitrary word-list
+  // column (shinglesDuck is pinned to the name `words`)
+  private def duckShinglesOf(c: String): String =
+    s"list_transform(range(1, len($c) - 1), i -> $c[i] || ' ' || $c[i+1] || ' ' || $c[i+2])"
+  private def duckPertWords(k: Int): String =
+    s"""list_transform(range(1, len(words) + 1),
+       |   i -> CASE WHEN (i - 1) % $k = 0 THEN 'zz' || CAST(doc_id AS VARCHAR)
+       |        ELSE words[i] END)""".stripMargin
+  // per-band min signature list from an int32-hash list column — the
+  // bandHash family with the band index as a lambda variable
+  private def duckSigsOf(c: String): String =
+    s"""list_transform(range(0, $DefaultBands),
+       |   b -> list_aggregate(list_transform($c,
+       |     h -> ((h * (2 * b + 1) + 7919 * b) % 2147483647)), 'min'))""".stripMargin
   private val duckHashes =
     s"list_transform(list_transform(shingles, s -> md5(s)), m -> ${hexint32("m")})"
   private val duckShingleArms = (0 until DefaultBands)
@@ -1730,6 +1816,50 @@ object Dedup extends QueryModule {
          | round(avg(edit_sim), 4) AS avg_edit_sim,
          | round(max(abs(jaccard - edit_sim)), 4) AS max_gap
          |FROM c GROUP BY cls ORDER BY cls""".stripMargin,
+    "q142_planted_recall" -> {
+      val armSelects = Seq(5, 10, 20)
+        .map(k => s"SELECT doc_id, $k AS k, words, ${duckPertWords(k)} AS pwords FROM w")
+        .mkString("\n UNION ALL\n ")
+      s"""WITH w AS ($duckWords),
+         | arms AS (
+         | $armSelects
+         | ),
+         | sh AS (
+         | SELECT doc_id, k, ${duckShinglesOf("words")} AS sho,
+         |  ${duckShinglesOf("pwords")} AS shp
+         | FROM arms),
+         | hx AS (
+         | SELECT doc_id, k,
+         |  list_transform(list_transform(sho, s -> md5(s)), m -> ${hexint32("m")}) AS ho,
+         |  list_transform(list_transform(shp, s -> md5(s)), m -> ${hexint32("m")}) AS hp,
+         |  list_distinct(sho) AS dso, list_distinct(shp) AS dsp
+         | FROM sh),
+         | sg AS (
+         | SELECT k, ${duckSigsOf("ho")} AS so, ${duckSigsOf("hp")} AS sp, dso, dsp
+         | FROM hx),
+         | m AS (
+         | SELECT k,
+         |  len(list_filter(range(1, $DefaultBands + 1), i -> so[i] = sp[i])) AS n_agree,
+         |  len(list_filter(dso, x -> list_contains(dsp, x))) AS shared,
+         |  len(dso) AS na, len(dsp) AS nbs
+         | FROM sg),
+         | f AS (
+         | SELECT k, n_agree,
+         |  CAST(round(CAST(shared AS DOUBLE) / (na + nbs - shared) * 10000, 0) AS BIGINT) AS j_e4
+         | FROM m WHERE na + nbs > shared),
+         | g AS (
+         | SELECT k, count(*) AS n_planted,
+         |  CAST(sum(CASE WHEN n_agree >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN j_e4 >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups,
+         |  CAST(sum(CASE WHEN n_agree >= 1 AND j_e4 >= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_recalled,
+         |  CAST(sum(j_e4) AS BIGINT) AS sum_j_e4
+         | FROM f GROUP BY k)
+         |SELECT CAST(k AS BIGINT) AS k, n_planted, n_candidates, n_true_dups,
+         | CASE WHEN n_true_dups > 0 THEN round(n_recalled / n_true_dups, 4) END AS recall,
+         | ((2 * sum_j_e4 + n_planted) // (2 * n_planted)) / 10000.0 AS avg_jaccard
+         |FROM g ORDER BY k""".stripMargin
+    },
     "q140_prefix_boilerplate" ->
       """WITH pre AS (
         | SELECT doc_id, source,

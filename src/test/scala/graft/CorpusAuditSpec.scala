@@ -1113,6 +1113,55 @@ class CorpusAuditSpec extends AnyFunSuite {
       assert(mx <= math.log(16.0) + 1e-6, s"$src/$mt exceeds ln 16") }
   }
 
+  test("q142 planted recall matches a scalar minhash recomputation at k=10") {
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    def sigs(shingles: Seq[String]): Seq[Option[Long]] = {
+      val hs = shingles.map(h32)
+      (0 until 8).map { b =>
+        if (hs.isEmpty) None
+        else Some(hs.map(h => (h * (2 * b + 1) + 7919L * b) % 2147483647L).min)
+      }
+    }
+    def shingle3(ws: Seq[String]): Seq[String] =
+      if (ws.length < 3) Seq.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSeq
+    val perDoc = docs.map { case (id, text, _, _) =>
+      val ws = text.split(" ", -1).toSeq
+      val pws = ws.zipWithIndex.map { case (w, i) => if (i % 10 == 0) s"zz$id" else w }
+      val (sa, sb) = (shingle3(ws).distinct, shingle3(pws).distinct)
+      val shared = sa.count(sb.contains)
+      val nAgree = sigs(shingle3(ws)).zip(sigs(shingle3(pws)))
+        .count { case (a, b) => a.isDefined && a == b }
+      val jE4 = BigDecimal(shared.toDouble / (sa.size + sb.size - shared) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (nAgree, jE4)
+    }
+    val n = perDoc.size.toLong
+    val expected = (
+      10L, n,
+      perDoc.count(_._1 >= 1).toLong,
+      perDoc.count(_._2 >= 5000L).toLong,
+      perDoc.count(p => p._1 >= 1 && p._2 >= 5000L).toLong,
+      perDoc.map(_._2).sum)
+    val rows = SparkEntry.queries("q142_planted_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getDouble(5)))
+    val k10 = rows.find(_._1 == 10L).get
+    assert((k10._2, k10._3, k10._4) == ((expected._2, expected._3, expected._4)),
+      s"k=10 counts: got $k10 want $expected")
+    val wantRecall =
+      if (expected._4 == 0) None
+      else Some(BigDecimal(expected._5.toDouble / expected._4)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(k10._5 == wantRecall, s"k=10 recall")
+    assert(k10._6 == ((2 * expected._6 + n) / (2 * n)) / 10000.0, s"k=10 avg jaccard")
+    // lighter perturbation keeps strictly more shared shingles per doc
+    // (perturbed positions at k=20 are a subset of k=10's), so the mean
+    // planted Jaccard must rise with k
+    val byK = rows.sortBy(_._1).map(_._6)
+    assert(byK.sliding(2).forall { case Array(a, b) => b > a }, s"jaccard not monotone: $byK")
+  }
+
   test("q131 normalization collapses the synthesized messy twins exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q131_crafted").toString
