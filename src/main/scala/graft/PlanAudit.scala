@@ -186,6 +186,11 @@ object PlanAudit {
     // map-side) → hash-keyed membership join → source rollup with
     // countDistinct (two-phase) → sort
     "q140_prefix_boilerplate" -> 4,
+    // one h-keyed joint membership-set agg (prints once per consuming
+    // branch — per-source pairs AND the per-split totals; AQE reuses) →
+    // (split, source) rollup + |splits|-row totals agg (broadcast back)
+    // → sort; everything after the spread is membership-set-bounded
+    "q143_leakage_by_source" -> 5,
     // label-keyed size agg + hit-pair label agg with countDistinct
     // (two-phase expand) + flagged-join assembly + sort; the eval slice
     // and flagged rollup broadcast

@@ -1195,6 +1195,55 @@ object Dedup extends QueryModule {
       .orderBy(col("split"))
   }
 
+  /** Leakage attribution by train source (new r12 — the follow-up q120
+    * demands: q120 says HOW MUCH of each eval split leaks from train,
+    * this says FROM WHERE, the actionable readout — "drop/re-split
+    * source X" needs the per-source attribution): per (eval split, train
+    * source), the distinct K-token windows of the split that also appear
+    * in that source's train docs, and the share of the split's total
+    * leaked windows the source accounts for (shares can sum past 1 — a
+    * window leaked by two sources attributes to both; that is the point,
+    * each row prices removing ONE source).
+    *
+    * Scale shape: q92/q120's membership-set trick extended to (split,
+    * train-source) jointly — each window collapses to its distinct eval
+    * splits AND distinct train sources in ONE h-keyed agg (both sets
+    * bounded: ≤|splits| and ≤|sources|, never doc-scale), then explodes
+    * the ≤|splits|·|sources| cross pairs straight into the rollup; the
+    * per-split leaked-total denominator rides the same spread relation.
+    */
+  private def q143(t: Tables): DataFrame = {
+    val k = windowK(t)
+    val pos = Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("doc_id"), col("source"),
+        (expr(hexint32("md5(CAST(doc_id AS STRING))")) % 100).as("bucket"),
+        explode(windowHashes(k)).as("h"))
+      .withColumn(
+        "split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+    val spread = pos
+      .groupBy(col("h"))
+      .agg(
+        collect_set(when(col("split") =!= "train", col("split"))).as("evs"),
+        collect_set(when(col("split") === "train", col("source"))).as("srcs"))
+      .filter(size(col("evs")) > 0 && size(col("srcs")) > 0)
+    val perSource = spread
+      .select(explode(col("evs")).as("split"), col("srcs"))
+      .select(col("split"), explode(col("srcs")).as("train_source"))
+      .groupBy(col("split"), col("train_source"))
+      .agg(count(lit(1)).as("n_leaked_windows"))
+    val totals = spread
+      .select(explode(col("evs")).as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("total_leaked"))
+    perSource
+      .join(broadcast(totals), Seq("split"))
+      .withColumn("source_share", round(col("n_leaked_windows") / col("total_leaked"), 4))
+      .select(col("split"), col("train_source"), col("n_leaked_windows"), col("source_share"))
+      .orderBy(col("split"), col("train_source"))
+  }
+
   /** Per-source window novelty — the inverse readout of q92's overlap
     * matrix at substring granularity: how much of each source's distinct
     * K-token window vocabulary appears in NO other source. The corpus-mix
@@ -1414,6 +1463,7 @@ object Dedup extends QueryModule {
     "q131_norm_dedup" -> ((s, d) => q131(Tables(s, d))),
     "q140_prefix_boilerplate" -> ((s, d) => q140(Tables(s, d))),
     "q142_planted_recall" -> ((s, d) => q142(Tables(s, d))),
+    "q143_leakage_by_source" -> ((s, d) => q143(Tables(s, d))),
     "q79_dedup_report" -> ((s, d) => q79(Tables(s, d))),
     "q75_decontaminate" -> ((s, d) => q75(Tables(s, d))),
     "q63_simhash_pairs" -> ((s, d) => q63(Tables(s, d))),
@@ -1575,6 +1625,36 @@ object Dedup extends QueryModule {
         | round(sum(CASE WHEN n_occ IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS dup_share
         |FROM p LEFT JOIN r USING (h)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q143_leakage_by_source" ->
+      s"""WITH w AS (
+         | SELECT doc_id, source, string_split(text, ' ') AS ws,
+         |  ${hexint32("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+         | FROM documents),
+         | s AS (
+         | SELECT doc_id, source,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |       ELSE 'test' END AS split, ws
+         | FROM w),
+         | p AS (
+         | SELECT doc_id, source, split,
+         |  unnest(CASE WHEN len(ws) >= 8 THEN
+         |    list_transform(range(1, len(ws) - 8 + 2),
+         |      i -> md5(array_to_string(list_slice(ws, i, i + 7), ' ')))
+         |   ELSE CAST([] AS VARCHAR[]) END) AS h
+         | FROM s),
+         | ev AS (SELECT DISTINCT split, h FROM p WHERE split <> 'train'),
+         | tr AS (SELECT DISTINCT h, source AS train_source FROM p WHERE split = 'train'),
+         | pairs AS (
+         | SELECT ev.split, tr.train_source, ev.h FROM ev JOIN tr ON ev.h = tr.h),
+         | per AS (
+         | SELECT split, train_source, count(*) AS n_leaked_windows
+         | FROM pairs GROUP BY split, train_source),
+         | tot AS (
+         | SELECT split, count(DISTINCT h) AS total_leaked FROM pairs GROUP BY split)
+         |SELECT split, train_source, n_leaked_windows,
+         | round(n_leaked_windows / total_leaked, 4) AS source_share
+         |FROM per JOIN tot USING (split)
+         |ORDER BY split, train_source""".stripMargin,
     "q120_split_leakage" ->
       s"""WITH w AS (
          | SELECT doc_id, string_split(text, ' ') AS ws,

@@ -1162,6 +1162,42 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(byK.sliding(2).forall { case Array(a, b) => b > a }, s"jaccard not monotone: $byK")
   }
 
+  test("q143 leakage attribution matches a scalar recomputation and covers q120's total") {
+    def rnd4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perDoc = docs.map { case (id, text, src, _) =>
+      val bucket = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100
+      val split = if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+      val ws = text.split(" ", -1)
+      val hs = if (ws.length >= 8) ws.sliding(8).map(w => md5hex(w.mkString(" "))).toSet
+        else Set.empty[String]
+      (split, src, hs)
+    }
+    val trainBySrc = perDoc.filter(_._1 == "train")
+      .flatMap { case (_, src, hs) => hs.map(h => (h, src)) }.distinct
+    val evalWindows = perDoc.filter(_._1 != "train")
+      .flatMap { case (split, _, hs) => hs.map(h => (split, h)) }.distinct
+    val pairs = for {
+      (split, h) <- evalWindows
+      (th, src) <- trainBySrc if th == h
+    } yield (split, src, h)
+    val totals = pairs.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).distinct.size }
+    val expected = pairs.groupBy(p => (p._1, p._2)).map { case ((split, src), xs) =>
+      (split, src, xs.size.toLong, rnd4(xs.size.toDouble / totals(split)))
+    }.toSet
+    val got = SparkEntry.queries("q143_leakage_by_source")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    // consistency with q120: each split's distinct leaked-window total is
+    // exactly q120's n_leaked_windows for that split
+    val q120 = SparkEntry.queries("q120_split_leakage")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_leaked_windows")).toMap
+    totals.foreach { case (split, n) => assert(q120(split) == n.toLong, split) }
+    // per-source counts cover the total (shares may sum past 1 by design)
+    got.groupBy(_._1).foreach { case (split, rows) =>
+      assert(rows.map(_._3).sum >= totals(split).toLong, split) }
+  }
+
   test("q131 normalization collapses the synthesized messy twins exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q131_crafted").toString
