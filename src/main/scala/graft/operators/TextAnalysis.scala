@@ -965,6 +965,41 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"), col("reason"))
 
+  /** Quality-score calibration against duplication and the gate (new r12
+    * — the audit that asks whether the q33 score MEANS anything before
+    * q84 thresholds on it: per fixed 0.25-wide score band, how many docs
+    * land there, what fraction are exact duplicates (q35's md5
+    * identity), and what fraction the q84 gate keeps. A well-calibrated
+    * score shows dup share falling as score rises; a flat curve says the
+    * score is noise and the 0.45 cutoff is arbitrary).
+    *
+    * Scale shape: score/repetition/hash are the SHARED map-side helpers
+    * (nothing re-derived); buckets are FIXED-width score bands, not
+    * ntile deciles — a decile rank would need an unpartitioned window
+    * over the corpus, a band is a map-side floor. The md5 group count is
+    * one hash-keyed shuffle (q35's), membership re-joins hash-keyed
+    * (q89's join-not-window), the rollup is ≤8 rows.
+    */
+  private def q144(t: Tables): DataFrame = {
+    val scored = withRepRatio(withQualityScore(withWords(t)))
+      .withColumn("h", md5(col("text")))
+      .withColumn(
+        "kept",
+        col("n_chars") >= 50 && col("rep_ratio") <= 0.2 && col("score") >= 0.45)
+      .withColumn("bucket", least(floor(col("score") / 0.25), lit(7L)).cast("long"))
+    val groups = scored.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    scored
+      .join(groups, Seq("h"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("dup_share", round(col("n_dup_docs") / col("n_docs"), 4))
+      .withColumn("keep_share", round(col("n_kept") / col("n_docs"), 4))
+      .orderBy(col("bucket"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
     * algorithm): from each document's positional word-3-gram hash stream,
     * keep the minimum hash of every `graft.winnow.window` (default 4)
@@ -1378,6 +1413,7 @@ object TextAnalysis extends QueryModule {
     "q130_cms_calibration" -> ((s, d) => q130(Tables(s, d))),
     "q135_tokenizer_fertility" -> ((s, d) => q135(Tables(s, d))),
     "q139_pmi" -> ((s, d) => q139(Tables(s, d))),
+    "q144_score_calibration" -> ((s, d) => q144(Tables(s, d))),
     "q136_vocab_coverage" -> ((s, d) => q136(Tables(s, d))),
     "q123_quality_keep" -> ((s, d) => q123(Tables(s, d))),
     "q126_pack_sweep" -> ((s, d) => q126(Tables(s, d)))
@@ -1405,6 +1441,21 @@ object TextAnalysis extends QueryModule {
        | FROM s)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q144_score_calibration" ->
+      s"""WITH $gateCtesSql,
+         | b AS (
+         | SELECT h, CAST(least(floor(score / 0.25), 7) AS BIGINT) AS bucket,
+         |  CASE WHEN n_chars >= 50 AND rep_ratio <= 0.2 AND score >= 0.45
+         |       THEN 1 ELSE 0 END AS kept
+         | FROM r),
+         | g AS (SELECT h, count(*) AS n_copies FROM w GROUP BY h),
+         | j AS (SELECT bucket, kept, n_copies FROM b JOIN g USING (h))
+         |SELECT bucket, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         | CAST(sum(kept) AS BIGINT) AS n_kept,
+         | round(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_share,
+         | round(sum(kept) / count(*), 4) AS keep_share
+         |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q102_dsir" ->
       """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
         | cc AS (SELECT term, count(*) AS cc FROM tok GROUP BY term),

@@ -411,6 +411,37 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q144 score-calibration bands match an independent recomputation") {
+    val stop = Set("the", "a", "of", "and")
+    val perDoc = docs.map { case (_, text, _, nc) =>
+      val ws = text.split(" ", -1).toSeq
+      val score = rnd(
+        math.min(ws.size / 100.0, 1.0) * 0.5
+          + (ws.count(stop).toDouble / ws.size) * 2.0
+          + (if (nc >= 100) 0.2 else 0.0), 4)
+      val totalSh = math.max(ws.size - 2, 0)
+      val distinctSh =
+        if (ws.size >= 3) (0 to ws.size - 3).map(i => ws.slice(i, i + 3).mkString(" ")).distinct.size
+        else 0
+      val rep = if (totalSh > 0) 1.0 - distinctSh.toDouble / totalSh else 0.0
+      val kept = nc >= 50 && rep <= 0.2 && score >= 0.45
+      (math.min(math.floor(score / 0.25).toLong, 7L), kept, text)
+    }
+    val copies = perDoc.groupBy(_._3).map { case (t, xs) => t -> xs.size }
+    val expected = perDoc.groupBy(_._1).map { case (b, xs) =>
+      val dups = xs.count(x => copies(x._3) >= 2).toLong
+      val kept = xs.count(_._2).toLong
+      (b, xs.size.toLong, dups, kept,
+        rnd(dups.toDouble / xs.size, 4), rnd(kept.toDouble / xs.size, 4))
+    }.toSet
+    val got = SparkEntry.queries("q144_score_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == expected)
+    // band membership partitions the corpus
+    assert(got.toSeq.map(_._2).sum == docs.size.toLong)
+  }
+
   test("q110 split shift matches an independent total-variation recomputation") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
