@@ -171,6 +171,34 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q143's per-source and totals branches reuse one spread derivation at runtime") {
+    // both consumers of the joint membership-set relation (the
+    // (split, source) pair rollup and the per-split leaked totals) hang
+    // off the same h-keyed aggregate — AQE must dedupe the mirrored
+    // exchanges or the corpus-wide window kernel and its shuffle run
+    // twice at 100 TB
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q143_leakage_by_source")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val fin = plan.indexOf("== Initial Plan ==") match {
+        case -1 => plan
+        case i  => plan.substring(0, i)
+      }
+      assert("ReusedExchange".r.findAllIn(fin).length >= 1,
+        s"expected the h-keyed spread exchange reused:\n$fin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("q142 plants pairs doc-keyed: no join anywhere in the plan") {
+    // the planted pair compares both signature vectors inside ONE
+    // projection — any Join node means the audit regressed to a pair join
+    val plan = SparkEntry.queries("q142_planted_recall")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q142 must not join:\n$plan")
+  }
+
   test("q106's ownership branch carries no gate kernel: shingle_set runs once") {
     // the canonical branch is a slim (md5, min doc_id) derivation — the
     // gate verdict is text-determined, so re-running the quality kernel on
