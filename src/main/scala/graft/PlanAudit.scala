@@ -191,6 +191,10 @@ object PlanAudit {
     // (split, source) rollup + |splits|-row totals agg (broadcast back)
     // → sort; everything after the spread is membership-set-bounded
     "q143_leakage_by_source" -> 5,
+    // (label, half, dim) partial-aggregable sum (the one corpus-scale
+    // shuffle; prints once per half-filter branch, AQE reuses) →
+    // (label, dim) A⋈B join → |labels|-row rollup + sort
+    "q145_embedding_drift" -> 4,
     // label-keyed size agg + hit-pair label agg with countDistinct
     // (two-phase expand) + flagged-join assembly + sort; the eval slice
     // and flagged rollup broadcast

@@ -623,6 +623,54 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Embedding-drift audit between ingest batches (new r12 — the MLOps
+    * canary next to q109's validity gate: an encoder version bump or a
+    * silent preprocessing change shifts the embedding DISTRIBUTION while
+    * every vector stays individually valid, and an ANN index built
+    * across the shift ranks inconsistently): per cluster label, the
+    * squared L2 gap between the per-dimension means of two ingest halves
+    * (vec_id parity — the deterministic stand-in for batch A/B), plus
+    * the worst single-dimension gap. A label whose drift is orders above
+    * its peers is the re-embed signal.
+    *
+    * Integer-exact end to end: per-dim e6 quantization FIRST (q124's
+    * rule), per-(label, half, dim) LONG sums, the mean gap computed as
+    * one cross-multiplied integer ratio evaluated in double (the same
+    * two exact longs both engines — identical bits), per-dim squares
+    * rounded to integers BEFORE the cross-dim sum (order-independent
+    * long adds). The one corpus-scale shuffle is the (label, half, dim)
+    * partial-aggregable sum; everything after is |labels|·|dims|-scale.
+    * Only labels present in BOTH halves report (the join is the filter).
+    */
+  private def q145(t: Tables): DataFrame = {
+    val ev = Tables.localSplit(t.embeddings, col("vec_id"))
+      .select(
+        col("label"), (col("vec_id") % 2 === 0).as("is_a"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+          .as(Seq("d0", "v")))
+      .select(col("label"), col("is_a"), (col("d0") + 1).cast("long").as("dim"), col("v"))
+    val sums = ev
+      .groupBy(col("label"), col("is_a"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val a = sums.filter(col("is_a"))
+      .select(col("label"), col("dim"), col("s").as("sa"), col("n").as("na"))
+    val b = sums.filter(!col("is_a"))
+      .select(col("label"), col("dim"), col("s").as("sb"), col("n").as("nb"))
+    a.join(b, Seq("label", "dim"))
+      .withColumn(
+        "d",
+        (col("sa") * col("nb") - col("sb") * col("na")).cast("double")
+          / (col("na") * col("nb")).cast("double"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("na")).as("n_a"),
+        max(col("nb")).as("n_b"),
+        sum(expr("CAST(round(d * d, 0) AS BIGINT)")).as("drift_e12"),
+        max(expr("CAST(round(abs(d), 0) AS BIGINT)")).as("max_dim_gap_e6"))
+      .orderBy(col("label"))
+  }
+
   /** Cluster-balanced diversity sampling: after SemDeDup-style pruning,
     * curation pipelines cap how many examples any one embedding cluster
     * contributes (over-dense clusters are redundant; coverage of the
@@ -736,6 +784,7 @@ object Similarity extends QueryModule {
     "q124_power_iter" -> ((s, d) => q124(Tables(s, d))),
     "q132_pq_quantize" -> ((s, d) => q132(Tables(s, d))),
     "q137_semantic_decon" -> ((s, d) => q137(Tables(s, d))),
+    "q145_embedding_drift" -> ((s, d) => q145(Tables(s, d))),
     "q115_ivf_recall" -> ((s, d) => q115(Tables(s, d))),
     "q101_semdedup" -> ((s, d) => q101(Tables(s, d))),
     "q104_cluster_sample" -> ((s, d) => q104(Tables(s, d))),
@@ -856,6 +905,28 @@ object Similarity extends QueryModule {
         | CAST(sum(CASE WHEN kept THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
         | round(sum(CASE WHEN kept THEN 1 ELSE 0 END) / count(*), 4) AS sample_rate
         |FROM r GROUP BY label ORDER BY label""".stripMargin,
+    "q145_embedding_drift" ->
+      s"""WITH e AS (
+         | SELECT vec_id, label,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |   x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         | FROM embeddings),
+         | x AS (
+         | SELECT label, vec_id % 2 = 0 AS is_a, d AS dim, q[d] AS v
+         | FROM e CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS d)),
+         | s AS (
+         | SELECT label, is_a, dim, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+         | FROM x GROUP BY 1, 2, 3),
+         | a AS (SELECT label, dim, s AS sa, n AS na FROM s WHERE is_a),
+         | b AS (SELECT label, dim, s AS sb, n AS nb FROM s WHERE NOT is_a),
+         | j AS (
+         | SELECT a.label, a.dim,
+         |  CAST(sa * nb - sb * na AS DOUBLE) / CAST(na * nb AS DOUBLE) AS d, na, nb
+         | FROM a JOIN b ON a.label = b.label AND a.dim = b.dim)
+         |SELECT label, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+         | CAST(sum(CAST(round(d * d, 0) AS BIGINT)) AS BIGINT) AS drift_e12,
+         | CAST(max(CAST(round(abs(d), 0) AS BIGINT)) AS BIGINT) AS max_dim_gap_e6
+         |FROM j GROUP BY label ORDER BY label""".stripMargin,
     "q137_semantic_decon" ->
       s"""WITH $duckVectors,
          | ev AS (SELECT label, vec_id AS eval_id, v, nrm FROM n WHERE vec_id % 97 = 0),

@@ -555,6 +555,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.size == evs.distinct.size)
   }
 
+  test("q145 embedding drift matches a scalar cross-multiplied recomputation") {
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("label").intValue,
+        r.getAs[scala.collection.Seq[Float]]("embedding")))
+    def e6(x: Float): Long = BigDecimal(x.toDouble * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val dims = vecs.head._3.length
+    val expected = vecs.groupBy(_._2).flatMap { case (label, vs) =>
+      val (as, bs) = vs.partition(_._1 % 2 == 0)
+      if (as.isEmpty || bs.isEmpty) None
+      else {
+        val (na, nb) = (as.size.toLong, bs.size.toLong)
+        var drift = 0L
+        var maxGap = 0L
+        (0 until dims).foreach { d =>
+          val sa = as.map(v => e6(v._3(d))).sum
+          val sb = bs.map(v => e6(v._3(d))).sum
+          val gap = (sa * nb - sb * na).toDouble / (na * nb).toDouble
+          drift += BigDecimal(gap * gap).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          maxGap = math.max(maxGap,
+            BigDecimal(math.abs(gap)).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        }
+        Some((label, na, nb, drift, maxGap))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q145_embedding_drift")(spark, sf).collect()
+      .map(r => (r.getAs[Number]("label").intValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    // the max single-dimension gap can never exceed the total drift's
+    // square root (it is one of the summed squares)
+    got.foreach { case (label, _, _, drift, maxGap) =>
+      assert(maxGap.toDouble * maxGap <= drift.toDouble + 1, s"label $label") }
+  }
+
   test("q104 cluster sample matches an independent hash-rank recomputation and retunes the cap") {
     def rnd4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
