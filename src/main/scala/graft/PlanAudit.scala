@@ -186,6 +186,11 @@ object PlanAudit {
     // map-side) → hash-keyed membership join → source rollup with
     // countDistinct (two-phase) → sort
     "q140_prefix_boilerplate" -> 4,
+    // h-keyed train-df agg with countDistinct (two-phase expand) + the
+    // (split, h) eval distinct + their h-keyed join + single-row train
+    // doc-count agg (broadcast back; prints per branch, AQE reuses the
+    // shared window subtree) + |splits|-row rollup + sort
+    "q146_leak_severity" -> 7,
     // one h-keyed joint membership-set agg (prints once per consuming
     // branch — per-source pairs AND the per-split totals; AQE reuses) →
     // (split, source) rollup + |splits|-row totals agg (broadcast back)

@@ -1244,6 +1244,51 @@ object Dedup extends QueryModule {
       .orderBy(col("split"), col("train_source"))
   }
 
+  /** Leakage severity weighting (new r12 — the third leg of the q120
+    * family: q120 says HOW MUCH leaks, q143 FROM WHERE, this says HOW
+    * BAD — not every leaked window is equal. A window present in half
+    * the train corpus is boilerplate; a window in exactly ONE train doc
+    * is a verbatim eval passage sitting in train, the leak that
+    * actually inflates benchmarks): per eval split, the leaked-window
+    * count, the verbatim subset (train document frequency 1), and the
+    * IDF-weighted severity mass Σ ln(N_train_docs / df) over leaked
+    * windows — quantized per window to integer 1e-4 units (q90's one-ln
+    * discipline) so the sum is an order-independent long add.
+    *
+    * Scale shape: the train df table is an h-keyed countDistinct over
+    * the window stream (vocab-scale output); eval distinct windows join
+    * it h-keyed; the train doc count is a single-row broadcast (q15's
+    * scalar pattern); the rollup is |splits|-row.
+    */
+  private def q146(t: Tables): DataFrame = {
+    val k = windowK(t)
+    val pos = Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("doc_id"),
+        (expr(hexint32("md5(CAST(doc_id AS STRING))")) % 100).as("bucket"),
+        explode(windowHashes(k)).as("h"))
+      .withColumn(
+        "split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+    val train = pos.filter(col("split") === "train")
+    val df = train.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+    val nTrain = train.agg(countDistinct(col("doc_id")).as("n_train"))
+    val evalW = pos.filter(col("split") =!= "train").select(col("split"), col("h")).distinct()
+    evalW
+      .join(df, Seq("h"))
+      .join(broadcast(nTrain))
+      .withColumn(
+        "sev_e4",
+        expr("CAST(round(ln(CAST(n_train AS DOUBLE) / CAST(df AS DOUBLE)) * 10000, 0) AS BIGINT)"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_leaked_windows"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_verbatim"),
+        sum(col("sev_e4")).as("total_severity_e4"),
+        max(col("sev_e4")).as("max_severity_e4"))
+      .orderBy(col("split"))
+  }
+
   /** Per-source window novelty — the inverse readout of q92's overlap
     * matrix at substring granularity: how much of each source's distinct
     * K-token window vocabulary appears in NO other source. The corpus-mix
@@ -1464,6 +1509,7 @@ object Dedup extends QueryModule {
     "q140_prefix_boilerplate" -> ((s, d) => q140(Tables(s, d))),
     "q142_planted_recall" -> ((s, d) => q142(Tables(s, d))),
     "q143_leakage_by_source" -> ((s, d) => q143(Tables(s, d))),
+    "q146_leak_severity" -> ((s, d) => q146(Tables(s, d))),
     "q79_dedup_report" -> ((s, d) => q79(Tables(s, d))),
     "q75_decontaminate" -> ((s, d) => q75(Tables(s, d))),
     "q63_simhash_pairs" -> ((s, d) => q63(Tables(s, d))),
@@ -1625,6 +1671,38 @@ object Dedup extends QueryModule {
         | round(sum(CASE WHEN n_occ IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS dup_share
         |FROM p LEFT JOIN r USING (h)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q146_leak_severity" ->
+      s"""WITH w AS (
+         | SELECT doc_id, string_split(text, ' ') AS ws,
+         |  ${hexint32("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+         | FROM documents),
+         | s AS (
+         | SELECT doc_id,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |       ELSE 'test' END AS split, ws
+         | FROM w),
+         | p AS (
+         | SELECT doc_id, split,
+         |  unnest(CASE WHEN len(ws) >= 8 THEN
+         |    list_transform(range(1, len(ws) - 8 + 2),
+         |      i -> md5(array_to_string(list_slice(ws, i, i + 7), ' ')))
+         |   ELSE CAST([] AS VARCHAR[]) END) AS h
+         | FROM s),
+         | dfq AS (
+         | SELECT h, count(DISTINCT doc_id) AS df FROM p WHERE split = 'train' GROUP BY h),
+         | nt AS (
+         | SELECT count(DISTINCT doc_id) AS n_train FROM p WHERE split = 'train'),
+         | ev AS (SELECT DISTINCT split, h FROM p WHERE split <> 'train'),
+         | sv AS (
+         | SELECT split, df,
+         |  CAST(round(ln(CAST(n_train AS DOUBLE) / CAST(df AS DOUBLE)) * 10000, 0) AS BIGINT)
+         |    AS sev_e4
+         | FROM ev JOIN dfq USING (h) CROSS JOIN nt)
+         |SELECT split, count(*) AS n_leaked_windows,
+         | CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_verbatim,
+         | CAST(sum(sev_e4) AS BIGINT) AS total_severity_e4,
+         | CAST(max(sev_e4) AS BIGINT) AS max_severity_e4
+         |FROM sv GROUP BY split ORDER BY split""".stripMargin,
     "q143_leakage_by_source" ->
       s"""WITH w AS (
          | SELECT doc_id, source, string_split(text, ' ') AS ws,

@@ -1229,6 +1229,42 @@ class CorpusAuditSpec extends AnyFunSuite {
       assert(rows.map(_._3).sum >= totals(split).toLong, split) }
   }
 
+  test("q146 leak severity matches a scalar IDF recomputation and q120's totals") {
+    val perDoc = docs.map { case (id, text, _, _) =>
+      val bucket = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100
+      val split = if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+      val ws = text.split(" ", -1)
+      val hs = if (ws.length >= 8) ws.sliding(8).map(w => md5hex(w.mkString(" "))).toSet
+        else Set.empty[String]
+      (id, split, hs)
+    }
+    val train = perDoc.filter(_._2 == "train")
+    val nTrain = train.size
+    val dfm = train.flatMap { case (id, _, hs) => hs.map(h => (h, id)) }
+      .distinct.groupBy(_._1).map { case (h, xs) => h -> xs.size }
+    def sevE4(df: Int): Long = BigDecimal(math.log(nTrain.toDouble / df) * 10000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = perDoc.filter(_._2 != "train")
+      .flatMap { case (_, split, hs) => hs.map(h => (split, h)) }
+      .distinct
+      .flatMap { case (split, h) => dfm.get(h).map(df => (split, df)) }
+      .groupBy(_._1).map { case (split, xs) =>
+        (split, xs.size.toLong, xs.count(_._2 == 1).toLong,
+          xs.map(x => sevE4(x._2)).sum, xs.map(x => sevE4(x._2)).max)
+      }.toSet
+    val got = SparkEntry.queries("q146_leak_severity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // the leaked-window totals are exactly q120's per split
+    val q120 = SparkEntry.queries("q120_split_leakage")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_leaked_windows")).toMap
+    got.foreach { case (split, n, nv, _, _) =>
+      assert(q120(split) == n, split)
+      assert(nv <= n, split)
+    }
+  }
+
   test("q131 normalization collapses the synthesized messy twins exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q131_crafted").toString
