@@ -88,6 +88,36 @@ class FreqStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.freq.store")
   }
 
+  test("a stream maintains the store: foreachBatch appends equal a one-shot rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val rows = docsAll.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (seed, arriving) = rows.splitAt(rows.size / 2)
+    FreqStore.init(spark, dir, seed.toDF("doc_id", "text"))
+    // the live ingest side: each micro-batch appends its own frequency
+    // delta — FreqStore.append is a no-op for token-free batches and the
+    // count-merge is additive, so batch boundaries cannot matter
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        FreqStore.append(spark, dir, batch); ()
+      }
+      .start()
+    val (w1, w2) = arriving.splitAt(arriving.size / 2)
+    ms.addData(w1: _*)
+    q.processAllAvailable()
+    ms.addData(w2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val scratch = tmp()
+    FreqStore.init(spark, scratch, rows.toDF("doc_id", "text"))
+    assert(view(dir) == view(scratch),
+      "stream-maintained store diverges from the one-shot rebuild")
+  }
+
   test("concurrent version claim: exactly one writer publishes, no staging debris") {
     val dir = tmp()
     val ids = docsAll.select(col("doc_id")).collect().map(_.getLong(0)).sorted
