@@ -714,6 +714,24 @@ object Dedup extends QueryModule {
   private def q62(t: Tables): DataFrame =
     components(t).orderBy(col("doc_id"))
 
+  /** Near-dup component-size histogram (new r12 — the shape readout over
+    * q62's clusters: a dedup pass whose components are all pairs is
+    * normal near-duplication; a giant component is a template/boilerplate
+    * family (or an LSH threshold set too low) and deserves a human look
+    * before keep-one deletes most of it): per component size, how many
+    * components and how many docs they hold. Rides the verified q62
+    * machinery unchanged; both rollups are component-table-scale (≪
+    * corpus — only docs IN a component appear).
+    */
+  private def q147(t: Tables): DataFrame =
+    components(t)
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_components"))
+      .withColumn("n_docs", col("sz") * col("n_components"))
+      .orderBy(col("sz"))
+
   /** End-to-end dedup report — the pipeline deliverable the individual
     * stages (q35 exact, q37/q38 candidates+verify, q62 clusters) feed: per
     * source, how many documents survive deduplication. Drop policy is the
@@ -1510,6 +1528,7 @@ object Dedup extends QueryModule {
     "q142_planted_recall" -> ((s, d) => q142(Tables(s, d))),
     "q143_leakage_by_source" -> ((s, d) => q143(Tables(s, d))),
     "q146_leak_severity" -> ((s, d) => q146(Tables(s, d))),
+    "q147_cluster_sizes" -> ((s, d) => q147(Tables(s, d))),
     "q79_dedup_report" -> ((s, d) => q79(Tables(s, d))),
     "q75_decontaminate" -> ((s, d) => q75(Tables(s, d))),
     "q63_simhash_pairs" -> ((s, d) => q63(Tables(s, d))),
@@ -2164,6 +2183,20 @@ object Dedup extends QueryModule {
          | CAST(count(*) - sum(CASE WHEN exact_drop THEN 1 ELSE 0 END)
          |   - sum(CASE WHEN near_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
          |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q147_cluster_sizes" ->
+      s"""WITH RECURSIVE $duckJpairsCtes,
+         | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |           UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         | nodes AS (SELECT DISTINCT u FROM edges),
+         | reach(u, v) AS (
+         |  SELECT u, u AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         | comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+         | szs AS (SELECT component_id, count(*) AS sz FROM comp GROUP BY component_id)
+         |SELECT sz, count(*) AS n_components,
+         | CAST(sz * count(*) AS BIGINT) AS n_docs
+         |FROM szs GROUP BY sz ORDER BY sz""".stripMargin,
     "q62_dup_clusters" ->
       s"""WITH RECURSIVE $duckJpairsCtes,
          | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs

@@ -1265,6 +1265,20 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q147 cluster-size histogram is exactly q62's component table re-binned") {
+    val comp = SparkEntry.queries("q62_dup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = comp.groupBy(_._2).map(_._2.size).groupBy(identity)
+      .map { case (sz, xs) => (sz.toLong, xs.size.toLong, sz.toLong * xs.size) }.toSet
+    val got = SparkEntry.queries("q147_cluster_sizes")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // every clustered doc lands in exactly one histogram cell
+    assert(got.toSeq.map(_._3).sum == comp.length.toLong)
+    // components are pair-or-larger by construction
+    assert(got.forall(_._1 >= 2))
+  }
+
   test("q131 normalization collapses the synthesized messy twins exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q131_crafted").toString
