@@ -128,6 +128,47 @@ object Extras extends QueryModule {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
+  /** Attribution-window sweep (new r12 — the q114/q116 sweep discipline
+    * applied to q52/q73's as-of attribution: BEFORE a pipeline fixes the
+    * 30-minute click→purchase window, this table prices every candidate
+    * — too narrow loses real conversions, too wide claims coincidences):
+    * per window arm {5 m, 30 m, 2 h}, purchases attributed to a prior
+    * same-user click, the share, and the median click→purchase gap among
+    * the attributed. The per-purchase latest-prior-click is
+    * window-INDEPENDENT (q52's one as-of pass), so the whole sweep costs
+    * one q52: one user-keyed shuffle, a 3-arm map-side explode, a
+    * |arms|-row rollup. Gaps stay integer µs until the final rounded
+    * seconds (q134's discipline, `percentile` ≡ `quantile_cont` parity).
+    */
+  private def q148(t: Tables): DataFrame = {
+    val armsUs = Seq(300L, 1800L, 7200L).map(_ * 1000000L)
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("last_click_us", max(when(col("event_type") === "click", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_us", col("us") - col("last_click_us"))
+      .select(
+        col("gap_us"),
+        explode(array(armsUs.map(lit(_)): _*)).as("window_us"))
+      .withColumn(
+        "attributed", col("gap_us").isNotNull && col("gap_us") <= col("window_us"))
+      .groupBy((col("window_us") / 1000000L).cast("long").as("window_s"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+        round(
+          sum(when(col("attributed"), 1L).otherwise(0L)) / count(lit(1)), 4).as("attr_share"),
+        round(
+          expr("percentile(CASE WHEN attributed THEN gap_us END, 0.5)") / 1000000.0, 2)
+          .as("p50_gap_s"))
+      .orderBy(col("window_s"))
+  }
+
   /** Bucketed range join (see RangeJoin): orders priced into quadratic
     * price bands via bucket equi-join instead of a nested-loop BETWEEN.
     */
@@ -601,6 +642,7 @@ object Extras extends QueryModule {
     "q133_user_concentration" -> ((s, d) => q133(Tables(s, d))),
     "q134_event_gaps" -> ((s, d) => q134(Tables(s, d))),
     "q138_volume_anomaly" -> ((s, d) => q138(Tables(s, d))),
+    "q148_attribution_sweep" -> ((s, d) => q148(Tables(s, d))),
     "q93_zorder_cells" -> ((s, d) => q93(Tables(s, d))),
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
     "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
@@ -649,6 +691,29 @@ object Extras extends QueryModule {
         |SELECT event_type, day, n, round(mu, 2) AS mu, z,
         | abs(coalesce(z, 0.0)) >= 2.0 AS anomalous
         |FROM z ORDER BY event_type, day""".stripMargin,
+    "q148_attribution_sweep" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        | FROM events WHERE event_type IN ('purchase', 'click')),
+        | a AS (
+        | SELECT user_id, event_type, us,
+        |  max(CASE WHEN event_type = 'click' THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        | FROM e),
+        | p AS (SELECT us - last_click_us AS gap_us FROM a WHERE event_type = 'purchase'),
+        | x AS (
+        | SELECT gap_us, unnest([300000000, 1800000000, 7200000000]) AS window_us FROM p),
+        | f AS (
+        | SELECT CAST(window_us // 1000000 AS BIGINT) AS window_s, gap_us,
+        |  gap_us IS NOT NULL AND gap_us <= window_us AS attributed
+        | FROM x)
+        |SELECT window_s, count(*) AS n_purchases,
+        | CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        | round(sum(CASE WHEN attributed THEN 1 ELSE 0 END) / count(*), 4) AS attr_share,
+        | round(quantile_cont(CASE WHEN attributed THEN gap_us END, 0.5) / 1000000.0, 2)
+        |   AS p50_gap_s
+        |FROM f GROUP BY window_s ORDER BY window_s""".stripMargin,
     "q134_event_gaps" ->
       """WITH e AS (
         | SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),

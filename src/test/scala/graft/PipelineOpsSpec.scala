@@ -591,6 +591,47 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(maxGap.toDouble * maxGap <= drift.toDouble + 1, s"label $label") }
   }
 
+  test("q148 attribution sweep matches a scalar as-of recomputation and q52's pass") {
+    def pctl(sorted: Seq[Long], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < sorted.length) sorted(lo) * (1 - frac) + sorted(lo + 1) * frac
+      else sorted(lo).toDouble
+    }
+    def rnd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = Tables(spark, sf).events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // per purchase: gap to the latest strictly-prior same-user click
+    val gaps = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(e => (e._4, e._2))
+      sorted.zipWithIndex.collect { case ((_, _, "purchase", us), i) =>
+        sorted.take(i).reverse.collectFirst { case (_, _, "click", cus) => us - cus }
+      }
+    }
+    val expected = Seq(300L, 1800L, 7200L).map { ws =>
+      val attributed = gaps.collect { case Some(g) if g <= ws * 1000000L => g }
+      (ws, gaps.size.toLong, attributed.size.toLong,
+        rnd(attributed.size.toDouble / gaps.size, 4),
+        if (attributed.isEmpty) None
+        else Some(rnd(pctl(attributed.sorted, 0.5) / 1e6, 2)))
+    }.toSet
+    val got = SparkEntry.queries("q148_attribution_sweep")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == expected)
+    // wider windows can only attribute more; q52's pass is the same as-of
+    val byW = got.toSeq.sortBy(_._1).map(_._3)
+    assert(byW.sliding(2).forall { case Seq(a, b) => b >= a; case _ => true })
+    val q52n = SparkEntry.queries("q52_asof_join")(spark, sf).collect()
+      .count(_.getAs[Long]("last_click_us") >= 0L)
+    assert(q52n.toLong == gaps.count(_.isDefined).toLong,
+      "q52's attributed purchases disagree with the scalar as-of")
+  }
+
   test("q104 cluster sample matches an independent hash-rank recomputation and retunes the cap") {
     def rnd4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
