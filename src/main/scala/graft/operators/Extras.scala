@@ -548,6 +548,30 @@ object Extras extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Hour-of-day seasonality profile (new r12 — q17's timeline FOLDED
+    * onto the clock: capacity planning and anomaly baselines need the
+    * diurnal shape, not the calendar sequence — q138's per-day z-scores
+    * over-flag types with strong diurnal cycles unless this profile is
+    * the baseline): per (event type, UTC hour-of-day), volume and the
+    * share of the type's traffic, plus the type's peak hour flagged.
+    *
+    * Scale shape: hour extraction is map-side; the corpus-scale pass is
+    * ONE partial-aggregable (type, hour) count (≤ 24·|types| rows out);
+    * share and peak derive from windows over that tiny agg relation,
+    * partitioned by type. Integer counts; one rounded division.
+    */
+  private def q149(t: Tables): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    t.events
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(byType))
+      .withColumn("share", round(col("n") / col("total"), 4))
+      .withColumn("peak", col("n") === max(col("n")).over(byType))
+      .select(col("event_type"), col("hod"), col("n"), col("share"), col("peak"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
   /** Daily volume-anomaly profile per event type (new r12 — the ops
     * canary next to q133's concentration audit: a day whose volume sits
     * ≥ 2σ from its type's mean is an outage, a bot storm, or a
@@ -643,6 +667,7 @@ object Extras extends QueryModule {
     "q134_event_gaps" -> ((s, d) => q134(Tables(s, d))),
     "q138_volume_anomaly" -> ((s, d) => q138(Tables(s, d))),
     "q148_attribution_sweep" -> ((s, d) => q148(Tables(s, d))),
+    "q149_hourly_seasonality" -> ((s, d) => q149(Tables(s, d))),
     "q93_zorder_cells" -> ((s, d) => q93(Tables(s, d))),
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
     "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
@@ -691,6 +716,17 @@ object Extras extends QueryModule {
         |SELECT event_type, day, n, round(mu, 2) AS mu, z,
         | abs(coalesce(z, 0.0)) >= 2.0 AS anomalous
         |FROM z ORDER BY event_type, day""".stripMargin,
+    "q149_hourly_seasonality" ->
+      """WITH h AS (
+        | SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        | x AS (
+        | SELECT event_type, hod, n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |  CAST(max(n) OVER (PARTITION BY event_type) AS BIGINT) AS mx
+        | FROM h)
+        |SELECT event_type, hod, n, round(n / total, 4) AS share, n = mx AS peak
+        |FROM x ORDER BY event_type, hod""".stripMargin,
     "q148_attribution_sweep" ->
       """WITH e AS (
         | SELECT user_id, event_id, event_type, epoch_us(ts) AS us

@@ -632,6 +632,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       "q52's attributed purchases disagree with the scalar as-of")
   }
 
+  test("q149 hourly seasonality matches a scalar fold with conservation") {
+    def rnd4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = Tables(spark, sf).events
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hod")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = evs.groupBy(_._1).flatMap { case (tpe, xs) =>
+      val byH = xs.groupBy(_._2).map { case (h, es) => h -> es.size.toLong }
+      val total = xs.size.toLong
+      val mx = byH.values.max
+      byH.map { case (h, n) =>
+        (tpe, h, n, rnd4(n.toDouble / total), n == mx)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q149_hourly_seasonality")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+    assert(got == expected)
+    // conservation: per type, the profile holds every event exactly once
+    val volumes = evs.groupBy(_._1).map { case (t2, xs) => t2 -> xs.size.toLong }
+    got.groupBy(_._1).foreach { case (tpe, rows) =>
+      assert(rows.toSeq.map(_._3).sum == volumes(tpe), tpe)
+      assert(rows.exists(_._5), s"$tpe has no peak hour")
+    }
+  }
+
   test("q104 cluster sample matches an independent hash-rank recomputation and retunes the cap") {
     def rnd4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
