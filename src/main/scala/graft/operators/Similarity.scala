@@ -623,6 +623,45 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Per-source topical-diversity entropy (new r12 — the mixing-decision
+    * readout that closes the cross-modal loop q111 opened: q111 profiles
+    * quality per CLUSTER, this profiles cluster ENTROPY per SOURCE — a
+    * source whose docs all land in one embedding cluster is topically
+    * redundant however large it is, and q65/q128's mixing weights should
+    * know that; max-entropy sources buy coverage): per source, Shannon
+    * entropy (nats) of its label distribution, label count, and the top
+    * label's share.
+    *
+    * Float discipline: each (source, label) entropy term −p·ln p
+    * quantizes to integer 1e-6 units BEFORE the cross-label sum (q141's
+    * rule — the label set is variable, so an unquantized double sum
+    * would be order-dependent); p itself is one exact-integer ratio in
+    * double (identical bits both engines). Scale shape: the doc_id-keyed
+    * docs⋈embeddings join (co-bucket at 100 TB — q111's story), one
+    * partial-aggregable (source, label) count, windows over that tiny
+    * agg relation, |sources|-row rollup.
+    */
+  private def q150(t: Tables): DataFrame = {
+    val byS = Window.partitionBy(col("source"))
+    t.embeddings
+      .select(col("vec_id").as("doc_id"), col("label"))
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(byS))
+      .withColumn(
+        "term_e6",
+        expr("""CAST(round(-(CAST(n AS DOUBLE) / total)
+               | * ln(CAST(n AS DOUBLE) / total) * 1000000, 0) AS BIGINT)""".stripMargin))
+      .groupBy(col("source"))
+      .agg(
+        max(col("total")).as("n_docs"),
+        count(lit(1)).as("n_labels"),
+        sum(col("term_e6")).as("entropy_e6"),
+        round(max(col("n")) / max(col("total")), 4).as("top_label_share"))
+      .orderBy(col("source"))
+  }
+
   /** Embedding-drift audit between ingest batches (new r12 — the MLOps
     * canary next to q109's validity gate: an encoder version bump or a
     * silent preprocessing change shifts the embedding DISTRIBUTION while
@@ -785,6 +824,7 @@ object Similarity extends QueryModule {
     "q132_pq_quantize" -> ((s, d) => q132(Tables(s, d))),
     "q137_semantic_decon" -> ((s, d) => q137(Tables(s, d))),
     "q145_embedding_drift" -> ((s, d) => q145(Tables(s, d))),
+    "q150_source_diversity" -> ((s, d) => q150(Tables(s, d))),
     "q115_ivf_recall" -> ((s, d) => q115(Tables(s, d))),
     "q101_semdedup" -> ((s, d) => q101(Tables(s, d))),
     "q104_cluster_sample" -> ((s, d) => q104(Tables(s, d))),
@@ -905,6 +945,24 @@ object Similarity extends QueryModule {
         | CAST(sum(CASE WHEN kept THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
         | round(sum(CASE WHEN kept THEN 1 ELSE 0 END) / count(*), 4) AS sample_rate
         |FROM r GROUP BY label ORDER BY label""".stripMargin,
+    "q150_source_diversity" ->
+      """WITH l AS (
+        | SELECT e.vec_id AS doc_id, e.label, d.source
+        | FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        | c AS (SELECT source, label, count(*) AS n FROM l GROUP BY 1, 2),
+        | x AS (
+        | SELECT source, label, n,
+        |  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
+        | FROM c),
+        | tm AS (
+        | SELECT source, n, total,
+        |  CAST(round(-(CAST(n AS DOUBLE) / total)
+        |    * ln(CAST(n AS DOUBLE) / total) * 1000000, 0) AS BIGINT) AS term_e6
+        | FROM x)
+        |SELECT source, CAST(max(total) AS BIGINT) AS n_docs, count(*) AS n_labels,
+        | CAST(sum(term_e6) AS BIGINT) AS entropy_e6,
+        | round(CAST(max(n) AS DOUBLE) / max(total), 4) AS top_label_share
+        |FROM tm GROUP BY source ORDER BY source""".stripMargin,
     "q145_embedding_drift" ->
       s"""WITH e AS (
          | SELECT vec_id, label,

@@ -658,6 +658,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q150 source diversity matches a scalar entropy recomputation with bounds") {
+    def rnd4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val labels = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("label").intValue)).toMap
+    val bySrc = Tables(spark, sf).documents
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .collect { case (id, src) if labels.contains(id) => (src, labels(id)) }
+    val expected = bySrc.groupBy(_._1).map { case (src, xs) =>
+      val byL = xs.groupBy(_._2).map { case (_, es) => es.size.toLong }.toSeq
+      val total = xs.size.toLong
+      val entropy = byL.map { n =>
+        val p = n.toDouble / total
+        BigDecimal(-p * math.log(p) * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      (src, total, byL.size.toLong, entropy, rnd4(byL.max.toDouble / total))
+    }.toSet
+    val got = SparkEntry.queries("q150_source_diversity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expected)
+    // entropy is bounded by ln of the label count; one-label sources hit 0
+    got.foreach { case (src, _, nl, e, _) =>
+      assert(e <= math.ceil(math.log(nl.toDouble) * 1000000).toLong + nl, src)
+      if (nl == 1) assert(e == 0L, src)
+    }
+  }
+
   test("q104 cluster sample matches an independent hash-rank recomputation and retunes the cap") {
     def rnd4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
