@@ -18,9 +18,11 @@ object PlanAudit {
     "q27_catalog_tree", "q40_cosine_topk", "q41_embedding_neardup", "q43_ivf_search",
     "q90_tfidf", "q92_source_overlap")
   // q115's ground-truth branch is the q40 broadcast-sample scan — the
-  // audit's declared, sample-bounded cost
+  // audit's declared, sample-bounded cost. (q50 was delisted in r13: it
+  // has been a banded broadcast equi-join since r1, so a cartesian there
+  // is a regression this audit must catch, not whitelist.)
   private val allowCross =
-    Set("q40_cosine_topk", "q41_embedding_neardup", "q50_haversine", "q115_ivf_recall")
+    Set("q40_cosine_topk", "q41_embedding_neardup", "q115_ivf_recall")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -221,7 +223,45 @@ object PlanAudit {
     // (user, day) distinct (partial-agg map-side), ONE user-keyed shuffle
     // shared by the rank window + island rollup, |streaks|-scale histogram
     // agg, |lengths|-row sort
-    "q125_activity_streaks" -> 4).withDefaultValue(3)
+    "q125_activity_streaks" -> 4,
+    // r13: the q126-q150 wave pinned to its MEASURED shuffle count (no
+    // silent default-3 rides — a lost broadcast or a new exchange trips
+    // the audit instead of hiding under the default). One line each:
+    // packing-stat agg → |configs| explode rollup → sort
+    "q126_pack_sweep" -> 3,
+    // pairStats chain (band join + pair agg; shingle fetches broadcast at
+    // this SF) → quartile rollup → sort
+    "q127_containment" -> 3,
+    // source rollup → |T|·|sources| metadata explode agg → sort
+    "q128_temperature_mix" -> 3,
+    // pairStats chain + two cap_text key joins (broadcast-absorbed at
+    // this SF) → class rollup → sort — the DP rides map-side
+    "q129_edit_verify" -> 3,
+    // normalized-hash canonical agg + uplift rollup → sort
+    "q131_norm_dedup" -> 3,
+    // (label, dim) centroid agg → assignment probe agg → sort
+    "q132_pq_quantize" -> 3,
+    // user rollup → concentration histogram agg → sort
+    "q133_user_concentration" -> 3,
+    // user-keyed lag window → gap histogram agg → sort
+    "q134_event_gaps" -> 3,
+    // per-doc token/subword stats ride the scan; source rollup → sort
+    "q135_tokenizer_fertility" -> 2,
+    // per-blob byte-histogram kernel map-side; modality rollup → sort
+    "q141_payload_entropy" -> 2,
+    // planted-pair probe join rides broadcast; recall rollup → sort
+    "q142_planted_recall" -> 2,
+    // per-doc score agg → calibration-band rollup → sort
+    "q144_score_calibration" -> 3,
+    // q62's component machinery (its loop runs on checkpointed edges
+    // outside this plan) + size-histogram rollup → sort
+    "q147_cluster_sizes" -> 3,
+    // first-touch agg → |windows| explode rollup → sort
+    "q148_attribution_sweep" -> 3,
+    // (type, hour) count agg → type-keyed share/peak window → sort
+    "q149_hourly_seasonality" -> 3,
+    // label-keyed cluster agg → per-source entropy rollup → sort
+    "q150_source_diversity" -> 3).withDefaultValue(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -75,17 +75,35 @@ object Dedup extends QueryModule {
   private[operators] def bandHash(b: Int, h: String): String =
     s"(($h * ${2 * b + 1} + ${7919 * b}) % 2147483647)"
 
-  // q129's word→char compression: one printable-ASCII char (33..126, so
-  // byte ≡ char in every engine) per word from its md5's first byte —
-  // the same arithmetic rendered to both engines; words collide at 1/94
-  private def wordChar(w: String): String = {
-    val h = s"(${hexval(s"substr(md5($w), 1, 1)")} * 16 + ${hexval(s"substr(md5($w), 2, 1)")})"
+  // q129's word→chars compression: `n` printable-ASCII chars (33..126, so
+  // byte ≡ char in every engine) per word from its md5's leading bytes —
+  // the same arithmetic rendered to both engines. At the default n=2 the
+  // effective word alphabet is 94² ≈ 8.8k (pairwise collision odds
+  // 1/8836, hardened from the r12 single-char cut's 1/94) and one word
+  // edit costs exactly n DP cells, so lev/maxlen stays the word-granular
+  // ratio (up to the ≤1/94-odds partial char match at an edit boundary).
+  // `graft.dedup.edit.charsPerWord` (1 or 2, default 2): the r12 1/94
+  // single-char compression stays reachable so the collision-sensitivity
+  // spec can quantify how much the class table moves between alphabets;
+  // the oracle always renders the default.
+  private def charsPerWord(t: Tables): Int = {
+    val n = t.spark.conf.get("graft.dedup.edit.charsPerWord", "2").toInt
+    require(n == 1 || n == 2, s"graft.dedup.edit.charsPerWord must be 1 or 2: $n")
+    n
+  }
+  private def wordChar(w: String, i: Int): String = {
+    val h = s"(${hexval(s"substr(md5($w), ${2 * i + 1}, 1)")} * 16 + " +
+      s"${hexval(s"substr(md5($w), ${2 * i + 2}, 1)")})"
     s"chr(33 + $h % 94)"
   }
-  private def wordString(textCol: String, cap: Int): String =
-    s"concat_ws('', transform(slice(split($textCol, ' '), 1, $cap), w -> ${wordChar("w")}))"
-  private def wordStringDuck(cap: Int): String =
-    s"array_to_string(list_transform(array_slice(string_split(text, ' '), 1, $cap), w -> ${wordChar("w")}), '')"
+  private def wordChars(w: String, n: Int): String =
+    if (n == 1) wordChar(w, 0)
+    else s"concat(${(0 until n).map(wordChar(w, _)).mkString(", ")})"
+  private def wordString(textCol: String, cap: Int, n: Int): String =
+    s"concat_ws('', transform(slice(split($textCol, ' '), 1, $cap), w -> ${wordChars("w", n)}))"
+  private def wordStringDuck(cap: Int, n: Int): String =
+    s"array_to_string(list_transform(array_slice(string_split(text, ' '), 1, $cap), " +
+      s"w -> ${wordChars("w", n)}), '')"
 
   /** Per-doc minhash signatures via the native one-pass kernel
     * (functions.MinHashSigs) — identical semantics to the expression
@@ -106,26 +124,118 @@ object Dedup extends QueryModule {
     */
   /** Unsorted LSH candidate pairs — shared by q37 (which adds the
     * presentation sort) and the q38/q62 consumers (which don't need it, so
-    * the range exchange + sort never runs inside their pipelines).
+    * the range exchange + sort never runs inside their pipelines). With
+    * the pair cache on, rides the shared [[pairStats]] artifact instead
+    * of re-deriving the band join.
     */
-  private def lshCandidates(t: Tables): DataFrame = {
-    // (band, sig) rows straight off the kernel array via posexplode —
-    // same values q36 widens into sig_b columns, minus q36's per-band
-    // projection and presentation sort
+  private def lshCandidates(t: Tables): DataFrame =
+    if (pairCacheOn(t))
+      pairStats(t).select(col("doc_a"), col("doc_b"), col("n_shared_bands"))
+    else {
+      // (band, sig) rows straight off the kernel array via posexplode —
+      // same values q36 widens into sig_b columns, minus q36's per-band
+      // projection and presentation sort
+      val narrow = Tables.localSplit(t.documents, col("doc_id"))
+        .select(
+          col("doc_id"),
+          posexplode(graft.functions.GraftFunctions.minhash_sigs(col("text"), bands(t)))
+            .as(Seq("band", "sig")))
+      val a = narrow.as("a")
+      val b = narrow.as("b")
+      a.join(
+          b,
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+    }
+
+  // -- the shared LSH verify artifact ----------------------------------
+  // q38/q86/q116/q117/q127/q129 are all functions of ONE integer relation:
+  // the LSH candidate pairs with their band stats and exact shingle-set
+  // intersection sizes. Deriving it per query re-pays the signature
+  // explode + band self-join + two shingle-set fetches five times over;
+  // `graft.lsh.cache=true` derives it ONCE per (corpus, bands) and
+  // persists it for the session — the audit-session shape at 100 TB,
+  // where the verify family runs as a batch over one materialized
+  // candidate relation. Cached ≡ derived is pinned in DedupSpec's
+  // pair-cache test; every consumer computes its own floats from the
+  // integers, so rounding disciplines are untouched.
+
+  private val pairStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def pairCacheOn(t: Tables): Boolean =
+    t.spark.conf.get("graft.lsh.cache", "false").toBoolean
+
+  /** (doc_a, doc_b, n_shared_bands, first_band, shared, nsh_a, nsh_b) —
+    * every LSH candidate pair with its integer statistics: bands agreeing
+    * (and the first, for q116's prefix-band sweep), the exact shingle
+    * intersection size, and both set sizes. All downstream similarity
+    * notions (Jaccard, containment, band-agreement estimate) are pure
+    * expressions over these integers.
+    */
+  private def pairStatsDerive(t: Tables): DataFrame = {
     val narrow = Tables.localSplit(t.documents, col("doc_id"))
       .select(
         col("doc_id"),
         posexplode(graft.functions.GraftFunctions.minhash_sigs(col("text"), bands(t)))
           .as(Seq("band", "sig")))
-    val a = narrow.as("a")
-    val b = narrow.as("b")
-    a.join(
-        b,
+    val cand = narrow.as("a")
+      .join(
+        narrow.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+      .agg(count(lit(1)).as("n_shared_bands"), min(col("a.band")).as("first_band"))
+    val arrs = Tables.localSplit(t.documents, col("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
+      .withColumn("nsh", size(col("arr")).cast("long"))
+    cand
+      .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_shared_bands"), col("first_band"),
+        size(array_intersect(col("a.arr"), col("b.arr"))).cast("long").as("shared"),
+        col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
   }
+
+  /** Materialize the session pair cache (no-op when `graft.lsh.cache` is
+    * off) so its one-time build cost can be priced explicitly — Bench
+    * calls this before timing the consumers instead of letting min-of-2
+    * silently discard the build from whichever family query ran first.
+    */
+  def primePairCache(t: Tables): Long =
+    if (pairCacheOn(t)) pairStats(t).count() else 0L
+
+  /** Drop the session pair cache: unpersist every cached relation and
+    * forget it. Necessary when turning the cache OFF mid-session —
+    * persist() registers the plan fragment in Spark's CacheManager, so
+    * even conf-off derived runs would silently read the cached relation
+    * until it is unpersisted (the test suites pin derived-plan shapes and
+    * must not inherit a cache from an earlier cache-on consumer).
+    */
+  def clearPairCache(): Unit = {
+    pairStatsCache.forEach((_, df) => { df.unpersist(); () })
+    pairStatsCache.clear()
+  }
+
+  private def pairStats(t: Tables): DataFrame =
+    if (!pairCacheOn(t)) pairStatsDerive(t)
+    else {
+      val key = s"${t.spark.sparkContext.applicationId}|${t.dir}|${bands(t)}"
+      pairStatsCache.computeIfAbsent(
+        key,
+        _ => pairStatsDerive(t)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  // Jaccard from the pair integers, with the union-size-0 guard (two
+  // shingle-less docs) that would otherwise divide by zero under ANSI
+  private val pairJaccard: Column =
+    when(
+      col("nsh_a") + col("nsh_b") > col("shared"),
+      col("shared") / (col("nsh_a") + col("nsh_b") - col("shared")))
 
   private def q37(t: Tables): DataFrame =
     lshCandidates(t).orderBy(col("doc_a"), col("doc_b"))
@@ -140,25 +250,11 @@ object Dedup extends QueryModule {
     * candidate side is orders of magnitude smaller than the corpus, so
     * the two joins move candidate-count·|shingles| bytes, not corpus².
     */
-  private def jaccardPairs(t: Tables): DataFrame = {
-    val arrs = Tables.localSplit(t.documents, col("doc_id"))
-      .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
-      .withColumn("nsh", size(col("arr")).cast("long"))
-    val cand = lshCandidates(t).select(col("doc_a"), col("doc_b"))
-    cand
-      .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
-      .withColumn("shared", size(array_intersect(col("a.arr"), col("b.arr"))).cast("long"))
-      // union size 0 (two shingle-less docs) would divide by zero under
-      // ANSI; the when() drops those pairs like the oracle's inner joins do
-      .withColumn(
-        "jaccard",
-        when(
-          col("a.nsh") + col("b.nsh") > col("shared"),
-          col("shared") / (col("a.nsh") + col("b.nsh") - col("shared"))))
+  private def jaccardPairs(t: Tables): DataFrame =
+    pairStats(t)
+      .withColumn("jaccard", pairJaccard)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   private def q38(t: Tables): DataFrame =
     jaccardPairs(t).orderBy(col("doc_a"), col("doc_b"))
@@ -172,19 +268,8 @@ object Dedup extends QueryModule {
     * error alongside.
     */
   private def q86(t: Tables): DataFrame = {
-    val arrs = Tables.localSplit(t.documents, col("doc_id"))
-      .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
-      .withColumn("nsh", size(col("arr")).cast("long"))
-    val cand = lshCandidates(t)
-    cand
-      .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
-      .withColumn("shared", size(array_intersect(col("a.arr"), col("b.arr"))).cast("long"))
-      .withColumn(
-        "jaccard",
-        when(
-          col("a.nsh") + col("b.nsh") > col("shared"),
-          col("shared") / (col("a.nsh") + col("b.nsh") - col("shared"))))
+    pairStats(t)
+      .withColumn("jaccard", pairJaccard)
       .filter(col("jaccard").isNotNull)
       .withColumn("est_jaccard", col("n_shared_bands") / lit(bands(t).toDouble))
       .select(
@@ -217,22 +302,16 @@ object Dedup extends QueryModule {
   private def q127(t: Tables): DataFrame = {
     val tau = t.spark.conf.get("graft.dedup.containment.tau", "0.8").toDouble
     require(tau > 0.0 && tau <= 1.0, s"graft.dedup.containment.tau out of range: $tau")
-    val arrs = Tables.localSplit(t.documents, col("doc_id"))
-      .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
-      .withColumn("nsh", size(col("arr")).cast("long"))
-    lshCandidates(t)
-      .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
-      .withColumn("shared", size(array_intersect(col("a.arr"), col("b.arr"))).cast("long"))
+    pairStats(t)
       .filter(col("shared") > 0)
       // per-pair values round to 6 BEFORE any cross-row agg (q33's
       // discipline: never accumulate unrounded floats across rows)
       .withColumn(
         "cont",
-        round(greatest(col("shared") / col("a.nsh"), col("shared") / col("b.nsh")), 6))
+        round(greatest(col("shared") / col("nsh_a"), col("shared") / col("nsh_b")), 6))
       .withColumn(
         "jaccard",
-        round(col("shared") / (col("a.nsh") + col("b.nsh") - col("shared")), 6))
+        round(col("shared") / (col("nsh_a") + col("nsh_b") - col("shared")), 6))
       .withColumn("bucket", least(floor(col("cont") * 4), lit(3L)).cast("long"))
       .groupBy(col("bucket"))
       .agg(
@@ -256,18 +335,22 @@ object Dedup extends QueryModule {
     * a Jaccard-only dedup pass is leaving template boilerplate behind.
     *
     * Word-level, not char-level, by construction: each of the first
-    * `graft.dedup.edit.capWords` (default 128) words maps to ONE
-    * printable-ASCII char (`chr(33 + md5-byte % 94)` — the identical
-    * arithmetic rendered to both engines, ASCII so byte ≡ char under
-    * every levenshtein implementation), and the DP runs on the
-    * compressed string, so one
-    * DP cell = one word edit and per-pair cost is capWords² — ~25× below
-    * the char-level DP that made the first cut of this operator the
-    * bench's worst query (35 s at sf0.1 for 66 K candidate pairs of
-    * 256-char DPs), and the granularity the reorder/slot classes are
-    * actually defined at. Declared approximation: distinct words collide
-    * at 1/94 per pair of words, deterministically and identically in
-    * both engines.
+    * `graft.dedup.edit.capWords` (default 128) words maps to TWO
+    * printable-ASCII chars (`chr(33 + md5-byte % 94)` per leading md5
+    * byte — the identical arithmetic rendered to both engines, ASCII so
+    * byte ≡ char under every levenshtein implementation), and the DP runs
+    * on the compressed string: one word edit costs exactly 2 DP cells, so
+    * lev/maxlen is the word-granular ratio, at (2·capWords)² per-pair
+    * cost — still ~6× below the char-level DP that made the first cut of
+    * this operator the bench's worst query (35 s at sf0.1 for 66 K
+    * candidate pairs of 256-char DPs), and the granularity the
+    * reorder/slot classes are actually defined at. Declared
+    * approximation: distinct words collide at 1/8836 per pair of words
+    * (94² alphabet — hardened in r13 from the 1/94 single-char cut, whose
+    * ~1.4 expected spurious word matches per fully-distinct 128-word pair
+    * could nudge edit_sim near the τ boundary; EditCollisionSpec
+    * quantifies the class-table movement between the two alphabets),
+    * deterministically and identically in both engines.
     *
     * Scale shape: q38's candidate-bounded verify verbatim — ONE documents
     * projection carries both per-doc features (shingle set from the
@@ -280,20 +363,17 @@ object Dedup extends QueryModule {
     require(tau > 0.0 && tau <= 1.0, s"graft.dedup.edit.tau out of range: $tau")
     val cap = t.spark.conf.get("graft.dedup.edit.capWords", "128").toInt
     require(cap >= 4 && cap <= 2048, s"graft.dedup.edit.capWords out of range: $cap")
+    // the shingle integers ride the shared pairStats relation; only the
+    // DP input (the compressed word string) needs its own slim projection
     val feats = Tables.localSplit(t.documents, col("doc_id"))
-      .select(
-        col("doc_id"),
-        graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"),
-        expr(wordString("text", cap)).as("cap_text"))
-      .withColumn("nsh", size(col("arr")).cast("long"))
-    lshCandidates(t)
+      .select(col("doc_id"), expr(wordString("text", cap, charsPerWord(t))).as("cap_text"))
+    pairStats(t)
+      .filter(col("shared") > 0)
       .join(feats.as("a"), col("doc_a") === col("a.doc_id"))
       .join(feats.as("b"), col("doc_b") === col("b.doc_id"))
-      .withColumn("shared", size(array_intersect(col("a.arr"), col("b.arr"))).cast("long"))
-      .filter(col("shared") > 0)
       .withColumn(
         "jaccard",
-        round(col("shared") / (col("a.nsh") + col("b.nsh") - col("shared")), 6))
+        round(col("shared") / (col("nsh_a") + col("nsh_b") - col("shared")), 6))
       .withColumn(
         "lev", levenshtein(col("a.cap_text"), col("b.cap_text")).cast("long"))
       .withColumn(
@@ -485,30 +565,8 @@ object Dedup extends QueryModule {
   private def q116(t: Tables): DataFrame = {
     val nb = bands(t)
     val cfgs = (Seq(2, 4) :+ nb).distinct.sorted
-    val narrow = Tables.localSplit(t.documents, col("doc_id"))
-      .select(
-        col("doc_id"),
-        posexplode(graft.functions.GraftFunctions.minhash_sigs(col("text"), nb))
-          .as(Seq("band", "sig")))
-    val cand = narrow.as("a")
-      .join(
-        narrow.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(min(col("a.band")).as("first_band"))
-    val arrs = Tables.localSplit(t.documents, col("doc_id"))
-      .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
-      .withColumn("nsh", size(col("arr")).cast("long"))
-    cand
-      .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
-      .withColumn("shared", size(array_intersect(col("a.arr"), col("b.arr"))).cast("long"))
-      .withColumn(
-        "jaccard",
-        when(
-          col("a.nsh") + col("b.nsh") > col("shared"),
-          col("shared") / (col("a.nsh") + col("b.nsh") - col("shared"))))
+    pairStats(t)
+      .withColumn("jaccard", pairJaccard)
       .filter(col("jaccard").isNotNull)
       .select(col("first_band"), col("jaccard"), explode(array(cfgs.map(lit(_)): _*)).as("bands"))
       .withColumn("cand", col("first_band") < col("bands"))
@@ -575,22 +633,11 @@ object Dedup extends QueryModule {
   /** q38's candidate+verify pairs WITHOUT the ≥0.5 cutoff — the τ-sweep's
     * input (every LSH candidate with its exact Jaccard).
     */
-  private def jaccardPairsAll(t: Tables): DataFrame = {
-    val arrs = Tables.localSplit(t.documents, col("doc_id"))
-      .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
-      .withColumn("nsh", size(col("arr")).cast("long"))
-    lshCandidates(t).select(col("doc_a"), col("doc_b"))
-      .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
-      .withColumn("shared", size(array_intersect(col("a.arr"), col("b.arr"))).cast("long"))
-      .withColumn(
-        "jaccard",
-        when(
-          col("a.nsh") + col("b.nsh") > col("shared"),
-          col("shared") / (col("a.nsh") + col("b.nsh") - col("shared"))))
+  private def jaccardPairsAll(t: Tables): DataFrame =
+    pairStats(t)
+      .withColumn("jaccard", pairJaccard)
       .filter(col("jaccard").isNotNull)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   // -- simhash: 16-bit, bit-majority over token md5s -------------------
   // The arithmetic is generated once and rendered to BOTH engines so the
@@ -1168,46 +1215,117 @@ object Dedup extends QueryModule {
     * scan; the train window SET is distinct-reduced before probing
     * (vocab-scale, never the raw occurrence stream); both rollups are
     * h-keyed then split-keyed shuffles — no cross join, no window
-    * functions. At 100 TB the train set is exactly the artifact
-    * [[graft.sources.DedupIndex]]'s windows relation persists (train IS
-    * the curated base), so production runs probe the stored index.
+    * functions. At 100 TB the train side is a persisted artifact: with
+    * `graft.leak.store` pointing at a [[graft.sources.FreqStore.WindowSrc]]
+    * store of the frozen train corpus, this query probes the stored
+    * window stats and only the eval slices scan (LeakStoreSpec pins
+    * store-backed ≡ derived).
     */
+  // `graft.leak.store` / `graft.win.store` point the window-leakage
+  // family at a [[graft.sources.FreqStore.WindowSrc]] count store instead
+  // of the in-query stride-1 window-hash explode — deltaSubstring's
+  // `graft.delta.index` discipline applied to governance: the TRAIN split
+  // is a frozen corpus in production, so its window stats are a persisted
+  // artifact maintained ∝ |batch| (leak.store, probed by q120/q143/q146 —
+  // only the audited eval slices still derive in-query); the corpus-wide
+  // store (win.store, q122) replaces the full scan outright. Window K
+  // must match the store's pinned value — mismatch fails loudly, the
+  // band-family rule. The oracle always renders the derived form;
+  // LeakStoreSpec pins store-backed ≡ derived.
+  private def storedWinStats(t: Tables, conf: String, k: Int): Option[DataFrame] =
+    t.spark.conf.get(conf, "") match {
+      case "" => None
+      case dir =>
+        graft.sources.FreqStore.storeFamily(t.spark, dir) match {
+          case graft.sources.FreqStore.WindowSrc(sk) =>
+            require(sk == k,
+              s"$conf at $dir was built at windowK=$sk, session wants $k — rebuild")
+          case other =>
+            throw new IllegalArgumentException(
+              s"$conf at $dir holds family '${other.name}', not winsrc:$k — rebuild")
+        }
+        Some(graft.sources.FreqStore.counts(t.spark, dir))
+    }
+
+  // the q120-family eval slice: (doc_id, split, h) for val/test docs only
+  // — the split flag is doc-level, so the filter lands BEFORE the window
+  // explode and the scan-side cost is the eval share of the corpus, not
+  // all of it (the store-backed path's scale win).
+  private def evalPos(t: Tables, k: Int): DataFrame =
+    Tables.localSplit(t.documents, col("doc_id"))
+      .withColumn(
+        "bucket", expr(hexint32("md5(CAST(doc_id AS STRING))")) % 100)
+      .filter(col("bucket") >= 90)
+      .select(
+        col("doc_id"), col("source"),
+        when(col("bucket") < 95, "val").otherwise("test").as("split"),
+        explode(windowHashes(k)).as("h"))
+
   private def q120(t: Tables): DataFrame = {
     val k = windowK(t)
-    val pos = Tables.localSplit(t.documents, col("doc_id"))
-      .select(
-        col("doc_id"),
-        (expr(hexint32("md5(CAST(doc_id AS STRING))")) % 100).as("bucket"),
-        explode(windowHashes(k)).as("h"))
-      .withColumn(
-        "split",
-        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
-    // q92/q122's membership-set trick: each window collapses to its
-    // distinct split set in one h-keyed agg; window-level leakage then
-    // explodes ≤|splits| rows per window — no distinct+join round trip.
-    // The doc-attribution rollup still probes the train set h-keyed (doc
-    // sets are unbounded, membership sets are not); its train side
-    // filters the SAME spread relation, so the exchange is reusable.
-    val spread = pos.select(col("split"), col("h"))
-      .groupBy(col("h"))
-      .agg(collect_set(col("split")).as("splits"))
-    val leakW = spread
-      .select(
-        explode(col("splits")).as("split"),
-        array_contains(col("splits"), "train").as("in_train"))
-      .filter(col("split") =!= "train")
-      .groupBy(col("split"))
-      .agg(
-        count(lit(1)).as("n_distinct_windows"),
-        sum(when(col("in_train"), 1L).otherwise(0L)).as("n_leaked_windows"))
-    val trainH = spread.filter(array_contains(col("splits"), "train"))
-      .select(col("h"), lit(true).as("in_train"))
-    val leakD = pos.filter(col("split") =!= "train")
-      .join(trainH, Seq("h"), "left")
-      .groupBy(col("split"))
-      .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        countDistinct(when(col("in_train"), col("doc_id"))).as("n_docs_leaked"))
+    val (leakW, leakD) = storedWinStats(t, "graft.leak.store", k) match {
+      case Some(ws) =>
+        // train membership = the stored train-corpus window set (wh
+        // distinct is vocab-scale); only the eval slices pay a scan.
+        val trainH = ws.select(col("wh").as("h")).distinct()
+          .withColumn("in_train", lit(true))
+        val pos = evalPos(t, k)
+        val spread = pos
+          .groupBy(col("h"))
+          .agg(collect_set(col("split")).as("splits"))
+          .join(trainH, Seq("h"), "left")
+        val lw = spread
+          .select(
+            explode(col("splits")).as("split"),
+            coalesce(col("in_train"), lit(false)).as("in_train"))
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_distinct_windows"),
+            sum(when(col("in_train"), 1L).otherwise(0L)).as("n_leaked_windows"))
+        val ld = pos
+          .join(trainH, Seq("h"), "left")
+          .groupBy(col("split"))
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            countDistinct(when(col("in_train"), col("doc_id"))).as("n_docs_leaked"))
+        (lw, ld)
+      case None =>
+        val pos = Tables.localSplit(t.documents, col("doc_id"))
+          .select(
+            col("doc_id"),
+            (expr(hexint32("md5(CAST(doc_id AS STRING))")) % 100).as("bucket"),
+            explode(windowHashes(k)).as("h"))
+          .withColumn(
+            "split",
+            when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+        // q92/q122's membership-set trick: each window collapses to its
+        // distinct split set in one h-keyed agg; window-level leakage then
+        // explodes ≤|splits| rows per window — no distinct+join round trip.
+        // The doc-attribution rollup still probes the train set h-keyed (doc
+        // sets are unbounded, membership sets are not); its train side
+        // filters the SAME spread relation, so the exchange is reusable.
+        val spread = pos.select(col("split"), col("h"))
+          .groupBy(col("h"))
+          .agg(collect_set(col("split")).as("splits"))
+        val lw = spread
+          .select(
+            explode(col("splits")).as("split"),
+            array_contains(col("splits"), "train").as("in_train"))
+          .filter(col("split") =!= "train")
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_distinct_windows"),
+            sum(when(col("in_train"), 1L).otherwise(0L)).as("n_leaked_windows"))
+        val trainH = spread.filter(array_contains(col("splits"), "train"))
+          .select(col("h"), lit(true).as("in_train"))
+        val ld = pos.filter(col("split") =!= "train")
+          .join(trainH, Seq("h"), "left")
+          .groupBy(col("split"))
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            countDistinct(when(col("in_train"), col("doc_id"))).as("n_docs_leaked"))
+        (lw, ld)
+    }
     leakW.join(leakD, Seq("split"))
       .withColumn("leak_share", round(col("n_leaked_windows") / col("n_distinct_windows"), 4))
       .orderBy(col("split"))
@@ -1232,6 +1350,32 @@ object Dedup extends QueryModule {
     */
   private def q143(t: Tables): DataFrame = {
     val k = windowK(t)
+    storedWinStats(t, "graft.leak.store", k).foreach { ws =>
+      // store-backed: per-window train source sets come from the stored
+      // (wh, source) keys (vocab-scale); only the eval slices scan.
+      val trainSrcs = ws
+        .groupBy(col("wh"))
+        .agg(collect_set(col("source")).as("srcs"))
+      val spread = evalPos(t, k)
+        .groupBy(col("h"))
+        .agg(collect_set(col("split")).as("evs"))
+        .join(trainSrcs, col("h") === col("wh"))
+      val perSource = spread
+        .select(explode(col("evs")).as("split"), col("srcs"))
+        .select(col("split"), explode(col("srcs")).as("train_source"))
+        .groupBy(col("split"), col("train_source"))
+        .agg(count(lit(1)).as("n_leaked_windows"))
+      val totals = spread
+        .select(explode(col("evs")).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("total_leaked"))
+      return perSource
+        .join(broadcast(totals), Seq("split"))
+        .withColumn("source_share", round(col("n_leaked_windows") / col("total_leaked"), 4))
+        .select(
+          col("split"), col("train_source"), col("n_leaked_windows"), col("source_share"))
+        .orderBy(col("split"), col("train_source"))
+    }
     val pos = Tables.localSplit(t.documents, col("doc_id"))
       .select(
         col("doc_id"), col("source"),
@@ -1280,6 +1424,31 @@ object Dedup extends QueryModule {
     */
   private def q146(t: Tables): DataFrame = {
     val k = windowK(t)
+    storedWinStats(t, "graft.leak.store", k).foreach { ws =>
+      // store-backed: train document frequency per window is Σn over the
+      // stored (wh, source) counts (a doc has ONE source, so the sum is
+      // the distinct-doc count); n_train is the marker-summed doc total —
+      // a metadata read, not a scan. Only the eval slices derive.
+      val dir = t.spark.conf.get("graft.leak.store")
+      val df = ws.groupBy(col("wh").as("h")).agg(sum(col("n")).as("df"))
+      val nTrain = t.spark.range(1)
+        .select(lit(graft.sources.FreqStore.totalDocs(t.spark, dir)).as("n_train"))
+      val evalW = evalPos(t, k).select(col("split"), col("h")).distinct()
+      return evalW
+        .join(df, Seq("h"))
+        .join(broadcast(nTrain))
+        .withColumn(
+          "sev_e4",
+          expr(
+            "CAST(round(ln(CAST(n_train AS DOUBLE) / CAST(df AS DOUBLE)) * 10000, 0) AS BIGINT)"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_leaked_windows"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_verbatim"),
+          sum(col("sev_e4")).as("total_severity_e4"),
+          max(col("sev_e4")).as("max_severity_e4"))
+        .orderBy(col("split"))
+    }
     val pos = Tables.localSplit(t.documents, col("doc_id"))
       .select(
         col("doc_id"),
@@ -1323,11 +1492,18 @@ object Dedup extends QueryModule {
     */
   private def q122(t: Tables): DataFrame = {
     val k = windowK(t)
-    val spread = Tables.localSplit(t.documents, col("doc_id"))
-      .select(col("source"), explode(windowHashes(k)).as("h"))
-      .groupBy(col("h"))
-      .agg(collect_set(col("source")).as("srcs"))
-      .select(explode(col("srcs")).as("source"), size(col("srcs")).as("n_sources"))
+    // store-backed (`graft.win.store`, corpus-wide WindowSrc family): the
+    // source-membership sets ARE the stored (wh, source) keys — zero
+    // corpus reads, the whole query runs at window-vocabulary scale.
+    val spread = storedWinStats(t, "graft.win.store", k)
+      .map(_.groupBy(col("wh"))
+        .agg(collect_set(col("source")).as("srcs"))
+        .select(explode(col("srcs")).as("source"), size(col("srcs")).as("n_sources")))
+      .getOrElse(Tables.localSplit(t.documents, col("doc_id"))
+        .select(col("source"), explode(windowHashes(k)).as("h"))
+        .groupBy(col("h"))
+        .agg(collect_set(col("source")).as("srcs"))
+        .select(explode(col("srcs")).as("source"), size(col("srcs")).as("n_sources")))
     spread
       .groupBy(col("source"))
       .agg(
@@ -1967,7 +2143,7 @@ object Dedup extends QueryModule {
          |  JOIN shx a ON a.doc_id = c.doc_a
          |  JOIN shx b ON b.doc_id = c.doc_b AND b.s = a.s
          |  GROUP BY c.doc_a, c.doc_b),
-         | tx AS (SELECT doc_id, ${wordStringDuck(128)} AS cap_text FROM documents),
+         | tx AS (SELECT doc_id, ${wordStringDuck(128, 2)} AS cap_text FROM documents),
          | p AS (
          |  SELECT round(shared / (sa.nsh + sb.nsh - shared), 6) AS jaccard,
          |   levenshtein(ta.cap_text, tb.cap_text) AS lev,

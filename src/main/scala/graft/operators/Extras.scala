@@ -594,12 +594,19 @@ object Extras extends QueryModule {
       .agg(count(lit(1)).as("n"))
     val stats = daily
       .groupBy(col("event_type"))
-      .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
+      .agg(
+        avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"),
+        count(lit(1)).as("n_days"))
     daily
       .join(broadcast(stats), Seq("event_type"))
+      // n_days >= 2 makes the single-day guard conf-independent: with
+      // spark.sql.legacy.statisticalAggregate=true, stddev_samp(n=1) is
+      // NaN (not NULL) and NaN-is-largest ordering would satisfy sd > 0,
+      // flagging z=NaN rows as anomalous — diverging from the oracle.
       .withColumn(
         "z",
-        when(col("sd") > 0, round((col("n") - col("mu")) / col("sd"), 4)))
+        when(col("n_days") >= 2 && col("sd") > 0,
+          round((col("n") - col("mu")) / col("sd"), 4)))
       .select(
         col("event_type"), col("day"), col("n"),
         round(col("mu"), 2).as("mu"), col("z"),

@@ -36,6 +36,23 @@ object TextAnalysis extends QueryModule {
       case dir => Some(graft.sources.FreqStore.frequencies(t.spark, dir))
     }
 
+  // `graft.bigram.store=<dir>` points the pair-table consumers
+  // (q77/q97/q139) at a sources.FreqStore Bigram-family store instead of
+  // the in-query (w1, w2) aggregate — the same incremental discipline as
+  // `graft.freq.store`: the corpus-scale pair shuffle becomes a
+  // vocab²-bounded read maintained ∝ |batch| at ingest. Family mismatch
+  // fails loudly (the band-family rule); the oracle always renders the
+  // derived form.
+  private def storedBigrams(t: Tables): Option[DataFrame] =
+    t.spark.conf.get("graft.bigram.store", "") match {
+      case "" => None
+      case dir =>
+        val fam = graft.sources.FreqStore.storeFamily(t.spark, dir)
+        require(fam == graft.sources.FreqStore.Bigram,
+          s"graft.bigram.store at $dir holds family '${fam.name}', not bigram — rebuild")
+        Some(graft.sources.FreqStore.counts(t.spark, dir))
+    }
+
   // words/doc as a reusable fragment (identical split semantics both engines
   // for single-space-separated corpora).
   // map-side only — no repartition by default (Tables.localSplit is the
@@ -236,17 +253,18 @@ object TextAnalysis extends QueryModule {
     * single-row broadcast, and top-50 is TakeOrderedAndProject.
     */
   private def q139(t: Tables): DataFrame = {
-    val bigrams = withWords(t)
-      .filter(size(col("words")) >= 2)
-      .select(
-        explode(
-          expr(
-            """transform(sequence(1, size(words) - 1),
-              |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
-          .as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
-    val pairCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val pairCounts = storedBigrams(t).map(_.withColumnRenamed("n", "c12")).getOrElse(
+      withWords(t)
+        .filter(size(col("words")) >= 2)
+        .select(
+          explode(
+            expr(
+              """transform(sequence(1, size(words) - 1),
+                |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
+            .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     val m1 = pairCounts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val m2 = pairCounts.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
     val tot = pairCounts.agg(sum(col("c12")).as("n_total"))
@@ -548,21 +566,22 @@ object TextAnalysis extends QueryModule {
     * skew-join splitting DOES handle. Hash-identical output either way.
     */
   private def q77(t: Tables): DataFrame = {
-    val pairs = withWords(t)
-      // guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] for a
-      // single-word doc — index 0 then faults under ANSI. Such docs have
-      // no bigrams; dropping them mirrors the oracle's empty range(1, 1).
-      .filter(size(col("words")) >= 2)
-      .select(
-        explode(
-          expr(
-            """transform(sequence(1, size(words) - 1),
-              |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
-          .as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n_bigram"))
+    val pairs = storedBigrams(t).map(_.withColumnRenamed("n", "n_bigram")).getOrElse(
+      withWords(t)
+        // guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] for a
+        // single-word doc — index 0 then faults under ANSI. Such docs have
+        // no bigrams; dropping them mirrors the oracle's empty range(1, 1).
+        .filter(size(col("words")) >= 2)
+        .select(
+          explode(
+            expr(
+              """transform(sequence(1, size(words) - 1),
+                |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
+            .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_bigram")))
     val saltBuckets = t.spark.conf.get("graft.skew.salt", "0").toInt
     require(saltBuckets >= 0, s"graft.skew.salt out of range: $saltBuckets")
     val withMarginal =
@@ -611,9 +630,10 @@ object TextAnalysis extends QueryModule {
           .as("bg"))
       .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
-    val corpusCounts = docBigrams
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n_corpus"))
+    val corpusCounts = storedBigrams(t).map(_.withColumnRenamed("n", "n_corpus")).getOrElse(
+      docBigrams
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_corpus")))
     val perDoc = docBigrams
       .join(corpusCounts, Seq("w1", "w2"))
       .groupBy(col("source"), col("doc_id"))

@@ -154,8 +154,9 @@ object CatalogStore {
   /** The CAS publish: claim `v=N` by renaming the staged snapshot onto it
     * with NO overwrite. Exactly one claimant of a version succeeds; the
     * loser throws loudly with its batch unpublished (re-read and retry is
-    * the caller's move). A marker-less `v=N` dir occupying the slot is
-    * crash debris, not data — it is cleared and the slot claimed.
+    * the caller's move). A marker-less `v=N` dir occupying the slot blocks
+    * the claim (it may be a rename in flight from another JVM) — clearing
+    * it is the explicit repair() op, never this path.
     */
   private[graft] def commit(spark: SparkSession, dir: String, staging: Path, version: Long): Unit = {
     val dst = new Path(snapshotPath(dir, version))
@@ -170,10 +171,46 @@ object CatalogStore {
       val f = fs(spark, dir)
       if (isCommitted(f, dir, version))
         lose(new java.nio.file.FileAlreadyExistsException(dst.toString))
-      if (f.exists(dst)) f.delete(dst, true) // uncommitted orphan in the slot: not data
+      // NO inline orphan-delete: a cross-JVM writer may commit v=N between
+      // the marker check and the rename; deleting its dir as an "orphan"
+      // would silently discard the winner's snapshot. The no-overwrite
+      // rename is the sole claim mechanism; crash debris is cleared only
+      // by the explicit repair() op.
       try fc.rename(staging, dst)
-      catch { case e: java.io.IOException => lose(e) }
+      catch {
+        case e: java.io.IOException =>
+          if (!isCommitted(f, dir, version) && f.exists(dst)) {
+            f.delete(staging, true)
+            throw new IllegalStateException(
+              s"marker-less $dst occupies the v=$version slot (crash debris or a " +
+                "commit in flight) — not overwriting; quiesce writers and run repair()", e)
+          }
+          lose(e)
+      }
     }
+  }
+
+  /** Explicit crash-debris cleanup: deletes marker-less `v=N` dirs (a
+    * crashed writer's partial claim) and everything under `_staging`.
+    * MUST run with writers quiesced — a marker-less dir is
+    * indistinguishable from a rename in flight. Never touches committed
+    * versions. Returns the deleted paths.
+    */
+  def repair(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) return Seq.empty
+    val doomed = f.listStatus(new Path(dir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n == "_staging" ||
+          (n.startsWith("v=") &&
+            scala.util.Try(n.stripPrefix("v=").toLong).toOption
+              .exists(v => !isCommitted(f, dir, v)))
+      }
+    doomed.foreach(p => f.delete(p, true))
+    doomed.map(_.toString)
   }
 
   /** Create the store with an initial catalog of (dataset_key, title,

@@ -44,7 +44,8 @@ object DedupIndex {
   private def versionPath(dir: String, v: Long) = s"$dir/v=$v"
 
   private final case class Meta(
-      kind: String, bands: Int, wk: Int, nh: Long, ns: Long, nw: Long)
+      kind: String, bands: Int, wk: Int, nh: Long, ns: Long, nw: Long,
+      tag: Option[String])
 
   private def readMeta(f: FileSystem, dir: String, v: Long): Option[Meta] = {
     val p = new Path(versionPath(dir, v), Marker)
@@ -55,10 +56,11 @@ object DedupIndex {
         Iterator.continually(in.read()).takeWhile(_ != -1).map(_.toByte).toArray, "UTF-8")
       finally in.close()
     val m =
-      """\{"kind":"(base|delta)","bands":(\d+),"wk":(\d+),"nh":(\d+),"ns":(\d+),"nw":(\d+)\}""".r
+      ("""\{"kind":"(base|delta)","bands":(\d+),"wk":(\d+),"nh":(\d+),"ns":(\d+),"nw":(\d+)""" +
+        """(?:,"tag":"([^"]*)")?\}""").r
     body.trim match {
-      case m(kind, bands, wk, nh, ns, nw) =>
-        Some(Meta(kind, bands.toInt, wk.toInt, nh.toLong, ns.toLong, nw.toLong))
+      case m(kind, bands, wk, nh, ns, nw, tag) =>
+        Some(Meta(kind, bands.toInt, wk.toInt, nh.toLong, ns.toLong, nw.toLong, Option(tag)))
       case _ => None
     }
   }
@@ -140,7 +142,8 @@ object DedupIndex {
 
   private def stage(
       spark: SparkSession, dir: String, v: Long, kind: String, bands: Int, wk: Int,
-      hashes: DataFrame, sigs: DataFrame, windows: DataFrame): Path = {
+      hashes: DataFrame, sigs: DataFrame, windows: DataFrame,
+      tag: Option[String] = None): Path = {
     val staging = new Path(dir, s"_staging/v$v-${java.util.UUID.randomUUID()}")
     hashes.write.mode("overwrite").parquet(s"$staging/hashes")
     sigs.write.mode("overwrite").parquet(s"$staging/sigs")
@@ -151,8 +154,9 @@ object DedupIndex {
     val ns = spark.read.parquet(s"$staging/sigs").count()
     val nw = spark.read.parquet(s"$staging/windows").count()
     val out = fs(spark, dir).create(new Path(staging, Marker), false)
+    val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
     try out.write(
-      s"""{"kind":"$kind","bands":$bands,"wk":$wk,"nh":$nh,"ns":$ns,"nw":$nw}"""
+      s"""{"kind":"$kind","bands":$bands,"wk":$wk,"nh":$nh,"ns":$ns,"nw":$nw$tagField}"""
         .getBytes("UTF-8"))
     finally out.close()
     staging
@@ -171,10 +175,44 @@ object DedupIndex {
       val f = fs(spark, dir)
       if (readMeta(f, dir, v).isDefined)
         lose(new java.nio.file.FileAlreadyExistsException(dst.toString))
-      if (f.exists(dst)) f.delete(dst, true) // uncommitted orphan: not data
+      // NO inline orphan-delete: a cross-JVM writer may commit v=N between
+      // the marker check and the rename; deleting its dir would silently
+      // discard the winner. The no-overwrite rename is the sole claim;
+      // crash debris is cleared only by the explicit repair() op.
       try fc.rename(staging, dst)
-      catch { case e: java.io.IOException => lose(e) }
+      catch {
+        case e: java.io.IOException =>
+          if (!readMeta(f, dir, v).isDefined && f.exists(dst)) {
+            f.delete(staging, true)
+            throw new IllegalStateException(
+              s"marker-less $dst occupies the v=$v slot (crash debris or a commit " +
+                "in flight) — not overwriting; quiesce writers and run repair()", e)
+          }
+          lose(e)
+      }
     }
+  }
+
+  /** Explicit crash-debris cleanup: deletes marker-less `v=N` dirs and
+    * everything under `_staging`. MUST run with writers quiesced — a
+    * marker-less dir is indistinguishable from a rename in flight. Never
+    * touches committed versions. Returns the deleted paths.
+    */
+  def repair(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) return Seq.empty
+    val doomed = f.listStatus(new Path(dir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n == "_staging" ||
+          (n.startsWith("v=") &&
+            scala.util.Try(n.stripPrefix("v=").toLong).toOption
+              .exists(v => readMeta(f, dir, v).isEmpty))
+      }
+    doomed.foreach(p => f.delete(p, true))
+    doomed.map(_.toString)
   }
 
   private def stats(spark: SparkSession, dir: String, v: Long): IndexStats = {
@@ -205,9 +243,20 @@ object DedupIndex {
     * never re-derived. A batch contributing nothing new is a no-op (no
     * version published).
     */
-  def append(spark: SparkSession, dir: String, batch: DataFrame): IndexStats = {
+  def append(
+      spark: SparkSession, dir: String, batch: DataFrame,
+      tag: Option[String] = None): IndexStats = {
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no dedup index at $dir — init first"))
+    // Set-union appends are naturally replay-idempotent (nothing new →
+    // no version), but the tag short-circuit keeps a replayed batch from
+    // paying the derive+anti-join at all and pins provenance in the
+    // marker, mirroring FreqStore's exactly-once discipline.
+    tag.foreach { tg =>
+      val f = fs(spark, dir)
+      if (listVersions(spark, dir).exists(v => readMeta(f, dir, v).get.tag.contains(tg)))
+        return stats(spark, dir, cur)
+    }
     val bands = storeBands(spark, dir)
     val wk = storeWindowK(spark, dir)
     val (bh, bs, bw) = derive(batch, bands, wk)
@@ -217,7 +266,7 @@ object DedupIndex {
     // No pre-commit visibility check here: a concurrent appender may
     // legitimately commit cur+1 between our stage and commit — commit()'s
     // marker-CAS is the arbiter, and the loser's staging is deleted there.
-    val staging = stage(spark, dir, cur + 1, "delta", bands, wk, newH, newS, newW)
+    val staging = stage(spark, dir, cur + 1, "delta", bands, wk, newH, newS, newW, tag)
     val stagedMeta = {
       val in = fs(spark, dir).open(new Path(staging, Marker))
       try new String(

@@ -4,18 +4,27 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persistent corpus token-frequency store — the precomputed vocab-scale
-  * aggregate that q76/q77/q121/q130/q136 all re-derive from the corpus
-  * in-query (the one corpus-scale shuffle every one of them pays). A real
-  * lake computes that table ONCE per ingested batch and maintains it; with
-  * the store, a frequency consumer reads a vocab-scale relation and never
+/** Persistent corpus count store — the precomputed keyed count tables the
+  * frequency/collocation/leakage consumers otherwise re-derive from the
+  * corpus in-query (the one corpus-scale shuffle every one of them pays).
+  * A real lake computes each table ONCE per ingested batch and maintains
+  * it; with the store, a consumer reads a vocab-scale relation and never
   * touches the token stream.
+  *
+  * One count-merge LSM mechanism, three FAMILIES (the keyed table the
+  * store maintains, pinned in the v=1 marker exactly like DedupIndex's
+  * band count — an append can never silently mix families):
+  *   - [[Unigram]]  (token, n): q76/q121/q130/q136's frequency table.
+  *   - [[Bigram]]   (w1, w2, n): q77/q97/q139's adjacent-pair table.
+  *   - [[WindowSrc]] (wh, source, n): per K-token window hash and source,
+  *     the distinct documents carrying it — the train/corpus window stats
+  *     q120/q122/q143/q146 probe (K pinned in the family name).
   *
   * Same LSM/CAS discipline as [[DedupIndex]]/[[IvfIndex]], but with
   * COUNT-MERGE semantics instead of set-union: counts are additive, so an
-  * append commits the arriving batch's OWN frequency table verbatim as a
+  * append commits the arriving batch's OWN count table verbatim as a
   * delta — no anti-join probe of the base at all, cost is purely
-  * ∝ |batch| — and the read view is `groupBy(token).sum` over the
+  * ∝ |batch| — and the read view is `groupBy(keys).sum` over the
   * base+delta chain. Compaction folds the chain back into one base; the
   * additive invariant (total occurrences are merge-invariant) is checked
   * from the staged manifest before anything publishes, CatalogStore's
@@ -26,19 +35,114 @@ import org.apache.spark.sql.functions._
   * Semantics contract: the store tracks the ACCEPTED ingest stream —
   * appending the same documents twice doubles their counts, exactly as
   * re-ingesting them into the corpus would; dedup belongs upstream
-  * (q107 / [[DedupIndex]]).
+  * (q107 / [[DedupIndex]]). That contract is also what makes the
+  * WindowSrc family's per-(wh, source) doc counts and the `nd` doc
+  * totals exact: each document arrives once, so per-batch distinct-doc
+  * counts sum to the global distinct count.
   *
   * Reference anchor: geostore stores per-file metadata at import time
   * (`check_files_checksums` reads precomputed multihashes) instead of
   * re-deriving it per query — this is that discipline applied to the
-  * corpus LM base.
+  * corpus count tables.
   */
 object FreqStore {
 
+  /** A count family: which keyed count table the store maintains. The
+    * `derive` is byte-for-byte the fragment its consumers build in-query
+    * (same tokenizer split, same guards), so store-backed ≡ derived is a
+    * join-key identity, not an approximation.
+    */
+  sealed trait Family {
+    def name: String
+    def keyCols: Seq[String]
+    def derive(docs: DataFrame): DataFrame
+    /** Distinct documents contributing ≥1 counted row — the `nd` marker
+      * field ([[totalDocs]] sums it; WindowSrc consumers need it exact).
+      */
+    def docCount(docs: DataFrame): Long
+  }
+
+  /** (token, n) unigram occurrences — the q76-family aggregate (same
+    * space split, same empty-token filter).
+    */
+  case object Unigram extends Family {
+    val name = "unigram"
+    val keyCols = Seq("token")
+    def derive(docs: DataFrame): DataFrame =
+      docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+    def docCount(docs: DataFrame): Long =
+      docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .agg(countDistinct(col("doc_id"))).head().getLong(0)
+  }
+
+  /** (w1, w2, n) adjacent word-pair occurrences — q77/q97/q139's pair
+    * table verbatim: ≥2-words guard (Spark's sequence(1, 0) descends),
+    * pairs over the RAW word array, empty-member pairs dropped after.
+    */
+  case object Bigram extends Family {
+    val name = "bigram"
+    val keyCols = Seq("w1", "w2")
+    private def pairs(docs: DataFrame): DataFrame =
+      docs
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 2)
+        .select(
+          col("doc_id"),
+          explode(
+            expr(
+              """transform(sequence(1, size(words) - 1),
+                |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))"""
+                .stripMargin)).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+    def derive(docs: DataFrame): DataFrame =
+      pairs(docs).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    def docCount(docs: DataFrame): Long =
+      pairs(docs).agg(countDistinct(col("doc_id"))).head().getLong(0)
+  }
+
+  /** (wh, source, n) — per K-token window hash (q113's kernel, K pinned
+    * in the family name) and source, the DISTINCT documents carrying it
+    * within the batch; cross-batch sums are exact distinct-doc counts
+    * under the ingest-once contract. Σn over sources per wh is the train
+    * document frequency q146 weights by; the key set per wh is the
+    * source-membership set q122/q143 collect; distinct wh is the window
+    * set q120 probes.
+    */
+  final case class WindowSrc(k: Int) extends Family {
+    require(k >= 2 && k <= 64, s"windowK out of range: $k")
+    val name = s"winsrc:$k"
+    val keyCols = Seq("wh", "source")
+    def derive(docs: DataFrame): DataFrame =
+      docs
+        .select(
+          col("doc_id"), col("source"),
+          explode(graft.operators.Dedup.windowHashes(k)).as("wh"))
+        .groupBy(col("wh"), col("source"))
+        .agg(countDistinct(col("doc_id")).as("n"))
+    def docCount(docs: DataFrame): Long =
+      docs
+        .select(col("doc_id"), explode(graft.operators.Dedup.windowHashes(k)).as("wh"))
+        .agg(countDistinct(col("doc_id"))).head().getLong(0)
+  }
+
+  private def familyOf(name: String): Family = name match {
+    case "unigram"                    => Unigram
+    case "bigram"                     => Bigram
+    case s if s.startsWith("winsrc:") => WindowSrc(s.stripPrefix("winsrc:").toInt)
+    case other => throw new IllegalStateException(s"unknown FreqStore family: $other")
+  }
+
   final case class FreqStats(
-      version: Long, kind: String,
-      newTokens: Long, newVocab: Long,
-      totalTokens: Long)
+      version: Long, kind: String, family: String,
+      newTokens: Long, newVocab: Long, newDocs: Long,
+      totalTokens: Long, totalDocs: Long)
 
   private val Marker = "_COMMITTED"
   private val commitLock = new Object
@@ -48,7 +152,12 @@ object FreqStore {
 
   private def versionPath(dir: String, v: Long) = s"$dir/v=$v"
 
-  private final case class Meta(kind: String, nt: Long, nv: Long)
+  private final case class Meta(
+      kind: String, family: String, nt: Long, nv: Long, nd: Long, tag: Option[String])
+
+  private val MetaRe =
+    ("""\{"kind":"(base|delta)","family":"([a-z0-9:]+)","nt":(\d+),"nv":(\d+),"nd":(\d+)""" +
+      """(?:,"tag":"([^"]*)")?\}""").r
 
   private def readMeta(f: FileSystem, dir: String, v: Long): Option[Meta] = {
     val p = new Path(versionPath(dir, v), Marker)
@@ -58,10 +167,10 @@ object FreqStore {
       try new String(
         Iterator.continually(in.read()).takeWhile(_ != -1).map(_.toByte).toArray, "UTF-8")
       finally in.close()
-    val m = """\{"kind":"(base|delta)","nt":(\d+),"nv":(\d+)\}""".r
     body.trim match {
-      case m(kind, nt, nv) => Some(Meta(kind, nt.toLong, nv.toLong))
-      case _               => None
+      case MetaRe(kind, fam, nt, nv, nd, tag) =>
+        Some(Meta(kind, fam, nt.toLong, nv.toLong, nd.toLong, Option(tag)))
+      case _ => None
     }
   }
 
@@ -80,36 +189,55 @@ object FreqStore {
   def currentVersion(spark: SparkSession, dir: String): Option[Long] =
     listVersions(spark, dir).lastOption
 
-  // the (token, n) frequency table of a corpus frame — the exact aggregate
-  // q76's family derives in-query (same split, same empty-token filter)
-  private def derive(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
+  /** The family this store was built at (pinned at init). */
+  def storeFamily(spark: SparkSession, dir: String): Family = {
+    val f = fs(spark, dir)
+    familyOf(readMeta(f, dir, listVersions(spark, dir).headOption.getOrElse(
+      throw new IllegalStateException(s"no count store at $dir"))).get.family)
+  }
 
   private def readChain(spark: SparkSession, dir: String): Seq[Long] = {
     val f = fs(spark, dir)
     val vs = listVersions(spark, dir)
-    require(vs.nonEmpty, s"no frequency store at $dir")
+    require(vs.nonEmpty, s"no count store at $dir")
     val lastBase = vs.filter(v => readMeta(f, dir, v).get.kind == "base").lastOption
     vs.filter(v => lastBase.forall(v >= _))
   }
 
-  /** The current merged frequency view (columns `token`, `n`) — the
+  /** The current merged count view (columns = family keys + `n`) — the
     * base+delta chain count-merged. One vocab-scale aggregate over at
     * most |chain| stored relations; compact to keep |chain| small.
     */
-  def frequencies(spark: SparkSession, dir: String): DataFrame =
+  def counts(spark: SparkSession, dir: String): DataFrame = {
+    val fam = storeFamily(spark, dir)
     readChain(spark, dir)
       .map(v => spark.read.parquet(s"${versionPath(dir, v)}/freq"))
       .reduce(_.unionByName(_))
-      .groupBy(col("token"))
+      .groupBy(fam.keyCols.map(col): _*)
       .agg(sum(col("n")).as("n"))
+  }
+
+  /** The unigram view (`token`, `n`) — fails loudly on a non-unigram
+    * store instead of serving a foreign count family.
+    */
+  def frequencies(spark: SparkSession, dir: String): DataFrame = {
+    val fam = storeFamily(spark, dir)
+    require(fam == Unigram,
+      s"count store at $dir holds family '${fam.name}', not unigram — wrong store")
+    counts(spark, dir)
+  }
+
+  /** Total distinct contributing documents across the chain (Σ marker
+    * `nd`) — exact under the ingest-once contract; q146's n_train.
+    */
+  def totalDocs(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    readChain(spark, dir).map(v => readMeta(f, dir, v).get.nd).sum
+  }
 
   private def stage(
-      spark: SparkSession, dir: String, v: Long, kind: String, freq: DataFrame): Path = {
+      spark: SparkSession, dir: String, v: Long, kind: String, fam: Family,
+      freq: DataFrame, nd: Long, tag: Option[String] = None): Path = {
     val staging = new Path(dir, s"_staging/v$v-${java.util.UUID.randomUUID()}")
     freq.write.mode("overwrite").parquet(s"$staging/freq")
     // manifest read BACK from the staged files — certifying what landed
@@ -118,7 +246,10 @@ object FreqStore {
       coalesce(sum(col("n")), lit(0L)).as("nt"), count(lit(1)).as("nv")).head()
     val (nt, nv) = (row.getLong(0), row.getLong(1))
     val out = fs(spark, dir).create(new Path(staging, Marker), false)
-    try out.write(s"""{"kind":"$kind","nt":$nt,"nv":$nv}""".getBytes("UTF-8"))
+    val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
+    try out.write(
+      s"""{"kind":"$kind","family":"${fam.name}","nt":$nt,"nv":$nv,"nd":$nd$tagField}"""
+        .getBytes("UTF-8"))
     finally out.close()
     staging
   }
@@ -129,10 +260,10 @@ object FreqStore {
       try new String(
         Iterator.continually(in.read()).takeWhile(_ != -1).map(_.toByte).toArray, "UTF-8")
       finally in.close()
-    val m = """\{"kind":"(base|delta)","nt":(\d+),"nv":(\d+)\}""".r
     body.trim match {
-      case m(kind, nt, nv) => Meta(kind, nt.toLong, nv.toLong)
-      case other           => throw new IllegalStateException(s"unreadable staged marker: $other")
+      case MetaRe(kind, fam, nt, nv, nd, tag) =>
+        Meta(kind, fam, nt.toLong, nv.toLong, nd.toLong, Option(tag))
+      case other => throw new IllegalStateException(s"unreadable staged marker: $other")
     }
   }
 
@@ -143,42 +274,98 @@ object FreqStore {
     def lose(cause: Throwable): Nothing = {
       fs(spark, dir).delete(staging, true)
       throw new IllegalStateException(
-        s"concurrent writer committed v=$v at $dir first — frequency update NOT published",
+        s"concurrent writer committed v=$v at $dir first — count update NOT published",
         cause)
     }
     commitLock.synchronized {
       val f = fs(spark, dir)
       if (readMeta(f, dir, v).isDefined)
         lose(new java.nio.file.FileAlreadyExistsException(dst.toString))
-      if (f.exists(dst)) f.delete(dst, true) // uncommitted orphan: not data
+      // NO inline orphan-delete: a writer in another JVM may commit v=N
+      // between the marker check above and the rename below, and deleting
+      // its dir as an "orphan" would silently discard the winner's counts.
+      // The no-overwrite rename is the sole claim mechanism; on failure
+      // re-check the marker and lose loudly. True crash debris (a
+      // marker-less dst) is cleared only by the explicit repair() op.
       try fc.rename(staging, dst)
-      catch { case e: java.io.IOException => lose(e) }
+      catch {
+        case e: java.io.IOException =>
+          if (!readMeta(f, dir, v).isDefined && f.exists(dst)) {
+            f.delete(staging, true)
+            throw new IllegalStateException(
+              s"marker-less $dst occupies the v=$v slot (crash debris or a commit " +
+                "in flight) — not overwriting; quiesce writers and run repair()", e)
+          }
+          lose(e)
+      }
     }
+  }
+
+  /** Explicit crash-debris cleanup: deletes marker-less `v=N` dirs (a
+    * crashed writer's partial claim) and everything under `_staging`.
+    * MUST run with writers quiesced — a marker-less dir is
+    * indistinguishable from a rename in flight. Never touches committed
+    * versions. Returns the deleted paths.
+    */
+  def repair(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) return Seq.empty
+    val doomed = f.listStatus(new Path(dir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n == "_staging" ||
+          (n.startsWith("v=") &&
+            scala.util.Try(n.stripPrefix("v=").toLong).toOption
+              .exists(v => readMeta(f, dir, v).isEmpty))
+      }
+    doomed.foreach(p => f.delete(p, true))
+    doomed.map(_.toString)
   }
 
   private def stats(spark: SparkSession, dir: String, v: Long): FreqStats = {
     val f = fs(spark, dir)
     val m = readMeta(f, dir, v).get
-    val total = readChain(spark, dir).map(cv => readMeta(f, dir, cv).get.nt).sum
-    FreqStats(v, m.kind, m.nt, m.nv, total)
+    val chain = readChain(spark, dir)
+    val totalN = chain.map(cv => readMeta(f, dir, cv).get.nt).sum
+    val totalD = chain.map(cv => readMeta(f, dir, cv).get.nd).sum
+    FreqStats(v, m.kind, m.family, m.nt, m.nv, m.nd, totalN, totalD)
   }
 
   /** Build v=1 (a base) from the curated corpus. Fails if initialized. */
-  def init(spark: SparkSession, dir: String, docs: DataFrame): FreqStats = {
-    require(currentVersion(spark, dir).isEmpty, s"frequency store at $dir already initialized")
-    commit(spark, dir, stage(spark, dir, 1L, "base", derive(docs)), 1L)
+  def init(
+      spark: SparkSession, dir: String, docs: DataFrame,
+      family: Family = Unigram): FreqStats = {
+    require(currentVersion(spark, dir).isEmpty, s"count store at $dir already initialized")
+    commit(spark, dir,
+      stage(spark, dir, 1L, "base", family, family.derive(docs), family.docCount(docs)), 1L)
     stats(spark, dir, 1L)
   }
 
-  /** Incremental maintenance: commit the arriving batch's own frequency
+  /** Incremental maintenance: commit the arriving batch's own count
     * table as a delta. Counts merge additively on read, so no probe of
     * the base happens at all — cost is purely ∝ |batch|. A batch with no
-    * tokens is a no-op (no version published).
+    * counted rows is a no-op (no version published).
     */
-  def append(spark: SparkSession, dir: String, batch: DataFrame): FreqStats = {
+  def append(
+      spark: SparkSession, dir: String, batch: DataFrame,
+      tag: Option[String] = None): FreqStats = {
     val cur = currentVersion(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no frequency store at $dir — init first"))
-    val staging = stage(spark, dir, cur + 1, "delta", derive(batch))
+      throw new IllegalStateException(s"no count store at $dir — init first"))
+    // Exactly-once under batch REPLAY (count-merge is NOT naturally
+    // idempotent the way DedupIndex's set-union is): a caller that tags
+    // each append with its batch id makes the tag the idempotence key —
+    // an already-committed tag means this exact batch's counts are
+    // already in the chain, so the replay is a no-op.
+    tag.foreach { tg =>
+      val f = fs(spark, dir)
+      if (listVersions(spark, dir).exists(v => readMeta(f, dir, v).get.tag.contains(tg)))
+        return stats(spark, dir, cur)
+    }
+    val fam = storeFamily(spark, dir)
+    val staging = stage(
+      spark, dir, cur + 1, "delta", fam, fam.derive(batch), fam.docCount(batch), tag)
     if (stagedMeta(spark, dir, staging).nt == 0L) {
       fs(spark, dir).delete(staging, true) // nothing new: no version
       stats(spark, dir, cur)
@@ -195,10 +382,12 @@ object FreqStore {
     */
   def compact(spark: SparkSession, dir: String): FreqStats = {
     val cur = currentVersion(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no frequency store at $dir"))
+      throw new IllegalStateException(s"no count store at $dir"))
     if (readChain(spark, dir).size <= 1) return stats(spark, dir, cur)
+    val fam = storeFamily(spark, dir)
     val before = stats(spark, dir, cur)
-    val staging = stage(spark, dir, cur + 1, "base", frequencies(spark, dir))
+    val staging = stage(
+      spark, dir, cur + 1, "base", fam, counts(spark, dir), before.totalDocs)
     val staged = stagedMeta(spark, dir, staging)
     if (staged.nt != before.totalTokens) {
       fs(spark, dir).delete(staging, true)

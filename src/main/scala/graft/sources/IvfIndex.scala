@@ -126,10 +126,44 @@ object IvfIndex {
       val f = fs(spark, dir)
       if (readMeta(f, dir, v).isDefined)
         lose(new java.nio.file.FileAlreadyExistsException(dst.toString))
-      if (f.exists(dst)) f.delete(dst, true) // uncommitted orphan: not data
+      // NO inline orphan-delete: a cross-JVM writer may commit v=N between
+      // the marker check and the rename; deleting its dir would silently
+      // discard the winner. The no-overwrite rename is the sole claim;
+      // crash debris is cleared only by the explicit repair() op.
       try fc.rename(staging, dst)
-      catch { case e: java.io.IOException => lose(e) }
+      catch {
+        case e: java.io.IOException =>
+          if (!readMeta(f, dir, v).isDefined && f.exists(dst)) {
+            f.delete(staging, true)
+            throw new IllegalStateException(
+              s"marker-less $dst occupies the v=$v slot (crash debris or a commit " +
+                "in flight) — not overwriting; quiesce writers and run repair()", e)
+          }
+          lose(e)
+      }
     }
+  }
+
+  /** Explicit crash-debris cleanup: deletes marker-less `v=N` dirs and
+    * everything under `_staging`. MUST run with writers quiesced — a
+    * marker-less dir is indistinguishable from a rename in flight. Never
+    * touches committed versions. Returns the deleted paths.
+    */
+  def repair(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) return Seq.empty
+    val doomed = f.listStatus(new Path(dir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n == "_staging" ||
+          (n.startsWith("v=") &&
+            scala.util.Try(n.stripPrefix("v=").toLong).toOption
+              .exists(v => readMeta(f, dir, v).isEmpty))
+      }
+    doomed.foreach(p => f.delete(p, true))
+    doomed.map(_.toString)
   }
 
   private def stats(spark: SparkSession, dir: String, v: Long): IvfIndexStats = {

@@ -62,6 +62,25 @@ object ImportPipeline {
 
   final case class BatchStats(batchId: Long, accepted: Long, quarantined: Long, publishedVersion: Long)
 
+  /** Which lake indexes ingest maintains per ACCEPTED batch (step 6 of the
+    * flow) — the artifacts the dedup/leakage/frequency queries probe, kept
+    * current the way geostore stores per-file checksums at import time
+    * instead of re-hashing the lake per query:
+    *   - `dedupIndexDir`: a [[graft.sources.DedupIndex]] (content hashes,
+    *     minhash bands, window hashes — q107/deltaSubstring's probe).
+    *   - `freqStoreDirs`: any number of [[graft.sources.FreqStore]]s; each
+    *     applies its own pinned family (unigram/bigram/winsrc).
+    * Accepted docs map to the corpus shape (doc_id, source=dataset_key,
+    * text=j). Appends are tagged with the batch tag, so a crash-replay of
+    * a committed batch is a marker-scan no-op — the count-merge stores
+    * stay exactly-once without a transactional sink.
+    */
+  final case class MaintainedIndexes(
+      dedupIndexDir: Option[String] = None,
+      freqStoreDirs: Seq[String] = Nil) {
+    def isEmpty: Boolean = dedupIndexDir.isEmpty && freqStoreDirs.isEmpty
+  }
+
   /** The importer's link rewrite (`import_metadata_file/task.py:46-53`) as
     * one codegen'd expression over the raw doc JSON: `self` links are
     * dropped, the `root` link is re-pointed at the parent catalog, every
@@ -146,10 +165,11 @@ object ImportPipeline {
       acceptedDir: String,
       quarantineDir: String,
       rules: Seq[Lake.Rule],
-      assetPayloads: Option[DataFrame] = None): BatchStats =
+      assetPayloads: Option[DataFrame] = None,
+      maintain: MaintainedIndexes = MaintainedIndexes()): BatchStats =
     processTagged(
       spark, batch, batchId, batchId.toString, catalogDir, acceptedDir, quarantineDir,
-      rules, assetPayloads)
+      rules, assetPayloads, maintain)
 
   /** The batch kernel, keyed by an output-dir `tag` so streaming batches
     * (`batch=<id>`) and quarantine reprocess runs (`batch=reproc-<id>`)
@@ -164,7 +184,8 @@ object ImportPipeline {
       acceptedDir: String,
       quarantineDir: String,
       rules: Seq[Lake.Rule],
-      assetPayloads: Option[DataFrame]): BatchStats = {
+      assetPayloads: Option[DataFrame],
+      maintain: MaintainedIndexes): BatchStats = {
     requireUniqueRuleIds(rules)
     val imported = batch
       .withColumn("links", rewriteLinks(col("j")))
@@ -201,6 +222,18 @@ object ImportPipeline {
         val stats = CatalogStore.upsert(
           spark, catalogDir,
           accepted.select(col("dataset_key"), col("title"), col("revision")))
+        // 6. MAINTAIN — append the accepted batch to the configured lake
+        // indexes, tagged with this batch's output tag so a replay after a
+        // crash-between-side-effects is a marker-scan no-op (exactly-once
+        // for the count-merge stores; the set stores are idempotent anyway)
+        if (!maintain.isEmpty && !accepted.isEmpty) {
+          val corpus = accepted.select(
+            col("doc_id"), col("dataset_key").as("source"), col("j").as("text"))
+          maintain.dedupIndexDir.foreach(d =>
+            graft.sources.DedupIndex.append(spark, d, corpus, tag = Some(tag)))
+          maintain.freqStoreDirs.foreach(d =>
+            graft.sources.FreqStore.append(spark, d, corpus, tag = Some(tag)))
+        }
         BatchStats(statsId, accepted.count(), quarantined.count(), stats.version)
       } finally {
         quarantined.unpersist()
@@ -223,7 +256,8 @@ object ImportPipeline {
       checkpointDir: String,
       rules: Option[Seq[Lake.Rule]] = None,
       assetPayloads: Option[DataFrame] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maintain: MaintainedIndexes = MaintainedIndexes()): StreamingQuery = {
     // fail BEFORE the stream starts, not per-batch inside foreachBatch
     val resolved = requireUniqueRuleIds(rules.getOrElse(Lake.loadRules(spark)))
     spark.readStream
@@ -235,7 +269,7 @@ object ImportPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(
           spark, batch, batchId, catalogDir, acceptedDir, quarantineDir, resolved,
-          assetPayloads)
+          assetPayloads, maintain)
         ()
       }
       .start()
@@ -285,7 +319,8 @@ object ImportPipeline {
       quarantineDir: String,
       reprocessId: Long,
       rules: Option[Seq[Lake.Rule]] = None,
-      assetPayloads: Option[DataFrame] = None): BatchStats = {
+      assetPayloads: Option[DataFrame] = None,
+      maintain: MaintainedIndexes = MaintainedIndexes()): BatchStats = {
     val resolved = requireUniqueRuleIds(rules.getOrElse(Lake.loadRules(spark)))
     val tag = s"reproc-$reprocessId"
     val qRoot = new org.apache.hadoop.fs.Path(quarantineDir)
@@ -311,7 +346,7 @@ object ImportPipeline {
       .localCheckpoint(true)
     val stats = processTagged(
       spark, input, reprocessId, tag, catalogDir, acceptedDir, quarantineDir,
-      resolved, assetPayloads)
+      resolved, assetPayloads, maintain)
     consumed.foreach(p => hfs.delete(p, true))
     stats
   }

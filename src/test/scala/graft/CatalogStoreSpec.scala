@@ -105,7 +105,7 @@ class CatalogStoreSpec extends AnyFunSuite {
     assert(snapshot(dir) == after)
   }
 
-  test("an orphan snapshot dir from a crashed writer is never read and gets clobbered") {
+  test("an orphan snapshot dir from a crashed writer is never read; claiming its slot needs repair()") {
     val dir = tmp()
     CatalogStore.init(spark, dir, base())
     // simulate crash debris occupying the v=2 slot WITHOUT a _COMMITTED
@@ -117,8 +117,18 @@ class CatalogStoreSpec extends AnyFunSuite {
     // the orphan is not data: time travel refuses it, listings omit it
     intercept[IllegalArgumentException](CatalogStore.readVersion(spark, dir, 2L))
     assert(CatalogStore.listVersions(spark, dir) == Seq(1L))
+    // r13 (ADVICE r12): the claim path must NOT delete the occupant — a
+    // marker-less dir is indistinguishable from a cross-JVM rename in
+    // flight, and inline deletion could discard a concurrent winner. The
+    // writer loses loudly and is pointed at the explicit repair op.
+    val e = intercept[IllegalStateException](CatalogStore.upsert(spark, dir, changes()))
+    assert(e.getMessage.contains("repair"), s"unexpected failure: ${e.getMessage}")
+    assert(CatalogStore.currentVersion(spark, dir).contains(1L), "failed claim must publish nothing")
+    // explicit repair (writers quiesced) clears the debris; the slot claims
+    val cleared = CatalogStore.repair(spark, dir)
+    assert(cleared.exists(_.endsWith("v=2")), s"repair cleared: $cleared")
     val s = CatalogStore.upsert(spark, dir, changes())
-    assert(s.version == 2L) // orphan dir cleared, slot claimed, published
+    assert(s.version == 2L)
     assert(snapshot(dir).count(_._2.endsWith("-v2")) > 0)
     assert(!snapshot(dir).exists(_._2 == "GARBAGE"))
   }

@@ -140,6 +140,65 @@ class ImportPipelineSpec extends AnyFunSuite {
       .select(col("revision")).as[Long].head() == 2L)
   }
 
+  test("index maintenance: ingest advances DedupIndex+FreqStore exactly once per accepted batch, replay-proof") {
+    import spark.implicits._
+    import graft.sources.{DedupIndex, FreqStore}
+    val root = java.nio.file.Files.createTempDirectory("graft_import_idx").toString
+    val (dedupDir, freqDir) = (s"$root/dedup_idx", s"$root/freq_store")
+    CatalogStore.init(spark, s"$root/catalog",
+      Seq(("ds-a", "Alpha v1", 1L)).toDF("dataset_key", "title", "revision"))
+    // seed the indexes from a pre-existing curated corpus (v=1 base)
+    val seed = Seq((100L, "seed", "alpha beta gamma delta")).toDF("doc_id", "source", "text")
+    DedupIndex.init(spark, dedupDir, seed, bands = 8)
+    FreqStore.init(spark, freqDir, seed)
+    val maintain = ImportPipeline.MaintainedIndexes(
+      dedupIndexDir = Some(dedupDir), freqStoreDirs = Seq(freqDir))
+    def run(): Unit = {
+      val q = ImportPipeline.start(
+        spark,
+        sourceDir = s"$root/in", catalogDir = s"$root/catalog",
+        acceptedDir = s"$root/accepted", quarantineDir = s"$root/quarantine",
+        checkpointDir = s"$root/ckpt", rules = Some(rules), maintain = maintain)
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 0: two accepted docs (and one quarantined — it must NOT index)
+    writeBatch(s"$root/in", Seq(
+      doc(1L, "ds-a", "Alpha v2", 2L, valid = true),
+      doc(2L, "ds-c", "Gamma v1", 1L, valid = true),
+      doc(3L, "ds-d", "Delta v1", 1L, valid = false)))
+    run()
+    assert(DedupIndex.currentVersion(spark, dedupDir).contains(2L),
+      "dedup index should advance exactly once for batch 0")
+    assert(FreqStore.currentVersion(spark, freqDir).contains(2L),
+      "freq store should advance exactly once for batch 0")
+    val countsAfter0 = FreqStore.frequencies(spark, freqDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // crash AFTER side-effects, BEFORE the streaming commit → replay
+    val committed = new java.io.File(s"$root/ckpt/commits/0")
+    assert(committed.exists && committed.delete())
+    new java.io.File(s"$root/ckpt/commits/.0.crc").delete()
+    writeBatch(s"$root/in", Seq(doc(4L, "ds-a", "Alpha v3", 3L, valid = true)))
+    run()
+    // replayed batch 0 is a tag no-op on BOTH stores (count-merge would
+    // otherwise double batch 0's counts); batch 1 appends once
+    assert(DedupIndex.currentVersion(spark, dedupDir).contains(3L),
+      s"dedup chain after replay: ${DedupIndex.listVersions(spark, dedupDir)}")
+    assert(FreqStore.currentVersion(spark, freqDir).contains(3L),
+      s"freq chain after replay: ${FreqStore.listVersions(spark, freqDir)}")
+    // the maintained view equals a one-shot rebuild from seed + accepted lake
+    val scratch = s"$root/freq_rebuild"
+    FreqStore.init(spark, scratch,
+      seed.unionByName(spark.read.parquet(s"$root/accepted")
+        .select(col("doc_id"), col("dataset_key").as("source"), col("j").as("text"))))
+    def view(d: String) = FreqStore.frequencies(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(view(freqDir) == view(scratch),
+      "stream-maintained store diverges from one-shot rebuild — replay double-counted?")
+    // batch 0's counts were not doubled by the replay
+    countsAfter0.foreach { case (t, n) =>
+      assert(view(freqDir).getOrElse(t, 0L) >= n, s"token $t lost counts") }
+  }
+
   test("asset checksum stage: a corrupt or missing staged payload quarantines its doc") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_import3").toString

@@ -1,0 +1,108 @@
+package graft
+
+import graft.sources.FreqStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The FreqStore family extensions (Bigram, WindowSrc) and their consumer
+  * wiring: q77/q97/q139 reading a Bigram store (`graft.bigram.store`),
+  * the q120/q143/q146 leakage family probing a train-slice WindowSrc
+  * store (`graft.leak.store`), and q122 reading a corpus-wide WindowSrc
+  * store (`graft.win.store`) — each proven output-identical to its
+  * derived run, plus the loud K-mismatch and family-mismatch failures
+  * (the band-family rule).
+  */
+class LeakStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_leakstore").toString
+
+  private def docs = Tables(spark, sf).documents
+    .select(col("doc_id"), col("source"), col("text"))
+
+  // q103/q120's engine-stable split bucket (the first 8 md5 hex chars as
+  // an integer) — conv() renders the same value hexint32 hand-rolls
+  private val bucket =
+    expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+
+  private def rows(q: String) = SparkEntry.queries(q)(spark, sf).collect().toSeq
+
+  test("store-backed q120/q143/q146 equal derived (train-slice WindowSrc store)") {
+    val dir = tmp()
+    val st = FreqStore.init(spark, dir, docs.filter(bucket < 90), FreqStore.WindowSrc(8))
+    assert(st.kind == "base" && st.family == "winsrc:8" && st.totalDocs > 0)
+    val qs = Seq("q120_split_leakage", "q143_leakage_by_source", "q146_leak_severity")
+    val derived = qs.map(q => q -> rows(q)).toMap
+    derived.foreach { case (q, r) => assert(r.nonEmpty, s"$q derived run empty") }
+    spark.conf.set("graft.leak.store", dir)
+    try qs.foreach { q =>
+      assert(rows(q) == derived(q), s"$q diverges when probing the stored train windows")
+    } finally spark.conf.unset("graft.leak.store")
+  }
+
+  test("train-slice store maintained in batches equals the one-shot build") {
+    val (incr, oneshot) = (tmp(), tmp())
+    val train = docs.filter(bucket < 90)
+    val ids = train.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (b0, b1) = ids.splitAt(ids.length / 2)
+    FreqStore.init(spark, incr, train.filter(col("doc_id").isin(b0: _*)), FreqStore.WindowSrc(8))
+    FreqStore.append(spark, incr, train.filter(col("doc_id").isin(b1: _*)))
+    FreqStore.init(spark, oneshot, train, FreqStore.WindowSrc(8))
+    def view(d: String) = FreqStore.counts(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(view(incr) == view(oneshot), "batched WindowSrc store diverges from one-shot")
+    assert(FreqStore.totalDocs(spark, incr) == FreqStore.totalDocs(spark, oneshot),
+      "doc totals diverge between batched and one-shot builds")
+  }
+
+  test("store-backed q122 equals derived (corpus-wide WindowSrc store)") {
+    val dir = tmp()
+    FreqStore.init(spark, dir, docs, FreqStore.WindowSrc(8))
+    val derived = rows("q122_window_novelty")
+    assert(derived.nonEmpty)
+    spark.conf.set("graft.win.store", dir)
+    try assert(rows("q122_window_novelty") == derived,
+      "q122 diverges when reading the stored corpus windows")
+    finally spark.conf.unset("graft.win.store")
+  }
+
+  test("store-backed q77/q97/q139 equal derived (Bigram store)") {
+    val dir = tmp()
+    val st = FreqStore.init(spark, dir, docs, FreqStore.Bigram)
+    assert(st.family == "bigram")
+    val qs = Seq("q77_bigram_lm", "q97_rare_bigrams", "q139_pmi")
+    val derived = qs.map(q => q -> rows(q)).toMap
+    spark.conf.set("graft.bigram.store", dir)
+    try qs.foreach { q =>
+      assert(rows(q) == derived(q), s"$q diverges when reading the stored pair table")
+    } finally spark.conf.unset("graft.bigram.store")
+  }
+
+  test("window-K mismatch fails loudly instead of probing a foreign window family") {
+    val dir = tmp()
+    FreqStore.init(spark, dir, docs.filter(bucket < 90), FreqStore.WindowSrc(8))
+    spark.conf.set("graft.leak.store", dir)
+    spark.conf.set("graft.dedup.windowTokens", "5")
+    try {
+      val e = intercept[IllegalArgumentException](rows("q120_split_leakage"))
+      assert(e.getMessage.contains("rebuild"))
+    } finally {
+      spark.conf.unset("graft.leak.store")
+      spark.conf.unset("graft.dedup.windowTokens")
+    }
+  }
+
+  test("family mismatches fail loudly instead of serving a foreign table") {
+    val dir = tmp()
+    FreqStore.init(spark, dir, docs, FreqStore.Bigram)
+    spark.conf.set("graft.leak.store", dir)
+    try {
+      val e = intercept[IllegalArgumentException](rows("q120_split_leakage"))
+      assert(e.getMessage.contains("rebuild"))
+    } finally spark.conf.unset("graft.leak.store")
+    // a unigram consumer pointed at a bigram store refuses too
+    val e2 = intercept[IllegalArgumentException](FreqStore.frequencies(spark, dir))
+    assert(e2.getMessage.contains("wrong store"))
+  }
+}
