@@ -208,6 +208,14 @@ object Dedup extends QueryModule {
   def primePairCache(t: Tables): Long =
     if (pairCacheOn(t)) pairStats(t).count() else 0L
 
+  /** The q103/q120-family train slice (md5 doc_id bucket < 90) of a
+    * documents frame — the frozen-train corpus a `graft.leak.store`
+    * WindowSrc artifact is built over (Bench builds one; LeakStoreSpec
+    * pins the equivalent conv() rendering).
+    */
+  def leakTrainSlice(docs: DataFrame): DataFrame =
+    docs.filter((expr(hexint32("md5(CAST(doc_id AS STRING))")) % 100) < 90)
+
   /** Drop the session pair cache: unpersist every cached relation and
     * forget it. Necessary when turning the cache OFF mid-session —
     * persist() registers the plan fragment in Spark's CacheManager, so

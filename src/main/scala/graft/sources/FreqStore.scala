@@ -55,11 +55,19 @@ object FreqStore {
   sealed trait Family {
     def name: String
     def keyCols: Seq[String]
-    def derive(docs: DataFrame): DataFrame
-    /** Distinct documents contributing ≥1 counted row — the `nd` marker
-      * field ([[totalDocs]] sums it; WindowSrc consumers need it exact).
+    /** The pre-aggregation occurrence relation: doc_id + the family's key
+      * columns, one row per counted occurrence. init/append persist it
+      * ONCE so the count table and the `nd` doc count (distinct
+      * contributing docs — [[totalDocs]] sums it; WindowSrc consumers
+      * need it exact) both come from a single corpus pass.
       */
-    def docCount(docs: DataFrame): Long
+    def rows(docs: DataFrame): DataFrame
+    /** The (keys..., n) count table over [[rows]]. */
+    def aggregate(pos: DataFrame): DataFrame
+    /** One-shot convenience (two passes); the store itself goes through
+      * rows→persist→aggregate instead.
+      */
+    final def derive(docs: DataFrame): DataFrame = aggregate(rows(docs))
   }
 
   /** (token, n) unigram occurrences — the q76-family aggregate (same
@@ -68,17 +76,12 @@ object FreqStore {
   case object Unigram extends Family {
     val name = "unigram"
     val keyCols = Seq("token")
-    def derive(docs: DataFrame): DataFrame =
-      docs
-        .select(explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "")
-        .groupBy(col("token"))
-        .agg(count(lit(1)).as("n"))
-    def docCount(docs: DataFrame): Long =
+    def rows(docs: DataFrame): DataFrame =
       docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
-        .agg(countDistinct(col("doc_id"))).head().getLong(0)
+    def aggregate(pos: DataFrame): DataFrame =
+      pos.groupBy(col("token")).agg(count(lit(1)).as("n"))
   }
 
   /** (w1, w2, n) adjacent word-pair occurrences — q77/q97/q139's pair
@@ -88,7 +91,7 @@ object FreqStore {
   case object Bigram extends Family {
     val name = "bigram"
     val keyCols = Seq("w1", "w2")
-    private def pairs(docs: DataFrame): DataFrame =
+    def rows(docs: DataFrame): DataFrame =
       docs
         .withColumn("words", split(col("text"), " "))
         .filter(size(col("words")) >= 2)
@@ -101,10 +104,8 @@ object FreqStore {
                 .stripMargin)).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .filter(col("w1") =!= "" && col("w2") =!= "")
-    def derive(docs: DataFrame): DataFrame =
-      pairs(docs).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
-    def docCount(docs: DataFrame): Long =
-      pairs(docs).agg(countDistinct(col("doc_id"))).head().getLong(0)
+    def aggregate(pos: DataFrame): DataFrame =
+      pos.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
   }
 
   /** (wh, source, n) — per K-token window hash (q113's kernel, K pinned
@@ -119,17 +120,14 @@ object FreqStore {
     require(k >= 2 && k <= 64, s"windowK out of range: $k")
     val name = s"winsrc:$k"
     val keyCols = Seq("wh", "source")
-    def derive(docs: DataFrame): DataFrame =
+    def rows(docs: DataFrame): DataFrame =
       docs
         .select(
           col("doc_id"), col("source"),
           explode(graft.operators.Dedup.windowHashes(k)).as("wh"))
-        .groupBy(col("wh"), col("source"))
+    def aggregate(pos: DataFrame): DataFrame =
+      pos.groupBy(col("wh"), col("source"))
         .agg(countDistinct(col("doc_id")).as("n"))
-    def docCount(docs: DataFrame): Long =
-      docs
-        .select(col("doc_id"), explode(graft.operators.Dedup.windowHashes(k)).as("wh"))
-        .agg(countDistinct(col("doc_id"))).head().getLong(0)
   }
 
   private def familyOf(name: String): Family = name match {
@@ -334,12 +332,25 @@ object FreqStore {
   }
 
   /** Build v=1 (a base) from the curated corpus. Fails if initialized. */
+  // one corpus pass per publish: the family's occurrence relation is
+  // persisted so the count table and the nd doc count both read it
+  private def stageOnePass(
+      spark: SparkSession, dir: String, v: Long, kind: String, fam: Family,
+      docs: DataFrame, tag: Option[String]): (Path, Long) = {
+    val pos = fam.rows(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nd = pos.agg(countDistinct(col("doc_id"))).head().getLong(0)
+      (stage(spark, dir, v, kind, fam, fam.aggregate(pos), nd, tag), nd)
+    } finally pos.unpersist()
+  }
+
   def init(
       spark: SparkSession, dir: String, docs: DataFrame,
       family: Family = Unigram): FreqStats = {
     require(currentVersion(spark, dir).isEmpty, s"count store at $dir already initialized")
-    commit(spark, dir,
-      stage(spark, dir, 1L, "base", family, family.derive(docs), family.docCount(docs)), 1L)
+    val (staging, _) = stageOnePass(spark, dir, 1L, "base", family, docs, None)
+    commit(spark, dir, staging, 1L)
     stats(spark, dir, 1L)
   }
 
@@ -364,8 +375,7 @@ object FreqStore {
         return stats(spark, dir, cur)
     }
     val fam = storeFamily(spark, dir)
-    val staging = stage(
-      spark, dir, cur + 1, "delta", fam, fam.derive(batch), fam.docCount(batch), tag)
+    val (staging, _) = stageOnePass(spark, dir, cur + 1, "delta", fam, batch, tag)
     if (stagedMeta(spark, dir, staging).nt == 0L) {
       fs(spark, dir).delete(staging, true) // nothing new: no version
       stats(spark, dir, cur)
