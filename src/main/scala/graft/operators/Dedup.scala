@@ -206,7 +206,7 @@ object Dedup extends QueryModule {
     * silently discard the build from whichever family query ran first.
     */
   def primePairCache(t: Tables): Long =
-    if (pairCacheOn(t)) pairStats(t).count() else 0L
+    if (pairCacheOn(t)) pairStats(t).count() + components(t).count() else 0L
 
   /** The q103/q120-family train slice (md5 doc_id bucket < 90) of a
     * documents frame — the frozen-train corpus a `graft.leak.store`
@@ -226,6 +226,8 @@ object Dedup extends QueryModule {
   def clearPairCache(): Unit = {
     pairStatsCache.forEach((_, df) => { df.unpersist(); () })
     pairStatsCache.clear()
+    componentsCache.forEach((_, df) => { df.unpersist(); () })
+    componentsCache.clear()
   }
 
   private def pairStats(t: Tables): DataFrame =
@@ -692,7 +694,23 @@ object Dedup extends QueryModule {
     */
   private def cutLineage(df: DataFrame): DataFrame = graft.Iterate.cutLineage(df)
 
-  private def components(t: Tables): DataFrame = {
+  // The component labels are a pure function of (corpus, bands, τ) —
+  // like pairStats, the q62/q79/q147 consumers share one derivation per
+  // session under graft.lsh.cache (primed and priced in Bench's prep).
+  private val componentsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def components(t: Tables): DataFrame =
+    if (!pairCacheOn(t)) componentsDerive(t)
+    else {
+      val key = s"${t.spark.sparkContext.applicationId}|${t.dir}|${bands(t)}"
+      componentsCache.computeIfAbsent(
+        key,
+        _ => componentsDerive(t)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  private def componentsDerive(t: Tables): DataFrame = {
     val pairs = jaccardPairs(t).select(col("doc_a"), col("doc_b"))
     // materialize once: every loop action would otherwise re-run the whole
     // Jaccard pipeline through the edges lineage. Symmetrize with one

@@ -131,6 +131,25 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.delta.index")
   }
 
+  test("marker-less debris blocks the slot until explicit repair(); replay tags short-circuit") {
+    val dir = tmp()
+    val ids = baseDocs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (b0, b1) = ids.splitAt(ids.length / 2)
+    def slice(s: Array[Long]) = baseDocs.filter(col("doc_id").isin(s: _*))
+    DedupIndex.init(spark, dir, slice(b0), bands = 8)
+    // crash debris: a v=2 dir with data but NO _COMMITTED marker
+    slice(b1).limit(1).select(md5(col("text")).as("h")).write.parquet(s"$dir/v=2/hashes")
+    val e = intercept[IllegalStateException](DedupIndex.append(spark, dir, slice(b1)))
+    assert(e.getMessage.contains("repair"), s"unexpected: ${e.getMessage}")
+    assert(DedupIndex.listVersions(spark, dir) == Seq(1L), "blocked claim published something")
+    val cleared = DedupIndex.repair(spark, dir)
+    assert(cleared.exists(_.endsWith("v=2")), s"repair cleared: $cleared")
+    val st = DedupIndex.append(spark, dir, slice(b1), tag = Some("batch-3"))
+    assert(st.version == 2L)
+    val replay = DedupIndex.append(spark, dir, slice(b1), tag = Some("batch-3"))
+    assert(replay.version == 2L, "replayed tag re-published")
+  }
+
   test("concurrent version claim: exactly one writer publishes, the loser keeps nothing staged") {
     val dir = tmp()
     DedupIndex.init(spark, dir, baseDocs.limit(100), bands = 8)

@@ -118,6 +118,28 @@ class FreqStoreSpec extends AnyFunSuite {
       "stream-maintained store diverges from the one-shot rebuild")
   }
 
+  test("marker-less debris blocks the slot until explicit repair(); replay tags are no-ops") {
+    import spark.implicits._
+    val dir = tmp()
+    val ids = docsAll.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def slice(s: Array[Long]) = docsAll.filter(col("doc_id").isin(s: _*))
+    val (seed, rest) = ids.splitAt(ids.length / 2)
+    FreqStore.init(spark, dir, slice(seed))
+    // crash debris: a v=2 dir with data but NO _COMMITTED marker
+    slice(rest).limit(1).write.parquet(s"$dir/v=2/freq")
+    val e = intercept[IllegalStateException](FreqStore.append(spark, dir, slice(rest)))
+    assert(e.getMessage.contains("repair"), s"unexpected: ${e.getMessage}")
+    assert(FreqStore.listVersions(spark, dir) == Seq(1L), "blocked claim published something")
+    val cleared = FreqStore.repair(spark, dir)
+    assert(cleared.exists(_.endsWith("v=2")), s"repair cleared: $cleared")
+    // tagged append publishes once; the replayed tag is a marker-scan no-op
+    val st = FreqStore.append(spark, dir, slice(rest), tag = Some("batch-7"))
+    assert(st.version == 2L)
+    val replay = FreqStore.append(spark, dir, slice(rest), tag = Some("batch-7"))
+    assert(replay.version == 2L, "replayed tag re-published — counts doubled")
+    assert(FreqStore.listVersions(spark, dir) == Seq(1L, 2L))
+  }
+
   test("concurrent version claim: exactly one writer publishes, no staging debris") {
     val dir = tmp()
     val ids = docsAll.select(col("doc_id")).collect().map(_.getLong(0)).sorted

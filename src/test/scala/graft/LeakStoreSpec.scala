@@ -67,6 +67,20 @@ class LeakStoreSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.win.store")
   }
 
+  test("store-backed q122's plan reads ZERO corpus — only the store") {
+    val dir = tmp()
+    FreqStore.init(spark, dir, docs, FreqStore.WindowSrc(8))
+    spark.conf.set("graft.win.store", dir)
+    try {
+      val plan = SparkEntry.queries("q122_window_novelty")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        "store-backed q122 still scans the corpus — the whole point is a window-vocabulary-scale read")
+      assert(plan.contains(dir.split('/').last) || plan.contains("v=1"),
+        s"plan doesn't show the store scan:\n$plan")
+    } finally spark.conf.unset("graft.win.store")
+  }
+
   test("store-backed q77/q97/q139 equal derived (Bigram store)") {
     val dir = tmp()
     val st = FreqStore.init(spark, dir, docs, FreqStore.Bigram)
