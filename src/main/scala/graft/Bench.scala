@@ -32,6 +32,15 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The driver-generated test tables are single-row-group parquet files,
+    // so a scan is ONE task no matter how small maxPartitionBytes gets —
+    // heavy map stages (window/shingle explodes, minhash) would run
+    // single-threaded until the first exchange. graft.local.split is the
+    // documented local-mode crutch for exactly this (Tables.localSplit):
+    // one key-repartition buys local[32]-wide map work. At cluster scale
+    // the scan itself splits (many files / row groups) and the conf stays
+    // off — PlanAudit audits the conf-off plans.
+    spark.conf.set("graft.local.split", "true")
     // Warm the JVM/codegen/scan/shuffle/window paths once so the first few
     // timed queries aren't charged for session startup and JIT of the
     // shared execution machinery (one agg-scan, one broadcast-join top-n,
