@@ -282,6 +282,41 @@ object DedupIndex {
     }
   }
 
+  /** Maintenance policy: fold the chain once it exceeds `maxChain`
+    * versions — what ingest applies after appends so read fan-in stays
+    * bounded as batches accumulate. Content-preserving by compact's
+    * invariant; a replayed compact of an already-short chain is a no-op.
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String, maxChain: Int = 8): IndexStats = {
+    require(maxChain >= 2, s"maxChain must be >= 2: $maxChain")
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no dedup index at $dir"))
+    if (readChain(spark, dir).size > maxChain) compact(spark, dir)
+    else stats(spark, dir, cur)
+  }
+
+  /** Drop published versions no longer in the read chain (history
+    * strictly before the newest base), keeping the most recent
+    * `keepHistory` for forensics. Never touches the chain; returns the
+    * dropped versions. CatalogStore's retention-GC discipline.
+    *
+    * Replay-idempotence caveat: append TAGS live in version markers, so
+    * GC'ing a tagged version forgets that its batch was applied. Keep
+    * `keepHistory` at least as deep as the ingest replay horizon (for
+    * Structured Streaming that is ONLY the in-flight batch, whose delta
+    * is by definition still in the read chain — so the default is safe
+    * for the wired pipeline; an explicit external re-send protocol needs
+    * a deeper history).
+    */
+  def gc(spark: SparkSession, dir: String, keepHistory: Int = 0): Seq[Long] = {
+    require(keepHistory >= 0, s"keepHistory must be >= 0: $keepHistory")
+    val f = fs(spark, dir)
+    val chain = readChain(spark, dir).toSet
+    val doomed = listVersions(spark, dir).filterNot(chain).dropRight(keepHistory)
+    doomed.foreach(v => f.delete(new Path(versionPath(dir, v)), true))
+    doomed
+  }
+
   /** Fold the base+delta chain into a single base version — the LSM
     * compaction keeping read fan-in bounded as deltas accumulate. View
     * content is unchanged (the staged manifest totals must equal the

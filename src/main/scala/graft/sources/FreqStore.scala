@@ -385,6 +385,44 @@ object FreqStore {
     }
   }
 
+  /** Maintenance policy: fold the chain once it exceeds `maxChain`
+    * versions — what ingest applies after appends so read fan-in stays
+    * bounded as batches accumulate (an unbounded delta chain turns every
+    * read into a |batches|-way union at 100 TB). Content-preserving by
+    * compact's invariant; safe under crash-replay (a replayed compact of
+    * an already-short chain is a no-op).
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String, maxChain: Int = 8): FreqStats = {
+    require(maxChain >= 2, s"maxChain must be >= 2: $maxChain")
+    val cur = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no count store at $dir"))
+    if (readChain(spark, dir).size > maxChain) compact(spark, dir)
+    else stats(spark, dir, cur)
+  }
+
+  /** Drop published versions that are no longer in the read chain
+    * (history strictly before the newest base), keeping the most recent
+    * `keepHistory` of them for forensics. Never touches the chain, so
+    * reads are unaffected; returns the dropped versions. The storage
+    * analog of CatalogStore's retention GC.
+    *
+    * Replay-idempotence caveat: append TAGS live in version markers, so
+    * GC'ing a tagged version forgets that its batch was applied. Keep
+    * `keepHistory` at least as deep as the ingest replay horizon (for
+    * Structured Streaming that is ONLY the in-flight batch, whose delta
+    * is by definition still in the read chain — so the default is safe
+    * for the wired pipeline; an explicit external re-send protocol needs
+    * a deeper history).
+    */
+  def gc(spark: SparkSession, dir: String, keepHistory: Int = 0): Seq[Long] = {
+    require(keepHistory >= 0, s"keepHistory must be >= 0: $keepHistory")
+    val f = fs(spark, dir)
+    val chain = readChain(spark, dir).toSet
+    val doomed = listVersions(spark, dir).filterNot(chain).dropRight(keepHistory)
+    doomed.foreach(v => f.delete(new Path(versionPath(dir, v)), true))
+    doomed
+  }
+
   /** Fold the base+delta chain into one base version. The additive
     * invariant is checked before publish: total occurrences are
     * merge-invariant, so the staged Σn must equal the chain's manifest

@@ -74,10 +74,18 @@ object ImportPipeline {
     * text=j). Appends are tagged with the batch tag, so a crash-replay of
     * a committed batch is a marker-scan no-op — the count-merge stores
     * stay exactly-once without a transactional sink.
+    *
+    * `maxChain` bounds read fan-in: after each append the store folds its
+    * base+delta chain once it exceeds this many versions
+    * (`compactIfNeeded` — content-preserving and replay-safe, so it can
+    * sit inside the batch path). History GC is deliberately NOT automatic
+    * here: append tags live in version markers, and the explicit `gc` op
+    * documents its replay-horizon contract.
     */
   final case class MaintainedIndexes(
       dedupIndexDir: Option[String] = None,
-      freqStoreDirs: Seq[String] = Nil) {
+      freqStoreDirs: Seq[String] = Nil,
+      maxChain: Int = 8) {
     def isEmpty: Boolean = dedupIndexDir.isEmpty && freqStoreDirs.isEmpty
   }
 
@@ -229,10 +237,14 @@ object ImportPipeline {
         if (!maintain.isEmpty && !accepted.isEmpty) {
           val corpus = accepted.select(
             col("doc_id"), col("dataset_key").as("source"), col("j").as("text"))
-          maintain.dedupIndexDir.foreach(d =>
-            graft.sources.DedupIndex.append(spark, d, corpus, tag = Some(tag)))
-          maintain.freqStoreDirs.foreach(d =>
-            graft.sources.FreqStore.append(spark, d, corpus, tag = Some(tag)))
+          maintain.dedupIndexDir.foreach { d =>
+            graft.sources.DedupIndex.append(spark, d, corpus, tag = Some(tag))
+            graft.sources.DedupIndex.compactIfNeeded(spark, d, maintain.maxChain)
+          }
+          maintain.freqStoreDirs.foreach { d =>
+            graft.sources.FreqStore.append(spark, d, corpus, tag = Some(tag))
+            graft.sources.FreqStore.compactIfNeeded(spark, d, maintain.maxChain)
+          }
         }
         BatchStats(statsId, accepted.count(), quarantined.count(), stats.version)
       } finally {

@@ -131,6 +131,27 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.delta.index")
   }
 
+  test("compactIfNeeded bounds read fan-in; gc drops only pre-base history") {
+    val dir = tmp()
+    val ids = baseDocs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def slice(s: Seq[Long]) = baseDocs.filter(col("doc_id").isin(s: _*))
+    val batches = ids.grouped(math.max(1, ids.length / 6)).toSeq
+    DedupIndex.init(spark, dir, slice(batches.head), bands = 8)
+    batches.tail.foreach { b =>
+      DedupIndex.append(spark, dir, slice(b))
+      DedupIndex.compactIfNeeded(spark, dir, maxChain = 3)
+    }
+    val before = view(dir)
+    val vs = DedupIndex.listVersions(spark, dir)
+    assert(vs.size > 3, s"expected folded history, got $vs")
+    val dropped = DedupIndex.gc(spark, dir)
+    assert(dropped.nonEmpty, "no history to gc — compaction never folded?")
+    assert(DedupIndex.listVersions(spark, dir) == vs.filterNot(dropped.contains),
+      "gc touched chain versions")
+    assert(view(dir) == before, "gc changed the index view")
+    assert(DedupIndex.gc(spark, dir).isEmpty)
+  }
+
   test("marker-less debris blocks the slot until explicit repair(); replay tags short-circuit") {
     val dir = tmp()
     val ids = baseDocs.select(col("doc_id")).collect().map(_.getLong(0)).sorted

@@ -118,6 +118,31 @@ class FreqStoreSpec extends AnyFunSuite {
       "stream-maintained store diverges from the one-shot rebuild")
   }
 
+  test("compactIfNeeded bounds read fan-in; gc drops only pre-base history") {
+    val dir = tmp()
+    val ids = docsAll.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def slice(s: Seq[Long]) = docsAll.filter(col("doc_id").isin(s: _*))
+    val batches = ids.grouped(math.max(1, ids.length / 6)).toSeq
+    FreqStore.init(spark, dir, slice(batches.head))
+    batches.tail.foreach { b =>
+      FreqStore.append(spark, dir, slice(b))
+      FreqStore.compactIfNeeded(spark, dir, maxChain = 3)
+    }
+    val before = view(dir)
+    // the chain (newest base + later deltas) never exceeded maxChain, so
+    // at least one fold happened and more versions exist than the chain
+    val vs = FreqStore.listVersions(spark, dir)
+    assert(vs.size > 3, s"expected folded history, got $vs")
+    // gc drops exactly the pre-base history; the merged view is untouched
+    val dropped = FreqStore.gc(spark, dir)
+    assert(dropped.nonEmpty, "no history to gc — compaction never folded?")
+    assert(FreqStore.listVersions(spark, dir) == vs.filterNot(dropped.contains),
+      "gc touched chain versions")
+    assert(view(dir) == before, "gc changed the merged view")
+    // idempotent: nothing left to drop
+    assert(FreqStore.gc(spark, dir).isEmpty)
+  }
+
   test("marker-less debris blocks the slot until explicit repair(); replay tags are no-ops") {
     import spark.implicits._
     val dir = tmp()
