@@ -48,9 +48,16 @@ class BuildStoresSpec extends AnyFunSuite {
       "graft.delta.index" -> s"$out/dedup",
       "graft.ivf.index" -> s"$out/ivf")
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // the session pair/component cache composes with the stores (the
+    // Bench session runs with ALL of these on at once)
+    spark.conf.set("graft.lsh.cache", "true")
     try consumers.foreach { q =>
       assert(SparkEntry.queries(q)(spark, sf).collect().toSeq == derived(q),
         s"$q diverges in the fully provisioned session")
-    } finally confs.keys.foreach(spark.conf.unset)
+    } finally {
+      confs.keys.foreach(spark.conf.unset)
+      spark.conf.unset("graft.lsh.cache")
+      graft.operators.Dedup.clearPairCache()
+    }
   }
 }
