@@ -58,8 +58,14 @@ object CatalogOps extends QueryModule {
     * nodes. A node's min walk depth within the round equals its true BFS
     * depth (the shortest path's prefix ends on the previous frontier), so
     * the semantics are exactly those of the 1-hop loop.
+    *
+    * 8 measured as the knee (r13, sf0.1 depth ≈ 16): 4→8 hops cut the
+    * solo min 2.67 s → 1.54 s (half the checkpoint/collect rounds);
+    * 16 gained nothing further (1.51 s) while doubling per-round plan
+    * compile cost (cold rep 5.1 s → 6.1 s). Binary-tree catalogs keep
+    * out-degree ≤ 2, so out-degree^Hops stays ≤ 256 walks per node-round.
     */
-  private val Hops = 4
+  private val Hops = 8
 
   private def q67(t: Tables): DataFrame = {
     // partitioned by src — the key every hop probes — so the (large) edge
