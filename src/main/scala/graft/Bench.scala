@@ -143,14 +143,28 @@ object Bench {
     // driver's 2000-char stdout tail can't hold 150×nReps values): one
     // object per run, query order = the sorted "queries" order, so any
     // both-reps-slow outlier is adjudicable from the artifact alone.
-    try {
-      val detail =
-        s"""{"sf":"$sfDir","cpus":$cpus,"order":[${
-          results.map("\"" + _._1 + "\"").mkString(",")}],$repArrays}"""
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_reps_latest.json"),
-        detail.getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // detail is best-effort
+    // best-effort, but HONEST: advertise the file only when this run's
+    // write landed — a stale previous run's detail presented as this
+    // run's would misadjudicate an outlier; on failure try to remove any
+    // stale copy so nothing plausible-but-wrong remains
+    val repsFileOk =
+      try {
+        val detail =
+          s"""{"sf":"$sfDir","cpus":$cpus,"order":[${
+            results.map("\"" + _._1 + "\"").mkString(",")}],$repArrays}"""
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_reps_latest.json"),
+          detail.getBytes("UTF-8"))
+        true
+      } catch {
+        case _: Throwable =>
+          try java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get("bench_reps_latest.json"))
+          catch { case _: Throwable => () }
+          false
+      }
+    val repsFileField =
+      if (repsFileOk) s""","reps_file":"bench_reps_latest.json"""" else ""
     val loadEnd = loadAvg()
     spark.stop()
     // Print after stop so the JSON is the last line on stdout — the driver
@@ -158,8 +172,7 @@ object Bench {
     val head =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""reps":$nReps,"agg":"min","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus,""" +
-        s""""prep_lsh_cache_s":$prepLshS,"prep_stores_s":$prepStoresS,""" +
-        s""""reps_file":"bench_reps_latest.json""""
+        s""""prep_lsh_cache_s":$prepLshS,"prep_stores_s":$prepStoresS""" + repsFileField
     // the driver keeps only the last 2000 chars of output: an over-budget
     // line would truncate MID-JSON and parse as nothing, so degrade in
     // steps — full per-rep arrays, then slowest-12 detail, then none,
@@ -171,8 +184,7 @@ object Bench {
     val head2 =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs2,"sf":"$sfDir",""" +
         s""""reps":$nReps,"agg":"min","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus,""" +
-        s""""prep_lsh_cache_s":$prepLshS,"prep_stores_s":$prepStoresS,""" +
-        s""""reps_file":"bench_reps_latest.json""""
+        s""""prep_lsh_cache_s":$prepLshS,"prep_stores_s":$prepStoresS""" + repsFileField
     // degrade keeps the PREP fields as long as possible (they price the
     // session-artifact builds — dropping them silently would misread as
     // free prep); the reps_file pointer goes first (the file name is in

@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions.col
   */
 object BuildStores {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BuildStores <sfDir> <outDir> [bands] [windowK]")
+    require(args.length >= 2,
+      "usage: BuildStores <sfDir> <outDir> [bands] [windowK] [incoming]")
     val (sfDir, outDir) = (args(0), args(1))
     val bands = args.lift(2).map(_.toInt).getOrElse(8)
     val windowK = args.lift(3).map(_.toInt).getOrElse(8)

@@ -143,6 +143,13 @@ object FreqStore {
       totalTokens: Long, totalDocs: Long)
 
   private val Marker = "_COMMITTED"
+  // Committed markers are IMMUTABLE (versions are never rewritten, only
+  // created or deleted whole, and no code path queries a deleted version
+  // — every consumer iterates a fresh directory listing first), so
+  // successful marker reads memoize forever. Without this, every
+  // append/read re-fetches O(chain) marker files per operation — real
+  // round-trips on an object store.
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[String, Meta]()
   private val commitLock = new Object
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
@@ -158,6 +165,14 @@ object FreqStore {
       """(?:,"tag":"([^"]*)")?\}""").r
 
   private def readMeta(f: FileSystem, dir: String, v: Long): Option[Meta] = {
+    val cached = metaCache.get(s"$dir|$v")
+    if (cached != null) return Some(cached)
+    val out = readMetaUncached(f, dir, v)
+    out.foreach(m => metaCache.put(s"$dir|$v", m))
+    out
+  }
+
+  private def readMetaUncached(f: FileSystem, dir: String, v: Long): Option[Meta] = {
     val p = new Path(versionPath(dir, v), Marker)
     if (!f.exists(p)) return None
     val in = f.open(p)
@@ -370,6 +385,13 @@ object FreqStore {
     // an already-committed tag means this exact batch's counts are
     // already in the chain, so the replay is a no-op.
     tag.foreach { tg =>
+      // the tag lands verbatim in the marker JSON: restrict it to a
+      // quote/backslash-free charset or the committed marker would be
+      // unparseable — the version would vanish from listVersions and
+      // repair() would reap committed data as debris
+      require(tg.nonEmpty && tg.length <= 128 && tg.forall(c =>
+        c.isLetterOrDigit || "._:-".contains(c)),
+        s"append tag must be 1..128 chars of [A-Za-z0-9._:-]: '$tg'")
       val f = fs(spark, dir)
       if (listVersions(spark, dir).exists(v => readMeta(f, dir, v).get.tag.contains(tg)))
         return stats(spark, dir, cur)

@@ -30,6 +30,13 @@ object IvfIndex {
       version: Long, kind: String, k: Long, newAssigned: Long, totalAssigned: Long)
 
   private val Marker = "_COMMITTED"
+  // Committed markers are IMMUTABLE (versions are never rewritten, only
+  // created or deleted whole, and no code path queries a deleted version
+  // — every consumer iterates a fresh directory listing first), so
+  // successful marker reads memoize forever. Without this, every
+  // append/read re-fetches O(chain) marker files per operation — real
+  // round-trips on an object store.
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[String, Meta]()
   private val commitLock = new Object
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
@@ -47,6 +54,14 @@ object IvfIndex {
   }
 
   private def readMeta(f: FileSystem, dir: String, v: Long): Option[Meta] = {
+    val cached = metaCache.get(s"$dir|$v")
+    if (cached != null) return Some(cached)
+    val out = readMetaUncached(f, dir, v)
+    out.foreach(m => metaCache.put(s"$dir|$v", m))
+    out
+  }
+
+  private def readMetaUncached(f: FileSystem, dir: String, v: Long): Option[Meta] = {
     val p = new Path(versionPath(dir, v), Marker)
     if (!f.exists(p)) return None
     val m = """\{"kind":"(base|delta)","k":(\d+),"na":(\d+)\}""".r

@@ -68,8 +68,15 @@ object ImportPipeline {
     * instead of re-hashing the lake per query:
     *   - `dedupIndexDir`: a [[graft.sources.DedupIndex]] (content hashes,
     *     minhash bands, window hashes — q107/deltaSubstring's probe).
-    *   - `freqStoreDirs`: any number of [[graft.sources.FreqStore]]s; each
-    *     applies its own pinned family (unigram/bigram/winsrc).
+    *   - `freqStoreDirs`: any number of [[graft.sources.FreqStore]]s fed
+    *     the WHOLE accepted batch; each applies its own pinned family
+    *     (unigram/bigram/corpus-wide winsrc).
+    *   - `trainFreqStoreDirs`: FreqStores fed only the accepted batch's
+    *     FROZEN-TRAIN slice (`Dedup.leakTrainSlice`, the q103/q120 md5
+    *     bucket < 90) — the `graft.leak.store` artifact. Eval-bucket docs
+    *     must NEVER reach a train-window store: count-merge cannot be
+    *     undone, and a single eval doc appended there reads back as 100%
+    *     leaked in q120/q143/q146.
     * Accepted docs map to the corpus shape (doc_id, source=dataset_key,
     * text=j). Appends are tagged with the batch tag, so a crash-replay of
     * a committed batch is a marker-scan no-op — the count-merge stores
@@ -85,8 +92,10 @@ object ImportPipeline {
   final case class MaintainedIndexes(
       dedupIndexDir: Option[String] = None,
       freqStoreDirs: Seq[String] = Nil,
+      trainFreqStoreDirs: Seq[String] = Nil,
       maxChain: Int = 8) {
-    def isEmpty: Boolean = dedupIndexDir.isEmpty && freqStoreDirs.isEmpty
+    def isEmpty: Boolean =
+      dedupIndexDir.isEmpty && freqStoreDirs.isEmpty && trainFreqStoreDirs.isEmpty
   }
 
   /** The importer's link rewrite (`import_metadata_file/task.py:46-53`) as
@@ -235,15 +244,45 @@ object ImportPipeline {
         // crash-between-side-effects is a marker-scan no-op (exactly-once
         // for the count-merge stores; the set stores are idempotent anyway)
         if (!maintain.isEmpty && !accepted.isEmpty) {
+          // The pipeline is the SINGLE serialized writer of its maintained
+          // stores (micro-batches run one at a time off one checkpoint),
+          // so a blocked claim here can only be its OWN crash debris — a
+          // marker-less v=N left by a mid-publish crash. Self-repair once
+          // and retry instead of wedging every checkpoint replay behind
+          // 'run repair()'; outside this single-writer context the stores'
+          // loud-loss contract stands (a foreign writer's in-flight rename
+          // must never be reaped).
+          def withSelfRepair[A](repair: => Seq[String])(op: => A): A =
+            try op
+            catch {
+              case e: IllegalStateException
+                  if e.getMessage != null && e.getMessage.contains("repair()") =>
+                repair
+                op
+            }
           val corpus = accepted.select(
             col("doc_id"), col("dataset_key").as("source"), col("j").as("text"))
           maintain.dedupIndexDir.foreach { d =>
-            graft.sources.DedupIndex.append(spark, d, corpus, tag = Some(tag))
-            graft.sources.DedupIndex.compactIfNeeded(spark, d, maintain.maxChain)
+            withSelfRepair(graft.sources.DedupIndex.repair(spark, d)) {
+              graft.sources.DedupIndex.append(spark, d, corpus, tag = Some(tag))
+              graft.sources.DedupIndex.compactIfNeeded(spark, d, maintain.maxChain)
+            }
           }
           maintain.freqStoreDirs.foreach { d =>
-            graft.sources.FreqStore.append(spark, d, corpus, tag = Some(tag))
-            graft.sources.FreqStore.compactIfNeeded(spark, d, maintain.maxChain)
+            withSelfRepair(graft.sources.FreqStore.repair(spark, d)) {
+              graft.sources.FreqStore.append(spark, d, corpus, tag = Some(tag))
+              graft.sources.FreqStore.compactIfNeeded(spark, d, maintain.maxChain)
+            }
+          }
+          // frozen-train stores get ONLY the train-bucket slice — an
+          // eval-bucket doc in a train-window store is unremovable
+          // contamination of the leakage audits (count-merge is additive)
+          maintain.trainFreqStoreDirs.foreach { d =>
+            withSelfRepair(graft.sources.FreqStore.repair(spark, d)) {
+              graft.sources.FreqStore.append(
+                spark, d, graft.operators.Dedup.leakTrainSlice(corpus), tag = Some(tag))
+              graft.sources.FreqStore.compactIfNeeded(spark, d, maintain.maxChain)
+            }
           }
         }
         BatchStats(statsId, accepted.count(), quarantined.count(), stats.version)

@@ -144,15 +144,24 @@ class ImportPipelineSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.sources.{DedupIndex, FreqStore}
     val root = java.nio.file.Files.createTempDirectory("graft_import_idx").toString
-    val (dedupDir, freqDir) = (s"$root/dedup_idx", s"$root/freq_store")
+    val (dedupDir, freqDir, leakDir) =
+      (s"$root/dedup_idx", s"$root/freq_store", s"$root/leak_store")
     CatalogStore.init(spark, s"$root/catalog",
       Seq(("ds-a", "Alpha v1", 1L)).toDF("dataset_key", "title", "revision"))
-    // seed the indexes from a pre-existing curated corpus (v=1 base)
-    val seed = Seq((100L, "seed", "alpha beta gamma delta")).toDF("doc_id", "source", "text")
+    // seed the indexes from a pre-existing curated corpus (v=1 base);
+    // seed ids: 101/102 hash to TRAIN buckets (72, 23), 100 to eval (97)
+    val seed = Seq(
+      (101L, "seed", "alpha beta gamma delta epsilon zeta eta theta"),
+      (102L, "seed", "iota kappa lambda mu nu xi omicron pi")).toDF("doc_id", "source", "text")
     DedupIndex.init(spark, dedupDir, seed, bands = 8)
     FreqStore.init(spark, freqDir, seed)
+    // Unigram family (the arriving docs' j payload is one token — a
+    // WindowSrc store would no-op); what this store TESTS is the
+    // train-slice discipline, which is family-independent
+    FreqStore.init(spark, leakDir, graft.operators.Dedup.leakTrainSlice(seed))
     val maintain = ImportPipeline.MaintainedIndexes(
-      dedupIndexDir = Some(dedupDir), freqStoreDirs = Seq(freqDir))
+      dedupIndexDir = Some(dedupDir), freqStoreDirs = Seq(freqDir),
+      trainFreqStoreDirs = Seq(leakDir))
     def run(): Unit = {
       val q = ImportPipeline.start(
         spark,
@@ -161,16 +170,23 @@ class ImportPipelineSpec extends AnyFunSuite {
         checkpointDir = s"$root/ckpt", rules = Some(rules), maintain = maintain)
       q.processAllAvailable(); q.stop()
     }
-    // batch 0: two accepted docs (and one quarantined — it must NOT index)
+    // batch 0: three accepted docs — ids 1/2 hash to TRAIN buckets (60,
+    // 5), id 100 to an EVAL bucket (97) — and one quarantined doc, which
+    // must NOT index anywhere
     writeBatch(s"$root/in", Seq(
       doc(1L, "ds-a", "Alpha v2", 2L, valid = true),
       doc(2L, "ds-c", "Gamma v1", 1L, valid = true),
+      doc(100L, "ds-e", "Eps v1", 1L, valid = true),
       doc(3L, "ds-d", "Delta v1", 1L, valid = false)))
     run()
     assert(DedupIndex.currentVersion(spark, dedupDir).contains(2L),
       "dedup index should advance exactly once for batch 0")
     assert(FreqStore.currentVersion(spark, freqDir).contains(2L),
       "freq store should advance exactly once for batch 0")
+    // the frozen-train store got ONLY the train-bucket accepted docs:
+    // seed 101+102 plus ids 1 and 2 — the eval-bucket id 100 is excluded
+    assert(FreqStore.totalDocs(spark, leakDir) == 4L,
+      s"leak store holds ${FreqStore.totalDocs(spark, leakDir)} docs — eval doc leaked in?")
     val countsAfter0 = FreqStore.frequencies(spark, freqDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // crash AFTER side-effects, BEFORE the streaming commit → replay
@@ -185,6 +201,10 @@ class ImportPipelineSpec extends AnyFunSuite {
       s"dedup chain after replay: ${DedupIndex.listVersions(spark, dedupDir)}")
     assert(FreqStore.currentVersion(spark, freqDir).contains(3L),
       s"freq chain after replay: ${FreqStore.listVersions(spark, freqDir)}")
+    // train store: replayed batch 0 was a no-op; batch 1's id 4 (bucket
+    // 57 — train) appended once → 5 docs, still excluding eval id 100
+    assert(FreqStore.totalDocs(spark, leakDir) == 5L,
+      s"leak store after replay holds ${FreqStore.totalDocs(spark, leakDir)} docs")
     // the maintained view equals a one-shot rebuild from seed + accepted lake
     val scratch = s"$root/freq_rebuild"
     FreqStore.init(spark, scratch,
