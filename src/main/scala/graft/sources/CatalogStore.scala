@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -158,37 +158,13 @@ object CatalogStore {
     * the claim (it may be a rename in flight from another JVM) — clearing
     * it is the explicit repair() op, never this path.
     */
-  private[graft] def commit(spark: SparkSession, dir: String, staging: Path, version: Long): Unit = {
-    val dst = new Path(snapshotPath(dir, version))
-    val fc = FileContext.getFileContext(
-      new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
-    def lose(cause: Throwable): Nothing = {
-      fs(spark, dir).delete(staging, true)
-      throw new IllegalStateException(
-        s"concurrent writer committed v=$version at $dir first — batch NOT published", cause)
-    }
-    commitLock.synchronized {
-      val f = fs(spark, dir)
-      if (isCommitted(f, dir, version))
-        lose(new java.nio.file.FileAlreadyExistsException(dst.toString))
-      // NO inline orphan-delete: a cross-JVM writer may commit v=N between
-      // the marker check and the rename; deleting its dir as an "orphan"
-      // would silently discard the winner's snapshot. The no-overwrite
-      // rename is the sole claim mechanism; crash debris is cleared only
-      // by the explicit repair() op.
-      try fc.rename(staging, dst)
-      catch {
-        case e: java.io.IOException =>
-          if (!isCommitted(f, dir, version) && f.exists(dst)) {
-            f.delete(staging, true)
-            throw new IllegalStateException(
-              s"marker-less $dst occupies the v=$version slot (crash debris or a " +
-                "commit in flight) — not overwriting; quiesce writers and run repair()", e)
-          }
-          lose(e)
-      }
-    }
-  }
+  // CAS claim delegates to the shared [[CasProtocol]] — one
+  // implementation of the no-overwrite claim and its TOCTOU-safe failure
+  // handling for all four versioned stores
+  private[graft] def commit(spark: SparkSession, dir: String, staging: Path, version: Long): Unit =
+    CasProtocol.claim(
+      spark, dir, staging, new Path(snapshotPath(dir, version)), version, commitLock,
+      () => isCommitted(fs(spark, dir), dir, version), "batch")
 
   /** Explicit crash-debris cleanup: deletes marker-less `v=N` dirs (a
     * crashed writer's partial claim) and everything under `_staging`.
@@ -196,22 +172,8 @@ object CatalogStore {
     * indistinguishable from a rename in flight. Never touches committed
     * versions. Returns the deleted paths.
     */
-  def repair(spark: SparkSession, dir: String): Seq[String] = {
-    val f = fs(spark, dir)
-    if (!f.exists(new Path(dir))) return Seq.empty
-    val doomed = f.listStatus(new Path(dir)).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n == "_staging" ||
-          (n.startsWith("v=") &&
-            scala.util.Try(n.stripPrefix("v=").toLong).toOption
-              .exists(v => !isCommitted(f, dir, v)))
-      }
-    doomed.foreach(p => f.delete(p, true))
-    doomed.map(_.toString)
-  }
+  def repair(spark: SparkSession, dir: String): Seq[String] =
+    CasProtocol.repair(spark, dir, v => isCommitted(fs(spark, dir), dir, v))
 
   /** Create the store with an initial catalog of (dataset_key, title,
     * revision) rows. Fails if already initialized.

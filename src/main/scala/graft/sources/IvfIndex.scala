@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -128,58 +128,15 @@ object IvfIndex {
     staging
   }
 
-  private def commit(spark: SparkSession, dir: String, staging: Path, v: Long): Unit = {
-    val dst = new Path(versionPath(dir, v))
-    val fc = FileContext.getFileContext(
-      new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
-    def lose(cause: Throwable): Nothing = {
-      fs(spark, dir).delete(staging, true)
-      throw new IllegalStateException(
-        s"concurrent writer committed v=$v at $dir first — index update NOT published", cause)
-    }
-    commitLock.synchronized {
-      val f = fs(spark, dir)
-      if (readMeta(f, dir, v).isDefined)
-        lose(new java.nio.file.FileAlreadyExistsException(dst.toString))
-      // NO inline orphan-delete: a cross-JVM writer may commit v=N between
-      // the marker check and the rename; deleting its dir would silently
-      // discard the winner. The no-overwrite rename is the sole claim;
-      // crash debris is cleared only by the explicit repair() op.
-      try fc.rename(staging, dst)
-      catch {
-        case e: java.io.IOException =>
-          if (!readMeta(f, dir, v).isDefined && f.exists(dst)) {
-            f.delete(staging, true)
-            throw new IllegalStateException(
-              s"marker-less $dst occupies the v=$v slot (crash debris or a commit " +
-                "in flight) — not overwriting; quiesce writers and run repair()", e)
-          }
-          lose(e)
-      }
-    }
-  }
+  // CAS claim + debris repair delegate to the shared [[CasProtocol]]
+  private def commit(spark: SparkSession, dir: String, staging: Path, v: Long): Unit =
+    CasProtocol.claim(
+      spark, dir, staging, new Path(versionPath(dir, v)), v, commitLock,
+      () => readMeta(fs(spark, dir), dir, v).isDefined, "index update")
 
-  /** Explicit crash-debris cleanup: deletes marker-less `v=N` dirs and
-    * everything under `_staging`. MUST run with writers quiesced — a
-    * marker-less dir is indistinguishable from a rename in flight. Never
-    * touches committed versions. Returns the deleted paths.
-    */
-  def repair(spark: SparkSession, dir: String): Seq[String] = {
-    val f = fs(spark, dir)
-    if (!f.exists(new Path(dir))) return Seq.empty
-    val doomed = f.listStatus(new Path(dir)).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n == "_staging" ||
-          (n.startsWith("v=") &&
-            scala.util.Try(n.stripPrefix("v=").toLong).toOption
-              .exists(v => readMeta(f, dir, v).isEmpty))
-      }
-    doomed.foreach(p => f.delete(p, true))
-    doomed.map(_.toString)
-  }
+  /** Quiesced-writers crash-debris cleanup — [[CasProtocol.repair]]. */
+  def repair(spark: SparkSession, dir: String): Seq[String] =
+    CasProtocol.repair(spark, dir, v => readMeta(fs(spark, dir), dir, v).isDefined)
 
   private def stats(spark: SparkSession, dir: String, v: Long): IvfIndexStats = {
     val f = fs(spark, dir)
