@@ -228,6 +228,8 @@ object Dedup extends QueryModule {
     pairStatsCache.clear()
     componentsCache.forEach((_, df) => { df.unpersist(); () })
     componentsCache.clear()
+    evalPosCache.forEach((_, df) => { df.unpersist(); () })
+    evalPosCache.clear()
   }
 
   private def pairStats(t: Tables): DataFrame =
@@ -1276,8 +1278,22 @@ object Dedup extends QueryModule {
   // the q120-family eval slice: (doc_id, split, h) for val/test docs only
   // — the split flag is doc-level, so the filter lands BEFORE the window
   // explode and the scan-side cost is the eval share of the corpus, not
-  // all of it (the store-backed path's scale win).
+  // all of it (the store-backed path's scale win). Under graft.lsh.cache
+  // (the session-artifact gate) the three store-backed consumers
+  // (q120/q143/q146) share ONE materialized eval window stream instead
+  // of re-exploding it each — the same audit-session discipline as
+  // pairStats; BuildStoresSpec runs the family with cache + stores on.
+  private val evalPosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def evalPos(t: Tables, k: Int): DataFrame =
+    if (!pairCacheOn(t)) evalPosDerive(t, k)
+    else evalPosCache.computeIfAbsent(
+      s"${t.spark.sparkContext.applicationId}|${t.dir}|$k",
+      _ => evalPosDerive(t, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def evalPosDerive(t: Tables, k: Int): DataFrame =
     Tables.localSplit(t.documents, col("doc_id"))
       .withColumn(
         "bucket", expr(hexint32("md5(CAST(doc_id AS STRING))")) % 100)
