@@ -208,6 +208,16 @@ object Dedup extends QueryModule {
   def primePairCache(t: Tables): Long =
     if (pairCacheOn(t)) pairStats(t).count() + components(t).count() else 0L
 
+  /** Materialize the shared eval window stream (no-op unless the session
+    * cache AND a leak store are configured — only then do q120/q143/q146
+    * read it). Bench prices this with the store prep instead of letting
+    * min-of-2 discard the first consumer's build.
+    */
+  def primeLeakEval(t: Tables): Long =
+    if (pairCacheOn(t) && t.spark.conf.get("graft.leak.store", "").nonEmpty)
+      evalPos(t, windowK(t)).count()
+    else 0L
+
   /** The q103/q120-family train slice (md5 doc_id bucket < 90) of a
     * documents frame — the frozen-train corpus a `graft.leak.store`
     * WindowSrc artifact is built over (Bench builds one; LeakStoreSpec

@@ -54,6 +54,12 @@ object DedupIndex {
       kind: String, bands: Int, wk: Int, nh: Long, ns: Long, nw: Long,
       tag: Option[String])
 
+  // drop every cached marker under `dir` — init/gc/repair call this so a
+  // deleted-and-recreated store (or reclaimed versions) can never be
+  // served from a previous incarnation's metadata
+  private def invalidateMetaCache(dir: String): Unit =
+    metaCache.keySet.removeIf(_.startsWith(s"$dir|"))
+
   private def readMeta(f: FileSystem, dir: String, v: Long): Option[Meta] = {
     val cached = metaCache.get(s"$dir|$v")
     if (cached != null) return Some(cached)
@@ -181,11 +187,16 @@ object DedupIndex {
   private def commit(spark: SparkSession, dir: String, staging: Path, v: Long): Unit =
     CasProtocol.claim(
       spark, dir, staging, new Path(versionPath(dir, v)), v, commitLock,
-      () => readMeta(fs(spark, dir), dir, v).isDefined, "index update")
+      // the claim predicate must RE-READ the marker (CasProtocol's
+      // contract) — the memoized readMeta would serve a stale positive
+      // after an out-of-band store deletion at the same path
+      () => readMetaUncached(fs(spark, dir), dir, v).isDefined, "index update")
 
   /** Quiesced-writers crash-debris cleanup — [[CasProtocol.repair]]. */
-  def repair(spark: SparkSession, dir: String): Seq[String] =
-    CasProtocol.repair(spark, dir, v => readMeta(fs(spark, dir), dir, v).isDefined)
+  def repair(spark: SparkSession, dir: String): Seq[String] = {
+    invalidateMetaCache(dir)
+    CasProtocol.repair(spark, dir, v => readMetaUncached(fs(spark, dir), dir, v).isDefined)
+  }
 
   private def stats(spark: SparkSession, dir: String, v: Long): IndexStats = {
     val f = fs(spark, dir)
@@ -201,6 +212,7 @@ object DedupIndex {
   def init(
       spark: SparkSession, dir: String, docs: DataFrame, bands: Int,
       windowK: Int = 8): IndexStats = {
+    invalidateMetaCache(dir)
     require(bands >= 1 && bands <= 64, s"bands out of range: $bands")
     require(windowK >= 2 && windowK <= 64, s"windowK out of range: $windowK")
     require(currentVersion(spark, dir).isEmpty, s"dedup index at $dir already initialized")
@@ -230,7 +242,8 @@ object DedupIndex {
       // unparseable — the version would vanish from listVersions and
       // repair() would reap committed data as debris
       require(tg.nonEmpty && tg.length <= 128 && tg.forall(c =>
-        c.isLetterOrDigit || "._:-".contains(c)),
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || "._:-".contains(c)),
         s"append tag must be 1..128 chars of [A-Za-z0-9._:-]: '$tg'")
       val f = fs(spark, dir)
       if (listVersions(spark, dir).exists(v => readMeta(f, dir, v).get.tag.contains(tg)))
@@ -293,6 +306,7 @@ object DedupIndex {
     val chain = readChain(spark, dir).toSet
     val doomed = listVersions(spark, dir).filterNot(chain).dropRight(keepHistory)
     doomed.foreach(v => f.delete(new Path(versionPath(dir, v)), true))
+    doomed.foreach(v => metaCache.remove(s"$dir|$v"))
     doomed
   }
 

@@ -164,6 +164,12 @@ object FreqStore {
     ("""\{"kind":"(base|delta)","family":"([a-z0-9:]+)","nt":(\d+),"nv":(\d+),"nd":(\d+)""" +
       """(?:,"tag":"([^"]*)")?\}""").r
 
+  // drop every cached marker under `dir` — init/gc/repair call this so a
+  // deleted-and-recreated store (or reclaimed versions) can never be
+  // served from a previous incarnation's metadata
+  private def invalidateMetaCache(dir: String): Unit =
+    metaCache.keySet.removeIf(_.startsWith(s"$dir|"))
+
   private def readMeta(f: FileSystem, dir: String, v: Long): Option[Meta] = {
     val cached = metaCache.get(s"$dir|$v")
     if (cached != null) return Some(cached)
@@ -286,11 +292,16 @@ object FreqStore {
   private def commit(spark: SparkSession, dir: String, staging: Path, v: Long): Unit =
     CasProtocol.claim(
       spark, dir, staging, new Path(versionPath(dir, v)), v, commitLock,
-      () => readMeta(fs(spark, dir), dir, v).isDefined, "count update")
+      // the claim predicate must RE-READ the marker (CasProtocol's
+      // contract) — the memoized readMeta would serve a stale positive
+      // after an out-of-band store deletion at the same path
+      () => readMetaUncached(fs(spark, dir), dir, v).isDefined, "count update")
 
   /** Quiesced-writers crash-debris cleanup — [[CasProtocol.repair]]. */
-  def repair(spark: SparkSession, dir: String): Seq[String] =
-    CasProtocol.repair(spark, dir, v => readMeta(fs(spark, dir), dir, v).isDefined)
+  def repair(spark: SparkSession, dir: String): Seq[String] = {
+    invalidateMetaCache(dir)
+    CasProtocol.repair(spark, dir, v => readMetaUncached(fs(spark, dir), dir, v).isDefined)
+  }
 
   private def stats(spark: SparkSession, dir: String, v: Long): FreqStats = {
     val f = fs(spark, dir)
@@ -318,6 +329,7 @@ object FreqStore {
   def init(
       spark: SparkSession, dir: String, docs: DataFrame,
       family: Family = Unigram): FreqStats = {
+    invalidateMetaCache(dir)
     require(currentVersion(spark, dir).isEmpty, s"count store at $dir already initialized")
     val (staging, _) = stageOnePass(spark, dir, 1L, "base", family, docs, None)
     commit(spark, dir, staging, 1L)
@@ -345,7 +357,8 @@ object FreqStore {
       // unparseable — the version would vanish from listVersions and
       // repair() would reap committed data as debris
       require(tg.nonEmpty && tg.length <= 128 && tg.forall(c =>
-        c.isLetterOrDigit || "._:-".contains(c)),
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || "._:-".contains(c)),
         s"append tag must be 1..128 chars of [A-Za-z0-9._:-]: '$tg'")
       val f = fs(spark, dir)
       if (listVersions(spark, dir).exists(v => readMeta(f, dir, v).get.tag.contains(tg)))
@@ -397,6 +410,7 @@ object FreqStore {
     val chain = readChain(spark, dir).toSet
     val doomed = listVersions(spark, dir).filterNot(chain).dropRight(keepHistory)
     doomed.foreach(v => f.delete(new Path(versionPath(dir, v)), true))
+    doomed.foreach(v => metaCache.remove(s"$dir|$v"))
     doomed
   }
 

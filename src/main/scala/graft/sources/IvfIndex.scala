@@ -53,6 +53,12 @@ object IvfIndex {
     finally in.close()
   }
 
+  // drop every cached marker under `dir` — init/gc/repair call this so a
+  // deleted-and-recreated store (or reclaimed versions) can never be
+  // served from a previous incarnation's metadata
+  private def invalidateMetaCache(dir: String): Unit =
+    metaCache.keySet.removeIf(_.startsWith(s"$dir|"))
+
   private def readMeta(f: FileSystem, dir: String, v: Long): Option[Meta] = {
     val cached = metaCache.get(s"$dir|$v")
     if (cached != null) return Some(cached)
@@ -132,11 +138,16 @@ object IvfIndex {
   private def commit(spark: SparkSession, dir: String, staging: Path, v: Long): Unit =
     CasProtocol.claim(
       spark, dir, staging, new Path(versionPath(dir, v)), v, commitLock,
-      () => readMeta(fs(spark, dir), dir, v).isDefined, "index update")
+      // the claim predicate must RE-READ the marker (CasProtocol's
+      // contract) — the memoized readMeta would serve a stale positive
+      // after an out-of-band store deletion at the same path
+      () => readMetaUncached(fs(spark, dir), dir, v).isDefined, "index update")
 
   /** Quiesced-writers crash-debris cleanup — [[CasProtocol.repair]]. */
-  def repair(spark: SparkSession, dir: String): Seq[String] =
-    CasProtocol.repair(spark, dir, v => readMeta(fs(spark, dir), dir, v).isDefined)
+  def repair(spark: SparkSession, dir: String): Seq[String] = {
+    invalidateMetaCache(dir)
+    CasProtocol.repair(spark, dir, v => readMetaUncached(fs(spark, dir), dir, v).isDefined)
+  }
 
   private def stats(spark: SparkSession, dir: String, v: Long): IvfIndexStats = {
     val f = fs(spark, dir)
@@ -154,6 +165,7 @@ object IvfIndex {
   def init(
       spark: SparkSession, dir: String,
       assignment: DataFrame, centroidTable: DataFrame): IvfIndexStats = {
+    invalidateMetaCache(dir)
     require(currentVersion(spark, dir).isEmpty, s"IVF index at $dir already initialized")
     val a = assignment.select(col("vec_id"), col("label"))
     val c = centroidTable.select(col("clabel"), col("cdim"), col("sq"), col("cnt"))

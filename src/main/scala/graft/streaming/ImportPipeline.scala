@@ -94,6 +94,12 @@ object ImportPipeline {
       freqStoreDirs: Seq[String] = Nil,
       trainFreqStoreDirs: Seq[String] = Nil,
       maxChain: Int = 8) {
+    // a dir in BOTH lists would get the full batch under the batch tag
+    // first, turning the train-slice append into a tag no-op — the
+    // frozen-train store silently keeps eval-bucket windows forever
+    require(freqStoreDirs.toSet.intersect(trainFreqStoreDirs.toSet).isEmpty,
+      "freqStoreDirs and trainFreqStoreDirs must be disjoint: " +
+        freqStoreDirs.toSet.intersect(trainFreqStoreDirs.toSet).mkString(","))
     def isEmpty: Boolean =
       dedupIndexDir.isEmpty && freqStoreDirs.isEmpty && trainFreqStoreDirs.isEmpty
   }
@@ -236,30 +242,32 @@ object ImportPipeline {
         // deterministic per-batch dirs + overwrite = idempotent replay
         quarantined.write.mode("overwrite").parquet(s"$quarantineDir/batch=$tag")
         accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch=$tag")
-        val stats = CatalogStore.upsert(
-          spark, catalogDir,
-          accepted.select(col("dataset_key"), col("title"), col("revision")))
+        // The pipeline is the SINGLE serialized writer of the catalog it
+        // publishes to and of its maintained stores (micro-batches run one
+        // at a time off one checkpoint), so a blocked version claim here
+        // can only be its OWN crash debris — a marker-less v=N left by a
+        // mid-publish crash. Self-repair once and retry instead of wedging
+        // every checkpoint replay behind 'run repair()'; outside this
+        // single-writer context the stores' loud-loss contract stands (a
+        // foreign writer's in-flight rename must never be reaped).
+        def withSelfRepair[A](repair: => Seq[String])(op: => A): A =
+          try op
+          catch {
+            case e: IllegalStateException
+                if e.getMessage != null && e.getMessage.contains("repair()") =>
+              repair
+              op
+          }
+        val stats = withSelfRepair(CatalogStore.repair(spark, catalogDir)) {
+          CatalogStore.upsert(
+            spark, catalogDir,
+            accepted.select(col("dataset_key"), col("title"), col("revision")))
+        }
         // 6. MAINTAIN — append the accepted batch to the configured lake
         // indexes, tagged with this batch's output tag so a replay after a
         // crash-between-side-effects is a marker-scan no-op (exactly-once
         // for the count-merge stores; the set stores are idempotent anyway)
         if (!maintain.isEmpty && !accepted.isEmpty) {
-          // The pipeline is the SINGLE serialized writer of its maintained
-          // stores (micro-batches run one at a time off one checkpoint),
-          // so a blocked claim here can only be its OWN crash debris — a
-          // marker-less v=N left by a mid-publish crash. Self-repair once
-          // and retry instead of wedging every checkpoint replay behind
-          // 'run repair()'; outside this single-writer context the stores'
-          // loud-loss contract stands (a foreign writer's in-flight rename
-          // must never be reaped).
-          def withSelfRepair[A](repair: => Seq[String])(op: => A): A =
-            try op
-            catch {
-              case e: IllegalStateException
-                  if e.getMessage != null && e.getMessage.contains("repair()") =>
-                repair
-                op
-            }
           val corpus = accepted.select(
             col("doc_id"), col("dataset_key").as("source"), col("j").as("text"))
           maintain.dedupIndexDir.foreach { d =>

@@ -219,6 +219,28 @@ class ImportPipelineSpec extends AnyFunSuite {
       assert(view(freqDir).getOrElse(t, 0L) >= n, s"token $t lost counts") }
   }
 
+  test("mid-publish crash debris self-repairs: the pipeline is its own single writer") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_import_repair").toString
+    CatalogStore.init(spark, s"$root/catalog",
+      Seq(("ds-a", "Alpha v1", 1L)).toDF("dataset_key", "title", "revision"))
+    // a crashed previous publish left a marker-less v=2 occupying the slot
+    Seq(("junk", "GARBAGE", 9L)).toDF("dataset_key", "title", "revision")
+      .write.parquet(s"$root/catalog/v=2/shard=0")
+    writeBatch(s"$root/in", Seq(doc(1L, "ds-a", "Alpha v2", 2L, valid = true)))
+    runOnce(root) // must self-repair the debris and publish, not wedge
+    assert(CatalogStore.currentVersion(spark, s"$root/catalog").contains(2L))
+    assert(catalogMap(root) == Map("ds-a" -> ("Alpha v2", 2L)),
+      s"catalog after self-repair: ${catalogMap(root)}")
+  }
+
+  test("a store dir listed as both corpus-wide and frozen-train is refused at construction") {
+    val e = intercept[IllegalArgumentException](
+      ImportPipeline.MaintainedIndexes(
+        freqStoreDirs = Seq("/tmp/x"), trainFreqStoreDirs = Seq("/tmp/x")))
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("asset checksum stage: a corrupt or missing staged payload quarantines its doc") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_import3").toString
