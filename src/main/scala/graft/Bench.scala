@@ -65,11 +65,14 @@ object Bench {
     // correctness gate (Verify) never sets these confs, so the oracle
     // always checks the derived paths.
     val tStores = System.nanoTime()
+    // deleted after spark.stop(): the stores are session artifacts priced
+    // into prep_stores_s, not durable output — leaking one set per run
+    // fills the temp volume on a bench-loop host
+    val storesDir =
+      java.nio.file.Files.createTempDirectory("graft_bench_stores").toString
     locally {
       import org.apache.spark.sql.functions.col
       import graft.sources.FreqStore
-      val storesDir =
-        java.nio.file.Files.createTempDirectory("graft_bench_stores").toString
       val docs = Tables(spark, sfDir).documents
         .select(col("doc_id"), col("source"), col("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -143,34 +146,43 @@ object Bench {
       }
       s""""reps_detail":{${entries.mkString(",")}}"""
     }
-    // Full per-rep centisecond detail goes to a repo-local file (the
-    // driver's 2000-char stdout tail can't hold 150×nReps values): one
-    // object per run, query order = the sorted "queries" order, so any
-    // both-reps-slow outlier is adjudicable from the artifact alone.
-    // best-effort, but HONEST: advertise the file only when this run's
-    // write landed — a stale previous run's detail presented as this
-    // run's would misadjudicate an outlier; on failure try to remove any
-    // stale copy so nothing plausible-but-wrong remains
+    // Full per-rep centisecond detail goes to an explicit output file —
+    // GRAFT_BENCH_OUT if set, else java.io.tmpdir, NEVER the process CWD
+    // (which is usually the repo checkout the bench runs from, and a
+    // bench run must not dirty it): one object per run, query order = the
+    // sorted "queries" order, so any both-reps-slow outlier is
+    // adjudicable from the artifact alone. best-effort, but HONEST:
+    // advertise the path only when this run's write landed — a stale
+    // previous run's detail presented as this run's would misadjudicate
+    // an outlier; on failure try to remove any stale copy so nothing
+    // plausible-but-wrong remains
+    val repsPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_BENCH_OUT", sys.props("java.io.tmpdir")),
+      "bench_reps_latest.json")
     val repsFileOk =
       try {
         val detail =
           s"""{"sf":"$sfDir","cpus":$cpus,"order":[${
             results.map("\"" + _._1 + "\"").mkString(",")}],$repArrays}"""
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get("bench_reps_latest.json"),
-          detail.getBytes("UTF-8"))
+        java.nio.file.Files.write(repsPath, detail.getBytes("UTF-8"))
         true
       } catch {
         case _: Throwable =>
-          try java.nio.file.Files.deleteIfExists(
-            java.nio.file.Paths.get("bench_reps_latest.json"))
+          try java.nio.file.Files.deleteIfExists(repsPath)
           catch { case _: Throwable => () }
           false
       }
     val repsFileField =
-      if (repsFileOk) s""","reps_file":"bench_reps_latest.json"""" else ""
+      if (repsFileOk) s""","reps_file":"$repsPath"""" else ""
     val loadEnd = loadAvg()
     spark.stop()
+    // reclaim the session stores now that no query can read them
+    try {
+      import java.nio.file.{Files, Path => JPath}
+      import java.util.Comparator
+      Files.walk(JPath.of(storesDir)).sorted(Comparator.reverseOrder[JPath]())
+        .forEach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () } // best-effort: never fail the bench line
     // Print after stop so the JSON is the last line on stdout — the driver
     // parses it from the tail of the sbt output.
     val head =

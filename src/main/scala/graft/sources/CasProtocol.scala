@@ -16,6 +16,15 @@ import org.apache.spark.sql.SparkSession
   * (each store's `Meta`) is injected as the `committed` predicate; this
   * object owns only the claim/lose/repair mechanics.
   */
+/** A version slot occupied by a marker-less directory — crash debris (or
+  * a cross-process rename in flight). Thrown by [[CasProtocol.claim]] so
+  * callers that are provably the ONLY writer (ImportPipeline's serialized
+  * foreachBatch) can self-repair by TYPE instead of matching message
+  * text, which silently breaks on any rewording.
+  */
+private[graft] final class SlotBlockedException(msg: String, cause: Throwable)
+  extends IllegalStateException(msg, cause)
+
 private[sources] object CasProtocol {
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
@@ -52,13 +61,22 @@ private[sources] object CasProtocol {
       try fc.rename(staging, dst)
       catch {
         case e: java.io.IOException =>
-          if (!committed() && f.exists(dst)) {
+          val won = committed()
+          if (!won && f.exists(dst)) {
             f.delete(staging, true)
-            throw new IllegalStateException(
+            throw new SlotBlockedException(
               s"marker-less $dst occupies the v=$version slot (crash debris or a commit " +
                 "in flight) — not overwriting; quiesce writers and run repair()", e)
           }
-          lose(e)
+          if (won) lose(e)
+          // slot empty AND no marker: the rename itself failed (a
+          // transient filesystem error) — nobody won, so don't
+          // misattribute a concurrent winner; the caller may retry
+          f.delete(staging, true)
+          throw new IllegalStateException(
+            s"rename of staged $what into v=$version at $dir failed with the slot " +
+              "empty — transient filesystem error, not a lost race; nothing " +
+              "published, safe to retry", e)
       }
     }
   }

@@ -149,6 +149,14 @@ object FreqStore {
   // successful marker reads memoize forever. Without this, every
   // append/read re-fetches O(chain) marker files per operation — real
   // round-trips on an object store.
+  // SCOPE OF THE ASSUMPTION (read APIs inherit it): the cache is per-JVM
+  // and invalidated only by THIS JVM's init/gc/repair — if another
+  // process deletes and re-initializes the store at the same path, reads
+  // here can serve the previous incarnation's Meta for reused version
+  // numbers. That is the documented single-writer / no-out-of-band-
+  // deletion contract; the COMMIT predicate always re-reads uncached, so
+  // publishes are safe regardless. A caller that must observe a foreign
+  // re-init should route it through this JVM's init/repair.
   private val metaCache = new java.util.concurrent.ConcurrentHashMap[String, Meta]()
   private val commitLock = new Object
 
@@ -163,6 +171,17 @@ object FreqStore {
   private val MetaRe =
     ("""\{"kind":"(base|delta)","family":"([a-z0-9:]+)","nt":(\d+),"nv":(\d+),"nd":(\d+)""" +
       """(?:,"tag":"([^"]*)")?\}""").r
+  // Pre-family marker format (the store's original unigram-only era:
+  // {"kind","nt","nv"}). Accepted on READ so an existing store doesn't
+  // silently vanish — and, fatally, get its committed versions reaped by
+  // repair() as "debris" — after the format gained family/nd. A legacy
+  // marker pins family=unigram (the only family that era could hold) and
+  // an UNKNOWN doc count ([[NdUnknown]]): reads work, doc-count APIs and
+  // mutations fail loudly instead of silently summing a wrong nd.
+  private val LegacyMetaRe =
+    ("""\{"kind":"(base|delta)","nt":(\d+),"nv":(\d+)""" +
+      """(?:,"tag":"([^"]*)")?\}""").r
+  private val NdUnknown = -1L
 
   // drop every cached marker under `dir` — init/gc/repair call this so a
   // deleted-and-recreated store (or reclaimed versions) can never be
@@ -189,7 +208,16 @@ object FreqStore {
     body.trim match {
       case MetaRe(kind, fam, nt, nv, nd, tag) =>
         Some(Meta(kind, fam, nt.toLong, nv.toLong, nd.toLong, Option(tag)))
-      case _ => None
+      case LegacyMetaRe(kind, nt, nv, tag) =>
+        Some(Meta(kind, "unigram", nt.toLong, nv.toLong, NdUnknown, Option(tag)))
+      case _ =>
+        // present-but-unparseable is CORRUPTION OR MIGRATION, never
+        // absence: treating it as uncommitted hides the version from
+        // listVersions and turns repair() into a committed-data reaper
+        throw new IllegalStateException(
+          s"committed marker at $p is unreadable — store format migrated or marker " +
+            "corrupt; refusing to treat the version as uncommitted (repair would reap " +
+            "committed data). Restore the marker or rebuild the store at a fresh path.")
     }
   }
 
@@ -251,7 +279,23 @@ object FreqStore {
     */
   def totalDocs(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
-    readChain(spark, dir).map(v => readMeta(f, dir, v).get.nd).sum
+    val nds = readChain(spark, dir).map(v => readMeta(f, dir, v).get.nd)
+    require(nds.forall(_ != NdUnknown),
+      s"count store at $dir has legacy (pre-family) markers with no doc counts — " +
+        "totalDocs would be wrong; rebuild the store at a fresh path")
+    nds.sum
+  }
+
+  /** Mutations and doc-count stats need every marker's `nd`; a legacy
+    * (pre-family) chain serves reads only — appending to it would poison
+    * every later total with the unknown sentinel.
+    */
+  private def requireModern(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    require(
+      listVersions(spark, dir).forall(v => readMeta(f, dir, v).get.nd != NdUnknown),
+      s"count store at $dir has legacy (pre-family) markers — read-only; " +
+        "rebuild the store at a fresh path to mutate it")
   }
 
   private def stage(
@@ -346,6 +390,7 @@ object FreqStore {
       tag: Option[String] = None): FreqStats = {
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no count store at $dir — init first"))
+    requireModern(spark, dir)
     // Exactly-once under batch REPLAY (count-merge is NOT naturally
     // idempotent the way DedupIndex's set-union is): a caller that tags
     // each append with its batch id makes the tag the idempotence key —
@@ -386,6 +431,7 @@ object FreqStore {
     require(maxChain >= 2, s"maxChain must be >= 2: $maxChain")
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no count store at $dir"))
+    requireModern(spark, dir)
     if (readChain(spark, dir).size > maxChain) compact(spark, dir)
     else stats(spark, dir, cur)
   }
@@ -422,6 +468,7 @@ object FreqStore {
   def compact(spark: SparkSession, dir: String): FreqStats = {
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no count store at $dir"))
+    requireModern(spark, dir)
     if (readChain(spark, dir).size <= 1) return stats(spark, dir, cur)
     val fam = storeFamily(spark, dir)
     val before = stats(spark, dir, cur)

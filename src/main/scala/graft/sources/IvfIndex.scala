@@ -36,6 +36,14 @@ object IvfIndex {
   // successful marker reads memoize forever. Without this, every
   // append/read re-fetches O(chain) marker files per operation — real
   // round-trips on an object store.
+  // SCOPE OF THE ASSUMPTION (read APIs inherit it): the cache is per-JVM
+  // and invalidated only by THIS JVM's init/gc/repair — if another
+  // process deletes and re-initializes the store at the same path, reads
+  // here can serve the previous incarnation's Meta for reused version
+  // numbers. That is the documented single-writer / no-out-of-band-
+  // deletion contract; the COMMIT predicate always re-reads uncached, so
+  // publishes are safe regardless. A caller that must observe a foreign
+  // re-init should route it through this JVM's init/repair.
   private val metaCache = new java.util.concurrent.ConcurrentHashMap[String, Meta]()
   private val commitLock = new Object
 
@@ -73,7 +81,14 @@ object IvfIndex {
     val m = """\{"kind":"(base|delta)","k":(\d+),"na":(\d+)\}""".r
     readBody(f, p).trim match {
       case m(kind, k, na) => Some(Meta(kind, k.toLong, na.toLong))
-      case _              => None
+      case _ =>
+        // present-but-unparseable is CORRUPTION OR MIGRATION, never
+        // absence: treating it as uncommitted hides the version from
+        // listVersions and turns repair() into a committed-data reaper
+        throw new IllegalStateException(
+          s"committed marker at $p is unreadable — index format migrated or marker " +
+            "corrupt; refusing to treat the version as uncommitted (repair would reap " +
+            "committed data). Restore the marker or rebuild the index at a fresh path.")
     }
   }
 

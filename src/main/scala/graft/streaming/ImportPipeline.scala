@@ -253,8 +253,10 @@ object ImportPipeline {
         def withSelfRepair[A](repair: => Seq[String])(op: => A): A =
           try op
           catch {
-            case e: IllegalStateException
-                if e.getMessage != null && e.getMessage.contains("repair()") =>
+            // by TYPE, not message text: CasProtocol throws this exact
+            // class for a blocked slot, so a rewording of its message can
+            // never silently disable self-repair
+            case _: graft.sources.SlotBlockedException =>
               repair
               op
           }

@@ -162,6 +162,10 @@ class DedupIndexSpec extends AnyFunSuite {
     slice(b1).limit(1).select(md5(col("text")).as("h")).write.parquet(s"$dir/v=2/hashes")
     val e = intercept[IllegalStateException](DedupIndex.append(spark, dir, slice(b1)))
     assert(e.getMessage.contains("repair"), s"unexpected: ${e.getMessage}")
+    // the TYPE is the contract ImportPipeline self-repairs on — a message
+    // rewording must never silently disable that path
+    assert(e.isInstanceOf[graft.sources.SlotBlockedException],
+      s"blocked slot threw ${e.getClass.getName}, not SlotBlockedException")
     assert(DedupIndex.listVersions(spark, dir) == Seq(1L), "blocked claim published something")
     val cleared = DedupIndex.repair(spark, dir)
     assert(cleared.exists(_.endsWith("v=2")), s"repair cleared: $cleared")
@@ -198,5 +202,23 @@ class DedupIndexSpec extends AnyFunSuite {
       if (f.exists(staging)) f.listStatus(staging).length else 0
     assert(leftover == 0, s"$leftover staged dirs left behind")
     DedupIndex.hashes(spark, dir).count() // chain readable
+  }
+
+  test("a present-but-unparseable marker is corruption, not absence — nothing reaps it") {
+    val dir = tmp()
+    DedupIndex.init(spark, dir, baseDocs.limit(20), bands = 8)
+    val mp = java.nio.file.Paths.get(s"$dir/v=1/_COMMITTED")
+    java.nio.file.Files.write(mp, """{"not":"a marker"}""".getBytes("UTF-8"))
+    // the rewrite bypasses Hadoop's LocalFileSystem, so drop its CRC
+    // sidecar or every marker read fails on checksum, not content
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/v=1/._COMMITTED.crc"))
+    // repair must fail loudly INSTEAD of deleting the committed version
+    val e = intercept[IllegalStateException](DedupIndex.repair(spark, dir))
+    assert(e.getMessage.contains("unreadable"), s"unexpected: ${e.getMessage}")
+    val e2 = intercept[IllegalStateException](DedupIndex.listVersions(spark, dir))
+    assert(e2.getMessage.contains("unreadable"), s"unexpected: ${e2.getMessage}")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/v=1/hashes")),
+      "corrupt-marker handling deleted committed data")
   }
 }

@@ -154,6 +154,10 @@ class FreqStoreSpec extends AnyFunSuite {
     slice(rest).limit(1).write.parquet(s"$dir/v=2/freq")
     val e = intercept[IllegalStateException](FreqStore.append(spark, dir, slice(rest)))
     assert(e.getMessage.contains("repair"), s"unexpected: ${e.getMessage}")
+    // the TYPE is the contract ImportPipeline self-repairs on — a message
+    // rewording must never silently disable that path
+    assert(e.isInstanceOf[graft.sources.SlotBlockedException],
+      s"blocked slot threw ${e.getClass.getName}, not SlotBlockedException")
     assert(FreqStore.listVersions(spark, dir) == Seq(1L), "blocked claim published something")
     val cleared = FreqStore.repair(spark, dir)
     assert(cleared.exists(_.endsWith("v=2")), s"repair cleared: $cleared")
@@ -188,5 +192,60 @@ class FreqStoreSpec extends AnyFunSuite {
     val leftover = if (f.exists(staging)) f.listStatus(staging).length else 0
     assert(leftover == 0, s"$leftover staged dirs left behind")
     FreqStore.frequencies(spark, dir).count() // chain readable
+  }
+
+  test("legacy pre-family markers: readable as unigram, repair-safe, mutations fail loudly") {
+    val dir = tmp()
+    FreqStore.init(spark, dir, docsAll)
+    val expected = view(dir)
+    // rewrite v=1's marker into the store's original pre-family format
+    val mp = java.nio.file.Paths.get(s"$dir/v=1/_COMMITTED")
+    val modern = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+    val legacy = modern
+      .replaceAll(""","family":"unigram"""", "")
+      .replaceAll(""","nd":\d+""", "")
+    assert(legacy != modern, "marker rewrite did nothing")
+    java.nio.file.Files.write(mp, legacy.getBytes("UTF-8"))
+    // the rewrite bypasses Hadoop's LocalFileSystem, so drop its CRC
+    // sidecar or every marker read fails on checksum, not content
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/v=1/._COMMITTED.crc"))
+    // repair (writers quiesced) must re-read the marker and KEEP the
+    // legacy version — the r13 format would have reaped it as debris
+    assert(!FreqStore.repair(spark, dir).exists(_.contains("v=1")),
+      "repair reaped a committed legacy version")
+    assert(FreqStore.listVersions(spark, dir) == Seq(1L), "legacy version vanished")
+    assert(FreqStore.storeFamily(spark, dir) == FreqStore.Unigram,
+      "legacy marker did not pin the unigram family")
+    assert(view(dir) == expected, "legacy store reads a different count table")
+    // doc counts and mutations would silently mis-sum the unknown nd: loud
+    val eT = intercept[IllegalArgumentException](FreqStore.totalDocs(spark, dir))
+    assert(eT.getMessage.contains("legacy"), s"unexpected: ${eT.getMessage}")
+    val eA = intercept[IllegalArgumentException](
+      FreqStore.append(spark, dir, docsAll.limit(3)))
+    assert(eA.getMessage.contains("legacy"), s"unexpected: ${eA.getMessage}")
+    val eC = intercept[IllegalArgumentException](FreqStore.compact(spark, dir))
+    assert(eC.getMessage.contains("legacy"), s"unexpected: ${eC.getMessage}")
+  }
+
+  test("a present-but-unparseable marker is corruption, not absence — nothing reaps it") {
+    val dir = tmp()
+    FreqStore.init(spark, dir, docsAll.limit(20))
+    val mp = java.nio.file.Paths.get(s"$dir/v=1/_COMMITTED")
+    java.nio.file.Files.write(mp, """{"not":"a marker"}""".getBytes("UTF-8"))
+    // the rewrite bypasses Hadoop's LocalFileSystem, so drop its CRC
+    // sidecar or every marker read fails on checksum, not content
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/v=1/._COMMITTED.crc"))
+    // repair must fail loudly INSTEAD of deleting the committed version
+    val e = intercept[IllegalStateException](FreqStore.repair(spark, dir))
+    assert(e.getMessage.contains("unreadable"), s"unexpected: ${e.getMessage}")
+    // reads fail loudly too (the repair attempt above already invalidated
+    // the memoized good marker, so this is a genuine disk re-read)
+    val e2 = intercept[IllegalStateException](FreqStore.listVersions(spark, dir))
+    assert(e2.getMessage.contains("unreadable"), s"unexpected: ${e2.getMessage}")
+    // the committed payload is untouched on disk
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/v=1/freq")),
+      "corrupt-marker handling deleted committed data")
   }
 }
