@@ -79,14 +79,18 @@ object Bench {
       try {
         FreqStore.init(spark, s"$storesDir/freq", docs)
         FreqStore.init(spark, s"$storesDir/bigram", docs, FreqStore.Bigram)
-        FreqStore.init(spark, s"$storesDir/win", docs, FreqStore.WindowSrc(8))
-        FreqStore.init(
-          spark, s"$storesDir/leak",
-          graft.operators.Dedup.leakTrainSlice(docs), FreqStore.WindowSrc(8))
+        // ONE corpus window explode provisions the whole window family:
+        // the finer WindowDoc relation serves q113 directly and q122 via
+        // rollup, and the frozen-train WindowSrc store is a PROJECTION of
+        // it (the second, 90%-of-corpus explode the pre-r14 prep paid)
+        FreqStore.init(spark, s"$storesDir/windoc", docs, FreqStore.WindowDoc(8))
+        FreqStore.initWinSrcProjection(
+          spark, s"$storesDir/leak", s"$storesDir/windoc",
+          graft.operators.Dedup.leakTrainSlice)
       } finally docs.unpersist()
       spark.conf.set("graft.freq.store", s"$storesDir/freq")
       spark.conf.set("graft.bigram.store", s"$storesDir/bigram")
-      spark.conf.set("graft.win.store", s"$storesDir/win")
+      spark.conf.set("graft.win.store", s"$storesDir/windoc")
       spark.conf.set("graft.leak.store", s"$storesDir/leak")
       // the store-backed leakage family shares one eval window stream
       // (Dedup.evalPos under graft.lsh.cache) — build it here, priced,

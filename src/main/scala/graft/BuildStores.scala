@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions.col
   *                 q121/q130/q136).
   *   - `bigram`  — FreqStore Bigram (`graft.bigram.store`;
   *                 q77/q97/q139).
-  *   - `win`     — FreqStore WindowSrc over the corpus
-  *                 (`graft.win.store`; q122).
+  *   - `windoc`  — FreqStore WindowDoc over the corpus
+  *                 (`graft.win.store`; q113 reads it directly, q122
+  *                 through the (wh, source) group-size rollup).
   *   - `leak`    — FreqStore WindowSrc over the frozen train slice
-  *                 (`graft.leak.store`; q120/q143/q146).
+  *                 (`graft.leak.store`; q120/q143/q146), PROJECTED from
+  *                 `windoc` (leakTrainSlice is a pure doc_id predicate)
+  *                 so the bootstrap explodes the corpus windows once,
+  *                 not twice.
   *   - `ivf`     — sources.IvfIndex from the corpus identity quantizer
   *                 (`graft.ivf.index`; q74).
   *
@@ -67,14 +71,20 @@ object BuildStores {
       Seq(
         ("freq", FreqStore.Unigram: FreqStore.Family, docs),
         ("bigram", FreqStore.Bigram: FreqStore.Family, docs),
-        ("win", FreqStore.WindowSrc(windowK): FreqStore.Family, docs),
-        ("leak", FreqStore.WindowSrc(windowK): FreqStore.Family,
-          graft.operators.Dedup.leakTrainSlice(docs))
+        ("windoc", FreqStore.WindowDoc(windowK): FreqStore.Family, docs)
       ).foreach { case (name, fam, input) =>
         val s = FreqStore.init(spark, s"$outDir/$name", input, fam)
         println(s"""{"store":"$name","family":"${s.family}","version":${s.version},""" +
           s""""rows":${s.newVocab},"n":${s.totalTokens},"docs":${s.totalDocs}}""")
       }
+      // the frozen-train WindowSrc rollup is a PROJECTION of the windoc
+      // relation (one store-scale aggregate) — the second corpus window
+      // explode the pre-r14 bootstrap paid is gone
+      val lk = FreqStore.initWinSrcProjection(
+        spark, s"$outDir/leak", s"$outDir/windoc",
+        graft.operators.Dedup.leakTrainSlice)
+      println(s"""{"store":"leak","family":"${lk.family}","version":${lk.version},""" +
+        s""""rows":${lk.newVocab},"n":${lk.totalTokens},"docs":${lk.totalDocs}}""")
       val (assign, centroids) = graft.operators.Similarity.corpusQuantizer(t)
       val iv = IvfIndex.init(spark, s"$outDir/ivf", assign, centroids)
       println(s"""{"store":"ivf","version":${iv.version},"k":${iv.k},"assigned":${iv.totalAssigned}}""")

@@ -1278,11 +1278,39 @@ object Dedup extends QueryModule {
           case graft.sources.FreqStore.WindowSrc(sk) =>
             require(sk == k,
               s"$conf at $dir was built at windowK=$sk, session wants $k — rebuild")
+            Some(graft.sources.FreqStore.counts(t.spark, dir))
+          case graft.sources.FreqStore.WindowDoc(sk) =>
+            require(sk == k,
+              s"$conf at $dir was built at windowK=$sk, session wants $k — rebuild")
+            // the finer per-doc relation serves the same (wh, source,
+            // n_docs) stats by GROUP SIZE: doc_id is a key there, so the
+            // distinct-doc count per (wh, source) is count(*), no
+            // countDistinct shuffle
+            Some(graft.sources.FreqStore.counts(t.spark, dir)
+              .groupBy(col("wh"), col("source"))
+              .agg(count(lit(1)).as("n")))
           case other =>
             throw new IllegalArgumentException(
               s"$conf at $dir holds family '${other.name}', not winsrc:$k — rebuild")
         }
-        Some(graft.sources.FreqStore.counts(t.spark, dir))
+    }
+
+  // the per-document window relation (wh, source, doc_id, n), served only
+  // when `graft.win.store` holds the finer WindowDoc family — q113 needs
+  // occurrence counts AND doc attribution, which the WindowSrc rollup
+  // cannot give (a WindowSrc-backed session just derives q113 in-query,
+  // exactly as before the store existed)
+  private def storedWindowDoc(t: Tables, k: Int): Option[DataFrame] =
+    t.spark.conf.get("graft.win.store", "") match {
+      case "" => None
+      case dir =>
+        graft.sources.FreqStore.storeFamily(t.spark, dir) match {
+          case graft.sources.FreqStore.WindowDoc(sk) =>
+            require(sk == k,
+              s"graft.win.store at $dir was built at windowK=$sk, session wants $k — rebuild")
+            Some(graft.sources.FreqStore.counts(t.spark, dir))
+          case _ => None
+        }
     }
 
   // the q120-family eval slice: (doc_id, split, h) for val/test docs only
@@ -1717,6 +1745,27 @@ object Dedup extends QueryModule {
     */
   private def q113(t: Tables): DataFrame = {
     val k = windowK(t)
+    // store-backed (`graft.win.store` holding the WindowDoc family): the
+    // stored (wh, source, doc_id, n) relation replaces the corpus
+    // tokenize+md5 explode outright — occurrence totals are Σn per wh,
+    // per-source occurrence rollups are Σn per source, and doc
+    // attribution rides the doc_id key. Zero corpus reads; the audit
+    // runs at stored-relation scale (maintained ∝ |batch| at ingest).
+    storedWindowDoc(t, k).foreach { rel =>
+      val repeated = rel
+        .groupBy(col("wh"))
+        .agg(sum(col("n")).as("n_occ"))
+        .filter(col("n_occ") > 1)
+      return rel
+        .join(repeated, Seq("wh"), "left")
+        .groupBy(col("source"))
+        .agg(
+          sum(col("n")).as("n_windows"),
+          sum(when(col("n_occ").isNotNull, col("n")).otherwise(0L)).as("n_dup_windows"),
+          countDistinct(when(col("n_occ").isNotNull, col("doc_id"))).as("n_docs_affected"))
+        .withColumn("dup_share", round(col("n_dup_windows") / col("n_windows"), 4))
+        .orderBy(col("source"))
+    }
     val pos = Tables.localSplit(t.documents, col("doc_id"))
       .select(
         col("doc_id"), col("source"),

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * it; with the store, a consumer reads a vocab-scale relation and never
   * touches the token stream.
   *
-  * One count-merge LSM mechanism, three FAMILIES (the keyed table the
+  * One count-merge LSM mechanism, four FAMILIES (the keyed table the
   * store maintains, pinned in the v=1 marker exactly like DedupIndex's
   * band count — an append can never silently mix families):
   *   - [[Unigram]]  (token, n): q76/q121/q130/q136's frequency table.
@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   *   - [[WindowSrc]] (wh, source, n): per K-token window hash and source,
   *     the distinct documents carrying it — the train/corpus window stats
   *     q120/q122/q143/q146 probe (K pinned in the family name).
+  *   - [[WindowDoc]] (wh, source, doc_id, n): the finest window relation
+  *     (per-document occurrence counts) — serves q113's occurrence-
+  *     weighted audit directly, serves every WindowSrc consumer through a
+  *     group-size rollup, and projects frozen-slice WindowSrc stores
+  *     without a corpus re-explode ([[initWinSrcProjection]]).
   *
   * Same LSM/CAS discipline as [[DedupIndex]]/[[IvfIndex]], but with
   * COUNT-MERGE semantics instead of set-union: counts are additive, so an
@@ -130,10 +135,41 @@ object FreqStore {
         .agg(countDistinct(col("doc_id")).as("n"))
   }
 
+  /** (wh, source, doc_id, n) — the FINEST window relation: per K-token
+    * window hash, source, and document, the occurrence count within the
+    * document. Strictly finer than [[WindowSrc]]: doc_id is a key here,
+    * so WindowSrc's per-(wh, source) distinct-doc count is simply the
+    * GROUP SIZE of this relation — [[initWinSrcProjection]] materializes
+    * that rollup (optionally doc-filtered, e.g. the frozen-train slice)
+    * without re-exploding any corpus. It is also the only family that
+    * can serve q113's repeated-substring audit, which needs occurrence
+    * counts AND doc attribution, not doc counts.
+    *
+    * The trade: WindowDoc storage is token-scale (≈ one row per distinct
+    * (wh, doc)) where WindowSrc is window-vocabulary-scale. A lake
+    * maintains either the compact per-consumer rollups, or this one
+    * finer store plus projected rollups where consumers need repeated
+    * vocab-scale reads.
+    */
+  final case class WindowDoc(k: Int) extends Family {
+    require(k >= 2 && k <= 64, s"windowK out of range: $k")
+    val name = s"windoc:$k"
+    val keyCols = Seq("wh", "source", "doc_id")
+    def rows(docs: DataFrame): DataFrame =
+      docs
+        .select(
+          col("doc_id"), col("source"),
+          explode(graft.operators.Dedup.windowHashes(k)).as("wh"))
+    def aggregate(pos: DataFrame): DataFrame =
+      pos.groupBy(col("wh"), col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+  }
+
   private def familyOf(name: String): Family = name match {
     case "unigram"                    => Unigram
     case "bigram"                     => Bigram
     case s if s.startsWith("winsrc:") => WindowSrc(s.stripPrefix("winsrc:").toInt)
+    case s if s.startsWith("windoc:") => WindowDoc(s.stripPrefix("windoc:").toInt)
     case other => throw new IllegalStateException(s"unknown FreqStore family: $other")
   }
 
@@ -378,6 +414,39 @@ object FreqStore {
     val (staging, _) = stageOnePass(spark, dir, 1L, "base", family, docs, None)
     commit(spark, dir, staging, 1L)
     stats(spark, dir, 1L)
+  }
+
+  /** Materialize a [[WindowSrc]] store as a PROJECTION of a committed
+    * [[WindowDoc]] store's current view, optionally doc-filtered (e.g.
+    * [[graft.operators.Dedup.leakTrainSlice]] for the frozen-train leak
+    * store). Because doc_id is a key of the finer relation, the
+    * per-(wh, source) distinct-doc count is the group SIZE — one
+    * store-scale aggregate, no corpus re-explode; `nd` (the doc total
+    * q146's n_train reads from markers) is the filtered view's distinct
+    * doc count. The projection is a snapshot of the source store's
+    * current chain; it stays maintainable afterwards through ordinary
+    * [[append]]s of (sliced) batches, exactly like an init-from-docs
+    * store — BuildStoresSpec pins projection ≡ from-docs equivalence.
+    */
+  def initWinSrcProjection(
+      spark: SparkSession, dir: String, windocDir: String,
+      docFilter: DataFrame => DataFrame = identity): FreqStats = {
+    invalidateMetaCache(dir)
+    require(currentVersion(spark, dir).isEmpty, s"count store at $dir already initialized")
+    val k = storeFamily(spark, windocDir) match {
+      case WindowDoc(wk) => wk
+      case other => throw new IllegalArgumentException(
+        s"projection source at $windocDir holds family '${other.name}', not windoc")
+    }
+    val rel = docFilter(counts(spark, windocDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nd = rel.agg(countDistinct(col("doc_id"))).head().getLong(0)
+      val proj = rel.groupBy(col("wh"), col("source")).agg(count(lit(1)).as("n"))
+      val staging = stage(spark, dir, 1L, "base", WindowSrc(k), proj, nd)
+      commit(spark, dir, staging, 1L)
+      stats(spark, dir, 1L)
+    } finally rel.unpersist()
   }
 
   /** Incremental maintenance: commit the arriving batch's own count

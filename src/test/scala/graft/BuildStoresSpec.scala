@@ -25,9 +25,11 @@ class BuildStoresSpec extends AnyFunSuite {
       docs.filter(!col("source").like("src1%")), bands = 8, windowK = 8)
     FreqStore.init(spark, s"$out/freq", docs)
     FreqStore.init(spark, s"$out/bigram", docs, FreqStore.Bigram)
-    FreqStore.init(spark, s"$out/win", docs, FreqStore.WindowSrc(8))
-    FreqStore.init(spark, s"$out/leak",
-      graft.operators.Dedup.leakTrainSlice(docs), FreqStore.WindowSrc(8))
+    // r14 provisioning: ONE corpus window explode (the finer WindowDoc
+    // relation), with the frozen-train WindowSrc store PROJECTED from it
+    FreqStore.init(spark, s"$out/windoc", docs, FreqStore.WindowDoc(8))
+    FreqStore.initWinSrcProjection(
+      spark, s"$out/leak", s"$out/windoc", graft.operators.Dedup.leakTrainSlice)
     val (assign, centroids) = graft.operators.Similarity.corpusQuantizer(t)
     IvfIndex.init(spark, s"$out/ivf", assign, centroids)
 
@@ -35,7 +37,7 @@ class BuildStoresSpec extends AnyFunSuite {
       "q121_token_rarity", "q130_cms_calibration", "q136_vocab_coverage", // unigram
       "q77_bigram_lm", "q97_rare_bigrams", "q139_pmi",                    // bigram
       "q120_split_leakage", "q143_leakage_by_source", "q146_leak_severity", // leak
-      "q122_window_novelty",                                              // win
+      "q122_window_novelty", "q113_substring_windows",                    // windoc
       "q107_delta_dedup",                                                 // dedup index
       "q74_ivf_multiprobe")                                               // ivf index
     val derived = consumers.map(q =>
@@ -43,7 +45,7 @@ class BuildStoresSpec extends AnyFunSuite {
     val confs = Map(
       "graft.freq.store" -> s"$out/freq",
       "graft.bigram.store" -> s"$out/bigram",
-      "graft.win.store" -> s"$out/win",
+      "graft.win.store" -> s"$out/windoc",
       "graft.leak.store" -> s"$out/leak",
       "graft.delta.index" -> s"$out/dedup",
       "graft.ivf.index" -> s"$out/ivf")

@@ -119,4 +119,59 @@ class LeakStoreSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](FreqStore.frequencies(spark, dir))
     assert(e2.getMessage.contains("wrong store"))
   }
+
+  test("WindowDoc-backed q113 and q122 equal derived; q113 plan reads zero corpus") {
+    val dir = tmp()
+    val st = FreqStore.init(spark, dir, docs, FreqStore.WindowDoc(8))
+    assert(st.family == "windoc:8" && st.totalDocs > 0)
+    val derived113 = rows("q113_substring_windows")
+    val derived122 = rows("q122_window_novelty")
+    assert(derived113.nonEmpty && derived122.nonEmpty)
+    spark.conf.set("graft.win.store", dir)
+    try {
+      assert(rows("q113_substring_windows") == derived113,
+        "q113 diverges when reading the stored per-doc window relation")
+      assert(rows("q122_window_novelty") == derived122,
+        "q122 diverges when rolling up the WindowDoc store")
+      val plan = SparkEntry.queries("q113_substring_windows")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        "store-backed q113 still scans the corpus")
+    } finally spark.conf.unset("graft.win.store")
+  }
+
+  test("frozen-train WindowSrc projection from WindowDoc equals the from-docs build") {
+    val (windocDir, projDir, fromDocsDir) = (tmp(), tmp(), tmp())
+    FreqStore.init(spark, windocDir, docs, FreqStore.WindowDoc(8))
+    val pj = FreqStore.initWinSrcProjection(
+      spark, projDir, windocDir, graft.operators.Dedup.leakTrainSlice)
+    val fd = FreqStore.init(
+      spark, fromDocsDir, graft.operators.Dedup.leakTrainSlice(docs),
+      FreqStore.WindowSrc(8))
+    assert(pj.family == "winsrc:8")
+    def view(d: String) = FreqStore.counts(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(view(projDir) == view(fromDocsDir),
+      "projected train rollup diverges from the from-docs WindowSrc build")
+    assert(pj.totalDocs == fd.totalDocs,
+      s"projected nd ${pj.totalDocs} != from-docs nd ${fd.totalDocs} (q146 n_train)")
+    // the projection stays maintainable: an ordinary sliced-batch append
+    val extra = docs.limit(0) // no-op append publishes nothing, but must not throw
+    FreqStore.append(spark, projDir, extra)
+    // and the leakage family reads it exactly like a from-docs store
+    val derived = Seq("q120_split_leakage", "q146_leak_severity")
+      .map(q => q -> rows(q)).toMap
+    spark.conf.set("graft.leak.store", projDir)
+    try derived.foreach { case (q, r) =>
+      assert(rows(q) == r, s"$q diverges on the projected train store")
+    } finally spark.conf.unset("graft.leak.store")
+  }
+
+  test("a WindowSrc store cannot source a projection — loud, not a wrong rollup") {
+    val (srcDir, projDir) = (tmp(), tmp())
+    FreqStore.init(spark, srcDir, docs.limit(30), FreqStore.WindowSrc(8))
+    val e = intercept[IllegalArgumentException](
+      FreqStore.initWinSrcProjection(spark, projDir, srcDir))
+    assert(e.getMessage.contains("not windoc"), s"unexpected: ${e.getMessage}")
+  }
 }
