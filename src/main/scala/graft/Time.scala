@@ -4,6 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev harness: time named queries N times each (warm JVM, median-friendly
   * output) — `runMain graft.Time <sfDir> <reps> q62_dup_clusters ...`.
+  *
+  * `GRAFT_TIME_CONFS="k=v,k=v"` applies session confs before the warmup —
+  * the controlled store-backed-vs-derived A/B: provision once with
+  * `BuildStores`, then run Time twice (with and without the store confs)
+  * in otherwise identical sessions. Solo numbers, same host, same data —
+  * the adjudication-grade comparison cross-round bench artifacts can't
+  * give (host load dominates those).
   */
 object Time {
   def main(args: Array[String]): Unit = {
@@ -23,6 +30,13 @@ object Time {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("GRAFT_TIME_CONFS").foreach { confs =>
+      confs.split(',').filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+        println(s"[time] conf $k=$v")
+      }
+    }
     SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
     for (name <- names) {
       val fn = SparkEntry.queries(name)
