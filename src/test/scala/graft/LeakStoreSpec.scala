@@ -4,13 +4,17 @@ import graft.sources.FreqStore
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The FreqStore family extensions (Bigram, WindowSrc) and their consumer
-  * wiring: q77/q97/q139 reading a Bigram store (`graft.bigram.store`),
-  * the q120/q143/q146 leakage family probing a train-slice WindowSrc
-  * store (`graft.leak.store`), and q122 reading a corpus-wide WindowSrc
-  * store (`graft.win.store`) — each proven output-identical to its
-  * derived run, plus the loud K-mismatch and family-mismatch failures
-  * (the band-family rule).
+/** The FreqStore family extensions (Bigram, WindowSrc, WindowDoc) and
+  * their consumer wiring: q77/q97/q139 reading a Bigram store
+  * (`graft.bigram.store`), the q120/q143/q146 leakage family probing a
+  * train-slice WindowSrc store (`graft.leak.store`), q122 reading a
+  * corpus-wide window store, and q113 reading the finer WindowDoc
+  * relation (`graft.win.store`, either family) — each proven
+  * output-identical to its derived run, plus the frozen-train
+  * projection bootstrap (`initWinSrcProjection` ≡ from-docs build,
+  * before AND after a maintenance append), batched ≡ one-shot builds
+  * for both window families, and the loud K-mismatch and
+  * family-mismatch failures (the band-family rule).
   */
 class LeakStoreSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -155,16 +159,40 @@ class LeakStoreSpec extends AnyFunSuite {
       "projected train rollup diverges from the from-docs WindowSrc build")
     assert(pj.totalDocs == fd.totalDocs,
       s"projected nd ${pj.totalDocs} != from-docs nd ${fd.totalDocs} (q146 n_train)")
-    // the projection stays maintainable: an ordinary sliced-batch append
-    val extra = docs.limit(0) // no-op append publishes nothing, but must not throw
-    FreqStore.append(spark, projDir, extra)
-    // and the leakage family reads it exactly like a from-docs store
+    // the leakage family reads it exactly like a from-docs store
     val derived = Seq("q120_split_leakage", "q146_leak_severity")
       .map(q => q -> rows(q)).toMap
     spark.conf.set("graft.leak.store", projDir)
     try derived.foreach { case (q, r) =>
       assert(rows(q) == r, s"$q diverges on the projected train store")
     } finally spark.conf.unset("graft.leak.store")
+    // the projection stays maintainable AFTER bootstrap: the SAME sliced
+    // batch appended to both stores keeps them identical (ingest
+    // maintenance composes with a projection bootstrap — the production
+    // shape; runs LAST because the extra counts intentionally change the
+    // view the store≡derived comparison above pinned)
+    val batch = graft.operators.Dedup.leakTrainSlice(docs).limit(40)
+    FreqStore.append(spark, projDir, batch)
+    FreqStore.append(spark, fromDocsDir, batch)
+    assert(view(projDir) == view(fromDocsDir),
+      "projected store diverges from the from-docs build after a maintenance append")
+    assert(FreqStore.totalDocs(spark, projDir) == FreqStore.totalDocs(spark, fromDocsDir),
+      "doc totals diverge after a maintenance append")
+  }
+
+  test("WindowDoc store maintained in batches equals the one-shot build") {
+    val (incr, oneshot) = (tmp(), tmp())
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (b0, b1) = ids.splitAt(ids.length / 2)
+    FreqStore.init(
+      spark, incr, docs.filter(col("doc_id").isin(b0: _*)), FreqStore.WindowDoc(8))
+    FreqStore.append(spark, incr, docs.filter(col("doc_id").isin(b1: _*)))
+    FreqStore.init(spark, oneshot, docs, FreqStore.WindowDoc(8))
+    def view(d: String) = FreqStore.counts(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(view(incr) == view(oneshot), "batched WindowDoc store diverges from one-shot")
+    assert(FreqStore.totalDocs(spark, incr) == FreqStore.totalDocs(spark, oneshot),
+      "doc totals diverge between batched and one-shot WindowDoc builds")
   }
 
   test("a WindowSrc store cannot source a projection — loud, not a wrong rollup") {
