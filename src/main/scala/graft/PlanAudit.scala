@@ -5,12 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: audits the physical plan of every query against the scale
   * invariants in SURVEY.md §5 and prints one line per query.
   *
-  *   sbt "runMain graft.PlanAudit /root/testdata/sf0.001"
+  *   sbt "runMain graft.PlanAudit /root/testdata/sf0.001"          # derived plans
+  *   sbt "runMain graft.PlanAudit /root/testdata/sf0.001 scale"    # broadcasts off
+  *   sbt "runMain graft.PlanAudit /root/testdata/sf0.001 stores"   # store-backed plans
   *
   * Checks (heuristic, WARN not FAIL — some shapes are legitimately
   * different): exchange (shuffle) count, broadcast joins present where
   * declared, pushed filters on scans, no cartesian product except the
-  * intentionally-crossing similarity baselines.
+  * intentionally-crossing similarity baselines. `stores` mode
+  * provisions the full artifact set and audits the 13 store consumers'
+  * ACTUAL bench-session shapes (store read present, per-consumer
+  * shuffle budgets, q113/q122 corpus-scan-free).
   */
 object PlanAudit {
   private val expectBroadcast = Set(
@@ -263,6 +268,60 @@ object PlanAudit {
     // label-keyed cluster agg → per-source entropy rollup → sort
     "q150_source_diversity" -> 3).withDefaultValue(3)
 
+  // `stores` mode: the STORE-BACKED plans (the bench session's actual
+  // shapes — the default/scale modes audit only conf-off derived plans).
+  // Per consumer: its store-backed shuffle budget with a shuffle-by-
+  // shuffle justification; `storeCorpusFree` lists the consumers whose
+  // plan must contain NO corpus scan at all (the whole point of their
+  // store path — the leakage trio still scans the 10% eval slices by
+  // design, and q121's rarity score re-joins the token stream).
+  private val storeExchangeBudget: Map[String, Int] = Map(
+    // vocab-scale store read → corpus token re-join → doc rollup → sort
+    "q121_token_rarity" -> 4,
+    // store read (chain count-merge agg) → sketch agg → probe join →
+    // per-token min agg → sort (the derived q130 chain minus the corpus
+    // token agg, plus the chain merge)
+    "q130_cms_calibration" -> 5,
+    // chain merge agg → histogram agg → √-bounded cumulative window →
+    // totals (per branch, AQE reuses) → sort
+    "q136_vocab_coverage" -> 5,
+    // chain merge agg → w1 marginal window → sort
+    "q77_bigram_lm" -> 3,
+    // chain merge agg → (w1,w2) doc-side join → per-doc agg → source
+    // rollup → sort (the corpus side still explodes pairs by design —
+    // rarity is per-document; broadcasts absorb the narrow side)
+    "q97_rare_bigrams" -> 4,
+    // chain merge agg (per consuming branch; AQE reuses) → marginal aggs
+    // + joins → top-50
+    "q139_pmi" -> 7,
+    // stored train-window read (chain merge) + eval h-keyed membership agg
+    // + attribution probe + split rollups + assembly join + sort
+    "q120_split_leakage" -> 7,
+    // stored read (chain merge prints per consuming branch; AQE reuses)
+    // → per-wh source sets → eval spread join → (split, source) rollup +
+    // totals → sort
+    "q143_leakage_by_source" -> 7,
+    // stored read → df agg → eval distinct join → split rollup → sort;
+    // n_train is a marker METADATA read (no scan at all)
+    "q146_leak_severity" -> 5,
+    // chain merge agg (prints once per consuming branch — the occurrence
+    // total AND the attribution probe read the same relation; AQE reuses
+    // at runtime) → global occurrence agg → attribution join → source
+    // rollup (countDistinct two-phase) → sort — ZERO corpus
+    "q113_substring_windows" -> 6,
+    // chain merge agg → (wh, source) rollup → membership spread+rollup →
+    // sort (collapsed shapes share exchanges) — ZERO corpus
+    "q122_window_novelty" -> 3,
+    // stored hash/sig/window sets replace the base derivations; the
+    // arriving batch still scans (it is the input) — batch-keyed joins
+    // against the store views + classification + rollup
+    "q107_delta_dedup" -> 5,
+    // stored assignment read replaces the quantizer derivation; probe
+    // machinery unchanged (centroid agg → scoring → rank/top-k windows →
+    // sort)
+    "q74_ivf_multiprobe" -> 5).withDefaultValue(3)
+  private val storeCorpusFree = Set("q113_substring_windows", "q122_window_novelty")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     // `scale` mode: disable AUTO broadcasts (tiny-SF accidents that hide
@@ -272,6 +331,7 @@ object PlanAudit {
     // without failing them; the structural checks (cartesian, unpushed
     // scan filter, unpartitioned window) still hard-warn.
     val scaleMode = args.drop(1).contains("scale")
+    val storesMode = args.drop(1).contains("stores")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -282,15 +342,47 @@ object PlanAudit {
         if (scaleMode) "-1" else "10485760")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // stores mode: provision the full artifact set at the audit SF and
+    // point every consumer conf at it — the audited plans are then the
+    // bench session's actual store-backed shapes
+    if (storesMode) {
+      import graft.sources.{DedupIndex, FreqStore, IvfIndex}
+      import org.apache.spark.sql.functions.col
+      val out = java.nio.file.Files.createTempDirectory("graft_planaudit_stores").toString
+      val t = Tables(spark, sfDir)
+      val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
+      DedupIndex.init(spark, s"$out/dedup",
+        docs.filter(!col("source").like("src1%")), bands = 8, windowK = 8)
+      FreqStore.init(spark, s"$out/freq", docs)
+      FreqStore.init(spark, s"$out/bigram", docs, FreqStore.Bigram)
+      FreqStore.init(spark, s"$out/windoc", docs, FreqStore.WindowDoc(8))
+      FreqStore.initWinSrcProjection(
+        spark, s"$out/leak", s"$out/windoc", graft.operators.Dedup.leakTrainSlice)
+      val (assign, centroids) = graft.operators.Similarity.corpusQuantizer(t)
+      IvfIndex.init(spark, s"$out/ivf", assign, centroids)
+      Map(
+        "graft.freq.store" -> s"$out/freq", "graft.bigram.store" -> s"$out/bigram",
+        "graft.win.store" -> s"$out/windoc", "graft.leak.store" -> s"$out/leak",
+        "graft.delta.index" -> s"$out/dedup", "graft.ivf.index" -> s"$out/ivf")
+        .foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+    val auditSet =
+      if (storesMode) SparkEntry.queries.filter(q => storeExchangeBudget.contains(q._1))
+      else SparkEntry.queries
     var warns = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    auditSet.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       val exchanges = "Exchange".r.findAllIn(plan).length - "BroadcastExchange".r.findAllIn(plan).length
       val issues = Seq.newBuilder[String]
-      if (!scaleMode && exchanges > exchangeBudget(name))
-        issues += s"shuffles=$exchanges>budget=${exchangeBudget(name)}"
-      if (!scaleMode && expectBroadcast(name) && !plan.contains("BroadcastExchange"))
+      val budget = if (storesMode) storeExchangeBudget else exchangeBudget
+      if (!scaleMode && exchanges > budget(name))
+        issues += s"shuffles=$exchanges>budget=${budget(name)}"
+      if (!scaleMode && !storesMode && expectBroadcast(name) && !plan.contains("BroadcastExchange"))
         issues += "no-broadcast"
+      if (storesMode && !plan.contains("v="))
+        issues += "no-store-read"
+      if (storesMode && storeCorpusFree(name) && plan.contains("documents.parquet"))
+        issues += "corpus-scan-in-store-path"
       if (!allowCross(name) && plan.contains("Cross")) issues += "cartesian"
       // flag only a Filter whose direct child scan pushed nothing — a filter
       // on a window/join-computed column legitimately can't push down
@@ -299,7 +391,14 @@ object PlanAudit {
         l.contains("Filter (") && lines.drop(i + 1).headOption.exists(n =>
           n.contains("FileScan") && n.contains("PushedFilters: []"))
       }
-      if (badPush && !allowUnpushed(name)) issues += "unpushed-scan-filter"
+      // stores mode: the leakage trio's eval-slice filter is a computed
+      // md5 bucket directly above the documents scan — inherently
+      // unpushable (q103's engine-stable split is the point); the train
+      // side reads the store, only the 10% eval share scans at all
+      val storesUnpushed = storesMode && Set(
+        "q120_split_leakage", "q143_leakage_by_source", "q146_leak_severity")(name)
+      if (badPush && !allowUnpushed(name) && !storesUnpushed)
+        issues += "unpushed-scan-filter"
       // an unpartitioned window serializes the whole relation through one
       // task — only legal over a provably tiny relation (q83's per-batch
       // maxima: |batches| rows, bounded by stream duration, not volume)
