@@ -332,6 +332,10 @@ object PlanAudit {
     // scan filter, unpartitioned window) still hard-warn.
     val scaleMode = args.drop(1).contains("scale")
     val storesMode = args.drop(1).contains("stores")
+    // provisioned under tmp and reclaimed after spark.stop() — same
+    // no-leaked-store-set hygiene as Bench (r13 advice)
+    lazy val storesTmp =
+      java.nio.file.Files.createTempDirectory("graft_planaudit_stores").toString
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -348,7 +352,7 @@ object PlanAudit {
     if (storesMode) {
       import graft.sources.{DedupIndex, FreqStore, IvfIndex}
       import org.apache.spark.sql.functions.col
-      val out = java.nio.file.Files.createTempDirectory("graft_planaudit_stores").toString
+      val out = storesTmp
       val t = Tables(spark, sfDir)
       val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
       DedupIndex.init(spark, s"$out/dedup",
@@ -410,5 +414,13 @@ object PlanAudit {
     }
     println(s"${if (warns == 0) "ALL OK" else s"$warns warnings"}")
     spark.stop()
+    if (storesMode) {
+      try {
+        import java.nio.file.{Files, Path => JPath}
+        import java.util.Comparator
+        Files.walk(JPath.of(storesTmp)).sorted(Comparator.reverseOrder[JPath]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
   }
 }

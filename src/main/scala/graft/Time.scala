@@ -32,6 +32,7 @@ object Time {
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("GRAFT_TIME_CONFS").foreach { confs =>
       confs.split(',').filter(_.nonEmpty).foreach { kv =>
+        require(kv.contains("="), s"GRAFT_TIME_CONFS entry has no '=': '$kv'")
         val Array(k, v) = kv.split("=", 2)
         spark.conf.set(k, v)
         println(s"[time] conf $k=$v")
