@@ -304,11 +304,11 @@ object PlanAudit {
     // stored read → df agg → eval distinct join → split rollup → sort;
     // n_train is a marker METADATA read (no scan at all)
     "q146_leak_severity" -> 5,
-    // chain merge agg (prints once per consuming branch — the occurrence
-    // total AND the attribution probe read the same relation; AQE reuses
-    // at runtime) → global occurrence agg → attribution join → source
-    // rollup (countDistinct two-phase) → sort — ZERO corpus
-    "q113_substring_windows" -> 6,
+    // RAW chain read (additive/distinct aggregates need no merge — the
+    // two consuming branches would each pay it) → global occurrence agg
+    // → attribution join → source rollup (countDistinct two-phase) →
+    // sort — ZERO corpus, ZERO chain-merge shuffles (spec-pinned)
+    "q113_substring_windows" -> 4,
     // chain merge agg → (wh, source) rollup → membership spread+rollup →
     // sort (collapsed shapes share exchanges) — ZERO corpus
     "q122_window_novelty" -> 3,

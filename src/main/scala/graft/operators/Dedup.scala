@@ -1308,7 +1308,14 @@ object Dedup extends QueryModule {
           case graft.sources.FreqStore.WindowDoc(sk) =>
             require(sk == k,
               s"graft.win.store at $dir was built at windowK=$sk, session wants $k — rebuild")
-            Some(graft.sources.FreqStore.counts(t.spark, dir))
+            // RAW chain rows, not the merged view: q113's aggregates are
+            // all additive in n (Σ occurrence totals) or distinct-based
+            // (doc attribution), so the per-(wh, source, doc) merge
+            // shuffle is unnecessary — and the plan consumes the relation
+            // in two branches, which would pay that merge TWICE (the join
+            // side's null filter defeats AQE exchange reuse; spec pins
+            // the merge-free shape)
+            Some(graft.sources.FreqStore.rawCounts(t.spark, dir))
           case _ => None
         }
     }

@@ -291,14 +291,26 @@ object FreqStore {
     * base+delta chain count-merged. One vocab-scale aggregate over at
     * most |chain| stored relations; compact to keep |chain| small.
     */
-  def counts(spark: SparkSession, dir: String): DataFrame = {
-    val fam = storeFamily(spark, dir)
+  def counts(spark: SparkSession, dir: String): DataFrame =
+    rawCounts(spark, dir)
+      .groupBy(storeFamily(spark, dir).keyCols.map(col): _*)
+      .agg(sum(col("n")).as("n"))
+
+  /** The UN-merged chain rows (same columns as [[counts]], but a key may
+    * appear once per chain version). For a consumer whose downstream
+    * aggregates are all ADDITIVE in `n` or distinct-based over key
+    * columns — q113's Σn totals and countDistinct doc attribution — this
+    * is sufficient and skips the merge shuffle entirely; a plan that
+    * consumes the relation in several branches would otherwise pay the
+    * full key-wide merge aggregate once PER BRANCH (subtree differences
+    * from join-key null filters defeat AQE exchange reuse). Anything
+    * keyed on per-key totals (thresholds, group sizes) must use
+    * [[counts]].
+    */
+  def rawCounts(spark: SparkSession, dir: String): DataFrame =
     readChain(spark, dir)
       .map(v => spark.read.parquet(s"${versionPath(dir, v)}/freq"))
       .reduce(_.unionByName(_))
-      .groupBy(fam.keyCols.map(col): _*)
-      .agg(sum(col("n")).as("n"))
-  }
 
   /** The unigram view (`token`, `n`) — fails loudly on a non-unigram
     * store instead of serving a foreign count family.

@@ -126,8 +126,16 @@ class LeakStoreSpec extends AnyFunSuite {
 
   test("WindowDoc-backed q113 and q122 equal derived; q113 plan reads zero corpus") {
     val dir = tmp()
-    val st = FreqStore.init(spark, dir, docs, FreqStore.WindowDoc(8))
-    assert(st.family == "windoc:8" && st.totalDocs > 0)
+    // built in TWO batches so the store serves a real base+delta CHAIN:
+    // q113's raw-chain read (no merge shuffle) must stay exact when a
+    // window's occurrences span versions
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (b0, b1) = ids.splitAt(ids.length / 2)
+    val st0 = FreqStore.init(
+      spark, dir, docs.filter(col("doc_id").isin(b0: _*)), FreqStore.WindowDoc(8))
+    assert(st0.family == "windoc:8")
+    val st = FreqStore.append(spark, dir, docs.filter(col("doc_id").isin(b1: _*)))
+    assert(st.version == 2L && st.totalDocs > 0)
     val derived113 = rows("q113_substring_windows")
     val derived122 = rows("q122_window_novelty")
     assert(derived113.nonEmpty && derived122.nonEmpty)
@@ -141,6 +149,16 @@ class LeakStoreSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("documents.parquet"),
         "store-backed q113 still scans the corpus")
+      // q113 reads the RAW chain rows (its aggregates are additive /
+      // distinct-based) — the per-(wh, source, doc) merge shuffle must
+      // not appear AT ALL: the plan consumes the relation in two
+      // branches, and the merge would run once per branch (the join
+      // side's null filter defeats AQE exchange reuse)
+      val mergeExchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(wh") &&
+          l.contains("source") && l.contains("doc_id"))
+      assert(mergeExchanges == 0,
+        s"q113's store path pays $mergeExchanges chain-merge shuffle(s):\n$plan")
     } finally spark.conf.unset("graft.win.store")
   }
 
