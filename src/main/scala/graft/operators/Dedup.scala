@@ -240,6 +240,7 @@ object Dedup extends QueryModule {
     componentsCache.clear()
     evalPosCache.forEach((_, df) => { df.unpersist(); () })
     evalPosCache.clear()
+    StoreViews.clear()
   }
 
   private def pairStats(t: Tables): DataFrame =
@@ -1278,17 +1279,19 @@ object Dedup extends QueryModule {
           case graft.sources.FreqStore.WindowSrc(sk) =>
             require(sk == k,
               s"$conf at $dir was built at windowK=$sk, session wants $k — rebuild")
-            Some(graft.sources.FreqStore.counts(t.spark, dir))
+            Some(StoreViews.counts(t.spark, dir))
           case graft.sources.FreqStore.WindowDoc(sk) =>
             require(sk == k,
               s"$conf at $dir was built at windowK=$sk, session wants $k — rebuild")
             // the finer per-doc relation serves the same (wh, source,
             // n_docs) stats by GROUP SIZE: doc_id is a key there, so the
             // distinct-doc count per (wh, source) is count(*), no
-            // countDistinct shuffle
-            Some(graft.sources.FreqStore.counts(t.spark, dir)
-              .groupBy(col("wh"), col("source"))
-              .agg(count(lit(1)).as("n")))
+            // countDistinct shuffle; the rollup itself is session-cached
+            // (several consumers, several branches)
+            Some(StoreViews.cached(t.spark, s"winsrcview|$dir")(
+              graft.sources.FreqStore.counts(t.spark, dir)
+                .groupBy(col("wh"), col("source"))
+                .agg(count(lit(1)).as("n"))))
           case other =>
             throw new IllegalArgumentException(
               s"$conf at $dir holds family '${other.name}', not winsrc:$k — rebuild")

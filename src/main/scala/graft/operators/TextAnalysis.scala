@@ -32,8 +32,14 @@ object TextAnalysis extends QueryModule {
   // (FreqStoreSpec pins it); the oracle always renders the derived form.
   private def storedFreq(t: Tables): Option[DataFrame] =
     t.spark.conf.get("graft.freq.store", "") match {
-      case ""  => None
-      case dir => Some(graft.sources.FreqStore.frequencies(t.spark, dir))
+      case "" => None
+      case dir =>
+        val fam = graft.sources.FreqStore.storeFamily(t.spark, dir)
+        require(fam == graft.sources.FreqStore.Unigram,
+          s"graft.freq.store at $dir holds family '${fam.name}', not unigram — wrong store")
+        // session-cached merged view: the consumers read it in several
+        // branches, and per-branch chain merges defeat AQE reuse
+        Some(StoreViews.counts(t.spark, dir))
     }
 
   // `graft.bigram.store=<dir>` points the pair-table consumers
@@ -50,7 +56,8 @@ object TextAnalysis extends QueryModule {
         val fam = graft.sources.FreqStore.storeFamily(t.spark, dir)
         require(fam == graft.sources.FreqStore.Bigram,
           s"graft.bigram.store at $dir holds family '${fam.name}', not bigram — rebuild")
-        Some(graft.sources.FreqStore.counts(t.spark, dir))
+        // session-cached: q139 alone reads the pair table four ways
+        Some(StoreViews.counts(t.spark, dir))
     }
 
   // words/doc as a reusable fragment (identical split semantics both engines
