@@ -213,6 +213,29 @@ class LeakStoreSpec extends AnyFunSuite {
       "doc totals diverge between batched and one-shot WindowDoc builds")
   }
 
+  test("session-cached store views: q139's four branches read ONE materialized merge") {
+    val dir = tmp()
+    FreqStore.init(spark, dir, docs, FreqStore.Bigram)
+    val derived = rows("q139_pmi") // no store, no cache — the oracle's path
+    spark.conf.set("graft.bigram.store", dir)
+    spark.conf.set("graft.lsh.cache", "true")
+    try {
+      assert(rows("q139_pmi") == derived,
+        "q139 diverges under the session-cached store view")
+      val plan = SparkEntry.queries("q139_pmi")(spark, sf)
+        .queryExecution.executedPlan.toString
+      // all four pair-table consumptions must read the persisted merge —
+      // without the session cache each branch pays its own vocab-scale
+      // chain-merge shuffle (subtree differences defeat AQE reuse)
+      assert(plan.contains("InMemoryTableScan"),
+        s"store view not materialized — branches re-merge per consumption:\n$plan")
+    } finally {
+      spark.conf.unset("graft.bigram.store")
+      spark.conf.unset("graft.lsh.cache")
+      graft.operators.Dedup.clearPairCache()
+    }
+  }
+
   test("a WindowSrc store cannot source a projection — loud, not a wrong rollup") {
     val (srcDir, projDir) = (tmp(), tmp())
     FreqStore.init(spark, srcDir, docs.limit(30), FreqStore.WindowSrc(8))
