@@ -16,14 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * view is materialized ONCE per (application, store) and every branch
   * of every consumer reads the persisted relation instead.
   *
-  * Contract: the cache assumes the stores are FROZEN for the session
-  * (the audit-session shape — Bench provisions, then only reads). A
-  * session that mutates a store mid-stream must call [[clear]] (wired
-  * into [[Dedup.clearPairCache]], which the specs already use to reset
-  * session caches). Conf off → every call derives fresh, nothing is
-  * cached — the correctness gate's path.
+  * Contract: the cache assumes the stores are FROZEN between
+  * mutations. [[clear]] is wired into [[Dedup.clearPairCache]] (the
+  * specs' session reset) AND into ImportPipeline's MAINTAIN step, so
+  * the one legitimate in-session store mutator invalidates the views
+  * after every accepted batch — a session that both ingests and audits
+  * never serves a pre-batch view. Conf off → every call derives fresh,
+  * nothing is cached — the correctness gate's path.
   */
-private[operators] object StoreViews {
+private[graft] object StoreViews {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 

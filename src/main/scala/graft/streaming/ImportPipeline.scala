@@ -294,6 +294,11 @@ object ImportPipeline {
               graft.sources.FreqStore.compactIfNeeded(spark, d, maintain.maxChain)
             }
           }
+          // a session that both ingests AND audits (graft.lsh.cache on)
+          // must not serve pre-batch store views: the pipeline is the
+          // only legitimate in-session mutator, so it invalidates the
+          // session-cached merged views it just made stale
+          graft.operators.StoreViews.clear()
         }
         BatchStats(statsId, accepted.count(), quarantined.count(), stats.version)
       } finally {

@@ -205,6 +205,28 @@ class ImportPipelineSpec extends AnyFunSuite {
     // 57 — train) appended once → 5 docs, still excluding eval id 100
     assert(FreqStore.totalDocs(spark, leakDir) == 5L,
       s"leak store after replay holds ${FreqStore.totalDocs(spark, leakDir)} docs")
+    // a session that both ingests AND audits: materialize the session-
+    // cached store view, ingest one more batch, and prove the pipeline
+    // invalidated the now-stale view (without the MAINTAIN-step clear,
+    // the cached pre-batch merge would be served forever)
+    spark.conf.set("graft.lsh.cache", "true")
+    try {
+      val before = graft.operators.StoreViews.counts(spark, freqDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      writeBatch(s"$root/in", Seq(doc(5L, "ds-b", "Beta v1", 1L, valid = true)))
+      run()
+      val after = graft.operators.StoreViews.counts(spark, freqDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fresh = FreqStore.frequencies(spark, freqDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after == fresh,
+        "session-cached store view is stale after an ingested batch — MAINTAIN must clear it")
+      assert(after != before, "batch 2 should have changed the store view")
+    } finally {
+      spark.conf.unset("graft.lsh.cache")
+      graft.operators.Dedup.clearPairCache()
+    }
+
     // the maintained view equals a one-shot rebuild from seed + accepted lake
     val scratch = s"$root/freq_rebuild"
     FreqStore.init(spark, scratch,
