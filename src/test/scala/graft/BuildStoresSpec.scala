@@ -53,6 +53,9 @@ class BuildStoresSpec extends AnyFunSuite {
     // the session pair/component cache composes with the stores (the
     // Bench session runs with ALL of these on at once)
     spark.conf.set("graft.lsh.cache", "true")
+    // the priced view-prime must build every configured store view
+    assert(graft.operators.Dedup.primeStoreViews(t) > 0L,
+      "primeStoreViews materialized nothing in a fully provisioned session")
     try consumers.foreach { q =>
       assert(SparkEntry.queries(q)(spark, sf).collect().toSeq == derived(q),
         s"$q diverges in the fully provisioned session")
