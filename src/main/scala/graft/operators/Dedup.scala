@@ -206,7 +206,9 @@ object Dedup extends QueryModule {
     * silently discard the build from whichever family query ran first.
     */
   def primePairCache(t: Tables): Long =
-    if (pairCacheOn(t)) pairStats(t).count() + components(t).count() else 0L
+    if (pairCacheOn(t))
+      pairStats(t).count() + components(t).count() + sourceShingles(t).count()
+    else 0L
 
   /** Materialize the shared eval window stream (no-op unless the session
     * cache AND a leak store are configured — only then do q120/q143/q146
@@ -261,6 +263,8 @@ object Dedup extends QueryModule {
     componentsCache.clear()
     evalPosCache.forEach((_, df) => { df.unpersist(); () })
     evalPosCache.clear()
+    sourceShinglesCache.forEach((_, df) => { df.unpersist(); () })
+    sourceShinglesCache.clear()
     StoreViews.clear()
   }
 
@@ -1013,7 +1017,22 @@ object Dedup extends QueryModule {
     * the corpus scan + kernel run once per query (ScaleSpec pins this for
     * both q92 and q95).
     */
+  // session-cached under graft.lsh.cache like pairStats/evalPos: q92 AND
+  // q95 each rebuild this relation otherwise (AQE reuse only spans ONE
+  // query's plan) — within the audit session the corpus scan + shingle
+  // kernel + dedup shuffle run once, both consumers read the persisted
+  // relation
+  private val sourceShinglesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def sourceShingles(t: Tables): DataFrame =
+    if (!pairCacheOn(t)) sourceShinglesDerive(t)
+    else sourceShinglesCache.computeIfAbsent(
+      s"${t.spark.sparkContext.applicationId}|${t.dir}",
+      _ => sourceShinglesDerive(t)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def sourceShinglesDerive(t: Tables): DataFrame =
     Tables.localSplit(t.documents, col("doc_id"))
       .filter(col("source").isNotNull)
       .select(

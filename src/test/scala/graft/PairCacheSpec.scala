@@ -14,7 +14,9 @@ class PairCacheSpec extends AnyFunSuite {
     "q37_lsh_pairs", "q38_ngram_jaccard", "q86_minhash_estimate",
     "q116_lsh_tuning", "q117_dedup_sweep", "q127_containment",
     "q129_edit_verify", "q62_dup_clusters", "q79_dedup_report",
-    "q147_cluster_sizes")
+    "q147_cluster_sizes",
+    // the shared (source, shingle) membership relation (q92/q95 — r14)
+    "q92_source_overlap", "q95_overlap_sketch")
 
   test("every pair-family query is identical with the session pair cache on") {
     val derived = family.map(q =>
