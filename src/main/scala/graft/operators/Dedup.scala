@@ -200,10 +200,12 @@ object Dedup extends QueryModule {
         col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
   }
 
-  /** Materialize the session pair cache (no-op when `graft.lsh.cache` is
-    * off) so its one-time build cost can be priced explicitly — Bench
-    * calls this before timing the consumers instead of letting min-of-2
-    * silently discard the build from whichever family query ran first.
+  /** Materialize the session's shared corpus relations (no-op when
+    * `graft.lsh.cache` is off) — the pair statistics, the component
+    * labels, and the (source, shingle) membership relation — so their
+    * one-time build cost can be priced explicitly: Bench calls this
+    * before timing the consumers instead of letting min-of-2 silently
+    * discard the build from whichever family query ran first.
     */
   def primePairCache(t: Tables): Long =
     if (pairCacheOn(t))
