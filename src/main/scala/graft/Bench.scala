@@ -179,17 +179,16 @@ object Bench {
           catch { case _: Throwable => () }
           false
       }
+    // JSON-escape the path: an exotic GRAFT_BENCH_OUT (quote, backslash)
+    // must not corrupt the whole bench line — that would lose the run's
+    // timings, the exact failure this field's honesty rules guard against
+    val repsPathJson = repsPath.toString.replace("\\", "\\\\").replace("\"", "\\\"")
     val repsFileField =
-      if (repsFileOk) s""","reps_file":"$repsPath"""" else ""
+      if (repsFileOk) s""","reps_file":"$repsPathJson"""" else ""
     val loadEnd = loadAvg()
     spark.stop()
     // reclaim the session stores now that no query can read them
-    try {
-      import java.nio.file.{Files, Path => JPath}
-      import java.util.Comparator
-      Files.walk(JPath.of(storesDir)).sorted(Comparator.reverseOrder[JPath]())
-        .forEach(p => Files.deleteIfExists(p))
-    } catch { case _: Throwable => () } // best-effort: never fail the bench line
+    Util.deleteRecursively(storesDir)
     // Print after stop so the JSON is the last line on stdout — the driver
     // parses it from the tail of the sbt output.
     val head =

@@ -13,9 +13,12 @@ import org.apache.spark.sql.SparkSession
   * different): exchange (shuffle) count, broadcast joins present where
   * declared, pushed filters on scans, no cartesian product except the
   * intentionally-crossing similarity baselines. `stores` mode
-  * provisions the full artifact set and audits the 13 store consumers'
-  * ACTUAL bench-session shapes (store read present, per-consumer
-  * shuffle budgets, q113/q122 corpus-scan-free).
+  * provisions the full artifact set and audits the 13 store consumers
+  * in TWO passes: uncached store-backed plans (store read present,
+  * per-consumer shuffle budgets, q113/q122 corpus-scan-free), then the
+  * bench session's actual cached-view plans (graft.lsh.cache on, views
+  * primed — structural checks only, since the cached views print their
+  * never-re-run build lineage inside InMemoryRelation).
   */
 object PlanAudit {
   private val expectBroadcast = Set(
@@ -319,7 +322,11 @@ object PlanAudit {
     // stored assignment read replaces the quantizer derivation; probe
     // machinery unchanged (centroid agg → scoring → rank/top-k windows →
     // sort)
-    "q74_ivf_multiprobe" -> 5).withDefaultValue(3)
+    // NO default: stores mode audits exactly this key set (auditSet
+    // filters on membership), so a defaulted budget could never apply —
+    // it would only mislead a reader into thinking unlisted queries are
+    // audited here
+    "q74_ivf_multiprobe" -> 5)
   private val storeCorpusFree = Set("q113_substring_windows", "q122_window_novelty")
 
   def main(args: Array[String]): Unit = {
@@ -412,15 +419,36 @@ object PlanAudit {
       val tag = { val i = issues.result(); if (i.isEmpty) "OK  " else { warns += 1; "WARN" } }
       println(f"$tag $name%-26s shuffles=$exchanges%-2d ${issues.result().mkString(", ")}")
     }
+    // stores mode, second pass: the BENCH session's actual plans (session
+    // cache on, views primed). Exchange budgets don't apply — the cached
+    // views print their build lineage inside InMemoryRelation, inflating
+    // textual counts for work that runs zero times — so this pass checks
+    // the structural invariants only: every consumer reads a store or a
+    // materialized view, no cartesians, and the two fully store-served
+    // queries still touch no corpus even through the cached views.
+    if (storesMode) {
+      spark.conf.set("graft.lsh.cache", "true")
+      val t = Tables(spark, sfDir)
+      graft.operators.Dedup.primePairCache(t)
+      graft.operators.Dedup.primeLeakEval(t)
+      graft.operators.Dedup.primeStoreViews(t)
+      auditSet.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val issues = Seq.newBuilder[String]
+        if (!plan.contains("v=") && !plan.contains("InMemoryTableScan"))
+          issues += "no-store-or-view-read"
+        if (!allowCross(name) && plan.contains("Cross")) issues += "cartesian"
+        if (storeCorpusFree(name) && plan.contains("documents.parquet"))
+          issues += "corpus-scan-in-store-path"
+        val i = issues.result()
+        val tag = if (i.isEmpty) "OK  " else { warns += 1; "WARN" }
+        println(f"$tag $name%-26s [cached] ${i.mkString(", ")}")
+      }
+      spark.conf.unset("graft.lsh.cache")
+      graft.operators.Dedup.clearPairCache()
+    }
     println(s"${if (warns == 0) "ALL OK" else s"$warns warnings"}")
     spark.stop()
-    if (storesMode) {
-      try {
-        import java.nio.file.{Files, Path => JPath}
-        import java.util.Comparator
-        Files.walk(JPath.of(storesTmp)).sorted(Comparator.reverseOrder[JPath]())
-          .forEach(p => Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
-    }
+    if (storesMode) Util.deleteRecursively(storesTmp)
   }
 }

@@ -1361,7 +1361,19 @@ object Dedup extends QueryModule {
             // side's null filter defeats AQE exchange reuse; spec pins
             // the merge-free shape)
             Some(graft.sources.FreqStore.rawCounts(t.spark, dir))
-          case _ => None
+          case graft.sources.FreqStore.WindowSrc(_) =>
+            // a WindowSrc store legitimately serves the doc-count
+            // consumers but CANNOT serve q113 (no occurrence counts, no
+            // doc attribution) — fall back to the derived path
+            None
+          case other =>
+            // a non-window family here is a misconfiguration, not a
+            // fallback case — the band-family rule: fail loudly instead
+            // of silently paying the corpus derivation the store was
+            // configured to eliminate
+            throw new IllegalArgumentException(
+              s"graft.win.store at $dir holds family '${other.name}', not a window " +
+                "family — rebuild")
         }
     }
 

@@ -338,10 +338,14 @@ object FreqStore {
     * (pre-family) chain serves reads only — appending to it would poison
     * every later total with the unknown sentinel.
     */
-  private def requireModern(spark: SparkSession, dir: String): Unit = {
+  // takes the caller's already-listed versions — a fresh listVersions
+  // here would add one directory-LIST round-trip per mutation on an
+  // object store just to re-derive what the caller fetched (the meta
+  // reads themselves are memoized, so they cost nothing)
+  private def requireModern(spark: SparkSession, dir: String, vs: Seq[Long]): Unit = {
     val f = fs(spark, dir)
     require(
-      listVersions(spark, dir).forall(v => readMeta(f, dir, v).get.nd != NdUnknown),
+      vs.forall(v => readMeta(f, dir, v).get.nd != NdUnknown),
       s"count store at $dir has legacy (pre-family) markers — read-only; " +
         "rebuild the store at a fresh path to mutate it")
   }
@@ -469,9 +473,10 @@ object FreqStore {
   def append(
       spark: SparkSession, dir: String, batch: DataFrame,
       tag: Option[String] = None): FreqStats = {
-    val cur = currentVersion(spark, dir).getOrElse(
+    val allVs = listVersions(spark, dir)
+    val cur = allVs.lastOption.getOrElse(
       throw new IllegalStateException(s"no count store at $dir — init first"))
-    requireModern(spark, dir)
+    requireModern(spark, dir, allVs)
     // Exactly-once under batch REPLAY (count-merge is NOT naturally
     // idempotent the way DedupIndex's set-union is): a caller that tags
     // each append with its batch id makes the tag the idempotence key —
@@ -510,9 +515,10 @@ object FreqStore {
     */
   def compactIfNeeded(spark: SparkSession, dir: String, maxChain: Int = 8): FreqStats = {
     require(maxChain >= 2, s"maxChain must be >= 2: $maxChain")
-    val cur = currentVersion(spark, dir).getOrElse(
+    val allVs = listVersions(spark, dir)
+    val cur = allVs.lastOption.getOrElse(
       throw new IllegalStateException(s"no count store at $dir"))
-    requireModern(spark, dir)
+    requireModern(spark, dir, allVs)
     if (readChain(spark, dir).size > maxChain) compact(spark, dir)
     else stats(spark, dir, cur)
   }
@@ -547,9 +553,10 @@ object FreqStore {
     * sum or nothing publishes. Earlier versions stay readable history.
     */
   def compact(spark: SparkSession, dir: String): FreqStats = {
-    val cur = currentVersion(spark, dir).getOrElse(
+    val allVs = listVersions(spark, dir)
+    val cur = allVs.lastOption.getOrElse(
       throw new IllegalStateException(s"no count store at $dir"))
-    requireModern(spark, dir)
+    requireModern(spark, dir, allVs)
     if (readChain(spark, dir).size <= 1) return stats(spark, dir, cur)
     val fam = storeFamily(spark, dir)
     val before = stats(spark, dir, cur)

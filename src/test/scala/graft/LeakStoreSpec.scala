@@ -189,7 +189,12 @@ class LeakStoreSpec extends AnyFunSuite {
     // maintenance composes with a projection bootstrap — the production
     // shape; runs LAST because the extra counts intentionally change the
     // view the store≡derived comparison above pinned)
-    val batch = graft.operators.Dedup.leakTrainSlice(docs).limit(40)
+    // pinned by id, not limit(): an unordered limit can pick DIFFERENT
+    // rows on its two executions (one per append) once the slice spans
+    // several partitions — the stores would diverge flakily
+    val batchIds = graft.operators.Dedup.leakTrainSlice(docs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.take(40)
+    val batch = docs.filter(col("doc_id").isin(batchIds: _*))
     FreqStore.append(spark, projDir, batch)
     FreqStore.append(spark, fromDocsDir, batch)
     assert(view(projDir) == view(fromDocsDir),
