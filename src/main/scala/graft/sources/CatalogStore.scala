@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   *   2. if the batch changes nothing, short-circuit: no new version,
   *   3. else write snapshot + `_COMMITTED` marker into a PRIVATE staging
   *      dir (unique per attempt — concurrent writers never share a path),
-  *   4. publish by renaming staging → `v=N` WITHOUT overwrite: the rename
-  *      is the atomic claim of version N (HDFS renames are atomic in the
-  *      NameNode; posix rename onto a non-empty dir fails), so of two
+  *   4. publish by atomically claiming `v=N` — a no-overwrite rename of
+  *      staging onto it where rename is atomic (HDFS, POSIX), a
+  *      conditional put of the claim file on object stores (the
+  *      [[CasProtocol]] committer seam picks per scheme) — so of two
   *      writers that both merged against v=N−1, exactly one wins and the
   *      loser throws — a concurrent batch can be REJECTED but never LOST.
   *      The reference gets this serialization from its step-function
@@ -142,12 +143,15 @@ object CatalogStore {
   /** In-JVM claim serialization: the Spark driver is the commit
     * coordinator (as in Delta's local log protocol), so two writer threads
     * in one driver serialize here and the existence check below is
-    * race-free. Cross-process safety rests on the no-overwrite rename
-    * being atomic in the filesystem (HDFS: atomic in the NameNode; object
-    * stores need their own conditional-put committer). RawLocalFileSystem
-    * alone would NOT suffice cross-thread — its rename can fall back to a
-    * copy INTO an existing destination dir, letting two racers both
-    * "succeed" — which is exactly what this lock forecloses.
+    * race-free. Cross-process safety is the [[VersionCommitter]] seam's
+    * CONTRACT, selected per filesystem scheme: atomic no-overwrite rename
+    * where the filesystem has one (HDFS: atomic in the NameNode), a
+    * conditional-put claim on object stores whose copy-emulated rename
+    * would let two racers both "succeed" (CasProtocolSpec proves both
+    * directions against a non-atomic FS shim). RawLocalFileSystem alone
+    * would NOT suffice cross-thread — its rename can fall back to a copy
+    * INTO an existing destination dir — which is exactly what this lock
+    * forecloses.
     */
   private val commitLock = new Object
 
