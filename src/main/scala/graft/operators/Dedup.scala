@@ -233,9 +233,20 @@ object Dedup extends QueryModule {
     if (!pairCacheOn(t)) 0L
     else {
       val k = windowK(t)
-      Seq("graft.freq.store", "graft.bigram.store")
-        .flatMap(c => Option(t.spark.conf.get(c, "")).filter(_.nonEmpty))
-        .map(dir => StoreViews.counts(t.spark, dir).count())
+      // family-validate BEFORE building each view (the consumers'
+      // require), so a misconfigured store fails here at prep — not
+      // after its wrong-family view was already persisted and priced
+      Seq(
+        "graft.freq.store" -> graft.sources.FreqStore.Unigram,
+        "graft.bigram.store" -> graft.sources.FreqStore.Bigram)
+        .flatMap { case (c, want) =>
+          Option(t.spark.conf.get(c, "")).filter(_.nonEmpty).map { dir =>
+            val fam = graft.sources.FreqStore.storeFamily(t.spark, dir)
+            require(fam == want,
+              s"$c at $dir holds family '${fam.name}', not ${want.name} — wrong store")
+            StoreViews.counts(t.spark, dir).count()
+          }
+        }
         .sum +
         Seq("graft.win.store", "graft.leak.store")
           .flatMap(c => storedWinStats(t, c, k))
@@ -1330,7 +1341,7 @@ object Dedup extends QueryModule {
             // distinct-doc count per (wh, source) is count(*), no
             // countDistinct shuffle; the rollup itself is session-cached
             // (several consumers, several branches)
-            Some(StoreViews.cached(t.spark, s"winsrcview|$dir")(
+            Some(StoreViews.cachedForStore(t.spark, dir, "winsrcview")(
               graft.sources.FreqStore.counts(t.spark, dir)
                 .groupBy(col("wh"), col("source"))
                 .agg(count(lit(1)).as("n"))))

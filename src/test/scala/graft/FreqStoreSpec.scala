@@ -248,4 +248,29 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/v=1/freq")),
       "corrupt-marker handling deleted committed data")
   }
+
+  test("StoreViews serves a cross-JVM append WITHOUT clearPairCache (version-observed keys)") {
+    val dir = tmp()
+    val ids = docsAll.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (b0, b1) = ids.splitAt(ids.length / 2)
+    def slice(s: Array[Long]) = docsAll.filter(col("doc_id").isin(s: _*))
+    FreqStore.init(spark, dir, slice(b0))
+    spark.conf.set("graft.lsh.cache", "true")
+    try {
+      def counts(): Map[String, Long] =
+        graft.operators.StoreViews.counts(spark, dir).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts() == scalarFreq(slice(b0).collect().map(_.getString(1)).toSeq),
+        "v=1 view wrong before the append")
+      // the "second store handle": an append straight through the store
+      // API with NO session-cache invalidation — models another JVM
+      // mutating the same directory while this session holds a cached view
+      FreqStore.append(spark, dir, slice(b1))
+      assert(counts() == scalarFreq(docsAll.collect().map(_.getString(1)).toSeq),
+        "cached view served the pre-append version — the key must observe the marker listing")
+    } finally {
+      spark.conf.unset("graft.lsh.cache")
+      graft.operators.Dedup.clearPairCache()
+    }
+  }
 }
