@@ -151,7 +151,25 @@ object Bench {
         val cs = reps.map(r => math.rint(r(i)._2 * 100).toLong).mkString(",")
         "\"" + name.takeWhile(_ != '_') + "\":[" + cs + "]"
       }
-      s""""reps_detail":{${entries.mkString(",")}}"""
+      s""""slow_reps":{${entries.mkString(",")}}"""
+    }
+    // The 150-query line has no room for rep ARRAYS even for the top 10 —
+    // but "queries" already carries each query's MIN at exact centisecond
+    // precision (2-decimal seconds), so the other rep is one signed
+    // delta: delta = rep2_cs − rep1_cs; the min rep is rep1 when
+    // delta ≥ 0. Reconstruction: lo = queries[q]·100,
+    // hi = lo + |delta| → (rep1, rep2) = delta ≥ 0 ? (lo, hi) : (hi, lo).
+    // ~9 chars/query keeps top-10 both-reps adjudication INSIDE the
+    // parsed artifact, which r14's tmpdir-only reps_file did not.
+    def slowestDelta(kSlow: Int): String = {
+      require(nReps == 2, "slow_rep_delta_cs encodes exactly two reps")
+      val byName = results.map(_._1).zipWithIndex.toMap
+      val entries = results.sortBy(-_._2).take(kSlow).sortBy(_._1).map { case (name, _) =>
+        val i = byName(name)
+        val cs = reps.map(r => math.rint(r(i)._2 * 100).toLong)
+        "\"" + name.takeWhile(_ != '_') + "\":" + (cs(1) - cs(0))
+      }
+      s""""slow_rep_delta_cs":{${entries.mkString(",")}}"""
     }
     // Full per-rep centisecond detail goes to an explicit output file —
     // GRAFT_BENCH_OUT if set, else java.io.tmpdir, NEVER the process CWD
@@ -163,9 +181,19 @@ object Bench {
     // previous run's detail presented as this run's would misadjudicate
     // an outlier; on failure try to remove any stale copy so nothing
     // plausible-but-wrong remains
-    val repsPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("GRAFT_BENCH_OUT", sys.props("java.io.tmpdir")),
-      "bench_reps_latest.json")
+    val benchOut = sys.env.get("GRAFT_BENCH_OUT")
+    val repsDir = java.nio.file.Paths.get(benchOut.getOrElse(sys.props("java.io.tmpdir")))
+    // an EXPLICITLY configured output dir is a user intent: create it if
+    // missing, and never fail silently — a dropped detail file with no
+    // diagnostic looked like a run that wrote nothing
+    if (benchOut.isDefined) {
+      try { java.nio.file.Files.createDirectories(repsDir); () }
+      catch {
+        case e: Exception =>
+          System.err.println(s"[bench] cannot create GRAFT_BENCH_OUT=$repsDir: $e")
+      }
+    }
+    val repsPath = repsDir.resolve("bench_reps_latest.json")
     val repsFileOk =
       try {
         val detail =
@@ -174,7 +202,9 @@ object Bench {
         java.nio.file.Files.write(repsPath, detail.getBytes("UTF-8"))
         true
       } catch {
-        case _: Throwable =>
+        case e: Throwable =>
+          if (benchOut.isDefined)
+            System.err.println(s"[bench] per-rep detail write to $repsPath failed: $e")
           try java.nio.file.Files.deleteIfExists(repsPath)
           catch { case _: Throwable => () }
           false
@@ -191,38 +221,42 @@ object Bench {
     Util.deleteRecursively(storesDir)
     // Print after stop so the JSON is the last line on stdout — the driver
     // parses it from the tail of the sbt output.
+    // sf as basename and the two load averages as one [start, end] array:
+    // ~30 chars that per-rep outlier detail spends better (the full sf
+    // path is the driver's own top-level "sf" field anyway)
+    val sfShort = new java.io.File(sfDir).getName
+    val common =
+      s""""sf":"$sfShort","reps":$nReps,"agg":"min","load":[$loadStart,$loadEnd],""" +
+        s""""cpus":$cpus,"prep_lsh_cache_s":$prepLshS,"prep_stores_s":$prepStoresS"""
     val head =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""reps":$nReps,"agg":"min","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus,""" +
-        s""""prep_lsh_cache_s":$prepLshS,"prep_stores_s":$prepStoresS""" + repsFileField
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        common + repsFileField
     // the driver keeps only the last 2000 chars of output: an over-budget
     // line would truncate MID-JSON and parse as nothing, so degrade in
-    // steps — full per-rep arrays, then slowest-12 detail, then none,
-    // then (as the query count keeps growing round over round) the same
-    // no-detail line with per-query values at 2 decimals instead of 3
+    // steps — full per-rep arrays, slowest-12 arrays, then (at today's
+    // 150 queries) per-query values at 2 decimals with the slowest-10
+    // second rep delta-encoded against the query's own min, then ever
+    // smaller detail before giving any prep field up
     val qs2 = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 100) / 100
     }.mkString("{", ",", "}")
     val head2 =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs2,"sf":"$sfDir",""" +
-        s""""reps":$nReps,"agg":"min","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus,""" +
-        s""""prep_lsh_cache_s":$prepLshS,"prep_stores_s":$prepStoresS""" + repsFileField
-    // degrade keeps the PREP fields as long as possible (they price the
-    // session-artifact builds — dropping them silently would misread as
-    // free prep); the reps_file pointer goes first (the file name is in
-    // SURVEY), the preps only at the absolute last resort. The driver
-    // line must NEVER exceed its 2000-char stdout tail window.
-    val head2preps =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs2,"sf":"$sfDir",""" +
-        s""""reps":$nReps,"agg":"min","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus,""" +
-        s""""prep_lsh_cache_s":$prepLshS,"prep_stores_s":$prepStoresS"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs2,""" + common
     val head2min =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs2,"sf":"$sfDir",""" +
-        s""""reps":$nReps,"agg":"min","load_start":$loadStart,"load_end":$loadEnd,"cpus":$cpus"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs2,""" +
+        s""""sf":"$sfShort","reps":$nReps,"agg":"min","load":[$loadStart,$loadEnd],"cpus":$cpus"""
     val candidates =
       Seq(s"$head,$repArrays}", s"$head,${slowestDetail(12)}}",
-        s"$head}", s"$head2}", s"$head2preps}", s"$head2min}")
-    println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
+        s"$head}",
+        s"$head2$repsFileField,${slowestDelta(10)}}",
+        s"$head2,${slowestDelta(10)}}",
+        s"$head2,${slowestDelta(8)}}",
+        s"$head2,${slowestDelta(6)}}",
+        s"$head2}", s"$head2min}")
+    // 1980 against the 2000-char window: r12-r14 artifacts show only a
+    // trailing newline after the line, and every step down the ladder
+    // still parses
+    println(candidates.find(_.length <= 1980).getOrElse(candidates.last))
     Console.out.flush()
   }
 }
