@@ -161,7 +161,14 @@ object Similarity extends QueryModule {
     * the `duckEv` oracle fragment below).
     */
   private[graft] def quantizedEv(t: Tables): DataFrame =
-    Tables.localSplit(t.embeddings, col("vec_id"))
+    quantizedEvFrom(Tables.localSplit(t.embeddings, col("vec_id")))
+
+  /** [[quantizedEv]] over an explicit (vec_id, label, embedding) source —
+    * the seam that lets a store-backed assignment swap in BEFORE the
+    * per-dim explode (see [[ivfSearch]]).
+    */
+  private def quantizedEvFrom(src: DataFrame): DataFrame =
+    src
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(
         col("vec_id"),
@@ -305,11 +312,16 @@ object Similarity extends QueryModule {
     // graft.ann.*; the oracle renders at the default of 2
     val nprobe = t.spark.conf.get("graft.ivf.nprobe", "2").toInt
     require(nprobe >= 1, s"graft.ivf.nprobe out of range: $nprobe")
+    // the stored (vec_id, label) swaps in BEFORE the per-dim explode —
+    // the join probes one row per VECTOR, not per (vector, dim): at dim
+    // coordinates per embedding that is a dim× smaller join, and it is
+    // the store-backed session's only extra work over inline labels
+    // (IvfIndex.assign is already a merge-free raw chain union)
     def relabeled(df: DataFrame): DataFrame = relabel match {
       case Some(a) => df.drop("label").join(a.select(col("vec_id"), col("label")), Seq("vec_id"))
       case None    => df
     }
-    val ev = relabeled(quantizedEv(t))
+    val ev = quantizedEvFrom(relabeled(Tables.localSplit(t.embeddings, col("vec_id"))))
     val cent = centroidsOf(ev)
     val qv = ev.filter(col("vec_id") < 10)
     val diff = col("q") * col("cnt") - col("sq")
