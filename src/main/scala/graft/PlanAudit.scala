@@ -339,6 +339,11 @@ object PlanAudit {
     // scan filter, unpartitioned window) still hard-warn.
     val scaleMode = args.drop(1).contains("scale")
     val storesMode = args.drop(1).contains("stores")
+    // the combination would SILENTLY compose into a stores run whose
+    // budget/broadcast checks are all gated off by scaleMode — a run that
+    // looks like an audit while checking almost nothing; pick one
+    require(!(scaleMode && storesMode),
+      "scale and stores are separate audit modes — run each on its own")
     // provisioned under tmp and reclaimed after spark.stop() — same
     // no-leaked-store-set hygiene as Bench (r13 advice)
     lazy val storesTmp =
