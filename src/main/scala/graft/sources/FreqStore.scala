@@ -350,6 +350,25 @@ object FreqStore {
         "rebuild the store at a fresh path to mutate it")
   }
 
+  // the tag lands verbatim in the marker JSON: restrict it to a
+  // quote/backslash-free charset or the committed marker would be
+  // unparseable — the version would vanish from listVersions and
+  // repair() would reap committed data as debris
+  private def requireValidTag(tg: String): Unit =
+    require(tg.nonEmpty && tg.length <= 128 && tg.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || "._:-".contains(c)),
+      s"append tag must be 1..128 chars of [A-Za-z0-9._:-]: '$tg'")
+
+  /** Whether any committed version carries `tg` — the batch-replay
+    * idempotence probe shared by [[append]] and
+    * [[appendWinSrcProjection]] (a marker scan; metas are memoized).
+    */
+  private def tagApplied(spark: SparkSession, dir: String, tg: String): Boolean = {
+    val f = fs(spark, dir)
+    listVersions(spark, dir).exists(v => readMeta(f, dir, v).get.tag.contains(tg))
+  }
+
   private def stage(
       spark: SparkSession, dir: String, v: Long, kind: String, fam: Family,
       freq: DataFrame, nd: Long, tag: Option[String] = None): Path = {
@@ -465,6 +484,70 @@ object FreqStore {
     } finally rel.unpersist()
   }
 
+  /** Incremental projection maintenance — [[initWinSrcProjection]]'s
+    * per-batch analog: append to a [[WindowSrc]] projection store the
+    * rollup of its SOURCE [[WindowDoc]] store's version tagged `tag`
+    * (the batch an ingest pipeline just appended there), doc-filtered
+    * the same way the projection was built. The batch's window explode
+    * already happened once, in the source append — this reads the
+    * committed delta back (batch-token-scale rows, no corpus touch) and
+    * pays one batch-scale rollup, so maintaining windoc + its train
+    * projection costs ONE explode per batch, not two.
+    *
+    * Idempotence: if THIS store already carries `tag`, no-op (the
+    * replay contract [[append]] documents). If the SOURCE has no
+    * version with `tag`, the source append was itself a no-op (a
+    * window-less batch — the filtered slice is a subset, so there is
+    * nothing to project) and nothing publishes; keep the source's
+    * history at least as deep as the replay horizon ([[gc]]'s
+    * documented contract) or a too-eager GC could silently turn a
+    * replayed projection into that no-op.
+    */
+  def appendWinSrcProjection(
+      spark: SparkSession, dir: String, windocDir: String, tag: String,
+      docFilter: DataFrame => DataFrame = identity): FreqStats = {
+    requireValidTag(tag)
+    val allVs = listVersions(spark, dir)
+    val cur = allVs.lastOption.getOrElse(
+      throw new IllegalStateException(s"no count store at $dir — init first"))
+    requireModern(spark, dir, allVs)
+    val k = storeFamily(spark, dir) match {
+      case WindowSrc(wk) => wk
+      case other => throw new IllegalArgumentException(
+        s"projection target at $dir holds family '${other.name}', not winsrc")
+    }
+    storeFamily(spark, windocDir) match {
+      case WindowDoc(wk) => require(wk == k,
+        s"projection source at $windocDir was built at windowK=$wk, target pins $k — rebuild")
+      case other => throw new IllegalArgumentException(
+        s"projection source at $windocDir holds family '${other.name}', not windoc")
+    }
+    if (tagApplied(spark, dir, tag)) return stats(spark, dir, cur)
+    val fSrc = fs(spark, windocDir)
+    listVersions(spark, windocDir)
+      .find(v => readMeta(fSrc, windocDir, v).get.tag.contains(tag)) match {
+      case None => stats(spark, dir, cur)
+      case Some(srcV) =>
+        val delta = docFilter(spark.read.parquet(s"${versionPath(windocDir, srcV)}/freq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nd = delta.agg(countDistinct(col("doc_id"))).head().getLong(0)
+          // doc_id is a key of the finer relation, so the per-(wh,
+          // source) distinct-doc count is the group SIZE — same rollup
+          // as the init-time projection
+          val proj = delta.groupBy(col("wh"), col("source")).agg(count(lit(1)).as("n"))
+          val staging = stage(spark, dir, cur + 1, "delta", WindowSrc(k), proj, nd, Some(tag))
+          if (stagedMeta(spark, dir, staging).nt == 0L) {
+            fs(spark, dir).delete(staging, true)
+            stats(spark, dir, cur)
+          } else {
+            commit(spark, dir, staging, cur + 1)
+            stats(spark, dir, cur + 1)
+          }
+        } finally delta.unpersist()
+    }
+  }
+
   /** Incremental maintenance: commit the arriving batch's own count
     * table as a delta. Counts merge additively on read, so no probe of
     * the base happens at all — cost is purely ∝ |batch|. A batch with no
@@ -483,17 +566,8 @@ object FreqStore {
     // an already-committed tag means this exact batch's counts are
     // already in the chain, so the replay is a no-op.
     tag.foreach { tg =>
-      // the tag lands verbatim in the marker JSON: restrict it to a
-      // quote/backslash-free charset or the committed marker would be
-      // unparseable — the version would vanish from listVersions and
-      // repair() would reap committed data as debris
-      require(tg.nonEmpty && tg.length <= 128 && tg.forall(c =>
-        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-          (c >= '0' && c <= '9') || "._:-".contains(c)),
-        s"append tag must be 1..128 chars of [A-Za-z0-9._:-]: '$tg'")
-      val f = fs(spark, dir)
-      if (listVersions(spark, dir).exists(v => readMeta(f, dir, v).get.tag.contains(tg)))
-        return stats(spark, dir, cur)
+      requireValidTag(tg)
+      if (tagApplied(spark, dir, tg)) return stats(spark, dir, cur)
     }
     val fam = storeFamily(spark, dir)
     val (staging, _) = stageOnePass(spark, dir, cur + 1, "delta", fam, batch, tag)

@@ -89,10 +89,22 @@ object ImportPipeline {
     * here: append tags live in version markers, and the explicit `gc` op
     * documents its replay-horizon contract.
     */
+  /** A frozen-train [[graft.sources.FreqStore.WindowSrc]] store that is a
+    * PROJECTION of a maintained WindowDoc store (built by
+    * `initWinSrcProjection`): per accepted batch, MAINTAIN appends the
+    * train-slice rollup of the windoc store's OWN just-committed delta
+    * (`appendWinSrcProjection`) — the batch's window explode happens
+    * once, in the windoc append, instead of once per store. `windocDir`
+    * must itself be in `freqStoreDirs`, or the source delta this
+    * projection reads would never exist.
+    */
+  final case class TrainProjection(dir: String, windocDir: String)
+
   final case class MaintainedIndexes(
       dedupIndexDir: Option[String] = None,
       freqStoreDirs: Seq[String] = Nil,
       trainFreqStoreDirs: Seq[String] = Nil,
+      trainProjections: Seq[TrainProjection] = Nil,
       maxChain: Int = 8) {
     // a dir in BOTH lists would get the full batch under the batch tag
     // first, turning the train-slice append into a tag no-op — the
@@ -100,8 +112,17 @@ object ImportPipeline {
     require(freqStoreDirs.toSet.intersect(trainFreqStoreDirs.toSet).isEmpty,
       "freqStoreDirs and trainFreqStoreDirs must be disjoint: " +
         freqStoreDirs.toSet.intersect(trainFreqStoreDirs.toSet).mkString(","))
+    // same tag-no-op hazard for a projection target that also receives
+    // direct appends
+    require(trainProjections.map(_.dir).toSet
+        .intersect((freqStoreDirs ++ trainFreqStoreDirs).toSet).isEmpty,
+      "a projection target dir must not also receive direct appends")
+    require(trainProjections.forall(p => freqStoreDirs.contains(p.windocDir)),
+      "each TrainProjection.windocDir must be a maintained freqStoreDirs entry — " +
+        "otherwise the projection has no per-batch source delta to read")
     def isEmpty: Boolean =
-      dedupIndexDir.isEmpty && freqStoreDirs.isEmpty && trainFreqStoreDirs.isEmpty
+      dedupIndexDir.isEmpty && freqStoreDirs.isEmpty && trainFreqStoreDirs.isEmpty &&
+        trainProjections.isEmpty
   }
 
   /** The importer's link rewrite (`import_metadata_file/task.py:46-53`) as
@@ -292,6 +313,16 @@ object ImportPipeline {
               graft.sources.FreqStore.append(
                 spark, d, graft.operators.Dedup.leakTrainSlice(corpus), tag = Some(tag))
               graft.sources.FreqStore.compactIfNeeded(spark, d, maintain.maxChain)
+            }
+          }
+          // projected frozen-train stores ride the windoc append that
+          // already happened above: one explode per batch, the train
+          // slice comes from the committed delta, not the corpus
+          maintain.trainProjections.foreach { p =>
+            withSelfRepair(graft.sources.FreqStore.repair(spark, p.dir)) {
+              graft.sources.FreqStore.appendWinSrcProjection(
+                spark, p.dir, p.windocDir, tag, graft.operators.Dedup.leakTrainSlice)
+              graft.sources.FreqStore.compactIfNeeded(spark, p.dir, maintain.maxChain)
             }
           }
           // a session that both ingests AND audits (graft.lsh.cache on)

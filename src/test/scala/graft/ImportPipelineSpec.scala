@@ -241,6 +241,98 @@ class ImportPipelineSpec extends AnyFunSuite {
       assert(view(freqDir).getOrElse(t, 0L) >= n, s"token $t lost counts") }
   }
 
+  test("projected frozen-train store stays current through ingest and a replay (windoc → winsrc)") {
+    import spark.implicits._
+    import graft.sources.FreqStore
+    val root = java.nio.file.Files.createTempDirectory("graft_import_proj").toString
+    CatalogStore.init(spark, s"$root/catalog",
+      Seq(("ds-a", "Alpha v1", 1L)).toDF("dataset_key", "title", "revision"))
+    val (windocDir, projDir) = (s"$root/windoc", s"$root/leak_proj")
+    // seed ids 101/102 hash to TRAIN buckets (72, 23); ≥10 tokens each so
+    // the K=8 window family has rows
+    val seed = Seq(
+      (101L, "seed", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (102L, "seed", "iota kappa lambda mu nu xi omicron pi rho sigma"))
+      .toDF("doc_id", "source", "text")
+    FreqStore.init(spark, windocDir, seed, FreqStore.WindowDoc(8))
+    FreqStore.initWinSrcProjection(
+      spark, projDir, windocDir, graft.operators.Dedup.leakTrainSlice)
+    val maintain = ImportPipeline.MaintainedIndexes(
+      freqStoreDirs = Seq(windocDir),
+      trainProjections = Seq(ImportPipeline.TrainProjection(projDir, windocDir)))
+    def run(): Unit = {
+      val q = ImportPipeline.start(
+        spark,
+        sourceDir = s"$root/in", catalogDir = s"$root/catalog",
+        acceptedDir = s"$root/accepted", quarantineDir = s"$root/quarantine",
+        checkpointDir = s"$root/ckpt", rules = Some(rules), maintain = maintain)
+      q.processAllAvailable(); q.stop()
+    }
+    // valid docs whose j carries ≥8 whitespace tokens (the corpus text IS
+    // the raw doc payload)
+    def wideDoc(docId: Long, key: String, title: String, words: String) = {
+      val j = s"""{"id":"item-$docId","stac_version":"1.0.0","description":"$words"}"""
+      (docId, key, title, 1L, j)
+    }
+    // winsrc content as a comparable map
+    def winsrcMap(d: String): Map[(String, String), Long] =
+      FreqStore.counts(spark, d).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // one-shot rebuild oracle: a WindowSrc store over the train slice of
+    // seed + everything the lake accepted so far
+    def rebuilt(tag: String): Map[(String, String), Long] = {
+      val scratch = s"$root/rebuild_$tag"
+      val corpus = seed.unionByName(spark.read.parquet(s"$root/accepted")
+        .select(col("doc_id"), col("dataset_key").as("source"), col("j").as("text")))
+      FreqStore.init(
+        spark, scratch, graft.operators.Dedup.leakTrainSlice(corpus), FreqStore.WindowSrc(8))
+      winsrcMap(scratch)
+    }
+    // batch 0: ids 1/2 are TRAIN buckets (60, 5), id 100 is EVAL (97)
+    writeBatch(s"$root/in", Seq(
+      wideDoc(1L, "ds-a", "Alpha v2", "one two three four five six seven eight nine ten"),
+      wideDoc(2L, "ds-c", "Gamma v1", "ten nine eight seven six five four three two one"),
+      wideDoc(100L, "ds-e", "Eps v1", "red orange yellow green blue indigo violet gray pink teal")))
+    run()
+    assert(FreqStore.currentVersion(spark, windocDir).contains(2L),
+      "windoc source should advance exactly once for batch 0")
+    assert(FreqStore.currentVersion(spark, projDir).contains(2L),
+      "projection should advance exactly once for batch 0")
+    assert(FreqStore.totalDocs(spark, projDir) == 4L,
+      s"projection holds ${FreqStore.totalDocs(spark, projDir)} docs — eval doc 100 leaked in?")
+    assert(winsrcMap(projDir) == rebuilt("b0"),
+      "incrementally projected store diverges from a one-shot train-slice rebuild")
+    // crash AFTER side-effects, BEFORE the streaming commit → replay must
+    // be a tag no-op on source AND projection
+    val committed = new java.io.File(s"$root/ckpt/commits/0")
+    assert(committed.exists && committed.delete())
+    new java.io.File(s"$root/ckpt/commits/.0.crc").delete()
+    writeBatch(s"$root/in", Seq(
+      wideDoc(4L, "ds-b", "Beta v1", "uno dos tres cuatro cinco seis siete ocho nueve diez")))
+    run()
+    assert(FreqStore.currentVersion(spark, windocDir).contains(3L),
+      s"windoc chain after replay: ${FreqStore.listVersions(spark, windocDir)}")
+    assert(FreqStore.currentVersion(spark, projDir).contains(3L),
+      s"projection chain after replay: ${FreqStore.listVersions(spark, projDir)}")
+    // id 4 is a TRAIN bucket (57): 5 docs now, replay did not double batch 0
+    assert(FreqStore.totalDocs(spark, projDir) == 5L,
+      s"projection after replay holds ${FreqStore.totalDocs(spark, projDir)} docs")
+    assert(winsrcMap(projDir) == rebuilt("b1"),
+      "projection after replay diverges from a one-shot train-slice rebuild — double-counted?")
+  }
+
+  test("a projection target missing its windoc source in freqStoreDirs is refused at construction") {
+    intercept[IllegalArgumentException] {
+      ImportPipeline.MaintainedIndexes(
+        trainProjections = Seq(ImportPipeline.TrainProjection("/tmp/p", "/tmp/windoc")))
+    }
+    intercept[IllegalArgumentException] {
+      ImportPipeline.MaintainedIndexes(
+        freqStoreDirs = Seq("/tmp/windoc", "/tmp/p"),
+        trainProjections = Seq(ImportPipeline.TrainProjection("/tmp/p", "/tmp/windoc")))
+    }
+  }
+
   test("mid-publish crash debris self-repairs: the pipeline is its own single writer") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_import_repair").toString
