@@ -259,8 +259,18 @@ object Dedup extends QueryModule {
     * WindowSrc artifact is built over (Bench builds one; LeakStoreSpec
     * pins the equivalent conv() rendering).
     */
+  /** q103's deterministic md5 doc_id bucket (0–99) and its train/val/test
+    * label — shared by q103's rollup, [[leakTrainSlice]], and
+    * [[graft.Curate]]'s split stage (one expression, no drift).
+    */
+  private[graft] def splitBucket: Column =
+    expr(hexint32("md5(CAST(doc_id AS STRING))")) % 100
+
+  private[graft] def splitLabel: Column =
+    when(splitBucket < 90, "train").when(splitBucket < 95, "val").otherwise("test")
+
   def leakTrainSlice(docs: DataFrame): DataFrame =
-    docs.filter((expr(hexint32("md5(CAST(doc_id AS STRING))")) % 100) < 90)
+    docs.filter(splitBucket < 90)
 
   /** Drop the session pair cache: unpersist every cached relation and
     * forget it. Necessary when turning the cache OFF mid-session —
@@ -751,7 +761,9 @@ object Dedup extends QueryModule {
   private val componentsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def components(t: Tables): DataFrame =
+  // exposed to [[graft.Curate]]: the near-dup stage drops exactly the
+  // docs q62/q79 label as non-representatives of their component
+  private[graft] def components(t: Tables): DataFrame =
     if (!pairCacheOn(t)) componentsDerive(t)
     else {
       val key = s"${t.spark.sparkContext.applicationId}|${t.dir}|${bands(t)}"
@@ -936,7 +948,12 @@ object Dedup extends QueryModule {
   private val HotShingleCap = 50
   private val MinSharedShingles = 2
 
-  private def q75(t: Tables): DataFrame = {
+  /** q75's contamination pairs pre-sort — (train_doc, eval_doc, n_shared)
+    * — shared with [[graft.Curate]]'s decontamination stage, which drops
+    * every distinct `train_doc` appearing here (one expression tree, the
+    * stages cannot drift).
+    */
+  private[graft] def contaminationPairs(t: Tables): DataFrame = {
     val shingled = Tables.localSplit(t.documents, col("doc_id"))
       .select(col("doc_id"), graft.functions.GraftFunctions.shingle_set(col("text")).as("arr"))
     val evalSh = shingled
@@ -955,8 +972,10 @@ object Dedup extends QueryModule {
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= MinSharedShingles)
-      .orderBy(col("train_doc"), col("eval_doc"))
   }
+
+  private def q75(t: Tables): DataFrame =
+    contaminationPairs(t).orderBy(col("train_doc"), col("eval_doc"))
 
   /** C4-style LINE-level exact dedup (Raffel et al. 2020 dedup occurrences
     * of repeated "lines" across the whole corpus, keeping one): a line
@@ -1168,10 +1187,7 @@ object Dedup extends QueryModule {
       .select(
         col("source"),
         size(split(col("text"), " ")).cast("long").as("n_words"),
-        (expr(s"${hexint32("md5(CAST(doc_id AS STRING))")}") % 100).as("bucket"))
-      .withColumn(
-        "split",
-        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+        splitLabel.as("split"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
       .withColumn("doc_share", round(col("n_docs") / sum(col("n_docs")).over(w), 4))

@@ -604,7 +604,13 @@ object Similarity extends QueryModule {
     * and the IVF assignment is the dial. Sims round to 6 BEFORE the τ
     * cut and the rollup (q101's discipline).
     */
-  private def q137(t: Tables): DataFrame = {
+  /** q137's contamination hits pre-rollup — (label, train_id, eval_id,
+    * cos_sim ≥ τ) — shared with [[graft.Curate]]'s decontamination stage,
+    * which drops every distinct `train_id` appearing here (the paraphrase
+    * class q75's n-gram overlap cannot see; one expression tree, the
+    * stages cannot drift).
+    */
+  private[graft] def semanticContaminationHits(t: Tables): DataFrame = {
     val tau = t.spark.conf.get("graft.decon.tau", "0.25").toDouble
     require(tau > 0.0 && tau < 1.0, s"graft.decon.tau out of range: $tau")
     val e = vectors(t).select(col("label"), col("vec_id"), col("v"))
@@ -612,10 +618,15 @@ object Similarity extends QueryModule {
       .select(col("label"), col("vec_id").as("eval_id"), col("v").as("ev"))
     val train = e.filter(col("vec_id") % 97 =!= 0)
       .select(col("label"), col("vec_id").as("train_id"), col("v").as("tv"))
-    val hits = train
+    train
       .join(broadcast(eval), Seq("label"))
       .withColumn("cos_sim", round(cosine_sim(col("tv"), col("ev")), 6))
       .filter(col("cos_sim") >= tau)
+  }
+
+  private def q137(t: Tables): DataFrame = {
+    val e = vectors(t).select(col("label"), col("vec_id"), col("v"))
+    val hits = semanticContaminationHits(t)
     val flagged = hits
       .groupBy(col("label"))
       .agg(

@@ -980,7 +980,12 @@ object TextAnalysis extends QueryModule {
     * shuffle is the (source, reason) rollup. Reason-coded drop accounting
     * is what lets a 100 TB pipeline explain WHERE its yield went.
     */
-  private def q84(t: Tables): DataFrame =
+  /** The q84 gate per DOCUMENT — (doc_id, source, text, n_chars, reason),
+    * first matching rule wins. q84 is its rollup; [[graft.Curate]]'s gate
+    * stage FILTERS on it, so the executable pipeline and the audit query
+    * share one expression tree and cannot drift.
+    */
+  private[graft] def gateVerdicts(t: Tables): DataFrame =
     withRepRatio(withQualityScore(withWords(t)))
       .withColumn(
         "reason",
@@ -988,6 +993,10 @@ object TextAnalysis extends QueryModule {
           .when(col("rep_ratio") > 0.2, "repetitive")
           .when(col("score") < 0.45, "low_quality")
           .otherwise("kept"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"), col("reason"))
+
+  private def q84(t: Tables): DataFrame =
+    gateVerdicts(t)
       .groupBy(col("source"), col("reason"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"), col("reason"))
