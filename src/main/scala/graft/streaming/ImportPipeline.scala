@@ -60,7 +60,46 @@ object ImportPipeline {
   val inputSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, dataset_key STRING, title STRING, revision BIGINT, j STRING")
 
-  final case class BatchStats(batchId: Long, accepted: Long, quarantined: Long, publishedVersion: Long)
+  final case class BatchStats(
+      batchId: Long, accepted: Long, quarantined: Long, publishedVersion: Long,
+      assetsCopied: Long = 0L)
+
+  /** The reference's `import_asset_file/task.py` EXECUTE step (S3 Batch
+    * copy of each staged asset to its storage-bucket target key,
+    * re-expressed on the parquet lake): for every asset an ACCEPTED doc
+    * declares, re-verify the staged payload against its `file:checksum`
+    * multihash (q23's dispatch — the copy never trusts the earlier gate)
+    * and land (target_key, payload, checksum, size) rows in the asset
+    * lake under the batch's deterministic overwrite dir, so a crash
+    * replay rewrites the same rows at the same path — idempotent like
+    * every other side-effect here. Target keys follow q26's manifest
+    * rule: `datasets/<dataset_key>/<basename(href)>` (geostore's
+    * `<dataset>/<version>/<basename>` shape). Readers point-read with a
+    * target_key predicate pushed to the parquet scan.
+    *
+    * Map-side end to end: the manifest explode, the href equi-join
+    * against the staged payloads, the sha2 re-hash, and the write — no
+    * shuffle beyond the join, which at 100 TB is keyed on href exactly
+    * like the reference fans its batch-copy manifest out per object.
+    */
+  private def copyAssets(
+      accepted: DataFrame, payloads: DataFrame, assetLakeDir: String, tag: String): Long = {
+    val verified = declaredAssets(accepted)
+      .join(accepted.select(col("doc_id"), col("dataset_key")), Seq("doc_id"))
+      .join(payloads.select(col("href"), col("payload")), Seq("href"))
+      .filter(multihashOk(col("expected"), col("payload")))
+      .select(
+        concat(lit("datasets/"), col("dataset_key"), lit("/"),
+          regexp_replace(col("href"), ".*/", "")).as("target_key"),
+        col("href").as("source_key"),
+        col("doc_id"), col("asset_name"),
+        col("expected").as("checksum"),
+        length(col("payload")).cast("long").as("size"),
+        col("payload"))
+    verified.write.mode("overwrite").parquet(s"$assetLakeDir/batch=$tag")
+    // count what LANDED (read back), not what the plan promised
+    verified.sparkSession.read.parquet(s"$assetLakeDir/batch=$tag").count()
+  }
 
   /** Which lake indexes ingest maintains per ACCEPTED batch (step 6 of the
     * flow) — the artifacts the dedup/leakage/frequency queries probe, kept
@@ -210,10 +249,11 @@ object ImportPipeline {
       quarantineDir: String,
       rules: Seq[Lake.Rule],
       assetPayloads: Option[DataFrame] = None,
-      maintain: MaintainedIndexes = MaintainedIndexes()): BatchStats =
+      maintain: MaintainedIndexes = MaintainedIndexes(),
+      assetLakeDir: Option[String] = None): BatchStats =
     processTagged(
       spark, batch, batchId, batchId.toString, catalogDir, acceptedDir, quarantineDir,
-      rules, assetPayloads, maintain)
+      rules, assetPayloads, maintain, assetLakeDir)
 
   /** The batch kernel, keyed by an output-dir `tag` so streaming batches
     * (`batch=<id>`) and quarantine reprocess runs (`batch=reproc-<id>`)
@@ -229,7 +269,8 @@ object ImportPipeline {
       quarantineDir: String,
       rules: Seq[Lake.Rule],
       assetPayloads: Option[DataFrame],
-      maintain: MaintainedIndexes): BatchStats = {
+      maintain: MaintainedIndexes,
+      assetLakeDir: Option[String] = None): BatchStats = {
     requireUniqueRuleIds(rules)
     val imported = batch
       .withColumn("links", rewriteLinks(col("j")))
@@ -263,6 +304,12 @@ object ImportPipeline {
         // deterministic per-batch dirs + overwrite = idempotent replay
         quarantined.write.mode("overwrite").parquet(s"$quarantineDir/batch=$tag")
         accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch=$tag")
+        // the import_asset_file EXECUTE step: accepted docs' verified
+        // asset payloads land at their manifest target keys
+        val nAssets = (assetPayloads, assetLakeDir) match {
+          case (Some(p), Some(lake)) => copyAssets(accepted, p, lake, tag)
+          case _                     => 0L
+        }
         // The pipeline is the SINGLE serialized writer of the catalog it
         // publishes to and of its maintained stores (micro-batches run one
         // at a time off one checkpoint), so a blocked version claim here
@@ -331,7 +378,7 @@ object ImportPipeline {
           // session-cached merged views it just made stale
           graft.operators.StoreViews.clear()
         }
-        BatchStats(statsId, accepted.count(), quarantined.count(), stats.version)
+        BatchStats(statsId, accepted.count(), quarantined.count(), stats.version, nAssets)
       } finally {
         quarantined.unpersist()
         accepted.unpersist()
@@ -354,7 +401,8 @@ object ImportPipeline {
       rules: Option[Seq[Lake.Rule]] = None,
       assetPayloads: Option[DataFrame] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      maintain: MaintainedIndexes = MaintainedIndexes()): StreamingQuery = {
+      maintain: MaintainedIndexes = MaintainedIndexes(),
+      assetLakeDir: Option[String] = None): StreamingQuery = {
     // fail BEFORE the stream starts, not per-batch inside foreachBatch
     val resolved = requireUniqueRuleIds(rules.getOrElse(Lake.loadRules(spark)))
     spark.readStream
@@ -366,7 +414,7 @@ object ImportPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(
           spark, batch, batchId, catalogDir, acceptedDir, quarantineDir, resolved,
-          assetPayloads, maintain)
+          assetPayloads, maintain, assetLakeDir)
         ()
       }
       .start()
@@ -417,7 +465,8 @@ object ImportPipeline {
       reprocessId: Long,
       rules: Option[Seq[Lake.Rule]] = None,
       assetPayloads: Option[DataFrame] = None,
-      maintain: MaintainedIndexes = MaintainedIndexes()): BatchStats = {
+      maintain: MaintainedIndexes = MaintainedIndexes(),
+      assetLakeDir: Option[String] = None): BatchStats = {
     val resolved = requireUniqueRuleIds(rules.getOrElse(Lake.loadRules(spark)))
     val tag = s"reproc-$reprocessId"
     val qRoot = new org.apache.hadoop.fs.Path(quarantineDir)
@@ -443,7 +492,7 @@ object ImportPipeline {
       .localCheckpoint(true)
     val stats = processTagged(
       spark, input, reprocessId, tag, catalogDir, acceptedDir, quarantineDir,
-      resolved, assetPayloads, maintain)
+      resolved, assetPayloads, maintain, assetLakeDir)
     consumed.foreach(p => hfs.delete(p, true))
     stats
   }

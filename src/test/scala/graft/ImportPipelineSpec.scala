@@ -388,17 +388,21 @@ class ImportPipelineSpec extends AnyFunSuite {
       ("s3://staging/a1", good),
       ("s3://staging/a2", "tampered bytes".getBytes("UTF-8")))
       .toDF("href", "payload")
-    val q = ImportPipeline.start(
-      spark,
-      sourceDir = s"$root/in",
-      catalogDir = s"$root/catalog",
-      acceptedDir = s"$root/accepted",
-      quarantineDir = s"$root/quarantine",
-      checkpointDir = s"$root/ckpt",
-      rules = Some(rules),
-      assetPayloads = Some(payloads))
-    q.processAllAvailable()
-    q.stop()
+    def runWithAssets(): Unit = {
+      val q = ImportPipeline.start(
+        spark,
+        sourceDir = s"$root/in",
+        catalogDir = s"$root/catalog",
+        acceptedDir = s"$root/accepted",
+        quarantineDir = s"$root/quarantine",
+        checkpointDir = s"$root/ckpt",
+        rules = Some(rules),
+        assetPayloads = Some(payloads),
+        assetLakeDir = Some(s"$root/assets"))
+      q.processAllAvailable()
+      q.stop()
+    }
+    runWithAssets()
 
     val cat = catalogMap(root)
     assert(cat.keySet == Set("ds-a", "ds-b", "ds-e"), s"catalog: $cat")
@@ -408,6 +412,28 @@ class ImportPipelineSpec extends AnyFunSuite {
     assert(quar == Map(
       2L -> (Seq.empty[Int], 1L),   // checksum-only failure: no rule ids
       3L -> (Seq.empty[Int], 1L)), s"quarantine: $quar")
+    // the import_asset_file execute step: exactly the accepted doc's
+    // verified asset landed at its q26-shaped target key with its bytes
+    def lake(): Map[String, (String, Long, Seq[Byte])] =
+      spark.read.parquet(s"$root/assets")
+        .select(col("target_key"), col("checksum"), col("doc_id"), col("payload")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getString(1), r.getLong(2), r.getAs[Array[Byte]](3).toSeq))).toMap
+    val l0 = lake()
+    assert(l0.keySet == Set("datasets/ds-b/a1"), s"asset lake keys: ${l0.keySet}")
+    assert(l0("datasets/ds-b/a1") == ((s"1220${sha256hex(good)}", 1L, good.toSeq)))
+    // crash replay: the copy is a deterministic-overwrite rewrite, not a
+    // second copy
+    val committed = new java.io.File(s"$root/ckpt/commits/0")
+    assert(committed.exists && committed.delete())
+    new java.io.File(s"$root/ckpt/commits/.0.crc").delete()
+    runWithAssets()
+    assert(lake() == l0, "replay changed the asset lake")
+    // point reads push the target_key predicate to the scan
+    val plan = spark.read.parquet(s"$root/assets")
+      .filter(col("target_key") === "datasets/ds-b/a1").select(col("checksum"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("target_key"), plan)
   }
 
   test("quarantine reprocess: a doc rejected under rule set A is promoted after the rules fix, catalog advances once") {
