@@ -240,6 +240,37 @@ class CasProtocolSpec extends AnyFunSuite {
     } finally conf.unset("graft.cas.committer")
   }
 
+  test("FreqStore's count-merge LSM chain runs end-to-end under the conditional-put committer") {
+    import spark.implicits._
+    import graft.sources.FreqStore
+    conf.set("graft.cas.committer", "conditional")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cas_freq").toString
+      val docs = Seq(
+        (1L, "s", "alpha beta alpha"), (2L, "s", "beta gamma"), (3L, "s", "gamma alpha"))
+        .toDF("doc_id", "source", "text")
+      FreqStore.init(spark, dir, docs.filter($"doc_id" === 1L))
+      FreqStore.append(spark, dir, docs.filter($"doc_id" === 2L), tag = Some("b2"))
+      // replayed tag: marker-scan no-op under this committer too
+      FreqStore.append(spark, dir, docs.filter($"doc_id" === 2L), tag = Some("b2"))
+      FreqStore.append(spark, dir, docs.filter($"doc_id" === 3L))
+      def view(): Map[String, Long] = FreqStore.frequencies(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(view() == Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 2L))
+      assert(FreqStore.listVersions(spark, dir) == Seq(1L, 2L, 3L))
+      // compaction publishes through the same conditional claim and
+      // preserves the merged view
+      FreqStore.compact(spark, dir)
+      assert(view() == Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 2L))
+      assert(FreqStore.totalDocs(spark, dir) == 3L)
+      // every committed version dir carries the conditional claim file
+      val f = fsOf(dir)
+      FreqStore.listVersions(spark, dir).foreach { v =>
+        assert(f.exists(new Path(s"$dir/v=$v", "_CLAIM")), s"v=$v missing _CLAIM")
+      }
+    } finally conf.unset("graft.cas.committer")
+  }
+
   test("committer selection: rename by default on local paths, conf override wins, junk rejected") {
     val local = java.nio.file.Files.createTempDirectory("graft_cas_sel").toString
     assert(CasProtocol.committerFor(spark, local) eq RenameCommitter)
