@@ -87,19 +87,9 @@ object Curate {
 
   private val Marker = "_CURATED"
 
-  /** Single-writer self-repair, ImportPipeline's pattern: Curate owns
-    * everything under its outDir, so a blocked store slot can only be its
-    * own crash debris.
-    */
-  private def withSelfRepair[A](repair: => Seq[String])(op: => A): A =
-    try op
-    catch { case _: graft.sources.SlotBlockedException => repair; op }
-
   def run(spark: SparkSession, sfDir: String, outDir: String, runTag: String): CurateReport = {
-    require(runTag.nonEmpty && runTag.length <= 128 && runTag.forall(c =>
-      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-        (c >= '0' && c <= '9') || "._:-".contains(c)),
-      s"run tag must be 1..128 chars of [A-Za-z0-9._:-]: '$runTag'")
+    // the stores' shared tag grammar — one rule, not a third copy
+    graft.sources.FreqStore.requireValidTag(runTag)
     val f = fs(spark, outDir)
     val markerPath = new Path(outDir, Marker)
     if (f.exists(markerPath)) {
@@ -197,12 +187,14 @@ object Curate {
       .select(col("doc_id"), col("source"), col("text"))
     val dedupDir = s"$outDir/stores/dedup"
     val freqDir = s"$outDir/stores/freq"
+    // single-writer self-repair (CasProtocol.selfRepairing): Curate owns
+    // everything under its outDir, so a blocked slot is its own debris
     if (DedupIndex.currentVersion(spark, dedupDir).isEmpty)
-      withSelfRepair(DedupIndex.repair(spark, dedupDir)) {
+      graft.sources.CasProtocol.selfRepairing(DedupIndex.repair(spark, dedupDir)) {
         DedupIndex.init(spark, dedupDir, curatedCorpus, bands = 8)
       }
     if (FreqStore.currentVersion(spark, freqDir).isEmpty)
-      withSelfRepair(FreqStore.repair(spark, freqDir)) {
+      graft.sources.CasProtocol.selfRepairing(FreqStore.repair(spark, freqDir)) {
         FreqStore.init(spark, freqDir, curatedCorpus)
       }
 

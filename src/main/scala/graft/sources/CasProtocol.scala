@@ -117,6 +117,17 @@ private[graft] object CasProtocol {
       s"concurrent writer committed v=$version at $dir first — $what NOT published",
       cause)
 
+  /** Single-writer self-repair around a publish: a caller that is
+    * provably the ONLY writer of its stores (ImportPipeline's serialized
+    * foreachBatch, Curate's private outDir) may treat a blocked slot as
+    * its OWN crash debris — repair once and retry. Shared here so the
+    * idiom has one implementation; outside a single-writer context the
+    * loud-loss contract stands.
+    */
+  private[graft] def selfRepairing[A](repair: => Seq[String])(op: => A): A =
+    try op
+    catch { case _: SlotBlockedException => repair; op }
+
   /** Best-effort staging removal that never masks the in-flight
     * diagnosis: `committed()` itself can throw (an unparseable marker is
     * corruption, not leniency), and before r15 that path leaked the
@@ -240,9 +251,17 @@ private[graft] object RenameCommitter extends VersionCommitter {
   * staging debris; after the claim, before the marker → a marker-less
   * `v=N` holding `_CLAIM` + partial payload, invisible to readers and
   * blocking the slot; after the marker → committed, staging swept later.
-  * A NON-crash copy failure self-heals: the claim holder owns `v=N`
-  * outright (no other writer can have published it), so it deletes its
-  * own partial dst and staging and rethrows as retryable.
+  * A NON-crash failure after the claim self-heals: the claim holder
+  * owns `v=N` outright (no other writer can have published it), so it
+  * deletes its own partial dst and staging and rethrows as retryable.
+  *
+  * Mixed-committer writers are a MISCONFIGURATION (every writer of a
+  * store must resolve the same committer — same conf, same scheme
+  * table): a rename-writer on an object store has no claim semantics at
+  * all, and nothing can defend the store from it. This committer still
+  * limits the blast radius: a post-claim marker re-check withdraws
+  * cleanly if such a writer committed inside our claim window, so a
+  * published version is never merged over.
   */
 private[graft] object ConditionalPutCommitter extends VersionCommitter {
   def publish(
@@ -269,19 +288,45 @@ private[graft] object ConditionalPutCommitter extends VersionCommitter {
     // THE claim: whole-object conditional put of the claim file.
     // create(path, overwrite=false) must map to the store's atomic
     // existence-preconditioned put — the committer's one requirement.
+    // Only the CREATE is the race; once it succeeds the slot is OURS, so
+    // any later failure rolls our own dst back and rethrows retryable
+    // instead of blaming a phantom concurrent writer.
+    def rollbackOwned(phase: String, e: Throwable): Nothing = {
+      try f.delete(dst, true) catch { case _: Exception => () }
+      CasProtocol.dropStaging(f, staging)
+      throw new IllegalStateException(
+        s"$phase for v=$version at $dir failed after winning the claim — " +
+          "own partial destination removed, nothing published, safe to retry", e)
+    }
+    val out =
+      try f.create(new Path(dst, CasProtocol.Claim), false)
+      catch {
+        case e: java.io.IOException => // FileAlreadyExistsException included
+          try {
+            if (committed()) CasProtocol.lost(dir, version, what, e)
+            throw new SlotBlockedException(
+              s"lost the conditional put of v=$version at $dir (claim in flight or crashed) — " +
+                s"$what NOT published", e)
+          } finally CasProtocol.dropStaging(f, staging)
+      }
     try {
-      val out = f.create(new Path(dst, CasProtocol.Claim), false)
       try out.write(
         s"""{"what":"$what","attempt":"${java.util.UUID.randomUUID()}"}""".getBytes("UTF-8"))
       finally out.close()
-    } catch {
-      case e: java.io.IOException => // FileAlreadyExistsException included
-        try {
-          if (committed()) CasProtocol.lost(dir, version, what, e)
-          throw new SlotBlockedException(
-            s"lost the conditional put of v=$version at $dir (claim in flight or crashed) — " +
-              s"$what NOT published", e)
-        } finally CasProtocol.dropStaging(f, staging)
+    } catch { case e: Exception => rollbackOwned(s"claim body write of $what", e) }
+    // Mixed-committer guard: a MISCONFIGURED rename-writer racing this
+    // store could have committed v=N between our exists() precheck and
+    // the claim put (its dirs carry no claim file, so the put lands
+    // inside its committed dir). Re-check before any payload byte does
+    // damage: committed ⇒ the slot is theirs — withdraw our claim file
+    // only and lose cleanly instead of merging over a published version.
+    val theirs =
+      try committed()
+      catch { case t: Throwable => rollbackOwned(s"marker re-read after claiming $what", t) }
+    if (theirs) {
+      try f.delete(new Path(dst, CasProtocol.Claim), false) catch { case _: Exception => () }
+      CasProtocol.dropStaging(f, staging)
+      CasProtocol.lost(dir, version, what, null)
     }
     // We own the slot. Copy payload, marker strictly last.
     try {
@@ -302,17 +347,10 @@ private[graft] object ConditionalPutCommitter extends VersionCommitter {
       (payload ++ markerLast).foreach { case (src, r) =>
         FileUtil.copy(f, src, f, new Path(dst, r), false, spark.sparkContext.hadoopConfiguration)
       }
-      f.delete(staging, true)
-    } catch {
-      case e: Exception =>
-        // claim held ⇒ the partial dst is OURS alone; removing it turns a
-        // transient copy failure back into a retryable no-publish instead
-        // of a blocked slot
-        try f.delete(dst, true) catch { case _: Exception => () }
-        CasProtocol.dropStaging(f, staging)
-        throw new IllegalStateException(
-          s"copy of staged $what into v=$version at $dir failed after winning the claim — " +
-            "partial destination removed, nothing published, safe to retry", e)
-    }
+    } catch { case e: Exception => rollbackOwned(s"copy of staged $what", e) }
+    // Published (marker visible). The staging sweep is pure hygiene and
+    // must NEVER trigger the rollback above — a transient delete failure
+    // here leaves only private staging debris for repair()/GC.
+    CasProtocol.dropStaging(f, staging)
   }
 }

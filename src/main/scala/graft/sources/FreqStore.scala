@@ -354,7 +354,7 @@ object FreqStore {
   // quote/backslash-free charset or the committed marker would be
   // unparseable — the version would vanish from listVersions and
   // repair() would reap committed data as debris
-  private def requireValidTag(tg: String): Unit =
+  private[graft] def requireValidTag(tg: String): Unit =
     require(tg.nonEmpty && tg.length <= 128 && tg.forall(c =>
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || "._:-".contains(c)),
@@ -498,10 +498,11 @@ object FreqStore {
     * replay contract [[append]] documents). If the SOURCE has no
     * version with `tag`, the source append was itself a no-op (a
     * window-less batch — the filtered slice is a subset, so there is
-    * nothing to project) and nothing publishes; keep the source's
-    * history at least as deep as the replay horizon ([[gc]]'s
-    * documented contract) or a too-eager GC could silently turn a
-    * replayed projection into that no-op.
+    * nothing to project) and nothing publishes. That no-op is
+    * indistinguishable from a tagged source version a too-eager [[gc]]
+    * already dropped — which is why gc's contract forbids running it
+    * between a batch's source append and its projection append and
+    * requires `keepHistory >= 1` on a projection source.
     */
   def appendWinSrcProjection(
       spark: SparkSession, dir: String, windocDir: String, tag: String,
@@ -605,11 +606,19 @@ object FreqStore {
     *
     * Replay-idempotence caveat: append TAGS live in version markers, so
     * GC'ing a tagged version forgets that its batch was applied. Keep
-    * `keepHistory` at least as deep as the ingest replay horizon (for
-    * Structured Streaming that is ONLY the in-flight batch, whose delta
-    * is by definition still in the read chain — so the default is safe
-    * for the wired pipeline; an explicit external re-send protocol needs
-    * a deeper history).
+    * `keepHistory` at least as deep as the ingest replay horizon. For
+    * Structured Streaming appends that is ONLY the in-flight batch,
+    * whose delta is by definition still in the read chain — so the
+    * default is safe for a plain append-maintained store. It is NOT
+    * safe for a WindowDoc store that feeds `trainProjections`
+    * ([[appendWinSrcProjection]]): the in-flight batch's tagged delta
+    * can leave the read chain at the same batch's compactIfNeeded while
+    * the projection append is still pending across a crash — gc'ing it
+    * then turns the replayed projection into a silent no-op that
+    * permanently under-counts the projection store. With projections
+    * configured, run gc only between batches (like the reference runs
+    * maintenance) and keep `keepHistory >= 1`. An explicit external
+    * re-send protocol needs a deeper history still.
     */
   def gc(spark: SparkSession, dir: String, keepHistory: Int = 0): Seq[Long] = {
     require(keepHistory >= 0, s"keepHistory must be >= 0: $keepHistory")

@@ -72,7 +72,11 @@ object ImportPipeline {
     * and land (target_key, payload, checksum, size) rows in the asset
     * lake under the batch's deterministic overwrite dir, so a crash
     * replay rewrites the same rows at the same path — idempotent like
-    * every other side-effect here. Target keys follow q26's manifest
+    * every other side-effect here. A re-verification failure or a
+    * target-key collision FAILS the batch loudly BEFORE the catalog
+    * publish (the reference's import_asset_file likewise raises) — an
+    * accepted doc must never publish with its manifest pointing at an
+    * asset the lake doesn't hold. Target keys follow q26's manifest
     * rule: `datasets/<dataset_key>/<basename(href)>` (geostore's
     * `<dataset>/<version>/<basename>` shape). Readers point-read with a
     * target_key predicate pushed to the parquet scan.
@@ -82,23 +86,51 @@ object ImportPipeline {
     * shuffle beyond the join, which at 100 TB is keyed on href exactly
     * like the reference fans its batch-copy manifest out per object.
     */
-  private def copyAssets(
+  private[graft] def copyAssets(
       accepted: DataFrame, payloads: DataFrame, assetLakeDir: String, tag: String): Long = {
-    val verified = declaredAssets(accepted)
+    val checked = declaredAssets(accepted)
       .join(accepted.select(col("doc_id"), col("dataset_key")), Seq("doc_id"))
-      .join(payloads.select(col("href"), col("payload")), Seq("href"))
-      .filter(multihashOk(col("expected"), col("payload")))
-      .select(
+      .join(payloads.select(col("href"), col("payload")), Seq("href"), "left")
+      .withColumn("ok", col("payload").isNotNull && multihashOk(col("expected"), col("payload")))
+      .withColumn(
+        "target_key",
         concat(lit("datasets/"), col("dataset_key"), lit("/"),
-          regexp_replace(col("href"), ".*/", "")).as("target_key"),
-        col("href").as("source_key"),
-        col("doc_id"), col("asset_name"),
-        col("expected").as("checksum"),
-        length(col("payload")).cast("long").as("size"),
-        col("payload"))
-    verified.write.mode("overwrite").parquet(s"$assetLakeDir/batch=$tag")
-    // count what LANDED (read back), not what the plan promised
-    verified.sparkSession.read.parquet(s"$assetLakeDir/batch=$tag").count()
+          regexp_replace(col("href"), ".*/", "")))
+      .persist()
+    try {
+      // an accepted doc's assets all verified at the gate, so a failure
+      // HERE means the staging area changed under the batch — the
+      // reference fails the import (import_asset_file raises); silently
+      // skipping would publish a doc whose manifest points at nothing
+      val bad = checked.filter(!col("ok"))
+        .select(col("doc_id"), col("asset_name"), col("href")).limit(5).collect()
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"asset copy for batch $tag: staged payloads failed copy-time re-verification " +
+            s"(gate-accepted assets changed mid-batch?) — e.g. " +
+            bad.map(r => s"doc ${r.getLong(0)} asset '${r.getString(1)}' @ ${r.getString(2)}")
+              .mkString("; ") + "; nothing copied, batch fails before publish")
+      // distinct hrefs sharing a basename under one dataset would
+      // silently land two payloads at one key — refuse, like a manifest
+      // with duplicate targets
+      val dupKeys = checked.groupBy(col("target_key")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(col("target_key")).limit(5).collect()
+      if (dupKeys.nonEmpty)
+        throw new IllegalStateException(
+          s"asset copy for batch $tag: distinct asset hrefs collide on target key(s) " +
+            dupKeys.map(_.getString(0)).mkString(", ") +
+            " — disambiguate the basenames; nothing copied, batch fails before publish")
+      checked.select(
+          col("target_key"),
+          col("href").as("source_key"),
+          col("doc_id"), col("asset_name"),
+          col("expected").as("checksum"),
+          length(col("payload")).cast("long").as("size"),
+          col("payload"))
+        .write.mode("overwrite").parquet(s"$assetLakeDir/batch=$tag")
+      // count what LANDED (read back), not what the plan promised
+      checked.sparkSession.read.parquet(s"$assetLakeDir/batch=$tag").count()
+    } finally { checked.unpersist(); () }
   }
 
   /** Which lake indexes ingest maintains per ACCEPTED batch (step 6 of the
@@ -318,16 +350,11 @@ object ImportPipeline {
         // every checkpoint replay behind 'run repair()'; outside this
         // single-writer context the stores' loud-loss contract stands (a
         // foreign writer's in-flight rename must never be reaped).
+        // by TYPE, not message text (the shared CasProtocol.selfRepairing
+        // catches the dedicated SlotBlockedException class, so a message
+        // rewording can never silently disable self-repair)
         def withSelfRepair[A](repair: => Seq[String])(op: => A): A =
-          try op
-          catch {
-            // by TYPE, not message text: CasProtocol throws this exact
-            // class for a blocked slot, so a rewording of its message can
-            // never silently disable self-repair
-            case _: graft.sources.SlotBlockedException =>
-              repair
-              op
-          }
+          graft.sources.CasProtocol.selfRepairing(repair)(op)
         val stats = withSelfRepair(CatalogStore.repair(spark, catalogDir)) {
           CatalogStore.upsert(
             spark, catalogDir,

@@ -434,6 +434,33 @@ class ImportPipelineSpec extends AnyFunSuite {
       .filter(col("target_key") === "datasets/ds-b/a1").select(col("checksum"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("target_key"), plan)
+
+    // the copy FAILS LOUDLY (before any publish) if a gate-accepted
+    // asset no longer verifies at copy time — a doc must never publish
+    // with its manifest pointing at an asset the lake doesn't hold
+    val acceptedLike = Seq(docWithAssets(9L, "ds-x", 1L, "a9" -> s"1220${sha256hex(good)}"))
+      .toDF("doc_id", "dataset_key", "title", "revision", "j")
+    val e1 = intercept[IllegalStateException] {
+      ImportPipeline.copyAssets(
+        acceptedLike,
+        Seq(("s3://staging/a9", "drifted bytes".getBytes("UTF-8"))).toDF("href", "payload"),
+        s"$root/assets2", "9")
+    }
+    assert(e1.getMessage.contains("re-verification"), e1.getMessage)
+    // distinct hrefs colliding on one target key are refused, not merged
+    val collide = Seq((10L, "ds-y", "T", 1L,
+      s"""{"id":"item-10","stac_version":"1.0.0","assets":{
+         |"b1":{"href":"s3://staging/p/same","file:checksum":"1220${sha256hex(good)}"},
+         |"b2":{"href":"s3://staging/q/same","file:checksum":"1220${sha256hex(good)}"}}}"""
+        .stripMargin.replace("\n", "")))
+      .toDF("doc_id", "dataset_key", "title", "revision", "j")
+    val e2 = intercept[IllegalStateException] {
+      ImportPipeline.copyAssets(
+        collide,
+        Seq(("s3://staging/p/same", good), ("s3://staging/q/same", good)).toDF("href", "payload"),
+        s"$root/assets2", "10")
+    }
+    assert(e2.getMessage.contains("collide"), e2.getMessage)
   }
 
   test("quarantine reprocess: a doc rejected under rule set A is promoted after the rules fix, catalog advances once") {
