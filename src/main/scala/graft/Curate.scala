@@ -105,44 +105,7 @@ object Curate {
     }
 
     val t = Tables(spark, sfDir)
-    // ONE staged relation carries every per-doc stage decision — each
-    // stage's predicate comes from the audited operator's own kernel
-    val withH = TextAnalysis.gateVerdicts(t).withColumn("h", md5(col("text")))
-    val canon = withH.filter(col("reason") === "kept")
-      .groupBy(col("h")).agg(min(col("doc_id")).as("canon_id"))
-    val comp = Dedup.components(t)
-    val ngramBad = Dedup.contaminationPairs(t)
-      .select(col("train_doc").as("doc_id")).distinct()
-      .withColumn("ngram_bad", lit(true))
-    val semBad = Similarity.semanticContaminationHits(t)
-      .select(col("train_id").as("doc_id")).distinct()
-      .withColumn("sem_bad", lit(true))
-    val staged = withH
-      .join(canon, Seq("h"), "left")
-      .join(comp, Seq("doc_id"), "left")
-      .join(ngramBad, Seq("doc_id"), "left")
-      .join(semBad, Seq("doc_id"), "left")
-      .withColumn("pass_gate", col("reason") === "kept")
-      // q106's unique_kept: canonical-among-gate-survivors ≡ canonical
-      // corpus-wide on passing groups (the verdict is a pure function of
-      // text, so hash twins share it)
-      .withColumn("is_unique", col("pass_gate") && col("doc_id") === col("canon_id"))
-      // q62/q79's keep rule: the component representative (its min
-      // doc_id) survives, everything else in the component drops
-      .withColumn("near_drop",
-        col("is_unique") && col("component_id").isNotNull &&
-          col("component_id") =!= col("doc_id"))
-      .withColumn("after_near", col("is_unique") && !col("near_drop"))
-      // the 1/97 slice IS the held-out benchmark (q75/q137's eval side) —
-      // it never enters the curated training corpus
-      .withColumn("benchmark", col("doc_id") % 97 === 0)
-      .withColumn("contam_ngram",
-        col("after_near") && !col("benchmark") && coalesce(col("ngram_bad"), lit(false)))
-      .withColumn("contam_sem",
-        col("after_near") && !col("benchmark") && coalesce(col("sem_bad"), lit(false)))
-      .withColumn("curated",
-        col("after_near") && !col("benchmark") &&
-          !coalesce(col("ngram_bad"), lit(false)) && !coalesce(col("sem_bad"), lit(false)))
+    val staged = stagedDecisions(t)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val bySource = staged.groupBy(col("source")).agg(
@@ -158,25 +121,9 @@ object Curate {
         sum(when(col("contam_sem"), 1L).otherwise(0L)).as("n_contam_semantic"),
         sum(when(col("curated"), 1L).otherwise(0L)).as("n_curated"))
 
-      // split (q103's deterministic buckets) + pack (q80's running-token
-      // bins, applied per (source, split) so no training shard mixes
-      // splits) — both expressions shared with the audited queries
       val cap = t.spark.conf.get("graft.pack.tokens", "2048").toLong
       require(cap >= 1, s"graft.pack.tokens out of range: $cap")
-      val byBin = Window
-        .partitionBy(col("source"), col("split"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val packed = staged.filter(col("curated"))
-        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
-        .withColumn("split", Dedup.splitLabel)
-        .withColumn("toks",
-          greatest(graft.functions.GraftFunctions.subword_count(col("text")), lit(1L)))
-        .withColumn("cum", sum(col("toks")).over(byBin))
-        .withColumn("bin", expr(s"CAST((cum - 1) div $cap AS BIGINT)"))
-        .drop("cum")
-
-      packed.write.mode("overwrite").parquet(s"$outDir/corpus")
+      packedCorpus(staged, cap).write.mode("overwrite").parquet(s"$outDir/corpus")
       bySource.coalesce(1).write.mode("overwrite").parquet(s"$outDir/report_by_source")
     } finally staged.unpersist()
 
@@ -206,6 +153,70 @@ object Curate {
     val out = f.create(markerPath, false)
     try out.write(runTag.getBytes("UTF-8")) finally out.close()
     report
+  }
+
+  /** ONE staged relation carrying every per-doc stage decision — each
+    * stage's predicate comes from the audited operator's own kernel.
+    * Exposed so CurateSpec can gate the PLAN SHAPE (no cartesian, no
+    * corpus² join) the way PlanAudit gates the query entries.
+    */
+  private[graft] def stagedDecisions(t: Tables): DataFrame = {
+    val withH = TextAnalysis.gateVerdicts(t).withColumn("h", md5(col("text")))
+    val canon = withH.filter(col("reason") === "kept")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("canon_id"))
+    val comp = Dedup.components(t)
+    val ngramBad = Dedup.contaminationPairs(t)
+      .select(col("train_doc").as("doc_id")).distinct()
+      .withColumn("ngram_bad", lit(true))
+    val semBad = Similarity.semanticContaminationHits(t)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("sem_bad", lit(true))
+    withH
+      .join(canon, Seq("h"), "left")
+      .join(comp, Seq("doc_id"), "left")
+      .join(ngramBad, Seq("doc_id"), "left")
+      .join(semBad, Seq("doc_id"), "left")
+      .withColumn("pass_gate", col("reason") === "kept")
+      // q106's unique_kept: canonical-among-gate-survivors ≡ canonical
+      // corpus-wide on passing groups (the verdict is a pure function of
+      // text, so hash twins share it)
+      .withColumn("is_unique", col("pass_gate") && col("doc_id") === col("canon_id"))
+      // q62/q79's keep rule: the component representative (its min
+      // doc_id) survives, everything else in the component drops
+      .withColumn("near_drop",
+        col("is_unique") && col("component_id").isNotNull &&
+          col("component_id") =!= col("doc_id"))
+      .withColumn("after_near", col("is_unique") && !col("near_drop"))
+      // the 1/97 slice IS the held-out benchmark (q75/q137's eval side) —
+      // it never enters the curated training corpus
+      .withColumn("benchmark", col("doc_id") % 97 === 0)
+      .withColumn("contam_ngram",
+        col("after_near") && !col("benchmark") && coalesce(col("ngram_bad"), lit(false)))
+      .withColumn("contam_sem",
+        col("after_near") && !col("benchmark") && coalesce(col("sem_bad"), lit(false)))
+      .withColumn("curated",
+        col("after_near") && !col("benchmark") &&
+          !coalesce(col("ngram_bad"), lit(false)) && !coalesce(col("sem_bad"), lit(false)))
+  }
+
+  /** Split (q103's deterministic buckets) + pack (q80's running-token
+    * bins, applied per (source, split) so no training shard mixes
+    * splits) over the curated survivors — both expressions shared with
+    * the audited queries.
+    */
+  private[graft] def packedCorpus(staged: DataFrame, cap: Long): DataFrame = {
+    val byBin = Window
+      .partitionBy(col("source"), col("split"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    staged.filter(col("curated"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .withColumn("split", Dedup.splitLabel)
+      .withColumn("toks",
+        greatest(graft.functions.GraftFunctions.subword_count(col("text")), lit(1L)))
+      .withColumn("cum", sum(col("toks")).over(byBin))
+      .withColumn("bin", expr(s"CAST((cum - 1) div $cap AS BIGINT)"))
+      .drop("cum")
   }
 
   /** The report, rebuilt from the written artifacts — the no-op re-run

@@ -106,6 +106,22 @@ class CurateSpec extends AnyFunSuite {
     assert(DedupIndex.currentVersion(spark, s"$outDir/stores/dedup").contains(1L))
   }
 
+  test("the staged/packed plans carry no cartesian product and no unpartitioned window") {
+    val t = Tables(spark, sf)
+    val stagedPlan = Curate.stagedDecisions(t).queryExecution.executedPlan.toString
+    assert(!stagedPlan.contains("CartesianProduct"),
+      s"curation staging plan went cartesian:\n$stagedPlan")
+    val packedPlan = Curate.packedCorpus(Curate.stagedDecisions(t), 2048L)
+      .queryExecution.executedPlan.toString
+    assert(!packedPlan.contains("CartesianProduct"),
+      s"pack plan went cartesian:\n$packedPlan")
+    // the pack window partitions by (source, split) — a global window
+    // here would funnel the curated corpus through one partition
+    assert(!packedPlan.contains("Window [") ||
+      packedPlan.contains("windowspecdefinition(source"),
+      s"pack window lost its partitioning:\n$packedPlan")
+  }
+
   test("a re-run is a no-op with an identical report; a foreign tag refuses") {
     val again = Curate.run(spark, sf, outDir, "spec-run")
     assert(again.noop, "re-run must report noop")
