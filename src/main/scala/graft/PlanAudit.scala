@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * different): exchange (shuffle) count, broadcast joins present where
   * declared, pushed filters on scans, no cartesian product except the
   * intentionally-crossing similarity baselines. `stores` mode
-  * provisions the full artifact set and audits the 13 store consumers
+  * provisions the full artifact set and audits the 14 store consumers
   * in TWO passes: uncached store-backed plans (store read present,
   * per-consumer shuffle budgets, q113/q122 corpus-scan-free), then the
   * bench session's actual cached-view plans (graft.lsh.cache on, views
@@ -50,11 +50,15 @@ object PlanAudit {
   // computed split, nothing at the scan to push; scan prunes to
   // (doc_id, source, text)
   // q130's and q136's token <> '' filters are the same class (q76's
-  // token stream); q139's bigram guards are q77's class exactly
+  // token stream); q139's bigram guards are q77's class exactly.
+  // r15: q151's size(words) >= 2 guard is q77's class, q152/q155's
+  // token <> '' filters are q76's class — all above computed splits,
+  // nothing at the scan to push; scans still prune to the text columns
   private val allowUnpushed =
     Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm",
       "q90_tfidf", "q97_rare_bigrams", "q98_bm25", "q102_dsir", "q121_token_rarity",
-      "q130_cms_calibration", "q136_vocab_coverage", "q139_pmi")
+      "q130_cms_calibration", "q136_vocab_coverage", "q139_pmi",
+      "q151_lm_ppl_bins", "q152_distinct_ngrams", "q155_token_burstiness")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume.
   // q136's cumulative runs over the count-of-counts HISTOGRAM — ≤ √(2·Σ)
@@ -269,7 +273,37 @@ object PlanAudit {
     // (type, hour) count agg → type-keyed share/peak window → sort
     "q149_hourly_seasonality" -> 3,
     // label-keyed cluster agg → per-source entropy rollup → sort
-    "q150_source_diversity" -> 3).withDefaultValue(3)
+    "q150_source_diversity" -> 3,
+    // r15 wave, pinned to measured counts (the r13 no-default-rides rule):
+    // q77's LM chain (pair agg + w1 marginal window) + doc⋈LM join +
+    // per-doc agg + |lang|-row cutoff percentile agg (broadcast back) +
+    // per-(lang,bin) rollup + sort; the doc-bigram explode subtree prints
+    // once per consuming branch (pairs agg AND join probe — AQE reuses
+    // at runtime), hence 9 textual for 7 effective
+    "q151_lm_ppl_bins" -> 9,
+    // one (source, kind, token) union stream → two-level count-distinct
+    // rewrite (partial on token key, final on (source, kind)) →
+    // |sources|-row pivot rollup → sort
+    "q152_distinct_ngrams" -> 4,
+    // combo agg's distinct-user two-phase rewrite (2) → |types|-row
+    // rollup → sort; combos bounded by |types|·24·|bands|
+    "q153_k_anonymity" -> 4,
+    // cell-keyed kNN self-join (one keyed shuffle per side) + rank
+    // window + reversed-key semi-join + per-cell rollups + sort; the
+    // EDGE subtree prints once per consuming branch (semi-join probe,
+    // build, and edge-count rollup — AQE reuses at runtime), hence 9
+    // textual; every exchange is cell- or k·n-bounded, never global n²
+    "q154_knn_reciprocity" -> 9,
+    // (token, doc) tf agg (partial map-side) → vocab-bounded rollup;
+    // top-30 is TakeOrderedAndProject
+    "q155_token_burstiness" -> 2,
+    // ×3 zoom explode rides the scan → tile agg (partial map-side,
+    // ≤ Σ4^z keys) → 3-row zoom rollup → sort
+    "q156_tile_pyramid" -> 3,
+    // per-customer order rollup (the one fact-scale shuffle) → equi-join
+    // to customer on the co-partitionable key → |collection|-row extent
+    // agg → sort; nation broadcasts
+    "q157_stac_extent" -> 3).withDefaultValue(3)
 
   // `stores` mode: the STORE-BACKED plans (the bench session's actual
   // shapes — the default/scale modes audit only conf-off derived plans).
@@ -297,6 +331,13 @@ object PlanAudit {
     // chain merge agg (per consuming branch; AQE reuses) → marginal aggs
     // + joins → top-50
     "q139_pmi" -> 7,
+    // chain merge agg (prints per consuming branch; AQE reuses) → w1
+    // marginal window → doc-side (w1,w2) join → per-doc agg (prints per
+    // branch: cutoff agg AND classify probe) → |lang|-row percentile
+    // cutoffs (broadcast back) → (lang,bin) rollup → sort — 9 textual;
+    // the corpus side still explodes doc bigrams by design (perplexity
+    // is per-document)
+    "q151_lm_ppl_bins" -> 9,
     // stored train-window read (chain merge) + eval h-keyed membership agg
     // + attribution probe + split rollups + assembly join + sort
     "q120_split_leakage" -> 7,

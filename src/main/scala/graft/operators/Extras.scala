@@ -14,8 +14,10 @@ object Extras extends QueryModule {
 
   // ---- synthetic deterministic coordinates (the test tables carry no
   // geo columns; same integer-arithmetic formula on both engines) ----
-  private val lonSql = "CAST((c_custkey * 7919) % 360000 AS DOUBLE) / 1000 - 180"
-  private val latSql = "CAST((c_custkey * 104729) % 170000 AS DOUBLE) / 1000 - 85"
+  // shared with Lake.q157 (the STAC-extent computation must see the SAME
+  // synthetic point cloud the cell/bbox/tile family shards)
+  private[operators] val lonSql = "CAST((c_custkey * 7919) % 360000 AS DOUBLE) / 1000 - 180"
+  private[operators] val latSql = "CAST((c_custkey * 104729) % 170000 AS DOUBLE) / 1000 - 85"
   private def sLon = "CAST((s_suppkey * 7919) % 360000 AS DOUBLE) / 1000 - 180"
   private def sLat = "CAST((s_suppkey * 104729) % 170000 AS DOUBLE) / 1000 - 85"
 
@@ -667,7 +669,72 @@ object Extras extends QueryModule {
       .orderBy(col("len"))
   }
 
+  /** Quasi-identifier k-anonymity audit (Sweeney 2002) over the event
+    * stream — the privacy gate a training pipeline runs before user-derived
+    * data feeds a model: bucket every event by the quasi-identifier triple
+    * (event_type, hour-of-day, value band of 50) and flag combinations
+    * observed for fewer than k=5 distinct users; a row in such a
+    * combination re-identifies its user by attribute intersection alone.
+    * All counts are integers — nothing to round.
+    *
+    * Scale shape: the combo aggregate's distinct-user rewrite is two-level
+    * (partial on (combo, user) map-side — per-user event locality collapses
+    * most duplicates before the exchange); the combo table is bounded by
+    * |types|·24·|bands|, not event volume, so the per-type rollup is
+    * metadata-scale.
+    */
+  private def q153(t: Tables): DataFrame =
+    t.events
+      .select(
+        col("event_type"),
+        hour(col("ts")).cast("long").as("hod"),
+        expr("CAST(floor(value / 50) AS BIGINT)").as("band"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("hod"), col("band"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("user_id")).as("n_users"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_combos"),
+        sum(when(col("n_users") < 5, 1L).otherwise(0L)).as("risky_combos"),
+        sum(when(col("n_users") < 5, col("n_rows")).otherwise(0L)).as("rows_at_risk"),
+        min(col("n_users")).as("min_combo_users"))
+      .orderBy(col("event_type"))
+
+  /** Tile-pyramid occupancy profile — the multi-zoom sharding readout a
+    * geo lake plans its layout from (geostore's datasets are map tiles;
+    * the z/x/y scheme here is the slippy-map grid on an equirectangular
+    * projection, so every cell edge is exact decimal arithmetic — no
+    * Mercator transcendentals to desync engines). For zooms {2, 4, 6}:
+    * occupied-tile count, point total, the hottest tile, and the half-up
+    * integer mean per occupied tile — the skew table that decides whether
+    * a zoom level shards evenly. Complements q48 (single-resolution cells)
+    * and q93 (z-order addressing within a level).
+    *
+    * Scale shape: the zoom explode is a constant ×3 fan-out; the tile
+    * aggregate partial-aggregates map-side (points cluster spatially
+    * within scan partitions) onto ≤ 4^z + ... bounded keys; the per-zoom
+    * rollup is 3 rows.
+    */
+  private def q156(t: Tables): DataFrame =
+    t.customer
+      .select(expr(lonSql).as("lon"), expr(latSql).as("lat"))
+      .select(explode(expr("array(2, 4, 6)")).as("z"), col("lon"), col("lat"))
+      .withColumn("n_side", expr("shiftleft(CAST(1 AS BIGINT), z)"))
+      .withColumn("tile_x", expr("CAST(floor((lon + 180) / 360 * n_side) AS BIGINT)"))
+      .withColumn("tile_y", expr("CAST(floor((90 - lat) / 180 * n_side) AS BIGINT)"))
+      .groupBy(col("z"), col("tile_x"), col("tile_y"))
+      .agg(count(lit(1)).as("n_points"))
+      .groupBy(col("z"))
+      .agg(
+        count(lit(1)).as("n_tiles"),
+        sum(col("n_points")).as("total_points"),
+        max(col("n_points")).as("max_tile_points"),
+        expr("(2 * sum(n_points) + count(1)) DIV (2 * count(1))").as("mean_tile_points"))
+      .orderBy(col("z"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_k_anonymity" -> ((s, d) => q153(Tables(s, d))),
+    "q156_tile_pyramid" -> ((s, d) => q156(Tables(s, d))),
     "q125_activity_streaks" -> ((s, d) => q125(Tables(s, d))),
     "q128_temperature_mix" -> ((s, d) => q128(Tables(s, d))),
     "q133_user_concentration" -> ((s, d) => q133(Tables(s, d))),
@@ -890,6 +957,31 @@ object Extras extends QueryModule {
       """SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 4) AS geo_price,
         | count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q153_k_anonymity" ->
+      """WITH c AS (
+        | SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |  CAST(floor(value / 50) AS BIGINT) AS band,
+        |  count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+        | FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, count(*) AS n_combos,
+        | CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_combos,
+        | CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        | CAST(min(n_users) AS BIGINT) AS min_combo_users
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q156_tile_pyramid" ->
+      s"""WITH g AS (SELECT $lonSql AS lon, $latSql AS lat FROM customer),
+         | zs AS (SELECT lon, lat, unnest([2, 4, 6]) AS z FROM g),
+         | t AS (
+         | SELECT z,
+         |  CAST(floor((lon + 180) / 360 * (CAST(1 AS BIGINT) << z)) AS BIGINT) AS tile_x,
+         |  CAST(floor((90 - lat) / 180 * (CAST(1 AS BIGINT) << z)) AS BIGINT) AS tile_y,
+         |  count(*) AS n_points
+         | FROM zs GROUP BY 1, 2, 3)
+         |SELECT z, count(*) AS n_tiles,
+         | CAST(sum(n_points) AS BIGINT) AS total_points,
+         | CAST(max(n_points) AS BIGINT) AS max_tile_points,
+         | (2 * CAST(sum(n_points) AS BIGINT) + count(*)) // (2 * count(*)) AS mean_tile_points
+         |FROM t GROUP BY z ORDER BY z""".stripMargin,
     "q48_geo_cells" ->
       s"""WITH g AS (SELECT c_acctbal, $lonSql AS lon, $latSql AS lat FROM customer)
          |SELECT CAST(floor((lon + 180) / 5) AS BIGINT) * 100 + CAST(floor((lat + 85) / 5) AS BIGINT) AS cell_id,

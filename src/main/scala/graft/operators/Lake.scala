@@ -873,7 +873,58 @@ object Lake extends QueryModule {
       .orderBy(col("extension"))
   }
 
+  /** STAC collection extent rollup — the `extent.spatial.bbox` +
+    * `extent.temporal.interval` every STAC collection must publish
+    * (reference: the collection metadata geostore's
+    * `populate_catalog/task.py` merges into the root catalog, and
+    * `check_stac_metadata/stac_validators.py` validates via the vendored
+    * collection-spec schema's required `extent`): per collection (nation),
+    * the bounding box of its item points, the temporal interval of its
+    * assets, and item/asset counts. Items are customers holding at least
+    * one order (an itemless collection publishes no extent); coordinates
+    * are the shared synthetic point cloud (Extras.lonSql — q48/q49/q156
+    * shard the same points).
+    *
+    * Numeric discipline: min/max select among bit-identical doubles (both
+    * engines build the same coordinate expression), so rounding AFTER the
+    * extremes is stable; dates and counts are exact.
+    *
+    * Scale shape: the per-customer order rollup is the ONE fact-scale
+    * shuffle (partial-agg map-side); its join to customer is equi on the
+    * key both sides can co-partition on; the nation dim broadcasts; the
+    * extent aggregate is |collection| rows.
+    */
+  private def q157(t: Tables): DataFrame = {
+    val perCust = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        min(col("o_orderdate")).as("d_min"),
+        max(col("o_orderdate")).as("d_max"))
+    val cust = t.customer.select(
+      col("c_custkey"), col("c_nationkey"),
+      expr(Extras.lonSql).as("lon"), expr(Extras.latSql).as("lat"))
+    cust.join(perCust, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_assets")).as("n_assets"),
+        round(min(col("lon")), 3).as("lon_min"),
+        round(max(col("lon")), 3).as("lon_max"),
+        round(min(col("lat")), 3).as("lat_min"),
+        round(max(col("lat")), 3).as("lat_max"),
+        min(col("d_min")).as("dt_min"),
+        max(col("d_max")).as("dt_max"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name").as("collection"), col("n_items"), col("n_assets"),
+        col("lon_min"), col("lon_max"), col("lat_min"), col("lat_max"),
+        col("dt_min"), col("dt_max"))
+      .orderBy(col("collection"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_stac_extent" -> ((s, d) => q157(Tables(s, d))),
     "q87_schema_validate" -> ((s, d) => q87(Tables(s, d))),
     "q88_latest_schema_version" -> ((s, d) => q88(Tables(s, d))),
     "q66_stac_validation" -> ((s, d) => q66(Tables(s, d))),
@@ -900,6 +951,26 @@ object Lake extends QueryModule {
     .mkString("\n  UNION ALL ")
 
   override def oracleSql: Map[String, String] = Map(
+    "q157_stac_extent" ->
+      s"""WITH pc AS (
+         | SELECT o_custkey, count(*) AS n_assets,
+         |  min(o_orderdate) AS d_min, max(o_orderdate) AS d_max
+         | FROM orders GROUP BY o_custkey),
+         | g AS (
+         | SELECT c_nationkey, ${Extras.lonSql} AS lon, ${Extras.latSql} AS lat,
+         |  n_assets, d_min, d_max
+         | FROM customer JOIN pc ON c_custkey = o_custkey),
+         | x AS (
+         | SELECT c_nationkey, count(*) AS n_items,
+         |  CAST(sum(n_assets) AS BIGINT) AS n_assets,
+         |  round(min(lon), 3) AS lon_min, round(max(lon), 3) AS lon_max,
+         |  round(min(lat), 3) AS lat_min, round(max(lat), 3) AS lat_max,
+         |  min(d_min) AS dt_min, max(d_max) AS dt_max
+         | FROM g GROUP BY c_nationkey)
+         |SELECT n_name AS collection, n_items, n_assets,
+         | lon_min, lon_max, lat_min, lat_max, dt_min, dt_max
+         |FROM x JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY collection""".stripMargin,
     "q87_schema_validate" ->
       s"""WITH docs AS (SELECT doc_id, $stacDocJson AS j FROM documents),
          | rules AS (

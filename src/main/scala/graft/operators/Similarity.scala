@@ -842,7 +842,57 @@ object Similarity extends QueryModule {
       .orderBy(col("dim"))
   }
 
+  /** Mutual-kNN reciprocity audit — the graph-quality readout run before
+    * any kNN-graph consumer trusts its edges (SemDeDup clustering, label
+    * propagation, graph layout): per coarse cell (the IVF label, q43's
+    * partition), each vector's k=5 nearest within-cell neighbors by
+    * cosine, and the share of directed edges whose REVERSE edge also
+    * exists. Low reciprocity is the hubness signature (Radovanović et al.
+    * 2010) — a few vectors absorb everyone's edge lists and greedy kNN
+    * graphs mislead. Ratio is an e4 half-up integer division.
+    *
+    * Scale shape: pair work blocks per cell (Σ|cell|², q101's bound —
+    * never global n²); the rank window partitions by (label, src), a
+    * cell-bounded partition; the mutuality check is a semi-join of the
+    * EDGE table (k·n rows, narrow) against itself on the reversed key;
+    * the rollup is |label| rows.
+    */
+  private def q154(t: Tables): DataFrame = {
+    val e = vectors(t).select(col("label"), col("vec_id"), col("v"))
+    val byQuery = Window.partitionBy(col("label"), col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    val edges = e
+      .select(col("label"), col("vec_id").as("src"), col("v").as("vs"))
+      .join(
+        e.select(col("label").as("lb"), col("vec_id").as("dst"), col("v").as("vd")),
+        col("label") === col("lb") && col("src") =!= col("dst"))
+      .withColumn("cos_sim", round(cosine_sim(col("vs"), col("vd")), 6))
+      .withColumn("rk", row_number().over(byQuery))
+      .filter(col("rk") <= 5)
+      .select(col("label"), col("src"), col("dst"))
+    val mutual = edges.as("a")
+      .join(
+        edges.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
+        "left_semi")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_mutual"))
+    val edgeStats = edges.groupBy(col("label")).agg(count(lit(1)).as("n_edges"))
+    e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(broadcast(edgeStats), Seq("label"), "left")
+      .join(broadcast(mutual), Seq("label"), "left")
+      .select(
+        col("label"), col("n_vecs"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+      .withColumn(
+        "mutual_e4",
+        expr("CASE WHEN n_edges = 0 THEN CAST(0 AS BIGINT) ELSE (2 * 10000 * n_mutual + n_edges) DIV (2 * n_edges) END"))
+      .orderBy(col("label"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_knn_reciprocity" -> ((s, d) => q154(Tables(s, d))),
     "q124_power_iter" -> ((s, d) => q124(Tables(s, d))),
     "q132_pq_quantize" -> ((s, d) => q132(Tables(s, d))),
     "q137_semantic_decon" -> ((s, d) => q137(Tables(s, d))),
@@ -884,6 +934,29 @@ object Similarity extends QueryModule {
        | FROM embeddings)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q154_knn_reciprocity" ->
+      s"""WITH $duckVectors,
+         | p AS (
+         | SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
+         |  round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         | FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         | r AS (
+         | SELECT label, src, dst,
+         |  row_number() OVER (PARTITION BY label, src ORDER BY cos_sim DESC, dst) AS rk
+         | FROM p),
+         | ed AS (SELECT label, src, dst FROM r WHERE rk <= 5),
+         | m AS (
+         | SELECT a.label AS label, count(*) AS n_mutual
+         | FROM ed a JOIN ed b ON a.src = b.dst AND a.dst = b.src GROUP BY 1),
+         | es AS (SELECT label, count(*) AS n_edges FROM ed GROUP BY label),
+         | nv AS (SELECT label, count(*) AS n_vecs FROM n GROUP BY label)
+         |SELECT nv.label, n_vecs,
+         | CAST(COALESCE(n_edges, 0) AS BIGINT) AS n_edges,
+         | CAST(COALESCE(n_mutual, 0) AS BIGINT) AS n_mutual,
+         | CASE WHEN COALESCE(n_edges, 0) = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE (2 * 10000 * COALESCE(n_mutual, 0) + n_edges) // (2 * n_edges) END AS mutual_e4
+         |FROM nv LEFT JOIN es ON nv.label = es.label LEFT JOIN m ON nv.label = m.label
+         |ORDER BY nv.label""".stripMargin,
     "q115_ivf_recall" ->
       s"""WITH $duckEv,
          | cent AS (

@@ -658,6 +658,160 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** CCNet-style perplexity binning (Wenzek et al. 2020, the head/middle/
+    * tail cut CCNet prunes Common Crawl with — the TRUE-log companion to
+    * q97's integer-exact rare-bigram proxy): score every document in bits
+    * per bigram against the corpus bigram LM, cut each language's score
+    * distribution at its exact tertiles, and report the per-(lang, bin)
+    * population. "head" is the in-distribution third a curator keeps
+    * first.
+    *
+    * Numeric discipline: p = n_bigram/n_w1 is an exactly-rounded IEEE
+    * division of two longs, −log2(p) quantizes half-up to e3 integers
+    * BEFORE any aggregation (never average raw doubles — the q141/q142
+    * rule; a last-ulp log2 difference flips an e3 floor only within
+    * ~1e-12 of a boundary), and every downstream mean is half-up integer
+    * division. The tertile cutoffs are exact interpolated percentiles
+    * (q91's recipe) over the quantized scores — and BECAUSE the scores
+    * are e3 integers, the exact-percentile state is bounded by the score
+    * range (thousands of distinct values), not the corpus, so the exact
+    * form survives 100 TB where a raw-double percentile would not.
+    *
+    * Scale shape: the doc-side bigram explode is linear; the LM side is
+    * q77's vocabulary-bounded pair table — store-backed under
+    * `graft.bigram.store` (this is the store's 4th consumer), with the
+    * w1-marginal a window over the PAIR table (vocab-bounded partitions);
+    * the doc⋈LM equi-join skew-splits under AQE; the per-doc rollup
+    * partial-aggregates map-side; the cutoff table is |lang|-rows and
+    * broadcasts back.
+    */
+  private def q151(t: Tables): DataFrame = {
+    val docBigrams = withWords(t)
+      .filter(size(col("words")) >= 2)
+      .select(
+        col("doc_id"), col("lang"),
+        explode(
+          expr(
+            """transform(sequence(1, size(words) - 1),
+              |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val pairs = storedBigrams(t).map(_.withColumnRenamed("n", "n_bigram")).getOrElse(
+      docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram")))
+    val byW1 = Window.partitionBy(col("w1"))
+    val lm = pairs.withColumn("n_w1", sum(col("n_bigram")).over(byW1))
+    val perDoc = docBigrams
+      .join(lm, Seq("w1", "w2"))
+      .withColumn(
+        "bits_e3",
+        expr("CAST(floor(-log2(CAST(n_bigram AS DOUBLE) / n_w1) * 1000 + 0.5) AS BIGINT)"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("bits_e3")).as("sum_bits"))
+      .withColumn("score_e3", expr("(2 * sum_bits + n_bg) DIV (2 * n_bg)"))
+    val cuts = perDoc
+      .groupBy(col("lang"))
+      .agg(
+        expr("percentile(score_e3, CAST(1 AS DOUBLE) / 3)").as("p33"),
+        expr("percentile(score_e3, CAST(2 AS DOUBLE) / 3)").as("p66"))
+    perDoc
+      .join(broadcast(cuts), Seq("lang"))
+      .withColumn(
+        "bin",
+        when(col("score_e3") <= col("p33"), "head")
+          .when(col("score_e3") <= col("p66"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("(2 * sum(score_e3) + count(1)) DIV (2 * count(1))").as("mean_bits_e3"),
+        min(col("score_e3")).as("min_bits_e3"),
+        max(col("score_e3")).as("max_bits_e3"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  /** Distinct-n lexical diversity per source (Li et al. 2016's distinct-1/
+    * distinct-2, the generation-diversity metric applied corpus-side): the
+    * share of unigram and bigram occurrences that are distinct types. A
+    * source whose ratio collapses is template-stamped or mode-collapsed
+    * synthetic data — the corpus-level complement of q81's WITHIN-doc
+    * repetition signal. Ratios are e4 half-up integer divisions of long
+    * counts (bit-reproducible cross-engine).
+    *
+    * Scale shape: one linear explode per n; both streams union into ONE
+    * (source, kind, token) relation so the count-distinct rewrite is a
+    * single two-level aggregate — partial map-side on the token key,
+    * final on (source, kind) — and the per-source pivot runs on the
+    * |source|×2-row result. No window, no join.
+    */
+  private def q152(t: Tables): DataFrame = {
+    val words = withWords(t)
+    val uni = words
+      .select(col("source"), explode(col("words")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("kind", lit("uni"))
+    val bi = words
+      .filter(size(col("words")) >= 2)
+      .select(
+        col("source"),
+        explode(
+          expr(
+            """transform(sequence(1, size(words) - 1),
+              |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))""".stripMargin))
+          .as("token"))
+      .filter(!col("token").startsWith(" ") && !col("token").endsWith(" "))
+      .withColumn("kind", lit("bi"))
+    uni.unionByName(bi)
+      .groupBy(col("source"), col("kind"))
+      .agg(count(lit(1)).as("total"), countDistinct(col("token")).as("n_distinct"))
+      .groupBy(col("source"))
+      .agg(
+        max(when(col("kind") === "uni", col("total"))).as("uni_total"),
+        max(when(col("kind") === "uni", col("n_distinct"))).as("uni_distinct"),
+        max(when(col("kind") === "bi", col("total"))).as("bi_total"),
+        max(when(col("kind") === "bi", col("n_distinct"))).as("bi_distinct"))
+      .withColumn("uni_ratio_e4", expr("(2 * 10000 * uni_distinct + uni_total) DIV (2 * uni_total)"))
+      .withColumn("bi_ratio_e4", expr("(2 * 10000 * bi_distinct + bi_total) DIV (2 * bi_total)"))
+      .select(
+        col("source"), col("uni_total"), col("uni_distinct"), col("uni_ratio_e4"),
+        col("bi_total"), col("bi_distinct"), col("bi_ratio_e4"))
+      .orderBy(col("source"))
+  }
+
+  /** Token burstiness (Church & Gale 1995): for each corpus token, the
+    * probability it recurs WITHIN a document given it appears at all —
+    * P(tf ≥ 2 | tf ≥ 1) — plus its mean within-doc tf. Function words
+    * spread evenly (low burst); content and boilerplate terms clump
+    * (high burst). Curators read this next to q76's raw frequencies: a
+    * high-frequency token that is also high-burst is a template artifact,
+    * not vocabulary. Ratios are e4/e2 half-up integer divisions; the
+    * top-30 gather is ordered by (burst desc, df desc, token) — a unique
+    * total order.
+    *
+    * Scale shape: the (token, doc) tf aggregate partial-aggregates
+    * map-side (each scan partition holds whole documents, so within-doc
+    * repeats collapse before the exchange); the per-token rollup is
+    * vocabulary-bounded; top-30 is TakeOrdered, never a global sort or
+    * window.
+    */
+  private def q155(t: Tables): DataFrame =
+    withWords(t)
+      .select(col("doc_id"), explode(col("words")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("multi_df"),
+        sum(col("tf")).as("tf_total"))
+      .filter(col("df") >= 20)
+      .withColumn("burst_e4", expr("(2 * 10000 * multi_df + df) DIV (2 * df)"))
+      .withColumn("mean_tf_e2", expr("(2 * 100 * tf_total + df) DIV (2 * df)"))
+      .select(col("token"), col("df"), col("multi_df"), col("burst_e4"), col("mean_tf_e2"))
+      .orderBy(col("burst_e4").desc, col("df").desc, col("token"))
+      .limit(30)
+
   /** Distributed BPE merge-pair counting — the inner step of byte-pair-
     * encoding tokenizer training (Sennrich et al. 2016): count adjacent
     * character-pair occurrences weighted by word frequency and surface the
@@ -1452,7 +1606,10 @@ object TextAnalysis extends QueryModule {
     "q144_score_calibration" -> ((s, d) => q144(Tables(s, d))),
     "q136_vocab_coverage" -> ((s, d) => q136(Tables(s, d))),
     "q123_quality_keep" -> ((s, d) => q123(Tables(s, d))),
-    "q126_pack_sweep" -> ((s, d) => q126(Tables(s, d)))
+    "q126_pack_sweep" -> ((s, d) => q126(Tables(s, d))),
+    "q151_lm_ppl_bins" -> ((s, d) => q151(Tables(s, d))),
+    "q152_distinct_ngrams" -> ((s, d) => q152(Tables(s, d))),
+    "q155_token_burstiness" -> ((s, d) => q155(Tables(s, d)))
   )
 
   // The q33/q84 gate inputs (score + repetition ratio) as shared CTEs —
@@ -1990,6 +2147,85 @@ object TextAnalysis extends QueryModule {
         | list_aggregate(list_transform(range(1, len(words) - 1),
         |   i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2])), 'min') AS fingerprint
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q151_lm_ppl_bins" ->
+      """WITH w AS (
+        | SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+        | WHERE len(string_split(text, ' ')) >= 2),
+        | bg AS (
+        | SELECT doc_id, lang, unnest(list_transform(range(1, len(words)),
+        |   i -> {'w1': words[i], 'w2': words[i + 1]})) AS b
+        | FROM w),
+        | db AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg
+        |  WHERE b.w1 <> '' AND b.w2 <> ''),
+        | cnt AS (SELECT w1, w2, count(*) AS n_bigram FROM db GROUP BY w1, w2),
+        | lm AS (SELECT w1, w2, n_bigram,
+        |   CAST(sum(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_w1 FROM cnt),
+        | bits AS (
+        | SELECT db.doc_id, db.lang,
+        |  CAST(floor(-log2(CAST(n_bigram AS DOUBLE) / n_w1) * 1000 + 0.5) AS BIGINT) AS bits_e3
+        | FROM db JOIN lm ON db.w1 = lm.w1 AND db.w2 = lm.w2),
+        | pd AS (
+        | SELECT lang, doc_id,
+        |  (2 * sum(bits_e3) + count(*)) // (2 * count(*)) AS score_e3
+        | FROM bits GROUP BY lang, doc_id),
+        | cuts AS (
+        | SELECT lang, quantile_cont(score_e3, CAST(1 AS DOUBLE) / 3) AS p33,
+        |  quantile_cont(score_e3, CAST(2 AS DOUBLE) / 3) AS p66
+        | FROM pd GROUP BY lang),
+        | binned AS (
+        | SELECT pd.lang, score_e3,
+        |  CASE WHEN score_e3 <= p33 THEN 'head'
+        |       WHEN score_e3 <= p66 THEN 'middle' ELSE 'tail' END AS bin
+        | FROM pd JOIN cuts ON pd.lang = cuts.lang)
+        |SELECT lang, bin, count(*) AS n_docs,
+        | (2 * sum(score_e3) + count(*)) // (2 * count(*)) AS mean_bits_e3,
+        | min(score_e3) AS min_bits_e3, max(score_e3) AS max_bits_e3
+        |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q152_distinct_ngrams" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+        | uni AS (
+        | SELECT source, 'uni' AS kind, unnest(words) AS token FROM w),
+        | bi AS (
+        | SELECT source, 'bi' AS kind,
+        |  unnest(list_transform(range(1, len(words)),
+        |    i -> words[i] || ' ' || words[i + 1])) AS token
+        | FROM w WHERE len(words) >= 2),
+        | u AS (
+        | SELECT * FROM uni WHERE token <> ''
+        | UNION ALL
+        | SELECT * FROM bi
+        |  WHERE NOT starts_with(token, ' ') AND NOT ends_with(token, ' ')),
+        | g AS (
+        | SELECT source, kind, count(*) AS total, count(DISTINCT token) AS n_distinct
+        | FROM u GROUP BY source, kind),
+        | p AS (
+        | SELECT source,
+        |  CAST(max(CASE WHEN kind = 'uni' THEN total END) AS BIGINT) AS uni_total,
+        |  CAST(max(CASE WHEN kind = 'uni' THEN n_distinct END) AS BIGINT) AS uni_distinct,
+        |  CAST(max(CASE WHEN kind = 'bi' THEN total END) AS BIGINT) AS bi_total,
+        |  CAST(max(CASE WHEN kind = 'bi' THEN n_distinct END) AS BIGINT) AS bi_distinct
+        | FROM g GROUP BY source)
+        |SELECT source, uni_total, uni_distinct,
+        | (2 * 10000 * uni_distinct + uni_total) // (2 * uni_total) AS uni_ratio_e4,
+        | bi_total, bi_distinct,
+        | (2 * 10000 * bi_distinct + bi_total) // (2 * bi_total) AS bi_ratio_e4
+        |FROM p ORDER BY source""".stripMargin,
+    "q155_token_burstiness" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        | tf AS (
+        | SELECT token, doc_id, count(*) AS tf FROM tok
+        | WHERE token <> '' GROUP BY token, doc_id),
+        | s AS (
+        | SELECT token, count(*) AS df,
+        |  CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS multi_df,
+        |  CAST(sum(tf) AS BIGINT) AS tf_total
+        | FROM tf GROUP BY token)
+        |SELECT token, df, multi_df,
+        | (2 * 10000 * multi_df + df) // (2 * df) AS burst_e4,
+        | (2 * 100 * tf_total + df) // (2 * df) AS mean_tf_e2
+        |FROM s WHERE df >= 20
+        |ORDER BY burst_e4 DESC, df DESC, token LIMIT 30""".stripMargin
   )
 }
