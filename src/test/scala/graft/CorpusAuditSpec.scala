@@ -1304,4 +1304,112 @@ class CorpusAuditSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_docs") == 2 * docs.count(_._3 == r.getAs[String]("source")))
     }
   }
+
+  // half-up integer division, the q141/q142 mean rule both engines share
+  private def hdiv(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+
+  // Spark's split('text', ' ') keeps trailing empties (Java limit -1);
+  // the word-pair filters then drop empty w1/w2 — mirror both exactly
+  private def rawWords(text: String): Array[String] = text.split(" ", -1)
+
+  test("q151 perplexity bins match an independent LM + tertile recomputation") {
+    val langs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val docBgs: Seq[(Long, (String, String))] = docs.flatMap { case (id, text, _, _) =>
+      val ws = rawWords(text)
+      if (ws.length >= 2)
+        ws.sliding(2).collect { case Array(a, b) if a.nonEmpty && b.nonEmpty => (id, (a, b)) }.toSeq
+      else Seq.empty[(Long, (String, String))]
+    }
+    val pairCnt = docBgs.groupBy(_._2).map { case (bg, xs) => bg -> xs.size.toLong }
+    val w1Cnt = docBgs.groupBy(_._2._1).map { case (w1, xs) => w1 -> xs.size.toLong }
+    def bitsE3(bg: (String, String)): Long = {
+      val p = pairCnt(bg).toDouble / w1Cnt(bg._1)
+      math.floor(-(math.log(p) / math.log(2.0)) * 1000 + 0.5).toLong
+    }
+    val perDoc: Map[(String, Long), Long] = docBgs.groupBy(_._1).map { case (id, xs) =>
+      (langs(id), id) -> hdiv(xs.map(x => bitsE3(x._2)).sum, xs.size.toLong)
+    }
+    // exact interpolated percentile, Spark's index formula
+    def pctl(sorted: IndexedSeq[Long], p: Double): Double = {
+      val idx = p * (sorted.size - 1)
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+    }
+    val expected = perDoc.toSeq.groupBy(_._1._1).flatMap { case (lang, xs) =>
+      val sorted = xs.map(_._2).sorted.toIndexedSeq
+      val (p33, p66) = (pctl(sorted, 1.0 / 3), pctl(sorted, 2.0 / 3))
+      xs.map(_._2).groupBy { s =>
+        if (s <= p33) "head" else if (s <= p66) "middle" else "tail"
+      }.map { case (bin, ss) =>
+        (lang, bin, ss.size.toLong, hdiv(ss.sum, ss.size.toLong), ss.min, ss.max)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q151_lm_ppl_bins")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // bins partition each language's scored docs; head never averages
+    // above tail (the cut is BY score)
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val n = rows.toSeq.map(_._3).sum
+      assert(n == perDoc.count(_._1._1 == lang), lang)
+      for {
+        h <- rows.find(_._2 == "head")
+        t <- rows.find(_._2 == "tail")
+      } assert(h._4 <= t._4, lang)
+    }
+  }
+
+  test("q152 distinct-n diversity matches an independent recomputation") {
+    val expected = docs.groupBy(_._3).map { case (src, xs) =>
+      val unis = xs.flatMap(d => rawWords(d._2)).filter(_.nonEmpty)
+      val bis = xs.flatMap { d =>
+        val ws = rawWords(d._2)
+        if (ws.length >= 2)
+          ws.sliding(2).collect { case Array(a, b) if a.nonEmpty && b.nonEmpty => a + " " + b }.toSeq
+        else Seq.empty[String]
+      }
+      val (ut, ud) = (unis.size.toLong, unis.distinct.size.toLong)
+      val (bt, bd) = (bis.size.toLong, bis.distinct.size.toLong)
+      (src, ut, ud, hdiv(10000L * ud, ut), bt, bd, hdiv(10000L * bd, bt))
+    }.toSet
+    val got = SparkEntry.queries("q152_distinct_ngrams")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    // ratios are valid e4 proportions, and a corpus always repeats SOME
+    // unigram (ratio strictly below 1) while bigrams are more distinct
+    // than unigrams — the diversity ordering the metric exists to show
+    got.foreach { case (src, _, _, ur, _, _, br) =>
+      assert(ur > 0 && ur < 10000, src)
+      assert(br > 0 && br <= 10000, src)
+      assert(br >= ur, src)
+    }
+  }
+
+  test("q155 token burstiness matches an independent recomputation") {
+    val tf = docs.flatMap { case (id, text, _, _) =>
+      rawWords(text).filter(_.nonEmpty).map(t => (t, id))
+    }.groupBy(identity).map { case ((t, id), xs) => (t, id, xs.size.toLong) }
+    val expected = tf.groupBy(_._1).collect { case (tok, xs) if xs.size >= 20 =>
+      val df = xs.size.toLong
+      val multi = xs.count(_._3 >= 2).toLong
+      val tft = xs.map(_._3).sum
+      (tok, df, multi, hdiv(10000L * multi, df), hdiv(100L * tft, df))
+    }.toSeq.sortBy { case (tok, df, _, burst, _) => (-burst, -df, tok) }.take(30)
+    val got = SparkEntry.queries("q155_token_burstiness")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+    // burstiness is a conditional probability; mean tf of a multi-doc
+    // token is at least 1.00 (e2)
+    got.foreach { case (tok, df, multi, burst, mtf) =>
+      assert(multi <= df, tok)
+      assert(burst >= 0 && burst <= 10000, tok)
+      assert(mtf >= 100, tok)
+    }
+  }
 }

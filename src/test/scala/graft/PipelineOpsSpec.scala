@@ -957,4 +957,147 @@ class PipelineOpsSpec extends AnyFunSuite {
     // offsets are never negative (no event precedes its user's first touch)
     assert(got.forall(_._2 >= 0L))
   }
+
+  private def hdiv(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+
+  test("q153 k-anonymity matches an independent combo recomputation") {
+    // hour from epoch-µs directly (UTC session) — independent of Spark's
+    // hour() extraction
+    val evs = Tables(spark, sf).events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"), col("user_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val combos = evs.groupBy { case (t, us, v, _) =>
+      (t, (us / 3600000000L) % 24, math.floor(v / 50).toLong)
+    }.map { case (k, xs) => k -> (xs.size.toLong, xs.map(_._4).distinct.size.toLong) }
+    val expected = combos.toSeq.groupBy(_._1._1).map { case (tpe, xs) =>
+      val risky = xs.filter(_._2._2 < 5)
+      (tpe, xs.size.toLong, risky.size.toLong, risky.map(_._2._1).sum,
+        xs.map(_._2._2).min)
+    }.toSet
+    val got = SparkEntry.queries("q153_k_anonymity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // rows-at-risk never exceed the type's volume; min combo users ≥ 1
+    val vol = evs.groupBy(_._1).map { case (t, xs) => t -> xs.size.toLong }
+    got.foreach { case (tpe, nc, rc, rows, mn) =>
+      assert(rc <= nc, tpe)
+      assert(rows <= vol(tpe), tpe)
+      assert(mn >= 1, tpe)
+    }
+  }
+
+  test("q154 kNN reciprocity matches an independent within-cell recomputation") {
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the kernel's exact formula: left-to-right double accumulation,
+    // dot / (||a||·||b||)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables(spark, sf).embeddings.collect().map { r =>
+      (r.getLong(0), r.getAs[Number]("label").intValue,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    }
+    val byCell = vecs.groupBy(_._2)
+    val edges: Set[(Int, Long, Long)] = byCell.toSeq.flatMap { case (cell, xs) =>
+      xs.toSeq.flatMap { case (src, _, vs) =>
+        xs.toSeq.filter(_._1 != src)
+          .map { case (dst, _, vd) => (rnd6(cos(vs, vd)), dst) }
+          .sortBy { case (sim, dst) => (-sim, dst) }
+          .take(5)
+          .map { case (_, dst) => (cell, src, dst) }
+      }
+    }.toSet
+    val expected = byCell.map { case (cell, xs) =>
+      val es = edges.filter(_._1 == cell)
+      val mutual = es.count { case (c, a, b) => edges.contains((c, b, a)) }.toLong
+      val ne = es.size.toLong
+      (cell, xs.size.toLong, ne, mutual, if (ne == 0) 0L else hdiv(10000L * mutual, ne))
+    }.toSet
+    val got = SparkEntry.queries("q154_knn_reciprocity")(spark, sf).collect()
+      .map(r => (r.getAs[Number]("label").intValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // directed mutual edges pair up (even count); edge count is k·n for
+    // cells larger than k
+    got.foreach { case (cell, nv, ne, nm, ratio) =>
+      assert(nm % 2 == 0, s"cell $cell")
+      assert(ne == nv * math.min(5L, nv - 1), s"cell $cell")
+      assert(ratio >= 0 && ratio <= 10000, s"cell $cell")
+    }
+  }
+
+  test("q156 tile pyramid matches an independent grid recomputation") {
+    val keys = Tables(spark, sf).customer.select(col("c_custkey")).collect().map(_.getLong(0))
+    val expected = Seq(2, 4, 6).map { z =>
+      val n = 1L << z
+      val tiles = keys.map { k =>
+        val lon = ((k * 7919) % 360000).toDouble / 1000 - 180
+        val lat = ((k * 104729) % 170000).toDouble / 1000 - 85
+        (math.floor((lon + 180) / 360 * n).toLong, math.floor((90 - lat) / 180 * n).toLong)
+      }.groupBy(identity).map { case (_, xs) => xs.size.toLong }
+      (z, tiles.size.toLong, keys.length.toLong, tiles.max,
+        hdiv(keys.length.toLong, tiles.size.toLong))
+    }.toSet
+    val got = SparkEntry.queries("q156_tile_pyramid")(spark, sf).collect()
+      .map(r => (r.getAs[Number]("z").intValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // every zoom conserves the point set; refining the grid never merges
+    // occupied tiles
+    val byZ = got.toSeq.sortBy(_._1)
+    assert(byZ.forall(_._3 == keys.length.toLong))
+    byZ.sliding(2).foreach {
+      case Seq(a, b) => assert(b._2 >= a._2, s"zoom ${b._1} lost tiles")
+      case _         =>
+    }
+  }
+
+  test("q157 STAC extent matches an independent bbox + interval recomputation") {
+    def rnd3(x: Double) =
+      BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t = Tables(spark, sf)
+    val perCust = t.orders.select(col("o_custkey"), col("o_orderdate")).collect()
+      .map(r => (r.getLong(0), r.get(1)))
+      .groupBy(_._1)
+    val nations = t.nation.select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => (r.getAs[Number](0).intValue, r.getString(1))).toMap
+    val cust = t.customer.select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue))
+    implicit val anyOrd: Ordering[Any] = Ordering.by(_.toString)
+    val expected = cust.collect { case (ck, nk) if perCust.contains(ck) =>
+      val lon = ((ck * 7919) % 360000).toDouble / 1000 - 180
+      val lat = ((ck * 104729) % 170000).toDouble / 1000 - 85
+      val ds = perCust(ck).map(_._2)
+      (nk, lon, lat, ds.size.toLong, ds.min, ds.max)
+    }.groupBy(_._1).map { case (nk, xs) =>
+      (nations(nk), xs.size.toLong, xs.map(_._4).sum,
+        rnd3(xs.map(_._2).min), rnd3(xs.map(_._2).max),
+        rnd3(xs.map(_._3).min), rnd3(xs.map(_._3).max),
+        xs.map(_._5).min, xs.map(_._6).max)
+    }.toSet
+    val got = SparkEntry.queries("q157_stac_extent")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.get(7), r.get(8)))
+      .toSet
+    assert(got == expected)
+    // a bbox is well-formed and inside the world envelope; intervals are
+    // ordered
+    got.foreach { case (c, ni, na, lo, hi, la, ha, _, _) =>
+      assert(ni >= 1 && na >= ni, c)
+      assert(lo <= hi && la <= ha, c)
+      assert(lo >= -180 && hi < 180 && la >= -85 && ha < 85, c)
+    }
+  }
 }
