@@ -675,7 +675,10 @@ object Extras extends QueryModule {
     * (event_type, hour-of-day, value band of 50) and flag combinations
     * observed for fewer than k=5 distinct users; a row in such a
     * combination re-identifies its user by attribute intersection alone.
-    * All counts are integers — nothing to round.
+    * Scope: user-ATTRIBUTED events only (a null user_id row has no one to
+    * re-identify; unfiltered it would make countDistinct report a 0-user
+    * combo as maximally risky). All counts are integers — nothing to
+    * round.
     *
     * Scale shape: the combo aggregate's distinct-user rewrite is two-level
     * (partial on (combo, user) map-side — per-user event locality collapses
@@ -685,6 +688,7 @@ object Extras extends QueryModule {
     */
   private def q153(t: Tables): DataFrame =
     t.events
+      .filter(col("user_id").isNotNull)
       .select(
         col("event_type"),
         hour(col("ts")).cast("long").as("hod"),
@@ -962,7 +966,7 @@ object Extras extends QueryModule {
         | SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
         |  CAST(floor(value / 50) AS BIGINT) AS band,
         |  count(*) AS n_rows, count(DISTINCT user_id) AS n_users
-        | FROM events GROUP BY 1, 2, 3)
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3)
         |SELECT event_type, count(*) AS n_combos,
         | CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_combos,
         | CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_at_risk,

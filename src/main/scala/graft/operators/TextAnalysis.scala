@@ -67,6 +67,29 @@ object TextAnalysis extends QueryModule {
   private def withWords(t: Tables): DataFrame =
     Tables.localSplit(t.documents, col("doc_id")).withColumn("words", split(col("text"), " "))
 
+  /** The doc-bigram stream — ONE definition of adjacent-pair semantics for
+    * every TextAnalysis consumer (q77/q97/q139's derived paths, q151,
+    * q152): docs with ≥ 2 raw words only (Spark's sequence(1, 0) yields a
+    * DESCENDING [1, 0] for a single-word doc — index 0 then faults under
+    * ANSI; such docs have no bigrams, mirroring the oracle's empty
+    * range(1, 1)), adjacent (w1, w2) pairs, empty members dropped.
+    * `sources/FreqStore.Bigram.rows` is the store-side twin of this
+    * definition (sources cannot depend on operators); the LeakStoreSpec /
+    * BuildStoresSpec store-backed ≡ derived pins keep the two in lockstep.
+    */
+  private def docBigrams(t: Tables, keep: Seq[String]): DataFrame =
+    withWords(t)
+      .filter(size(col("words")) >= 2)
+      .select(
+        keep.map(col) :+
+          explode(
+            expr(
+              """transform(sequence(1, size(words) - 1),
+                |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
+            .as("bg"): _*)
+      .select(keep.map(col) ++ Seq(col("bg.w1").as("w1"), col("bg.w2").as("w2")): _*)
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+
   /** Per-language corpus statistics: doc counts, length distribution,
     * stopword ratio. avg-word-length derived arithmetically from chars so
     * no second pass over the tokens is needed.
@@ -261,17 +284,7 @@ object TextAnalysis extends QueryModule {
     */
   private def q139(t: Tables): DataFrame = {
     val pairCounts = storedBigrams(t).map(_.withColumnRenamed("n", "c12")).getOrElse(
-      withWords(t)
-        .filter(size(col("words")) >= 2)
-        .select(
-          explode(
-            expr(
-              """transform(sequence(1, size(words) - 1),
-                |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
-            .as("bg"))
-        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        .filter(col("w1") =!= "" && col("w2") =!= "")
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+      docBigrams(t, Nil).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     val m1 = pairCounts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val m2 = pairCounts.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
     val tot = pairCounts.agg(sum(col("c12")).as("n_total"))
@@ -574,21 +587,7 @@ object TextAnalysis extends QueryModule {
     */
   private def q77(t: Tables): DataFrame = {
     val pairs = storedBigrams(t).map(_.withColumnRenamed("n", "n_bigram")).getOrElse(
-      withWords(t)
-        // guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] for a
-        // single-word doc — index 0 then faults under ANSI. Such docs have
-        // no bigrams; dropping them mirrors the oracle's empty range(1, 1).
-        .filter(size(col("words")) >= 2)
-        .select(
-          explode(
-            expr(
-              """transform(sequence(1, size(words) - 1),
-                |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
-            .as("bg"))
-        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        .filter(col("w1") =!= "" && col("w2") =!= "")
-        .groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("n_bigram")))
+      docBigrams(t, Nil).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram")))
     val saltBuckets = t.spark.conf.get("graft.skew.salt", "0").toInt
     require(saltBuckets >= 0, s"graft.skew.salt out of range: $saltBuckets")
     val withMarginal =
@@ -626,22 +625,12 @@ object TextAnalysis extends QueryModule {
     * have nothing to score and are absent, both engines alike.
     */
   private def q97(t: Tables): DataFrame = {
-    val docBigrams = withWords(t)
-      .filter(size(col("words")) >= 2)
-      .select(
-        col("doc_id"), col("source"),
-        explode(
-          expr(
-            """transform(sequence(1, size(words) - 1),
-              |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
-          .as("bg"))
-      .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val stream = docBigrams(t, Seq("doc_id", "source"))
     val corpusCounts = storedBigrams(t).map(_.withColumnRenamed("n", "n_corpus")).getOrElse(
-      docBigrams
+      stream
         .groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("n_corpus")))
-    val perDoc = docBigrams
+    val perDoc = stream
       .join(corpusCounts, Seq("w1", "w2"))
       .groupBy(col("source"), col("doc_id"))
       .agg(
@@ -686,22 +675,12 @@ object TextAnalysis extends QueryModule {
     * broadcasts back.
     */
   private def q151(t: Tables): DataFrame = {
-    val docBigrams = withWords(t)
-      .filter(size(col("words")) >= 2)
-      .select(
-        col("doc_id"), col("lang"),
-        explode(
-          expr(
-            """transform(sequence(1, size(words) - 1),
-              |  i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))""".stripMargin))
-          .as("bg"))
-      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val stream = docBigrams(t, Seq("doc_id", "lang"))
     val pairs = storedBigrams(t).map(_.withColumnRenamed("n", "n_bigram")).getOrElse(
-      docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram")))
+      stream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram")))
     val byW1 = Window.partitionBy(col("w1"))
     val lm = pairs.withColumn("n_w1", sum(col("n_bigram")).over(byW1))
-    val perDoc = docBigrams
+    val perDoc = stream
       .join(lm, Seq("w1", "w2"))
       .withColumn(
         "bits_e3",
@@ -750,16 +729,8 @@ object TextAnalysis extends QueryModule {
       .select(col("source"), explode(col("words")).as("token"))
       .filter(col("token") =!= "")
       .withColumn("kind", lit("uni"))
-    val bi = words
-      .filter(size(col("words")) >= 2)
-      .select(
-        col("source"),
-        explode(
-          expr(
-            """transform(sequence(1, size(words) - 1),
-              |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))""".stripMargin))
-          .as("token"))
-      .filter(!col("token").startsWith(" ") && !col("token").endsWith(" "))
+    val bi = docBigrams(t, Seq("source"))
+      .select(col("source"), concat(col("w1"), lit(" "), col("w2")).as("token"))
       .withColumn("kind", lit("bi"))
     uni.unionByName(bi)
       .groupBy(col("source"), col("kind"))
@@ -768,10 +739,15 @@ object TextAnalysis extends QueryModule {
       .agg(
         max(when(col("kind") === "uni", col("total"))).as("uni_total"),
         max(when(col("kind") === "uni", col("n_distinct"))).as("uni_distinct"),
-        max(when(col("kind") === "bi", col("total"))).as("bi_total"),
-        max(when(col("kind") === "bi", col("n_distinct"))).as("bi_distinct"))
+        // a source whose docs are all single-word has unigrams but no
+        // bigrams — its bi columns are an explicit 0, not NULL (both
+        // engines; edge pinned by the crafted-fixture spec)
+        coalesce(max(when(col("kind") === "bi", col("total"))), lit(0L)).as("bi_total"),
+        coalesce(max(when(col("kind") === "bi", col("n_distinct"))), lit(0L)).as("bi_distinct"))
       .withColumn("uni_ratio_e4", expr("(2 * 10000 * uni_distinct + uni_total) DIV (2 * uni_total)"))
-      .withColumn("bi_ratio_e4", expr("(2 * 10000 * bi_distinct + bi_total) DIV (2 * bi_total)"))
+      .withColumn(
+        "bi_ratio_e4",
+        expr("CASE WHEN bi_total = 0 THEN CAST(0 AS BIGINT) ELSE (2 * 10000 * bi_distinct + bi_total) DIV (2 * bi_total) END"))
       .select(
         col("source"), col("uni_total"), col("uni_distinct"), col("uni_ratio_e4"),
         col("bi_total"), col("bi_distinct"), col("bi_ratio_e4"))
@@ -2203,13 +2179,14 @@ object TextAnalysis extends QueryModule {
         | SELECT source,
         |  CAST(max(CASE WHEN kind = 'uni' THEN total END) AS BIGINT) AS uni_total,
         |  CAST(max(CASE WHEN kind = 'uni' THEN n_distinct END) AS BIGINT) AS uni_distinct,
-        |  CAST(max(CASE WHEN kind = 'bi' THEN total END) AS BIGINT) AS bi_total,
-        |  CAST(max(CASE WHEN kind = 'bi' THEN n_distinct END) AS BIGINT) AS bi_distinct
+        |  CAST(COALESCE(max(CASE WHEN kind = 'bi' THEN total END), 0) AS BIGINT) AS bi_total,
+        |  CAST(COALESCE(max(CASE WHEN kind = 'bi' THEN n_distinct END), 0) AS BIGINT) AS bi_distinct
         | FROM g GROUP BY source)
         |SELECT source, uni_total, uni_distinct,
         | (2 * 10000 * uni_distinct + uni_total) // (2 * uni_total) AS uni_ratio_e4,
         | bi_total, bi_distinct,
-        | (2 * 10000 * bi_distinct + bi_total) // (2 * bi_total) AS bi_ratio_e4
+        | CASE WHEN bi_total = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE (2 * 10000 * bi_distinct + bi_total) // (2 * bi_total) END AS bi_ratio_e4
         |FROM p ORDER BY source""".stripMargin,
     "q155_token_burstiness" ->
       """WITH tok AS (

@@ -1374,7 +1374,8 @@ class CorpusAuditSpec extends AnyFunSuite {
       }
       val (ut, ud) = (unis.size.toLong, unis.distinct.size.toLong)
       val (bt, bd) = (bis.size.toLong, bis.distinct.size.toLong)
-      (src, ut, ud, hdiv(10000L * ud, ut), bt, bd, hdiv(10000L * bd, bt))
+      (src, ut, ud, hdiv(10000L * ud, ut), bt, bd,
+        if (bt == 0) 0L else hdiv(10000L * bd, bt))
     }.toSet
     val got = SparkEntry.queries("q152_distinct_ngrams")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -1388,6 +1389,22 @@ class CorpusAuditSpec extends AnyFunSuite {
       assert(br > 0 && br <= 10000, src)
       assert(br >= ur, src)
     }
+  }
+
+  test("q152 reports explicit zeros, not NULLs, for a bigram-free source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q152_crafted").toString
+    // s1's docs are all single-word: unigrams exist, bigrams cannot
+    Seq(("s1", 1L, "alpha"), ("s1", 2L, "alpha"), ("s2", 3L, "beta gamma beta gamma"))
+      .toDF("source", "doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q152_distinct_ngrams")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(rows("s1") == ((2L, 1L, 5000L, 0L, 0L, 0L)), s"s1: $rows")
+    assert(rows("s2") == ((4L, 2L, 5000L, 3L, 2L, 6667L)), s"s2: $rows")
   }
 
   test("q155 token burstiness matches an independent recomputation") {

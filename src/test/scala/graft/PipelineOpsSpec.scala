@@ -968,7 +968,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     val combos = evs.groupBy { case (t, us, v, _) =>
-      (t, (us / 3600000000L) % 24, math.floor(v / 50).toLong)
+      // floor semantics so a pre-epoch timestamp still lands on the same
+      // hour-of-day Spark's hour() reports
+      (t, Math.floorMod(Math.floorDiv(us, 3600000000L), 24L), math.floor(v / 50).toLong)
     }.map { case (k, xs) => k -> (xs.size.toLong, xs.map(_._4).distinct.size.toLong) }
     val expected = combos.toSeq.groupBy(_._1._1).map { case (tpe, xs) =>
       val risky = xs.filter(_._2._2 < 5)
