@@ -303,7 +303,11 @@ object PlanAudit {
     // per-customer order rollup (the one fact-scale shuffle) → equi-join
     // to customer on the co-partitionable key → |collection|-row extent
     // agg → sort; nation broadcasts
-    "q157_stac_extent" -> 3).withDefaultValue(3)
+    "q157_stac_extent" -> 3,
+    // q71's scoring shape: |cells|·|dims| centroid agg (broadcast back) →
+    // (vec, cell) distance agg → per-vector a/b fold → |cells|-row
+    // rollup → sort; the scoring fan-out partial-aggregates map-side
+    "q158_centroid_silhouette" -> 5).withDefaultValue(3)
 
   // `stores` mode: the STORE-BACKED plans (the bench session's actual
   // shapes — the default/scale modes audit only conf-off derived plans).

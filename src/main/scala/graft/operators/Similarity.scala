@@ -891,7 +891,57 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Simplified (centroid) silhouette audit — Rousseeuw 1987's cluster-
+    * validity score in the IVF family's shared integer-quantized metric:
+    * per vector, a = distance to its OWN cell centroid, b = distance to
+    * the nearest FOREIGN centroid, s = (b − a)/max(a, b) ∈ [−1, 1]
+    * (floored to e4); per cell, the population, mean/min silhouette, and
+    * the count of misassigned vectors (s < 0 — strictly closer to a
+    * foreign centroid, exactly what one more q71 Lloyd round would move).
+    * This is the quantizer-quality gate read BEFORE q43/q74 trust the
+    * cells and before q101/q104 block on them.
+    *
+    * Numeric discipline: distances are the q71/q74 cross-multiplied
+    * integer metric (num = Σ(q·cnt − sq)², dist = num/cnt² — one exact
+    * double division of longs); the per-cell mean shifts s by +1 so both
+    * engines' integer divisions agree (Spark's DIV truncates toward zero,
+    * DuckDB's // floors — equal only on non-negative operands).
+    *
+    * Scale shape: q71's exactly — the |corpus|·|dims|×|cells| scoring
+    * fan-out partial-aggregates map-side under the broadcast centroid
+    * table, the per-vector a/b fold rides the same (vec_id, label,
+    * clabel) aggregate, and the rollup is |cells| rows.
+    */
+  private def q158(t: Tables): DataFrame = {
+    val ev = quantizedEv(t)
+    val cent = centroidsOf(ev)
+    val diff = col("q") * col("cnt") - col("sq")
+    val scored = ev
+      .join(broadcast(cent), col("dim") === col("cdim"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(diff * diff).as("num"), max(col("cnt")).as("cnt"))
+      .withColumn("dist", col("num").cast("double") / (col("cnt") * col("cnt")).cast("double"))
+    scored
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        min(when(col("clabel") === col("label"), col("dist"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+      .withColumn(
+        "sil_e4",
+        expr("CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(floor((b - a) / greatest(a, b) * 10000) AS BIGINT) END"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        expr("(2 * sum(sil_e4 + 10000) + count(1)) DIV (2 * count(1)) - 10000")
+          .as("mean_sil_e4"),
+        min(col("sil_e4")).as("min_sil_e4"),
+        sum(when(col("sil_e4") < 0, 1L).otherwise(0L)).as("n_misassigned"))
+      .orderBy(col("label"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_centroid_silhouette" -> ((s, d) => q158(Tables(s, d))),
     "q154_knn_reciprocity" -> ((s, d) => q154(Tables(s, d))),
     "q124_power_iter" -> ((s, d) => q124(Tables(s, d))),
     "q132_pq_quantize" -> ((s, d) => q132(Tables(s, d))),
@@ -934,6 +984,33 @@ object Similarity extends QueryModule {
        | FROM embeddings)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q158_centroid_silhouette" ->
+      s"""WITH $duckEv,
+         | cent AS (
+         | SELECT label AS clabel, dim AS cdim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+         | FROM ev GROUP BY 1, 2),
+         | scored AS (
+         | SELECT vec_id, label, clabel,
+         |  CAST(sum((q * cnt - sq) * (q * cnt - sq)) AS BIGINT) AS num, max(cnt) AS cnt2
+         | FROM ev JOIN cent ON dim = cdim GROUP BY 1, 2, 3),
+         | d AS (
+         | SELECT vec_id, label, clabel,
+         |  CAST(num AS DOUBLE) / (cnt2 * cnt2) AS dist FROM scored),
+         | pv AS (
+         | SELECT vec_id, label,
+         |  min(CASE WHEN clabel = label THEN dist END) AS a,
+         |  min(CASE WHEN clabel <> label THEN dist END) AS b
+         | FROM d GROUP BY 1, 2),
+         | s AS (
+         | SELECT label,
+         |  CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+         |   ELSE CAST(floor((b - a) / greatest(a, b) * 10000) AS BIGINT) END AS sil
+         | FROM pv)
+         |SELECT label, count(*) AS n_vecs,
+         | (2 * sum(sil + 10000) + count(*)) // (2 * count(*)) - 10000 AS mean_sil_e4,
+         | min(sil) AS min_sil_e4,
+         | CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
+         |FROM s GROUP BY label ORDER BY label""".stripMargin,
     "q154_knn_reciprocity" ->
       s"""WITH $duckVectors,
          | p AS (

@@ -1066,6 +1066,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q158 silhouette matches an independent centroid recomputation and q71's moves") {
+    val vecs = Tables(spark, sf).embeddings.collect().map { r =>
+      (r.getLong(0), r.getAs[Number]("label").intValue,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray.map(v => math.floor(v.toDouble * 1000).toLong))
+    }
+    val cents = vecs.groupBy(_._2).map { case (l, xs) =>
+      l -> (Array.tabulate(xs.head._3.length)(d => xs.map(_._3(d)).sum), xs.size.toLong)
+    }
+    def dist(q: Array[Long], c: (Array[Long], Long)): Double = {
+      val (sq, cnt) = c
+      var num = 0L
+      var i = 0
+      while (i < q.length) { val df = q(i) * cnt - sq(i); num += df * df; i += 1 }
+      num.toDouble / (cnt * cnt).toDouble
+    }
+    val perVec = vecs.map { case (id, l, q) =>
+      val a = dist(q, cents(l))
+      val b = cents.collect { case (cl, c) if cl != l => dist(q, c) }.min
+      val sil =
+        if (math.max(a, b) == 0) 0L
+        else math.floor((b - a) / math.max(a, b) * 10000).toLong
+      (id, l, sil)
+    }
+    val expected = perVec.groupBy(_._2).map { case (l, xs) =>
+      val n = xs.size.toLong
+      (l, n, (2 * xs.map(_._3 + 10000).sum + n) / (2 * n) - 10000,
+        xs.map(_._3).min, xs.count(_._3 < 0).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q158_centroid_silhouette")(spark, sf).collect()
+      .map(r => (r.getAs[Number]("label").intValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // family consistency: a strictly-misassigned vector (s < 0) is exactly
+    // one q71's Lloyd step moves (same metric; ties, s = 0, may also move
+    // on the clabel tie-break, so containment — not equality)
+    val moved = SparkEntry.queries("q71_kmeans_step")(spark, sf).collect()
+      .filter(r => r.getAs[Number]("old_label").longValue != r.getAs[Number]("new_label").longValue)
+      .map(_.getAs[Long]("vec_id")).toSet
+    val negative = perVec.filter(_._3 < 0).map(_._1).toSet
+    assert(negative.subsetOf(moved),
+      s"silhouette-misassigned not all moved by Lloyd: ${negative.diff(moved)}")
+    // silhouette is a valid score and the corpus is fully covered
+    assert(got.toSeq.map(_._2).sum == vecs.length.toLong)
+    got.foreach { case (l, _, mean, mn, _) =>
+      assert(mean >= -10000 && mean <= 10000, s"cell $l")
+      assert(mn >= -10000 && mn <= 10000, s"cell $l")
+    }
+  }
+
   test("q157 STAC extent matches an independent bbox + interval recomputation") {
     def rnd3(x: Double) =
       BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
