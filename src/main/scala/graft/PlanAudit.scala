@@ -13,9 +13,9 @@ import org.apache.spark.sql.SparkSession
   * different): exchange (shuffle) count, broadcast joins present where
   * declared, pushed filters on scans, no cartesian product except the
   * intentionally-crossing similarity baselines. `stores` mode
-  * provisions the full artifact set and audits the 14 store consumers
+  * provisions the full artifact set and audits the 15 store consumers
   * in TWO passes: uncached store-backed plans (store read present,
-  * per-consumer shuffle budgets, q113/q122 corpus-scan-free), then the
+  * per-consumer shuffle budgets, q113/q122/q159 corpus-scan-free), then the
   * bench session's actual cached-view plans (graft.lsh.cache on, views
   * primed — structural checks only, since the cached views print their
   * never-re-run build lineage inside InMemoryRelation).
@@ -58,7 +58,8 @@ object PlanAudit {
     Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm",
       "q90_tfidf", "q97_rare_bigrams", "q98_bm25", "q102_dsir", "q121_token_rarity",
       "q130_cms_calibration", "q136_vocab_coverage", "q139_pmi",
-      "q151_lm_ppl_bins", "q152_distinct_ngrams", "q155_token_burstiness")
+      "q151_lm_ppl_bins", "q152_distinct_ngrams", "q155_token_burstiness",
+      "q159_context_entropy")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume.
   // q136's cumulative runs over the count-of-counts HISTOGRAM — ≤ √(2·Σ)
@@ -281,6 +282,10 @@ object PlanAudit {
     // once per consuming branch (pairs agg AND join probe — AQE reuses
     // at runtime), hence 9 textual for 7 effective
     "q151_lm_ppl_bins" -> 9,
+    // chain merge agg → w1 marginal window → per-w1 entropy agg +
+    // single-row total (broadcast back); top-30 TakeOrdered — zero
+    // corpus (the pair table IS the input)
+    "q159_context_entropy" -> 4,
     // one (source, kind, token) union stream → two-level count-distinct
     // rewrite (partial on token key, final on (source, kind)) →
     // |sources|-row pivot rollup → sort
@@ -307,7 +312,11 @@ object PlanAudit {
     // q71's scoring shape: |cells|·|dims| centroid agg (broadcast back) →
     // (vec, cell) distance agg → per-vector a/b fold → |cells|-row
     // rollup → sort; the scoring fan-out partial-aggregates map-side
-    "q158_centroid_silhouette" -> 5).withDefaultValue(3)
+    "q158_centroid_silhouette" -> 5,
+    // pair agg (the one corpus-scale shuffle) → w1 window marginal →
+    // per-w1 entropy agg + single-row total (broadcast back); top-30 is
+    // TakeOrderedAndProject
+    "q159_context_entropy" -> 4).withDefaultValue(3)
 
   // `stores` mode: the STORE-BACKED plans (the bench session's actual
   // shapes — the default/scale modes audit only conf-off derived plans).
@@ -342,6 +351,10 @@ object PlanAudit {
     // the corpus side still explodes doc bigrams by design (perplexity
     // is per-document)
     "q151_lm_ppl_bins" -> 9,
+    // chain merge agg → w1 marginal window → per-w1 entropy agg +
+    // single-row total (broadcast back); top-30 TakeOrdered — zero
+    // corpus (the pair table IS the input)
+    "q159_context_entropy" -> 4,
     // stored train-window read (chain merge) + eval h-keyed membership agg
     // + attribution probe + split rollups + assembly join + sort
     "q120_split_leakage" -> 7,
@@ -372,7 +385,8 @@ object PlanAudit {
     // it would only mislead a reader into thinking unlisted queries are
     // audited here
     "q74_ivf_multiprobe" -> 5)
-  private val storeCorpusFree = Set("q113_substring_windows", "q122_window_novelty")
+  private val storeCorpusFree =
+    Set("q113_substring_windows", "q122_window_novelty", "q159_context_entropy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

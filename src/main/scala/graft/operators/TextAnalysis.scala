@@ -788,6 +788,48 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("burst_e4").desc, col("df").desc, col("token"))
       .limit(30)
 
+  /** Per-context conditional entropy H(w2|w1) — the context-diversity
+    * readout next to q77's LM and q139's PMI (and the signal branching-
+    * entropy tokenizers like Unigram-LM segmentation weigh): for each
+    * context word w1, the Shannon entropy of its successor distribution
+    * in e3 bits, with its corpus share. A high-frequency context with
+    * near-zero entropy is a frozen template collocation; high-entropy
+    * contexts are where subword merges stop paying. Top-30 by
+    * (entropy desc, w1) — a unique total order.
+    *
+    * Numeric discipline: q151's exactly — each successor's −log2(p)
+    * quantizes half-up to e3 BEFORE aggregation, H(w1) is the
+    * n_pair-weighted half-up integer mean of those terms, share is an
+    * e4 integer ratio. Nothing fractional ever aggregates.
+    *
+    * Scale shape: the ONLY corpus-scale work is the pair aggregation —
+    * and under `graft.bigram.store` (5th consumer) even that disappears:
+    * the whole operator is then vocab²-bounded reads + a w1-partitioned
+    * window over the PAIR table (q77's bounded-partition argument) + a
+    * TakeOrdered top-30. The cheapest deep-audit in the text family.
+    */
+  private def q159(t: Tables): DataFrame = {
+    val pairs = storedBigrams(t).map(_.withColumnRenamed("n", "n_pair")).getOrElse(
+      docBigrams(t, Nil).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair")))
+    val byW1 = Window.partitionBy(col("w1"))
+    val total = pairs.agg(sum(col("n_pair")).as("n_total"))
+    pairs
+      .withColumn("n_w1", sum(col("n_pair")).over(byW1))
+      .withColumn(
+        "bits_e3",
+        expr("CAST(floor(-log2(CAST(n_pair AS DOUBLE) / n_w1) * 1000 + 0.5) AS BIGINT)"))
+      .groupBy(col("w1"))
+      .agg(
+        max(col("n_w1")).as("n_w1"),
+        count(lit(1)).as("n_successors"),
+        expr("(2 * sum(n_pair * bits_e3) + max(n_w1)) DIV (2 * max(n_w1))").as("entropy_e3"))
+      .join(broadcast(total))
+      .withColumn("share_e4", expr("(2 * 10000 * n_w1 + n_total) DIV (2 * n_total)"))
+      .select(col("w1"), col("n_w1"), col("n_successors"), col("entropy_e3"), col("share_e4"))
+      .orderBy(col("entropy_e3").desc, col("w1"))
+      .limit(30)
+  }
+
   /** Distributed BPE merge-pair counting — the inner step of byte-pair-
     * encoding tokenizer training (Sennrich et al. 2016): count adjacent
     * character-pair occurrences weighted by word frequency and surface the
@@ -1585,7 +1627,8 @@ object TextAnalysis extends QueryModule {
     "q126_pack_sweep" -> ((s, d) => q126(Tables(s, d))),
     "q151_lm_ppl_bins" -> ((s, d) => q151(Tables(s, d))),
     "q152_distinct_ngrams" -> ((s, d) => q152(Tables(s, d))),
-    "q155_token_burstiness" -> ((s, d) => q155(Tables(s, d)))
+    "q155_token_burstiness" -> ((s, d) => q155(Tables(s, d))),
+    "q159_context_entropy" -> ((s, d) => q159(Tables(s, d)))
   )
 
   // The q33/q84 gate inputs (score + repetition ratio) as shared CTEs —
@@ -2203,6 +2246,33 @@ object TextAnalysis extends QueryModule {
         | (2 * 10000 * multi_df + df) // (2 * df) AS burst_e4,
         | (2 * 100 * tf_total + df) // (2 * df) AS mean_tf_e2
         |FROM s WHERE df >= 20
-        |ORDER BY burst_e4 DESC, df DESC, token LIMIT 30""".stripMargin
+        |ORDER BY burst_e4 DESC, df DESC, token LIMIT 30""".stripMargin,
+    "q159_context_entropy" ->
+      """WITH w AS (
+        | SELECT string_split(text, ' ') AS words FROM documents
+        | WHERE len(string_split(text, ' ')) >= 2),
+        | bg AS (
+        | SELECT unnest(list_transform(range(1, len(words)),
+        |   i -> {'w1': words[i], 'w2': words[i + 1]})) AS b
+        | FROM w),
+        | p AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bg WHERE b.w1 <> '' AND b.w2 <> ''),
+        | cnt AS (SELECT w1, w2, count(*) AS n_pair FROM p GROUP BY w1, w2),
+        | tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM cnt),
+        | lm AS (
+        | SELECT w1, n_pair,
+        |  CAST(sum(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
+        | FROM cnt),
+        | bits AS (
+        | SELECT w1, n_pair, n_w1,
+        |  CAST(floor(-log2(CAST(n_pair AS DOUBLE) / n_w1) * 1000 + 0.5) AS BIGINT) AS bits_e3
+        | FROM lm),
+        | h AS (
+        | SELECT w1, max(n_w1) AS n_w1, count(*) AS n_successors,
+        |  (2 * sum(n_pair * bits_e3) + max(n_w1)) // (2 * max(n_w1)) AS entropy_e3
+        | FROM bits GROUP BY w1)
+        |SELECT w1, n_w1, n_successors, entropy_e3,
+        | (2 * 10000 * n_w1 + n_total) // (2 * n_total) AS share_e4
+        |FROM h, tot
+        |ORDER BY entropy_e3 DESC, w1 LIMIT 30""".stripMargin
   )
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * store maintains, pinned in the v=1 marker exactly like DedupIndex's
   * band count — an append can never silently mix families):
   *   - [[Unigram]]  (token, n): q76/q121/q130/q136's frequency table.
-  *   - [[Bigram]]   (w1, w2, n): q77/q97/q139/q151's adjacent-pair table.
+  *   - [[Bigram]]   (w1, w2, n): q77/q97/q139/q151/q159's adjacent-pair table.
   *   - [[WindowSrc]] (wh, source, n): per K-token window hash and source,
   *     the distinct documents carrying it — the train/corpus window stats
   *     q120/q122/q143/q146 probe (K pinned in the family name).
@@ -89,7 +89,7 @@ object FreqStore {
       pos.groupBy(col("token")).agg(count(lit(1)).as("n"))
   }
 
-  /** (w1, w2, n) adjacent word-pair occurrences — q77/q97/q139/q151's pair
+  /** (w1, w2, n) adjacent word-pair occurrences — q77/q97/q139/q151/q159's pair
     * table verbatim: ≥2-words guard (Spark's sequence(1, 0) descends),
     * pairs over the RAW word array, empty-member pairs dropped after.
     */

@@ -1391,6 +1391,40 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q159 context entropy matches an independent recomputation with its log2 bound") {
+    val bgs = docs.flatMap { case (_, text, _, _) =>
+      val ws = rawWords(text)
+      if (ws.length >= 2)
+        ws.sliding(2).collect { case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b) }.toSeq
+      else Seq.empty[(String, String)]
+    }
+    val pairCnt = bgs.groupBy(identity).map { case (bg, xs) => bg -> xs.size.toLong }
+    val w1Cnt = bgs.groupBy(_._1).map { case (w, xs) => w -> xs.size.toLong }
+    val nTotal = bgs.size.toLong
+    val expected = w1Cnt.map { case (w1, n1) =>
+      // toSeq first: collect on a Map producing (np, bits) pairs would
+      // rebuild a Map and silently merge equal-count successors
+      val terms = pairCnt.toSeq.collect { case ((a, _), np) if a == w1 =>
+        val bits = math.floor(-(math.log(np.toDouble / n1) / math.log(2.0)) * 1000 + 0.5).toLong
+        (np, bits)
+      }.toSeq
+      (w1, n1, terms.size.toLong,
+        hdiv(terms.map { case (np, b) => np * b }.sum, n1),
+        hdiv(10000L * n1, nTotal))
+    }.toSeq.sortBy { case (w1, _, _, h, _) => (-h, w1) }.take(30)
+    val got = SparkEntry.queries("q159_context_entropy")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+    // H(w2|w1) is bounded by log2 of the successor count (+1 for the e3
+    // per-term quantization drift)
+    got.foreach { case (w1, _, ns, h, share) =>
+      assert(h >= 0, w1)
+      assert(h <= math.ceil(math.log(ns.toDouble) / math.log(2.0) * 1000).toLong + ns, w1)
+      assert(share >= 0 && share <= 10000, w1)
+    }
+  }
+
   test("q152 reports explicit zeros, not NULLs, for a bigram-free source") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q152_crafted").toString

@@ -85,11 +85,12 @@ class LeakStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.win.store")
   }
 
-  test("store-backed q77/q97/q139/q151 equal derived (Bigram store)") {
+  test("store-backed q77/q97/q139/q151/q159 equal derived (Bigram store)") {
     val dir = tmp()
     val st = FreqStore.init(spark, dir, docs, FreqStore.Bigram)
     assert(st.family == "bigram")
-    val qs = Seq("q77_bigram_lm", "q97_rare_bigrams", "q139_pmi", "q151_lm_ppl_bins")
+    val qs = Seq("q77_bigram_lm", "q97_rare_bigrams", "q139_pmi", "q151_lm_ppl_bins",
+      "q159_context_entropy")
     val derived = qs.map(q => q -> rows(q)).toMap
     spark.conf.set("graft.bigram.store", dir)
     try qs.foreach { q =>
