@@ -242,6 +242,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val head2 =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs2,""" + common
+    // At 166 queries even the 2-decimal seconds map is ~1830 chars and the
+    // prep-bearing rungs overflow 1980 — the integer-CENTISECOND map
+    // ("queries_cs", unit in the name) buys ~2 chars/query, which is the
+    // difference between per-query detail + prep pricing + rep deltas all
+    // fitting, and the bare map alone squeaking in at zero margin.
+    // prep_s = [lsh_cache_s, stores_s] — the two roomy-rung prep fields
+    // as one compact array.
+    val qs3 = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + math.rint(v * 100).toLong
+    }.mkString("{", ",", "}")
+    val head3 =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries_cs":$qs3,""" +
+        s""""sf":"$sfShort","reps":$nReps,"agg":"min","load":[$loadStart,$loadEnd],""" +
+        s""""cpus":$cpus,"prep_s":[$prepLshS,$prepStoresS]"""
     val head2min =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs2,""" +
         s""""sf":"$sfShort","reps":$nReps,"agg":"min","load":[$loadStart,$loadEnd],"cpus":$cpus"""
@@ -252,7 +266,11 @@ object Bench {
         s"$head2,${slowestDelta(10)}}",
         s"$head2,${slowestDelta(8)}}",
         s"$head2,${slowestDelta(6)}}",
-        s"$head2}", s"$head2min}")
+        s"$head2}",
+        s"$head3$repsFileField,${slowestDelta(10)}}",
+        s"$head3,${slowestDelta(10)}}",
+        s"$head3}",
+        s"$head2min}")
     // 1980 against the 2000-char window: r12-r14 artifacts show only a
     // trailing newline after the line, and every step down the ladder
     // still parses

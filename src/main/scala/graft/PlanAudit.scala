@@ -24,13 +24,20 @@ object PlanAudit {
   private val expectBroadcast = Set(
     "q03_top_revenue", "q05_region_revenue", "q15_above_avg_groups", "q16_rollup_sales",
     "q27_catalog_tree", "q40_cosine_topk", "q41_embedding_neardup", "q43_ivf_search",
-    "q90_tfidf", "q92_source_overlap")
+    "q90_tfidf", "q92_source_overlap",
+    // r15 second wave: q161's top-200 vocab hint, q162/q164's single-row
+    // totals hints — each an explicit broadcast() the plan must keep
+    "q161_source_jsd", "q162_basket_pairs", "q164_kn_continuation")
   // q115's ground-truth branch is the q40 broadcast-sample scan — the
   // audit's declared, sample-bounded cost. (q50 was delisted in r13: it
   // has been a banded broadcast equi-join since r1, so a cartesian there
   // is a regression this audit must catch, not whitelist.)
+  // q161's cross is the |sources|²/2 totals grid — two |sources|-row
+  // aggregates, a mix-audit's handful of rows, never data-scale; it
+  // exists so a zero-overlap source pair still reports its JSD.
   private val allowCross =
-    Set("q40_cosine_topk", "q41_embedding_neardup", "q115_ivf_recall")
+    Set("q40_cosine_topk", "q41_embedding_neardup", "q115_ivf_recall",
+      "q161_source_jsd")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -53,13 +60,16 @@ object PlanAudit {
   // token stream); q139's bigram guards are q77's class exactly.
   // r15: q151's size(words) >= 2 guard is q77's class, q152/q155's
   // token <> '' filters are q76's class — all above computed splits,
-  // nothing at the scan to push; scans still prune to the text columns
+  // nothing at the scan to push; scans still prune to the text columns.
+  // Second wave: q160/q161/q163's token <> '' and q164's bigram guards
+  // are the same two classes exactly.
   private val allowUnpushed =
     Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm",
       "q90_tfidf", "q97_rare_bigrams", "q98_bm25", "q102_dsir", "q121_token_rarity",
       "q130_cms_calibration", "q136_vocab_coverage", "q139_pmi",
       "q151_lm_ppl_bins", "q152_distinct_ngrams", "q155_token_burstiness",
-      "q159_context_entropy")
+      "q159_context_entropy", "q160_zipf_slope", "q161_source_jsd",
+      "q163_token_gini", "q164_kn_continuation")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume.
   // q136's cumulative runs over the count-of-counts HISTOGRAM — ≤ √(2·Σ)
@@ -316,7 +326,30 @@ object PlanAudit {
     // pair agg (the one corpus-scale shuffle) → w1 window marginal →
     // per-w1 entropy agg + single-row total (broadcast back); top-30 is
     // TakeOrderedAndProject
-    "q159_context_entropy" -> 4).withDefaultValue(3)
+    "q159_context_entropy" -> 4,
+    // r15 second wave, measured textual counts:
+    // q161: the restricted-vocab subtree (corpus (source,token) agg →
+    // top-200 join → source-partitioned totals window) prints once per
+    // consuming branch (self-join a/b sides + the totals grid ×2) — AQE
+    // reuses the identical agg exchanges at runtime, so the corpus is
+    // scanned ONCE; every exchange after the agg is (|src|·200)-bounded
+    "q161_source_jsd" -> 18,
+    // q162: the distinct-items subtree prints per consuming branch
+    // (self-join ×2, part marginals, order total — AQE reuses); pair
+    // agg + two marginal joins, all basket- or co-occurrence-bounded
+    "q162_basket_pairs" -> 9,
+    // q164: the pair-table agg prints per consuming branch (left agg,
+    // right agg, |types| total — AQE reuses); the full-outer token join
+    // and everything after are vocab-bounded
+    "q164_kn_continuation" -> 6,
+    // q165: one (bin) count agg with the split flag collapsed into
+    // conditional sums + totals branch (AQE reuses) + the 3-pair
+    // explode's rollup — everything after the first agg is ≤10 rows
+    "q165_length_psi" -> 5,
+    // q166: user-keyed lag window (the one corpus-scale shuffle) →
+    // |types|² transition agg → prev-partitioned marginal window →
+    // per-state rollup → sort
+    "q166_event_transitions" -> 4).withDefaultValue(3)
 
   // `stores` mode: the STORE-BACKED plans (the bench session's actual
   // shapes — the default/scale modes audit only conf-off derived plans).
@@ -384,9 +417,14 @@ object PlanAudit {
     // filters on membership), so a defaulted budget could never apply —
     // it would only mislead a reader into thinking unlisted queries are
     // audited here
-    "q74_ivf_multiprobe" -> 5)
+    "q74_ivf_multiprobe" -> 5,
+    // chain merge agg (prints per consuming branch: left agg, right agg,
+    // |types| total — AQE reuses) → vocab-bounded full-outer token join;
+    // top-30 TakeOrdered — zero corpus (the pair table IS the input)
+    "q164_kn_continuation" -> 6)
   private val storeCorpusFree =
-    Set("q113_substring_windows", "q122_window_novelty", "q159_context_entropy")
+    Set("q113_substring_windows", "q122_window_novelty", "q159_context_entropy",
+      "q164_kn_continuation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1815,6 +1815,84 @@ object Dedup extends QueryModule {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** Population-stability-index drift audit over the splits' LENGTH
+    * structure (the PSI the credit-scoring world standardized; Siddiqi
+    * 2006) — the companion to q110's term-identity TV distance: two
+    * splits can agree on vocabulary yet differ in document SHAPE (one
+    * inherited the long-tail docs), which shifts loss curves without any
+    * term drift. Documents bucket by n_chars into width-100 bins capped
+    * at bin 9; per split pair, PSI = Σ(p−q)·ln(p/q) over Laplace-
+    * smoothed bin shares (+1 per bin — the standard PSI guard, making
+    * every bin total over empty cells), with the industry read
+    * (<0.1 stable, <0.25 moderate, else shifted) as a flag column.
+    *
+    * Numeric discipline: per (pair, bin) the term is ONE expression with
+    * one transcendental — (c⁺a/N⁺a − c⁺b/N⁺b)·ln(c⁺a·N⁺b/(c⁺b·N⁺a)) —
+    * written character-identically in both engines and quantized half-up
+    * to e6 BEFORE the sum (q151's rule); (p−q) and ln(p/q) share sign,
+    * so every term is ≥ 0 and psi_e6 is an exact sum with no division
+    * after it. The worst bin rides the zero-padded max-string trick
+    * (q110's).
+    *
+    * Scale shape: the corpus-scale work is ONE partial-aggregable
+    * (bin) count with the split flag collapsed into conditional sums
+    * (q110's discipline — never three passes); everything after runs on
+    * a ≤ 10-row histogram × 3 pairs. The md5 split rule is q103/q110's
+    * exactly, so the audit binds to the split family it governs.
+    */
+  private def q165(t: Tables): DataFrame = {
+    val counts = Tables.localSplit(t.documents, col("doc_id"))
+      .withColumn(
+        "bucket",
+        expr(s"${hexint32("md5(CAST(doc_id AS STRING))")}") % 100)
+      .withColumn(
+        "split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .withColumn("bin", expr("least(n_chars DIV 100, 9)"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("c_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("c_test"))
+    val totals = counts.agg(
+      sum(col("c_train")).as("t_train"),
+      sum(col("c_val")).as("t_val"),
+      sum(col("c_test")).as("t_test"),
+      count(lit(1)).as("n_bins"))
+    def arm(a: String, b: String) = struct(
+      lit(a).as("split_a"), lit(b).as("split_b"),
+      (col(s"c_$a") + lit(1L)).as("ca"), (col(s"c_$b") + lit(1L)).as("cb"),
+      (col(s"t_$a") + col("n_bins")).as("na"), (col(s"t_$b") + col("n_bins")).as("nb"),
+      col("bin").as("bin"))
+    counts
+      .join(broadcast(totals))
+      .select(explode(array(arm("train", "val"), arm("train", "test"), arm("val", "test"))).as("p"))
+      .select(col("p.*"))
+      .withColumn(
+        "term_e6",
+        expr(
+          "CAST(floor((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) * " +
+            "ln(CAST(ca AS DOUBLE) * nb / (CAST(cb AS DOUBLE) * na)) * 1000000 + 0.5) AS BIGINT)"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        max(col("na")).as("na_smoothed"),
+        max(col("nb")).as("nb_smoothed"),
+        sum(col("term_e6")).as("psi_e6"),
+        max(concat(lpad(col("term_e6").cast("string"), 19, "0"), lit(":"), col("bin").cast("string")))
+          .as("worst"))
+      .withColumn("worst_bin", expr("CAST(substr(worst, 21) AS BIGINT)"))
+      .withColumn(
+        "verdict",
+        when(col("psi_e6") < 100000, "stable")
+          .when(col("psi_e6") < 250000, "moderate")
+          .otherwise("shifted"))
+      .select(
+        col("split_a"), col("split_b"), col("n_bins"), col("na_smoothed"), col("nb_smoothed"),
+        col("psi_e6"), col("worst_bin"), col("verdict"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Exact-substring repeat detection (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the detection phase):
     * any substring of ≥ K tokens repeated ANYWHERE in the corpus is
@@ -1884,6 +1962,7 @@ object Dedup extends QueryModule {
     "q120_split_leakage" -> ((s, d) => q120(Tables(s, d))),
     "q122_window_novelty" -> ((s, d) => q122(Tables(s, d))),
     "q110_split_shift" -> ((s, d) => q110(Tables(s, d))),
+    "q165_length_psi" -> ((s, d) => q165(Tables(s, d))),
     "q107_delta_dedup" -> ((s, d) => q107(Tables(s, d))),
     "q95_overlap_sketch" -> ((s, d) => q95(Tables(s, d))),
     "q92_source_overlap" -> ((s, d) => q92(Tables(s, d))),
@@ -2167,6 +2246,49 @@ object Dedup extends QueryModule {
         | CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
         | round(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) / count(*), 4) AS novelty_share
         |FROM d JOIN sp USING (h) GROUP BY source ORDER BY source""".stripMargin,
+    "q165_length_psi" ->
+      s"""WITH d AS (
+         | SELECT ${hexint32("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket, n_chars
+         | FROM documents),
+         | s AS (
+         | SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |        ELSE 'test' END AS split,
+         |  least(n_chars // 100, 9) AS bin FROM d),
+         | c AS (
+         | SELECT bin,
+         |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+         |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_val,
+         |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS c_test
+         | FROM s GROUP BY bin),
+         | t AS (
+         | SELECT CAST(sum(c_train) AS BIGINT) AS t_train,
+         |  CAST(sum(c_val) AS BIGINT) AS t_val,
+         |  CAST(sum(c_test) AS BIGINT) AS t_test,
+         |  count(*) AS n_bins FROM c),
+         | p AS (
+         | SELECT 'train' AS split_a, 'val' AS split_b, c_train + 1 AS ca, c_val + 1 AS cb,
+         |  t_train + n_bins AS na, t_val + n_bins AS nb, bin FROM c CROSS JOIN t
+         | UNION ALL
+         | SELECT 'train', 'test', c_train + 1, c_test + 1,
+         |  t_train + n_bins, t_test + n_bins, bin FROM c CROSS JOIN t
+         | UNION ALL
+         | SELECT 'val', 'test', c_val + 1, c_test + 1,
+         |  t_val + n_bins, t_test + n_bins, bin FROM c CROSS JOIN t),
+         | f AS (
+         | SELECT *,
+         |  CAST(floor((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) * ln(CAST(ca AS DOUBLE) * nb / (CAST(cb AS DOUBLE) * na)) * 1000000 + 0.5) AS BIGINT) AS term_e6
+         | FROM p),
+         | g AS (
+         | SELECT split_a, split_b, count(*) AS n_bins,
+         |  max(na) AS na_smoothed, max(nb) AS nb_smoothed,
+         |  CAST(sum(term_e6) AS BIGINT) AS psi_e6,
+         |  max(lpad(CAST(term_e6 AS VARCHAR), 19, '0') || ':' || CAST(bin AS VARCHAR)) AS worst
+         | FROM f GROUP BY split_a, split_b)
+         |SELECT split_a, split_b, n_bins, na_smoothed, nb_smoothed, psi_e6,
+         | CAST(substr(worst, 21) AS BIGINT) AS worst_bin,
+         | CASE WHEN psi_e6 < 100000 THEN 'stable'
+         |      WHEN psi_e6 < 250000 THEN 'moderate' ELSE 'shifted' END AS verdict
+         |FROM g ORDER BY split_a, split_b""".stripMargin,
     "q110_split_shift" ->
       s"""WITH d AS (
          | SELECT ${hexint32("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket, text

@@ -736,8 +736,104 @@ object Extras extends QueryModule {
         expr("(2 * sum(n_points) + count(1)) DIV (2 * count(1))").as("mean_tile_points"))
       .orderBy(col("z"))
 
+  /** Frequent part-pair co-occurrence within orders (Agrawal & Srikant
+    * 1994's support/lift readout, the market-basket classic): for each
+    * part pair bought together in ≥ 2 distinct orders, the support count
+    * and the lift against independence — the cross-sell/association
+    * readout every retail-shaped lake runs, and the same blocked
+    * self-join shape a curation pipeline uses for co-occurring tag/label
+    * mining. Lift is an exact integer e4 ratio: lift = n_pair·N /
+    * (n_p1·n_p2), one half-up division of long products (n_pair·N ≤
+    * ~10⁹·10⁹ overflows past ~10¹⁸ order-pairs — far beyond any real
+    * basket table; q110's DECIMAL guard pattern applies if ever needed).
+    * Top-25 by (support desc, p1, p2) — a unique total order.
+    *
+    * Scale shape: the self-join blocks on the ORDER key, so pair work is
+    * Σ|basket|² — basket-bounded, never catalog² (q101's blocking
+    * argument); the pair aggregate is co-occurrence-bounded; part
+    * marginals are a |parts|-row agg broadcast onto the survivors; the
+    * order total is a single-row broadcast; top-25 is TakeOrdered.
+    */
+  private def q162(t: Tables): DataFrame = {
+    val items = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 2)
+    val marg = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val totals = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    pairs
+      .join(marg.select(col("l_partkey").as("p1"), col("n_part").as("n_p1")), Seq("p1"))
+      .join(marg.select(col("l_partkey").as("p2"), col("n_part").as("n_p2")), Seq("p2"))
+      .join(broadcast(totals))
+      .withColumn(
+        "lift_e4",
+        expr("(2 * 10000 * n_pair * n_orders + n_p1 * n_p2) DIV (2 * n_p1 * n_p2)"))
+      .select(col("p1"), col("p2"), col("n_pair"), col("n_p1"), col("n_p2"), col("lift_e4"))
+      .orderBy(col("n_pair").desc, col("p1"), col("p2"))
+      .limit(25)
+  }
+
+  /** Event-type Markov transition audit — q159's branching-entropy
+    * discipline applied to the BEHAVIORAL sequence (the event-stream
+    * quality gate next to q96's fixed funnel): per source event type,
+    * the successor-type distribution's Shannon entropy in e3 bits, the
+    * transition count, and the modal next type with its share. A state
+    * whose entropy collapses is a scripted/bot flow; the modal-successor
+    * share is the same signal as a ratio. Per-user ordering is
+    * (ts, event_id) — a unique total order, so lag() is deterministic.
+    *
+    * Numeric discipline: each −log2(n/n_from) quantizes half-up to e3
+    * BEFORE the weighted mean (q151's rule); the modal pick is the
+    * zero-padded max-string trick (q110's) — one agg, no second window,
+    * deterministic ties; share is an e4 half-up integer ratio.
+    *
+    * Scale shape: ONE corpus-scale shuffle on user_id carries the lag
+    * window (q20's sessionize shape — per-user partitions); the
+    * transition aggregate partial-aggregates onto ≤ |types|² keys, and
+    * everything after is transition-matrix-scale.
+    */
+  private def q166(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // user-attributed events only (q153's rule — a null-user partition
+    // would chain unrelated anonymous rows into one fake session)
+    val trans = t.events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy(col("prev"))))
+      .withColumn(
+        "bits_e3",
+        expr("CAST(floor(-log2(CAST(n AS DOUBLE) / n_from) * 1000 + 0.5) AS BIGINT)"))
+      .groupBy(col("prev"))
+      .agg(
+        max(col("n_from")).as("n_from"),
+        count(lit(1)).as("n_successors"),
+        expr("(2 * sum(n * bits_e3) + max(n_from)) DIV (2 * max(n_from))").as("entropy_e3"),
+        max(concat(lpad(col("n").cast("string"), 19, "0"), lit(":"), col("event_type")))
+          .as("modal"))
+      .withColumn("top_next", expr("substr(modal, 21)"))
+      // CAST eats the zero-padding directly (Spark's two-arg ltrim takes
+      // (trimStr, str) — reversed vs DuckDB — so neither engine trims)
+      .withColumn("top_next_n", expr("CAST(substr(modal, 1, 19) AS BIGINT)"))
+      .withColumn("top_share_e4", expr("(2 * 10000 * top_next_n + n_from) DIV (2 * n_from)"))
+      .select(
+        col("prev"), col("n_from"), col("n_successors"), col("entropy_e3"),
+        col("top_next"), col("top_next_n"), col("top_share_e4"))
+      .orderBy(col("prev"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_k_anonymity" -> ((s, d) => q153(Tables(s, d))),
+    "q162_basket_pairs" -> ((s, d) => q162(Tables(s, d))),
+    "q166_event_transitions" -> ((s, d) => q166(Tables(s, d))),
     "q156_tile_pyramid" -> ((s, d) => q156(Tables(s, d))),
     "q125_activity_streaks" -> ((s, d) => q125(Tables(s, d))),
     "q128_temperature_mix" -> ((s, d) => q128(Tables(s, d))),
@@ -767,6 +863,49 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q162_basket_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | p AS (
+        | SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_pair
+        | FROM i a JOIN i b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2),
+        | m AS (SELECT l_partkey, count(*) AS n_part FROM i GROUP BY l_partkey),
+        | t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM i)
+        |SELECT p1, p2, n_pair, m1.n_part AS n_p1, m2.n_part AS n_p2,
+        | (2 * 10000 * n_pair * n_orders + m1.n_part * m2.n_part)
+        |  // (2 * m1.n_part * m2.n_part) AS lift_e4
+        |FROM p
+        |JOIN m m1 ON p.p1 = m1.l_partkey
+        |JOIN m m2 ON p.p2 = m2.l_partkey
+        |CROSS JOIN t
+        |ORDER BY n_pair DESC, p1, p2 LIMIT 25""".stripMargin,
+    "q166_event_transitions" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events WHERE user_id IS NOT NULL),
+        | tr AS (
+        | SELECT prev, event_type, count(*) AS n FROM e
+        | WHERE prev IS NOT NULL GROUP BY prev, event_type),
+        | wn AS (
+        | SELECT prev, event_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS n_from FROM tr),
+        | b AS (
+        | SELECT prev, event_type, n, n_from,
+        |  CAST(floor(-log2(CAST(n AS DOUBLE) / n_from) * 1000 + 0.5) AS BIGINT) AS bits_e3
+        | FROM wn),
+        | h AS (
+        | SELECT prev, max(n_from) AS n_from, count(*) AS n_successors,
+        |  (2 * sum(n * bits_e3) + max(n_from)) // (2 * max(n_from)) AS entropy_e3,
+        |  max(lpad(CAST(n AS VARCHAR), 19, '0') || ':' || event_type) AS modal
+        | FROM b GROUP BY prev)
+        |SELECT prev, n_from, n_successors, entropy_e3,
+        | substr(modal, 21) AS top_next,
+        | CAST(substr(modal, 1, 19) AS BIGINT) AS top_next_n,
+        | (2 * 10000 * CAST(substr(modal, 1, 19) AS BIGINT) + n_from)
+        |  // (2 * n_from) AS top_share_e4
+        |FROM h ORDER BY prev""".stripMargin,
     "q133_user_concentration" ->
       """WITH pu AS (
         | SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -830,6 +830,238 @@ object TextAnalysis extends QueryModule {
       .limit(30)
   }
 
+  /** The per-source (token, count) vocabulary table — the shared input of
+    * the q160/q163 distribution-shape audits. One corpus-scale shuffle on
+    * the (source, token) key, partial-aggregable map-side; the result is
+    * per-source-vocab-bounded, which is what both consumers' windows
+    * partition on.
+    */
+  private def sourceVocab(t: Tables): DataFrame =
+    withWords(t)
+      .select(col("source"), explode(col("words")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-source Zipf rank-frequency fit (Zipf 1949; the power-law
+    * diagnostic Piantadosi 2014 surveys): OLS slope magnitude of
+    * ln(freq) on ln(rank) over each source's top-100 vocabulary. Natural
+    * text sits near slope 1; a source far below is vocabulary-flat
+    * (lists, logs, templates), far above is dominated by a few stamped
+    * tokens — either way not prose, and a mix curator wants the number
+    * per source next to q152's distinct-n and q33's quality score.
+    *
+    * Numeric discipline: both lns quantize half-up to e4 integers FIRST
+    * (q151's quantize-before-aggregate rule), so every OLS sum is an
+    * exact long and the one slope division is the only rounding step.
+    * num = ΣxΣy − nΣxy and den = nΣx² − (Σx)² are both ≥ 0 exactly: x
+    * increases with rank while y is non-increasing (Chebyshev's sum
+    * inequality), and floor-quantization preserves the monotonicity.
+    * |2·10⁴·num| ≲ 2·10⁴·n·Σxy stays under 2⁶³ through count ~10¹² —
+    * corpus-size-safe because only the top-100 ranks enter the sums.
+    *
+    * Scale shape: the one corpus-scale shuffle is the shared
+    * [[sourceVocab]] agg; the rank window partitions BY source (per-
+    * partition size = that source's vocab — spillable, never global);
+    * only 100 rows per source survive into the OLS sums.
+    */
+  private def q160(t: Tables): DataFrame =
+    sourceVocab(t)
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("c").desc, col("token"))))
+      .filter(col("rank") <= 100)
+      .withColumn("x", expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * 10000 + 0.5) AS BIGINT)"))
+      .withColumn("y", expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 10000 + 0.5) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_ranks"),
+        max(col("c")).as("top_freq"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("sx") * col("sy") - col("n_ranks") * col("sxy"))
+      .withColumn("den", col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+      .withColumn(
+        "slope_mag_e4",
+        expr("CASE WHEN den = 0 THEN CAST(0 AS BIGINT) ELSE (2 * 10000 * num + den) DIV (2 * den) END"))
+      .select(col("source"), col("n_ranks"), col("top_freq"), col("slope_mag_e4"))
+      .orderBy(col("source"))
+
+  /** Per-source Gini coefficient of the token-frequency distribution —
+    * the single-number concentration readout next to q160's power-law
+    * slope and q136's coverage curve: 0 is a uniform vocabulary, →1 is
+    * a handful of tokens owning the mass. The classic rank formula over
+    * ascending-sorted counts, G = (2·Σi·cᵢ − (n+1)·Σc)/(n·Σc), is
+    * integer-EXACT end to end — no transcendental anywhere — and the
+    * numerator is ≥ 0 by the same Chebyshev argument as q160 (i
+    * ascending, cᵢ ascending). Only the final e6 division rounds.
+    *
+    * Scale shape: [[sourceVocab]] is the one corpus-scale shuffle; the
+    * ascending-rank window partitions by source (vocab-bounded,
+    * spillable); the rollup is |source| rows. Σi·cᵢ ≤ vocab·Σc overflows
+    * 2⁶³ past ~10¹⁸ token·rank products — `graft.gini.decimal=true`
+    * routes the rank products and their sum through DECIMAL(38,0) with
+    * the same plan shape (q110's guard pattern; spec-pinned identical at
+    * current scale).
+    */
+  private def q163(t: Tables): DataFrame = {
+    val big: Column => Column =
+      if (t.spark.conf.get("graft.gini.decimal", "false").toBoolean) _.cast("decimal(19,0)")
+      else identity
+    sourceVocab(t)
+      .withColumn(
+        "i",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("c").asc, col("token"))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(big(col("i")) * big(col("c"))).as("si"))
+      .withColumn("num", lit(2) * col("si") - (col("n_types") + lit(1)) * col("n_tokens"))
+      .withColumn("den", col("n_types") * col("n_tokens"))
+      .withColumn("gini_e6", expr("CAST((2 * 1000000 * num + den) DIV (2 * den) AS BIGINT)"))
+      .select(col("source"), col("n_types"), col("n_tokens"), col("gini_e6"))
+      .orderBy(col("source"))
+  }
+
+  /** Kneser-Ney continuation-count audit (Kneser & Ney 1995; the count
+    * that replaces raw frequency in every modern smoothed LM): for each
+    * token, how many DISTINCT left contexts it follows — continuation
+    * probability P_cont = |{w1 : c(w1,w) > 0}| / |bigram types| — next
+    * to its raw occurrence count as a bigram second element. The
+    * separation is the classic "Francisco" diagnostic: a high-frequency
+    * token with few left contexts is a frozen-collocation element that a
+    * unigram back-off would badly over-weight, and in a training corpus
+    * it marks template stamping that raw q76 frequencies cannot see.
+    * `clump_e2` (mean occurrences per distinct context) is the same
+    * signal as a ratio.
+    *
+    * All-integer off the distinct PAIR table: counts, one broadcast
+    * |types| scalar, two half-up integer divisions. Top-30 by
+    * (cont_e6 desc, token) — a unique total order.
+    *
+    * Scale shape: 6th `graft.bigram.store` consumer — store-backed the
+    * operator is CORPUS-FREE (q159's class, pinned in the stores-mode
+    * audit): two vocab-bounded aggs over the pair table, a vocab-scale
+    * full-outer join on the token key, a single-row broadcast, TakeOrdered
+    * top-30. Derived, the pair agg is the one corpus-scale shuffle.
+    */
+  private def q164(t: Tables): DataFrame = {
+    val pairs = storedBigrams(t).map(_.withColumnRenamed("n", "n_pair")).getOrElse(
+      docBigrams(t, Nil).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair")))
+    val tot = pairs.agg(count(lit(1)).as("n_types"))
+    // both sides derive from the same pair table — alias before the
+    // self-join or the analyzer rejects the join keys as ambiguous
+    val left = pairs
+      .groupBy(col("w2"))
+      .agg(count(lit(1)).as("n_left_ctx"), sum(col("n_pair")).as("n_as_second"))
+      .as("l")
+    val right = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_right_ctx")).as("r")
+    left
+      .join(right, col("l.w2") === col("r.w1"), "full_outer")
+      .select(
+        coalesce(col("l.w2"), col("r.w1")).as("token"),
+        coalesce(col("n_left_ctx"), lit(0L)).as("n_left_ctx"),
+        coalesce(col("n_as_second"), lit(0L)).as("n_as_second"),
+        coalesce(col("n_right_ctx"), lit(0L)).as("n_right_ctx"))
+      .join(broadcast(tot))
+      .withColumn("cont_e6", expr("(2 * 1000000 * n_left_ctx + n_types) DIV (2 * n_types)"))
+      .withColumn(
+        "clump_e2",
+        expr("CASE WHEN n_left_ctx = 0 THEN CAST(0 AS BIGINT) ELSE (2 * 100 * n_as_second + n_left_ctx) DIV (2 * n_left_ctx) END"))
+      .select(
+        col("token"), col("n_left_ctx"), col("n_right_ctx"), col("n_as_second"),
+        col("cont_e6"), col("clump_e2"))
+      .orderBy(col("cont_e6").desc, col("token"))
+      .limit(30)
+  }
+
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions (Lin 1991; the symmetric, bounded [0,1]-bit mix
+    * distance DoReMi-style reweighting and dataset-mix audits read):
+    * which sources are interchangeable and which contribute a genuinely
+    * distinct distribution. Distributions are restricted to the corpus
+    * top-200 vocabulary and renormalized (declared semantic — JSD over
+    * open vocabulary would put the whole mass question in the tail);
+    * top-20 most-divergent pairs.
+    *
+    * Numeric discipline: for tokens BOTH sources carry, each of the two
+    * pointwise KL terms — (c_a/n_a)·log2(2·c_a·n_b / (c_a·n_b +
+    * c_b·n_a)), its ½ factor folded into the quantizer — is ONE
+    * expression with one transcendental, written CHARACTER-identically
+    * in both engines, quantized half-up to ½e6 units BEFORE aggregation
+    * (q151's rule; e6 rather than e9 keeps a last-ulp log2 disagreement
+    * ~10⁻¹⁶ nine orders of magnitude away from a rounding boundary).
+    * Tokens EXCLUSIVE to one side need no log at all: their pointwise
+    * term collapses to p·log2(2p/p) = p, so each side's whole exclusive
+    * mass enters as ONE exact integer division, (n−sh)/n in ½e6 units —
+    * which is also what lets the plan skip the zero-padded token grid
+    * entirely. The pointwise pair-sum is ≥ 0 by the log-sum inequality.
+    *
+    * Scale shape: the one corpus-scale shuffle is [[sourceVocab]];
+    * top-200 vocab is a TakeOrdered broadcast; shared terms come from a
+    * token-keyed self-join of the restricted (|src|·200)-row relation;
+    * the |src|²/2 totals grid is the declared dim×dim cross (sources
+    * are a mix-audit's handful, never data-scale) and exists only so a
+    * hypothetical zero-overlap pair still reports (its jsd is the two
+    * exclusive lumps).
+    */
+  private def q161(t: Tables): DataFrame = {
+    val cnt = sourceVocab(t)
+    val topv = cnt
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("token"))
+      .limit(200)
+      .select(col("token"))
+    val restricted = cnt
+      .join(broadcast(topv), Seq("token"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+    val totals = restricted.groupBy(col("source")).agg(max(col("n")).as("n"))
+    val grid = totals
+      .select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(totals.select(col("source").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    val term = (side: String, other: String) =>
+      s"""CAST(floor(CAST(c_$side AS DOUBLE) / n_$side *
+         | log2(2.0 * c_$side * n_$other /
+         |  (CAST(c_a AS DOUBLE) * n_b + CAST(c_b AS DOUBLE) * n_a)) *
+         | 500000 + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")
+    val shared = restricted.as("a")
+      .join(
+        restricted.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.c").as("c_a"), col("b.c").as("c_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .withColumn("t_ab", expr(term("a", "b")))
+      .withColumn("t_ba", expr(term("b", "a")))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(
+        count(lit(1)).as("n_shared"),
+        sum(col("c_a")).as("sh_a"),
+        sum(col("c_b")).as("sh_b"),
+        sum(col("t_ab") + col("t_ba")).as("shared_e6"))
+    grid
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("sh_a", coalesce(col("sh_a"), lit(0L)))
+      .withColumn("sh_b", coalesce(col("sh_b"), lit(0L)))
+      .withColumn(
+        "jsd_e6",
+        coalesce(col("shared_e6"), lit(0L))
+          + expr("(2 * 500000 * (n_a - sh_a) + n_a) DIV (2 * n_a)")
+          + expr("(2 * 500000 * (n_b - sh_b) + n_b) DIV (2 * n_b)"))
+      .select(
+        col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a").as("tokens_a"), col("n_b").as("tokens_b"), col("jsd_e6"))
+      .orderBy(col("jsd_e6").desc, col("src_a"), col("src_b"))
+      .limit(20)
+  }
+
   /** Distributed BPE merge-pair counting — the inner step of byte-pair-
     * encoding tokenizer training (Sennrich et al. 2016): count adjacent
     * character-pair occurrences weighted by word frequency and surface the
@@ -1628,7 +1860,11 @@ object TextAnalysis extends QueryModule {
     "q151_lm_ppl_bins" -> ((s, d) => q151(Tables(s, d))),
     "q152_distinct_ngrams" -> ((s, d) => q152(Tables(s, d))),
     "q155_token_burstiness" -> ((s, d) => q155(Tables(s, d))),
-    "q159_context_entropy" -> ((s, d) => q159(Tables(s, d)))
+    "q159_context_entropy" -> ((s, d) => q159(Tables(s, d))),
+    "q160_zipf_slope" -> ((s, d) => q160(Tables(s, d))),
+    "q161_source_jsd" -> ((s, d) => q161(Tables(s, d))),
+    "q163_token_gini" -> ((s, d) => q163(Tables(s, d))),
+    "q164_kn_continuation" -> ((s, d) => q164(Tables(s, d)))
   )
 
   // The q33/q84 gate inputs (score + repetition ratio) as shared CTEs —
@@ -2273,6 +2509,117 @@ object TextAnalysis extends QueryModule {
         |SELECT w1, n_w1, n_successors, entropy_e3,
         | (2 * 10000 * n_w1 + n_total) // (2 * n_total) AS share_e4
         |FROM h, tot
-        |ORDER BY entropy_e3 DESC, w1 LIMIT 30""".stripMargin
+        |ORDER BY entropy_e3 DESC, w1 LIMIT 30""".stripMargin,
+    "q160_zipf_slope" ->
+      """WITH tok AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        | c AS (
+        | SELECT source, token, count(*) AS c FROM tok WHERE token <> ''
+        | GROUP BY source, token),
+        | r AS (
+        | SELECT source, token, c,
+        |  row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS rank
+        | FROM c),
+        | q AS (
+        | SELECT source, c,
+        |  CAST(floor(ln(CAST(rank AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
+        |  CAST(floor(ln(CAST(c AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
+        | FROM r WHERE rank <= 100),
+        | s AS (
+        | SELECT source, count(*) AS n_ranks, max(c) AS top_freq,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM q GROUP BY source)
+        |SELECT source, n_ranks, top_freq,
+        | CASE WHEN n_ranks * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE (2 * 10000 * (sx * sy - n_ranks * sxy) + (n_ranks * sxx - sx * sx))
+        |       // (2 * (n_ranks * sxx - sx * sx)) END AS slope_mag_e4
+        |FROM s ORDER BY source""".stripMargin,
+    "q161_source_jsd" ->
+      """WITH tok AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        | c AS (
+        | SELECT source, token, count(*) AS c FROM tok WHERE token <> ''
+        | GROUP BY source, token),
+        | topv AS (
+        | SELECT token FROM (
+        |  SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM c GROUP BY token) t
+        | ORDER BY ct DESC, token LIMIT 200),
+        | rc AS (SELECT c.source, c.token, c.c FROM c JOIN topv USING (token)),
+        | tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM rc GROUP BY source),
+        | grid AS (
+        | SELECT a.source AS src_a, a.n AS n_a, b.source AS src_b, b.n AS n_b
+        | FROM tt a JOIN tt b ON a.source < b.source),
+        | terms AS (
+        | SELECT a.source AS src_a, b.source AS src_b, a.c AS c_a, b.c AS c_b,
+        |  ta.n AS n_a, tb.n AS n_b
+        | FROM rc a
+        | JOIN rc b ON a.token = b.token AND a.source < b.source
+        | JOIN tt ta ON ta.source = a.source
+        | JOIN tt tb ON tb.source = b.source),
+        | q AS (
+        | SELECT src_a, src_b,
+        |  CAST(floor(CAST(c_a AS DOUBLE) / n_a * log2(2.0 * c_a * n_b / (CAST(c_a AS DOUBLE) * n_b + CAST(c_b AS DOUBLE) * n_a)) * 500000 + 0.5) AS BIGINT) AS t_ab,
+        |  CAST(floor(CAST(c_b AS DOUBLE) / n_b * log2(2.0 * c_b * n_a / (CAST(c_a AS DOUBLE) * n_b + CAST(c_b AS DOUBLE) * n_a)) * 500000 + 0.5) AS BIGINT) AS t_ba,
+        |  c_a, c_b
+        | FROM terms),
+        | sh AS (
+        | SELECT src_a, src_b, count(*) AS n_shared,
+        |  CAST(sum(c_a) AS BIGINT) AS sh_a, CAST(sum(c_b) AS BIGINT) AS sh_b,
+        |  CAST(sum(t_ab + t_ba) AS BIGINT) AS shared_e6
+        | FROM q GROUP BY src_a, src_b)
+        |SELECT grid.src_a, grid.src_b,
+        | COALESCE(n_shared, 0) AS n_shared,
+        | n_a AS tokens_a, n_b AS tokens_b,
+        | COALESCE(shared_e6, 0)
+        |  + (2 * 500000 * (n_a - COALESCE(sh_a, 0)) + n_a) // (2 * n_a)
+        |  + (2 * 500000 * (n_b - COALESCE(sh_b, 0)) + n_b) // (2 * n_b) AS jsd_e6
+        |FROM grid
+        |LEFT JOIN sh ON grid.src_a = sh.src_a AND grid.src_b = sh.src_b
+        |ORDER BY jsd_e6 DESC, grid.src_a, grid.src_b LIMIT 20""".stripMargin,
+    "q163_token_gini" ->
+      """WITH tok AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        | c AS (
+        | SELECT source, token, count(*) AS c FROM tok WHERE token <> ''
+        | GROUP BY source, token),
+        | r AS (
+        | SELECT source, c,
+        |  row_number() OVER (PARTITION BY source ORDER BY c ASC, token) AS i
+        | FROM c),
+        | s AS (
+        | SELECT source, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(i * c) AS BIGINT) AS si
+        | FROM r GROUP BY source)
+        |SELECT source, n_types, n_tokens,
+        | (2 * 1000000 * (2 * si - (n_types + 1) * n_tokens) + n_types * n_tokens)
+        |  // (2 * n_types * n_tokens) AS gini_e6
+        |FROM s ORDER BY source""".stripMargin,
+    "q164_kn_continuation" ->
+      """WITH w AS (
+        | SELECT string_split(text, ' ') AS words FROM documents
+        | WHERE len(string_split(text, ' ')) >= 2),
+        | bg AS (
+        | SELECT unnest(list_transform(range(1, len(words)),
+        |   i -> {'w1': words[i], 'w2': words[i + 1]})) AS b
+        | FROM w),
+        | p AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bg WHERE b.w1 <> '' AND b.w2 <> ''),
+        | cnt AS (SELECT w1, w2, count(*) AS n_pair FROM p GROUP BY w1, w2),
+        | tot AS (SELECT count(*) AS n_types FROM cnt),
+        | l AS (
+        | SELECT w2, count(*) AS n_left_ctx, CAST(sum(n_pair) AS BIGINT) AS n_as_second
+        | FROM cnt GROUP BY w2),
+        | r AS (SELECT w1, count(*) AS n_right_ctx FROM cnt GROUP BY w1),
+        | j AS (
+        | SELECT COALESCE(l.w2, r.w1) AS token,
+        |  COALESCE(n_left_ctx, 0) AS n_left_ctx,
+        |  COALESCE(n_as_second, 0) AS n_as_second,
+        |  COALESCE(n_right_ctx, 0) AS n_right_ctx
+        | FROM l FULL OUTER JOIN r ON l.w2 = r.w1)
+        |SELECT token, n_left_ctx, n_right_ctx, n_as_second,
+        | (2 * 1000000 * n_left_ctx + n_types) // (2 * n_types) AS cont_e6,
+        | CASE WHEN n_left_ctx = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE (2 * 100 * n_as_second + n_left_ctx) // (2 * n_left_ctx) END AS clump_e2
+        |FROM j, tot ORDER BY cont_e6 DESC, token LIMIT 30""".stripMargin
   )
 }

@@ -36,7 +36,7 @@ class BuildStoresSpec extends AnyFunSuite {
     val consumers = Seq(
       "q121_token_rarity", "q130_cms_calibration", "q136_vocab_coverage", // unigram
       "q77_bigram_lm", "q97_rare_bigrams", "q139_pmi", "q151_lm_ppl_bins",
-      "q159_context_entropy",                                             // bigram
+      "q159_context_entropy", "q164_kn_continuation",                     // bigram
       "q120_split_leakage", "q143_leakage_by_source", "q146_leak_severity", // leak
       "q122_window_novelty", "q113_substring_windows",                    // windoc
       "q107_delta_dedup",                                                 // dedup index

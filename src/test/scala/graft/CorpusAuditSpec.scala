@@ -1463,4 +1463,132 @@ class CorpusAuditSpec extends AnyFunSuite {
       assert(mtf >= 100, tok)
     }
   }
+
+  // the q160/q163 shared input: per-source token frequencies
+  private def srcCounts: Map[String, Map[String, Long]] =
+    docs.groupBy(_._3).map { case (src, xs) =>
+      src -> xs.flatMap(d => rawWords(d._2)).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, ys) => t -> ys.size.toLong }
+    }
+
+  test("q160 zipf slope matches an independent OLS recomputation") {
+    val expected = srcCounts.map { case (src, cnt) =>
+      val pts = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(100).zipWithIndex
+        .map { case ((_, c), i) =>
+          (math.floor(math.log((i + 1).toDouble) * 10000 + 0.5).toLong,
+            math.floor(math.log(c.toDouble) * 10000 + 0.5).toLong)
+        }
+      val n = pts.size.toLong
+      val sx = pts.map(_._1).sum
+      val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val num = sx * sy - n * sxy
+      val den = n * sxx - sx * sx
+      (src, n, cnt.values.max, if (den == 0) 0L else hdiv(10000L * num, den))
+    }.toSet
+    val got = SparkEntry.queries("q160_zipf_slope")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    // Chebyshev's sum inequality: the slope magnitude of desc-ranked
+    // counts is never negative
+    got.foreach { case (src, n, top, s) =>
+      assert(s >= 0, src)
+      assert(n >= 1 && top >= 1, src)
+    }
+  }
+
+  test("q163 token gini matches an independent rank recomputation, decimal path identical") {
+    val expected = srcCounts.map { case (src, cnt) =>
+      val asc = cnt.toSeq.sortBy { case (t, c) => (c, t) }
+      val n = asc.size.toLong
+      val s = asc.map(_._2).sum
+      val si = asc.zipWithIndex.map { case ((_, c), i) => (i + 1).toLong * c }.sum
+      (src, n, s, hdiv(1000000L * (2 * si - (n + 1) * s), n * s))
+    }.toSet
+    def run() = SparkEntry.queries("q163_token_gini")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = run()
+    assert(got == expected)
+    // Gini lives in [0, 1); 0 exactly iff all counts equal
+    got.foreach { case (src, _, _, g) => assert(g >= 0 && g < 1000000, src) }
+    // the >2^63 DECIMAL guard is output-identical at current scale
+    spark.conf.set("graft.gini.decimal", "true")
+    try assert(run() == expected, "DECIMAL gini path diverges from the long path")
+    finally spark.conf.unset("graft.gini.decimal")
+  }
+
+  test("q164 continuation counts match an independent recomputation") {
+    val bgs = docs.flatMap { case (_, text, _, _) =>
+      val ws = rawWords(text)
+      if (ws.length >= 2)
+        ws.sliding(2).collect { case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b) }.toSeq
+      else Seq.empty[(String, String)]
+    }
+    val pairCnt = bgs.groupBy(identity).map { case (bg, xs) => bg -> xs.size.toLong }
+    val tTypes = pairCnt.size.toLong
+    val leftCtx = pairCnt.keys.toSeq.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val asSecond = pairCnt.toSeq.groupBy(_._1._2).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val rightCtx = pairCnt.keys.toSeq.groupBy(_._1).map { case (w, xs) => w -> xs.size.toLong }
+    val expected = (leftCtx.keySet ++ rightCtx.keySet).toSeq.map { tok =>
+      val nl = leftCtx.getOrElse(tok, 0L)
+      val nas = asSecond.getOrElse(tok, 0L)
+      val nr = rightCtx.getOrElse(tok, 0L)
+      (tok, nl, nr, nas, hdiv(1000000L * nl, tTypes),
+        if (nl == 0) 0L else hdiv(100L * nas, nl))
+    }.sortBy { case (tok, _, _, _, ce, _) => (-ce, tok) }.take(30)
+    val got = SparkEntry.queries("q164_kn_continuation")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected)
+    // continuation probability is a share of bigram TYPES; a token's
+    // occurrence count as a second element is ≥ its context count (each
+    // context contributes ≥ 1 occurrence) — the clump ratio's floor
+    got.foreach { case (tok, nl, _, nas, ce, clump) =>
+      assert(ce >= 0 && ce <= 1000000, tok)
+      assert(nas >= nl, tok)
+      assert(nl == 0 || clump >= 100, tok)
+    }
+  }
+
+  test("q161 source JSD matches an independent recomputation inside its [0,1] bound") {
+    val cnt = docs.groupBy(_._3).map { case (src, xs) =>
+      src -> xs.flatMap(d => rawWords(d._2)).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, ys) => t -> ys.size.toLong }
+    }
+    val top = cnt.values.flatten.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(200).map(_._1).toSet
+    val rc = cnt.map { case (s, m) => s -> m.filter(kv => top(kv._1)) }
+    val n = rc.map { case (s, m) => s -> m.values.sum }
+    val srcs = rc.keys.toSeq.sorted
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val (ma, mb) = (rc(a), rc(b))
+      val (na, nb) = (n(a), n(b))
+      val shared = (ma.keySet & mb.keySet).toSeq
+      val sharedE6 = shared.map { t =>
+        val (ca, cb) = (ma(t), mb(t))
+        val den = ca.toDouble * nb + cb.toDouble * na
+        math.floor(ca.toDouble / na * log2(2.0 * ca * nb / den) * 500000 + 0.5).toLong +
+          math.floor(cb.toDouble / nb * log2(2.0 * cb * na / den) * 500000 + 0.5).toLong
+      }.sum
+      val shA = shared.map(ma).sum
+      val shB = shared.map(mb).sum
+      (a, b, shared.size.toLong, na, nb,
+        sharedE6 + hdiv(500000L * (na - shA), na) + hdiv(500000L * (nb - shB), nb))
+    }).sortBy { case (a, b, _, _, _, j) => (-j, a, b) }.take(20)
+    val got = SparkEntry.queries("q161_source_jsd")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected)
+    // JSD in bits lives in [0, 1]; same-generator synthetic sources sit
+    // far from either end's degenerate cases
+    got.foreach { case (a, b, ns, _, _, j) =>
+      assert(j >= 0 && j <= 1000000 + ns, s"$a/$b")
+    }
+  }
 }

@@ -85,16 +85,28 @@ class LeakStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.win.store")
   }
 
-  test("store-backed q77/q97/q139/q151/q159 equal derived (Bigram store)") {
+  test("store-backed q77/q97/q139/q151/q159/q164 equal derived (Bigram store)") {
     val dir = tmp()
     val st = FreqStore.init(spark, dir, docs, FreqStore.Bigram)
     assert(st.family == "bigram")
     val qs = Seq("q77_bigram_lm", "q97_rare_bigrams", "q139_pmi", "q151_lm_ppl_bins",
-      "q159_context_entropy")
+      "q159_context_entropy", "q164_kn_continuation")
     val derived = qs.map(q => q -> rows(q)).toMap
     spark.conf.set("graft.bigram.store", dir)
     try qs.foreach { q =>
       assert(rows(q) == derived(q), s"$q diverges when reading the stored pair table")
+    } finally spark.conf.unset("graft.bigram.store")
+  }
+
+  test("store-backed q164's plan reads ZERO corpus — only the store") {
+    val dir = tmp()
+    FreqStore.init(spark, dir, docs, FreqStore.Bigram)
+    spark.conf.set("graft.bigram.store", dir)
+    try {
+      val plan = SparkEntry.queries("q164_kn_continuation")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        "store-backed q164 still scans the corpus — the pair table IS its whole input")
     } finally spark.conf.unset("graft.bigram.store")
   }
 

@@ -1152,4 +1152,114 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(lo >= -180 && hi < 180 && la >= -85 && ha < 85, c)
     }
   }
+
+  test("q162 basket pairs match an independent co-occurrence recomputation") {
+    val items = Tables(spark, sf).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).sorted }
+    val pairCnt = byOrder.values.flatMap { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).collect { case (p, xs) if xs.size >= 2 => p -> xs.size.toLong }
+    val marg = items.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val nOrders = byOrder.size.toLong
+    val expected = pairCnt.toSeq.map { case ((p1, p2), np) =>
+      (p1, p2, np, marg(p1), marg(p2), hdiv(10000L * np * nOrders, marg(p1) * marg(p2)))
+    }.sortBy { case (p1, p2, np, _, _, _) => (-np, p1, p2) }.take(25)
+    val got = SparkEntry.queries("q162_basket_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected)
+    // support never exceeds either marginal; lift is positive, and for
+    // pairs this frequent, far above the independence floor of 0
+    got.foreach { case (p1, p2, np, n1, n2, lift) =>
+      assert(np <= math.min(n1, n2), s"$p1/$p2")
+      assert(lift > 0, s"$p1/$p2")
+    }
+  }
+
+  test("q165 length PSI matches an independent smoothed-histogram recomputation") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val rows = Tables(spark, sf).documents
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val binned = rows.map { case (id, nc) =>
+      val b = bucket(id)
+      val split = if (b < 90) "train" else if (b < 95) "val" else "test"
+      (split, math.min(nc / 100, 9L))
+    }
+    val bins = binned.map(_._2).distinct.sorted
+    val nBins = bins.size.toLong
+    def cnt(s: String) = binned.filter(_._1 == s).groupBy(_._2)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val tot = Map("train" -> binned.count(_._1 == "train").toLong,
+      "val" -> binned.count(_._1 == "val").toLong,
+      "test" -> binned.count(_._1 == "test").toLong)
+    val expected = Seq(("train", "val"), ("train", "test"), ("val", "test")).map {
+      case (a, b) =>
+        val (ca, cb) = (cnt(a), cnt(b))
+        val (na, nb) = (tot(a) + nBins, tot(b) + nBins)
+        val terms = bins.map { bin =>
+          val (x, y) = (ca.getOrElse(bin, 0L) + 1, cb.getOrElse(bin, 0L) + 1)
+          bin -> math.floor(
+            (x.toDouble / na - y.toDouble / nb) *
+              math.log(x.toDouble * nb / (y.toDouble * na)) * 1000000 + 0.5).toLong
+        }
+        val psi = terms.map(_._2).sum
+        val worst = terms.maxBy { case (bin, t) => (t, bin.toString) }._1
+        val verdict =
+          if (psi < 100000) "stable" else if (psi < 250000) "moderate" else "shifted"
+        (a, b, nBins, na, nb, psi, worst, verdict)
+    }.toSet
+    val got = SparkEntry.queries("q165_length_psi")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+      .toSet
+    assert(got == expected)
+    // every smoothed term is ≥ 0 ((p−q) and ln(p/q) share sign), so PSI
+    // is too; an unbiased hash split over one generator should read
+    // stable, which is the point of auditing it
+    got.foreach { case (a, b, _, _, _, psi, _, _) => assert(psi >= 0, s"$a/$b") }
+  }
+
+  test("q166 event transitions match an independent Markov recomputation") {
+    val evs = Tables(spark, sf).events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(e => (e._2, e._3)).map(_._4).toSeq.sliding(2).collect {
+        case Seq(a, b) => (a, b)
+      }
+    }.groupBy(x => x).map { case (k, xs) => k -> xs.size.toLong }
+    val expected = trans.toSeq.groupBy(_._1._1).map { case (prev, xs) =>
+      val nFrom = xs.map(_._2).sum
+      val wsum = xs.map { case ((_, next), n) =>
+        n * math.floor(-(math.log(n.toDouble / nFrom) / math.log(2.0)) * 1000 + 0.5).toLong
+      }.sum
+      val (modalNext, modalN) = xs.map { case ((_, next), n) => (next, n) }
+        .maxBy { case (next, n) => (n, next) }
+      (prev, nFrom, xs.size.toLong, hdiv(wsum, nFrom), modalNext, modalN,
+        hdiv(10000L * modalN, nFrom))
+    }.toSet
+    val got = SparkEntry.queries("q166_event_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == expected)
+    // entropy bounded by log2(successors); the modal share floor is the
+    // uniform 1/k
+    got.foreach { case (prev, nf, ns, h, _, mn, share) =>
+      assert(h >= 0 && h <= math.ceil(math.log(ns.toDouble) / math.log(2.0) * 1000).toLong + ns, prev)
+      assert(mn <= nf && share * ns >= 10000 - ns, prev)
+    }
+  }
 }
