@@ -27,7 +27,9 @@ object PlanAudit {
     "q90_tfidf", "q92_source_overlap",
     // r15 second wave: q161's top-200 vocab hint, q162/q164's single-row
     // totals hints — each an explicit broadcast() the plan must keep
-    "q161_source_jsd", "q162_basket_pairs", "q164_kn_continuation")
+    "q161_source_jsd", "q162_basket_pairs", "q164_kn_continuation",
+    // r15 third wave: q173's supplier/nation dim hints
+    "q173_supplier_hhi")
   // q115's ground-truth branch is the q40 broadcast-sample scan — the
   // audit's declared, sample-bounded cost. (q50 was delisted in r13: it
   // has been a banded broadcast equi-join since r1, so a cartesian there
@@ -63,13 +65,17 @@ object PlanAudit {
   // nothing at the scan to push; scans still prune to the text columns.
   // Second wave: q160/q161/q163's token <> '' and q164's bigram guards
   // are the same two classes exactly.
+  // Third wave: q167/q168's token <> '' filters are q76's class (above a
+  // computed split, nothing at the scan to push); q168's power-of-two
+  // checkpoint filter sits above a window rank — same class.
   private val allowUnpushed =
     Set("q50_haversine", "q69_href_rewrite", "q76_heavy_hitters", "q77_bigram_lm",
       "q90_tfidf", "q97_rare_bigrams", "q98_bm25", "q102_dsir", "q121_token_rarity",
       "q130_cms_calibration", "q136_vocab_coverage", "q139_pmi",
       "q151_lm_ppl_bins", "q152_distinct_ngrams", "q155_token_burstiness",
       "q159_context_entropy", "q160_zipf_slope", "q161_source_jsd",
-      "q163_token_gini", "q164_kn_continuation")
+      "q163_token_gini", "q164_kn_continuation",
+      "q167_good_turing", "q168_heaps_law")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume.
   // q136's cumulative runs over the count-of-counts HISTOGRAM — ≤ √(2·Σ)
@@ -349,7 +355,38 @@ object PlanAudit {
     // q166: user-keyed lag window (the one corpus-scale shuffle) →
     // |types|² transition agg → prev-partitioned marginal window →
     // per-state rollup → sort
-    "q166_event_transitions" -> 4).withDefaultValue(3)
+    "q166_event_transitions" -> 4,
+    // r15 third wave, measured textual counts:
+    // q167: sourceVocab agg (the one corpus-scale shuffle) → |source|
+    // rollup → sort
+    "q167_good_turing" -> 3,
+    // q168: (source,doc) token agg + (source,token) first-occurrence agg
+    // → its (source,doc) new-type rollup → the left join's co-partition
+    // exchanges → ONE source-keyed window (both running sums + rank) →
+    // OLS rollup → sort; every post-corpus exchange is doc- or
+    // vocab-bounded
+    "q168_heaps_law" -> 5,
+    // q169: q62's component machinery (loop runs on checkpointed edges
+    // outside this plan, q147's class) + doc provenance join + cluster
+    // agg (countDistinct two-phase) + span rollup + sort
+    "q169_cluster_span" -> 4,
+    // q170: cell-keyed pair self-join (one keyed shuffle per side) →
+    // a_id-keyed top-2 window + (label,a_id) pivot agg → |cells| rollup
+    // → sort; pair work is Σ|cell|² (q41/q154's bound), never global n²
+    "q170_ann_margin" -> 3,
+    // q171: (source, shingle) membership agg (partial map-side; the one
+    // corpus-scale shuffle) → |source| rollup → sort
+    "q171_shingle_reuse" -> 3,
+    // q172: the pairStats chain prints once per consuming branch (degree
+    // union ×2, edge counts, triangle e1/e2/e3 — AQE reuses the identical
+    // exchanges at runtime, ScaleSpec's q92 pin covers the class); the
+    // graph itself is candidate-bounded so every exchange after the chain
+    // is edge- or degree-scale
+    "q172_dup_transitivity" -> 21,
+    // q173: (nation, supplier) fact pre-agg (the one corpus-scale
+    // shuffle; supplier and nation dims broadcast) → |suppliers| rollup
+    // → sort
+    "q173_supplier_hhi" -> 3).withDefaultValue(3)
 
   // `stores` mode: the STORE-BACKED plans (the bench session's actual
   // shapes — the default/scale modes audit only conf-off derived plans).

@@ -868,6 +868,127 @@ object Dedup extends QueryModule {
       .withColumn("n_docs", col("sz") * col("n_components"))
       .orderBy(col("sz"))
 
+  /** Dup-cluster span audit (the provenance readout over q62's
+    * components, next to q147's size histogram): per (distinct sources,
+    * distinct langs) a cluster spans, how many clusters and docs sit
+    * there and the largest one. Single-source clusters are in-source
+    * templates the source owner can fix upstream; cross-source clusters
+    * are syndication/mirroring — the evidence that dedup MUST run
+    * globally, never per source shard; cross-lang clusters flag
+    * boilerplate that survives translation (markup, banners). Rides the
+    * verified q62 machinery unchanged: the component table is
+    * dup-bounded (≪ corpus), the provenance join is key-equi on doc_id,
+    * and both rollups are cluster- then span-bounded.
+    */
+  private def q169(t: Tables): DataFrame =
+    components(t)
+      .join(t.documents.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      .groupBy(col("component_id"))
+      .agg(
+        count(lit(1)).as("sz"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      .groupBy(col("n_sources"), col("n_langs"))
+      .agg(
+        count(lit(1)).as("n_components"),
+        sum(col("sz")).as("n_docs"),
+        max(col("sz")).as("max_sz"))
+      .orderBy(col("n_sources"), col("n_langs"))
+
+  /** Per-source shingle-reuse audit — the within-source template-ness
+    * rate at 3-gram granularity, between q140's prefix-window lens and
+    * q113's corpus-wide ≥K-token windows: of each source's distinct
+    * (doc, shingle) memberships, how many shingle TYPES recur across
+    * docs and how much of the membership VOLUME those recurring types
+    * own. A high occ share with a low type share is classic boilerplate
+    * (few shared fragments, stamped everywhere); both high is a template
+    * mill. Uses the SAME native [[graft.functions]] shingle kernel as
+    * q38's verify stage (distinct within doc, computed map-side, no
+    * explode of raw positions), so the numbers sit on the exact
+    * vocabulary the dedup pass hashes.
+    *
+    * Scale shape: one corpus-scale (source, shingle) partial-aggregable
+    * shuffle; the rollup is |source| rows; all ratios are half-up
+    * integer divisions (q33's float discipline).
+    */
+  private def q171(t: Tables): DataFrame =
+    Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("source"),
+        explode(graft.functions.GraftFunctions.shingle_set(col("text"))).as("sh"))
+      .groupBy(col("source"), col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_shingle_types"),
+        sum(col("df")).as("n_doc_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_reused_types"),
+        sum(when(col("df") > 1, col("df")).otherwise(0L)).as("n_reused_occurrences"))
+      .withColumn(
+        "type_reuse_e4",
+        expr("(2 * 10000 * n_reused_types + n_shingle_types) DIV (2 * n_shingle_types)"))
+      .withColumn(
+        "occ_reuse_e4",
+        expr("(2 * 10000 * n_reused_occurrences + n_doc_shingles) DIV (2 * n_doc_shingles)"))
+      .orderBy(col("source"))
+
+  /** Dup-graph transitivity audit (Watts & Strogatz 1998's global
+    * clustering coefficient, on the dedup pass's own graphs): for the
+    * LSH candidate graph and its Jaccard-verified subgraph, nodes,
+    * edges, wedges (Σ d(d−1)/2), triangles, and transitivity
+    * 3·triangles/wedges. The comparison is the readout: verified-graph
+    * transitivity far above the candidate graph's means verification
+    * prunes accidental band-collision wedges and keeps clique-like
+    * template families (q147's giant components will be dense); a LOW
+    * verified transitivity is chain-shaped near-duplication (drift
+    * copies) where keep-one-per-component (q79) deletes docs that were
+    * never pairwise similar — the signal to re-cluster at a higher τ.
+    *
+    * Both edge sets are filters of the session-cached pairStats
+    * relation (a < b by construction). Wedge counts are a degree agg;
+    * triangles enumerate ordered (a < b < c) via one wedge join plus a
+    * closing-edge semi-join — work Σ d², candidate-bounded (the q62/
+    * q101 Σ|cluster|² class), never corpus². All-integer end to end.
+    */
+  private def q172(t: Tables): DataFrame = {
+    val edges = pairStats(t)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("candidates").as("graph"))
+      .unionAll(
+        jaccardPairs(t)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("verified").as("graph")))
+    val deg = edges.select(col("graph"), col("a").as("x"))
+      .unionAll(edges.select(col("graph"), col("b").as("x")))
+      .groupBy(col("graph"), col("x"))
+      .agg(count(lit(1)).as("d"))
+    val nodesWedges = deg
+      .groupBy(col("graph"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(expr("(d * (d - 1)) DIV 2")).as("n_wedges"))
+    val edgeCounts = edges.groupBy(col("graph")).agg(count(lit(1)).as("n_edges"))
+    val triangles = edges.as("e1")
+      .join(
+        edges.as("e2"),
+        col("e1.graph") === col("e2.graph") && col("e1.b") === col("e2.a"))
+      .join(
+        edges.as("e3"),
+        col("e1.graph") === col("e3.graph") && col("e1.a") === col("e3.a") &&
+          col("e2.b") === col("e3.b"))
+      .groupBy(col("e1.graph").as("graph"))
+      .agg(count(lit(1)).as("n_triangles"))
+    edgeCounts
+      .join(nodesWedges, Seq("graph"))
+      .join(triangles, Seq("graph"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumn(
+        "transitivity_e4",
+        expr("CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) ELSE (2 * 10000 * 3 * n_triangles + n_wedges) DIV (2 * n_wedges) END"))
+      .select(
+        col("graph"), col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("transitivity_e4"))
+      .orderBy(col("graph"))
+  }
+
   /** End-to-end dedup report — the pipeline deliverable the individual
     * stages (q35 exact, q37/q38 candidates+verify, q62 clusters) feed: per
     * source, how many documents survive deduplication. Drop policy is the
@@ -1980,6 +2101,9 @@ object Dedup extends QueryModule {
     "q75_decontaminate" -> ((s, d) => q75(Tables(s, d))),
     "q63_simhash_pairs" -> ((s, d) => q63(Tables(s, d))),
     "q62_dup_clusters" -> ((s, d) => q62(Tables(s, d))),
+    "q169_cluster_span" -> ((s, d) => q169(Tables(s, d))),
+    "q171_shingle_reuse" -> ((s, d) => q171(Tables(s, d))),
+    "q172_dup_transitivity" -> ((s, d) => q172(Tables(s, d))),
     "q35_exact_dedup" -> ((s, d) => q35(Tables(s, d))),
     "q36_minhash_sigs" -> ((s, d) => q36(Tables(s, d))),
     "q37_lsh_pairs" -> ((s, d) => q37(Tables(s, d))),
@@ -2698,6 +2822,64 @@ object Dedup extends QueryModule {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS component_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q169_cluster_span" ->
+      s"""WITH RECURSIVE $duckJpairsCtes,
+         | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |           UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         | nodes AS (SELECT DISTINCT u FROM edges),
+         | reach(u, v) AS (
+         |  SELECT u, u AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         | comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+         | cl AS (
+         | SELECT component_id, count(*) AS sz,
+         |  count(DISTINCT source) AS n_sources, count(DISTINCT lang) AS n_langs
+         | FROM comp JOIN documents USING (doc_id) GROUP BY component_id)
+         |SELECT n_sources, n_langs, count(*) AS n_components,
+         | CAST(sum(sz) AS BIGINT) AS n_docs, max(sz) AS max_sz
+         |FROM cl GROUP BY n_sources, n_langs
+         |ORDER BY n_sources, n_langs""".stripMargin,
+    "q171_shingle_reuse" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+         | shx AS (SELECT source, unnest(list_distinct($shinglesDuck)) AS sh FROM w),
+         | c AS (SELECT source, sh, count(*) AS df FROM shx GROUP BY source, sh),
+         | s AS (
+         | SELECT source, count(*) AS n_shingle_types,
+         |  CAST(sum(df) AS BIGINT) AS n_doc_shingles,
+         |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_reused_types,
+         |  CAST(sum(CASE WHEN df > 1 THEN df ELSE 0 END) AS BIGINT) AS n_reused_occurrences
+         | FROM c GROUP BY source)
+         |SELECT source, n_shingle_types, n_doc_shingles, n_reused_types,
+         | n_reused_occurrences,
+         | (2 * 10000 * n_reused_types + n_shingle_types) // (2 * n_shingle_types) AS type_reuse_e4,
+         | (2 * 10000 * n_reused_occurrences + n_doc_shingles) // (2 * n_doc_shingles) AS occ_reuse_e4
+         |FROM s ORDER BY source""".stripMargin,
+    "q172_dup_transitivity" ->
+      s"""WITH $duckJpairsCtes,
+         | eg AS (
+         |  SELECT 'candidates' AS graph, doc_a AS a, doc_b AS b FROM cand
+         |  UNION ALL
+         |  SELECT 'verified', doc_a, doc_b FROM jpairs),
+         | und AS (SELECT graph, a AS x FROM eg UNION ALL SELECT graph, b FROM eg),
+         | deg AS (SELECT graph, x, count(*) AS d FROM und GROUP BY graph, x),
+         | nw AS (
+         | SELECT graph, count(*) AS n_nodes,
+         |  CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+         | FROM deg GROUP BY graph),
+         | ne AS (SELECT graph, count(*) AS n_edges FROM eg GROUP BY graph),
+         | tri AS (
+         | SELECT e1.graph AS graph, count(*) AS n_triangles
+         | FROM eg e1
+         | JOIN eg e2 ON e2.graph = e1.graph AND e1.b = e2.a
+         | JOIN eg e3 ON e3.graph = e1.graph AND e3.a = e1.a AND e3.b = e2.b
+         | GROUP BY e1.graph)
+         |SELECT ne.graph AS graph, n_nodes, n_edges, n_wedges,
+         | COALESCE(n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+         | CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE (2 * 10000 * 3 * COALESCE(n_triangles, 0) + n_wedges) // (2 * n_wedges) END AS transitivity_e4
+         |FROM ne JOIN nw USING (graph) LEFT JOIN tri USING (graph)
+         |ORDER BY graph""".stripMargin,
     "q35_exact_dedup" ->
       """SELECT source, count(*) AS n_docs,
         | count(DISTINCT md5(text)) AS n_distinct_texts,

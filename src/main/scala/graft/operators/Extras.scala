@@ -519,6 +519,55 @@ object Extras extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Supplier-concentration HHI per nation (the Herfindahl–Hirschman
+    * index antitrust and supply-chain risk reads; Rhoades 1993): per
+    * supplier nation, each supplier's share of the nation's lineitem
+    * volume, HHI = Σ shareᵢ² in e6 units plus the single largest share.
+    * HHI → 1e6/n is a balanced supplier pool; → 1e6 is single-supplier
+    * dependence — the fragility table a 100 TB procurement lake rolls up
+    * before anything downstream trusts "many suppliers" as redundancy.
+    * Next to q133's top-decile event concentration this is the exact
+    * (not decile-binned) concentration functional, on the retail axis.
+    *
+    * Integer-exact: counts only, Σc² and the two half-up divisions —
+    * no transcendental, no float. Scale shape: one corpus-scale
+    * partial-aggregable (nation, supplier) count (the fact table's
+    * natural pre-agg), a |suppliers|-row rollup, and two broadcast dims.
+    * Σc² ≤ (Σc)² overflows 2⁶³ once a nation holds ~3·10⁹ lineitems —
+    * `graft.hhi.decimal=true` routes the squares through DECIMAL(38,0)
+    * with the same plan shape (q163's guard pattern; spec-pinned
+    * identical at current scale).
+    */
+  private def q173(t: Tables): DataFrame = {
+    val big: Column => Column =
+      if (t.spark.conf.get("graft.hhi.decimal", "false").toBoolean) _.cast("decimal(19,0)")
+      else identity
+    t.lineitem
+      .select(col("l_suppkey"))
+      .join(
+        broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("c")).as("n_items"),
+        sum(big(col("c")) * big(col("c"))).as("sq"),
+        max(col("c")).as("top_c"))
+      .join(
+        broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn(
+        "hhi_e6",
+        expr("CAST((2 * 1000000 * sq + n_items * n_items) DIV (2 * n_items * n_items) AS BIGINT)"))
+      .withColumn("top_share_e4", expr("(2 * 10000 * top_c + n_items) DIV (2 * n_items)"))
+      .select(
+        col("n_name").as("nation"), col("n_suppliers"), col("n_items"),
+        col("hhi_e6"), col("top_share_e4"))
+      .orderBy(col("nation"))
+  }
+
   /** Inter-event idle-gap distribution (new r12 — the latency-shaped
     * companion of q20's gap sessionization: the same lag gaps, profiled
     * instead of thresholded): for each event, the time since its user's
@@ -838,6 +887,7 @@ object Extras extends QueryModule {
     "q125_activity_streaks" -> ((s, d) => q125(Tables(s, d))),
     "q128_temperature_mix" -> ((s, d) => q128(Tables(s, d))),
     "q133_user_concentration" -> ((s, d) => q133(Tables(s, d))),
+    "q173_supplier_hhi" -> ((s, d) => q173(Tables(s, d))),
     "q134_event_gaps" -> ((s, d) => q134(Tables(s, d))),
     "q138_volume_anomaly" -> ((s, d) => q138(Tables(s, d))),
     "q148_attribution_sweep" -> ((s, d) => q148(Tables(s, d))),
@@ -863,6 +913,21 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q173_supplier_hhi" ->
+      """WITH per AS (
+        | SELECT s.s_nationkey, l.l_suppkey, count(*) AS c
+        | FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | GROUP BY s.s_nationkey, l.l_suppkey),
+        | agg AS (
+        | SELECT s_nationkey, count(*) AS n_suppliers,
+        |  CAST(sum(c) AS BIGINT) AS n_items,
+        |  CAST(sum(c * c) AS BIGINT) AS sq, max(c) AS top_c
+        | FROM per GROUP BY s_nationkey)
+        |SELECT n.n_name AS nation, n_suppliers, n_items,
+        | (2 * 1000000 * sq + n_items * n_items) // (2 * n_items * n_items) AS hhi_e6,
+        | (2 * 10000 * top_c + n_items) // (2 * n_items) AS top_share_e4
+        |FROM agg JOIN nation n ON agg.s_nationkey = n.n_nationkey
+        |ORDER BY nation""".stripMargin,
     "q162_basket_pairs" ->
       """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         | p AS (

@@ -139,6 +139,52 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("nn_rank"))
   }
 
+  /** Nearest-neighbor margin audit (the confidence readout over the
+    * vector index, next to q158's centroid-level silhouette): for every
+    * vector, the gap between its best and second-best within-cell cosine
+    * neighbor, rolled up per cell. A wide mean margin means top-1
+    * retrieval is stable under quantization/noise; a fat `n_ambiguous`
+    * band (margin < 1e-3) is the population where PQ/int8 quantization
+    * (q78/q132) will flip retrieval results and where SemDeDup's
+    * keep-one choice (q101) is effectively arbitrary — the audit to read
+    * BEFORE trusting either. Hubness-adjacent but orthogonal to q154's
+    * reciprocity: this measures the VALUE gap, not the graph structure.
+    *
+    * Cost shape: the pair work blocks per cell (Σ|cell|², the q41/q154
+    * bound — never global n²); the top-2 window partitions by query
+    * vector within the cell join; the rollup is |cells| rows. Margins
+    * are exact: both sims round to 6dp (the q43 contract both engines
+    * share) so their difference scaled to e6 is integer-exact.
+    */
+  private def q170(t: Tables): DataFrame = {
+    val corpus = vectors(t).select(col("label"), col("vec_id"), col("v"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id"))
+    corpus.as("a")
+      .join(
+        corpus.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.label").as("label"),
+        col("a.vec_id").as("a_id"),
+        col("b.vec_id").as("b_id"),
+        round(cosine_sim(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("label"), col("a_id"))
+      .agg(
+        max(when(col("rk") === 1, col("cos_sim"))).as("s1"),
+        max(when(col("rk") === 2, col("cos_sim"))).as("s2"))
+      .filter(col("s2").isNotNull)
+      .withColumn("margin_e6", expr("CAST(floor((s1 - s2) * 1000000 + 0.5) AS BIGINT)"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        expr("(2 * sum(margin_e6) + count(1)) DIV (2 * count(1))").as("mean_margin_e6"),
+        sum(when(col("margin_e6") < 1000, 1L).otherwise(0L)).as("n_ambiguous"),
+        max(col("margin_e6")).as("max_margin_e6"))
+      .orderBy(col("label"))
+  }
+
   /** One Lloyd (k-means) refinement round for the IVF coarse quantizer —
     * the build step q43 assumes: recompute per-cluster centroids, then
     * reassign every vector to its nearest centroid. Distributed shape:
@@ -958,7 +1004,8 @@ object Similarity extends QueryModule {
     "q40_cosine_topk" -> ((s, d) => q40(Tables(s, d))),
     "q41_embedding_neardup" -> ((s, d) => q41(Tables(s, d))),
     "q42_ann_sign_lsh" -> ((s, d) => q42(Tables(s, d))),
-    "q43_ivf_search" -> ((s, d) => q43(Tables(s, d)))
+    "q43_ivf_search" -> ((s, d) => q43(Tables(s, d))),
+    "q170_ann_margin" -> ((s, d) => q170(Tables(s, d)))
   )
 
   // shared DuckDB fragments
@@ -1302,6 +1349,29 @@ object Similarity extends QueryModule {
          |  FROM c)
          |SELECT query_id, label, neighbor_id, cos_sim, nn_rank FROM r WHERE nn_rank <= 5
          |ORDER BY query_id, nn_rank""".stripMargin,
+    "q170_ann_margin" ->
+      s"""WITH $duckVectors,
+         | p AS (
+         | SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         | FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         | r AS (
+         | SELECT label, a_id, cos_sim,
+         |  row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS rk
+         | FROM p),
+         | t2 AS (
+         | SELECT label, a_id,
+         |  max(CASE WHEN rk = 1 THEN cos_sim END) AS s1,
+         |  max(CASE WHEN rk = 2 THEN cos_sim END) AS s2
+         | FROM r WHERE rk <= 2 GROUP BY label, a_id),
+         | m AS (
+         | SELECT label, CAST(floor((s1 - s2) * 1000000 + 0.5) AS BIGINT) AS margin_e6
+         | FROM t2 WHERE s2 IS NOT NULL)
+         |SELECT label, count(*) AS n_vecs,
+         | (2 * CAST(sum(margin_e6) AS BIGINT) + count(*)) // (2 * count(*)) AS mean_margin_e6,
+         | CAST(sum(CASE WHEN margin_e6 < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous,
+         | max(margin_e6) AS max_margin_e6
+         |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "q132_pq_quantize" ->
       s"""WITH e AS (
          | SELECT vec_id,

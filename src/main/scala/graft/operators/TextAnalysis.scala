@@ -926,6 +926,105 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Good-Turing frequency-of-frequencies audit (Good 1953; Gale &
+    * Sampson 1995's Simple GT): per source, the head of the N_r table —
+    * hapaxes N₁, dis legomena N₂ — and the estimates every smoothed LM
+    * and coverage planner reads off it: Turing's unseen-token mass
+    * P₀ = N₁/N (the probability the NEXT token drawn is novel), the
+    * hapax share of the vocabulary, and the GT-smoothed count for
+    * once-seen tokens r*₁ = 2·N₂/N₁. A source whose unseen mass stays
+    * high keeps minting vocabulary (open-domain prose); one near zero is
+    * a closed template vocabulary — q160's slope and q152's distinct-n
+    * read the same table's SHAPE, this reads its TAIL mass.
+    *
+    * All-integer off [[sourceVocab]]: conditional counts, then three
+    * half-up integer divisions. Scale shape: the one corpus-scale
+    * shuffle is the shared sourceVocab agg (partial-aggregable
+    * map-side); the rollup is |source| rows.
+    */
+  private def q167(t: Tables): DataFrame =
+    sourceVocab(t)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .withColumn(
+        "unseen_mass_e6",
+        expr("(2 * 1000000 * n_hapax + n_tokens) DIV (2 * n_tokens)"))
+      .withColumn(
+        "hapax_share_e6",
+        expr("(2 * 1000000 * n_hapax + n_types) DIV (2 * n_types)"))
+      .withColumn(
+        "r1_star_e4",
+        expr("CASE WHEN n_hapax = 0 THEN CAST(0 AS BIGINT) ELSE (2 * 10000 * 2 * n_dis + n_hapax) DIV (2 * n_hapax) END"))
+      .orderBy(col("source"))
+
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978 / Herdan): per source,
+    * V(N) ≈ K·N^β sampled at power-of-two document checkpoints in
+    * deterministic doc_id order, β by OLS of ln V on ln N (q160's
+    * quantize-before-aggregate discipline: e4 integer lns, exact long
+    * OLS sums, one rounded division at the end). Open-domain prose sits
+    * near β ≈ 0.5; β → 0 is a closed vocabulary (templates, logs) — the
+    * GROWTH version of q167's unseen-mass readout, and the exponent a
+    * tokenizer-budget planner extrapolates full-corpus vocabulary from.
+    *
+    * Cumulative distinct WITHOUT a quadratic pass: a token's first
+    * occurrence is min(doc_id) per (source, token) — a vocab-bounded
+    * agg — so per-doc new-type counts key onto that doc, and both
+    * running sums (tokens, types) ride ONE per-source doc-ordered
+    * window over |docs-per-source| rows. Checkpoints are the ranks with
+    * a single set bit (r & (r−1) = 0, r ≥ 2) — O(log n_docs) of them,
+    * evenly spaced in ln N, which is the fit's x-axis. β ≥ 0 exactly:
+    * x and y are both non-decreasing in rank (Chebyshev, as q160; the
+    * e4 floor-quantization preserves monotonicity).
+    *
+    * Scale shape: two corpus-scale partial-aggregable shuffles (the
+    * (source, doc) token counts and the (source, token) first-occurrence
+    * agg); everything after is doc- or vocab-bounded; the OLS rollup is
+    * |source| rows.
+    */
+  private def q168(t: Tables): DataFrame = {
+    val tok = withWords(t)
+      .select(col("source"), col("doc_id"), explode(col("words")).as("token"))
+      .filter(col("token") =!= "")
+    val docTok = tok.groupBy(col("source"), col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val newTypes = tok
+      .groupBy(col("source"), col("token"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docTok
+      .join(newTypes, Seq("source", "doc_id"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .filter(expr("r >= 2 AND (r & (r - 1)) = 0"))
+      .withColumn("x", expr("CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * 10000 + 0.5) AS BIGINT)"))
+      .withColumn("y", expr("CAST(floor(ln(CAST(cum_types AS DOUBLE)) * 10000 + 0.5) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_checkpoints"),
+        max(col("cum_tokens")).as("tokens_last"),
+        max(col("cum_types")).as("types_last"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("n_checkpoints") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n_checkpoints") * col("sxx") - col("sx") * col("sx"))
+      .withColumn(
+        "beta_e4",
+        expr("CASE WHEN den = 0 THEN CAST(0 AS BIGINT) ELSE (2 * 10000 * num + den) DIV (2 * den) END"))
+      .select(
+        col("source"), col("n_checkpoints"), col("tokens_last"), col("types_last"),
+        col("beta_e4"))
+      .orderBy(col("source"))
+  }
+
   /** Kneser-Ney continuation-count audit (Kneser & Ney 1995; the count
     * that replaces raw frequency in every modern smoothed LM): for each
     * token, how many DISTINCT left contexts it follows — continuation
@@ -1864,6 +1963,8 @@ object TextAnalysis extends QueryModule {
     "q160_zipf_slope" -> ((s, d) => q160(Tables(s, d))),
     "q161_source_jsd" -> ((s, d) => q161(Tables(s, d))),
     "q163_token_gini" -> ((s, d) => q163(Tables(s, d))),
+    "q167_good_turing" -> ((s, d) => q167(Tables(s, d))),
+    "q168_heaps_law" -> ((s, d) => q168(Tables(s, d))),
     "q164_kn_continuation" -> ((s, d) => q164(Tables(s, d)))
   )
 
@@ -2594,6 +2695,54 @@ object TextAnalysis extends QueryModule {
         |SELECT source, n_types, n_tokens,
         | (2 * 1000000 * (2 * si - (n_types + 1) * n_tokens) + n_types * n_tokens)
         |  // (2 * n_types * n_tokens) AS gini_e6
+        |FROM s ORDER BY source""".stripMargin,
+    "q167_good_turing" ->
+      """WITH tok AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        | c AS (
+        | SELECT source, token, count(*) AS c FROM tok WHERE token <> ''
+        | GROUP BY source, token),
+        | s AS (
+        | SELECT source, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+        | FROM c GROUP BY source)
+        |SELECT source, n_types, n_tokens, n_hapax, n_dis,
+        | (2 * 1000000 * n_hapax + n_tokens) // (2 * n_tokens) AS unseen_mass_e6,
+        | (2 * 1000000 * n_hapax + n_types) // (2 * n_types) AS hapax_share_e6,
+        | CASE WHEN n_hapax = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE (2 * 10000 * 2 * n_dis + n_hapax) // (2 * n_hapax) END AS r1_star_e4
+        |FROM s ORDER BY source""".stripMargin,
+    "q168_heaps_law" ->
+      """WITH tok AS (
+        | SELECT source, doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        | tk AS (SELECT source, doc_id, token FROM tok WHERE token <> ''),
+        | dt AS (SELECT source, doc_id, count(*) AS n_tok FROM tk GROUP BY source, doc_id),
+        | nt AS (
+        | SELECT source, doc_id, count(*) AS new_types FROM (
+        |  SELECT source, token, min(doc_id) AS doc_id FROM tk GROUP BY source, token) f
+        | GROUP BY source, doc_id),
+        | cum AS (
+        | SELECT dt.source AS source,
+        |  row_number() OVER (PARTITION BY dt.source ORDER BY dt.doc_id) AS r,
+        |  CAST(sum(dt.n_tok) OVER (PARTITION BY dt.source ORDER BY dt.doc_id) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(COALESCE(nt.new_types, 0)) OVER (PARTITION BY dt.source ORDER BY dt.doc_id) AS BIGINT) AS cum_types
+        | FROM dt LEFT JOIN nt ON dt.source = nt.source AND dt.doc_id = nt.doc_id),
+        | cp AS (
+        | SELECT source, cum_tokens, cum_types,
+        |  CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
+        |  CAST(floor(ln(CAST(cum_types AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
+        | FROM cum WHERE r >= 2 AND (r & (r - 1)) = 0),
+        | s AS (
+        | SELECT source, count(*) AS n_checkpoints,
+        |  max(cum_tokens) AS tokens_last, max(cum_types) AS types_last,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM cp GROUP BY source)
+        |SELECT source, n_checkpoints, tokens_last, types_last,
+        | CASE WHEN n_checkpoints * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE (2 * 10000 * (n_checkpoints * sxy - sx * sy) + (n_checkpoints * sxx - sx * sx))
+        |   // (2 * (n_checkpoints * sxx - sx * sx)) END AS beta_e4
         |FROM s ORDER BY source""".stripMargin,
     "q164_kn_continuation" ->
       """WITH w AS (

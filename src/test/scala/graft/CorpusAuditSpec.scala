@@ -1591,4 +1591,164 @@ class CorpusAuditSpec extends AnyFunSuite {
       assert(j >= 0 && j <= 1000000 + ns, s"$a/$b")
     }
   }
+  test("q167 Good-Turing tail mass matches an independent N_r recomputation") {
+    val expected = srcCounts.map { case (src, cnt) =>
+      val nTypes = cnt.size.toLong
+      val nTokens = cnt.values.sum
+      val n1 = cnt.values.count(_ == 1L).toLong
+      val n2 = cnt.values.count(_ == 2L).toLong
+      (src, nTypes, nTokens, n1, n2,
+        hdiv(1000000L * n1, nTokens), hdiv(1000000L * n1, nTypes),
+        if (n1 == 0) 0L else hdiv(10000L * 2 * n2, n1))
+    }.toSet
+    val got = SparkEntry.queries("q167_good_turing")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(got == expected)
+    // Turing bounds: unseen mass and hapax share both live in [0, 1e6];
+    // hapaxes never exceed types or tokens
+    got.foreach { case (src, nt, ntok, n1, _, um, hs, _) =>
+      assert(n1 <= nt && n1 <= ntok, src)
+      assert(um >= 0 && um <= 1000000 && hs >= 0 && hs <= 1000000, src)
+    }
+  }
+
+  test("q168 Heaps fit matches an independent vocabulary-growth recomputation") {
+    val expected = docs.groupBy(_._3).flatMap { case (src, ds) =>
+      // doc_id order; docs with zero non-empty tokens drop out (no rows
+      // in the token stream), exactly as both engines' aggregations do
+      val ordered = ds.sortBy(_._1)
+        .map { case (id, text, _, _) => id -> rawWords(text).filter(_.nonEmpty) }
+        .filter(_._2.nonEmpty)
+      val seen = collection.mutable.Set[String]()
+      var cumTok = 0L
+      val pts = ordered.zipWithIndex.flatMap { case ((_, ws), idx) =>
+        val r = idx + 1
+        cumTok += ws.length
+        ws.foreach(seen.add)
+        val cumTypes = seen.size.toLong
+        if (r >= 2 && (r & (r - 1)) == 0)
+          Some((cumTok,
+            cumTypes,
+            math.floor(math.log(cumTok.toDouble) * 10000 + 0.5).toLong,
+            math.floor(math.log(cumTypes.toDouble) * 10000 + 0.5).toLong))
+        else None
+      }
+      if (pts.isEmpty) None
+      else {
+        val n = pts.size.toLong
+        val sx = pts.map(_._3).sum
+        val sy = pts.map(_._4).sum
+        val sxy = pts.map(p => p._3 * p._4).sum
+        val sxx = pts.map(p => p._3 * p._3).sum
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        Some((src, n, pts.last._1, pts.last._2,
+          if (den == 0) 0L else hdiv(10000L * num, den)))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q168_heaps_law")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // Chebyshev: both series non-decreasing in rank, so beta >= 0; types
+    // never outgrow tokens, so beta of a real corpus stays <= 1e4 + slack
+    got.foreach { case (src, _, tok, typ, beta) =>
+      assert(beta >= 0, src)
+      assert(typ <= tok, src)
+    }
+  }
+
+  test("q169 cluster spans are exactly q62's components joined to provenance") {
+    val comp = SparkEntry.queries("q62_dup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySrc = docs.map(d => d._1 -> d._3).toMap
+    val langs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = comp.groupBy(_._2).map { case (_, members) =>
+      val ids = members.map(_._1)
+      (ids.map(bySrc).distinct.size.toLong, ids.map(langs).distinct.size.toLong,
+        ids.size.toLong)
+    }.groupBy { case (ns, nl, _) => (ns, nl) }
+      .map { case ((ns, nl), xs) =>
+        (ns, nl, xs.size.toLong, xs.map(_._3).sum, xs.map(_._3).max)
+      }.toSet
+    val got = SparkEntry.queries("q169_cluster_span")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // spans conserve the component table; a cluster spans at least one
+    // source and lang, never more sources than docs
+    assert(got.toSeq.map(_._4).sum == comp.length.toLong)
+    got.foreach { case (ns, nl, _, _, mx) =>
+      assert(ns >= 1 && nl >= 1 && ns <= mx)
+    }
+  }
+
+  test("q171 shingle reuse matches an independent distinct-membership recomputation") {
+    val expected = docs.groupBy(_._3).map { case (src, ds) =>
+      val perDoc = ds.map { case (_, text, _, _) =>
+        val ws = rawWords(text)
+        (0 until math.max(0, ws.length - 2))
+          .map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").distinct
+      }
+      val df = perDoc.flatten.groupBy(identity).map { case (_, xs) => xs.size.toLong }
+      val nTypes = df.size.toLong
+      val nMem = df.sum
+      val rTypes = df.count(_ > 1).toLong
+      val rOcc = df.filter(_ > 1).sum
+      (src, nTypes, nMem, rTypes, rOcc,
+        hdiv(10000L * rTypes, nTypes), hdiv(10000L * rOcc, nMem))
+    }.toSet
+    val got = SparkEntry.queries("q171_shingle_reuse")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == expected)
+    // reused occurrences dominate reused types (each reused type occurs
+    // at least twice); both ratios live in [0, 1e4]
+    got.foreach { case (src, _, _, rt, ro, tr, or_) =>
+      assert(ro >= 2 * rt, src)
+      assert(tr >= 0 && tr <= 10000 && or_ >= 0 && or_ <= 10000, src)
+    }
+  }
+
+  test("q172 transitivity matches an independent triangle count on both graphs") {
+    def graphStats(edges: Set[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+      val deg = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+        .groupBy(identity).map { case (_, xs) => xs.size.toLong }
+      val wedges = deg.map(d => d * (d - 1) / 2).sum
+      // inner generator must be a Seq: a Set-typed inner comprehension
+      // would collapse the per-edge triangle multiplicity
+      val tris = (for {
+        (a, b) <- edges.toSeq
+        (b2, c) <- edges.toSeq if b2 == b && edges.contains((a, c))
+      } yield (a, b, c)).size.toLong
+      (deg.size.toLong, edges.size.toLong, wedges, tris,
+        if (wedges == 0) 0L else hdiv(10000L * 3 * tris, wedges))
+    }
+    val cand = SparkEntry.queries("q37_lsh_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ver = SparkEntry.queries("q38_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set(
+      ("candidates" +: graphStats(cand).productIterator.toSeq).toList,
+      ("verified" +: graphStats(ver).productIterator.toSeq).toList)
+    val got = SparkEntry.queries("q172_dup_transitivity")(spark, sf).collect()
+      .map(r => List[Any](r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == expected)
+    // the verified graph is a subgraph of the candidate graph on every axis
+    val byName = got.map(l => l.head -> l.tail).toMap
+    (byName("verified"), byName("candidates")) match {
+      case (v, c) =>
+        assert(v(0).asInstanceOf[Long] <= c(0).asInstanceOf[Long])
+        assert(v(1).asInstanceOf[Long] <= c(1).asInstanceOf[Long])
+        assert(v(3).asInstanceOf[Long] <= c(3).asInstanceOf[Long])
+    }
+  }
+
 }

@@ -1262,4 +1262,80 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(mn <= nf && share * ns >= 10000 - ns, prev)
     }
   }
+  test("q170 NN margins match an independent within-cell top-2 recomputation") {
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables(spark, sf).embeddings.collect().map { r =>
+      (r.getLong(0), r.getAs[Number]("label").intValue,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    }
+    val expected = vecs.groupBy(_._2).flatMap { case (cell, xs) =>
+      val margins = xs.toSeq.flatMap { case (src, _, vs) =>
+        val sims = xs.toSeq.filter(_._1 != src)
+          .map { case (dst, _, vd) => (rnd6(cos(vs, vd)), dst) }
+          .sortBy { case (sim, dst) => (-sim, dst) }
+        if (sims.size < 2) None
+        else Some(math.floor((sims(0)._1 - sims(1)._1) * 1000000 + 0.5).toLong)
+      }
+      if (margins.isEmpty) None
+      else Some((cell, margins.size.toLong, hdiv(margins.sum, margins.size.toLong),
+        margins.count(_ < 1000L).toLong, margins.max))
+    }.toSet
+    val got = SparkEntry.queries("q170_ann_margin")(spark, sf).collect()
+      .map(r => (r.getAs[Number]("label").intValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // margins are gaps between a sorted pair: never negative, and the
+    // mean never exceeds the max
+    got.foreach { case (cell, n, mean, amb, mx) =>
+      assert(mean >= 0 && mean <= mx, s"cell $cell")
+      assert(amb <= n, s"cell $cell")
+    }
+  }
+
+  test("q173 supplier HHI matches an independent recomputation, decimal path identical") {
+    val t = Tables(spark, sf)
+    val nationOf = t.supplier.select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("s_nationkey").intValue).toMap
+    val names = t.nation.select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getAs[Number]("n_nationkey").intValue -> r.getString(1)).toMap
+    val counts = t.lineitem.select(col("l_suppkey")).collect()
+      .map(_.getLong(0)).groupBy(identity)
+      .map { case (sk, xs) => (nationOf(sk), sk) -> xs.length.toLong }
+    val expected = counts.groupBy(_._1._1).map { case (nk, per) =>
+      val cs = per.values.toSeq
+      val tot = cs.sum
+      (names(nk), cs.size.toLong, tot,
+        hdiv(1000000L * cs.map(c => c * c).sum, tot * tot),
+        hdiv(10000L * cs.max, tot))
+    }.toSet
+    def run() = SparkEntry.queries("q173_supplier_hhi")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val got = run()
+    assert(got == expected)
+    // the DECIMAL(38,0) overflow-guard path is plan-shape-identical and
+    // value-identical at current scale (q163's guard pattern)
+    spark.conf.set("graft.hhi.decimal", "true")
+    try assert(run() == got)
+    finally spark.conf.unset("graft.hhi.decimal")
+    // HHI is bounded below by the balanced pool 1e6/n and above by 1e6;
+    // the top share is consistent with concentration
+    got.foreach { case (nation, n, _, hhi, top) =>
+      assert(hhi >= 1000000L / n - 1 && hhi <= 1000000L, nation)
+      assert(top >= 10000L / n - 1 && top <= 10000L, nation)
+    }
+  }
+
 }
