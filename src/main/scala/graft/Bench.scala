@@ -55,6 +55,9 @@ object Bench {
     spark.conf.set("graft.lsh.cache", "true")
     val tPrep = System.nanoTime()
     graft.operators.Dedup.primePairCache(Tables(spark, sfDir))
+    // the embeddings-side shared relation (q170/q174's cellTop2) rides
+    // the same session-cache conf and the same priced prep slot
+    graft.operators.Similarity.primeCellTop2(Tables(spark, sfDir))
     val prepLshS = math.rint((System.nanoTime() - tPrep) / 1e7) / 100
     // Maintained-artifact session: a production lake keeps the corpus
     // count stores next to the data (SURVEY FreqStore: unigram + bigram

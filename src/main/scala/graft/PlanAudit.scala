@@ -29,7 +29,9 @@ object PlanAudit {
     // totals hints — each an explicit broadcast() the plan must keep
     "q161_source_jsd", "q162_basket_pairs", "q164_kn_continuation",
     // r15 third wave: q173's supplier/nation dim hints
-    "q173_supplier_hhi")
+    "q173_supplier_hhi",
+    // r15 fourth wave: q176's five dim-parent anti-probe hints
+    "q176_fk_audit")
   // q115's ground-truth branch is the q40 broadcast-sample scan — the
   // audit's declared, sample-bounded cost. (q50 was delisted in r13: it
   // has been a banded broadcast equi-join since r1, so a cartesian there
@@ -386,7 +388,33 @@ object PlanAudit {
     // q173: (nation, supplier) fact pre-agg (the one corpus-scale
     // shuffle; supplier and nation dims broadcast) → |suppliers| rollup
     // → sort
-    "q173_supplier_hhi" -> 3).withDefaultValue(3)
+    "q173_supplier_hhi" -> 3,
+    // r15 fourth wave, measured textual counts:
+    // q174: the shared cellTop2 relation (cell-keyed self-join + top-2
+    // window + pivot agg — q170's chain exactly) → |cells| rollup → sort
+    "q174_intrinsic_dim" -> 5,
+    // q175: q153's combo agg with TWO distincts (users, sensitive bands)
+    // — the Expand-based multi-distinct rewrite adds a phase — → |types|
+    // rollup → sort; combos bounded by |types|·24·|bands|
+    "q175_l_diversity" -> 5,
+    // q176: six relationship branches — five dim parents broadcast (their
+    // probes cost no exchange), the one fact-fact check (lineitem→orders)
+    // shuffles both sides on the orderkey, and each branch's single-row
+    // conditional agg is a single-partition exchange; every one is
+    // count- or dim-scale
+    "q176_fk_audit" -> 12,
+    // q177: (source, prefix) agg (partial map-side; the one corpus-scale
+    // shuffle) → source-partitioned total + rank windows (prefix-type-
+    // scale, share the exchange) → sort
+    "q177_top_prefixes" -> 4,
+    // q178: (user, type) count agg → user-keyed total window → per-user
+    // entropy rollup (shares the user exchange) → histogram agg → sort
+    "q178_session_entropy" -> 5,
+    // q179: map-side regexp length arithmetic → |source| rollup → sort
+    "q179_char_classes" -> 2,
+    // q180: (band, sig) bucket agg (partial map-side) → |bands| rollup
+    // → sort
+    "q180_lsh_occupancy" -> 3).withDefaultValue(3)
 
   // `stores` mode: the STORE-BACKED plans (the bench session's actual
   // shapes — the default/scale modes audit only conf-off derived plans).

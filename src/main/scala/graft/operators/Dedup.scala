@@ -288,6 +288,7 @@ object Dedup extends QueryModule {
     evalPosCache.clear()
     sourceShinglesCache.forEach((_, df) => { df.unpersist(); () })
     sourceShinglesCache.clear()
+    Similarity.clearCellCache()
     StoreViews.clear()
   }
 
@@ -988,6 +989,36 @@ object Dedup extends QueryModule {
         col("n_triangles"), col("transitivity_e4"))
       .orderBy(col("graph"))
   }
+
+  /** LSH band-bucket occupancy audit — the SHUFFLE-COST forecast for the
+    * dedup pass itself: per band, how many (band, sig) buckets exist, the
+    * hottest bucket, the singleton share, and Σ b(b−1)/2 — the EXACT
+    * candidate-pair volume the q37 self-join will produce. This is the
+    * number every "candidate-bounded" budget in this module leans on,
+    * measured instead of assumed: a hot bucket here is tomorrow's skewed
+    * reducer (AQE skew-split feeds on this distribution), and the
+    * pred_pairs column is the capacity-planning input for the verify
+    * stage's cluster sizing at 100 TB. Same native minhash kernel as
+    * q36/q37; one (band, sig) agg (partial map-side), |bands|-row rollup.
+    */
+  private def q180(t: Tables): DataFrame =
+    Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        posexplode(graft.functions.GraftFunctions.minhash_sigs(col("text"), bands(t)))
+          .as(Seq("band", "sig")))
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("b"))
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("b")).as("n_docs"),
+        max(col("b")).as("max_bucket"),
+        sum(expr("(b * (b - 1)) DIV 2")).as("pred_pairs"),
+        sum(when(col("b") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      .withColumn(
+        "singleton_share_e4",
+        expr("(2 * 10000 * n_singletons + n_buckets) DIV (2 * n_buckets)"))
+      .orderBy(col("band"))
 
   /** End-to-end dedup report — the pipeline deliverable the individual
     * stages (q35 exact, q37/q38 candidates+verify, q62 clusters) feed: per
@@ -2104,6 +2135,7 @@ object Dedup extends QueryModule {
     "q169_cluster_span" -> ((s, d) => q169(Tables(s, d))),
     "q171_shingle_reuse" -> ((s, d) => q171(Tables(s, d))),
     "q172_dup_transitivity" -> ((s, d) => q172(Tables(s, d))),
+    "q180_lsh_occupancy" -> ((s, d) => q180(Tables(s, d))),
     "q35_exact_dedup" -> ((s, d) => q35(Tables(s, d))),
     "q36_minhash_sigs" -> ((s, d) => q36(Tables(s, d))),
     "q37_lsh_pairs" -> ((s, d) => q37(Tables(s, d))),
@@ -2822,6 +2854,23 @@ object Dedup extends QueryModule {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS component_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q180_lsh_occupancy" ->
+      s"""WITH w AS ($duckWords),
+         | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),
+         | sh AS (SELECT doc_id, $duckHashes AS hashes FROM shl),
+         | sigs AS (
+         | $duckShingleArms
+         | ),
+         | bk AS (SELECT band, sig, count(*) AS b FROM sigs GROUP BY band, sig),
+         | s AS (
+         | SELECT CAST(band AS BIGINT) AS band, count(*) AS n_buckets,
+         |  CAST(sum(b) AS BIGINT) AS n_docs, max(b) AS max_bucket,
+         |  CAST(sum((b * (b - 1)) // 2) AS BIGINT) AS pred_pairs,
+         |  CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons
+         | FROM bk GROUP BY band)
+         |SELECT band, n_buckets, n_docs, max_bucket, pred_pairs, n_singletons,
+         | (2 * 10000 * n_singletons + n_buckets) // (2 * n_buckets) AS singleton_share_e4
+         |FROM s ORDER BY band""".stripMargin,
     "q169_cluster_span" ->
       s"""WITH RECURSIVE $duckJpairsCtes,
          | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs

@@ -753,6 +753,115 @@ object Extras extends QueryModule {
         min(col("n_users")).as("min_combo_users"))
       .orderBy(col("event_type"))
 
+  /** l-diversity audit over q153's quasi-identifier combos (Machanavajjhala
+    * et al. 2007 — the homogeneity-attack check k-anonymity alone misses):
+    * a combo can be k-anonymous yet reveal everyone's SENSITIVE value when
+    * all its rows share one. Sensitive attribute: the payload band
+    * (props.k DIV 25); per event type, combos whose k-anonymous rows
+    * (≥ 5 distinct users, q153's k) carry fewer than l = 3 distinct
+    * sensitive bands, with rows at risk and the worst (min) diversity.
+    * Same combo table as q153 exactly (bounded by |types|·24·|bands|);
+    * the sensitive distinct rides the same two-level rewrite.
+    */
+  private def q175(t: Tables): DataFrame =
+    t.events
+      .filter(col("user_id").isNotNull)
+      .select(
+        col("event_type"),
+        hour(col("ts")).cast("long").as("hod"),
+        expr("CAST(floor(value / 50) AS BIGINT)").as("band"),
+        col("user_id"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) DIV 25").as("sens"))
+      .groupBy(col("event_type"), col("hod"), col("band"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("sens")).as("l"))
+      .filter(col("n_users") >= 5)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_anon_combos"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("low_l_combos"),
+        sum(when(col("l") < 3, col("n_rows")).otherwise(0L)).as("rows_at_risk"),
+        min(col("l")).as("min_l"))
+      .orderBy(col("event_type"))
+
+  /** Referential-integrity audit — the dbt-style FK test pack as one
+    * relation: for each declared child→parent relationship, child volume,
+    * orphan rows (no matching parent key) and the orphan share (e6). A
+    * lake ingesting 100 TB of upstream extracts runs exactly this before
+    * any join-shaped query trusts its keys: a non-zero share here is
+    * silent row loss in every inner join downstream. Six relationships
+    * cover the star: orders→customer, lineitem→{orders, part, supplier},
+    * supplier→nation, customer→nation.
+    *
+    * Scale shape: each check is one left-anti probe — dim parents
+    * broadcast; the one fact-fact check (lineitem→orders) shuffles on
+    * l_orderkey, the key a 100 TB lake co-buckets those tables by
+    * (exchange-free on bucketed storage). Orphan counts are conditional
+    * aggs off the anti side; the output is 6 rows.
+    */
+  private def q176(t: Tables): DataFrame = {
+    // one left-join + conditional agg per relationship: a separate
+    // anti-join branch would need a second child pass (or a 1×1 cross)
+    // for the denominator; a null child key counts as an orphan (the
+    // not-null and FK checks collapse into one column, mirrored by the
+    // oracle's NOT EXISTS)
+    def check(name: String, child: DataFrame, key: Column,
+              parent: DataFrame, pkey: Column, bcast: Boolean): DataFrame = {
+      val p = parent.select(pkey.as("pk")).distinct()
+      child.select(key.as("ck"))
+        .join(if (bcast) broadcast(p) else p, col("ck") === col("pk"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_rows"), col("n_orphans"))
+    }
+    check("customer->nation", t.customer, col("c_nationkey"), t.nation, col("n_nationkey"), bcast = true)
+      .unionAll(check("lineitem->orders", t.lineitem, col("l_orderkey"), t.orders, col("o_orderkey"), bcast = false))
+      .unionAll(check("lineitem->part", t.lineitem, col("l_partkey"), t.part, col("p_partkey"), bcast = true))
+      .unionAll(check("lineitem->supplier", t.lineitem, col("l_suppkey"), t.supplier, col("s_suppkey"), bcast = true))
+      .unionAll(check("orders->customer", t.orders, col("o_custkey"), t.customer, col("c_custkey"), bcast = true))
+      .unionAll(check("supplier->nation", t.supplier, col("s_nationkey"), t.nation, col("n_nationkey"), bcast = true))
+      .withColumn("orphan_share_e6", expr("(2 * 1000000 * n_orphans + n_rows) DIV (2 * n_rows)"))
+      .orderBy(col("relationship"))
+  }
+
+  /** Per-user activity-mix entropy histogram — the bot/script detector on
+    * the COMPOSITION axis (q166 reads the transition axis, q20 the
+    * timing): a user whose event-type distribution has near-zero entropy
+    * does one thing forever (scraper, monitor, stuck client); organic
+    * users mix. Per user, Shannon entropy of the type mix in e3 bits
+    * (each term quantized half-up BEFORE the sum — q151's rule), then a
+    * 0.25-bit-binned histogram with user counts, event volume, and the
+    * half-up mean events per user — the table that says how much of the
+    * event lake single-behavior accounts own.
+    *
+    * Scale shape: ONE corpus-scale (user, type) count agg (partial
+    * map-side); the per-user rollup is |users|-bounded; the histogram is
+    * ≤ ⌈log₂|types|·4⌉+1 rows.
+    */
+  private def q178(t: Tables): DataFrame =
+    t.events
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("user_id"))))
+      .withColumn(
+        "bits_e3",
+        expr("CAST(floor(-log2(CAST(c AS DOUBLE) / n) * 1000 + 0.5) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n")).as("n_events"),
+        expr("(2 * sum(c * bits_e3) + max(n)) DIV (2 * max(n))").as("entropy_e3"))
+      .withColumn("bin", expr("least(entropy_e3 DIV 250, CAST(9 AS BIGINT))"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        expr("(2 * 100 * sum(n_events) + count(1)) DIV (2 * count(1))").as("mean_events_e2"))
+      .orderBy(col("bin"))
+
   /** Tile-pyramid occupancy profile — the multi-zoom sharding readout a
     * geo lake plans its layout from (geostore's datasets are map tiles;
     * the z/x/y scheme here is the slippy-map grid on an equirectangular
@@ -888,6 +997,9 @@ object Extras extends QueryModule {
     "q128_temperature_mix" -> ((s, d) => q128(Tables(s, d))),
     "q133_user_concentration" -> ((s, d) => q133(Tables(s, d))),
     "q173_supplier_hhi" -> ((s, d) => q173(Tables(s, d))),
+    "q175_l_diversity" -> ((s, d) => q175(Tables(s, d))),
+    "q176_fk_audit" -> ((s, d) => q176(Tables(s, d))),
+    "q178_session_entropy" -> ((s, d) => q178(Tables(s, d))),
     "q134_event_gaps" -> ((s, d) => q134(Tables(s, d))),
     "q138_volume_anomaly" -> ((s, d) => q138(Tables(s, d))),
     "q148_attribution_sweep" -> ((s, d) => q148(Tables(s, d))),
@@ -913,6 +1025,77 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q175_l_diversity" ->
+      """WITH e AS (
+        | SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |  CAST(floor(value / 50) AS BIGINT) AS band, user_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS sens
+        | FROM events WHERE user_id IS NOT NULL),
+        | combos AS (
+        | SELECT event_type, hod, band, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users, count(DISTINCT sens) AS l
+        | FROM e GROUP BY event_type, hod, band)
+        |SELECT event_type, count(*) AS n_anon_combos,
+        | CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS low_l_combos,
+        | CAST(sum(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        | min(l) AS min_l
+        |FROM combos WHERE n_users >= 5
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q176_fk_audit" ->
+      """WITH checks AS (
+        | SELECT 'customer->nation' AS relationship,
+        |  (SELECT count(*) FROM customer) AS n_rows,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+        | UNION ALL
+        | SELECT 'lineitem->orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        | UNION ALL
+        | SELECT 'lineitem->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        | UNION ALL
+        | SELECT 'lineitem->supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        | UNION ALL
+        | SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        | UNION ALL
+        | SELECT 'supplier->nation',
+        |  (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)))
+        |SELECT relationship, CAST(n_rows AS BIGINT) AS n_rows,
+        | CAST(n_orphans AS BIGINT) AS n_orphans,
+        | (2 * 1000000 * n_orphans + n_rows) // (2 * n_rows) AS orphan_share_e6
+        |FROM checks ORDER BY relationship""".stripMargin,
+    "q178_session_entropy" ->
+      """WITH c AS (
+        | SELECT user_id, event_type, count(*) AS c FROM events
+        | WHERE user_id IS NOT NULL GROUP BY user_id, event_type),
+        | w AS (
+        | SELECT user_id, c,
+        |  CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        | FROM c),
+        | b AS (
+        | SELECT user_id, c, n,
+        |  CAST(floor(-log2(CAST(c AS DOUBLE) / n) * 1000 + 0.5) AS BIGINT) AS bits_e3
+        | FROM w),
+        | u AS (
+        | SELECT user_id, max(n) AS n_events,
+        |  (2 * sum(c * bits_e3) + max(n)) // (2 * max(n)) AS entropy_e3
+        | FROM b GROUP BY user_id),
+        | h AS (SELECT least(entropy_e3 // 250, 9) AS bin, n_events FROM u)
+        |SELECT bin, count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events,
+        | (2 * 100 * CAST(sum(n_events) AS BIGINT) + count(*)) // (2 * count(*)) AS mean_events_e2
+        |FROM h GROUP BY bin ORDER BY bin""".stripMargin,
     "q173_supplier_hhi" ->
       """WITH per AS (
         | SELECT s.s_nationkey, l.l_suppkey, count(*) AS c

@@ -156,7 +156,47 @@ object Similarity extends QueryModule {
     * are exact: both sims round to 6dp (the q43 contract both engines
     * share) so their difference scaled to e6 is integer-exact.
     */
-  private def q170(t: Tables): DataFrame = {
+  /** The (label, a_id, s1, s2) within-cell top-2 neighbor relation —
+    * the shared input of q170's margin audit and q174's TwoNN intrinsic
+    * dimension. Pair work blocks per cell (Σ|cell|²); the top-2 window
+    * partitions by query vector; s2 is null for cells of size 2.
+    * Under `graft.lsh.cache` (the bench/audit session conf) the relation
+    * is computed ONCE and session-cached — pairStats' pattern exactly —
+    * so the two consumers never pay the pair scan twice; the build is
+    * priced in Bench's prep, and [[clearCellCache]] (wired into
+    * Dedup.clearPairCache) drops it before any derived-plan assertion.
+    */
+  private val cellTop2Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  private def cellCacheOn(t: Tables): Boolean =
+    t.spark.conf.get("graft.lsh.cache", "false").toBoolean
+
+  private def cellTop2(t: Tables): DataFrame =
+    if (!cellCacheOn(t)) cellTop2Derive(t)
+    else
+      cellTop2Cache.computeIfAbsent(
+        s"${t.spark.sparkContext.applicationId}|${t.dir}",
+        _ => cellTop2Derive(t)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Materialize the session cellTop2 relation (no-op when the cache is
+    * off) so its one-time pair-scan cost is priced in Bench's prep, not
+    * hidden in whichever of q170/q174 min-of-2 happens to discard.
+    */
+  def primeCellTop2(t: Tables): Long =
+    if (cellCacheOn(t)) cellTop2(t).count() else 0L
+
+  /** Drop the session cellTop2 cache (see Dedup.clearPairCache for why:
+    * persist() registers the fragment in Spark's CacheManager and even
+    * conf-off derived runs would silently read it).
+    */
+  def clearCellCache(): Unit = {
+    cellTop2Cache.forEach((_, df) => { df.unpersist(); () })
+    cellTop2Cache.clear()
+  }
+
+  private def cellTop2Derive(t: Tables): DataFrame = {
     val corpus = vectors(t).select(col("label"), col("vec_id"), col("v"))
     val w = Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id"))
     corpus.as("a")
@@ -175,6 +215,10 @@ object Similarity extends QueryModule {
         max(when(col("rk") === 1, col("cos_sim"))).as("s1"),
         max(when(col("rk") === 2, col("cos_sim"))).as("s2"))
       .filter(col("s2").isNotNull)
+  }
+
+  private def q170(t: Tables): DataFrame =
+    cellTop2(t)
       .withColumn("margin_e6", expr("CAST(floor((s1 - s2) * 1000000 + 0.5) AS BIGINT)"))
       .groupBy(col("label"))
       .agg(
@@ -183,7 +227,46 @@ object Similarity extends QueryModule {
         sum(when(col("margin_e6") < 1000, 1L).otherwise(0L)).as("n_ambiguous"),
         max(col("margin_e6")).as("max_margin_e6"))
       .orderBy(col("label"))
-  }
+
+  /** TwoNN intrinsic-dimension estimate per IVF cell (Facco et al. 2017,
+    * "Estimating the intrinsic dimension of datasets by a minimal
+    * neighborhood information"): μ = d₂/d₁ over each vector's two
+    * nearest within-cell cosine distances, ID ≈ n / Σ ln μ. The single
+    * number that says whether a cell's vectors actually occupy the
+    * ambient dimension or sit on a far-thinner manifold — LOW ID means
+    * PQ/IVF (q132/q43) have headroom and SemDeDup thresholds transfer
+    * across cells; an ID outlier cell is structurally different data
+    * (mixed modality, corrupt embeddings) that q109's validity stats
+    * can't see. Degenerate vectors (d₁ = 0 after the 6dp rounding
+    * contract — exact-duplicate embeddings) are excluded and counted.
+    *
+    * Numeric discipline: distances are 1 − s over the 6dp-rounded sims
+    * both engines share; each ln(μ) is ONE transcendental written
+    * character-identically in both engines, e6-quantized half-up BEFORE
+    * the sum (q151's rule); the final ID division is half-up integer in
+    * e3 units. ln μ ≥ 0 exactly (s₁ ≥ s₂ ⇒ d₂ ≥ d₁, floor preserves).
+    *
+    * Scale shape: rides the shared [[cellTop2]] relation (Σ|cell|²
+    * blocked pair work, q170's bound exactly); the rollup is |cells|
+    * rows.
+    */
+  private def q174(t: Tables): DataFrame =
+    cellTop2(t)
+      .withColumn("degenerate", col("s1") >= 1.0)
+      .withColumn(
+        "ln_mu_e6",
+        when(col("degenerate"), 0L).otherwise(
+          expr("CAST(floor(ln((1.0 - s2) / (1.0 - s1)) * 1000000 + 0.5) AS BIGINT)")))
+      .groupBy(col("label"))
+      .agg(
+        sum(when(!col("degenerate"), 1L).otherwise(0L)).as("n_vecs"),
+        sum(col("degenerate").cast("long")).as("n_degenerate"),
+        sum(when(!col("degenerate"), col("ln_mu_e6")).otherwise(0L)).as("sum_ln_e6"))
+      .withColumn(
+        "id_e3",
+        expr("CASE WHEN sum_ln_e6 = 0 THEN CAST(0 AS BIGINT) ELSE (2 * 1000 * 1000000 * n_vecs + sum_ln_e6) DIV (2 * sum_ln_e6) END"))
+      .select(col("label"), col("n_vecs"), col("n_degenerate"), col("sum_ln_e6"), col("id_e3"))
+      .orderBy(col("label"))
 
   /** One Lloyd (k-means) refinement round for the IVF coarse quantizer —
     * the build step q43 assumes: recompute per-cluster centroids, then
@@ -1005,7 +1088,8 @@ object Similarity extends QueryModule {
     "q41_embedding_neardup" -> ((s, d) => q41(Tables(s, d))),
     "q42_ann_sign_lsh" -> ((s, d) => q42(Tables(s, d))),
     "q43_ivf_search" -> ((s, d) => q43(Tables(s, d))),
-    "q170_ann_margin" -> ((s, d) => q170(Tables(s, d)))
+    "q170_ann_margin" -> ((s, d) => q170(Tables(s, d))),
+    "q174_intrinsic_dim" -> ((s, d) => q174(Tables(s, d)))
   )
 
   // shared DuckDB fragments
@@ -1372,6 +1456,37 @@ object Similarity extends QueryModule {
          | CAST(sum(CASE WHEN margin_e6 < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous,
          | max(margin_e6) AS max_margin_e6
          |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "q174_intrinsic_dim" ->
+      s"""WITH $duckVectors,
+         | p AS (
+         | SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         | FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         | r AS (
+         | SELECT label, a_id, cos_sim,
+         |  row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS rk
+         | FROM p),
+         | t2 AS (
+         | SELECT label, a_id,
+         |  max(CASE WHEN rk = 1 THEN cos_sim END) AS s1,
+         |  max(CASE WHEN rk = 2 THEN cos_sim END) AS s2
+         | FROM r WHERE rk <= 2 GROUP BY label, a_id),
+         | m AS (
+         | SELECT label, s1 >= 1.0 AS degenerate,
+         |  CASE WHEN s1 >= 1.0 THEN CAST(0 AS BIGINT)
+         |   ELSE CAST(floor(ln((1.0 - s2) / (1.0 - s1)) * 1000000 + 0.5) AS BIGINT)
+         |  END AS ln_mu_e6
+         | FROM t2 WHERE s2 IS NOT NULL),
+         | s AS (
+         | SELECT label,
+         |  CAST(sum(CASE WHEN degenerate THEN 0 ELSE 1 END) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN degenerate THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+         |  CAST(sum(CASE WHEN degenerate THEN 0 ELSE ln_mu_e6 END) AS BIGINT) AS sum_ln_e6
+         | FROM m GROUP BY label)
+         |SELECT label, n_vecs, n_degenerate, sum_ln_e6,
+         | CASE WHEN sum_ln_e6 = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE (2 * 1000 * 1000000 * n_vecs + sum_ln_e6) // (2 * sum_ln_e6) END AS id_e3
+         |FROM s ORDER BY label""".stripMargin,
     "q132_pq_quantize" ->
       s"""WITH e AS (
          | SELECT vec_id,

@@ -1025,6 +1025,68 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Top document prefixes per source — the ACTIONABLE face of the
+    * boilerplate detectors: q140 counts window-hash collisions and q171
+    * rates shingle reuse, but a curation operator fixing a source needs
+    * the actual offending strings. Per source, the three most common
+    * 5-token prefixes with doc counts and corpus coverage (e4) — the
+    * strip-list a C4-style cleaner is seeded with. One corpus-scale
+    * (source, prefix) agg (partial map-side — boilerplate collapses
+    * before the exchange); the rank and total windows run on the
+    * prefix-TYPE table (≪ docs for boilerplate-heavy sources, ≤ docs
+    * always); 3 rows per source survive.
+    */
+  private def q177(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_docs").desc, col("prefix"))
+    withWords(t)
+      .select(col("source"), expr("concat_ws(' ', slice(words, 1, 5))").as("prefix"))
+      .groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("src_docs", sum(col("n_docs")).over(Window.partitionBy(col("source"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .withColumn("coverage_e4", expr("(2 * 10000 * n_docs + src_docs) DIV (2 * src_docs)"))
+      .select(col("source"), col("rank"), col("prefix"), col("n_docs"), col("coverage_e4"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** Per-source character-class profile — the cheapest structural
+    * fingerprint next to q100's entropy: alpha/digit/space shares (e4)
+    * and chars per doc. Code and log sources sit digit- and
+    * punctuation-heavy, prose sits alpha-heavy; a share that drifts
+    * between crawl batches is a parser or encoding regression upstream
+    * (the Gopher-style symbol-ratio gate reads exactly these counts).
+    * All counting is map-side regexp length arithmetic next to the
+    * scan; the single shuffle is the |source|-row rollup.
+    */
+  private def q179(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("n_alpha"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digit"),
+        length(regexp_replace(col("text"), "[^ ]", "")).cast("long").as("n_space"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_alpha")).as("n_alpha"),
+        sum(col("n_digit")).as("n_digit"),
+        sum(col("n_space")).as("n_space"))
+      .withColumn("alpha_share_e4", expr("(2 * 10000 * n_alpha + n_chars) DIV (2 * n_chars)"))
+      .withColumn("digit_share_e4", expr("(2 * 10000 * n_digit + n_chars) DIV (2 * n_chars)"))
+      .withColumn("space_share_e4", expr("(2 * 10000 * n_space + n_chars) DIV (2 * n_chars)"))
+      .withColumn(
+        "other_share_e4",
+        expr("(2 * 10000 * (n_chars - n_alpha - n_digit - n_space) + n_chars) DIV (2 * n_chars)"))
+      .withColumn("chars_per_doc_e2", expr("(2 * 100 * n_chars + n_docs) DIV (2 * n_docs)"))
+      .select(
+        col("source"), col("n_docs"), col("n_chars"), col("alpha_share_e4"),
+        col("digit_share_e4"), col("space_share_e4"), col("other_share_e4"),
+        col("chars_per_doc_e2"))
+      .orderBy(col("source"))
+
   /** Kneser-Ney continuation-count audit (Kneser & Ney 1995; the count
     * that replaces raw frequency in every modern smoothed LM): for each
     * token, how many DISTINCT left contexts it follows — continuation
@@ -1965,6 +2027,8 @@ object TextAnalysis extends QueryModule {
     "q163_token_gini" -> ((s, d) => q163(Tables(s, d))),
     "q167_good_turing" -> ((s, d) => q167(Tables(s, d))),
     "q168_heaps_law" -> ((s, d) => q168(Tables(s, d))),
+    "q177_top_prefixes" -> ((s, d) => q177(Tables(s, d))),
+    "q179_char_classes" -> ((s, d) => q179(Tables(s, d))),
     "q164_kn_continuation" -> ((s, d) => q164(Tables(s, d)))
   )
 
@@ -2695,6 +2759,40 @@ object TextAnalysis extends QueryModule {
         |SELECT source, n_types, n_tokens,
         | (2 * 1000000 * (2 * si - (n_types + 1) * n_tokens) + n_types * n_tokens)
         |  // (2 * n_types * n_tokens) AS gini_e6
+        |FROM s ORDER BY source""".stripMargin,
+    "q177_top_prefixes" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+        | p AS (
+        | SELECT source,
+        |  list_aggregate(list_slice(words, 1, 5), 'string_agg', ' ') AS prefix
+        | FROM w),
+        | c AS (SELECT source, prefix, count(*) AS n_docs FROM p GROUP BY source, prefix),
+        | r AS (
+        | SELECT source, prefix, n_docs,
+        |  CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS src_docs,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_docs DESC, prefix) AS BIGINT) AS rank
+        | FROM c)
+        |SELECT source, rank, prefix, n_docs,
+        | (2 * 10000 * n_docs + src_docs) // (2 * src_docs) AS coverage_e4
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+    "q179_char_classes" ->
+      """WITH d AS (
+        | SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space
+        | FROM documents),
+        | s AS (
+        | SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(n_alpha) AS BIGINT) AS n_alpha, CAST(sum(n_digit) AS BIGINT) AS n_digit,
+        |  CAST(sum(n_space) AS BIGINT) AS n_space
+        | FROM d GROUP BY source)
+        |SELECT source, n_docs, n_chars,
+        | (2 * 10000 * n_alpha + n_chars) // (2 * n_chars) AS alpha_share_e4,
+        | (2 * 10000 * n_digit + n_chars) // (2 * n_chars) AS digit_share_e4,
+        | (2 * 10000 * n_space + n_chars) // (2 * n_chars) AS space_share_e4,
+        | (2 * 10000 * (n_chars - n_alpha - n_digit - n_space) + n_chars) // (2 * n_chars) AS other_share_e4,
+        | (2 * 100 * n_chars + n_docs) // (2 * n_docs) AS chars_per_doc_e2
         |FROM s ORDER BY source""".stripMargin,
     "q167_good_turing" ->
       """WITH tok AS (

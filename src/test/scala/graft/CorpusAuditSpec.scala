@@ -1751,4 +1751,84 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q177 top prefixes match an independent per-source count") {
+    val expected = docs.groupBy(_._3).flatMap { case (src, ds) =>
+      val prefixes = ds.map { case (_, text, _, _) =>
+        rawWords(text).take(5).mkString(" ")
+      }
+      val counts = prefixes.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      val total = ds.size.toLong
+      counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(3).zipWithIndex.map {
+        case ((p, n), idx) =>
+          (src, (idx + 1).toLong, p, n, hdiv(10000L * n, total))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q177_top_prefixes")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // rank-1 coverage bounds every later rank's
+    val byKey = got.groupBy(_._1)
+    byKey.values.foreach { rs =>
+      val sorted = rs.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 >= b._4, a._1)
+        case _         =>
+      }
+    }
+  }
+
+  test("q179 char classes match an independent per-source count") {
+    val expected = docs.groupBy(_._3).map { case (src, ds) =>
+      val texts = ds.map(_._2)
+      val nChars = texts.map(_.length.toLong).sum
+      val nAlpha = texts.map(_.count(_.isLetter).toLong).sum
+      val nDigit = texts.map(_.count(_.isDigit).toLong).sum
+      val nSpace = texts.map(_.count(_ == ' ').toLong).sum
+      (src, ds.size.toLong, nChars,
+        hdiv(10000L * nAlpha, nChars), hdiv(10000L * nDigit, nChars),
+        hdiv(10000L * nSpace, nChars),
+        hdiv(10000L * (nChars - nAlpha - nDigit - nSpace), nChars),
+        hdiv(100L * nChars, ds.size.toLong))
+    }.toSet
+    val got = SparkEntry.queries("q179_char_classes")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(got == expected)
+    // the four shares partition the character mass (rounding slack ≤ 2)
+    got.foreach { case (src, _, _, a, d, sp, o, _) =>
+      assert(math.abs(a + d + sp + o - 10000L) <= 2, src)
+    }
+  }
+
+  test("q180 occupancy is exactly q36's signature table re-bucketed") {
+    val sigRows = SparkEntry.queries("q36_minhash_sigs")(spark, sf).collect()
+    val nBands = sigRows.head.length - 1
+    // per band, the multiset of bucket sizes
+    val sizes = sigRows.flatMap { r =>
+      (0 until nBands).map(b => (b.toLong, r.getLong(b + 1)))
+    }.groupBy(identity).toSeq.map { case ((band, _), xs) => band -> xs.size.toLong }
+      .groupBy(_._1).map { case (band, bs) => band -> bs.map(_._2) }
+    val expected = sizes.map { case (band, bs) =>
+      val nb = bs.size.toLong
+      (band, nb, bs.sum, bs.max,
+        bs.map(b => b * (b - 1) / 2).sum, bs.count(_ == 1L).toLong,
+        hdiv(10000L * bs.count(_ == 1L), nb))
+    }.toSet
+    val got = SparkEntry.queries("q180_lsh_occupancy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == expected)
+    // every band sees every doc exactly once, and the predicted pair
+    // volume bounds q37's observed candidate pairs from above per band
+    val nDocs = sigRows.length.toLong
+    got.foreach { case (band, _, total, _, _, _, _) =>
+      assert(total == nDocs, s"band $band")
+    }
+    val observedPairs = SparkEntry.queries("q37_lsh_pairs")(spark, sf).count()
+    assert(got.toSeq.map(_._5).sum >= observedPairs)
+  }
+
 }

@@ -16,7 +16,11 @@ class PairCacheSpec extends AnyFunSuite {
     "q129_edit_verify", "q62_dup_clusters", "q79_dedup_report",
     "q147_cluster_sizes",
     // the shared (source, shingle) membership relation (q92/q95 — r14)
-    "q92_source_overlap", "q95_overlap_sketch")
+    "q92_source_overlap", "q95_overlap_sketch",
+    // r15: q169/q172 join the component/pair families; q170/q174 ride the
+    // embeddings-side cellTop2 relation (same conf, Similarity-owned)
+    "q169_cluster_span", "q172_dup_transitivity",
+    "q170_ann_margin", "q174_intrinsic_dim")
 
   test("every pair-family query is identical with the session pair cache on") {
     val derived = family.map(q =>

@@ -1338,4 +1338,140 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q174 intrinsic dimension matches an independent TwoNN recomputation") {
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables(spark, sf).embeddings.collect().map { r =>
+      (r.getLong(0), r.getAs[Number]("label").intValue,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    }
+    val expected = vecs.groupBy(_._2).flatMap { case (cell, xs) =>
+      val terms = xs.toSeq.flatMap { case (src, _, vs) =>
+        val sims = xs.toSeq.filter(_._1 != src)
+          .map { case (dst, _, vd) => (rnd6(cos(vs, vd)), dst) }
+          .sortBy { case (sim, dst) => (-sim, dst) }
+        if (sims.size < 2) None
+        else {
+          val (s1, s2) = (sims(0)._1, sims(1)._1)
+          if (s1 >= 1.0) Some(Left(()))
+          else Some(Right(
+            math.floor(math.log((1.0 - s2) / (1.0 - s1)) * 1000000 + 0.5).toLong))
+        }
+      }
+      val lns = terms.collect { case Right(v) => v }
+      val nDeg = terms.count(_.isLeft).toLong
+      if (terms.isEmpty) None
+      else {
+        val sum = lns.sum
+        Some((cell, lns.size.toLong, nDeg, sum,
+          if (sum == 0) 0L else hdiv(1000L * 1000000L * lns.size, sum)))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q174_intrinsic_dim")(spark, sf).collect()
+      .map(r => (r.getAs[Number]("label").intValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // ln mu >= 0 per vector, so the sum is non-negative and the estimate
+    // positive whenever any vector has a genuine gap
+    got.foreach { case (cell, n, _, sum, id) =>
+      assert(sum >= 0, s"cell $cell")
+      assert(id >= 0, s"cell $cell")
+      assert(n >= 1, s"cell $cell")
+    }
+  }
+
+  test("q175 l-diversity matches an independent combo recomputation") {
+    val kRe = """"k":\s*(-?\d+)""".r
+    val rows = Tables(spark, sf).events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"),
+        col("user_id"), col("props"))
+      .collect()
+      .filter(!_.isNullAt(3))
+      .map { r =>
+        val us = r.getLong(1)
+        val hod = (us / 3600000000L) % 24
+        val band = math.floor(r.getDouble(2) / 50).toLong
+        val sens = kRe.findFirstMatchIn(r.getString(4)).map(_.group(1).toLong / 25)
+        (r.getString(0), hod, band, r.getLong(3), sens)
+      }
+    val expected = rows.groupBy(x => (x._1, x._2, x._3)).map { case ((et, _, _), xs) =>
+      (et, xs.length.toLong, xs.map(_._4).distinct.length.toLong,
+        xs.map(_._5).distinct.length.toLong)
+    }.toSeq.filter(_._3 >= 5).groupBy(_._1).map { case (et, combos) =>
+      (et, combos.size.toLong,
+        combos.count(_._4 < 3).toLong,
+        combos.filter(_._4 < 3).map(_._2).sum,
+        combos.map(_._4).min)
+    }.toSet
+    val got = SparkEntry.queries("q175_l_diversity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("q176 detects crafted orphans and reports zero on the clean corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q176_crafted").toString
+    Seq((1L, "A")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 1L), (2L, 99L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (11L, 42L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 5L, 7L), (99L, 5L, 8L)).toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(Tuple1(5L)).toDF("p_partkey").write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((7L, 1L), (8L, 1L)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val crafted = SparkEntry.queries("q176_fk_audit")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(crafted("customer->nation") == ((2L, 1L, 500000L)))
+    assert(crafted("lineitem->orders") == ((2L, 1L, 500000L)))
+    assert(crafted("lineitem->part") == ((2L, 0L, 0L)))
+    assert(crafted("lineitem->supplier") == ((2L, 0L, 0L)))
+    assert(crafted("orders->customer") == ((2L, 1L, 500000L)))
+    assert(crafted("supplier->nation") == ((2L, 0L, 0L)))
+    // the synthetic corpus is referentially clean — all six shares zero
+    val clean = SparkEntry.queries("q176_fk_audit")(spark, sf).collect()
+    assert(clean.length == 6)
+    clean.foreach(r => assert(r.getLong(2) == 0L && r.getLong(3) == 0L, r.getString(0)))
+  }
+
+  test("q178 session entropy matches an independent per-user recomputation") {
+    val rows = Tables(spark, sf).events
+      .select(col("user_id"), col("event_type")).collect()
+      .filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0), r.getString(1)))
+    // .toSeq BEFORE the map: mapping a Map to (n, entropy) pairs would
+    // re-key by n_events and silently collapse users sharing a count
+    val expected = rows.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val n = xs.length.toLong
+      val byType = xs.groupBy(_._2).map(_._2.length.toLong)
+      val bitsSum = byType.map { c =>
+        c * math.floor(-(math.log(c.toDouble / n) / math.log(2.0)) * 1000 + 0.5).toLong
+      }.sum
+      (n, hdiv(bitsSum, n))
+    }.toSeq.groupBy { case (_, e) => math.min(e / 250, 9L) }.map { case (bin, us) =>
+      (bin, us.size.toLong, us.map(_._1).sum, hdiv(100L * us.map(_._1).sum, us.size.toLong))
+    }.toSet
+    val got = SparkEntry.queries("q178_session_entropy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // entropy of a |types|-way mix caps at log2(|types|) ~ 2.33 bits:
+    // every bin index stays under 10 and user counts conserve
+    assert(got.toSeq.map(_._2).sum == rows.map(_._1).distinct.length.toLong)
+  }
+
 }
