@@ -77,7 +77,12 @@ object PlanAudit {
       "q151_lm_ppl_bins", "q152_distinct_ngrams", "q155_token_burstiness",
       "q159_context_entropy", "q160_zipf_slope", "q161_source_jsd",
       "q163_token_gini", "q164_kn_continuation",
-      "q167_good_turing", "q168_heaps_law")
+      "q167_good_turing", "q168_heaps_law",
+      // Fifth wave: q185's size(words) >= 25 guard is q77's class; q181's
+      // doc_id % 2 split and q184's us < cutoff sit above computed
+      // expressions (modulo / an exploded join column) — nothing at the
+      // scan to push; the scans still prune to their column sets.
+      "q185_mattr", "q181_bloom_calibration", "q184_pit_snapshot")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume.
   // q136's cumulative runs over the count-of-counts HISTOGRAM — ≤ √(2·Σ)
@@ -414,7 +419,31 @@ object PlanAudit {
     "q179_char_classes" -> 2,
     // q180: (band, sig) bucket agg (partial map-side) → |bands| rollup
     // → sort
-    "q180_lsh_occupancy" -> 3).withDefaultValue(3)
+    "q180_lsh_occupancy" -> 3,
+    // r15 fifth wave, measured textual counts:
+    // q181: member/probe hash distincts + the member-side anti-join +
+    // (cfg, pos) bit-table distinct + the probe-position semi-join +
+    // per-probe verdict agg + per-cfg rollups + the single-row
+    // member/probe count broadcasts (printed per consuming branch, AQE
+    // reuses) + sort; every exchange is hash-, Σm- or k·|probes|-bounded
+    "q181_bloom_calibration" -> 14,
+    // q182: four branches, each a corpus-scale key count (partial
+    // map-side) + a single-partition rollup (exact percentile is a
+    // single-phase agg over the key table) + the union sort
+    "q182_join_skew" -> 8,
+    // q183: q79's plan exactly (content-hash window + tiny component
+    // join + source rollup + sort) with char sums riding the rollup
+    "q183_dedup_bytes" -> 5,
+    // q184: single-row span agg (broadcast back) + ×3 cutoff explode on
+    // the scan + ONE (user, cutoff) conditional agg + (cutoff, type)
+    // rollup + the share window (cutoff-partitioned, ≤ 3·|types| rows)
+    // + sort
+    "q184_pit_snapshot" -> 5,
+    // q185: the window sweep is map-side list arithmetic; |source|
+    // rollup → sort
+    "q185_mattr" -> 2,
+    // q186: doc-scale source rank window → OLS rollup → sort
+    "q186_length_tail" -> 2).withDefaultValue(3)
 
   // `stores` mode: the STORE-BACKED plans (the bench session's actual
   // shapes — the default/scale modes audit only conf-off derived plans).

@@ -1020,6 +1020,108 @@ object Dedup extends QueryModule {
         expr("(2 * 10000 * n_singletons + n_buckets) DIV (2 * n_buckets)"))
       .orderBy(col("band"))
 
+  /** Bloom-filter calibration audit (Bloom 1970) — MEASURED false-positive
+    * rates for the membership filter a 100 TB dedup deployment puts in
+    * front of its exact-hash index (a DedupIndex probe that can answer
+    * "definitely new" from an in-memory bit array skips the store read
+    * entirely). Members are the even-doc_id half's distinct content
+    * hashes; probes are the odd half's hashes MINUS true members, so
+    * every probe hit is a false positive by construction. Three (m, k)
+    * configs sweep the size/accuracy trade: observed fill ratio and FPR
+    * per config, ALL-integer (no pow/exp theory column — the measured
+    * number is the one that matters and the only one two engines agree
+    * on exactly).
+    *
+    * Hashing: position i of hash hv is bandHash(i, hv) mod m — the same
+    * one-strong-hash linear-rehash family the minhash bands use
+    * (hexint32 of md5(text), both engines verbatim). Scale shape: bit
+    * tables are distinct (config, pos) ≤ Σm rows; probe work is
+    * k·|probes| positions joined on the (config, pos) key; per-probe
+    * verdicts partial-aggregate onto the probe hash.
+    */
+  // (m bits, k hashes) sweep shared by q181 and its oracle renderer
+  private val bloomConfigs = Seq((4096, 2), (16384, 3), (65536, 5))
+
+  private def q181(t: Tables): DataFrame = {
+    val configs = bloomConfigs
+    val hv = s"(${hexint32("md5(text)")})"
+    val docs = Tables.localSplit(t.documents, col("doc_id"))
+      .select(col("doc_id"), expr(hv).as("hv"))
+    val members = docs.filter(col("doc_id") % 2 === 0).select(col("hv")).distinct()
+    val probes = docs.filter(col("doc_id") % 2 === 1).select(col("hv")).distinct()
+      .join(members.withColumnRenamed("hv", "mhv"), col("hv") === col("mhv"), "left_anti")
+    def positions(rel: DataFrame): DataFrame =
+      rel.select(
+        col("hv"),
+        explode(expr(
+          configs.zipWithIndex.map { case ((m, k), c) =>
+            (0 until k).map(i => s"struct($c AS cfg, ${bandHash(i, "hv")} % $m AS pos)")
+          }.flatten.mkString("array(", ", ", ")"))).as("p"))
+        .select(col("hv"), col("p.cfg").as("cfg"), col("p.pos").as("pos"))
+    val bits = positions(members).select(col("cfg"), col("pos")).distinct()
+    val verdicts = positions(probes)
+      .join(
+        bits.select(col("cfg").as("bcfg"), col("pos").as("bpos")),
+        col("cfg") === col("bcfg") && col("pos") === col("bpos"), "left_semi")
+      .groupBy(col("cfg"), col("hv"))
+      .agg(count(lit(1)).as("n_hit"))
+    val kOf = configs.zipWithIndex
+      .map { case ((_, k), c) => s"WHEN cfg = $c THEN $k" }.mkString("CASE ", " ", " END")
+    val fp = verdicts.filter(expr(s"n_hit = $kOf"))
+      .groupBy(col("cfg")).agg(count(lit(1)).as("n_false_pos"))
+    val nm = members.agg(count(lit(1)).as("n_members"))
+    val np = probes.agg(count(lit(1)).as("n_probes"))
+    val bitCounts = bits.groupBy(col("cfg")).agg(count(lit(1)).as("n_bits_set"))
+    val cfgRel = expr(
+      configs.zipWithIndex
+        .map { case ((m, k), c) => s"struct($c AS cfg, CAST($m AS BIGINT) AS m, CAST($k AS BIGINT) AS k)" }
+        .mkString("array(", ", ", ")"))
+    t.documents.sparkSession.range(1).select(explode(cfgRel).as("c"))
+      .select(col("c.cfg").as("cfg"), col("c.m").as("m"), col("c.k").as("k"))
+      .join(bitCounts, Seq("cfg"))
+      .join(fp, Seq("cfg"), "left")
+      .na.fill(0L, Seq("n_false_pos"))
+      .join(broadcast(nm))
+      .join(broadcast(np))
+      .withColumn("fill_e6", expr("(2 * 1000000 * n_bits_set + m) DIV (2 * m)"))
+      .withColumn("fpr_e6", expr("(2 * 1000000 * n_false_pos + n_probes) DIV (2 * n_probes)"))
+      .select(
+        col("m"), col("k"), col("n_members"), col("n_bits_set"), col("fill_e6"),
+        col("n_probes"), col("n_false_pos"), col("fpr_e6"))
+      .orderBy(col("m"))
+  }
+
+  /** Dedup storage-ROI report — q79's drop decisions re-weighted by
+    * BYTES: per source, total corpus chars, chars held by exact-dup
+    * drops and by near-dup drops, and the reclaim share (e4). Doc counts
+    * (q79) understate what boilerplate-heavy sources cost a 100 TB lake;
+    * this is the number the storage bill and the training-token budget
+    * actually move by. Same plan as q79 (one content-hash window + the
+    * tiny component join); the char sums ride the existing rollup.
+    */
+  private def q183(t: Tables): DataFrame = {
+    val comp = components(t)
+    val docs = t.documents
+      .select(col("doc_id"), col("source"), col("n_chars"), md5(col("text")).as("h"))
+    val keeperW = Window.partitionBy(col("h"))
+    docs
+      .withColumn("keeper", min(col("doc_id")).over(keeperW))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("exact_drop", col("doc_id") =!= col("keeper"))
+      .withColumn(
+        "near_drop",
+        !col("exact_drop") && col("component_id").isNotNull && col("component_id") =!= col("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("exact_drop"), col("n_chars")).otherwise(0L)).as("exact_drop_chars"),
+        sum(when(col("near_drop"), col("n_chars")).otherwise(0L)).as("near_drop_chars"))
+      .withColumn(
+        "reclaim_share_e4",
+        expr("(2 * 10000 * (exact_drop_chars + near_drop_chars) + total_chars) DIV (2 * total_chars)"))
+      .orderBy(col("source"))
+  }
+
   /** End-to-end dedup report — the pipeline deliverable the individual
     * stages (q35 exact, q37/q38 candidates+verify, q62 clusters) feed: per
     * source, how many documents survive deduplication. Drop policy is the
@@ -2136,6 +2238,8 @@ object Dedup extends QueryModule {
     "q171_shingle_reuse" -> ((s, d) => q171(Tables(s, d))),
     "q172_dup_transitivity" -> ((s, d) => q172(Tables(s, d))),
     "q180_lsh_occupancy" -> ((s, d) => q180(Tables(s, d))),
+    "q181_bloom_calibration" -> ((s, d) => q181(Tables(s, d))),
+    "q183_dedup_bytes" -> ((s, d) => q183(Tables(s, d))),
     "q35_exact_dedup" -> ((s, d) => q35(Tables(s, d))),
     "q36_minhash_sigs" -> ((s, d) => q36(Tables(s, d))),
     "q37_lsh_pairs" -> ((s, d) => q37(Tables(s, d))),
@@ -2854,6 +2958,71 @@ object Dedup extends QueryModule {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS component_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q181_bloom_calibration" -> {
+      val hv = hexint32("md5(text)")
+      def arms(src: String) = bloomConfigs.zipWithIndex.flatMap { case ((m, k), c) =>
+        (0 until k).map(i =>
+          s"SELECT hv, $c AS cfg, ${bandHash(i, "hv")} % $m AS pos FROM $src")
+      }.mkString("\n  UNION ALL\n  ")
+      val kCase = bloomConfigs.zipWithIndex
+        .map { case ((_, k), c) => s"WHEN cfg = $c THEN $k" }.mkString("CASE ", " ", " END")
+      val cfgVals = bloomConfigs.zipWithIndex
+        .map { case ((m, k), c) => s"($c, $m, $k)" }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $hv AS hv FROM documents),
+         | mem AS (SELECT DISTINCT hv FROM d WHERE doc_id % 2 = 0),
+         | prb AS (
+         |  SELECT DISTINCT hv FROM d WHERE doc_id % 2 = 1
+         |   AND hv NOT IN (SELECT hv FROM mem)),
+         | mpos AS (SELECT DISTINCT cfg, pos FROM (
+         |  ${arms("mem")})),
+         | ppos AS (
+         |  ${arms("prb")}),
+         | hits AS (
+         |  SELECT p.cfg, p.hv, count(*) AS n_hit
+         |  FROM ppos p JOIN mpos b ON b.cfg = p.cfg AND b.pos = p.pos
+         |  GROUP BY p.cfg, p.hv),
+         | fp AS (
+         |  SELECT cfg, count(*) AS n_false_pos FROM hits
+         |  WHERE n_hit = $kCase GROUP BY cfg),
+         | bc AS (SELECT cfg, count(*) AS n_bits_set FROM mpos GROUP BY cfg),
+         | cfgs AS (SELECT * FROM (VALUES $cfgVals) AS t(cfg, m, k))
+         |SELECT CAST(m AS BIGINT) AS m, CAST(k AS BIGINT) AS k,
+         | (SELECT count(*) FROM mem) AS n_members, n_bits_set,
+         | (2 * 1000000 * n_bits_set + m) // (2 * m) AS fill_e6,
+         | (SELECT count(*) FROM prb) AS n_probes,
+         | COALESCE(n_false_pos, CAST(0 AS BIGINT)) AS n_false_pos,
+         | (2 * 1000000 * COALESCE(n_false_pos, 0) + (SELECT count(*) FROM prb))
+         |  // (2 * (SELECT count(*) FROM prb)) AS fpr_e6
+         |FROM cfgs JOIN bc USING (cfg) LEFT JOIN fp USING (cfg)
+         |ORDER BY m""".stripMargin
+    },
+    "q183_dedup_bytes" ->
+      s"""WITH RECURSIVE $duckJpairsCtes,
+         | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |           UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         | nodes AS (SELECT DISTINCT u FROM edges),
+         | reach(u, v) AS (
+         |  SELECT u, u AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         | comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+         | k AS (
+         | SELECT doc_id, source, n_chars,
+         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         | FROM documents),
+         | cls AS (
+         | SELECT k.source, k.n_chars,
+         |  (k.doc_id <> k.keeper) AS exact_drop,
+         |  (k.doc_id = k.keeper AND comp.component_id IS NOT NULL
+         |   AND comp.component_id <> k.doc_id) AS near_drop
+         | FROM k LEFT JOIN comp ON comp.doc_id = k.doc_id)
+         |SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         | CAST(sum(CASE WHEN exact_drop THEN n_chars ELSE 0 END) AS BIGINT) AS exact_drop_chars,
+         | CAST(sum(CASE WHEN near_drop THEN n_chars ELSE 0 END) AS BIGINT) AS near_drop_chars,
+         | (2 * 10000 * (sum(CASE WHEN exact_drop THEN n_chars ELSE 0 END)
+         |   + sum(CASE WHEN near_drop THEN n_chars ELSE 0 END))
+         |  + sum(n_chars)) // (2 * sum(n_chars)) AS reclaim_share_e4
+         |FROM cls GROUP BY source ORDER BY source""".stripMargin,
     "q180_lsh_occupancy" ->
       s"""WITH w AS ($duckWords),
          | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),

@@ -599,6 +599,76 @@ object Extras extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Join-key skew audit — the salting/AQE-skew-split planning table for
+    * the relational star (q180's readout, on the JOIN axis instead of
+    * the LSH buckets): for each fact-side join key, distinct keys, max
+    * and exact-p99 multiplicity, and the hottest key's share (e6). A
+    * max/p99 ratio ≫ 1 is the key that stalls a 1000-executor
+    * sort-merge join until it is salted or AQE-split; flat multiplicity
+    * means plain co-partitioning wins. Each branch is one corpus-scale
+    * key count (partial map-side) + a key-table-bounded rollup (exact
+    * `percentile` over the multiplicity multiset — the q55/q134 DuckDB
+    * `quantile_cont` parity pair); 4 rows out.
+    */
+  private def q182(t: Tables): DataFrame = {
+    def branch(name: String, rel: DataFrame, key: Column): DataFrame =
+      rel.select(key.as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_mult"),
+          round(expr("percentile(c, 0.99)"), 2).as("p99_mult"))
+        .select(
+          lit(name).as("join_key"), col("n_keys"), col("n_rows"), col("max_mult"),
+          col("p99_mult"),
+          expr("(2 * 1000000 * max_mult + n_rows) DIV (2 * n_rows)").as("top_share_e6"))
+    branch("lineitem.l_orderkey", t.lineitem, col("l_orderkey"))
+      .unionAll(branch("lineitem.l_partkey", t.lineitem, col("l_partkey")))
+      .unionAll(branch("lineitem.l_suppkey", t.lineitem, col("l_suppkey")))
+      .unionAll(branch("orders.o_custkey", t.orders, col("o_custkey")))
+      .orderBy(col("join_key"))
+  }
+
+  /** Point-in-time feature snapshot audit (the feature-store join every
+    * training pipeline must get right — Kakade-free leakage rule: a
+    * feature computed at time T may only read events strictly before T):
+    * at three cutoffs (25/50/75% of the event span), each user's LAST
+    * event strictly before the cutoff, rolled up per (cutoff, last event
+    * type) with user counts and share. The distribution shift across
+    * cutoffs is the training-serving drift a PIT-correct store must
+    * reproduce; computing it in ONE pass proves the snapshot plan shape
+    * (q52's as-of machinery, swept). The zero-padded max-string trick
+    * picks the latest event without a second window.
+    *
+    * Scale shape: the span agg is a single-row broadcast; the ×3 cutoff
+    * explode rides the scan; ONE corpus-scale (user, cutoff) conditional
+    * agg (partial map-side); the rollup is ≤ 3·|types| rows.
+    */
+  private def q184(t: Tables): DataFrame = {
+    val e = t.events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val span = e.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+    e.join(broadcast(span))
+      .select(
+        col("user_id"), col("event_type"), col("us"),
+        explode(expr(
+          "array(t0 + (t1 - t0) DIV 4, t0 + (t1 - t0) DIV 2, t0 + 3 * ((t1 - t0) DIV 4))"))
+          .as("cutoff"))
+      .filter(col("us") < col("cutoff"))
+      .groupBy(col("user_id"), col("cutoff"))
+      .agg(max(expr("concat(lpad(CAST(us AS STRING), 20, '0'), '|', event_type)")).as("last"))
+      .withColumn("last_type", expr("substring_index(last, '|', -1)"))
+      .groupBy(col("cutoff"), col("last_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn(
+        "share_e4",
+        expr("(2 * 10000 * n_users + sum(n_users) OVER (PARTITION BY cutoff)) DIV (2 * sum(n_users) OVER (PARTITION BY cutoff))"))
+      .orderBy(col("cutoff"), col("last_type"))
+  }
+
   /** Hour-of-day seasonality profile (new r12 — q17's timeline FOLDED
     * onto the clock: capacity planning and anomaly baselines need the
     * diurnal shape, not the calendar sequence — q138's per-day z-scores
@@ -1000,6 +1070,8 @@ object Extras extends QueryModule {
     "q175_l_diversity" -> ((s, d) => q175(Tables(s, d))),
     "q176_fk_audit" -> ((s, d) => q176(Tables(s, d))),
     "q178_session_entropy" -> ((s, d) => q178(Tables(s, d))),
+    "q182_join_skew" -> ((s, d) => q182(Tables(s, d))),
+    "q184_pit_snapshot" -> ((s, d) => q184(Tables(s, d))),
     "q134_event_gaps" -> ((s, d) => q134(Tables(s, d))),
     "q138_volume_anomaly" -> ((s, d) => q138(Tables(s, d))),
     "q148_attribution_sweep" -> ((s, d) => q148(Tables(s, d))),
@@ -1025,6 +1097,45 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q182_join_skew" -> {
+      def branch(name: String, table: String, key: String) =
+        s"""SELECT '$name' AS join_key, count(*) AS n_keys,
+           |  CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_mult,
+           |  round(quantile_cont(c, 0.99), 2) AS p99_mult,
+           |  (2 * 1000000 * max(c) + CAST(sum(c) AS BIGINT)) // (2 * CAST(sum(c) AS BIGINT)) AS top_share_e6
+           | FROM (SELECT $key, count(*) AS c FROM $table GROUP BY $key)""".stripMargin
+      s"""WITH u AS (
+         | ${branch("lineitem.l_orderkey", "lineitem", "l_orderkey")}
+         | UNION ALL
+         | ${branch("lineitem.l_partkey", "lineitem", "l_partkey")}
+         | UNION ALL
+         | ${branch("lineitem.l_suppkey", "lineitem", "l_suppkey")}
+         | UNION ALL
+         | ${branch("orders.o_custkey", "orders", "o_custkey")})
+         |SELECT * FROM u ORDER BY join_key""".stripMargin
+    },
+    "q184_pit_snapshot" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        | WHERE user_id IS NOT NULL),
+        | span AS (SELECT min(us) AS t0, max(us) AS t1 FROM e),
+        | cut AS (
+        | SELECT unnest(ARRAY[t0 + (t1 - t0) // 4, t0 + (t1 - t0) // 2,
+        |   t0 + 3 * ((t1 - t0) // 4)]) AS cutoff
+        | FROM span),
+        | lastev AS (
+        | SELECT user_id, cutoff,
+        |  max(concat(lpad(CAST(us AS VARCHAR), 20, '0'), '|', event_type)) AS last
+        | FROM e JOIN cut ON e.us < cut.cutoff
+        | GROUP BY user_id, cutoff),
+        | agg AS (
+        | SELECT cutoff, split_part(last, '|', 2) AS last_type,
+        |  count(*) AS n_users
+        | FROM lastev GROUP BY cutoff, split_part(last, '|', 2))
+        |SELECT cutoff, last_type, n_users,
+        | (2 * 10000 * n_users + CAST(sum(n_users) OVER (PARTITION BY cutoff) AS BIGINT))
+        |  // (2 * CAST(sum(n_users) OVER (PARTITION BY cutoff) AS BIGINT)) AS share_e4
+        |FROM agg ORDER BY cutoff, last_type""".stripMargin,
     "q175_l_diversity" ->
       """WITH e AS (
         | SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,

@@ -1025,6 +1025,81 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Moving-average type-token ratio, MATTR (Covington & McFall 2010) —
+    * the length-invariant lexical-diversity measure raw TTR is not
+    * (longer docs repeat more, so plain distinct/total punishes length):
+    * a width-25 window slides over each doc at stride 1, per-window TTR
+    * = distinct/25, per-doc MATTR = mean over windows — and because the
+    * per-window distinct counts are integers, the per-doc mean is ONE
+    * exact integer division (Σ distinct / (25 · windows), e4 half-up);
+    * the per-source mean of doc MATTRs is a second. Complements q81's
+    * within-doc repetition (which detects the anomaly; this scores the
+    * whole corpus on a comparable scale) and q152's corpus-level
+    * distinct-n.
+    *
+    * Scale shape: the window sweep is MAP-SIDE list arithmetic next to
+    * the scan (O(25·tokens) per doc, no explode leaves the task); the
+    * only shuffle is the |source|-row rollup. Docs under 25 tokens have
+    * no window and drop out (the paper's rule), counted via n_docs.
+    */
+  private def q185(t: Tables): DataFrame =
+    withWords(t)
+      .filter(size(col("words")) >= 25)
+      .select(
+        col("source"),
+        size(col("words")).as("n_words"),
+        expr("""aggregate(
+               |  transform(sequence(1, size(words) - 24),
+               |    i -> size(array_distinct(slice(words, i, 25)))),
+               |  0L, (acc, x) -> acc + x)""".stripMargin).as("sum_distinct"),
+        (size(col("words")) - 24).cast("long").as("n_windows"))
+      .withColumn(
+        "mattr_e4",
+        expr("(2 * 10000 * sum_distinct + 25 * n_windows) DIV (2 * 25 * n_windows)"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_windows")).as("n_windows"),
+        expr("(2 * sum(mattr_e4) + count(1)) DIV (2 * count(1))").as("mattr_e4"))
+      .orderBy(col("source"))
+
+  /** Doc-length tail exponent per source (Clauset, Shalizi & Newman 2009's
+    * power-law diagnosis, on the LENGTH axis — q160's OLS machinery
+    * verbatim, applied to the length rank-size plot): slope magnitude of
+    * ln(n_chars) on ln(rank) over each source's 100 longest docs. A
+    * heavy tail (slope ≫ 0) means a handful of giant docs dominate the
+    * source's bytes — the skew that decides packing (q80) and per-task
+    * memory; a near-zero slope is a uniform template length. Same
+    * quantize-before-aggregate exactness (e4 integer lns, exact long OLS
+    * sums, one rounded division; num, den ≥ 0 by Chebyshev). One
+    * doc-scale (source) rank window; only 100 rows/source enter the sums.
+    */
+  private def q186(t: Tables): DataFrame =
+    t.documents
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rank") <= 100)
+      .withColumn("x", expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * 10000 + 0.5) AS BIGINT)"))
+      .withColumn("y", expr("CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 10000 + 0.5) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_ranks"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("sx") * col("sy") - col("n_ranks") * col("sxy"))
+      .withColumn("den", col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+      .withColumn(
+        "tail_mag_e4",
+        expr("CASE WHEN den = 0 THEN CAST(0 AS BIGINT) ELSE (2 * 10000 * num + den) DIV (2 * den) END"))
+      .select(col("source"), col("n_ranks"), col("max_chars"), col("tail_mag_e4"))
+      .orderBy(col("source"))
+
   /** Top document prefixes per source — the ACTIONABLE face of the
     * boilerplate detectors: q140 counts window-hash collisions and q171
     * rates shingle reuse, but a curation operator fixing a source needs
@@ -2029,6 +2104,8 @@ object TextAnalysis extends QueryModule {
     "q168_heaps_law" -> ((s, d) => q168(Tables(s, d))),
     "q177_top_prefixes" -> ((s, d) => q177(Tables(s, d))),
     "q179_char_classes" -> ((s, d) => q179(Tables(s, d))),
+    "q185_mattr" -> ((s, d) => q185(Tables(s, d))),
+    "q186_length_tail" -> ((s, d) => q186(Tables(s, d))),
     "q164_kn_continuation" -> ((s, d) => q164(Tables(s, d)))
   )
 
@@ -2759,6 +2836,43 @@ object TextAnalysis extends QueryModule {
         |SELECT source, n_types, n_tokens,
         | (2 * 1000000 * (2 * si - (n_types + 1) * n_tokens) + n_types * n_tokens)
         |  // (2 * n_types * n_tokens) AS gini_e6
+        |FROM s ORDER BY source""".stripMargin,
+    "q185_mattr" ->
+      """WITH w AS (
+        | SELECT source, string_split(text, ' ') AS words FROM documents
+        | WHERE len(string_split(text, ' ')) >= 25),
+        | d AS (
+        | SELECT source,
+        |  CAST(list_sum(list_transform(range(1, len(words) - 23),
+        |    i -> len(list_distinct(list_slice(words, i, i + 24))))) AS BIGINT) AS sum_distinct,
+        |  CAST(len(words) - 24 AS BIGINT) AS n_windows
+        | FROM w),
+        | m AS (
+        | SELECT source, n_windows,
+        |  (2 * 10000 * sum_distinct + 25 * n_windows) // (2 * 25 * n_windows) AS mattr_e4
+        | FROM d)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_windows) AS BIGINT) AS n_windows,
+        | (2 * CAST(sum(mattr_e4) AS BIGINT) + count(*)) // (2 * count(*)) AS mattr_e4
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q186_length_tail" ->
+      """WITH r AS (
+        | SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+        | FROM documents),
+        | q AS (
+        | SELECT source, n_chars,
+        |  CAST(floor(ln(CAST(rank AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
+        |  CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
+        | FROM r WHERE rank <= 100),
+        | s AS (
+        | SELECT source, count(*) AS n_ranks, max(n_chars) AS max_chars,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM q GROUP BY source)
+        |SELECT source, n_ranks, max_chars,
+        | CASE WHEN n_ranks * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE (2 * 10000 * (sx * sy - n_ranks * sxy) + (n_ranks * sxx - sx * sx))
+        |       // (2 * (n_ranks * sxx - sx * sx)) END AS tail_mag_e4
         |FROM s ORDER BY source""".stripMargin,
     "q177_top_prefixes" ->
       """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),

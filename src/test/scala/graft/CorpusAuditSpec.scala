@@ -1831,4 +1831,75 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._5).sum >= observedPairs)
   }
 
+  test("q183 dedup byte accounting matches q79's decisions re-weighted by chars") {
+    val comp = SparkEntry.queries("q62_dup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keeper = docs.groupBy(d => md5hex(d._2)).values
+      .flatMap { grp => val k = grp.map(_._1).min; grp.map(d => d._1 -> k) }.toMap
+    val expected = docs.groupBy(_._3).map { case (src, ds) =>
+      val total = ds.map(_._4).sum
+      val exact = ds.filter(d => keeper(d._1) != d._1).map(_._4).sum
+      val near = ds.filter { d =>
+        keeper(d._1) == d._1 && comp.get(d._1).exists(_ != d._1)
+      }.map(_._4).sum
+      (src, total, exact, near, hdiv(10000L * (exact + near), total))
+    }.toSet
+    val got = SparkEntry.queries("q183_dedup_bytes")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // reclaim never exceeds the source's bytes
+    got.foreach { case (src, tot, e, n, _) => assert(e + n <= tot, src) }
+  }
+
+  test("q185 MATTR matches an independent sliding-window recomputation") {
+    val expected = docs.groupBy(_._3).flatMap { case (src, ds) =>
+      val perDoc = ds.flatMap { case (_, text, _, _) =>
+        val ws = rawWords(text)
+        if (ws.length < 25) None
+        else {
+          val nw = (ws.length - 24).toLong
+          val sd = (0 until ws.length - 24)
+            .map(i => ws.slice(i, i + 25).distinct.length.toLong).sum
+          Some((nw, hdiv(10000L * sd, 25L * nw)))
+        }
+      }
+      if (perDoc.isEmpty) None
+      else Some((src, perDoc.size.toLong, perDoc.map(_._1).sum,
+        hdiv(perDoc.map(_._2).sum, perDoc.size.toLong)))
+    }.toSet
+    val got = SparkEntry.queries("q185_mattr")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // a width-25 window holds at most 25 types: MATTR lives in (0, 1e4]
+    got.foreach { case (src, _, _, m) => assert(m > 0 && m <= 10000, src) }
+  }
+
+  test("q186 length tail matches an independent OLS recomputation") {
+    val expected = docs.groupBy(_._3).map { case (src, ds) =>
+      val top = ds.sortBy(d => (-d._4, d._1)).take(100).zipWithIndex
+      val pts = top.map { case (d, i) =>
+        (math.floor(math.log((i + 1).toDouble) * 10000 + 0.5).toLong,
+          math.floor(math.log(d._4.toDouble) * 10000 + 0.5).toLong)
+      }
+      val n = pts.size.toLong
+      val sx = pts.map(_._1).sum
+      val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val num = sx * sy - n * sxy
+      val den = n * sxx - sx * sx
+      (src, n, ds.map(_._4).max, if (den == 0) 0L else hdiv(10000L * num, den))
+    }.toSet
+    val got = SparkEntry.queries("q186_length_tail")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    got.foreach { case (src, _, _, m) => assert(m >= 0, src) }
+  }
+
 }

@@ -1474,4 +1474,99 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._2).sum == rows.map(_._1).distinct.length.toLong)
   }
 
+  test("q181 bloom calibration matches an independent bit-array simulation") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hv(text: String): Long = {
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val configs = Seq((4096, 2), (16384, 3), (65536, 5))
+    def pos(h: Long, i: Int, m: Int): Long = ((h * (2 * i + 1) + 7919L * i) % 2147483647L) % m
+    val ds = Tables(spark, sf).documents.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), hv(r.getString(1))))
+    val members = ds.filter(_._1 % 2 == 0).map(_._2).distinct
+    val probes = ds.filter(_._1 % 2 == 1).map(_._2).distinct.filterNot(members.toSet)
+    val expected = configs.map { case (m, k) =>
+      val bits = members.flatMap(h => (0 until k).map(pos(h, _, m))).distinct
+      val bitSet = bits.toSet
+      val fps = probes.count(h => (0 until k).forall(i => bitSet(pos(h, i, m)))).toLong
+      (m.toLong, k.toLong, members.length.toLong, bits.length.toLong,
+        hdiv(1000000L * bits.length, m.toLong), probes.length.toLong, fps,
+        hdiv(1000000L * fps, probes.length.toLong))
+    }.toSet
+    val got = SparkEntry.queries("q181_bloom_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(got == expected)
+    // a bigger, more-hashed filter never has a WORSE false-positive rate
+    // on the same member/probe sets (monotone in this sweep's configs)
+    val byM = got.toSeq.sortBy(_._1).map(_._8)
+    byM.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, s"fpr not monotone: $byM")
+      case _         =>
+    }
+  }
+
+  test("q182 join skew matches an independent multiplicity recomputation") {
+    def pctl(sorted: Seq[Long], p: Double): Double = {
+      val posn = p * (sorted.length - 1)
+      val lo = posn.toInt
+      val frac = posn - lo
+      if (lo + 1 < sorted.length) sorted(lo) * (1 - frac) + sorted(lo + 1) * frac
+      else sorted(lo).toDouble
+    }
+    def rnd2(x: Double) =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t = Tables(spark, sf)
+    def branch(name: String, keys: Seq[Long]) = {
+      val mult = keys.groupBy(identity).map(_._2.length.toLong).toSeq.sorted
+      val total = mult.sum
+      (name, mult.size.toLong, total, mult.max, rnd2(pctl(mult, 0.99)),
+        hdiv(1000000L * mult.max, total))
+    }
+    val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val oc = t.orders.select(col("o_custkey")).collect().map(_.getLong(0))
+    val expected = Set(
+      branch("lineitem.l_orderkey", li.map(_._1)),
+      branch("lineitem.l_partkey", li.map(_._2)),
+      branch("lineitem.l_suppkey", li.map(_._3)),
+      branch("orders.o_custkey", oc.toSeq))
+    val got = SparkEntry.queries("q182_join_skew")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("q184 PIT snapshot matches an independent as-of recomputation") {
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val t0 = ev.map(_._3).min
+    val t1 = ev.map(_._3).max
+    val cutoffs = Seq(t0 + (t1 - t0) / 4, t0 + (t1 - t0) / 2, t0 + 3 * ((t1 - t0) / 4))
+    val expected = cutoffs.flatMap { c =>
+      val last = ev.filter(_._3 < c).groupBy(_._1).map { case (_, xs) =>
+        xs.maxBy(x => (x._3, x._2))._2
+      }.toSeq
+      val total = last.size.toLong
+      last.groupBy(identity).map { case (tp, xs) =>
+        (c, tp, xs.size.toLong, hdiv(10000L * xs.size, total))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q184_pit_snapshot")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // a later cutoff never sees fewer users with history
+    val users = got.toSeq.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._3).sum }
+    users.toSeq.sortBy(_._1).map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a)
+      case _         =>
+    }
+  }
+
 }
