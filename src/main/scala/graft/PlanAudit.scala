@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * different): exchange (shuffle) count, broadcast joins present where
   * declared, pushed filters on scans, no cartesian product except the
   * intentionally-crossing similarity baselines. `stores` mode
-  * provisions the full artifact set and audits the 15 store consumers
+  * provisions the full artifact set and audits the 16 store consumers
   * in TWO passes: uncached store-backed plans (store read present,
   * per-consumer shuffle budgets, q113/q122/q159 corpus-scan-free), then the
   * bench session's actual cached-view plans (graft.lsh.cache on, views
@@ -443,7 +443,19 @@ object PlanAudit {
     // rollup → sort
     "q185_mattr" -> 2,
     // q186: doc-scale source rank window → OLS rollup → sort
-    "q186_length_tail" -> 2).withDefaultValue(3)
+    "q186_length_tail" -> 2,
+    // r15 sixth wave, measured textual counts:
+    // q187: three (K, hash) window aggs (one per union branch, each
+    // partial map-side) + the repeated-set semi-join + the dup rollup
+    // (countDistinct two-phase) + totals branch + |K|-row join + sort
+    "q187_window_k_sweep" -> 7,
+    // q188: q62's component machinery (loop outside the plan, q147's
+    // class) + the provenance join + origin self-join + matrix rollup
+    // (countDistinct two-phase) + sort — all component-bounded
+    "q188_copy_matrix" -> 4,
+    // q189: ONE dataset-keyed rank window (q85's), ×3 keep explode on
+    // surviving rows, 3-row rollup (countDistinct two-phase) + sort
+    "q189_retention_sweep" -> 3).withDefaultValue(3)
 
   // `stores` mode: the STORE-BACKED plans (the bench session's actual
   // shapes — the default/scale modes audit only conf-off derived plans).

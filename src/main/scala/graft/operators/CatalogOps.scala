@@ -279,8 +279,39 @@ object CatalogOps extends QueryModule {
       .orderBy(col("dataset_id"))
   }
 
+  /** Retention-policy sweep — q85's GC priced at keep ∈ {1, 3, 5} in ONE
+    * pass: per policy, datasets touched, versions reclaimed, bytes
+    * reclaimed. The table a lake operator reads BEFORE committing a
+    * retention config (q85 executes one policy; this prices the
+    * alternatives — the same sweep-before-commit shape as q117's dedup
+    * τ-pricing and q126's packing sweep). One dataset-keyed rank window
+    * (q85's exactly), the ×3 keep explode rides only rows already past
+    * the loosest policy (vrank > 1), and the rollup is 3 rows.
+    */
+  private def q189(t: Tables): DataFrame = {
+    val byDataset = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("vrank", row_number().over(byDataset))
+      .filter(col("vrank") > 1)
+      .select(
+        col("user_id"), col("value"), col("vrank"),
+        explode(expr("array(CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(5 AS BIGINT))"))
+          .as("keep"))
+      .filter(col("vrank") > col("keep"))
+      .groupBy(col("keep"))
+      .agg(
+        countDistinct(col("user_id")).as("n_datasets"),
+        count(lit(1)).as("n_gc_versions"),
+        round(sum(col("value")), 2).as("reclaim_bytes"))
+      .orderBy(col("keep"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_retention_gc" -> ((s, d) => q85(Tables(s, d))),
+    "q189_retention_sweep" -> ((s, d) => q189(Tables(s, d))),
     "q67_catalog_walk" -> ((s, d) => q67(Tables(s, d))),
     "q68_dataset_upsert" -> ((s, d) => q68(Tables(s, d))),
     "q69_href_rewrite" -> ((s, d) => q69(Tables(s, d))),
@@ -288,6 +319,18 @@ object CatalogOps extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q189_retention_sweep" ->
+      """WITH v AS (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS vrank
+        | FROM events),
+        | x AS (
+        | SELECT user_id, value, vrank, unnest(ARRAY[CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(5 AS BIGINT)]) AS keep
+        | FROM v WHERE vrank > 1)
+        |SELECT keep, count(DISTINCT user_id) AS n_datasets,
+        | count(*) AS n_gc_versions, round(sum(value), 2) AS reclaim_bytes
+        |FROM x WHERE vrank > keep
+        |GROUP BY keep ORDER BY keep""".stripMargin,
     "q85_retention_gc" ->
       """WITH v AS (
         | SELECT user_id, event_id, value,

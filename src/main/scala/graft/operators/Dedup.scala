@@ -1020,6 +1020,69 @@ object Dedup extends QueryModule {
         expr("(2 * 10000 * n_singletons + n_buckets) DIV (2 * n_buckets)"))
       .orderBy(col("band"))
 
+  /** Window-size sweep for the exact-substring detector — q113's audit at
+    * K ∈ {4, 8, 16} side by side: total windows, repeated windows, the
+    * dup share (e4), docs flagged. The table that PICKS K before the
+    * window store is provisioned at 100 TB: smaller K detects shorter
+    * repeats at a strictly-larger index (every repeated 2K-window
+    * contains repeated K-windows, so flagged docs are monotone in K —
+    * spec-pinned); the knee of this curve is where the recall stops
+    * paying for the index bytes. Three explode branches (one per K)
+    * union into one stream; each (K, hash) agg partial-aggregates
+    * map-side; rollups are |K|-row.
+    */
+  private def q187(t: Tables): DataFrame = {
+    val ks = Seq(4, 8, 16)
+    val pos = ks.map { k =>
+      Tables.localSplit(t.documents, col("doc_id"))
+        .select(lit(k.toLong).as("k"), col("doc_id"), explode(windowHashes(k)).as("h"))
+    }.reduce(_ unionAll _)
+    val repeated = pos
+      .groupBy(col("k"), col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("k").as("rk"), col("h").as("rh"))
+    val totals = pos.groupBy(col("k")).agg(count(lit(1)).as("n_windows"))
+    val dups = pos
+      .join(repeated, col("k") === col("rk") && col("h") === col("rh"), "left_semi")
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_dup_windows"),
+        countDistinct(col("doc_id")).as("n_docs_affected"))
+    totals
+      .join(dups, Seq("k"), "left")
+      .na.fill(0L, Seq("n_dup_windows", "n_docs_affected"))
+      .withColumn(
+        "dup_share_e4",
+        expr("(2 * 10000 * n_dup_windows + n_windows) DIV (2 * n_windows)"))
+      .orderBy(col("k"))
+  }
+
+  /** Copy flow matrix — WHO copies WHOM: for every near-dup component
+    * (q62), the ORIGIN's source (the component label IS the minimum
+    * member doc_id — the keep-one canonical q79/q183 retain) × each
+    * other member's source, with copy and component counts. The
+    * directional complement of q92's symmetric shingle overlap and
+    * q169's span histogram: a heavy off-diagonal row is a mirror site
+    * to cut at INGEST (cheaper than dedup ever is), a heavy diagonal is
+    * in-source re-crawling. Rides the verified q62 machinery unchanged;
+    * both joins are component-keyed and dup-bounded; the matrix is
+    * ≤ |sources|² rows.
+    */
+  private def q188(t: Tables): DataFrame = {
+    val labeled = components(t)
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val origins = labeled
+      .filter(col("doc_id") === col("component_id"))
+      .select(col("component_id").as("cid"), col("source").as("src_from"))
+    labeled
+      .filter(col("doc_id") =!= col("component_id"))
+      .join(origins, col("component_id") === col("cid"))
+      .groupBy(col("src_from"), col("source").as("src_to"))
+      .agg(count(lit(1)).as("n_copies"), countDistinct(col("component_id")).as("n_groups"))
+      .orderBy(col("src_from"), col("src_to"))
+  }
+
   /** Bloom-filter calibration audit (Bloom 1970) — MEASURED false-positive
     * rates for the membership filter a 100 TB dedup deployment puts in
     * front of its exact-hash index (a DedupIndex probe that can answer
@@ -2240,6 +2303,8 @@ object Dedup extends QueryModule {
     "q180_lsh_occupancy" -> ((s, d) => q180(Tables(s, d))),
     "q181_bloom_calibration" -> ((s, d) => q181(Tables(s, d))),
     "q183_dedup_bytes" -> ((s, d) => q183(Tables(s, d))),
+    "q187_window_k_sweep" -> ((s, d) => q187(Tables(s, d))),
+    "q188_copy_matrix" -> ((s, d) => q188(Tables(s, d))),
     "q35_exact_dedup" -> ((s, d) => q35(Tables(s, d))),
     "q36_minhash_sigs" -> ((s, d) => q36(Tables(s, d))),
     "q37_lsh_pairs" -> ((s, d) => q37(Tables(s, d))),
@@ -2958,6 +3023,51 @@ object Dedup extends QueryModule {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS component_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q187_window_k_sweep" -> {
+      def arm(k: Int) =
+        s"""SELECT CAST($k AS BIGINT) AS k, doc_id,
+           |  unnest(CASE WHEN len(ws) >= $k THEN
+           |    list_transform(range(1, len(ws) - $k + 2),
+           |      i -> md5(array_to_string(list_slice(ws, i, i + ${k - 1}), ' ')))
+           |   ELSE CAST([] AS VARCHAR[]) END) AS h
+           | FROM w""".stripMargin
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         | p AS (
+         | ${Seq(4, 8, 16).map(arm).mkString("\n UNION ALL\n ")}),
+         | r AS (SELECT k, h FROM p GROUP BY k, h HAVING count(*) > 1),
+         | d AS (
+         | SELECT p.k, count(*) AS n_dup_windows,
+         |  count(DISTINCT p.doc_id) AS n_docs_affected
+         | FROM p JOIN r ON r.k = p.k AND r.h = p.h GROUP BY p.k),
+         | tot AS (SELECT k, count(*) AS n_windows FROM p GROUP BY k)
+         |SELECT tot.k AS k, n_windows,
+         | COALESCE(n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
+         | COALESCE(n_docs_affected, CAST(0 AS BIGINT)) AS n_docs_affected,
+         | (2 * 10000 * COALESCE(n_dup_windows, 0) + n_windows) // (2 * n_windows) AS dup_share_e4
+         |FROM tot LEFT JOIN d ON d.k = tot.k
+         |ORDER BY k""".stripMargin
+    },
+    "q188_copy_matrix" ->
+      s"""WITH RECURSIVE $duckJpairsCtes,
+         | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |           UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         | nodes AS (SELECT DISTINCT u FROM edges),
+         | reach(u, v) AS (
+         |  SELECT u, u AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         | comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+         | lab AS (
+         | SELECT comp.doc_id, comp.component_id, d.source
+         | FROM comp JOIN documents d USING (doc_id)),
+         | org AS (
+         | SELECT component_id AS cid, source AS src_from FROM lab
+         | WHERE doc_id = component_id)
+         |SELECT src_from, lab.source AS src_to, count(*) AS n_copies,
+         | count(DISTINCT lab.component_id) AS n_groups
+         |FROM lab JOIN org ON lab.component_id = org.cid
+         |WHERE lab.doc_id <> lab.component_id
+         |GROUP BY src_from, lab.source ORDER BY src_from, src_to""".stripMargin,
     "q181_bloom_calibration" -> {
       val hv = hexint32("md5(text)")
       def arms(src: String) = bloomConfigs.zipWithIndex.flatMap { case ((m, k), c) =>

@@ -1902,4 +1902,50 @@ class CorpusAuditSpec extends AnyFunSuite {
     got.foreach { case (src, _, _, m) => assert(m >= 0, src) }
   }
 
+  test("q187 window-K sweep matches an independent recomputation, flagged docs monotone") {
+    def winStats(k: Int) = {
+      val pos = docs.flatMap { case (id, text, _, _) =>
+        val ws = rawWords(text)
+        if (ws.length < k) Nil
+        else (0 to ws.length - k).map(i => (id, ws.slice(i, i + k).mkString(" ")))
+      }
+      val occ = pos.groupBy(_._2).map { case (w, xs) => w -> xs.size }
+      val dupPos = pos.filter(p => occ(p._2) > 1)
+      (pos.size.toLong, dupPos.size.toLong,
+        dupPos.map(_._1).toSet,
+        hdiv(10000L * dupPos.size, pos.size.toLong))
+    }
+    val ks = Seq(4, 8, 16)
+    val stats = ks.map(k => k.toLong -> winStats(k)).toMap
+    val expected = stats.map { case (k, (nw, nd, ds, share)) =>
+      (k, nw, nd, ds.size.toLong, share)
+    }.toSet
+    val got = SparkEntry.queries("q187_window_k_sweep")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // any repeated 2K-window contains repeated K-windows: the flagged doc
+    // SET is monotone shrinking in K (the q113 containment, swept)
+    assert(stats(16L)._3.subsetOf(stats(8L)._3))
+    assert(stats(8L)._3.subsetOf(stats(4L)._3))
+  }
+
+  test("q188 copy matrix is exactly q62's components under the keep-min origin rule") {
+    val comp = SparkEntry.queries("q62_dup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySrc = docs.map(d => d._1 -> d._3).toMap
+    val expected = comp.filter { case (id, cid) => id != cid }
+      .map { case (id, cid) => (bySrc(cid), bySrc(id), cid) }
+      .groupBy { case (from, to, _) => (from, to) }
+      .map { case ((from, to), xs) =>
+        (from, to, xs.length.toLong, xs.map(_._3).distinct.length.toLong)
+      }.toSet
+    val got = SparkEntry.queries("q188_copy_matrix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // copies conserve the non-origin member count
+    assert(got.toSeq.map(_._3).sum == comp.count { case (id, cid) => id != cid }.toLong)
+  }
+
 }

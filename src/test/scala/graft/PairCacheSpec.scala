@@ -19,7 +19,7 @@ class PairCacheSpec extends AnyFunSuite {
     "q92_source_overlap", "q95_overlap_sketch",
     // r15: q169/q172 join the component/pair families; q170/q174 ride the
     // embeddings-side cellTop2 relation (same conf, Similarity-owned)
-    "q169_cluster_span", "q172_dup_transitivity",
+    "q169_cluster_span", "q172_dup_transitivity", "q188_copy_matrix",
     "q170_ann_margin", "q174_intrinsic_dim")
 
   test("every pair-family query is identical with the session pair cache on") {

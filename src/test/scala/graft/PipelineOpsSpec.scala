@@ -1569,4 +1569,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q189 retention sweep matches an independent recomputation and q85 at keep=3") {
+    def rnd2(x: Double) =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ranked = ev.groupBy(_._1).values.flatMap { xs =>
+      xs.sortBy(x => (-x._3, -x._2)).zipWithIndex
+        .map { case (x, i) => (x._1, x._4, (i + 1).toLong) }
+    }.toSeq
+    val expected = Seq(1L, 3L, 5L).map { keep =>
+      val gc = ranked.filter(_._3 > keep)
+      (keep, gc.map(_._1).distinct.size.toLong, gc.size.toLong,
+        rnd2(gc.map(_._2).sum))
+    }.toSet
+    val got = SparkEntry.queries("q189_retention_sweep")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    // consistency with the executed policy: keep=3's version total equals
+    // q85's per-dataset reclaim summed
+    val q85 = SparkEntry.queries("q85_retention_gc")(spark, sf).collect()
+    val q85Versions = q85.map(_.getAs[Long]("n_gc_versions")).sum
+    assert(got.find(_._1 == 3L).get._3 == q85Versions)
+  }
+
 }
