@@ -446,8 +446,10 @@ object PlanAudit {
     "q186_length_tail" -> 2,
     // r15 sixth wave, measured textual counts:
     // q187: three (K, hash) window aggs (one per union branch, each
-    // partial map-side) + the repeated-set semi-join + the dup rollup
-    // (countDistinct two-phase) + totals branch + |K|-row join + sort
+    // partial map-side — the fused single-explode draft lost the Time
+    // A/B 2x, see the scaladoc) + the repeated-set semi-join + the dup
+    // rollup (countDistinct two-phase) + totals branch + |K|-row join
+    // + sort
     "q187_window_k_sweep" -> 7,
     // q188: q62's component machinery (loop outside the plan, q147's
     // class) + the provenance join + origin self-join + matrix rollup

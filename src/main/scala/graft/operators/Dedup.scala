@@ -33,11 +33,13 @@ object Dedup extends QueryModule {
     * definition so a stored window set and an in-query derivation can
     * never disagree on hashing.
     */
-  private[graft] def windowHashes(k: Int): Column = expr(
+  private[graft] def windowHashesSql(k: Int): String =
     s"""CASE WHEN size(split(text, ' ')) >= $k THEN
        |  transform(sequence(1, size(split(text, ' ')) - $k + 1),
        |    i -> md5(concat_ws(' ', slice(split(text, ' '), i, $k))))
-       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+
+  private[graft] def windowHashes(k: Int): Column = expr(windowHashesSql(k))
 
   private def windowK(t: Tables): Int = {
     val k = t.spark.conf.get("graft.dedup.windowTokens", "8").toInt
@@ -1029,7 +1031,14 @@ object Dedup extends QueryModule {
     * spec-pinned); the knee of this curve is where the recall stops
     * paying for the index bytes. Three explode branches (one per K)
     * union into one stream; each (K, hash) agg partial-aggregates
-    * map-side; rollups are |K|-row.
+    * map-side; rollups are |K|-row. Formulation ADJUDICATED with the
+    * Time A/B knob: a fused single-scan draft (concat of three tagged
+    * transform arrays, one explode) measured ~2× SLOWER (4.7-5.2 s vs
+    * 2.3 s solo min at sf0.1, interleaved runs) — the concat
+    * materializes all three window arrays per row before the explode,
+    * tripling row width through the projection, while the union streams
+    * each explode independently; re-reading the (cached-hot) scan three
+    * times is the cheaper side of that trade.
     */
   private def q187(t: Tables): DataFrame = {
     val ks = Seq(4, 8, 16)
