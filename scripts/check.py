@@ -6,8 +6,11 @@ Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
 Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over views of the
 sfDir parquet tables, sorts columns by name and rows by value, and compares
-cell-by-cell. NOT part of the shipped library — dev harness only (uses the
-driver-side python stack).
+ARROW COLUMN TYPES first (the driver's hash is type-sensitive: an uncast
+DuckDB HUGEINT division emits decimal128(38,0) where Spark emits int64 —
+identical pylist values, failed hash; this cost round 15 six hash fails),
+then cell-by-cell values. NOT part of the shipped library — dev harness only
+(uses the driver-side python stack).
 """
 import json
 import math
@@ -71,6 +74,15 @@ def main():
         gcols, wcols = sorted(got.column_names), sorted(want.column_names)
         if gcols != wcols:
             print(f"SCHEMA   {name}: spark={gcols} oracle={wcols}")
+            n_fail += 1
+            continue
+        # Arrow TYPE parity — what the driver's type-sensitive hash sees.
+        gtypes = {f.name: str(f.type) for f in got.schema}
+        wtypes = {f.name: str(f.type) for f in want.schema}
+        tdiff = {c: f"spark={gtypes[c]} oracle={wtypes[c]}"
+                 for c in gcols if gtypes[c] != wtypes[c]}
+        if tdiff:
+            print(f"TYPES    {name}: {tdiff} (values may match; hash won't)")
             n_fail += 1
             continue
         grows = sorted([tuple(r[c] for c in gcols) for r in got.to_pylist()],

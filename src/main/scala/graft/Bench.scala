@@ -262,6 +262,30 @@ object Bench {
     val head2min =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs2,""" +
         s""""sf":"$sfShort","reps":$nReps,"agg":"min","load":[$loadStart,$loadEnd],"cpus":$cpus"""
+    // r15 shipped at 189 queries on the BARE queries_cs rung (1967 chars)
+    // — every srd-bearing rung above overflowed 1980 and the run's
+    // outliers were not adjudicable from the artifact (r15 verdict #3).
+    // head4 is the survives-200+-queries encoding: drop "metric"/"unit"
+    // (the driver's parser keys on the braces; "value" + the query map
+    // carry the content), drop "sf"/"cpus" (the driver records both at
+    // the artifact's top level next to "parsed"), strip the constant 'q'
+    // prefix from the map keys ("01" ≡ q01 — the suffix is already
+    // stripped on every compact rung), and integer-encode load (e2 =
+    // ×100) and prep (cs = centiseconds, [lsh_cache, stores]). "srd_cs"
+    // is slow_rep_delta_cs under the same reconstruction: lo =
+    // q_cs[q], hi = lo + |Δ|, (rep1, rep2) = Δ ≥ 0 ? (lo, hi) : (hi, lo).
+    val qs4 = results.map { case (k, v) =>
+      "\"" + k.drop(1).takeWhile(_ != '_') + "\":" + math.rint(v * 100).toLong
+    }.mkString("{", ",", "}")
+    def srd(kSlow: Int): String = {
+      val full = slowestDelta(kSlow)
+      "\"srd_cs\"" + full.stripPrefix("\"slow_rep_delta_cs\"").replace("{\"q", "{\"")
+        .replace(",\"q", ",\"")
+    }
+    val head4 =
+      s"""{"value":$total,"q_cs":$qs4,"reps":$nReps,"agg":"min",""" +
+        s""""load_e2":[${math.rint(loadStart * 100).toLong},${math.rint(loadEnd * 100).toLong}],""" +
+        s""""prep_cs":[${math.rint(prepLshS * 100).toLong},${math.rint(prepStoresS * 100).toLong}]"""
     val candidates =
       Seq(s"$head,$repArrays}", s"$head,${slowestDetail(12)}}",
         s"$head}",
@@ -272,7 +296,14 @@ object Bench {
         s"$head2}",
         s"$head3$repsFileField,${slowestDelta(10)}}",
         s"$head3,${slowestDelta(10)}}",
+        // prefer slim-with-rep-detail over verbose-without: the bare
+        // queries_cs rung only wins once even head4+srd(6) overflows
+        s"$head4$repsFileField,${srd(10)}}",
+        s"$head4,${srd(10)}}",
+        s"$head4,${srd(8)}}",
+        s"$head4,${srd(6)}}",
         s"$head3}",
+        s"$head4}",
         s"$head2min}")
     // 1980 against the 2000-char window: r12-r14 artifacts show only a
     // trailing newline after the line, and every step down the ladder

@@ -3138,9 +3138,9 @@ object Dedup extends QueryModule {
          |SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          | CAST(sum(CASE WHEN exact_drop THEN n_chars ELSE 0 END) AS BIGINT) AS exact_drop_chars,
          | CAST(sum(CASE WHEN near_drop THEN n_chars ELSE 0 END) AS BIGINT) AS near_drop_chars,
-         | (2 * 10000 * (sum(CASE WHEN exact_drop THEN n_chars ELSE 0 END)
+         | CAST((2 * 10000 * (sum(CASE WHEN exact_drop THEN n_chars ELSE 0 END)
          |   + sum(CASE WHEN near_drop THEN n_chars ELSE 0 END))
-         |  + sum(n_chars)) // (2 * sum(n_chars)) AS reclaim_share_e4
+         |  + sum(n_chars)) // (2 * sum(n_chars)) AS BIGINT) AS reclaim_share_e4
          |FROM cls GROUP BY source ORDER BY source""".stripMargin,
     "q180_lsh_occupancy" ->
       s"""WITH w AS ($duckWords),

@@ -1203,7 +1203,7 @@ object Extras extends QueryModule {
         | SELECT user_id, max(n) AS n_events,
         |  (2 * sum(c * bits_e3) + max(n)) // (2 * max(n)) AS entropy_e3
         | FROM b GROUP BY user_id),
-        | h AS (SELECT least(entropy_e3 // 250, 9) AS bin, n_events FROM u)
+        | h AS (SELECT CAST(least(entropy_e3 // 250, 9) AS BIGINT) AS bin, n_events FROM u)
         |SELECT bin, count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events,
         | (2 * 100 * CAST(sum(n_events) AS BIGINT) + count(*)) // (2 * count(*)) AS mean_events_e2
         |FROM h GROUP BY bin ORDER BY bin""".stripMargin,
@@ -1256,7 +1256,7 @@ object Extras extends QueryModule {
         | FROM wn),
         | h AS (
         | SELECT prev, max(n_from) AS n_from, count(*) AS n_successors,
-        |  (2 * sum(n * bits_e3) + max(n_from)) // (2 * max(n_from)) AS entropy_e3,
+        |  CAST((2 * sum(n * bits_e3) + max(n_from)) // (2 * max(n_from)) AS BIGINT) AS entropy_e3,
         |  max(lpad(CAST(n AS VARCHAR), 19, '0') || ':' || event_type) AS modal
         | FROM b GROUP BY prev)
         |SELECT prev, n_from, n_successors, entropy_e3,

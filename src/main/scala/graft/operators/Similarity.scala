@@ -1138,7 +1138,7 @@ object Similarity extends QueryModule {
          |   ELSE CAST(floor((b - a) / greatest(a, b) * 10000) AS BIGINT) END AS sil
          | FROM pv)
          |SELECT label, count(*) AS n_vecs,
-         | (2 * sum(sil + 10000) + count(*)) // (2 * count(*)) - 10000 AS mean_sil_e4,
+         | CAST((2 * sum(sil + 10000) + count(*)) // (2 * count(*)) - 10000 AS BIGINT) AS mean_sil_e4,
          | min(sil) AS min_sil_e4,
          | CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
          |FROM s GROUP BY label ORDER BY label""".stripMargin,

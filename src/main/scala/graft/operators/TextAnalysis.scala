@@ -2676,8 +2676,9 @@ object TextAnalysis extends QueryModule {
         |       WHEN score_e3 <= p66 THEN 'middle' ELSE 'tail' END AS bin
         | FROM pd JOIN cuts ON pd.lang = cuts.lang)
         |SELECT lang, bin, count(*) AS n_docs,
-        | (2 * sum(score_e3) + count(*)) // (2 * count(*)) AS mean_bits_e3,
-        | min(score_e3) AS min_bits_e3, max(score_e3) AS max_bits_e3
+        | CAST((2 * sum(score_e3) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_bits_e3,
+        | CAST(min(score_e3) AS BIGINT) AS min_bits_e3,
+        | CAST(max(score_e3) AS BIGINT) AS max_bits_e3
         |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "q152_distinct_ngrams" ->
       """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
@@ -2746,7 +2747,7 @@ object TextAnalysis extends QueryModule {
         | FROM lm),
         | h AS (
         | SELECT w1, max(n_w1) AS n_w1, count(*) AS n_successors,
-        |  (2 * sum(n_pair * bits_e3) + max(n_w1)) // (2 * max(n_w1)) AS entropy_e3
+        |  CAST((2 * sum(n_pair * bits_e3) + max(n_w1)) // (2 * max(n_w1)) AS BIGINT) AS entropy_e3
         | FROM bits GROUP BY w1)
         |SELECT w1, n_w1, n_successors, entropy_e3,
         | (2 * 10000 * n_w1 + n_total) // (2 * n_total) AS share_e4
