@@ -90,11 +90,19 @@ object Bench {
         FreqStore.initWinSrcProjection(
           spark, s"$storesDir/leak", s"$storesDir/windoc",
           graft.operators.Dedup.leakTrainSlice)
+        // the persistent dedup index over the base corpus (q107's
+        // base/incoming split): q107 probes its hash+sig families and
+        // q181 calibrates the Bloom front against its stored hash set —
+        // the production shape, where the arriving batch is the only
+        // corpus scan the delta path pays (r16, the 17th store consumer)
+        graft.sources.DedupIndex.init(spark, s"$storesDir/dedup",
+          docs.filter(!col("source").like("src1%")), bands = 8, windowK = 8)
       } finally docs.unpersist()
       spark.conf.set("graft.freq.store", s"$storesDir/freq")
       spark.conf.set("graft.bigram.store", s"$storesDir/bigram")
       spark.conf.set("graft.win.store", s"$storesDir/windoc")
       spark.conf.set("graft.leak.store", s"$storesDir/leak")
+      spark.conf.set("graft.delta.index", s"$storesDir/dedup")
       // the store-backed leakage family shares one eval window stream
       // (Dedup.evalPos under graft.lsh.cache) — build it here, priced,
       // not in whichever of q120/q143/q146 happens to run first

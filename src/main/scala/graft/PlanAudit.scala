@@ -529,7 +529,14 @@ object PlanAudit {
     // chain merge agg (prints per consuming branch: left agg, right agg,
     // |types| total — AQE reuses) → vocab-bounded full-outer token join;
     // top-30 TakeOrdered — zero corpus (the pair table IS the input)
-    "q164_kn_continuation" -> 6)
+    "q164_kn_continuation" -> 6,
+    // stored hash-set read replaces the base-corpus member derivation
+    // (chain read prints per consuming branch: anti-join side + bit table
+    // + n_members count — AQE reuses); the incoming batch still scans (it
+    // is the input) — probe distinct + anti-join + member/probe position
+    // explodes + (cfg,pos) bit distinct + semi join + per-probe verdict
+    // agg + fp/bit-count/n rollups + the 3-row assembly joins + sort
+    "q181_bloom_calibration" -> 14)
   private val storeCorpusFree =
     Set("q113_substring_windows", "q122_window_novelty", "q159_context_entropy",
       "q164_kn_continuation")

@@ -1096,13 +1096,24 @@ object Dedup extends QueryModule {
     * rates for the membership filter a 100 TB dedup deployment puts in
     * front of its exact-hash index (a DedupIndex probe that can answer
     * "definitely new" from an in-memory bit array skips the store read
-    * entirely). Members are the even-doc_id half's distinct content
-    * hashes; probes are the odd half's hashes MINUS true members, so
-    * every probe hit is a false positive by construction. Three (m, k)
-    * configs sweep the size/accuracy trade: observed fill ratio and FPR
-    * per config, ALL-integer (no pow/exp theory column — the measured
-    * number is the one that matters and the only one two engines agree
-    * on exactly).
+    * entirely). Members are the BASE corpus's distinct content hashes —
+    * the same base/incoming split q107's delta-dedup path runs on
+    * (`graft.delta.incoming`, default src1%), so the filter being
+    * calibrated is exactly the one q107's `graft.delta.bloom` fast path
+    * builds over the base hash set. Probes are the incoming batch's
+    * hashes MINUS true members, so every probe hit is a false positive
+    * by construction. Three (m, k) configs sweep the size/accuracy
+    * trade: observed fill ratio and FPR per config, ALL-integer (no
+    * pow/exp theory column — the measured number is the one that
+    * matters and the only one two engines agree on exactly).
+    *
+    * With `graft.delta.index` set (r16, the ledger's 17th store
+    * consumer), the member half READS the stored hash family from the
+    * [[graft.sources.DedupIndex]] LSM instead of re-deriving it from the
+    * base corpus — the production shape, where the calibration audit
+    * prices the filter against the index it would actually front. The
+    * stored `h` is the same md5 hex the derived path hashes, so hv =
+    * hexint32(h) and store-backed ≡ derived (DedupIndexSpec pins it).
     *
     * Hashing: position i of hash hv is bandHash(i, hv) mod m — the same
     * one-strong-hash linear-rehash family the minhash bands use
@@ -1116,11 +1127,20 @@ object Dedup extends QueryModule {
 
   private def q181(t: Tables): DataFrame = {
     val configs = bloomConfigs
+    val incoming = t.spark.conf.get("graft.delta.incoming", "src1%")
+    require(incoming.nonEmpty && !incoming.contains("'"),
+      s"graft.delta.incoming invalid: $incoming")
     val hv = s"(${hexint32("md5(text)")})"
     val docs = Tables.localSplit(t.documents, col("doc_id"))
-      .select(col("doc_id"), expr(hv).as("hv"))
-    val members = docs.filter(col("doc_id") % 2 === 0).select(col("hv")).distinct()
-    val probes = docs.filter(col("doc_id") % 2 === 1).select(col("hv")).distinct()
+      .select(col("doc_id"), expr(hv).as("hv"), col("source").like(incoming).as("incoming"))
+    val indexDir = t.spark.conf.get("graft.delta.index", "")
+    val members =
+      if (indexDir.isEmpty)
+        docs.filter(!col("incoming")).select(col("hv")).distinct()
+      else
+        graft.sources.DedupIndex.hashes(t.spark, indexDir)
+          .select(expr(s"(${hexint32("h")})").as("hv")).distinct()
+    val probes = docs.filter(col("incoming")).select(col("hv")).distinct()
       .join(members.withColumnRenamed("hv", "mhv"), col("hv") === col("mhv"), "left_anti")
     def positions(rel: DataFrame): DataFrame =
       rel.select(
@@ -3087,10 +3107,10 @@ object Dedup extends QueryModule {
         .map { case ((_, k), c) => s"WHEN cfg = $c THEN $k" }.mkString("CASE ", " ", " END")
       val cfgVals = bloomConfigs.zipWithIndex
         .map { case ((m, k), c) => s"($c, $m, $k)" }.mkString(", ")
-      s"""WITH d AS (SELECT doc_id, $hv AS hv FROM documents),
-         | mem AS (SELECT DISTINCT hv FROM d WHERE doc_id % 2 = 0),
+      s"""WITH d AS (SELECT source, $hv AS hv FROM documents),
+         | mem AS (SELECT DISTINCT hv FROM d WHERE source NOT LIKE 'src1%'),
          | prb AS (
-         |  SELECT DISTINCT hv FROM d WHERE doc_id % 2 = 1
+         |  SELECT DISTINCT hv FROM d WHERE source LIKE 'src1%'
          |   AND hv NOT IN (SELECT hv FROM mem)),
          | mpos AS (SELECT DISTINCT cfg, pos FROM (
          |  ${arms("mem")})),

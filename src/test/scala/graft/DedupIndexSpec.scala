@@ -89,6 +89,25 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.delta.index")
   }
 
+  test("q181 over the stored hash set calibrates identically to the derived base") {
+    val dir = tmp()
+    def run() = SparkEntry.queries("q181_bloom_calibration")(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    val direct = rows(run())
+    assert(direct.nonEmpty)
+    DedupIndex.init(spark, dir, baseDocs, bands = 8)
+    spark.conf.set("graft.delta.index", dir)
+    try {
+      assert(rows(run()) == direct, "index-backed q181 diverges from the derived-base run")
+      // the production shape reads the stored hash family, not the corpus:
+      // the member half's plan must carry a versioned store path
+      val plan = run().queryExecution.executedPlan.toString
+      assert(plan.contains("v="), "store-backed q181 plan reads no versioned artifact")
+    } finally spark.conf.unset("graft.delta.index")
+  }
+
   test("deltaSubstring over the stored windows classifies identically to the derived base") {
     val dir = tmp()
     def run() = graft.operators.Dedup.deltaSubstring(Tables(spark, sf))

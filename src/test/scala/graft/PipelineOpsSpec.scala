@@ -1482,10 +1482,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     val configs = Seq((4096, 2), (16384, 3), (65536, 5))
     def pos(h: Long, i: Int, m: Int): Long = ((h * (2 * i + 1) + 7919L * i) % 2147483647L) % m
-    val ds = Tables(spark, sf).documents.select(col("doc_id"), col("text")).collect()
-      .map(r => (r.getLong(0), hv(r.getString(1))))
-    val members = ds.filter(_._1 % 2 == 0).map(_._2).distinct
-    val probes = ds.filter(_._1 % 2 == 1).map(_._2).distinct.filterNot(members.toSet)
+    // the base/incoming split is q107's (graft.delta.incoming default):
+    // members = base corpus, probes = the arriving batch minus members
+    val ds = Tables(spark, sf).documents.select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0).startsWith("src1"), hv(r.getString(1))))
+    val members = ds.filterNot(_._1).map(_._2).distinct
+    val probes = ds.filter(_._1).map(_._2).distinct.filterNot(members.toSet)
     val expected = configs.map { case (m, k) =>
       val bits = members.flatMap(h => (0 until k).map(pos(h, _, m))).distinct
       val bitSet = bits.toSet
