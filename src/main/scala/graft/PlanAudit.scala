@@ -336,6 +336,10 @@ object PlanAudit {
     // (vec, cell) distance agg → per-vector a/b fold → |cells|-row
     // rollup → sort; the scoring fan-out partial-aggregates map-side
     "q158_centroid_silhouette" -> 5,
+    // q191 (r16): centroid agg (broadcast back) → per-vector own-cell
+    // fold (partial-aggregates map-side) → label-partitioned outlier
+    // window (the rollup reuses its exchange — same key) → sort
+    "q191_cell_outliers" -> 4,
     // pair agg (the one corpus-scale shuffle) → w1 window marginal →
     // per-w1 entropy agg + single-row total (broadcast back); top-30 is
     // TakeOrderedAndProject
@@ -363,6 +367,17 @@ object PlanAudit {
     // |types|² transition agg → prev-partitioned marginal window →
     // per-state rollup → sort
     "q166_event_transitions" -> 4,
+    // q190 (r16): q166's lag window (the one corpus-scale shuffle, now
+    // carrying both lags) → |types|³ trigram agg → (prev2,prev1) context
+    // window + rollup (co-partitioned — one exchange) → the trigram
+    // marginal's prev1 agg + window + entropy rollup → broadcast gain
+    // join → sort; everything past the window is transition-matrix-scale
+    "q190_transitions2" -> 8,
+    // q192 (r16): one fact-scale per-level fan-out count (collapses onto
+    // dim keys map-side) + the nation-level count → dim-scale childless
+    // outer joins (broadcast) → two single-row rollups (each prints one
+    // exchange) → union sort folds into TakeOrdered-style merge
+    "q192_catalog_fanout" -> 4,
     // r15 third wave, measured textual counts:
     // q167: sourceVocab agg (the one corpus-scale shuffle) → |source|
     // rollup → sort
@@ -536,7 +551,11 @@ object PlanAudit {
     // is the input) — probe distinct + anti-join + member/probe position
     // explodes + (cfg,pos) bit distinct + semi join + per-probe verdict
     // agg + fp/bit-count/n rollups + the 3-row assembly joins + sort
-    "q181_bloom_calibration" -> 14)
+    "q181_bloom_calibration" -> 14,
+    // stored centroid read replaces the centroid derivation; the
+    // exploded corpus view still scans (it is the input) — per-vector
+    // own-cell fold → label outlier window (rollup reuses) → sort
+    "q191_cell_outliers" -> 3)
   private val storeCorpusFree =
     Set("q113_substring_windows", "q122_window_novelty", "q159_context_entropy",
       "q164_kn_continuation")

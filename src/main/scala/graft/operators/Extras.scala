@@ -1058,7 +1058,78 @@ object Extras extends QueryModule {
       .orderBy(col("prev"))
   }
 
+  /** Second-order event-transition audit (r16 — q166 lifted to
+    * (prev2, prev1) context states; the order-2 Markov readout a
+    * scripted flow cannot hide from): per two-event context, the
+    * successor distribution's entropy in e3 bits, the modal next type
+    * with its share, and `gain_e3` — the first-order context's entropy
+    * MINUS this one's, i.e. how much remembering one more step tells
+    * you. A healthy organic stream gains little (near-memoryless); a
+    * bot's scripted loop looks diverse at order 1 and collapses to
+    * near-zero entropy (large gain) once the second step is in the
+    * state. Gain can be negative per-context — conditioning reduces
+    * entropy only in expectation (Shannon 1948), not pointwise.
+    *
+    * For an apples-to-apples gain, the first-order reference is the
+    * MARGINAL of the trigram counts (Σ over prev2), not q166's bigram
+    * table — both distributions then describe the same event subset
+    * (each user's first transition has no prev2 and is out of both).
+    *
+    * Numeric discipline is q166's verbatim: e3 half-up quantization
+    * BEFORE the weighted mean, zero-padded max-string modal pick, e4
+    * half-up share. Scale shape: ONE corpus-scale shuffle on user_id
+    * carries the lag window; the trigram aggregate partial-aggregates
+    * onto ≤ |types|³ keys and everything after — both context windows,
+    * the marginal rollup, the |types|-row broadcast join — is
+    * transition-matrix-scale.
+    */
+  private def q190(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tri = t.events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev1", lag(col("event_type"), 1).over(w))
+      .withColumn("prev2", lag(col("event_type"), 2).over(w))
+      .filter(col("prev2").isNotNull)
+      .groupBy(col("prev2"), col("prev1"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val second = tri
+      .withColumn(
+        "n_from", sum(col("n")).over(Window.partitionBy(col("prev2"), col("prev1"))))
+      .withColumn(
+        "bits_e3",
+        expr("CAST(floor(-log2(CAST(n AS DOUBLE) / n_from) * 1000 + 0.5) AS BIGINT)"))
+      .groupBy(col("prev2"), col("prev1"))
+      .agg(
+        max(col("n_from")).as("n_from"),
+        count(lit(1)).as("n_successors"),
+        expr("(2 * sum(n * bits_e3) + max(n_from)) DIV (2 * max(n_from))").as("entropy_e3"),
+        max(concat(lpad(col("n").cast("string"), 19, "0"), lit(":"), col("event_type")))
+          .as("modal"))
+      .withColumn("top_next", expr("substr(modal, 21)"))
+      .withColumn("top_next_n", expr("CAST(substr(modal, 1, 19) AS BIGINT)"))
+      .withColumn("top_share_e4", expr("(2 * 10000 * top_next_n + n_from) DIV (2 * n_from)"))
+    val first = tri
+      .groupBy(col("prev1"), col("event_type"))
+      .agg(sum(col("n")).as("n"))
+      .withColumn("m_from", sum(col("n")).over(Window.partitionBy(col("prev1"))))
+      .withColumn(
+        "bits_e3",
+        expr("CAST(floor(-log2(CAST(n AS DOUBLE) / m_from) * 1000 + 0.5) AS BIGINT)"))
+      .groupBy(col("prev1"))
+      .agg(expr("(2 * sum(n * bits_e3) + max(m_from)) DIV (2 * max(m_from))").as("entropy1_e3"))
+    second
+      .join(broadcast(first), Seq("prev1"))
+      .withColumn("gain_e3", col("entropy1_e3") - col("entropy_e3"))
+      .select(
+        col("prev2"), col("prev1"), col("n_from"), col("n_successors"),
+        col("entropy_e3"), col("top_next"), col("top_next_n"), col("top_share_e4"),
+        col("gain_e3"))
+      .orderBy(col("prev2"), col("prev1"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_transitions2" -> ((s, d) => q190(Tables(s, d))),
     "q153_k_anonymity" -> ((s, d) => q153(Tables(s, d))),
     "q162_basket_pairs" -> ((s, d) => q162(Tables(s, d))),
     "q166_event_transitions" -> ((s, d) => q166(Tables(s, d))),
@@ -1097,6 +1168,49 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q190_transitions2" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev1,
+        |  lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev2
+        | FROM events WHERE user_id IS NOT NULL),
+        | tri AS (
+        | SELECT prev2, prev1, event_type, count(*) AS n FROM e
+        | WHERE prev2 IS NOT NULL GROUP BY prev2, prev1, event_type),
+        | wn AS (
+        | SELECT prev2, prev1, event_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY prev2, prev1) AS BIGINT) AS n_from FROM tri),
+        | b AS (
+        | SELECT prev2, prev1, event_type, n, n_from,
+        |  CAST(floor(-log2(CAST(n AS DOUBLE) / n_from) * 1000 + 0.5) AS BIGINT) AS bits_e3
+        | FROM wn),
+        | h2 AS (
+        | SELECT prev2, prev1, max(n_from) AS n_from, count(*) AS n_successors,
+        |  CAST((2 * sum(n * bits_e3) + max(n_from)) // (2 * max(n_from)) AS BIGINT) AS entropy_e3,
+        |  max(lpad(CAST(n AS VARCHAR), 19, '0') || ':' || event_type) AS modal
+        | FROM b GROUP BY prev2, prev1),
+        | m AS (
+        | SELECT prev1, event_type, CAST(sum(n) AS BIGINT) AS n FROM tri
+        | GROUP BY prev1, event_type),
+        | mw AS (
+        | SELECT prev1, event_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY prev1) AS BIGINT) AS m_from FROM m),
+        | mb AS (
+        | SELECT prev1, n, m_from,
+        |  CAST(floor(-log2(CAST(n AS DOUBLE) / m_from) * 1000 + 0.5) AS BIGINT) AS bits_e3
+        | FROM mw),
+        | h1 AS (
+        | SELECT prev1,
+        |  CAST((2 * sum(n * bits_e3) + max(m_from)) // (2 * max(m_from)) AS BIGINT) AS entropy1_e3
+        | FROM mb GROUP BY prev1)
+        |SELECT prev2, prev1, n_from, n_successors, entropy_e3,
+        | substr(modal, 21) AS top_next,
+        | CAST(substr(modal, 1, 19) AS BIGINT) AS top_next_n,
+        | (2 * 10000 * CAST(substr(modal, 1, 19) AS BIGINT) + n_from)
+        |  // (2 * n_from) AS top_share_e4,
+        | entropy1_e3 - entropy_e3 AS gain_e3
+        |FROM h2 JOIN h1 USING (prev1)
+        |ORDER BY prev2, prev1""".stripMargin,
     "q182_join_skew" -> {
       def branch(name: String, table: String, key: String) =
         s"""SELECT '$name' AS join_key, count(*) AS n_keys,

@@ -128,6 +128,50 @@ object Lake extends QueryModule {
         col("n_chars").as("size"))
       .orderBy(col("doc_id"))
 
+  /** Catalog-tree fan-out profile (r16 — the capacity readout over
+    * q27's three fixed levels; reference `check_stac_metadata/utils.py`
+    * again, but the PLANNING view: the walker's frontier at depth d+1 is
+    * exactly this table's fan-out row, and at lake scale the per-level
+    * skew decides whether a traversal partitions by parent or needs a
+    * salt). Per child level: parents (childless included), children,
+    * min/max fan-out, mean fan-out (e2 half-up), the max-to-mean skew
+    * (e4 — q182's multiplicity-skew number on the tree axis), and how
+    * many parents have no children at all (dead catalog branches — the
+    * rows a retention GC (q85) or catalog merge (q58) should prune).
+    *
+    * Scale shape: one fact-scale partial-aggregable count per level
+    * (customer collapses onto ≤|nation| keys map-side); the childless
+    * outer join and both rollups are dim-scale; the final table is one
+    * row per level. All-integer; the two ratio divisions are half-up.
+    */
+  private def q192(t: Tables): DataFrame = {
+    def level(depth: Int, parents: DataFrame, childKeys: DataFrame): DataFrame = {
+      val fan = childKeys.groupBy(col("pid")).agg(count(lit(1)).as("fan"))
+      parents
+        .join(fan, Seq("pid"), "left")
+        .na.fill(0L, Seq("fan"))
+        .agg(
+          count(lit(1)).as("n_parents"),
+          sum(col("fan")).as("n_children"),
+          min(col("fan")).as("min_fanout"),
+          max(col("fan")).as("max_fanout"),
+          expr("(2 * 100 * sum(fan) + count(1)) DIV (2 * count(1))").as("mean_fanout_e2"),
+          expr("(2 * 10000 * max(fan) * count(1) + sum(fan)) DIV (2 * sum(fan))")
+            .as("skew_e4"),
+          sum(when(col("fan") === 0L, 1L).otherwise(0L)).as("n_childless"))
+        .select(lit(depth).as("child_depth"), col("*"))
+    }
+    level(
+      1,
+      t.region.select(col("r_regionkey").cast("long").as("pid")),
+      t.nation.select(col("n_regionkey").cast("long").as("pid")))
+      .unionAll(level(
+        2,
+        t.nation.select(col("n_nationkey").cast("long").as("pid")),
+        t.customer.select(col("c_nationkey").cast("long").as("pid"))))
+      .orderBy(col("child_depth"))
+  }
+
   /** Catalog tree walk — reference `check_stac_metadata/utils.py`
     * (catalog→collection→item traversal w/ depth). The fixed-depth STAC
     * hierarchy maps to level-wise joins unioned with depth labels; dims
@@ -937,6 +981,7 @@ object Lake extends QueryModule {
     "q25_validation_summary" -> ((s, d) => q25(Tables(s, d))),
     "q26_import_manifest" -> ((s, d) => q26(Tables(s, d))),
     "q27_catalog_tree" -> ((s, d) => q27(Tables(s, d))),
+    "q192_catalog_fanout" -> ((s, d) => q192(Tables(s, d))),
     "q28_asset_inventory" -> ((s, d) => q28(Tables(s, d))),
     "q29_version_diff" -> ((s, d) => q29(Tables(s, d)))
   )
@@ -1107,6 +1152,31 @@ object Lake extends QueryModule {
         |SELECT 2, c_custkey, c_name, CAST(n_nationkey AS BIGINT)
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY depth, node_id""".stripMargin,
+    "q192_catalog_fanout" ->
+      """WITH l1 AS (
+        | SELECT CAST(r_regionkey AS BIGINT) AS pid FROM region),
+        | c1 AS (SELECT CAST(n_regionkey AS BIGINT) AS pid, count(*) AS fan
+        |        FROM nation GROUP BY 1),
+        | l2 AS (SELECT CAST(n_nationkey AS BIGINT) AS pid FROM nation),
+        | c2 AS (SELECT CAST(c_nationkey AS BIGINT) AS pid, count(*) AS fan
+        |        FROM customer GROUP BY 1),
+        | f1 AS (SELECT l1.pid, COALESCE(fan, 0) AS fan FROM l1 LEFT JOIN c1 USING (pid)),
+        | f2 AS (SELECT l2.pid, COALESCE(fan, 0) AS fan FROM l2 LEFT JOIN c2 USING (pid)),
+        | r AS (
+        | SELECT 1 AS child_depth, count(*) AS n_parents, CAST(sum(fan) AS BIGINT) AS n_children,
+        |  CAST(min(fan) AS BIGINT) AS min_fanout, CAST(max(fan) AS BIGINT) AS max_fanout,
+        |  CAST((2 * 100 * sum(fan) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_fanout_e2,
+        |  CAST((2 * 10000 * max(fan) * count(*) + sum(fan)) // (2 * sum(fan)) AS BIGINT) AS skew_e4,
+        |  CAST(sum(CASE WHEN fan = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_childless
+        | FROM f1
+        | UNION ALL
+        | SELECT 2, count(*), CAST(sum(fan) AS BIGINT),
+        |  CAST(min(fan) AS BIGINT), CAST(max(fan) AS BIGINT),
+        |  CAST((2 * 100 * sum(fan) + count(*)) // (2 * count(*)) AS BIGINT),
+        |  CAST((2 * 10000 * max(fan) * count(*) + sum(fan)) // (2 * sum(fan)) AS BIGINT),
+        |  CAST(sum(CASE WHEN fan = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM f2)
+        |SELECT * FROM r ORDER BY child_depth""".stripMargin,
     "q28_asset_inventory" ->
       """SELECT source AS dataset_id, lang AS asset_type, count(*) AS n,
         | CAST(sum(n_chars) AS BIGINT) AS bytes, round(avg(n_chars),2) AS avg_bytes

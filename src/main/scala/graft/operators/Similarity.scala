@@ -1069,7 +1069,79 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Per-cell distance-outlier census (r16 — q158's inputs re-rolled
+    * onto the ownership axis; closes the cluster-validity family next to
+    * q158's silhouette and q174's intrinsic dimension): for each IVF
+    * cell, the mean and max own-centroid distance in q71's integer
+    * metric, the max-to-mean spread, and how many vectors sit beyond
+    * 102% and 105% of the cell's mean — the tail census that says
+    * whether a cell is one tight cluster or a centroid parked between
+    * two (a silhouette can look fine while the tail band holds the
+    * vectors PQ (q132) will quantize worst and SemDeDup (q101) will
+    * threshold arbitrarily). Band placement is corpus-probed: on these
+    * embeddings the per-cell max/mean spread is only 1.04–1.12 at every
+    * SF (vectors are near-uniform shells around their centroids), so
+    * classic 2×/4× bands are identically zero — 102/105 are the
+    * percentiles that actually separate tight cells from fat-tailed
+    * ones here; `spread_e4` carries the raw ratio so any other cut can
+    * be judged from the output.
+    *
+    * All-integer: within a cell every vector shares cnt, so
+    * dist_i > (p/100)·mean ⇔ 100·num_i·n_cell > p·Σnum — exact long
+    * products, no division until the final e4 half-up ratios. Past
+    * ~10¹⁸ the products overflow 2⁶³ (num grows as cnt²·dim·q²) —
+    * `graft.cell.decimal=true` routes diff² and the comparisons through
+    * DECIMAL(38,0) with the same plan shape (q163's guard pattern;
+    * spec-pinned identical at current scale).
+    *
+    * With `graft.ivf.index` set, the centroid table reads from the
+    * stored [[graft.sources.IvfIndex]] (q74's seam — the store persists
+    * exactly [[centroidsOf]]'s relation) instead of re-deriving it.
+    * Scale shape: the per-vector fold partial-aggregates map-side under
+    * the broadcast centroid table (own-cell join only — no q158-style
+    * all-centroid fan-out); the outlier window and rollup run on the
+    * |vecs|-row per-vector relation, never the exploded view.
+    */
+  private def q191(t: Tables): DataFrame = {
+    val big: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (t.spark.conf.get("graft.cell.decimal", "false").toBoolean) _.cast("decimal(19,0)")
+      else identity
+    val ev = quantizedEv(t)
+    val idx = t.spark.conf.get("graft.ivf.index", "")
+    val cent =
+      if (idx.isEmpty) centroidsOf(ev)
+      else graft.sources.IvfIndex.centroids(t.spark, idx)
+    val diff = col("q") * col("cnt") - col("sq")
+    val perVec = ev
+      .join(broadcast(cent), col("label") === col("clabel") && col("dim") === col("cdim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(big(diff) * big(diff)).as("num"), max(col("cnt")).as("cnt"))
+    val w = Window.partitionBy(col("label"))
+    perVec
+      .withColumn("cell_n", count(lit(1)).over(w))
+      .withColumn("cell_sum", sum(col("num")).over(w))
+      .withColumn(
+        "t102",
+        (big(col("num")) * col("cell_n") * 100 > big(col("cell_sum")) * 102).cast("long"))
+      .withColumn(
+        "t105",
+        (big(col("num")) * col("cell_n") * 100 > big(col("cell_sum")) * 105).cast("long"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        expr("CAST((2 * 10000 * max(cell_sum) + max(cell_n) * max(cnt) * max(cnt)) " +
+          "DIV (2 * max(cell_n) * max(cnt) * max(cnt)) AS BIGINT)").as("mean_dist_e4"),
+        expr("CAST((2 * 10000 * max(num) + max(cnt) * max(cnt)) " +
+          "DIV (2 * max(cnt) * max(cnt)) AS BIGINT)").as("max_dist_e4"),
+        expr("CAST((2 * 10000 * max(num) * max(cell_n) + max(cell_sum)) " +
+          "DIV (2 * max(cell_sum)) AS BIGINT)").as("spread_e4"),
+        sum(col("t102")).as("n_tail102"),
+        sum(col("t105")).as("n_tail105"))
+      .orderBy(col("label"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_cell_outliers" -> ((s, d) => q191(Tables(s, d))),
     "q158_centroid_silhouette" -> ((s, d) => q158(Tables(s, d))),
     "q154_knn_reciprocity" -> ((s, d) => q154(Tables(s, d))),
     "q124_power_iter" -> ((s, d) => q124(Tables(s, d))),
@@ -1115,6 +1187,38 @@ object Similarity extends QueryModule {
        | FROM embeddings)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q191_cell_outliers" ->
+      s"""WITH $duckEv,
+         | cent AS (
+         | SELECT label AS clabel, dim AS cdim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+         | FROM ev GROUP BY 1, 2),
+         | pv AS (
+         | SELECT vec_id, ev.label AS label,
+         |  CAST(sum((q * cnt - sq) * (q * cnt - sq)) AS BIGINT) AS num, max(cnt) AS cnt
+         | FROM ev JOIN cent ON ev.label = clabel AND dim = cdim GROUP BY 1, 2),
+         | cs AS (
+         | SELECT label, count(*) AS cell_n, CAST(sum(num) AS BIGINT) AS cell_sum,
+         |  CAST(max(num) AS BIGINT) AS max_num, max(cnt) AS cnt
+         | FROM pv GROUP BY label),
+         | o AS (
+         | SELECT pv.label AS label,
+         |  CASE WHEN 100 * num * cell_n > 102 * cell_sum THEN 1 ELSE 0 END AS t102,
+         |  CASE WHEN 100 * num * cell_n > 105 * cell_sum THEN 1 ELSE 0 END AS t105
+         | FROM pv JOIN cs USING (label)),
+         | oc AS (
+         | SELECT label, CAST(sum(t102) AS BIGINT) AS n_tail102,
+         |  CAST(sum(t105) AS BIGINT) AS n_tail105
+         | FROM o GROUP BY label)
+         |SELECT label, cell_n AS n_vecs,
+         | CAST((2 * 10000 * cell_sum + cell_n * cnt * cnt)
+         |  // (2 * cell_n * cnt * cnt) AS BIGINT) AS mean_dist_e4,
+         | CAST((2 * 10000 * max_num + cnt * cnt)
+         |  // (2 * cnt * cnt) AS BIGINT) AS max_dist_e4,
+         | CAST((2 * 10000 * max_num * cell_n + cell_sum)
+         |  // (2 * cell_sum) AS BIGINT) AS spread_e4,
+         | n_tail102, n_tail105
+         |FROM cs JOIN oc USING (label)
+         |ORDER BY label""".stripMargin,
     "q158_centroid_silhouette" ->
       s"""WITH $duckEv,
          | cent AS (

@@ -1116,6 +1116,92 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q192 catalog fan-out profile matches an independent recomputation") {
+    val t = Tables(spark, sf)
+    val regions = t.region.select(col("r_regionkey").cast("long")).collect().map(_.getLong(0))
+    val nations = t.nation.select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val custNation = t.customer.select(col("c_nationkey").cast("long")).collect().map(_.getLong(0))
+    def profile(depth: Int, parents: Seq[Long], childParents: Seq[Long]) = {
+      val byP = childParents.groupBy(identity).view.mapValues(_.size.toLong)
+      val fans = parents.map(p => byP.getOrElse(p, 0L))
+      val (n, total) = (parents.size.toLong, fans.sum)
+      (depth, n, total, fans.min, fans.max,
+        hdiv(100L * total, n), hdiv(10000L * fans.max * n, total),
+        fans.count(_ == 0L).toLong)
+    }
+    val expected = Set(
+      profile(1, regions.toSeq, nations.map(_._2).toSeq),
+      profile(2, nations.map(_._1).toSeq, custNation.toSeq))
+    val got = SparkEntry.queries("q192_catalog_fanout")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(got == expected)
+    // conservation against q27's tree: each level's children count is
+    // exactly the node count q27 emits at that depth
+    val q27ByDepth = SparkEntry.queries("q27_catalog_tree")(spark, sf).collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.length.toLong)
+    got.foreach { case (d, _, children, _, _, _, _, _) =>
+      assert(children == q27ByDepth(d), s"depth $d children != q27 nodes")
+    }
+  }
+
+  test("q191 cell outliers match an independent own-centroid recomputation") {
+    val vecs = Tables(spark, sf).embeddings.collect().map { r =>
+      (r.getLong(0), r.getAs[Number]("label").intValue,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray.map(v => math.floor(v.toDouble * 1000).toLong))
+    }
+    val cents = vecs.groupBy(_._2).map { case (l, xs) =>
+      l -> (Array.tabulate(xs.head._3.length)(d => xs.map(_._3(d)).sum), xs.size.toLong)
+    }
+    def num(q: Array[Long], c: (Array[Long], Long)): Long = {
+      val (sq, cnt) = c
+      var n = 0L
+      var i = 0
+      while (i < q.length) { val df = q(i) * cnt - sq(i); n += df * df; i += 1 }
+      n
+    }
+    val expected = vecs.groupBy(_._2).map { case (l, xs) =>
+      val nums = xs.map(v => num(v._3, cents(l)))
+      val (n, cnt) = (xs.size.toLong, cents(l)._2)
+      val total = nums.sum
+      (l, n,
+        hdiv(10000L * total, n * cnt * cnt),
+        hdiv(10000L * nums.max, cnt * cnt),
+        hdiv(10000L * nums.max * n, total),
+        nums.count(x => 100 * x * n > 102 * total).toLong,
+        nums.count(x => 100 * x * n > 105 * total).toLong)
+    }.toSet
+    def run() = SparkEntry.queries("q191_cell_outliers")(spark, sf).collect()
+      .map(r => (r.getAs[Number]("label").intValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    val got = run()
+    assert(got == expected)
+    // the DECIMAL(38,0) overflow guard changes nothing at current scale
+    spark.conf.set("graft.cell.decimal", "true")
+    try assert(run() == expected, "decimal-guarded q191 diverges")
+    finally spark.conf.unset("graft.cell.decimal")
+    // store-backed centroids (graft.ivf.index — the relation IvfIndex
+    // persists is exactly centroidsOf's) reproduce the derived audit
+    val dir = java.nio.file.Files.createTempDirectory("graft_q191_ivf").toString
+    val (assign, centroids) = graft.operators.Similarity.corpusQuantizer(Tables(spark, sf))
+    graft.sources.IvfIndex.init(spark, dir, assign, centroids)
+    spark.conf.set("graft.ivf.index", dir)
+    try assert(run() == expected, "store-backed q191 diverges")
+    finally spark.conf.unset("graft.ivf.index")
+    // the 105 band nests in the 102 band, both sit within the census,
+    // and the spread ratio is ≥ 1 (max ≥ mean) exactly
+    got.foreach { case (l, n, _, _, spread, t102, t105) =>
+      assert(t105 <= t102 && t102 <= n, s"cell $l")
+      assert(spread >= 10000L, s"cell $l spread < 1")
+    }
+    // the bands are non-trivial on this corpus (probed: 102 separates
+    // at every SF) — a silently-degenerate census would pass equality
+    assert(got.exists(_._6 > 0L), "degenerate: no 102%-band tail in any cell")
+  }
+
   test("q157 STAC extent matches an independent bbox + interval recomputation") {
     def rnd3(x: Double) =
       BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1472,6 +1558,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     // entropy of a |types|-way mix caps at log2(|types|) ~ 2.33 bits:
     // every bin index stays under 10 and user counts conserve
     assert(got.toSeq.map(_._2).sum == rows.map(_._1).distinct.length.toLong)
+  }
+
+  test("q190 second-order transitions match an independent trigram recomputation") {
+    val evs = Tables(spark, sf).events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tri = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(e => (e._2, e._3)).map(_._4).toSeq.sliding(3).collect {
+        case Seq(a, b, c) => (a, b, c)
+      }
+    }.groupBy(x => x).map { case (k, xs) => k -> xs.size.toLong }
+    def entropyE3(dist: Seq[Long]): Long = {
+      val nFrom = dist.sum
+      val wsum = dist.map { n =>
+        n * math.floor(-(math.log(n.toDouble / nFrom) / math.log(2.0)) * 1000 + 0.5).toLong
+      }.sum
+      hdiv(wsum, nFrom)
+    }
+    // first-order reference = the trigram marginal (same event subset)
+    val h1 = tri.toSeq.groupBy(_._1._2).map { case (p1, xs) =>
+      p1 -> entropyE3(xs.groupBy(_._1._3).map(_._2.map(_._2).sum).toSeq)
+    }
+    val expected = tri.toSeq.groupBy(t => (t._1._1, t._1._2)).map { case ((p2, p1), xs) =>
+      val nFrom = xs.map(_._2).sum
+      val (modalNext, modalN) = xs.map { case ((_, _, next), n) => (next, n) }
+        .maxBy { case (next, n) => (n, next) }
+      val h2 = entropyE3(xs.map(_._2))
+      (p2, p1, nFrom, xs.size.toLong, h2, modalNext, modalN,
+        hdiv(10000L * modalN, nFrom), h1(p1) - h2)
+    }.toSet
+    val got = SparkEntry.queries("q190_transitions2")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSet
+    assert(got == expected)
+    // per-context counts conserve onto the first-order marginal, and a
+    // one-successor context has exactly zero entropy
+    val byP1 = got.toSeq.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    val m1 = tri.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2).sum)
+    assert(byP1.toMap == m1.toMap)
+    got.filter(_._4 == 1L).foreach { r => assert(r._5 == 0L, r) }
   }
 
   test("q181 bloom calibration matches an independent bit-array simulation") {
