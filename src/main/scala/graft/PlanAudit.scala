@@ -39,9 +39,12 @@ object PlanAudit {
   // q161's cross is the |sources|²/2 totals grid — two |sources|-row
   // aggregates, a mix-audit's handful of rows, never data-scale; it
   // exists so a zero-overlap source pair still reports its JSD.
+  // q194's cross is the declared |sources| × |distinct lengths| KS
+  // evaluation grid (q161's dim-grid class — bounded by the length value
+  // domain, never the corpus)
   private val allowCross =
     Set("q40_cosine_topk", "q41_embedding_neardup", "q115_ivf_recall",
-      "q161_source_jsd")
+      "q161_source_jsd", "q194_ks_drift")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -89,7 +92,10 @@ object PlanAudit {
   // rows by the k(k+1)/2 pigeonhole (≈6 M at 2·10¹³ tokens), provably
   // sublinear in both corpus and vocab; that bound is the whole point of
   // its histogram formulation
-  private val allowGlobalWindow = Set("q83_late_data", "q136_vocab_coverage")
+  // q194's unpartitioned cumulative runs on the DISTINCT-LENGTH relation
+  // (value-domain-bounded, q136's class), never the corpus
+  private val allowGlobalWindow =
+    Set("q83_late_data", "q136_vocab_coverage", "q194_ks_drift")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 3, "q38_ngram_jaccard" -> 6, "q13_set_ops" -> 4,
@@ -340,6 +346,16 @@ object PlanAudit {
     // fold (partial-aggregates map-side) → label-partitioned outlier
     // window (the rollup reuses its exchange — same key) → sort
     "q191_cell_outliers" -> 4,
+    // q193 (r16): q191's centroid agg + per-vector fold → scatter rollup
+    // — whose subtree PRINTS three times (both gap-join sides + the final
+    // assembly; AQE reuses the exchange) — plus the |cells|²·dims gap
+    // grid's pair-keyed agg (metadata-scale), argmax rollup, sort
+    "q193_davies_bouldin" -> 14,
+    // q195 (r16): the session components relation (candidate-bounded,
+    // built eagerly with cut lineage) → membership flag join → checkpoint
+    // filter-HOF explode rollup (≤|checkpoints| keys; countDistinct
+    // expands two-phase) → broadcast total cut → sort
+    "q195_dedup_saturation" -> 6,
     // pair agg (the one corpus-scale shuffle) → w1 window marginal →
     // per-w1 entropy agg + single-row total (broadcast back); top-30 is
     // TakeOrderedAndProject
@@ -378,6 +394,11 @@ object PlanAudit {
     // outer joins (broadcast) → two single-row rollups (each prints one
     // exchange) → union sort folds into TakeOrdered-style merge
     "q192_catalog_fanout" -> 4,
+    // q194 (r16): two corpus-scale partial-aggregable counts ((len) and
+    // (source, len)) + the |sources| rollup; the distinct-length cum
+    // window and the grid's per-source cum window run on domain-bounded
+    // relations; per-source argmax rollup → sort
+    "q194_ks_drift" -> 6,
     // r15 third wave, measured textual counts:
     // q167: sourceVocab agg (the one corpus-scale shuffle) → |source|
     // rollup → sort
@@ -555,7 +576,12 @@ object PlanAudit {
     // stored centroid read replaces the centroid derivation; the
     // exploded corpus view still scans (it is the input) — per-vector
     // own-cell fold → label outlier window (rollup reuses) → sort
-    "q191_cell_outliers" -> 3)
+    "q191_cell_outliers" -> 3,
+    // stored centroid read replaces the derivation on BOTH the scatter
+    // and the gap-grid sides; the per-vector fold's subtree still prints
+    // per consuming branch (q193's default-mode note) minus the centroid
+    // aggs
+    "q193_davies_bouldin" -> 9)
   private val storeCorpusFree =
     Set("q113_substring_windows", "q122_window_novelty", "q159_context_entropy",
       "q164_kn_continuation")

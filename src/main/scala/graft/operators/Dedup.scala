@@ -1191,6 +1191,55 @@ object Dedup extends QueryModule {
     * actually move by. Same plan as q79 (one content-hash window + the
     * tiny component join); the char sums ride the existing rollup.
     */
+  /** Near-dup saturation curve (r16 — the GROWTH view of the dup-graph
+    * family: q62/q147 describe the components, q79/q183 price the drops,
+    * this one says WHEN the redundancy arrived): at power-of-two doc_id
+    * prefixes of the ingest order, the count and e6 rate of redundant
+    * docs (non-canonical members of a near-dup component — the corpus
+    * has zero byte-identical dups, so near-dup components are the only
+    * duplicate structure, per the r15 probe) and the components touched.
+    * A crawl whose redundancy rate climbs with corpus size is
+    * re-visiting itself — the marginal-value readout that decides when
+    * to stop ingesting a source; a flat curve means the dup mass is
+    * endemic, not saturation. Heaps-law machinery (q168's power-of-two
+    * checkpoints) pointed at the dedup axis.
+    *
+    * Prefixes are doc_id VALUE thresholds (ingest ids), so no global
+    * rank window exists anywhere: each doc map-side emits its matching
+    * checkpoints via a filter HOF (geometric — ~2 rows/doc total), the
+    * rollup partial-aggregates onto ≤ |checkpoints| keys. Redundancy
+    * flags ride the session-cached [[components]] relation (the
+    * candidate-bounded pair graph, never corpus²). Saturated
+    * checkpoints (≥ 2× corpus) are cut by the broadcast 1-row total so
+    * the last row is the first full-corpus prefix.
+    */
+  private def q195(t: Tables): DataFrame = {
+    val cps = (6 to 20).map(k => 1L << k)
+    val comp = components(t)
+    val total = t.documents.agg(count(lit(1)).as("n_all"))
+    t.documents.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn(
+        "redundant",
+        (col("component_id").isNotNull && col("component_id") =!= col("doc_id")).cast("long"))
+      .withColumn(
+        "cp",
+        explode(expr(s"filter(array(${cps.mkString(", ")}), c -> doc_id < c)")))
+      .groupBy(col("cp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("redundant")).as("n_redundant"),
+        countDistinct(when(col("redundant") === 1L, col("component_id"))).as("n_components"))
+      .withColumn(
+        "rate_e6", expr("(2 * 1000000 * n_redundant + n_docs) DIV (2 * n_docs)"))
+      .join(broadcast(total))
+      .filter(col("cp") < lit(2L) * col("n_all"))
+      .select(
+        col("cp").as("checkpoint"), col("n_docs"), col("n_redundant"),
+        col("n_components"), col("rate_e6"))
+      .orderBy(col("checkpoint"))
+  }
+
   private def q183(t: Tables): DataFrame = {
     val comp = components(t)
     val docs = t.documents
@@ -2332,6 +2381,7 @@ object Dedup extends QueryModule {
     "q180_lsh_occupancy" -> ((s, d) => q180(Tables(s, d))),
     "q181_bloom_calibration" -> ((s, d) => q181(Tables(s, d))),
     "q183_dedup_bytes" -> ((s, d) => q183(Tables(s, d))),
+    "q195_dedup_saturation" -> ((s, d) => q195(Tables(s, d))),
     "q187_window_k_sweep" -> ((s, d) => q187(Tables(s, d))),
     "q188_copy_matrix" -> ((s, d) => q188(Tables(s, d))),
     "q35_exact_dedup" -> ((s, d) => q35(Tables(s, d))),
@@ -3135,6 +3185,37 @@ object Dedup extends QueryModule {
          |FROM cfgs JOIN bc USING (cfg) LEFT JOIN fp USING (cfg)
          |ORDER BY m""".stripMargin
     },
+    "q195_dedup_saturation" ->
+      s"""WITH RECURSIVE $duckJpairsCtes,
+         | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |           UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         | nodes AS (SELECT DISTINCT u FROM edges),
+         | reach(u, v) AS (
+         |  SELECT u, u AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         | comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+         | f AS (
+         | SELECT d.doc_id,
+         |  CASE WHEN c.component_id IS NOT NULL AND c.component_id <> d.doc_id
+         |   THEN 1 ELSE 0 END AS redundant,
+         |  c.component_id
+         | FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         | x AS (
+         | SELECT unnest(list_filter(${(6 to 20).map(k => 1L << k).mkString("[", ", ", "]")},
+         |   c -> doc_id < c)) AS cp, redundant, component_id
+         | FROM f),
+         | agg AS (
+         | SELECT cp, count(*) AS n_docs,
+         |  CAST(sum(redundant) AS BIGINT) AS n_redundant,
+         |  CAST(count(DISTINCT CASE WHEN redundant = 1 THEN component_id END) AS BIGINT)
+         |   AS n_components
+         | FROM x GROUP BY cp)
+         |SELECT cp AS checkpoint, n_docs, n_redundant, n_components,
+         | CAST((2 * 1000000 * n_redundant + n_docs) // (2 * n_docs) AS BIGINT) AS rate_e6
+         |FROM agg
+         |WHERE cp < 2 * (SELECT count(*) FROM documents)
+         |ORDER BY checkpoint""".stripMargin,
     "q183_dedup_bytes" ->
       s"""WITH RECURSIVE $duckJpairsCtes,
          | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs

@@ -1140,7 +1140,83 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Davies–Bouldin cluster-separation audit (Davies & Bouldin 1979,
+    * r16 — the BETWEEN-cell readout that completes the validity triad:
+    * q158's silhouette scores assignments vector-by-vector, q191
+    * censuses each cell's own tail, this one asks whether the CELLS
+    * themselves are separated): per cell, its scatter (mean own-centroid
+    * distance, q71's integer metric), the worst-confused partner cell
+    * (argmax of R_ij = (s_i + s_j)/d_ij over centroid distances), and
+    * that worst ratio — R >> 1 means the pair's scatters dwarf their
+    * centroid gap, i.e. the IVF routing (q43/q74) leaks between exactly
+    * those two cells and a probe list that misses the partner loses
+    * recall (q115's sweep says how much).
+    *
+    * Exactness: scatter and centroid-gap first quantize half-up to e0
+    * integers (their natural scale is ~10⁶ in q-units², so e0 keeps six
+    * significant digits; 10⁴-scaling them first would overflow 2⁶³ at
+    * Σnum ~ 10¹³), then the single R division rounds to e4 — identical
+    * integer inputs in both engines, deterministic argmax via the
+    * zero-padded max-string pick (q110's). With `graft.ivf.index` set
+    * the centroid table reads from the store (q191's seam).
+    *
+    * Scale shape: the per-vector fold is q191's; the pair grid is
+    * |cells|²·dims centroid rows — metadata-scale here, and the known
+    * inherent k² of the DB index at any scale (broadcast-joinable; at
+    * 10⁴ cells it is 10⁸ arithmetic rows with no corpus involvement).
+    */
+  private def q193(t: Tables): DataFrame = {
+    // same DECIMAL(38,0) overflow guard as q191 (one conf for the cell
+    // family): diff² sums overflow 2⁶³ once cnt²·dim·q² passes ~10¹⁸
+    val big: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (t.spark.conf.get("graft.cell.decimal", "false").toBoolean) _.cast("decimal(19,0)")
+      else identity
+    val ev = quantizedEv(t)
+    val idx = t.spark.conf.get("graft.ivf.index", "")
+    val cent =
+      if (idx.isEmpty) centroidsOf(ev)
+      else graft.sources.IvfIndex.centroids(t.spark, idx)
+    val diff = col("q") * col("cnt") - col("sq")
+    val scatter = ev
+      .join(broadcast(cent), col("label") === col("clabel") && col("dim") === col("cdim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(big(diff) * big(diff)).as("num"), max(col("cnt")).as("cnt"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("num")).as("s_sum"), max(col("cnt")).as("cnt"))
+      .withColumn(
+        "scatter_e0",
+        expr("(2 * s_sum + n_vecs * cnt * cnt) DIV (2 * n_vecs * cnt * cnt)"))
+      .select(col("label"), col("n_vecs"), col("scatter_e0"))
+    val gaps = cent.as("a")
+      .join(cent.as("b"),
+        col("a.cdim") === col("b.cdim") && col("a.clabel") =!= col("b.clabel"))
+      .select(
+        col("a.clabel").as("la"), col("b.clabel").as("lb"),
+        (col("a.sq") * col("b.cnt") - col("b.sq") * col("a.cnt")).as("dd"),
+        col("a.cnt").as("ca"), col("b.cnt").as("cb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(big(col("dd")) * big(col("dd"))).as("d_sum"), max(col("ca") * col("cb")).as("cc"))
+      .withColumn("gap_e0", expr("(2 * d_sum + cc * cc) DIV (2 * cc * cc)"))
+      .select(col("la"), col("lb"), col("gap_e0"))
+    gaps
+      .join(broadcast(scatter.select(col("label").as("la"), col("scatter_e0").as("sa"))), Seq("la"))
+      .join(broadcast(scatter.select(col("label").as("lb"), col("scatter_e0").as("sb"))), Seq("lb"))
+      .withColumn("r_e4", expr("(2 * 10000 * (sa + sb) + gap_e0) DIV (2 * gap_e0)"))
+      .groupBy(col("la"))
+      .agg(max(concat(
+        lpad(col("r_e4").cast("string"), 19, "0"), lit(":"),
+        lpad(col("lb").cast("string"), 6, "0"))).as("pick"))
+      .withColumn("r_max_e4", expr("CAST(substr(pick, 1, 19) AS BIGINT)"))
+      .withColumn("worst_label", expr("CAST(substr(pick, 21) AS BIGINT)"))
+      .join(broadcast(scatter.withColumnRenamed("label", "la")), Seq("la"))
+      .select(
+        col("la").as("label"), col("n_vecs"), col("scatter_e0"),
+        col("worst_label"), col("r_max_e4"))
+      .orderBy(col("label"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_davies_bouldin" -> ((s, d) => q193(Tables(s, d))),
     "q191_cell_outliers" -> ((s, d) => q191(Tables(s, d))),
     "q158_centroid_silhouette" -> ((s, d) => q158(Tables(s, d))),
     "q154_knn_reciprocity" -> ((s, d) => q154(Tables(s, d))),
@@ -1187,6 +1263,44 @@ object Similarity extends QueryModule {
        | FROM embeddings)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q193_davies_bouldin" ->
+      s"""WITH $duckEv,
+         | cent AS (
+         | SELECT label AS clabel, dim AS cdim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+         | FROM ev GROUP BY 1, 2),
+         | pv AS (
+         | SELECT vec_id, ev.label AS label,
+         |  CAST(sum((q * cnt - sq) * (q * cnt - sq)) AS BIGINT) AS num, max(cnt) AS cnt
+         | FROM ev JOIN cent ON ev.label = clabel AND dim = cdim GROUP BY 1, 2),
+         | sc AS (
+         | SELECT label, count(*) AS n_vecs,
+         |  CAST((2 * sum(num) + count(*) * max(cnt) * max(cnt))
+         |   // (2 * count(*) * max(cnt) * max(cnt)) AS BIGINT) AS scatter_e0
+         | FROM pv GROUP BY label),
+         | gp AS (
+         | SELECT a.clabel AS la, b.clabel AS lb,
+         |  CAST(sum((a.sq * b.cnt - b.sq * a.cnt) * (a.sq * b.cnt - b.sq * a.cnt))
+         |   AS BIGINT) AS d_sum,
+         |  max(a.cnt * b.cnt) AS cc
+         | FROM cent a JOIN cent b ON a.cdim = b.cdim AND a.clabel <> b.clabel
+         | GROUP BY 1, 2),
+         | g AS (
+         | SELECT la, lb, CAST((2 * d_sum + cc * cc) // (2 * cc * cc) AS BIGINT) AS gap_e0
+         | FROM gp),
+         | r AS (
+         | SELECT la, lb,
+         |  CAST((2 * 10000 * (sa.scatter_e0 + sb.scatter_e0) + gap_e0)
+         |   // (2 * gap_e0) AS BIGINT) AS r_e4
+         | FROM g JOIN sc sa ON sa.label = la JOIN sc sb ON sb.label = lb),
+         | pick AS (
+         | SELECT la, max(lpad(CAST(r_e4 AS VARCHAR), 19, '0') || ':'
+         |   || lpad(CAST(lb AS VARCHAR), 6, '0')) AS p
+         | FROM r GROUP BY la)
+         |SELECT la AS label, n_vecs, scatter_e0,
+         | CAST(substr(p, 21) AS BIGINT) AS worst_label,
+         | CAST(substr(p, 1, 19) AS BIGINT) AS r_max_e4
+         |FROM pick JOIN sc ON sc.label = la
+         |ORDER BY label""".stripMargin,
     "q191_cell_outliers" ->
       s"""WITH $duckEv,
          | cent AS (

@@ -1100,6 +1100,78 @@ object TextAnalysis extends QueryModule {
       .select(col("source"), col("n_ranks"), col("max_chars"), col("tail_mag_e4"))
       .orderBy(col("source"))
 
+  /** Kolmogorov–Smirnov length-drift audit (Massey 1951's statistic,
+    * r16 — the sup-norm companion to q165's binned PSI: PSI needs bin
+    * edges and misses shape shifts inside a bin; the KS D is binless and
+    * exactly computable on integer lengths): per source, D = sup over
+    * lengths of |ECDF_source − ECDF_rest| in e6, the length at which the
+    * gap peaks, and which side is heavier below it (+1 = the source has
+    * MORE short-doc mass than the rest of the corpus) — the
+    * ingest-regression readout that catches a truncating parser or a
+    * boilerplate injection by its length signature alone.
+    *
+    * Exactness: candidate points are the corpus's distinct lengths;
+    * |F₁−F₂| at each is the INTEGER cross-product |cum_src·n_rest −
+    * cum_rest·n_src| — the max is exact, the single e6 division rounds
+    * once, and the peak-length argmax is the zero-padded max-string
+    * pick. `graft.ks.decimal=true` routes the cross-products through
+    * DECIMAL(38,0) past ~10¹⁸ (q163's guard; spec-pinned identical at
+    * current scale).
+    *
+    * Scale shape: two corpus-scale partial-aggregable counts ((len) and
+    * (source, len)); the evaluation grid is |sources| × |distinct
+    * lengths| — bounded by the LENGTH DOMAIN, not the corpus (q161's
+    * declared dim-grid class), with the one unpartitioned cumulative
+    * window running on the distinct-length relation only.
+    */
+  private def q194(t: Tables): DataFrame = {
+    val big: Column => Column =
+      if (t.spark.conf.get("graft.ks.decimal", "false").toBoolean) _.cast("decimal(19,0)")
+      else identity
+    val docs = t.documents.select(col("source"), col("n_chars"))
+    val lens = docs.groupBy(col("n_chars").as("len")).agg(count(lit(1)).as("c_all"))
+      .withColumn("cum_all", sum(col("c_all")).over(
+        Window.orderBy(col("len")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val srcLen = docs.groupBy(col("source"), col("n_chars").as("len"))
+      .agg(count(lit(1)).as("c_src"))
+    val sources = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val total = docs.agg(count(lit(1)).as("n_all"))
+    sources.crossJoin(broadcast(lens))
+      .join(srcLen, Seq("source", "len"), "left")
+      .na.fill(0L, Seq("c_src"))
+      .withColumn("cum_src", sum(col("c_src")).over(
+        Window.partitionBy(col("source")).orderBy(col("len"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(total))
+      .withColumn(
+        "num",
+        big(col("cum_src")) * (col("n_all") - col("n_src"))
+          - big(col("cum_all") - col("cum_src")) * col("n_src"))
+      .withColumn(
+        "pick",
+        concat(
+          lpad(abs(col("num")).cast("string"), 19, "0"), lit(":"),
+          lpad(col("len").cast("string"), 10, "0"), lit(":"),
+          expr("CASE WHEN num > 0 THEN '+' WHEN num < 0 THEN '-' ELSE '0' END")))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_src")).as("n_docs"),
+        max(col("n_all") - col("n_src")).as("n_rest"),
+        max(col("pick")).as("pick"))
+      .withColumn("d_num", expr("CAST(substr(pick, 1, 19) AS BIGINT)"))
+      .withColumn(
+        "ks_e6",
+        expr("(2 * 1000000 * d_num + n_docs * n_rest) DIV (2 * n_docs * n_rest)"))
+      .withColumn("at_len", expr("CAST(substr(pick, 21, 10) AS BIGINT)"))
+      .withColumn(
+        "heavier_below",
+        expr("CASE substr(pick, 32, 1) WHEN '+' THEN 1 WHEN '-' THEN -1 ELSE 0 END")
+          .cast("long"))
+      .select(
+        col("source"), col("n_docs"), col("ks_e6"), col("at_len"), col("heavier_below"))
+      .orderBy(col("source"))
+  }
+
   /** Top document prefixes per source — the ACTIONABLE face of the
     * boilerplate detectors: q140 counts window-hash collisions and q171
     * rates shingle reuse, but a curation operator fixing a source needs
@@ -2106,6 +2178,7 @@ object TextAnalysis extends QueryModule {
     "q179_char_classes" -> ((s, d) => q179(Tables(s, d))),
     "q185_mattr" -> ((s, d) => q185(Tables(s, d))),
     "q186_length_tail" -> ((s, d) => q186(Tables(s, d))),
+    "q194_ks_drift" -> ((s, d) => q194(Tables(s, d))),
     "q164_kn_continuation" -> ((s, d) => q164(Tables(s, d)))
   )
 
@@ -2131,6 +2204,47 @@ object TextAnalysis extends QueryModule {
        | FROM s)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q194_ks_drift" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        | lens AS (
+        | SELECT n_chars AS len, count(*) AS c_all FROM d GROUP BY 1),
+        | cl AS (
+        | SELECT len, c_all,
+        |  CAST(sum(c_all) OVER (ORDER BY len
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+        | FROM lens),
+        | sl AS (SELECT source, n_chars AS len, count(*) AS c_src FROM d GROUP BY 1, 2),
+        | src AS (SELECT source, count(*) AS n_src FROM d GROUP BY 1),
+        | tot AS (SELECT count(*) AS n_all FROM d),
+        | grid AS (
+        | SELECT source, n_src, len, cum_all, COALESCE(c_src, 0) AS c_src
+        | FROM src CROSS JOIN cl LEFT JOIN sl USING (source, len)),
+        | cum AS (
+        | SELECT source, n_src, len, cum_all,
+        |  CAST(sum(c_src) OVER (PARTITION BY source ORDER BY len
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_src
+        | FROM grid),
+        | pts AS (
+        | SELECT source, n_src, n_all,
+        |  cum_src * (n_all - n_src) - (cum_all - cum_src) * n_src AS num,
+        |  lpad(CAST(abs(cum_src * (n_all - n_src) - (cum_all - cum_src) * n_src)
+        |    AS VARCHAR), 19, '0')
+        |   || ':' || lpad(CAST(len AS VARCHAR), 10, '0')
+        |   || ':' || (CASE WHEN cum_src * (n_all - n_src) - (cum_all - cum_src) * n_src > 0
+        |        THEN '+' WHEN cum_src * (n_all - n_src) - (cum_all - cum_src) * n_src < 0
+        |        THEN '-' ELSE '0' END) AS pick
+        | FROM cum, tot),
+        | agg AS (
+        | SELECT source, max(n_src) AS n_docs, max(n_all - n_src) AS n_rest,
+        |  max(pick) AS pick
+        | FROM pts GROUP BY source)
+        |SELECT source, n_docs,
+        | CAST((2 * 1000000 * CAST(substr(pick, 1, 19) AS BIGINT) + n_docs * n_rest)
+        |  // (2 * n_docs * n_rest) AS BIGINT) AS ks_e6,
+        | CAST(substr(pick, 21, 10) AS BIGINT) AS at_len,
+        | CAST(CASE substr(pick, 32, 1) WHEN '+' THEN 1 WHEN '-' THEN -1 ELSE 0 END
+        |  AS BIGINT) AS heavier_below
+        |FROM agg ORDER BY source""".stripMargin,
     "q144_score_calibration" ->
       s"""WITH $gateCtesSql,
          | b AS (

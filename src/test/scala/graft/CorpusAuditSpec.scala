@@ -1279,6 +1279,35 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got.forall(_._1 >= 2))
   }
 
+  test("q195 dedup saturation is q62's component table re-cut at doc_id checkpoints") {
+    val comp = SparkEntry.queries("q62_dup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ids = Tables(spark, sf).documents.select(col("doc_id")).collect().map(_.getLong(0))
+    val cps = (6 to 20).map(k => 1L << k).filter(_ < 2L * ids.length)
+    val expected = cps.map { cp =>
+      val pre = ids.filter(_ < cp)
+      val red = pre.filter(id => comp.get(id).exists(_ != id))
+      (cp, pre.length.toLong, red.length.toLong,
+        red.map(comp).distinct.length.toLong,
+        if (pre.isEmpty) 0L else (2 * 1000000L * red.length + pre.length) / (2L * pre.length))
+    }.filter(_._2 > 0).toSet
+    val got = SparkEntry.queries("q195_dedup_saturation")(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // cumulative counts are monotone over checkpoints and the last row
+    // covers the whole corpus
+    val ordered = got.toSeq.sortBy(_._1)
+    ordered.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4, s"${a._1} -> ${b._1}")
+      case _ =>
+    }
+    assert(ordered.last._2 == ids.length.toLong, "last checkpoint misses docs")
+    assert(ordered.last._3 > 0L, "degenerate: no redundant members at full corpus")
+  }
+
   test("q131 normalization collapses the synthesized messy twins exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q131_crafted").toString

@@ -20,7 +20,9 @@ class PairCacheSpec extends AnyFunSuite {
     // r15: q169/q172 join the component/pair families; q170/q174 ride the
     // embeddings-side cellTop2 relation (same conf, Similarity-owned)
     "q169_cluster_span", "q172_dup_transitivity", "q188_copy_matrix",
-    "q170_ann_margin", "q174_intrinsic_dim")
+    "q170_ann_margin", "q174_intrinsic_dim",
+    // r16: q195 rides the session components relation
+    "q195_dedup_saturation")
 
   test("every pair-family query is identical with the session pair cache on") {
     val derived = family.map(q =>

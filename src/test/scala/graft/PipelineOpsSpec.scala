@@ -1116,6 +1116,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q194 KS length drift matches an independent ECDF recomputation") {
+    val rows = Tables(spark, sf).documents.select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nAll = rows.length.toLong
+    val lens = rows.map(_._2).distinct.sorted
+    val cumAll = lens.map(l => l -> rows.count(_._2 <= l).toLong).toMap
+    val expected = rows.groupBy(_._1).map { case (src, xs) =>
+      val nSrc = xs.length.toLong
+      val nRest = nAll - nSrc
+      val pts = lens.map { l =>
+        val cumSrc = xs.count(_._2 <= l).toLong
+        val num = cumSrc * nRest - (cumAll(l) - cumSrc) * nSrc
+        (math.abs(num), l, num.sign)
+      }
+      // argmax by (absdiff, len) — the packed-string pick's order
+      val (d, at, sgn) = pts.maxBy { case (a, l, _) => (a, l) }
+      (src, nSrc, hdiv(1000000L * d, nSrc * nRest), at, sgn.toLong)
+    }.toSet
+    def run() = SparkEntry.queries("q194_ks_drift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val got = run()
+    assert(got == expected)
+    spark.conf.set("graft.ks.decimal", "true")
+    try assert(run() == expected, "decimal-guarded q194 diverges")
+    finally spark.conf.unset("graft.ks.decimal")
+    // D is a probability gap: within [0, 1e6]; a zero D has sign 0
+    got.foreach { case (src, _, d, _, sgn) =>
+      assert(d >= 0L && d <= 1000000L, src)
+      if (d == 0L) assert(sgn == 0L, src)
+    }
+  }
+
   test("q192 catalog fan-out profile matches an independent recomputation") {
     val t = Tables(spark, sf)
     val regions = t.region.select(col("r_regionkey").cast("long")).collect().map(_.getLong(0))
@@ -1144,6 +1177,56 @@ class PipelineOpsSpec extends AnyFunSuite {
       .groupBy(_.getInt(0)).view.mapValues(_.length.toLong)
     got.foreach { case (d, _, children, _, _, _, _, _) =>
       assert(children == q27ByDepth(d), s"depth $d children != q27 nodes")
+    }
+  }
+
+  test("q193 Davies-Bouldin worst partners match an independent recomputation") {
+    val vecs = Tables(spark, sf).embeddings.collect().map { r =>
+      (r.getLong(0), r.getAs[Number]("label").longValue,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray.map(v => math.floor(v.toDouble * 1000).toLong))
+    }
+    val cents = vecs.groupBy(_._2).map { case (l, xs) =>
+      l -> (Array.tabulate(xs.head._3.length)(d => xs.map(_._3(d)).sum), xs.size.toLong)
+    }
+    def ownNum(q: Array[Long], c: (Array[Long], Long)): Long = {
+      val (sq, cnt) = c
+      var n = 0L
+      var i = 0
+      while (i < q.length) { val df = q(i) * cnt - sq(i); n += df * df; i += 1 }
+      n
+    }
+    val scatter = vecs.groupBy(_._2).map { case (l, xs) =>
+      val (n, cnt) = (xs.size.toLong, cents(l)._2)
+      l -> (n, hdiv(xs.map(v => ownNum(v._3, cents(l))).sum, n * cnt * cnt))
+    }
+    def gap(a: Long, b: Long): Long = {
+      val ((sqa, ca), (sqb, cb)) = (cents(a), cents(b))
+      var d = 0L
+      var i = 0
+      while (i < sqa.length) { val df = sqa(i) * cb - sqb(i) * ca; d += df * df; i += 1 }
+      hdiv(d, ca * cb * ca * cb)
+    }
+    val labels = cents.keys.toSeq.sorted
+    val expected = labels.map { a =>
+      val (ra, lb) = labels.filter(_ != a)
+        .map(b => (hdiv(10000L * (scatter(a)._2 + scatter(b)._2), gap(a, b)), b))
+        .maxBy { case (r, b) => (r, b) }
+      (a, scatter(a)._1, scatter(a)._2, lb, ra)
+    }.toSet
+    def run() = SparkEntry.queries("q193_davies_bouldin")(spark, sf).collect()
+      .map(r => (r.getAs[Number]("label").longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    val got = run()
+    assert(got == expected)
+    // the DECIMAL guard changes nothing at current scale (q191's conf —
+    // one knob for the cell family)
+    spark.conf.set("graft.cell.decimal", "true")
+    try assert(run() == expected, "decimal-guarded q193 diverges")
+    finally spark.conf.unset("graft.cell.decimal")
+    // worst-partner is never self, and R >> 0 exactly when cells overlap
+    got.foreach { case (l, _, _, worst, r) =>
+      assert(worst != l && r > 0L, s"cell $l")
     }
   }
 
