@@ -31,7 +31,9 @@ object PlanAudit {
     // r15 third wave: q173's supplier/nation dim hints
     "q173_supplier_hhi",
     // r15 fourth wave: q176's five dim-parent anti-probe hints
-    "q176_fk_audit")
+    "q176_fk_audit",
+    // r16 wave 3: q196's part-dim broadcast hint
+    "q196_price_bands")
   // q115's ground-truth branch is the q40 broadcast-sample scan — the
   // audit's declared, sample-bounded cost. (q50 was delisted in r13: it
   // has been a banded broadcast equi-join since r1, so a cartesian there

@@ -1128,7 +1128,47 @@ object Extras extends QueryModule {
       .orderBy(col("prev2"), col("prev1"))
   }
 
+  /** Fact-vs-dim price-integrity audit (r16 wave 3 — the VALUE-level
+    * companion to q176's referential fk_audit: keys can all resolve
+    * while the numbers are nonsense): per part brand, how line pricing
+    * relates to the catalog price — ratio = extendedprice /
+    * (quantity · retailprice), banded under (< 0.5×), par, over (> 2×) —
+    * plus the e4 ratio extremes. A brand whose mass sits in a band edge
+    * is a feed using different units or an upstream join bug; this is
+    * the reconciliation table a lake runs after every fact ingest
+    * against its dimension snapshot.
+    *
+    * Cross-engine exactness with DOUBLES: the ratio is ONE expression
+    * written character-identically in both engines (identical IEEE ops
+    * → bit-identical result), band predicates compare that double to
+    * literals, and the extreme columns quantize half-up to e4 integers
+    * BEFORE min/max (floor is exact on identical doubles; never round()
+    * a computed double — SURVEY §7). Scale shape: one fact-scale scan
+    * with the part dim broadcast; the rollup partial-aggregates onto
+    * |brands| keys map-side; the share division is half-up integer.
+    */
+  private def q196(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .withColumn("ratio", expr("l_extendedprice / (l_quantity * p_retailprice)"))
+      .withColumn("ratio_e4", expr("CAST(floor(ratio * 10000 + 0.5) AS BIGINT)"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("ratio") < 0.5, 1L).otherwise(0L)).as("n_under"),
+        sum(when(col("ratio") >= 0.5 && col("ratio") <= 2.0, 1L).otherwise(0L)).as("n_par"),
+        sum(when(col("ratio") > 2.0, 1L).otherwise(0L)).as("n_over"),
+        min(col("ratio_e4")).as("min_ratio_e4"),
+        max(col("ratio_e4")).as("max_ratio_e4"))
+      .withColumn(
+        "over_share_e4", expr("(2 * 10000 * n_over + n_lines) DIV (2 * n_lines)"))
+      .select(
+        col("p_brand"), col("n_lines"), col("n_under"), col("n_par"), col("n_over"),
+        col("over_share_e4"), col("min_ratio_e4"), col("max_ratio_e4"))
+      .orderBy(col("p_brand"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_price_bands" -> ((s, d) => q196(Tables(s, d))),
     "q190_transitions2" -> ((s, d) => q190(Tables(s, d))),
     "q153_k_anonymity" -> ((s, d) => q153(Tables(s, d))),
     "q162_basket_pairs" -> ((s, d) => q162(Tables(s, d))),
@@ -1168,6 +1208,22 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q196_price_bands" ->
+      """WITH r AS (
+        | SELECT p_brand,
+        |  l_extendedprice / (l_quantity * p_retailprice) AS ratio
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        | q AS (
+        | SELECT p_brand, ratio,
+        |  CAST(floor(ratio * 10000 + 0.5) AS BIGINT) AS ratio_e4 FROM r)
+        |SELECT p_brand, count(*) AS n_lines,
+        | CAST(sum(CASE WHEN ratio < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+        | CAST(sum(CASE WHEN ratio >= 0.5 AND ratio <= 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_par,
+        | CAST(sum(CASE WHEN ratio > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+        | CAST((2 * 10000 * sum(CASE WHEN ratio > 2.0 THEN 1 ELSE 0 END) + count(*))
+        |  // (2 * count(*)) AS BIGINT) AS over_share_e4,
+        | min(ratio_e4) AS min_ratio_e4, max(ratio_e4) AS max_ratio_e4
+        |FROM q GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q190_transitions2" ->
       """WITH e AS (
         | SELECT user_id, event_type, ts, event_id,

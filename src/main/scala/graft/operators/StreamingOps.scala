@@ -116,7 +116,48 @@ object StreamingOps extends QueryModule {
       .orderBy(col("window_start"))
   }
 
+  /** Native session-window aggregation (r16 wave 3 — Spark's
+    * `session_window` state-store operator, the gap-sessionizer q20
+    * builds by hand with lag+cumsum and `streaming/Sessionize.scala`
+    * builds with flatMapGroupsWithState; this is the declarative form
+    * the engine plans natively in BOTH batch and streaming): per user,
+    * 4-hour-gap sessions rolled up to session count, events, the
+    * largest session, the longest session duration, and total value.
+    * The batch twin of `withWatermark("ts", …).groupBy(
+    * session_window($"ts", "4 hours"), $"user_id")` — StreamingSpec
+    * drives the same plan on a MemoryStream. Gap choice is
+    * corpus-probed: median inter-event gap is ~7 h at every SF, so 4 h
+    * yields real multi-event sessions (~1.45 events/session), not one
+    * session per event.
+    *
+    * Boundary semantics (both engines): an event extends the session
+    * iff its gap from the previous event is STRICTLY under the 4-hour
+    * gap (Spark's session end is exclusive); the oracle's cumsum
+    * sessionizer opens on gap_us >= 14400·10⁶ over raw microseconds —
+    * no calendar truncation anywhere. Durations are integer µs → DIV.
+    * Scale shape: one shuffle on user_id carries the session-window
+    * agg (state bounded by the watermark in the streaming form); the
+    * per-user rollup reuses the same key.
+    */
+  private def q198(t: Tables): DataFrame =
+    t.events
+      .filter(col("user_id").isNotNull)
+      .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_ev"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"),
+        sum(col("value")).as("v"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        max(col("n_ev")).as("max_session_events"),
+        expr("max(dur_us) DIV 1000000").as("max_session_dur_s"),
+        round(sum(col("v")), 2).as("total_value"))
+      .orderBy(col("user_id"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_stream_sessions" -> ((s, d) => q198(Tables(s, d))),
     "q46_stream_tumbling" -> ((s, d) => q46(Tables(s, d))),
     "q47_stream_dedup" -> ((s, d) => q47(Tables(s, d))),
     "q73_stream_join" -> ((s, d) => q73(Tables(s, d))),
@@ -124,6 +165,31 @@ object StreamingOps extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q198_stream_sessions" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS us, value FROM events
+        | WHERE user_id IS NOT NULL),
+        | g AS (
+        | SELECT user_id, us, value,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 14400000000
+        |   THEN 1 ELSE 0 END AS ns
+        | FROM e),
+        | s AS (
+        | SELECT user_id, us, value,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM g),
+        | ses AS (
+        | SELECT user_id, sid, count(*) AS n_ev,
+        |  max(us) - min(us) AS dur_us, sum(value) AS v
+        | FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        | CAST(sum(n_ev) AS BIGINT) AS n_events,
+        | CAST(max(n_ev) AS BIGINT) AS max_session_events,
+        | CAST(max(dur_us) // 1000000 AS BIGINT) AS max_session_dur_s,
+        | round(sum(v), 2) AS total_value
+        |FROM ses GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q46_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
         | time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,

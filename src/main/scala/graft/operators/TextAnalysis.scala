@@ -1172,6 +1172,46 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Exact per-source length quantiles WITHOUT a sort (r16 wave 3 — the
+    * order-statistics primitive the pipeline's sizing decisions read:
+    * q80/q126's packing caps, per-task memory, and q91's outlier fences
+    * all want "the p95 doc length", and at 100 TB an exact global sort
+    * per source is exactly the plan you must not run): per source, the
+    * nearest-rank p25/p50/p75/p95 of n_chars plus the IQR, computed by
+    * DISTRIBUTION COUNTING — one (source, len) count, a per-source
+    * cumulative over its distinct lengths, and rank thresholds read off
+    * the cumulative (q136's histogram trick on the length axis). Exact
+    * because lengths are integers: no quantization is even needed.
+    *
+    * Nearest-rank rule (both engines verbatim): rank_p = ceil(p·n/100)
+    * rendered as (p·n + 99) DIV 100; the quantile is the smallest
+    * length whose cumulative count reaches it. The ×4 target explode
+    * rides the (source, len) TYPE relation, never the corpus; the only
+    * corpus-scale work is the one partial-aggregable count.
+    */
+  private def q197(t: Tables): DataFrame = {
+    val targets = Seq(25, 50, 75, 95)
+    val counts = t.documents
+      .groupBy(col("source"), col("n_chars").as("len"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("len"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+    counts
+      .withColumn("p", explode(expr(s"array(${targets.mkString(", ")})")))
+      .filter(expr("cum >= (p * n + 99) DIV 100"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        min(when(col("p") === 25, col("len"))).as("p25"),
+        min(when(col("p") === 50, col("len"))).as("p50"),
+        min(when(col("p") === 75, col("len"))).as("p75"),
+        min(when(col("p") === 95, col("len"))).as("p95"))
+      .withColumn("iqr", col("p75") - col("p25"))
+      .orderBy(col("source"))
+  }
+
   /** Top document prefixes per source — the ACTIONABLE face of the
     * boilerplate detectors: q140 counts window-hash collisions and q171
     * rates shingle reuse, but a curation operator fixing a source needs
@@ -2179,6 +2219,7 @@ object TextAnalysis extends QueryModule {
     "q185_mattr" -> ((s, d) => q185(Tables(s, d))),
     "q186_length_tail" -> ((s, d) => q186(Tables(s, d))),
     "q194_ks_drift" -> ((s, d) => q194(Tables(s, d))),
+    "q197_length_quantiles" -> ((s, d) => q197(Tables(s, d))),
     "q164_kn_continuation" -> ((s, d) => q164(Tables(s, d)))
   )
 
@@ -2204,6 +2245,25 @@ object TextAnalysis extends QueryModule {
        | FROM s)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q197_length_quantiles" ->
+      """WITH c AS (
+        | SELECT source, n_chars AS len, count(*) AS c FROM documents GROUP BY 1, 2),
+        | w AS (
+        | SELECT source, len, c,
+        |  CAST(sum(c) OVER (PARTITION BY source ORDER BY len
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        | FROM c),
+        | x AS (
+        | SELECT source, len, cum, n, unnest([25, 50, 75, 95]) AS p FROM w),
+        | hit AS (SELECT * FROM x WHERE cum >= (p * n + 99) // 100)
+        |SELECT source, max(n) AS n_docs,
+        | min(CASE WHEN p = 25 THEN len END) AS p25,
+        | min(CASE WHEN p = 50 THEN len END) AS p50,
+        | min(CASE WHEN p = 75 THEN len END) AS p75,
+        | min(CASE WHEN p = 95 THEN len END) AS p95,
+        | min(CASE WHEN p = 75 THEN len END) - min(CASE WHEN p = 25 THEN len END) AS iqr
+        |FROM hit GROUP BY source ORDER BY source""".stripMargin,
     "q194_ks_drift" ->
       """WITH d AS (SELECT source, n_chars FROM documents),
         | lens AS (

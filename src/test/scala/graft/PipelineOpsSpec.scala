@@ -1116,6 +1116,88 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q196 price bands match an independent ratio recomputation") {
+    val t = Tables(spark, sf)
+    val parts = t.part.select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val lines = t.lineitem.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expected = lines.map { case (pk, qty, ext) =>
+      val (brand, retail) = parts(pk)
+      (brand, ext / (qty * retail))
+    }.groupBy(_._1).map { case (brand, xs) =>
+      val rs = xs.map(_._2)
+      val e4 = rs.map(r => math.floor(r * 10000 + 0.5).toLong)
+      val over = rs.count(_ > 2.0).toLong
+      (brand, rs.size.toLong, rs.count(_ < 0.5).toLong,
+        rs.count(r => r >= 0.5 && r <= 2.0).toLong, over,
+        hdiv(10000L * over, rs.size.toLong), e4.min, e4.max)
+    }.toSet
+    val got = SparkEntry.queries("q196_price_bands")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(got == expected)
+    // the three bands partition every line
+    got.foreach { case (b, n, u, p, o, _, _, _) => assert(u + p + o == n, b) }
+  }
+
+  test("q197 length quantiles equal a direct per-source sort's nearest ranks") {
+    val rows = Tables(spark, sf).documents.select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy(_._1).map { case (src, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length.toLong
+      def q(p: Long) = sorted(((p * n + 99) / 100 - 1).toInt)
+      (src, n, q(25), q(50), q(75), q(95), q(75) - q(25))
+    }.toSet
+    val got = SparkEntry.queries("q197_length_quantiles")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == expected)
+    // quantiles are ordered and within the observed range
+    got.foreach { case (src, _, a, b, c, d, _) =>
+      assert(a <= b && b <= c && c <= d, src)
+    }
+  }
+
+  test("q198 session rollup matches an independent gap sessionization") {
+    val evs = Tables(spark, sf).events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val GapUs = 14400L * 1000000L
+    def rnd2(x: Double) =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = evs.groupBy(_._1).map { case (u, xs) =>
+      val ordered = xs.sortBy(_._2)
+      // split on gap >= 4h (Spark's session end is exclusive)
+      val sessions = ordered.tail.foldLeft(Vector(Vector(ordered.head))) { (acc, e) =>
+        if (e._2 - acc.last.last._2 >= GapUs) acc :+ Vector(e)
+        else acc.init :+ (acc.last :+ e)
+      }
+      u -> ((sessions.size.toLong, xs.size.toLong,
+        sessions.map(_.size).max.toLong,
+        sessions.map(s => s.last._2 - s.head._2).max / 1000000L,
+        rnd2(xs.map(_._3).sum)))
+    }
+    val got = SparkEntry.queries("q198_stream_sessions")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (u, (ns, ne, mx, dur, v)) =>
+      val (ens, ene, emx, edur, ev) = expected(u)
+      assert((ns, ne, mx, dur) == ((ens, ene, emx, edur)), s"user $u")
+      // the value sum's addition order differs (partial aggregation vs a
+      // sequential fold) — exact to the cent up to one last-ulp flip
+      assert(math.abs(v - ev) < 0.011, s"user $u value $v vs $ev")
+    }
+    // sessionization is non-degenerate on this corpus: somebody chains
+    assert(got.exists(_._2._3 > 1L), "degenerate: every session is a single event")
+  }
+
   test("q194 KS length drift matches an independent ECDF recomputation") {
     val rows = Tables(spark, sf).documents.select(col("source"), col("n_chars"))
       .collect().map(r => (r.getString(0), r.getLong(1)))

@@ -38,6 +38,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == 3)
   }
 
+  test("native session_window agg runs as a streaming query (q198's plan)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double)] // (ts_us, user, value)
+    // user 1: two events 1 h apart (one session under the 4 h gap), then
+    // a 5 h gap opens a second session; user 2: one lone event
+    ms.addData(
+      (0L, 1L, 1.0), (3600L * us, 1L, 2.0),
+      (9L * 3600L * us, 1L, 4.0), (0L, 2L, 8.0))
+    val agg = ms
+      .toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("user_id"), col("_3").as("value"))
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("sess_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"), r.getAs[Double]("v")))
+      .toSet
+    assert(
+      rows == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)),
+      s"session windows: ${rows.toList.sortBy(r => (r._1, r._3))}")
+  }
+
   test("append-mode window agg emits only watermark-closed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
