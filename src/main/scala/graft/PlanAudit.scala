@@ -33,7 +33,9 @@ object PlanAudit {
     // r15 fourth wave: q176's five dim-parent anti-probe hints
     "q176_fk_audit",
     // r16 wave 3: q196's part-dim broadcast hint
-    "q196_price_bands")
+    "q196_price_bands",
+    // r16 wave 4: q199's part label / q200's supplier-name broadcasts
+    "q199_small_orders", "q200_blocked_orders")
   // q115's ground-truth branch is the q40 broadcast-sample scan — the
   // audit's declared, sample-bounded cost. (q50 was delisted in r13: it
   // has been a banded broadcast equi-join since r1, so a cartesian there
@@ -401,6 +403,30 @@ object PlanAudit {
     // window and the grid's per-source cum window run on domain-bounded
     // relations; per-source argmax rollup → sort
     "q194_ks_drift" -> 6,
+    // q196 (r16 wave 3): broadcast part dim → |brands|-key rollup
+    // (partial map-side) → sort (measured 2)
+    "q196_price_bands" -> 2,
+    // q197 (r16 wave 3): one corpus-scale (source, len) count → the
+    // per-source cum + total windows on the length-TYPE relation → ×4
+    // target explode → per-source rollup → sort (measured 3)
+    "q197_length_quantiles" -> 3,
+    // q198 (r16 wave 3): one user_id shuffle carries the session_window
+    // agg; the per-user rollup reuses the key → sort (measured 2)
+    "q198_stream_sessions" -> 2,
+    // q199 (r16 wave 4, TPC-H Q17 shape): per-part avg agg + fact
+    // rejoin co-partitioned on l_partkey (AQE reuses one exchange);
+    // brand rollup; sort (measured 3)
+    "q199_small_orders" -> 3,
+    // q200 (r16 wave 4, TPC-H Q21 shape folded to ONE pass): orders
+    // join + per-order distinct aggs + qualifying-pair join all key on
+    // l_orderkey (the co-bucket key; distincts expand two-phase);
+    // supplier broadcast; per-supplier rollup; top-20 TakeOrdered
+    // (measured 5)
+    "q200_blocked_orders" -> 5,
+    // q201 (r16 wave 4): checksum work map-side next to the scan; q24's
+    // source-partitioned batch window (one shuffle, rollup reuses) →
+    // sort (measured 2)
+    "q201_batch_progress" -> 2,
     // r15 third wave, measured textual counts:
     // q167: sourceVocab agg (the one corpus-scale shuffle) → |source|
     // rollup → sort

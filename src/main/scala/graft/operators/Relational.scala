@@ -258,7 +258,73 @@ object Relational extends QueryModule {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** TPC-H Q17-shaped small-quantity revenue audit (r16 wave 4 — the
+    * correlated-scalar-subquery plan shape the q01–q20 substrate did not
+    * yet prove: a per-key aggregate rejoined to its own fact rows):
+    * lines whose quantity is under 20% of their part's average, priced
+    * per brand. Spark-first the correlation is an aggregate + self-join
+    * on l_partkey — the two sides share the key, so on bucketed storage
+    * the join is exchange-free and here AQE co-partitions one shuffle;
+    * the part dim broadcasts for the brand label. The 0.2·avg threshold
+    * is one character-identical double expression in both engines.
+    */
+  private def q199(t: Tables): DataFrame = {
+    val avgQty = t.lineitem
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    t.lineitem
+      .join(avgQty, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_small_lines"),
+        round(sum(col("l_extendedprice")), 2).as("small_revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H Q21-shaped sole-blocker audit (r16 wave 4 — the
+    * double-correlated EXISTS / NOT EXISTS shape): suppliers who were
+    * the ONLY late shipper (> 90 days after the order date) on a
+    * multi-supplier finished order. The classic formulation self-joins
+    * lineitem twice; the Spark-first re-expression folds both
+    * correlations into ONE per-order aggregate — distinct suppliers,
+    * distinct late suppliers, and the (late-count = 1 ∧ suppliers > 1)
+    * gate read off the same pass — so the fact table is scanned and
+    * shuffled once on l_orderkey (the lake's co-bucket key). The oracle
+    * keeps the EXISTS/NOT EXISTS derivation as the independent check.
+    */
+  private def q200(t: Tables): DataFrame = {
+    val lines = t.lineitem
+      .join(
+        t.orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+    val perOrder = lines
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    lines
+      .filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(
+        perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1),
+        Seq("l_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_blocked_orders"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("l_suppkey").as("suppkey"), col("n_blocked_orders"))
+      .orderBy(col("n_blocked_orders").desc, col("suppkey"))
+      .limit(20)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_small_orders" -> ((s, d) => q199(Tables(s, d))),
+    "q200_blocked_orders" -> ((s, d) => q200(Tables(s, d))),
     "q01_pricing_summary" -> ((s, d) => q01(Tables(s, d))),
     "q02_filter_project" -> ((s, d) => q02(Tables(s, d))),
     "q03_top_revenue" -> ((s, d) => q03(Tables(s, d))),
@@ -282,6 +348,35 @@ object Relational extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q199_small_orders" ->
+      """WITH a AS (
+        | SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        | FROM lineitem GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_small_lines,
+        | round(sum(l_extendedprice), 2) AS small_revenue
+        |FROM lineitem JOIN a ON l_partkey = pk
+        | JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < avg_qty * 0.2
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q200_blocked_orders" ->
+      """WITH l AS (
+        | SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F')
+        |SELECT s_name, l_suppkey AS suppkey, count(*) AS n_blocked_orders FROM (
+        | SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        | FROM l l1
+        | WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |   SELECT 1 FROM l l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |   SELECT 1 FROM l l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+        |) b JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name, l_suppkey
+        |ORDER BY n_blocked_orders DESC, suppkey LIMIT 20""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -1116,6 +1116,86 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q199 small-order revenue matches an independent per-part recomputation") {
+    val t = Tables(spark, sf)
+    val brands = t.part.select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lines = t.lineitem.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val avgQty = lines.groupBy(_._1).map { case (pk, xs) =>
+      pk -> xs.map(_._2).sum / xs.length
+    }
+    def rnd2(x: Double) =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = lines.filter { case (pk, q, _) => q < avgQty(pk) * 0.2 }
+      .groupBy(l => brands(l._1))
+      .map { case (b, xs) => b -> (xs.size.toLong, xs.map(_._3).sum) }
+    val got = SparkEntry.queries("q199_small_orders")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (b, (n, rev)) =>
+      assert(n == expected(b)._1, b)
+      // sum order differs between partial aggregation and this fold
+      assert(math.abs(rev - rnd2(expected(b)._2)) < 0.011, s"$b $rev vs ${expected(b)._2}")
+    }
+  }
+
+  test("q200 sole blockers match the classic EXISTS/NOT-EXISTS derivation") {
+    val t = Tables(spark, sf)
+    val orderDates = t.orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lines = t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(l => orderDates.contains(l._1))
+    val DayUs = 86400L * 1000000L
+    val expected = lines.groupBy(_._1).toSeq.flatMap { case (ok, xs) =>
+      val supps = xs.map(_._2).distinct
+      val lateSupps = xs.filter(_._3 > orderDates(ok) + 90L * DayUs).map(_._2).distinct
+      if (supps.size > 1 && lateSupps.size == 1) lateSupps.map(s => (ok, s)) else Nil
+    }.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
+    val names = t.supplier.select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val top = expected.toSeq.map { case (s, n) => (names(s), s, n) }
+      .sortBy { case (_, s, n) => (-n, s) }.take(20).toSet
+    val got = SparkEntry.queries("q200_blocked_orders")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == top)
+    assert(got.nonEmpty, "degenerate: no sole blockers")
+  }
+
+  test("q201 batch progress matches a MessageDigest multihash recomputation") {
+    val md = (algo: String) => java.security.MessageDigest.getInstance(algo)
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf).documents.select(col("source"), col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, xs) =>
+      val ordered = xs.sortBy(_._2)
+      ordered.zipWithIndex.map { case ((_, id, text), i) =>
+        val corrupted = if (id % 25 == 0) text + "X" else text
+        val (algo, pre) = if (id % 2 == 0) ("SHA-256", "1220") else ("SHA-512", "1340")
+        val expectedH = pre + hex(md(algo).digest(corrupted.getBytes("UTF-8")))
+        val computedH = pre + hex(md(algo).digest(text.getBytes("UTF-8")))
+        (src, i / 25L, id, computedH == expectedH)
+      }
+    }.groupBy(x => (x._1, x._2)).map { case ((src, b), xs) =>
+      val failed = xs.filterNot(_._4)
+      (src, b, xs.size.toLong, xs.count(_._4).toLong, failed.size.toLong,
+        if (failed.isEmpty) null else java.lang.Long.valueOf(failed.map(_._3).min),
+        if (failed.isEmpty) "VALIDATED" else "FAILED")
+    }.toSet
+    val got = SparkEntry.queries("q201_batch_progress")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5)), r.getString(6)))
+      .toSet
+    assert(got == expected)
+    // both verdicts appear on this corpus (probed: 4/20 batches fail)
+    assert(got.exists(_._7 == "FAILED") && got.exists(_._7 == "VALIDATED"))
+  }
+
   test("q196 price bands match an independent ratio recomputation") {
     val t = Tables(spark, sf)
     val parts = t.part.select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
