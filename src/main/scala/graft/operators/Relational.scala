@@ -322,7 +322,36 @@ object Relational extends QueryModule {
       .limit(20)
   }
 
+  /** Time-RANGE window frames (r16 wave 5 — the one window frame class
+    * q01–q20 left unproven: q11's running totals use ROWS frames, this
+    * is `RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW`, the
+    * frame that follows event TIME, not row position): per order, the
+    * customer's trailing-30-day order count and spend — the recency
+    * feature a feature store materializes per fact row. Peers (equal
+    * timestamps) are in-frame in both engines by RANGE semantics, so
+    * ties cannot reorder results; prices quantize half-up to e2 longs
+    * BEFORE the frame sum (a double frame-sum's addition order is
+    * engine-internal — the established rule). One shuffle on o_custkey
+    * carries both frame aggregates.
+    */
+  private def q202(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("us"))
+      .rangeBetween(-30L * 86400L * 1000000L, 0L)
+    t.orders
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_e2"))
+      .withColumn("n_trailing_30d", count(lit(1)).over(w))
+      .withColumn("spend_trailing_30d_e2", sum(col("price_e2")).over(w))
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        col("n_trailing_30d"), col("spend_trailing_30d_e2"))
+      .orderBy(col("o_orderkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_trailing_orders" -> ((s, d) => q202(Tables(s, d))),
     "q199_small_orders" -> ((s, d) => q199(Tables(s, d))),
     "q200_blocked_orders" -> ((s, d) => q200(Tables(s, d))),
     "q01_pricing_summary" -> ((s, d) => q01(Tables(s, d))),
@@ -348,6 +377,18 @@ object Relational extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q202_trailing_orders" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_custkey, epoch_us(ts) AS us,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2
+        | FROM (SELECT *, CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders))
+        |SELECT o_orderkey, o_custkey,
+        | count(*) OVER w AS n_trailing_30d,
+        | CAST(sum(price_e2) OVER w AS BIGINT) AS spend_trailing_30d_e2
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY us
+        | RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q199_small_orders" ->
       """WITH a AS (
         | SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty

@@ -1116,6 +1116,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q202 trailing RANGE frames match a direct per-customer scan") {
+    val t = Tables(spark, sf)
+    val orders = t.orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val Win = 30L * 86400L * 1000000L
+    val byCust = orders.groupBy(_._2)
+    val expected = orders.map { case (ok, ck, us, _) =>
+      val frame = byCust(ck).filter(o => o._3 >= us - Win && o._3 <= us)
+      (ok, ck, frame.length.toLong, frame.map(_._4).sum)
+    }.toSet
+    val got = SparkEntry.queries("q202_trailing_orders")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // frames are non-trivial: some order has company in its window
+    assert(got.exists(_._3 > 1L), "degenerate: every trailing frame is a singleton")
+  }
+
   test("q199 small-order revenue matches an independent per-part recomputation") {
     val t = Tables(spark, sf)
     val brands = t.part.select(col("p_partkey"), col("p_brand")).collect()
