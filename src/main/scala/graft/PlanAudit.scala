@@ -434,6 +434,9 @@ object PlanAudit {
     // assembly agg → hh ownership agg + join (q35's groupBy+join idiom)
     // → source rollup → sort
     "q203_cdc_chunks" -> 5,
+    // q204 (r16 wave 6): q182's per-branch key count (one partial-
+    // aggregable shuffle each, single-row fold) ×4 branches → union sort
+    "q204_selfjoin_forecast" -> 8,
     // r15 third wave, measured textual counts:
     // q167: sourceVocab agg (the one corpus-scale shuffle) → |source|
     // rollup → sort

@@ -1167,7 +1167,49 @@ object Extras extends QueryModule {
         col("over_share_e4"), col("min_ratio_e4"), col("max_ratio_e4"))
       .orderBy(col("p_brand"))
 
+  /** Self-join size forecast (r16 wave 6 — q182's skew table extended
+    * with the number a cost-based optimizer actually plans on: the
+    * EXACT equi-self-join cardinality Σc(k)² per candidate key, next to
+    * the uniform-assumption estimate n²/d every independence-based CBO
+    * would use, and their e4 inflation ratio — the factor by which skew
+    * blows past the estimate, i.e. the why-you-salt number; q180
+    * measures the same Σb(b−1)/2 forecast for LSH buckets, this is its
+    * relational twin): one |keys|-bounded count per branch, exact long
+    * arithmetic (Σc² at ~10¹⁸ wants q163's DECIMAL guard —
+    * `graft.forecast.decimal=true`, spec-pinned identical here), the
+    * estimate's single half-up division, a 4-row output.
+    */
+  private def q204(t: Tables): DataFrame = {
+    val big: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (t.spark.conf.get("graft.forecast.decimal", "false").toBoolean) _.cast("decimal(19,0)")
+      else identity
+    def branch(name: String, rel: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+      rel.select(key.as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          sum(big(col("c")) * big(col("c"))).cast("long").as("exact_join_rows"))
+        .withColumn(
+          "uniform_estimate",
+          expr("CAST((2 * n_rows * n_rows + n_keys) DIV (2 * n_keys) AS BIGINT)"))
+        .withColumn(
+          "inflation_e4",
+          expr("CAST((2 * 10000 * exact_join_rows * n_keys + n_rows * n_rows) " +
+            "DIV (2 * n_rows * n_rows) AS BIGINT)"))
+        .select(
+          lit(name).as("join_key"), col("n_keys"), col("n_rows"),
+          col("exact_join_rows"), col("uniform_estimate"), col("inflation_e4"))
+    branch("lineitem.l_orderkey", t.lineitem, col("l_orderkey"))
+      .unionAll(branch("lineitem.l_partkey", t.lineitem, col("l_partkey")))
+      .unionAll(branch("lineitem.l_suppkey", t.lineitem, col("l_suppkey")))
+      .unionAll(branch("orders.o_custkey", t.orders, col("o_custkey")))
+      .orderBy(col("join_key"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_selfjoin_forecast" -> ((s, d) => q204(Tables(s, d))),
     "q196_price_bands" -> ((s, d) => q196(Tables(s, d))),
     "q190_transitions2" -> ((s, d) => q190(Tables(s, d))),
     "q153_k_anonymity" -> ((s, d) => q153(Tables(s, d))),
@@ -1208,6 +1250,25 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q204_selfjoin_forecast" -> {
+      def arm(name: String, tbl: String, key: String) =
+        s"""SELECT '$name' AS join_key, count(*) AS n_keys,
+           | CAST(sum(c) AS BIGINT) AS n_rows,
+           | CAST(sum(c * c) AS BIGINT) AS exact_join_rows,
+           | CAST((2 * CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT) + count(*))
+           |  // (2 * count(*)) AS BIGINT) AS uniform_estimate,
+           | CAST((2 * 10000 * CAST(sum(c * c) AS BIGINT) * count(*)
+           |   + CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
+           |  // (2 * CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS BIGINT)
+           |  AS inflation_e4
+           |FROM (SELECT $key AS k, count(*) AS c FROM $tbl GROUP BY 1)""".stripMargin
+      Seq(
+        arm("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        arm("lineitem.l_partkey", "lineitem", "l_partkey"),
+        arm("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        arm("orders.o_custkey", "orders", "o_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
+    },
     "q196_price_bands" ->
       """WITH r AS (
         | SELECT p_brand,

@@ -1116,6 +1116,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q204 self-join forecast matches an independent multiplicity fold") {
+    val t = Tables(spark, sf)
+    def branch(name: String, keys: Seq[Long]) = {
+      val mult = keys.groupBy(identity).map(_._2.length.toLong).toSeq
+      val (d, n) = (mult.size.toLong, mult.sum)
+      val exact = mult.map(c => c * c).sum
+      (name, d, n, exact, hdiv(n * n, d), hdiv(10000L * exact * d, n * n))
+    }
+    val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val oc = t.orders.select(col("o_custkey")).collect().map(_.getLong(0)).toSeq
+    val expected = Set(
+      branch("lineitem.l_orderkey", li.map(_._1).toSeq),
+      branch("lineitem.l_partkey", li.map(_._2).toSeq),
+      branch("lineitem.l_suppkey", li.map(_._3).toSeq),
+      branch("orders.o_custkey", oc))
+    def run() = SparkEntry.queries("q204_selfjoin_forecast")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    val got = run()
+    assert(got == expected)
+    spark.conf.set("graft.forecast.decimal", "true")
+    try assert(run() == expected, "decimal-guarded q204 diverges")
+    finally spark.conf.unset("graft.forecast.decimal")
+    // Cauchy-Schwarz floor: the exact self-join size is never under the
+    // uniform estimate (so inflation >= ~1), and equals n when keys are
+    // unique
+    got.foreach { case (name, d, n, exact, est, infl) =>
+      assert(exact >= n && exact >= est - 1, name)
+      assert(infl >= 9999L, s"$name inflation $infl < 1")
+    }
+  }
+
   test("q202 trailing RANGE frames match a direct per-customer scan") {
     val t = Tables(spark, sf)
     val orders = t.orders
