@@ -1261,6 +1261,17 @@ object Dedup extends QueryModule {
     * joining); ownership is the groupBy(h)+join idiom (q35/q123's,
     * AQE-skew-splittable). Chunk keys pack as doc_id·10⁶ + chunk_id —
     * guarded: a doc with ≥ 10⁶ chunks fails loudly rather than collide.
+    *
+    * A "pure map-side" rewrite — boundary positions via a filter HOF
+    * over the word array, chunk strings via transform+slice, no window
+    * and no explode-until-chunks — was A/B-REJECTED: higher-order-
+    * function lambdas run INTERPRETED (no whole-stage codegen, no
+    * common-subexpression elimination), and per-word md5 inside a
+    * lambda measured 13× slower than this exploded + codegen'd form at
+    * sf0.01 (127 s vs 9.7 s Verify; a md5-hoisted variant was no
+    * better). Same lesson as q187's fused-scan rejection: the shape
+    * that looks shuffle-optimal can lose to codegen by an order of
+    * magnitude — measure with the Time knob before switching.
     */
   private def q203(t: Tables): DataFrame = {
     val tokens = Tables.localSplit(t.documents, col("doc_id"))
