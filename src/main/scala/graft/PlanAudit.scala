@@ -46,9 +46,12 @@ object PlanAudit {
   // q194's cross is the declared |sources| × |distinct lengths| KS
   // evaluation grid (q161's dim-grid class — bounded by the length value
   // domain, never the corpus)
+  // q205's cross is the |anon combos| × m sensitive-domain EMD grid and
+  // q206's is the |langs| × |sources| contingency grid — both dim-grid
+  // class (q161/q194's): bounded by attribute domains, never the corpus
   private val allowCross =
     Set("q40_cosine_topk", "q41_embedding_neardup", "q115_ivf_recall",
-      "q161_source_jsd", "q194_ks_drift")
+      "q161_source_jsd", "q194_ks_drift", "q205_t_closeness", "q206_chi_square")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -437,6 +440,22 @@ object PlanAudit {
     // q204 (r16 wave 6): q182's per-branch key count (one partial-
     // aggregable shuffle each, single-row fold) ×4 branches → union sort
     "q204_selfjoin_forecast" -> 8,
+    // q205 (r16 wave 7): TWO corpus-scale partial-aggregable passes (the
+    // (combo, sens) counts and q153's distinct-user gate, the latter
+    // two-phase); the global-distribution agg, the m-row triangular cum,
+    // the derived total (AQE reuses comboSens's exchange), the grid join,
+    // the combo-partitioned cum window, and both rollups all run on the
+    // |combos|·m grid or smaller (measured 11)
+    "q205_t_closeness" -> 11,
+    // q206 (r16 wave 7): ONE corpus-scale (lang, source) count whose
+    // exchange every marginal/total branch AQE-reuses; the crossed grid,
+    // decimal cell terms, and the per-lang rollup are contingency-scale
+    // (measured 9)
+    "q206_chi_square" -> 9,
+    // q207 (r16 wave 7): per FD branch, the (lhs, rhs) partial-aggregable
+    // count → lhs rollup → single-row fold (3 exchanges each, the last
+    // two domain-bounded) ×6 branches (measured 18)
+    "q207_fd_audit" -> 18,
     // r15 third wave, measured textual counts:
     // q167: sourceVocab agg (the one corpus-scale shuffle) → |source|
     // rollup → sort

@@ -1208,7 +1208,138 @@ object Extras extends QueryModule {
       .orderBy(col("join_key"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007 — the
+    * distribution-skew attack the k-anonymity (q153) / l-diversity
+    * (q175) pair still misses: a combo can be k-anonymous AND
+    * l-diverse while its sensitive-value DISTRIBUTION differs so much
+    * from the table's that observing the combo is itself a disclosure):
+    * per event type, among q153's k-anonymous quasi-identifier combos,
+    * how many sit farther than t = 0.15 from the global sensitive
+    * distribution (q175's payload band), rows at risk, and the worst
+    * distance. Distance is the ordered-attribute EMD of the paper —
+    * (1/(m−1))·Σᵢ|Σ_{j≤i}(p_j − q_j)| over the m sensitive values.
+    * Threshold corpus-probed: t_e6 spans ~10k–336k with median ~74k at
+    * sf0.01, so 150000 flags the genuine upper tail.
+    *
+    * Exactness: each cumulative gap is the INTEGER cross-product
+    * |cum_c·N − cum_g·n| (q194's ECDF discipline); one half-up e6
+    * division per combo at the very end. `graft.t.decimal=true` routes
+    * the products and the division through DECIMAL(38,0) past ~10¹⁸
+    * (spec-pinned identical at current scale).
+    *
+    * Scale shape: two corpus-scale partial-aggregable aggs (the
+    * (combo, sens) counts and q153's distinct-user gate); everything
+    * after runs on the |combos|·m grid — bounded by |types|·24·|bands|
+    * times the sensitive DOMAIN, never event volume. The global
+    * cumulative is a broadcast triangular self-join on the m-row
+    * distribution (no unpartitioned window anywhere); the per-combo
+    * cumulative window is combo-partitioned.
+    */
+  private def q205(t: Tables): DataFrame = {
+    val big: Column => Column =
+      if (t.spark.conf.get("graft.t.decimal", "false").toBoolean) _.cast("decimal(38,0)")
+      else identity
+    val ev = t.events
+      .filter(col("user_id").isNotNull)
+      .select(
+        col("event_type"),
+        hour(col("ts")).cast("long").as("hod"),
+        expr("CAST(floor(value / 50) AS BIGINT)").as("band"),
+        col("user_id"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) DIV 25").as("sens"))
+      .filter(col("sens").isNotNull)
+    val comboSens = ev
+      .groupBy(col("event_type"), col("hod"), col("band"), col("sens"))
+      .agg(count(lit(1)).as("c"))
+    val anon = ev
+      .groupBy(col("event_type"), col("hod"), col("band"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .filter(col("n_users") >= 5)
+      .drop("n_users")
+    val glob = comboSens.groupBy(col("sens")).agg(sum(col("c")).as("g"))
+    val globCum = glob.as("a")
+      .join(broadcast(glob.as("b")), col("b.sens") <= col("a.sens"))
+      .groupBy(col("a.sens").as("sens"))
+      .agg(sum(col("b.g")).as("cum_g"))
+    // derived off the BOUNDED (combo, sens) relation, not a third
+    // corpus-scale pass (its exchange AQE-reuses comboSens's)
+    val total = comboSens.agg(sum(col("c")).as("n_all"), countDistinct(col("sens")).as("m"))
+    anon
+      .crossJoin(broadcast(globCum))
+      .join(comboSens, Seq("event_type", "hod", "band", "sens"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum_c", sum(col("c")).over(
+        Window.partitionBy(col("event_type"), col("hod"), col("band"))
+          .orderBy(col("sens"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(total))
+      .withColumn("gap", abs(big(col("cum_c")) * col("n_all") - big(col("cum_g")) * col("n")))
+      .groupBy(col("event_type"), col("hod"), col("band"))
+      .agg(
+        max(col("n")).as("n"), sum(col("gap")).as("s"),
+        max(col("n_all")).as("n_all"), max(col("m")).as("m"))
+      .withColumn("den", big(col("n")) * col("n_all") * (col("m") - lit(1)))
+      .withColumn("t_e6", expr("CAST((2 * 1000000 * s + den) DIV (2 * den) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_anon_combos"),
+        sum(when(col("t_e6") >= 150000L, 1L).otherwise(0L)).as("breached_combos"),
+        sum(when(col("t_e6") >= 150000L, col("n")).otherwise(0L)).as("rows_at_risk"),
+        max(col("t_e6")).as("max_t_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Functional-dependency violation audit (the g₃ error measure of
+    * Kivinen & Mannila 1995 — the dbt-style "unique/accepted-values"
+    * test pack generalized to column DEPENDENCIES): for each declared
+    * candidate FD lhs→rhs, how many lhs groups carry more than one rhs
+    * value and the minimum fraction of rows (e6) that would have to be
+    * deleted for the dependency to hold (g₃ = 1 − Σ_lhs max_rhs c / n).
+    * A lake promotes a column pair to a join/partition invariant only
+    * after this table says the dependency actually holds; a high-g₃
+    * "dependency" embedded in a dedup or rollup rule is silent data
+    * loss. Six declared candidates span dim-scale and fact-scale lhs.
+    *
+    * Scale shape: per branch, one (lhs, rhs) partial-aggregable count
+    * collapsing corpus scale onto the attribute domain, one lhs-keyed
+    * rollup riding the same partitioning prefix, and a single-row fold;
+    * the union is |branches| rows. No joins anywhere.
+    */
+  private def q207(t: Tables): DataFrame = {
+    def branch(name: String, rel: DataFrame, lhs: Column, rhs: Column): DataFrame =
+      rel.filter(lhs.isNotNull)
+        .select(lhs.as("l"), rhs.as("r"))
+        .groupBy(col("l"), col("r"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("l"))
+        .agg(sum(col("c")).as("n"), max(col("c")).as("mx"), count(lit(1)).as("nr"))
+        .agg(
+          count(lit(1)).as("n_lhs"),
+          sum(col("n")).as("n_rows"),
+          sum(when(col("nr") > 1, 1L).otherwise(0L)).as("violating_lhs"),
+          (sum(col("n")) - sum(col("mx"))).as("violation_rows"))
+        .withColumn(
+          "g3_e6",
+          expr("CAST((2 * 1000000 * violation_rows + n_rows) DIV (2 * n_rows) AS BIGINT)"))
+        .select(
+          lit(name).as("dependency"), col("n_rows"), col("n_lhs"),
+          col("violating_lhs"), col("violation_rows"), col("g3_e6"))
+    branch("customer.c_nationkey->c_mktsegment", t.customer,
+        col("c_nationkey"), col("c_mktsegment"))
+      .unionAll(branch("documents.source->lang", t.documents, col("source"), col("lang")))
+      .unionAll(branch("events.user_id->event_type", t.events,
+        col("user_id"), col("event_type")))
+      .unionAll(branch("lineitem.l_partkey->l_returnflag", t.lineitem,
+        col("l_partkey"), col("l_returnflag")))
+      .unionAll(branch("orders.o_custkey->o_orderpriority", t.orders,
+        col("o_custkey"), col("o_orderpriority")))
+      .unionAll(branch("part.p_brand->p_type", t.part, col("p_brand"), col("p_type")))
+      .orderBy(col("dependency"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_t_closeness" -> ((s, d) => q205(Tables(s, d))),
+    "q207_fd_audit" -> ((s, d) => q207(Tables(s, d))),
     "q204_selfjoin_forecast" -> ((s, d) => q204(Tables(s, d))),
     "q196_price_bands" -> ((s, d) => q196(Tables(s, d))),
     "q190_transitions2" -> ((s, d) => q190(Tables(s, d))),
@@ -1250,6 +1381,77 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q205_t_closeness" ->
+      """WITH ev AS (
+        | SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |  CAST(floor(value / 50) AS BIGINT) AS band, user_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS sens
+        | FROM events WHERE user_id IS NOT NULL),
+        | ev2 AS (SELECT * FROM ev WHERE sens IS NOT NULL),
+        | cs AS (
+        | SELECT event_type, hod, band, sens, count(*) AS c
+        | FROM ev2 GROUP BY 1, 2, 3, 4),
+        | anon AS (
+        | SELECT event_type, hod, band, count(*) AS n
+        | FROM ev2 GROUP BY 1, 2, 3 HAVING count(DISTINCT user_id) >= 5),
+        | gdist AS (SELECT sens, sum(c) AS g FROM cs GROUP BY 1),
+        | gcum AS (
+        | SELECT a.sens, sum(b.g) AS cum_g
+        | FROM gdist a JOIN gdist b ON b.sens <= a.sens GROUP BY a.sens),
+        | tot AS (SELECT count(*) AS n_all, count(DISTINCT sens) AS m FROM ev2),
+        | grid AS (
+        | SELECT a.event_type, a.hod, a.band, a.n, d.sens, d.cum_g,
+        |  coalesce(c.c, 0) AS c
+        | FROM anon a CROSS JOIN gcum d
+        | LEFT JOIN cs c ON c.event_type = a.event_type AND c.hod = a.hod
+        |  AND c.band = a.band AND c.sens = d.sens),
+        | cum AS (
+        | SELECT event_type, hod, band, n, cum_g,
+        |  sum(c) OVER (PARTITION BY event_type, hod, band ORDER BY sens) AS cum_c
+        | FROM grid),
+        | emd AS (
+        | SELECT event_type, hod, band, any_value(n) AS n,
+        |  sum(abs(cum_c * (SELECT n_all FROM tot) - cum_g * n)) AS s
+        | FROM cum GROUP BY 1, 2, 3),
+        | tv AS (
+        | SELECT event_type, n,
+        |  (2 * 1000000 * s + n * (SELECT n_all FROM tot) * ((SELECT m FROM tot) - 1))
+        |   // (2 * n * (SELECT n_all FROM tot) * ((SELECT m FROM tot) - 1)) AS t_e6
+        | FROM emd)
+        |SELECT event_type, count(*) AS n_anon_combos,
+        | CAST(sum(CASE WHEN t_e6 >= 150000 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS breached_combos,
+        | CAST(sum(CASE WHEN t_e6 >= 150000 THEN n ELSE 0 END) AS BIGINT)
+        |  AS rows_at_risk,
+        | CAST(max(t_e6) AS BIGINT) AS max_t_e6
+        |FROM tv GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q207_fd_audit" -> {
+      def fd(name: String, tbl: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS dependency, CAST(sum(n) AS BIGINT) AS n_rows,
+           | count(*) AS n_lhs,
+           | CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_lhs,
+           | CAST(sum(n) - sum(mx) AS BIGINT) AS violation_rows,
+           | CAST((2 * 1000000 * (sum(n) - sum(mx)) + sum(n)) // (2 * sum(n))
+           |  AS BIGINT) AS g3_e6
+           | FROM (
+           |  SELECT l, sum(c) AS n, max(c) AS mx, count(*) AS nr
+           |  FROM (SELECT $lhs AS l, $rhs AS r, count(*) AS c FROM $tbl
+           |        WHERE $lhs IS NOT NULL GROUP BY 1, 2)
+           |  GROUP BY l)""".stripMargin
+      s"""WITH u AS (
+         | ${fd("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment")}
+         | UNION ALL
+         | ${fd("documents.source->lang", "documents", "source", "lang")}
+         | UNION ALL
+         | ${fd("events.user_id->event_type", "events", "user_id", "event_type")}
+         | UNION ALL
+         | ${fd("lineitem.l_partkey->l_returnflag", "lineitem", "l_partkey", "l_returnflag")}
+         | UNION ALL
+         | ${fd("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority")}
+         | UNION ALL
+         | ${fd("part.p_brand->p_type", "part", "p_brand", "p_type")})
+         |SELECT * FROM u ORDER BY dependency""".stripMargin
+    },
     "q204_selfjoin_forecast" -> {
       def arm(name: String, tbl: String, key: String) =
         s"""SELECT '$name' AS join_key, count(*) AS n_keys,

@@ -2173,7 +2173,73 @@ object TextAnalysis extends QueryModule {
       .limit(20)
   }
 
+  /** Pearson chi-square independence audit (Pearson 1900) of the corpus's
+    * language × source contingency table — the one-number answer to "do my
+    * sources have materially different language mixes?" that the
+    * per-source distributions (q65's corpus mix, q161's pairwise JSD)
+    * never collapse to: per language, its document mass, its share of the
+    * χ² statistic, and the source cell contributing most (the cell to
+    * read first when the audit fires). The full R×C grid participates —
+    * a (lang, source) cell with zero observed documents still carries
+    * its expected-count term, exactly as the statistic requires.
+    *
+    * Exactness: the per-cell term (O−E)²/E rewrites to the all-integer
+    * (O·N − R·C)²/(N·R·C); cross-products run in DECIMAL(38,0)
+    * unconditionally because (O·N − R·C)² exceeds 2⁶³ already at sf0.1
+    * (no conf gate — the overflow is reachable at tested scale, unlike
+    * the q194-family guards). Each cell's term half-up-rounds to e4 ONCE
+    * and the χ² pieces are integer sums of those — deterministic in both
+    * engines. DECIMAL(38,0) bounds the audit at ~10⁹ documents; past
+    * that the contingency table is built from a stratified sample (a
+    * declared bound, not a silent cap). Argmax source is the zero-padded
+    * max-string pick. df = (R−1)(C−1) rides along for the reader.
+    *
+    * Scale shape: ONE corpus-scale partial-aggregable (lang, source)
+    * count; marginals, the crossed grid (|langs|·|sources| rows), the
+    * decimal arithmetic, and the rollup are all contingency-table-scale.
+    */
+  private def q206(t: Tables): DataFrame = {
+    val cells = t.documents
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val rowsM = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val colsM = cells.groupBy(col("source")).agg(sum(col("o")).as("cc"))
+    val tot = cells.agg(
+      sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("nl"),
+      countDistinct(col("source")).as("ns"))
+    rowsM
+      .crossJoin(broadcast(colsM))
+      .join(cells, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .join(broadcast(tot))
+      .withColumn(
+        "dnum",
+        col("o").cast("decimal(38,0)") * col("n") - col("r").cast("decimal(38,0)") * col("cc"))
+      .withColumn("den", col("n").cast("decimal(38,0)") * col("r") * col("cc"))
+      .withColumn(
+        "cell_e4",
+        expr("CAST((2 * 10000 * dnum * dnum + den) DIV (2 * den) AS BIGINT)"))
+      .withColumn(
+        "pick",
+        concat(lpad(col("cell_e4").cast("string"), 19, "0"), lit(":"), col("source")))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("r")).as("n_docs"),
+        count(lit(1)).as("n_cells"),
+        sum(col("cell_e4")).as("chi2_part_e4"),
+        max(col("pick")).as("pick"),
+        max((col("nl") - 1) * (col("ns") - 1)).as("df"))
+      .withColumn("top_source", expr("substr(pick, 21)"))
+      .withColumn("top_cell_e4", expr("CAST(substr(pick, 1, 19) AS BIGINT)"))
+      .select(
+        col("lang"), col("n_docs"), col("n_cells"), col("chi2_part_e4"),
+        col("top_source"), col("top_cell_e4"), col("df"))
+      .orderBy(col("lang"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_chi_square" -> ((s, d) => q206(Tables(s, d))),
     "q102_dsir" -> ((s, d) => q102(Tables(s, d))),
     "q98_bm25" -> ((s, d) => q98(Tables(s, d))),
     "q99_doc_chunks" -> ((s, d) => q99(Tables(s, d))),
@@ -2245,6 +2311,34 @@ object TextAnalysis extends QueryModule {
        | FROM s)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q206_chi_square" ->
+      """WITH cells AS (
+        | SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        | rm AS (SELECT lang, sum(o) AS r FROM cells GROUP BY 1),
+        | cm AS (SELECT source, sum(o) AS cc FROM cells GROUP BY 1),
+        | tot AS (
+        | SELECT sum(o) AS n, count(DISTINCT lang) AS nl,
+        |  count(DISTINCT source) AS ns
+        | FROM cells),
+        | grid AS (
+        | SELECT rm.lang, cm.source, rm.r, cm.cc, coalesce(c.o, 0) AS o,
+        |  t.n, t.nl, t.ns
+        | FROM rm CROSS JOIN cm
+        | LEFT JOIN cells c ON c.lang = rm.lang AND c.source = cm.source
+        | CROSS JOIN tot t),
+        | terms AS (
+        | SELECT lang, source, r, nl, ns,
+        |  (2 * 10000 * (o * n - r * cc) * (o * n - r * cc) + n * r * cc)
+        |   // (2 * n * r * cc) AS cell_e4
+        | FROM grid)
+        |SELECT lang, CAST(max(r) AS BIGINT) AS n_docs, count(*) AS n_cells,
+        | CAST(sum(cell_e4) AS BIGINT) AS chi2_part_e4,
+        | substr(max(concat(lpad(CAST(cell_e4 AS VARCHAR), 19, '0'), ':', source)), 21)
+        |  AS top_source,
+        | CAST(substr(max(concat(lpad(CAST(cell_e4 AS VARCHAR), 19, '0'), ':', source)),
+        |  1, 19) AS BIGINT) AS top_cell_e4,
+        | CAST(max((nl - 1) * (ns - 1)) AS BIGINT) AS df
+        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
     "q197_length_quantiles" ->
       """WITH c AS (
         | SELECT source, n_chars AS len, count(*) AS c FROM documents GROUP BY 1, 2),

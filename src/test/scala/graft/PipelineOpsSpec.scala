@@ -2028,4 +2028,118 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 3L).get._3 == q85Versions)
   }
 
+  test("q205 t-closeness matches an independent EMD recomputation") {
+    val rows = Tables(spark, sf).events
+      .filter(col("user_id").isNotNull)
+      .select(
+        col("event_type"), hour(col("ts")).cast("long"),
+        expr("CAST(floor(value / 50) AS BIGINT)"), col("user_id"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) DIV 25"))
+      .collect()
+      .filter(!_.isNullAt(4))
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), r.getLong(3), r.getLong(4)))
+    val nAll = rows.length.toLong
+    val dom = rows.map(_._3).distinct.sorted
+    val m = dom.length.toLong
+    val globCum = dom.map(sv => sv -> rows.count(_._3 <= sv).toLong).toMap
+    val expected = rows.groupBy(_._1).toSeq
+      .filter { case (_, xs) => xs.map(_._2).distinct.length >= 5 }
+      .map { case (combo, xs) =>
+        val n = xs.length.toLong
+        val s = dom.map { sv =>
+          val cumC = xs.count(_._3 <= sv).toLong
+          math.abs(cumC * nAll - globCum(sv) * n)
+        }.sum
+        (combo._1, n, hdiv(1000000L * s, n * nAll * (m - 1)))
+      }
+      .groupBy(_._1)
+      .map { case (tp, cs) =>
+        (tp, cs.size.toLong, cs.count(_._3 >= 150000L).toLong,
+          cs.filter(_._3 >= 150000L).map(_._2).sum, cs.map(_._3).max)
+      }.toSet
+    def run() = SparkEntry.queries("q205_t_closeness")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val got = run()
+    assert(got == expected)
+    spark.conf.set("graft.t.decimal", "true")
+    try assert(run() == expected, "decimal-guarded q205 diverges")
+    finally spark.conf.unset("graft.t.decimal")
+    // triad consistency: the k-anonymous combo base is exactly q175's
+    // (the corpus has no null sensitive values, so the scopes coincide),
+    // and t is a probability-scale distance
+    val q175 = SparkEntry.queries("q175_l_diversity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_anon_combos"))).toMap
+    got.foreach { case (tp, nc, bc, _, mx) =>
+      assert(q175(tp) == nc, s"$tp combo base != q175")
+      assert(bc <= nc && mx >= 0L && mx <= 1000000L, tp)
+    }
+  }
+
+  test("q206 chi-square independence audit matches an independent recomputation") {
+    val docs = Tables(spark, sf).documents.select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toLong
+    val langs = docs.map(_._1).distinct.sorted
+    val srcs = docs.map(_._2).distinct.sorted
+    val df = (langs.length - 1).toLong * (srcs.length - 1).toLong
+    val cellCount = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rM = langs.map(l => l -> docs.count(_._1 == l).toLong).toMap
+    val cM = srcs.map(s0 => s0 -> docs.count(_._2 == s0).toLong).toMap
+    val expected = langs.map { l =>
+      val cells = srcs.map { s0 =>
+        val o = cellCount.getOrElse((l, s0), 0L)
+        val dnum = BigInt(o) * n - BigInt(rM(l)) * cM(s0)
+        val den = BigInt(n) * rM(l) * cM(s0)
+        ((((BigInt(2) * 10000 * dnum * dnum) + den) / (den * 2)).toLong, s0)
+      }
+      val (topC, topS) = cells.max
+      (l, rM(l), srcs.length.toLong, cells.map(_._1).sum, topS, topC, df)
+    }.toSet
+    val got = SparkEntry.queries("q206_chi_square")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == expected)
+    // every lang covers the full source grid; the top cell is part of the
+    // row sum; the row masses cover the corpus
+    got.foreach { case (l, _, nc, part, _, top, _) =>
+      assert(nc == srcs.length.toLong && top <= part, l)
+    }
+    assert(got.toSeq.map(_._2).sum == n)
+  }
+
+  test("q207 FD violation audit matches an independent g3 recomputation") {
+    val t = Tables(spark, sf)
+    def fd(name: String, pairs: Seq[(Any, Any)]) = {
+      val grp = pairs.groupBy(_._1)
+      val nRows = pairs.length.toLong
+      val viol = grp.count(_._2.map(_._2).distinct.length > 1).toLong
+      val keep = grp.values.map(xs => xs.groupBy(_._2).values.map(_.length).max.toLong).sum
+      (name, nRows, grp.size.toLong, viol, nRows - keep,
+        hdiv(1000000L * (nRows - keep), nRows))
+    }
+    def pairs(rel: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      rel.select(col(a), col(b)).collect()
+        .filter(!_.isNullAt(0)).map(r => (r.get(0), r.get(1))).toSeq
+    val expected = Set(
+      fd("customer.c_nationkey->c_mktsegment", pairs(t.customer, "c_nationkey", "c_mktsegment")),
+      fd("documents.source->lang", pairs(t.documents, "source", "lang")),
+      fd("events.user_id->event_type", pairs(t.events, "user_id", "event_type")),
+      fd("lineitem.l_partkey->l_returnflag", pairs(t.lineitem, "l_partkey", "l_returnflag")),
+      fd("orders.o_custkey->o_orderpriority", pairs(t.orders, "o_custkey", "o_orderpriority")),
+      fd("part.p_brand->p_type", pairs(t.part, "p_brand", "p_type")))
+    val got = SparkEntry.queries("q207_fd_audit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == expected)
+    // g3 is a deletable-row share strictly below 1; groups violate iff
+    // rows must be deleted
+    got.foreach { case (nm, nr, nl, vl, vr, g3) =>
+      assert(vl <= nl && vr < nr && g3 >= 0L && g3 < 1000000L, nm)
+      assert((vl == 0L) == (vr == 0L), nm)
+    }
+  }
+
 }
