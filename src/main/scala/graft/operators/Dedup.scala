@@ -211,7 +211,8 @@ object Dedup extends QueryModule {
     */
   def primePairCache(t: Tables): Long =
     if (pairCacheOn(t))
-      pairStats(t).count() + components(t).count() + sourceShingles(t).count()
+      pairStats(t).count() + components(t).count() + sourceShingles(t).count() +
+        cdcChunks(t).count()
     else 0L
 
   /** Materialize the shared eval window stream (no-op unless the session
@@ -290,6 +291,8 @@ object Dedup extends QueryModule {
     evalPosCache.clear()
     sourceShinglesCache.forEach((_, df) => { df.unpersist(); () })
     sourceShinglesCache.clear()
+    cdcChunksCache.forEach((_, df) => { df.unpersist(); () })
+    cdcChunksCache.clear()
     Similarity.clearCellCache()
     StoreViews.clear()
   }
@@ -1273,8 +1276,19 @@ object Dedup extends QueryModule {
     * that looks shuffle-optimal can lose to codegen by an order of
     * magnitude — measure with the Time knob before switching.
     */
-  private def q203(t: Tables): DataFrame = {
-    val tokens = Tables.localSplit(t.documents, col("doc_id"))
+  // q203/q210's shared chunk relation — session-cached under
+  // `graft.lsh.cache` (the pairStats family pattern: computeIfAbsent on
+  // appId|dir, primed in Bench prep, cached ≡ derived in PairCacheSpec)
+  // so the two CDC consumers pay the corpus chunking pass once
+  private val cdcChunksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** (doc_id, source, cid, hh, nch) — every content-defined chunk with
+    * its md5 and char length; see q203's scaladoc for the boundary rule
+    * and the rejected HOF formulation.
+    */
+  private def cdcChunksDerive(t: Tables): DataFrame =
+    Tables.localSplit(t.documents, col("doc_id"))
       .select(col("doc_id"), col("source"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .withColumn(
@@ -1285,7 +1299,6 @@ object Dedup extends QueryModule {
       .withColumn("cid", sum(col("flag")).over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val chunks = tokens
       .groupBy(col("doc_id"), col("source"), col("cid"))
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(pos, word))), s -> s.word), ' ')")
@@ -1293,6 +1306,16 @@ object Dedup extends QueryModule {
       .select(
         col("doc_id"), col("source"), col("cid"),
         md5(col("chunk")).as("hh"), length(col("chunk")).as("nch"))
+
+  private def cdcChunks(t: Tables): DataFrame =
+    if (!pairCacheOn(t)) cdcChunksDerive(t)
+    else cdcChunksCache.computeIfAbsent(
+      s"${t.spark.sparkContext.applicationId}|${t.dir}",
+      _ => cdcChunksDerive(t)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def q203(t: Tables): DataFrame = {
+    val chunks = cdcChunks(t)
     val key = {
       val k = col("doc_id") * 1000000L + col("cid")
       when(col("cid") >= 1000000L, raise_error(lit("q203: chunk id overflows the pack key")))
@@ -1314,6 +1337,36 @@ object Dedup extends QueryModule {
         "reclaim_e4", expr("(2 * 10000 * dup_chars + total_chars) DIV (2 * total_chars)"))
       .orderBy(col("source"))
   }
+
+  /** Boilerplate chunk league table (r16 wave 8 — q203's reclaim number
+    * answered at the CHUNK level: WHICH text is the repeated mass? q140
+    * names the shared prefixes, q97 the stamp bigrams; this names the
+    * content-defined chunks, the granularity a chunk store actually
+    * deduplicates): the top-20 repeated chunks by reclaimable chars
+    * (occurrences − 1)·len, with occurrence, distinct-doc and
+    * distinct-source counts — a high-source-count row is cross-site
+    * boilerplate to strip at INGEST; a single-source one is that site's
+    * template. Chunk hashes identify content (identical text ⇒
+    * identical nch, so max(nch) is exact, not a summary).
+    *
+    * Scale shape: rides the session-cached [[cdcChunks]] relation (the
+    * chunking pass is paid once across q203/q210 under
+    * `graft.lsh.cache`); one (hh)-keyed partial-aggregable agg with the
+    * two distincts riding the same Expand rewrite; top-20 is
+    * TakeOrderedAndProject — nothing after the agg is corpus-scale.
+    */
+  private def q210(t: Tables): DataFrame =
+    cdcChunks(t)
+      .groupBy(col("hh"))
+      .agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        max(col("nch")).cast("long").as("chunk_chars"))
+      .filter(col("n_occ") >= 2)
+      .withColumn("dup_chars", (col("n_occ") - 1) * col("chunk_chars"))
+      .orderBy(col("dup_chars").desc, col("hh"))
+      .limit(20)
 
   private def q183(t: Tables): DataFrame = {
     val comp = components(t)
@@ -2458,6 +2511,7 @@ object Dedup extends QueryModule {
     "q183_dedup_bytes" -> ((s, d) => q183(Tables(s, d))),
     "q195_dedup_saturation" -> ((s, d) => q195(Tables(s, d))),
     "q203_cdc_chunks" -> ((s, d) => q203(Tables(s, d))),
+    "q210_chunk_league" -> ((s, d) => q210(Tables(s, d))),
     "q187_window_k_sweep" -> ((s, d) => q187(Tables(s, d))),
     "q188_copy_matrix" -> ((s, d) => q188(Tables(s, d))),
     "q35_exact_dedup" -> ((s, d) => q35(Tables(s, d))),
@@ -2468,6 +2522,32 @@ object Dedup extends QueryModule {
   )
 
   private val duckWords = "SELECT doc_id, string_split(text, ' ') AS words FROM documents"
+
+  // q203/q210's shared chunk derivation — the oracle-side mirror of
+  // [[cdcChunksDerive]] ending at the ch (doc_id, source, cid, hh, nch)
+  // relation
+  private def duckCdcChunkCtes: String = {
+    val hx = hexint32("md5(word)")
+    s"""w AS (
+       | SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+       | p AS (
+       | SELECT doc_id, source, unnest(range(1, len(words) + 1)) AS i,
+       |  unnest(words) AS word FROM w),
+       | fl AS (
+       | SELECT doc_id, source, i, word,
+       |  CASE WHEN i = 1 THEN 1 WHEN ($hx) % 8 = 0 THEN 1 ELSE 0 END AS flag
+       | FROM p),
+       | c AS (
+       | SELECT doc_id, source, i, word,
+       |  sum(flag) OVER (PARTITION BY doc_id ORDER BY i
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+       | FROM fl),
+       | ch AS (
+       | SELECT doc_id, source, cid,
+       |  md5(string_agg(word, ' ' ORDER BY i)) AS hh,
+       |  length(string_agg(word, ' ' ORDER BY i)) AS nch
+       | FROM c GROUP BY 1, 2, 3)""".stripMargin
+  }
 
   // q142 fragments: shingles/perturbation over an arbitrary word-list
   // column (shinglesDuck is pinned to the name `words`)
@@ -3262,26 +3342,7 @@ object Dedup extends QueryModule {
          |ORDER BY m""".stripMargin
     },
     "q203_cdc_chunks" -> {
-      val hx = hexint32("md5(word)")
-      s"""WITH w AS (
-         | SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
-         | p AS (
-         | SELECT doc_id, source, unnest(range(1, len(words) + 1)) AS i,
-         |  unnest(words) AS word FROM w),
-         | fl AS (
-         | SELECT doc_id, source, i, word,
-         |  CASE WHEN i = 1 THEN 1 WHEN ($hx) % 8 = 0 THEN 1 ELSE 0 END AS flag
-         | FROM p),
-         | c AS (
-         | SELECT doc_id, source, i, word,
-         |  sum(flag) OVER (PARTITION BY doc_id ORDER BY i
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
-         | FROM fl),
-         | ch AS (
-         | SELECT doc_id, source, cid,
-         |  md5(string_agg(word, ' ' ORDER BY i)) AS hh,
-         |  length(string_agg(word, ' ' ORDER BY i)) AS nch
-         | FROM c GROUP BY 1, 2, 3),
+      s"""WITH $duckCdcChunkCtes,
          | k AS (SELECT hh, min(doc_id * 1000000 + cid) AS mk FROM ch GROUP BY 1)
          |SELECT source, count(*) AS n_chunks,
          | CAST(sum(CASE WHEN doc_id * 1000000 + cid = mk THEN 1 ELSE 0 END) AS BIGINT)
@@ -3294,6 +3355,15 @@ object Dedup extends QueryModule {
          |FROM ch JOIN k USING (hh)
          |GROUP BY source ORDER BY source""".stripMargin
     },
+    "q210_chunk_league" ->
+      s"""WITH $duckCdcChunkCtes
+         |SELECT hh, count(*) AS n_occ,
+         | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         | CAST(max(nch) AS BIGINT) AS chunk_chars,
+         | CAST((count(*) - 1) * max(nch) AS BIGINT) AS dup_chars
+         |FROM ch GROUP BY hh HAVING count(*) >= 2
+         |ORDER BY dup_chars DESC, hh LIMIT 20""".stripMargin,
     "q195_dedup_saturation" ->
       s"""WITH RECURSIVE $duckJpairsCtes,
          | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs

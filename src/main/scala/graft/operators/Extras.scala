@@ -1337,7 +1337,124 @@ object Extras extends QueryModule {
       .orderBy(col("dependency"))
   }
 
+  /** Order-header vs line-detail reconciliation (r16 wave 8 — the
+    * last leg of the relational-integrity pack: q176 checks the KEYS
+    * resolve, q196 the unit PRICES, q207 the declared DEPENDENCIES;
+    * this checks the header AMOUNT against what its own lines sum to,
+    * the first thing a finance-shaped ingest reconciles): per order
+    * status, orders whose o_totalprice is under half / within [0.5×,
+    * 2×] / over double the line total Σ extendedprice·(1+tax)·(1−disc),
+    * orders with NO lines at all (q176's orphan class seen from the
+    * parent side), and the ratio extremes (e4). Corpus-probed: every
+    * band is populated at every SF — the synthetic generator does NOT
+    * enforce TPC-H's header-total invariant, which is exactly what
+    * makes the audit report non-trivial.
+    *
+    * Exactness: each line amount quantizes half-up to an e2 long BEFORE
+    * the per-order sum (a double Σ's addition order is engine-internal
+    * — the q202 rule); header prices quantize the same way; band tests
+    * and the ratio are pure integer comparisons/divisions after that.
+    *
+    * Scale shape: the per-order line sum shuffles on l_orderkey and the
+    * header join is fact-fact co-partitioned on the same key — the key
+    * a 100 TB lake co-buckets these tables by (exchange-free on
+    * bucketed storage, ScaleSpec's evidence); the status rollup is
+    * |statuses|-keyed map-side.
+    */
+  private def q208(t: Tables): DataFrame = {
+    val ls = t.lineitem
+      .select(
+        col("l_orderkey"),
+        expr("CAST(floor(l_extendedprice * (1 + l_tax) * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("amt_e2"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("amt_e2")).as("s_e2"))
+    t.orders
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("tp_e2"))
+      .join(ls, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn(
+        "ratio_e4",
+        when(col("s_e2").isNotNull, expr("(2 * 10000 * tp_e2 + s_e2) DIV (2 * s_e2)")))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("s_e2").isNull, 1L).otherwise(0L)).as("no_lines"),
+        sum(when(col("s_e2").isNotNull && col("tp_e2") * 2 < col("s_e2"), 1L).otherwise(0L))
+          .as("under_half"),
+        sum(when(col("s_e2").isNotNull && col("tp_e2") > col("s_e2") * 2, 1L).otherwise(0L))
+          .as("over_double"),
+        sum(when(
+          col("s_e2").isNotNull && col("tp_e2") * 2 >= col("s_e2") &&
+            col("tp_e2") <= col("s_e2") * 2, 1L).otherwise(0L)).as("par_band"),
+        min(col("ratio_e4")).as("min_ratio_e4"),
+        max(col("ratio_e4")).as("max_ratio_e4"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Markov stationary-flow audit (the Perron–Frobenius fixed point of
+    * q166's transition matrix, power-iterated — Kemeny & Snell 1960;
+    * r16 wave 8, the order-∞ closure of the q166/q190 Markov family):
+    * per event type, the occupancy the observed TRANSITION FLOWS imply
+    * after three power-iteration steps from uniform, next to the
+    * occupancy actually observed — a positive delta marks an absorbing
+    * hub (flows pile into it faster than the mix shows), a negative one
+    * a transient state propped up by entry traffic. Three steps is the
+    * declared horizon: each is an exact integer map over the matrix, so
+    * the iterate is reproducible to the last digit (a "converged"
+    * float fixed point would be engine-dependent).
+    *
+    * Exactness: probabilities live in e6 longs; each step's term
+    * (p_i·c_ij)/r_i half-up-rounds PER TERM — (2·p·c + r) DIV (2·r) —
+    * then sums, identically in both engines; uniform start is the
+    * floor division 10⁶ DIV k (mass may undershoot 10⁶ by < k, carried
+    * through both engines identically).
+    *
+    * Scale shape: q166's one corpus-scale user-keyed lag window and the
+    * transition agg collapsing onto ≤ |types|² keys map-side are the
+    * ONLY distributed work — the corpus is scanned exactly once. The
+    * matrix itself is then a bounded control-plane gather (q67's BFS
+    * class: |types|² rows of metadata), and the three iterations are
+    * driver Long arithmetic; a declarative formulation re-deriving the
+    * matrix subtree per iteration measured 30 static exchanges against
+    * this one's 3 and bought nothing — no engine should power-iterate a
+    * 25-row matrix distributively.
+    */
+  private def q209(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val m = t.events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2)))
+    val r = m.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val states = m.map(_._2).distinct.sorted
+    val tot = m.map(_._3).sum
+    var p: Map[String, Long] = states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to 3)
+      p = states.map { j =>
+        j -> m.collect {
+          case (i, jj, c) if jj == j && p.contains(i) =>
+            (2 * p(i) * c + r(i)) / (2 * r(i))
+        }.sum
+      }.toMap
+    import t.spark.implicits._
+    states.map { j =>
+      val obs = (2 * 1000000L * m.filter(_._2 == j).map(_._3).sum + tot) / (2 * tot)
+      (j, obs, p(j), p(j) - obs)
+    }.toSeq
+      .toDF("event_type", "observed_e6", "stationary_e6", "delta_e6")
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_order_reconcile" -> ((s, d) => q208(Tables(s, d))),
+    "q209_stationary_flow" -> ((s, d) => q209(Tables(s, d))),
     "q205_t_closeness" -> ((s, d) => q205(Tables(s, d))),
     "q207_fd_audit" -> ((s, d) => q207(Tables(s, d))),
     "q204_selfjoin_forecast" -> ((s, d) => q204(Tables(s, d))),
@@ -1381,6 +1498,57 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q208_order_reconcile" ->
+      """WITH ls AS (
+        | SELECT l_orderkey,
+        |  sum(CAST(floor(l_extendedprice * (1 + l_tax) * (1 - l_discount) * 100 + 0.5)
+        |   AS BIGINT)) AS s_e2
+        | FROM lineitem GROUP BY 1),
+        | j AS (
+        | SELECT o_orderstatus,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS tp_e2, s_e2
+        | FROM orders o LEFT JOIN ls ON o_orderkey = l_orderkey)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CASE WHEN s_e2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_lines,
+        | CAST(sum(CASE WHEN s_e2 IS NOT NULL AND 2 * tp_e2 < s_e2 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS under_half,
+        | CAST(sum(CASE WHEN s_e2 IS NOT NULL AND tp_e2 > 2 * s_e2 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS over_double,
+        | CAST(sum(CASE WHEN s_e2 IS NOT NULL AND 2 * tp_e2 >= s_e2 AND tp_e2 <= 2 * s_e2
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS par_band,
+        | CAST(min((2 * 10000 * tp_e2 + s_e2) // (2 * s_e2)) AS BIGINT) AS min_ratio_e4,
+        | CAST(max((2 * 10000 * tp_e2 + s_e2) // (2 * s_e2)) AS BIGINT) AS max_ratio_e4
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q209_stationary_flow" ->
+      """WITH seqd AS (
+        | SELECT event_type AS nxt,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events WHERE user_id IS NOT NULL),
+        | m AS (SELECT prev, nxt, count(*) AS c FROM seqd WHERE prev IS NOT NULL
+        |       GROUP BY 1, 2),
+        | r AS (SELECT prev, sum(c) AS r FROM m GROUP BY 1),
+        | mat AS (SELECT m.prev, m.nxt, m.c, r.r FROM m JOIN r USING (prev)),
+        | ty AS (SELECT nxt, sum(c) AS tmass FROM m GROUP BY 1),
+        | tot AS (SELECT sum(c) AS tot FROM m),
+        | kk AS (SELECT count(*) AS k FROM ty),
+        | p0 AS (SELECT nxt AS state, 1000000 // (SELECT k FROM kk) AS p FROM ty),
+        | p1 AS (SELECT mat.nxt AS state, sum((2 * p0.p * mat.c + mat.r) // (2 * mat.r)) AS p
+        |        FROM mat JOIN p0 ON p0.state = mat.prev GROUP BY 1),
+        | p2 AS (SELECT mat.nxt AS state, sum((2 * p1.p * mat.c + mat.r) // (2 * mat.r)) AS p
+        |        FROM mat JOIN p1 ON p1.state = mat.prev GROUP BY 1),
+        | p3 AS (SELECT mat.nxt AS state, sum((2 * p2.p * mat.c + mat.r) // (2 * mat.r)) AS p
+        |        FROM mat JOIN p2 ON p2.state = mat.prev GROUP BY 1),
+        | obs AS (
+        | SELECT nxt,
+        |  (2 * 1000000 * tmass + (SELECT tot FROM tot)) // (2 * (SELECT tot FROM tot))
+        |   AS observed_e6
+        | FROM ty)
+        |SELECT obs.nxt AS event_type,
+        | CAST(obs.observed_e6 AS BIGINT) AS observed_e6,
+        | CAST(p3.p AS BIGINT) AS stationary_e6,
+        | CAST(p3.p - obs.observed_e6 AS BIGINT) AS delta_e6
+        |FROM obs JOIN p3 ON p3.state = obs.nxt
+        |ORDER BY event_type""".stripMargin,
     "q205_t_closeness" ->
       """WITH ev AS (
         | SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,

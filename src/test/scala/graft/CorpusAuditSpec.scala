@@ -1345,6 +1345,45 @@ class CorpusAuditSpec extends AnyFunSuite {
 
   private def hdivC(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
 
+  test("q210 chunk league matches an independent chunker league table") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hv(s: String) = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val docsRows = Tables(spark, sf).documents
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val occurrences = docsRows.flatMap { case (id, src, text) =>
+      val words = text.split(" ", -1)
+      val chunks = words.tail.foldLeft(Vector(Vector(words.head))) { (acc, w) =>
+        if (hv(w) % 8 == 0) acc :+ Vector(w) else acc.init :+ (acc.last :+ w)
+      }
+      chunks.map { c =>
+        val s = c.mkString(" ")
+        (src, id, md5hex(s), s.length.toLong)
+      }
+    }
+    val expected = occurrences.groupBy(_._3).toSeq
+      .filter(_._2.length >= 2)
+      .map { case (h, xs) =>
+        (h, xs.length.toLong, xs.map(_._2).distinct.length.toLong,
+          xs.map(_._1).distinct.length.toLong, xs.head._4,
+          (xs.length - 1) * xs.head._4)
+      }
+      .sortBy { case (h, _, _, _, _, dup) => (-dup, h) }
+      .take(20)
+    val got = SparkEntry.queries("q210_chunk_league")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected)
+    // identical text => identical length; occurrence count bounds both
+    // distinct counts; the league is genuinely multi-doc boilerplate
+    got.foreach { case (h, occ, nd, ns, _, _) =>
+      assert(nd <= occ && ns <= nd, h)
+    }
+    assert(got.exists(_._3 > 1L), "degenerate: no cross-doc chunk in the league")
+  }
+
   test("q131 normalization collapses the synthesized messy twins exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q131_crafted").toString

@@ -21,8 +21,9 @@ class PairCacheSpec extends AnyFunSuite {
     // embeddings-side cellTop2 relation (same conf, Similarity-owned)
     "q169_cluster_span", "q172_dup_transitivity", "q188_copy_matrix",
     "q170_ann_margin", "q174_intrinsic_dim",
-    // r16: q195 rides the session components relation
-    "q195_dedup_saturation")
+    // r16: q195 rides the session components relation; q203/q210 the
+    // shared cdcChunks chunk relation
+    "q195_dedup_saturation", "q203_cdc_chunks", "q210_chunk_league")
 
   test("every pair-family query is identical with the session pair cache on") {
     val derived = family.map(q =>

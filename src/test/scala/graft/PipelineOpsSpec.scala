@@ -2028,6 +2028,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 3L).get._3 == q85Versions)
   }
 
+  test("q208 order reconciliation matches a direct header-vs-lines recomputation") {
+    val t = Tables(spark, sf)
+    val sums = t.lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_tax"), col("l_discount"))
+      .collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * (1 + r.getDouble(2)) * (1 - r.getDouble(3)) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val orders = t.orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val expected = orders.groupBy(_._2).map { case (st, os) =>
+      val withS = os.map(o => (o._3, sums.get(o._1)))
+      val backed = withS.collect { case (tp, Some(s)) => (tp, s) }
+      val ratios = backed.map { case (tp, s) => hdiv(10000L * tp, s) }
+      (st, os.length.toLong, withS.count(_._2.isEmpty).toLong,
+        backed.count { case (tp, s) => 2 * tp < s }.toLong,
+        backed.count { case (tp, s) => tp > 2 * s }.toLong,
+        backed.count { case (tp, s) => 2 * tp >= s && tp <= 2 * s }.toLong,
+        ratios.min, ratios.max)
+    }.toSet
+    val got = SparkEntry.queries("q208_order_reconcile")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(got == expected)
+    // the three ratio bands plus the no-lines class partition every order
+    got.foreach { case (st, n, nl, u, ov, par, mn, mx) =>
+      assert(nl + u + ov + par == n, st)
+      assert(mn <= mx, st)
+    }
+  }
+
+  test("q209 stationary flow matches an independent power-iteration recomputation") {
+    val ev = Tables(spark, sf).events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val s = xs.sortBy(x => (x._2, x._3)).map(_._4).toSeq
+      s.zip(s.tail)
+    }
+    val m = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val r = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val states = trans.map(_._2).distinct.sorted
+    val k = states.length.toLong
+    var p: Map[String, Long] = states.map(_ -> 1000000L / k).toMap
+    for (_ <- 1 to 3)
+      p = states.map { j =>
+        j -> m.toSeq.collect {
+          case ((i, jj), c) if jj == j && p.contains(i) =>
+            (2 * p(i) * c + r(i)) / (2 * r(i))
+        }.sum
+      }.toMap
+    val tot = trans.length.toLong
+    val expected = states.map { j =>
+      val obs = hdiv(1000000L * trans.count(_._2 == j), tot)
+      (j, obs, p(j), p(j) - obs)
+    }.toSet
+    val got = SparkEntry.queries("q209_stationary_flow")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // both distributions carry ~unit mass (per-term half-up rounding can
+    // drift by at most a few e6 ulps per step) and deltas net out
+    assert(math.abs(got.toSeq.map(_._3).sum - 1000000L) <= 100L)
+    assert(math.abs(got.toSeq.map(_._4).sum) <= 200L)
+  }
+
   test("q205 t-closeness matches an independent EMD recomputation") {
     val rows = Tables(spark, sf).events
       .filter(col("user_id").isNotNull)
