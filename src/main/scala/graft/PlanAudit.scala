@@ -49,9 +49,12 @@ object PlanAudit {
   // q205's cross is the |anon combos| × m sensitive-domain EMD grid and
   // q206's is the |langs| × |sources| contingency grid — both dim-grid
   // class (q161/q194's): bounded by attribute domains, never the corpus
+  // q211's cross is the |Q|-sample exact-truth pass (q115's declared
+  // brute class — the ADC scan itself is the broadcast-LUT linear path)
   private val allowCross =
     Set("q40_cosine_topk", "q41_embedding_neardup", "q115_ivf_recall",
-      "q161_source_jsd", "q194_ks_drift", "q205_t_closeness", "q206_chi_square")
+      "q161_source_jsd", "q194_ks_drift", "q205_t_closeness", "q206_chi_square",
+      "q211_pq_recall")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -456,6 +459,11 @@ object PlanAudit {
     // count → lhs rollup → single-row fold (3 exchanges each, the last
     // two domain-bounded) ×6 branches (measured 18)
     "q207_fd_audit" -> 18,
+    // q211 (r16 wave 9): assignment argmin agg + the ADC (qid, vec)
+    // rollup + both per-query top-10 windows + the recall fold — every
+    // exchange is corpus-linear or sample-bounded; the LUT broadcasts
+    // (measured 8)
+    "q211_pq_recall" -> 8,
     // r15 third wave, measured textual counts:
     // q167: sourceVocab agg (the one corpus-scale shuffle) → |source|
     // rollup → sort
@@ -483,6 +491,12 @@ object PlanAudit {
     // graph itself is candidate-bounded so every exchange after the chain
     // is edge- or degree-scale
     "q172_dup_transitivity" -> 21,
+    // q212 (r16 wave 9): q172's class exactly — the pairStats chain
+    // prints once per consuming branch (degree union ×2, the two
+    // endpoint-degree joins, the per-graph sum fold; AQE reuses the
+    // identical exchanges at runtime); everything after the chain is
+    // edge- or degree-scale (measured 22)
+    "q212_assortativity" -> 22,
     // q173: (nation, supplier) fact pre-agg (the one corpus-scale
     // shuffle; supplier and nation dims broadcast) → |suppliers| rollup
     // → sort

@@ -995,6 +995,76 @@ object Dedup extends QueryModule {
       .orderBy(col("graph"))
   }
 
+  /** Degree-assortativity audit of the dedup pass's own graphs (Newman
+    * 2002's r coefficient, r16 wave 9 — the last unread structural
+    * number next to q172's transitivity, q147's component sizes and
+    * q169's spans: do high-degree duplicates attach to OTHER
+    * high-degree duplicates?): for the LSH candidate graph and its
+    * Jaccard-verified subgraph side by side, nodes, edges, max degree,
+    * and r in e6 — strongly positive r marks a core-periphery template
+    * family (one mega-hub of mutual near-dups, the re-cluster-at-
+    * higher-τ signal q172 reads from LOW transitivity), negative r the
+    * star-shaped boilerplate pattern where one canonical page is copied
+    * by many otherwise-unrelated docs (keep-one dedup is cheap there).
+    *
+    * Exactness: r multiplies out to the all-integer
+    * (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²) over per-edge
+    * endpoint degrees; the one signed e6 division splits into
+    * sign·half-up-on-abs (Spark DIV truncates where DuckDB // floors —
+    * never divide a signed integer). `graft.assort.decimal=true` routes
+    * the degree products through DECIMAL(38,0) past ~10¹⁸ (q163's guard
+    * pattern, spec-pinned identical at current scale). Constant-degree
+    * graphs have den = 0 and report r = 0, declared.
+    *
+    * Scale shape: both edge sets filter the session-cached pairStats
+    * relation (candidate-bounded, never corpus²); degrees are one agg
+    * over edge endpoints; the two degree fetches join back edge-keyed;
+    * everything after is a |graphs|-row fold.
+    */
+  private def q212(t: Tables): DataFrame = {
+    val big: Column => Column =
+      if (t.spark.conf.get("graft.assort.decimal", "false").toBoolean) _.cast("decimal(38,0)")
+      else identity
+    val edges = pairStats(t)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("candidates").as("graph"))
+      .unionAll(
+        jaccardPairs(t)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("verified").as("graph")))
+    val deg = edges.select(col("graph"), col("a").as("x"))
+      .unionAll(edges.select(col("graph"), col("b").as("x")))
+      .groupBy(col("graph"), col("x"))
+      .agg(count(lit(1)).as("d"))
+    val nodeStats = deg
+      .groupBy(col("graph"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"))
+    val sums = edges
+      .join(deg.select(col("graph").as("g1"), col("x"), col("d").as("da")),
+        col("graph") === col("g1") && col("a") === col("x"))
+      .drop("g1", "x")
+      .join(deg.select(col("graph").as("g2"), col("x"), col("d").as("db")),
+        col("graph") === col("g2") && col("b") === col("x"))
+      .groupBy(col("graph"))
+      .agg(
+        count(lit(1)).as("m_edges"),
+        sum(big(col("da")) * col("db")).as("sjk"),
+        sum(col("da") + col("db")).as("sj"),
+        sum(big(col("da")) * col("da") + big(col("db")) * col("db")).as("s2"))
+    nodeStats
+      .join(sums, Seq("graph"))
+      .withColumn("num", lit(4) * col("m_edges") * col("sjk") - big(col("sj")) * col("sj"))
+      .withColumn("den", lit(2) * col("m_edges") * col("s2") - big(col("sj")) * col("sj"))
+      .withColumn(
+        "assort_e6",
+        expr("""CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+          | WHEN num >= 0 THEN CAST((2 * 1000000 * num + den) DIV (2 * den) AS BIGINT)
+          | ELSE CAST(-((2 * 1000000 * (-num) + den) DIV (2 * den)) AS BIGINT)
+          | END""".stripMargin))
+      .select(
+        col("graph"), col("n_nodes"), col("m_edges").as("n_edges"),
+        col("max_degree"), col("assort_e6"))
+      .orderBy(col("graph"))
+  }
+
   /** LSH band-bucket occupancy audit — the SHUFFLE-COST forecast for the
     * dedup pass itself: per band, how many (band, sig) buckets exist, the
     * hottest bucket, the singleton share, and Σ b(b−1)/2 — the EXACT
@@ -2506,6 +2576,7 @@ object Dedup extends QueryModule {
     "q169_cluster_span" -> ((s, d) => q169(Tables(s, d))),
     "q171_shingle_reuse" -> ((s, d) => q171(Tables(s, d))),
     "q172_dup_transitivity" -> ((s, d) => q172(Tables(s, d))),
+    "q212_assortativity" -> ((s, d) => q212(Tables(s, d))),
     "q180_lsh_occupancy" -> ((s, d) => q180(Tables(s, d))),
     "q181_bloom_calibration" -> ((s, d) => q181(Tables(s, d))),
     "q183_dedup_bytes" -> ((s, d) => q183(Tables(s, d))),
@@ -3497,6 +3568,35 @@ object Dedup extends QueryModule {
          |  ELSE (2 * 10000 * 3 * COALESCE(n_triangles, 0) + n_wedges) // (2 * n_wedges) END AS transitivity_e4
          |FROM ne JOIN nw USING (graph) LEFT JOIN tri USING (graph)
          |ORDER BY graph""".stripMargin,
+    "q212_assortativity" ->
+      s"""WITH $duckJpairsCtes,
+         | eg AS (
+         |  SELECT 'candidates' AS graph, doc_a AS a, doc_b AS b FROM cand
+         |  UNION ALL
+         |  SELECT 'verified', doc_a, doc_b FROM jpairs),
+         | und AS (SELECT graph, a AS x FROM eg UNION ALL SELECT graph, b FROM eg),
+         | deg AS (SELECT graph, x, count(*) AS d FROM und GROUP BY graph, x),
+         | dd AS (
+         | SELECT eg.graph AS graph, da.d AS dja, db.d AS djb
+         | FROM eg
+         | JOIN deg da ON da.graph = eg.graph AND da.x = eg.a
+         | JOIN deg db ON db.graph = eg.graph AND db.x = eg.b),
+         | s AS (
+         | SELECT graph, count(*) AS m, sum(dja * djb) AS sjk,
+         |  sum(dja + djb) AS sj, sum(dja * dja + djb * djb) AS s2
+         | FROM dd GROUP BY graph),
+         | ns AS (
+         | SELECT graph, count(*) AS n_nodes, max(d) AS max_degree
+         | FROM deg GROUP BY graph),
+         | f AS (
+         | SELECT ns.graph AS graph, n_nodes, m AS n_edges, max_degree,
+         |  4 * m * sjk - sj * sj AS num, 2 * m * s2 - sj * sj AS den
+         | FROM ns JOIN s USING (graph))
+         |SELECT graph, n_nodes, CAST(n_edges AS BIGINT) AS n_edges, max_degree,
+         | CAST(CASE WHEN den = 0 THEN 0
+         |  WHEN num >= 0 THEN (2 * 1000000 * num + den) // (2 * den)
+         |  ELSE -((2 * 1000000 * (-num) + den) // (2 * den)) END AS BIGINT) AS assort_e6
+         |FROM f ORDER BY graph""".stripMargin,
     "q35_exact_dedup" ->
       """SELECT source, count(*) AS n_docs,
         | count(DISTINCT md5(text)) AS n_distinct_texts,

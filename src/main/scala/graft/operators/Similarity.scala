@@ -617,6 +617,104 @@ object Similarity extends QueryModule {
     * corpus-scale shuffle, M·n slim (ids, dist) rows — and the rollup is
     * M·K rows.
     */
+  /** PQ recall@k audit (Jégou, Douze & Schmid 2011's ADC evaluated the
+    * way an ANN deployment actually grades it — r16 wave 9, the missing
+    * arm of the ANN-quality family: q115 measures the IVF ROUTING's
+    * recall, q132 the codebook's reconstruction error; neither says
+    * whether the COMPRESSED distances still rank the true neighbors
+    * first, which is the number a PQ index lives or dies by): per query
+    * (q115's deterministic vec_id < 10 sample), how many of the exact
+    * integer-L2 top-10 survive into the ADC top-10, the e4 recall, and
+    * whether the single true nearest neighbor is retrieved at all.
+    * Shares q132's codebook and assignment definitions verbatim (same
+    * `graft.pq.m`/`graft.pq.k` confs) — this audits the exact artifact
+    * q132 ships, not a private re-derivation.
+    *
+    * Exactness: everything is integer — coordinates live on q132's e6
+    * grid, exact and ADC distances are integer sums of squared diffs,
+    * rankings break ties on (dist, vec_id), recall divides once (e4,
+    * half-up).
+    *
+    * Scale shape: the lookup-table trick is the point — ADC costs
+    * |corpus|·m joins against a BROADCAST |Q|·m·k LUT (the classic PQ
+    * scan: linear in corpus, never corpus×query×dim), and only the
+    * |Q|-sample truth pass is quadratic-per-query (the declared q40/q115
+    * brute class). Assignments ride q132's min-struct argmin; top-10s
+    * are per-query windows over sample-bounded relations.
+    */
+  private def q211(t: Tables): DataFrame = {
+    val m = t.spark.conf.get("graft.pq.m", "4").toInt
+    require(m >= 1 && m <= Dim && Dim % m == 0, s"graft.pq.m must divide $Dim: $m")
+    val kcb = t.spark.conf.get("graft.pq.k", "8").toInt
+    require(kcb >= 1 && kcb <= 256, s"graft.pq.k out of range: $kcb")
+    val sub = Dim / m
+    val K = 10
+    val e6 = Tables.localSplit(t.embeddings, col("vec_id"))
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("ve6"))
+    def subspaces(vecCol: String, outCol: String) =
+      explode(array((0 until m).map(i =>
+        struct(
+          lit(i).cast("long").as("subspace"),
+          expr(s"slice($vecCol, ${i * sub + 1}, $sub)").as(outCol))): _*))
+    val codebook = e6
+      .withColumn("h", expr("((vec_id % 2147483647) * 2654435761) % 4294967296"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(kcb)
+      .select(col("vec_id").as("cw"), subspaces("ve6", "csub").as("s"))
+      .select(col("cw"), col("s.subspace").as("subspace"), col("s.csub").as("csub"))
+    val sqdist = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS BIGINT), (acc, e) -> acc + e)")
+    val assign = e6
+      .select(col("vec_id"), subspaces("ve6", "vsub").as("s"))
+      .select(col("vec_id"), col("s.subspace").as("subspace"), col("s.vsub").as("vsub"))
+      .join(broadcast(codebook), Seq("subspace"))
+      .withColumn("dist", sqdist("vsub", "csub"))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(min(struct(col("dist"), col("cw"))).as("best"))
+      .select(col("vec_id"), col("subspace"), col("best.cw").as("cw"))
+    val qsubs = e6
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), subspaces("ve6", "qsub").as("s"))
+      .select(col("qid"), col("s.subspace").as("subspace"), col("s.qsub").as("qsub"))
+    val lut = qsubs
+      .join(broadcast(codebook), Seq("subspace"))
+      .withColumn("d", sqdist("qsub", "csub"))
+      .select(col("qid"), col("subspace"), col("cw"), col("d"))
+    val adc = assign
+      .join(broadcast(lut), Seq("subspace", "cw"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d")).as("adc"))
+    val pq = adc
+      .withColumn(
+        "prk",
+        row_number().over(Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("prk") <= K)
+    val truth = e6
+      .crossJoin(broadcast(
+        e6.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("ve6").as("qv"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("tdist", sqdist("ve6", "qv"))
+      .withColumn(
+        "trk",
+        row_number().over(Window.partitionBy(col("qid")).orderBy(col("tdist"), col("vec_id"))))
+      .filter(col("trk") <= K)
+      .select(col("qid"), col("vec_id"), col("trk"))
+    pq
+      .join(truth, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        sum(when(col("trk").isNotNull, 1L).otherwise(0L)).as("hits_at_10"),
+        max(when(col("trk") === 1, 1L).otherwise(0L)).as("nn_hit"))
+      .withColumn("recall_e4", expr(s"(2 * 10000 * hits_at_10 + $K) DIV (2 * $K)"))
+      .select(col("qid"), col("hits_at_10"), col("recall_e4"), col("nn_hit"))
+      .orderBy(col("qid"))
+  }
+
   private def q132(t: Tables): DataFrame = {
     val m = t.spark.conf.get("graft.pq.m", "4").toInt
     require(m >= 1 && m <= Dim && Dim % m == 0, s"graft.pq.m must divide $Dim: $m")
@@ -1222,6 +1320,7 @@ object Similarity extends QueryModule {
     "q154_knn_reciprocity" -> ((s, d) => q154(Tables(s, d))),
     "q124_power_iter" -> ((s, d) => q124(Tables(s, d))),
     "q132_pq_quantize" -> ((s, d) => q132(Tables(s, d))),
+    "q211_pq_recall" -> ((s, d) => q211(Tables(s, d))),
     "q137_semantic_decon" -> ((s, d) => q137(Tables(s, d))),
     "q145_embedding_drift" -> ((s, d) => q145(Tables(s, d))),
     "q150_source_diversity" -> ((s, d) => q150(Tables(s, d))),
@@ -1705,6 +1804,69 @@ object Similarity extends QueryModule {
          | CASE WHEN sum_ln_e6 = 0 THEN CAST(0 AS BIGINT)
          |  ELSE (2 * 1000 * 1000000 * n_vecs + sum_ln_e6) // (2 * sum_ln_e6) END AS id_e3
          |FROM s ORDER BY label""".stripMargin,
+    "q211_pq_recall" ->
+      s"""WITH e AS (
+         | SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |   x -> CAST(round(x * 1000000) AS BIGINT)) AS ve6
+         | FROM embeddings),
+         | sel AS (
+         | SELECT vec_id AS cw, ve6
+         | FROM (SELECT vec_id, ve6,
+         |        ((vec_id % 2147483647) * 2654435761) % 4294967296 AS h FROM e)
+         | ORDER BY h, vec_id LIMIT 8),
+         | cb AS (
+         | SELECT cw, m, array_slice(ve6, m * 16 + 1, (m + 1) * 16) AS csub
+         | FROM sel CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
+         | vs AS (
+         | SELECT vec_id, m, array_slice(ve6, m * 16 + 1, (m + 1) * 16) AS vsub
+         | FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
+         | d AS (
+         | SELECT vec_id, vs.m AS m, cw,
+         |  CAST(list_sum(list_transform(range(1, 17),
+         |   i -> (vsub[i] - csub[i]) * (vsub[i] - csub[i]))) AS BIGINT) AS dist
+         | FROM vs JOIN cb ON vs.m = cb.m),
+         | a AS (
+         | SELECT vec_id, m, cw,
+         |  row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cw) AS rn
+         | FROM d),
+         | q AS (SELECT vec_id AS qid, ve6 AS qv FROM e WHERE vec_id < 10),
+         | qs AS (
+         | SELECT qid, m, array_slice(qv, m * 16 + 1, (m + 1) * 16) AS qsub
+         | FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
+         | lut AS (
+         | SELECT qid, qs.m AS m, cw,
+         |  CAST(list_sum(list_transform(range(1, 17),
+         |   i -> (qsub[i] - csub[i]) * (qsub[i] - csub[i]))) AS BIGINT) AS ld
+         | FROM qs JOIN cb ON qs.m = cb.m),
+         | adc AS (
+         | SELECT lut.qid, a.vec_id, sum(ld) AS adc
+         | FROM (SELECT * FROM a WHERE rn = 1) a
+         | JOIN lut ON lut.m = a.m AND lut.cw = a.cw
+         | WHERE a.vec_id <> lut.qid
+         | GROUP BY lut.qid, a.vec_id),
+         | pq AS (
+         | SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS prk
+         | FROM adc),
+         | td AS (
+         | SELECT q.qid, e.vec_id,
+         |  CAST(list_sum(list_transform(range(1, 65),
+         |   i -> (ve6[i] - qv[i]) * (ve6[i] - qv[i]))) AS BIGINT) AS tdist
+         | FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         | truth AS (
+         | SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY tdist, vec_id) AS trk
+         | FROM td)
+         |SELECT pq.qid, CAST(sum(CASE WHEN trk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS hits_at_10,
+         | CAST((2 * 10000 * sum(CASE WHEN trk IS NOT NULL THEN 1 ELSE 0 END) + 10)
+         |  // (2 * 10) AS BIGINT) AS recall_e4,
+         | CAST(max(CASE WHEN trk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nn_hit
+         |FROM (SELECT * FROM pq WHERE prk <= 10) pq
+         |LEFT JOIN (SELECT * FROM truth WHERE trk <= 10) truth
+         | ON truth.qid = pq.qid AND truth.vec_id = pq.vec_id
+         |GROUP BY pq.qid ORDER BY pq.qid""".stripMargin,
     "q132_pq_quantize" ->
       s"""WITH e AS (
          | SELECT vec_id,

@@ -1856,6 +1856,46 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q212 assortativity matches an independent Newman recomputation") {
+    def stats(edges: Set[(Long, Long)]): (Long, Long, Long, Long) = {
+      val es = edges.toSeq
+      val deg = (es.map(_._1) ++ es.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val mm = es.size.toLong
+      val sjk = es.map { case (a, b) => deg(a) * deg(b) }.sum
+      val sj = es.map { case (a, b) => deg(a) + deg(b) }.sum
+      val s2 = es.map { case (a, b) => deg(a) * deg(a) + deg(b) * deg(b) }.sum
+      val num = 4 * mm * sjk - sj * sj
+      val den = 2 * mm * s2 - sj * sj
+      val r =
+        if (den == 0L) 0L
+        else if (num >= 0L) hdivC(1000000L * num, den)
+        else -hdivC(1000000L * (-num), den)
+      (deg.size.toLong, mm, deg.values.max, r)
+    }
+    val cand = SparkEntry.queries("q37_lsh_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ver = SparkEntry.queries("q38_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set(
+      ("candidates" +: stats(cand).productIterator.toSeq).toList,
+      ("verified" +: stats(ver).productIterator.toSeq).toList)
+    def run() = SparkEntry.queries("q212_assortativity")(spark, sf).collect()
+      .map(r => List[Any](r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    val got = run()
+    assert(got == expected)
+    spark.conf.set("graft.assort.decimal", "true")
+    try assert(run() == expected, "decimal-guarded q212 diverges")
+    finally spark.conf.unset("graft.assort.decimal")
+    // r is a correlation coefficient in [-1, 1] (e6 units)
+    got.foreach { l =>
+      val r = l(4).asInstanceOf[Long]
+      assert(r >= -1000000L && r <= 1000000L, l.head)
+    }
+  }
+
   test("q177 top prefixes match an independent per-source count") {
     val expected = docs.groupBy(_._3).flatMap { case (src, ds) =>
       val prefixes = ds.map { case (_, text, _, _) =>

@@ -23,7 +23,9 @@ class PairCacheSpec extends AnyFunSuite {
     "q170_ann_margin", "q174_intrinsic_dim",
     // r16: q195 rides the session components relation; q203/q210 the
     // shared cdcChunks chunk relation
-    "q195_dedup_saturation", "q203_cdc_chunks", "q210_chunk_league")
+    "q195_dedup_saturation", "q203_cdc_chunks", "q210_chunk_league",
+    // r16 wave 9: q212 reads pairStats for both of its edge sets
+    "q212_assortativity")
 
   test("every pair-family query is identical with the session pair cache on") {
     val derived = family.map(q =>

@@ -105,6 +105,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q211 PQ recall matches a scalar ADC-vs-exact recomputation") {
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def e6(v: Array[Float]): Array[Long] = v.map(x =>
+      BigDecimal(x.toDouble * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val (m, k, sub, topK) = (4, 8, 16, 10)
+    val knuth = vecs.map { case (id, _) => id -> ((id % 2147483647L) * 2654435761L) % 4294967296L }.toMap
+    val codebook = vecs.sortBy { case (id, _) => (knuth(id), id) }.take(k)
+      .map { case (id, v) => id -> e6(v) }
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val q6 = vecs.map { case (id, v) => id -> e6(v) }.toMap
+    // per (vec, subspace): the assigned codeword (ties to smaller cw)
+    val assigns = vecs.map { case (id, _) =>
+      id -> (0 until m).map { s =>
+        codebook.map { case (cid, cv) =>
+          (cid, sq(q6(id).slice(s * sub, (s + 1) * sub), cv.slice(s * sub, (s + 1) * sub)))
+        }.minBy { case (cid, d) => (d, cid) }._1
+      }
+    }.toMap
+    val cbMap = codebook.toMap
+    val qids = vecs.map(_._1).filter(_ < 10).sorted
+    val expected = qids.map { qid =>
+      val qv = q6(qid)
+      val others = vecs.map(_._1).filter(_ != qid)
+      val truth = others.map(id => (id, sq(q6(id), qv)))
+        .sortBy { case (id, d) => (d, id) }.take(topK).map(_._1).toSet
+      val truthNn = others.map(id => (id, sq(q6(id), qv)))
+        .minBy { case (id, d) => (d, id) }._1
+      val adcTop = others.map { id =>
+        val d = (0 until m).map { s =>
+          sq(qv.slice(s * sub, (s + 1) * sub),
+            cbMap(assigns(id)(s)).slice(s * sub, (s + 1) * sub))
+        }.sum
+        (id, d)
+      }.sortBy { case (id, d) => (d, id) }.take(topK).map(_._1).toSet
+      val hits = adcTop.count(truth).toLong
+      (qid, hits, hdiv(10000L * hits, topK.toLong),
+        if (adcTop(truthNn)) 1L else 0L)
+    }.toSeq
+    val got = SparkEntry.queries("q211_pq_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // recall is a top-10 share; an nn hit implies at least one hit
+    got.foreach { case (qid, h, rec, nn) =>
+      assert(h >= 0L && h <= 10L && rec == hdiv(10000L * h, 10L), qid)
+      assert(nn == 0L || h >= 1L, qid)
+    }
+  }
+
   test("q133 concentration matches a scalar ntile recomputation and bounds") {
     val evs = Tables(spark, sf).events
       .select(col("event_type"), col("user_id")).collect()
