@@ -255,7 +255,51 @@ object Multimodal extends QueryModule {
         sum(when(col("e4") < 10000L, 1L).otherwise(0L)).as("n_low"))
       .orderBy(col("source"), col("media_type"))
 
+  /** Declared-vs-sniffed media-type reconciliation (r16 wave 10 — the
+    * content-validation step the reference's check suite implies for
+    * assets: a manifest CLAIMS a type, the bytes SAY one; reference
+    * `check_stac_metadata`/`check_files_checksums` validate structure
+    * and digests, this closes the remaining content-claim gap): per
+    * source, assets, claim/content disagreements, the e4 mismatch
+    * share, and the commonest confusion pair declared→sniffed (the row
+    * an ingest triager reads first). Declared type synthesizes from the
+    * asset id (the manifest side), sniffed is [[blobs]]' first-byte
+    * dispatch (the content side) — deterministic in both engines.
+    *
+    * Scale shape: both classifications are map-side expressions next to
+    * the scan; the (source, declared, sniffed) census collapses onto
+    * ≤ |sources|·9 keys; the per-source rollup with the zero-padded
+    * argmax is census-scale. Nothing shuffles at corpus width.
+    */
+  private def q213(t: Tables): DataFrame =
+    blobs(t)
+      .withColumn(
+        "declared",
+        expr("""CASE doc_id % 3
+               |  WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END""".stripMargin))
+      .groupBy(col("source"), col("declared"), col("media_type").as("sniffed"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_assets"),
+        sum(when(col("declared") =!= col("sniffed"), col("c")).otherwise(0L)).as("n_mismatch"),
+        max(when(
+          col("declared") =!= col("sniffed"),
+          concat(
+            lpad(col("c").cast("string"), 19, "0"), lit(":"),
+            col("declared"), lit("->"), col("sniffed")))).as("worst"))
+      .withColumn(
+        "mismatch_e4",
+        expr("(2 * 10000 * n_mismatch + n_assets) DIV (2 * n_assets)"))
+      .withColumn("top_confusion", expr("substr(worst, 21)"))
+      .withColumn("top_confusion_n", expr("CAST(substr(worst, 1, 19) AS BIGINT)"))
+      .select(
+        col("source"), col("n_assets"), col("n_mismatch"), col("mismatch_e4"),
+        col("top_confusion"), col("top_confusion_n"))
+      .orderBy(col("source"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_type_mismatch" -> ((s, d) => q213(Tables(s, d))),
     "q141_payload_entropy" -> ((s, d) => q141(Tables(s, d))),
     "q44_blob_meta" -> ((s, d) => q44(Tables(s, d))),
     "q45_frame_sample" -> ((s, d) => q45(Tables(s, d))),
@@ -323,6 +367,29 @@ object Multimodal extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q213_type_mismatch" ->
+      """WITH b AS (
+        | SELECT source,
+        |  CASE doc_id % 3
+        |   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS declared,
+        |  CASE ascii(substr(text, 1, 1)) % 3
+        |   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS sniffed
+        | FROM documents),
+        | cs AS (
+        | SELECT source, declared, sniffed, count(*) AS c
+        | FROM b GROUP BY 1, 2, 3)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_assets,
+        | CAST(sum(CASE WHEN declared <> sniffed THEN c ELSE 0 END) AS BIGINT)
+        |  AS n_mismatch,
+        | CAST((2 * 10000 * sum(CASE WHEN declared <> sniffed THEN c ELSE 0 END)
+        |  + sum(c)) // (2 * sum(c)) AS BIGINT) AS mismatch_e4,
+        | substr(max(CASE WHEN declared <> sniffed THEN
+        |  concat(lpad(CAST(c AS VARCHAR), 19, '0'), ':', declared, '->', sniffed)
+        |  END), 21) AS top_confusion,
+        | CAST(substr(max(CASE WHEN declared <> sniffed THEN
+        |  concat(lpad(CAST(c AS VARCHAR), 19, '0'), ':', declared, '->', sniffed)
+        |  END), 1, 19) AS BIGINT) AS top_confusion_n
+        |FROM cs GROUP BY source ORDER BY source""".stripMargin,
     "q108_blob_neardup" ->
       """WITH d AS (
         | SELECT doc_id, n_chars AS byte_len,

@@ -350,7 +350,47 @@ object Relational extends QueryModule {
       .orderBy(col("o_orderkey"))
   }
 
+  /** TPC-H Q7-shaped cross-nation trade volume (r16 wave 10 — the
+    * two-fact multi-dim join tree the Q-shape family still lacked: Q17
+    * (q199) is a self-correlated aggregate, Q21 (q200) a folded
+    * double-EXISTS; Q7 is the star join BOTH fact tables participate
+    * in, with two independent dimension arms hanging off different
+    * fact keys): revenue shipped between distinct (customer nation,
+    * supplier nation) pairs, top 20. The interesting plan property is
+    * that the two nation arms join on DIFFERENT keys (o_custkey →
+    * customer → nation vs l_suppkey → supplier → nation), so only the
+    * lineitem⋈orders spine shuffles — on l_orderkey, the lake's
+    * co-bucket key (exchange-free on bucketed storage) — and all four
+    * dimension hops broadcast. Revenue quantizes half-up to e2 longs
+    * per line BEFORE the sum (q208's rule); the rollup lands on the
+    * ≤ |nations|² pair grid; top-20 is TakeOrderedAndProject.
+    */
+  private def q214(t: Tables): DataFrame =
+    t.lineitem
+      .select(
+        col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("rev_e2"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(
+        col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(
+        col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_e2")).as("revenue_e2"))
+      .orderBy(col("revenue_e2").desc, col("cust_nation"), col("supp_nation"))
+      .limit(20)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_nation_trade" -> ((s, d) => q214(Tables(s, d))),
     "q202_trailing_orders" -> ((s, d) => q202(Tables(s, d))),
     "q199_small_orders" -> ((s, d) => q199(Tables(s, d))),
     "q200_blocked_orders" -> ((s, d) => q200(Tables(s, d))),
@@ -377,6 +417,21 @@ object Relational extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q214_nation_trade" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        | count(*) AS n_lines,
+        | CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |  AS BIGINT)) AS BIGINT) AS revenue_e2
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2
+        |ORDER BY revenue_e2 DESC, cust_nation, supp_nation
+        |LIMIT 20""".stripMargin,
     "q202_trailing_orders" ->
       """WITH o AS (
         | SELECT o_orderkey, o_custkey, epoch_us(ts) AS us,

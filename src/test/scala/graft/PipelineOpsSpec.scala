@@ -2080,6 +2080,70 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 3L).get._3 == q85Versions)
   }
 
+  test("q213 type mismatch matches a direct declared-vs-sniffed census") {
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def mod3(n: Long) = n % 3 match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    val rows = docs.map { case (id, src, text) =>
+      (src, mod3(id), mod3(text.head.toLong))
+    }
+    val expected = rows.groupBy(_._1).map { case (src, xs) =>
+      val mism = xs.filter(x => x._2 != x._3)
+      val worst = mism.groupBy(x => (x._2, x._3)).toSeq
+        .map { case ((d, s0), ys) => (ys.length.toLong, s"$d->$s0") }
+        .maxBy { case (c, lbl) => (c, lbl) }
+      (src, xs.length.toLong, mism.length.toLong,
+        hdiv(10000L * mism.length, xs.length.toLong), worst._2, worst._1)
+    }.toSet
+    val got = SparkEntry.queries("q213_type_mismatch")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+      .toSet
+    assert(got == expected)
+    got.foreach { case (src, n, mm, share, _, topN) =>
+      assert(mm <= n && topN <= mm && share >= 0L && share <= 10000L, src)
+    }
+  }
+
+  test("q214 nation trade matches a direct multi-join recomputation") {
+    val t = Tables(spark, sf)
+    val nation = t.nation.select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val cust = t.customer.select(col("c_custkey"), col("c_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val supp = t.supplier.select(col("s_suppkey"), col("s_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ordCust = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lines = t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * (1 - r.getDouble(3)) * 100 + 0.5).toLong))
+    val pairs = lines.flatMap { case (ok, sk, rev) =>
+      for {
+        ck <- ordCust.get(ok)
+        cn <- cust.get(ck).flatMap(nation.get)
+        sn <- supp.get(sk).flatMap(nation.get)
+        if cn != sn
+      } yield ((cn, sn), rev)
+    }
+    val expected = pairs.groupBy(_._1).toSeq
+      .map { case ((cn, sn), xs) => (cn, sn, xs.length.toLong, xs.map(_._2).sum) }
+      .sortBy { case (cn, sn, _, rev) => (-rev, cn, sn) }
+      .take(20)
+    val got = SparkEntry.queries("q214_nation_trade")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // cross-nation only, ordered by revenue
+    assert(got.forall { case (cn, sn, _, _) => cn != sn })
+    assert(got.map(_._4).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+  }
+
   test("q208 order reconciliation matches a direct header-vs-lines recomputation") {
     val t = Tables(spark, sf)
     val sums = t.lineitem
