@@ -294,6 +294,22 @@ object Bench {
       s"""{"value":$total,"q_cs":$qs4,"reps":$nReps,"agg":"min",""" +
         s""""load_e2":[${math.rint(loadStart * 100).toLong},${math.rint(loadEnd * 100).toLong}],""" +
         s""""prep_cs":[${math.rint(prepLshS * 100).toLong},${math.rint(prepStoresS * 100).toLong}]"""
+    // At 214 queries even head4's named centisecond map alone is ~1940
+    // chars — no srd-bearing rung above fits and the r15-verdict regression
+    // (outliers not adjudicable from the artifact) would return. head5
+    // drops the NAMES from the full map: "q_cs_sorted" is the centisecond
+    // values in the same name-sorted order every rung already uses
+    // ("q_order":"name" says so in-band; results preserves rep()'s
+    // sortBy(_._1)). The slowest-10 srd map keeps EXPLICIT names, so
+    // adjudication never needs the index reconstruction — the array is for
+    // completeness, and the full named per-rep detail still lands at
+    // reps_file when the write succeeds.
+    val qs5 = results.map { case (_, v) => math.rint(v * 100).toLong }
+      .mkString("[", ",", "]")
+    val head5 =
+      s"""{"value":$total,"q_cs_sorted":$qs5,"q_order":"name","reps":$nReps,"agg":"min",""" +
+        s""""load_e2":[${math.rint(loadStart * 100).toLong},${math.rint(loadEnd * 100).toLong}],""" +
+        s""""prep_cs":[${math.rint(prepLshS * 100).toLong},${math.rint(prepStoresS * 100).toLong}]"""
     val candidates =
       Seq(s"$head,$repArrays}", s"$head,${slowestDetail(12)}}",
         s"$head}",
@@ -310,8 +326,15 @@ object Bench {
         s"$head4,${srd(10)}}",
         s"$head4,${srd(8)}}",
         s"$head4,${srd(6)}}",
+        // keyless-array rungs: slimmer than any named full map, still
+        // carrying named slow-rep detail — preferred over every bare
+        // named map below
+        s"$head5$repsFileField,${srd(12)}}",
+        s"$head5,${srd(12)}}",
+        s"$head5,${srd(8)}}",
         s"$head3}",
         s"$head4}",
+        s"$head5}",
         s"$head2min}")
     // 1980 against the 2000-char window: r12-r14 artifacts show only a
     // trailing newline after the line, and every step down the ladder
