@@ -1287,7 +1287,13 @@ object Dedup extends QueryModule {
     * the last row is the first full-corpus prefix.
     */
   private def q195(t: Tables): DataFrame = {
-    val cps = (6 to 20).map(k => 1L << k)
+    // ladder top is 2^40 (~10¹² docs): a corpus larger than the top rung
+    // would silently lose its full-corpus prefix row — the silent-cap
+    // class this repo's discipline forbids (r16 review raised the r15
+    // top of 2^20, reachable around sf100). Rungs above 2·|corpus| are
+    // trimmed after the rollup, so the wider ladder costs only the
+    // extra per-doc filter matches, map-side.
+    val cps = (6 to 40).map(k => 1L << k)
     val comp = components(t)
     val total = t.documents.agg(count(lit(1)).as("n_all"))
     t.documents.select(col("doc_id"))
@@ -3452,7 +3458,7 @@ object Dedup extends QueryModule {
          |  c.component_id
          | FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
          | x AS (
-         | SELECT unnest(list_filter(${(6 to 20).map(k => 1L << k).mkString("[", ", ", "]")},
+         | SELECT unnest(list_filter(${(6 to 40).map(k => 1L << k).mkString("[", ", ", "]")},
          |   c -> doc_id < c)) AS cp, redundant, component_id
          | FROM f),
          | agg AS (

@@ -1180,8 +1180,12 @@ object Extras extends QueryModule {
     * estimate's single half-up division, a 4-row output.
     */
   private def q204(t: Tables): DataFrame = {
+    // DECIMAL(38,0), not (19,0): the guard must absorb the DERIVED
+    // products too — 2·10⁴·Σc²·n_keys passes 10¹⁹ around sf10 (r16
+    // review fix: the old guard ended at a .cast("long") on Σc², so the
+    // estimate/inflation arithmetic re-entered int64 and could wrap)
     val big: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      if (t.spark.conf.get("graft.forecast.decimal", "false").toBoolean) _.cast("decimal(19,0)")
+      if (t.spark.conf.get("graft.forecast.decimal", "false").toBoolean) _.cast("decimal(38,0)")
       else identity
     def branch(name: String, rel: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
       rel.select(key.as("k"))
@@ -1190,14 +1194,15 @@ object Extras extends QueryModule {
         .agg(
           count(lit(1)).as("n_keys"),
           sum(col("c")).as("n_rows"),
-          sum(big(col("c")) * big(col("c"))).cast("long").as("exact_join_rows"))
+          sum(big(col("c")) * big(col("c"))).as("exact_big"))
+        .withColumn("nr2", big(col("n_rows")) * col("n_rows"))
         .withColumn(
           "uniform_estimate",
-          expr("CAST((2 * n_rows * n_rows + n_keys) DIV (2 * n_keys) AS BIGINT)"))
+          expr("CAST((2 * nr2 + n_keys) DIV (2 * n_keys) AS BIGINT)"))
         .withColumn(
           "inflation_e4",
-          expr("CAST((2 * 10000 * exact_join_rows * n_keys + n_rows * n_rows) " +
-            "DIV (2 * n_rows * n_rows) AS BIGINT)"))
+          expr("CAST((2 * 10000 * exact_big * n_keys + nr2) DIV (2 * nr2) AS BIGINT)"))
+        .withColumn("exact_join_rows", col("exact_big").cast("long"))
         .select(
           lit(name).as("join_key"), col("n_keys"), col("n_rows"),
           col("exact_join_rows"), col("uniform_estimate"), col("inflation_e4"))
@@ -1409,7 +1414,12 @@ object Extras extends QueryModule {
     * (p_i·c_ij)/r_i half-up-rounds PER TERM — (2·p·c + r) DIV (2·r) —
     * then sums, identically in both engines; uniform start is the
     * floor division 10⁶ DIV k (mass may undershoot 10⁶ by < k, carried
-    * through both engines identically).
+    * through both engines identically). A target state whose mass is
+    * unreachable within the horizon reports stationary 0 on BOTH sides:
+    * here every state stays in the row set with p = 0, and the oracle's
+    * final join is LEFT + coalesce for the same reason (its iteration
+    * CTEs drop zero-mass states, which is value-equivalent mid-chain
+    * but would lose the output row on an inner join — r16 review fix).
     *
     * Scale shape: q166's one corpus-scale user-keyed lag window and the
     * transition agg collapsing onto ≤ |types|² keys map-side are the
@@ -1545,9 +1555,9 @@ object Extras extends QueryModule {
         | FROM ty)
         |SELECT obs.nxt AS event_type,
         | CAST(obs.observed_e6 AS BIGINT) AS observed_e6,
-        | CAST(p3.p AS BIGINT) AS stationary_e6,
-        | CAST(p3.p - obs.observed_e6 AS BIGINT) AS delta_e6
-        |FROM obs JOIN p3 ON p3.state = obs.nxt
+        | CAST(coalesce(p3.p, 0) AS BIGINT) AS stationary_e6,
+        | CAST(coalesce(p3.p, 0) - obs.observed_e6 AS BIGINT) AS delta_e6
+        |FROM obs LEFT JOIN p3 ON p3.state = obs.nxt
         |ORDER BY event_type""".stripMargin,
     "q205_t_closeness" ->
       """WITH ev AS (

@@ -1200,20 +1200,41 @@ object Similarity extends QueryModule {
     * all-centroid fan-out); the outlier window and rollup run on the
     * |vecs|-row per-vector relation, never the exploded view.
     */
-  private def q191(t: Tables): DataFrame = {
-    val big: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      if (t.spark.conf.get("graft.cell.decimal", "false").toBoolean) _.cast("decimal(19,0)")
-      else identity
-    val ev = quantizedEv(t)
+  // --- shared by the q191/q193 cluster-validity pair (r16 review fix:
+  // the fold was duplicated verbatim; a guard fix applied to one would
+  // have silently diverged the other) ---
+  // The overflow guard casts to DECIMAL(38,0) — NOT (19,0): the guarded
+  // values re-enter products and window sums (q191's 100·num·n vs
+  // p·Σnum comparisons, q193's dd² sums), and a 19-digit re-cast of an
+  // already-aggregated decimal overflows to NULL under non-ANSI Spark
+  // exactly in the regime the guard exists for.
+  private def cellBig(t: Tables): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    if (t.spark.conf.get("graft.cell.decimal", "false").toBoolean) _.cast("decimal(38,0)")
+    else identity
+  private def cellCentroids(t: Tables, ev: DataFrame): DataFrame = {
     val idx = t.spark.conf.get("graft.ivf.index", "")
-    val cent =
-      if (idx.isEmpty) centroidsOf(ev)
-      else graft.sources.IvfIndex.centroids(t.spark, idx)
-    val diff = col("q") * col("cnt") - col("sq")
-    val perVec = ev
-      .join(broadcast(cent), col("label") === col("clabel") && col("dim") === col("cdim"))
+    if (idx.isEmpty) centroidsOf(ev)
+    else graft.sources.IvfIndex.centroids(t.spark, idx)
+  }
+  /** (vec_id, label, num, cnt) — per-vector own-centroid distance
+    * numerator in q71's integer metric, guard applied to the diff
+    * operands (q·cnt and the diff² product both pass 2⁶³ before the sum
+    * does at cnt²·dim·q² ~ 10¹⁸).
+    */
+  private def ownCellFold(t: Tables, ev: DataFrame): DataFrame = {
+    val big = cellBig(t)
+    val diff = big(col("q")) * col("cnt") - col("sq")
+    ev.join(
+      broadcast(cellCentroids(t, ev)),
+      col("label") === col("clabel") && col("dim") === col("cdim"))
       .groupBy(col("vec_id"), col("label"))
       .agg(sum(big(diff) * big(diff)).as("num"), max(col("cnt")).as("cnt"))
+  }
+
+  private def q191(t: Tables): DataFrame = {
+    val big = cellBig(t)
+    val ev = quantizedEv(t)
+    val perVec = ownCellFold(t, ev)
     val w = Window.partitionBy(col("label"))
     perVec
       .withColumn("cell_n", count(lit(1)).over(w))
@@ -1264,21 +1285,14 @@ object Similarity extends QueryModule {
     * 10⁴ cells it is 10⁸ arithmetic rows with no corpus involvement).
     */
   private def q193(t: Tables): DataFrame = {
-    // same DECIMAL(38,0) overflow guard as q191 (one conf for the cell
-    // family): diff² sums overflow 2⁶³ once cnt²·dim·q² passes ~10¹⁸
-    val big: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      if (t.spark.conf.get("graft.cell.decimal", "false").toBoolean) _.cast("decimal(19,0)")
-      else identity
+    // q191's DECIMAL(38,0) guard and fold (one conf for the cell
+    // family); the centroid-gap operands below get the guard applied
+    // BEFORE the a.sq·b.cnt products — an sq ≈ cnt·q̄ cross-product
+    // wraps int64 in exactly the guarded regime (r16 review fix)
+    val big = cellBig(t)
     val ev = quantizedEv(t)
-    val idx = t.spark.conf.get("graft.ivf.index", "")
-    val cent =
-      if (idx.isEmpty) centroidsOf(ev)
-      else graft.sources.IvfIndex.centroids(t.spark, idx)
-    val diff = col("q") * col("cnt") - col("sq")
-    val scatter = ev
-      .join(broadcast(cent), col("label") === col("clabel") && col("dim") === col("cdim"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(sum(big(diff) * big(diff)).as("num"), max(col("cnt")).as("cnt"))
+    val cent = cellCentroids(t, ev)
+    val scatter = ownCellFold(t, ev)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("num")).as("s_sum"), max(col("cnt")).as("cnt"))
       .withColumn(
@@ -1290,7 +1304,7 @@ object Similarity extends QueryModule {
         col("a.cdim") === col("b.cdim") && col("a.clabel") =!= col("b.clabel"))
       .select(
         col("a.clabel").as("la"), col("b.clabel").as("lb"),
-        (col("a.sq") * col("b.cnt") - col("b.sq") * col("a.cnt")).as("dd"),
+        (big(col("a.sq")) * col("b.cnt") - big(col("b.sq")) * col("a.cnt")).as("dd"),
         col("a.cnt").as("ca"), col("b.cnt").as("cb"))
       .groupBy(col("la"), col("lb"))
       .agg(sum(big(col("dd")) * big(col("dd"))).as("d_sum"), max(col("ca") * col("cb")).as("cc"))

@@ -2189,9 +2189,12 @@ object TextAnalysis extends QueryModule {
     * (no conf gate — the overflow is reachable at tested scale, unlike
     * the q194-family guards). Each cell's term half-up-rounds to e4 ONCE
     * and the χ² pieces are integer sums of those — deterministic in both
-    * engines. DECIMAL(38,0) bounds the audit at ~10⁹ documents; past
-    * that the contingency table is built from a stratified sample (a
-    * declared bound, not a silent cap). Argmax source is the zero-padded
+    * engines. DECIMAL(38,0) bounds the audit at ~2·10⁸ documents — the
+    * binding term is 2·10⁴·(O·N − R·C)² ≤ 10³⁸, i.e. |O·N − R·C| ≤
+    * ~7·10¹⁶, and a worst-case skewed cell reaches |dnum| ≈ N·R (r16
+    * review corrected the first ~10⁹ claim); past that the contingency
+    * table is built from a stratified sample (a declared bound, not a
+    * silent cap). Argmax source is the zero-padded
     * max-string pick. df = (R−1)(C−1) rides along for the reader.
     *
     * Scale shape: ONE corpus-scale partial-aggregable (lang, source)

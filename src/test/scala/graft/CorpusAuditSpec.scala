@@ -1283,7 +1283,7 @@ class CorpusAuditSpec extends AnyFunSuite {
     val comp = SparkEntry.queries("q62_dup_clusters")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val ids = Tables(spark, sf).documents.select(col("doc_id")).collect().map(_.getLong(0))
-    val cps = (6 to 20).map(k => 1L << k).filter(_ < 2L * ids.length)
+    val cps = (6 to 40).map(k => 1L << k).filter(_ < 2L * ids.length)
     val expected = cps.map { cp =>
       val pre = ids.filter(_ < cp)
       val red = pre.filter(id => comp.get(id).exists(_ != id))
