@@ -58,6 +58,8 @@ object Bench {
     // the embeddings-side shared relation (q170/q174's cellTop2) rides
     // the same session-cache conf and the same priced prep slot
     graft.operators.Similarity.primeCellTop2(Tables(spark, sfDir))
+    // the q154/q215 shared kNN edge list (r16): same conf, same slot
+    graft.operators.Similarity.primeKnnEdges(Tables(spark, sfDir))
     val prepLshS = math.rint((System.nanoTime() - tPrep) / 1e7) / 100
     // Maintained-artifact session: a production lake keeps the corpus
     // count stores next to the data (SURVEY FreqStore: unigram + bigram

@@ -497,6 +497,15 @@ object PlanAudit {
     // identical exchanges at runtime); everything after the chain is
     // edge- or degree-scale (measured 22)
     "q212_assortativity" -> 22,
+    // q215 (r16 wave 11): the shared knnEdges chain (cell-keyed pair
+    // self-join + the per-query rank window) prints once per consuming
+    // branch — in-degree agg, the zero-degree left join, the |cells|
+    // stats rollup, the distribution-counting p95 branch (dist agg +
+    // label-partitioned cumulative + min fold) — AQE reuses the
+    // identical exchanges at runtime (q172/q212's class); everything
+    // after the edge list is |vecs|-, domain-, or |cells|-scale
+    // (measured 11)
+    "q215_knn_hubness" -> 11,
     // q173: (nation, supplier) fact pre-agg (the one corpus-scale
     // shuffle; supplier and nation dims broadcast) → |suppliers| rollup
     // → sort

@@ -194,7 +194,46 @@ object Similarity extends QueryModule {
   def clearCellCache(): Unit = {
     cellTop2Cache.forEach((_, df) => { df.unpersist(); () })
     cellTop2Cache.clear()
+    knnEdgesCache.forEach((_, df) => { df.unpersist(); () })
+    knnEdgesCache.clear()
   }
+
+  /** The (label, src, dst) within-cell k=5 nearest-neighbor edge list —
+    * q154's reciprocity base, extracted in r16 so q215's hubness census
+    * reads the SAME edges instead of re-running the Σ|cell|² pair scan.
+    * Under `graft.lsh.cache` (the bench/audit session conf) it is
+    * computed once and session-cached (cellTop2's pattern: primed in
+    * Bench prep, dropped by [[clearCellCache]]).
+    */
+  private val knnEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  private def knnEdges(t: Tables): DataFrame =
+    if (!cellCacheOn(t)) knnEdgesDerive(t)
+    else
+      knnEdgesCache.computeIfAbsent(
+        s"${t.spark.sparkContext.applicationId}|${t.dir}",
+        _ => knnEdgesDerive(t)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def knnEdgesDerive(t: Tables): DataFrame = {
+    val e = vectors(t).select(col("label"), col("vec_id"), col("v"))
+    val byQuery = Window.partitionBy(col("label"), col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    e.select(col("label"), col("vec_id").as("src"), col("v").as("vs"))
+      .join(
+        e.select(col("label").as("lb"), col("vec_id").as("dst"), col("v").as("vd")),
+        col("label") === col("lb") && col("src") =!= col("dst"))
+      .withColumn("cos_sim", round(cosine_sim(col("vs"), col("vd")), 6))
+      .withColumn("rk", row_number().over(byQuery))
+      .filter(col("rk") <= 5)
+      .select(col("label"), col("src"), col("dst"))
+  }
+
+  /** Materialize the session kNN-edge relation (no-op when the cache is
+    * off) — same pricing rule as [[primeCellTop2]].
+    */
+  def primeKnnEdges(t: Tables): Long =
+    if (cellCacheOn(t)) knnEdges(t).count() else 0L
 
   private def cellTop2Derive(t: Tables): DataFrame = {
     val corpus = vectors(t).select(col("label"), col("vec_id"), col("v"))
@@ -1085,17 +1124,8 @@ object Similarity extends QueryModule {
     * the rollup is |label| rows.
     */
   private def q154(t: Tables): DataFrame = {
-    val e = vectors(t).select(col("label"), col("vec_id"), col("v"))
-    val byQuery = Window.partitionBy(col("label"), col("src")).orderBy(col("cos_sim").desc, col("dst"))
-    val edges = e
-      .select(col("label"), col("vec_id").as("src"), col("v").as("vs"))
-      .join(
-        e.select(col("label").as("lb"), col("vec_id").as("dst"), col("v").as("vd")),
-        col("label") === col("lb") && col("src") =!= col("dst"))
-      .withColumn("cos_sim", round(cosine_sim(col("vs"), col("vd")), 6))
-      .withColumn("rk", row_number().over(byQuery))
-      .filter(col("rk") <= 5)
-      .select(col("label"), col("src"), col("dst"))
+    val e = vectors(t).select(col("label"), col("vec_id"))
+    val edges = knnEdges(t)
     val mutual = edges.as("a")
       .join(
         edges.as("b"),
@@ -1115,6 +1145,75 @@ object Similarity extends QueryModule {
       .withColumn(
         "mutual_e4",
         expr("CASE WHEN n_edges = 0 THEN CAST(0 AS BIGINT) ELSE (2 * 10000 * n_mutual + n_edges) DIV (2 * n_edges) END"))
+      .orderBy(col("label"))
+  }
+
+  /** kNN hubness census (Radovanović, Nanopoulos & Ivanović 2010, JMLR
+    * "Hubs in space" — new r16): per IVF cell, the in-degree (k-occurrence
+    * N_k) distribution of q154's k=5 within-cell kNN graph — max and
+    * nearest-rank p95 in-degree, hub count (N_k ≥ 2k, the points that
+    * absorb everyone's neighbor lists), antihub count (N_k = 0, the
+    * points NO vector lists — unreachable through any greedy kNN
+    * traversal), and `hub_mass_e4`, the share of all directed edges
+    * landing on hubs. This is the VALUE distribution behind q154's
+    * reciprocity ratio: high hub mass means kNN-graph consumers
+    * (SemDeDup q101, label propagation, the q74 multiprobe's residual
+    * ranking) see a few centers over and over — the high-intrinsic-
+    * dimension pathology q174 estimates from the other end. Corpus-probed
+    * non-degenerate at every SF (hubs 7/8/40, antihubs 1/0/10 at
+    * sf0.001/0.01/0.1).
+    *
+    * All-integer: in-degrees are exact counts; p95 is q197's
+    * nearest-rank rule rank = (95·n + 99) DIV 100 read off a
+    * distribution-counting cumulative (the in-degree DOMAIN is ≤ ~3k
+    * values — no per-vector sort anywhere); hub mass is one half-up e4
+    * division.
+    *
+    * Scale shape: rides the session-cached [[knnEdges]] relation (the
+    * Σ|cell|² pair scan is paid once with q154 under `graft.lsh.cache`,
+    * priced in Bench prep); the in-degree agg collapses the k·n edge
+    * list onto (label, dst) keys map-side; the zero-degree join is
+    * |vecs|-row; the cumulative window runs on the ≤|cells|·|N_k domain|
+    * distribution relation (q136's bounded-domain class); rollup is
+    * |cells| rows.
+    */
+  private def q215(t: Tables): DataFrame = {
+    val e = vectors(t).select(col("label"), col("vec_id"))
+    val deg = knnEdges(t)
+      .groupBy(col("label").as("dl"), col("dst"))
+      .agg(count(lit(1)).as("nk"))
+    val perVec = e
+      .join(deg, col("label") === col("dl") && col("vec_id") === col("dst"), "left")
+      .select(col("label"), col("vec_id"), coalesce(col("nk"), lit(0L)).as("nk"))
+    val stats = perVec
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("nk")).as("n_edges"),
+        max(col("nk")).as("max_nk"),
+        sum(when(col("nk") >= 10, 1L).otherwise(0L)).as("hubs"),
+        sum(when(col("nk") === 0, 1L).otherwise(0L)).as("antihubs"),
+        sum(when(col("nk") >= 10, col("nk")).otherwise(0L)).as("hub_edges"))
+    val cum = Window.partitionBy(col("label")).orderBy(col("nk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p95 = perVec
+      .groupBy(col("label"), col("nk"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(cum))
+      .join(broadcast(stats.select(col("label").as("sl"), col("n_vecs"))),
+        col("label") === col("sl"))
+      .filter(col("cum") >= expr("(95 * n_vecs + 99) DIV 100"))
+      .groupBy(col("label"))
+      .agg(min(col("nk")).as("p95_nk"))
+    stats
+      .join(broadcast(p95), Seq("label"))
+      .withColumn(
+        "hub_mass_e4",
+        expr("CASE WHEN n_edges = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (2 * 10000 * hub_edges + n_edges) DIV (2 * n_edges) END"))
+      .select(
+        col("label"), col("n_vecs"), col("n_edges"), col("max_nk"),
+        col("p95_nk"), col("hubs"), col("antihubs"), col("hub_mass_e4"))
       .orderBy(col("label"))
   }
 
@@ -1332,6 +1431,7 @@ object Similarity extends QueryModule {
     "q191_cell_outliers" -> ((s, d) => q191(Tables(s, d))),
     "q158_centroid_silhouette" -> ((s, d) => q158(Tables(s, d))),
     "q154_knn_reciprocity" -> ((s, d) => q154(Tables(s, d))),
+    "q215_knn_hubness" -> ((s, d) => q215(Tables(s, d))),
     "q124_power_iter" -> ((s, d) => q124(Tables(s, d))),
     "q132_pq_quantize" -> ((s, d) => q132(Tables(s, d))),
     "q211_pq_recall" -> ((s, d) => q211(Tables(s, d))),
@@ -1473,6 +1573,44 @@ object Similarity extends QueryModule {
          | min(sil) AS min_sil_e4,
          | CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
          |FROM s GROUP BY label ORDER BY label""".stripMargin,
+    "q215_knn_hubness" ->
+      s"""WITH $duckVectors,
+         | p AS (
+         | SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
+         |  round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         | FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         | r AS (
+         | SELECT label, src, dst,
+         |  row_number() OVER (PARTITION BY label, src ORDER BY cos_sim DESC, dst) AS rk
+         | FROM p),
+         | ed AS (SELECT label, src, dst FROM r WHERE rk <= 5),
+         | deg AS (SELECT label AS dl, dst, count(*) AS nk FROM ed GROUP BY 1, 2),
+         | pv AS (
+         | SELECT n.label, n.vec_id, CAST(COALESCE(deg.nk, 0) AS BIGINT) AS nk
+         | FROM n LEFT JOIN deg ON deg.dl = n.label AND deg.dst = n.vec_id),
+         | st AS (
+         | SELECT label, count(*) AS n_vecs,
+         |  CAST(sum(nk) AS BIGINT) AS n_edges, max(nk) AS max_nk,
+         |  CAST(sum(CASE WHEN nk >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hubs,
+         |  CAST(sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS antihubs,
+         |  CAST(sum(CASE WHEN nk >= 10 THEN nk ELSE 0 END) AS BIGINT) AS hub_edges
+         | FROM pv GROUP BY label),
+         | dist AS (SELECT label, nk, count(*) AS c FROM pv GROUP BY 1, 2),
+         | cm AS (
+         | SELECT label, nk,
+         |  sum(c) OVER (PARTITION BY label ORDER BY nk
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM dist),
+         | p95 AS (
+         | SELECT cm.label, min(nk) AS p95_nk
+         | FROM cm JOIN st ON st.label = cm.label
+         | WHERE cum >= (95 * n_vecs + 99) // 100 GROUP BY 1)
+         |SELECT st.label, n_vecs, n_edges, max_nk, p95_nk, hubs, antihubs,
+         | CASE WHEN n_edges = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE CAST((2 * 10000 * hub_edges + n_edges) // (2 * n_edges) AS BIGINT)
+         | END AS hub_mass_e4
+         |FROM st JOIN p95 ON p95.label = st.label
+         |ORDER BY st.label""".stripMargin,
     "q154_knn_reciprocity" ->
       s"""WITH $duckVectors,
          | p AS (

@@ -26,6 +26,38 @@ object StreamingOps extends QueryModule {
         col("n_events"), col("n_users"), col("total_value"))
       .orderBy(col("window_start"))
 
+  /** Sliding (hopping) window aggregation — the OVERLAPPING-window class
+    * q46's tumbling windows leave unproven (new r16): per 2-hour window
+    * sliding every 30 minutes, event count, distinct users, and
+    * e2-quantized total value. Spark's `window(ts, "2 hours", "30
+    * minutes")` assigns each event to windowDuration/slideDuration = 4
+    * epoch-aligned windows natively (the streaming form is the same plan
+    * under a watermark — StreamingSpec drives it on a MemoryStream; state
+    * is bounded by watermark + windowDuration exactly as the batch
+    * explode is bounded by the factor 4).
+    *
+    * Numeric discipline: value quantizes half-up to e2 longs PER ROW
+    * before the sum (q141's rule — a double Σ's addition order is
+    * engine-internal); counts are exact.
+    *
+    * Scale shape: the window assignment is a map-side 4× explode (a
+    * constant factor, not a join); ONE shuffle on the window key carries
+    * count + sum, and the distinct-user count rides the same exchange
+    * via Spark's Expand rewrite; output is |span|/slide + 3 rows.
+    */
+  private def q216(t: Tables): DataFrame =
+    t.events
+      .withColumn("value_e2", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value_e2")).as("total_value_e2"))
+      .select(
+        col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n_events"), col("n_users"), col("total_value_e2"))
+      .orderBy(col("window_start"))
+
   /** Streaming dedup (`dropDuplicates` within a watermark) batch twin:
     * keep the earliest event per (user, type, minute) — deterministic
     * keep-first via row_number, exactly what the state store does.
@@ -159,6 +191,7 @@ object StreamingOps extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_stream_sessions" -> ((s, d) => q198(Tables(s, d))),
     "q46_stream_tumbling" -> ((s, d) => q46(Tables(s, d))),
+    "q216_stream_sliding" -> ((s, d) => q216(Tables(s, d))),
     "q47_stream_dedup" -> ((s, d) => q47(Tables(s, d))),
     "q73_stream_join" -> ((s, d) => q73(Tables(s, d))),
     "q83_late_data" -> ((s, d) => q83(Tables(s, d)))
@@ -190,6 +223,15 @@ object StreamingOps extends QueryModule {
         | CAST(max(dur_us) // 1000000 AS BIGINT) AS max_session_dur_s,
         | round(sum(v), 2) AS total_value
         |FROM ses GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q216_stream_sliding" ->
+      """WITH x AS (
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) - j * INTERVAL '30 minutes' AS ws,
+        |  user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2
+        | FROM events, unnest([0, 1, 2, 3]) AS t(j))
+        |SELECT ws AS window_start, ws + INTERVAL '2 hours' AS window_end,
+        | count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        | CAST(sum(value_e2) AS BIGINT) AS total_value_e2
+        |FROM x GROUP BY 1, 2 ORDER BY window_start""".stripMargin,
     "q46_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
         | time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,

@@ -25,7 +25,9 @@ class PairCacheSpec extends AnyFunSuite {
     // shared cdcChunks chunk relation
     "q195_dedup_saturation", "q203_cdc_chunks", "q210_chunk_league",
     // r16 wave 9: q212 reads pairStats for both of its edge sets
-    "q212_assortativity")
+    "q212_assortativity",
+    // r16 wave 11: q154/q215 share the within-cell kNN edge relation
+    "q154_knn_reciprocity", "q215_knn_hubness")
 
   test("every pair-family query is identical with the session pair cache on") {
     val derived = family.map(q =>

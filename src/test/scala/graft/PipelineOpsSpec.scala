@@ -1091,6 +1091,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q215 kNN hubness matches an independent in-degree recomputation") {
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables(spark, sf).embeddings.collect().map { r =>
+      (r.getLong(0), r.getAs[Number]("label").intValue,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    }
+    val byCell = vecs.groupBy(_._2)
+    val expected = byCell.map { case (cell, xs) =>
+      // q154's exact edge rule: k=5 within-cell by (cos desc, dst)
+      val indeg = xs.toSeq.flatMap { case (src, _, vs) =>
+        xs.toSeq.filter(_._1 != src)
+          .map { case (dst, _, vd) => (rnd6(cos(vs, vd)), dst) }
+          .sortBy { case (sim, dst) => (-sim, dst) }
+          .take(5)
+          .map(_._2)
+      }.groupBy(identity).map { case (d, es) => d -> es.size.toLong }
+      val nks = xs.toSeq.map { case (id, _, _) => indeg.getOrElse(id, 0L) }
+      val n = nks.size
+      val nEdges = nks.sum
+      val sorted = nks.sorted
+      val rank95 = (95 * n + 99) / 100
+      val hubs = nks.count(_ >= 10).toLong
+      val hubEdges = nks.filter(_ >= 10).sum
+      (cell, n.toLong, nEdges, nks.max, sorted(rank95 - 1),
+        hubs, nks.count(_ == 0).toLong,
+        if (nEdges == 0) 0L else hdiv(10000L * hubEdges, nEdges))
+    }.toSet
+    val got = SparkEntry.queries("q215_knn_hubness")(spark, sf).collect()
+      .map(r => (r.getAs[Number]("label").intValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(got == expected)
+    // each vector has min(5, n-1) out-edges, so Σ in-degree must equal
+    // that exact total; the census must be non-degenerate on this corpus
+    // (probed: hubs AND a max N_k beyond k exist at every SF)
+    got.foreach { case (cell, nv, ne, maxNk, p95, _, _, mass) =>
+      assert(ne == nv * math.min(5L, nv - 1), s"cell $cell")
+      assert(p95 <= maxNk, s"cell $cell")
+      assert(mass >= 0 && mass <= 10000, s"cell $cell")
+    }
+    assert(got.map(_._4).max > 5, "degenerate: no cell has an N_k above k")
+  }
+
   test("q156 tile pyramid matches an independent grid recomputation") {
     val keys = Tables(spark, sf).customer.select(col("c_custkey")).collect().map(_.getLong(0))
     val expected = Seq(2, 4, 6).map { z =>

@@ -38,6 +38,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == 3)
   }
 
+  test("sliding window agg runs as a streaming query (q216's plan)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double)] // (ts_us, user, value)
+    // one event at t=0 and one 3 h later: each lands in exactly
+    // windowDuration/slide = 4 overlapping 2 h windows, far enough apart
+    // that no window holds both
+    ms.addData((0L, 1L, 1.0), (3L * 3600L * us, 2L, 2.5))
+    val agg = ms
+      .toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("user_id"), col("_3").as("value"))
+      .withColumn("value_e2", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value_e2")).as("v"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("slide_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("slide_out").collect()
+    assert(rows.length == 8) // 4 windows per event, disjoint
+    assert(rows.map(_.getAs[Long]("n")).sum == 8)
+    assert(rows.map(_.getAs[Long]("v")).toSet == Set(100L, 250L))
+    // batch side: the same 4× multiplicity must hold corpus-wide
+    val batch = SparkEntry.queries("q216_stream_sliding")(spark, sf).collect()
+    val nEvents = Tables(spark, sf).events.count()
+    assert(batch.map(_.getAs[Long]("n_events")).sum == 4 * nEvents)
+    // every window spans exactly 2 h and starts on the 30-min grid
+    batch.foreach { r =>
+      val s = r.getTimestamp(0).getTime; val e = r.getTimestamp(1).getTime
+      assert(e - s == 2L * 3600 * 1000)
+      assert(s % (30L * 60 * 1000) == 0)
+    }
+  }
+
   test("native session_window agg runs as a streaming query (q198's plan)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
