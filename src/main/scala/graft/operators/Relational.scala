@@ -208,6 +208,32 @@ object Relational extends QueryModule {
         col("bal"))
       .orderBy(col("region_name"), col("nation_name"))
 
+  /** Full CUBE with grouping_id — the grouping-sets class q16's rollup
+    * leaves unproven (new r16): rollup emits the prefix hierarchy only;
+    * CUBE(status, priority) emits all four grouping sets including the
+    * priority-only marginal, and `grouping_id()` is the bit vector
+    * (first cube column = MSB) that distinguishes a subtotal row from a
+    * genuine value — the disambiguation every BI consumer of coalesced
+    * 'ALL' labels actually keys on. Prices e2-quantize per row BEFORE
+    * the sum (q141's rule). Spark's Expand rewrite turns the cube into
+    * ONE shuffle over 4× map-side-expanded rows — the same plan class as
+    * countDistinct; output is the ≤ (|status|+1)·(|priority|+1) grid.
+    */
+  private def q218(t: Tables): DataFrame =
+    t.orders
+      .withColumn("price_e2", expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(col("price_e2")).as("total_price_e2"))
+      .select(
+        col("gid").cast("long").as("gid"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price_e2"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
   // q17: tumbling time bucket == streaming window().start on a batch plan.
   private def q17(t: Tables): DataFrame =
     t.events
@@ -410,6 +436,7 @@ object Relational extends QueryModule {
     "q14_conditional_agg" -> ((s, d) => q14(Tables(s, d))),
     "q15_above_avg_groups" -> ((s, d) => q15(Tables(s, d))),
     "q16_rollup_sales" -> ((s, d) => q16(Tables(s, d))),
+    "q218_cube_sales" -> ((s, d) => q218(Tables(s, d))),
     "q17_hourly_events" -> ((s, d) => q17(Tables(s, d))),
     "q18_string_report" -> ((s, d) => q18(Tables(s, d))),
     "q19_null_audit" -> ((s, d) => q19(Tables(s, d))),
@@ -570,6 +597,14 @@ object Relational extends QueryModule {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
+    "q218_cube_sales" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_price_e2
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
     "q17_hourly_events" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         | count(*) AS n, round(sum(value),2) AS total_value

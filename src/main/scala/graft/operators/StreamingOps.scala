@@ -109,6 +109,51 @@ object StreamingOps extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** Unattributed-click audit — the batch twin of the stream-stream LEFT
+    * OUTER join's null side (new r16; StreamingSpec's "unmatched clicks
+    * after watermark eviction" drives the streaming form): q73 counts the
+    * attributed pairs, this the clicks with NO same-user purchase in the
+    * 30-minute window — the rows the outer join emits with a null right
+    * side once the watermark proves none can arrive. Per user: clicks,
+    * unattributed clicks, and the e4 unattributed share. Probed: 1983 of
+    * 2006 clicks unattributed at sf0.01 — both classes populated.
+    *
+    * Spark-first the null side IS a left-anti join (same equi-key +
+    * range condition, no pair fan-out at all); the per-user rollup left-
+    * joins back onto the all-clicks census so a fully-attributed user
+    * still reports 0. Equi-key user_id carries both shuffles; pair work
+    * is per-user-bounded exactly like q73.
+    */
+  private def q217(t: Tables): DataFrame = {
+    val clicks = t.events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), unix_micros(col("ts")).as("c_us"))
+    val purchases = t.events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+    val unattributed = clicks
+      .join(
+        purchases,
+        col("user_id") === col("p_user") &&
+          col("p_us") >= col("c_us") &&
+          col("p_us") <= col("c_us") + 1800L * 1000000L,
+        "left_anti")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_unattributed"))
+      .withColumnRenamed("user_id", "u_user")
+    clicks
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .join(unattributed, col("user_id") === col("u_user"), "left")
+      .select(
+        col("user_id"), col("n_clicks"),
+        coalesce(col("n_unattributed"), lit(0L)).as("n_unattributed"))
+      .withColumn(
+        "unattr_e4",
+        expr("(2 * 10000 * n_unattributed + n_clicks) DIV (2 * n_clicks)"))
+      .orderBy(col("user_id"))
+  }
+
   /** Watermark late-data accounting — the batch reconstruction of what a
     * `withWatermark("ts", "10 minutes")` pipeline drops. Micro-batches are
     * hourly windows of arrival time (a map-side bucket — no global
@@ -192,6 +237,7 @@ object StreamingOps extends QueryModule {
     "q198_stream_sessions" -> ((s, d) => q198(Tables(s, d))),
     "q46_stream_tumbling" -> ((s, d) => q46(Tables(s, d))),
     "q216_stream_sliding" -> ((s, d) => q216(Tables(s, d))),
+    "q217_unattributed_clicks" -> ((s, d) => q217(Tables(s, d))),
     "q47_stream_dedup" -> ((s, d) => q47(Tables(s, d))),
     "q73_stream_join" -> ((s, d) => q73(Tables(s, d))),
     "q83_late_data" -> ((s, d) => q83(Tables(s, d)))
@@ -223,6 +269,26 @@ object StreamingOps extends QueryModule {
         | CAST(max(dur_us) // 1000000 AS BIGINT) AS max_session_dur_s,
         | round(sum(v), 2) AS total_value
         |FROM ses GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q217_unattributed_clicks" ->
+      """WITH c AS (
+        | SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        | FROM events WHERE event_type = 'click'),
+        | p AS (
+        | SELECT user_id AS p_user, epoch_us(ts) AS p_us
+        | FROM events WHERE event_type = 'purchase'),
+        | ua AS (
+        | SELECT user_id, count(*) AS n_unattributed
+        | FROM c WHERE NOT EXISTS (
+        |  SELECT 1 FROM p WHERE p_user = c.user_id
+        |   AND p_us >= c_us AND p_us <= c_us + 1800 * 1000000)
+        | GROUP BY user_id),
+        | ac AS (SELECT user_id, count(*) AS n_clicks FROM c GROUP BY user_id)
+        |SELECT ac.user_id, n_clicks,
+        | CAST(COALESCE(n_unattributed, 0) AS BIGINT) AS n_unattributed,
+        | CAST((2 * 10000 * COALESCE(n_unattributed, 0) + n_clicks)
+        |  // (2 * n_clicks) AS BIGINT) AS unattr_e4
+        |FROM ac LEFT JOIN ua ON ua.user_id = ac.user_id
+        |ORDER BY ac.user_id""".stripMargin,
     "q216_stream_sliding" ->
       """WITH x AS (
         | SELECT time_bucket(INTERVAL '30 minutes', ts) - j * INTERVAL '30 minutes' AS ws,

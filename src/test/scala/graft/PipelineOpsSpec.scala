@@ -231,6 +231,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q217 unattributed clicks match an independent window recomputation") {
+    val t = Tables(spark, sf)
+    val evs = t.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clicks = evs.filter(_._2 == "click")
+    val purch = evs.filter(_._2 == "purchase").groupBy(_._1)
+    def hdiv2(num: Long, den: Long) = (2 * num + den) / (2 * den)
+    val expected = clicks.groupBy(_._1).map { case (u, cs) =>
+      val ps = purch.getOrElse(u, Array.empty[(Long, String, Long)]).map(_._3)
+      val un = cs.count(c => !ps.exists(p => p >= c._3 && p <= c._3 + 1800L * 1000000L)).toLong
+      (u, cs.length.toLong, un, hdiv2(10000L * un, cs.length.toLong))
+    }.toSet
+    val got = SparkEntry.queries("q217_unattributed_clicks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // complement ties to q73: a user below 100% unattribution has at
+    // least one attributed click, so must appear in q73's pair table
+    val attributedUsers = got.filter(r => r._3 < r._2).map(_._1)
+    val q73Users = SparkEntry.queries("q73_stream_join")(spark, sf).collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    assert(attributedUsers.subsetOf(q73Users))
+    assert(attributedUsers.nonEmpty, "degenerate: no attributed clicks at all")
+    assert(got.exists(r => r._3 > 0), "degenerate: every click attributed")
+  }
+
+  test("q218 cube emits all four grouping sets with conserved totals") {
+    val t = Tables(spark, sf)
+    val orders = t.orders
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val cells = orders.groupBy(o => (o._1, o._2))
+      .map { case ((s, p), xs) => (0L, s, p, xs.length.toLong, xs.map(_._3).sum) }
+    val byStatus = orders.groupBy(_._1)
+      .map { case (s, xs) => (1L, s, "ALL", xs.length.toLong, xs.map(_._3).sum) }
+    val byPriority = orders.groupBy(_._2)
+      .map { case (p, xs) => (2L, "ALL", p, xs.length.toLong, xs.map(_._3).sum) }
+    val total = Seq((3L, "ALL", "ALL", orders.length.toLong, orders.map(_._3).sum))
+    val expected = (cells ++ byStatus ++ byPriority ++ total).toSet
+    val got = SparkEntry.queries("q218_cube_sales")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // each grouping set's order count must conserve the corpus
+    // (.toSeq first: mapping a Set to the count column would collapse
+    // cells that happen to share a count — the Set-multiplicity trap)
+    Seq(0L, 1L, 2L, 3L).foreach { g =>
+      assert(got.toSeq.filter(_._1 == g).map(_._4).sum == orders.length.toLong, s"gid $g")
+    }
+  }
+
   test("multi-probe IVF returns ranked neighbors from at most two cells") {
     val rows = SparkEntry.queries("q74_ivf_multiprobe")(spark, sf).collect()
     assert(rows.nonEmpty)
