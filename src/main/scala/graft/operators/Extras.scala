@@ -1179,6 +1179,34 @@ object Extras extends QueryModule {
     * `graft.forecast.decimal=true`, spec-pinned identical here), the
     * estimate's single half-up division, a 4-row output.
     */
+  /** Long-form metric export via `unpivot` (new r16 — the MELT operator,
+    * q59's pivot inverted; the wide→long reshape every metric store and
+    * plotting layer ingests): the four lineitem measures unpivoted to
+    * (metric, value) rows, rolled to count + e2 sum/min/max per metric.
+    * Measures e2-quantize to longs BEFORE the unpivot (one shared value
+    * type is what the operator requires anyway — and integer sums are
+    * the cross-engine rule). Spark compiles unpivot to the same Expand
+    * node as q218's cube: a constant 4× map-side row fan-out, partial
+    * aggregation collapses it onto 4 metric keys before the ONE
+    * exchange — no join, no corpus-width shuffle.
+    */
+  private def q219(t: Tables): DataFrame = {
+    def e2(c: String) = expr(s"CAST(floor($c * 100 + 0.5) AS BIGINT)").as(c)
+    t.lineitem
+      .select(e2("l_quantity"), e2("l_extendedprice"), e2("l_discount"), e2("l_tax"))
+      .unpivot(
+        Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "v")
+      .groupBy(col("metric"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("v")).as("sum_e2"),
+        min(col("v")).as("min_e2"),
+        max(col("v")).as("max_e2"))
+      .orderBy(col("metric"))
+  }
+
   private def q204(t: Tables): DataFrame = {
     // DECIMAL(38,0), not (19,0): the guard must absorb the DERIVED
     // products too — 2·10⁴·Σc²·n_keys passes 10¹⁹ around sf10 (r16
@@ -1468,6 +1496,7 @@ object Extras extends QueryModule {
     "q205_t_closeness" -> ((s, d) => q205(Tables(s, d))),
     "q207_fd_audit" -> ((s, d) => q207(Tables(s, d))),
     "q204_selfjoin_forecast" -> ((s, d) => q204(Tables(s, d))),
+    "q219_fact_unpivot" -> ((s, d) => q219(Tables(s, d))),
     "q196_price_bands" -> ((s, d) => q196(Tables(s, d))),
     "q190_transitions2" -> ((s, d) => q190(Tables(s, d))),
     "q153_k_anonymity" -> ((s, d) => q153(Tables(s, d))),
@@ -1630,6 +1659,21 @@ object Extras extends QueryModule {
          | ${fd("part.p_brand->p_type", "part", "p_brand", "p_type")})
          |SELECT * FROM u ORDER BY dependency""".stripMargin
     },
+    "q219_fact_unpivot" ->
+      """WITH q AS (
+        | SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS l_quantity,
+        |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS l_extendedprice,
+        |  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS l_discount,
+        |  CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS l_tax
+        | FROM lineitem),
+        | u AS (
+        | SELECT 'l_quantity' AS metric, l_quantity AS v FROM q
+        | UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM q
+        | UNION ALL SELECT 'l_discount', l_discount FROM q
+        | UNION ALL SELECT 'l_tax', l_tax FROM q)
+        |SELECT metric, count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_e2,
+        | min(v) AS min_e2, max(v) AS max_e2
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin,
     "q204_selfjoin_forecast" -> {
       def arm(name: String, tbl: String, key: String) =
         s"""SELECT '$name' AS join_key, count(*) AS n_keys,

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Per-user monotone high-water-mark detector on Spark 4's
+  * `transformWithState` operator — the new arbitrary-state API
+  * (StatefulProcessor + typed state handles) that supersedes
+  * map/flatMapGroupsWithState, exercised here so the substrate proves the
+  * modern state-store surface next to Sessionize's legacy one.
+  *
+  * Semantics: within each user's stream (folded in (ts, event_id) order —
+  * the same total order every batch twin in this repo uses), emit exactly
+  * the events that strictly RAISE the user's running maximum value, with
+  * the previous maximum attached. The batch equivalent is a prefix-window
+  * rule: value > max(value) over (PARTITION BY user ORDER BY ts, id ROWS
+  * UNBOUNDED PRECEDING AND 1 PRECEDING) — StreamingSpec pins the streaming
+  * operator to exactly that recomputation across multi-batch feeds.
+  *
+  * State per user is ONE double (the running max) — constant-size,
+  * watermark-independent, the cheapest state class there is; at 100 TB
+  * equivalents the state store scales with |users|, not |events|.
+  */
+object HighWater {
+
+  final case class Ev(user_id: Long, event_id: Long, ts_us: Long, value: Double)
+  final case class Mark(user_id: Long, event_id: Long, ts_us: Long, value: Double, prev_max: Double)
+
+  /** StatefulProcessor emitting strictly-increasing running maxima.
+    * Within a micro-batch rows arrive unordered; fold in (ts_us,
+    * event_id) order so replays and coalesced batches agree with the
+    * batch prefix rule.
+    */
+  final class HighWaterProcessor extends StatefulProcessor[Long, Ev, Mark] {
+    @transient private var maxState: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      maxState = getHandle.getValueState[Double](
+        "running_max", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev], timers: TimerValues): Iterator[Mark] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = if (maxState.exists()) Some(maxState.get()) else None
+      val out = Seq.newBuilder[Mark]
+      sorted.foreach { e =>
+        if (cur.forall(e.value > _)) {
+          out += Mark(user, e.event_id, e.ts_us, e.value, cur.getOrElse(Double.NegativeInfinity))
+          cur = Some(e.value)
+        }
+      }
+      cur.foreach(maxState.update)
+      out.result().iterator
+    }
+  }
+
+  def highWater(events: Dataset[Ev]): Dataset[Mark] = {
+    implicit val outEnc: Encoder[Mark] = Encoders.product[Mark]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new HighWaterProcessor, TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -285,6 +285,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q219 unpivot long form matches a direct per-measure recomputation") {
+    val t = Tables(spark, sf)
+    val rows = t.lineitem
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .collect()
+    def e2(d: Double) = math.floor(d * 100 + 0.5).toLong
+    val measures = Seq(
+      "l_quantity" -> rows.map(r => e2(r.getDouble(0))),
+      "l_extendedprice" -> rows.map(r => e2(r.getDouble(1))),
+      "l_discount" -> rows.map(r => e2(r.getDouble(2))),
+      "l_tax" -> rows.map(r => e2(r.getDouble(3))))
+    val expected = measures.map { case (m, vs) =>
+      (m, vs.length.toLong, vs.sum, vs.min, vs.max)
+    }.toSet
+    val got = SparkEntry.queries("q219_fact_unpivot")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // the melt must conserve the fact table: every metric carries one
+    // value per lineitem row
+    got.foreach { case (m, n, _, _, _) => assert(n == rows.length.toLong, m) }
+  }
+
   test("multi-probe IVF returns ranked neighbors from at most two cells") {
     val rows = SparkEntry.queries("q74_ivf_multiprobe")(spark, sf).collect()
     assert(rows.nonEmpty)

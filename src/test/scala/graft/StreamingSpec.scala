@@ -155,6 +155,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("transformWithState high-water marks match the batch prefix-max rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[graft.streaming.HighWater.Ev]
+      val out = graft.streaming.HighWater.highWater(ms.toDS())
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("hw_out")
+        .start()
+      // batch 1: user 1 rises 1.0 → 3.0 (2.0 in between also a record at
+      // its time), user 2 opens at 5.0
+      ms.addData(
+        graft.streaming.HighWater.Ev(1L, 1L, 0L, 1.0),
+        graft.streaming.HighWater.Ev(1L, 2L, 10L, 2.0),
+        graft.streaming.HighWater.Ev(1L, 3L, 20L, 3.0),
+        graft.streaming.HighWater.Ev(2L, 4L, 0L, 5.0))
+      q.processAllAvailable()
+      // batch 2: state must persist — 2.5 is NOT a record for user 1,
+      // 4.0 is; user 2's exact tie 5.0 is not (strictly greater only)
+      ms.addData(
+        graft.streaming.HighWater.Ev(1L, 5L, 30L, 2.5),
+        graft.streaming.HighWater.Ev(1L, 6L, 40L, 4.0),
+        graft.streaming.HighWater.Ev(2L, 7L, 10L, 5.0))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("hw_out").as[graft.streaming.HighWater.Mark].collect()
+        .map(m => (m.user_id, m.event_id, m.prev_max)).toSet
+      val expected = Set(
+        (1L, 1L, Double.NegativeInfinity), (1L, 2L, 1.0), (1L, 3L, 2.0),
+        (1L, 6L, 3.0), (2L, 4L, Double.NegativeInfinity))
+      assert(got == expected)
+      // pin to the batch prefix-window rule on the full fixture
+      val evs = Seq(
+        (1L, 1L, 0L, 1.0), (1L, 2L, 10L, 2.0), (1L, 3L, 20L, 3.0), (2L, 4L, 0L, 5.0),
+        (1L, 5L, 30L, 2.5), (1L, 6L, 40L, 4.0), (2L, 7L, 10L, 5.0))
+      val batchRecords = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+        val sorted = xs.sortBy(e => (e._3, e._2))
+        sorted.zipWithIndex.collect {
+          case ((u, id, _, v), i) if sorted.take(i).forall(_._4 < v) => (u, id)
+        }
+      }.toSet
+      assert(got.map(m => (m._1, m._2)) == batchRecords)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionization emits gap-closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
