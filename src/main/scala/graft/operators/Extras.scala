@@ -1490,7 +1490,72 @@ object Extras extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Markov entropy rate of the event chain (Shannon 1948's
+    * H = Σᵢ πᵢ·Hᵢ; new r16 — the order-∞ one-number closure of the
+    * transition family: q166 scores each state's exits, q190 the
+    * second-order contexts, q209 the stationary occupancy, THIS the
+    * bits-per-event the whole chain emits and which states carry them):
+    * per state, stationary mass (q209's 3-step power iteration,
+    * verbatim), outgoing conditional entropy (q166's e3 expression,
+    * verbatim), and `contribution_e3` = πᵢ·Hᵢ — the chain's entropy
+    * rate is the column sum (spec-pinned). A low-rate chain is a
+    * scripted flow no matter how flat its marginals look; the
+    * contribution column names the states to read first.
+    *
+    * Numeric discipline: π is exact integer (per-term half-up products,
+    * q209's rule); entropy is the family's single-transcendental log2
+    * written character-identically in both engines; the contribution
+    * product is one more exact long (π·H ≤ 2·10¹⁰) with one half-up e6
+    * division. A state with no outgoing edges contributes 0 (declared:
+    * its rows exit the chain).
+    *
+    * Scale shape: ONE corpus pass — the matrix relation is
+    * localCheckpointed at ≤|types|² rows and feeds BOTH the π gather
+    * (q209's bounded control-plane class) and the in-engine entropy
+    * branch; everything downstream is |types|-row arithmetic.
+    */
+  private def q220(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val m = t.events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val rows = m.collect().map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2)))
+    val r = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val states = rows.map(_._2).distinct.sorted
+    var p: Map[String, Long] = states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to 3)
+      p = states.map { j =>
+        j -> rows.collect {
+          case (i, jj, c) if jj == j && p.contains(i) =>
+            (2 * p(i) * c + r(i)) / (2 * r(i))
+        }.sum
+      }.toMap
+    import t.spark.implicits._
+    val pi = states.map(j => (j, p(j))).toSeq.toDF("state", "stationary_e6")
+    val ent = m
+      .withColumn("n_from", sum(col("c")).over(Window.partitionBy(col("prev"))))
+      .withColumn(
+        "bits_e3",
+        expr("CAST(floor(-log2(CAST(c AS DOUBLE) / n_from) * 1000 + 0.5) AS BIGINT)"))
+      .groupBy(col("prev"))
+      .agg(expr("(2 * sum(c * bits_e3) + max(n_from)) DIV (2 * max(n_from))").as("entropy_e3"))
+    pi.join(broadcast(ent), col("state") === col("prev"), "left")
+      .select(
+        col("state").as("event_type"), col("stationary_e6"),
+        coalesce(col("entropy_e3"), lit(0L)).as("entropy_e3"))
+      .withColumn(
+        "contribution_e3",
+        expr("(2 * stationary_e6 * entropy_e3 + 1000000) DIV (2 * 1000000)"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_markov_entropy_rate" -> ((s, d) => q220(Tables(s, d))),
     "q208_order_reconcile" -> ((s, d) => q208(Tables(s, d))),
     "q209_stationary_flow" -> ((s, d) => q209(Tables(s, d))),
     "q205_t_closeness" -> ((s, d) => q205(Tables(s, d))),
@@ -1558,6 +1623,39 @@ object Extras extends QueryModule {
         | CAST(min((2 * 10000 * tp_e2 + s_e2) // (2 * s_e2)) AS BIGINT) AS min_ratio_e4,
         | CAST(max((2 * 10000 * tp_e2 + s_e2) // (2 * s_e2)) AS BIGINT) AS max_ratio_e4
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q220_markov_entropy_rate" ->
+      """WITH seqd AS (
+        | SELECT event_type AS nxt,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events WHERE user_id IS NOT NULL),
+        | m AS (SELECT prev, nxt, count(*) AS c FROM seqd WHERE prev IS NOT NULL
+        |       GROUP BY 1, 2),
+        | r AS (SELECT prev, sum(c) AS r FROM m GROUP BY 1),
+        | mat AS (SELECT m.prev, m.nxt, m.c, r.r FROM m JOIN r USING (prev)),
+        | ty AS (SELECT nxt, sum(c) AS tmass FROM m GROUP BY 1),
+        | kk AS (SELECT count(*) AS k FROM ty),
+        | p0 AS (SELECT nxt AS state, 1000000 // (SELECT k FROM kk) AS p FROM ty),
+        | p1 AS (SELECT mat.nxt AS state, sum((2 * p0.p * mat.c + mat.r) // (2 * mat.r)) AS p
+        |        FROM mat JOIN p0 ON p0.state = mat.prev GROUP BY 1),
+        | p2 AS (SELECT mat.nxt AS state, sum((2 * p1.p * mat.c + mat.r) // (2 * mat.r)) AS p
+        |        FROM mat JOIN p1 ON p1.state = mat.prev GROUP BY 1),
+        | p3 AS (SELECT mat.nxt AS state, sum((2 * p2.p * mat.c + mat.r) // (2 * mat.r)) AS p
+        |        FROM mat JOIN p2 ON p2.state = mat.prev GROUP BY 1),
+        | b AS (
+        | SELECT prev, c, r,
+        |  CAST(floor(-log2(CAST(c AS DOUBLE) / r) * 1000 + 0.5) AS BIGINT) AS bits_e3
+        | FROM mat),
+        | ent AS (
+        | SELECT prev,
+        |  CAST((2 * sum(c * bits_e3) + max(r)) // (2 * max(r)) AS BIGINT) AS entropy_e3
+        | FROM b GROUP BY prev)
+        |SELECT ty.nxt AS event_type,
+        | CAST(coalesce(p3.p, 0) AS BIGINT) AS stationary_e6,
+        | CAST(coalesce(ent.entropy_e3, 0) AS BIGINT) AS entropy_e3,
+        | CAST((2 * coalesce(p3.p, 0) * coalesce(ent.entropy_e3, 0) + 1000000)
+        |  // (2 * 1000000) AS BIGINT) AS contribution_e3
+        |FROM ty LEFT JOIN p3 ON p3.state = ty.nxt LEFT JOIN ent ON ent.prev = ty.nxt
+        |ORDER BY event_type""".stripMargin,
     "q209_stationary_flow" ->
       """WITH seqd AS (
         | SELECT event_type AS nxt,

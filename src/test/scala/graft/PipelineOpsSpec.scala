@@ -2345,6 +2345,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got.toSeq.map(_._4).sum) <= 200L)
   }
 
+  test("q220 entropy rate composes q209's stationary with q166's entropies") {
+    val ev = Tables(spark, sf).events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val s = xs.sortBy(x => (x._2, x._3)).map(_._4).toSeq
+      s.zip(s.tail)
+    }
+    val m = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val r = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val states = trans.map(_._2).distinct.sorted
+    var p: Map[String, Long] = states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to 3)
+      p = states.map { j =>
+        j -> m.toSeq.collect {
+          case ((i, jj), c) if jj == j && p.contains(i) =>
+            (2 * p(i) * c + r(i)) / (2 * r(i))
+        }.sum
+      }.toMap
+    val ent = trans.groupBy(_._1).map { case (prev, xs) =>
+      val nFrom = xs.size.toLong
+      val wsum = xs.groupBy(_._2).map { case (_, es) =>
+        val n = es.size.toLong
+        n * math.floor(-(math.log(n.toDouble / nFrom) / math.log(2.0)) * 1000 + 0.5).toLong
+      }.sum
+      prev -> hdiv(wsum, nFrom)
+    }
+    val expected = states.map { j =>
+      val h = ent.getOrElse(j, 0L)
+      (j, p(j), h, hdiv(p(j) * h, 1000000L))
+    }.toSet
+    val got = SparkEntry.queries("q220_markov_entropy_rate")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // the chain's entropy rate (the contribution column sum) sits inside
+    // the per-state entropy envelope, and its stationary weights must
+    // tie to q209's output exactly
+    val rate = got.toSeq.map(_._4).sum
+    assert(rate > 0 && rate <= got.toSeq.map(_._3).max)
+    val q209pi = SparkEntry.queries("q209_stationary_flow")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(got.map(g => (g._1, g._2)) == q209pi)
+  }
+
   test("q205 t-closeness matches an independent EMD recomputation") {
     val rows = Tables(spark, sf).events
       .filter(col("user_id").isNotNull)
