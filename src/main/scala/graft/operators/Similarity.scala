@@ -1217,6 +1217,64 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Spectral-mass (anisotropy) audit of the embedding cloud (the top
+    * Rayleigh-quotient share of the uncentered second-moment spectrum —
+    * Mises & Pollaczek-Geiringer 1929's power iteration, 3 declared
+    * steps from uniform; new r16): per dimension, its energy S_ii and
+    * e6 trace share, the final iterate's eigenvector component, and the
+    * constant `ray_share_e6` = wᵀSw/(wᵀw·tr S) — isotropic embeddings
+    * sit at 1/d, a collapsed ("cone") embedding model far above; this is
+    * the anisotropy readout next to q109's norms, q174's intrinsic
+    * dimension and q215's hubness (anisotropy is WHY hubs form —
+    * Radovanović 2010 §6). Probed 1.2–1.5× the uniform share at every
+    * SF — present but mild, as a shell-like synthetic cloud should be.
+    *
+    * Numeric discipline: S = Σ q qᵀ over the shared e3-quantized grid —
+    * exact longs (|q| ≤ 10³ ⇒ |S_ij| ≤ n·10⁶; int64-safe to n ~ 10⁹,
+    * declared); each iteration is q209's per-term half-up rule with the
+    * q212 signed split (sign · half-up on |·|, since Spark/Scala
+    * truncate where DuckDB floors), renormalized to L∞ = 10⁶; the final
+    * Rayleigh quotient runs in BigInt/HUGEINT (wᵀSw passes 2⁶³ already
+    * at sf0.1) and is ≥ 0 by PSD-ness, so its one division is the plain
+    * half-up.
+    *
+    * Scale shape: ONE corpus-scale operation — the vec_id-keyed self-
+    * join of the (n·d)-row quantized grid whose d²-per-vector pair rows
+    * partial-aggregate map-side onto the d² matrix keys; the matrix is
+    * then a bounded control-plane gather (q209's class: d² longs, never
+    * corpus rows) and the iterations are driver integer arithmetic; the
+    * output is d rows.
+    */
+  private def q221(t: Tables): DataFrame = {
+    val ev = quantizedEv(t).select(col("vec_id"), col("dim"), col("q"))
+    val s = ev.as("a")
+      .join(ev.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
+      .agg(sum(col("a.q") * col("b.q")).as("s"))
+      .collect()
+      .map(r => ((r.getAs[Number]("i").intValue, r.getAs[Number]("j").intValue), r.getLong(2)))
+      .toMap
+    val dims = s.keys.map(_._1).toSeq.distinct.sorted
+    val trace = dims.map(i => s((i, i))).sum
+    def shdiv(a: Long, b: Long): Long = {
+      val q = (2 * math.abs(a) + b) / (2 * b); if (a < 0) -q else q
+    }
+    var w: Map[Int, Long] = dims.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val u = dims.map(i => i -> dims.map(j => shdiv(s((i, j)) * w(j), trace)).sum).toMap
+      val m = u.values.map(math.abs).max
+      w = dims.map(i => i -> shdiv(1000000L * u(i), m)).toMap
+    }
+    val rayNum = dims.flatMap(i => dims.map(j => BigInt(w(i)) * s((i, j)) * w(j))).sum
+    val rayDen = dims.map(i => BigInt(w(i)) * w(i)).sum * trace
+    val rayShare = ((2 * BigInt(1000000) * rayNum + rayDen) / (2 * rayDen)).toLong
+    import t.spark.implicits._
+    dims.map { i =>
+      (i.toLong, s((i, i)), shdiv(1000000L * s((i, i)), trace), w(i), rayShare)
+    }.toDF("dim", "energy", "energy_share_e6", "w_e6", "ray_share_e6")
+      .orderBy(col("dim"))
+  }
+
   /** Simplified (centroid) silhouette audit — Rousseeuw 1987's cluster-
     * validity score in the IVF family's shared integer-quantized metric:
     * per vector, a = distance to its OWN cell centroid, b = distance to
@@ -1432,6 +1490,7 @@ object Similarity extends QueryModule {
     "q158_centroid_silhouette" -> ((s, d) => q158(Tables(s, d))),
     "q154_knn_reciprocity" -> ((s, d) => q154(Tables(s, d))),
     "q215_knn_hubness" -> ((s, d) => q215(Tables(s, d))),
+    "q221_spectral_mass" -> ((s, d) => q221(Tables(s, d))),
     "q124_power_iter" -> ((s, d) => q124(Tables(s, d))),
     "q132_pq_quantize" -> ((s, d) => q132(Tables(s, d))),
     "q211_pq_recall" -> ((s, d) => q211(Tables(s, d))),
@@ -1475,7 +1534,54 @@ object Similarity extends QueryModule {
        |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS q
        | FROM embeddings)""".stripMargin
 
+  /** q221's oracle: the 3-step signed-half-up power iteration unrolled
+    * as CTE triples (u_k, m_k, w_k) — each step is q209's per-term rule
+    * with the q212 signed split, character-parallel to the Scala driver
+    * arithmetic in [[q221]].
+    */
+  private def duckSpectral: String = {
+    def step(k: Int): String = {
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s""" u$k AS MATERIALIZED (
+         | SELECT s.i AS d,
+         |  sum(CASE WHEN s.s * $prev.w < 0
+         |   THEN -((2 * (-(s.s * $prev.w)) + (SELECT t FROM tr)) // (2 * (SELECT t FROM tr)))
+         |   ELSE (2 * (s.s * $prev.w) + (SELECT t FROM tr)) // (2 * (SELECT t FROM tr)) END) AS u
+         | FROM s JOIN $prev ON $prev.d = s.j GROUP BY 1),
+         | m$k AS MATERIALIZED (SELECT max(abs(u)) AS m FROM u$k),
+         | w$k AS MATERIALIZED (
+         | SELECT d, CASE WHEN u < 0
+         |  THEN -((2 * (1000000 * (-u)) + (SELECT m FROM m$k)) // (2 * (SELECT m FROM m$k)))
+         |  ELSE (2 * (1000000 * u) + (SELECT m FROM m$k)) // (2 * (SELECT m FROM m$k)) END AS w
+         | FROM u$k)"""
+    }
+    s"""WITH $duckEv,
+       | s AS MATERIALIZED (
+       | SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s
+       | FROM ev a JOIN ev b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       | tr AS MATERIALIZED (
+       | SELECT CAST(sum(CASE WHEN i = j THEN s ELSE 0 END) AS BIGINT) AS t FROM s),
+       | w0 AS (SELECT DISTINCT i AS d, CAST(1000000 AS BIGINT) AS w FROM s),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)},
+       | ray AS (
+       | SELECT sum(CAST(wa.w AS HUGEINT) * s.s * wb.w) AS rn
+       | FROM s JOIN w3 wa ON wa.d = s.i JOIN w3 wb ON wb.d = s.j),
+       | rd AS (
+       | SELECT sum(CAST(w AS HUGEINT) * w) * (SELECT t FROM tr) AS rd FROM w3),
+       | dg AS (SELECT i, s FROM s WHERE i = j)
+       |SELECT CAST(dg.i AS BIGINT) AS dim, dg.s AS energy,
+       | CAST((2 * 1000000 * dg.s + (SELECT t FROM tr))
+       |  // (2 * (SELECT t FROM tr)) AS BIGINT) AS energy_share_e6,
+       | CAST(w3.w AS BIGINT) AS w_e6,
+       | CAST((2 * 1000000 * (SELECT rn FROM ray) + (SELECT rd FROM rd))
+       |  // (2 * (SELECT rd FROM rd)) AS BIGINT) AS ray_share_e6
+       |FROM dg JOIN w3 ON w3.d = dg.i ORDER BY dim""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q221_spectral_mass" -> duckSpectral,
     "q193_davies_bouldin" ->
       s"""WITH $duckEv,
          | cent AS (

@@ -2392,6 +2392,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(g => (g._1, g._2)) == q209pi)
   }
 
+  test("q221 spectral mass matches an independent integer power iteration") {
+    val vecs = Tables(spark, sf).embeddings.collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    val d = vecs.head.length
+    val q = vecs.map(_.map(x => math.floor(x.toDouble * 1000).toLong))
+    val s = Array.tabulate(d, d)((i, j) => q.map(v => v(i) * v(j)).sum)
+    val trace = (0 until d).map(i => s(i)(i)).sum
+    def shdiv(a: Long, b: Long): Long = {
+      val r = (2 * math.abs(a) + b) / (2 * b); if (a < 0) -r else r
+    }
+    var w = Array.fill(d)(1000000L)
+    for (_ <- 1 to 3) {
+      val u = Array.tabulate(d)(i => (0 until d).map(j => shdiv(s(i)(j) * w(j), trace)).sum)
+      val m = u.map(math.abs).max
+      w = u.map(x => shdiv(1000000L * x, m))
+    }
+    val rayNum = (for { i <- 0 until d; j <- 0 until d } yield BigInt(w(i)) * s(i)(j) * w(j)).sum
+    val rayDen = (0 until d).map(i => BigInt(w(i)) * w(i)).sum * trace
+    val rayShare = ((2 * BigInt(1000000) * rayNum + rayDen) / (2 * rayDen)).toLong
+    val expected = (0 until d).map { i =>
+      (i.toLong, s(i)(i), shdiv(1000000L * s(i)(i), trace), w(i), rayShare)
+    }.toSet
+    val got = SparkEntry.queries("q221_spectral_mass")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // the Rayleigh share must beat the isotropic 1/d floor (PSD matrix,
+    // probed anisotropy), energy shares carry ~unit mass, and the
+    // iterate is L-infinity normalized
+    assert(rayShare > 1000000L / d, "degenerate: no anisotropy to read")
+    assert(math.abs(got.toSeq.map(_._3).sum - 1000000L) <= d.toLong)
+    assert(got.toSeq.map(x => math.abs(x._4)).max == 1000000L)
+  }
+
   test("q205 t-closeness matches an independent EMD recomputation") {
     val rows = Tables(spark, sf).events
       .filter(col("user_id").isNotNull)
