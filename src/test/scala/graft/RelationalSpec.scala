@@ -68,6 +68,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad == 0, "session ids are not dense 1..n per user")
   }
 
+  test("q222 bag set-ops match per-key min/clamped-difference multiplicities") {
+    import org.apache.spark.sql.functions._
+    val cutUs = java.time.Instant.parse("1997-01-01T00:00:00Z").toEpochMilli * 1000L
+    val os = Tables(spark, sf).orders
+      .select(col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e = os.filter(_._2 < cutUs).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val l = os.filter(_._2 >= cutUs).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    def roll(ms: Map[Long, Long]) = {
+      val pos = ms.filter(_._2 > 0)
+      (pos.values.sum, pos.size.toLong, if (pos.isEmpty) 0L else pos.values.max)
+    }
+    val ex = roll(e.map { case (k, c) => k -> math.max(0L, c - l.getOrElse(k, 0L)) })
+    val in = roll(e.collect { case (k, c) if l.contains(k) => k -> math.min(c, l(k)) }.toMap)
+    val expected = Set(
+      ("except_all", ex._1, ex._2, ex._3), ("intersect_all", in._1, in._2, in._3))
+    val got = SparkEntry.queries("q222_multiset_ops")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // bag identity: |e| = |e ∩all l| + |e \all l|
+    assert(ex._1 + in._1 == e.values.sum)
+  }
+
+  test("q223 order-count histogram conserves the customer dimension") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    val perCust = t.orders.select(col("o_custkey")).collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val custs = t.customer.select(col("c_custkey")).collect().map(_.getLong(0))
+    val expected = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).map { case (cc, xs) => (cc, xs.size.toLong) }.toSet
+    val got = SparkEntry.queries("q223_cust_order_histogram")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.toSeq.map(_._2).sum == custs.length.toLong)
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
