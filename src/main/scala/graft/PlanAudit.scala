@@ -511,6 +511,13 @@ object PlanAudit {
     // plus each branch's multiplicity rollup; the per-branch single-row
     // folds ride coalesced partitions (measured 4)
     "q222_multiset_ops" -> 4,
+    // q224 (r16 wave 17): the (priority, lead) histogram chain — the
+    // co-bucket-keyed lineitem⋈orders join + day-domain agg — prints
+    // once per consuming branch (stats, the cumulative window, the two
+    // rank picks, the final stats⋈p50⋈p95 assembly); AQE reuses the
+    // identical exchanges at runtime (q215/q172's class); every branch
+    // after the histogram is ≤|priority|·|day domain| rows (measured 11)
+    "q224_lead_time" -> 11,
     // q173: (nation, supplier) fact pre-agg (the one corpus-scale
     // shuffle; supplier and nation dims broadcast) → |suppliers| rollup
     // → sort

@@ -1554,7 +1554,62 @@ object Extras extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Ship-lead-time integrity audit (new r16 — q208's header-vs-lines
+    * reconciliation moved to the TIME axis: keys can resolve and amounts
+    * reconcile while the dates are impossible): per order priority,
+    * lines shipped BEFORE their order date (probed ~49% at every SF —
+    * the generator enforces no temporal invariant, which is exactly what
+    * an ingest gate must detect), the e4 negative share, and nearest-rank
+    * p50/p95/max lead-time days. Day differences are exact integers;
+    * percentiles are q197's distribution-counting rule — one (priority,
+    * lead) count, a priority-partitioned cumulative over the bounded
+    * day domain, rank thresholds read off the cumulative; NO sort of the
+    * fact table anywhere.
+    *
+    * Scale shape: the lineitem⋈orders spine joins on l_orderkey (the
+    * co-bucket key — exchange-free on bucketed storage); the lead
+    * histogram collapses onto ≤|priority|·|day domain| keys map-side;
+    * everything after is domain-scale.
+    */
+  private def q224(t: Tables): DataFrame = {
+    val leads = t.lineitem
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(
+        t.orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("lead"))
+    val hist = leads.groupBy(col("priority"), col("lead")).agg(count(lit(1)).as("c"))
+    val stats = hist.groupBy(col("priority"))
+      .agg(
+        sum(col("c")).as("n_lines"),
+        sum(when(col("lead") < 0, col("c")).otherwise(0L)).as("n_negative"),
+        max(col("lead")).as("max_lead"))
+    val cum = Window.partitionBy(col("priority")).orderBy(col("lead"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(cum))
+      .join(broadcast(stats.select(col("priority").as("sp"), col("n_lines"))),
+        col("priority") === col("sp"))
+    def pct(p: Int) = ranked
+      .filter(col("cum") >= expr(s"($p * n_lines + 99) DIV 100"))
+      .groupBy(col("priority")).agg(min(col("lead")).as(s"p${p}_lead"))
+    stats
+      .join(broadcast(pct(50)), Seq("priority"))
+      .join(broadcast(pct(95)), Seq("priority"))
+      .withColumn(
+        "neg_share_e4",
+        expr("(2 * 10000 * n_negative + n_lines) DIV (2 * n_lines)"))
+      .select(
+        col("priority"), col("n_lines"), col("n_negative"), col("neg_share_e4"),
+        col("p50_lead"), col("p95_lead"), col("max_lead"))
+      .orderBy(col("priority"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_lead_time" -> ((s, d) => q224(Tables(s, d))),
     "q220_markov_entropy_rate" -> ((s, d) => q220(Tables(s, d))),
     "q208_order_reconcile" -> ((s, d) => q208(Tables(s, d))),
     "q209_stationary_flow" -> ((s, d) => q209(Tables(s, d))),
@@ -1623,6 +1678,33 @@ object Extras extends QueryModule {
         | CAST(min((2 * 10000 * tp_e2 + s_e2) // (2 * s_e2)) AS BIGINT) AS min_ratio_e4,
         | CAST(max((2 * 10000 * tp_e2 + s_e2) // (2 * s_e2)) AS BIGINT) AS max_ratio_e4
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q224_lead_time" ->
+      """WITH ld AS (
+        | SELECT o_orderpriority AS priority,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS lead
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | h AS (SELECT priority, lead, count(*) AS c FROM ld GROUP BY 1, 2),
+        | st AS (
+        | SELECT priority, CAST(sum(c) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN lead < 0 THEN c ELSE 0 END) AS BIGINT) AS n_negative,
+        |  max(lead) AS max_lead
+        | FROM h GROUP BY 1),
+        | cm AS (
+        | SELECT priority, lead,
+        |  sum(c) OVER (PARTITION BY priority ORDER BY lead
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM h),
+        | p50 AS (
+        | SELECT cm.priority, min(lead) AS p50_lead FROM cm JOIN st ON st.priority = cm.priority
+        | WHERE cum >= (50 * n_lines + 99) // 100 GROUP BY 1),
+        | p95 AS (
+        | SELECT cm.priority, min(lead) AS p95_lead FROM cm JOIN st ON st.priority = cm.priority
+        | WHERE cum >= (95 * n_lines + 99) // 100 GROUP BY 1)
+        |SELECT st.priority, n_lines, n_negative,
+        | CAST((2 * 10000 * n_negative + n_lines) // (2 * n_lines) AS BIGINT) AS neg_share_e4,
+        | p50_lead, p95_lead, max_lead
+        |FROM st JOIN p50 ON p50.priority = st.priority JOIN p95 ON p95.priority = st.priority
+        |ORDER BY st.priority""".stripMargin,
     "q220_markov_entropy_rate" ->
       """WITH seqd AS (
         | SELECT event_type AS nxt,

@@ -2426,6 +2426,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.toSeq.map(x => math.abs(x._4)).max == 1000000L)
   }
 
+  test("q224 lead times match an independent day-diff recomputation") {
+    val t = Tables(spark, sf)
+    val orders = t.orders
+      .select(col("o_orderkey"), col("o_orderdate").cast("date"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    val leads = t.lineitem
+      .select(col("l_orderkey"), col("l_shipdate").cast("date"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .collect { case (ok, ship) if orders.contains(ok) =>
+        val (od, pri) = orders(ok)
+        (pri, java.time.temporal.ChronoUnit.DAYS.between(od, ship))
+      }
+    val expected = leads.groupBy(_._1).map { case (pri, xs) =>
+      val ls = xs.map(_._2).sorted
+      val n = ls.length
+      def pct(p: Int) = ls((p * n + 99) / 100 - 1)
+      (pri, n.toLong, ls.count(_ < 0).toLong, hdiv(10000L * ls.count(_ < 0), n.toLong),
+        pct(50), pct(95), ls.last)
+    }.toSet
+    val got = SparkEntry.queries("q224_lead_time")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == expected)
+    // the temporal violation must actually be present on this generator
+    // (probed ~49% at every SF) and percentiles must be ordered
+    got.foreach { case (pri, n, neg, _, p50, p95, mx) =>
+      assert(neg > 0 && neg < n, pri)
+      assert(p50 <= p95 && p95 <= mx, pri)
+    }
+  }
+
   test("q205 t-closeness matches an independent EMD recomputation") {
     val rows = Tables(spark, sf).events
       .filter(col("user_id").isNotNull)
