@@ -154,6 +154,45 @@ object StreamingOps extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user value high-water marks — the batch twin of the
+    * streaming/HighWater `transformWithState` component (new r16; the
+    * same pairing Sessionize↔q20 uses): an event is a RECORD when its
+    * value strictly exceeds every prior value of that user in (ts,
+    * event_id) order — the running-max state the StatefulProcessor
+    * keeps as one double per user. Per user: events, records, e4
+    * record share, and the e2-quantized final maximum. The prefix
+    * maximum is the exact frame `ROWS UNBOUNDED PRECEDING AND 1
+    * PRECEDING` — value comparisons are raw-double ORDER tests (no
+    * arithmetic), deterministic in both engines; only the reported
+    * maximum quantizes.
+    *
+    * Scale shape: ONE user_id shuffle carries the prefix window and the
+    * rollup reuses the key; output is |users| rows.
+    */
+  private def q225(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_max", max(col("value")).over(w))
+      .withColumn(
+        "is_record",
+        when(col("prev_max").isNull || col("value") > col("prev_max"), 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("is_record")).as("n_records"),
+        expr("CAST(floor(max(value) * 100 + 0.5) AS BIGINT)").as("final_max_e2"))
+      .withColumn(
+        "record_share_e4",
+        expr("(2 * 10000 * n_records + n_events) DIV (2 * n_events)"))
+      .select(
+        col("user_id"), col("n_events"), col("n_records"),
+        col("record_share_e4"), col("final_max_e2"))
+      .orderBy(col("user_id"))
+  }
+
   /** Watermark late-data accounting — the batch reconstruction of what a
     * `withWatermark("ts", "10 minutes")` pipeline drops. Micro-batches are
     * hourly windows of arrival time (a map-side bucket — no global
@@ -238,6 +277,7 @@ object StreamingOps extends QueryModule {
     "q46_stream_tumbling" -> ((s, d) => q46(Tables(s, d))),
     "q216_stream_sliding" -> ((s, d) => q216(Tables(s, d))),
     "q217_unattributed_clicks" -> ((s, d) => q217(Tables(s, d))),
+    "q225_high_water" -> ((s, d) => q225(Tables(s, d))),
     "q47_stream_dedup" -> ((s, d) => q47(Tables(s, d))),
     "q73_stream_join" -> ((s, d) => q73(Tables(s, d))),
     "q83_late_data" -> ((s, d) => q83(Tables(s, d)))
@@ -269,6 +309,19 @@ object StreamingOps extends QueryModule {
         | CAST(max(dur_us) // 1000000 AS BIGINT) AS max_session_dur_s,
         | round(sum(v), 2) AS total_value
         |FROM ses GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q225_high_water" ->
+      """WITH e AS (
+        | SELECT user_id, value,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        | FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CASE WHEN prev_max IS NULL OR value > prev_max THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_records,
+        | CAST((2 * 10000 * sum(CASE WHEN prev_max IS NULL OR value > prev_max
+        |   THEN 1 ELSE 0 END) + count(*)) // (2 * count(*)) AS BIGINT) AS record_share_e4,
+        | CAST(floor(max(value) * 100 + 0.5) AS BIGINT) AS final_max_e2
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q217_unattributed_clicks" ->
       """WITH c AS (
         | SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us

@@ -211,6 +211,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q225 high-water rollup ties to the HighWater component on the corpus") {
+    import spark.implicits._
+    // independent prefix-max recomputation
+    val evs = Tables(spark, sf).events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def hd(n: Long, d: Long) = (2 * n + d) / (2 * d)
+    val expected = evs.groupBy(_._1).map { case (u, xs) =>
+      val s = xs.sortBy(e => (e._2, e._3)).map(_._4)
+      val recs = s.zipWithIndex.count { case (v, i) => s.take(i).forall(_ < v) }.toLong
+      (u, s.length.toLong, recs, hd(10000L * recs, s.length.toLong),
+        math.floor(s.max * 100 + 0.5).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q225_high_water")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // the transformWithState component, fed the same corpus through a
+    // MemoryStream (two micro-batches split on event time, so state
+    // actually persists across batches), must emit exactly n_records
+    // marks per user
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val feed = evs.map(e => graft.streaming.HighWater.Ev(e._1, e._3, e._2, e._4))
+      val cut = evs.map(_._2).sorted.apply(evs.length / 2)
+      val ms = MemoryStream[graft.streaming.HighWater.Ev]
+      val q = graft.streaming.HighWater.highWater(ms.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("hw_corpus")
+        .start()
+      ms.addData(feed.filter(_.ts_us < cut).toSeq)
+      q.processAllAvailable()
+      ms.addData(feed.filter(_.ts_us >= cut).toSeq)
+      q.processAllAvailable(); q.stop()
+      val marks = spark.table("hw_corpus").as[graft.streaming.HighWater.Mark].collect()
+        .groupBy(_.user_id).view.mapValues(_.length.toLong).toMap
+      assert(got.map(g => (g._1, g._3)) == marks.toSet)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionization emits gap-closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
