@@ -114,6 +114,54 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("nn_rank"))
   }
 
+  /** Sign-LSH calibration audit (Charikar 2002's SimHash angle estimator
+    * graded against measured cosines — new r16; the q181/q115-class
+    * quality arm for q42's sketch): over the q115 query sample, every
+    * (query, other) pair's 16-bit sketch Hamming distance vs its true
+    * cosine — per Hamming bucket, pairs, the measured mean cosine (e6),
+    * and the random-hyperplane theory value cos(π·h/16) (e6). Probed:
+    * the measured curve is monotone in h (the sketch RANKS correctly —
+    * q42's candidate recall is sound) while sitting far inside the
+    * theory envelope (0.12 vs 0.98 at h=1): the axis-aligned projections
+    * are a valid bucketing hash but NOT an angle estimator — the audit
+    * that says "bucket with it, never score with it".
+    *
+    * Numerics: cosines round to 6dp (the family contract), shift by +1e6
+    * for the signed integer mean (q158's rule); the theory column is the
+    * family's single-transcendental cos written character-identically —
+    * evaluated only on the 17 constant grid points. Hamming is exact
+    * integer bit_count over XOR.
+    *
+    * Scale shape: q115's declared sample-bounded brute class — the
+    * |Q|-row query set broadcasts and pair work is |Q|·n, never n²; the
+    * bucket rollup collapses onto ≤ 17 keys map-side.
+    */
+  private def q226(t: Tables): DataFrame = {
+    val bits = DefaultSignBits
+    val projs = DefaultSignProjections
+    val sketch = (0 until projs)
+      .map(p => s"(${signBucket(i => s"element_at(v, $i)", bits, p)}) * ${1L << ((projs - 1 - p) * bits)}")
+      .mkString(" + ")
+    val e = vectors(t).select(col("vec_id"), col("v")).withColumn("sk", expr(sketch))
+    val qset = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("sk").as("qsk"))
+    e.join(broadcast(qset), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(cosine_sim(col("qv"), col("v")), 6))
+      .select(
+        expr("bit_count(sk ^ qsk)").cast("long").as("h"),
+        expr("CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT)").as("c_e6"))
+      .groupBy(col("h"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("(2 * sum(c_e6 + 1000000) + count(1)) DIV (2 * count(1)) - 1000000")
+          .as("mean_cos_e6"))
+      .withColumn(
+        "theory_cos_e6",
+        expr(s"CAST(floor(cos(CAST(h AS DOUBLE) * pi() / ${bits * projs}) * 1000000 + 0.5) AS BIGINT)"))
+      .select(col("h"), col("n_pairs"), col("mean_cos_e6"), col("theory_cos_e6"))
+      .orderBy(col("h"))
+  }
+
   /** IVF-style coarse search: `label` is the coarse cluster id; probe the
     * query's own partition only (nprobe=1). Query set broadcasts, corpus
     * partition-prunes on the cluster key.
@@ -1491,6 +1539,7 @@ object Similarity extends QueryModule {
     "q154_knn_reciprocity" -> ((s, d) => q154(Tables(s, d))),
     "q215_knn_hubness" -> ((s, d) => q215(Tables(s, d))),
     "q221_spectral_mass" -> ((s, d) => q221(Tables(s, d))),
+    "q226_signlsh_calibration" -> ((s, d) => q226(Tables(s, d))),
     "q124_power_iter" -> ((s, d) => q124(Tables(s, d))),
     "q132_pq_quantize" -> ((s, d) => q132(Tables(s, d))),
     "q211_pq_recall" -> ((s, d) => q211(Tables(s, d))),
@@ -1582,6 +1631,26 @@ object Similarity extends QueryModule {
 
   override def oracleSql: Map[String, String] = Map(
     "q221_spectral_mass" -> duckSpectral,
+    "q226_signlsh_calibration" ->
+      s"""WITH $duckVectors,
+         | sk AS (
+         | SELECT vec_id, v, nrm,
+         |  ${(0 until DefaultSignProjections)
+             .map(p => s"(${signBucket(i => s"v[$i]", DefaultSignBits, p)}) * ${1L << ((DefaultSignProjections - 1 - p) * DefaultSignBits)}")
+             .mkString(" + ")} AS sk
+         | FROM n),
+         | q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, sk AS qsk FROM sk WHERE vec_id < 10),
+         | pr AS (
+         | SELECT CAST(bit_count(xor(s.sk, q.qsk)) AS BIGINT) AS h,
+         |  CAST(floor(round(${duckDot("s.v", "q.qv")} / (s.nrm * q.qnrm), 6) * 1000000 + 0.5)
+         |   AS BIGINT) AS c_e6
+         | FROM sk s JOIN q ON s.vec_id <> q.qid)
+         |SELECT h, count(*) AS n_pairs,
+         | CAST((2 * sum(c_e6 + 1000000) + count(*)) // (2 * count(*)) - 1000000 AS BIGINT)
+         |  AS mean_cos_e6,
+         | CAST(floor(cos(CAST(h AS DOUBLE) * pi() / ${DefaultSignBits * DefaultSignProjections})
+         |  * 1000000 + 0.5) AS BIGINT) AS theory_cos_e6
+         |FROM pr GROUP BY h ORDER BY h""".stripMargin,
     "q193_davies_bouldin" ->
       s"""WITH $duckEv,
          | cent AS (

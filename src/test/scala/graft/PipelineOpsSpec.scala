@@ -2461,6 +2461,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q226 sign-LSH calibration matches an independent sketch recomputation") {
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables(spark, sf).embeddings.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    }
+    val d = vecs.head._2.length
+    val bits = 8; val projs = 2
+    def sketch(v: Array[Float]): Long =
+      (0 until projs).map { p =>
+        (0 until bits).map { i =>
+          val dim = (p * bits + i) % d // 0-based index of the 1-based dim+1
+          if (v(dim) >= 0) 1L << (bits - 1 - i) else 0L
+        }.sum * (1L << ((projs - 1 - p) * bits))
+      }.sum
+    val sks = vecs.map { case (id, v) => (id, v, sketch(v)) }
+    val qs = sks.filter(_._1 < 10)
+    val rows = sks.flatMap { case (id, v, sk) =>
+      qs.collect { case (qid, qv, qsk) if id != qid =>
+        val h = java.lang.Long.bitCount(sk ^ qsk).toLong
+        (h, math.floor(rnd6(cos(qv, v)) * 1000000 + 0.5).toLong)
+      }
+    }
+    val expected = rows.groupBy(_._1).map { case (h, xs) =>
+      val n = xs.length.toLong
+      val mean = (2 * xs.map(_._2 + 1000000L).sum + n) / (2 * n) - 1000000L
+      val theory = math.floor(math.cos(h.toDouble * math.Pi / (bits * projs)) * 1000000 + 0.5).toLong
+      (h, n, mean, theory)
+    }.toSet
+    val got = SparkEntry.queries("q226_signlsh_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // the sketch must RANK: among well-populated buckets (n >= 50) the
+    // mean cosine at the smallest h beats the mean at the largest h, and
+    // the theory envelope sits above the measured curve below h = 8
+    val pop = got.toSeq.filter(_._2 >= 50).sortBy(_._1)
+    assert(pop.size >= 3, "degenerate: too few populated hamming buckets")
+    assert(pop.head._3 > pop.last._3)
+    pop.filter(_._1 < 8).foreach { case (h, _, mean, theory) =>
+      assert(theory > mean, s"h=$h")
+    }
+  }
+
   test("q205 t-closeness matches an independent EMD recomputation") {
     val rows = Tables(spark, sf).events
       .filter(col("user_id").isNotNull)
