@@ -282,6 +282,37 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n_cust"))
       .orderBy(col("c_count"))
 
+  /** TPC-H Q18-shaped large-volume-customer report (new r16 — the
+    * HAVING-driven semi-join shape the Q-family still lacked: an
+    * aggregate PREDICATE on the fact selects the keys, which then
+    * enrich through two dimension hops): orders whose line quantity
+    * total exceeds 200 units (corpus-probed: ~4.4% of orders at every
+    * SF — selective but populated), top 20 by volume. Quantities
+    * e2-quantize per line BEFORE the sum; the HAVING filter runs on the
+    * aggregated |orders|-row relation (map-side partials collapse the
+    * fact first); the survivors join orders co-partitioned on the
+    * bucket key and broadcast-enrich through customer; top-20 is
+    * TakeOrdered, never a global sort.
+    */
+  private def q227(t: Tables): DataFrame = {
+    val big = t.lineitem
+      .select(
+        col("l_orderkey"),
+        expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)").as("q_e2"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("q_e2")).as("total_qty_e2"))
+      .filter(col("total_qty_e2") > 20000L)
+    big
+      .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.customer), col("c_custkey") === col("o_custkey"))
+      .select(
+        col("o_orderkey"), col("c_name"), col("o_orderstatus"),
+        col("total_qty_e2"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("total_price_e2"))
+      .orderBy(col("total_qty_e2").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   // q17: tumbling time bucket == streaming window().start on a batch plan.
   private def q17(t: Tables): DataFrame =
     t.events
@@ -486,6 +517,7 @@ object Relational extends QueryModule {
     "q16_rollup_sales" -> ((s, d) => q16(Tables(s, d))),
     "q218_cube_sales" -> ((s, d) => q218(Tables(s, d))),
     "q222_multiset_ops" -> ((s, d) => q222(Tables(s, d))),
+    "q227_big_orders" -> ((s, d) => q227(Tables(s, d))),
     "q223_cust_order_histogram" -> ((s, d) => q223(Tables(s, d))),
     "q17_hourly_events" -> ((s, d) => q17(Tables(s, d))),
     "q18_string_report" -> ((s, d) => q18(Tables(s, d))),
@@ -647,6 +679,17 @@ object Relational extends QueryModule {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
+    "q227_big_orders" ->
+      """WITH b AS (
+        | SELECT l_orderkey,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_qty_e2
+        | FROM lineitem GROUP BY 1
+        | HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 20000)
+        |SELECT o_orderkey, c_name, o_orderstatus, total_qty_e2,
+        | CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_price_e2
+        |FROM b JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_qty_e2 DESC, o_orderkey LIMIT 20""".stripMargin,
     "q222_multiset_ops" ->
       """WITH e AS (SELECT o_custkey AS custkey FROM orders
         |  WHERE o_orderdate < TIMESTAMP '1997-01-01'),

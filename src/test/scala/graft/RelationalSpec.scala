@@ -107,6 +107,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._2).sum == custs.length.toLong)
   }
 
+  test("q227 big orders match an independent HAVING-threshold recomputation") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    val qty = t.lineitem.select(col("l_orderkey"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ords = t.orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val names = t.customer.select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = ords
+      .collect { case (ok, ck, st, tp) if qty.getOrElse(ok, 0L) > 20000L =>
+        (ok, names(ck), st, qty(ok), tp)
+      }
+      .sortBy(x => (-x._4, x._1))
+      .take(20)
+      .toSeq
+    val got = SparkEntry.queries("q227_big_orders")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "degenerate: threshold selects nothing")
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
