@@ -100,9 +100,45 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == 500, "checkpoint replay duplicated rows")
   }
 
+  test("DSv2 synth source plans pushed doc_id ranges and prunes columns") {
+    def synth(rows: Long, parts: Int) = spark.read
+      .format("graft.sources.SynthSource")
+      .option("rows", rows.toString).option("partitions", parts.toString)
+      .load()
+    // full read: row count and schema
+    val full = synth(1000, 4)
+    assert(full.count() == 1000L)
+    assert(full.schema == graft.sources.SynthSource.schema)
+    // range pushdown narrows the PLANNED partitions (never generates the
+    // excluded ids): the filter is consumed by the scan, not re-evaluated
+    val ranged = synth(1000, 4).filter(col("doc_id") >= 600 && col("doc_id") < 700)
+    assert(ranged.count() == 100L)
+    val rplan = ranged.queryExecution.executedPlan.toString
+    assert(rplan.contains("range=[600,700)"), rplan)
+    assert(rplan.contains("GreaterThanOrEqual(doc_id,600)"), rplan)
+    // column pruning reaches the generator: a doc_id-only scan reads a
+    // one-column schema
+    val pruned = synth(1000, 4).select(col("doc_id"))
+    val pplan = pruned.queryExecution.executedPlan.toString
+    assert(pplan.contains("cols=doc_id ") || pplan.contains("cols=doc_id"), pplan)
+    // determinism: two reads of an overlapping range agree row-for-row
+    val a = synth(1000, 4).filter(col("doc_id") < 50).collect().map(_.toString).sorted
+    val b = synth(500, 2).filter(col("doc_id") < 50).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // n_chars is consistent with the generated text
+    synth(100, 2).collect().foreach { r =>
+      assert(r.getAs[Long]("n_chars") == r.getAs[String]("text").length.toLong)
+    }
+    // partition planning honors the option and clamps to the range
+    val scan1 = synth(1000, 8).rdd.getNumPartitions
+    assert(scan1 == 8, s"planned $scan1 partitions")
+    val scan2 = synth(3, 8).rdd.getNumPartitions
+    assert(scan2 == 3, s"planned $scan2 partitions for a 3-row table")
+    // a non-doc_id filter is declined by the scan and still evaluated
+    assert(synth(200, 2).filter(col("lang") === "en").collect().forall(_.getString(2) == "en"))
+  }
 }
 
-/** The typed mapPartitions decode path for multimodal payloads. */
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -232,4 +268,5 @@ class MultimodalSpec extends AnyFunSuite {
     val dims = operators.Multimodal.decodeBlobs(bodyGone).head()
     assert(dims.width == 9L && dims.height == 9L, s"header-only read failed: $dims")
   }
+
 }
