@@ -137,6 +137,63 @@ class SourcesSpec extends AnyFunSuite {
     // a non-doc_id filter is declined by the scan and still evaluated
     assert(synth(200, 2).filter(col("lang") === "en").collect().forall(_.getString(2) == "en"))
   }
+
+  test("DSv2 versioned sink publishes CAS-committed TSV snapshots") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vsink").toString
+    def write(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("graft.sources.VersionedSink")
+        .option("path", dir).mode("append").save()
+    // first write -> v=1, marker present, rows readable back as TSV
+    write(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "x").repartition(2))
+    assert(graft.sources.VersionedSink.latestVersion(spark, dir) == 1L)
+    assert(new java.io.File(s"$dir/v=1/_COMMITTED").exists())
+    val back = spark.read.option("sep", "\t")
+      .schema("id LONG, name STRING, x DOUBLE").csv(s"$dir/v=1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back == Set((1L, "a", 1.5), (2L, "b", 2.5)))
+    // payload holds exactly one part per task plus the marker
+    val files = new java.io.File(s"$dir/v=1").listFiles().map(_.getName).sorted
+    assert(files.count(_.startsWith("part-")) == 2, files.mkString(","))
+    // concurrent writes serialize in-JVM onto consecutive versions
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec = scala.concurrent.ExecutionContext.global
+    val fs = (1 to 2).map { k =>
+      Future(write(Seq((k.toLong, s"w$k", k.toDouble)).toDF("id", "name", "x")))
+    }
+    fs.foreach(Await.result(_, 120.seconds))
+    assert(graft.sources.VersionedSink.latestVersion(spark, dir) == 3L)
+    (2L to 3L).foreach { v =>
+      assert(new java.io.File(s"$dir/v=$v/_COMMITTED").exists(), s"v=$v")
+    }
+    // staging fully drained after commits
+    val staging = new java.io.File(s"$dir/_staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty)
+    // every committed version's rows survive independently (snapshots,
+    // not appends-in-place)
+    val all = (1L to 3L).map { v =>
+      spark.read.option("sep", "\t").schema("id LONG, name STRING, x DOUBLE")
+        .csv(s"$dir/v=$v").count()
+    }
+    assert(all.sum == 4L, all.mkString(","))
+  }
+
+  test("DSv2 versioned sink publishes under the conditional-put committer too") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vsink_cond").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("graft.cas.committer", "conditional")
+    try {
+      Seq((7L, "c", 0.5)).toDF("id", "name", "x")
+        .write.format("graft.sources.VersionedSink")
+        .option("path", dir).mode("append").save()
+      assert(graft.sources.VersionedSink.latestVersion(spark, dir) == 1L)
+      // the conditional committer's claim file lives inside the version
+      assert(new java.io.File(s"$dir/v=1/_CLAIM").exists())
+      assert(new java.io.File(s"$dir/v=1/_COMMITTED").exists())
+    } finally hc.unset("graft.cas.committer")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
