@@ -1278,13 +1278,15 @@ object Similarity extends QueryModule {
     * SF — present but mild, as a shell-like synthetic cloud should be.
     *
     * Numeric discipline: S = Σ q qᵀ over the shared e3-quantized grid —
-    * exact longs (|q| ≤ 10³ ⇒ |S_ij| ≤ n·10⁶; int64-safe to n ~ 10⁹,
-    * declared); each iteration is q209's per-term half-up rule with the
-    * q212 signed split (sign · half-up on |·|, since Spark/Scala
-    * truncate where DuckDB floors), renormalized to L∞ = 10⁶; the final
-    * Rayleigh quotient runs in BigInt/HUGEINT (wᵀSw passes 2⁶³ already
-    * at sf0.1) and is ≥ 0 by PSD-ness, so its one division is the plain
-    * half-up.
+    * exact longs (|q| ≤ 10³ ⇒ |S_ij| ≤ n·10⁶; the matrix itself is
+    * int64-safe to n ~ 9·10¹²); everything DOWNSTREAM of the matrix runs
+    * in BigInt/HUGEINT — |S_ij·w_j| passes 2⁶³ already at ~4.6M vectors
+    * (r16 review), so the iteration, the trace shares, and the Rayleigh
+    * quotient all take the same widening. Each iteration step is q209's
+    * per-term half-up rule with the q212 signed split (sign · half-up on
+    * |·|, since Spark/Scala truncate where DuckDB floors), renormalized
+    * to L∞ = 10⁶; the Rayleigh quotient is ≥ 0 by PSD-ness, so its one
+    * division is the plain half-up.
     *
     * Scale shape: ONE corpus-scale operation — the vec_id-keyed self-
     * join of the (n·d)-row quantized grid whose d²-per-vector pair rows
@@ -1304,21 +1306,25 @@ object Similarity extends QueryModule {
       .toMap
     val dims = s.keys.map(_._1).toSeq.distinct.sorted
     val trace = dims.map(i => s((i, i))).sum
-    def shdiv(a: Long, b: Long): Long = {
-      val q = (2 * math.abs(a) + b) / (2 * b); if (a < 0) -q else q
+    // iteration arithmetic is BigInt: |S_ij·w_j| passes 2⁶³ already at
+    // ~4.6M vectors (r16 review), far inside the matrix's own int64
+    // envelope — the oracle's HUGEINT promotion is the same widening
+    def shdiv(a: BigInt, b: BigInt): BigInt = {
+      val q = (2 * a.abs + b) / (2 * b); if (a < 0) -q else q
     }
-    var w: Map[Int, Long] = dims.map(_ -> 1000000L).toMap
+    var w: Map[Int, BigInt] = dims.map(_ -> BigInt(1000000L)).toMap
     for (_ <- 1 to 3) {
-      val u = dims.map(i => i -> dims.map(j => shdiv(s((i, j)) * w(j), trace)).sum).toMap
-      val m = u.values.map(math.abs).max
-      w = dims.map(i => i -> shdiv(1000000L * u(i), m)).toMap
+      val u = dims.map(i => i -> dims.map(j => shdiv(BigInt(s((i, j))) * w(j), trace)).sum).toMap
+      val m = u.values.map(_.abs).max
+      w = dims.map(i => i -> shdiv(BigInt(1000000L) * u(i), m)).toMap
     }
-    val rayNum = dims.flatMap(i => dims.map(j => BigInt(w(i)) * s((i, j)) * w(j))).sum
-    val rayDen = dims.map(i => BigInt(w(i)) * w(i)).sum * trace
+    val rayNum = dims.flatMap(i => dims.map(j => w(i) * s((i, j)) * w(j))).sum
+    val rayDen = dims.map(i => w(i) * w(i)).sum * trace
     val rayShare = ((2 * BigInt(1000000) * rayNum + rayDen) / (2 * rayDen)).toLong
     import t.spark.implicits._
     dims.map { i =>
-      (i.toLong, s((i, i)), shdiv(1000000L * s((i, i)), trace), w(i), rayShare)
+      (i.toLong, s((i, i)), shdiv(BigInt(1000000L) * s((i, i)), trace).toLong,
+        w(i).toLong, rayShare)
     }.toDF("dim", "energy", "energy_share_e6", "w_e6", "ray_share_e6")
       .orderBy(col("dim"))
   }
@@ -1610,7 +1616,7 @@ object Similarity extends QueryModule {
        | FROM ev a JOIN ev b ON a.vec_id = b.vec_id GROUP BY 1, 2),
        | tr AS MATERIALIZED (
        | SELECT CAST(sum(CASE WHEN i = j THEN s ELSE 0 END) AS BIGINT) AS t FROM s),
-       | w0 AS (SELECT DISTINCT i AS d, CAST(1000000 AS BIGINT) AS w FROM s),
+       | w0 AS (SELECT DISTINCT i AS d, CAST(1000000 AS HUGEINT) AS w FROM s),
        |${step(1)},
        |${step(2)},
        |${step(3)},
@@ -1621,7 +1627,7 @@ object Similarity extends QueryModule {
        | SELECT sum(CAST(w AS HUGEINT) * w) * (SELECT t FROM tr) AS rd FROM w3),
        | dg AS (SELECT i, s FROM s WHERE i = j)
        |SELECT CAST(dg.i AS BIGINT) AS dim, dg.s AS energy,
-       | CAST((2 * 1000000 * dg.s + (SELECT t FROM tr))
+       | CAST((2 * CAST(1000000 AS HUGEINT) * dg.s + (SELECT t FROM tr))
        |  // (2 * (SELECT t FROM tr)) AS BIGINT) AS energy_share_e6,
        | CAST(w3.w AS BIGINT) AS w_e6,
        | CAST((2 * 1000000 * (SELECT rn FROM ray) + (SELECT rd FROM rd))

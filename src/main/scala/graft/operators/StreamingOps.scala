@@ -125,11 +125,14 @@ object StreamingOps extends QueryModule {
     * is per-user-bounded exactly like q73.
     */
   private def q217(t: Tables): DataFrame = {
+    // q153's null scope (r16 review): a null-user click can never match
+    // any purchase, so without the filter it would surface as a
+    // null-keyed output row whose sort position differs across engines
     val clicks = t.events
-      .filter(col("event_type") === "click")
+      .filter(col("event_type") === "click" && col("user_id").isNotNull)
       .select(col("user_id"), col("event_id").as("click_id"), unix_micros(col("ts")).as("c_us"))
     val purchases = t.events
-      .filter(col("event_type") === "purchase")
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
       .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
     val unattributed = clicks
       .join(
@@ -325,10 +328,10 @@ object StreamingOps extends QueryModule {
     "q217_unattributed_clicks" ->
       """WITH c AS (
         | SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
-        | FROM events WHERE event_type = 'click'),
+        | FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
         | p AS (
         | SELECT user_id AS p_user, epoch_us(ts) AS p_us
-        | FROM events WHERE event_type = 'purchase'),
+        | FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
         | ua AS (
         | SELECT user_id, count(*) AS n_unattributed
         | FROM c WHERE NOT EXISTS (

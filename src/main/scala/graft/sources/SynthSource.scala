@@ -174,13 +174,19 @@ private[sources] class SynthReader(lo: Long, hi: Long, fields: Array[String])
 
   override def next(): Boolean = { cur += 1; cur < hi }
 
+  // text is the expensive column — generate it at most ONCE per row even
+  // when both text and n_chars are projected (r16 review), and not at all
+  // when neither is
+  private val needsText = fields.contains("text") || fields.contains("n_chars")
+
   override def get(): InternalRow = {
+    val txt = if (needsText) SynthSource.textOf(cur) else null
     val vals = fields.map {
       case "doc_id" => cur: java.lang.Long
-      case "text" => UTF8String.fromString(SynthSource.textOf(cur))
+      case "text" => UTF8String.fromString(txt)
       case "lang" => UTF8String.fromString(SynthSource.langOf(cur))
       case "source" => UTF8String.fromString(SynthSource.sourceOf(cur))
-      case "n_chars" => (SynthSource.textOf(cur).length.toLong): java.lang.Long
+      case "n_chars" => (txt.length.toLong): java.lang.Long
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
     new GenericInternalRow(vals.asInstanceOf[Array[Any]])

@@ -116,7 +116,14 @@ private[sources] class VersionedBatchWrite(dir: String, schema: StructType) exte
     var rows = 0L
     messages.zipWithIndex.foreach { case (m, i) =>
       val pf = m.asInstanceOf[PartFile]
-      f.rename(new Path(pf.path), new Path(staging, f"part-$i%05d.tsv"))
+      // Hadoop rename reports failure by RETURNING FALSE, not throwing —
+      // an unchecked move would publish a marker whose row count includes
+      // a part that never arrived (r16 review)
+      if (!f.rename(new Path(pf.path), new Path(staging, f"part-$i%05d.tsv"))) {
+        CasProtocol.dropStaging(f, new Path(s"$dir/_staging/$writeId"))
+        throw new java.io.IOException(
+          s"versioned sink: staging move failed for task part ${pf.path} — snapshot NOT published")
+      }
       rows += pf.rows
     }
     val lock = VersionedSink.lockFor(dir)
@@ -168,7 +175,8 @@ private[sources] class VersionedDataWriter(
     hadoopConf.foreach { case (k, v) => conf.set(k, v) }
     path.getFileSystem(conf)
   }
-  private lazy val out = f.create(path, true)
+  private var opened = false
+  private lazy val out = { opened = true; f.create(path, true) }
   private var rows = 0L
 
   override def write(record: InternalRow): Unit = {
@@ -193,11 +201,15 @@ private[sources] class VersionedDataWriter(
     PartFile(path.toString, rows)
   }
 
-  override def abort(): Unit = {
-    try out.close() catch { case _: Exception => () }
-    try f.delete(path, false) catch { case _: Exception => () }
-    ()
-  }
+  override def abort(): Unit =
+    // only touch the filesystem if write() ever opened the stream — an
+    // abort before the first row would otherwise CREATE the attempt file
+    // just to delete it (r16 review)
+    if (opened) {
+      try out.close() catch { case _: Exception => () }
+      try f.delete(path, false) catch { case _: Exception => () }
+      ()
+    }
 
   override def close(): Unit = ()
 }

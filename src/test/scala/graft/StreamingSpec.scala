@@ -211,6 +211,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("high-water marks judge LATE events against current state (declared)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[graft.streaming.HighWater.Ev]
+      val q = graft.streaming.HighWater.highWater(ms.toDS()).writeStream
+        .outputMode("append").format("memory").queryName("hw_late").start()
+      ms.addData(graft.streaming.HighWater.Ev(1L, 1L, 0L, 1.0),
+        graft.streaming.HighWater.Ev(1L, 2L, 40L, 4.0))
+      q.processAllAvailable()
+      // LATE: ts=5 sits before the already-processed ts=40 event. A full
+      // event-time batch replay would count 3.5 > 1.0 as a record; the
+      // streaming operator judges it against the CURRENT max (4.0) and
+      // suppresses it — the documented watermark-class trade (q83)
+      ms.addData(graft.streaming.HighWater.Ev(1L, 3L, 5L, 3.5))
+      q.processAllAvailable(); q.stop()
+      val ids = spark.table("hw_late").as[graft.streaming.HighWater.Mark]
+        .collect().map(_.event_id).toSet
+      assert(ids == Set(1L, 2L))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("q225 high-water rollup ties to the HighWater component on the corpus") {
     import spark.implicits._
     // independent prefix-max recomputation
