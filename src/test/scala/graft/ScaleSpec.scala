@@ -341,4 +341,33 @@ class ScaleSpec extends AnyFunSuite {
     // session inherits Spark 4 defaults where AQE is enabled.
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
+
+  test("SynthSource drives a 2M-doc dedup-shaped pipeline storage-free") {
+    // the scale-probe path (r16): the DSv2 generator stands in for a
+    // corpus 400x the sf0.1 testdata WITHOUT materializing it, and the
+    // representative pipeline keeps the map-side-partial shapes the real
+    // operators use — the substrate evidence that the q35/q32-class plans
+    // survive a row-count jump, not a wall-clock benchmark (this box's
+    // CPU quota makes timing assertions flaky by design)
+    val n = 2000000L
+    val docs = spark.read.format("graft.sources.SynthSource")
+      .option("rows", n.toString).option("partitions", "32").load()
+    // exact-dedup rollup (q35's shape): hash-groupBy on content
+    val dup = docs
+      .select(md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("n_docs"))
+      .head()
+    assert(dup.getAs[Long]("n_docs") == n)
+    assert(dup.getAs[Long]("n_distinct") > 0L && dup.getAs[Long]("n_distinct") <= n)
+    // token-count + gate (q32/q84's map-side shape): one pass, no shuffle
+    // beyond the single-row fold
+    val toks = docs
+      .select(size(split(col("text"), " ")).cast("long").as("t"))
+      .agg(sum(col("t")).as("total"), count(lit(1)).as("rows"))
+      .head()
+    assert(toks.getAs[Long]("rows") == n)
+    // generator contract: 8..32 words per doc
+    assert(toks.getAs[Long]("total") >= 8 * n && toks.getAs[Long]("total") <= 32 * n)
+  }
 }
