@@ -125,6 +125,14 @@ object Curate {
       require(cap >= 1, s"graft.pack.tokens out of range: $cap")
       packedCorpus(staged, cap).write.mode("overwrite").parquet(s"$outDir/corpus")
       bySource.coalesce(1).write.mode("overwrite").parquet(s"$outDir/report_by_source")
+      // opt-in governance ledger (r16): the per-source yield table also
+      // publishes as a CAS-committed v=N TSV snapshot through the DSv2
+      // VersionedSink — the export a curation audit trail ships to
+      // systems that don't read parquet
+      if (spark.conf.get("graft.curate.ledger", "false").toBoolean)
+        bySource.orderBy(col("source")).coalesce(1)
+          .write.format("graft.sources.VersionedSink")
+          .option("path", s"$outDir/ledger").mode("append").save()
     } finally staged.unpersist()
 
     // maintain the lake artifacts over what actually LANDED (read-back,

@@ -132,4 +132,23 @@ class CurateSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Curate.run(spark, sf, outDir, "other-tag"))
     assert(e.getMessage.contains("immutable"))
   }
+
+  test("graft.curate.ledger publishes the yield table as a CAS snapshot") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate_ledger").toString
+    spark.conf.set("graft.curate.ledger", "true")
+    try {
+      val rep = Curate.run(spark, sf, dir, "ledger-run")
+      assert(!rep.noop)
+      assert(graft.sources.VersionedSink.latestVersion(spark, s"$dir/ledger") == 1L)
+      assert(new java.io.File(s"$dir/ledger/v=1/_COMMITTED").exists())
+      // one ledger row per source in the parquet report, same key set
+      val sources = spark.read.parquet(s"$dir/report_by_source")
+        .select(col("source")).collect().map(_.getString(0)).toSet
+      val ledger = spark.read.option("sep", "\t")
+        .csv(s"$dir/ledger/v=1")
+        .collect().map(_.getString(0)).toSet
+      assert(ledger == sources)
+    } finally spark.conf.unset("graft.curate.ledger")
+  }
 }
