@@ -54,7 +54,10 @@ object PlanAudit {
   private val allowCross =
     Set("q40_cosine_topk", "q41_embedding_neardup", "q115_ivf_recall",
       "q161_source_jsd", "q194_ks_drift", "q205_t_closeness", "q206_chi_square",
-      "q211_pq_recall")
+      "q211_pq_recall",
+      // r16: q228 reads q211's exact-distance pair relation (the same
+      // declared |Q|·n broadcast sample cross)
+      "q228_adc_calibration")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -518,6 +521,11 @@ object PlanAudit {
     // identical exchanges at runtime (q215/q172's class); every branch
     // after the histogram is ≤|priority|·|day domain| rows (measured 11)
     "q224_lead_time" -> 11,
+    // q228 (r16): q211's pair relations (assignment argmin agg, the ADC
+    // (qid, vec) rollup, the broadcast sample cross) + the two per-query
+    // rank windows sharing one qid exchange + the |Q|-row rollup — all
+    // sample- or corpus-linear (measured 5)
+    "q228_adc_calibration" -> 5,
     // q173: (nation, supplier) fact pre-agg (the one corpus-scale
     // shuffle; supplier and nation dims broadcast) → |suppliers| rollup
     // → sort

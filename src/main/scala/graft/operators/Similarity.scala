@@ -729,13 +729,18 @@ object Similarity extends QueryModule {
     * brute class). Assignments ride q132's min-struct argmin; top-10s
     * are per-query windows over sample-bounded relations.
     */
-  private def q211(t: Tables): DataFrame = {
+  /** The (qid, vec_id, adc) ADC distances and (qid, vec_id, tdist) exact
+    * distances over the q115 query sample — q211's construction,
+    * extracted in r16 so q228's calibration audit reads the SAME
+    * codebook/assignment/LUT definitions instead of duplicating them
+    * (the q191/q193 lesson).
+    */
+  private def adcTruthPairs(t: Tables): (DataFrame, DataFrame) = {
     val m = t.spark.conf.get("graft.pq.m", "4").toInt
     require(m >= 1 && m <= Dim && Dim % m == 0, s"graft.pq.m must divide $Dim: $m")
     val kcb = t.spark.conf.get("graft.pq.k", "8").toInt
     require(kcb >= 1 && kcb <= 256, s"graft.pq.k out of range: $kcb")
     val sub = Dim / m
-    val K = 10
     val e6 = Tables.localSplit(t.embeddings, col("vec_id"))
       .select(
         col("vec_id"),
@@ -776,16 +781,72 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d")).as("adc"))
+    val truthAll = e6
+      .crossJoin(broadcast(
+        e6.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("ve6").as("qv"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("tdist", sqdist("ve6", "qv"))
+      .select(col("qid"), col("vec_id"), col("tdist"))
+    (adc, truthAll)
+  }
+
+  /** ADC distance-calibration audit (new r16 — the PQ leg of the
+    * calibration trio: q181 grades the Bloom filter's FPR, q226 the sign
+    * sketch's angle estimates, THIS whether the product quantizer's
+    * asymmetric distances still ORDER and ESTIMATE the true distances):
+    * per q115-sample query, Spearman's footrule between the ADC ranking
+    * and the exact ranking of ALL sample pairs (e4 of the n²/2 maximum —
+    * 0 is perfect order preservation), and the total distance bias
+    * Σadc/Σtrue − 1 (e4, signed — ADC on a tiny codebook inflates
+    * distances by the quantization residual). Reads the SAME
+    * codebook/assignment/LUT relations as q211 via [[adcTruthPairs]].
+    *
+    * Numerics: ranks are row_numbers with the family's (value, vec_id)
+    * tie-break; the footrule sum is exact integer (max n²/2 — 10⁴·F
+    * int64-safe to ~10⁶ pairs/query, the declared sample bound); the
+    * bias division runs in DECIMAL(38,0)/HUGEINT (distance sums are
+    * ~10¹⁷ already at sf0.1) with the q212 signed split.
+    *
+    * Scale shape: q211's exactly — the pair relations are the declared
+    * |Q|·n sample-bounded brute class; both rank windows partition by
+    * query; the rollup is |Q| rows.
+    */
+  private def q228(t: Tables): DataFrame = {
+    val (adc, truthAll) = adcTruthPairs(t)
+    val pr = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    val tr = Window.partitionBy(col("qid")).orderBy(col("tdist"), col("vec_id"))
+    adc.join(truthAll, Seq("qid", "vec_id"))
+      .withColumn("prk", row_number().over(pr).cast("long"))
+      .withColumn("trk", row_number().over(tr).cast("long"))
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(abs(col("prk") - col("trk"))).as("footrule"),
+        sum(col("adc")).as("s_adc"),
+        sum(col("tdist")).as("s_true"))
+      .withColumn("max_f", expr("(n_pairs * n_pairs) DIV 2"))
+      .withColumn(
+        "footrule_e4",
+        expr("(2 * 10000 * footrule + max_f) DIV (2 * max_f)"))
+      .withColumn("dnum", col("s_adc") - col("s_true"))
+      .withColumn(
+        "bias_e4",
+        expr("CASE WHEN dnum < 0 THEN " +
+          "-CAST((2 * 10000 * CAST(-dnum AS DECIMAL(38,0)) + s_true) DIV (2 * s_true) AS BIGINT) " +
+          "ELSE CAST((2 * 10000 * CAST(dnum AS DECIMAL(38,0)) + s_true) DIV (2 * s_true) AS BIGINT) END"))
+      .select(col("qid"), col("n_pairs"), col("footrule_e4"), col("bias_e4"))
+      .orderBy(col("qid"))
+  }
+
+  private def q211(t: Tables): DataFrame = {
+    val K = 10
+    val (adc, truthAll) = adcTruthPairs(t)
     val pq = adc
       .withColumn(
         "prk",
         row_number().over(Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
       .filter(col("prk") <= K)
-    val truth = e6
-      .crossJoin(broadcast(
-        e6.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("ve6").as("qv"))))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("tdist", sqdist("ve6", "qv"))
+    val truth = truthAll
       .withColumn(
         "trk",
         row_number().over(Window.partitionBy(col("qid")).orderBy(col("tdist"), col("vec_id"))))
@@ -1546,6 +1607,7 @@ object Similarity extends QueryModule {
     "q215_knn_hubness" -> ((s, d) => q215(Tables(s, d))),
     "q221_spectral_mass" -> ((s, d) => q221(Tables(s, d))),
     "q226_signlsh_calibration" -> ((s, d) => q226(Tables(s, d))),
+    "q228_adc_calibration" -> ((s, d) => q228(Tables(s, d))),
     "q124_power_iter" -> ((s, d) => q124(Tables(s, d))),
     "q132_pq_quantize" -> ((s, d) => q132(Tables(s, d))),
     "q211_pq_recall" -> ((s, d) => q211(Tables(s, d))),
@@ -1635,8 +1697,89 @@ object Similarity extends QueryModule {
        |FROM dg JOIN w3 ON w3.d = dg.i ORDER BY dim""".stripMargin
   }
 
+  /** Shared DuckDB CTE prefix for the PQ family (q211/q228): codebook,
+    * assignments, LUT, ADC pair distances, and exact pair distances.
+    */
+  private val duckPq: String =
+    s"""WITH e AS (
+         | SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |   x -> CAST(round(x * 1000000) AS BIGINT)) AS ve6
+         | FROM embeddings),
+         | sel AS (
+         | SELECT vec_id AS cw, ve6
+         | FROM (SELECT vec_id, ve6,
+         |        ((vec_id % 2147483647) * 2654435761) % 4294967296 AS h FROM e)
+         | ORDER BY h, vec_id LIMIT 8),
+         | cb AS (
+         | SELECT cw, m, array_slice(ve6, m * 16 + 1, (m + 1) * 16) AS csub
+         | FROM sel CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
+         | vs AS (
+         | SELECT vec_id, m, array_slice(ve6, m * 16 + 1, (m + 1) * 16) AS vsub
+         | FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
+         | d AS (
+         | SELECT vec_id, vs.m AS m, cw,
+         |  CAST(list_sum(list_transform(range(1, 17),
+         |   i -> (vsub[i] - csub[i]) * (vsub[i] - csub[i]))) AS BIGINT) AS dist
+         | FROM vs JOIN cb ON vs.m = cb.m),
+         | a AS (
+         | SELECT vec_id, m, cw,
+         |  row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cw) AS rn
+         | FROM d),
+         | q AS (SELECT vec_id AS qid, ve6 AS qv FROM e WHERE vec_id < 10),
+         | qs AS (
+         | SELECT qid, m, array_slice(qv, m * 16 + 1, (m + 1) * 16) AS qsub
+         | FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
+         | lut AS (
+         | SELECT qid, qs.m AS m, cw,
+         |  CAST(list_sum(list_transform(range(1, 17),
+         |   i -> (qsub[i] - csub[i]) * (qsub[i] - csub[i]))) AS BIGINT) AS ld
+         | FROM qs JOIN cb ON qs.m = cb.m),
+         | adc AS (
+         | SELECT lut.qid, a.vec_id, sum(ld) AS adc
+         | FROM (SELECT * FROM a WHERE rn = 1) a
+         | JOIN lut ON lut.m = a.m AND lut.cw = a.cw
+         | WHERE a.vec_id <> lut.qid
+         | GROUP BY lut.qid, a.vec_id),
+         | pq AS (
+         | SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS prk
+         | FROM adc),
+         | td AS (
+         | SELECT q.qid, e.vec_id,
+         |  CAST(list_sum(list_transform(range(1, 65),
+         |   i -> (ve6[i] - qv[i]) * (ve6[i] - qv[i]))) AS BIGINT) AS tdist
+         | FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         | truth AS (
+         | SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY tdist, vec_id) AS trk
+         | FROM td)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "q221_spectral_mass" -> duckSpectral,
+    "q228_adc_calibration" ->
+      s"""$duckPq,
+         | j AS (
+         | SELECT adc.qid, adc.vec_id, adc.adc, td.tdist
+         | FROM adc JOIN td ON td.qid = adc.qid AND td.vec_id = adc.vec_id),
+         | r AS (
+         | SELECT qid, adc, tdist,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS BIGINT) AS prk,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY tdist, vec_id) AS BIGINT) AS trk
+         | FROM j),
+         | g AS (
+         | SELECT qid, count(*) AS n_pairs,
+         |  CAST(sum(abs(prk - trk)) AS BIGINT) AS footrule,
+         |  CAST(sum(adc) AS HUGEINT) AS s_adc, CAST(sum(tdist) AS HUGEINT) AS s_true
+         | FROM r GROUP BY 1)
+         |SELECT qid, n_pairs,
+         | CAST((2 * 10000 * footrule + (n_pairs * n_pairs) // 2)
+         |  // (2 * ((n_pairs * n_pairs) // 2)) AS BIGINT) AS footrule_e4,
+         | CASE WHEN s_adc - s_true < 0
+         |  THEN -CAST((2 * 10000 * (s_true - s_adc) + s_true) // (2 * s_true) AS BIGINT)
+         |  ELSE CAST((2 * 10000 * (s_adc - s_true) + s_true) // (2 * s_true) AS BIGINT)
+         | END AS bias_e4
+         |FROM g ORDER BY qid""".stripMargin,
     "q226_signlsh_calibration" ->
       s"""WITH $duckVectors,
          | sk AS (
@@ -2138,59 +2281,7 @@ object Similarity extends QueryModule {
          |  ELSE (2 * 1000 * 1000000 * n_vecs + sum_ln_e6) // (2 * sum_ln_e6) END AS id_e3
          |FROM s ORDER BY label""".stripMargin,
     "q211_pq_recall" ->
-      s"""WITH e AS (
-         | SELECT vec_id,
-         |  list_transform(CAST(embedding AS DOUBLE[]),
-         |   x -> CAST(round(x * 1000000) AS BIGINT)) AS ve6
-         | FROM embeddings),
-         | sel AS (
-         | SELECT vec_id AS cw, ve6
-         | FROM (SELECT vec_id, ve6,
-         |        ((vec_id % 2147483647) * 2654435761) % 4294967296 AS h FROM e)
-         | ORDER BY h, vec_id LIMIT 8),
-         | cb AS (
-         | SELECT cw, m, array_slice(ve6, m * 16 + 1, (m + 1) * 16) AS csub
-         | FROM sel CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
-         | vs AS (
-         | SELECT vec_id, m, array_slice(ve6, m * 16 + 1, (m + 1) * 16) AS vsub
-         | FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
-         | d AS (
-         | SELECT vec_id, vs.m AS m, cw,
-         |  CAST(list_sum(list_transform(range(1, 17),
-         |   i -> (vsub[i] - csub[i]) * (vsub[i] - csub[i]))) AS BIGINT) AS dist
-         | FROM vs JOIN cb ON vs.m = cb.m),
-         | a AS (
-         | SELECT vec_id, m, cw,
-         |  row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cw) AS rn
-         | FROM d),
-         | q AS (SELECT vec_id AS qid, ve6 AS qv FROM e WHERE vec_id < 10),
-         | qs AS (
-         | SELECT qid, m, array_slice(qv, m * 16 + 1, (m + 1) * 16) AS qsub
-         | FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS m)),
-         | lut AS (
-         | SELECT qid, qs.m AS m, cw,
-         |  CAST(list_sum(list_transform(range(1, 17),
-         |   i -> (qsub[i] - csub[i]) * (qsub[i] - csub[i]))) AS BIGINT) AS ld
-         | FROM qs JOIN cb ON qs.m = cb.m),
-         | adc AS (
-         | SELECT lut.qid, a.vec_id, sum(ld) AS adc
-         | FROM (SELECT * FROM a WHERE rn = 1) a
-         | JOIN lut ON lut.m = a.m AND lut.cw = a.cw
-         | WHERE a.vec_id <> lut.qid
-         | GROUP BY lut.qid, a.vec_id),
-         | pq AS (
-         | SELECT qid, vec_id,
-         |  row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS prk
-         | FROM adc),
-         | td AS (
-         | SELECT q.qid, e.vec_id,
-         |  CAST(list_sum(list_transform(range(1, 65),
-         |   i -> (ve6[i] - qv[i]) * (ve6[i] - qv[i]))) AS BIGINT) AS tdist
-         | FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
-         | truth AS (
-         | SELECT qid, vec_id,
-         |  row_number() OVER (PARTITION BY qid ORDER BY tdist, vec_id) AS trk
-         | FROM td)
+      s"""$duckPq
          |SELECT pq.qid, CAST(sum(CASE WHEN trk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |  AS hits_at_10,
          | CAST((2 * 10000 * sum(CASE WHEN trk IS NOT NULL THEN 1 ELSE 0 END) + 10)

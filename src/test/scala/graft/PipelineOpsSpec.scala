@@ -157,6 +157,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q228 ADC calibration matches a scalar footrule/bias recomputation") {
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def e6(v: Array[Float]): Array[Long] = v.map(x =>
+      BigDecimal(x.toDouble * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val (m, k, sub) = (4, 8, 16)
+    val knuth = vecs.map { case (id, _) => id -> ((id % 2147483647L) * 2654435761L) % 4294967296L }.toMap
+    val codebook = vecs.sortBy { case (id, _) => (knuth(id), id) }.take(k)
+      .map { case (id, v) => id -> e6(v) }
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val q6 = vecs.map { case (id, v) => id -> e6(v) }.toMap
+    val assigns = vecs.map { case (id, _) =>
+      id -> (0 until m).map { s =>
+        codebook.map { case (cid, cv) =>
+          (cid, sq(q6(id).slice(s * sub, (s + 1) * sub), cv.slice(s * sub, (s + 1) * sub)))
+        }.minBy { case (cid, d) => (d, cid) }._1
+      }
+    }.toMap
+    val cbMap = codebook.toMap
+    def shd(a: BigInt, b: BigInt): Long = {
+      val q = (2 * a.abs + b) / (2 * b); (if (a < 0) -q else q).toLong
+    }
+    val expected = vecs.map(_._1).filter(_ < 10).sorted.map { qid =>
+      val qv = q6(qid)
+      val others = vecs.map(_._1).filter(_ != qid)
+      val pairs = others.map { id =>
+        val adc = (0 until m).map { s =>
+          sq(qv.slice(s * sub, (s + 1) * sub),
+            cbMap(assigns(id)(s)).slice(s * sub, (s + 1) * sub))
+        }.sum
+        (id, adc, sq(q6(id), qv))
+      }
+      val prk = pairs.sortBy(p => (p._2, p._1)).zipWithIndex
+        .map { case (p, i) => p._1 -> (i + 1L) }.toMap
+      val trk = pairs.sortBy(p => (p._3, p._1)).zipWithIndex
+        .map { case (p, i) => p._1 -> (i + 1L) }.toMap
+      val n = pairs.length.toLong
+      val foot = pairs.map(p => math.abs(prk(p._1) - trk(p._1))).sum
+      val maxF = n * n / 2
+      val sAdc = pairs.map(p => BigInt(p._2)).sum
+      val sTrue = pairs.map(p => BigInt(p._3)).sum
+      (qid, n, hdiv(10000L * foot, maxF), shd(10000 * (sAdc - sTrue), sTrue))
+    }.toSeq
+    val got = SparkEntry.queries("q228_adc_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the audit must have something to say on this codebook: disorder
+    // strictly between 0 and the maximum, bias non-zero somewhere
+    got.foreach { case (qid, _, f, _) => assert(f > 0 && f < 10000, qid) }
+    assert(got.exists(_._4 != 0L), "degenerate: zero bias everywhere")
+  }
+
   test("q133 concentration matches a scalar ntile recomputation and bounds") {
     val evs = Tables(spark, sf).events
       .select(col("event_type"), col("user_id")).collect()
