@@ -735,39 +735,67 @@ object Similarity extends QueryModule {
     * codebook/assignment/LUT definitions instead of duplicating them
     * (the q191/q193 lesson).
     */
-  private def adcTruthPairs(t: Tables): (DataFrame, DataFrame) = {
+  // --- the ONE PQ definition (e6 grid, Knuth-hash codebook, argmin
+  // assignment) shared by q132's reconstruction audit and q211/q228's
+  // calibration pair — a retune of the hash, rounding, or tie-break now
+  // changes all three together (r16 review 3 closed the last copy) ---
+  private def pqConf(t: Tables): (Int, Int, Int) = {
     val m = t.spark.conf.get("graft.pq.m", "4").toInt
     require(m >= 1 && m <= Dim && Dim % m == 0, s"graft.pq.m must divide $Dim: $m")
     val kcb = t.spark.conf.get("graft.pq.k", "8").toInt
     require(kcb >= 1 && kcb <= 256, s"graft.pq.k out of range: $kcb")
-    val sub = Dim / m
-    val e6 = Tables.localSplit(t.embeddings, col("vec_id"))
+    (m, kcb, Dim / m)
+  }
+
+  private def pqE6(t: Tables): DataFrame =
+    Tables.localSplit(t.embeddings, col("vec_id"))
       .select(
         col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
           .as("ve6"))
-    def subspaces(vecCol: String, outCol: String) =
-      explode(array((0 until m).map(i =>
-        struct(
-          lit(i).cast("long").as("subspace"),
-          expr(s"slice($vecCol, ${i * sub + 1}, $sub)").as(outCol))): _*))
-    val codebook = e6
+
+  private def pqSubspaces(m: Int, sub: Int, vecCol: String, outCol: String) =
+    explode(array((0 until m).map(i =>
+      struct(
+        lit(i).cast("long").as("subspace"),
+        expr(s"slice($vecCol, ${i * sub + 1}, $sub)").as(outCol))): _*))
+
+  private def pqSqdist(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (acc, e) -> acc + e)")
+
+  private def pqCodebook(t: Tables, e6: DataFrame): DataFrame = {
+    val (m, kcb, sub) = pqConf(t)
+    e6
       .withColumn("h", expr("((vec_id % 2147483647) * 2654435761) % 4294967296"))
       .orderBy(col("h"), col("vec_id"))
       .limit(kcb)
-      .select(col("vec_id").as("cw"), subspaces("ve6", "csub").as("s"))
+      .select(col("vec_id").as("cw"), pqSubspaces(m, sub, "ve6", "csub").as("s"))
       .select(col("cw"), col("s.subspace").as("subspace"), col("s.csub").as("csub"))
-    val sqdist = (a: String, b: String) =>
-      expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
-        "CAST(0 AS BIGINT), (acc, e) -> acc + e)")
-    val assign = e6
-      .select(col("vec_id"), subspaces("ve6", "vsub").as("s"))
+  }
+
+  /** (vec_id, subspace, cw, dist): every vector's winning codeword per
+    * subspace plus its quantization distance (q132 reads both columns).
+    */
+  private def pqAssign(t: Tables, e6: DataFrame, codebook: DataFrame): DataFrame = {
+    val (m, _, sub) = pqConf(t)
+    e6
+      .select(col("vec_id"), pqSubspaces(m, sub, "ve6", "vsub").as("s"))
       .select(col("vec_id"), col("s.subspace").as("subspace"), col("s.vsub").as("vsub"))
       .join(broadcast(codebook), Seq("subspace"))
-      .withColumn("dist", sqdist("vsub", "csub"))
+      .withColumn("dist", pqSqdist("vsub", "csub"))
       .groupBy(col("vec_id"), col("subspace"))
       .agg(min(struct(col("dist"), col("cw"))).as("best"))
-      .select(col("vec_id"), col("subspace"), col("best.cw").as("cw"))
+      .select(col("vec_id"), col("subspace"), col("best.cw").as("cw"), col("best.dist").as("dist"))
+  }
+
+  private def adcTruthPairs(t: Tables): (DataFrame, DataFrame) = {
+    val (m, _, sub) = pqConf(t)
+    val e6 = pqE6(t)
+    def subspaces(vecCol: String, outCol: String) = pqSubspaces(m, sub, vecCol, outCol)
+    val codebook = pqCodebook(t, e6)
+    val sqdist = (a: String, b: String) => pqSqdist(a, b)
+    val assign = pqAssign(t, e6, codebook).drop("dist")
     val qsubs = e6
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), subspaces("ve6", "qsub").as("s"))
@@ -822,9 +850,14 @@ object Similarity extends QueryModule {
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(abs(col("prk") - col("trk"))).as("footrule"),
-        sum(col("adc")).as("s_adc"),
-        sum(col("tdist")).as("s_true"))
-      .withColumn("max_f", expr("(n_pairs * n_pairs) DIV 2"))
+        // the SUMS need the widening too — per-pair distances reach
+        // 2.56e14, so Σ crosses 2⁶³ near the declared pair bound (r16
+        // review 3); mirrors the oracle's CAST(sum(..) AS HUGEINT)
+        sum(col("adc").cast("decimal(38,0)")).as("s_adc"),
+        sum(col("tdist").cast("decimal(38,0)")).as("s_true"))
+      // greatest(..,1): one pair per query gives max_f = 0 and the
+      // footrule is provably 0 there — don't divide by zero (review 3)
+      .withColumn("max_f", expr("greatest((n_pairs * n_pairs) DIV 2, 1)"))
       .withColumn(
         "footrule_e4",
         expr("(2 * 10000 * footrule + max_f) DIV (2 * max_f)"))
@@ -864,39 +897,9 @@ object Similarity extends QueryModule {
   }
 
   private def q132(t: Tables): DataFrame = {
-    val m = t.spark.conf.get("graft.pq.m", "4").toInt
-    require(m >= 1 && m <= Dim && Dim % m == 0, s"graft.pq.m must divide $Dim: $m")
-    val k = t.spark.conf.get("graft.pq.k", "8").toInt
-    require(k >= 1 && k <= 256, s"graft.pq.k out of range: $k")
-    val sub = Dim / m
-    val e6 = Tables.localSplit(t.embeddings, col("vec_id"))
-      .select(
-        col("vec_id"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-          .as("ve6"))
-    def subspaces(vecCol: String, outCol: String) =
-      explode(array((0 until m).map(i =>
-        struct(
-          lit(i).cast("long").as("subspace"),
-          expr(s"slice($vecCol, ${i * sub + 1}, $sub)").as(outCol))): _*))
-    val codebook = e6
-      .withColumn("h", expr("((vec_id % 2147483647) * 2654435761) % 4294967296"))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(k)
-      .select(col("vec_id").as("cw"), subspaces("ve6", "csub").as("s"))
-      .select(col("cw"), col("s.subspace").as("subspace"), col("s.csub").as("csub"))
-    val dists = e6
-      .select(col("vec_id"), subspaces("ve6", "vsub").as("s"))
-      .select(col("vec_id"), col("s.subspace").as("subspace"), col("s.vsub").as("vsub"))
-      .join(broadcast(codebook), Seq("subspace"))
-      .withColumn(
-        "dist",
-        expr("aggregate(zip_with(vsub, csub, (x, y) -> (x - y) * (x - y)), " +
-          "CAST(0 AS BIGINT), (acc, e) -> acc + e)"))
-    dists
-      .groupBy(col("vec_id"), col("subspace"))
-      .agg(min(struct(col("dist"), col("cw"))).as("best"))
-      .select(col("subspace"), col("best.cw").as("codeword"), col("best.dist").as("dist"))
+    val e6 = pqE6(t)
+    pqAssign(t, e6, pqCodebook(t, e6))
+      .select(col("subspace"), col("cw").as("codeword"), col("dist"))
       .groupBy(col("subspace"), col("codeword"))
       .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("sum_dist"))
       .withColumn(
@@ -1773,8 +1776,8 @@ object Similarity extends QueryModule {
          |  CAST(sum(adc) AS HUGEINT) AS s_adc, CAST(sum(tdist) AS HUGEINT) AS s_true
          | FROM r GROUP BY 1)
          |SELECT qid, n_pairs,
-         | CAST((2 * 10000 * footrule + (n_pairs * n_pairs) // 2)
-         |  // (2 * ((n_pairs * n_pairs) // 2)) AS BIGINT) AS footrule_e4,
+         | CAST((2 * 10000 * footrule + greatest((n_pairs * n_pairs) // 2, 1))
+         |  // (2 * greatest((n_pairs * n_pairs) // 2, 1)) AS BIGINT) AS footrule_e4,
          | CASE WHEN s_adc - s_true < 0
          |  THEN -CAST((2 * 10000 * (s_true - s_adc) + s_true) // (2 * s_true) AS BIGINT)
          |  ELSE CAST((2 * 10000 * (s_adc - s_true) + s_true) // (2 * s_true) AS BIGINT)
