@@ -37,7 +37,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Scope: TSV payload over primitive columns (long/int/double/string/
   * boolean — a ledger/export sink, not a parquet replacement); readers
   * use `spark.read.csv(sep='\t')` on `dir/v=N` (the `_`-prefixed marker
-  * is invisible to scans, the standing layout rule).
+  * is invisible to scans, the standing layout rule). TSV has no quoting
+  * layer, so a string value carrying a tab/newline FAILS the task loudly
+  * rather than silently corrupting the row (spec-pinned); nulls
+  * serialize as the empty field and read back as null — the standard
+  * csv-source convention, declared.
   */
 class VersionedSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -187,7 +191,17 @@ private[sources] class VersionedDataWriter(
         case IntegerType => record.getInt(i).toString
         case DoubleType => record.getDouble(i).toString
         case BooleanType => record.getBoolean(i).toString
-        case StringType => record.getUTF8String(i).toString
+        case StringType =>
+          val s = record.getUTF8String(i).toString
+          // TSV has no quoting layer: a delimiter inside a value would
+          // silently corrupt the row for every reader. Fail the task
+          // loudly instead — the ledger/export columns this sink is for
+          // (identifiers, counts) never carry them legitimately.
+          if (s.indexOf('\t') >= 0 || s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0)
+            throw new IllegalArgumentException(
+              s"graft.sources.VersionedSink: value in column ${fd.name} contains a " +
+                "tab/newline — TSV rows cannot carry raw delimiters; escape upstream")
+          s
         case dt => throw new IllegalArgumentException(
           s"graft.sources.VersionedSink supports primitive columns only, got $dt for ${fd.name}")
       }

@@ -194,6 +194,20 @@ class SourcesSpec extends AnyFunSuite {
       assert(new java.io.File(s"$dir/v=1/_COMMITTED").exists())
     } finally hc.unset("graft.cas.committer")
   }
+
+  test("versioned sink rejects raw TSV delimiters instead of corrupting rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vsink_esc").toString
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq((1L, "bad\tvalue")).toDF("id", "name")
+        .write.format("graft.sources.VersionedSink")
+        .option("path", dir).mode("append").save()
+    }
+    assert(e.getMessage.contains("tab/newline") ||
+      Option(e.getCause).exists(_.getMessage.contains("tab/newline")))
+    // nothing published, staging aborted clean
+    assert(graft.sources.VersionedSink.latestVersion(spark, dir) == 0L)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
