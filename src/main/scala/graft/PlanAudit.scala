@@ -57,7 +57,11 @@ object PlanAudit {
       "q211_pq_recall",
       // r16: q228 reads q211's exact-distance pair relation (the same
       // declared |Q|·n broadcast sample cross)
-      "q228_adc_calibration")
+      "q228_adc_calibration",
+      // r16 wave 24: q232's cross is a broadcast SINGLE-ROW scalar
+      // threshold (max-ts/fixed-value bounds) against the block relation
+      // — the degenerate 1-row end of the q161 dim-grid class
+      "q232_zonemap_skipping")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -514,6 +518,18 @@ object PlanAudit {
     // plus each branch's multiplicity rollup; the per-branch single-row
     // folds ride coalesced partitions (measured 4)
     "q222_multiset_ops" -> 4,
+    // q230 (r16 wave 24): the NOT IN audit's two |part|-scale brand
+    // rollups (stale + totals), the scalar-cutoff subquery's single-row
+    // agg, the outer-join assembly and the sort — every exchange is
+    // dimension-scale (≤|part| rows); the NAAJ inner side broadcasts
+    "q230_stale_parts" -> 5,
+    // q231 (r16 wave 24): the ONE corpus-scale (source, len) histogram
+    // prints once per consuming branch (median cumulative window, the
+    // deviation regroup, the MAD window, the final census + sort) —
+    // AQE reuses the identical exchanges at runtime (q224/q215's
+    // class); every branch after the histogram is length-domain-scale
+    // (measured 11)
+    "q231_robust_outliers" -> 11,
     // q224 (r16 wave 17): the (priority, lead) histogram chain — the
     // co-bucket-keyed lineitem⋈orders join + day-domain agg — prints
     // once per consuming branch (stats, the cumulative window, the two

@@ -759,6 +759,67 @@ object Extras extends QueryModule {
         round(max(col("lat")), 4).as("max_lat"))
       .orderBy(col("cell"))
 
+  /** Zone-map data-skipping effectiveness audit (new r16 wave 24 — the
+    * read-side number behind q93/SpatialLayout's write-side clustering:
+    * min/max block statistics — parquet row-group stats, Delta/Iceberg
+    * file stats — prune a scan only where the layout CLUSTERS the
+    * predicate column, and this measures exactly that on the natural
+    * event_id layout): per audited predicate, 512-row blocks total,
+    * blocks a max-stat zone map must still read, rows matching, the
+    * touched share (e4), and the perfectly-clustered lower bound
+    * ceil(matches/512). Probed non-degenerate in BOTH directions: ts is
+    * ingest-clustered (last-7-days matches 23% of rows but touches only
+    * 30% of blocks, ideal 25% — skipping works), while value ≥ 150 is
+    * unclustered (matches ~4.7% of rows yet touches 100% of blocks at
+    * every SF, ideal ~5% — the why-you-sort/z-order number).
+    *
+    * Scale shape: thresholds are a broadcast 1-row scalar aggregate;
+    * block stats are ONE corpus-scale partial-aggregable rollup onto
+    * |blocks| = n/512 keys; everything after runs on the block relation
+    * and a 2-row explode. All integer (µs epochs and e2-quantized
+    * values) — nothing engine-ordered.
+    */
+  private def q232(t: Tables): DataFrame = {
+    val ev = t.events.select(
+      expr("event_id DIV 512").as("blk"),
+      unix_micros(col("ts")).as("tsu"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v_e2"))
+    val bounds = ev.agg(
+      (max(col("tsu")) - lit(604800000000L)).as("thr_ts"),
+      lit(15000L).as("thr_v"))
+    val blocks = ev
+      .crossJoin(broadcast(bounds))
+      .groupBy(col("blk"))
+      .agg(
+        max(col("tsu")).as("blk_max_ts"),
+        max(col("v_e2")).as("blk_max_v"),
+        sum(when(col("tsu") >= col("thr_ts"), 1L).otherwise(0L)).as("ts_rows"),
+        sum(when(col("v_e2") >= col("thr_v"), 1L).otherwise(0L)).as("v_rows"),
+        max(col("thr_ts")).as("thr_ts"),
+        max(col("thr_v")).as("thr_v"))
+    blocks
+      .agg(
+        count(lit(1)).as("blocks_total"),
+        sum(when(col("blk_max_ts") >= col("thr_ts"), 1L).otherwise(0L)).as("ts_blocks"),
+        sum(col("ts_rows")).as("ts_match"),
+        sum(when(col("blk_max_v") >= col("thr_v"), 1L).otherwise(0L)).as("v_blocks"),
+        sum(col("v_rows")).as("v_match"))
+      .select(explode(array(
+        struct(
+          lit("ts_last7d").as("predicate"), col("blocks_total"),
+          col("ts_blocks").as("blocks_touched"), col("ts_match").as("rows_match")),
+        struct(
+          lit("value_ge150").as("predicate"), col("blocks_total"),
+          col("v_blocks").as("blocks_touched"), col("v_match").as("rows_match")))).as("r"))
+      .select(col("r.predicate").as("predicate"), col("r.blocks_total").as("blocks_total"),
+        col("r.blocks_touched").as("blocks_touched"), col("r.rows_match").as("rows_match"))
+      .withColumn(
+        "touched_share_e4",
+        expr("(2 * 10000 * blocks_touched + blocks_total) DIV (2 * blocks_total)"))
+      .withColumn("ideal_blocks", expr("(rows_match + 511) DIV 512"))
+      .orderBy(col("predicate"))
+  }
+
   /** Consecutive-day activity streaks — the gaps-and-islands kernel every
     * engagement stack runs (DAU streak badges, churn-risk run lengths):
     * distinct (user, day) actives, island key = epoch-day − per-user day
@@ -1637,6 +1698,7 @@ object Extras extends QueryModule {
     "q148_attribution_sweep" -> ((s, d) => q148(Tables(s, d))),
     "q149_hourly_seasonality" -> ((s, d) => q149(Tables(s, d))),
     "q93_zorder_cells" -> ((s, d) => q93(Tables(s, d))),
+    "q232_zonemap_skipping" -> ((s, d) => q232(Tables(s, d))),
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
     "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
     "q119_cohort_retention" -> ((s, d) => q119(Tables(s, d))),
@@ -1657,6 +1719,36 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q232_zonemap_skipping" ->
+      """WITH ev AS (
+        | SELECT event_id // 512 AS blk, epoch_us(ts) AS tsu,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+        | FROM events),
+        | th AS (
+        | SELECT max(tsu) - 604800000000 AS thr_ts, CAST(15000 AS BIGINT) AS thr_v FROM ev),
+        | blocks AS (
+        | SELECT blk, max(tsu) AS blk_max_ts, max(v_e2) AS blk_max_v,
+        |  CAST(sum(CASE WHEN tsu >= thr_ts THEN 1 ELSE 0 END) AS BIGINT) AS ts_rows,
+        |  CAST(sum(CASE WHEN v_e2 >= thr_v THEN 1 ELSE 0 END) AS BIGINT) AS v_rows,
+        |  max(thr_ts) AS thr_ts2, max(thr_v) AS thr_v2
+        | FROM ev CROSS JOIN th GROUP BY 1),
+        | one AS (
+        | SELECT count(*) AS blocks_total,
+        |  CAST(sum(CASE WHEN blk_max_ts >= thr_ts2 THEN 1 ELSE 0 END) AS BIGINT) AS ts_blocks,
+        |  CAST(sum(ts_rows) AS BIGINT) AS ts_match,
+        |  CAST(sum(CASE WHEN blk_max_v >= thr_v2 THEN 1 ELSE 0 END) AS BIGINT) AS v_blocks,
+        |  CAST(sum(v_rows) AS BIGINT) AS v_match
+        | FROM blocks),
+        | r AS (
+        | SELECT 'ts_last7d' AS predicate, blocks_total,
+        |  ts_blocks AS blocks_touched, ts_match AS rows_match FROM one
+        | UNION ALL
+        | SELECT 'value_ge150', blocks_total, v_blocks, v_match FROM one)
+        |SELECT predicate, blocks_total, blocks_touched, rows_match,
+        | (2 * 10000 * blocks_touched + blocks_total) // (2 * blocks_total)
+        |  AS touched_share_e4,
+        | (rows_match + 511) // 512 AS ideal_blocks
+        |FROM r ORDER BY predicate""".stripMargin,
     "q208_order_reconcile" ->
       """WITH ls AS (
         | SELECT l_orderkey,

@@ -313,6 +313,143 @@ object Relational extends QueryModule {
       .limit(20)
   }
 
+  /** TPC-H Q19-shaped disjunctive predicate (new r16 wave 24 — the OR of
+    * conjunctive bands spanning BOTH join sides, the predicate class the
+    * substrate had not proven: q02 pushes a conjunction, this the
+    * disjunction `(A1∧B1)∨(A2∧B2)∨(A3∧B3)` where the A's constrain the
+    * dimension and the B's the fact): per brand/size/quantity band, line
+    * count, distinct parts, e2 revenue. Catalyst's
+    * PushExtraPredicateThroughJoin derives each side's implied
+    * disjunction — `(brand1∧size1-15)∨…` reaches the part scan and
+    * `(qty1-20)∨(qty10-30)∨(qty20-50)` the lineitem scan as
+    * PushedFilters — so the join builds and probes only band-eligible
+    * rows (explain-verified). Bands are brand-disjoint, so the
+    * first-match CASE label after the OR filter partitions exactly.
+    * Revenue e2-quantizes per line before the sum (q208's rule); part
+    * dim broadcasts; the rollup lands on 3 keys.
+    */
+  private def q229(t: Tables): DataFrame = {
+    def band(b: String, sLo: Int, sHi: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === b && col("p_size").between(sLo, sHi) &&
+        col("l_quantity").between(qLo, qHi)
+    val b1 = band("Brand#1", 1, 15, 1, 20)
+    val b2 = band("Brand#2", 16, 30, 10, 30)
+    val b3 = band("Brand#3", 31, 50, 20, 50)
+    t.lineitem
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(
+        broadcast(t.part.select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .select(
+        when(b1, "band1_small").when(b2, "band2_mid").otherwise("band3_large").as("band"),
+        col("p_partkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("rev_e2"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("p_partkey")).as("n_parts"),
+        sum(col("rev_e2")).as("revenue_e2"))
+      .orderBy(col("band"))
+  }
+
+  /** Stale-part inventory audit via `NOT IN` (new r16 wave 24 — the
+    * null-aware anti-join class: q07's NOT EXISTS plans a plain LeftAnti,
+    * but `NOT IN (subquery)` carries three-valued logic — one NULL in the
+    * inner set empties the result — and Spark plans it as a DEDICATED
+    * physical shape, BroadcastHashJoin LeftAnti with
+    * isNullAwareAntiJoin=true; this is also the suite's only
+    * `spark.sql(...)` + temp-view entry, proving that API surface): per
+    * brand, parts with NO shipment in the trailing 30 days of the
+    * corpus (probed 1373/13730 parts at sf0.01/sf0.1 — populated, unlike
+    * the all-time variant the r17 ledger rules out), stale share (e4),
+    * and the e2 retail value parked in them. The cutoff is a scalar
+    * subquery off max(l_shipdate) so the window tracks the data.
+    *
+    * Scale shape: the inner side collapses to distinct recently-shipped
+    * partkeys — dimension-bounded (≤|part|), which is what makes the
+    * NAAJ's mandatory broadcast safe at 100 TB (an unbounded inner side
+    * would have to fall back to the non-broadcast plan); the date
+    * predicate pushes to the fact scan; the brand rollup runs on the
+    * |part|-row relation. Views are query-prefixed so concurrent Verify
+    * sessions cannot collide.
+    */
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    val t = Tables(s, d)
+    t.part.createOrReplaceTempView("q230_part")
+    t.lineitem.createOrReplaceTempView("q230_lineitem")
+    s.sql("""
+      WITH stale AS (
+        SELECT p_brand, p_retailprice FROM q230_part
+        WHERE p_partkey NOT IN (
+          SELECT l_partkey FROM q230_lineitem
+          WHERE l_shipdate >= (SELECT max(l_shipdate) - INTERVAL 30 DAYS FROM q230_lineitem))),
+      sa AS (
+        SELECT p_brand, count(*) AS n_stale,
+          sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS stale_value_e2
+        FROM stale GROUP BY p_brand),
+      tot AS (SELECT p_brand, count(*) AS n_parts FROM q230_part GROUP BY p_brand)
+      SELECT tot.p_brand, n_parts,
+        coalesce(n_stale, 0) AS n_stale,
+        (2 * 10000 * coalesce(n_stale, 0) + n_parts) DIV (2 * n_parts) AS stale_share_e4,
+        coalesce(stale_value_e2, 0) AS stale_value_e2
+      FROM tot LEFT JOIN sa ON tot.p_brand = sa.p_brand
+      ORDER BY tot.p_brand""")
+  }
+
+  /** TPC-H Q8-shaped market-share-by-year report (new r16 wave 24 — the
+    * SHARE-over-time Q-shape: q214 rolls the two-fact star onto the
+    * nation-pair grid, this onto the TIME axis with a flagged-subset
+    * ratio per group): per order year, line count, total e2 revenue, the
+    * slice supplied by EUROPE-region suppliers, and its e4 share — the
+    * supply-concentration trend a sourcing review reads. Only the
+    * lineitem⋈orders spine shuffles (on l_orderkey, the co-bucket key —
+    * exchange-free on bucketed storage); the supplier→nation→region arm
+    * collapses to a broadcast EU-supplier key set probed with a LEFT
+    * join so non-EU lines still count in the denominator; revenue
+    * e2-quantizes per line BEFORE the sum (q208's rule); the rollup
+    * lands on the ≤|years| grid. The e4 share's 2·10⁴·Σrev product
+    * passes 2⁶³ once a year's e2 revenue reaches ~4.6·10¹⁴ (≈ $4.6
+    * trillion/year) — `graft.share.decimal=true` routes it through
+    * DECIMAL(38,0) on the |years|-row relation with the same plan
+    * shape (q173's guard pattern; spec-pinned identical at current
+    * scale).
+    */
+  private def q233(t: Tables): DataFrame = {
+    val big: Column => Column =
+      if (t.spark.conf.get("graft.share.decimal", "false").toBoolean) _.cast("decimal(38,0)")
+      else identity
+    val euSup = t.supplier
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(
+        broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(t.region.filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey").as("eu_suppkey"))
+    t.lineitem
+      .select(
+        col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("rev_e2"))
+      .join(
+        t.orders.select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(euSup), col("l_suppkey") === col("eu_suppkey"), "left")
+      .groupBy(col("o_year"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("rev_e2")).as("revenue_e2"),
+        sum(when(col("eu_suppkey").isNotNull, col("rev_e2")).otherwise(0L))
+          .as("eu_revenue_e2"))
+      .withColumn("share_num", big(col("eu_revenue_e2")) * lit(20000L) + col("revenue_e2"))
+      .withColumn("eu_share_e4", expr("CAST(share_num DIV (2 * revenue_e2) AS BIGINT)"))
+      .drop("share_num")
+      .orderBy(col("o_year"))
+  }
+
   // q17: tumbling time bucket == streaming window().start on a batch plan.
   private def q17(t: Tables): DataFrame =
     t.events
@@ -495,6 +632,9 @@ object Relational extends QueryModule {
       .limit(20)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_disjunctive_bands" -> ((s, d) => q229(Tables(s, d))),
+    "q230_stale_parts" -> ((s, d) => q230(s, d)),
+    "q233_market_share" -> ((s, d) => q233(Tables(s, d))),
     "q214_nation_trade" -> ((s, d) => q214(Tables(s, d))),
     "q202_trailing_orders" -> ((s, d) => q202(Tables(s, d))),
     "q199_small_orders" -> ((s, d) => q199(Tables(s, d))),
@@ -526,6 +666,65 @@ object Relational extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q229_disjunctive_bands" ->
+      """WITH j AS (
+        | SELECT CASE
+        |   WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20 THEN 'band1_small'
+        |   WHEN p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+        |    AND l_quantity BETWEEN 10 AND 30 THEN 'band2_mid'
+        |   ELSE 'band3_large' END AS band,
+        |  p_partkey,
+        |  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_e2
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+        |    AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+        |    AND l_quantity BETWEEN 20 AND 50))
+        |SELECT band, count(*) AS n_lines,
+        | CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_parts,
+        | CAST(sum(rev_e2) AS BIGINT) AS revenue_e2
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q230_stale_parts" ->
+      """WITH stale AS (
+        | SELECT p_brand, p_retailprice FROM part
+        | WHERE p_partkey NOT IN (
+        |  SELECT l_partkey FROM lineitem
+        |  WHERE l_shipdate >= (SELECT max(l_shipdate) - INTERVAL 30 DAY FROM lineitem))),
+        | sa AS (
+        | SELECT p_brand, count(*) AS n_stale,
+        |  CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |   AS stale_value_e2
+        | FROM stale GROUP BY p_brand),
+        | tot AS (SELECT p_brand, count(*) AS n_parts FROM part GROUP BY p_brand)
+        |SELECT tot.p_brand, n_parts,
+        | coalesce(n_stale, 0) AS n_stale,
+        | (2 * 10000 * coalesce(n_stale, 0) + n_parts) // (2 * n_parts) AS stale_share_e4,
+        | coalesce(stale_value_e2, 0) AS stale_value_e2
+        |FROM tot LEFT JOIN sa ON tot.p_brand = sa.p_brand
+        |ORDER BY tot.p_brand""".stripMargin,
+    "q233_market_share" ->
+      """WITH eu AS (
+        | SELECT s_suppkey FROM supplier
+        | JOIN nation ON n_nationkey = s_nationkey
+        | JOIN region ON r_regionkey = n_regionkey
+        | WHERE r_name = 'EUROPE'),
+        | l AS (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_e2,
+        |  CASE WHEN eu.s_suppkey IS NOT NULL THEN 1 ELSE 0 END AS is_eu
+        | FROM lineitem
+        | JOIN orders ON o_orderkey = l_orderkey
+        | LEFT JOIN eu ON eu.s_suppkey = l_suppkey)
+        |SELECT o_year, count(*) AS n_lines,
+        | CAST(sum(rev_e2) AS BIGINT) AS revenue_e2,
+        | CAST(sum(CASE WHEN is_eu = 1 THEN rev_e2 ELSE 0 END) AS BIGINT) AS eu_revenue_e2,
+        | (2 * 10000 * CAST(sum(CASE WHEN is_eu = 1 THEN rev_e2 ELSE 0 END) AS BIGINT)
+        |  + CAST(sum(rev_e2) AS BIGINT))
+        |  // (2 * CAST(sum(rev_e2) AS BIGINT)) AS eu_share_e4
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "q214_nation_trade" ->
       """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
         | count(*) AS n_lines,

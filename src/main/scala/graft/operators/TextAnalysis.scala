@@ -1212,6 +1212,57 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Robust length-outlier census via median/MAD (Hampel 1974's robust
+    * scale estimator; new r16 wave 24 — the ROBUST companion to q91's
+    * percentile trim and q197's quantiles: mean/stddev fences move with
+    * the very outliers they hunt, the median absolute deviation does
+    * not): per source, nearest-rank median length, MAD, docs beyond
+    * 1.5×/2× MAD (strict, integer cross-multiplied — 2·|x−m| > 3·MAD
+    * and |x−m| > 2·MAD; the classic 3× band is identically zero at
+    * sf0.1 on this corpus, probed, so the populated bands ship), the
+    * 1.5× share (e4), and the worst absolute deviation.
+    *
+    * Scale shape: ONE corpus-scale (source, len) count; the deviation
+    * histogram is a broadcast-median regroup of that LENGTH-TYPE
+    * relation (never the corpus), both rank reads are q197's
+    * distribution-counting rule on source-partitioned windows, and the
+    * census folds the same domain-scale relation — four logical passes,
+    * zero additional corpus scans.
+    */
+  private def q231(t: Tables): DataFrame = {
+    val hist = t.documents
+      .groupBy(col("source"), col("n_chars").as("len"))
+      .agg(count(lit(1)).as("c"))
+    def rankMin(h: DataFrame, v: String, out: String): DataFrame =
+      h.withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col(v))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+        .filter(expr("cum >= (50 * n + 99) DIV 100"))
+        .groupBy(col("source")).agg(min(col(v)).as(out))
+    val med = rankMin(hist, "len", "med")
+    val adHist = hist
+      .join(broadcast(med), Seq("source"))
+      .groupBy(col("source"), abs(col("len") - col("med")).as("ad"))
+      .agg(sum(col("c")).as("c"), max(col("med")).as("med"))
+    val mad = rankMin(adHist.select(col("source"), col("ad"), col("c")), "ad", "mad")
+    adHist
+      .join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_docs"),
+        max(col("med")).as("median_len"),
+        max(col("mad")).as("mad"),
+        sum(when(expr("2 * ad > 3 * mad"), col("c")).otherwise(0L)).as("out_15mad"),
+        sum(when(expr("ad > 2 * mad"), col("c")).otherwise(0L)).as("out_20mad"),
+        max(col("ad")).as("max_abs_dev"))
+      .withColumn("out15_share_e4", expr("(2 * 10000 * out_15mad + n_docs) DIV (2 * n_docs)"))
+      .select(
+        col("source"), col("n_docs"), col("median_len"), col("mad"),
+        col("out_15mad"), col("out_20mad"), col("out15_share_e4"), col("max_abs_dev"))
+      .orderBy(col("source"))
+  }
+
   /** Top document prefixes per source — the ACTIONABLE face of the
     * boilerplate detectors: q140 counts window-hash collisions and q171
     * rates shingle reuse, but a curation operator fixing a source needs
@@ -2289,6 +2340,7 @@ object TextAnalysis extends QueryModule {
     "q186_length_tail" -> ((s, d) => q186(Tables(s, d))),
     "q194_ks_drift" -> ((s, d) => q194(Tables(s, d))),
     "q197_length_quantiles" -> ((s, d) => q197(Tables(s, d))),
+    "q231_robust_outliers" -> ((s, d) => q231(Tables(s, d))),
     "q164_kn_continuation" -> ((s, d) => q164(Tables(s, d)))
   )
 
@@ -2361,6 +2413,40 @@ object TextAnalysis extends QueryModule {
         | min(CASE WHEN p = 95 THEN len END) AS p95,
         | min(CASE WHEN p = 75 THEN len END) - min(CASE WHEN p = 25 THEN len END) AS iqr
         |FROM hit GROUP BY source ORDER BY source""".stripMargin,
+    "q231_robust_outliers" ->
+      """WITH h AS (
+        | SELECT source, n_chars AS len, count(*) AS c FROM documents GROUP BY 1, 2),
+        | hw AS (
+        | SELECT source, len, c,
+        |  CAST(sum(c) OVER (PARTITION BY source ORDER BY len
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        | FROM h),
+        | med AS (
+        | SELECT source, min(len) AS med FROM hw
+        | WHERE cum >= (50 * n + 99) // 100 GROUP BY source),
+        | ah AS (
+        | SELECT h.source, abs(len - med) AS ad, CAST(sum(c) AS BIGINT) AS c,
+        |  max(med) AS med
+        | FROM h JOIN med ON h.source = med.source GROUP BY 1, 2),
+        | aw AS (
+        | SELECT source, ad, c,
+        |  CAST(sum(c) OVER (PARTITION BY source ORDER BY ad
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        | FROM ah),
+        | mad AS (
+        | SELECT source, min(ad) AS mad FROM aw
+        | WHERE cum >= (50 * n + 99) // 100 GROUP BY source)
+        |SELECT ah.source, CAST(sum(c) AS BIGINT) AS n_docs,
+        | max(med) AS median_len, max(mad) AS mad,
+        | CAST(sum(CASE WHEN 2 * ad > 3 * mad THEN c ELSE 0 END) AS BIGINT) AS out_15mad,
+        | CAST(sum(CASE WHEN ad > 2 * mad THEN c ELSE 0 END) AS BIGINT) AS out_20mad,
+        | (2 * 10000 * CAST(sum(CASE WHEN 2 * ad > 3 * mad THEN c ELSE 0 END) AS BIGINT)
+        |  + CAST(sum(c) AS BIGINT)) // (2 * CAST(sum(c) AS BIGINT)) AS out15_share_e4,
+        | max(ad) AS max_abs_dev
+        |FROM ah JOIN mad ON ah.source = mad.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q194_ks_drift" ->
       """WITH d AS (SELECT source, n_chars FROM documents),
         | lens AS (

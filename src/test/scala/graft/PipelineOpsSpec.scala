@@ -1535,6 +1535,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q231 median/MAD census matches a direct per-source recomputation") {
+    val rows = Tables(spark, sf).documents.select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def nearestRankMedian(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      sorted(((50L * sorted.length + 99) / 100 - 1).toInt)
+    }
+    val expected = rows.groupBy(_._1).map { case (src, xs) =>
+      val lens = xs.map(_._2).toSeq
+      val med = nearestRankMedian(lens)
+      val ads = lens.map(l => math.abs(l - med))
+      val mad = nearestRankMedian(ads)
+      val o15 = ads.count(a => 2 * a > 3 * mad).toLong
+      val o20 = ads.count(a => a > 2 * mad).toLong
+      val n = lens.length.toLong
+      (src, n, med, mad, o15, o20, (2 * 10000 * o15 + n) / (2 * n), ads.max)
+    }.toSet
+    val got = SparkEntry.queries("q231_robust_outliers")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(got == expected)
+    // the shipped bands are populated somewhere (the 3× band is zero at
+    // sf0.1 on this corpus — the reason 1.5×/2× ship instead)
+    assert(got.exists(_._5 > 0), "degenerate: 1.5×MAD band empty everywhere")
+    assert(got.exists(_._6 > 0), "degenerate: 2×MAD band empty everywhere")
+  }
+
+  test("q232 zone-map audit matches a direct block min/max recomputation") {
+    val evs = Tables(spark, sf).events
+      .select(col("event_id"), unix_micros(col("ts")), col("value"))
+      .collect()
+      .map(r => (r.getLong(0) / 512, r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val thrTs = evs.map(_._2).max - 604800000000L
+    val thrV = 15000L
+    val blocks = evs.groupBy(_._1).map { case (_, xs) =>
+      (xs.map(_._2).max, xs.map(_._3).max,
+        xs.count(_._2 >= thrTs).toLong, xs.count(_._3 >= thrV).toLong)
+    }.toSeq
+    val nb = blocks.length.toLong
+    def mk(name: String, touched: Long, matched: Long) =
+      (name, nb, touched, matched, (2 * 10000 * touched + nb) / (2 * nb),
+        (matched + 511) / 512)
+    val expected = Set(
+      mk("ts_last7d", blocks.count(_._1 >= thrTs).toLong, blocks.map(_._3).sum),
+      mk("value_ge150", blocks.count(_._2 >= thrV).toLong, blocks.map(_._4).sum))
+    val got = SparkEntry.queries("q232_zonemap_skipping")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == expected)
+    // both predicates select something, and zone maps can never touch
+    // fewer blocks than the perfectly-clustered bound
+    got.foreach { case (p, _, touched, matched, _, ideal) =>
+      assert(matched > 0, s"degenerate: $p matches nothing")
+      assert(touched >= ideal, s"$p touched $touched < ideal $ideal")
+    }
+  }
+
   test("q198 session rollup matches an independent gap sessionization") {
     val evs = Tables(spark, sf).events
       .filter(col("user_id").isNotNull)

@@ -137,4 +137,101 @@ class RelationalSpec extends AnyFunSuite {
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q229 disjunctive bands match an independent OR-of-conjunctions fold") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    val parts = t.part.select(col("p_partkey"), col("p_brand"), col("p_size")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    val lines = t.lineitem
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        math.floor(r.getDouble(2) * (1 - r.getDouble(3)) * 100 + 0.5).toLong))
+    def bandOf(brand: String, size: Int, qty: Double): Option[String] =
+      if (brand == "Brand#1" && size >= 1 && size <= 15 && qty >= 1 && qty <= 20)
+        Some("band1_small")
+      else if (brand == "Brand#2" && size >= 16 && size <= 30 && qty >= 10 && qty <= 30)
+        Some("band2_mid")
+      else if (brand == "Brand#3" && size >= 31 && size <= 50 && qty >= 20 && qty <= 50)
+        Some("band3_large")
+      else None
+    val tagged = lines.flatMap { case (pk, qty, rev) =>
+      val (brand, size) = parts(pk)
+      bandOf(brand, size, qty).map(b => (b, pk, rev))
+    }
+    val expected = tagged.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.length.toLong, xs.map(_._2).distinct.length.toLong, xs.map(_._3).sum)
+    }.toSet
+    val got = SparkEntry.queries("q229_disjunctive_bands")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.size == 3, "degenerate: a band selects nothing")
+  }
+
+  test("q230 stale parts match an independent NOT-IN fold and plan null-aware") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    val ship = t.lineitem
+      .select(col("l_partkey"), unix_micros(col("l_shipdate").cast("timestamp"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cutoff = ship.map(_._2).max - 2592000000000L // 30 days in µs
+    val recent = ship.collect { case (pk, d) if d >= cutoff => pk }.toSet
+    val parts = t.part.select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val expected = parts.groupBy(_._2).map { case (brand, xs) =>
+      val stale = xs.filterNot(p => recent.contains(p._1))
+      val n = xs.length.toLong
+      val ns = stale.length.toLong
+      (brand, n, ns, (2 * 10000 * ns + n) / (2 * n), stale.map(_._3).sum)
+    }.toSet
+    val df = SparkEntry.queries("q230_stale_parts")(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "degenerate: no stale parts anywhere")
+    // the NOT IN carries three-valued logic: the optimizer must keep the
+    // null-aware disjunct on the anti join (the physical planner then
+    // pairs it to BroadcastHashJoin with isNullAwareAntiJoin=true)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Join LeftAnti") && opt.contains("OR isnull("),
+      "NOT IN did not plan as a null-aware anti join")
+  }
+
+  test("q233 market share matches an independent EU-supplier recomputation") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    val euNations = t.nation.join(t.region,
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).toSet
+    val euSup = t.supplier.select(col("s_suppkey"), col("s_nationkey")).collect()
+      .collect { case r if euNations.contains(r.getInt(1)) => r.getLong(0) }.toSet
+    val years = t.orders.select(col("o_orderkey"), year(col("o_orderdate"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    val lines = t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => (years(r.getLong(0)), euSup.contains(r.getLong(1)),
+        math.floor(r.getDouble(2) * (1 - r.getDouble(3)) * 100 + 0.5).toLong))
+    val expected = lines.groupBy(_._1).map { case (y, xs) =>
+      val rev = xs.map(_._3).sum
+      val eu = xs.collect { case (_, true, r) => r }.sum
+      (y, xs.length.toLong, rev, eu, (2 * 10000 * eu + rev) / (2 * rev))
+    }.toSet
+    def run() = SparkEntry.queries("q233_market_share")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val got = run()
+    assert(got == expected)
+    // the DECIMAL(38,0) overflow-guard path is plan-shape-identical and
+    // value-identical at current scale (q173's guard pattern)
+    spark.conf.set("graft.share.decimal", "true")
+    try assert(run() == got)
+    finally spark.conf.unset("graft.share.decimal")
+    // shares live strictly inside (0, 1): both EU and non-EU supply exists
+    got.foreach { case (y, _, _, _, s) => assert(s > 0 && s < 10000, s"year $y") }
+  }
 }
