@@ -518,6 +518,12 @@ object PlanAudit {
     // plus each branch's multiplicity rollup; the per-branch single-row
     // folds ride coalesced partitions (measured 4)
     "q222_multiset_ops" -> 4,
+    // q234 (r16 wave 25): the ONE corpus-scale (user, day) distinct
+    // prints once per consuming branch (DAU agg, the ×7-explode WAU
+    // distinct) — AQE reuses it at runtime (q224's class); the WAU
+    // distinct, both day rollups and the day join are all
+    // |users·days|- or |days|-domain-scale (measured 6)
+    "q234_rolling_actives" -> 6,
     // q230 (r16 wave 24): the NOT IN audit's two |part|-scale brand
     // rollups (stale + totals), the scalar-cutoff subquery's single-row
     // agg, the outer-join assembly and the sort — every exchange is

@@ -820,6 +820,41 @@ object Extras extends QueryModule {
       .orderBy(col("predicate"))
   }
 
+  /** Rolling 7-day active users + DAU/WAU stickiness (new r16 wave 25 —
+    * the SLIDING COUNT DISTINCT class: no window-function frame can
+    * express "distinct users over the trailing 7 days" because distinct
+    * doesn't decompose over frames; the scalable form is the domain
+    * explode — each (user, day) active pair covers the 7 window-ENDS it
+    * contributes to, then one distinct + count per end): per observed
+    * day, DAU, trailing-7-day WAU, and the e4 stickiness ratio DAU/WAU —
+    * the engagement number every analytics stack reports (probed
+    * non-constant at every SF: WAU spans 134–150 at sf0.01). Days are
+    * exact epoch-day integers (µs DIV 86 400 000 000 — never a date
+    * cast); the first six days carry their clipped partial windows
+    * (standard trailing-WAU semantics, declared); window-ends past the
+    * series are dropped by the inner join with the observed-day DAU.
+    *
+    * Scale shape: ONE corpus-scale (user, day) distinct (map-side
+    * partial — repeat events collapse before the exchange); the ×7
+    * explode rides that DOMAIN relation, never the raw events; both
+    * counts and the final join are |users·days|- or |days|-scale.
+    */
+  private def q234(t: Tables): DataFrame = {
+    val ud = t.events
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + lit(6L))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau7"))
+    dau
+      .join(broadcast(wau), Seq("day"))
+      .withColumn("stickiness_e4", expr("(2 * 10000 * dau + wau7) DIV (2 * wau7)"))
+      .select(col("day"), col("dau"), col("wau7"), col("stickiness_e4"))
+      .orderBy(col("day"))
+  }
+
   /** Consecutive-day activity streaks — the gaps-and-islands kernel every
     * engagement stack runs (DAU streak badges, churn-risk run lengths):
     * distinct (user, day) actives, island key = epoch-day − per-user day
@@ -1685,6 +1720,7 @@ object Extras extends QueryModule {
     "q166_event_transitions" -> ((s, d) => q166(Tables(s, d))),
     "q156_tile_pyramid" -> ((s, d) => q156(Tables(s, d))),
     "q125_activity_streaks" -> ((s, d) => q125(Tables(s, d))),
+    "q234_rolling_actives" -> ((s, d) => q234(Tables(s, d))),
     "q128_temperature_mix" -> ((s, d) => q128(Tables(s, d))),
     "q133_user_concentration" -> ((s, d) => q133(Tables(s, d))),
     "q173_supplier_hhi" -> ((s, d) => q173(Tables(s, d))),
@@ -1719,6 +1755,17 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q234_rolling_actives" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        | dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        | cov AS (
+        | SELECT DISTINCT user_id, day + i AS day
+        | FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) t),
+        | wau AS (SELECT day, count(*) AS wau7 FROM cov GROUP BY 1)
+        |SELECT dau.day, dau, wau7,
+        | (2 * 10000 * dau + wau7) // (2 * wau7) AS stickiness_e4
+        |FROM dau JOIN wau ON dau.day = wau.day ORDER BY 1""".stripMargin,
     "q232_zonemap_skipping" ->
       """WITH ev AS (
         | SELECT event_id // 512 AS blk, epoch_us(ts) AS tsu,

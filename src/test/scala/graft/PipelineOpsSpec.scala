@@ -1563,6 +1563,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.exists(_._6 > 0), "degenerate: 2×MAD band empty everywhere")
   }
 
+  test("q234 rolling actives match a direct trailing-window recomputation") {
+    val ud = Tables(spark, sf).events
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val days = ud.map(_._2).distinct.sorted
+    val expected = days.map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.collect { case (u, ad) if ad >= d - 6 && ad <= d => u }.distinct.length.toLong
+      (d, dau, wau, (2 * 10000 * dau + wau) / (2 * wau))
+    }.toSet
+    val got = SparkEntry.queries("q234_rolling_actives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // DAU never exceeds the window that contains it; stickiness ≤ 1
+    got.foreach { case (d, dau, wau, s) =>
+      assert(dau <= wau && s <= 10000, s"day $d")
+    }
+    // non-degenerate: the trailing window genuinely widens past its
+    // last day somewhere (at sf0.001 WAU is constant — every user is
+    // active within every window — but DAU < WAU still separates them;
+    // WAU itself varies from sf0.01 up, probed 134–150)
+    assert(got.exists(t => t._2 < t._3),
+      "degenerate: DAU equals WAU on every day")
+  }
+
   test("q232 zone-map audit matches a direct block min/max recomputation") {
     val evs = Tables(spark, sf).events
       .select(col("event_id"), unix_micros(col("ts")), col("value"))
