@@ -373,10 +373,6 @@ object PlanAudit {
     // filter-HOF explode rollup (≤|checkpoints| keys; countDistinct
     // expands two-phase) → broadcast total cut → sort
     "q195_dedup_saturation" -> 6,
-    // pair agg (the one corpus-scale shuffle) → w1 window marginal →
-    // per-w1 entropy agg + single-row total (broadcast back); top-30 is
-    // TakeOrderedAndProject
-    "q159_context_entropy" -> 4,
     // r15 second wave, measured textual counts:
     // q161: the restricted-vocab subtree (corpus (source,token) agg →
     // top-200 join → source-partitioned totals window) prints once per

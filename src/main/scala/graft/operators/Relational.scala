@@ -377,25 +377,36 @@ object Relational extends QueryModule {
     */
   private def q230(s: SparkSession, d: String): DataFrame = {
     val t = Tables(s, d)
-    t.part.createOrReplaceTempView("q230_part")
-    t.lineitem.createOrReplaceTempView("q230_lineitem")
-    s.sql("""
+    // graft_-prefixed view names, registered only for the duration of
+    // sql() analysis and dropped immediately after: the analyzed plan
+    // holds the resolved relations, so the query stays runnable while
+    // the session catalog is left exactly as found (every other entry
+    // in the suite is construction-side-effect-free; this one must be
+    // too)
+    t.part.createOrReplaceTempView("graft_q230_part")
+    t.lineitem.createOrReplaceTempView("graft_q230_lineitem")
+    try s.sql("""
       WITH stale AS (
-        SELECT p_brand, p_retailprice FROM q230_part
+        SELECT p_brand, p_retailprice FROM graft_q230_part
         WHERE p_partkey NOT IN (
-          SELECT l_partkey FROM q230_lineitem
-          WHERE l_shipdate >= (SELECT max(l_shipdate) - INTERVAL 30 DAYS FROM q230_lineitem))),
+          SELECT l_partkey FROM graft_q230_lineitem
+          WHERE l_shipdate >= (SELECT max(l_shipdate) - INTERVAL 30 DAYS
+                              FROM graft_q230_lineitem))),
       sa AS (
         SELECT p_brand, count(*) AS n_stale,
           sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS stale_value_e2
         FROM stale GROUP BY p_brand),
-      tot AS (SELECT p_brand, count(*) AS n_parts FROM q230_part GROUP BY p_brand)
+      tot AS (SELECT p_brand, count(*) AS n_parts FROM graft_q230_part GROUP BY p_brand)
       SELECT tot.p_brand, n_parts,
         coalesce(n_stale, 0) AS n_stale,
         (2 * 10000 * coalesce(n_stale, 0) + n_parts) DIV (2 * n_parts) AS stale_share_e4,
         coalesce(stale_value_e2, 0) AS stale_value_e2
       FROM tot LEFT JOIN sa ON tot.p_brand = sa.p_brand
       ORDER BY tot.p_brand""")
+    finally {
+      s.catalog.dropTempView("graft_q230_part")
+      s.catalog.dropTempView("graft_q230_lineitem")
+    }
   }
 
   /** TPC-H Q8-shaped market-share-by-year report (new r16 wave 24 — the

@@ -198,6 +198,11 @@ class RelationalSpec extends AnyFunSuite {
     val opt = df.queryExecution.optimizedPlan.toString
     assert(opt.contains("Join LeftAnti") && opt.contains("OR isnull("),
       "NOT IN did not plan as a null-aware anti join")
+    // construction must leave the session catalog as it found it — the
+    // scratch views are dropped once the plan is analyzed
+    assert(!spark.catalog.tableExists("graft_q230_part") &&
+      !spark.catalog.tableExists("graft_q230_lineitem"),
+      "q230 leaked its scratch temp views into the session catalog")
   }
 
   test("q233 market share matches an independent EU-supplier recomputation") {
