@@ -514,6 +514,12 @@ object PlanAudit {
     // plus each branch's multiplicity rollup; the per-branch single-row
     // folds ride coalesced partitions (measured 4)
     "q222_multiset_ops" -> 4,
+    // q235 (r16 wave 26): the ONE corpus-scale (source, len) histogram
+    // prints per consuming branch (the windowed threshold-pick branch,
+    // the heavy-mass re-fold, the picks broadcast back) — AQE reuses it
+    // (q231/q224's class); every branch after the histogram is
+    // length-domain-scale (measured 7)
+    "q235_byte_percentiles" -> 7,
     // q234 (r16 wave 25): the ONE corpus-scale (user, day) distinct
     // prints once per consuming branch (DAU agg, the ×7-explode WAU
     // distinct) — AQE reuses it at runtime (q224's class); the WAU

@@ -1263,6 +1263,59 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Byte-mass length percentiles per source (new r16 wave 26 — the
+    * STORAGE-planning order statistic q197/q231 do not give: those rank
+    * DOCS, this ranks the CHARS they hold; "90% of this source's bytes
+    * sit in docs ≤ X chars" is the number that sizes pack buffers
+    * (q80), shard splits and per-task memory, and it sits far above the
+    * doc median on any heavy-tailed source — probed wmed−med = 14–192
+    * at every SF, strictly positive for all 20 sources): per source,
+    * docs, total chars, the count-p50 length, the byte-p50/p90 lengths
+    * (smallest length whose cumulative CHAR mass reaches 50%/90%,
+    * integer cross-multiplied — 2·cum ≥ tot and 10·cum ≥ 9·tot both
+    * engines verbatim), and the e4 share of chars held by docs longer
+    * than the count-median (the mass the "typical doc" view never
+    * sees).
+    *
+    * Scale shape: ONE corpus-scale (source, len) count; both cumulative
+    * windows and the threshold picks run on that LENGTH-TYPE relation
+    * (q197's class, source-partitioned); the heavy-mass branch re-folds
+    * the same domain relation against the broadcast per-source picks.
+    */
+  private def q235(t: Tables): DataFrame = {
+    val hist = t.documents
+      .groupBy(col("source"), col("n_chars").as("len"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("mass", col("c") * col("len"))
+    val byLen = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("source"))
+    val w = hist
+      .withColumn("cum", sum(col("mass")).over(byLen))
+      .withColumn("tot", sum(col("mass")).over(all))
+      .withColumn("ccum", sum(col("c")).over(byLen))
+      .withColumn("n", sum(col("c")).over(all))
+    val picks = w.groupBy(col("source"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        max(col("tot")).as("total_chars"),
+        min(when(expr("2 * ccum >= n"), col("len"))).as("med_len"),
+        min(when(expr("2 * cum >= tot"), col("len"))).as("bytep50_len"),
+        min(when(expr("10 * cum >= 9 * tot"), col("len"))).as("bytep90_len"))
+    hist
+      .join(broadcast(picks), Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("len") > col("med_len"), col("mass")).otherwise(0L)).as("heavy"))
+      .join(broadcast(picks), Seq("source"))
+      .withColumn(
+        "heavy_mass_e4",
+        expr("(2 * 10000 * heavy + total_chars) DIV (2 * total_chars)"))
+      .select(
+        col("source"), col("n_docs"), col("total_chars"), col("med_len"),
+        col("bytep50_len"), col("bytep90_len"), col("heavy_mass_e4"))
+      .orderBy(col("source"))
+  }
+
   /** Top document prefixes per source — the ACTIONABLE face of the
     * boilerplate detectors: q140 counts window-hash collisions and q171
     * rates shingle reuse, but a curation operator fixing a source needs
@@ -2341,6 +2394,7 @@ object TextAnalysis extends QueryModule {
     "q194_ks_drift" -> ((s, d) => q194(Tables(s, d))),
     "q197_length_quantiles" -> ((s, d) => q197(Tables(s, d))),
     "q231_robust_outliers" -> ((s, d) => q231(Tables(s, d))),
+    "q235_byte_percentiles" -> ((s, d) => q235(Tables(s, d))),
     "q164_kn_continuation" -> ((s, d) => q164(Tables(s, d)))
   )
 
@@ -2413,6 +2467,33 @@ object TextAnalysis extends QueryModule {
         | min(CASE WHEN p = 95 THEN len END) AS p95,
         | min(CASE WHEN p = 75 THEN len END) - min(CASE WHEN p = 25 THEN len END) AS iqr
         |FROM hit GROUP BY source ORDER BY source""".stripMargin,
+    "q235_byte_percentiles" ->
+      """WITH h AS (
+        | SELECT source, n_chars AS len, count(*) AS c FROM documents GROUP BY 1, 2),
+        | hm AS (SELECT source, len, c, c * len AS mass FROM h),
+        | w AS (
+        | SELECT source, len, mass,
+        |  CAST(sum(mass) OVER (PARTITION BY source ORDER BY len
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(mass) OVER (PARTITION BY source) AS BIGINT) AS tot,
+        |  CAST(sum(c) OVER (PARTITION BY source ORDER BY len
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccum,
+        |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        | FROM hm),
+        | picks AS (
+        | SELECT source, max(n) AS n_docs, max(tot) AS total_chars,
+        |  min(CASE WHEN 2 * ccum >= n THEN len END) AS med_len,
+        |  min(CASE WHEN 2 * cum >= tot THEN len END) AS bytep50_len,
+        |  min(CASE WHEN 10 * cum >= 9 * tot THEN len END) AS bytep90_len
+        | FROM w GROUP BY 1),
+        | hv AS (
+        | SELECT hm.source,
+        |  CAST(sum(CASE WHEN len > med_len THEN mass ELSE 0 END) AS BIGINT) AS heavy
+        | FROM hm JOIN picks ON hm.source = picks.source GROUP BY 1)
+        |SELECT picks.source, n_docs, total_chars, med_len, bytep50_len, bytep90_len,
+        | (2 * 10000 * heavy + total_chars) // (2 * total_chars) AS heavy_mass_e4
+        |FROM picks JOIN hv ON picks.source = hv.source
+        |ORDER BY picks.source""".stripMargin,
     "q231_robust_outliers" ->
       """WITH h AS (
         | SELECT source, n_chars AS len, count(*) AS c FROM documents GROUP BY 1, 2),

@@ -1563,6 +1563,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.exists(_._6 > 0), "degenerate: 2×MAD band empty everywhere")
   }
 
+  test("q235 byte percentiles match a direct mass-cumulative recomputation") {
+    val rows = Tables(spark, sf).documents.select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy(_._1).map { case (src, xs) =>
+      val lens = xs.map(_._2).sorted
+      val n = lens.length.toLong
+      val tot = lens.sum
+      def massPick(num: Long, den: Long): Long = {
+        // smallest len whose cumulative char mass reaches num/den of tot
+        var cum = 0L
+        lens.find { l => cum += l; den * cum >= num * tot }.get
+      }
+      val med = lens(((50L * n + 99) / 100 - 1).toInt)
+      val heavy = lens.filter(_ > med).sum
+      (src, n, tot, med, massPick(1, 2), massPick(9, 10),
+        (2 * 10000 * heavy + tot) / (2 * tot))
+    }.toSet
+    val got = SparkEntry.queries("q235_byte_percentiles")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == expected)
+    // byte percentiles sit at or above their count twin on every source,
+    // and the heavy tail holds real mass — the reason this operator exists
+    got.foreach { case (src, _, _, med, b50, b90, hm) =>
+      assert(b50 >= med && b90 >= b50, src)
+      assert(hm > 0 && hm < 10000, src)
+    }
+  }
+
   test("q234 rolling actives match a direct trailing-window recomputation") {
     val ud = Tables(spark, sf).events
       .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000"))

@@ -34,6 +34,42 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom-filter injection prunes the fact side of a selective shuffle join") {
+    // the 100 TB mechanism the §5 story leans on between bucketing and
+    // AQE: a selective dim predicate turns into a bloom filter evaluated
+    // ON THE FACT SCAN SIDE before the shuffle, so the exchange carries
+    // only candidate rows. Thresholds are lowered because the local
+    // fixture is far below the 10 GiB default application-side gate —
+    // the INJECTION RULE (InjectRuntimeFilter) is what's being proven,
+    // not the size heuristic.
+    val t = Tables(spark, sf)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val sel = t.part.filter(col("p_brand") === "Brand#1")
+      val j = t.lineitem
+        .join(sel, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(
+        plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(3000)}")
+      // and the filtered semantics are unchanged
+      val n = j.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val direct = t.lineitem
+        .join(t.part.filter(col("p_brand") === "Brand#1"), col("l_partkey") === col("p_partkey"))
+        .count()
+      assert(n("Brand#1") == direct && direct > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("salted aggregation merges to the same totals as direct groupBy") {
     val li = Tables(spark, sf).lineitem
     val direct = li
