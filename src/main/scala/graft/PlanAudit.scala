@@ -514,6 +514,18 @@ object PlanAudit {
     // plus each branch's multiplicity rollup; the per-branch single-row
     // folds ride coalesced partitions (measured 4)
     "q222_multiset_ops" -> 4,
+    // q236 (r16 wave 27): the fact-window gap pass is localCheckpointed
+    // at the (seg, gap) day-domain histogram (q220's pattern — it would
+    // otherwise reprint per consuming branch, measured 22 textual); the
+    // remaining exchanges are the domain-scale stats/cumulative/pick
+    // chain (q224's class, measured 8)
+    "q236_order_cadence" -> 8,
+    // q237 (r16 wave 27): the o_custkey first-year agg + its co-
+    // partitioned rejoin to the fact (q199's class, 3 textual incl.
+    // AQE-reused prints), the ≤|years|² (cohort, age) rollup, its
+    // cumulative window and the size join+sort on the same grid
+    // (measured 6)
+    "q237_cohort_ltv" -> 6,
     // q235 (r16 wave 26): the ONE corpus-scale (source, len) histogram
     // prints per consuming branch (the windowed threshold-pick branch,
     // the heavy-mass re-fold, the picks broadcast back) — AQE reuses it

@@ -820,6 +820,99 @@ object Extras extends QueryModule {
       .orderBy(col("predicate"))
   }
 
+  /** Repeat-purchase cadence per market segment (new r16 wave 27 — the
+    * ORDER-stream twin of q134's event gaps, on the business axis a
+    * demand forecast actually segments by): per segment, repeat-order
+    * count, nearest-rank p25/p50/p90 inter-order gap in days, and the
+    * maximum — the reorder-cycle table a replenishment model is seeded
+    * with (probed: median ~150 days, spread to ~2300 — wide and
+    * non-degenerate at every SF). Gaps are exact integer day diffs off
+    * the per-customer lag; percentiles are q197's distribution-counting
+    * rule over the (segment, gap) day-domain histogram — no fact-table
+    * sort anywhere.
+    *
+    * Scale shape: ONE o_custkey-keyed window (thousands of customers —
+    * AQE-splittable, q20's class) with the customer dim broadcast; the
+    * histogram collapses map-side onto ≤|segment|·|day domain| keys and
+    * is localCheckpointed there (q220's pattern — six downstream
+    * branches consume it, and a checkpoint guarantees the fact-window
+    * pass runs ONCE rather than leaning on AQE exchange reuse); every
+    * branch after is domain-scale (q224's chain).
+    */
+  private def q236(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = t.orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .join(
+        broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(
+        col("c_mktsegment").as("seg"),
+        datediff(col("o_orderdate").cast("date"), col("prev").cast("date"))
+          .cast("long").as("gap"))
+    val hist = gaps.groupBy(col("seg"), col("gap")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val stats = hist.groupBy(col("seg"))
+      .agg(sum(col("c")).as("n_gaps"), max(col("gap")).as("max_gap"))
+    val cum = Window.partitionBy(col("seg")).orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(cum))
+      .join(broadcast(stats.select(col("seg").as("s2"), col("n_gaps"))),
+        col("seg") === col("s2"))
+    def pct(p: Int) = ranked
+      .filter(expr(s"cum >= ($p * n_gaps + 99) DIV 100"))
+      .groupBy(col("seg")).agg(min(col("gap")).as(s"p${p}_gap"))
+    stats
+      .join(broadcast(pct(25)), Seq("seg"))
+      .join(broadcast(pct(50)), Seq("seg"))
+      .join(broadcast(pct(90)), Seq("seg"))
+      .select(
+        col("seg"), col("n_gaps"), col("p25_gap"), col("p50_gap"),
+        col("p90_gap"), col("max_gap"))
+      .orderBy(col("seg"))
+  }
+
+  /** Cohort lifetime-value curve (new r16 wave 27 — q119's retention
+    * cohorts moved from the ACTIVITY axis to the REVENUE axis: retention
+    * says who came back, LTV says what coming back was worth): per
+    * (first-order-year cohort, age in years), orders, e2 spend, the
+    * cohort's cumulative spend, cohort size, and cumulative LTV per
+    * cohort customer (e2, half-up) — the payback-horizon curve an
+    * acquisition budget is judged against. Spend e2-quantizes per order
+    * BEFORE any sum (q208's rule).
+    *
+    * Scale shape: the per-customer first-year agg rejoins its own fact
+    * co-partitioned on o_custkey (q199's exchange-free-on-bucketed
+    * class); the (cohort, age) rollup partial-aggregates map-side onto
+    * ≤|years|² keys; the cumulative window and the size join run on
+    * that domain grid.
+    */
+  private def q237(t: Tables): DataFrame = {
+    val o = t.orders.select(
+      col("o_custkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("sp_e2"))
+    val fo = o.groupBy(col("o_custkey")).agg(min(col("yr")).as("cohort"))
+    val size = fo.groupBy(col("cohort")).agg(count(lit(1)).as("n_customers"))
+    val cum = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.join(fo, Seq("o_custkey"))
+      .groupBy(col("cohort"), (col("yr") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("sp_e2")).as("spend_e2"))
+      .withColumn("cum_spend_e2", sum(col("spend_e2")).over(cum))
+      .join(broadcast(size), Seq("cohort"))
+      .withColumn(
+        "ltv_per_cust_e2",
+        expr("(2 * cum_spend_e2 + n_customers) DIV (2 * n_customers)"))
+      .select(
+        col("cohort"), col("age"), col("n_orders"), col("spend_e2"),
+        col("cum_spend_e2"), col("n_customers"), col("ltv_per_cust_e2"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
   /** Rolling 7-day active users + DAU/WAU stickiness (new r16 wave 25 —
     * the SLIDING COUNT DISTINCT class: no window-function frame can
     * express "distinct users over the trailing 7 days" because distinct
@@ -1721,6 +1814,8 @@ object Extras extends QueryModule {
     "q156_tile_pyramid" -> ((s, d) => q156(Tables(s, d))),
     "q125_activity_streaks" -> ((s, d) => q125(Tables(s, d))),
     "q234_rolling_actives" -> ((s, d) => q234(Tables(s, d))),
+    "q236_order_cadence" -> ((s, d) => q236(Tables(s, d))),
+    "q237_cohort_ltv" -> ((s, d) => q237(Tables(s, d))),
     "q128_temperature_mix" -> ((s, d) => q128(Tables(s, d))),
     "q133_user_concentration" -> ((s, d) => q133(Tables(s, d))),
     "q173_supplier_hhi" -> ((s, d) => q173(Tables(s, d))),
@@ -1755,6 +1850,54 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q236_order_cadence" ->
+      """WITH g AS (
+        | SELECT c_mktsegment AS seg,
+        |  CAST(date_diff('day',
+        |   CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |   CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+        | FROM orders JOIN customer ON c_custkey = o_custkey),
+        | h AS (SELECT seg, gap, count(*) AS c FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+        | st AS (
+        | SELECT seg, CAST(sum(c) AS BIGINT) AS n_gaps, max(gap) AS max_gap
+        | FROM h GROUP BY 1),
+        | cm AS (
+        | SELECT h.seg, gap,
+        |  CAST(sum(c) OVER (PARTITION BY h.seg ORDER BY gap
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  n_gaps
+        | FROM h JOIN st ON st.seg = h.seg),
+        | p25 AS (SELECT seg, min(gap) AS p25_gap FROM cm
+        |  WHERE cum >= (25 * n_gaps + 99) // 100 GROUP BY 1),
+        | p50 AS (SELECT seg, min(gap) AS p50_gap FROM cm
+        |  WHERE cum >= (50 * n_gaps + 99) // 100 GROUP BY 1),
+        | p90 AS (SELECT seg, min(gap) AS p90_gap FROM cm
+        |  WHERE cum >= (90 * n_gaps + 99) // 100 GROUP BY 1)
+        |SELECT st.seg, n_gaps, p25_gap, p50_gap, p90_gap, max_gap
+        |FROM st JOIN p25 ON p25.seg = st.seg JOIN p50 ON p50.seg = st.seg
+        | JOIN p90 ON p90.seg = st.seg
+        |ORDER BY st.seg""".stripMargin,
+    "q237_cohort_ltv" ->
+      """WITH o AS (
+        | SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS sp_e2
+        | FROM orders),
+        | fo AS (SELECT o_custkey, min(yr) AS cohort FROM o GROUP BY 1),
+        | sz AS (SELECT cohort, count(*) AS n_customers FROM fo GROUP BY 1),
+        | cells AS (
+        | SELECT cohort, yr - cohort AS age, count(*) AS n_orders,
+        |  CAST(sum(sp_e2) AS BIGINT) AS spend_e2
+        | FROM o JOIN fo USING (o_custkey) GROUP BY 1, 2),
+        | cc AS (
+        | SELECT cohort, age, n_orders, spend_e2,
+        |  CAST(sum(spend_e2) OVER (PARTITION BY cohort ORDER BY age
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_spend_e2
+        | FROM cells)
+        |SELECT cc.cohort, age, n_orders, spend_e2, cum_spend_e2, n_customers,
+        | (2 * cum_spend_e2 + n_customers) // (2 * n_customers) AS ltv_per_cust_e2
+        |FROM cc JOIN sz ON sz.cohort = cc.cohort
+        |ORDER BY cc.cohort, age""".stripMargin,
     "q234_rolling_actives" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -1563,6 +1563,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.exists(_._6 > 0), "degenerate: 2×MAD band empty everywhere")
   }
 
+  test("q236 order cadence matches a direct per-customer gap recomputation") {
+    val t = Tables(spark, sf)
+    val segs = t.customer.select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val ords = t.orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = ords.groupBy(_._1).toSeq.flatMap { case (ck, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2))
+      sorted.zip(sorted.tail).map { case (a, b) =>
+        (segs(ck), (b._3 / 86400000000L) - (a._3 / 86400000000L))
+      }
+    }
+    def rank(xs: Seq[Long], p: Long): Long = {
+      val sorted = xs.sorted
+      sorted(((p * sorted.length + 99) / 100 - 1).toInt)
+    }
+    val expected = gaps.groupBy(_._1).map { case (seg, xs) =>
+      val g = xs.map(_._2)
+      (seg, g.length.toLong, rank(g, 25), rank(g, 50), rank(g, 90), g.max)
+    }.toSet
+    val got = SparkEntry.queries("q236_order_cadence")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == expected)
+    got.foreach { case (seg, n, a, b, c, mx) =>
+      assert(n > 0 && a <= b && b <= c && c <= mx, seg)
+    }
+  }
+
+  test("q237 cohort LTV matches a direct first-year-cohort recomputation") {
+    val ords = Tables(spark, sf).orders
+      .select(col("o_custkey"), year(col("o_orderdate")), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val cohort = ords.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val size = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cells = ords.groupBy(o => (cohort(o._1), o._2 - cohort(o._1)))
+      .map { case ((cy, age), xs) => ((cy, age), (xs.size.toLong, xs.map(_._3).sum)) }
+    val expected = cells.map { case ((cy, age), (n, sp)) =>
+      val cum = cells.collect { case ((c2, a2), (_, s2)) if c2 == cy && a2 <= age => s2 }.sum
+      (cy, age, n, sp, cum, size(cy), (2 * cum + size(cy)) / (2 * size(cy)))
+    }.toSet
+    val got = SparkEntry.queries("q237_cohort_ltv")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == expected)
+    // LTV curves are monotone in age within a cohort
+    val byCohort = got.toSeq.groupBy(_._1)
+    byCohort.foreach { case (cy, xs) =>
+      val curve = xs.sortBy(_._2).map(_._5)
+      assert(curve == curve.sorted, s"cohort $cy LTV not monotone")
+    }
+    assert(byCohort.size > 1, "degenerate: a single cohort")
+  }
+
   test("q235 byte percentiles match a direct mass-cumulative recomputation") {
     val rows = Tables(spark, sf).documents.select(col("source"), col("n_chars"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
