@@ -514,6 +514,12 @@ object PlanAudit {
     // plus each branch's multiplicity rollup; the per-branch single-row
     // folds ride coalesced partitions (measured 4)
     "q222_multiset_ops" -> 4,
+    // q238 (r16 wave 28): the ONE corpus-scale (source, lang, predicted)
+    // count prints per consuming branch (stats, the two marginals, the
+    // class-matched marginal join) — AQE reuses it (q231/q224's class);
+    // marginals, the rc join and the kappa arithmetic are all
+    // ≤|sources|·|langs|² grid-scale (measured 8)
+    "q238_cohens_kappa" -> 8,
     // q236 (r16 wave 27): the fact-window gap pass is localCheckpointed
     // at the (seg, gap) day-domain histogram (q220's pattern — it would
     // otherwise reprint per consuming branch, measured 22 textual); the

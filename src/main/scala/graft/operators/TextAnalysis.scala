@@ -113,7 +113,10 @@ object TextAnalysis extends QueryModule {
     * Profiles are tiny broadcast-free literal sets; classification is a
     * deterministic argmax with a fixed tie order.
     */
-  private def q31(t: Tables): DataFrame = {
+  // ONE definition of the stopword language detector for q31 (the
+  // confusion matrix) and q238 (its chance-corrected agreement) — the
+  // classifications cannot drift apart.
+  private def langPredicted(t: Tables): DataFrame = {
     def score(words: String*) =
       s"size(filter(words, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
     withWords(t)
@@ -128,9 +131,71 @@ object TextAnalysis extends QueryModule {
                |     WHEN de_s >= fr_s AND de_s > 0 THEN 'de'
                |     WHEN fr_s > 0 THEN 'fr'
                |     ELSE 'und' END""".stripMargin))
+  }
+
+  private def q31(t: Tables): DataFrame =
+    langPredicted(t)
       .groupBy(col("lang").as("labeled"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("labeled"), col("predicted"))
+
+  /** Cohen's kappa of declared vs detected language per source (Cohen
+    * 1960; new r16 wave 28 — the chance-corrected one-number summary of
+    * q31's confusion matrix, per source: raw agreement po flatters any
+    * detector on a skewed language mix, kappa subtracts the agreement a
+    * label-marginal-respecting coin would get — the metric that decides
+    * whether the declared `lang` column can be TRUSTED per source):
+    * per source, docs, agreeing docs, po (e4), chance agreement pe
+    * (e4), and kappa (e4, SIGNED — ≤ 0 means the detector does no
+    * better than chance on that source). All integer: kappa =
+    * (N·agree − Σ_l row_l·col_l) / (N² − Σ_l row_l·col_l) cross-
+    * multiplied, the one signed division split as sign·half-up-on-abs
+    * (q212's rule — Spark DIV truncates where DuckDB // floors, so
+    * never divide signed); a degenerate pe = 1 source reports 0
+    * (declared). `graft.kappa.decimal=true` routes N² and the
+    * marginal products through DECIMAL(38,0) past ~3·10⁹ docs/source
+    * (q173's guard pattern, spec-pinned identical at current scale).
+    *
+    * Scale shape: ONE corpus-scale (source, lang, predicted) count
+    * (map-side partial next to the scan); marginals, the
+    * class-matched marginal join and the kappa arithmetic all run on
+    * the ≤|sources|·|langs|² grid.
+    */
+  private def q238(t: Tables): DataFrame = {
+    val big: Column => Column =
+      if (t.spark.conf.get("graft.kappa.decimal", "false").toBoolean) _.cast("decimal(38,0)")
+      else identity
+    val cells = langPredicted(t)
+      .groupBy(col("source"), col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("c"))
+    val stats = cells.groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_docs"),
+        sum(when(col("lang") === col("predicted"), col("c")).otherwise(0L)).as("n_agree"))
+    val rows = cells.groupBy(col("source"), col("lang")).agg(sum(col("c")).as("rn"))
+    val cls = cells.groupBy(col("source"), col("predicted")).agg(sum(col("c")).as("cn"))
+    val rc = rows
+      .join(cls.withColumnRenamed("source", "s2"),
+        col("source") === col("s2") && col("lang") === col("predicted"))
+      .groupBy(col("source"))
+      .agg(sum(big(col("rn")) * col("cn")).as("rc"))
+    stats
+      .join(broadcast(rc), Seq("source"), "left")
+      .withColumn("rc", coalesce(col("rc"), lit(0L)))
+      .withColumn("po_e4", expr("(2 * 10000 * n_agree + n_docs) DIV (2 * n_docs)"))
+      .withColumn("nn", big(col("n_docs")) * col("n_docs"))
+      .withColumn("pe_e4", expr("CAST((2 * 10000 * rc + nn) DIV (2 * nn) AS BIGINT)"))
+      .withColumn("knum", big(col("n_docs")) * col("n_agree") - col("rc"))
+      .withColumn("kden", col("nn") - col("rc"))
+      .withColumn(
+        "kappa_e4",
+        expr("""CAST(CASE WHEN kden = 0 THEN 0
+               |     WHEN knum < 0 THEN -((2 * 10000 * -knum + kden) DIV (2 * kden))
+               |     ELSE (2 * 10000 * knum + kden) DIV (2 * kden) END AS BIGINT)""".stripMargin))
+      .select(
+        col("source"), col("n_docs"), col("n_agree"), col("po_e4"),
+        col("pe_e4"), col("kappa_e4"))
+      .orderBy(col("source"))
   }
 
   /** Token counting: whitespace tokens, regex word tokens, and REAL
@@ -2395,6 +2460,7 @@ object TextAnalysis extends QueryModule {
     "q197_length_quantiles" -> ((s, d) => q197(Tables(s, d))),
     "q231_robust_outliers" -> ((s, d) => q231(Tables(s, d))),
     "q235_byte_percentiles" -> ((s, d) => q235(Tables(s, d))),
+    "q238_cohens_kappa" -> ((s, d) => q238(Tables(s, d))),
     "q164_kn_continuation" -> ((s, d) => q164(Tables(s, d)))
   )
 
@@ -2467,6 +2533,45 @@ object TextAnalysis extends QueryModule {
         | min(CASE WHEN p = 95 THEN len END) AS p95,
         | min(CASE WHEN p = 75 THEN len END) - min(CASE WHEN p = 25 THEN len END) AS iqr
         |FROM hit GROUP BY source ORDER BY source""".stripMargin,
+    "q238_cohens_kappa" ->
+      """WITH w AS (SELECT source, lang, string_split(text, ' ') AS words FROM documents),
+        | s AS (SELECT source, lang,
+        |  len(list_filter(words, x -> x IN ('the','a','of','and','is'))) AS en_s,
+        |  len(list_filter(words, x -> x IN ('el','la','de','y','es'))) AS es_s,
+        |  len(list_filter(words, x -> x IN ('der','die','das','und','ist'))) AS de_s,
+        |  len(list_filter(words, x -> x IN ('le','la','de','et','est'))) AS fr_s
+        | FROM w),
+        | p AS (SELECT source, lang,
+        |  CASE WHEN en_s >= es_s AND en_s >= de_s AND en_s >= fr_s AND en_s > 0 THEN 'en'
+        |       WHEN es_s >= de_s AND es_s >= fr_s AND es_s > 0 THEN 'es'
+        |       WHEN de_s >= fr_s AND de_s > 0 THEN 'de'
+        |       WHEN fr_s > 0 THEN 'fr'
+        |       ELSE 'und' END AS predicted
+        | FROM s),
+        | cells AS (SELECT source, lang, predicted, count(*) AS c FROM p GROUP BY 1, 2, 3),
+        | st AS (
+        | SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN lang = predicted THEN c ELSE 0 END) AS BIGINT) AS n_agree
+        | FROM cells GROUP BY 1),
+        | r AS (SELECT source, lang, CAST(sum(c) AS BIGINT) AS rn FROM cells GROUP BY 1, 2),
+        | cl AS (SELECT source, predicted, CAST(sum(c) AS BIGINT) AS cn
+        |  FROM cells GROUP BY 1, 2),
+        | rcj AS (
+        | SELECT r.source, CAST(sum(rn * cn) AS BIGINT) AS rc
+        | FROM r JOIN cl ON cl.source = r.source AND cl.predicted = r.lang GROUP BY 1),
+        | k AS (
+        | SELECT st.source, n_docs, n_agree,
+        |  coalesce(rc, 0) AS rc, n_docs * n_docs AS nn,
+        |  n_docs * n_agree - coalesce(rc, 0) AS knum,
+        |  n_docs * n_docs - coalesce(rc, 0) AS kden
+        | FROM st LEFT JOIN rcj ON rcj.source = st.source)
+        |SELECT source, n_docs, n_agree,
+        | (2 * 10000 * n_agree + n_docs) // (2 * n_docs) AS po_e4,
+        | (2 * 10000 * rc + nn) // (2 * nn) AS pe_e4,
+        | CASE WHEN kden = 0 THEN 0
+        |  WHEN knum < 0 THEN -((2 * 10000 * -knum + kden) // (2 * kden))
+        |  ELSE (2 * 10000 * knum + kden) // (2 * kden) END AS kappa_e4
+        |FROM k ORDER BY source""".stripMargin,
     "q235_byte_percentiles" ->
       """WITH h AS (
         | SELECT source, n_chars AS len, count(*) AS c FROM documents GROUP BY 1, 2),

@@ -1563,6 +1563,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.exists(_._6 > 0), "degenerate: 2×MAD band empty everywhere")
   }
 
+  test("q238 Cohen's kappa matches a direct confusion-matrix recomputation") {
+    // independent classifier: plain Scala over the same stopword lists
+    val sets = Map(
+      "en" -> Set("the", "a", "of", "and", "is"),
+      "es" -> Set("el", "la", "de", "y", "es"),
+      "de" -> Set("der", "die", "das", "und", "ist"),
+      "fr" -> Set("le", "la", "de", "et", "est"))
+    def predict(text: String): String = {
+      val ws = text.split(" ", -1)
+      def sc(l: String) = ws.count(sets(l))
+      val (en, es, de, fr) = (sc("en"), sc("es"), sc("de"), sc("fr"))
+      if (en >= es && en >= de && en >= fr && en > 0) "en"
+      else if (es >= de && es >= fr && es > 0) "es"
+      else if (de >= fr && de > 0) "de"
+      else if (fr > 0) "fr"
+      else "und"
+    }
+    val docs = Tables(spark, sf).documents.select(col("source"), col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1), predict(r.getString(2))))
+    val expected = docs.groupBy(_._1).map { case (src, xs) =>
+      val n = xs.length.toLong
+      val agree = xs.count(x => x._2 == x._3).toLong
+      val rows = xs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val cols = xs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val rc = rows.map { case (l, rn) => rn * cols.getOrElse(l, 0L) }.sum
+      val po = (2 * 10000 * agree + n) / (2 * n)
+      val pe = (2 * 10000 * rc + n * n) / (2 * n * n)
+      val (knum, kden) = (n * agree - rc, n * n - rc)
+      val kappa =
+        if (kden == 0) 0L
+        else if (knum < 0) -((2 * 10000 * -knum + kden) / (2 * kden))
+        else (2 * 10000 * knum + kden) / (2 * kden)
+      (src, n, agree, po, pe, kappa)
+    }.toSet
+    def run() = SparkEntry.queries("q238_cohens_kappa")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    val got = run()
+    assert(got == expected)
+    // the DECIMAL(38,0) overflow-guard path is value-identical (q173's
+    // guard pattern)
+    spark.conf.set("graft.kappa.decimal", "true")
+    try assert(run() == got)
+    finally spark.conf.unset("graft.kappa.decimal")
+    // the signed division's both branches fire on this corpus, and
+    // kappa is bounded by its theoretical ceiling
+    assert(got.exists(_._6 > 0) && got.exists(_._6 < 0),
+      "degenerate: kappa one-signed everywhere")
+    got.foreach { case (src, _, _, po, _, k) =>
+      assert(k <= 10000 && po <= 10000, src)
+    }
+  }
+
   test("q236 order cadence matches a direct per-customer gap recomputation") {
     val t = Tables(spark, sf)
     val segs = t.customer.select(col("c_custkey"), col("c_mktsegment")).collect()
