@@ -58,6 +58,9 @@ object PlanAudit {
       // r16: q228 reads q211's exact-distance pair relation (the same
       // declared |Q|·n broadcast sample cross)
       "q228_adc_calibration",
+      // r16 wave 29: q239 rides q194's grid verbatim (lenEcdfGrid) —
+      // the same declared |sources| × |distinct lengths| cross
+      "q239_mann_whitney",
       // r16 wave 24: q232's cross is a broadcast SINGLE-ROW scalar
       // threshold (max-ts/fixed-value bounds) against the block relation
       // — the degenerate 1-row end of the q161 dim-grid class
@@ -111,8 +114,10 @@ object PlanAudit {
   // its histogram formulation
   // q194's unpartitioned cumulative runs on the DISTINCT-LENGTH relation
   // (value-domain-bounded, q136's class), never the corpus
+  // q239 shares q194's grid (lenEcdfGrid), including its distinct-length
+  // global cumulative — the same value-domain-bounded exemption
   private val allowGlobalWindow =
-    Set("q83_late_data", "q136_vocab_coverage", "q194_ks_drift")
+    Set("q83_late_data", "q136_vocab_coverage", "q194_ks_drift", "q239_mann_whitney")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 3, "q38_ngram_jaccard" -> 6, "q13_set_ops" -> 4,
@@ -514,6 +519,11 @@ object PlanAudit {
     // plus each branch's multiplicity rollup; the per-branch single-row
     // folds ride coalesced partitions (measured 4)
     "q222_multiset_ops" -> 4,
+    // q239 (r16 wave 29): q194's grid chain verbatim (lenEcdfGrid —
+    // the global-length cumulative, the per-source cumulative, the
+    // source/total aggs) + the |sources|-row U fold and sort; same
+    // measured count as q194 (6)
+    "q239_mann_whitney" -> 6,
     // q238 (r16 wave 28): the ONE corpus-scale (source, lang, predicted)
     // count prints per consuming branch (stats, the two marginals, the
     // class-matched marginal join) — AQE reuses it (q231/q224's class);

@@ -1189,10 +1189,11 @@ object TextAnalysis extends QueryModule {
     * declared dim-grid class), with the one unpartitioned cumulative
     * window running on the distinct-length relation only.
     */
-  private def q194(t: Tables): DataFrame = {
-    val big: Column => Column =
-      if (t.spark.conf.get("graft.ks.decimal", "false").toBoolean) _.cast("decimal(19,0)")
-      else identity
+  // ONE construction of the source-vs-rest length ECDF grid (|sources| ×
+  // |distinct lengths|, the declared q161-class dim grid) for q194's KS
+  // sup-norm and q239's Mann-Whitney integral — the two-sample tests
+  // read one definition of the cumulatives.
+  private def lenEcdfGrid(t: Tables): DataFrame = {
     val docs = t.documents.select(col("source"), col("n_chars"))
     val lens = docs.groupBy(col("n_chars").as("len")).agg(count(lit(1)).as("c_all"))
       .withColumn("cum_all", sum(col("c_all")).over(
@@ -1208,6 +1209,13 @@ object TextAnalysis extends QueryModule {
         Window.partitionBy(col("source")).orderBy(col("len"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(total))
+  }
+
+  private def q194(t: Tables): DataFrame = {
+    val big: Column => Column =
+      if (t.spark.conf.get("graft.ks.decimal", "false").toBoolean) _.cast("decimal(19,0)")
+      else identity
+    lenEcdfGrid(t)
       .withColumn(
         "num",
         big(col("cum_src")) * (col("n_all") - col("n_src"))
@@ -1234,6 +1242,52 @@ object TextAnalysis extends QueryModule {
           .cast("long"))
       .select(
         col("source"), col("n_docs"), col("ks_e6"), col("at_len"), col("heavier_below"))
+      .orderBy(col("source"))
+  }
+
+  /** Mann–Whitney probability of superiority per source (Mann & Whitney
+    * 1947; new r16 wave 29 — the INTEGRAL two-sample statistic next to
+    * q194's KS sup-norm and q165's binned PSI: KS reports the single
+    * worst ECDF gap, this the rank-based EFFECT SIZE P(src doc longer
+    * than rest doc), the number that says whether a drift is a spike or
+    * a systematic shift): per source, docs, rest size, the tie-halved
+    * 2U statistic, superiority in e6 (probed 0.44–0.65 across sources
+    * at every SF — real two-sided spread), and the ±1 direction flag.
+    * Exact integer throughout: ties carry the standard half weight kept
+    * doubled (2U = Σ_len c_src·(2·rest_below + rest_ties)), one half-up
+    * e6 division; `graft.mwu.decimal=true` routes the products through
+    * DECIMAL(38,0) past ~3·10⁹ docs (q173's guard pattern, spec-pinned
+    * identical at current scale).
+    *
+    * Scale shape: rides the SAME |sources| × |distinct lengths| ECDF
+    * grid as q194 (the lenEcdfGrid helper — one definition, the
+    * declared dim-grid class bounded by the length value domain); the
+    * fold collapses it to |sources| rows.
+    */
+  private def q239(t: Tables): DataFrame = {
+    val big: Column => Column =
+      if (t.spark.conf.get("graft.mwu.decimal", "false").toBoolean) _.cast("decimal(38,0)")
+      else identity
+    lenEcdfGrid(t)
+      .withColumn("c_rest", col("c_all") - col("c_src"))
+      .withColumn("rest_below", col("cum_all") - col("cum_src") - col("c_rest"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_src")).as("n_src"),
+        max(col("n_all") - col("n_src")).as("n_rest"),
+        sum(big(col("c_src")) * (lit(2L) * col("rest_below") + col("c_rest"))).as("two_u"))
+      .withColumn("n1n2", big(col("n_src")) * col("n_rest"))
+      .withColumn(
+        "superiority_e6",
+        expr("CAST((1000000 * two_u + n1n2) DIV (2 * n1n2) AS BIGINT)"))
+      .withColumn("two_u", expr("CAST(two_u AS BIGINT)"))
+      .withColumn(
+        "longer",
+        expr("""CAST(CASE WHEN two_u > n1n2 THEN 1
+               |     WHEN two_u < n1n2 THEN -1 ELSE 0 END AS BIGINT)""".stripMargin))
+      .select(
+        col("source"), col("n_src"), col("n_rest"), col("two_u"),
+        col("superiority_e6"), col("longer"))
       .orderBy(col("source"))
   }
 
@@ -2461,6 +2515,7 @@ object TextAnalysis extends QueryModule {
     "q231_robust_outliers" -> ((s, d) => q231(Tables(s, d))),
     "q235_byte_percentiles" -> ((s, d) => q235(Tables(s, d))),
     "q238_cohens_kappa" -> ((s, d) => q238(Tables(s, d))),
+    "q239_mann_whitney" -> ((s, d) => q239(Tables(s, d))),
     "q164_kn_continuation" -> ((s, d) => q164(Tables(s, d)))
   )
 
@@ -2533,6 +2588,36 @@ object TextAnalysis extends QueryModule {
         | min(CASE WHEN p = 95 THEN len END) AS p95,
         | min(CASE WHEN p = 75 THEN len END) - min(CASE WHEN p = 25 THEN len END) AS iqr
         |FROM hit GROUP BY source ORDER BY source""".stripMargin,
+    "q239_mann_whitney" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        | lens AS (SELECT n_chars AS len, count(*) AS c_all FROM d GROUP BY 1),
+        | cl AS (
+        | SELECT len, c_all,
+        |  CAST(sum(c_all) OVER (ORDER BY len
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+        | FROM lens),
+        | sl AS (SELECT source, n_chars AS len, count(*) AS c_src FROM d GROUP BY 1, 2),
+        | src AS (SELECT source, count(*) AS n_src FROM d GROUP BY 1),
+        | tot AS (SELECT count(*) AS n_all FROM d),
+        | grid AS (
+        | SELECT source, n_src, len, c_all, cum_all, COALESCE(c_src, 0) AS c_src
+        | FROM src CROSS JOIN cl LEFT JOIN sl USING (source, len)),
+        | cum AS (
+        | SELECT source, n_src, len, c_all, cum_all, c_src,
+        |  CAST(sum(c_src) OVER (PARTITION BY source ORDER BY len
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_src
+        | FROM grid),
+        | u AS (
+        | SELECT source, max(n_src) AS n_src,
+        |  max((SELECT n_all FROM tot) - n_src) AS n_rest,
+        |  CAST(sum(c_src * (2 * (cum_all - cum_src - (c_all - c_src))
+        |   + (c_all - c_src))) AS BIGINT) AS two_u
+        | FROM cum GROUP BY 1)
+        |SELECT source, n_src, n_rest, two_u,
+        | (1000000 * two_u + n_src * n_rest) // (2 * n_src * n_rest) AS superiority_e6,
+        | CAST(CASE WHEN two_u > n_src * n_rest THEN 1
+        |  WHEN two_u < n_src * n_rest THEN -1 ELSE 0 END AS BIGINT) AS longer
+        |FROM u ORDER BY source""".stripMargin,
     "q238_cohens_kappa" ->
       """WITH w AS (SELECT source, lang, string_split(text, ' ') AS words FROM documents),
         | s AS (SELECT source, lang,

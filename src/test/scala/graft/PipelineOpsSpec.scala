@@ -1563,6 +1563,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.exists(_._6 > 0), "degenerate: 2×MAD band empty everywhere")
   }
 
+  test("q239 Mann-Whitney superiority matches a direct pairwise recomputation") {
+    val rows = Tables(spark, sf).documents.select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy(_._1).map { case (src, xs) =>
+      val mine = xs.map(_._2)
+      val rest = rows.collect { case (s, l) if s != src => l }
+      // brute-force: every (mine, rest) pair — wins count 2, ties 1
+      val twoU = mine.iterator.map { m =>
+        rest.count(m > _).toLong * 2 + rest.count(m == _).toLong
+      }.sum
+      val (n1, n2) = (mine.length.toLong, rest.length.toLong)
+      val sup = (1000000L * twoU + n1 * n2) / (2 * n1 * n2)
+      val dir = java.lang.Long.signum(twoU - n1 * n2).toLong
+      (src, n1, n2, twoU, sup, dir)
+    }.toSet
+    def run() = SparkEntry.queries("q239_mann_whitney")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    val got = run()
+    assert(got == expected)
+    // the DECIMAL(38,0) overflow-guard path is value-identical
+    spark.conf.set("graft.mwu.decimal", "true")
+    try assert(run() == got)
+    finally spark.conf.unset("graft.mwu.decimal")
+    // a two-sided audit: some source runs long, some runs short
+    assert(got.exists(_._6 > 0) && got.exists(_._6 < 0),
+      "degenerate: every source on the same side")
+    // identity: 2U ≤ 2·n1·n2, superiority in [0, 1e6]
+    got.foreach { case (src, n1, n2, u2, sup, _) =>
+      assert(u2 <= 2 * n1 * n2 && sup >= 0 && sup <= 1000000L, src)
+    }
+  }
+
   test("q238 Cohen's kappa matches a direct confusion-matrix recomputation") {
     // independent classifier: plain Scala over the same stopword lists
     val sets = Map(
