@@ -70,6 +70,26 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("Observation collects pipeline metrics in the same pass as the action") {
+    // the production-monitoring surface a 100 TB pipeline uses instead
+    // of re-running count() per stage: Dataset.observe attaches metric
+    // expressions that accumulate DURING the one action, for free
+    import org.apache.spark.sql.Observation
+    val obs = Observation("gate_metrics")
+    val t = Tables(spark, sf)
+    val gated = t.documents
+      .observe(obs,
+        count(lit(1)).as("n_raw"),
+        sum(when(col("n_chars") >= 100, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chars")).as("total_chars"))
+      .filter(col("n_chars") >= 100)
+    val kept = gated.count() // the ONE action; metrics ride it
+    val m = obs.get
+    assert(m("n_kept") == kept)
+    assert(m("n_raw") == t.documents.count())
+    assert(m("total_chars") == t.documents.agg(sum(col("n_chars"))).head().getLong(0))
+  }
+
   test("salted aggregation merges to the same totals as direct groupBy") {
     val li = Tables(spark, sf).lineitem
     val direct = li
