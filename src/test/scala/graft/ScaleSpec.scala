@@ -70,6 +70,43 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // the fourth §5 scale mechanism next to bucketing, salting, and
+    // runtime bloom filters: on a PARTITIONED fact table, a selective
+    // predicate on the dim side of a partition-key join becomes a runtime
+    // partition filter on the fact SCAN — at 100 TB the difference between
+    // reading one year and reading the decade. The fact is stored
+    // partitioned by order year (the storage layout a date-keyed lake
+    // uses); the dim is a year attribute relation filtered to one row.
+    Tables(spark, sf).orders
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year")
+      .mode("overwrite").saveAsTable("orders_part_dpp")
+    val yearVals = Tables(spark, sf).orders
+      .select(year(col("o_orderdate")).as("yr")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val focus = yearVals.max
+    // the dim's filter column must be DATA, not an expression over the
+    // join key — a literal `yr = X` predicate constant-folds into a
+    // STATIC partition filter and DPP never needs to fire (observed);
+    // a tag attribute forces the pruning decision to runtime
+    spark.createDataFrame(
+      yearVals.toSeq.map(y => (y, if (y == focus) "focus" else "other")))
+      .toDF("yr", "tag")
+      .write.mode("overwrite").saveAsTable("dim_years_dpp")
+    val j = spark.table("orders_part_dpp")
+      .join(spark.table("dim_years_dpp").filter(col("tag") === "focus"),
+        col("o_year") === col("yr"))
+      .agg(count(lit(1)).as("n"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n${plan.take(3000)}")
+    // and the pruned semantics are unchanged
+    val n = j.head().getLong(0)
+    val direct = spark.table("orders_part_dpp").filter(col("o_year") === focus).count()
+    assert(n == direct && n > 0)
+  }
+
   test("Observation collects pipeline metrics in the same pass as the action") {
     // the production-monitoring surface a 100 TB pipeline uses instead
     // of re-running count() per stage: Dataset.observe attaches metric
