@@ -309,8 +309,59 @@ object CatalogOps extends QueryModule {
       .orderBy(col("keep"))
   }
 
+  /** Recursive-CTE catalog path rollup (new r16 wave 30 — the engine's
+    * native `WITH RECURSIVE` surface, planned as `UnionLoopExec`: q67
+    * proves arbitrary-depth traversal as a driver-batched frontier loop,
+    * this proves the DECLARATIVE form the SQL standard and the reference's
+    * nested-catalog model imply — reference
+    * `check_stac_metadata/utils.py:191-258` recurses child links; here the
+    * recursion is pushed INTO the engine instead of driven from outside
+    * it). Semantics are new, not q67's reachability: each node carries its
+    * accumulated ROOT-PATH character mass (Σ n_chars of every ancestor
+    * plus itself — the "how much metadata must a client parse to reach
+    * this object" number), rolled up per depth into node count and
+    * min/total/max path mass. Rides the cycle-free parent tree (doc i>0 is
+    * child of (i−1) div 2 — ids are contiguous, so the parent always
+    * exists and every document is reached exactly once; UNION ALL
+    * recursion over the cyclic q67 link graph would not terminate, which
+    * is WHY the visited-set loop exists — the two entries are the two
+    * halves of the traversal story). Depth guard 64 mirrors q67's round
+    * cap; actual depth is ⌈log₂|docs|⌉ (13 at sf0.1), far under Spark's
+    * 100-level recursion default.
+    *
+    * Scale shape: each UnionLoop iteration joins the previous LEVEL
+    * (frontier-sized, halving the corpus each level down) against the
+    * child relation on the derived parent key — an equi-join Spark plans
+    * per-iteration with AQE, never a rescan of anything but the one
+    * parquet relation; the rollup output is ⌈log₂ n⌉ rows. Views are
+    * query-prefixed and dropped after analysis (q230's rule: the analyzed
+    * plan holds the resolved relation, the session catalog is left as
+    * found).
+    */
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    val t = Tables(s, d)
+    t.documents.createOrReplaceTempView("graft_q240_documents")
+    try s.sql("""
+      WITH RECURSIVE reach(node_id, depth, path_chars) AS (
+        SELECT CAST(doc_id AS BIGINT), 0, CAST(n_chars AS BIGINT)
+        FROM graft_q240_documents WHERE doc_id = 0
+        UNION ALL
+        SELECT CAST(d.doc_id AS BIGINT), r.depth + 1, r.path_chars + d.n_chars
+        FROM reach r JOIN graft_q240_documents d
+          ON (d.doc_id - 1) DIV 2 = r.node_id AND d.doc_id > 0
+        WHERE r.depth < 64
+      )
+      SELECT depth, count(*) AS n_nodes,
+        min(path_chars) AS min_path_chars,
+        sum(path_chars) AS total_path_chars,
+        max(path_chars) AS max_path_chars
+      FROM reach GROUP BY depth ORDER BY depth""")
+    finally s.catalog.dropTempView("graft_q240_documents")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_retention_gc" -> ((s, d) => q85(Tables(s, d))),
+    "q240_recursive_paths" -> ((s, d) => q240(s, d)),
     "q189_retention_sweep" -> ((s, d) => q189(Tables(s, d))),
     "q67_catalog_walk" -> ((s, d) => q67(Tables(s, d))),
     "q68_dataset_upsert" -> ((s, d) => q68(Tables(s, d))),
@@ -319,6 +370,20 @@ object CatalogOps extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q240_recursive_paths" ->
+      """WITH RECURSIVE reach(node_id, depth, path_chars) AS (
+        | SELECT CAST(doc_id AS BIGINT), 0, CAST(n_chars AS BIGINT)
+        | FROM documents WHERE doc_id = 0
+        | UNION ALL
+        | SELECT CAST(d.doc_id AS BIGINT), r.depth + 1, r.path_chars + d.n_chars
+        | FROM reach r JOIN documents d
+        |  ON (d.doc_id - 1) // 2 = r.node_id AND d.doc_id > 0
+        | WHERE r.depth < 64)
+        |SELECT depth, count(*) AS n_nodes,
+        | min(path_chars) AS min_path_chars,
+        | CAST(sum(path_chars) AS BIGINT) AS total_path_chars,
+        | max(path_chars) AS max_path_chars
+        |FROM reach GROUP BY depth ORDER BY depth""".stripMargin,
     "q189_retention_sweep" ->
       """WITH v AS (
         | SELECT user_id, event_id, value,

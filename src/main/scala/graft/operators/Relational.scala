@@ -461,6 +461,143 @@ object Relational extends QueryModule {
       .orderBy(col("o_year"))
   }
 
+  /** LATERAL correlated top-k (new r16 wave 31 — the SQL-standard LATERAL
+    * subquery surface, the second `spark.sql` entry after q230's NAAJ:
+    * a correlated ORDER BY + LIMIT subquery evaluated per outer row, the
+    * "top N per group" idiom ANSI SQL spells natively; q10 proves the
+    * window-function formulation, this proves the engine accepts and
+    * decorrelates the LATERAL form — Spark analyzes it as a LateralJoin
+    * and rewrites the correlated limit into a partitioned rank, so the
+    * executed plan is the same scalable shape as q10's, not a per-row
+    * re-scan): per nation, the top-3 customers by account balance.
+    * Deterministic under ties by the unique c_name tiebreak; balances
+    * e2-quantized in the OUTPUT only (the ordering key is the raw column
+    * both engines hold bit-identical).
+    *
+    * Scale shape: after decorrelation this is ONE customer-side shuffle
+    * keyed on c_nationkey with a rank window and the dim join — no
+    * per-nation re-scan survives; the output is ≤ 3·|nations| rows.
+    * Views are query-prefixed and dropped after analysis (q230's rule).
+    */
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    val t = Tables(s, d)
+    t.nation.createOrReplaceTempView("graft_q241_nation")
+    t.customer.createOrReplaceTempView("graft_q241_customer")
+    try s.sql("""
+      SELECT n.n_name, t.c_name, t.bal_e2
+      FROM graft_q241_nation n,
+      LATERAL (
+        SELECT c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2
+        FROM graft_q241_customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name
+        LIMIT 3) t
+      ORDER BY n.n_name, t.bal_e2 DESC, t.c_name""")
+    finally {
+      s.catalog.dropTempView("graft_q241_nation")
+      s.catalog.dropTempView("graft_q241_customer")
+    }
+  }
+
+  /** TPC-H Q9-shaped profit-by-nation-and-year report (new r16 wave 31 —
+    * the PRODUCT-LINE PROFIT Q-shape: a part-name-filtered five-relation
+    * star rolled onto the (supplier nation × order year) grid; Q5 (q05)
+    * rolls revenue onto the customer-region arm, this rolls MARGIN onto
+    * the supplier arm). This testdata carries no partsupp relation, so
+    * ps_supplycost is the declared deterministic proxy 60% of
+    * p_retailprice (e2-exact: unit_cost_e2 = floor(p_retailprice·60 +
+    * 0.5)) — the Q-shape's join/aggregation structure is what's being
+    * proven, and the margin varies per line through quantity, discount,
+    * and price exactly as Q9's does. Probed 70/175/175 (nation, year)
+    * cells at sf0.001/0.01/0.1.
+    *
+    * Scale shape: the bolt-part key set and the supplier→nation map are
+    * dimension-bounded broadcasts (the part filter culls the fact
+    * map-side BEFORE any exchange); the one corpus-scale shuffle is
+    * lineitem⋈orders on the co-bucket key l_orderkey (exchange-free on
+    * bucketed storage); the rollup lands on the ≤|nations|·|years| grid.
+    * Quantities are integral by generator contract — floor(q + 0.5)
+    * casts them identically in both engines (never a raw double→int
+    * cast, whose rounding differs between Spark and DuckDB).
+    */
+  private def q242(t: Tables): DataFrame = {
+    val boltParts = t.part
+      .filter(col("p_name").like("%bolt%"))
+      .select(
+        col("p_partkey"),
+        expr("CAST(floor(p_retailprice * 60 + 0.5) AS BIGINT)").as("unit_cost_e2"))
+    val supNation = t.supplier
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(
+        broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    t.lineitem
+      .select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("rev_e2"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("qty"))
+      .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        t.orders.select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("rev_e2")).as("revenue_e2"),
+        sum(col("qty") * col("unit_cost_e2")).as("cost_e2"),
+        sum(col("rev_e2") - col("qty") * col("unit_cost_e2")).as("profit_e2"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  /** TPC-H Q10-shaped returned-revenue customer ranking (new r16 wave 31
+    * — the RETURNS-TRIAGE Q-shape: which customers sent back the most
+    * value; q03 ranks open orders, this ranks customers on the
+    * l_returnflag='R' slice through the customer→nation arm, the report a
+    * fulfilment review opens with): top-20 customers by e2 returned
+    * revenue with their nation, line count, and distinct returned orders.
+    * Ties (none probed, but possible at bigger SFs) break on the unique
+    * c_custkey.
+    *
+    * Scale shape: the returnflag predicate pushes to the fact scan; the
+    * one corpus-scale shuffle is lineitem⋈orders on l_orderkey
+    * (co-bucket key); the per-customer rollup is |customers|-bounded and
+    * partial-aggregable; customer and nation attach as dimension
+    * broadcasts AFTER the rollup (attribute join on the collapsed
+    * relation, never the fact); the global top-20 is a TakeOrdered, no
+    * full sort.
+    */
+  private def q243(t: Tables): DataFrame = {
+    val perCust = t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+          .as("rev_e2"))
+      .join(
+        t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_ret_lines"),
+        countDistinct(col("o_orderkey")).as("n_ret_orders"),
+        sum(col("rev_e2")).as("ret_rev_e2"))
+    perCust
+      .join(
+        broadcast(t.customer.select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("n_name"),
+        col("n_ret_orders"), col("n_ret_lines"), col("ret_rev_e2"))
+      .orderBy(col("ret_rev_e2").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   // q17: tumbling time bucket == streaming window().start on a batch plan.
   private def q17(t: Tables): DataFrame =
     t.events
@@ -673,10 +810,55 @@ object Relational extends QueryModule {
     "q17_hourly_events" -> ((s, d) => q17(Tables(s, d))),
     "q18_string_report" -> ((s, d) => q18(Tables(s, d))),
     "q19_null_audit" -> ((s, d) => q19(Tables(s, d))),
-    "q20_user_sessions" -> ((s, d) => q20(Tables(s, d)))
+    "q20_user_sessions" -> ((s, d) => q20(Tables(s, d))),
+    "q241_lateral_topk" -> ((s, d) => q241(s, d)),
+    "q242_nation_profit" -> ((s, d) => q242(Tables(s, d))),
+    "q243_returned_topk" -> ((s, d) => q243(Tables(s, d)))
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q241_lateral_topk" ->
+      """SELECT n.n_name, t.c_name, t.bal_e2
+        |FROM nation n,
+        |LATERAL (
+        | SELECT c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2
+        | FROM customer c
+        | WHERE c.c_nationkey = n.n_nationkey
+        | ORDER BY c_acctbal DESC, c_name
+        | LIMIT 3) t
+        |ORDER BY n.n_name, t.bal_e2 DESC, t.c_name""".stripMargin,
+    "q242_nation_profit" ->
+      """WITH l AS (
+        | SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_e2,
+        |  CAST(floor(l_quantity + 0.5) AS BIGINT)
+        |   * CAST(floor(p_retailprice * 60 + 0.5) AS BIGINT) AS cost_e2
+        | FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | WHERE p_name LIKE '%bolt%')
+        |SELECT n_name, o_year, count(*) AS n_lines,
+        | CAST(sum(rev_e2) AS BIGINT) AS revenue_e2,
+        | CAST(sum(cost_e2) AS BIGINT) AS cost_e2,
+        | CAST(sum(rev_e2 - cost_e2) AS BIGINT) AS profit_e2
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q243_returned_topk" ->
+      """WITH pc AS (
+        | SELECT o_custkey, count(*) AS n_ret_lines,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_ret_orders,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT) AS ret_rev_e2
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_returnflag = 'R'
+        | GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name, n_ret_orders, n_ret_lines, ret_rev_e2
+        |FROM pc
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY ret_rev_e2 DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q229_disjunctive_bands" ->
       """WITH j AS (
         | SELECT CASE

@@ -29,6 +29,35 @@ class CatalogOpsSpec extends AnyFunSuite {
     assert(rows.length == 500, "every document node is reachable in the binary-tree graph")
   }
 
+  test("recursive-CTE path rollup matches a parent-chain recomputation and plans as UnionLoop") {
+    val df = SparkEntry.queries("q240_recursive_paths")(spark, sf)
+    // engine-mechanism pin: the recursion must reach the native recursive-CTE
+    // plan (UnionLoop), not a driver loop or a silent non-recursive rewrite
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("UnionLoop"), s"recursive CTE not planned as UnionLoop:\n${plan.take(1500)}")
+    // independent recomputation: path mass via the explicit ancestor chain
+    val chars = Tables(spark, sf).documents
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    def pathChars(id: Long): Long =
+      if (id == 0L) chars(0L) else chars(id) + pathChars((id - 1) / 2)
+    def depth(id: Long): Int = if (id == 0L) 0 else 1 + depth((id - 1) / 2)
+    val expect = chars.keys.toSeq
+      .map(id => depth(id) -> pathChars(id))
+      .groupBy(_._1)
+      .map { case (d, xs) =>
+        d -> ((xs.length.toLong, xs.map(_._2).min, xs.map(_._2).sum, xs.map(_._2).max))
+      }
+    val got = df.collect().map { r =>
+      r.getAs[Int]("depth") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("min_path_chars"),
+          r.getAs[Long]("total_path_chars"), r.getAs[Long]("max_path_chars")))
+    }.toMap
+    assert(got == expect, s"rollup mismatch: got $got\nexpect $expect")
+    // every document is reached exactly once (tree coverage, no dup walks)
+    assert(got.values.map(_._1).sum == chars.size.toLong)
+  }
+
   test("upsert output has unique keys and classifies actions correctly") {
     val rows = SparkEntry.queries("q68_dataset_upsert")(spark, sf).collect()
     val keys = rows.map(_.getAs[Long]("dataset_key"))

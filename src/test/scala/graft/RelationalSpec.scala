@@ -239,4 +239,97 @@ class RelationalSpec extends AnyFunSuite {
     // shares live strictly inside (0, 1): both EU and non-EU supply exists
     got.foreach { case (y, _, _, _, s) => assert(s > 0 && s < 10000, s"year $y") }
   }
+
+  test("q241 lateral top-k matches a per-nation sort fold and analyzes as LateralJoin") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    val nations = t.nation.select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val custs = t.customer.select(col("c_nationkey"), col("c_name"), col("c_acctbal"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val expected = custs.groupBy(_._1).toSeq.flatMap { case (nk, xs) =>
+      xs.sortBy(c => (-c._3, c._2)).take(3)
+        .map(c => (nations(nk), c._2, math.floor(c._3 * 100 + 0.5).toLong))
+    }.sortBy(x => (x._1, -x._3, x._2)).toSeq
+    val df = SparkEntry.queries("q241_lateral_topk")(spark, sf)
+    // engine-surface pin: the correlated LIMIT subquery must arrive as a
+    // LATERAL join, not get hand-rewritten before the engine sees it
+    assert(df.queryExecution.analyzed.toString.contains("LateralJoin"),
+      "q241 did not analyze as a LATERAL join")
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // every nation present with exactly 3 rows (all nations have ≥3 customers)
+    assert(got.groupBy(_._1).forall(_._2.length == 3))
+    // construction leaves the session catalog as found
+    assert(!spark.catalog.tableExists("graft_q241_nation") &&
+      !spark.catalog.tableExists("graft_q241_customer"))
+  }
+
+  test("q242 nation profit matches an independent five-relation fold") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    val boltCost = t.part.select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .collect()
+      .collect { case r if r.getString(1).contains("bolt") =>
+        (r.getLong(0), math.floor(r.getDouble(2) * 60 + 0.5).toLong)
+      }.toMap
+    val supNation = {
+      val nn = t.nation.select(col("n_nationkey"), col("n_name")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toMap
+      t.supplier.select(col("s_suppkey"), col("s_nationkey")).collect()
+        .map(r => (r.getLong(0), nn(r.getInt(1)))).toMap
+    }
+    val years = t.orders.select(col("o_orderkey"), year(col("o_orderdate"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    val cells = t.lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .collect()
+      .flatMap { r =>
+        boltCost.get(r.getLong(1)).map { unit =>
+          val rev = math.floor(r.getDouble(3) * (1 - r.getDouble(4)) * 100 + 0.5).toLong
+          val cost = math.floor(r.getDouble(5) + 0.5).toLong * unit
+          ((supNation(r.getLong(2)), years(r.getLong(0))), (rev, cost))
+        }
+      }
+    val expected = cells.groupBy(_._1).map { case ((n, y), xs) =>
+      val rev = xs.map(_._2._1).sum
+      val cost = xs.map(_._2._2).sum
+      (n, y, xs.length.toLong, rev, cost, rev - cost)
+    }.toSet
+    val got = SparkEntry.queries("q242_nation_profit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    assert(got.size > 10, "degenerate: the bolt slice collapsed")
+  }
+
+  test("q243 returned-revenue top-20 matches an independent returnflag fold") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    val custOf = t.orders.select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val perCust = t.lineitem
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .collect { case r if r.getString(1) == "R" =>
+        (custOf(r.getLong(0)), r.getLong(0),
+          math.floor(r.getDouble(2) * (1 - r.getDouble(3)) * 100 + 0.5).toLong)
+      }
+      .groupBy(_._1)
+    val names = t.customer.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    val nations = t.nation.select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val expected = perCust.toSeq.map { case (ck, xs) =>
+      val (nm, nk) = names(ck)
+      (ck, nm, nations(nk), xs.map(_._2).distinct.length.toLong,
+        xs.length.toLong, xs.map(_._3).sum)
+    }.sortBy(x => (-x._6, x._1)).take(20).toSeq
+    val got = SparkEntry.queries("q243_returned_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    assert(got.length == 20, "degenerate: fewer than 20 returned-revenue customers")
+  }
 }
