@@ -542,6 +542,20 @@ object PlanAudit {
     // cumulative window and the size join+sort on the same grid
     // (measured 6)
     "q237_cohort_ltv" -> 6,
+    // q244 (r16 wave 32): the corpus-scale quantizedEv→centroid chain
+    // prints once per consuming branch (the per-dim global totals, the
+    // between join, ownCellFold's own centroid probe, the within rollup,
+    // the cells join and the 1-row CH fold) — AQE reuses the identical
+    // exchanges at runtime (q172/q212's class); everything after the
+    // centroid relation is |cells|·|dims|- or single-row-scale
+    // (measured 16)
+    "q244_calinski_harabasz" -> 16,
+    // q245 (r16 wave 33): two corpus-scale partial-aggregable passes
+    // (orders → month counts; lineitem → per-order max-ship, the
+    // co-bucket key) + the finish month rollup + the month-grid
+    // outer-join/window assembly (measured 4, all but the l_orderkey
+    // agg domain-scale)
+    "q245_order_backlog" -> 4,
     // q235 (r16 wave 26): the ONE corpus-scale (source, len) histogram
     // prints per consuming branch (the windowed threshold-pick branch,
     // the heavy-mass re-fold, the picks broadcast back) — AQE reuses it

@@ -1797,7 +1797,101 @@ object Extras extends QueryModule {
       .orderBy(col("priority"))
   }
 
+  /** Order-backlog curve (new r16 wave 33 — the event-sourced INVENTORY
+    * readout the order-flow family still lacked: q201 tracks batch
+    * validation progress, q224 prices per-line lead time, this walks the
+    * ORDER-level open-vs-done balance through time, the ops chart a
+    * fulfilment review opens with): per order month, orders placed,
+    * orders fully shipped (finish = max l_shipdate over the order's
+    * lines), both cumulative, and the end-of-month backlog = placed −
+    * done (probed ramping 1737→67413 open orders across 80 months at
+    * sf0.1 — strong curve structure at every SF). Orders with NO lines
+    * (probed 2764 at sf0.1) never finish and sit in the backlog forever
+    * — declared semantics, exactly how an order-sourced system sees a
+    * never-fulfilled order. Months are integer yyyymm keys (year·100 +
+    * month — never a date cast into the hash).
+    *
+    * Scale shape: two corpus-scale partial-aggregable passes — the
+    * placed-per-month count collapses orders map-side onto the ≤|months|
+    * domain, and the per-order finish is ONE max-agg shuffle on
+    * l_orderkey (the co-bucket key — exchange-free on bucketed storage)
+    * whose result collapses onto the same month domain; the cumulative
+    * windows and the outer-join assembly run on the ~80-row month grid
+    * (the q194-class declared metadata-scale global window).
+    */
+  private def q245(t: Tables): DataFrame = {
+    val byM = Window.orderBy(col("ym")).rowsBetween(Window.unboundedPreceding, 0)
+    val placed = t.orders
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"))
+      .agg(count(lit(1)).as("n_placed"))
+    val done = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("fin"))
+      .groupBy((year(col("fin")) * 100 + month(col("fin"))).cast("long").as("ym"))
+      .agg(count(lit(1)).as("n_done"))
+    placed
+      .join(done, Seq("ym"), "full_outer")
+      .select(
+        col("ym"),
+        coalesce(col("n_placed"), lit(0L)).as("n_placed"),
+        coalesce(col("n_done"), lit(0L)).as("n_done"))
+      .withColumn("placed_cum", sum(col("n_placed")).over(byM))
+      .withColumn("done_cum", sum(col("n_done")).over(byM))
+      .withColumn("backlog", col("placed_cum") - col("done_cum"))
+      .orderBy(col("ym"))
+  }
+
+  /** Hierarchical share-of-parent revenue rollup (new r16 wave 33 — the
+    * two-level PERCENT-OF-PARENT readout every BI hierarchy renders and
+    * no existing entry computes: q05 prices the region arm flat, q192
+    * profiles the tree's fan-out, this prices each level AGAINST its
+    * parent): per nation, order revenue (e2), its e4 share of the
+    * region's revenue, and the region's e4 share of global revenue —
+    * the drill-down table where a mix shift is read level by level.
+    *
+    * Scale shape: ONE corpus-scale pass — the customer map (custkey →
+    * nationkey) is a DIMENSION broadcast, so the fact rolls straight
+    * onto the ≤|nations| key under partial aggregation with no
+    * fact-scale exchange at all;
+    * the nation/region attach and both share windows run on the 25-row
+    * dim relation (declared metadata-scale global window, q194's class).
+    */
+  private def q246(t: Tables): DataFrame = {
+    val byRegion = Window.partitionBy(col("r_name"))
+    val global = Window.partitionBy()
+    t.orders
+      .select(
+        col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("tp_e2"))
+      .join(
+        broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("tp_e2")).as("revenue_e2"))
+      .join(
+        broadcast(t.nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(t.region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .withColumn("region_rev_e2", sum(col("revenue_e2")).over(byRegion))
+      .withColumn("global_rev_e2", sum(col("revenue_e2")).over(global))
+      .withColumn(
+        "nation_share_e4",
+        expr("(2 * 10000 * revenue_e2 + region_rev_e2) DIV (2 * region_rev_e2)"))
+      .withColumn(
+        "region_share_e4",
+        expr("(2 * 10000 * region_rev_e2 + global_rev_e2) DIV (2 * global_rev_e2)"))
+      .select(
+        col("n_name"), col("r_name"), col("n_orders"), col("revenue_e2"),
+        col("region_rev_e2"), col("nation_share_e4"), col("region_share_e4"))
+      .orderBy(col("n_name"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_order_backlog" -> ((s, d) => q245(Tables(s, d))),
+    "q246_share_of_parent" -> ((s, d) => q246(Tables(s, d))),
     "q224_lead_time" -> ((s, d) => q224(Tables(s, d))),
     "q220_markov_entropy_rate" -> ((s, d) => q220(Tables(s, d))),
     "q208_order_reconcile" -> ((s, d) => q208(Tables(s, d))),
@@ -1850,6 +1944,47 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q245_order_backlog" ->
+      """WITH placed AS (
+        | SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |  count(*) AS n_placed
+        | FROM orders GROUP BY 1),
+        | fin AS (
+        | SELECT l_orderkey, max(l_shipdate) AS fin FROM lineitem GROUP BY 1),
+        | done AS (
+        | SELECT CAST(year(fin) * 100 + month(fin) AS BIGINT) AS ym, count(*) AS n_done
+        | FROM fin GROUP BY 1),
+        | m AS (
+        | SELECT coalesce(placed.ym, done.ym) AS ym,
+        |  coalesce(n_placed, 0) AS n_placed, coalesce(n_done, 0) AS n_done
+        | FROM placed FULL OUTER JOIN done ON placed.ym = done.ym)
+        |SELECT ym, n_placed, n_done,
+        | CAST(sum(n_placed) OVER (ORDER BY ym
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS placed_cum,
+        | CAST(sum(n_done) OVER (ORDER BY ym
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS done_cum,
+        | CAST(sum(n_placed) OVER (ORDER BY ym
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  - sum(n_done) OVER (ORDER BY ym
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+        |FROM m ORDER BY ym""".stripMargin,
+    "q246_share_of_parent" ->
+      """WITH nrev AS (
+        | SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1),
+        | x AS (
+        | SELECT n_name, r_name, n_orders, revenue_e2,
+        |  CAST(sum(revenue_e2) OVER (PARTITION BY r_name) AS BIGINT) AS region_rev_e2,
+        |  CAST(sum(revenue_e2) OVER () AS BIGINT) AS global_rev_e2
+        | FROM nrev
+        | JOIN nation ON n_nationkey = c_nationkey
+        | JOIN region ON r_regionkey = n_regionkey)
+        |SELECT n_name, r_name, n_orders, revenue_e2, region_rev_e2,
+        | (2 * 10000 * revenue_e2 + region_rev_e2) // (2 * region_rev_e2) AS nation_share_e4,
+        | (2 * 10000 * region_rev_e2 + global_rev_e2) // (2 * global_rev_e2) AS region_share_e4
+        |FROM x ORDER BY n_name""".stripMargin,
     "q236_order_cadence" ->
       """WITH g AS (
         | SELECT c_mktsegment AS seg,

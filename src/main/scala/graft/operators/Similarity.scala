@@ -1602,7 +1602,82 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Calinski–Harabasz variance-ratio audit (Calinski & Harabasz 1974 —
+    * new r16 wave 32, the third classic validity index beside q158's
+    * silhouette and q193's Davies–Bouldin; the three disagree exactly
+    * when a clustering is marginal, which is why sklearn ships all
+    * three): per cell, its within-dispersion (Σ own-centroid dist², e0)
+    * and between-dispersion contribution (n_k·‖c_k − c̄‖², e0 — distance
+    * of the cell centroid to the GLOBAL centroid, the one relation the
+    * silhouette/DB pair never touches), plus the global CH =
+    * (B/(k−1))/(W/(n−k)) at e4 repeated per row (q221's ray_share
+    * convention).
+    *
+    * Exactness: the per-dim centroid gap half-up-quantizes to e0 in
+    * q-units BEFORE squaring (q193's rule — dd_num² products would brush
+    * 2⁶³ first); the gap numerator sq·n − gsq·cnt is SIGNED, and Spark's
+    * DIV truncates toward zero where DuckDB's // floors, so the divide
+    * shifts by +10⁵·cnt·n into the non-negative regime and shifts back
+    * (q158's +10⁴ shift, scaled to the centroid domain |q| ≤ ~10³). The
+    * final CH ratio's 2·10⁴·B·(n−k) product passes 2⁶³ at corpus scale,
+    * so the single-row fold runs in DECIMAL(38,0) unconditionally — it
+    * is k rows collapsing to one, never a corpus relation, so the guard
+    * costs nothing and needs no conf (q233's guard, always on).
+    *
+    * Scale shape: within rides [[ownCellFold]] (one map-side-partial
+    * corpus fold under the broadcast centroid table — q191's pass);
+    * between runs entirely on the |cells|·|dims| centroid relation;
+    * the global fold is one row, broadcast back onto the |cells|-row
+    * output (the q232-class declared 1-row scalar cross). With
+    * `graft.ivf.index` set the centroid table reads from the store
+    * (q191's seam).
+    */
+  private def q244(t: Tables): DataFrame = {
+    val ev = quantizedEv(t)
+    val cent = cellCentroids(t, ev)
+    val glob = cent
+      .groupBy(col("cdim"))
+      .agg(sum(col("sq")).as("gsq"), sum(col("cnt")).as("n"))
+    val between = cent
+      .join(broadcast(glob), Seq("cdim"))
+      .withColumn(
+        "dd",
+        expr("(2 * (sq * n - gsq * cnt + cnt * n * CAST(100000 AS BIGINT)) + cnt * n) " +
+          "DIV (2 * cnt * n) - CAST(100000 AS BIGINT)"))
+      .groupBy(col("clabel"))
+      .agg(
+        sum(col("dd") * col("dd")).as("dd2"),
+        max(col("cnt")).as("n_vecs"),
+        max(col("n")).as("n_tot"))
+      .withColumn("between_e0", col("n_vecs") * col("dd2"))
+    val within = ownCellFold(t, ev)
+      .groupBy(col("label"))
+      .agg(sum(col("num")).as("s_sum"), max(col("cnt")).as("cnt"))
+      .withColumn("within_e0", expr("(2 * s_sum + cnt * cnt) DIV (2 * cnt * cnt)"))
+      .select(col("label"), col("within_e0"))
+    val cells = between.join(within, col("clabel") === col("label"))
+    val tot = cells
+      .agg(
+        sum(col("between_e0")).as("bsum"),
+        sum(col("within_e0")).as("wsum"),
+        count(lit(1)).as("k"),
+        max(col("n_tot")).as("n"))
+      .withColumn(
+        "ch_e4",
+        expr("CAST((2 * 10000 * CAST(bsum AS DECIMAL(38,0)) * (n - k) " +
+          "+ CAST(wsum AS DECIMAL(38,0)) * greatest(k - 1, 1)) " +
+          "DIV (2 * CAST(wsum AS DECIMAL(38,0)) * greatest(k - 1, 1)) AS BIGINT)"))
+      .select(col("ch_e4"))
+    cells
+      .join(broadcast(tot))
+      .select(
+        col("clabel").as("label"), col("n_vecs"),
+        col("within_e0"), col("between_e0"), col("ch_e4"))
+      .orderBy(col("label"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_calinski_harabasz" -> ((s, d) => q244(Tables(s, d))),
     "q193_davies_bouldin" -> ((s, d) => q193(Tables(s, d))),
     "q191_cell_outliers" -> ((s, d) => q191(Tables(s, d))),
     "q158_centroid_silhouette" -> ((s, d) => q158(Tables(s, d))),
@@ -1803,6 +1878,42 @@ object Similarity extends QueryModule {
          | CAST(floor(cos(CAST(h AS DOUBLE) * pi() / ${DefaultSignBits * DefaultSignProjections})
          |  * 1000000 + 0.5) AS BIGINT) AS theory_cos_e6
          |FROM pr GROUP BY h ORDER BY h""".stripMargin,
+    "q244_calinski_harabasz" ->
+      s"""WITH $duckEv,
+         | cent AS (
+         | SELECT label AS clabel, dim AS cdim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+         | FROM ev GROUP BY 1, 2),
+         | gtot AS (
+         | SELECT cdim, CAST(sum(sq) AS BIGINT) AS gsq, CAST(sum(cnt) AS BIGINT) AS n
+         | FROM cent GROUP BY 1),
+         | bt AS (
+         | SELECT clabel, CAST(sum(dd * dd) AS BIGINT) AS dd2,
+         |  max(cnt) AS n_vecs, max(n) AS n_tot
+         | FROM (
+         |  SELECT clabel, cnt, n,
+         |   (2 * (sq * n - gsq * cnt + cnt * n * 100000) + cnt * n)
+         |    // (2 * cnt * n) - 100000 AS dd
+         |  FROM cent JOIN gtot USING (cdim)) GROUP BY 1),
+         | pv AS (
+         | SELECT vec_id, ev.label AS label,
+         |  CAST(sum((q * cnt - sq) * (q * cnt - sq)) AS BIGINT) AS num, max(cnt) AS cnt
+         | FROM ev JOIN cent ON ev.label = clabel AND dim = cdim GROUP BY 1, 2),
+         | wt AS (
+         | SELECT label,
+         |  CAST((2 * sum(num) + max(cnt) * max(cnt))
+         |   // (2 * max(cnt) * max(cnt)) AS BIGINT) AS within_e0
+         | FROM pv GROUP BY 1),
+         | cells AS (
+         | SELECT clabel AS label, n_vecs, within_e0,
+         |  CAST(n_vecs * dd2 AS BIGINT) AS between_e0, n_tot
+         | FROM bt JOIN wt ON clabel = label),
+         | tot AS (
+         | SELECT CAST((2 * 10000 * sum(between_e0) * (max(n_tot) - count(*))
+         |   + sum(within_e0) * greatest(count(*) - 1, 1))
+         |  // (2 * sum(within_e0) * greatest(count(*) - 1, 1)) AS BIGINT) AS ch_e4
+         | FROM cells)
+         |SELECT label, n_vecs, within_e0, between_e0, ch_e4
+         |FROM cells CROSS JOIN tot ORDER BY label""".stripMargin,
     "q193_davies_bouldin" ->
       s"""WITH $duckEv,
          | cent AS (

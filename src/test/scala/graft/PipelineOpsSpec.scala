@@ -1711,6 +1711,74 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byCohort.size > 1, "degenerate: a single cohort")
   }
 
+  test("q245 order backlog matches a direct placed-vs-done ledger recomputation") {
+    val t = Tables(spark, sf)
+    val placed = t.orders
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // ym = y·100+m is monotone in date, so max(ym) over an order's lines
+    // is the ym of its last shipment
+    val done = t.lineitem
+      .select(col("l_orderkey"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).max)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val months = (placed.keySet ++ done.keySet).toSeq.sorted
+    var (pc, dc) = (0L, 0L)
+    val expected = months.map { ym =>
+      val (p, d) = (placed.getOrElse(ym, 0L), done.getOrElse(ym, 0L))
+      pc += p; dc += d
+      (ym, p, d, pc, dc, pc - dc)
+    }
+    val got = SparkEntry.queries("q245_order_backlog")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // the curve has real structure: backlog moves, and orders with no
+    // lines keep the final backlog strictly positive
+    val backlogs = got.map(_._6)
+    assert(backlogs.max > backlogs.min, "degenerate: flat backlog")
+    assert(backlogs.last > 0L, "no-line orders must never leave the backlog")
+    assert(got.map(_._2).sum == got.last._4, "placed ledger does not conserve")
+  }
+
+  test("q246 share-of-parent matches a direct two-level hierarchy fold") {
+    val t = Tables(spark, sf)
+    val natOf = t.customer.select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val nation = t.nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .collect().map(r => (r.getInt(0), (r.getString(1), r.getInt(2)))).toMap
+    val region = t.region.select(col("r_regionkey"), col("r_name")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val perNat = t.orders.select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (natOf(r.getLong(0)), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+    val perRegion = perNat.toSeq.groupBy(x => nation(x._1)._2)
+      .view.mapValues(_.map(_._2._2).sum).toMap
+    val global = perNat.values.map(_._2).sum
+    val expected = perNat.map { case (nk, (n, rev)) =>
+      val (nm, rk) = nation(nk)
+      val rr = perRegion(rk)
+      (nm, region(rk), n, rev, rr,
+        (2 * 10000 * rev + rr) / (2 * rr), (2 * 10000 * rr + global) / (2 * global))
+    }.toSet
+    val got = SparkEntry.queries("q246_share_of_parent")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    // shares are conserved up to rounding: nations within a region sum to
+    // ~1, regions over the globe sum to ~1
+    got.groupBy(_._2).foreach { case (r, xs) =>
+      val s = xs.toSeq.map(_._6).sum
+      assert(math.abs(s - 10000L) <= xs.size, s"region $r nation shares sum $s")
+    }
+    val rs = got.groupBy(_._2).map { case (_, xs) => (xs.head._5, xs.head._7) }
+    val rSum = rs.map(_._2).sum
+    assert(math.abs(rSum - 10000L) <= rs.size, s"region shares sum $rSum")
+  }
+
   test("q235 byte percentiles match a direct mass-cumulative recomputation") {
     val rows = Tables(spark, sf).documents.select(col("source"), col("n_chars"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -1946,6 +2014,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     // worst-partner is never self, and R >> 0 exactly when cells overlap
     got.foreach { case (l, _, _, worst, r) =>
       assert(worst != l && r > 0L, s"cell $l")
+    }
+  }
+
+  test("q244 Calinski-Harabasz matches an independent global-centroid recomputation") {
+    val vecs = Tables(spark, sf).embeddings.collect().map { r =>
+      (r.getLong(0), r.getAs[Number]("label").longValue,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray.map(v => math.floor(v.toDouble * 1000).toLong))
+    }
+    val cents = vecs.groupBy(_._2).map { case (l, xs) =>
+      l -> (Array.tabulate(xs.head._3.length)(d => xs.map(_._3(d)).sum), xs.size.toLong)
+    }
+    val dims = vecs.head._3.length
+    val n = vecs.length.toLong
+    val k = cents.size.toLong
+    val gsq = Array.tabulate(dims)(d => cents.values.map(_._1(d)).sum)
+    def ownNum(q: Array[Long], c: (Array[Long], Long)): Long = {
+      val (sq, cnt) = c
+      var s = 0L
+      var i = 0
+      while (i < q.length) { val df = q(i) * cnt - sq(i); s += df * df; i += 1 }
+      s
+    }
+    val perCell = cents.map { case (l, (sq, cnt)) =>
+      val dd2 = (0 until dims).map { d =>
+        val dd = hdiv(sq(d) * n - gsq(d) * cnt + cnt * n * 100000L, cnt * n) - 100000L
+        dd * dd
+      }.sum
+      val within = hdiv(vecs.filter(_._2 == l).map(v => ownNum(v._3, cents(l))).sum, cnt * cnt)
+      (l, cnt, within, cnt * dd2)
+    }
+    val bsum = BigInt(perCell.map(_._4).sum)
+    val wsum = BigInt(perCell.map(_._3).sum)
+    val den = 2 * wsum * BigInt(math.max(k - 1, 1))
+    val ch = ((2 * BigInt(10000) * bsum * BigInt(n - k) + wsum * BigInt(math.max(k - 1, 1))) / den).toLong
+    val expected = perCell.map { case (l, cnt, w, b) => (l, cnt, w, b, ch) }.toSet
+    def run() = SparkEntry.queries("q244_calinski_harabasz")(spark, sf).collect()
+      .map(r => (r.getAs[Number]("label").longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    val got = run()
+    assert(got == expected)
+    // the DECIMAL(38,0) guard on the within fold changes nothing at
+    // current scale (graft.cell.decimal — one knob for the cell family)
+    spark.conf.set("graft.cell.decimal", "true")
+    try assert(run() == expected, "decimal-guarded q244 diverges")
+    finally spark.conf.unset("graft.cell.decimal")
+    // store-backed centroids reproduce the derived audit (q191's seam)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q244_ivf").toString
+    val (assign, centroids) = graft.operators.Similarity.corpusQuantizer(Tables(spark, sf))
+    graft.sources.IvfIndex.init(spark, dir, assign, centroids)
+    spark.conf.set("graft.ivf.index", dir)
+    try assert(run() == expected, "store-backed q244 diverges")
+    finally spark.conf.unset("graft.ivf.index")
+    // the ratio is a positive finite statistic; on these near-shell
+    // embeddings it sits near 1 (0.9921 at sf0.001 — B and W the same
+    // order), which is exactly the marginal-clustering regime the three
+    // validity indices exist to disagree about
+    assert(ch > 0L, s"CH ratio not positive (ch_e4=$ch)")
+    got.foreach { case (l, cnt, w, b, _) =>
+      assert(cnt > 0 && w > 0 && b >= 0, s"cell $l")
     }
   }
 
