@@ -58,6 +58,10 @@ object PlanAudit {
       // r16: q228 reads q211's exact-distance pair relation (the same
       // declared |Q|·n broadcast sample cross)
       "q228_adc_calibration",
+      // r16 wave 34: q247's truth branch is the same adcTruthPairs
+      // sample cross (q211/q228's declared class); the Hamming ranker is
+      // a broadcast |Q|-row sketch join, sample-bounded by construction
+      "q247_rrf_fusion",
       // r16 wave 29: q239 rides q194's grid verbatim (lenEcdfGrid) —
       // the same declared |sources| × |distinct lengths| cross
       "q239_mann_whitney",
@@ -550,6 +554,13 @@ object PlanAudit {
     // centroid relation is |cells|·|dims|- or single-row-scale
     // (measured 16)
     "q244_calinski_harabasz" -> 16,
+    // q247 (r16 wave 34): single-pass fusion — the Hamming rank window,
+    // the codebook/assignment/LUT chain's aggregates (q211/q228's class),
+    // the truth ranking, the full-outer list join and the ONE per-query
+    // rollup; every post-chain exchange is |Q|·50 list-scale
+    // (measured 12; the four-rollup draft measured 31 and re-ran the
+    // ADC chain per consumer — rejected on the Time knob, 5.8 s → 2.4 s)
+    "q247_rrf_fusion" -> 12,
     // q245 (r16 wave 33): two corpus-scale partial-aggregable passes
     // (orders → month counts; lineitem → per-order max-ship, the
     // co-bucket key) + the finish month rollup + the month-grid

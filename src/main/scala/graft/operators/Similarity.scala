@@ -1676,7 +1676,95 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Reciprocal-rank-fusion retrieval audit (Cormack, Clarke & Büttcher
+    * 2009 — new r16 wave 34: the rank-FUSION layer a production retrieval
+    * stack puts over its cheap rankers, and the first entry that COMPOSES
+    * two of the suite's ANN surrogates instead of grading them alone):
+    * per q115-sample query, fuse the sign-sketch HAMMING ranking (q226's
+    * 16-bit sketch — angle-cheap, no floats) and the PQ ADC ranking
+    * (q211's LUT distances — magnitude-cheap, no full vectors) with
+    * RRF(d) = Σ_r 1/(60 + rank_r(d)) over each ranker's top-50, then
+    * score recall@10 of each ranker alone and of the fusion against the
+    * exact integer-L2 truth. The two rankers err DIFFERENTLY (angle
+    * quantization vs subspace quantization), which is exactly when
+    * Cormack's fusion beats both — the output table shows it per query.
+    *
+    * Numerics: each RRF term half-up-quantizes to e6 BEFORE the sum
+    * ((2·10⁶ + (60+r)) DIV (2·(60+r)) — integer, both engines identical;
+    * a double 1/(60+r) sum would be add-order-dependent); absent-from-
+    * list contributes 0 (standard RRF over retrieved lists); all ranks
+    * carry the family's (value, vec_id) tie-break.
+    *
+    * Scale shape: the Hamming pass is the q226-class broadcast sample
+    * cross (|Q|·n slim sketch rows, no vectors through the shuffle); the
+    * ADC side reads the SAME codebook/assignment/LUT relations as
+    * q211/q228 via [[adcTruthPairs]] (declared q115-class sample bound);
+    * per-query top-50 lists and the full-outer fusion are |Q|·50-scale.
+    */
+  private def q247(t: Tables): DataFrame = {
+    val K = 10
+    val L = 50
+    val bits = DefaultSignBits
+    val projs = DefaultSignProjections
+    val sketch = (0 until projs)
+      .map(p => s"(${signBucket(i => s"element_at(v, $i)", bits, p)}) * ${1L << ((projs - 1 - p) * bits)}")
+      .mkString(" + ")
+    val e = vectors(t).select(col("vec_id"), col("v")).withColumn("sk", expr(sketch))
+    val qset = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("sk").as("qsk"))
+    val listA = e.join(broadcast(qset), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), expr("bit_count(sk ^ qsk)").cast("long").as("h"))
+      .withColumn(
+        "rka",
+        row_number().over(Window.partitionBy(col("qid")).orderBy(col("h"), col("vec_id"))))
+      .filter(col("rka") <= L)
+      .select(col("qid"), col("vec_id"), col("rka"))
+    val (adc, truthAll) = adcTruthPairs(t)
+    val listB = adc
+      .withColumn(
+        "rkb",
+        row_number().over(Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rkb") <= L)
+      .select(col("qid"), col("vec_id"), col("rkb"))
+    val truth = truthAll
+      .withColumn(
+        "trk",
+        row_number().over(Window.partitionBy(col("qid")).orderBy(col("tdist"), col("vec_id"))))
+      .filter(col("trk") <= K)
+      .select(col("qid"), col("vec_id"), lit(true).as("in_truth"))
+    // single-pass assembly: every readout is a conditional sum over the
+    // one |Q|·≤100 fused relation, so each ranker chain and the truth
+    // branch execute exactly once (the first draft rolled up union stats
+    // and the three hit counts as four separate joins — the ADC chain
+    // re-ran per consumer and the solo min was 5.8 s, 4.8 s with
+    // localCheckpoint band-aids; fused single-pass: 2.4 s, and the
+    // checkpoints became unnecessary because every list has ONE consumer)
+    listA
+      .join(listB, Seq("qid", "vec_id"), "full_outer")
+      .withColumn(
+        "score_e6",
+        expr("CASE WHEN rka IS NULL THEN CAST(0 AS BIGINT) " +
+          "ELSE (2 * 1000000 + (60 + rka)) DIV (2 * (60 + rka)) END " +
+          "+ CASE WHEN rkb IS NULL THEN CAST(0 AS BIGINT) " +
+          "ELSE (2 * 1000000 + (60 + rkb)) DIV (2 * (60 + rkb)) END"))
+      .withColumn(
+        "rrf_rank",
+        row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id"))))
+      .join(truth, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_union"),
+        sum(when(col("rka").isNotNull && col("rkb").isNotNull, 1L).otherwise(0L))
+          .as("n_overlap"),
+        sum(when(col("rka") <= K && col("in_truth"), 1L).otherwise(0L)).as("hits_ham"),
+        sum(when(col("rkb") <= K && col("in_truth"), 1L).otherwise(0L)).as("hits_adc"),
+        sum(when(col("rrf_rank") <= K && col("in_truth"), 1L).otherwise(0L)).as("hits_rrf"))
+      .orderBy(col("qid"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_rrf_fusion" -> ((s, d) => q247(Tables(s, d))),
     "q244_calinski_harabasz" -> ((s, d) => q244(Tables(s, d))),
     "q193_davies_bouldin" -> ((s, d) => q193(Tables(s, d))),
     "q191_cell_outliers" -> ((s, d) => q191(Tables(s, d))),
@@ -1834,6 +1922,60 @@ object Similarity extends QueryModule {
          | FROM td)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q247_rrf_fusion" ->
+      s"""$duckPq,
+         | hv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         | hs AS (
+         | SELECT vec_id,
+         |  ${(0 until DefaultSignProjections)
+               .map(p => s"(${signBucket(i => s"v[$i]", DefaultSignBits, p)}) * ${1L << ((DefaultSignProjections - 1 - p) * DefaultSignBits)}")
+               .mkString(" + ")} AS sk
+         | FROM hv),
+         | hq AS (SELECT vec_id AS qid, sk AS qsk FROM hs WHERE vec_id < 10),
+         | hr AS (
+         | SELECT qid, s.vec_id,
+         |  row_number() OVER (PARTITION BY qid
+         |   ORDER BY bit_count(xor(s.sk, qsk)), s.vec_id) AS rka
+         | FROM hs s JOIN hq ON s.vec_id <> qid),
+         | la AS (SELECT qid, vec_id, rka FROM hr WHERE rka <= 50),
+         | lb AS (SELECT qid, vec_id, prk AS rkb FROM pq WHERE prk <= 50),
+         | tk AS (SELECT qid, vec_id FROM truth WHERE trk <= 10),
+         | fu AS (
+         | SELECT coalesce(la.qid, lb.qid) AS qid,
+         |  coalesce(la.vec_id, lb.vec_id) AS vec_id, rka, rkb,
+         |  (CASE WHEN rka IS NULL THEN 0
+         |    ELSE (2 * 1000000 + (60 + rka)) // (2 * (60 + rka)) END
+         |   + CASE WHEN rkb IS NULL THEN 0
+         |    ELSE (2 * 1000000 + (60 + rkb)) // (2 * (60 + rkb)) END) AS score
+         | FROM la FULL OUTER JOIN lb ON la.qid = lb.qid AND la.vec_id = lb.vec_id),
+         | us AS (
+         | SELECT qid, count(*) AS n_union,
+         |  CAST(sum(CASE WHEN rka IS NOT NULL AND rkb IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_overlap
+         | FROM fu GROUP BY 1),
+         | ha AS (
+         | SELECT la.qid, CAST(sum(CASE WHEN tk.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS hits_ham
+         | FROM la LEFT JOIN tk ON la.qid = tk.qid AND la.vec_id = tk.vec_id
+         | WHERE rka <= 10 GROUP BY 1),
+         | hb AS (
+         | SELECT lb.qid, CAST(sum(CASE WHEN tk.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS hits_adc
+         | FROM lb LEFT JOIN tk ON lb.qid = tk.qid AND lb.vec_id = tk.vec_id
+         | WHERE rkb <= 10 GROUP BY 1),
+         | fr AS (
+         | SELECT qid, vec_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rrf_rank
+         | FROM fu),
+         | hf AS (
+         | SELECT fr.qid, CAST(sum(CASE WHEN tk.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS hits_rrf
+         | FROM fr LEFT JOIN tk ON fr.qid = tk.qid AND fr.vec_id = tk.vec_id
+         | WHERE rrf_rank <= 10 GROUP BY 1)
+         |SELECT us.qid, n_union, n_overlap, hits_ham, hits_adc, hits_rrf
+         |FROM us JOIN ha ON ha.qid = us.qid JOIN hb ON hb.qid = us.qid
+         |JOIN hf ON hf.qid = us.qid
+         |ORDER BY us.qid""".stripMargin,
     "q221_spectral_mass" -> duckSpectral,
     "q228_adc_calibration" ->
       s"""$duckPq,

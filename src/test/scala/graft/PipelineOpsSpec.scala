@@ -157,6 +157,74 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q247 RRF fusion matches a scalar two-ranker recomputation") {
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def e6(v: Array[Float]): Array[Long] = v.map(x =>
+      BigDecimal(x.toDouble * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val (m, k, sub) = (4, 8, 16)
+    val (bits, projs, dim) = (8, 2, 64)
+    val knuth = vecs.map { case (id, _) => id -> ((id % 2147483647L) * 2654435761L) % 4294967296L }.toMap
+    val codebook = vecs.sortBy { case (id, _) => (knuth(id), id) }.take(k)
+      .map { case (id, v) => id -> e6(v) }
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val q6 = vecs.map { case (id, v) => id -> e6(v) }.toMap
+    val cbMap = codebook.toMap
+    val assigns = vecs.map { case (id, _) =>
+      id -> (0 until m).map { s =>
+        codebook.map { case (cid, cv) =>
+          (cid, sq(q6(id).slice(s * sub, (s + 1) * sub), cv.slice(s * sub, (s + 1) * sub)))
+        }.minBy { case (cid, d) => (d, cid) }._1
+      }
+    }.toMap
+    // q226's axis-aligned sign sketch: bit i of projection p reads dim
+    // (p·bits + i) mod 64, set when the coordinate is ≥ 0
+    def sketch(v: Array[Float]): Long =
+      (0 until projs).map { p =>
+        (0 until bits).map { i =>
+          if (v((p * bits + i) % dim) >= 0) 1L << (bits - 1 - i) else 0L
+        }.sum << ((projs - 1 - p) * bits)
+      }.sum
+    val sk = vecs.map { case (id, v) => id -> sketch(v) }.toMap
+    def rrfTerm(r: Int): Long = (2L * 1000000L + (60L + r)) / (2L * (60L + r))
+    val qids = vecs.map(_._1).filter(_ < 10).sorted
+    val expected = qids.map { qid =>
+      val others = vecs.map(_._1).filter(_ != qid)
+      val truth = others.map(id => (id, sq(q6(id), q6(qid))))
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      val la = others.map(id => (id, java.lang.Long.bitCount(sk(id) ^ sk(qid))))
+        .sortBy { case (id, h) => (h, id) }.take(50).map(_._1).zipWithIndex
+        .map { case (id, i) => id -> (i + 1) }.toMap
+      val lb = others.map { id =>
+        val d = (0 until m).map { s =>
+          sq(q6(qid).slice(s * sub, (s + 1) * sub),
+            cbMap(assigns(id)(s)).slice(s * sub, (s + 1) * sub))
+        }.sum
+        (id, d)
+      }.sortBy { case (id, d) => (d, id) }.take(50).map(_._1).zipWithIndex
+        .map { case (id, i) => id -> (i + 1) }.toMap
+      val union = la.keySet ++ lb.keySet
+      val fusedTop = union.toSeq
+        .map(id => (id, la.get(id).map(rrfTerm).getOrElse(0L) + lb.get(id).map(rrfTerm).getOrElse(0L)))
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+      def hits(top: Iterable[Long]): Long = top.count(truth).toLong
+      (qid, union.size.toLong, (la.keySet & lb.keySet).size.toLong,
+        hits(la.filter(_._2 <= 10).keys), hits(lb.filter(_._2 <= 10).keys), hits(fusedTop))
+    }.toSeq
+    val got = SparkEntry.queries("q247_rrf_fusion")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected)
+    // union never exceeds the two list budgets, overlap is its complement
+    got.foreach { case (qid, u, o, ha, hb, hr) =>
+      assert(u + o == 100L, s"qid $qid: union $u + overlap $o != 2L")
+      assert(ha <= 10L && hb <= 10L && hr <= 10L, qid)
+    }
+  }
+
   test("q228 ADC calibration matches a scalar footrule/bias recomputation") {
     val vecs = Tables(spark, sf).embeddings
       .select(col("vec_id"), col("embedding")).collect()
