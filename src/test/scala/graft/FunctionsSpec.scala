@@ -204,6 +204,39 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("VARIANT type: parse_json round-trips events.props, variant_get extracts typed values") {
+    // the Spark 4 semi-structured surface a 100 TB lake stores open-schema
+    // payloads in: parse once into the binary VARIANT encoding, extract
+    // typed paths at query time WITHOUT a declared schema — the engine
+    // alternative to q51's from_json-with-schema path. Pinned: the column
+    // really is VariantType (not a silent string passthrough), typed
+    // extraction agrees with the schema'd JSON path on the whole corpus,
+    // and malformed input routes through try_parse_json as NULL instead
+    // of failing the batch.
+    val t = Tables(spark, sf)
+    val v = t.events.select(col("event_id"), parse_json(col("props")).as("pv"))
+    assert(v.schema("pv").dataType.typeName == "variant",
+      s"parse_json did not produce a VARIANT column: ${v.schema("pv").dataType}")
+    val got = v
+      .select(col("event_id"), expr("variant_get(pv, '$.k', 'bigint')").as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = t.events
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want && got.nonEmpty)
+    // a missing path is NULL, not an error
+    val missing = v.select(expr("variant_get(pv, '$.absent', 'bigint')").as("m"))
+      .filter(col("m").isNotNull).count()
+    assert(missing == 0L)
+    // malformed payloads: try_parse_json yields NULL, parse_json throws
+    val bad = spark.sql("SELECT try_parse_json('{not json') AS b")
+      .filter(col("b").isNotNull).count()
+    assert(bad == 0L)
+    intercept[Exception] {
+      spark.sql("SELECT parse_json('{not json') AS b").collect()
+    }
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val old = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()

@@ -155,6 +155,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("dropDuplicatesWithinWatermark evicts dedup state the plain variant holds forever") {
+    // the BOUNDED-STATE dedup a 100 TB stream needs: plain dropDuplicates
+    // keys state forever (state grows with distinct ids seen — unusable on
+    // an unbounded id domain); the WithinWatermark variant evicts a key
+    // once the watermark passes its event time, trading "exactly once
+    // ever" for "exactly once within the watermark" — so a key REAPPEARING
+    // after eviction re-emits, and that re-emission is exactly what this
+    // pins (alongside the in-window dup still being dropped)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)] // (ts_us, event_id)
+    val dedup = ms
+      .toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("event_id"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    // default trigger, NOT AvailableNow: this operator only finalizes
+    // emission across micro-batch boundaries as the watermark advances —
+    // an AvailableNow query drains batch 1 and TERMINATES with the sink
+    // still empty (observed), so the query must stay live across batches
+    val q = dedup.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_wm_out")
+      .start()
+    // batch 1: id 1 first seen at t=0, plus an in-window duplicate at
+    // t=5m (dropped); id 2 at t=30m advances the watermark to 20m,
+    // past id 1's 10-minute expiry → id 1's state evicts
+    ms.addData((0L, 1L), (5L * 60L * us, 1L), (30L * 60L * us, 2L))
+    q.processAllAvailable()
+    // batch 2: id 1 reappears at t=31m — state was evicted, so it
+    // re-emits (plain dropDuplicates would suppress it forever)
+    ms.addData((31L * 60L * us, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_wm_out").select("event_id").collect().map(_.getLong(0))
+    assert(rows.count(_ == 1L) == 2, s"expected id 1 emitted twice (evict + re-emit): ${rows.toSeq}")
+    assert(rows.count(_ == 2L) == 1)
+    assert(rows.length == 3, s"in-window duplicate leaked: ${rows.toSeq}")
+  }
+
   test("transformWithState high-water marks match the batch prefix-max rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
