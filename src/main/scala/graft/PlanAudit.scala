@@ -567,6 +567,12 @@ object PlanAudit {
     // outer-join/window assembly (measured 4, all but the l_orderkey
     // agg domain-scale)
     "q245_order_backlog" -> 4,
+    // q248 (r16 wave 36): the candidate-pair relation is checkpointed
+    // (one LSH-verify derivation feeds its three consumers); the prints
+    // are the checkpoint's own build (band self-join + shingle joins)
+    // plus the semi-join/sig-join assembly — all candidate-bounded, the
+    // decile rollup is ≤ 10 rows (measured 6)
+    "q248_bbit_minhash" -> 6,
     // q235 (r16 wave 26): the ONE corpus-scale (source, len) histogram
     // prints per consuming branch (the windowed threshold-pick branch,
     // the heavy-mass re-fold, the picks broadcast back) — AQE reuses it

