@@ -573,6 +573,12 @@ object PlanAudit {
     // plus the semi-join/sig-join assembly — all candidate-bounded, the
     // decile rollup is ≤ 10 rows (measured 6)
     "q248_bbit_minhash" -> 6,
+    // q249 (r16 wave 37): the ONE corpus-scale o_custkey rollup prints
+    // per consuming branch (three metric histograms + the scored base —
+    // q231/q224's AQE-reuse class); each histogram's cumulative/boundary
+    // chain is value-domain-scale, the boundary folds are 1-row
+    // broadcasts, the cell rollup is ≤125 rows (measured 16)
+    "q249_rfm_segments" -> 16,
     // q235 (r16 wave 26): the ONE corpus-scale (source, len) histogram
     // prints per consuming branch (the windowed threshold-pick branch,
     // the heavy-mass re-fold, the picks broadcast back) — AQE reuses it

@@ -1889,7 +1889,77 @@ object Extras extends QueryModule {
       .orderBy(col("n_name"))
   }
 
+  /** RFM customer segmentation (Hughes 1994's recency/frequency/monetary
+    * scoring — new r16 wave 37, the classic CRM operator the
+    * customer-analytics family still lacked: q119 tracks cohort
+    * retention, q237 cohort value, q133 concentration — this is the
+    * SEGMENTATION table a lifecycle campaign reads, every customer
+    * scored 1–5 on each axis by corpus quintiles): per (r, f, m) score
+    * cell, customers, mean recency days, mean order count (e2), total
+    * e2 spend. Probed live structure at every SF: F spans 1–24 orders
+    * (boundaries 7/9/11/13), recency 0–2083 days.
+    *
+    * Quintile machinery is the q231/q235 distribution-counting class —
+    * NO |customers|-row global rank window: each metric's histogram
+    * collapses onto its VALUE domain (≤ |distinct values| rows), one
+    * domain-ordered cumulative picks the four nearest-rank boundaries,
+    * and the three 1-row boundary relations broadcast back (the
+    * declared q232-class scalar cross). Scores are 1 + Σ[v > b_k]
+    * (ascending), recency flipped (6 − q) so 5 always reads "best".
+    * All integer: spend e2-quantizes per order before the sum, means
+    * are half-up integer divisions.
+    *
+    * Scale shape: ONE corpus-scale pass (the o_custkey rollup, partial-
+    * aggregable); histograms, cumulatives, boundary folds, and the
+    * ≤125-cell rollup are all customer- or domain-scale.
+    */
+  private def q249(t: Tables): DataFrame = {
+    val cust = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("f"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("m_e2"),
+        max(col("o_orderdate")).as("last_o"))
+    val maxD = t.orders.agg(max(col("o_orderdate")).as("corpus_max"))
+    val base = cust
+      .join(broadcast(maxD))
+      .withColumn(
+        "r",
+        datediff(col("corpus_max").cast("date"), col("last_o").cast("date")).cast("long"))
+      .select(col("o_custkey"), col("r"), col("f"), col("m_e2"))
+    def bounds(c: String): DataFrame = {
+      val cumW = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      base.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(cumW))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+        .agg(
+          min(when(col("cum") * 5 >= col("n"), col("v"))).as(s"${c}_b1"),
+          min(when(col("cum") * 5 >= col("n") * 2, col("v"))).as(s"${c}_b2"),
+          min(when(col("cum") * 5 >= col("n") * 3, col("v"))).as(s"${c}_b3"),
+          min(when(col("cum") * 5 >= col("n") * 4, col("v"))).as(s"${c}_b4"))
+    }
+    val bnd = broadcast(bounds("r").join(bounds("f")).join(bounds("m_e2")))
+    def score(c: String): Column =
+      expr(s"CAST(1 + CASE WHEN $c > ${c}_b1 THEN 1 ELSE 0 END " +
+        s"+ CASE WHEN $c > ${c}_b2 THEN 1 ELSE 0 END " +
+        s"+ CASE WHEN $c > ${c}_b3 THEN 1 ELSE 0 END " +
+        s"+ CASE WHEN $c > ${c}_b4 THEN 1 ELSE 0 END AS BIGINT)")
+    base
+      .join(bnd)
+      .withColumn("r_score", lit(6L) - score("r"))
+      .withColumn("f_score", score("f"))
+      .withColumn("m_score", score("m_e2"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        expr("(2 * sum(r) + count(1)) DIV (2 * count(1))").as("mean_rec_days"),
+        expr("(2 * 100 * sum(f) + count(1)) DIV (2 * count(1))").as("mean_orders_e2"),
+        sum(col("m_e2")).as("total_m_e2"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_rfm_segments" -> ((s, d) => q249(Tables(s, d))),
     "q245_order_backlog" -> ((s, d) => q245(Tables(s, d))),
     "q246_share_of_parent" -> ((s, d) => q246(Tables(s, d))),
     "q224_lead_time" -> ((s, d) => q224(Tables(s, d))),
@@ -1944,6 +2014,55 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q249_rfm_segments" ->
+      """WITH cust AS (
+        | SELECT o_custkey, count(*) AS f,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_e2,
+        |  CAST(date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders))
+        |   AS BIGINT) AS r
+        | FROM orders GROUP BY 1),
+        | rb AS (
+        | SELECT min(CASE WHEN 5 * cum >= n THEN v END) AS r_b1,
+        |  min(CASE WHEN 5 * cum >= 2 * n THEN v END) AS r_b2,
+        |  min(CASE WHEN 5 * cum >= 3 * n THEN v END) AS r_b3,
+        |  min(CASE WHEN 5 * cum >= 4 * n THEN v END) AS r_b4
+        | FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n
+        |  FROM (SELECT r AS v, count(*) AS cnt FROM cust GROUP BY 1))),
+        | fb AS (
+        | SELECT min(CASE WHEN 5 * cum >= n THEN v END) AS f_b1,
+        |  min(CASE WHEN 5 * cum >= 2 * n THEN v END) AS f_b2,
+        |  min(CASE WHEN 5 * cum >= 3 * n THEN v END) AS f_b3,
+        |  min(CASE WHEN 5 * cum >= 4 * n THEN v END) AS f_b4
+        | FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n
+        |  FROM (SELECT f AS v, count(*) AS cnt FROM cust GROUP BY 1))),
+        | mb AS (
+        | SELECT min(CASE WHEN 5 * cum >= n THEN v END) AS m_b1,
+        |  min(CASE WHEN 5 * cum >= 2 * n THEN v END) AS m_b2,
+        |  min(CASE WHEN 5 * cum >= 3 * n THEN v END) AS m_b3,
+        |  min(CASE WHEN 5 * cum >= 4 * n THEN v END) AS m_b4
+        | FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n
+        |  FROM (SELECT m_e2 AS v, count(*) AS cnt FROM cust GROUP BY 1))),
+        | scored AS (
+        | SELECT 6 - (1 + CASE WHEN r > r_b1 THEN 1 ELSE 0 END
+        |   + CASE WHEN r > r_b2 THEN 1 ELSE 0 END
+        |   + CASE WHEN r > r_b3 THEN 1 ELSE 0 END
+        |   + CASE WHEN r > r_b4 THEN 1 ELSE 0 END) AS r_score,
+        |  1 + CASE WHEN f > f_b1 THEN 1 ELSE 0 END
+        |   + CASE WHEN f > f_b2 THEN 1 ELSE 0 END
+        |   + CASE WHEN f > f_b3 THEN 1 ELSE 0 END
+        |   + CASE WHEN f > f_b4 THEN 1 ELSE 0 END AS f_score,
+        |  1 + CASE WHEN m_e2 > m_b1 THEN 1 ELSE 0 END
+        |   + CASE WHEN m_e2 > m_b2 THEN 1 ELSE 0 END
+        |   + CASE WHEN m_e2 > m_b3 THEN 1 ELSE 0 END
+        |   + CASE WHEN m_e2 > m_b4 THEN 1 ELSE 0 END AS m_score,
+        |  r, f, m_e2
+        | FROM cust CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb)
+        |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        | CAST(m_score AS BIGINT) AS m_score, count(*) AS n_customers,
+        | CAST((2 * sum(r) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_rec_days,
+        | CAST((2 * 100 * sum(f) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_orders_e2,
+        | CAST(sum(m_e2) AS BIGINT) AS total_m_e2
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q245_order_backlog" ->
       """WITH placed AS (
         | SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,

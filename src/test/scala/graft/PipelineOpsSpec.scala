@@ -1779,6 +1779,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byCohort.size > 1, "degenerate: a single cohort")
   }
 
+  test("q249 RFM segmentation matches a direct quintile-scoring recomputation") {
+    val t = Tables(spark, sf)
+    val ords = t.orders
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val maxD = ords.map(_._2).maxBy(_.toEpochDay)
+    val cust = ords.groupBy(_._1).map { case (ck, xs) =>
+      val last = xs.map(_._2).maxBy(_.toEpochDay)
+      (ck, maxD.toEpochDay - last.toEpochDay, xs.length.toLong, xs.map(_._3).sum)
+    }.toSeq
+    def bnds(vs: Seq[Long]): Seq[Long] = {
+      val hist = vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val n = vs.length.toLong
+      (1 to 4).map { k =>
+        var cum = 0L
+        hist.find { case (_, c) => cum += c; 5 * cum >= k * n }.get._1
+      }
+    }
+    val (rb, fb, mb) = (bnds(cust.map(_._2)), bnds(cust.map(_._3)), bnds(cust.map(_._4)))
+    def q(v: Long, b: Seq[Long]): Long = 1L + b.count(v > _)
+    val expected = cust
+      .map { case (_, r, f, m) => ((6 - q(r, rb), q(f, fb), q(m, mb)), (r, f, m)) }
+      .groupBy(_._1)
+      .map { case ((rs, fs, ms), xs) =>
+        val n = xs.length.toLong
+        (rs, fs, ms, n,
+          (2 * xs.map(_._2._1).sum + n) / (2 * n),
+          (2 * 100 * xs.map(_._2._2).sum + n) / (2 * n),
+          xs.map(_._2._3).sum)
+      }.toSet
+    val got = SparkEntry.queries("q249_rfm_segments")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    // scores live on the 1–5 grid, every customer lands in exactly one cell
+    assert(got.toSeq.map(_._4).sum == cust.length.toLong)
+    got.foreach { case (rs, fs, ms, _, _, _, _) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+    }
+    // the grid is genuinely multi-dimensional (no axis collapsed)
+    assert(got.map(_._1).size > 1 && got.map(_._2).size > 1 && got.map(_._3).size > 1)
+  }
+
   test("q245 order backlog matches a direct placed-vs-done ledger recomputation") {
     val t = Tables(spark, sf)
     val placed = t.orders
