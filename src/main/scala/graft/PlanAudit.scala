@@ -579,6 +579,11 @@ object PlanAudit {
     // chain is value-domain-scale, the boundary folds are 1-row
     // broadcasts, the cell rollup is ≤125 rows (measured 16)
     "q249_rfm_segments" -> 16,
+    // q250 (r16 wave 38): the ONE corpus-scale l_suppkey rollup (after
+    // the co-bucket-key lineitem⋈orders spine) prints for the frontier
+    // branch and the totals fold (AQE-reused); the dominance windows and
+    // name/totals attach are supplier-dimension-scale (measured 4)
+    "q250_supplier_skyline" -> 4,
     // q235 (r16 wave 26): the ONE corpus-scale (source, len) histogram
     // prints per consuming branch (the windowed threshold-pick branch,
     // the heavy-mass re-fold, the picks broadcast back) — AQE reuses it

@@ -1958,7 +1958,78 @@ object Extras extends QueryModule {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Supplier Pareto-frontier (skyline) query (Börzsönyi, Kossmann &
+    * Stocker 2001 — new r16 wave 38: the PREFERENCE-QUERY operator
+    * class, first of its kind in the suite; every prior supplier
+    * readout ranks on ONE axis, this returns the suppliers no one
+    * strictly beats on BOTH): per supplier, mean ship-lead days (e2,
+    * SIGNED — this generator ships some lines before the order date)
+    * and mean unit price (e4); the skyline = suppliers not dominated
+    * (∃ other ≤ on both axes, < on one). Probed 2/1000→16/1000
+    * frontier members across SFs — real curve structure. Output is the
+    * frontier with per-supplier metrics plus the global
+    * (n_suppliers, n_skyline) pair repeated (q221's convention).
+    *
+    * The dominance test is NOT the textbook O(n²) EXISTS self-join: with
+    * two criteria, sort by lead and keep two running minima of price —
+    * dominated(s) ⟺ min{price' : lead' < lead} ≤ price  (value-RANGE
+    * frame to 1 PRECEDING)  ∨  min{price' : lead' ≤ lead} < price.
+    * Exact under ties and duplicates (identical pairs never dominate
+    * each other — both conditions need a strict side). Signed lead
+    * means run on the +10⁷-shifted non-negative form (q158's rule).
+    *
+    * Scale shape: ONE corpus-scale l_suppkey rollup (partial-aggregable;
+    * the lineitem⋈orders spine shuffles on the co-bucket key); the sort,
+    * both RANGE windows, and the frontier filter run on the SUPPLIER
+    * DIMENSION (the declared dim-scale global-window class — at any
+    * corpus size this relation is |suppliers| rows); the name attach is
+    * a dim broadcast.
+    */
+  private def q250(t: Tables): DataFrame = {
+    val Shift = 10000000L
+    val per = t.lineitem
+      .select(
+        col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        expr("CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)").as("unit_e2"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(expr("CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT)"))
+          .as("lead_sum"),
+        sum(col("unit_e2")).as("price_sum"))
+      .withColumn(
+        "lead_e2",
+        expr(s"(2 * (100 * lead_sum + n_lines * $Shift) + n_lines) DIV (2 * n_lines) - $Shift"))
+      .withColumn("price_e4", expr("(2 * 100 * price_sum + n_lines) DIV (2 * n_lines)"))
+      .select(col("l_suppkey"), col("n_lines"), col("lead_e2"), col("price_e4"))
+    val byLeadStrict = Window.orderBy(col("lead_e2")).rangeBetween(Window.unboundedPreceding, -1)
+    val byLeadIncl = Window.orderBy(col("lead_e2")).rangeBetween(Window.unboundedPreceding, 0)
+    val flagged = per
+      .withColumn("min_strict", min(col("price_e4")).over(byLeadStrict))
+      .withColumn("min_incl", min(col("price_e4")).over(byLeadIncl))
+      .withColumn(
+        "dominated",
+        (col("min_strict").isNotNull && col("min_strict") <= col("price_e4")) ||
+          col("min_incl") < col("price_e4"))
+    val totals = flagged.agg(
+      count(lit(1)).as("n_suppliers"),
+      sum(when(!col("dominated"), 1L).otherwise(0L)).as("n_skyline"))
+    flagged
+      .filter(!col("dominated"))
+      .join(
+        broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(totals))
+      .select(
+        col("s_suppkey"), col("s_name"), col("n_lines"), col("lead_e2"),
+        col("price_e4"), col("n_suppliers"), col("n_skyline"))
+      .orderBy(col("lead_e2"), col("price_e4"), col("s_suppkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_supplier_skyline" -> ((s, d) => q250(Tables(s, d))),
     "q249_rfm_segments" -> ((s, d) => q249(Tables(s, d))),
     "q245_order_backlog" -> ((s, d) => q245(Tables(s, d))),
     "q246_share_of_parent" -> ((s, d) => q246(Tables(s, d))),
@@ -2014,6 +2085,40 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q250_supplier_skyline" ->
+      """WITH per AS (
+        | SELECT l_suppkey, count(*) AS n_lines,
+        |  CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS lead_sum,
+        |  CAST(sum(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT) AS price_sum
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1),
+        | m AS (
+        | SELECT l_suppkey, n_lines,
+        |  CAST((2 * (100 * lead_sum + n_lines * 10000000) + n_lines)
+        |   // (2 * n_lines) - 10000000 AS BIGINT) AS lead_e2,
+        |  CAST((2 * 100 * price_sum + n_lines) // (2 * n_lines) AS BIGINT) AS price_e4
+        | FROM per),
+        | f AS (
+        | SELECT *,
+        |  min(price_e4) OVER (ORDER BY lead_e2
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_strict,
+        |  min(price_e4) OVER (ORDER BY lead_e2
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_incl
+        | FROM m),
+        | d AS (
+        | SELECT *,
+        |  ((min_strict IS NOT NULL AND min_strict <= price_e4) OR min_incl < price_e4)
+        |   AS dominated
+        | FROM f),
+        | tot AS (
+        | SELECT count(*) AS n_suppliers,
+        |  CAST(sum(CASE WHEN NOT dominated THEN 1 ELSE 0 END) AS BIGINT) AS n_skyline
+        | FROM d)
+        |SELECT s_suppkey, s_name, n_lines, lead_e2, price_e4, n_suppliers, n_skyline
+        |FROM d JOIN supplier ON s_suppkey = l_suppkey CROSS JOIN tot
+        |WHERE NOT dominated
+        |ORDER BY lead_e2, price_e4, s_suppkey""".stripMargin,
     "q249_rfm_segments" ->
       """WITH cust AS (
         | SELECT o_custkey, count(*) AS f,

@@ -1779,6 +1779,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byCohort.size > 1, "degenerate: a single cohort")
   }
 
+  test("q250 supplier skyline matches a brute-force dominance recomputation") {
+    val t = Tables(spark, sf)
+    val dates = t.orders.select(col("o_orderkey"), to_date(col("o_orderdate"))).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay)).toMap
+    val per = t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), to_date(col("l_shipdate")),
+        col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map { r =>
+        (r.getLong(1), r.getDate(2).toLocalDate.toEpochDay - dates(r.getLong(0)),
+          math.floor(r.getDouble(3) / r.getDouble(4) * 100 + 0.5).toLong)
+      }
+      .groupBy(_._1).map { case (sk, xs) =>
+        val n = xs.length.toLong
+        val shift = 10000000L
+        val lead = (2 * (100 * xs.map(_._2).sum + n * shift) + n) / (2 * n) - shift
+        val price = (2 * 100 * xs.map(_._3).sum + n) / (2 * n)
+        (sk, n, lead, price)
+      }.toSeq
+    // brute O(n²) dominance — the quadratic the RANGE-window formulation avoids
+    def dominated(a: (Long, Long, Long, Long)): Boolean = per.exists { b =>
+      b._1 != a._1 && b._3 <= a._3 && b._4 <= a._4 && (b._3 < a._3 || b._4 < a._4)
+    }
+    val names = t.supplier.select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val sky = per.filterNot(dominated)
+    val expected = sky
+      .map(s => (s._1, names(s._1), s._2, s._3, s._4, per.length.toLong, sky.length.toLong))
+      .sortBy(x => (x._4, x._5, x._1)).toSeq
+    val got = SparkEntry.queries("q250_supplier_skyline")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+    // the frontier is a strictly-decreasing price curve over increasing lead
+    val curve = got.sortBy(_._4).map(_._5)
+    assert(curve == curve.sorted.reverse && curve.distinct == curve,
+      s"frontier not strictly monotone: $curve")
+    assert(got.nonEmpty && got.length < per.length, "degenerate skyline")
+  }
+
   test("q249 RFM segmentation matches a direct quintile-scoring recomputation") {
     val t = Tables(spark, sf)
     val ords = t.orders
