@@ -584,6 +584,13 @@ object PlanAudit {
     // branch and the totals fold (AQE-reused); the dominance windows and
     // name/totals attach are supplier-dimension-scale (measured 4)
     "q250_supplier_skyline" -> 4,
+    // q251 (r16 wave 39): the ONE corpus-scale (lang, source) count
+    // prints per consuming branch — both marginals, both conditional-
+    // entropy rollups, the totals fold, and each global entropy (q238's
+    // AQE-reuse class; the four 1-row global relations then broadcast);
+    // every post-count exchange is ≤|langs|·|sources| grid-scale
+    // (measured 27)
+    "q251_theils_u" -> 27,
     // q235 (r16 wave 26): the ONE corpus-scale (source, len) histogram
     // prints per consuming branch (the windowed threshold-pick branch,
     // the heavy-mass re-fold, the picks broadcast back) — AQE reuses it

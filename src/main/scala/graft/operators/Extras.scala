@@ -2028,7 +2028,91 @@ object Extras extends QueryModule {
       .orderBy(col("lead_e2"), col("price_e4"), col("s_suppkey"))
   }
 
+  /** Theil's uncertainty coefficient over the (declared lang × source)
+    * matrix (Theil 1970 — new r16 wave 39: the DIRECTIONAL association
+    * statistic completing the trio on q31's confusion surface: q206's
+    * chi² says the two columns are associated, q238's kappa says how
+    * far declared agrees with detected, this says WHICH WAY the
+    * information flows — U(lang|source) is the share of language
+    * entropy the source identity removes, U(source|lang) the reverse,
+    * and they differ exactly when one attribute is a refinement of the
+    * other): per source, docs and the conditional language entropy
+    * H(lang|s) in e3 bits, plus the four global readouts repeated per
+    * row (q221's convention): H(lang), H(lang|source), and both e4
+    * U directions.
+    *
+    * Numerics: q166's entropy discipline exactly — per-cell bits
+    * quantize half-up to e3 BEFORE the weighted sums, every division is
+    * a half-up integer op. Theoretically H(lang|source) ≤ H(lang); e3
+    * rounding can flip a near-equality by one unit, so the U numerator
+    * clamps at 0 (greatest — declared, the statistic is ≥ 0 by
+    * definition).
+    *
+    * Scale shape: ONE corpus-scale (lang, source) count whose exchange
+    * every marginal/conditional branch AQE-reuses (q238's class);
+    * marginals, both conditional-entropy rollups, and the global folds
+    * are all ≤|langs|·|sources| grid-scale.
+    */
+  private def q251(t: Tables): DataFrame = {
+    val bits = (den: String) =>
+      expr(s"CAST(floor(-log2(CAST(n AS DOUBLE) / $den) * 1000 + 0.5) AS BIGINT)")
+    val cells = t.documents.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val srcMarg = cells.groupBy(col("source")).agg(sum(col("n")).as("n_s"))
+    val langMarg = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_l"))
+    val tot = srcMarg.agg(sum(col("n_s")).as("nn"))
+    val hS = cells
+      .join(broadcast(srcMarg), Seq("source"))
+      .withColumn("bits_e3", bits("n_s"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_docs"),
+        expr("(2 * sum(n * bits_e3) + max(n_s)) DIV (2 * max(n_s))").as("h_lang_s_e3"))
+    val hCondLang = hS
+      .agg(sum(col("n_docs") * col("h_lang_s_e3")).as("wsum"), sum(col("n_docs")).as("nn2"))
+      .select(expr("(2 * wsum + nn2) DIV (2 * nn2)").as("h_lang_cond_e3"))
+    val hL = cells
+      .join(broadcast(langMarg), Seq("lang"))
+      .withColumn("bits_e3", bits("n_l"))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n_l")).as("n_l"),
+        expr("(2 * sum(n * bits_e3) + max(n_l)) DIV (2 * max(n_l))").as("h_src_l_e3"))
+    val hCondSrc = hL
+      .agg(sum(col("n_l") * col("h_src_l_e3")).as("wsum"), sum(col("n_l")).as("nn2"))
+      .select(expr("(2 * wsum + nn2) DIV (2 * nn2)").as("h_src_cond_e3"))
+    val hLang = langMarg
+      .join(broadcast(tot))
+      .select(col("n_l").as("n"), col("nn"))
+      .withColumn("bits_e3", bits("nn"))
+      .agg(expr("(2 * sum(n * bits_e3) + max(nn)) DIV (2 * max(nn))").as("h_lang_e3"))
+    val hSrc = srcMarg
+      .join(broadcast(tot))
+      .select(col("n_s").as("n"), col("nn"))
+      .withColumn("bits_e3", bits("nn"))
+      .agg(expr("(2 * sum(n * bits_e3) + max(nn)) DIV (2 * max(nn))").as("h_src_e3"))
+    val globals = hLang
+      .join(broadcast(hCondLang))
+      .join(broadcast(hSrc))
+      .join(broadcast(hCondSrc))
+      .withColumn(
+        "u_lang_src_e4",
+        expr("(2 * 10000 * greatest(h_lang_e3 - h_lang_cond_e3, 0) + h_lang_e3) " +
+          "DIV (2 * h_lang_e3)"))
+      .withColumn(
+        "u_src_lang_e4",
+        expr("(2 * 10000 * greatest(h_src_e3 - h_src_cond_e3, 0) + h_src_e3) " +
+          "DIV (2 * h_src_e3)"))
+      .select(
+        col("h_lang_e3"), col("h_lang_cond_e3"), col("u_lang_src_e4"), col("u_src_lang_e4"))
+    hS.join(broadcast(globals))
+      .select(
+        col("source"), col("n_docs"), col("h_lang_s_e3"),
+        col("h_lang_e3"), col("h_lang_cond_e3"), col("u_lang_src_e4"), col("u_src_lang_e4"))
+      .orderBy(col("source"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_theils_u" -> ((s, d) => q251(Tables(s, d))),
     "q250_supplier_skyline" -> ((s, d) => q250(Tables(s, d))),
     "q249_rfm_segments" -> ((s, d) => q249(Tables(s, d))),
     "q245_order_backlog" -> ((s, d) => q245(Tables(s, d))),
@@ -2085,6 +2169,46 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q251_theils_u" ->
+      """WITH cells AS (
+        | SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        | sm AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+        | lm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_l FROM cells GROUP BY 1),
+        | tt AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn FROM sm),
+        | hs AS (
+        | SELECT source, max(n_s) AS n_docs,
+        |  CAST((2 * sum(n * CAST(floor(-log2(CAST(n AS DOUBLE) / n_s) * 1000 + 0.5)
+        |    AS BIGINT)) + max(n_s)) // (2 * max(n_s)) AS BIGINT) AS h_lang_s_e3
+        | FROM cells JOIN sm USING (source) GROUP BY 1),
+        | hcl AS (
+        | SELECT CAST((2 * sum(n_docs * h_lang_s_e3) + sum(n_docs))
+        |   // (2 * sum(n_docs)) AS BIGINT) AS h_lang_cond_e3 FROM hs),
+        | hl AS (
+        | SELECT lang, max(n_l) AS n_l,
+        |  CAST((2 * sum(n * CAST(floor(-log2(CAST(n AS DOUBLE) / n_l) * 1000 + 0.5)
+        |    AS BIGINT)) + max(n_l)) // (2 * max(n_l)) AS BIGINT) AS h_src_l_e3
+        | FROM cells JOIN lm USING (lang) GROUP BY 1),
+        | hcs AS (
+        | SELECT CAST((2 * sum(n_l * h_src_l_e3) + sum(n_l))
+        |   // (2 * sum(n_l)) AS BIGINT) AS h_src_cond_e3 FROM hl),
+        | hlg AS (
+        | SELECT CAST((2 * sum(n_l * CAST(floor(-log2(CAST(n_l AS DOUBLE) / nn) * 1000
+        |    + 0.5) AS BIGINT)) + max(nn)) // (2 * max(nn)) AS BIGINT) AS h_lang_e3
+        | FROM lm CROSS JOIN tt),
+        | hsg AS (
+        | SELECT CAST((2 * sum(n_s * CAST(floor(-log2(CAST(n_s AS DOUBLE) / nn) * 1000
+        |    + 0.5) AS BIGINT)) + max(nn)) // (2 * max(nn)) AS BIGINT) AS h_src_e3
+        | FROM sm CROSS JOIN tt),
+        | g AS (
+        | SELECT h_lang_e3, h_lang_cond_e3,
+        |  CAST((2 * 10000 * greatest(h_lang_e3 - h_lang_cond_e3, 0) + h_lang_e3)
+        |   // (2 * h_lang_e3) AS BIGINT) AS u_lang_src_e4,
+        |  CAST((2 * 10000 * greatest(h_src_e3 - h_src_cond_e3, 0) + h_src_e3)
+        |   // (2 * h_src_e3) AS BIGINT) AS u_src_lang_e4
+        | FROM hlg CROSS JOIN hcl CROSS JOIN hsg CROSS JOIN hcs)
+        |SELECT source, n_docs, h_lang_s_e3,
+        | h_lang_e3, h_lang_cond_e3, u_lang_src_e4, u_src_lang_e4
+        |FROM hs CROSS JOIN g ORDER BY source""".stripMargin,
     "q250_supplier_skyline" ->
       """WITH per AS (
         | SELECT l_suppkey, count(*) AS n_lines,

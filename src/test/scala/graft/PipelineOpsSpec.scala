@@ -1779,6 +1779,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byCohort.size > 1, "degenerate: a single cohort")
   }
 
+  test("q251 Theil's U matches a direct conditional-entropy recomputation") {
+    val cells = Tables(spark, sf).documents
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def bitsE3(n: Long, den: Long): Long =
+      math.floor(-(math.log(n.toDouble / den) / math.log(2.0)) * 1000 + 0.5).toLong
+    def hdiv2(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+    val srcM = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val langM = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nn = srcM.values.sum
+    def condH(group: Map[String, Seq[((String, String), Long)]], marg: Map[String, Long]): Map[String, Long] =
+      group.map { case (k, xs) =>
+        k -> hdiv2(xs.map { case (_, n) => n * bitsE3(n, marg(k)) }.sum, marg(k))
+      }
+    val hS = condH(cells.toSeq.groupBy(_._1._2), srcM)
+    val hL = condH(cells.toSeq.groupBy(_._1._1), langM)
+    val hLangCond = hdiv2(hS.map { case (s, h) => srcM(s) * h }.sum, nn)
+    val hSrcCond = hdiv2(hL.map { case (l, h) => langM(l) * h }.sum, nn)
+    val hLang = hdiv2(langM.values.map(n => n * bitsE3(n, nn)).sum, nn)
+    val hSrc = hdiv2(srcM.values.map(n => n * bitsE3(n, nn)).sum, nn)
+    val uLS = hdiv2(10000L * math.max(hLang - hLangCond, 0), hLang)
+    val uSL = hdiv2(10000L * math.max(hSrc - hSrcCond, 0), hSrc)
+    val expected = hS.map { case (s, h) =>
+      (s, srcM(s), h, hLang, hLangCond, uLS, uSL)
+    }.toSet
+    val got = SparkEntry.queries("q251_theils_u")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    // U is a share of removed entropy: within [0, 1]; conditioning can
+    // only remove entropy up to quantization (h_cond ≤ h + 1 e3-unit)
+    assert(uLS >= 0L && uLS <= 10000L && uSL >= 0L && uSL <= 10000L)
+    assert(hLangCond <= hLang + 1)
+    // per-source conditional entropies genuinely vary (no collapsed axis)
+    assert(hS.values.toSet.size > 1)
+  }
+
   test("q250 supplier skyline matches a brute-force dominance recomputation") {
     val t = Tables(spark, sf)
     val dates = t.orders.select(col("o_orderkey"), to_date(col("o_orderdate"))).collect()
