@@ -99,7 +99,13 @@ object Bench {
         // corpus scan the delta path pays (r16, the 17th store consumer)
         graft.sources.DedupIndex.init(spark, s"$storesDir/dedup",
           docs.filter(!col("source").like("src1%")), bands = 8, windowK = 8)
+        // the mergeable-sketch distinct ledger (r16 wave 40): q252 reads
+        // per-day HLL sketches and answers week windows by register-max
+        // union — the incremental-analytics artifact a dashboard session
+        // keeps next to the count stores
+        graft.sources.HllStore.init(spark, s"$storesDir/hll", Tables(spark, sfDir).events)
       } finally docs.unpersist()
+      spark.conf.set("graft.hll.store", s"$storesDir/hll")
       spark.conf.set("graft.freq.store", s"$storesDir/freq")
       spark.conf.set("graft.bigram.store", s"$storesDir/bigram")
       spark.conf.set("graft.win.store", s"$storesDir/windoc")

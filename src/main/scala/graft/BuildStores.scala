@@ -88,6 +88,11 @@ object BuildStores {
       val (assign, centroids) = graft.operators.Similarity.corpusQuantizer(t)
       val iv = IvfIndex.init(spark, s"$outDir/ivf", assign, centroids)
       println(s"""{"store":"ivf","version":${iv.version},"k":${iv.k},"assigned":${iv.totalAssigned}}""")
+      // `hll` — sources.HllStore: per-day mergeable HLL distinct-user
+      // sketches (`graft.hll.store`; q252 answers week windows by
+      // register-max union of the stored days)
+      val hl = graft.sources.HllStore.init(spark, s"$outDir/hll", t.events)
+      println(s"""{"store":"hll","version":${hl.version},"days":${hl.totalDays}}""")
     } finally docs.unpersist()
     spark.stop()
   }

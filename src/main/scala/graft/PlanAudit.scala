@@ -591,6 +591,11 @@ object PlanAudit {
     // every post-count exchange is ≤|langs|·|sources| grid-scale
     // (measured 27)
     "q251_theils_u" -> 27,
+    // q252 (r16 wave 40): the corpus-scale (day) sketch agg (partial-
+    // aggregable HLL buffers) + the week union agg + the exact audit's
+    // two-phase (week, user) distinct + the week join/sort (measured 5;
+    // the stores-mode ledger read drops the day agg to 4)
+    "q252_hll_rollup" -> 5,
     // q235 (r16 wave 26): the ONE corpus-scale (source, len) histogram
     // prints per consuming branch (the windowed threshold-pick branch,
     // the heavy-mass re-fold, the picks broadcast back) — AQE reuses it
@@ -782,7 +787,12 @@ object PlanAudit {
     // and the gap-grid sides; the per-vector fold's subtree still prints
     // per consuming branch (q193's default-mode note) minus the centroid
     // aggs
-    "q193_davies_bouldin" -> 9)
+    "q193_davies_bouldin" -> 9,
+    // stored day-sketch ledger read replaces the corpus sketch agg; the
+    // exact audit's (week, user) distinct still scans (it is the
+    // verification input) — week union agg + the exact distinct's
+    // two-phase + join + sort
+    "q252_hll_rollup" -> 5)
   private val storeCorpusFree =
     Set("q113_substring_windows", "q122_window_novelty", "q159_context_entropy",
       "q164_kn_continuation")
@@ -834,10 +844,12 @@ object PlanAudit {
         spark, s"$out/leak", s"$out/windoc", graft.operators.Dedup.leakTrainSlice)
       val (assign, centroids) = graft.operators.Similarity.corpusQuantizer(t)
       IvfIndex.init(spark, s"$out/ivf", assign, centroids)
+      graft.sources.HllStore.init(spark, s"$out/hll", t.events)
       Map(
         "graft.freq.store" -> s"$out/freq", "graft.bigram.store" -> s"$out/bigram",
         "graft.win.store" -> s"$out/windoc", "graft.leak.store" -> s"$out/leak",
-        "graft.delta.index" -> s"$out/dedup", "graft.ivf.index" -> s"$out/ivf")
+        "graft.delta.index" -> s"$out/dedup", "graft.ivf.index" -> s"$out/ivf",
+        "graft.hll.store" -> s"$out/hll")
         .foreach { case (k, v) => spark.conf.set(k, v) }
     }
     val auditSet =

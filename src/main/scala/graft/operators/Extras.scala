@@ -2111,7 +2111,55 @@ object Extras extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Mergeable-sketch distinct rollup (new r16 wave 40 — the INCREMENTAL
+    * distinct-count pattern a 100 TB deployment actually runs: q56
+    * checks the one-shot estimator, q234 pays an exact distinct per
+    * window; this proves the LEDGER form — one DataSketches HLL sketch
+    * per day, any date range answered by REGISTER-MAX UNION of stored
+    * sketches, no raw re-scan): per epoch WEEK (day DIV 7 — the corpus
+    * spans one calendar month, so weeks are the populated range axis;
+    * probed 5 rows at every SF), attributed days, exact distinct users,
+    * and whether the union-of-day-sketches estimate lands within 10%
+    * (≈6σ at lgK=12 — chosen so a correct estimator NEVER trips the
+    * boolean; q56's both-engines-check-their-own-estimator oracle
+    * convention, the exact mergeability pin lives in HllStoreSpec:
+    * estimate(union of day sketches) ≡ estimate(direct range sketch)).
+    * With `graft.hll.store` set the per-day sketch relation reads the
+    * persistent [[graft.sources.HllStore]] ledger instead of
+    * re-deriving — the store consumer a dashboard session is.
+    *
+    * Scale shape: derived path is ONE corpus-scale (day) sketch agg
+    * (partial-aggregable — HLL buffers merge map-side) plus the exact
+    * audit's (week, user) distinct; store path replaces the first with
+    * a ≤|days|-row ledger read. The week rollup unions ≤7 sketches per
+    * group.
+    */
+  private def q252(t: Tables): DataFrame = {
+    val store = t.spark.conf.get("graft.hll.store", "")
+    val daySk =
+      if (store.isEmpty) graft.sources.HllStore.daySketches(t.events)
+      else graft.sources.HllStore.sketches(t.spark, store)
+    val weekly = daySk
+      .withColumn("wk", expr("day DIV 7"))
+      .groupBy(col("wk"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = t.events
+      .filter(col("user_id").isNotNull)
+      .groupBy(expr("(unix_micros(ts) DIV 86400000000) DIV 7").as("wk"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact
+      .join(weekly, Seq("wk"))
+      .select(
+        col("wk"), col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.1)
+          .as("merged_est_ok"))
+      .orderBy(col("wk"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_hll_rollup" -> ((s, d) => q252(Tables(s, d))),
     "q251_theils_u" -> ((s, d) => q251(Tables(s, d))),
     "q250_supplier_skyline" -> ((s, d) => q250(Tables(s, d))),
     "q249_rfm_segments" -> ((s, d) => q249(Tables(s, d))),
@@ -2169,6 +2217,17 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q252_hll_rollup" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+        | m AS (
+        | SELECT (epoch_us(ts) // 86400000000) // 7 AS wk,
+        |  CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  approx_count_distinct(user_id) AS apx
+        | FROM e GROUP BY 1)
+        |SELECT wk, n_days, exact_users,
+        | abs(apx - exact_users) <= exact_users * 0.1 AS merged_est_ok
+        |FROM m ORDER BY wk""".stripMargin,
     "q251_theils_u" ->
       """WITH cells AS (
         | SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),

@@ -240,6 +240,60 @@ class RelationalSpec extends AnyFunSuite {
     got.foreach { case (y, _, _, _, s) => assert(s > 0 && s < 10000, s"year $y") }
   }
 
+  test("IGNORE NULLS window surface: forward-fill and null-skipping lag match a direct scan") {
+    // the gap-fill idiom a sparse sensor/metric series needs at 100 TB:
+    // last_value(...) IGNORE NULLS over an unbounded-preceding frame is
+    // the scalable forward-fill (one keyed window, no self-join). The
+    // corpus has no natural null-bearing series (events are dense; the
+    // only nullable column is user_id, where filling would fabricate
+    // attribution — ledgered), so the ENGINE SURFACE is proven on a
+    // fixture against a direct scan, in both the Column API and the SQL
+    // IGNORE NULLS syntax.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq[(Long, Long, Option[Double])](
+      (1L, 1L, Some(10.0)), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Some(40.0)),
+      (1L, 5L, None), (2L, 1L, None), (2L, 2L, Some(5.0)), (2L, 3L, None))
+    val df = rows.toDF("k", "t", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("t"))
+    val got = df
+      .withColumn("ffill", last(col("v"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_obs", lag(col("v"), 1, null, ignoreNulls = true).over(w))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // direct per-key scan: running last non-null, and the value before it
+    val expected = rows.groupBy(_._1).flatMap { case (k, xs) =>
+      var lastSeen: Option[Double] = None
+      xs.sortBy(_._2).map { case (_, t, v) =>
+        val prev = lastSeen // strictly-before non-null
+        if (v.isDefined) lastSeen = v
+        ((k, t), (if (v.isDefined) v else prev, prev))
+      }
+    }
+    expected.foreach { case (key, (ff, prev)) =>
+      assert(got(key)._1 == ff, s"ffill at $key")
+      assert(got(key)._2 == prev, s"prev_obs at $key")
+    }
+    // the SQL spelling parses and agrees with the Column API
+    df.createOrReplaceTempView("graft_ffill_fixture")
+    try {
+      val sqlGot = spark.sql("""
+        SELECT k, t, last_value(v) IGNORE NULLS OVER (
+          PARTITION BY k ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
+        FROM graft_ffill_fixture""")
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toMap
+      expected.foreach { case (key, (ff, _)) => assert(sqlGot(key) == ff, s"SQL ffill at $key") }
+    } finally spark.catalog.dropTempView("graft_ffill_fixture")
+  }
+
   test("q241 lateral top-k matches a per-nation sort fold and analyzes as LateralJoin") {
     import org.apache.spark.sql.functions._
     val t = Tables(spark, sf)
