@@ -56,6 +56,64 @@ class HllStoreSpec extends AnyFunSuite {
     assert(viaLedger.size >= 4)
   }
 
+  test("a streaming feed maintains the ledger; the final view equals a batch init") {
+    // the production maintenance path: an ingest stream appends CLOSED
+    // days per micro-batch (upstream watermarking delivers whole days —
+    // the ledger's complete-days contract; a partial day appended early
+    // would freeze short, which is exactly why the contract exists).
+    // After the stream drains, per-day estimates off the streamed ledger
+    // must equal a from-scratch batch build over the same events.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val us = 86400L * 1000000L // one day in µs
+    def ev(day: Long, user: Long): (Long, Long) = (day * us + user, user)
+    val batch1 = Seq(ev(0, 1), ev(0, 2), ev(1, 2), ev(1, 3))
+    val batch2 = Seq(ev(2, 1), ev(2, 4))
+    val batch3 = Seq(ev(3, 5), ev(4, 1), ev(4, 5))
+    val ms = MemoryStream[(Long, Long)]
+    val q = ms.toDF()
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("user_id"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 0L) HllStore.init(spark, dir, batch)
+        else HllStore.append(spark, dir, batch)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName("hll_maintain")
+      .start()
+    ms.addData(batch1: _*)
+    q.processAllAvailable(); q.stop()
+    // subsequent closed-day batches through fresh AvailableNow runs
+    for (b <- Seq(batch2, batch3)) {
+      val ms2 = MemoryStream[(Long, Long)]
+      val q2 = ms2.toDF()
+        .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("user_id"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          HllStore.append(spark, dir, batch); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      ms2.addData(b: _*)
+      q2.processAllAvailable(); q2.stop()
+    }
+    val all = (batch1 ++ batch2 ++ batch3)
+      .toDF("_1", "_2")
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("user_id"))
+    val streamed = HllStore.sketches(spark, dir)
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fresh = HllStore.daySketches(all)
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == fresh, s"streamed ledger diverges: $streamed vs $fresh")
+    assert(streamed.keySet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("append publishes only new days; frozen days and re-sends are no-ops; compact folds") {
     val dir = tmp()
     val t = Tables(spark, sf)
