@@ -4,9 +4,12 @@ import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{
+  AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.{
@@ -98,11 +101,45 @@ private[sources] class SynthTable(rows: Long, partitions: Int) extends Table wit
 }
 
 private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = SynthSource.schema
   private var lo: Long = 0L
   private var hi: Long = rows
   private var accepted: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
+
+  // COUNT/MIN/MAX over the planned id range have CLOSED FORMS (count =
+  // hi−lo, min = lo, max = hi−1; every generated column is non-null, so
+  // a plain COUNT(col) counts rows too) — the aggregate-pushdown
+  // analogue of a columnar footer read: the scan answers the query from
+  // PLANNING METADATA and generates zero rows. Complete pushdown only
+  // (no groupBy, no DISTINCT); anything else is declined and Spark
+  // aggregates above the scan as usual.
+  private def answers(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case c: Count =>
+      !c.isDistinct && (c.column match {
+        case _: Literal[_] => true
+        case r: NamedReference => SynthSource.schema.fieldNames.contains(r.describe)
+        case _ => false
+      })
+    case m: Min => m.column match {
+      case r: NamedReference => r.describe == "doc_id"
+      case _ => false
+    }
+    case m: Max => m.column match {
+      case r: NamedReference => r.describe == "doc_id"
+      case _ => false
+    }
+    case _ => false
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall(answers)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (supportCompletePushDown(agg)) { pushedAgg = Some(agg); true } else false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands back a subset of our schema in our field order
@@ -132,7 +169,52 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new SynthScan(required, math.min(lo, hi), hi, partitions, accepted)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) =>
+      new SynthAggScan(math.min(lo, hi), hi, agg.aggregateExpressions.toSeq, accepted)
+    case None => new SynthScan(required, math.min(lo, hi), hi, partitions, accepted)
+  }
+}
+
+/** Complete-pushdown aggregate scan: ONE partition, ONE row, every value
+  * a closed form of the planned [lo, hi) range. An empty range reports
+  * count 0 and NULL min/max — exactly what the aggregates over zero rows
+  * must be.
+  */
+private[sources] class SynthAggScan(
+    lo: Long, hi: Long, funcs: Seq[AggregateFunc], pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(funcs.map(f => StructField(f.toString, LongType, nullable = true)))
+  override def description(): String =
+    s"graft_synth range=[$lo,$hi) PushedAggregates: [${funcs.mkString(", ")}] " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = Array(SynthRange(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the closed forms evaluate DRIVER-SIDE at planning; only primitive
+    // values ship to the executor (the Scan and the AggregateFunc trees
+    // never serialize)
+    val n = math.max(0L, hi - lo)
+    val vals: Array[Any] = funcs.map {
+      case _: CountStar | _: Count => (n: java.lang.Long): Any
+      case _: Min => if (n > 0) (lo: java.lang.Long): Any else null
+      case _: Max => if (n > 0) ((hi - 1): java.lang.Long): Any else null
+      case other => throw new IllegalArgumentException(s"unanswerable agg $other")
+    }.toArray
+    new SynthAggReaderFactory(vals)
+  }
+}
+
+private[sources] class SynthAggReaderFactory(vals: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(vals)
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] case class SynthRange(lo: Long, hi: Long) extends InputPartition

@@ -138,6 +138,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(synth(200, 2).filter(col("lang") === "en").collect().forall(_.getString(2) == "en"))
   }
 
+  test("DSv2 synth source answers COUNT/MIN/MAX from planning metadata (aggregate pushdown)") {
+    // SupportsPushDownAggregates, complete pushdown: the scan returns the
+    // aggregate VALUES as closed forms of the planned [lo, hi) range —
+    // one partition, one row, zero generated rows; the footer-read
+    // analogue for the generator. Composes with filter pushdown: the
+    // range narrows FIRST, then the aggregates answer over it.
+    def synth(rows: Long) = spark.read
+      .format("graft.sources.SynthSource")
+      .option("rows", rows.toString).option("partitions", "8")
+      .load()
+    val agg = synth(100000)
+      .filter(col("doc_id") >= 1000 && col("doc_id") < 50000)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates:"), s"aggregates not pushed:\n$plan")
+    val row = agg.head()
+    assert(row.getLong(0) == 49000L && row.getLong(1) == 1000L && row.getLong(2) == 49999L)
+    // the aggregate source runs as ONE planned partition (no row generation
+    // to parallelize over)
+    assert(plan.contains("range=[1000,50000)"), plan)
+    // empty range: count 0, NULL min/max — the zero-row aggregate contract
+    val empty = synth(100)
+      .filter(col("doc_id") >= 500)
+      .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+      .head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
+    // a grouped or unanswerable aggregate is DECLINED and computed above
+    // an ordinary row scan — values must match the pushed-down world
+    val grouped = synth(1000).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates:"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 1000L)
+    val sums = synth(1000).agg(sum(col("n_chars")))
+    assert(!sums.queryExecution.executedPlan.toString.contains("PushedAggregates:"))
+    assert(sums.head().getLong(0) > 0L)
+  }
+
   test("DSv2 versioned sink publishes CAS-committed TSV snapshots") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_vsink").toString
