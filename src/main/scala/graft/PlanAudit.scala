@@ -596,6 +596,10 @@ object PlanAudit {
     // two-phase (week, user) distinct + the week join/sort (measured 5;
     // the stores-mode ledger read drops the day agg to 4)
     "q252_hll_rollup" -> 5,
+    // q253 (r16 wave 42): the ONE corpus-scale l_orderkey rollup (the
+    // co-bucket key; its countDistinct plans two-phase) + the 4-row
+    // class rollup + sort (measured 4)
+    "q253_line_sequence" -> 4,
     // q235 (r16 wave 26): the ONE corpus-scale (source, len) histogram
     // prints per consuming branch (the windowed threshold-pick branch,
     // the heavy-mass re-fold, the picks broadcast back) — AQE reuses it

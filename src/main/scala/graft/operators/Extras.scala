@@ -2158,7 +2158,51 @@ object Extras extends QueryModule {
       .orderBy(col("wk"))
   }
 
+  /** Line-sequence integrity audit (new r16 wave 42 — the ROW-SEQUENCE
+    * completeness check an ingest validator runs next to q176's key
+    * resolution, q207's FD conformance and q208's amount reconciliation:
+    * a multi-row business object's child rows carry a dense 1..n
+    * sequence by contract, and a dup/gap/late-start in it is a lost or
+    * double-applied row the amount checks can miss): every order
+    * classified by its l_linenumber sequence — `clean` (exactly 1..n),
+    * `duplicate` (a repeated number — dup wins classification: a dup
+    * means a possible double-apply regardless of span), `late_start`
+    * (distinct numbers, first > 1 — leading rows lost), `gap` (starts at
+    * 1, distinct, but the span overshoots — interior rows lost); per
+    * class, orders, lines, the worst sequence span, and the smallest
+    * example order key for triage. Probed all four classes live at
+    * every SF (37/833/412/191 at sf0.001 — this generator does NOT
+    * honor the dense contract, which is exactly what the audit is for).
+    *
+    * Scale shape: ONE corpus-scale l_orderkey rollup (the co-bucket key
+    * — exchange-free on bucketed storage, partial-aggregable: count,
+    * min, max, distinct-count of a small int); the classification and
+    * the 4-row class rollup ride the |orders|-scale relation.
+    */
+  private def q253(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_linenumber")).as("mn"),
+        max(col("l_linenumber")).as("mx"),
+        countDistinct(col("l_linenumber")).as("nd"))
+      .withColumn(
+        "class",
+        when(col("nd") < col("n"), "duplicate")
+          .when(col("mn") > 1, "late_start")
+          .when(col("mx") > col("n"), "gap")
+          .otherwise("clean"))
+      .groupBy(col("class"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("n")).as("n_lines"),
+        max(col("mx") - col("mn")).cast("long").as("max_span"),
+        min(col("l_orderkey")).as("example_orderkey"))
+      .orderBy(col("class"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_line_sequence" -> ((s, d) => q253(Tables(s, d))),
     "q252_hll_rollup" -> ((s, d) => q252(Tables(s, d))),
     "q251_theils_u" -> ((s, d) => q251(Tables(s, d))),
     "q250_supplier_skyline" -> ((s, d) => q250(Tables(s, d))),
@@ -2217,6 +2261,23 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q253_line_sequence" ->
+      """WITH o AS (
+        | SELECT l_orderkey, count(*) AS n,
+        |  min(l_linenumber) AS mn, max(l_linenumber) AS mx,
+        |  count(DISTINCT l_linenumber) AS nd
+        | FROM lineitem GROUP BY 1),
+        | c AS (
+        | SELECT l_orderkey, n, mn, mx,
+        |  CASE WHEN nd < n THEN 'duplicate'
+        |       WHEN mn > 1 THEN 'late_start'
+        |       WHEN mx > n THEN 'gap'
+        |       ELSE 'clean' END AS class
+        | FROM o)
+        |SELECT class, count(*) AS n_orders, CAST(sum(n) AS BIGINT) AS n_lines,
+        | CAST(max(mx - mn) AS BIGINT) AS max_span,
+        | min(l_orderkey) AS example_orderkey
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q252_hll_rollup" ->
       """WITH e AS (SELECT * FROM events WHERE user_id IS NOT NULL),
         | m AS (

@@ -1779,6 +1779,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byCohort.size > 1, "degenerate: a single cohort")
   }
 
+  test("q253 line-sequence audit matches a direct per-order classification") {
+    val lines = Tables(spark, sf).lineitem
+      .select(col("l_orderkey"), col("l_linenumber")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val perOrder = lines.groupBy(_._1).map { case (ok, xs) =>
+      val ns = xs.map(_._2)
+      val (n, mn, mx, nd) = (ns.length, ns.min, ns.max, ns.distinct.length)
+      val cls =
+        if (nd < n) "duplicate"
+        else if (mn > 1) "late_start"
+        else if (mx > n) "gap"
+        else "clean"
+      (ok, n.toLong, mn, mx, cls)
+    }
+    val expected = perOrder.groupBy(_._5).map { case (cls, xs) =>
+      (cls, xs.size.toLong, xs.map(_._2).sum,
+        xs.map(x => (x._4 - x._3).toLong).max, xs.map(_._1).min)
+    }.toSet
+    val got = SparkEntry.queries("q253_line_sequence")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    // the four classes partition the order population — all live, none
+    // overlapping (conservation), and a clean order has span n−1 exactly
+    assert(got.map(_._1) == Set("clean", "duplicate", "late_start", "gap"))
+    assert(got.toSeq.map(_._2).sum == perOrder.size.toLong)
+    perOrder.filter(_._5 == "clean").foreach { case (ok, n, mn, mx, _) =>
+      assert(mn == 1 && mx.toLong == n, s"order $ok misclassified clean")
+    }
+  }
+
   test("q251 Theil's U matches a direct conditional-entropy recomputation") {
     val cells = Tables(spark, sf).documents
       .select(col("lang"), col("source")).collect()
