@@ -2201,7 +2201,64 @@ object Extras extends QueryModule {
         min(col("l_orderkey")).as("example_orderkey"))
       .orderBy(col("class"))
 
+  /** Cumulative gains (Lorenz) table over customer revenue (new r16
+    * wave 43 — the CURVE the concentration family's single numbers
+    * summarize: q173's HHI, q163's Gini and q133's top-decile share
+    * each collapse inequality to one scalar; this is the 10-row
+    * decile-by-decile cumulative-share table a campaign-targeting or
+    * key-account review actually reads, "the top k/10 of customers
+    * carry X% of revenue" for every k): customers ranked by e2 spend
+    * descending, per spend-decile the customers, revenue, cumulative
+    * revenue, and both e4 cumulative shares (customers, revenue).
+    *
+    * Tie discipline: customers with EQUAL spend are never split across
+    * deciles — each spend-value group lands in the decile of its last
+    * cumulative position (((cum−1)·10) DIV N + 1; declared, and the
+    * reason n_customers per decile can wobble around N/10). This keeps
+    * the whole derivation on the VALUE DOMAIN: a spend histogram, one
+    * domain-ordered cumulative, no |customers|-row rank window (q249's
+    * distribution-counting class).
+    *
+    * Scale shape: ONE corpus-scale o_custkey rollup (partial-
+    * aggregable); the histogram collapses onto distinct spend values,
+    * the descending cumulative and decile rollup ride the value domain
+    * (declared metadata-scale window class); output ≤ 10 rows.
+    */
+  private def q254(t: Tables): DataFrame = {
+    val hist = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("spend_e2"))
+      .groupBy(col("spend_e2"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.orderBy(col("spend_e2").desc).rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("cum_cnt", sum(col("cnt")).over(cumW))
+      .withColumn("cum_rev", sum(col("spend_e2") * col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("total_rev", sum(col("spend_e2") * col("cnt")).over(Window.partitionBy()))
+      .withColumn("decile", expr("((cum_cnt - 1) * 10) DIV n + 1"))
+      .groupBy(col("decile"))
+      .agg(
+        sum(col("cnt")).as("n_customers"),
+        sum(col("spend_e2") * col("cnt")).as("rev_e2"),
+        max(col("cum_cnt")).as("cum_customers"),
+        max(col("cum_rev")).as("cum_rev_e2"),
+        max(col("n")).as("n_total"),
+        max(col("total_rev")).as("rev_total"))
+      .withColumn(
+        "cum_cust_share_e4",
+        expr("(2 * 10000 * cum_customers + n_total) DIV (2 * n_total)"))
+      .withColumn(
+        "cum_rev_share_e4",
+        expr("(2 * 10000 * cum_rev_e2 + rev_total) DIV (2 * rev_total)"))
+      .select(
+        col("decile"), col("n_customers"), col("rev_e2"), col("cum_rev_e2"),
+        col("cum_cust_share_e4"), col("cum_rev_share_e4"))
+      .orderBy(col("decile"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_gains_curve" -> ((s, d) => q254(Tables(s, d))),
     "q253_line_sequence" -> ((s, d) => q253(Tables(s, d))),
     "q252_hll_rollup" -> ((s, d) => q252(Tables(s, d))),
     "q251_theils_u" -> ((s, d) => q251(Tables(s, d))),
@@ -2261,6 +2318,27 @@ object Extras extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q254_gains_curve" ->
+      """WITH cust AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_e2
+        | FROM orders GROUP BY 1),
+        | h AS (SELECT spend_e2, count(*) AS cnt FROM cust GROUP BY 1),
+        | c AS (
+        | SELECT spend_e2, cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY spend_e2 DESC) AS BIGINT) AS cum_cnt,
+        |  CAST(sum(spend_e2 * cnt) OVER (ORDER BY spend_e2 DESC) AS BIGINT) AS cum_rev,
+        |  CAST(sum(cnt) OVER () AS BIGINT) AS n,
+        |  CAST(sum(spend_e2 * cnt) OVER () AS BIGINT) AS total_rev
+        | FROM h),
+        | d AS (SELECT *, ((cum_cnt - 1) * 10) // n + 1 AS decile FROM c)
+        |SELECT decile, CAST(sum(cnt) AS BIGINT) AS n_customers,
+        | CAST(sum(spend_e2 * cnt) AS BIGINT) AS rev_e2,
+        | max(cum_rev) AS cum_rev_e2,
+        | (2 * 10000 * max(cum_cnt) + max(n)) // (2 * max(n)) AS cum_cust_share_e4,
+        | (2 * 10000 * max(cum_rev) + max(total_rev)) // (2 * max(total_rev))
+        |  AS cum_rev_share_e4
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q253_line_sequence" ->
       """WITH o AS (
         | SELECT l_orderkey, count(*) AS n,

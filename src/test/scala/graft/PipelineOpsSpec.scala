@@ -1779,6 +1779,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byCohort.size > 1, "degenerate: a single cohort")
   }
 
+  test("q254 gains curve matches a direct descending-spend fold") {
+    val spend = Tables(spark, sf).orders
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val hist = spend.values.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(-_._1)
+    val n = spend.size.toLong
+    val totalRev = spend.values.sum
+    var (cumCnt, cumRev) = (0L, 0L)
+    val rows = hist.map { case (v, cnt) =>
+      cumCnt += cnt; cumRev += v * cnt
+      (((cumCnt - 1) * 10) / n + 1, cnt, v * cnt, cumCnt, cumRev)
+    }
+    val expected = rows.groupBy(_._1).map { case (dec, xs) =>
+      val cc = xs.map(_._4).max
+      val cr = xs.map(_._5).max
+      (dec, xs.map(_._2).sum, xs.map(_._3).sum, cr,
+        (2 * 10000 * cc + n) / (2 * n), (2 * 10000 * cr + totalRev) / (2 * totalRev))
+    }.toSet
+    val got = SparkEntry.queries("q254_gains_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // the curve is a Lorenz majorization: cumulative revenue share always
+    // at or above cumulative customer share (sorted descending), both
+    // monotone to exactly 1, and customers conserve
+    val curve = got.toSeq.sortBy(_._1)
+    curve.foreach { case (d, _, _, _, cs, rs) => assert(rs >= cs, s"decile $d") }
+    assert(curve.map(_._5) == curve.map(_._5).sorted && curve.last._5 == 10000L)
+    assert(curve.map(_._6) == curve.map(_._6).sorted && curve.last._6 == 10000L)
+    assert(curve.map(_._2).sum == n)
+  }
+
   test("q253 line-sequence audit matches a direct per-order classification") {
     val lines = Tables(spark, sf).lineitem
       .select(col("l_orderkey"), col("l_linenumber")).collect()
