@@ -172,6 +172,16 @@ class SourcesSpec extends AnyFunSuite {
     val sums = synth(1000).agg(sum(col("n_chars")))
     assert(!sums.queryExecution.executedPlan.toString.contains("PushedAggregates:"))
     assert(sums.head().getLong(0) > 0L)
+    // the CORRECTNESS edge: with a residual (declined) filter, the engine
+    // must NOT push the aggregate — our closed forms answer over the
+    // whole planned range and would silently overcount. Spark's pushdown
+    // rule only offers aggregates once every filter is consumed by the
+    // scan; pin that contract AND the value.
+    val resid = synth(1000).filter(col("lang") === "en").agg(count(lit(1)).as("n"))
+    assert(!resid.queryExecution.executedPlan.toString.contains("PushedAggregates:"),
+      "aggregate pushed past a residual filter — closed forms would overcount")
+    val direct = synth(1000).collect().count(_.getAs[String]("lang") == "en").toLong
+    assert(resid.head().getLong(0) == direct && direct > 0L)
   }
 
   test("DSv2 versioned sink publishes CAS-committed TSV snapshots") {
