@@ -294,6 +294,29 @@ class RelationalSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("graft_ffill_fixture")
   }
 
+  test("listagg WITHIN GROUP produces deterministic ordered concatenations") {
+    // the SQL:2016 ordered string aggregation (Spark 4 surface): WITHOUT
+    // the WITHIN GROUP order clause a distributed concat is
+    // merge-order-dependent and can never pass a hash-exact oracle —
+    // the ordered form is the only spelling this engine contract allows
+    // into a deterministic pipeline. Pinned against a collect-and-sort
+    // fold over the real dim table.
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    t.nation.createOrReplaceTempView("graft_listagg_nation")
+    try {
+      val got = spark.sql("""
+        SELECT n_regionkey, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        FROM graft_listagg_nation GROUP BY n_regionkey""")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+      val expected = t.nation.select(col("n_regionkey"), col("n_name")).collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.mkString(",")).toMap
+      assert(got == expected)
+      assert(got.values.exists(_.contains(",")), "degenerate: single-member groups only")
+    } finally spark.catalog.dropTempView("graft_listagg_nation")
+  }
+
   test("q241 lateral top-k matches a per-nation sort fold and analyzes as LateralJoin") {
     import org.apache.spark.sql.functions._
     val t = Tables(spark, sf)
