@@ -103,7 +103,8 @@ object Bench {
         // per-day HLL sketches and answers week windows by register-max
         // union — the incremental-analytics artifact a dashboard session
         // keeps next to the count stores
-        graft.sources.HllStore.init(spark, s"$storesDir/hll", Tables(spark, sfDir).events)
+        graft.sources.HllStore.init(
+          spark, s"$storesDir/hll", Tables(spark, sfDir).events, corpus = sfDir)
       } finally docs.unpersist()
       spark.conf.set("graft.hll.store", s"$storesDir/hll")
       spark.conf.set("graft.freq.store", s"$storesDir/freq")

@@ -91,7 +91,7 @@ object BuildStores {
       // `hll` — sources.HllStore: per-day mergeable HLL distinct-user
       // sketches (`graft.hll.store`; q252 answers week windows by
       // register-max union of the stored days)
-      val hl = graft.sources.HllStore.init(spark, s"$outDir/hll", t.events)
+      val hl = graft.sources.HllStore.init(spark, s"$outDir/hll", t.events, corpus = sfDir)
       println(s"""{"store":"hll","version":${hl.version},"days":${hl.totalDays}}""")
     } finally docs.unpersist()
     spark.stop()

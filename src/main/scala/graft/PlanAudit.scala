@@ -594,7 +594,8 @@ object PlanAudit {
     // q252 (r16 wave 40): the corpus-scale (day) sketch agg (partial-
     // aggregable HLL buffers) + the week union agg + the exact audit's
     // two-phase (week, user) distinct + the week join/sort (measured 5;
-    // the stores-mode ledger read drops the day agg to 4)
+    // stores mode swaps the day agg for the ledger-read side of the week
+    // union and stays at 5 — see storeExchangeBudget)
     "q252_hll_rollup" -> 5,
     // q253 (r16 wave 42): the ONE corpus-scale l_orderkey rollup (the
     // co-bucket key; its countDistinct plans two-phase) + the 4-row
@@ -848,7 +849,7 @@ object PlanAudit {
         spark, s"$out/leak", s"$out/windoc", graft.operators.Dedup.leakTrainSlice)
       val (assign, centroids) = graft.operators.Similarity.corpusQuantizer(t)
       IvfIndex.init(spark, s"$out/ivf", assign, centroids)
-      graft.sources.HllStore.init(spark, s"$out/hll", t.events)
+      graft.sources.HllStore.init(spark, s"$out/hll", t.events, corpus = sfDir)
       Map(
         "graft.freq.store" -> s"$out/freq", "graft.bigram.store" -> s"$out/bigram",
         "graft.win.store" -> s"$out/windoc", "graft.leak.store" -> s"$out/leak",

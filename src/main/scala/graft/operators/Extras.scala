@@ -2138,7 +2138,10 @@ object Extras extends QueryModule {
     val store = t.spark.conf.get("graft.hll.store", "")
     val daySk =
       if (store.isEmpty) graft.sources.HllStore.daySketches(t.events)
-      else graft.sources.HllStore.sketches(t.spark, store)
+      // provenance-checked read (r16 advice): a graft.hll.store pointing
+      // at a ledger built from a DIFFERENT corpus/SF fails loudly instead
+      // of silently inner-joining wrong merged_est_ok rows
+      else graft.sources.HllStore.sketches(t.spark, store, expectCorpus = Some(t.dir))
     val weekly = daySk
       .withColumn("wk", expr("day DIV 7"))
       .groupBy(col("wk"))

@@ -43,7 +43,7 @@ object HllStore {
 
   private def versionPath(dir: String, v: Long) = s"$dir/v=$v"
 
-  private final case class Meta(kind: String, nd: Long)
+  private final case class Meta(kind: String, nd: Long, corpus: String)
 
   private def readBody(f: FileSystem, p: Path): String = {
     val in = f.open(p)
@@ -66,14 +66,24 @@ object HllStore {
   private def readMetaUncached(f: FileSystem, dir: String, v: Long): Option[Meta] = {
     val p = new Path(versionPath(dir, v), Marker)
     if (!f.exists(p)) return None
-    val m = """\{"kind":"(base|delta)","nd":(\d+)\}""".r
-    readBody(f, p).trim match {
-      case m(kind, nd) => Some(Meta(kind, nd.toLong))
-      case _ =>
-        throw new IllegalStateException(
-          s"committed marker at $p is unreadable — store format migrated or marker " +
-            "corrupt; refusing to treat the version as uncommitted (repair would reap " +
-            "committed data). Restore the marker or rebuild the store at a fresh path.")
+    parseMarker(readBody(f, p)).orElse(
+      throw new IllegalStateException(
+        s"committed marker at $p is unreadable — store format migrated or marker " +
+          "corrupt; refusing to treat the version as uncommitted (repair would reap " +
+          "committed data). Restore the marker or rebuild the store at a fresh path."))
+  }
+
+  /** ONE marker grammar for every reader — the staged-marker checks in
+    * append/compact parse with this exact regex instead of substring
+    * probes (a `contains("\"nd\":5")` false-passes on a staged 55; r16
+    * advice), so "unchanged ledger" is compared nd == nd, never
+    * prefix == prefix.
+    */
+  private def parseMarker(body: String): Option[Meta] = {
+    val m = """\{"kind":"(base|delta)","nd":(\d+),"corpus":"([^"]*)"\}""".r
+    body.trim match {
+      case m(kind, nd, corpus) => Some(Meta(kind, nd.toLong, corpus))
+      case _ => None
     }
   }
 
@@ -99,11 +109,29 @@ object HllStore {
     vs.filter(v => lastBase.forall(v >= _))
   }
 
-  /** The (day, sk) ledger view — one committed sketch per epoch day. */
-  def sketches(spark: SparkSession, dir: String): DataFrame =
-    readChain(spark, dir)
+  /** The (day, sk) ledger view — one committed sketch per epoch day.
+    *
+    * `expectCorpus` is the read-time provenance check (r16 advice —
+    * FreqStore's family-validation discipline): a consumer that knows
+    * which corpus it is querying passes the tag its store MUST have been
+    * built from, and a ledger built from a different corpus/SF fails
+    * loudly here instead of silently inner-joining wrong estimates into
+    * the answer.
+    */
+  def sketches(
+      spark: SparkSession, dir: String, expectCorpus: Option[String] = None): DataFrame = {
+    val chain = readChain(spark, dir)
+    expectCorpus.foreach { want =>
+      val f = fs(spark, dir)
+      val have = readMeta(f, dir, chain.head).get.corpus
+      require(have == want,
+        s"HLL ledger at $dir was built from corpus '$have' but the query reads " +
+          s"corpus '$want' — refusing to merge sketches across corpora")
+    }
+    chain
       .map(v => spark.read.parquet(s"${versionPath(dir, v)}/sketches"))
       .reduce(_.unionByName(_))
+  }
 
   /** Per-(epoch-day) HLL sketch of the ATTRIBUTED user set — the one
     * definition both the store build and any in-query derivation use
@@ -117,15 +145,25 @@ object HllStore {
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
 
   private def stage(
-      spark: SparkSession, dir: String, v: Long, kind: String, sk: DataFrame): Path = {
+      spark: SparkSession, dir: String, v: Long, kind: String, sk: DataFrame,
+      corpus: String): Path = {
+    require(!corpus.contains("\"") && !corpus.contains("\\"),
+      s"corpus tag must be quote/backslash-free (it is embedded in the marker JSON): $corpus")
     val staging = new Path(dir, s"_staging/v$v-${java.util.UUID.randomUUID()}")
     sk.write.mode("overwrite").parquet(s"$staging/sketches")
     val nd = spark.read.parquet(s"$staging/sketches").count()
     val out = fs(spark, dir).create(new Path(staging, Marker), false)
-    try out.write(s"""{"kind":"$kind","nd":$nd}""".getBytes("UTF-8"))
+    try out.write(s"""{"kind":"$kind","nd":$nd,"corpus":"$corpus"}""".getBytes("UTF-8"))
     finally out.close()
     staging
   }
+
+  /** Parse a STAGED (not yet committed) marker — exact-equality checks in
+    * append/compact read through this, never substring probes.
+    */
+  private def stagedMeta(f: FileSystem, staging: Path): Meta =
+    parseMarker(readBody(f, new Path(staging, Marker))).getOrElse(
+      throw new IllegalStateException(s"staged marker at $staging unreadable"))
 
   private def commit(spark: SparkSession, dir: String, staging: Path, v: Long): Unit =
     CasProtocol.claim(
@@ -145,26 +183,41 @@ object HllStore {
     HllStoreStats(v, m.kind, m.nd, total)
   }
 
-  /** Build v=1 from an events frame. Fails if already initialized. */
-  def init(spark: SparkSession, dir: String, events: DataFrame): HllStoreStats = {
+  /** The corpus tag the ledger at `dir` was built from. */
+  def corpus(spark: SparkSession, dir: String): String = {
+    val chain = readChain(spark, dir)
+    readMeta(fs(spark, dir), dir, chain.head).get.corpus
+  }
+
+  /** Build v=1 from an events frame. Fails if already initialized.
+    * `corpus` names the event corpus (e.g. the source dir) — recorded in
+    * the marker and enforced on provenance-checked reads and appends.
+    */
+  def init(
+      spark: SparkSession, dir: String, events: DataFrame, corpus: String): HllStoreStats = {
     invalidateMetaCache(dir)
     require(currentVersion(spark, dir).isEmpty, s"HLL store at $dir already initialized")
-    commit(spark, dir, stage(spark, dir, 1L, "base", daySketches(events)), 1L)
+    commit(spark, dir, stage(spark, dir, 1L, "base", daySketches(events), corpus), 1L)
     stats(spark, dir, 1L)
   }
 
   /** Append a batch of complete NEW days: days already in the ledger are
     * frozen and anti-join away (idempotent re-send); an empty remainder
-    * publishes nothing.
+    * publishes nothing. The batch must carry the ledger's corpus tag —
+    * mixing corpora in one ledger is refused, not averaged.
     */
-  def append(spark: SparkSession, dir: String, events: DataFrame): HllStoreStats = {
+  def append(
+      spark: SparkSession, dir: String, events: DataFrame, corpus: String): HllStoreStats = {
     val cur = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no HLL store at $dir — init first"))
+    val have = this.corpus(spark, dir)
+    require(have == corpus,
+      s"HLL ledger at $dir holds corpus '$have'; refusing to append batch tagged '$corpus'")
     val fresh = daySketches(events)
       .join(sketches(spark, dir).select(col("day")), Seq("day"), "left_anti")
-    val staging = stage(spark, dir, cur + 1, "delta", fresh)
+    val staging = stage(spark, dir, cur + 1, "delta", fresh, corpus)
     val f = fs(spark, dir)
-    if (readBody(f, new Path(staging, Marker)).contains("\"nd\":0")) {
+    if (stagedMeta(f, staging).nd == 0L) {
       f.delete(staging, true)
       stats(spark, dir, cur)
     } else {
@@ -181,13 +234,18 @@ object HllStore {
       throw new IllegalStateException(s"no HLL store at $dir"))
     if (readChain(spark, dir).size <= 1) return stats(spark, dir, cur)
     val before = stats(spark, dir, cur)
-    val staging = stage(spark, dir, cur + 1, "base", sketches(spark, dir))
+    val staging =
+      stage(spark, dir, cur + 1, "base", sketches(spark, dir), corpus(spark, dir))
     val f = fs(spark, dir)
-    val body = readBody(f, new Path(staging, Marker))
-    if (!body.contains(s""""nd":${before.totalDays}""")) {
+    // exact day-count equality via the shared marker grammar — the r16
+    // substring probe false-passed whenever the staged count had the
+    // expected count as a decimal prefix (5 matched 55)
+    val stagedDays = stagedMeta(f, staging).nd
+    if (stagedDays != before.totalDays) {
       f.delete(staging, true)
       throw new IllegalStateException(
-        s"compaction would CHANGE the ledger view (expected ${before.totalDays} days, staged $body) — aborted")
+        s"compaction would CHANGE the ledger view (expected ${before.totalDays} days, " +
+          s"staged $stagedDays) — aborted")
     }
     commit(spark, dir, staging, cur + 1)
     stats(spark, dir, cur + 1)

@@ -120,7 +120,9 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
     case _: CountStar => true
     case c: Count =>
       !c.isDistinct && (c.column match {
-        case _: Literal[_] => true
+        // a NULL literal must NOT be answered with the row count —
+        // COUNT(NULL) is 0 (r16 advice); decline and let Spark evaluate
+        case l: Literal[_] => l.value != null
         case r: NamedReference => SynthSource.schema.fieldNames.contains(r.describe)
         case _ => false
       })

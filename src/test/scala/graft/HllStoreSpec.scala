@@ -20,7 +20,7 @@ class HllStoreSpec extends AnyFunSuite {
   test("init holds one sketch per attributed day; store-backed q252 equals derived") {
     val dir = tmp()
     val t = Tables(spark, sf)
-    val st = HllStore.init(spark, dir, t.events)
+    val st = HllStore.init(spark, dir, t.events, corpus = sf)
     assert(st.version == 1L && st.kind == "base")
     val days = t.events.filter(col("user_id").isNotNull)
       .select(dayExpr.as("d")).distinct().count()
@@ -78,8 +78,8 @@ class HllStoreSpec extends AnyFunSuite {
       .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("user_id"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        if (id == 0L) HllStore.init(spark, dir, batch)
-        else HllStore.append(spark, dir, batch)
+        if (id == 0L) HllStore.init(spark, dir, batch, corpus = "mem")
+        else HllStore.append(spark, dir, batch, corpus = "mem")
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -94,7 +94,7 @@ class HllStoreSpec extends AnyFunSuite {
         .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("user_id"))
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          HllStore.append(spark, dir, batch); ()
+          HllStore.append(spark, dir, batch, corpus = "mem"); ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -114,22 +114,47 @@ class HllStoreSpec extends AnyFunSuite {
     assert(streamed.keySet == Set(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("corpus provenance: mismatched ledgers are refused at read and append (r16 advice)") {
+    val dir = tmp()
+    val t = Tables(spark, sf)
+    HllStore.init(spark, dir, t.events, corpus = "corpusA")
+    assert(HllStore.corpus(spark, dir) == "corpusA")
+    // provenance-checked read with the wrong tag fails loudly…
+    intercept[IllegalArgumentException] {
+      HllStore.sketches(spark, dir, expectCorpus = Some("corpusB"))
+    }
+    // …and so does q252's store path when graft.hll.store points at a
+    // ledger built from a different corpus — wrong-but-plausible
+    // merged_est_ok rows never reach the caller
+    spark.conf.set("graft.hll.store", dir)
+    try intercept[IllegalArgumentException] {
+      SparkEntry.queries("q252_hll_rollup")(spark, sf).collect()
+    } finally spark.conf.unset("graft.hll.store")
+    // appends across corpora are refused, not averaged
+    intercept[IllegalArgumentException] {
+      HllStore.append(spark, dir, t.events, corpus = "corpusB")
+    }
+    // compact carries the tag through the fold
+    HllStore.append(spark, dir, t.events.limit(0), corpus = "corpusA") // no-op append OK
+    assert(HllStore.corpus(spark, dir) == "corpusA")
+  }
+
   test("append publishes only new days; frozen days and re-sends are no-ops; compact folds") {
     val dir = tmp()
     val t = Tables(spark, sf)
     val cut = 19750L // mid-January 2024 in epoch days
     val early = t.events.filter(dayExpr < cut)
     val late = t.events.filter(dayExpr >= cut)
-    val s1 = HllStore.init(spark, dir, early)
+    val s1 = HllStore.init(spark, dir, early, corpus = sf)
     assert(s1.kind == "base" && s1.newDays > 0)
-    val s2 = HllStore.append(spark, dir, late)
+    val s2 = HllStore.append(spark, dir, late, corpus = sf)
     assert(s2.version == 2L && s2.kind == "delta" && s2.newDays > 0)
     assert(s2.totalDays == s1.totalDays + s2.newDays)
     // idempotent re-send: nothing new, no version published
-    val s3 = HllStore.append(spark, dir, late)
+    val s3 = HllStore.append(spark, dir, late, corpus = sf)
     assert(s3.version == 2L && s3.totalDays == s2.totalDays)
     // already-ledgered days are frozen — appending them again is a no-op
-    val s4 = HllStore.append(spark, dir, early)
+    val s4 = HllStore.append(spark, dir, early, corpus = sf)
     assert(s4.version == 2L && s4.totalDays == s2.totalDays)
     // compact folds the chain into one base with the identical day set
     val s5 = HllStore.compact(spark, dir)
@@ -137,7 +162,7 @@ class HllStoreSpec extends AnyFunSuite {
     assert(HllStore.sketches(spark, dir).count() == s2.totalDays)
     // a bootstrap is not a sync: double-init fails loudly
     intercept[IllegalArgumentException] {
-      HllStore.init(spark, dir, t.events)
+      HllStore.init(spark, dir, t.events, corpus = sf)
     }
   }
 }
