@@ -106,9 +106,10 @@ object CatalogOps extends QueryModule {
       val roundCp = Iterate.cutLineage(roundNew)
       // loop-control statistics only (≤ Hops rows off checkpointed data,
       // not a data collect): new-node count per depth this round
-      val stats = roundCp
-        .groupBy(col("depth")).count()
-        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val stats = graft.Iterate
+        .gatherBoundedMatrix(
+          roundCp.groupBy(col("depth")).count(), Hops + 1, "q67 per-depth BFS counters")
+        .map(r => (r.getInt(0), r.getLong(1)))
       if (stats.isEmpty) done = true
       else {
         visited = visited.unionAll(roundCp)

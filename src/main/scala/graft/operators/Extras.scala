@@ -1650,14 +1650,15 @@ object Extras extends QueryModule {
     */
   private def q209(t: Tables): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val m = t.events
+    val mRel = t.events
       .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("event_type").as("nxt"))
       .agg(count(lit(1)).as("c"))
-      .collect()
+    val m = graft.Iterate
+      .gatherBoundedMatrix(mRel, 10000, "q209 |types|² transition matrix")
       .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2)))
     val r = m.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val states = m.map(_._2).distinct.sorted
@@ -1713,7 +1714,9 @@ object Extras extends QueryModule {
       .groupBy(col("prev"), col("event_type").as("nxt"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val rows = m.collect().map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2)))
+    val rows = graft.Iterate
+      .gatherBoundedMatrix(m, 10000, "q220 |types|² transition matrix")
+      .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2)))
     val r = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val states = rows.map(_._2).distinct.sorted
     var p: Map[String, Long] = states.map(_ -> 1000000L / states.length).toMap

@@ -1361,11 +1361,12 @@ object Similarity extends QueryModule {
     */
   private def q221(t: Tables): DataFrame = {
     val ev = quantizedEv(t).select(col("vec_id"), col("dim"), col("q"))
-    val s = ev.as("a")
+    val sRel = ev.as("a")
       .join(ev.as("b"), col("a.vec_id") === col("b.vec_id"))
       .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
       .agg(sum(col("a.q") * col("b.q")).as("s"))
-      .collect()
+    val s = graft.Iterate
+      .gatherBoundedMatrix(sRel, 65536, "q221 d² scatter matrix")
       .map(r => ((r.getAs[Number]("i").intValue, r.getAs[Number]("j").intValue), r.getLong(2)))
       .toMap
     val dims = s.keys.map(_._1).toSeq.distinct.sorted
