@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.PlanAudit /root/testdata/sf0.001"          # derived plans
   *   sbt "runMain graft.PlanAudit /root/testdata/sf0.001 scale"    # broadcasts off
   *   sbt "runMain graft.PlanAudit /root/testdata/sf0.001 stores"   # store-backed plans
+  *   sbt "runMain graft.PlanAudit /root/testdata/sf0.001 bucketed" # co-bucket join proof
   *
   * Checks (heuristic, WARN not FAIL — some shapes are legitimately
   * different): exchange (shuffle) count, broadcast joins present where
@@ -812,11 +813,12 @@ object PlanAudit {
     // scan filter, unpartitioned window) still hard-warn.
     val scaleMode = args.drop(1).contains("scale")
     val storesMode = args.drop(1).contains("stores")
+    val bucketedMode = args.drop(1).contains("bucketed")
     // the combination would SILENTLY compose into a stores run whose
     // budget/broadcast checks are all gated off by scaleMode — a run that
     // looks like an audit while checking almost nothing; pick one
-    require(!(scaleMode && storesMode),
-      "scale and stores are separate audit modes — run each on its own")
+    require(Seq(scaleMode, storesMode, bucketedMode).count(identity) <= 1,
+      "scale, stores and bucketed are separate audit modes — run each on its own")
     // provisioned under tmp and reclaimed after spark.stop() — same
     // no-leaked-store-set hygiene as Bench (r13 advice)
     lazy val storesTmp =
@@ -828,9 +830,71 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .config(
         "spark.sql.autoBroadcastJoinThreshold",
-        if (scaleMode) "-1" else "10485760")
+        // bucketed mode also turns AUTO broadcasts off (scale-mode
+        // parity): at 100 TB neither fact side broadcasts, and a tiny-SF
+        // auto-broadcast would hide the very orderkey exchange whose
+        // elimination this mode exists to pin
+        if (scaleMode || bucketedMode) "-1" else "10485760")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // `bucketed` mode (r16 verdict #1): prove the six-times-claimed
+    // "exchange-free on bucketed storage" — provision bucketBy-written
+    // lineitem/orders, then pin that each target query's ORDERKEY
+    // exchanges (the fact-fact join spine / per-order rollup) exist on
+    // the plain path and vanish ENTIRELY on the bucketed path, with
+    // answers identical row-for-row.
+    if (bucketedMode) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_planaudit_bucketed").toString
+      Tables.provisionBucketed(spark, sfDir, tmp, buckets = 4)
+      val targets = Seq(
+        "q176_fk_audit", "q208_order_reconcile", "q224_lead_time",
+        "q245_order_backlog", "q253_line_sequence")
+      // q176's shared FK-check helper aliases the join keys to ck/pk
+      // before joining; with the five dim branches broadcast (explicit
+      // hints), the only ck/pk exchanges in its plan ARE the fact-fact
+      // orderkey spine
+      val spineOf = Map(
+        "q176_fk_audit" -> """Exchange hashpartitioning\([^)]*(orderkey|ck#|pk#)""".r
+      ).withDefaultValue("""Exchange hashpartitioning\([^)]*orderkey""".r)
+      // q176's ck/pk pattern also matches the five dim-parent distinct()
+      // aggregates (|nation|/|part|/|supplier|/|customer|-scale — their
+      // PROBES broadcast, the tiny distinct itself still shuffles and
+      // legitimately stays at any scale). The fact-fact spine is the
+      // delta: lineitem's ck exchange + orders' pk-distinct exchange,
+      // both gone on bucketed storage.
+      val residualAllowed = Map("q176_fk_audit" -> 5).withDefaultValue(0)
+      var warns = 0
+      targets.foreach { name =>
+        val spine = spineOf(name)
+        val fn = SparkEntry.queries(name)
+        spark.conf.set("graft.bucketed", "false")
+        val plainDf = fn(spark, sfDir)
+        val plainPlan = plainDf.queryExecution.executedPlan.toString
+        val plainRows = plainDf.collect().map(_.toString).sorted.toSeq
+        spark.conf.set("graft.bucketed", "true")
+        val bDf = fn(spark, sfDir)
+        val bPlan = bDf.queryExecution.executedPlan.toString
+        val bRows = bDf.collect().map(_.toString).sorted.toSeq
+        val plainSpine = spine.findAllIn(plainPlan).length
+        val bSpine = spine.findAllIn(bPlan).length
+        val issues = Seq.newBuilder[String]
+        if (plainSpine <= residualAllowed(name))
+          issues += "plain-path-has-no-orderkey-exchange-to-eliminate"
+        if (bSpine != residualAllowed(name))
+          issues += s"bucketed-path-spine-exchanges=$bSpine!=${residualAllowed(name)}"
+        if (!bPlan.contains("lineitem_b") && !bPlan.contains("orders_b"))
+          issues += "bucketed-tables-not-read"
+        if (plainRows != bRows) issues += "answers-diverge"
+        val i = issues.result()
+        val tag = if (i.isEmpty) "OK  " else { warns += 1; "WARN" }
+        println(f"$tag $name%-26s spine: plain=$plainSpine bucketed=$bSpine ${i.mkString(", ")}")
+      }
+      spark.conf.set("graft.bucketed", "false")
+      println(s"${if (warns == 0) "ALL OK" else s"$warns warnings"}")
+      spark.stop()
+      Util.deleteRecursively(tmp)
+      return
+    }
     // stores mode: provision the full artifact set at the audit SF and
     // point every consumer conf at it — the audited plans are then the
     // bench session's actual store-backed shapes

@@ -12,13 +12,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Conf-gated BUCKETED loader (r16 verdict #1: the "exchange-free on
+    * bucketed storage" claim must be a demonstrable plan, not a comment).
+    * With `graft.bucketed=true` the two big fact tables load from the
+    * catalog tables [[Tables.provisionBucketed]] wrote with
+    * `bucketBy(N, orderkey)` + `sortBy` — their scans report
+    * HashPartitioning(orderkey, N), so the fact-fact joins and orderkey
+    * rollups of q176/q208/q224/q245/q253 plan with ZERO exchange on the
+    * join spine (PlanAudit `bucketed` mode pins it). Provenance-checked:
+    * the provisioner records its source dir in `graft.bucketed.sf`, and
+    * a session pointing at a different SF fails loudly instead of
+    * silently answering from the wrong corpus.
+    */
+  private def bucketedOr(table: String, plain: => DataFrame): DataFrame =
+    if (!spark.conf.get("graft.bucketed", "false").toBoolean) plain
+    else {
+      val provisionedFrom = spark.conf.get("graft.bucketed.sf", "")
+      require(provisionedFrom == dir,
+        s"bucketed tables were provisioned from '$provisionedFrom' but this query reads " +
+          s"'$dir' — re-run Tables.provisionBucketed for this SF")
+      spark.table(table)
+    }
+
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
   def customer: DataFrame = t("customer")
   def supplier: DataFrame = t("supplier")
   def part: DataFrame = t("part")
-  def orders: DataFrame = t("orders")
-  def lineitem: DataFrame = t("lineitem")
+  def orders: DataFrame = bucketedOr(Tables.BucketedOrders, t("orders"))
+  def lineitem: DataFrame = bucketedOr(Tables.BucketedLineitem, t("lineitem"))
 
   /** The events table's `ts` physical type has varied across testdata
     * generations — TIMESTAMP(NANOS) (unrepresentable in Spark's µs timestamp;
@@ -63,6 +85,41 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  val BucketedLineitem = "graft_lineitem_b"
+  val BucketedOrders = "graft_orders_b"
+
+  /** Write `lineitem`/`orders` as bucket-by-orderkey catalog tables — the
+    * ONE-TIME layout investment a 100 TB lake makes so every orderkey
+    * join/rollup afterwards is exchange-free (each side's scan reports
+    * HashPartitioning(orderkey, buckets); `sortBy` additionally spares
+    * the sort-merge sorts). `path` keeps the bucket files external
+    * (under the caller's temp root), never in the process CWD; the
+    * source dir is recorded in `graft.bucketed.sf` for the loader's
+    * provenance check. Idempotent per session via overwrite.
+    */
+  def provisionBucketed(
+      spark: SparkSession, sfDir: String, path: String, buckets: Int): Unit = {
+    // read the plain parquet directly — never through the conf-gated
+    // loader (a session with graft.bucketed already set must not
+    // provision FROM the bucketed tables)
+    Seq(
+      (spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_orderkey",
+        BucketedLineitem, "lineitem_b"),
+      (spark.read.parquet(s"$sfDir/orders.parquet"), "o_orderkey",
+        BucketedOrders, "orders_b")
+    ).foreach { case (df, key, table, sub) =>
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      df.write
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", s"$path/$sub")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    }
+    spark.conf.set("graft.bucketed.sf", sfDir)
+  }
+
   /** Local-mode crutch, OFF by default: a single parquet file arrives as
     * one scan partition on local[n], serializing lambda-heavy map work —
     * `graft.local.split=true` buys back parallelism with an explicit

@@ -3,17 +3,22 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{
   AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  HasPartitionKey, SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns,
+  SupportsPushDownTopN, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.{
-  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,8 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** DataSource V2 scale-probe source — a deterministic documents-shaped
   * generator table (`spark.read.format("graft.sources.SynthSource")
   * .option("rows", n).option("partitions", p)`) built on the public
-  * connector API: TableProvider → SupportsRead → ScanBuilder with BOTH
-  * pushdown mix-ins.
+  * connector API: TableProvider → SupportsRead → ScanBuilder with the
+  * full pushdown ladder.
   *
   * Why it exists: the 100 TB design story needs a way to drive
   * cluster-shaped load without 100 TB of storage. This source plans `p`
@@ -41,19 +46,52 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the file-pruning analogue. Accepted filters are consumed (removed
   *    from Spark's post-scan evaluation); everything else is declined and
   *    stays above the scan.
+  *  - SupportsPushDownLimit/Offset: `LIMIT k` / `OFFSET m` shrink the
+  *    planned range itself ([lo+m, lo+m+k)) — a limit-k scan plans
+  *    k-bounded InputPartitions, never k rows filtered out of n.
+  *  - SupportsPushDownTopN: ONLY a single ascending doc_id ordering is
+  *    accepted (the generated order — TopN ≡ the first k ids); every
+  *    other ordering is declined and Spark's TakeOrdered stays above.
+  *  - SupportsPushDownAggregates: COUNT/MIN/MAX closed forms from
+  *    planning metadata (a columnar footer read's analogue).
+  *  - SupportsRuntimeFiltering: a DPP/runtime `IN (doc_id, …)` narrows
+  *    the range AND installs an exact allow-set at execution — the
+  *    generated-row counter provably drops (SourcesSpec pin).
   *
-  * SourcesSpec pins: row counts under pushed ranges, column-pruned
-  * schemas, partition-count planning, cross-read determinism, and the
-  * pushed-filter list surfacing in `description()`.
+  * STORAGE-PARTITIONED JOINS (r16 verdict #1, the DSv2 half):
+  * `option("shards", k)` appends a `shard INT` column (doc_id mod k —
+  * the bucket transform MATERIALIZED as a column, which is the only
+  * form a catalog-less TableProvider can expose: Spark resolves a
+  * connector `bucket(k, col)` transform through a FunctionCatalog the
+  * path-based API does not have, while `identity(shard)` resolves
+  * against the schema alone). Each InputPartition then carries ONE
+  * shard (ids striped id ≡ s mod k) and reports it via HasPartitionKey;
+  * the scan reports KeyGroupedPartitioning(identity(shard), k). Under
+  * `spark.sql.sources.v2.bucketing.enabled` a self-join of two reads on
+  * (doc_id, shard) plans with ZERO exchange — the connector analogue of
+  * the bucketBy-written lineitem/orders tables PlanAudit's `bucketed`
+  * mode pins.
+  *
+  * STREAMING (the DSv2 surface's third leg): the same table is a
+  * MicroBatchStream — offsets are doc_id positions, a micro-batch is
+  * the id range (start, end], rows are the same splitmix64 functions of
+  * id. Restart-safe exactly-once is BY CONSTRUCTION: offsets are
+  * durable in the checkpoint and replaying a range regenerates
+  * byte-identical rows (SourcesSpec pins offset resume and no-dup
+  * totals). `rowsPerBatch` caps each batch; `rows` bounds the stream.
   */
 class SynthSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = SynthSource.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthSource.schemaFor(options.getInt("shards", 0))
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new SynthTable(properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+    new SynthTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("shards", "0").toInt,
+      properties.getOrDefault("rowsPerBatch", "100").toLong)
 }
 
 object SynthSource {
@@ -63,6 +101,17 @@ object SynthSource {
     StructField("lang", StringType, nullable = false),
     StructField("source", StringType, nullable = false),
     StructField("n_chars", LongType, nullable = false)))
+
+  def schemaFor(shards: Int): StructType =
+    if (shards <= 0) schema
+    else StructType(schema.fields :+ StructField("shard", IntegerType, nullable = false))
+
+  /** Rows generated across all readers in this JVM — the local-mode
+    * observability seam the runtime-filtering spec reads to prove the
+    * allow-set reached execution (a plan string shows the filter was
+    * PLANNED; this counter shows rows were never GENERATED).
+    */
+  val rowsGenerated = new java.util.concurrent.atomic.LongAdder
 
   private val Vocab: Array[String] =
     "key agg row scan slow fast table value part hash merge batch spark line sort window join shuffle block cache".split(" ")
@@ -91,31 +140,37 @@ object SynthSource {
   def sourceOf(id: Long): String = "src" + math.floorMod(mix64(id ^ 0xa11ceL), 5L)
 }
 
-private[sources] class SynthTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+private[sources] class SynthTable(
+    rows: Long, partitions: Int, shards: Int, rowsPerBatch: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_synth($rows)"
-  override def schema(): StructType = SynthSource.schema
+  override def schema(): StructType = SynthSource.schemaFor(shards)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, partitions)
+    new SynthScanBuilder(rows, partitions, shards, rowsPerBatch)
 }
 
-private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
+private[sources] class SynthScanBuilder(
+    rows: Long, partitions: Int, shards: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
-  private var required: StructType = SynthSource.schema
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownOffset
+    with SupportsPushDownTopN {
+  private var required: StructType = SynthSource.schemaFor(shards)
   private var lo: Long = 0L
   private var hi: Long = rows
   private var accepted: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
+  private var limitFullyPushed = false
 
   // COUNT/MIN/MAX over the planned id range have CLOSED FORMS (count =
   // hi−lo, min = lo, max = hi−1; every generated column is non-null, so
   // a plain COUNT(col) counts rows too) — the aggregate-pushdown
   // analogue of a columnar footer read: the scan answers the query from
-  // PLANNING METADATA and generates zero rows. Complete pushdown only
-  // (no groupBy, no DISTINCT); anything else is declined and Spark
-  // aggregates above the scan as usual.
+  // PLANNING METADATA and generates zero rows. The shard striping does
+  // not change any of the forms: the shards partition the same id
+  // range. Complete pushdown only (no groupBy, no DISTINCT); anything
+  // else is declined and Spark aggregates above the scan as usual.
   private def answers(f: AggregateFunc): Boolean = f match {
     case _: CountStar => true
     case c: Count =>
@@ -123,7 +178,7 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
         // a NULL literal must NOT be answered with the row count —
         // COUNT(NULL) is 0 (r16 advice); decline and let Spark evaluate
         case l: Literal[_] => l.value != null
-        case r: NamedReference => SynthSource.schema.fieldNames.contains(r.describe)
+        case r: NamedReference => SynthSource.schemaFor(shards).fieldNames.contains(r.describe)
         case _ => false
       })
     case m: Min => m.column match {
@@ -171,10 +226,51 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
 
   override def pushedFilters(): Array[Filter] = accepted
 
+  // LIMIT k: the first k ids of the planned range ARE a correct LIMIT
+  // answer (any k rows satisfy it), so the push is COMPLETE — the range
+  // shrinks to k and no Limit re-check is needed above the scan.
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, math.max(lo, 0L) + math.max(0, limit))
+    limitFullyPushed = true
+    true
+  }
+
+  // OFFSET m: drop the first m ids of the planned range — the scan's
+  // output is the post-offset stream, nothing re-skips above.
+  override def pushOffset(offset: Int): Boolean = {
+    lo = math.min(hi, lo + math.max(0, offset))
+    true
+  }
+
+  // TopN: ONLY a single ascending doc_id ordering matches the generated
+  // order (range partitions are id-ordered and concatenate ascending in
+  // range mode) — accept it as a k-bounded range but report PARTIAL so
+  // Spark's TakeOrdered still merges partition streams; decline every
+  // other ordering (it stays above an unbounded scan, the spec's
+  // "declined TopN" pin). Shard striping breaks cross-partition order,
+  // so keyed scans decline TopN entirely.
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val ascDocId = orders.length == 1 && (orders.head.expression() match {
+      case r: NamedReference =>
+        r.describe == "doc_id" && orders.head.direction() == SortDirection.ASCENDING
+      case _ => false
+    })
+    if (!ascDocId || shards > 0) false
+    else {
+      hi = math.min(hi, math.max(lo, 0L) + math.max(0, limit))
+      true
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = !limitFullyPushed
+
   override def build(): Scan = pushedAgg match {
     case Some(agg) =>
       new SynthAggScan(math.min(lo, hi), hi, agg.aggregateExpressions.toSeq, accepted)
-    case None => new SynthScan(required, math.min(lo, hi), hi, partitions, accepted)
+    case None if shards > 0 =>
+      new SynthKeyedScan(required, math.min(lo, hi), hi, shards, accepted)
+    case None =>
+      new SynthScan(required, math.min(lo, hi), hi, partitions, accepted, rowsPerBatch)
   }
 }
 
@@ -221,9 +317,50 @@ private[sources] class SynthAggReaderFactory(vals: Array[Any])
 
 private[sources] case class SynthRange(lo: Long, hi: Long) extends InputPartition
 
+/** One SHARD's stripe of the id range: ids in [lo, hi) with
+  * id ≡ shard (mod shards). Carries its partition key for
+  * KeyGroupedPartitioning grouping.
+  */
+private[sources] case class SynthShardStripe(lo: Long, hi: Long, shard: Int, shards: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](shard))
+}
+
+/** Runtime-filter state shared by both batch scans: Spark calls
+  * `filter()` AFTER planning, then re-plans input partitions — the
+  * narrowed range prunes whole partitions and the exact allow-set stops
+  * row generation inside surviving ones.
+  */
+private[sources] trait SynthRuntimeFilter extends SupportsRuntimeFiltering {
+  protected var rtLo: Long
+  protected var rtHi: Long
+  protected var allow: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("doc_id", values) =>
+      val vs = values.collect { case v: java.lang.Long => v.longValue }.sorted
+      if (vs.nonEmpty) {
+        rtLo = math.max(rtLo, vs.head)
+        rtHi = math.min(rtHi, vs.last + 1)
+        allow = Some(vs)
+      } else { rtHi = rtLo }
+    case EqualTo("doc_id", v: java.lang.Long) =>
+      rtLo = math.max(rtLo, v.longValue); rtHi = math.min(rtHi, v.longValue + 1)
+    case _ => () // unknown runtime filters are advisory — ignore, stay correct
+  }
+}
+
 private[sources] class SynthScan(
-    required: StructType, lo: Long, hi: Long, partitions: Int, pushed: Array[Filter])
-    extends Scan with Batch {
+    required: StructType, lo: Long, hi: Long, partitions: Int, pushed: Array[Filter],
+    rowsPerBatch: Long)
+    extends Scan with Batch with SynthRuntimeFilter {
+  protected var rtLo: Long = lo
+  protected var rtHi: Long = hi
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft_synth range=[$lo,$hi) cols=${required.fieldNames.mkString(",")} " +
@@ -231,6 +368,142 @@ private[sources] class SynthScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, rtHi - rtLo)
+    if (n == 0L) return Array.empty
+    val p = math.max(1, math.min(partitions.toLong, n).toInt)
+    val step = (n + p - 1) / p
+    (0 until p).map { i =>
+      SynthRange(rtLo + i * step, math.min(rtHi, rtLo + (i + 1) * step))
+    }.filter(r => r.hi > r.lo).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required.fieldNames, allow)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynthMicroBatchStream(required.fieldNames, hi, partitions, rowsPerBatch)
+}
+
+/** Shard-keyed batch scan: one InputPartition per shard, each carrying
+  * its partition key; reports KeyGroupedPartitioning(identity(shard))
+  * so co-sharded reads join exchange-free (storage-partitioned join).
+  */
+private[sources] class SynthKeyedScan(
+    required: StructType, lo: Long, hi: Long, shards: Int, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportPartitioning with SynthRuntimeFilter {
+  protected var rtLo: Long = lo
+  protected var rtHi: Long = hi
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft_synth range=[$lo,$hi) shards=$shards cols=${required.fieldNames.mkString(",")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  override def toBatch: Batch = this
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(Array(Expressions.identity("shard")), shards)
+
+  // every shard plans a partition even when its stripe is empty — both
+  // sides of a storage-partitioned join must present the same partition
+  // value set or Spark falls back to a shuffle
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until shards).map(s => SynthShardStripe(rtLo, math.max(rtLo, rtHi), s, shards)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required.fieldNames, allow)
+}
+
+private[sources] class SynthReaderFactory(fields: Array[String], allow: Option[Array[Long]])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case r: SynthRange => new SynthReader(r.lo, r.hi, 1L, fields, allow)
+      case s: SynthShardStripe =>
+        // first id ≥ lo with id ≡ shard (mod shards), then stride
+        val first = s.lo + math.floorMod(s.shard - s.lo, s.shards.toLong)
+        new SynthReader(first, s.hi, s.shards.toLong, fields, allow)
+      case other => throw new IllegalArgumentException(s"unknown partition $other")
+    }
+}
+
+private[sources] class SynthReader(
+    lo: Long, hi: Long, stride: Long, fields: Array[String], allow: Option[Array[Long]])
+    extends PartitionReader[InternalRow] {
+  private var cur = lo - stride
+
+  override def next(): Boolean = {
+    cur += stride
+    allow match {
+      case None => cur < hi
+      case Some(vs) =>
+        // exact allow-set from a runtime IN filter: skip non-members
+        // without generating them
+        while (cur < hi && java.util.Arrays.binarySearch(vs, cur) < 0) cur += stride
+        cur < hi
+    }
+  }
+
+  // text is the expensive column — generate it at most ONCE per row even
+  // when both text and n_chars are projected (r16 review), and not at all
+  // when neither is
+  private val needsText = fields.contains("text") || fields.contains("n_chars")
+
+  override def get(): InternalRow = {
+    SynthSource.rowsGenerated.increment()
+    val txt = if (needsText) SynthSource.textOf(cur) else null
+    val vals = fields.map {
+      case "doc_id" => cur: java.lang.Long
+      case "text" => UTF8String.fromString(txt)
+      case "lang" => UTF8String.fromString(SynthSource.langOf(cur))
+      case "source" => UTF8String.fromString(SynthSource.sourceOf(cur))
+      case "n_chars" => (txt.length.toLong): java.lang.Long
+      case "shard" => (math.floorMod(cur, stride).toInt: java.lang.Integer)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = ()
+}
+
+private[sources] case class SynthOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** Micro-batch half of the synth table: offsets are doc_id positions,
+  * batch (start, end] is the id range, rows are pure functions of id —
+  * replay after restart regenerates byte-identical rows, which is what
+  * makes the checkpointed offsets an exactly-once contract rather than
+  * a best effort. `prepareForTriggerAvailableNow` snapshots the bound so
+  * Trigger.AvailableNow drains the whole remaining range in one run.
+  */
+private[sources] class SynthMicroBatchStream(
+    fields: Array[String], rows: Long, partitions: Int, rowsPerBatch: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+  private var availableNowBound: Option[Long] = None
+
+  override def initialOffset(): Offset = SynthOffset(0L)
+
+  override def prepareForTriggerAvailableNow(): Unit = availableNowBound = Some(rows)
+
+  // SupportsAdmissionControl form — the start offset comes from the
+  // ENGINE (checkpoint-restored on restart), so batch advance is
+  // stateless here and can never go backwards across a restart
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[SynthOffset].pos
+    SynthOffset(availableNowBound.getOrElse(math.min(rows, from + rowsPerBatch)))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SynthOffset].pos
+    val hi = end.asInstanceOf[SynthOffset].pos
     val n = math.max(0L, hi - lo)
     if (n == 0L) return Array.empty
     val p = math.max(1, math.min(partitions.toLong, n).toInt)
@@ -241,40 +514,8 @@ private[sources] class SynthScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(required.fieldNames)
-}
+    new SynthReaderFactory(fields, None)
 
-private[sources] class SynthReaderFactory(fields: Array[String])
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val r = partition.asInstanceOf[SynthRange]
-    new SynthReader(r.lo, r.hi, fields)
-  }
-}
-
-private[sources] class SynthReader(lo: Long, hi: Long, fields: Array[String])
-    extends PartitionReader[InternalRow] {
-  private var cur = lo - 1
-
-  override def next(): Boolean = { cur += 1; cur < hi }
-
-  // text is the expensive column — generate it at most ONCE per row even
-  // when both text and n_chars are projected (r16 review), and not at all
-  // when neither is
-  private val needsText = fields.contains("text") || fields.contains("n_chars")
-
-  override def get(): InternalRow = {
-    val txt = if (needsText) SynthSource.textOf(cur) else null
-    val vals = fields.map {
-      case "doc_id" => cur: java.lang.Long
-      case "text" => UTF8String.fromString(txt)
-      case "lang" => UTF8String.fromString(SynthSource.langOf(cur))
-      case "source" => UTF8String.fromString(SynthSource.sourceOf(cur))
-      case "n_chars" => (txt.length.toLong): java.lang.Long
-      case other => throw new IllegalArgumentException(s"unknown column $other")
-    }
-    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
-  }
-
-  override def close(): Unit = ()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -34,6 +34,49 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("graft.bucketed: real queries plan orderkey-exchange-free with identical answers") {
+    // the r16 verdict-#1 pin IN THE QUERY LIBRARY (PlanAudit's `bucketed`
+    // mode covers all five claimants): q224's lineitem⋈orders spine and
+    // q253's per-order rollup — the exchanges the six SURVEY claims are
+    // about — vanish when Tables loads the bucketBy-written facts, and
+    // the answers are row-identical to the plain-parquet path
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed_spec").toString
+    Tables.provisionBucketed(spark, sf, tmp, buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val spine = """Exchange hashpartitioning\([^)]*orderkey""".r
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Seq("q224_lead_time", "q253_line_sequence").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        spark.conf.set("graft.bucketed", "false")
+        val plain = fn(spark, sf)
+        assert(spine.findFirstIn(plain.queryExecution.executedPlan.toString).isDefined,
+          s"$name plain path has no orderkey exchange to eliminate")
+        val plainRows = plain.collect().map(_.toString).sorted.toSeq
+        spark.conf.set("graft.bucketed", "true")
+        val bucketed = fn(spark, sf)
+        val bPlan = bucketed.queryExecution.executedPlan.toString
+        assert(spine.findFirstIn(bPlan).isEmpty,
+          s"$name still shuffles on the orderkey over bucketed storage:\n$bPlan")
+        assert(bPlan.contains("lineitem_b"), s"$name did not read the bucketed table")
+        assert(bucketed.collect().map(_.toString).sorted.toSeq == plainRows,
+          s"$name answers diverge between bucketed and plain paths")
+      }
+      // provenance: a session pointing the bucketed loader at a different
+      // SF than the provisioned one fails loudly
+      spark.conf.set("graft.bucketed", "true")
+      intercept[IllegalArgumentException] {
+        Tables(spark, "/root/testdata/sf0.01").lineitem
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("graft.bucketed", "false")
+      spark.sql(s"DROP TABLE IF EXISTS ${Tables.BucketedLineitem}")
+      spark.sql(s"DROP TABLE IF EXISTS ${Tables.BucketedOrders}")
+      Util.deleteRecursively(tmp)
+    }
+  }
+
   test("runtime bloom-filter injection prunes the fact side of a selective shuffle join") {
     // the 100 TB mechanism the §5 story leans on between bucketing and
     // AQE: a selective dim predicate turns into a bloom filter evaluated

@@ -138,6 +138,152 @@ class SourcesSpec extends AnyFunSuite {
     assert(synth(200, 2).filter(col("lang") === "en").collect().forall(_.getString(2) == "en"))
   }
 
+  test("DSv2 synth source shards: key-grouped self-join plans shuffle-free (SPJ)") {
+    // the connector half of the r16 bucketing ask: with option("shards", k)
+    // every InputPartition carries ONE shard value (HasPartitionKey) and
+    // the scan reports KeyGroupedPartitioning(identity(shard), k) — two
+    // reads joined on (doc_id, shard) co-locate by reported partition
+    // values and plan ZERO exchanges (storage-partitioned join)
+    def synth() = spark.read
+      .format("graft.sources.SynthSource")
+      .option("rows", "1000").option("shards", "4")
+      .load()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // shard IS doc_id mod k, and every id appears exactly once
+      val base = synth()
+      assert(base.schema.fieldNames.last == "shard")
+      assert(base.count() == 1000L)
+      assert(base.collect().forall(r =>
+        r.getAs[Int]("shard") == (r.getAs[Long]("doc_id") % 4).toInt))
+      assert(base.rdd.getNumPartitions == 4)
+      val j = synth().as("a").join(
+        synth().as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.shard") === col("b.shard"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"SPJ self-join still shuffles:\n$plan")
+      assert(j.count() == 1000L)
+      // filter pushdown composes with the stripes: the narrowed range
+      // still yields one partition per shard with correct membership
+      val ranged = synth().filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      assert(ranged.count() == 100L)
+      assert(ranged.collect().forall(r =>
+        r.getAs[Int]("shard") == (r.getAs[Long]("doc_id") % 4).toInt))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("DSv2 synth source plans limit/offset-bounded partitions; declined TopN stays above") {
+    def synth() = spark.read
+      .format("graft.sources.SynthSource")
+      .option("rows", "1000").option("partitions", "4")
+      .load()
+    // LIMIT k: the scan itself is k-bounded — the planned range shrinks
+    val lim = synth().limit(7)
+    assert(lim.queryExecution.executedPlan.toString.contains("range=[0,7)"),
+      lim.queryExecution.executedPlan.toString)
+    assert(lim.count() == 7L)
+    // OFFSET m composes: [m, m+k)
+    val lo = synth().offset(2).limit(3)
+    assert(lo.queryExecution.executedPlan.toString.contains("range=[2,5)"),
+      lo.queryExecution.executedPlan.toString)
+    assert(lo.collect().map(_.getAs[Long]("doc_id")).sorted.sameElements(Array(2L, 3L, 4L)))
+    // TopN on ascending doc_id IS the generated order: accepted as a
+    // k-bounded range (Spark's TakeOrdered still merges above — partial)
+    val topAsc = synth().orderBy(col("doc_id")).limit(5)
+    assert(topAsc.queryExecution.executedPlan.toString.contains("range=[0,5)"),
+      topAsc.queryExecution.executedPlan.toString)
+    assert(topAsc.collect().map(_.getAs[Long]("doc_id")).sameElements(Array(0L, 1L, 2L, 3L, 4L)))
+    // any other ordering is DECLINED: the scan stays unbounded and the
+    // TopN evaluates above it
+    val topDesc = synth().orderBy(col("doc_id").desc).limit(5)
+    val dplan = topDesc.queryExecution.executedPlan.toString
+    assert(dplan.contains("range=[0,1000)"), dplan)
+    assert(dplan.contains("TakeOrderedAndProject"), dplan)
+    assert(topDesc.collect().map(_.getAs[Long]("doc_id"))
+      .sameElements(Array(999L, 998L, 997L, 996L, 995L)))
+  }
+
+  test("DSv2 synth source runtime filtering prunes row generation (dynamic pruning)") {
+    import spark.implicits._
+    // a selective dim filtered on the join key: dynamic partition pruning
+    // plans a runtime IN filter against the synth scan's filterAttributes;
+    // at execution the scan re-plans its range AND installs the exact
+    // allow-set, so rows outside the dim's keys are never GENERATED —
+    // pinned via the JVM-wide generation counter, not just the plan string
+    val dim = (900L until 920L).map(i => (i, "k")).toDF("id", "tag")
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_synth_dim").toString
+    dim.write.mode("overwrite").parquet(dimPath)
+    def synth() = spark.read
+      .format("graft.sources.SynthSource")
+      .option("rows", "100000").option("partitions", "8")
+      .load()
+    val saved = spark.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    // the synth side reports no stats, so make the planner's benefit
+    // estimate permissive enough to insert the pruning subquery
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "1000000")
+    try {
+      val joined = synth().join(
+        spark.read.parquet(dimPath).filter(col("tag") === "k"),
+        col("doc_id") === col("id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), s"no runtime filter planned:\n$plan")
+      graft.sources.SynthSource.rowsGenerated.reset()
+      assert(joined.count() == 20L)
+      val generated = graft.sources.SynthSource.rowsGenerated.sum()
+      assert(generated <= 1000L,
+        s"runtime filter did not reach execution: generated $generated of 100000 ids")
+    } finally saved match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", v)
+      case None =>
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
+
+  test("DSv2 synth micro-batch stream: bounded offsets, exactly-once across restart") {
+    // offsets are doc_id positions; a batch is the (start, end] id range;
+    // rows are pure functions of id — so checkpointed offsets + the file
+    // sink's commit log give exactly-once totals across a stop/restart
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_synth_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_synth_out").toString
+    def stream() = spark.readStream
+      .format("graft.sources.SynthSource")
+      .option("rows", "50000").option("rowsPerBatch", "12000").option("partitions", "3")
+      .load()
+    // first run: default trigger, stop after the first progress lands —
+    // some of the range is committed, the rest remains for the restart
+    val q1 = stream().writeStream
+      .format("parquet").option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (q1.recentProgress.length < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+    q1.stop(); q1.awaitTermination(60000)
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst > 0L, "first run committed nothing")
+    // restart from the checkpoint: AvailableNow drains the remainder
+    val q2 = stream().writeStream
+      .format("parquet").option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val rows = spark.read.parquet(outDir)
+    assert(rows.count() == 50000L, s"restart lost or duplicated rows: ${rows.count()}")
+    assert(rows.select(col("doc_id")).distinct().count() == 50000L, "duplicate doc_ids")
+    // replayed rows are byte-identical to a batch read of the same range
+    val batch = spark.read.format("graft.sources.SynthSource")
+      .option("rows", "50000").option("partitions", "4").load()
+    assert(rows.exceptAll(batch).isEmpty && batch.exceptAll(rows).isEmpty,
+      "streamed rows diverge from the batch generator")
+  }
+
   test("DSv2 synth source answers COUNT/MIN/MAX from planning metadata (aggregate pushdown)") {
     // SupportsPushDownAggregates, complete pushdown: the scan returns the
     // aggregate VALUES as closed forms of the planned [lo, hi) range —
