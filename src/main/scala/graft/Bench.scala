@@ -105,7 +105,12 @@ object Bench {
         // keeps next to the count stores
         graft.sources.HllStore.init(
           spark, s"$storesDir/hll", Tables(spark, sfDir).events, corpus = sfDir)
+        // the mergeable quantile ledger (r17): q255 merges per-day KLL
+        // sketches for week-window p50/p95 with zero raw re-scan
+        graft.sources.KllStore.init(
+          spark, s"$storesDir/kll", Tables(spark, sfDir).events, corpus = sfDir)
       } finally docs.unpersist()
+      spark.conf.set("graft.kll.store", s"$storesDir/kll")
       spark.conf.set("graft.hll.store", s"$storesDir/hll")
       spark.conf.set("graft.freq.store", s"$storesDir/freq")
       spark.conf.set("graft.bigram.store", s"$storesDir/bigram")

@@ -93,6 +93,11 @@ object BuildStores {
       // register-max union of the stored days)
       val hl = graft.sources.HllStore.init(spark, s"$outDir/hll", t.events, corpus = sfDir)
       println(s"""{"store":"hll","version":${hl.version},"days":${hl.totalDays}}""")
+      // `kll` — sources.KllStore: per-day mergeable quantile sketches
+      // (`graft.kll.store`; q255 answers week-window p50/p95 by merging
+      // the stored days)
+      val kl = graft.sources.KllStore.init(spark, s"$outDir/kll", t.events, corpus = sfDir)
+      println(s"""{"store":"kll","version":${kl.version},"days":${kl.totalDays}}""")
     } finally docs.unpersist()
     spark.stop()
   }

@@ -595,9 +595,16 @@ object PlanAudit {
     // q252 (r16 wave 40): the corpus-scale (day) sketch agg (partial-
     // aggregable HLL buffers) + the week union agg + the exact audit's
     // two-phase (week, user) distinct + the week join/sort (measured 5;
-    // stores mode swaps the day agg for the ledger-read side of the week
-    // union and stays at 5 — see storeExchangeBudget)
+    // the stores-mode ledger read drops the day agg — measured 4 there,
+    // pinned in storeExchangeBudget)
     "q252_hll_rollup" -> 5,
+    // q255 (r17): the ONE corpus-scale (wk, v) value histogram prints
+    // per consuming branch — stats, the p50 cumulative/pick chain, the
+    // p95 chain, each with its own n_events totals reprint (q224/q231's
+    // AQE-reuse class; every branch after the histogram is value-domain-
+    // scale) — plus the day-sketch agg (partial-aggregable KLL buffers),
+    // the ≤7-sketch week merge, and the output sort (measured 13)
+    "q255_kll_quantiles" -> 13,
     // q253 (r16 wave 42): the ONE corpus-scale l_orderkey rollup (the
     // co-bucket key; its countDistinct plans two-phase) + the 4-row
     // class rollup + sort (measured 4)
@@ -797,8 +804,15 @@ object PlanAudit {
     // stored day-sketch ledger read replaces the corpus sketch agg; the
     // exact audit's (week, user) distinct still scans (it is the
     // verification input) — week union agg + the exact distinct's
-    // two-phase + join + sort
-    "q252_hll_rollup" -> 5)
+    // two-phase + sort (the week join rides the union agg's exchange;
+    // measured 4 — r16 pinned a slack 5 and its default-map comment was
+    // the accurate one)
+    "q252_hll_rollup" -> 4,
+    // stored day-sketch ledger read replaces the corpus KLL agg; the
+    // exact nearest-rank audit still scans (it is the verification
+    // input) — the (wk, v) histogram chain prints per consuming branch
+    // (q255's default-mode note) + the week merge + sort (measured 12)
+    "q255_kll_quantiles" -> 12)
   private val storeCorpusFree =
     Set("q113_substring_windows", "q122_window_novelty", "q159_context_entropy",
       "q164_kn_continuation")
@@ -914,11 +928,12 @@ object PlanAudit {
       val (assign, centroids) = graft.operators.Similarity.corpusQuantizer(t)
       IvfIndex.init(spark, s"$out/ivf", assign, centroids)
       graft.sources.HllStore.init(spark, s"$out/hll", t.events, corpus = sfDir)
+      graft.sources.KllStore.init(spark, s"$out/kll", t.events, corpus = sfDir)
       Map(
         "graft.freq.store" -> s"$out/freq", "graft.bigram.store" -> s"$out/bigram",
         "graft.win.store" -> s"$out/windoc", "graft.leak.store" -> s"$out/leak",
         "graft.delta.index" -> s"$out/dedup", "graft.ivf.index" -> s"$out/ivf",
-        "graft.hll.store" -> s"$out/hll")
+        "graft.hll.store" -> s"$out/hll", "graft.kll.store" -> s"$out/kll")
         .foreach { case (k, v) => spark.conf.set(k, v) }
     }
     val auditSet =

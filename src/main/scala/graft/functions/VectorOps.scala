@@ -125,6 +125,22 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         Bridge.expression(bloom), Bridge.expression(value)))
 
+  /** Mergeable KLL quantile sketch over a double column (DataSketches
+    * wire format; k=200 ≈ 1.65% rank error) — see [[KllSketchAgg]].
+    */
+  def kll_sketch_agg(c: Column, k: Int = 200): Column =
+    Bridge.column(KllSketchAgg(Bridge.expression(c), k).toAggregateExpression())
+
+  /** Union of serialized KLL sketches — the day-ledger range read. */
+  def kll_merge_agg(c: Column, k: Int = 200): Column =
+    Bridge.column(KllMergeAgg(Bridge.expression(c), k).toAggregateExpression())
+
+  /** Quantile estimate off a serialized KLL sketch (INCLUSIVE). */
+  def kll_quantile(c: Column, rank: Double): Column =
+    Bridge.column(KllQuantile(
+      Bridge.expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(rank)))
+
   /** Register the SQL-callable names on an existing session (the
     * extension-free path used by tests and the driver mains).
     */

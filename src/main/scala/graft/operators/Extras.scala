@@ -2263,10 +2263,76 @@ object Extras extends QueryModule {
       .orderBy(col("decile"))
   }
 
+  /** Quantile-ledger rollup (new r17 — q252's mergeable-sketch pattern on
+    * the PERCENTILE axis, the third partial-state family: counts re-add
+    * (FreqStore), HLL registers re-max (q252), KLL retained sets
+    * re-merge (this)): per epoch week, attributed events, exact
+    * nearest-rank p50/p95 of the e2-quantized event value (q224's
+    * distribution-counting rule — never a fact sort), and whether the
+    * UNION-OF-DAY-SKETCHES estimates land within the declared bound
+    * (10% of the week's value span, floor 100 e2 — ≥6x KLL k=200's
+    * ~1.65% rank error for this distribution, so a correct estimator
+    * never trips the boolean; q56/q252's both-engines-check-their-own-
+    * estimator oracle convention, DuckDB grading its t-digest
+    * `approx_quantile` the same way). With `graft.kll.store` set the
+    * per-day sketch relation reads the persistent
+    * [[graft.sources.KllStore]] ledger (provenance-checked) instead of
+    * re-deriving — "p50 over any window" with zero raw re-scan.
+    *
+    * Scale shape: derived path is ONE corpus-scale (day) sketch agg
+    * (partial-aggregable — KLL buffers merge map-side) + ONE corpus-
+    * scale (wk, v) histogram (collapses onto the value domain map-side,
+    * q197/q235's class); store path replaces the sketch agg with a
+    * ≤|days|-row ledger read. Week merges union ≤7 sketches; the
+    * cumulative/rank-pick chain rides the value-domain histogram.
+    */
+  private def q255(t: Tables): DataFrame = {
+    import graft.functions.GraftFunctions.{kll_merge_agg, kll_quantile}
+    val store = t.spark.conf.get("graft.kll.store", "")
+    val daySk =
+      if (store.isEmpty) graft.sources.KllStore.daySketches(t.events)
+      else graft.sources.KllStore.sketches(t.spark, store, expectCorpus = Some(t.dir))
+    val weekly = daySk
+      .withColumn("wk", expr("day DIV 7"))
+      .groupBy(col("wk"))
+      .agg(kll_merge_agg(col("sk")).as("sk"))
+      .select(
+        col("wk").as("wwk"),
+        kll_quantile(col("sk"), 0.5).cast("long").as("a50"),
+        kll_quantile(col("sk"), 0.95).cast("long").as("a95"))
+    val ev = t.events
+      .filter(col("value").isNotNull)
+      .select(
+        expr("(unix_micros(ts) DIV 86400000000) DIV 7").as("wk"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+    val hist = ev.groupBy(col("wk"), col("v")).agg(count(lit(1)).as("c"))
+    val stats = hist.groupBy(col("wk"))
+      .agg(sum(col("c")).as("n_events"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val cum = Window.partitionBy(col("wk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(cum))
+      .join(broadcast(stats.select(col("wk").as("sw"), col("n_events"))), col("wk") === col("sw"))
+    def pct(p: Int) = ranked
+      .filter(col("cum") >= expr(s"($p * n_events + 99) DIV 100"))
+      .groupBy(col("wk")).agg(min(col("v")).as(s"p${p}_v"))
+    stats
+      .join(broadcast(pct(50)), Seq("wk"))
+      .join(broadcast(pct(95)), Seq("wk"))
+      .join(broadcast(weekly), col("wk") === col("wwk"))
+      .withColumn("tol", greatest(lit(100L), expr("(mx - mn) DIV 10")))
+      .select(
+        col("wk"), col("n_events"), col("p50_v"), col("p95_v"),
+        (abs(col("a50") - col("p50_v")) <= col("tol") &&
+          abs(col("a95") - col("p95_v")) <= col("tol")).as("ledger_ok"))
+      .orderBy(col("wk"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_gains_curve" -> ((s, d) => q254(Tables(s, d))),
     "q253_line_sequence" -> ((s, d) => q253(Tables(s, d))),
     "q252_hll_rollup" -> ((s, d) => q252(Tables(s, d))),
+    "q255_kll_quantiles" -> ((s, d) => q255(Tables(s, d))),
     "q251_theils_u" -> ((s, d) => q251(Tables(s, d))),
     "q250_supplier_skyline" -> ((s, d) => q250(Tables(s, d))),
     "q249_rfm_segments" -> ((s, d) => q249(Tables(s, d))),
@@ -2362,6 +2428,37 @@ object Extras extends QueryModule {
         | CAST(max(mx - mn) AS BIGINT) AS max_span,
         | min(l_orderkey) AS example_orderkey
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q255_kll_quantiles" ->
+      """WITH ev AS (
+        | SELECT (epoch_us(ts) // 86400000000) // 7 AS wk,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        | FROM events WHERE value IS NOT NULL),
+        | h AS (SELECT wk, v, count(*) AS c FROM ev GROUP BY 1, 2),
+        | st AS (
+        | SELECT wk, CAST(sum(c) AS BIGINT) AS n_events,
+        |  min(v) AS mn, max(v) AS mx
+        | FROM h GROUP BY 1),
+        | cm AS (
+        | SELECT wk, v,
+        |  sum(c) OVER (PARTITION BY wk ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM h),
+        | p50 AS (
+        | SELECT cm.wk, min(v) AS p50_v FROM cm JOIN st ON st.wk = cm.wk
+        | WHERE cum >= (50 * n_events + 99) // 100 GROUP BY 1),
+        | p95 AS (
+        | SELECT cm.wk, min(v) AS p95_v FROM cm JOIN st ON st.wk = cm.wk
+        | WHERE cum >= (95 * n_events + 99) // 100 GROUP BY 1),
+        | apx AS (
+        | SELECT wk, CAST(approx_quantile(v, 0.5) AS BIGINT) AS a50,
+        |  CAST(approx_quantile(v, 0.95) AS BIGINT) AS a95
+        | FROM ev GROUP BY 1)
+        |SELECT st.wk, n_events, p50_v, p95_v,
+        | (abs(a50 - p50_v) <= greatest(100, (mx - mn) // 10)
+        |  AND abs(a95 - p95_v) <= greatest(100, (mx - mn) // 10)) AS ledger_ok
+        |FROM st JOIN p50 ON p50.wk = st.wk JOIN p95 ON p95.wk = st.wk
+        | JOIN apx ON apx.wk = st.wk
+        |ORDER BY st.wk""".stripMargin,
     "q252_hll_rollup" ->
       """WITH e AS (SELECT * FROM events WHERE user_id IS NOT NULL),
         | m AS (

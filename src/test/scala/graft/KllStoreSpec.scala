@@ -1,0 +1,134 @@
+package graft
+
+import graft.sources.KllStore
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The quantile-ledger's contract: per-day KLL sketches whose merge
+  * answers any date range within the sketch's rank error — plus the
+  * LSM/CAS append discipline and corpus provenance every store in the
+  * family carries. KLL compaction is RANDOMIZED (unlike HLL's
+  * register-max), so the pins here are rank-level bounds and
+  * deterministic metadata (day keys, per-day counts), never byte or
+  * exact-value equality.
+  */
+class KllStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_kll").toString
+
+  private val dayExpr = expr("unix_micros(ts) DIV 86400000000")
+
+  private def heap(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  test("init holds one sketch per attributed day; store-backed q255 equals derived") {
+    val dir = tmp()
+    val t = Tables(spark, sf)
+    val st = KllStore.init(spark, dir, t.events, corpus = sf)
+    assert(st.version == 1L && st.kind == "base")
+    val days = t.events.filter(col("value").isNotNull)
+      .select(dayExpr.as("d")).distinct().count()
+    assert(st.totalDays == days)
+    // per-day sketch mass is deterministic even though retained items
+    // are not: getN per day == the day's attributed row count
+    val perDayN = KllStore.sketches(spark, dir).collect()
+      .map(r => r.getLong(0) -> heap(r.getAs[Array[Byte]]("sk")).getN).toMap
+    val exactN = t.events.filter(col("value").isNotNull)
+      .groupBy(dayExpr.as("d")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDayN == exactN)
+    def run() = SparkEntry.queries("q255_kll_quantiles")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    val derived = run()
+    assert(derived.nonEmpty && derived.forall(_._5), "derived estimates out of bound")
+    spark.conf.set("graft.kll.store", dir)
+    try assert(run() == derived, "store-backed q255 diverges from derived")
+    finally spark.conf.unset("graft.kll.store")
+  }
+
+  test("mergeability: union of day sketches ranks within error of the direct range sketch") {
+    // THE property that makes a day ledger answer arbitrary windows:
+    // merging the per-day sketches of a week estimates the week's
+    // quantiles within the k=200 sketch's rank error. KLL compaction is
+    // randomized, so the pin is at the RANK level: the exact rank of
+    // each estimate sits within 5% of the asked rank (≈3x the 1.65%
+    // normalized error).
+    val t = Tables(spark, sf)
+    val vals = t.events.filter(col("value").isNotNull)
+      .select(
+        expr("(unix_micros(ts) DIV 86400000000) DIV 7").as("wk"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byWeek = vals.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val unioned = KllStore.daySketches(t.events)
+      .withColumn("wk", expr("day DIV 7"))
+      .groupBy(col("wk"))
+      .agg(graft.functions.GraftFunctions.kll_merge_agg(col("sk")).as("sk"))
+      .collect().map(r => r.getLong(0) -> heap(r.getAs[Array[Byte]]("sk")))
+    assert(unioned.length >= 4)
+    unioned.foreach { case (wk, sk) =>
+      val sorted = byWeek(wk)
+      assert(sk.getN == sorted.length.toLong, s"week $wk mass diverges")
+      Seq(0.5, 0.95).foreach { q =>
+        val est = sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+        // exact inclusive rank of the estimate in the week's value set
+        val rank = sorted.count(_ <= est.toLong).toDouble / sorted.length
+        assert(math.abs(rank - q) <= 0.05,
+          s"week $wk q=$q estimate $est has exact rank $rank — outside the error bound")
+      }
+    }
+  }
+
+  test("corpus provenance: mismatched ledgers are refused at read and append") {
+    val dir = tmp()
+    val t = Tables(spark, sf)
+    KllStore.init(spark, dir, t.events, corpus = "corpusA")
+    assert(KllStore.corpus(spark, dir) == "corpusA")
+    intercept[IllegalArgumentException] {
+      KllStore.sketches(spark, dir, expectCorpus = Some("corpusB"))
+    }
+    // q255's store path refuses a ledger built from a different corpus
+    spark.conf.set("graft.kll.store", dir)
+    try intercept[IllegalArgumentException] {
+      SparkEntry.queries("q255_kll_quantiles")(spark, sf).collect()
+    } finally spark.conf.unset("graft.kll.store")
+    intercept[IllegalArgumentException] {
+      KllStore.append(spark, dir, t.events, corpus = "corpusB")
+    }
+  }
+
+  test("append publishes only new days; frozen days and re-sends are no-ops; compact folds") {
+    val dir = tmp()
+    val t = Tables(spark, sf)
+    val cut = 19750L // mid-January 2024 in epoch days
+    val early = t.events.filter(dayExpr < cut)
+    val late = t.events.filter(dayExpr >= cut)
+    val s1 = KllStore.init(spark, dir, early, corpus = sf)
+    assert(s1.kind == "base" && s1.newDays > 0)
+    val s2 = KllStore.append(spark, dir, late, corpus = sf)
+    assert(s2.version == 2L && s2.kind == "delta" && s2.newDays > 0)
+    assert(s2.totalDays == s1.totalDays + s2.newDays)
+    // idempotent re-send: nothing new, no version published — CRITICAL
+    // for KLL, where re-merging a frozen day would DOUBLE its mass
+    val s3 = KllStore.append(spark, dir, late, corpus = sf)
+    assert(s3.version == 2L && s3.totalDays == s2.totalDays)
+    val s4 = KllStore.append(spark, dir, early, corpus = sf)
+    assert(s4.version == 2L && s4.totalDays == s2.totalDays)
+    // total ledger mass stayed exactly the event count (no double-add)
+    val mass = KllStore.sketches(spark, dir).collect()
+      .map(r => heap(r.getAs[Array[Byte]]("sk")).getN).sum
+    assert(mass == t.events.filter(col("value").isNotNull).count())
+    // compact folds the chain into one base with the identical day set
+    val s5 = KllStore.compact(spark, dir)
+    assert(s5.version == 3L && s5.kind == "base" && s5.totalDays == s2.totalDays)
+    assert(KllStore.sketches(spark, dir).count() == s2.totalDays)
+    intercept[IllegalArgumentException] {
+      KllStore.init(spark, dir, t.events, corpus = sf)
+    }
+  }
+}
