@@ -109,7 +109,13 @@ object Bench {
         // sketches for week-window p50/p95 with zero raw re-scan
         graft.sources.KllStore.init(
           spark, s"$storesDir/kll", Tables(spark, sfDir).events, corpus = sfDir)
+        // the published catalog snapshot (r17): q68's base loads through
+        // the DSv2 time-travel read pinned at v=1
+        graft.sources.CatalogStore.init(
+          spark, s"$storesDir/catalog",
+          graft.operators.CatalogOps.catalogBase(Tables(spark, sfDir)))
       } finally docs.unpersist()
+      spark.conf.set("graft.catalog.store", s"$storesDir/catalog")
       spark.conf.set("graft.kll.store", s"$storesDir/kll")
       spark.conf.set("graft.hll.store", s"$storesDir/hll")
       spark.conf.set("graft.freq.store", s"$storesDir/freq")

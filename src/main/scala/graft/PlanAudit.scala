@@ -812,7 +812,12 @@ object PlanAudit {
     // exact nearest-rank audit still scans (it is the verification
     // input) — the (wk, v) histogram chain prints per consuming branch
     // (q255's default-mode note) + the week merge + sort (measured 12)
-    "q255_kll_quantiles" -> 12)
+    "q255_kll_quantiles" -> 12,
+    // the DSv2 snapshot read (pinned v=1, driver-materialized catalog —
+    // metadata-scale by store contract) replaces the documents-side base
+    // derivation; the change batch still scans (it is the input) — ONE
+    // dataset_key window shuffle + the output sort (measured 2)
+    "q68_dataset_upsert" -> 2)
   private val storeCorpusFree =
     Set("q113_substring_windows", "q122_window_novelty", "q159_context_entropy",
       "q164_kn_continuation")
@@ -929,11 +934,14 @@ object PlanAudit {
       IvfIndex.init(spark, s"$out/ivf", assign, centroids)
       graft.sources.HllStore.init(spark, s"$out/hll", t.events, corpus = sfDir)
       graft.sources.KllStore.init(spark, s"$out/kll", t.events, corpus = sfDir)
+      graft.sources.CatalogStore.init(
+        spark, s"$out/catalog", graft.operators.CatalogOps.catalogBase(t))
       Map(
         "graft.freq.store" -> s"$out/freq", "graft.bigram.store" -> s"$out/bigram",
         "graft.win.store" -> s"$out/windoc", "graft.leak.store" -> s"$out/leak",
         "graft.delta.index" -> s"$out/dedup", "graft.ivf.index" -> s"$out/ivf",
-        "graft.hll.store" -> s"$out/hll", "graft.kll.store" -> s"$out/kll")
+        "graft.hll.store" -> s"$out/hll", "graft.kll.store" -> s"$out/kll",
+        "graft.catalog.store" -> s"$out/catalog")
         .foreach { case (k, v) => spark.conf.set(k, v) }
     }
     val auditSet =

@@ -135,12 +135,28 @@ object CatalogOps extends QueryModule {
     * the per-key source count. No read-modify-write per row, no second
     * pass.
     */
-  private def q68(t: Tables): DataFrame = {
-    val base = t.documents.select(
+  /** The base-catalog relation q68 merges into — ONE definition shared
+    * with the store provisioners (Bench/PlanAudit stores mode), so the
+    * pinned CatalogStore snapshot the DSv2 time-travel read serves IS
+    * this relation and the store-backed q68 keeps the unchanged oracle.
+    */
+  def catalogBase(t: Tables): DataFrame =
+    t.documents.select(
       col("doc_id").as("dataset_key"),
       concat(col("source"), lit("/"), col("doc_id").cast("string")).as("title"),
-      lit(1).as("revision"),
-      lit("base").as("origin"))
+      lit(1).as("revision"))
+
+  private def q68(t: Tables): DataFrame = {
+    // with `graft.catalog.store` set, the base catalog loads through the
+    // DSv2 snapshot source PINNED at v=1 (VERSION AS OF in the plan):
+    // later upserts to the store cannot move this query's input — time
+    // travel as a query-plan fact (r16 next-round #7)
+    val storeDir = t.spark.conf.get("graft.catalog.store", "")
+    val base = (
+      if (storeDir.isEmpty) catalogBase(t)
+      else t.spark.read.format("graft.sources.CatalogSnapshotSource")
+        .option("path", storeDir).option("version", "1").load()
+      ).withColumn("origin", lit("base"))
     val changes = t.documents
       .filter(col("doc_id") % 3 === 0)
       .select(

@@ -64,7 +64,7 @@ object CatalogStore {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def snapshotPath(dir: String, version: Long) = s"$dir/v=$version"
+  private[sources] def snapshotPath(dir: String, version: Long) = s"$dir/v=$version"
 
   private def isCommitted(f: FileSystem, dir: String, version: Long): Boolean =
     f.exists(new Path(snapshotPath(dir, version), Marker))

@@ -330,6 +330,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(resid.head().getLong(0) == direct && direct > 0L)
   }
 
+  test("DSv2 catalog time travel: option(version) pins an immutable snapshot in the plan") {
+    import spark.implicits._
+    import graft.sources.CatalogStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    def readV(v: Option[Long]) = {
+      val r = spark.read.format("graft.sources.CatalogSnapshotSource").option("path", dir)
+      v.fold(r)(x => r.option("version", x.toString)).load()
+    }
+    val v1 = (0L until 20L).map(k => (k, s"t$k", 1)).toDF("dataset_key", "title", "revision")
+    CatalogStore.init(spark, dir, v1)
+    // upsert publishes v=2 (10 revision bumps)
+    CatalogStore.upsert(spark, dir,
+      (0L until 10L).map(k => (k, s"t$k-v2", 2)).toDF("dataset_key", "title", "revision"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // VERSION AS OF 1 still serves the pre-upsert catalog, immutably
+    val asOf1 = readV(Some(1L))
+    assert(rows(asOf1) == rows(v1.toDF()))
+    assert(asOf1.queryExecution.executedPlan.toString.contains("v=1"),
+      "pinned version not a plan fact")
+    // no version option → the CURRENT published snapshot
+    val cur = readV(None)
+    assert(rows(cur) == rows(CatalogStore.read(spark, dir)
+      .select(col("dataset_key"), col("title"), col("revision"))))
+    assert(rows(cur) != rows(asOf1))
+    assert(cur.queryExecution.executedPlan.toString.contains("v=2"))
+    // column pruning reaches the driver materialization
+    val pruned = readV(Some(1L)).select(col("dataset_key"))
+    assert(pruned.queryExecution.executedPlan.toString.contains("cols=dataset_key"))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == (0L until 20L).toSeq)
+    // a never-published version is refused at planning
+    intercept[Exception] { readV(Some(9L)).collect() }
+    // the q-entry: store-backed q68 (base through the pinned snapshot)
+    // answers row-identically to the derived path — unchanged oracle
+    val derived = SparkEntry.queries("q68_dataset_upsert")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val qdir = java.nio.file.Files.createTempDirectory("graft_tt_q68").toString
+    CatalogStore.init(spark, qdir, graft.operators.CatalogOps.catalogBase(Tables(spark, sf)))
+    spark.conf.set("graft.catalog.store", qdir)
+    try {
+      val stored = SparkEntry.queries("q68_dataset_upsert")(spark, sf)
+      assert(stored.queryExecution.executedPlan.toString.contains("graft_catalog_snapshot"),
+        "store-backed q68 did not read through the snapshot source")
+      assert(stored.collect().map(_.toString).sorted.toSeq == derived,
+        "store-backed q68 diverges from derived")
+    } finally spark.conf.unset("graft.catalog.store")
+  }
+
   test("DSv2 versioned sink publishes CAS-committed TSV snapshots") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_vsink").toString
