@@ -867,13 +867,19 @@ object PlanAudit {
       Tables.provisionBucketed(spark, sfDir, tmp, buckets = 4)
       val targets = Seq(
         "q176_fk_audit", "q208_order_reconcile", "q224_lead_time",
-        "q245_order_backlog", "q253_line_sequence")
+        "q245_order_backlog", "q253_line_sequence",
+        // the remaining SURVEY claimants: q214's two-fact orderkey spine,
+        // and the user_id-bucketed EVENTS claims (q134's lag window,
+        // q119's first-touch agg + user-keyed rejoin)
+        "q214_nation_trade", "q134_event_gaps", "q119_cohort_retention")
       // q176's shared FK-check helper aliases the join keys to ck/pk
       // before joining; with the five dim branches broadcast (explicit
       // hints), the only ck/pk exchanges in its plan ARE the fact-fact
       // orderkey spine
       val spineOf = Map(
-        "q176_fk_audit" -> """Exchange hashpartitioning\([^)]*(orderkey|ck#|pk#)""".r
+        "q176_fk_audit" -> """Exchange hashpartitioning\([^)]*(orderkey|ck#|pk#)""".r,
+        "q134_event_gaps" -> """Exchange hashpartitioning\([^)]*user_id""".r,
+        "q119_cohort_retention" -> """Exchange hashpartitioning\([^)]*user_id""".r
       ).withDefaultValue("""Exchange hashpartitioning\([^)]*orderkey""".r)
       // q176's ck/pk pattern also matches the five dim-parent distinct()
       // aggregates (|nation|/|part|/|supplier|/|customer|-scale — their
@@ -901,7 +907,8 @@ object PlanAudit {
           issues += "plain-path-has-no-orderkey-exchange-to-eliminate"
         if (bSpine != residualAllowed(name))
           issues += s"bucketed-path-spine-exchanges=$bSpine!=${residualAllowed(name)}"
-        if (!bPlan.contains("lineitem_b") && !bPlan.contains("orders_b"))
+        if (!bPlan.contains("lineitem_b") && !bPlan.contains("orders_b") &&
+          !bPlan.contains("events_b"))
           issues += "bucketed-tables-not-read"
         if (plainRows != bRows) issues += "answers-diverge"
         val i = issues.result()

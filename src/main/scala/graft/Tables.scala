@@ -65,13 +65,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw =
+    // the bucketed table was written post-normalization (ts is already
+    // TimestampType), so it flows through the match below unchanged
+    val raw = bucketedOr(
+      Tables.BucketedEvents,
       try t("events")
       catch {
         case _: Exception =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           t("events")
-      }
+      })
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
@@ -87,6 +90,7 @@ final case class Tables(spark: SparkSession, dir: String) {
 object Tables {
   val BucketedLineitem = "graft_lineitem_b"
   val BucketedOrders = "graft_orders_b"
+  val BucketedEvents = "graft_events_b"
 
   /** Write `lineitem`/`orders` as bucket-by-orderkey catalog tables — the
     * ONE-TIME layout investment a 100 TB lake makes so every orderkey
@@ -101,12 +105,18 @@ object Tables {
       spark: SparkSession, sfDir: String, path: String, buckets: Int): Unit = {
     // read the plain parquet directly — never through the conf-gated
     // loader (a session with graft.bucketed already set must not
-    // provision FROM the bucketed tables)
+    // provision FROM the bucketed tables). events goes through the
+    // ts-normalizing loader (safe: events itself gates only on the
+    // bucketed conf, which cannot be set while provisioning runs) so the
+    // bucketed table carries the session-normal TimestampType.
+    require(!spark.conf.get("graft.bucketed", "false").toBoolean,
+      "unset graft.bucketed before provisioning — the provisioner must read plain parquet")
     Seq(
       (spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_orderkey",
         BucketedLineitem, "lineitem_b"),
       (spark.read.parquet(s"$sfDir/orders.parquet"), "o_orderkey",
-        BucketedOrders, "orders_b")
+        BucketedOrders, "orders_b"),
+      (Tables(spark, sfDir).events, "user_id", BucketedEvents, "events_b")
     ).foreach { case (df, key, table, sub) =>
       spark.sql(s"DROP TABLE IF EXISTS $table")
       df.write

@@ -38,6 +38,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == 3)
   }
 
+  test("SynthSource micro-batches drive the q46 tumbling twin, storage-free") {
+    // the DSv2 streaming leg driving an EXISTING streaming twin end to
+    // end: the generator's micro-batches (offsets = doc_id positions)
+    // flow through q46's tumbling-window plan under a watermark, and the
+    // drained result equals the same transform over the batch generator
+    // — a cluster-shaped streaming scale probe with zero storage
+    def shape(df: org.apache.spark.sql.DataFrame) = df.select(
+      timestamp_micros(col("doc_id") * 60L * 1000000L).as("ts"),
+      (col("doc_id") % 50L).as("user_id"),
+      col("n_chars").cast("double").as("value"))
+    val streamed = shape(
+      spark.readStream.format("graft.sources.SynthSource")
+        .option("rows", "600").option("rowsPerBatch", "170").option("partitions", "3")
+        .load())
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("total_e2"))
+    val q = streamed.writeStream
+      .outputMode("complete").format("memory").queryName("synth_q46")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("synth_q46")
+      .select(col("w.start").cast("long").as("s"), col("n_events"), col("total_e2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = shape(
+      spark.read.format("graft.sources.SynthSource").option("rows", "600").load())
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("total_e2"))
+      .select(col("w.start").cast("long").as("s"), col("n_events"), col("total_e2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == want, "streamed tumbling counts diverge from the batch twin")
+    assert(got.length == 40 && got.map(_._2).sum == 600L) // 600 minutes / 15
+  }
+
   test("sliding window agg runs as a streaming query (q216's plan)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
