@@ -69,7 +69,15 @@ object PlanAudit {
       // r16 wave 24: q232's cross is a broadcast SINGLE-ROW scalar
       // threshold (max-ts/fixed-value bounds) against the block relation
       // — the degenerate 1-row end of the q161 dim-grid class
-      "q232_zonemap_skipping")
+      "q232_zonemap_skipping",
+      // r17: q259's cross is the candidate×|Q| scoring grid (|Q|=3 query
+      // terms broadcast — the q161 dim-grid class; Dirichlet smoothing
+      // NEEDS the missing-term rows, that is its point) plus the 1-row
+      // corpus-totals broadcast (q232's scalar class)
+      "q259_ql_dirichlet",
+      // r17: q257's cross is the 1-row complete/censored totals
+      // broadcast back onto the week histogram (q232's scalar class)
+      "q257_km_survival")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -110,7 +118,11 @@ object PlanAudit {
       // doc_id % 2 split and q184's us < cutoff sit above computed
       // expressions (modulo / an exploded join column) — nothing at the
       // scan to push; the scans still prune to their column sets.
-      "q185_mattr", "q181_bloom_calibration", "q184_pit_snapshot")
+      "q185_mattr", "q181_bloom_calibration", "q184_pit_snapshot",
+      // r17: q259's query-term IN filter culls the exploded token stream
+      // map-side (q98's class exactly) — above a computed split, nothing
+      // at the scan to push; the scan still prunes to (doc_id, text)
+      "q259_ql_dirichlet")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume.
   // q136's cumulative runs over the count-of-counts HISTOGRAM — ≤ √(2·Σ)
@@ -598,6 +610,33 @@ object PlanAudit {
     // the stores-mode ledger read drops the day agg — measured 4 there,
     // pinned in storeExchangeBudget)
     "q252_hll_rollup" -> 5,
+    // q256 (r17): the bucket-keyed relation prints once per join side
+    // and the two cosine rank windows share one qid exchange per branch
+    // (truth is the declared |Q|·n broadcast sample cross, retrieved is
+    // q42's candidate-bounded bucket join) + candidate distinct +
+    // per-query rollups + the left-join assembly + sort — every exchange
+    // is candidate- or |Q|-bounded (measured 10)
+    "q256_retrieval_quality" -> 10,
+    // q259 (r17): tf/cf/totals aggs off ONE exploded token stream (print
+    // per consuming branch, AQE reuses — q98's class) + the candidate
+    // distinct + the per-doc rollup; the |Q|-term grid and the scalar
+    // totals broadcast; top-20 is TakeOrderedAndProject (measured 5)
+    "q259_ql_dirichlet" -> 5,
+    // q257 (r17): per-order max-ship agg (the co-bucket key) → week
+    // histogram (day-domain, partial map-side) → the single-partition
+    // exchange for the week-domain cumulative (value-domain-bounded,
+    // q136's class) → 1-row totals agg (broadcast back) → sort
+    // (measured 5)
+    "q257_km_survival" -> 5,
+    // q258 (r17): ONE corpus-scale source-moments rollup; both
+    // apportionment windows and the remainder rank ride the |sources|
+    // relation on one single-partition exchange (measured 2)
+    "q258_neyman_allocation" -> 2,
+    // q260 (r17): ONE user_id shuffle carries the lag/flag window, the
+    // cumulative run-id, the (user, run) rollup (key subset — no
+    // re-exchange) and the interval-closing lead; plus the output sort
+    // (measured 2)
+    "q260_scd2_intervals" -> 2,
     // q255 (r17): the ONE corpus-scale (wk, v) value histogram prints
     // per consuming branch — stats, the p50 cumulative/pick chain, the
     // p95 chain, each with its own n_events totals reprint (q224/q231's

@@ -2328,11 +2328,165 @@ object Extras extends QueryModule {
       .orderBy(col("wk"))
   }
 
+  /** Kaplan-Meier fulfilment-survival curve in log space (Kaplan & Meier
+    * 1958 — SURVIVAL ANALYSIS, a class the suite lacked: q224 prices the
+    * lead-time distribution of COMPLETED lines, q245 counts the open
+    * backlog; this is the censoring-correct "how long until an order
+    * fully ships" curve both of those approximate): per fulfilment WEEK
+    * (floor((max ship − order date)/7) — explicit floor, never DIV,
+    * because ~half the synthetic fulfilments land BEFORE the order date
+    * and truncating division would disagree between engines on negative
+    * weeks), completions d_t, the risk set n_t (orders not yet complete
+    * at t, plus the never-completing orders — no lineitem rows, probed
+    * 257 at sf0.01 — which stay at risk forever: right-censoring, the
+    * thing a naive completed-only average silently drops), the KM hazard
+    * term −ln(1 − d/n) in e6, and the cumulative negative log survival
+    * (log-space so the running statistic is an exact integer SUM — a
+    * per-step rounded PRODUCT would compound rounding engine-side).
+    * The d=n guard (survival hits zero, term infinite) is declared NULL
+    * on both engines; it cannot fire while any order is censored.
+    *
+    * Scale shape: per-order max-ship is ONE l_orderkey agg (the
+    * co-bucket key; proven r17, see "Bucketed layout proof"); the week
+    * histogram collapses map-side onto the ≤|week domain| keys; the
+    * single-row totals broadcast back (q232's scalar class) and the
+    * cumulative runs on the week-domain relation (q136's bounded class).
+    */
+  private def q257(t: Tables): DataFrame = {
+    val fin = t.lineitem
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("ship"))
+    val per = t.orders
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .join(fin, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        when(col("ship").isNotNull,
+          expr("CAST(floor(datediff(CAST(ship AS DATE), CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT)"))
+          .as("wk"))
+    val tot = per.agg(
+      sum(when(col("wk").isNotNull, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("wk").isNull, 1L).otherwise(0L)).as("cen"))
+    val cum = Window.orderBy(col("wk")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.filter(col("wk").isNotNull)
+      .groupBy(col("wk")).agg(count(lit(1)).as("d"))
+      .withColumn("cumd", sum(col("d")).over(cum))
+      .join(broadcast(tot))
+      .withColumn("n_at_risk", col("ct") - (col("cumd") - col("d")) + col("cen"))
+      .withColumn(
+        "km_term_e6",
+        when(col("n_at_risk") > col("d"),
+          expr("CAST(floor(-ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) " +
+            "* 1000000 + 0.5) AS BIGINT)")))
+      .withColumn("cum_neg_log_surv_e6", sum(col("km_term_e6")).over(cum))
+      .select(
+        col("wk"), col("d").as("n_events"), col("n_at_risk"),
+        col("km_term_e6"), col("cum_neg_log_surv_e6"))
+      .orderBy(col("wk"))
+  }
+
+  /** SCD2 validity intervals from the event stream (Kimball's type-2
+    * slowly-changing dimension — the TEMPORAL-TABLE build every lake
+    * runs to turn a change stream into point-in-time joinable history;
+    * q184 CONSUMES such intervals for PIT snapshots, this BUILDS them):
+    * per user, consecutive same-type event runs collapse to one row with
+    * [valid_from, valid_to) in exact epoch µs (valid_to = next run's
+    * start; NULL = the open current interval), run sequence number, and
+    * the run's event count. Gaps-and-islands via the lag-flag cumulative
+    * (q125's kernel on the TYPE-change axis instead of the day axis).
+    *
+    * Scale shape: ONE user_id shuffle carries everything — the lag/flag
+    * window, the cumulative run-id, the (user, run) rollup (subset of
+    * the window key — no re-exchange) and the lead() that closes each
+    * interval; user_id is the event-lake bucket key (proven r17, see
+    * "Bucketed layout proof").
+    */
+  private def q260(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val runs = t.events
+      .filter(col("user_id").isNotNull)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn(
+        "flag",
+        when(lag(col("event_type"), 1).over(w).isNull
+          .or(lag(col("event_type"), 1).over(w) =!= col("event_type")), 1L)
+          .otherwise(0L))
+      .withColumn(
+        "run_id",
+        sum(col("flag")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(
+        min(col("event_type")).as("event_type"),
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byRun))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(
+        col("user_id"), col("run_id"), col("event_type"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("run_id"))
+  }
+
+  /** Neyman-allocation stratified sampling design (Neyman 1934 — the
+    * SAMPLING-DESIGN table the mix family stops short of: q65/q128 set
+    * corpus mix targets by size, q94 caps, q104 samples clusters; this
+    * allocates a fixed audit budget of 1000 docs OPTIMALLY, n_h ∝
+    * N_h·σ_h, so high-variance strata get the samples that minimize the
+    * estimator's variance): per source, docs, the length stddev, the
+    * Neyman weight and the integer allocation by LARGEST REMAINDER
+    * (Hamilton apportionment — floor quotas, then +1 to the biggest
+    * remainders until the budget is exact; Σ alloc = 1000 by
+    * construction, spec-pinned).
+    *
+    * Exactness: σ is computed from exact integer moments — n·Σx²−(Σx)²
+    * is an exact long in both engines, sqrt of that single integer is
+    * the suite's one-transcendental rule (a naive stddev_pop's double
+    * accumulation order is engine-internal and could flip the e3
+    * quantization); quotas/remainders are pure integer arithmetic from
+    * there, ties broken by source name.
+    *
+    * Scale shape: ONE corpus-scale source rollup (partial-aggregable
+    * moments); the apportionment windows run on the |sources| relation
+    * (domain-bounded global-window class, q136's exemption).
+    */
+  private def q258(t: Tables): DataFrame = {
+    val st = t.documents
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).as("sx"),
+        sum(col("len") * col("len")).as("sxx"))
+      .withColumn("varnum", col("n_docs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn(
+        "sigma_e3",
+        expr("CAST(floor(1000.0 * sqrt(CAST(varnum AS DOUBLE)) / n_docs + 0.5) AS BIGINT)"))
+      .withColumn("weight", col("n_docs") * col("sigma_e3"))
+    val all = Window.partitionBy()
+    st
+      .withColumn("w_total", sum(col("weight")).over(all))
+      .withColumn("base", expr("(1000 * weight) DIV w_total"))
+      .withColumn("rem", expr("(1000 * weight) % w_total"))
+      .withColumn("base_total", sum(col("base")).over(all))
+      .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn(
+        "alloc",
+        col("base") + when(col("rk") <= lit(1000L) - col("base_total"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("sigma_e3"), col("weight"), col("alloc"))
+      .orderBy(col("source"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_gains_curve" -> ((s, d) => q254(Tables(s, d))),
     "q253_line_sequence" -> ((s, d) => q253(Tables(s, d))),
     "q252_hll_rollup" -> ((s, d) => q252(Tables(s, d))),
     "q255_kll_quantiles" -> ((s, d) => q255(Tables(s, d))),
+    "q257_km_survival" -> ((s, d) => q257(Tables(s, d))),
+    "q258_neyman_allocation" -> ((s, d) => q258(Tables(s, d))),
+    "q260_scd2_intervals" -> ((s, d) => q260(Tables(s, d))),
     "q251_theils_u" -> ((s, d) => q251(Tables(s, d))),
     "q250_supplier_skyline" -> ((s, d) => q250(Tables(s, d))),
     "q249_rfm_segments" -> ((s, d) => q249(Tables(s, d))),
@@ -2428,6 +2582,85 @@ object Extras extends QueryModule {
         | CAST(max(mx - mn) AS BIGINT) AS max_span,
         | min(l_orderkey) AS example_orderkey
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q257_km_survival" ->
+      """WITH fin AS (
+        | SELECT l_orderkey, max(l_shipdate) AS ship FROM lineitem GROUP BY 1),
+        | per AS (
+        | SELECT CASE WHEN ship IS NULL THEN NULL
+        |  ELSE CAST(floor(date_diff('day', CAST(o_orderdate AS DATE), CAST(ship AS DATE))
+        |   / 7.0) AS BIGINT) END AS wk
+        | FROM orders LEFT JOIN fin ON o_orderkey = l_orderkey),
+        | tot AS (
+        | SELECT CAST(count(*) FILTER (wk IS NOT NULL) AS BIGINT) AS ct,
+        |  CAST(count(*) FILTER (wk IS NULL) AS BIGINT) AS cen FROM per),
+        | h AS (SELECT wk, CAST(count(*) AS BIGINT) AS d FROM per
+        |       WHERE wk IS NOT NULL GROUP BY 1),
+        | c AS (
+        | SELECT wk, d, CAST(sum(d) OVER (ORDER BY wk
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumd FROM h),
+        | r AS (
+        | SELECT wk, d, ct - (cumd - d) + cen AS n_at_risk FROM c CROSS JOIN tot),
+        | tm AS (
+        | SELECT wk, d, n_at_risk,
+        |  CASE WHEN n_at_risk > d THEN
+        |   CAST(floor(-ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+        |    * 1000000 + 0.5) AS BIGINT) END AS km_term_e6
+        | FROM r)
+        |SELECT wk, d AS n_events, n_at_risk, km_term_e6,
+        | CAST(sum(km_term_e6) OVER (ORDER BY wk
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum_neg_log_surv_e6
+        |FROM tm ORDER BY wk""".stripMargin,
+    "q258_neyman_allocation" ->
+      """WITH st AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sx,
+        |  CAST(sum(length(text) * length(text)) AS BIGINT) AS sxx
+        | FROM documents GROUP BY 1),
+        | sg AS (
+        | SELECT source, n_docs,
+        |  CAST(floor(1000.0 * sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) / n_docs
+        |   + 0.5) AS BIGINT) AS sigma_e3
+        | FROM st),
+        | w AS (
+        | SELECT source, n_docs, sigma_e3, n_docs * sigma_e3 AS weight FROM sg),
+        | g AS (
+        | SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS w_total FROM w),
+        | q AS (
+        | SELECT *, (1000 * weight) // w_total AS base,
+        |  (1000 * weight) % w_total AS rem FROM g),
+        | rk AS (
+        | SELECT *, CAST(sum(base) OVER () AS BIGINT) AS base_total,
+        |  row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
+        |SELECT source, n_docs, sigma_e3, weight,
+        | CAST(base + CASE WHEN rk <= 1000 - base_total THEN 1 ELSE 0 END AS BIGINT)
+        |  AS alloc
+        |FROM rk ORDER BY source""".stripMargin,
+    "q260_scd2_intervals" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        | FROM events WHERE user_id IS NOT NULL),
+        | s AS (
+        | SELECT *, CASE WHEN lag(event_type) OVER
+        |   (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |  OR lag(event_type) OVER
+        |   (PARTITION BY user_id ORDER BY us, event_id) <> event_type
+        |  THEN 1 ELSE 0 END AS flag
+        | FROM e),
+        | r AS (
+        | SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        | FROM s),
+        | iv AS (
+        | SELECT user_id, run_id, min(event_type) AS event_type,
+        |  min(us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+        | FROM r GROUP BY 1, 2)
+        |SELECT user_id, run_id, event_type, valid_from_us,
+        | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
+        | n_events,
+        | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+        |  AS is_current
+        |FROM iv ORDER BY user_id, run_id""".stripMargin,
     "q255_kll_quantiles" ->
       """WITH ev AS (
         | SELECT (epoch_us(ts) // 86400000000) // 7 AS wk,

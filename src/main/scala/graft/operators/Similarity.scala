@@ -162,6 +162,90 @@ object Similarity extends QueryModule {
       .orderBy(col("h"))
   }
 
+  /** Graded retrieval-quality scorecard — nDCG@10 + MRR@10 of the
+    * sign-LSH ANN against exact-cosine truth (Järvelin & Kekäläinen
+    * 2002; new r17 — the RANKED-eval closure of the recall family:
+    * q115/q211 grade set overlap, q170 margins, q226 the hash's angle
+    * fidelity; this grades the ORDER the index returns, which is what a
+    * retrieval consumer actually sees): per sample query (vec_id < 32),
+    * candidates retrieved, relevant-in-top-10 (relevance graded by exact
+    * truth position: gain = 11 − truth_rank), first-hit rank, reciprocal
+    * rank e6, DCG/IDCG/nDCG e6. A query whose buckets yield nothing
+    * reports zeros — the honest miss, not a dropped row.
+    *
+    * Numerics: cosines round to 6dp (family contract) with vec_id
+    * tie-break; each DCG term quantizes e6 HALF-UP before the sum
+    * (q151's rule) with the family's log2; IDCG is the same expression
+    * over ranks 1..10 evaluated in-engine on both sides (never a
+    * driver-computed constant — JVM log vs libm log2 may differ in the
+    * last ulp); nDCG is one half-up integer division.
+    *
+    * Scale shape: the truth branch is the q115/q226 declared |Q|·n
+    * broadcast sample cross; the retrieved branch is q42's
+    * candidate-bounded bucket join with the query side pre-filtered to
+    * the sample; everything after is |Q|·10-scale.
+    */
+  private def q256(t: Tables): DataFrame = {
+    val e = vectors(t)
+    val qset = e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wQ = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val truth = e.join(broadcast(qset), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(cosine_sim(col("qv"), col("v")), 6))
+      .withColumn("truth_rank", row_number().over(wQ))
+      .filter(col("truth_rank") <= 10)
+      .select(col("qid"), col("vec_id"), col("truth_rank"))
+    val bucketCols = (0 until DefaultSignProjections)
+      .map(p => expr(signBucket(i => s"element_at(v, $i)", DefaultSignBits, p)))
+    val keyed = e.select(col("vec_id"), posexplode(array(bucketCols: _*)).as(Seq("proj", "bucket")))
+    val cand = keyed
+      .join(
+        keyed.filter(col("vec_id") < 32)
+          .select(col("proj").as("p2"), col("bucket").as("b2"), col("vec_id").as("qid")),
+        col("proj") === col("p2") && col("bucket") === col("b2"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+    val ret = cand
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(qset), Seq("qid"))
+      .withColumn("cos_sim", round(cosine_sim(col("qv"), col("v")), 6))
+      .withColumn("ret_rank", row_number().over(wQ))
+    val nCand = ret.groupBy(col("qid")).agg(count(lit(1)).as("n_cand"))
+    val perQ = ret
+      .filter(col("ret_rank") <= 10)
+      .join(truth, Seq("qid", "vec_id"))
+      .withColumn("gain", lit(11L) - col("truth_rank"))
+      .withColumn(
+        "dcg_term",
+        expr("CAST(floor(gain * 1000000 / log2(CAST(ret_rank + 1 AS DOUBLE)) + 0.5) AS BIGINT)"))
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_rel_top10"),
+        min(col("ret_rank")).as("first_hit"),
+        sum(col("dcg_term")).as("dcg"))
+    qset.select(col("qid").as("query_id"))
+      .join(nCand.select(col("qid").as("query_id"), col("n_cand")), Seq("query_id"), "left")
+      .join(
+        perQ.select(
+          col("qid").as("query_id"), col("n_rel_top10"), col("first_hit"), col("dcg")),
+        Seq("query_id"), "left")
+      .withColumn(
+        "idcg_e6",
+        expr("aggregate(sequence(1, 10), CAST(0 AS BIGINT), (acc, r) -> acc + " +
+          "CAST(floor((11 - r) * 1000000 / log2(CAST(r + 1 AS DOUBLE)) + 0.5) AS BIGINT))"))
+      .select(
+        col("query_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_rel_top10"), lit(0L)).as("n_rel_top10"),
+        coalesce(col("first_hit"), lit(0)).as("first_hit_rank"),
+        coalesce(
+          expr("CAST(floor(1000000.0 / first_hit + 0.5) AS BIGINT)"), lit(0L)).as("rr_e6"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_e6"),
+        expr("(2 * 1000000 * coalesce(dcg, 0) + idcg_e6) DIV (2 * idcg_e6)").as("ndcg_e6"))
+      .orderBy(col("query_id"))
+  }
+
   /** IVF-style coarse search: `label` is the coarse cluster id; probe the
     * query's own partition only (nprobe=1). Query set broadcasts, corpus
     * partition-prunes on the cluster key.
@@ -1793,7 +1877,8 @@ object Similarity extends QueryModule {
     "q42_ann_sign_lsh" -> ((s, d) => q42(Tables(s, d))),
     "q43_ivf_search" -> ((s, d) => q43(Tables(s, d))),
     "q170_ann_margin" -> ((s, d) => q170(Tables(s, d))),
-    "q174_intrinsic_dim" -> ((s, d) => q174(Tables(s, d)))
+    "q174_intrinsic_dim" -> ((s, d) => q174(Tables(s, d))),
+    "q256_retrieval_quality" -> ((s, d) => q256(Tables(s, d)))
   )
 
   // shared DuckDB fragments
@@ -2457,6 +2542,58 @@ object Similarity extends QueryModule {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+    "q256_retrieval_quality" ->
+      s"""WITH $duckVectors,
+         | q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 32),
+         | eb AS (
+         |  $duckBuckets),
+         | cand AS (
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id
+         |  FROM eb a JOIN eb b ON a.proj = b.proj AND a.bucket = b.bucket
+         |   AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 32),
+         | rsc AS (
+         |  SELECT cand.qid, cand.vec_id,
+         |   round(${duckDot("nv.v", "qn.qv")} / (nv.nrm * qn.qnrm), 6) AS cos_sim
+         |  FROM cand JOIN n nv ON nv.vec_id = cand.vec_id JOIN q qn ON qn.qid = cand.qid),
+         | rr AS (
+         |  SELECT qid, vec_id,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id)
+         |    AS INTEGER) AS ret_rank
+         |  FROM rsc),
+         | tsc AS (
+         |  SELECT q.qid, n.vec_id,
+         |   round(${duckDot("n.v", "q.qv")} / (n.nrm * q.qnrm), 6) AS cos_sim
+         |  FROM q, n WHERE n.vec_id <> q.qid),
+         | tr0 AS (
+         |  SELECT qid, vec_id, row_number() OVER
+         |   (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS truth_rank
+         |  FROM tsc),
+         | tr AS (SELECT qid, vec_id, truth_rank FROM tr0 WHERE truth_rank <= 10),
+         | nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand FROM rr GROUP BY 1),
+         | hits AS (
+         |  SELECT rr.qid, rr.ret_rank, 11 - tr.truth_rank AS gain
+         |  FROM rr JOIN tr ON tr.qid = rr.qid AND tr.vec_id = rr.vec_id
+         |  WHERE rr.ret_rank <= 10),
+         | pq AS (
+         |  SELECT qid, CAST(count(*) AS BIGINT) AS n_rel_top10, min(ret_rank) AS first_hit,
+         |   CAST(sum(CAST(floor(gain * 1000000 / log2(CAST(ret_rank + 1 AS DOUBLE)) + 0.5)
+         |    AS BIGINT)) AS BIGINT) AS dcg
+         |  FROM hits GROUP BY 1),
+         | idcg AS (
+         |  SELECT CAST(list_sum(list_transform(range(1, 11), r ->
+         |   CAST(floor((11 - r) * 1000000 / log2(CAST(r + 1 AS DOUBLE)) + 0.5) AS BIGINT)))
+         |   AS BIGINT) AS idcg_e6)
+         |SELECT q.qid AS query_id,
+         | coalesce(n_cand, 0) AS n_cand,
+         | coalesce(n_rel_top10, 0) AS n_rel_top10,
+         | CAST(coalesce(first_hit, 0) AS INTEGER) AS first_hit_rank,
+         | coalesce(CAST(floor(1000000.0 / first_hit + 0.5) AS BIGINT), 0) AS rr_e6,
+         | coalesce(dcg, 0) AS dcg_e6,
+         | (2 * 1000000 * coalesce(dcg, 0) + idcg_e6) // (2 * idcg_e6) AS ndcg_e6
+         |FROM q LEFT JOIN nc ON nc.qid = q.qid LEFT JOIN pq ON pq.qid = q.qid
+         | CROSS JOIN idcg
+         |ORDER BY query_id""".stripMargin,
     "q42_ann_sign_lsh" ->
       s"""WITH $duckVectors,
          | eb AS (

@@ -2255,6 +2255,65 @@ object TextAnalysis extends QueryModule {
       .limit(20)
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Ponte & Croft
+    * 1998; Zhai & Lafferty 2001's Bayesian-smoothing form, μ=2000 — the
+    * LANGUAGE-MODEL ranking family's other classic next to q98's BM25:
+    * same inverted-index shape, probabilistic scoring instead of
+    * tf-idf saturation): for every document containing at least one
+    * query term, score = Σ_{w∈Q} −ln p(w|d) with p(w|d) =
+    * (tf + μ·cf_w/C)/(dl + μ) — MISSING query terms in a candidate doc
+    * contribute their background (collection) probability, the
+    * smoothing's whole point and what BM25's sum-over-hits cannot
+    * express; top-20 by likelihood (ascending negative log), doc_id
+    * tie-break.
+    *
+    * Exactness: p(w|d) is evaluated as the ratio of two EXACT longs —
+    * (tf·C + μ·cf)/(C·(dl + μ)) — so both engines divide the same two
+    * integers, take the suite's one transcendental (ln), and quantize
+    * e3 per term half-up BEFORE the sum (q151's rule).
+    *
+    * Scale shape: tf and cf are vocab-/query-bounded aggs off one
+    * exploded token stream (printed per consuming branch, AQE reuses —
+    * q98's class); the candidate×term grid is |cands|·|Q| (query-
+    * bounded, the declared dim-grid class) with cf/C broadcast; top-20
+    * is TakeOrderedAndProject.
+    */
+  private def q259(t: Tables): DataFrame = {
+    val mu = 2000L
+    val docs = withWords(t)
+      .select(col("doc_id"), col("words"))
+      .withColumn("dl", size(col("words")).cast("long"))
+    val toks = docs.select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
+    val totals = toks.agg(sum(lit(1L)).as("c_total"))
+    val cf = toks
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val tf = toks
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    import t.spark.implicits._
+    val qdf = Bm25Terms.map(Tuple1(_)).toDF("term")
+    val cands = tf.select(col("doc_id")).distinct()
+      .join(docs.select(col("doc_id"), col("dl")), "doc_id")
+    cands
+      .crossJoin(broadcast(qdf))
+      .join(tf.select(col("doc_id"), col("term"), col("tf")), Seq("doc_id", "term"), "left")
+      .join(broadcast(cf), Seq("term"))
+      .join(broadcast(totals))
+      .withColumn("tf0", coalesce(col("tf"), lit(0L)))
+      .withColumn(
+        "term_e3",
+        expr(s"CAST(floor(-1000.0 * ln(CAST(tf0 * c_total + $mu * cf AS DOUBLE) " +
+          s"/ CAST(c_total * (dl + $mu) AS DOUBLE)) + 0.5) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("tf").isNotNull, 1L).otherwise(0L)).as("n_hit_terms"),
+        sum(col("term_e3")).as("neg_log_ql_e3"))
+      .orderBy(col("neg_log_ql_e3"), col("doc_id"))
+      .limit(20)
+  }
+
   /** Overlapping fixed-window chunking accounting — the RAG / context-
     * window prep step: every document splits into `graft.chunk.width`-word
     * windows advancing by `graft.chunk.stride` (width 32 / stride 24 ⇒ 8
@@ -2468,6 +2527,7 @@ object TextAnalysis extends QueryModule {
     "q206_chi_square" -> ((s, d) => q206(Tables(s, d))),
     "q102_dsir" -> ((s, d) => q102(Tables(s, d))),
     "q98_bm25" -> ((s, d) => q98(Tables(s, d))),
+    "q259_ql_dirichlet" -> ((s, d) => q259(Tables(s, d))),
     "q99_doc_chunks" -> ((s, d) => q99(Tables(s, d))),
     "q100_char_entropy" -> ((s, d) => q100(Tables(s, d))),
     "q80_seq_pack" -> ((s, d) => q80(Tables(s, d))),
@@ -2815,6 +2875,32 @@ object TextAnalysis extends QueryModule {
          | CAST(sum(score_e4) AS BIGINT) AS bm25_e4
          |FROM s GROUP BY doc_id
          |ORDER BY bm25_e4 DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q259_ql_dirichlet" -> {
+      val qIn = Bm25Terms.map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         | tot AS (SELECT CAST(count(*) AS BIGINT) AS c_total FROM tok),
+         | cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok
+         |        WHERE term IN ($qIn) GROUP BY 1),
+         | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |        WHERE term IN ($qIn) GROUP BY 1, 2),
+         | cands AS (SELECT DISTINCT tf.doc_id, w.dl FROM tf JOIN w USING (doc_id)),
+         | grid AS (SELECT cands.doc_id, cands.dl, cf.term, cf.cf
+         |          FROM cands CROSS JOIN cf),
+         | sc AS (
+         | SELECT grid.doc_id, tf.tf,
+         |  CAST(floor(-1000.0 * ln(
+         |    CAST(coalesce(tf.tf, 0) * c_total + 2000 * grid.cf AS DOUBLE)
+         |    / CAST(c_total * (grid.dl + 2000) AS DOUBLE)) + 0.5) AS BIGINT) AS term_e3
+         | FROM grid
+         | LEFT JOIN tf ON tf.doc_id = grid.doc_id AND tf.term = grid.term
+         | CROSS JOIN tot)
+         |SELECT doc_id,
+         | CAST(sum(CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_terms,
+         | CAST(sum(term_e3) AS BIGINT) AS neg_log_ql_e3
+         |FROM sc GROUP BY 1
+         |ORDER BY neg_log_ql_e3, doc_id LIMIT 20""".stripMargin
     },
     "q99_doc_chunks" ->
       """WITH w AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_words FROM documents),
