@@ -136,6 +136,80 @@ class LakeSemanticsSpec extends AnyFunSuite {
     assert(total == 500)
   }
 
+  test("q258 Neyman allocation apportions EXACTLY the 1000-doc budget") {
+    val rows = SparkEntry.queries("q258_neyman_allocation")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000L)
+    // largest-remainder never strays more than 1 from the real quota
+    val wTotal = rows.map(_.getAs[Long]("weight")).sum
+    rows.foreach { r =>
+      val quota = 1000.0 * r.getAs[Long]("weight") / wTotal
+      val a = r.getAs[Long]("alloc")
+      assert(math.abs(a - quota) < 1.0 + 1e-9,
+        s"${r.getAs[String]("source")}: alloc $a vs quota $quota")
+    }
+  }
+
+  test("q257 KM curve: risk set is monotone non-increasing and starts at the full cohort") {
+    val rows = SparkEntry.queries("q257_km_survival")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("wk"), r.getAs[Long]("n_events"), r.getAs[Long]("n_at_risk"),
+        r.getAs[Long]("cum_neg_log_surv_e6")))
+    // first risk set = every order (completed + censored)
+    val t = Tables(spark, sf)
+    assert(rows.head._3 == t.orders.count())
+    // risk decreases by exactly the prior completions; cum log-survival
+    // is monotone non-decreasing (survival never recovers)
+    rows.sliding(2).foreach { case Array((_, d, n, c), (_, _, n2, c2)) =>
+      assert(n2 == n - d, "risk set must shrink by the completions")
+      assert(c2 >= c, "negative log survival must be monotone")
+    }
+    // completions are conserved: every order with lines completes once
+    assert(rows.map(_._2).sum == t.lineitem.select(col("l_orderkey")).distinct().count())
+  }
+
+  test("q260 SCD2 intervals tile each user's event history exactly") {
+    val rows = SparkEntry.queries("q260_scd2_intervals")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id"),
+        r.getAs[Long]("valid_from_us"),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getAs[Long]("n_events"), r.getAs[Boolean]("is_current")))
+    val t = Tables(spark, sf)
+    // event conservation across intervals
+    assert(rows.map(_._5).sum ==
+      t.events.filter(col("user_id").isNotNull).count())
+    rows.groupBy(_._1).foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      // run ids are dense from 1; exactly one open (current) interval,
+      // and it is the last; intervals abut: valid_to == next valid_from
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.count(_._6) == 1 && sorted.last._6)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), "intervals must abut")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q256 retrieval metrics are internally consistent (nDCG=1 iff perfect prefix)") {
+    val rows = SparkEntry.queries("q256_retrieval_quality")(spark, sf).collect()
+    assert(rows.length == 32)
+    rows.foreach { r =>
+      val (nCand, nRel) = (r.getAs[Long]("n_cand"), r.getAs[Long]("n_rel_top10"))
+      val (first, rr) = (r.getAs[Int]("first_hit_rank"), r.getAs[Long]("rr_e6"))
+      val ndcg = r.getAs[Long]("ndcg_e6")
+      assert(nRel <= math.min(10L, nCand))
+      if (first == 0) assert(rr == 0L && nRel == 0L && ndcg == 0L)
+      else {
+        assert(rr == math.floor(1000000.0 / first + 0.5).toLong)
+        assert(first <= 10 && nRel >= 1)
+      }
+      assert(ndcg >= 0L && ndcg <= 1000000L)
+      // a perfect 10-for-10 prefix in truth order is exactly nDCG 1
+      if (ndcg == 1000000L) assert(nRel == 10L)
+    }
+    // the sample must contain real signal: some queries retrieve hits
+    assert(rows.count(_.getAs[Long]("n_rel_top10") > 0) >= 10)
+  }
+
   test("catalog tree has exactly one root level and consistent parents") {
     val rows = SparkEntry.queries("q27_catalog_tree")(spark, sf).collect()
     val byDepth = rows.groupBy(_.getAs[Int]("depth"))
