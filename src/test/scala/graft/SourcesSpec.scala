@@ -180,6 +180,45 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 catalog bucket transform: self-join on doc_id ALONE plans shuffle-free (SPJ)") {
+    // the bucket-transform half of storage-partitioned joins, which only
+    // a CATALOG can carry: Spark resolves the table's bucket(n, doc_id)
+    // partition transform through the table's own FunctionCatalog, so
+    // two reads of graft.synth_*_b8 co-locate by reported bucket values
+    // and a join on the RAW key — no helper shard column in the join
+    // condition — plans zero exchanges
+    val confs = Seq(
+      "spark.sql.catalog.graft" -> classOf[graft.sources.GraftCatalog].getName,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val base = spark.table("graft.synth_1000_b8")
+      assert(base.schema == graft.sources.SynthSource.schema) // no shard column
+      assert(base.count() == 1000L)
+      assert(base.rdd.getNumPartitions == 8)
+      val j = base.as("a").join(spark.table("graft.synth_1000_b8").as("b"),
+        col("a.doc_id") === col("b.doc_id"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucket-transform SPJ still shuffles:\n$plan")
+      assert(j.count() == 1000L)
+      // pushdown composes: a doc_id range narrows every bucket's stripe
+      val ranged = base.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+      assert(ranged.count() == 200L)
+      assert(ranged.queryExecution.executedPlan.toString.contains("range=[100,300)"))
+      // rows are the same generator output as the path-based read
+      val viaPath = spark.read.format("graft.sources.SynthSource")
+        .option("rows", "1000").load().collect().map(_.toString).sorted
+      assert(base.collect().map(_.toString).sorted.sameElements(viaPath))
+      // the catalog is a read-only resolver
+      intercept[Exception] { spark.sql("DROP TABLE graft.synth_1000_b8") }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("DSv2 synth source plans limit/offset-bounded partitions; declined TopN stays above") {
     def synth() = spark.read
       .format("graft.sources.SynthSource")
