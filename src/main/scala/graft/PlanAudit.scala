@@ -610,6 +610,16 @@ object PlanAudit {
     // the stores-mode ledger read drops the day agg — measured 4 there,
     // pinned in storeExchangeBudget)
     "q252_hll_rollup" -> 5,
+    // q261 (r17): the 9-key digit rollup (prints once per consuming
+    // branch — histogram AND the 1-row totals; AQE reuses) + the totals'
+    // single-partition agg + sort — everything post-rollup is 9 rows
+    // (measured 4)
+    "q261_benford_audit" -> 4,
+    // q262 (r17): ONE corpus-scale (source, b) weighted-sum agg (the ×B
+    // explode rides the scan map-side) → per-source B-row rank window →
+    // CI rollup (shares the source key) + the full-sample source rollup
+    // + the assembly join + sort (measured 4)
+    "q262_bootstrap_ci" -> 4,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

@@ -2479,12 +2479,126 @@ object Extras extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Benford first-digit audit over order amounts (Newcomb 1881 /
+    * Benford 1938; Nigrini's forensic-accounting staple — the
+    * FRAUD/FABRICATION screen the amount-integrity family lacked: q208
+    * reconciles sums, q207 checks FDs, this tests whether the amounts
+    * LOOK like organically-grown numbers): per leading digit 1–9 of
+    * o_totalprice, observed orders, observed share (e6), the Benford
+    * expectation log10(1 + 1/d) (e6), and the signed deviation. The
+    * synthetic generator draws prices from a bounded uniform-ish range,
+    * so the table SHOWS a massive 1–4 excess (probed ~10:1 over 5–9 at
+    * every SF) — exactly the signature the audit exists to surface; on
+    * organic multi-scale amounts the deltas flatten.
+    *
+    * Exactness: the leading digit comes from the e2-quantized integer's
+    * decimal string (identical in both engines — never from double
+    * formatting); the expectation is log2((d+1)/d)/log2(10) — the
+    * family's log2 on 1-digit rationals, quantized e6 half-up once.
+    *
+    * Scale shape: ONE corpus-scale 9-key rollup (partial map-side);
+    * the share join rides a single-row totals broadcast.
+    */
+  private def q261(t: Tables): DataFrame = {
+    val digits = t.orders
+      .select(expr(
+        "CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val tot = digits.agg(sum(col("n_orders")).as("n_total"))
+    digits
+      .join(broadcast(tot))
+      .withColumn("share_e6", expr("(2 * 1000000 * n_orders + n_total) DIV (2 * n_total)"))
+      .withColumn(
+        "benford_e6",
+        expr("CAST(floor(log2((CAST(digit AS DOUBLE) + 1.0) / CAST(digit AS DOUBLE)) " +
+          "/ log2(10.0D) * 1000000 + 0.5) AS BIGINT)"))
+      .withColumn("delta_e6", col("share_e6") - col("benford_e6"))
+      .select(col("digit"), col("n_orders"), col("share_e6"), col("benford_e6"), col("delta_e6"))
+      .orderBy(col("digit"))
+  }
+
+  /** Poisson-bootstrap confidence intervals for per-source mean document
+    * length (Efron 1979; the Poisson(1)-weight streaming form is the
+    * standard distributed bootstrap — Chamandy et al. 2012 — because it
+    * needs no sampling WITH replacement across partitions: each (doc,
+    * replicate) draws an independent Poisson(1) multiplicity): per
+    * source, the full-sample mean and the nearest-rank 2.5%/97.5%
+    * bounds over B=200 resampled means — the UNCERTAINTY-QUANTIFICATION
+    * operator the point-estimate family (q30 means, q91 outliers, q231
+    * MAD) stops short of: it answers "is src3's mean REALLY higher than
+    * src7's, or is that noise at n=250".
+    *
+    * Determinism (the whole trick): the Poisson draw is a pure integer
+    * function of (doc_id, b) — two rounds of Knuth multiplicative
+    * hashing mod 2³¹ (q64's engine-stable class; high bits taken via
+    * (h·10⁷) DIV 2³¹), then the weight counts fixed integer thresholds
+    * (the Poisson(1) CDF at e7: 3678794, 7357589, … — CONSTANTS, so no
+    * engine ever evaluates exp(−1)). Probed: weight distribution
+    * matches Poisson(1) to 3 decimals; resample means of one source
+    * spread ±7% around the point estimate. Resample means are half-up
+    * e3 integers; an all-zero-weight replicate (P ≈ e^−n) is dropped by
+    * both engines identically.
+    *
+    * Scale shape: the ×B explode is map-side next to the scan; ONE
+    * corpus-scale (source, b) partial-aggregable shuffle carries the
+    * weighted sums; the rank pick runs per source on B-row groups
+    * (domain-bounded window class) and the full-sample rollup reuses
+    * the source key.
+    */
+  private def q262(t: Tables): DataFrame = {
+    val B = 200
+    val docs = t.documents
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("len"))
+    val weighted = docs
+      .select(col("doc_id"), col("source"), col("len"),
+        explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+      .withColumn(
+        "u",
+        expr("((((((doc_id * 131071 + b + 1) % 2147483648) * 2654435761) % 2147483648) " +
+          "* 2654435761 % 2147483648) * 10000000) DIV 2147483648"))
+      .withColumn(
+        "w",
+        expr(Seq(3678794L, 7357589L, 9196986L, 9810118L, 9963402L, 9994058L, 9999168L)
+          .map(th => s"CASE WHEN u >= $th THEN 1L ELSE 0L END").mkString(" + ")))
+    val means = weighted
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("w") * col("len")).as("swl"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .withColumn("mean_e3", expr("(2 * 1000 * swl + sw) DIV (2 * sw)"))
+      .withColumn("n_reps", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("mean_e3"), col("b"))))
+    val ci = means
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_reps")).as("n_reps"),
+        min(when(col("rn") >= expr("CAST(ceil(0.025 * n_reps) AS BIGINT)"), col("mean_e3")))
+          .as("boot_lo_e3"),
+        min(when(col("rn") >= expr("CAST(ceil(0.975 * n_reps) AS BIGINT)"), col("mean_e3")))
+          .as("boot_hi_e3"))
+    docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("(2 * 1000 * sum(len) + count(1)) DIV (2 * count(1))").as("mean_e3"))
+      .join(ci, Seq("source"))
+      .select(
+        col("source"), col("n_docs"), col("mean_e3"),
+        col("boot_lo_e3"), col("boot_hi_e3"),
+        (col("boot_hi_e3") - col("boot_lo_e3")).as("ci_width_e3"))
+      .orderBy(col("source"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_gains_curve" -> ((s, d) => q254(Tables(s, d))),
     "q253_line_sequence" -> ((s, d) => q253(Tables(s, d))),
     "q252_hll_rollup" -> ((s, d) => q252(Tables(s, d))),
     "q255_kll_quantiles" -> ((s, d) => q255(Tables(s, d))),
     "q257_km_survival" -> ((s, d) => q257(Tables(s, d))),
+    "q261_benford_audit" -> ((s, d) => q261(Tables(s, d))),
+    "q262_bootstrap_ci" -> ((s, d) => q262(Tables(s, d))),
     "q258_neyman_allocation" -> ((s, d) => q258(Tables(s, d))),
     "q260_scd2_intervals" -> ((s, d) => q260(Tables(s, d))),
     "q251_theils_u" -> ((s, d) => q251(Tables(s, d))),
@@ -2582,6 +2696,64 @@ object Extras extends QueryModule {
         | CAST(max(mx - mn) AS BIGINT) AS max_span,
         | min(l_orderkey) AS example_orderkey
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q261_benford_audit" ->
+      """WITH d AS (
+        | SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |  AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        | FROM orders),
+        | h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM d GROUP BY 1),
+        | t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM h)
+        |SELECT digit, n_orders,
+        | (2 * 1000000 * n_orders + n_total) // (2 * n_total) AS share_e6,
+        | CAST(floor(log2((CAST(digit AS DOUBLE) + 1.0) / CAST(digit AS DOUBLE))
+        |  / log2(CAST(10.0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS benford_e6,
+        | (2 * 1000000 * n_orders + n_total) // (2 * n_total)
+        |  - CAST(floor(log2((CAST(digit AS DOUBLE) + 1.0) / CAST(digit AS DOUBLE))
+        |   / log2(CAST(10.0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS delta_e6
+        |FROM h CROSS JOIN t ORDER BY digit""".stripMargin,
+    "q262_bootstrap_ci" ->
+      """WITH d AS (
+        | SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents),
+        | g AS (SELECT doc_id, source, len, unnest(range(0, 200)) AS b FROM d),
+        | u AS (
+        | SELECT source, len,
+        |  ((((((doc_id * 131071 + b + 1) % 2147483648) * 2654435761) % 2147483648)
+        |   * 2654435761 % 2147483648) * 10000000) // 2147483648 AS u, b
+        | FROM g),
+        | w AS (
+        | SELECT source, len, b,
+        |  (CASE WHEN u >= 3678794 THEN 1 ELSE 0 END
+        |   + CASE WHEN u >= 7357589 THEN 1 ELSE 0 END
+        |   + CASE WHEN u >= 9196986 THEN 1 ELSE 0 END
+        |   + CASE WHEN u >= 9810118 THEN 1 ELSE 0 END
+        |   + CASE WHEN u >= 9963402 THEN 1 ELSE 0 END
+        |   + CASE WHEN u >= 9994058 THEN 1 ELSE 0 END
+        |   + CASE WHEN u >= 9999168 THEN 1 ELSE 0 END) AS w
+        | FROM u),
+        | m AS (
+        | SELECT source, b,
+        |  CAST((2 * 1000 * sum(w * len) + sum(w)) // (2 * sum(w)) AS BIGINT) AS mean_e3
+        | FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+        | r AS (
+        | SELECT source, mean_e3,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_reps,
+        |  row_number() OVER (PARTITION BY source ORDER BY mean_e3, b) AS rn
+        | FROM m),
+        | ci AS (
+        | SELECT source, max(n_reps) AS n_reps,
+        |  min(CASE WHEN rn >= CAST(ceil(0.025 * n_reps) AS BIGINT) THEN mean_e3 END)
+        |   AS boot_lo_e3,
+        |  min(CASE WHEN rn >= CAST(ceil(0.975 * n_reps) AS BIGINT) THEN mean_e3 END)
+        |   AS boot_hi_e3
+        | FROM r GROUP BY 1),
+        | pt AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST((2 * 1000 * sum(len) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_e3
+        | FROM d GROUP BY 1)
+        |SELECT pt.source, n_docs, mean_e3, boot_lo_e3, boot_hi_e3,
+        | boot_hi_e3 - boot_lo_e3 AS ci_width_e3
+        |FROM pt JOIN ci ON ci.source = pt.source
+        |ORDER BY pt.source""".stripMargin,
     "q257_km_survival" ->
       """WITH fin AS (
         | SELECT l_orderkey, max(l_shipdate) AS ship FROM lineitem GROUP BY 1),
