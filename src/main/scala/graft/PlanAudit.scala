@@ -610,6 +610,12 @@ object PlanAudit {
     // the stores-mode ledger read drops the day agg — measured 4 there,
     // pinned in storeExchangeBudget)
     "q252_hll_rollup" -> 5,
+    // q263 (r17): the three synchronous PageRank rounds run on
+    // CHECKPOINTED relations outside this plan (q62/q147's loop class —
+    // per round one edge-keyed join+agg, candidate-bounded, measured 7
+    // textual per round at build time); the printed plan is the final
+    // checkpointed rank vector + TakeOrdered (measured 0)
+    "q263_pagerank" -> 0,
     // q261 (r17): the 9-key digit rollup (prints once per consuming
     // branch — histogram AND the 1-row totals; AQE reuses) + the totals'
     // single-partition agg + sort — everything post-rollup is 9 rows

@@ -1114,6 +1114,75 @@ object Dedup extends QueryModule {
     * over edge endpoints; the two degree fetches join back edge-keyed;
     * everything after is a |graphs|-row fold.
     */
+  /** PageRank over the LSH candidate graph (Brin & Page 1998; 3 damped
+    * iterations, d = 0.85 — new r17, the GRAPH-CENTRALITY closure of the
+    * dup-graph family: q62 labels components, q147/q169 size them, q172
+    * measures transitivity, q212 degree mixing; this ranks WHICH
+    * documents sit at the center of the duplication structure — the
+    * boilerplate hubs a curation pass should inspect first, where raw
+    * degree (q212's axis) over-counts tight cliques): per node of the
+    * candidate-pair graph, degree and the e6 rank after 3 synchronous
+    * iterations from the uniform start, top-50 by rank.
+    *
+    * Exactness: ranks live in e6 longs; each neighbor contribution
+    * 0.85·r(u)/deg(u) half-up-rounds PER TERM — (2·850000·r +
+    * 10⁶·deg) DIV (2·10⁶·deg) — then sums exactly (q209's rule), plus
+    * the teleport (2·150000 + N) DIV (2·N); every quantity is ≥ 0, so
+    * Spark's truncating DIV and DuckDB's floor `//` agree. The
+    * undirected graph has no dangling nodes (every node has its own
+    * edges back), so no leaked-mass correction is needed.
+    *
+    * Scale shape: UNLIKE the |types|²-bounded q209/q220 chains, this
+    * graph is data-scale — so the iteration stays IN THE ENGINE: three
+    * unrolled edge-keyed join+agg rounds over the candidate-bounded
+    * edge list (each exchange is |edges| rows, never corpus²), the
+    * node/degree relations broadcast-scale joins, and the session
+    * pairStats cache feeds the edge list like every verify-family
+    * consumer. Top-50 is TakeOrderedAndProject.
+    */
+  private def q263(t: Tables): DataFrame = {
+    val edges = lshCandidates(t).select(col("doc_a"), col("doc_b"))
+    // ONE LSH derivation feeds all three iterations: the directed edge
+    // list is checkpointed (candidate-bounded — q248's class) so the
+    // unrolled rounds join a materialized relation instead of
+    // re-printing (and without the session cache, re-paying) the
+    // signature chain once per consuming branch
+    val dir = graft.Iterate.cutLineage(
+      edges
+        .unionAll(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nR = deg.agg(count(lit(1)).as("nn"))
+    var r = deg
+      .join(broadcast(nR))
+      .select(col("src").as("node"), col("deg"), expr("1000000 DIV nn").as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = dir
+        .join(
+          r.select(col("node").as("src"), col("deg").as("sdeg"), col("r").as("sr")),
+          Seq("src"))
+        .select(
+          col("dst").as("node"),
+          expr("(2 * 850000 * sr + 1000000 * sdeg) DIV (2 * 1000000 * sdeg)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      // cut lineage per round (node-scale relation): the rank vector's
+      // plan would otherwise double per iteration — both the contrib
+      // branch and the teleport/base branch re-print it (q62's loop
+      // discipline; 3 rounds measured 24 textual exchanges uncut, 7 cut)
+      r = graft.Iterate.cutLineage(
+        r.select(col("node"), col("deg"))
+          .join(contrib, Seq("node"), "left")
+          .join(broadcast(nR))
+          .withColumn(
+            "r",
+            expr("(2 * 150000 + nn) DIV (2 * nn)") + coalesce(col("contrib"), lit(0L)))
+          .select(col("node"), col("deg"), col("r")))
+    }
+    r.select(col("node").as("doc_id"), col("deg").as("degree"), col("r").as("pr_e6"))
+      .orderBy(col("pr_e6").desc, col("doc_id"))
+      .limit(50)
+  }
+
   private def q212(t: Tables): DataFrame = {
     val big: Column => Column =
       if (t.spark.conf.get("graft.assort.decimal", "false").toBoolean) _.cast("decimal(38,0)")
@@ -2688,6 +2757,7 @@ object Dedup extends QueryModule {
     "q35_exact_dedup" -> ((s, d) => q35(Tables(s, d))),
     "q36_minhash_sigs" -> ((s, d) => q36(Tables(s, d))),
     "q37_lsh_pairs" -> ((s, d) => q37(Tables(s, d))),
+    "q263_pagerank" -> ((s, d) => q263(Tables(s, d))),
     "q38_ngram_jaccard" -> ((s, d) => q38(Tables(s, d))),
     "q39_simhash" -> ((s, d) => q39(Tables(s, d)))
   )
@@ -3787,6 +3857,41 @@ object Dedup extends QueryModule {
       s"""WITH $duckJpairsCtes
          |SELECT doc_a, doc_b, jaccard FROM jpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q263_pagerank" -> {
+      def step(k: Int): String = {
+        val prev = s"r${k - 1}"
+        s""" s$k AS (
+           | SELECT e.dst AS node,
+           |  CAST(sum((2 * 850000 * $prev.r + 1000000 * $prev.deg)
+           |   // (2 * 1000000 * $prev.deg)) AS BIGINT) AS contrib
+           | FROM e JOIN $prev ON $prev.node = e.src GROUP BY 1),
+           | r$k AS (
+           | SELECT $prev.node, $prev.deg,
+           |  (2 * 150000 + nn) // (2 * nn) + coalesce(contrib, 0) AS r
+           | FROM $prev LEFT JOIN s$k ON s$k.node = $prev.node CROSS JOIN nn)"""
+          .stripMargin
+      }
+      s"""WITH w AS ($duckWords),
+         | shl AS (SELECT doc_id, $shinglesDuck AS shingles FROM w),
+         | sh AS (SELECT doc_id, $duckHashes AS hashes FROM shl),
+         | sigs AS (
+         | $duckShingleArms
+         | ),
+         | cand AS (
+         |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+         |  FROM sigs s1 JOIN sigs s2
+         |   ON s1.band = s2.band AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id),
+         | e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |       UNION ALL SELECT doc_b, doc_a FROM cand),
+         | deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         | nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM deg),
+         | r0 AS (SELECT src AS node, deg, 1000000 // nn AS r FROM deg CROSS JOIN nn),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT node AS doc_id, deg AS degree, CAST(r AS BIGINT) AS pr_e6
+         |FROM r3 ORDER BY pr_e6 DESC, doc_id LIMIT 50""".stripMargin
+    },
     "q39_simhash" -> {
       val ones = onesExprs("//").mkString(",\n  ")
       s"""WITH wv AS (
