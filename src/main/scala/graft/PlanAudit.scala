@@ -122,7 +122,10 @@ object PlanAudit {
       // r17: q259's query-term IN filter culls the exploded token stream
       // map-side (q98's class exactly) — above a computed split, nothing
       // at the scan to push; the scan still prunes to (doc_id, text)
-      "q259_ql_dirichlet")
+      "q259_ql_dirichlet",
+      // r17: q264's bigram guards are q151's class exactly (above the
+      // computed split; scan prunes to (doc_id, source, text))
+      "q264_min_k_prob")
   // q83's running-max window runs over the per-batch maxima relation —
   // |batches| rows (stream duration / batch interval), never event volume.
   // q136's cumulative runs over the count-of-counts HISTOGRAM — ≤ √(2·Σ)
@@ -863,6 +866,12 @@ object PlanAudit {
     // measured 4 — r16 pinned a slack 5 and its default-map comment was
     // the accurate one)
     "q252_hll_rollup" -> 4,
+    // chain merge agg → w1 marginal window → ONE doc-keyed exchange
+    // shared by the rank window and the per-doc rollup (the (w1,w2)
+    // join broadcasts the vocab side); TakeOrdered — the corpus side
+    // still explodes doc bigrams by design (the score is per-document)
+    // — q151's stores class (measured 3)
+    "q264_min_k_prob" -> 3,
     // stored day-sketch ledger read replaces the corpus KLL agg; the
     // exact nearest-rank audit still scans (it is the verification
     // input) — the (wk, v) histogram chain prints per consuming branch

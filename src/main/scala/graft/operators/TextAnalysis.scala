@@ -774,6 +774,55 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** Min-K% Prob memorization screen (Shi et al. 2024's pretraining-data
+    * membership-inference statistic, the bigram-LM form — new r17, the
+    * score-level closure of the decontamination family: q75/q120/q143
+    * detect VERBATIM window overlap, q105/q113 fingerprint spans; this
+    * flags documents whose LEAST-predictable fifth is still predictable,
+    * the profile of text the model/corpus has effectively memorized
+    * where a mean over all tokens (q151's perplexity) lets a few rare
+    * words hide it): per document, the mean surprise (e3 bits) of its
+    * k=20% HIGHEST-surprise bigrams — low even there ⇒ memorized/
+    * boilerplate; top-30 most-suspicious (ascending score, doc_id
+    * tie-break) with source and the full-doc mean for contrast.
+    *
+    * Exactness: per-bigram bits are q151's exact convention verbatim
+    * (one -log2 on the exact count ratio, e3 half-up); the k-subset is
+    * deterministic — k = ceil(n/5) as the integer (n+4) DIV 5, ranked
+    * by (bits DESC, w1, w2) so ties cannot reorder across engines; both
+    * means are half-up integer divisions.
+    *
+    * Scale shape: q151's LM chain (stored-bigram-backed under
+    * `graft.bigram.store`); ONE doc-keyed window ranks each document's
+    * own bigrams (corpus-linear, q10's class); top-30 is TakeOrdered.
+    */
+  private def q264(t: Tables): DataFrame = {
+    val stream = docBigrams(t, Seq("doc_id", "source"))
+    val pairs = storedBigrams(t).map(_.withColumnRenamed("n", "n_bigram")).getOrElse(
+      stream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram")))
+    val byW1 = Window.partitionBy(col("w1"))
+    val lm = pairs.withColumn("n_w1", sum(col("n_bigram")).over(byW1))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bits_e3").desc, col("w1"), col("w2"))
+    stream
+      .join(lm, Seq("w1", "w2"))
+      .withColumn(
+        "bits_e3",
+        expr("CAST(floor(-log2(CAST(n_bigram AS DOUBLE) / n_w1) * 1000 + 0.5) AS BIGINT)"))
+      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("k", expr("(n + 4) DIV 5"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        max(col("n")).as("n_bigrams"),
+        max(col("k")).as("k_top"),
+        expr("(2 * sum(CASE WHEN rn <= k THEN bits_e3 ELSE 0 END) + max(k)) DIV (2 * max(k))")
+          .as("mink_bits_e3"),
+        expr("(2 * sum(bits_e3) + count(1)) DIV (2 * count(1))").as("mean_bits_e3"))
+      .orderBy(col("mink_bits_e3"), col("doc_id"))
+      .limit(30)
+  }
+
   /** Distinct-n lexical diversity per source (Li et al. 2016's distinct-1/
     * distinct-2, the generation-diversity metric applied corpus-side): the
     * share of unigram and bigram occurrences that are distinct types. A
@@ -2528,6 +2577,7 @@ object TextAnalysis extends QueryModule {
     "q102_dsir" -> ((s, d) => q102(Tables(s, d))),
     "q98_bm25" -> ((s, d) => q98(Tables(s, d))),
     "q259_ql_dirichlet" -> ((s, d) => q259(Tables(s, d))),
+    "q264_min_k_prob" -> ((s, d) => q264(Tables(s, d))),
     "q99_doc_chunks" -> ((s, d) => q99(Tables(s, d))),
     "q100_char_entropy" -> ((s, d) => q100(Tables(s, d))),
     "q80_seq_pack" -> ((s, d) => q80(Tables(s, d))),
@@ -3394,6 +3444,41 @@ object TextAnalysis extends QueryModule {
         | CAST(min(score_e3) AS BIGINT) AS min_bits_e3,
         | CAST(max(score_e3) AS BIGINT) AS max_bits_e3
         |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q264_min_k_prob" ->
+      """WITH w AS (
+        | SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+        | WHERE len(string_split(text, ' ')) >= 2),
+        | bg AS (
+        | SELECT doc_id, source, unnest(list_transform(range(1, len(words)),
+        |   i -> {'w1': words[i], 'w2': words[i + 1]})) AS b
+        | FROM w),
+        | db AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg
+        |  WHERE b.w1 <> '' AND b.w2 <> ''),
+        | cnt AS (SELECT w1, w2, count(*) AS n_bigram FROM db GROUP BY w1, w2),
+        | lm AS (SELECT w1, w2, n_bigram,
+        |   CAST(sum(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_w1 FROM cnt),
+        | bits AS (
+        | SELECT db.doc_id, db.source, db.w1, db.w2,
+        |  CAST(floor(-log2(CAST(n_bigram AS DOUBLE) / n_w1) * 1000 + 0.5) AS BIGINT)
+        |   AS bits_e3
+        | FROM db JOIN lm ON db.w1 = lm.w1 AND db.w2 = lm.w2),
+        | rk AS (
+        | SELECT doc_id, source, bits_e3,
+        |  row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY bits_e3 DESC, w1, w2) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        | FROM bits),
+        | pd AS (
+        | SELECT doc_id, source, max(n) AS n_bigrams, max((n + 4) // 5) AS k_top,
+        |  (2 * sum(CASE WHEN rn <= (n + 4) // 5 THEN bits_e3 ELSE 0 END)
+        |   + max((n + 4) // 5)) // (2 * max((n + 4) // 5)) AS mink_bits_e3,
+        |  (2 * sum(bits_e3) + count(*)) // (2 * count(*)) AS mean_bits_e3
+        | FROM rk GROUP BY 1, 2)
+        |SELECT doc_id, source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        | CAST(k_top AS BIGINT) AS k_top,
+        | CAST(mink_bits_e3 AS BIGINT) AS mink_bits_e3,
+        | CAST(mean_bits_e3 AS BIGINT) AS mean_bits_e3
+        |FROM pd ORDER BY mink_bits_e3, doc_id LIMIT 30""".stripMargin,
     "q152_distinct_ngrams" ->
       """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
         | uni AS (
