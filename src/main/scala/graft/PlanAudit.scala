@@ -613,6 +613,12 @@ object PlanAudit {
     // the stores-mode ledger read drops the day agg — measured 4 there,
     // pinned in storeExchangeBudget)
     "q252_hll_rollup" -> 5,
+    // q265 (r17): q62's component machinery (loop on checkpointed edges
+    // outside this plan, q147's class) + the corpus left join onto the
+    // labels; the two method branches each print their (method, cluster)
+    // rollup + method fold, plus the final 2-row sort — everything after
+    // the components is corpus-linear, keyed on cluster (measured 8)
+    "q265_cluster_split" -> 8,
     // q263 (r17): the three synchronous PageRank rounds run on
     // CHECKPOINTED relations outside this plan (q62/q147's loop class —
     // per round one edge-keyed join+agg, candidate-bounded, measured 7

@@ -1183,6 +1183,64 @@ object Dedup extends QueryModule {
       .limit(50)
   }
 
+  /** Leakage-FREE group split assignment (scikit-learn's GroupShuffleSplit
+    * discipline applied to dup clusters — new r17, the FIX the
+    * leakage-measurement family diagnoses the need for: q120/q143/q146
+    * quantify how much a naive per-doc split leaks through near-dup
+    * windows, q110 the distribution shift; this is the OPERATOR that
+    * makes the leak structurally zero — hash the dup-cluster LABEL, not
+    * the document, so a cluster's members can never straddle splits):
+    * per assignment method (naive doc-hash vs cluster-aware), the
+    * train/val/test doc counts, clusters, clusters SPANNING splits and
+    * the docs inside them — cluster_aware spanning is 0 BY CONSTRUCTION
+    * (spec-pinned), while the naive row shows the live leak surface.
+    * Singleton docs (outside the dup graph) are their own cluster, so
+    * both methods agree on them and the 80/10/10 shape is preserved.
+    *
+    * Determinism: the split hash is q64's seedless Knuth multiplicative
+    * form verbatim, applied to doc_id or the cluster's min-label id;
+    * components are q62's (min-label propagation ≡ the oracle's
+    * recursive reachability min).
+    *
+    * Scale shape: q62's component machinery (session-cached; its loop
+    * runs on checkpointed edges outside this plan, q147's class) + one
+    * left join onto the corpus + a (method, cluster) rollup and the
+    * 2-row method fold — everything after the components is
+    * corpus-linear, keyed on cluster.
+    */
+  private def q265(t: Tables): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val h = c % lit(2147483647L) * lit(2654435761L) % lit(100L)
+      when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    }
+    val docs = t.documents.select(col("doc_id"))
+      .join(
+        components(t).select(col("doc_id"), col("component_id")), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component_id"), col("doc_id")))
+    val long = docs
+      .select(col("doc_id"), col("cluster"), lit("naive").as("method"),
+        splitOf(col("doc_id")).as("split"))
+      .unionAll(docs.select(col("doc_id"), col("cluster"), lit("cluster_aware").as("method"),
+        splitOf(col("cluster")).as("split")))
+    long
+      .groupBy(col("method"), col("cluster"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("tr"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("va"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("te"))
+      .groupBy(col("method"))
+      .agg(
+        sum(col("tr")).as("n_train"),
+        sum(col("va")).as("n_val"),
+        sum(col("te")).as("n_test"),
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("spanning_clusters"),
+        sum(when(col("n_splits") > 1, col("n_docs")).otherwise(0L)).as("docs_in_spanning"))
+      .orderBy(col("method"))
+  }
+
   private def q212(t: Tables): DataFrame = {
     val big: Column => Column =
       if (t.spark.conf.get("graft.assort.decimal", "false").toBoolean) _.cast("decimal(38,0)")
@@ -2758,6 +2816,7 @@ object Dedup extends QueryModule {
     "q36_minhash_sigs" -> ((s, d) => q36(Tables(s, d))),
     "q37_lsh_pairs" -> ((s, d) => q37(Tables(s, d))),
     "q263_pagerank" -> ((s, d) => q263(Tables(s, d))),
+    "q265_cluster_split" -> ((s, d) => q265(Tables(s, d))),
     "q38_ngram_jaccard" -> ((s, d) => q38(Tables(s, d))),
     "q39_simhash" -> ((s, d) => q39(Tables(s, d)))
   )
@@ -3559,6 +3618,48 @@ object Dedup extends QueryModule {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS component_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q265_cluster_split" ->
+      s"""WITH RECURSIVE $duckJpairsCtes,
+         | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |           UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         | gnodes AS (SELECT DISTINCT u FROM edges),
+         | reach(u, v) AS (
+         |  SELECT u, u AS v FROM gnodes
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         | comp AS (SELECT u, min(v) AS comp FROM reach GROUP BY u),
+         | d AS (
+         | SELECT doc_id, coalesce(comp, doc_id) AS cluster
+         | FROM documents LEFT JOIN comp ON comp.u = doc_id),
+         | a AS (
+         | SELECT doc_id, cluster, 'naive' AS method,
+         |  CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+         |       WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM d
+         | UNION ALL
+         | SELECT doc_id, cluster, 'cluster_aware' AS method,
+         |  CASE WHEN ((cluster % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+         |       WHEN ((cluster % 2147483647) * 2654435761) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM d),
+         | pc AS (
+         | SELECT method, cluster, count(*) AS n_docs,
+         |  count(DISTINCT split) AS n_splits,
+         |  sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+         |  sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS va,
+         |  sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+         | FROM a GROUP BY 1, 2)
+         |SELECT method,
+         | CAST(sum(tr) AS BIGINT) AS n_train,
+         | CAST(sum(va) AS BIGINT) AS n_val,
+         | CAST(sum(te) AS BIGINT) AS n_test,
+         | CAST(count(*) AS BIGINT) AS n_clusters,
+         | CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS spanning_clusters,
+         | CAST(sum(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+         |  AS docs_in_spanning
+         |FROM pc GROUP BY 1 ORDER BY method""".stripMargin,
     "q187_window_k_sweep" -> {
       def arm(k: Int) =
         s"""SELECT CAST($k AS BIGINT) AS k, doc_id,

@@ -22,6 +22,24 @@ class DedupSemanticsSpec extends AnyFunSuite {
       s"LSH recalled $recalled of ${jac.size} true near-dup pairs")
   }
 
+  test("q265 cluster-aware split NEVER spans a dup cluster; naive split provably leaks") {
+    val rows = SparkEntry.queries("q265_cluster_split")(spark, sf).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_train"), r.getAs[Long]("n_val"), r.getAs[Long]("n_test"),
+          r.getAs[Long]("spanning_clusters"), r.getAs[Long]("docs_in_spanning"))).toMap
+    val aware = rows("cluster_aware")
+    val naive = rows("naive")
+    // the structural guarantee: hashing the cluster label cannot split a
+    // cluster — and on this corpus the naive doc-hash demonstrably does
+    assert(aware._4 == 0L && aware._5 == 0L, "cluster-aware split leaked")
+    assert(naive._4 > 0L, "fixture lost its leak signal — naive split spans no cluster")
+    // both methods conserve the corpus and keep the 80/10/10 shape
+    Seq(aware, naive).foreach { m =>
+      assert(m._1 + m._2 + m._3 == 500L)
+      assert(m._1 > m._2 && m._1 > m._3)
+    }
+  }
+
   test("exact-dedup counts are consistent with corpus size") {
     val rows = SparkEntry.queries("q35_exact_dedup")(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
