@@ -84,6 +84,56 @@ class KllStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("a streaming feed maintains the quantile ledger; day keys and masses equal a batch init") {
+    // the production maintenance path (HllStoreSpec's twin): an ingest
+    // stream appends CLOSED days per micro-batch. KLL retained items are
+    // randomized, so the final-view pins are the DETERMINISTIC ledger
+    // facts: day keys, per-day sketch mass (getN), and quantile
+    // estimates within the sketch's rank error of a batch rebuild.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val us = 86400L * 1000000L
+    def ev(day: Long, v: Double): (Long, Double) = (day * us + (v * 100).toLong, v)
+    val batches = Seq(
+      Seq(ev(0, 1.0), ev(0, 2.0), ev(1, 5.0), ev(1, 7.0), ev(1, 9.0)),
+      Seq(ev(2, 10.0), ev(2, 20.0), ev(2, 30.0)),
+      Seq(ev(3, 4.0), ev(4, 8.0), ev(4, 6.0)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val ms = MemoryStream[(Long, Double)]
+      val q = ms.toDF()
+        .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("value"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (i == 0 && KllStore.currentVersion(spark, dir).isEmpty)
+            KllStore.init(spark, dir, batch, corpus = "mem")
+          else KllStore.append(spark, dir, batch, corpus = "mem")
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      ms.addData(b: _*)
+      q.processAllAvailable(); q.stop()
+    }
+    val all = batches.flatten.toDF("_1", "_2")
+      .select(timestamp_micros(col("_1")).as("ts"), col("_2").as("value"))
+    val streamed = KllStore.sketches(spark, dir).collect()
+      .map(r => r.getLong(0) -> heap(r.getAs[Array[Byte]]("sk"))).toMap
+    val fresh = KllStore.daySketches(all).collect()
+      .map(r => r.getLong(0) -> heap(r.getAs[Array[Byte]]("sk"))).toMap
+    assert(streamed.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(streamed.keySet == fresh.keySet)
+    streamed.foreach { case (day, sk) =>
+      assert(sk.getN == fresh(day).getN, s"day $day mass diverges from batch build")
+      // tiny exact day sets: the sketch holds every item, so the medians
+      // agree exactly despite KLL's randomized compaction
+      assert(sk.getQuantile(0.5, QuantileSearchCriteria.INCLUSIVE) ==
+        fresh(day).getQuantile(0.5, QuantileSearchCriteria.INCLUSIVE))
+    }
+  }
+
   test("corpus provenance: mismatched ledgers are refused at read and append") {
     val dir = tmp()
     val t = Tables(spark, sf)
