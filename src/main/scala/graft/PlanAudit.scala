@@ -635,6 +635,11 @@ object PlanAudit {
     // CI rollup (shares the source key) + the full-sample source rollup
     // + the assembly join + sort (measured 4)
     "q262_bootstrap_ci" -> 4,
+    // q266 (r17): both HRW argmaxes are per-row array folds next to the
+    // scan (no explode, no join); the ONE data exchange is the
+    // partial-aggregable (method, shard) rollup onto <= 34 keys, then
+    // the 2-key method fold + 2-row sort (measured 3)
+    "q266_shard_rebalance" -> 3,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

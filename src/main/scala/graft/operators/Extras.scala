@@ -2591,6 +2591,73 @@ object Extras extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Shard-rebalance audit — rendezvous (highest-random-weight) hashing
+    * vs modulo placement when the shard count grows 16 → 17 (Thaler &
+    * Ravishankar 1998; the consistent-placement property Karger et al.
+    * 1997 made famous — the PLACEMENT-DESIGN operator the split family
+    * stops short of: q64/q103 assign static splits, this measures what a
+    * topology CHANGE costs each scheme): per method, docs, docs whose
+    * shard changes, the movement share (e6), how many of the moved land
+    * on the NEW shard (for HRW that is ALL of them — minimal disruption
+    * is the theorem, spec-pinned), and the max/min shard load after the
+    * grow. Modulo placement reshuffles ~16/17 of the corpus for the same
+    * event; at 100 TB that asymmetry is the difference between a
+    * one-evening topology change and a week of cluster I/O.
+    *
+    * Determinism: the per-(doc, shard) weight is q64's seedless Knuth
+    * multiplicative hash re-mixed per shard (pure BIGINT arithmetic,
+    * engine-stable); the argmax packs the weight and the shard id into
+    * ONE long (h·32 + s) so list-max needs no struct ordering and ties
+    * resolve to the larger shard id identically in both engines.
+    *
+    * Scale shape: both argmaxes are per-row array folds NEXT TO THE SCAN
+    * (codegen'd transform/array_max over a 16/17-element literal range —
+    * no explode, no join, no shuffle for candidate weights); the 2×
+    * method unpivot rides the same map side, and the ONLY exchange is
+    * the partial-aggregable rollup onto ≤ 2·17 (method, shard) keys plus
+    * the 2-row method fold.
+    */
+  private def q266(t: Tables): DataFrame = {
+    // the per-shard weight must be NONLINEAR in s: a single multiplicative
+    // round makes the 16/17 weights an arithmetic progression mod p, whose
+    // argmax barely moves when a term is appended (probed 2/500 moved,
+    // loads 2..40). Squaring the mixed value mod p (mid-square) breaks the
+    // linearity: probed 37/500 moved (E = 500/17 ~ 29), loads 19..38.
+    def hrwPick(n: Int): String = {
+      val m1 = "((h0 + (s + 1) * 40503) * 2654435761) % 2147483647"
+      s"array_max(transform(sequence(0, ${n - 1}), " +
+        s"s -> ($m1) * ($m1) % 2147483647 * 32 + s)) % 32"
+    }
+    val assigned = t.documents
+      .select(col("doc_id"))
+      .withColumn("h0", expr("(doc_id % 2147483647) * 2654435761 % 2147483647"))
+      .withColumn("r16", expr(hrwPick(16)))
+      .withColumn("r17", expr(hrwPick(17)))
+      .select(
+        explode(array(
+          struct(lit("rendezvous").as("method"), col("r16").as("s_old"), col("r17").as("s_new")),
+          struct(lit("mod").as("method"),
+            expr("h0 % 16").as("s_old"), expr("h0 % 17").as("s_new")))).as("a"))
+      .select(col("a.method"), col("a.s_old"), col("a.s_new"))
+    assigned
+      .groupBy(col("method"), col("s_new"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("s_old") =!= col("s_new"), 1L).otherwise(0L)).as("mv"),
+        sum(when(col("s_old") =!= col("s_new") && col("s_new") === 16, 1L).otherwise(0L))
+          .as("mvn"))
+      .groupBy(col("method"))
+      .agg(
+        sum(col("n")).as("n_docs"), sum(col("mv")).as("n_moved"),
+        sum(col("mvn")).as("moved_to_new"),
+        max(col("n")).as("max_load"), min(col("n")).as("min_load"))
+      .withColumn("moved_share_e6", expr("(2 * 1000000 * n_moved + n_docs) DIV (2 * n_docs)"))
+      .select(
+        col("method"), col("n_docs"), col("n_moved"), col("moved_share_e6"),
+        col("moved_to_new"), col("max_load"), col("min_load"))
+      .orderBy(col("method"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_gains_curve" -> ((s, d) => q254(Tables(s, d))),
     "q253_line_sequence" -> ((s, d) => q253(Tables(s, d))),
@@ -2599,6 +2666,7 @@ object Extras extends QueryModule {
     "q257_km_survival" -> ((s, d) => q257(Tables(s, d))),
     "q261_benford_audit" -> ((s, d) => q261(Tables(s, d))),
     "q262_bootstrap_ci" -> ((s, d) => q262(Tables(s, d))),
+    "q266_shard_rebalance" -> ((s, d) => q266(Tables(s, d))),
     "q258_neyman_allocation" -> ((s, d) => q258(Tables(s, d))),
     "q260_scd2_intervals" -> ((s, d) => q260(Tables(s, d))),
     "q251_theils_u" -> ((s, d) => q251(Tables(s, d))),
@@ -2754,6 +2822,36 @@ object Extras extends QueryModule {
         | boot_hi_e3 - boot_lo_e3 AS ci_width_e3
         |FROM pt JOIN ci ON ci.source = pt.source
         |ORDER BY pt.source""".stripMargin,
+    "q266_shard_rebalance" ->
+      """WITH d AS (
+        | SELECT doc_id, (doc_id % 2147483647) * 2654435761 % 2147483647 AS h0 FROM documents),
+        | a AS (
+        | SELECT doc_id, h0,
+        |  list_max(list_transform(range(0, 16),
+        |   s -> (((h0 + (s + 1) * 40503) * 2654435761) % 2147483647)
+        |        * (((h0 + (s + 1) * 40503) * 2654435761) % 2147483647)
+        |        % 2147483647 * 32 + s)) % 32 AS r16,
+        |  list_max(list_transform(range(0, 17),
+        |   s -> (((h0 + (s + 1) * 40503) * 2654435761) % 2147483647)
+        |        * (((h0 + (s + 1) * 40503) * 2654435761) % 2147483647)
+        |        % 2147483647 * 32 + s)) % 32 AS r17
+        | FROM d),
+        | u AS (
+        | SELECT 'rendezvous' AS method, r16 AS s_old, r17 AS s_new FROM a
+        | UNION ALL
+        | SELECT 'mod' AS method, h0 % 16 AS s_old, h0 % 17 AS s_new FROM a),
+        | g AS (
+        | SELECT method, s_new, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT) AS mv,
+        |  CAST(sum(CASE WHEN s_old <> s_new AND s_new = 16 THEN 1 ELSE 0 END) AS BIGINT) AS mvn
+        | FROM u GROUP BY 1, 2)
+        |SELECT method, CAST(sum(n) AS BIGINT) AS n_docs,
+        | CAST(sum(mv) AS BIGINT) AS n_moved,
+        | (2 * 1000000 * CAST(sum(mv) AS BIGINT) + CAST(sum(n) AS BIGINT))
+        |   // (2 * CAST(sum(n) AS BIGINT)) AS moved_share_e6,
+        | CAST(sum(mvn) AS BIGINT) AS moved_to_new,
+        | max(n) AS max_load, min(n) AS min_load
+        |FROM g GROUP BY method ORDER BY method""".stripMargin,
     "q257_km_survival" ->
       """WITH fin AS (
         | SELECT l_orderkey, max(l_shipdate) AS ship FROM lineitem GROUP BY 1),

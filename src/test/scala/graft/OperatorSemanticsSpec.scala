@@ -167,6 +167,24 @@ class LakeSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q266 rendezvous rebalance moves ONLY to the new shard; modulo reshuffles the corpus") {
+    val rows = SparkEntry.queries("q266_shard_rebalance")(spark, sf).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_moved"), r.getAs[Long]("moved_to_new"),
+          r.getAs[Long]("max_load"), r.getAs[Long]("min_load"))).toMap
+    val hrw = rows("rendezvous")
+    val mod = rows("mod")
+    assert(hrw._1 == mod._1, "both methods place the same corpus")
+    // the HRW theorem: a doc moves iff the NEW shard wins its argmax — no
+    // doc ever moves between two pre-existing shards
+    assert(hrw._2 == hrw._3, "rendezvous moved a doc to a pre-existing shard")
+    // minimal disruption: HRW moves ~1/17, modulo ~16/17 — an order of
+    // magnitude apart at any corpus size
+    assert(hrw._2 * 5 < mod._2, s"HRW moved ${hrw._2} vs modulo ${mod._2}")
+    // every shard is populated after the grow (placement is usable)
+    assert(hrw._5 > 0 && mod._5 > 0)
+  }
+
   test("q257 KM curve: risk set is monotone non-increasing and starts at the full cohort") {
     val rows = SparkEntry.queries("q257_km_survival")(spark, sf).collect()
       .map(r => (r.getAs[Long]("wk"), r.getAs[Long]("n_events"), r.getAs[Long]("n_at_risk"),
