@@ -640,6 +640,12 @@ object PlanAudit {
     // partial-aggregable (method, shard) rollup onto <= 34 keys, then
     // the 2-key method fold + 2-row sort (measured 3)
     "q266_shard_rebalance" -> 3,
+    // q267 (r17): the ONE corpus-scale exchange is the (prio, month)
+    // revenue rollup — it prints per consuming branch (pair-join a/b
+    // sides + tie rollup; AQE reuses). Everything after runs on the
+    // <= |prios|*|months| grid: S agg, tie fold, Sen median window,
+    // the two result joins + 5-row sort (measured 9 textual)
+    "q267_trend_audit" -> 9,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

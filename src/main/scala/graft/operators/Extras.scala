@@ -2658,6 +2658,81 @@ object Extras extends QueryModule {
       .orderBy(col("method"))
   }
 
+  /** Mann-Kendall trend test + Theil-Sen slope on monthly order volume
+    * per priority (Mann 1945 / Kendall 1948; Sen 1968 — the ROBUST
+    * nonparametric trend pair every monitoring stack runs before
+    * alerting on "volume is drifting": q138 flags single anomalous
+    * days against a global band, q204 scores a seasonal-naive
+    * forecast; this answers the third question — is there a MONOTONE
+    * drift, with a significance statistic that no single outlier month
+    * can swing): per order priority, months observed, the exact integer
+    * S statistic (Σ sign of all pairwise monthly-revenue differences —
+    * revenue, not order counts: the integer-count series' pairwise
+    * slopes are mostly exact ties, collapsing the Sen median to a
+    * constant 0), the EXACT 18·Var(S) integer (tie-corrected:
+    * m(m−1)(2m+5) − Σ t(t−1)(2t+5) over tied value groups — kept as
+    * the un-divided integer so the hash compare is exact), the
+    * continuity-corrected Z in e4, and the Theil-Sen slope
+    * (nearest-rank lower median of all pairwise slopes) in cents/month.
+    *
+    * Exactness: S and 18·Var(S) are pure integer arithmetic; Z is one
+    * sqrt + one division on the same integers both engines (the
+    * one-transcendental rule); each pairwise slope is an IEEE division
+    * of two small exact integers, the median PICKS one such value by
+    * row_number over (slope, m1, m2) — a unique total order — and only
+    * the picked value quantizes e4.
+    *
+    * Scale shape: ONE corpus-scale partial-aggregable rollup onto the
+    * ≤|priorities|·|months| grid; the pair self-join, tie rollup, and
+    * median window all run on that bounded relation (q204's |days|²
+    * metadata-grid class — the corpus is never touched again).
+    */
+  private def q267(t: Tables): DataFrame = {
+    val monthly = t.orders
+      .select(col("o_orderpriority").as("prio"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").cast("long").as("mi"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("rev"))
+      .groupBy(col("prio"), col("mi"))
+      .agg(sum(col("rev")).as("n"))
+    val pairs = monthly.as("a")
+      .join(monthly.as("b"), col("a.prio") === col("b.prio") && col("a.mi") < col("b.mi"))
+      .select(
+        col("a.prio").as("prio"), col("a.mi").as("m1"), col("b.mi").as("m2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .withColumn("sgn", when(col("n2") > col("n1"), 1L).when(col("n2") < col("n1"), -1L).otherwise(0L))
+      .withColumn("slope", (col("n2") - col("n1")).cast("double") / (col("m2") - col("m1")).cast("double"))
+    val sStat = pairs.groupBy(col("prio")).agg(sum(col("sgn")).as("s_stat"))
+    val ties = monthly
+      .groupBy(col("prio"), col("n")).agg(count(lit(1)).as("tt"))
+      .groupBy(col("prio"))
+      .agg(
+        sum(col("tt")).as("n_months"),
+        sum(expr("tt * (tt - 1) * (2 * tt + 5)")).as("tie_term"))
+      .withColumn(
+        "var18",
+        expr("n_months * (n_months - 1) * (2 * n_months + 5) - tie_term"))
+    val medW = Window.partitionBy(col("prio")).orderBy(col("slope"), col("m1"), col("m2"))
+    val sen = pairs
+      .withColumn("rn", row_number().over(medW))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("prio"))))
+      .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+      .select(col("prio"),
+        expr("CAST(floor(slope + 0.5) AS BIGINT)").as("sen_slope_c_mo"))
+    sStat
+      .join(ties, Seq("prio"))
+      .join(sen, Seq("prio"))
+      .withColumn(
+        "z_e4",
+        expr("""CAST(floor(CASE
+          | WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)
+          | WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
+          | ELSE 0.0 END * 10000 + 0.5) AS BIGINT)""".stripMargin))
+      .select(
+        col("prio"), col("n_months"), col("s_stat"), col("var18"),
+        col("z_e4"), col("sen_slope_c_mo"))
+      .orderBy(col("prio"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_gains_curve" -> ((s, d) => q254(Tables(s, d))),
     "q253_line_sequence" -> ((s, d) => q253(Tables(s, d))),
@@ -2667,6 +2742,7 @@ object Extras extends QueryModule {
     "q261_benford_audit" -> ((s, d) => q261(Tables(s, d))),
     "q262_bootstrap_ci" -> ((s, d) => q262(Tables(s, d))),
     "q266_shard_rebalance" -> ((s, d) => q266(Tables(s, d))),
+    "q267_trend_audit" -> ((s, d) => q267(Tables(s, d))),
     "q258_neyman_allocation" -> ((s, d) => q258(Tables(s, d))),
     "q260_scd2_intervals" -> ((s, d) => q260(Tables(s, d))),
     "q251_theils_u" -> ((s, d) => q251(Tables(s, d))),
@@ -2852,6 +2928,41 @@ object Extras extends QueryModule {
         | CAST(sum(mvn) AS BIGINT) AS moved_to_new,
         | max(n) AS max_load, min(n) AS min_load
         |FROM g GROUP BY method ORDER BY method""".stripMargin,
+    "q267_trend_audit" ->
+      """WITH m AS (
+        | SELECT o_orderpriority AS prio,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS n
+        | FROM orders GROUP BY 1, 2),
+        | p AS (
+        | SELECT a.prio, a.mi AS m1, b.mi AS m2, a.n AS n1, b.n AS n2,
+        |  CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn,
+        |  CAST(b.n - a.n AS DOUBLE) / CAST(b.mi - a.mi AS DOUBLE) AS slope
+        | FROM m a JOIN m b ON a.prio = b.prio AND a.mi < b.mi),
+        | s AS (SELECT prio, CAST(sum(sgn) AS BIGINT) AS s_stat FROM p GROUP BY 1),
+        | tg AS (SELECT prio, n, CAST(count(*) AS BIGINT) AS tt FROM m GROUP BY 1, 2),
+        | t AS (
+        | SELECT prio, CAST(sum(tt) AS BIGINT) AS n_months,
+        |  CAST(sum(tt) AS BIGINT) * (CAST(sum(tt) AS BIGINT) - 1)
+        |    * (2 * CAST(sum(tt) AS BIGINT) + 5)
+        |   - CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS var18
+        | FROM tg GROUP BY 1),
+        | r AS (
+        | SELECT prio, slope,
+        |  row_number() OVER (PARTITION BY prio ORDER BY slope, m1, m2) AS rn,
+        |  count(*) OVER (PARTITION BY prio) AS cnt
+        | FROM p),
+        | sen AS (
+        | SELECT prio, CAST(floor(slope + 0.5) AS BIGINT) AS sen_slope_c_mo
+        | FROM r WHERE rn = (cnt + 1) // 2)
+        |SELECT s.prio, n_months, s_stat, var18,
+        | CAST(floor(CASE
+        |  WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)
+        |  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
+        |  ELSE 0.0 END * 10000 + 0.5) AS BIGINT) AS z_e4,
+        | sen_slope_c_mo
+        |FROM s JOIN t ON t.prio = s.prio JOIN sen ON sen.prio = s.prio
+        |ORDER BY s.prio""".stripMargin,
     "q257_km_survival" ->
       """WITH fin AS (
         | SELECT l_orderkey, max(l_shipdate) AS ship FROM lineitem GROUP BY 1),

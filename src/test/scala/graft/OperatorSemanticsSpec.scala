@@ -185,6 +185,34 @@ class LakeSemanticsSpec extends AnyFunSuite {
     assert(hrw._5 > 0 && mod._5 > 0)
   }
 
+  test("q267 Mann-Kendall S and Theil-Sen median match a scalar recompute") {
+    val rows = SparkEntry.queries("q267_trend_audit")(spark, sf).collect()
+    val monthly = Tables(spark, sf).orders
+      .select(col("o_orderpriority").as("prio"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").cast("long").as("mi"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("rev"))
+      .groupBy("prio", "mi").agg(sum("rev").as("n")).collect()
+      .map(r => (r.getAs[String]("prio"), r.getAs[Long]("mi"), r.getAs[Long]("n")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val series = monthly(r.getAs[String]("prio")).map(x => (x._2, x._3)).sortBy(_._1)
+      val pairs = for {
+        Seq((m1, n1), (m2, n2)) <- series.combinations(2).toSeq.map(_.toSeq)
+      } yield (math.signum((n2 - n1).toDouble).toLong, (n2 - n1).toDouble / (m2 - m1))
+      val m = series.length.toLong
+      assert(r.getAs[Long]("n_months") == m)
+      assert(r.getAs[Long]("s_stat") == pairs.map(_._1).sum)
+      assert(math.abs(r.getAs[Long]("s_stat")) <= m * (m - 1) / 2)
+      assert(r.getAs[Long]("var18") <= m * (m - 1) * (2 * m + 5))
+      // Z carries S's sign; Sen median equals the scalar nearest-rank pick
+      assert(java.lang.Long.signum(r.getAs[Long]("z_e4")) ==
+        java.lang.Long.signum(r.getAs[Long]("s_stat")))
+      val slopes = pairs.map(_._2).sorted
+      val med = slopes((slopes.length + 1) / 2 - 1)
+      assert(r.getAs[Long]("sen_slope_c_mo") == math.floor(med + 0.5).toLong)
+    }
+  }
+
   test("q257 KM curve: risk set is monotone non-increasing and starts at the full cohort") {
     val rows = SparkEntry.queries("q257_km_survival")(spark, sf).collect()
       .map(r => (r.getAs[Long]("wk"), r.getAs[Long]("n_events"), r.getAs[Long]("n_at_risk"),
