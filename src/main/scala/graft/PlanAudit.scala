@@ -646,6 +646,13 @@ object PlanAudit {
     // <= |prios|*|months| grid: S agg, tie fold, Sen median window,
     // the two result joins + 5-row sort (measured 9 textual)
     "q267_trend_audit" -> 9,
+    // q268 (r17): five O⋈L branches (base + three delta terms +
+    // recompute audit) each print a |nations| rollup; the branches
+    // where neither join side broadcasts shuffle on o_orderkey — the
+    // co-bucket key (exchange-free on bucketed storage) — and the
+    // delta sides' scans carry pushed date predicates; 25-row
+    // full-outer assembly + sort (measured 9)
+    "q268_ivm_delta" -> 9,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

@@ -779,7 +779,77 @@ object Relational extends QueryModule {
       .orderBy(col("revenue_e2").desc, col("cust_nation"), col("supp_nation"))
       .limit(20)
 
+  /** Insert-only incremental view maintenance via the delta rule
+    * (Blakeley, Larson & Tompa 1986; Gupta & Mumick's classic Δ(R⋈S) =
+    * ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS — the mechanism that keeps a 100 TB
+    * materialized join-aggregate current for the cost of the DELTA, not
+    * a recompute; q107 applies the idea to dedup state, this is the
+    * relational original): the per-nation revenue view over
+    * orders⋈lineitem, maintained across a batch boundary at 2001-01-01
+    * where BOTH facts grow on ORTHOGONAL axes (new orders by order
+    * date, new shipments by ship date — so all three delta terms are
+    * live: base orders keep shipping lines, new orders ship against
+    * both sides). Per nation: the view before, the three delta terms,
+    * the view after (base + Δ), an independent full recompute, and the
+    * equality boolean — the IVM correctness certificate.
+    *
+    * Scale shape: the three production terms each join a DELTA side to
+    * a base side on o_orderkey — the co-bucket key (exchange-free on
+    * bucketed storage; see "Bucketed layout proof") — and their scans
+    * carry the pushed date predicates, so at 100 TB each term's cost is
+    * ∝ |Δ| with the base side partition/bucket-pruned, never |base|².
+    * The full-recompute branch is the AUDIT (declared — run once to
+    * certify, not per batch); dims broadcast; every rollup lands on the
+    * |nations| grid.
+    */
+  private def q268(t: Tables): DataFrame = {
+    val cut = lit(java.sql.Date.valueOf("2001-01-01")).cast("timestamp")
+    val o = t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = t.lineitem.select(
+      col("l_orderkey"), col("l_shipdate"),
+      expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+        .as("rev_e2"))
+    val dim = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(t.nation.select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    def term(oldOrders: Boolean, oldLines: Boolean, tag: String): DataFrame = {
+      val os = if (oldOrders) o.filter(col("o_orderdate") < cut)
+               else o.filter(col("o_orderdate") >= cut)
+      val ls = if (oldLines) l.filter(col("l_shipdate") < cut)
+               else l.filter(col("l_shipdate") >= cut)
+      os.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name")).agg(sum(col("rev_e2")).as(tag))
+    }
+    val recompute = o
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name")).agg(sum(col("rev_e2")).as("recompute_e2"))
+    term(oldOrders = true, oldLines = true, "base_e2")
+      .join(term(oldOrders = false, oldLines = true, "d_new_orders_e2"), Seq("n_name"), "full_outer")
+      .join(term(oldOrders = true, oldLines = false, "d_new_lines_e2"), Seq("n_name"), "full_outer")
+      .join(term(oldOrders = false, oldLines = false, "d_both_e2"), Seq("n_name"), "full_outer")
+      .join(recompute, Seq("n_name"), "full_outer")
+      .select(
+        col("n_name"),
+        coalesce(col("base_e2"), lit(0L)).as("base_e2"),
+        coalesce(col("d_new_orders_e2"), lit(0L)).as("d_new_orders_e2"),
+        coalesce(col("d_new_lines_e2"), lit(0L)).as("d_new_lines_e2"),
+        coalesce(col("d_both_e2"), lit(0L)).as("d_both_e2"),
+        coalesce(col("recompute_e2"), lit(0L)).as("recompute_e2"))
+      .withColumn(
+        "view_after_e2",
+        expr("base_e2 + d_new_orders_e2 + d_new_lines_e2 + d_both_e2"))
+      .withColumn("ivm_ok", col("view_after_e2") === col("recompute_e2"))
+      .select(
+        col("n_name"), col("base_e2"), col("d_new_orders_e2"), col("d_new_lines_e2"),
+        col("d_both_e2"), col("view_after_e2"), col("recompute_e2"), col("ivm_ok"))
+      .orderBy(col("n_name"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_ivm_delta" -> ((s, d) => q268(Tables(s, d))),
     "q229_disjunctive_bands" -> ((s, d) => q229(Tables(s, d))),
     "q230_stale_parts" -> ((s, d) => q230(s, d)),
     "q233_market_share" -> ((s, d) => q233(Tables(s, d))),
@@ -817,6 +887,35 @@ object Relational extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q268_ivm_delta" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_custkey, o_orderdate >= TIMESTAMP '2001-01-01' AS o_new
+        | FROM orders),
+        | l AS (
+        | SELECT l_orderkey, l_shipdate >= TIMESTAMP '2001-01-01' AS l_new,
+        |  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_e2
+        | FROM lineitem),
+        | dim AS (
+        | SELECT c_custkey, n_name FROM customer JOIN nation ON n_nationkey = c_nationkey),
+        | j AS (
+        | SELECT n_name, o_new, l_new, rev_e2
+        | FROM o JOIN l ON l_orderkey = o_orderkey JOIN dim ON c_custkey = o_custkey),
+        | agg AS (
+        | SELECT n_name,
+        |  CAST(sum(CASE WHEN NOT o_new AND NOT l_new THEN rev_e2 ELSE 0 END) AS BIGINT)
+        |    AS base_e2,
+        |  CAST(sum(CASE WHEN o_new AND NOT l_new THEN rev_e2 ELSE 0 END) AS BIGINT)
+        |    AS d_new_orders_e2,
+        |  CAST(sum(CASE WHEN NOT o_new AND l_new THEN rev_e2 ELSE 0 END) AS BIGINT)
+        |    AS d_new_lines_e2,
+        |  CAST(sum(CASE WHEN o_new AND l_new THEN rev_e2 ELSE 0 END) AS BIGINT) AS d_both_e2,
+        |  CAST(sum(rev_e2) AS BIGINT) AS recompute_e2
+        | FROM j GROUP BY 1)
+        |SELECT n_name, base_e2, d_new_orders_e2, d_new_lines_e2, d_both_e2,
+        | base_e2 + d_new_orders_e2 + d_new_lines_e2 + d_both_e2 AS view_after_e2,
+        | recompute_e2,
+        | base_e2 + d_new_orders_e2 + d_new_lines_e2 + d_both_e2 = recompute_e2 AS ivm_ok
+        |FROM agg ORDER BY n_name""".stripMargin,
     "q241_lateral_topk" ->
       """SELECT n.n_name, t.c_name, t.bal_e2
         |FROM nation n,

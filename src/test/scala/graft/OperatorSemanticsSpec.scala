@@ -213,6 +213,22 @@ class LakeSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q268 IVM: delta-maintained view equals recompute; all three delta terms are live") {
+    val rows = SparkEntry.queries("q268_ivm_delta")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ivm_ok"), s"${r.getAs[String]("n_name")}: IVM drifted")
+      assert(r.getAs[Long]("view_after_e2") ==
+        r.getAs[Long]("base_e2") + r.getAs[Long]("d_new_orders_e2") +
+          r.getAs[Long]("d_new_lines_e2") + r.getAs[Long]("d_both_e2"))
+    }
+    // the orthogonal-axis split keeps every delta term globally live —
+    // a split on ONE shared axis would zero two of them
+    assert(rows.map(_.getAs[Long]("d_new_orders_e2")).sum > 0)
+    assert(rows.map(_.getAs[Long]("d_new_lines_e2")).sum > 0)
+    assert(rows.map(_.getAs[Long]("d_both_e2")).sum > 0)
+  }
+
   test("q257 KM curve: risk set is monotone non-increasing and starts at the full cohort") {
     val rows = SparkEntry.queries("q257_km_survival")(spark, sf).collect()
       .map(r => (r.getAs[Long]("wk"), r.getAs[Long]("n_events"), r.getAs[Long]("n_at_risk"),
