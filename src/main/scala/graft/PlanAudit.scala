@@ -77,7 +77,10 @@ object PlanAudit {
       "q259_ql_dirichlet",
       // r17: q257's cross is the 1-row complete/censored totals
       // broadcast back onto the week histogram (q232's scalar class)
-      "q257_km_survival")
+      "q257_km_survival",
+      // r17 session 2: q269's cross is the declared |Q|·n truth-baseline
+      // sample cross (q40/q115/q211's class — 16 queries broadcast)
+      "q269_mrl_fidelity")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -653,6 +656,13 @@ object PlanAudit {
     // delta sides' scans carry pushed date predicates; 25-row
     // full-outer assembly + sort (measured 9)
     "q268_ivm_delta" -> 9,
+    // q269 (r17): the |Q|·n sample cross rides the scan (broadcast
+    // queries); the qid rank window + the (qid, d) rank window after
+    // the ×4 dim explode each shuffle the SAMPLE relation (it prints
+    // per consuming branch: hits rollup, tau top-set, re-rank window);
+    // the tau pair join broadcasts the |Q|·4·10 top-set; 4-key folds +
+    // result join + 4-row sort (measured 8 textual, all sample-scale)
+    "q269_mrl_fidelity" -> 8,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

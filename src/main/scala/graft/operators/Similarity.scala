@@ -162,6 +162,82 @@ object Similarity extends QueryModule {
       .orderBy(col("h"))
   }
 
+  /** Matryoshka dimension-truncation fidelity (Kusupati et al. 2022's
+    * MRL question asked of a STORED index: how much ranking quality
+    * survives if the 64-d embeddings are truncated to their 8/16/32-d
+    * prefixes — the storage/recall dial a 100 TB vector lake tunes
+    * before anything else, since a d/8 prefix is an 8× smaller index):
+    * per truncation dim, sample queries, mean recall@10 of the
+    * truncated ranking against the full-dim top-10 (e4), and the mean
+    * Kendall tau between the full-dim ORDER of the top-10 and their
+    * order under the truncated metric (e4) — set overlap says the right
+    * docs surface, tau says they surface in the right ORDER (q256's
+    * set-vs-order distinction, applied to the truncation axis). The
+    * d=64 row runs through the same machinery and must come out exactly
+    * (10000, 10000) — the identity anchor, spec-pinned.
+    *
+    * Numerics: cosines round to 6dp (family contract) with vec_id
+    * tie-break, so ranks are deterministic integers; per-query C−D is
+    * exact integer pair-counting over those ranks (no tie class: ranks
+    * are a permutation of 1..10 by construction); only the two MEANS
+    * touch doubles — one multiply + one divide on exact integers, then
+    * half-up floor (the one-transcendental-class rule).
+    *
+    * Scale shape: ONE |Q|·n broadcast sample cross computes all four
+    * cosines per pair in a single scan (declared truth-baseline class,
+    * q115/q226's precedent — at index scale the truncated rankings come
+    * from the IVF/PQ stores instead); the ×4 dim explode and both rank
+    * windows ride the sample relation keyed on (qid, d); the tau pair
+    * join runs on the |Q|·4·10 top-set (45 pairs per group).
+    */
+  private def q269(t: Tables): DataFrame = {
+    val dims = Seq(8, 16, 32, 64)
+    val e = vectors(t)
+    val q = e.filter(col("vec_id") < 16).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cand = e
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(Seq(col("qid"), col("vec_id")) ++ dims.map(d =>
+        round(cosine_sim(slice(col("qv"), 1, d), slice(col("v"), 1, d)), 6).as(s"c$d")): _*)
+    val wFull = Window.partitionBy(col("qid")).orderBy(col("c64").desc, col("vec_id"))
+    val byDim = cand
+      .withColumn("rk_full", row_number().over(wFull))
+      .select(
+        col("qid"), col("vec_id"), col("rk_full"),
+        explode(array(dims.map(d =>
+          struct(lit(d).as("d"), col(s"c$d").as("cosd"))): _*)).as("x"))
+      .select(col("qid"), col("vec_id"), col("rk_full"), col("x.d"), col("x.cosd"))
+    val wD = Window.partitionBy(col("qid"), col("d")).orderBy(col("cosd").desc, col("vec_id"))
+    val ranked = byDim.withColumn("rk_d", row_number().over(wD))
+    val hits = ranked
+      .groupBy(col("d"))
+      .agg(
+        countDistinct(col("qid")).as("n_queries"),
+        sum(when(col("rk_full") <= 10 && col("rk_d") <= 10, 1L).otherwise(0L)).as("hits"))
+    // the full-dim top-10, re-ranked among THEMSELVES under each metric
+    val wSet = Window.partitionBy(col("qid"), col("d")).orderBy(col("cosd").desc, col("vec_id"))
+    val top = ranked
+      .filter(col("rk_full") <= 10)
+      .withColumn("rr", row_number().over(wSet))
+      .select(col("qid"), col("d"), col("rk_full"), col("rr"))
+    val cd = top.as("a")
+      .join(top.as("b"),
+        col("a.qid") === col("b.qid") && col("a.d") === col("b.d") &&
+          col("a.rk_full") < col("b.rk_full"))
+      .groupBy(col("a.d").as("d"))
+      .agg(sum(when(col("b.rr") > col("a.rr"), 1L).otherwise(-1L)).as("sum_cd"))
+    hits
+      .join(cd, Seq("d"))
+      .withColumn(
+        "mean_recall_e4",
+        expr("(2 * 10000 * hits + 10 * n_queries) DIV (2 * 10 * n_queries)"))
+      .withColumn(
+        "mean_tau_e4",
+        expr("CAST(floor(sum_cd * 10000.0 / (45.0 * n_queries) + 0.5) AS BIGINT)"))
+      .select(col("d"), col("n_queries"), col("mean_recall_e4"), col("mean_tau_e4"))
+      .orderBy(col("d"))
+  }
+
   /** Graded retrieval-quality scorecard — nDCG@10 + MRR@10 of the
     * sign-LSH ANN against exact-cosine truth (Järvelin & Kekäläinen
     * 2002; new r17 — the RANKED-eval closure of the recall family:
@@ -1878,7 +1954,8 @@ object Similarity extends QueryModule {
     "q43_ivf_search" -> ((s, d) => q43(Tables(s, d))),
     "q170_ann_margin" -> ((s, d) => q170(Tables(s, d))),
     "q174_intrinsic_dim" -> ((s, d) => q174(Tables(s, d))),
-    "q256_retrieval_quality" -> ((s, d) => q256(Tables(s, d)))
+    "q256_retrieval_quality" -> ((s, d) => q256(Tables(s, d))),
+    "q269_mrl_fidelity" -> ((s, d) => q269(Tables(s, d)))
   )
 
   // shared DuckDB fragments
@@ -2542,6 +2619,41 @@ object Similarity extends QueryModule {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+    "q269_mrl_fidelity" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 16),
+        | pair AS (SELECT qid, vec_id, qv, v FROM q, e WHERE vec_id <> qid),
+        | c AS (
+        | SELECT qid, vec_id, d,
+        |  round(list_sum(list_transform(range(1, d + 1), i -> qv[i] * v[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, d + 1), i -> qv[i] * qv[i])))
+        |      * sqrt(list_sum(list_transform(range(1, d + 1), i -> v[i] * v[i])))), 6) AS cosd
+        | FROM pair CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS d) dims),
+        | f AS (
+        | SELECT qid, vec_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosd DESC, vec_id) AS rk_full
+        | FROM c WHERE d = 64),
+        | r AS (
+        | SELECT c.qid, c.vec_id, c.d, c.cosd, f.rk_full,
+        |  row_number() OVER (PARTITION BY c.qid, c.d ORDER BY cosd DESC, c.vec_id) AS rk_d
+        | FROM c JOIN f ON f.qid = c.qid AND f.vec_id = c.vec_id),
+        | hits AS (
+        | SELECT d, CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN rk_full <= 10 AND rk_d <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        | FROM r GROUP BY 1),
+        | top AS (
+        | SELECT qid, d, rk_full,
+        |  row_number() OVER (PARTITION BY qid, d ORDER BY cosd DESC, vec_id) AS rr
+        | FROM r WHERE rk_full <= 10),
+        | cd AS (
+        | SELECT a.d, CAST(sum(CASE WHEN b.rr > a.rr THEN 1 ELSE -1 END) AS BIGINT) AS sum_cd
+        | FROM top a JOIN top b
+        |  ON a.qid = b.qid AND a.d = b.d AND a.rk_full < b.rk_full
+        | GROUP BY 1)
+        |SELECT hits.d, n_queries,
+        | (2 * 10000 * hits + 10 * n_queries) // (2 * 10 * n_queries) AS mean_recall_e4,
+        | CAST(floor(sum_cd * 10000.0 / (45.0 * n_queries) + 0.5) AS BIGINT) AS mean_tau_e4
+        |FROM hits JOIN cd ON cd.d = hits.d ORDER BY hits.d""".stripMargin,
     "q256_retrieval_quality" ->
       s"""WITH $duckVectors,
          | q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 32),

@@ -110,6 +110,30 @@ class SimilaritySemanticsSpec extends AnyFunSuite {
   }
 }
 
+class MrlFidelitySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q269 truncation fidelity: d=64 is the exact identity; fidelity grows with dim") {
+    val rows = SparkEntry.queries("q269_mrl_fidelity")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("d"), r.getAs[Long]("mean_recall_e4"), r.getAs[Long]("mean_tau_e4")))
+      .sortBy(_._1)
+    assert(rows.map(_._1) sameElements Array(8, 16, 32, 64))
+    // identity anchor: ranking a set by the metric that DEFINED it is a no-op
+    val id = rows.last
+    assert(id._2 == 10000L && id._3 == 10000L, s"d=64 anchor drifted: $id")
+    // more prefix dims never lose ranking information on this corpus
+    rows.sliding(2).foreach { case Array((d1, r1, t1), (d2, r2, t2)) =>
+      assert(r2 >= r1, s"recall fell from d=$d1 to d=$d2")
+      assert(t2 >= t1, s"tau fell from d=$d1 to d=$d2")
+    }
+    // tau is a correlation: bounded by the identity on both sides
+    rows.foreach { case (_, r, t) =>
+      assert(r >= 0 && r <= 10000)
+      assert(t >= -10000 && t <= 10000)
+    }
+  }
+}
+
 class LakeSemanticsSpec extends AnyFunSuite {
   import SparkTestSession._
 
