@@ -80,7 +80,11 @@ object PlanAudit {
       "q257_km_survival",
       // r17 session 2: q269's cross is the declared |Q|·n truth-baseline
       // sample cross (q40/q115/q211's class — 16 queries broadcast)
-      "q269_mrl_fidelity")
+      "q269_mrl_fidelity",
+      // r17 session 2: q270's inequality joins are the PAVA minimax
+      // interval grid over the <= 16-row bin relation (q161's
+      // metadata-grid class — 136 intervals, 816 triples)
+      "q270_isotonic_calibration")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -140,7 +144,10 @@ object PlanAudit {
   // q239 shares q194's grid (lenEcdfGrid), including its distinct-length
   // global cumulative — the same value-domain-bounded exemption
   private val allowGlobalWindow =
-    Set("q83_late_data", "q136_vocab_coverage", "q194_ks_drift", "q239_mann_whitney")
+    Set("q83_late_data", "q136_vocab_coverage", "q194_ks_drift", "q239_mann_whitney",
+      // r17 session 2: q270's prefix-sum window runs on the <= 16-row
+      // score-bin relation (q136's bounded-domain class)
+      "q270_isotonic_calibration")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 3, "q38_ngram_jaccard" -> 6, "q13_set_ops" -> 4,
@@ -663,6 +670,12 @@ object PlanAudit {
     // the tau pair join broadcasts the |Q|·4·10 top-set; 4-key folds +
     // result join + 4-row sort (measured 8 textual, all sample-scale)
     "q269_mrl_fidelity" -> 8,
+    // q270 (r17): ONE corpus-scale exchange — the (bin) rollup onto
+    // <= 16 keys (prints per consuming branch: prefix window, interval
+    // grid, the i-list, the result join; AQE reuses). The minimax fit's
+    // two folds + result join + 16-row sort all ride the bin domain
+    // (measured 6 textual)
+    "q270_isotonic_calibration" -> 6,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

@@ -2060,6 +2060,66 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("bucket"))
   }
 
+  /** Isotonic (PAVA) calibration of the quality score against mean
+    * repetition (Ayer et al. 1955's pool-adjacent-violators, computed by
+    * the Robertson–Wright minimax characterization ŷᵢ = max_{j≤i}
+    * min_{k≥i} avg(y over bins j..k) — the CALIBRATION-fit class the
+    * suite lacked: q144 tabulates raw per-bin rates, q84/q114 gate on
+    * fixed thresholds; this produces the best monotone curve through the
+    * noisy per-bin means, the step every score consumer (Zadrozny &
+    * Elkan 2002) runs before trusting a score as a probability. The
+    * monotone fit also answers a gate-design question: where PAVA pools
+    * adjacent score bins into one level (`pooled`), the score does NOT
+    * separate repetition there — the q84 gate's independent rep_ratio
+    * leg is load-bearing exactly in those bins): per score bin (width
+    * 0.125, capped at 15), docs, raw mean repetition e9, the isotonic
+    * fit e9, and the pooled flag.
+    *
+    * Exactness: per-doc rep_ratio quantizes half-up to e6 FIRST (q141's
+    * rule), so every interval average is a ratio of two exact longs;
+    * each candidate average quantizes e9 by half-up INTEGER division
+    * (no doubles anywhere in the fit), and the nested max-min runs over
+    * those integers identically in both engines. The minimax form is
+    * O(B³) — a non-starter on data, exactly right on the ≤16-row bin
+    * relation (the spec recomputes it scalar-side and pins equality +
+    * monotonicity + that pooling actually fires on this corpus).
+    *
+    * Scale shape: ONE corpus-scale rollup onto ≤16 (bin) keys; the
+    * prefix window, interval self-join (≤136 rows), triple join (≤816)
+    * and folds are all bin-domain relations (q136's bounded class; the
+    * inequality joins are declared metadata-grid crosses).
+    */
+  private def q270(t: Tables): DataFrame = {
+    val scored = withRepRatio(withQualityScore(withWords(t)))
+      .select(
+        expr("CAST(least(floor(score / 0.125), 15) AS BIGINT)").as("bin"),
+        expr("CAST(floor(rep_ratio * 1000000 + 0.5) AS BIGINT)").as("rep_e6"))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("rep_e6")).as("pos"))
+    val wc = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    val pre = bins
+      .withColumn("cumn", sum(col("n_docs")).over(wc))
+      .withColumn("cump", sum(col("pos")).over(wc))
+    val iv = pre.as("a")
+      .join(pre.as("b"), col("a.bin") <= col("b.bin"))
+      .select(
+        col("a.bin").as("j"), col("b.bin").as("k"),
+        (col("b.cump") - col("a.cump") + col("a.pos")).as("p"),
+        (col("b.cumn") - col("a.cumn") + col("a.n_docs")).as("q"))
+      .withColumn("a_e9", expr("(2 * 1000 * p + q) DIV (2 * q)"))
+    val fit = iv
+      .join(bins.select(col("bin").as("i")), col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("j")).agg(min(col("a_e9")).as("mn"))
+      .groupBy(col("i")).agg(max(col("mn")).as("iso_rep_e9"))
+    bins
+      .join(fit, col("bin") === col("i"))
+      .withColumn("raw_rep_e9", expr("(2 * 1000 * pos + n_docs) DIV (2 * n_docs)"))
+      .select(
+        col("bin"), col("n_docs"), col("raw_rep_e9"), col("iso_rep_e9"),
+        (col("raw_rep_e9") =!= col("iso_rep_e9")).as("pooled"))
+      .orderBy(col("bin"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
     * algorithm): from each document's positional word-3-gram hash stream,
     * keep the minimum hash of every `graft.winnow.window` (default 4)
@@ -2604,6 +2664,7 @@ object TextAnalysis extends QueryModule {
     "q135_tokenizer_fertility" -> ((s, d) => q135(Tables(s, d))),
     "q139_pmi" -> ((s, d) => q139(Tables(s, d))),
     "q144_score_calibration" -> ((s, d) => q144(Tables(s, d))),
+    "q270_isotonic_calibration" -> ((s, d) => q270(Tables(s, d))),
     "q136_vocab_coverage" -> ((s, d) => q136(Tables(s, d))),
     "q123_quality_keep" -> ((s, d) => q123(Tables(s, d))),
     "q126_pack_sweep" -> ((s, d) => q126(Tables(s, d))),
@@ -2869,6 +2930,37 @@ object TextAnalysis extends QueryModule {
         | CAST(CASE substr(pick, 32, 1) WHEN '+' THEN 1 WHEN '-' THEN -1 ELSE 0 END
         |  AS BIGINT) AS heavier_below
         |FROM agg ORDER BY source""".stripMargin,
+    "q270_isotonic_calibration" ->
+      s"""WITH $gateCtesSql,
+         | d AS (
+         | SELECT CAST(least(floor(score / 0.125), 15) AS BIGINT) AS bin,
+         |  CAST(floor(rep_ratio * 1000000 + 0.5) AS BIGINT) AS rep_e6
+         | FROM r),
+         | bins AS (
+         | SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(rep_e6) AS BIGINT) AS pos
+         | FROM d GROUP BY 1),
+         | pre AS (
+         | SELECT bin, n_docs, pos,
+         |  CAST(sum(n_docs) OVER (ORDER BY bin) AS BIGINT) AS cumn,
+         |  CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cump
+         | FROM bins),
+         | ive AS (
+         | SELECT a.bin AS j, b.bin AS k,
+         |  (2 * 1000 * (b.cump - a.cump + a.pos) + (b.cumn - a.cumn + a.n_docs))
+         |    // (2 * (b.cumn - a.cumn + a.n_docs)) AS a_e9
+         | FROM pre a JOIN pre b ON a.bin <= b.bin),
+         | fit AS (
+         | SELECT i, max(mn) AS iso_rep_e9 FROM (
+         |  SELECT bins.bin AS i, ive.j, min(a_e9) AS mn
+         |  FROM ive JOIN bins ON ive.j <= bins.bin AND bins.bin <= ive.k
+         |  GROUP BY 1, 2)
+         | GROUP BY 1)
+         |SELECT bin, n_docs,
+         | (2 * 1000 * pos + n_docs) // (2 * n_docs) AS raw_rep_e9,
+         | iso_rep_e9,
+         | (2 * 1000 * pos + n_docs) // (2 * n_docs) <> iso_rep_e9 AS pooled
+         |FROM bins JOIN fit ON fit.i = bins.bin ORDER BY bin""".stripMargin,
     "q144_score_calibration" ->
       s"""WITH $gateCtesSql,
          | b AS (

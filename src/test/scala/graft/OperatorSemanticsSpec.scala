@@ -134,6 +134,58 @@ class MrlFidelitySpec extends AnyFunSuite {
   }
 }
 
+class IsotonicCalibrationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q270 isotonic fit equals an independent scalar minimax; monotone; pooling fires") {
+    val rows = SparkEntry.queries("q270_isotonic_calibration")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"), r.getAs[Long]("raw_rep_e9"),
+        r.getAs[Long]("iso_rep_e9"), r.getAs[Boolean]("pooled")))
+      .sortBy(_._1)
+    // scalar recompute from the same bin aggregates: reconstruct (n, pos)
+    // from the reported raw mean is lossy, so recompute pos via the same
+    // engine rollup the query starts from
+    val agg = Tables(spark, sf).documents
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_stop", size(expr("filter(words, w -> w IN ('the', 'a', 'of', 'and'))")))
+      .withColumn("score", round(
+        least(col("n_words") / lit(100.0), lit(1.0)) * 0.5
+          + (col("n_stop") / col("n_words")) * 2.0
+          + when(col("n_chars") >= 100, 0.2).otherwise(0.0), 4))
+      .withColumn("total_sh", greatest(size(col("words")) - 2, lit(0)).cast("long"))
+      .withColumn("distinct_sh",
+        size(graft.functions.GraftFunctions.shingle_set(col("text"))).cast("long"))
+      .withColumn("rep", when(col("total_sh") > 0,
+        lit(1.0) - col("distinct_sh") / col("total_sh")).otherwise(lit(0.0)))
+      .select(
+        expr("CAST(least(floor(score / 0.125), 15) AS BIGINT)").as("bin"),
+        expr("CAST(floor(rep * 1000000 + 0.5) AS BIGINT)").as("rep_e6"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("rep_e6").as("pos"))
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"), r.getAs[Long]("pos")))
+      .sortBy(_._1)
+    val n = agg.map(_._2)
+    val pos = agg.map(_._3)
+    def avgE9(j: Int, k: Int): Long = {
+      val p = (j to k).map(pos).sum; val q = (j to k).map(n).sum
+      (2 * 1000 * p + q) / (2 * q)
+    }
+    val b = agg.length
+    val iso = (0 until b).map(i =>
+      (0 to i).map(j => (i until b).map(k => avgE9(j, k)).min).max)
+    assert(rows.map(_._1).toSeq == agg.map(_._1).toSeq, "bin domains diverged")
+    rows.zipWithIndex.foreach { case ((_, nd, raw, isoQ, pooled), i) =>
+      assert(nd == n(i))
+      assert(raw == avgE9(i, i))
+      assert(isoQ == iso(i), s"bin $i: engine $isoQ vs scalar ${iso(i)}")
+      assert(pooled == (raw != isoQ))
+    }
+    // fit is monotone non-decreasing, and PAVA genuinely pooled somewhere
+    iso.sliding(2).foreach { case Seq(a2, b2) => assert(a2 <= b2) }
+    assert(rows.exists(_._5), "no pooling fired — the fixture lost its non-monotone signal")
+  }
+}
+
 class LakeSemanticsSpec extends AnyFunSuite {
   import SparkTestSession._
 
