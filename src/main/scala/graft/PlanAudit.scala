@@ -676,6 +676,13 @@ object PlanAudit {
     // two folds + result join + 16-row sort all ride the bin domain
     // (measured 6 textual)
     "q270_isotonic_calibration" -> 6,
+    // q271 (r17): structurally TWO corpus-scale exchanges — the (o, p)
+    // basket distinct and the o-keyed pair self-join (the co-bucket
+    // key) — but the 4-stage funnel union re-prints that lineage under
+    // every stage (items ×~12, pair agg ×3, plus the candidate-bounded
+    // lattice/closure/verify joins and 4-row sort); AQE reuses the
+    // repeated subtrees at runtime (measured 36 textual)
+    "q271_apriori_funnel" -> 36,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

