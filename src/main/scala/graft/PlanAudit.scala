@@ -683,6 +683,11 @@ object PlanAudit {
     // lattice/closure/verify joins and 4-row sort); AQE reuses the
     // repeated subtrees at runtime (measured 36 textual)
     "q271_apriori_funnel" -> 36,
+    // q272 (r17): pool + pairwise grid + per-round selections run on
+    // CHECKPOINTED bounded relations outside this plan (q263's loop
+    // discipline — uncut the 4 unrolled rounds printed 145 textual
+    // exchanges, cut 1); the final plan is the 64-row sort (measured 1)
+    "q272_mmr_rerank" -> 1,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

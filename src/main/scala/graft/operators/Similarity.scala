@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import graft.functions.GraftFunctions.cosine_sim
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -236,6 +236,93 @@ object Similarity extends QueryModule {
         expr("CAST(floor(sum_cd * 10000.0 / (45.0 * n_queries) + 0.5) AS BIGINT)"))
       .select(col("d"), col("n_queries"), col("mean_recall_e4"), col("mean_tau_e4"))
       .orderBy(col("d"))
+  }
+
+  /** Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998, λ = 0.7, 4 greedy picks from the top-20 relevance
+    * pool — the DIVERSIFICATION closure of the retrieval family:
+    * q40/q256 rank by pure relevance, q150 measures source diversity
+    * after the fact; MMR is the operator that TRADES the two, the
+    * rerank every RAG/retrieval stack runs so the context window isn't
+    * four near-copies of the same document): per sample query
+    * (vec_id < 16) and pick 1..4, the selected vector, its relevance
+    * (e6 cosine), and the marginal score that won the pick
+    * (×10 e6: 7·rel − 3·max-sim-to-already-selected; pick 1 is pure
+    * relevance, the standard seed).
+    *
+    * Exactness: relevance and pairwise similarity quantize half-up to
+    * exact e6 longs straight off the cosine (q226's rule), so every
+    * marginal score is
+    * the INTEGER 7·rel_e6 − 3·maxsim_e6 and each argmax breaks ties by
+    * vec_id — the greedy trajectory is a deterministic function of the
+    * integer inputs on both engines (the oracle unrolls the same four
+    * steps as CTEs, q263's unrolled-iteration precedent).
+    *
+    * Scale shape: ONE |Q|·n broadcast sample cross (declared
+    * truth-baseline class) feeds the top-20 pool window; the pool's
+    * pairwise-similarity grid is |Q|·20² and every greedy round is a
+    * join+argmax on that bounded relation — the loop unrolls in the
+    * PLAN (4 rounds), never in a driver collect.
+    */
+  private def q272(t: Tables): DataFrame = {
+    val e = vectors(t)
+    val q = e.filter(col("vec_id") < 16).select(col("vec_id").as("qid"), col("v").as("qv"))
+    def cosE6(a: Column, b: Column): Column =
+      floor(cosine_sim(a, b) * 1000000 + 0.5).cast("long")
+    // ONE pool derivation feeds the seed, every greedy round, and the
+    // pairwise grid: checkpoint it (|Q|·20 rows) so the unrolled rounds
+    // join a materialized relation instead of re-printing the sample
+    // cross per round (q263's loop discipline — uncut, the 4-round plan
+    // printed 145 textual exchanges)
+    val pool0 = graft.Iterate.cutLineage(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rel_e6", cosE6(col("qv"), col("v")))
+        .withColumn(
+          "rk",
+          row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("rel_e6").desc, col("vec_id"))))
+        .filter(col("rk") <= 20)
+        .select(col("qid"), col("vec_id"), col("v"), col("rel_e6")))
+    val members = pool0.select(col("qid"), col("vec_id"), col("rel_e6"))
+    val sims = graft.Iterate.cutLineage(
+      pool0.as("x")
+        .join(pool0.select(col("qid").as("sq"), col("vec_id").as("sid"), col("v").as("sv")).as("y"),
+          col("qid") === col("sq") && col("vec_id") =!= col("sid"))
+        .select(col("qid"), col("vec_id").as("cid"), col("sid"),
+          cosE6(col("v"), col("sv")).as("sim_e6")))
+    val seed = members
+      .withColumn(
+        "pk",
+        row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("rel_e6").desc, col("vec_id"))))
+      .filter(col("pk") === 1)
+      .select(col("qid"), col("vec_id"), lit(1L).as("pick"), col("rel_e6"),
+        (col("rel_e6") * 7).as("score_x10_e6"))
+    var selected = seed
+    for (k <- 2 to 4) {
+      val selSet = selected.select(col("qid").as("zq"), col("vec_id").as("zid"))
+      val maxSim = sims
+        .join(selSet, col("qid") === col("zq") && col("sid") === col("zid"))
+        .groupBy(col("qid").as("mq"), col("cid"))
+        .agg(max(col("sim_e6")).as("maxsim_e6"))
+      val pick = members
+        .join(selSet, col("qid") === col("zq") && col("vec_id") === col("zid"), "left_anti")
+        .join(maxSim, col("qid") === col("mq") && col("vec_id") === col("cid"))
+        .withColumn("score_x10_e6", col("rel_e6") * 7 - col("maxsim_e6") * 3)
+        .withColumn(
+          "pk",
+          row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("score_x10_e6").desc, col("vec_id"))))
+        .filter(col("pk") === 1)
+        .select(col("qid"), col("vec_id"), lit(k.toLong).as("pick"), col("rel_e6"),
+          col("score_x10_e6"))
+      // cut per round: the selected set feeds both the anti-join and the
+      // max-sim probe of every LATER round — uncut its plan doubles per
+      // iteration (q62/q263's loop discipline; |Q|·k rows)
+      selected = graft.Iterate.cutLineage(selected.unionAll(pick))
+    }
+    selected.orderBy(col("qid"), col("pick"))
   }
 
   /** Graded retrieval-quality scorecard — nDCG@10 + MRR@10 of the
@@ -1955,8 +2042,59 @@ object Similarity extends QueryModule {
     "q170_ann_margin" -> ((s, d) => q170(Tables(s, d))),
     "q174_intrinsic_dim" -> ((s, d) => q174(Tables(s, d))),
     "q256_retrieval_quality" -> ((s, d) => q256(Tables(s, d))),
-    "q269_mrl_fidelity" -> ((s, d) => q269(Tables(s, d)))
+    "q269_mrl_fidelity" -> ((s, d) => q269(Tables(s, d))),
+    "q272_mmr_rerank" -> ((s, d) => q272(Tables(s, d)))
   )
+
+  // q272's oracle: the same four greedy MMR rounds unrolled as CTEs
+  // (q263's unrolled-iteration precedent); cosE6 is the family cosine
+  // quantized half-up to e6 as ONE expression.
+  private def mmrOracle: String = {
+    def cosE6(a: String, b: String): String =
+      s"CAST(floor(list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))" +
+        s" / (sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $a[i])))" +
+        s" * sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> $b[i] * $b[i]))))" +
+        " * 1000000 + 0.5) AS BIGINT)"
+    val rounds = (2 to 4).map { k =>
+      s"""m$k AS (
+         | SELECT s.qid, s.cid, max(s.sim_e6) AS maxsim FROM sims s
+         | JOIN sel${k - 1} z ON z.qid = s.qid AND z.vec_id = s.sid GROUP BY 1, 2),
+         | s$k AS (
+         | SELECT qid, vec_id, CAST($k AS BIGINT) AS pick, rel_e6, score_x10_e6 FROM (
+         |  SELECT p.qid, p.vec_id, p.rel_e6,
+         |   p.rel_e6 * 7 - m$k.maxsim * 3 AS score_x10_e6,
+         |   row_number() OVER (PARTITION BY p.qid
+         |     ORDER BY (p.rel_e6 * 7 - m$k.maxsim * 3) DESC, p.vec_id) AS pk
+         |  FROM p JOIN m$k ON m$k.qid = p.qid AND m$k.cid = p.vec_id
+         |  WHERE NOT EXISTS (
+         |   SELECT 1 FROM sel${k - 1} z WHERE z.qid = p.qid AND z.vec_id = p.vec_id))
+         | WHERE pk = 1),
+         | sel$k AS (SELECT qid, vec_id FROM sel${k - 1}
+         |  UNION ALL SELECT qid, vec_id FROM s$k)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 16),
+       | cand AS (
+       | SELECT qid, vec_id, v, ${cosE6("qv", "v")} AS rel_e6
+       | FROM q, e WHERE vec_id <> qid),
+       | p AS (SELECT qid, vec_id, v, rel_e6 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel_e6 DESC, vec_id) AS rk
+       |  FROM cand) WHERE rk <= 20),
+       | sims AS (
+       | SELECT a.qid, a.vec_id AS cid, b.vec_id AS sid, ${cosE6("a.v", "b.v")} AS sim_e6
+       | FROM p a JOIN p b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+       | s1 AS (
+       | SELECT qid, vec_id, CAST(1 AS BIGINT) AS pick, rel_e6, rel_e6 * 7 AS score_x10_e6
+       | FROM (SELECT qid, vec_id, rel_e6,
+       |   row_number() OVER (PARTITION BY qid ORDER BY rel_e6 DESC, vec_id) AS pk FROM p)
+       | WHERE pk = 1),
+       | sel1 AS (SELECT qid, vec_id FROM s1),
+       | $rounds
+       |SELECT qid, vec_id, pick, rel_e6, score_x10_e6 FROM (
+       | SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       | UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+       |ORDER BY qid, pick""".stripMargin
+  }
 
   // shared DuckDB fragments
   private val duckVectors =
@@ -2619,6 +2757,7 @@ object Similarity extends QueryModule {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+    "q272_mmr_rerank" -> mmrOracle,
     "q269_mrl_fidelity" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 16),

@@ -134,6 +134,61 @@ class MrlFidelitySpec extends AnyFunSuite {
   }
 }
 
+class MmrRerankSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q272 MMR trajectory replays exactly from a scalar greedy on the same integers") {
+    val rows = SparkEntry.queries("q272_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("pick"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rel_e6"), r.getAs[Long]("score_x10_e6")))
+    // rebuild pool + sims with the engine's own kernels, then replay greedily
+    import graft.functions.GraftFunctions.cosine_sim
+    val e = Tables(spark, sf).embeddings.withColumnRenamed("embedding", "v")
+    val q = e.filter(col("vec_id") < 16).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cand = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .withColumn("rel_e6",
+        floor(cosine_sim(col("qv"), col("v")) * 1000000 + 0.5).cast("long"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("rel_e6").desc, col("vec_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("qid"), col("vec_id"), col("v"), col("rel_e6"))
+    val pool = cand.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getSeq[Float](2).toArray, r.getAs[Long]("rel_e6")))
+    def cosE6(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000 + 0.5).toLong
+    }
+    pool.groupBy(_._1).foreach { case (qid, members) =>
+      val byId = members.map(m => m._2 -> m).toMap
+      var sel = Vector(members.minBy(m => (-m._4, m._2)))
+      for (k <- 2 to 4) {
+        val rest = members.filterNot(m => sel.exists(_._2 == m._2))
+        val scored = rest.map { m =>
+          val maxSim = sel.map(s => cosE6(m._3, s._3)).max
+          (m, m._4 * 7 - maxSim * 3)
+        }
+        val best = scored.minBy { case (m, sc) => (-sc, m._2) }
+        sel = sel :+ best._1
+        val got = rows.find(r => r._1 == qid && r._2 == k).get
+        assert(got._3 == best._1._2, s"qid=$qid pick=$k: engine ${got._3} vs scalar ${best._1._2}")
+        assert(got._5 == best._2, s"qid=$qid pick=$k score mismatch")
+      }
+      // pick 1 is the pure-relevance argmax; picks are distinct
+      val p1 = rows.find(r => r._1 == qid && r._2 == 1).get
+      assert(p1._3 == members.minBy(m => (-m._4, m._2))._2)
+      assert(byId.contains(p1._3))
+      assert(rows.filter(_._1 == qid).map(_._3).distinct.length == 4)
+    }
+  }
+}
+
 class IsotonicCalibrationSpec extends AnyFunSuite {
   import SparkTestSession._
 
