@@ -84,7 +84,10 @@ object PlanAudit {
       // r17 session 2: q270's inequality joins are the PAVA minimax
       // interval grid over the <= 16-row bin relation (q161's
       // metadata-grid class — 136 intervals, 816 triples)
-      "q270_isotonic_calibration")
+      "q270_isotonic_calibration",
+      // r17 session 2: q273's crosses are the 1-row exact-F2 and median
+      // scalars broadcast onto the 8-row group relation (q232's class)
+      "q273_ams_f2")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -147,7 +150,10 @@ object PlanAudit {
     Set("q83_late_data", "q136_vocab_coverage", "q194_ks_drift", "q239_mann_whitney",
       // r17 session 2: q270's prefix-sum window runs on the <= 16-row
       // score-bin relation (q136's bounded-domain class)
-      "q270_isotonic_calibration")
+      "q270_isotonic_calibration",
+      // r17 session 2: q273's median window ranks the 8-row group
+      // relation (same bounded-domain class)
+      "q273_ams_f2")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 3, "q38_ngram_jaccard" -> 6, "q13_set_ops" -> 4,
@@ -688,6 +694,13 @@ object PlanAudit {
     // discipline — uncut the 4 unrolled rounds printed 145 textual
     // exchanges, cut 1); the final plan is the 64-row sort (measured 1)
     "q272_mmr_rerank" -> 1,
+    // q273 (r17): the ONE corpus-scale exchange is the per-user rollup
+    // (prints per consuming branch: exact-F2 fold and the estimator
+    // stream; the ×64 explode rides the |users| relation); then the
+    // 64-key Z fold, 8-key group fold, the 8-row median window's
+    // single-partition exchange, result joins + 8-row sort (measured 9
+    // textual)
+    "q273_ams_f2" -> 9,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

@@ -2798,6 +2798,66 @@ object Extras extends QueryModule {
       .orderBy(col("stage_id"))
   }
 
+  /** AMS "tug-of-war" second-frequency-moment sketch (Alon, Matias &
+    * Szegedy 1996 — the F₂ = Σc² estimator that started streaming-sketch
+    * theory; F₂ is the self-join size / repeat-rate moment, the number a
+    * planner wants BEFORE shuffling a key: q56 sketches distinct (F₀),
+    * q130 point counts (CMS), this completes the moment family): 64
+    * deterministic ±1 estimators Z_j = Σ_x c_x·s_j(x) in 8
+    * median-of-means groups over per-user event counts; per group, the
+    * mean-of-8 estimate, plus the exact F₂, the median-of-groups
+    * estimate, its e4 ratio to exact, and the declared [0.4×, 2.5×]
+    * sanity bound (probed 0.52/0.92/0.93 at the three SFs; each group
+    * mean has sd ≈ 0.5·F₂ by the AMS variance bound, so the
+    * median-of-8 lands inside with overwhelming margin — and the whole
+    * pipeline is a deterministic integer function, so both engines
+    * compute the IDENTICAL estimate, q56/q252's
+    * check-your-own-estimator convention).
+    *
+    * Determinism (and an honest negative result recorded): the sign bit
+    * must come from a NONLINEAR mix — one multiplicative round's bit 10
+    * over sequential user ids is so structured the estimator collapsed
+    * to 0.05·F₂ (adjacent ids cancel in pairs); the mid-square re-mix
+    * mod the prime 2³¹−1 (q266's fix) restores AMS behavior.
+    *
+    * Scale shape: ONE corpus-scale partial-aggregable per-user rollup;
+    * the ×64 estimator explode rides the |users| relation into a 64-key
+    * partial-aggregable fold; groups/median/ratio are ≤8-row relations
+    * (the median window is a declared bounded-domain global window).
+    */
+  private def q273(t: Tables): DataFrame = {
+    val perUser = t.events
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val exact = perUser.agg(sum(col("c") * col("c")).as("exact_f2"))
+    val mix = "((((user_id % 2147483647) * 131071 + j + 1) * 2654435761) % 2147483647)"
+    val z = perUser
+      .select(col("user_id"), col("c"), explode(expr("sequence(0, 63)")).as("j"))
+      .withColumn(
+        "s",
+        expr(s"CASE WHEN (($mix * $mix) % 2147483647 DIV 1024) % 2 = 0 THEN 1 ELSE -1 END"))
+      .groupBy(col("j")).agg(sum(col("c") * col("s")).as("zj"))
+    val groups = z
+      .withColumn("grp", expr("j DIV 8"))
+      .groupBy(col("grp"))
+      .agg(expr("(2 * sum(zj * zj) + 8) DIV 16").as("est_mean_f2"))
+    val med = groups
+      .withColumn(
+        "rn",
+        row_number().over(Window.orderBy(col("est_mean_f2"), col("grp"))))
+      .filter(col("rn") === 4)
+      .select(col("est_mean_f2").as("median_f2"))
+    groups
+      .join(broadcast(exact))
+      .join(broadcast(med))
+      .withColumn("ratio_e4", expr("(2 * 10000 * median_f2 + exact_f2) DIV (2 * exact_f2)"))
+      .withColumn("within_bound", col("ratio_e4") >= 4000 && col("ratio_e4") <= 25000)
+      .select(
+        col("grp"), col("est_mean_f2"), col("exact_f2"), col("median_f2"),
+        col("ratio_e4"), col("within_bound"))
+      .orderBy(col("grp"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_gains_curve" -> ((s, d) => q254(Tables(s, d))),
     "q253_line_sequence" -> ((s, d) => q253(Tables(s, d))),
@@ -2809,6 +2869,7 @@ object Extras extends QueryModule {
     "q266_shard_rebalance" -> ((s, d) => q266(Tables(s, d))),
     "q267_trend_audit" -> ((s, d) => q267(Tables(s, d))),
     "q271_apriori_funnel" -> ((s, d) => q271(Tables(s, d))),
+    "q273_ams_f2" -> ((s, d) => q273(Tables(s, d))),
     "q258_neyman_allocation" -> ((s, d) => q258(Tables(s, d))),
     "q260_scd2_intervals" -> ((s, d) => q260(Tables(s, d))),
     "q251_theils_u" -> ((s, d) => q251(Tables(s, d))),
@@ -3060,6 +3121,32 @@ object Extras extends QueryModule {
         | SELECT CAST(4 AS BIGINT), 'triples_2plus', CAST(count(*) AS BIGINT), max(c)
         | FROM verified)
         |ORDER BY stage_id""".stripMargin,
+    "q273_ams_f2" ->
+      """WITH pu AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+        | WHERE user_id IS NOT NULL GROUP BY 1),
+        | ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM pu),
+        | z AS (
+        | SELECT j, CAST(sum(c * s) AS BIGINT) AS zj FROM (
+        |  SELECT c, j,
+        |   CASE WHEN ((((((user_id % 2147483647) * 131071 + j + 1) * 2654435761) % 2147483647)
+        |      * ((((user_id % 2147483647) * 131071 + j + 1) * 2654435761) % 2147483647))
+        |      % 2147483647 // 1024) % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM pu, (SELECT unnest(range(0, 64)) AS j))
+        | GROUP BY 1),
+        | g AS (
+        | SELECT j // 8 AS grp,
+        |  CAST((2 * sum(zj * zj) + 8) // 16 AS BIGINT) AS est_mean_f2
+        | FROM z GROUP BY 1),
+        | m AS (
+        | SELECT est_mean_f2 AS median_f2 FROM (
+        |  SELECT est_mean_f2, row_number() OVER (ORDER BY est_mean_f2, grp) AS rn FROM g)
+        | WHERE rn = 4)
+        |SELECT grp, est_mean_f2, exact_f2, median_f2,
+        | (2 * 10000 * median_f2 + exact_f2) // (2 * exact_f2) AS ratio_e4,
+        | (2 * 10000 * median_f2 + exact_f2) // (2 * exact_f2) BETWEEN 4000 AND 25000
+        |   AS within_bound
+        |FROM g CROSS JOIN ex CROSS JOIN m ORDER BY grp""".stripMargin,
     "q257_km_survival" ->
       """WITH fin AS (
         | SELECT l_orderkey, max(l_shipdate) AS ship FROM lineitem GROUP BY 1),

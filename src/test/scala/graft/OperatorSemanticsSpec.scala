@@ -376,6 +376,24 @@ class LakeSemanticsSpec extends AnyFunSuite {
     assert(rows("pairs_2plus")._1 > 0 && rows("triple_candidates")._1 > 0)
   }
 
+  test("q273 AMS F2: exact moment matches a scalar recompute; estimator inside its bound") {
+    val rows = SparkEntry.queries("q273_ams_f2")(spark, sf).collect()
+    assert(rows.length == 8)
+    val t = Tables(spark, sf)
+    val counts = t.events.filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .collect().map(_.getAs[Long]("c"))
+    val exactF2 = counts.map(c => c * c).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_f2") == exactF2)
+      assert(r.getAs[Boolean]("within_bound"),
+        s"median ratio ${r.getAs[Long]("ratio_e4")} outside [4000, 25000]")
+    }
+    // the median column really is the nearest-rank-4 group mean
+    val ests = rows.map(_.getAs[Long]("est_mean_f2")).sorted
+    assert(rows.head.getAs[Long]("median_f2") == ests(3))
+  }
+
   test("q257 KM curve: risk set is monotone non-increasing and starts at the full cohort") {
     val rows = SparkEntry.queries("q257_km_survival")(spark, sf).collect()
       .map(r => (r.getAs[Long]("wk"), r.getAs[Long]("n_events"), r.getAs[Long]("n_at_risk"),
