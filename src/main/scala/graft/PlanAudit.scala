@@ -87,7 +87,12 @@ object PlanAudit {
       "q270_isotonic_calibration",
       // r17 session 2: q273's crosses are the 1-row exact-F2 and median
       // scalars broadcast onto the 8-row group relation (q232's class)
-      "q273_ams_f2")
+      "q273_ams_f2",
+      // r17 session 2: q274's crosses are the 1-row corpus totals
+      // (q232's scalar class) and the |sources| x |len domain| ECDF
+      // grid (q161's class); the rank-pick interval join goes through
+      // RangeJoin.bucketed — a bucket EQUI-join, not a nested loop
+      "q274_quantile_norm")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -153,7 +158,11 @@ object PlanAudit {
       "q270_isotonic_calibration",
       // r17 session 2: q273's median window ranks the 8-row group
       // relation (same bounded-domain class)
-      "q273_ams_f2")
+      "q273_ams_f2",
+      // r17 session 2: q274's pooled-ECDF cum window runs on the len
+      // DOMAIN histogram (q136's bounded class — the corpus collapsed
+      // map-side first)
+      "q274_quantile_norm")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 3, "q38_ngram_jaccard" -> 6, "q13_set_ops" -> 4,
@@ -660,8 +669,10 @@ object PlanAudit {
     // revenue rollup — it prints per consuming branch (pair-join a/b
     // sides + tie rollup; AQE reuses). Everything after runs on the
     // <= |prios|*|months| grid: S agg, tie fold, Sen median window,
-    // the two result joins + 5-row sort (measured 9 textual)
-    "q267_trend_audit" -> 9,
+    // the two result joins + 5-row sort (measured 9 textual in scale
+    // mode; default broadcast planning prints the rollup once more on
+    // the pair-join branch — 10 textual)
+    "q267_trend_audit" -> 10,
     // q268 (r17): five O⋈L branches (base + three delta terms +
     // recompute audit) each print a |nations| rollup; the branches
     // where neither join side broadcasts shuffle on o_orderkey — the
@@ -701,6 +712,14 @@ object PlanAudit {
     // single-partition exchange, result joins + 8-row sort (measured 9
     // textual)
     "q273_ams_f2" -> 9,
+    // q274 (r17): structurally FOUR corpus-scale exchanges — the
+    // source-keyed rank window (the per-source order statistic IS the
+    // semantics), the pooled len histogram, the (source, len) before-
+    // histogram, and the RangeJoin bucket shuffle of the rank pick —
+    // plus grid-scale ECDF windows/folds; the 6-relation result
+    // assembly re-prints the shared scans textually and AQE reuses
+    // (measured 25 textual)
+    "q274_quantile_norm" -> 25,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

@@ -2120,6 +2120,95 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("bin"))
   }
 
+  /** Quantile normalization of per-source length distributions onto the
+    * pooled reference (Bolstad et al. 2003 — the batch-effect correction
+    * standard: replace each source's i-th order statistic by the pooled
+    * distribution's value at the same quantile; the NORMALIZATION class
+    * the drift family stops short of — q194/q165/q239 MEASURE
+    * distribution gaps between sources, this REMOVES them, the
+    * preprocessing step a mixed-corpus feature pipeline runs so "length"
+    * means the same thing for every source): per source, docs, raw mean
+    * e3, normalized mean e3, the pooled mean e3 it should converge to,
+    * and the KS distance to the pooled ECDF BEFORE and AFTER (e6) — the
+    * after column is the operator's own correctness certificate
+    * (spec-pinned: never worse, and bounded by the source's 1/n rank
+    * granularity).
+    *
+    * Exactness: per-doc rank r in source is a row_number with doc_id
+    * tie-break; the pooled pick k = ⌈(2r−1)·N/(2n_s)⌉ is one integer
+    * ceiling division; the pick itself joins k into the pooled rank
+    * BLOCKS [cum−cnt+1, cum] through [[RangeJoin.bucketed]] — the
+    * repo's own interval-join operator (bucket equi-join + post-filter,
+    * never a nested-loop scan); both KS numerators are exact integer
+    * cross-products on the pooled len grid (q194's discipline).
+    *
+    * Scale shape: ONE corpus-scale source-keyed shuffle carries the
+    * rank window (the per-source order statistic is the semantics);
+    * the pooled histogram collapses map-side onto the len DOMAIN
+    * (bounded — its cum window is the declared bounded global-window
+    * class); the rank-pick join shuffles on bucket id (RangeJoin's
+    * point: O(1) buckets per row, not O(|blocks|)); both ECDF passes
+    * ride the |sources|·|len domain| grid (q194's class).
+    */
+  private def q274(t: Tables): DataFrame = {
+    val docs = t.documents.select(
+      col("doc_id"), col("source"), length(col("text")).cast("long").as("len"))
+    val nAll = docs.agg(count(lit(1)).as("n_all"), sum(col("len")).as("sum_all"))
+    val srcStats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"), sum(col("len")).as("sum_src"))
+    val wLen = Window.orderBy(col("len")).rowsBetween(Window.unboundedPreceding, 0)
+    val pooledCum = docs.groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wLen))
+    val blocks = pooledCum
+      .select(col("len").as("plen"),
+        (col("cum") - col("cnt") + 1).as("lo"), (col("cum") + 1).as("hi"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("len"), col("doc_id"))
+    val ranked = docs
+      .withColumn("r", row_number().over(wSrc))
+      .join(broadcast(srcStats.select(col("source"), col("n_src"))), Seq("source"))
+      .join(broadcast(nAll.select(col("n_all"))))
+      .withColumn("k", expr("((2 * r - 1) * n_all + 2 * n_src - 1) DIV (2 * n_src)"))
+    val normalized = RangeJoin
+      .bucketed(ranked, col("k"), broadcast(blocks), col("lo"), col("hi"), 256L)
+      .select(col("source"), col("plen").as("nlen"))
+    // both ECDF passes on the |sources| x |pooled len| grid
+    def ksVsPooled(hist: DataFrame): DataFrame = {
+      val grid = srcStats.select(col("source"), col("n_src"))
+        .crossJoin(pooledCum.select(col("len"), col("cum")))
+        .join(hist, Seq("source", "len"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wg = Window.partitionBy(col("source")).orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid
+        .withColumn("cum_src", sum(col("c")).over(wg))
+        .join(broadcast(nAll.select(col("n_all"))))
+        .withColumn("num", abs(col("cum_src") * col("n_all") - col("cum") * col("n_src")))
+        .groupBy(col("source"))
+        .agg(max(col("num")).as("d_num"), max(col("n_src")).as("ns"), max(col("n_all")).as("na"))
+        .withColumn("ks_e6", expr("(2 * 1000000 * d_num + ns * na) DIV (2 * ns * na)"))
+        .select(col("source"), col("ks_e6"))
+    }
+    val ksBefore = ksVsPooled(
+      docs.groupBy(col("source"), col("len")).agg(count(lit(1)).as("c")))
+      .withColumnRenamed("ks_e6", "ks_before_e6")
+    val ksAfter = ksVsPooled(
+      normalized.groupBy(col("source"), col("nlen").as("len")).agg(count(lit(1)).as("c")))
+      .withColumnRenamed("ks_e6", "ks_after_e6")
+    val normMean = normalized.groupBy(col("source"))
+      .agg(expr("(2 * 1000 * sum(nlen) + count(1)) DIV (2 * count(1))").as("norm_mean_e3"))
+    srcStats
+      .withColumn("mean_e3", expr("(2 * 1000 * sum_src + n_src) DIV (2 * n_src)"))
+      .join(broadcast(nAll))
+      .withColumn("pooled_mean_e3", expr("(2 * 1000 * sum_all + n_all) DIV (2 * n_all)"))
+      .join(normMean, Seq("source"))
+      .join(ksBefore, Seq("source"))
+      .join(ksAfter, Seq("source"))
+      .select(
+        col("source"), col("n_src").as("n_docs"), col("mean_e3"), col("norm_mean_e3"),
+        col("pooled_mean_e3"), col("ks_before_e6"), col("ks_after_e6"))
+      .orderBy(col("source"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
     * algorithm): from each document's positional word-3-gram hash stream,
     * keep the minimum hash of every `graft.winnow.window` (default 4)
@@ -2665,6 +2754,7 @@ object TextAnalysis extends QueryModule {
     "q139_pmi" -> ((s, d) => q139(Tables(s, d))),
     "q144_score_calibration" -> ((s, d) => q144(Tables(s, d))),
     "q270_isotonic_calibration" -> ((s, d) => q270(Tables(s, d))),
+    "q274_quantile_norm" -> ((s, d) => q274(Tables(s, d))),
     "q136_vocab_coverage" -> ((s, d) => q136(Tables(s, d))),
     "q123_quality_keep" -> ((s, d) => q123(Tables(s, d))),
     "q126_pack_sweep" -> ((s, d) => q126(Tables(s, d))),
@@ -2930,6 +3020,69 @@ object TextAnalysis extends QueryModule {
         | CAST(CASE substr(pick, 32, 1) WHEN '+' THEN 1 WHEN '-' THEN -1 ELSE 0 END
         |  AS BIGINT) AS heavier_below
         |FROM agg ORDER BY source""".stripMargin,
+    "q274_quantile_norm" ->
+      """WITH d AS (
+        | SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents),
+        | na AS (SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(len) AS BIGINT) AS sum_all FROM d),
+        | ss AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_src, CAST(sum(len) AS BIGINT) AS sum_src
+        | FROM d GROUP BY 1),
+        | ph AS (SELECT len, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+        | pc AS (SELECT len, cnt, CAST(sum(cnt) OVER (ORDER BY len) AS BIGINT) AS cum FROM ph),
+        | rk AS (
+        | SELECT d.source, row_number() OVER (PARTITION BY d.source ORDER BY len, doc_id) AS r,
+        |  n_src, n_all
+        | FROM d JOIN ss ON ss.source = d.source CROSS JOIN na),
+        | norm AS (
+        | SELECT rk.source, pc.len AS nlen
+        | FROM rk JOIN pc
+        |  ON ((2 * r - 1) * n_all + 2 * n_src - 1) // (2 * n_src) > pc.cum - pc.cnt
+        |  AND ((2 * r - 1) * n_all + 2 * n_src - 1) // (2 * n_src) <= pc.cum),
+        | grid_b AS (
+        | SELECT ss.source, ss.n_src, pc.len, pc.cum,
+        |  CAST(coalesce(h.c, 0) AS BIGINT) AS c
+        | FROM ss CROSS JOIN pc
+        | LEFT JOIN (SELECT source, len, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2) h
+        |  ON h.source = ss.source AND h.len = pc.len),
+        | ks_b AS (
+        | SELECT source,
+        |  CAST((2 * 1000000 * max(abs(cum_src * n_all - cum * n_src))
+        |    + max(n_src) * max(n_all)) // (2 * max(n_src) * max(n_all)) AS BIGINT)
+        |   AS ks_before_e6
+        | FROM (SELECT source, n_src, cum, n_all,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY len) AS BIGINT) AS cum_src
+        |   FROM grid_b CROSS JOIN na)
+        | GROUP BY 1),
+        | grid_a AS (
+        | SELECT ss.source, ss.n_src, pc.len, pc.cum,
+        |  CAST(coalesce(h.c, 0) AS BIGINT) AS c
+        | FROM ss CROSS JOIN pc
+        | LEFT JOIN (SELECT source, nlen AS len, CAST(count(*) AS BIGINT) AS c
+        |   FROM norm GROUP BY 1, 2) h
+        |  ON h.source = ss.source AND h.len = pc.len),
+        | ks_a AS (
+        | SELECT source,
+        |  CAST((2 * 1000000 * max(abs(cum_src * n_all - cum * n_src))
+        |    + max(n_src) * max(n_all)) // (2 * max(n_src) * max(n_all)) AS BIGINT)
+        |   AS ks_after_e6
+        | FROM (SELECT source, n_src, cum, n_all,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY len) AS BIGINT) AS cum_src
+        |   FROM grid_a CROSS JOIN na)
+        | GROUP BY 1),
+        | nm AS (
+        | SELECT source,
+        |  CAST((2 * 1000 * sum(nlen) + count(*)) // (2 * count(*)) AS BIGINT) AS norm_mean_e3
+        | FROM norm GROUP BY 1)
+        |SELECT ss.source, n_src AS n_docs,
+        | (2 * 1000 * sum_src + n_src) // (2 * n_src) AS mean_e3,
+        | norm_mean_e3,
+        | (2 * 1000 * sum_all + n_all) // (2 * n_all) AS pooled_mean_e3,
+        | ks_before_e6, ks_after_e6
+        |FROM ss CROSS JOIN na
+        |JOIN nm ON nm.source = ss.source
+        |JOIN ks_b ON ks_b.source = ss.source
+        |JOIN ks_a ON ks_a.source = ss.source
+        |ORDER BY ss.source""".stripMargin,
     "q270_isotonic_calibration" ->
       s"""WITH $gateCtesSql,
          | d AS (

@@ -464,3 +464,39 @@ class LakeSemanticsSpec extends AnyFunSuite {
     assert(byDepth(1).forall(r => regionIds.contains(r.getAs[Long]("parent_id"))))
   }
 }
+
+class QuantileNormSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q274 picks match a scalar recompute; KS never worse and lands on the rank-granularity floor") {
+    val rows = SparkEntry.queries("q274_quantile_norm")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("norm_mean_e3"), r.getAs[Long]("ks_before_e6"),
+        r.getAs[Long]("ks_after_e6")))
+    val docs = Tables(spark, sf).documents
+      .select(col("source"), length(col("text")).cast("long").as("len"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pooled = docs.map(_._2).sorted
+    val nAll = pooled.length.toLong
+    assert(rows.map(_._2).sum == nAll, "normalization must conserve the corpus")
+    val bySource = docs.groupBy(_._1)
+    rows.foreach { case (src, nd, normMean, ksB, ksA) =>
+      val lens = bySource(src).sortBy(d => (d._2, d._3)).map(_._2)
+      assert(nd == lens.length)
+      // scalar recompute of the Bolstad pick: rank r maps to the pooled
+      // order statistic at k = ceil((2r-1)N / (2n_s))
+      val picks = (1 to lens.length).map { r =>
+        val k = ((2L * r - 1) * nAll + 2 * nd - 1) / (2 * nd)
+        pooled((k - 1).toInt)
+      }
+      val expMean = (2 * 1000L * picks.sum + nd) / (2 * nd)
+      assert(normMean == expMean, s"$src: engine $normMean vs scalar $expMean")
+      // the operator's own certificate: never worse, and bounded by the
+      // source's 1/(2n) rank granularity after normalization
+      assert(ksA <= ksB, s"$src: normalization worsened KS ($ksB -> $ksA)")
+      assert(ksA <= 1000000L / (2 * nd) + 1, s"$src: ks_after $ksA above the 1/(2n) floor")
+    }
+    assert(rows.exists(r => r._5 < r._4),
+      "normalization changed nothing — fixture lost its drift signal")
+  }
+}
