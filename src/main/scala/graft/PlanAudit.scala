@@ -92,7 +92,11 @@ object PlanAudit {
       // (q232's scalar class) and the |sources| x |len domain| ECDF
       // grid (q161's class); the rank-pick interval join goes through
       // RangeJoin.bucketed — a bucket EQUI-join, not a nested loop
-      "q274_quantile_norm")
+      "q274_quantile_norm",
+      // r17 session 2: q275's cross is the 1-row τ/excluded-id pick
+      // broadcast onto the (k+1)-bounded sample relation (q232's scalar
+      // class — both sides are k-bounded by TakeOrderedAndProject)
+      "q275_priority_sample")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -720,6 +724,10 @@ object PlanAudit {
     // assembly re-prints the shared scans textually and AQE reuses
     // (measured 25 textual)
     "q274_quantile_norm" -> 25,
+    // q275 (r17): the sample path is TakeOrderedAndProject (k-bounded,
+    // NO corpus exchange); the two textual shuffles are the per-source
+    // exact-rollup audit branch and the k-row sample rollup (measured 2)
+    "q275_priority_sample" -> 2,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

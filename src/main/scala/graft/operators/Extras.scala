@@ -419,6 +419,62 @@ object Extras extends QueryModule {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
       .orderBy(col("source"), col("split"))
 
+  /** Priority sampling with the threshold subset-sum estimator
+    * (Duffield, Lund & Thorup 2007 JACM; Szegedy 2006 proved the scheme
+    * variance-optimal): draw ONE size-k weight-proportional sample of
+    * the corpus (weight = n_chars) and answer per-source total-chars
+    * questions from the sample alone via ŵᵢ = max(wᵢ, τ), τ = the
+    * (k+1)-th priority — the machinery a 100 TB pipeline uses to answer
+    * arbitrary-stratum size questions from one fixed sample instead of
+    * a corpus scan per question. Reported per source: exact total (the
+    * audit baseline a deployment would NOT pay for), the sample
+    * estimate, and the relative error (e6).
+    *
+    * Exactness: priorities are seedless integers — uᵢ =
+    * Knuth-hash(doc_id) in [1, 2^20] (q64's hash), pᵢ = (wᵢ·2^20) DIV uᵢ
+    * ≈ wᵢ/(uᵢ/2^20), i.e. the priority is ALREADY in weight units — so
+    * both engines draw the identical sample and every estimate is an
+    * exact long in chars; only err_e6 quantizes (half-up). Scale shape:
+    * the sample is
+    * TakeOrderedAndProject (per-partition top-(k+1) then a k-bounded
+    * driver merge — NO corpus shuffle, NO corpus-wide window; the τ pick
+    * and the exclusion of the (k+1)-th row are 1-row/k-row operations on
+    * the already-bounded relation); the only corpus-scale exchange is
+    * the per-source exact rollup the audit compares against.
+    */
+  private def q275(t: Tables): DataFrame = {
+    val k = 100
+    val docs = t.documents.select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("w"))
+      .withColumn("u", expr("((doc_id % 2147483647) * 2654435761) % 1048576 + 1"))
+      .withColumn("p", expr("(w * 1048576) DIV u"))
+    val top = docs.orderBy(col("p").desc, col("doc_id")).limit(k + 1)
+    // the (k+1)-th row under the sample's total order: its priority is τ,
+    // and it is excluded from the sample itself
+    val tauRow = top.orderBy(col("p"), col("doc_id").desc).limit(1)
+      .select(col("p").as("tau"), col("doc_id").as("excl_id"))
+    // p = w·2^20 DIV u ≈ w / (u/2^20) is ALREADY in weight units, so the
+    // threshold estimate is max(w, τ) directly — integer chars, no rescale
+    val perSrc = top.crossJoin(broadcast(tauRow))
+      .filter(col("doc_id") =!= col("excl_id"))
+      .withColumn("est", greatest(col("w"), col("tau")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("est")).as("est_sum"))
+    t.documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("exact_chars"))
+      .join(perSrc, Seq("source"), "left")
+      .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+      .withColumn("est_chars", coalesce(col("est_sum"), lit(0L)))
+      .withColumn("err_e6", expr(
+        "(2 * 1000000 * abs(est_chars - exact_chars) + exact_chars) " +
+          "DIV (2 * exact_chars)"))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        col("exact_chars"), col("est_chars"), col("err_e6"))
+      .orderBy(col("source"))
+  }
+
   /** Weighted corpus mixing: per-source sampling rates applied via the
     * same seedless hash — up-weight the `src1*` family to 100%, keep the
     * rest at 40%. The mixing step of every multi-source training run,
@@ -2910,6 +2966,7 @@ object Extras extends QueryModule {
     "q93_zorder_cells" -> ((s, d) => q93(Tables(s, d))),
     "q232_zonemap_skipping" -> ((s, d) => q232(Tables(s, d))),
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
+    "q275_priority_sample" -> ((s, d) => q275(Tables(s, d))),
     "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
     "q119_cohort_retention" -> ((s, d) => q119(Tables(s, d))),
     "q94_balanced_cap" -> ((s, d) => q94(Tables(s, d))),
@@ -4142,6 +4199,36 @@ object Extras extends QueryModule {
         | CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         | max(rate) AS rate_pct
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q275_priority_sample" ->
+      """WITH d AS (
+        | SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+        |  ((doc_id % 2147483647) * 2654435761) % 1048576 + 1 AS u
+        | FROM documents),
+        | p AS (SELECT doc_id, source, w, (w * 1048576) // u AS p FROM d),
+        | top AS (
+        |  SELECT * FROM (
+        |   SELECT doc_id, source, w, p,
+        |    row_number() OVER (ORDER BY p DESC, doc_id) AS rk
+        |   FROM p) WHERE rk <= 101),
+        | tau AS (SELECT p AS tau FROM top WHERE rk = 101),
+        | smp AS (
+        |  SELECT source, greatest(w, tau) AS est
+        |  FROM top CROSS JOIN tau WHERE rk <= 100),
+        | ps AS (
+        |  SELECT source, count(*) AS n_sampled, CAST(sum(est) AS BIGINT) AS est_sum
+        |  FROM smp GROUP BY 1),
+        | ex AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS exact_chars
+        |  FROM p GROUP BY 1),
+        | j AS (
+        |  SELECT ex.source, n_docs,
+        |   CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled, exact_chars,
+        |   CAST(coalesce(est_sum, 0) AS BIGINT) AS est_chars
+        |  FROM ex LEFT JOIN ps ON ps.source = ex.source)
+        |SELECT source, n_docs, n_sampled, exact_chars, est_chars,
+        | CAST((2 * 1000000 * abs(est_chars - exact_chars) + exact_chars)
+        |   // (2 * exact_chars) AS BIGINT) AS err_e6
+        |FROM j ORDER BY source""".stripMargin,
     "q64_hash_split" ->
       """WITH s AS (SELECT source, n_chars, ((doc_id % 2147483647) * 2654435761) % 100 AS h FROM documents)
         |SELECT source,

@@ -500,3 +500,38 @@ class QuantileNormSpec extends AnyFunSuite {
       "normalization changed nothing — fixture lost its drift signal")
   }
 }
+
+class PrioritySampleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q275 sample and threshold estimates match a scalar recompute; global estimate is tight") {
+    val rows = SparkEntry.queries("q275_priority_sample")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_sampled"), r.getAs[Long]("exact_chars"),
+        r.getAs[Long]("est_chars")))
+    val k = 100
+    assert(rows.map(_._3).sum == k, "sample size must be exactly k")
+    // scalar recompute of the full scheme
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val prio = docs.map { case (id, src, w) =>
+      val u = ((id % 2147483647L) * 2654435761L) % 1048576L + 1
+      (id, src, w, (w * 1048576L) / u)
+    }.sortBy(p => (-p._4, p._1))
+    val tau = prio(k)._4
+    val sample = prio.take(k)
+    val estBySrc = sample.groupBy(_._2)
+      .map { case (s2, ms) => s2 -> (ms.length.toLong, ms.map(m => math.max(m._3, tau)).sum) }
+    rows.foreach { case (src, _, ns, exact, est) =>
+      val (expN, expEst) = estBySrc.getOrElse(src, (0L, 0L))
+      assert(ns == expN, s"$src: n_sampled $ns vs scalar $expN")
+      assert(est == expEst, s"$src: est $est vs scalar $expEst")
+      assert(exact == docs.filter(_._2 == src).map(_._3).sum)
+    }
+    // the subset-sum estimator is tight in aggregate (probed 0.9% here;
+    // theory: se ≈ 1/sqrt(k) ≈ 10%)
+    val (g, e) = (rows.map(_._5).sum.toDouble, rows.map(_._4).sum.toDouble)
+    assert(math.abs(g - e) / e < 0.05, s"global estimate $g vs exact $e")
+  }
+}
