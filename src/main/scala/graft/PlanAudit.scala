@@ -96,7 +96,11 @@ object PlanAudit {
       // r17 session 2: q275's cross is the 1-row τ/excluded-id pick
       // broadcast onto the (k+1)-bounded sample relation (q232's scalar
       // class — both sides are k-bounded by TakeOrderedAndProject)
-      "q275_priority_sample")
+      "q275_priority_sample",
+      // r17 session 2: q276's crosses are the 1-row corpus-type and
+      // corpus-chars scalars broadcast onto the |sources| result
+      // relation (q232's scalar class)
+      "q276_source_ablation")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -728,6 +732,12 @@ object PlanAudit {
     // NO corpus exchange); the two textual shuffles are the per-source
     // exact-rollup audit branch and the k-row sample rollup (measured 2)
     "q275_priority_sample" -> 2,
+    // q276 (r17): ONE corpus-scale shingle explode collapsing onto
+    // (sh, source) — it prints on both the census and per-source-types
+    // branches — then the shingle census agg; the rest are |sources|-
+    // bounded rollups, two 1-row scalars, assembly joins + sort
+    // (measured 10 textual)
+    "q276_source_ablation" -> 10,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

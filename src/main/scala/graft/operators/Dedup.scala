@@ -1031,6 +1031,60 @@ object Dedup extends QueryModule {
         expr("(2 * 10000 * n_reused_occurrences + n_doc_shingles) DIV (2 * n_doc_shingles)"))
       .orderBy(col("source"))
 
+  /** Leave-one-source-out content ablation — each source's MARGINAL
+    * contribution to the corpus's distinct content, the "what do we lose
+    * if we drop this feed" table a curation run consults before cutting
+    * a source (the ablation twin of q92/q95's pairwise overlap): per
+    * source, distinct word-3-shingle types, the types appearing in NO
+    * other source (the content that disappears with it), the
+    * leave-one-out corpus type count, the shared-content share (the
+    * boilerplate indicator — high share means the source adds little
+    * novel text), and the leave-one-out mean doc length with its delta
+    * against the global mean (the delta rule: LOO aggregates are the
+    * global totals minus the source's own, never a per-source recount).
+    *
+    * Scale shape: ONE shingle explode collapsing map-side onto
+    * (shingle, source) — the q171 relation — then a shingle-keyed
+    * multiplicity census; every downstream relation is |sources|- or
+    * 1-row-bounded (two scalar broadcasts). All columns exact longs;
+    * the share and the two means are half-up e6/e3 quantizations.
+    */
+  private def q276(t: Tables): DataFrame = {
+    val shx = Tables.localSplit(t.documents, col("doc_id"))
+      .select(
+        col("source"),
+        explode(graft.functions.GraftFunctions.shingle_set(col("text"))).as("sh"))
+      .groupBy(col("sh"), col("source")).agg(count(lit(1)).as("df"))
+    val census = shx.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_src"), min(col("source")).as("only_src"))
+    val vTotal = census.agg(count(lit(1)).as("v_total"))
+    val uniq = census.filter(col("n_src") === 1)
+      .groupBy(col("only_src").as("source"))
+      .agg(count(lit(1)).as("unique_types"))
+    val perSrcTypes = shx.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+    val corpus = t.documents
+      .agg(count(lit(1)).as("n_all"), sum(col("n_chars")).as("sum_all"))
+    t.documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_s"))
+      .join(perSrcTypes, Seq("source"))
+      .join(uniq, Seq("source"), "left")
+      .crossJoin(broadcast(vTotal))
+      .crossJoin(broadcast(corpus))
+      .withColumn("unique_types", coalesce(col("unique_types"), lit(0L)))
+      .withColumn("loo_types", col("v_total") - col("unique_types"))
+      .withColumn("shared_share_e6", expr(
+        "(2 * 1000000 * (n_types - unique_types) + n_types) DIV (2 * n_types)"))
+      .withColumn("loo_mean_chars_e3", expr(
+        "(2 * 1000 * (sum_all - sum_s) + (n_all - n_docs)) DIV (2 * (n_all - n_docs))"))
+      .withColumn("delta_mean_e3", col("loo_mean_chars_e3") -
+        expr("(2 * 1000 * sum_all + n_all) DIV (2 * n_all)"))
+      .select(col("source"), col("n_docs"), col("n_types"), col("unique_types"),
+        col("loo_types"), col("shared_share_e6"), col("loo_mean_chars_e3"),
+        col("delta_mean_e3"))
+      .orderBy(col("source"))
+  }
+
   /** Dup-graph transitivity audit (Watts & Strogatz 1998's global
     * clustering coefficient, on the dedup pass's own graphs): for the
     * LSH candidate graph and its Jaccard-verified subgraph, nodes,
@@ -2802,6 +2856,7 @@ object Dedup extends QueryModule {
     "q62_dup_clusters" -> ((s, d) => q62(Tables(s, d))),
     "q169_cluster_span" -> ((s, d) => q169(Tables(s, d))),
     "q171_shingle_reuse" -> ((s, d) => q171(Tables(s, d))),
+    "q276_source_ablation" -> ((s, d) => q276(Tables(s, d))),
     "q172_dup_transitivity" -> ((s, d) => q172(Tables(s, d))),
     "q212_assortativity" -> ((s, d) => q212(Tables(s, d))),
     "q180_lsh_occupancy" -> ((s, d) => q180(Tables(s, d))),
@@ -3874,6 +3929,37 @@ object Dedup extends QueryModule {
          | (2 * 10000 * n_reused_types + n_shingle_types) // (2 * n_shingle_types) AS type_reuse_e4,
          | (2 * 10000 * n_reused_occurrences + n_doc_shingles) // (2 * n_doc_shingles) AS occ_reuse_e4
          |FROM s ORDER BY source""".stripMargin,
+    "q276_source_ablation" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+         | shx AS (SELECT source, unnest(list_distinct($shinglesDuck)) AS sh FROM w),
+         | c AS (SELECT sh, source FROM shx GROUP BY 1, 2),
+         | ps AS (SELECT source, count(*) AS n_types FROM c GROUP BY 1),
+         | census AS (SELECT sh, count(*) AS n_src, min(source) AS only_src FROM c GROUP BY 1),
+         | vt AS (SELECT count(*) AS v_total FROM census),
+         | unq AS (
+         | SELECT only_src AS source, count(*) AS unique_types
+         | FROM census WHERE n_src = 1 GROUP BY 1),
+         | corp AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(n_chars) AS BIGINT) AS sum_all
+         | FROM documents),
+         | base AS (
+         | SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_s
+         | FROM documents GROUP BY 1)
+         |SELECT b.source, n_docs, n_types,
+         | CAST(coalesce(unique_types, 0) AS BIGINT) AS unique_types,
+         | CAST(v_total - coalesce(unique_types, 0) AS BIGINT) AS loo_types,
+         | CAST((2 * 1000000 * (n_types - coalesce(unique_types, 0)) + n_types)
+         |   // (2 * n_types) AS BIGINT) AS shared_share_e6,
+         | CAST((2 * 1000 * (sum_all - sum_s) + (n_all - n_docs))
+         |   // (2 * (n_all - n_docs)) AS BIGINT) AS loo_mean_chars_e3,
+         | CAST((2 * 1000 * (sum_all - sum_s) + (n_all - n_docs))
+         |   // (2 * (n_all - n_docs))
+         |  - (2 * 1000 * sum_all + n_all) // (2 * n_all) AS BIGINT) AS delta_mean_e3
+         |FROM base b
+         |JOIN ps ON ps.source = b.source
+         |LEFT JOIN unq ON unq.source = b.source
+         |CROSS JOIN vt CROSS JOIN corp
+         |ORDER BY b.source""".stripMargin,
     "q172_dup_transitivity" ->
       s"""WITH $duckJpairsCtes,
          | eg AS (

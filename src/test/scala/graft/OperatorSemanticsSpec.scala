@@ -535,3 +535,35 @@ class PrioritySampleSpec extends AnyFunSuite {
     assert(math.abs(g - e) / e < 0.05, s"global estimate $g vs exact $e")
   }
 }
+
+class SourceAblationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q276 LOO marginals match a scalar recompute; unique+shared partition each source's types") {
+    val rows = SparkEntry.queries("q276_source_ablation")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("unique_types"),
+        r.getAs[Long]("loo_types"), r.getAs[Long]("loo_mean_chars_e3"),
+        r.getAs[Long]("delta_mean_e3")))
+    // scalar recompute from the same shingle kernel
+    val m = Tables(spark, sf).documents
+      .select(col("source"),
+        explode(graft.functions.GraftFunctions.shingle_set(col("text"))).as("sh"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val bySh = m.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val vTotal = bySh.size.toLong
+    rows.foreach { case (src, _, nT, uT, looT, _, _) =>
+      val types = m.filter(_._1 == src).map(_._2).distinct
+      assert(nT == types.length.toLong, s"$src n_types")
+      val uniq = types.count(sh => bySh(sh) == Set(src)).toLong
+      assert(uT == uniq, s"$src unique_types: engine $uT vs scalar $uniq")
+      // the delta rule: LOO corpus types = types whose source list is not {src}
+      assert(looT == vTotal - uniq)
+      assert(looT == bySh.count { case (_, ss) => ss != Set(src) }.toLong)
+    }
+    // real signal at the fixture: single-source content exists but is not everything
+    assert(rows.forall(_._4 > 0) && rows.forall(r => r._4 < r._3))
+    // the mean deltas are centered: LOO means straddle the global mean
+    assert(rows.exists(_._7 > 0) && rows.exists(_._7 < 0))
+  }
+}
