@@ -100,7 +100,11 @@ object PlanAudit {
       // r17 session 2: q276's crosses are the 1-row corpus-type and
       // corpus-chars scalars broadcast onto the |sources| result
       // relation (q232's scalar class)
-      "q276_source_ablation")
+      "q276_source_ablation",
+      // r17 session 2: q277's crosses are the 1-row m/u-count, 8-weight
+      // and score-min scalars broadcast onto the candidate-bounded pair
+      // relation (q232's scalar class)
+      "q277_linkage_score")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -738,6 +742,12 @@ object PlanAudit {
     // bounded rollups, two 1-row scalars, assembly joins + sort
     // (measured 10 textual)
     "q276_source_ablation" -> 10,
+    // q277 (r17): the labeled-pair relation (pairStats band join +
+    // shingle-arrays joins + attr joins) prints on the m/u-count branch,
+    // the scoring branch and the score-min branch; all pair work is
+    // candidate-bounded, everything else is 1-row scalars + the band
+    // rollup (measured 9 textual; 11 with the session pair cache off)
+    "q277_linkage_score" -> 11,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

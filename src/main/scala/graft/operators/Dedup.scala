@@ -1103,6 +1103,79 @@ object Dedup extends QueryModule {
     * closing-edge semi-join — work Σ d², candidate-bounded (the q62/
     * q101 Σ|cluster|² class), never corpus². All-integer end to end.
     */
+  /** Fellegi–Sunter probabilistic record-linkage calibration (Fellegi &
+    * Sunter 1969 JASA; Winkler 2006's survey is the modern standard) —
+    * the scorer behind every entity-resolution system, here trained and
+    * evaluated on the dedup pass's own candidate pairs: per comparison
+    * field f (lang, source, length bucket, 16-char head), estimate
+    * m_f = P(agree | dup) from the Jaccard-verified pairs and
+    * u_f = P(agree | non-dup) from the rest (Laplace-smoothed), score
+    * every LSH candidate pair by Σ_f ln(m/u) over agreeing fields +
+    * Σ_f ln((1−m)/(1−u)) over disagreeing, and report the calibration
+    * table per 2.0-wide log-likelihood band: pairs, verified dups, dup
+    * share — a calibrated scorer shows dup share rising monotonically
+    * with the band (the evidence the match/non-match thresholds are
+    * set from).
+    *
+    * Exactness: the dup label is integer (jaccard ≥ 0.5 ⇔ 3·shared ≥
+    * nsh_a+nsh_b); each weight is ONE ln of a ratio of exact integer
+    * products quantized e4 half-up (q102's discipline), so per-pair
+    * scores are long sums; bands are floor divisions of min-shifted
+    * (non-negative) scores — engine-identical.
+    *
+    * Scale shape: pairs ride the session-cached candidate-bounded
+    * [[pairStats]] relation (never corpus²); the four attributes join
+    * onto the slim pair keys (AQE-sized); the m/u count table, the
+    * 8-weight relation and the score min are 1-row broadcasts (q232's
+    * scalar class); the band rollup is ≤ dozens of keys.
+    */
+  private def q277(t: Tables): DataFrame = {
+    val attrs = t.documents.select(
+      col("doc_id"), col("lang"), col("source"),
+      expr("n_chars DIV 100").as("lenb"), substring(col("text"), 1, 16).as("head"))
+    val labeled = pairStats(t)
+      .filter(col("nsh_a") + col("nsh_b") > col("shared"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared") * 3 >= col("nsh_a") + col("nsh_b")).as("dup"))
+      .join(attrs.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(attrs.as("fb"), col("doc_b") === col("fb.doc_id"))
+      .select(col("dup"),
+        (col("fa.lang") === col("fb.lang")).as("ag1"),
+        (col("fa.source") === col("fb.source")).as("ag2"),
+        (col("fa.lenb") === col("fb.lenb")).as("ag3"),
+        (col("fa.head") === col("fb.head")).as("ag4"))
+    val fields = Seq("1", "2", "3", "4")
+    val cntCols =
+      Seq(sum(when(col("dup"), 1L).otherwise(0L)).as("m_tot"),
+        count(lit(1)).as("all_tot")) ++
+        fields.flatMap(f => Seq(
+          sum(when(col("dup") && col(s"ag$f"), 1L).otherwise(0L)).as(s"am$f"),
+          sum(when(!col("dup") && col(s"ag$f"), 1L).otherwise(0L)).as(s"au$f")))
+    val cnt = labeled.agg(cntCols.head, cntCols.tail: _*)
+      .withColumn("u_tot", col("all_tot") - col("m_tot"))
+    // one ln of a ratio of exact integer products per weight (e4 half-up)
+    val weights = cnt.select(
+      fields.flatMap(f => Seq(
+        expr(s"CAST(floor(10000 * ln(((am$f + 1) * (u_tot + 2)) / " +
+          s"((m_tot + 2) * (au$f + 1))) + 0.5) AS BIGINT)").as(s"wa$f"),
+        expr(s"CAST(floor(10000 * ln(((m_tot + 1 - am$f) * (u_tot + 2)) / " +
+          s"((m_tot + 2) * (u_tot + 1 - au$f))) + 0.5) AS BIGINT)").as(s"wd$f"))): _*)
+    val scored = labeled.crossJoin(broadcast(weights))
+      .withColumn("score",
+        fields.map(f => when(col(s"ag$f"), col(s"wa$f")).otherwise(col(s"wd$f")))
+          .reduce(_ + _))
+    val smin = scored.agg(min(col("score")).as("smin"))
+    scored.crossJoin(broadcast(smin))
+      .withColumn("band", expr("(score - smin) DIV 20000"))
+      .withColumn("lo_e4", col("smin") + col("band") * 20000L)
+      .groupBy(col("band"), col("lo_e4"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_share_e6",
+        expr("(2 * 1000000 * n_dup + n_pairs) DIV (2 * n_pairs)"))
+      .orderBy(col("band"))
+  }
+
   private def q172(t: Tables): DataFrame = {
     val edges = pairStats(t)
       .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("candidates").as("graph"))
@@ -2857,6 +2930,7 @@ object Dedup extends QueryModule {
     "q169_cluster_span" -> ((s, d) => q169(Tables(s, d))),
     "q171_shingle_reuse" -> ((s, d) => q171(Tables(s, d))),
     "q276_source_ablation" -> ((s, d) => q276(Tables(s, d))),
+    "q277_linkage_score" -> ((s, d) => q277(Tables(s, d))),
     "q172_dup_transitivity" -> ((s, d) => q172(Tables(s, d))),
     "q212_assortativity" -> ((s, d) => q212(Tables(s, d))),
     "q180_lsh_occupancy" -> ((s, d) => q180(Tables(s, d))),
@@ -3929,6 +4003,60 @@ object Dedup extends QueryModule {
          | (2 * 10000 * n_reused_types + n_shingle_types) // (2 * n_shingle_types) AS type_reuse_e4,
          | (2 * 10000 * n_reused_occurrences + n_doc_shingles) // (2 * n_doc_shingles) AS occ_reuse_e4
          |FROM s ORDER BY source""".stripMargin,
+    "q277_linkage_score" ->
+      s"""WITH $sweepPairCtes,
+         | lab AS (SELECT doc_a, doc_b, (3 * shared >= na + nb) AS dup FROM pj),
+         | attrs AS (
+         |  SELECT doc_id, lang, source, n_chars // 100 AS lenb,
+         |   substr(text, 1, 16) AS head
+         |  FROM documents),
+         | ap AS (
+         |  SELECT dup,
+         |   (fa.lang = fb.lang) AS ag1, (fa.source = fb.source) AS ag2,
+         |   (fa.lenb = fb.lenb) AS ag3, (fa.head = fb.head) AS ag4
+         |  FROM lab
+         |  JOIN attrs fa ON fa.doc_id = lab.doc_a
+         |  JOIN attrs fb ON fb.doc_id = lab.doc_b),
+         | cnt AS (
+         |  SELECT CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS m_tot,
+         |   count(*) AS all_tot,
+         |   CAST(sum(CASE WHEN dup AND ag1 THEN 1 ELSE 0 END) AS BIGINT) AS am1,
+         |   CAST(sum(CASE WHEN NOT dup AND ag1 THEN 1 ELSE 0 END) AS BIGINT) AS au1,
+         |   CAST(sum(CASE WHEN dup AND ag2 THEN 1 ELSE 0 END) AS BIGINT) AS am2,
+         |   CAST(sum(CASE WHEN NOT dup AND ag2 THEN 1 ELSE 0 END) AS BIGINT) AS au2,
+         |   CAST(sum(CASE WHEN dup AND ag3 THEN 1 ELSE 0 END) AS BIGINT) AS am3,
+         |   CAST(sum(CASE WHEN NOT dup AND ag3 THEN 1 ELSE 0 END) AS BIGINT) AS au3,
+         |   CAST(sum(CASE WHEN dup AND ag4 THEN 1 ELSE 0 END) AS BIGINT) AS am4,
+         |   CAST(sum(CASE WHEN NOT dup AND ag4 THEN 1 ELSE 0 END) AS BIGINT) AS au4
+         |  FROM ap),
+         | cnt2 AS (SELECT *, all_tot - m_tot AS u_tot FROM cnt),
+         | wts AS (
+         |  SELECT
+         |   CAST(floor(10000 * ln(((am1 + 1) * (u_tot + 2)) / ((m_tot + 2) * (au1 + 1))) + 0.5) AS BIGINT) AS wa1,
+         |   CAST(floor(10000 * ln(((m_tot + 1 - am1) * (u_tot + 2)) / ((m_tot + 2) * (u_tot + 1 - au1))) + 0.5) AS BIGINT) AS wd1,
+         |   CAST(floor(10000 * ln(((am2 + 1) * (u_tot + 2)) / ((m_tot + 2) * (au2 + 1))) + 0.5) AS BIGINT) AS wa2,
+         |   CAST(floor(10000 * ln(((m_tot + 1 - am2) * (u_tot + 2)) / ((m_tot + 2) * (u_tot + 1 - au2))) + 0.5) AS BIGINT) AS wd2,
+         |   CAST(floor(10000 * ln(((am3 + 1) * (u_tot + 2)) / ((m_tot + 2) * (au3 + 1))) + 0.5) AS BIGINT) AS wa3,
+         |   CAST(floor(10000 * ln(((m_tot + 1 - am3) * (u_tot + 2)) / ((m_tot + 2) * (u_tot + 1 - au3))) + 0.5) AS BIGINT) AS wd3,
+         |   CAST(floor(10000 * ln(((am4 + 1) * (u_tot + 2)) / ((m_tot + 2) * (au4 + 1))) + 0.5) AS BIGINT) AS wa4,
+         |   CAST(floor(10000 * ln(((m_tot + 1 - am4) * (u_tot + 2)) / ((m_tot + 2) * (u_tot + 1 - au4))) + 0.5) AS BIGINT) AS wd4
+         |  FROM cnt2),
+         | sc AS (
+         |  SELECT dup,
+         |   (CASE WHEN ag1 THEN wa1 ELSE wd1 END
+         |    + CASE WHEN ag2 THEN wa2 ELSE wd2 END
+         |    + CASE WHEN ag3 THEN wa3 ELSE wd3 END
+         |    + CASE WHEN ag4 THEN wa4 ELSE wd4 END) AS score
+         |  FROM ap CROSS JOIN wts),
+         | mn AS (SELECT min(score) AS smin FROM sc)
+         |SELECT CAST((score - smin) // 20000 AS BIGINT) AS band,
+         | CAST(smin + ((score - smin) // 20000) * 20000 AS BIGINT) AS lo_e4,
+         | count(*) AS n_pairs,
+         | CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         | CAST((2 * 1000000 * sum(CASE WHEN dup THEN 1 ELSE 0 END) + count(*))
+         |   // (2 * count(*)) AS BIGINT) AS dup_share_e6
+         |FROM sc CROSS JOIN mn
+         |GROUP BY 1, 2 ORDER BY band""".stripMargin,
     "q276_source_ablation" ->
       s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
          | shx AS (SELECT source, unnest(list_distinct($shinglesDuck)) AS sh FROM w),

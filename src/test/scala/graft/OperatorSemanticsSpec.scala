@@ -567,3 +567,32 @@ class SourceAblationSpec extends AnyFunSuite {
     assert(rows.exists(_._7 > 0) && rows.exists(_._7 < 0))
   }
 }
+
+class LinkageScoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q277 conserves the candidate set; FS scores separate verified dups from non-dups") {
+    val rows = SparkEntry.queries("q277_linkage_score")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("band"), r.getAs[Long]("lo_e4"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dup"),
+        r.getAs[Long]("dup_share_e6")))
+    // every LSH candidate pair is scored exactly once
+    val nCand = SparkEntry.queries("q37_lsh_pairs")(spark, sf).count()
+    assert(rows.map(_._3).sum == nCand, "scored pairs must equal the candidate set")
+    val nDup = rows.map(_._4).sum
+    assert(nDup > 0 && nDup < nCand, "fixture lost its dup/non-dup mix")
+    // dup-mass concentrates in higher bands than non-dup mass
+    val dupMean = rows.map(r => r._1 * r._4).sum.toDouble / nDup
+    val nonMean = rows.map(r => r._1 * (r._3 - r._4)).sum.toDouble / (nCand - nDup)
+    assert(dupMean > nonMean, s"dup band mean $dupMean <= non-dup $nonMean")
+    // the FS thresholding property at this fixture: pure-dup bands sit at
+    // positive log-likelihood, pure-non-dup bands at negative
+    rows.filter(_._5 == 1000000L).foreach(r => assert(r._2 > 0, s"dup band at lo ${r._2}"))
+    rows.filter(_._5 == 0L).foreach(r => assert(r._2 < 0, s"non-dup band at lo ${r._2}"))
+    // share bounds + internal consistency of the e6 division
+    rows.foreach { case (_, _, np, nd, sh) =>
+      assert(nd <= np)
+      assert(sh == (2 * 1000000L * nd + np) / (2 * np))
+    }
+  }
+}
