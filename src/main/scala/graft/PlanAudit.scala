@@ -748,6 +748,11 @@ object PlanAudit {
     // candidate-bounded, everything else is 1-row scalars + the band
     // rollup (measured 9 textual; 11 with the session pair cache off)
     "q277_linkage_score" -> 11,
+    // q278 (r17): ONE corpus-scale exchange — the (source, fanout-group)
+    // level-1 rollup — printing on the pristine-tree and tamper-census
+    // branches; levels 2/3, the census and the result join + sort are
+    // group-domain-bounded (measured 6 textual)
+    "q278_merkle_manifest" -> 6,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

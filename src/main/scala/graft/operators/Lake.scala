@@ -88,6 +88,64 @@ object Lake extends QueryModule {
     * (MAX_ITERATION_SIZE pagination). One shuffle on dataset_id; batch ids
     * derived with integer math (never a double).
     */
+  /** Merkle manifest root per dataset with tamper localization (Merkle
+    * 1988; the fanout-tree form is what object stores ship as multipart
+    * "ETag of ETags" and what transparency logs use for subtree proofs)
+    * — the VERSION-level integrity fingerprint the reference keeps
+    * per-file multihashes for (reference `import_dataset` checksums each
+    * asset; this rolls them into one root so two dataset versions
+    * compare by ONE string, and a mismatch localizes to the differing
+    * fanout group without re-hashing the payload bytes): per dataset
+    * (source), assets, level-1 group count, the Merkle root over asset
+    * md5 leaves, and — against a planted doc_id%97 payload flip — the
+    * count of level-1 groups whose subtree hash moved plus the
+    * root-level detection verdict.
+    *
+    * Tree shape: fixed THREE levels of fanout `graft.merkle.fanout`
+    * (default 32 → 32³ = 32k assets/dataset; a deployment sets 1024 →
+    * 10⁹) — plan-static depth, no data-dependent iteration. Every node
+    * hash is md5 of the ordered concat of its children via listagg
+    * WITHIN GROUP (the repo's pinned merge-order-independent ordered
+    * aggregation — an unordered distributed concat could never pass a
+    * hash-exact oracle). ONE corpus-scale exchange (the level-1 group
+    * rollup, printing on the pristine and tamper-census branches);
+    * levels 2/3 and the census are group-domain-bounded.
+    */
+  private def q278(t: Tables): DataFrame = {
+    val fanout = t.spark.conf.get("graft.merkle.fanout", "32").toInt
+    require(fanout >= 2 && fanout <= 4096, s"graft.merkle.fanout out of range: $fanout")
+    val leaves = t.documents.select(
+      col("source"), col("doc_id"),
+      md5(col("text")).as("h"),
+      md5(when(col("doc_id") % 97 === 0, concat(col("text"), lit("X")))
+        .otherwise(col("text"))).as("ht"))
+    val l1 = leaves
+      .withColumn("g", expr(s"doc_id DIV $fanout"))
+      .groupBy(col("source"), col("g"))
+      .agg(
+        expr("md5(listagg(h, '') WITHIN GROUP (ORDER BY doc_id))").as("h1"),
+        expr("md5(listagg(ht, '') WITHIN GROUP (ORDER BY doc_id))").as("h1t"),
+        count(lit(1)).as("n"))
+    val l2 = l1
+      .withColumn("g2", expr(s"g DIV $fanout"))
+      .groupBy(col("source"), col("g2"))
+      .agg(
+        expr("md5(listagg(h1, '') WITHIN GROUP (ORDER BY g))").as("h2"),
+        expr("md5(listagg(h1t, '') WITHIN GROUP (ORDER BY g))").as("h2t"),
+        sum(col("n")).as("n"), count(lit(1)).as("ng"))
+    val root = l2.groupBy(col("source"))
+      .agg(
+        expr("md5(listagg(h2, '') WITHIN GROUP (ORDER BY g2))").as("root"),
+        expr("md5(listagg(h2t, '') WITHIN GROUP (ORDER BY g2))").as("root_t"),
+        sum(col("n")).as("n_assets"), sum(col("ng")).as("n_groups"))
+    val census = l1.groupBy(col("source"))
+      .agg(sum(when(col("h1") =!= col("h1t"), 1L).otherwise(0L)).as("tampered_groups"))
+    root.join(census, Seq("source"))
+      .select(col("source"), col("n_assets"), col("n_groups"), col("root"),
+        col("tampered_groups"), (col("root") =!= col("root_t")).as("tamper_detected"))
+      .orderBy(col("source"))
+  }
+
   private def q24(t: Tables): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     t.documents
@@ -1020,6 +1078,7 @@ object Lake extends QueryModule {
     "q21_dataset_list" -> ((s, d) => q21(Tables(s, d))),
     "q22_current_versions" -> ((s, d) => q22(Tables(s, d))),
     "q23_checksum_validate" -> ((s, d) => q23(Tables(s, d))),
+    "q278_merkle_manifest" -> ((s, d) => q278(Tables(s, d))),
     "q24_content_batches" -> ((s, d) => q24(Tables(s, d))),
     "q201_batch_progress" -> ((s, d) => q201(Tables(s, d))),
     "q25_validation_summary" -> ((s, d) => q25(Tables(s, d))),
@@ -1156,6 +1215,37 @@ object Lake extends QueryModule {
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1
         |ORDER BY dataset_id""".stripMargin,
+    "q278_merkle_manifest" ->
+      """WITH leaves AS (
+        | SELECT source, doc_id, md5(text) AS h,
+        |  md5(CASE WHEN doc_id % 97 = 0 THEN text || 'X' ELSE text END) AS ht
+        | FROM documents),
+        | l1 AS (
+        |  SELECT source, doc_id // 32 AS g,
+        |   md5(string_agg(h, '' ORDER BY doc_id)) AS h1,
+        |   md5(string_agg(ht, '' ORDER BY doc_id)) AS h1t,
+        |   count(*) AS n
+        |  FROM leaves GROUP BY 1, 2),
+        | l2 AS (
+        |  SELECT source, g // 32 AS g2,
+        |   md5(string_agg(h1, '' ORDER BY g)) AS h2,
+        |   md5(string_agg(h1t, '' ORDER BY g)) AS h2t,
+        |   CAST(sum(n) AS BIGINT) AS n, count(*) AS ng
+        |  FROM l1 GROUP BY 1, 2),
+        | rt AS (
+        |  SELECT source,
+        |   md5(string_agg(h2, '' ORDER BY g2)) AS root,
+        |   md5(string_agg(h2t, '' ORDER BY g2)) AS root_t,
+        |   CAST(sum(n) AS BIGINT) AS n_assets, CAST(sum(ng) AS BIGINT) AS n_groups
+        |  FROM l2 GROUP BY 1),
+        | tg AS (
+        |  SELECT source,
+        |   CAST(sum(CASE WHEN h1 <> h1t THEN 1 ELSE 0 END) AS BIGINT) AS tampered_groups
+        |  FROM l1 GROUP BY 1)
+        |SELECT r.source, n_assets, n_groups, root, tampered_groups,
+        | (root <> root_t) AS tamper_detected
+        |FROM rt r JOIN tg ON tg.source = r.source
+        |ORDER BY r.source""".stripMargin,
     "q23_checksum_validate" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'sha2-256' ELSE 'sha2-512' END AS algo,

@@ -596,3 +596,42 @@ class LinkageScoreSpec extends AnyFunSuite {
     }
   }
 }
+
+class MerkleManifestSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q278 roots replay from a scalar Merkle build; tampering localizes to its group") {
+    val rows = SparkEntry.queries("q278_merkle_manifest")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_assets"),
+        r.getAs[Long]("n_groups"), r.getAs[String]("root"),
+        r.getAs[Long]("tampered_groups"), r.getAs[Boolean]("tamper_detected")))
+    val docs = Tables(spark, sf).documents
+      .select(col("source"), col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._2).sum == docs.length.toLong)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    rows.foreach { case (src, nA, nG, root, tg, det) =>
+      val mine = docs.filter(_._1 == src).sortBy(_._2)
+      assert(nA == mine.length.toLong)
+      // scalar fanout-32 build, pristine leaves
+      def build(leaf: (Long, String) => String): String = {
+        val l1 = mine.groupBy(_._2 / 32).toSeq.sortBy(_._1)
+          .map { case (g, ds) => (g, md5hex(ds.sortBy(_._2).map(d => leaf(d._2, d._3)).mkString)) }
+        val l2 = l1.groupBy(_._1 / 32).toSeq.sortBy(_._1)
+          .map { case (g2, ns) => (g2, md5hex(ns.sortBy(_._1).map(_._2).mkString)) }
+        md5hex(l2.sortBy(_._1).map(_._2).mkString)
+      }
+      assert(root == build((_, txt) => md5hex(txt)), s"$src root mismatch")
+      assert(nG == mine.groupBy(_._2 / 32).size.toLong)
+      // tamper localization: detection fires iff the source holds a %97 doc,
+      // and the tampered-group count equals the distinct groups those docs occupy
+      val hot = mine.filter(_._2 % 97 == 0)
+      assert(det == hot.nonEmpty, s"$src detection verdict")
+      assert(tg == hot.map(_._2 / 32).distinct.length.toLong, s"$src localization")
+      assert(det == (tg > 0))
+    }
+    assert(rows.exists(_._6) && rows.exists(!_._6), "fixture lost its tamper mix")
+  }
+}
