@@ -104,7 +104,11 @@ object PlanAudit {
       // r17 session 2: q277's crosses are the 1-row m/u-count, 8-weight
       // and score-min scalars broadcast onto the candidate-bounded pair
       // relation (q232's scalar class)
-      "q277_linkage_score")
+      "q277_linkage_score",
+      // r17 session 2: q279's crosses are the 1-row truth-size and
+      // n(n-1)/2 scalars broadcast onto the 4-row scheme relation
+      // (q232's scalar class)
+      "q279_blocking_bench")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -753,6 +757,12 @@ object PlanAudit {
     // branches; levels 2/3, the census and the result join + sort are
     // group-domain-bounded (measured 6 textual)
     "q278_merkle_manifest" -> 6,
+    // q279 (r17): the 4-scheme (scheme, key) block rollup is the ONE
+    // corpus-scale exchange; it prints on the block-histogram branch and
+    // twice more under the truth-capture joins (ka/kb sides), the truth
+    // relation reprints the pairStats chain, plus the scheme rollup,
+    // scalar aggs and 4-row assembly + sort (measured 12 textual)
+    "q279_blocking_bench" -> 12,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

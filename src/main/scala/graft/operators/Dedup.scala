@@ -1103,6 +1103,73 @@ object Dedup extends QueryModule {
     * closing-edge semi-join — work Σ d², candidate-bounded (the q62/
     * q101 Σ|cluster|² class), never corpus². All-integer end to end.
     */
+  /** Blocking-scheme benchmark (Christen 2012's indexing survey is the
+    * standard framing) — the table an entity-resolution deployment
+    * consults BEFORE choosing its blocking key, pricing four candidate
+    * schemes (lang, 100-char length bucket, 16-char head, the production
+    * minhash band-0 signature) on the two axes that matter at 100 TB:
+    * REDUCTION RATIO (how much of the n²/2 pair space the scheme
+    * refuses to generate — the cost axis) and PAIRS COMPLETENESS (the
+    * share of Jaccard-verified true dup pairs whose endpoints share a
+    * block — the recall axis), plus pair quality (precision of the
+    * candidate set). The readout: a head/band block with RR ≈ 1 and
+    * PC ≈ 1 dominates a lang block whose RR is poor at equal recall.
+    *
+    * Exactness: candidate-pair counts are exact block combinatorics
+    * Σ c(c−1)/2 (longs); truth is q277's integer label (3·shared ≥
+    * nshₐ+nshᵦ) on the candidate-bounded pairStats relation; the three
+    * rates are half-up e6. Scale shape: ONE corpus-scale exchange — the
+    * 4-scheme (scheme, key) rollup, fed by a map-side explode — prices
+    * every scheme's block histogram without materializing ANY candidate
+    * pair (the whole point: cost is priced before it is paid, q180/q204's
+    * discipline); truth capture joins the ≤|verified| pair relation onto
+    * slim per-doc keys; scalars (truth size, n(n−1)/2) are 1-row
+    * broadcasts (q232's class).
+    */
+  private def q279(t: Tables): DataFrame = {
+    val sigs = Tables.localSplit(t.documents, col("doc_id"))
+      .select(col("doc_id"),
+        element_at(graft.functions.GraftFunctions.minhash_sigs(col("text"), bands(t)), 1)
+          .cast("string").as("band0"))
+    val keys = t.documents
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(n_chars DIV 100 AS STRING)").as("lenb"),
+        substring(col("text"), 1, 16).as("head16"))
+      .join(sigs, Seq("doc_id"))
+      .select(col("doc_id"), explode(map(
+        lit("lang"), col("lang"), lit("len_bucket"), col("lenb"),
+        lit("head16"), col("head16"), lit("minhash_band0"), col("band0")))
+        .as(Seq("scheme", "key")))
+    val cand = keys.groupBy(col("scheme"), col("key")).agg(count(lit(1)).as("c"))
+      .groupBy(col("scheme"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("(c * (c - 1)) DIV 2")).as("cand_pairs"))
+    val truth = pairStats(t)
+      .filter(col("nsh_a") + col("nsh_b") > col("shared"))
+      .filter(col("shared") * 3 >= col("nsh_a") + col("nsh_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val cap = truth
+      .join(keys.as("ka"), col("doc_a") === col("ka.doc_id"))
+      .join(keys.as("kb"),
+        col("doc_b") === col("kb.doc_id") && col("ka.scheme") === col("kb.scheme"))
+      .groupBy(col("ka.scheme").as("scheme"))
+      .agg(sum(when(col("ka.key") === col("kb.key"), 1L).otherwise(0L)).as("captured"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val tot = t.documents.agg(expr("(count(1) * (count(1) - 1)) DIV 2").as("total_pairs"))
+    cand.join(cap, Seq("scheme"))
+      .crossJoin(broadcast(nTruth))
+      .crossJoin(broadcast(tot))
+      .withColumn("rr_e6", expr(
+        "(2 * 1000000 * (total_pairs - cand_pairs) + total_pairs) DIV (2 * total_pairs)"))
+      .withColumn("pc_e6", expr("(2 * 1000000 * captured + n_truth) DIV (2 * n_truth)"))
+      .withColumn("pq_e6", expr(
+        "CASE WHEN cand_pairs > 0 " +
+          "THEN (2 * 1000000 * captured + cand_pairs) DIV (2 * cand_pairs) ELSE 0L END"))
+      .select(col("scheme"), col("n_blocks"), col("cand_pairs"), col("rr_e6"),
+        col("captured"), col("pc_e6"), col("pq_e6"))
+      .orderBy(col("scheme"))
+  }
+
   /** Fellegi–Sunter probabilistic record-linkage calibration (Fellegi &
     * Sunter 1969 JASA; Winkler 2006's survey is the modern standard) —
     * the scorer behind every entity-resolution system, here trained and
@@ -2931,6 +2998,7 @@ object Dedup extends QueryModule {
     "q171_shingle_reuse" -> ((s, d) => q171(Tables(s, d))),
     "q276_source_ablation" -> ((s, d) => q276(Tables(s, d))),
     "q277_linkage_score" -> ((s, d) => q277(Tables(s, d))),
+    "q279_blocking_bench" -> ((s, d) => q279(Tables(s, d))),
     "q172_dup_transitivity" -> ((s, d) => q172(Tables(s, d))),
     "q212_assortativity" -> ((s, d) => q212(Tables(s, d))),
     "q180_lsh_occupancy" -> ((s, d) => q180(Tables(s, d))),
@@ -4003,6 +4071,43 @@ object Dedup extends QueryModule {
          | (2 * 10000 * n_reused_types + n_shingle_types) // (2 * n_shingle_types) AS type_reuse_e4,
          | (2 * 10000 * n_reused_occurrences + n_doc_shingles) // (2 * n_doc_shingles) AS occ_reuse_e4
          |FROM s ORDER BY source""".stripMargin,
+    "q279_blocking_bench" ->
+      s"""WITH $sweepPairCtes,
+         | truth AS (SELECT doc_a, doc_b FROM pj WHERE 3 * shared >= na + nb),
+         | b0 AS (SELECT doc_id, CAST(sig AS VARCHAR) AS key FROM sigs WHERE band = 0),
+         | keys AS (
+         |  SELECT doc_id, 'lang' AS scheme, lang AS key FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'len_bucket', CAST(n_chars // 100 AS VARCHAR) FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'head16', substr(text, 1, 16) FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'minhash_band0', key FROM b0),
+         | blk AS (SELECT scheme, key, count(*) AS c FROM keys GROUP BY 1, 2),
+         | cnd AS (
+         |  SELECT scheme, count(*) AS n_blocks,
+         |   CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs
+         |  FROM blk GROUP BY 1),
+         | cap AS (
+         |  SELECT ka.scheme,
+         |   CAST(sum(CASE WHEN ka.key = kb.key THEN 1 ELSE 0 END) AS BIGINT) AS captured
+         |  FROM truth
+         |  JOIN keys ka ON ka.doc_id = truth.doc_a
+         |  JOIN keys kb ON kb.doc_id = truth.doc_b AND kb.scheme = ka.scheme
+         |  GROUP BY 1),
+         | nt AS (SELECT count(*) AS n_truth FROM truth),
+         | tot AS (SELECT (count(*) * (count(*) - 1)) // 2 AS total_pairs FROM documents)
+         |SELECT cnd.scheme, n_blocks, cand_pairs,
+         | CAST((2 * 1000000 * (total_pairs - cand_pairs) + total_pairs)
+         |   // (2 * total_pairs) AS BIGINT) AS rr_e6,
+         | captured,
+         | CAST((2 * 1000000 * captured + n_truth) // (2 * n_truth) AS BIGINT) AS pc_e6,
+         | CAST(CASE WHEN cand_pairs > 0
+         |   THEN (2 * 1000000 * captured + cand_pairs) // (2 * cand_pairs)
+         |   ELSE 0 END AS BIGINT) AS pq_e6
+         |FROM cnd JOIN cap ON cap.scheme = cnd.scheme
+         |CROSS JOIN nt CROSS JOIN tot
+         |ORDER BY cnd.scheme""".stripMargin,
     "q277_linkage_score" ->
       s"""WITH $sweepPairCtes,
          | lab AS (SELECT doc_a, doc_b, (3 * shared >= na + nb) AS dup FROM pj),

@@ -635,3 +635,40 @@ class MerkleManifestSpec extends AnyFunSuite {
     assert(rows.exists(_._6) && rows.exists(!_._6), "fixture lost its tamper mix")
   }
 }
+
+class BlockingBenchSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q279 block combinatorics match a scalar recompute; the production band dominates lang") {
+    val rows = SparkEntry.queries("q279_blocking_bench")(spark, sf).collect()
+      .map(r => r.getAs[String]("scheme") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("cand_pairs"), r.getAs[Long]("rr_e6"),
+          r.getAs[Long]("captured"), r.getAs[Long]("pc_e6"), r.getAs[Long]("pq_e6"))).toMap
+    assert(rows.keySet == Set("lang", "len_bucket", "head16", "minhash_band0"))
+    // scalar recompute of the two cheap schemes' block combinatorics
+    val docs = Tables(spark, sf).documents
+      .select(col("lang"), expr("n_chars DIV 100").as("lb"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length.toLong
+    def comb(cs: Iterable[Int]): Long = cs.map(c => c.toLong * (c - 1) / 2).sum
+    val byLang = docs.groupBy(_._1).map(_._2.length)
+    val byLen = docs.groupBy(_._2).map(_._2.length)
+    assert(rows("lang")._1 == byLang.size.toLong && rows("lang")._2 == comb(byLang))
+    assert(rows("len_bucket")._1 == byLen.size.toLong && rows("len_bucket")._2 == comb(byLen))
+    val tot = n * (n - 1) / 2
+    rows.values.foreach { case (_, cp, rr, cap, pc, pq) =>
+      assert(cp <= tot && cap >= 0)
+      assert(rr == (2 * 1000000L * (tot - cp) + tot) / (2 * tot))
+      assert(pc >= 0 && pc <= 1000000L && pq >= 0 && pq <= 1000000L)
+    }
+    // the benchmark's point: the engineered keys dominate the naive one —
+    // better reduction AND better recall than lang blocking
+    val (lang, band) = (rows("lang"), rows("minhash_band0"))
+    assert(band._3 > lang._3 && band._5 > lang._5,
+      s"band0 (rr=${band._3}, pc=${band._5}) must dominate lang (rr=${lang._3}, pc=${lang._5})")
+    // the production band captures (essentially) all verified truth: by
+    // construction every verified pair shares >= 1 of 8 bands, and the
+    // fixture's pairs overwhelmingly share band 0
+    assert(band._5 >= 900000L)
+  }
+}
