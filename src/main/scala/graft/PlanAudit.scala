@@ -763,6 +763,12 @@ object PlanAudit {
     // relation reprints the pairStats chain, plus the scheme rollup,
     // scalar aggs and 4-row assembly + sort (measured 12 textual)
     "q279_blocking_bench" -> 12,
+    // q280 (r17): the corpus-scale work is two source-keyed window ranks
+    // (median, conformal radius) + the test rollup on the SAME source
+    // key; the cal chain reprints under the med/qhat/test/assembly
+    // branches (AQE reuses at runtime), med/qhat/counts are |sources|-
+    // row broadcasts (measured 15 textual)
+    "q280_conformal_coverage" -> 15,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

@@ -1357,6 +1357,65 @@ object TextAnalysis extends QueryModule {
     * rides the (source, len) TYPE relation, never the corpus; the only
     * corpus-scale work is the one partial-aggregable count.
     */
+  /** Split-conformal prediction coverage audit (Vovk et al. 2005;
+    * Papadopoulos et al. 2002 introduced the split form; Angelopoulos &
+    * Bates 2023 is the modern tutorial) — the distribution-free interval
+    * machinery a pipeline uses to put GUARANTEED error bars on a per-doc
+    * prediction before acting on it: deterministically split each source
+    * 50/50 into calibration/test (the q64 seedless hash, mod-100 arm),
+    * predict each doc's length by its source's calibration median,
+    * calibrate the conformal radius q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * calibration nonconformity |len − med| at α = 0.1, and report the
+    * TEST-side empirical coverage — exchangeability alone guarantees
+    * E[coverage] ≥ 90%, no distributional assumption, which is exactly
+    * what makes the technique deployable on arbitrary corpora.
+    *
+    * Exactness: the median and q̂ are ORDER STATISTICS (source-keyed
+    * row_number with doc_id tie-break, integer rank formulas
+    * (n+1) DIV 2 and ((n+1)·9+9) DIV 10) — no interpolation, no
+    * doubles; a rank beyond n_cal (tiny strata) yields the infinite
+    * radius, reported as q̂ = −1 with full coverage. Scale shape: the
+    * corpus-scale work is two source-keyed window ranks + the test
+    * rollup on the SAME key (one partitioning reused); med/q̂/counts are
+    * |sources|-row relations broadcast back.
+    */
+  private def q280(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("cal", expr("((doc_id % 2147483647) * 2654435761) % 100 < 50"))
+    val cal = docs.filter(col("cal"))
+    val calCnt = cal.groupBy(col("source")).agg(count(lit(1)).as("n_cal"))
+    val wLen = Window.partitionBy(col("source")).orderBy(col("len"), col("doc_id"))
+    val med = cal.withColumn("rn", row_number().over(wLen))
+      .join(broadcast(calCnt), Seq("source"))
+      .filter(col("rn") === expr("(n_cal + 1) DIV 2"))
+      .select(col("source"), col("len").as("med"))
+    val calScores = cal.join(broadcast(med), Seq("source"))
+      .withColumn("score", abs(col("len") - col("med")))
+    val wSc = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+    val qhat = calScores.withColumn("rn", row_number().over(wSc))
+      .join(broadcast(calCnt), Seq("source"))
+      .filter(col("rn") === expr("((n_cal + 1) * 9 + 9) DIV 10"))
+      .select(col("source"), col("score").as("qhat"))
+    val agg = docs.filter(!col("cal"))
+      .join(broadcast(med), Seq("source"))
+      .join(broadcast(qhat), Seq("source"), "left")
+      .withColumn("cov",
+        col("qhat").isNull || abs(col("len") - col("med")) <= col("qhat"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("cov"), 1L).otherwise(0L)).as("covered"))
+    agg.join(calCnt, Seq("source"))
+      .join(med, Seq("source"))
+      .join(qhat, Seq("source"), "left")
+      .withColumn("qhat", coalesce(col("qhat"), lit(-1L)))
+      .withColumn("coverage_e6",
+        expr("(2 * 1000000 * covered + n_test) DIV (2 * n_test)"))
+      .select(col("source"), col("n_cal"), col("n_test"), col("med"),
+        col("qhat"), col("covered"), col("coverage_e6"))
+      .orderBy(col("source"))
+  }
+
   private def q197(t: Tables): DataFrame = {
     val targets = Seq(25, 50, 75, 95)
     val counts = t.documents
@@ -2773,6 +2832,7 @@ object TextAnalysis extends QueryModule {
     "q186_length_tail" -> ((s, d) => q186(Tables(s, d))),
     "q194_ks_drift" -> ((s, d) => q194(Tables(s, d))),
     "q197_length_quantiles" -> ((s, d) => q197(Tables(s, d))),
+    "q280_conformal_coverage" -> ((s, d) => q280(Tables(s, d))),
     "q231_robust_outliers" -> ((s, d) => q231(Tables(s, d))),
     "q235_byte_percentiles" -> ((s, d) => q235(Tables(s, d))),
     "q238_cohens_kappa" -> ((s, d) => q238(Tables(s, d))),
@@ -2830,6 +2890,47 @@ object TextAnalysis extends QueryModule {
         |  1, 19) AS BIGINT) AS top_cell_e4,
         | CAST(max((nl - 1) * (ns - 1)) AS BIGINT) AS df
         |FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
+    "q280_conformal_coverage" ->
+      """WITH d AS (
+        | SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len,
+        |  ((doc_id % 2147483647) * 2654435761) % 100 < 50 AS cal
+        | FROM documents),
+        | c AS (SELECT * FROM d WHERE cal),
+        | cc AS (SELECT source, count(*) AS n_cal FROM c GROUP BY 1),
+        | cr AS (
+        | SELECT source, len,
+        |  row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS rn
+        | FROM c),
+        | med AS (
+        | SELECT cr.source, len AS med
+        | FROM cr JOIN cc ON cc.source = cr.source WHERE rn = (n_cal + 1) // 2),
+        | cs AS (
+        | SELECT c.source, c.doc_id, abs(len - med) AS score
+        | FROM c JOIN med ON med.source = c.source),
+        | sr AS (
+        | SELECT source, score,
+        |  row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn
+        | FROM cs),
+        | qh AS (
+        | SELECT sr.source, score AS qhat
+        | FROM sr JOIN cc ON cc.source = sr.source
+        | WHERE rn = ((n_cal + 1) * 9 + 9) // 10),
+        | agg AS (
+        | SELECT d.source, count(*) AS n_test,
+        |  CAST(sum(CASE WHEN qh.qhat IS NULL OR abs(len - med) <= qh.qhat
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        | FROM d
+        | JOIN med ON med.source = d.source
+        | LEFT JOIN qh ON qh.source = d.source
+        | WHERE NOT cal GROUP BY 1)
+        |SELECT a.source, n_cal, n_test, med,
+        | CAST(coalesce(qhat, -1) AS BIGINT) AS qhat, covered,
+        | CAST((2 * 1000000 * covered + n_test) // (2 * n_test) AS BIGINT) AS coverage_e6
+        |FROM agg a
+        |JOIN cc ON cc.source = a.source
+        |JOIN med ON med.source = a.source
+        |LEFT JOIN qh ON qh.source = a.source
+        |ORDER BY a.source""".stripMargin,
     "q197_length_quantiles" ->
       """WITH c AS (
         | SELECT source, n_chars AS len, count(*) AS c FROM documents GROUP BY 1, 2),

@@ -672,3 +672,41 @@ class BlockingBenchSpec extends AnyFunSuite {
     assert(band._5 >= 900000L)
   }
 }
+
+class ConformalCoverageSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q280 median, radius and coverage replay from a scalar conformal build") {
+    val rows = SparkEntry.queries("q280_conformal_coverage")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_cal"), r.getAs[Long]("n_test"),
+        r.getAs[Long]("med"), r.getAs[Long]("qhat"), r.getAs[Long]("covered"),
+        r.getAs[Long]("coverage_e6")))
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._2)
+    rows.foreach { case (src, nCal, nTest, med, qhat, covered, covE6) =>
+      val mine = bySrc(src)
+      val (cal, test) = mine.partition(d => ((d._1 % 2147483647L) * 2654435761L) % 100 < 50)
+      assert(nCal == cal.length.toLong && nTest == test.length.toLong)
+      // lower median by (len, doc_id) order statistic
+      val calSorted = cal.sortBy(d => (d._3, d._1))
+      val expMed = calSorted(((cal.length + 1) / 2 - 1).toInt)._3
+      assert(med == expMed, s"$src median")
+      // conformal radius: ceil(0.9 (n+1))-th smallest |len - med|
+      val scores = cal.sortBy(d => (math.abs(d._3 - expMed), d._1))
+      val k = ((cal.length + 1) * 9 + 9) / 10
+      val expQ = if (k > cal.length) -1L else math.abs(scores(k - 1)._3 - expMed)
+      assert(qhat == expQ, s"$src qhat")
+      val expCov =
+        if (expQ < 0) test.length.toLong
+        else test.count(d => math.abs(d._3 - expMed) <= expQ).toLong
+      assert(covered == expCov, s"$src coverage count")
+      assert(covE6 == (2 * 1000000L * covered + nTest) / (2 * nTest))
+    }
+    // the marginal conformal guarantee, up to finite-sample noise at
+    // these strata sizes (probed 88.8% / 89.5% across SFs)
+    val meanCov = rows.map(_._7).sum.toDouble / rows.length
+    assert(meanCov >= 850000.0, s"mean coverage $meanCov below the noisy-guarantee floor")
+  }
+}
