@@ -105,6 +105,11 @@ object PlanAudit {
       // and score-min scalars broadcast onto the candidate-bounded pair
       // relation (q232's scalar class)
       "q277_linkage_score",
+      // r17 session 2: q282's crosses are the 1-row center picks
+      // broadcast onto the running min-distance relation, one per
+      // unrolled Gonzalez round (q232's scalar class; q272's unrolled-
+      // greedy precedent)
+      "q282_kcenter_greedy",
       // r17 session 2: q279's crosses are the 1-row truth-size and
       // n(n-1)/2 scalars broadcast onto the 4-row scheme relation
       // (q232's scalar class)
@@ -774,6 +779,11 @@ object PlanAudit {
     // sort; the sign matrix and sample sides broadcast (measured 4
     // textual)
     "q281_jl_distortion" -> 4,
+    // q282 (r17): K=4 unrolled rounds — each round's radius agg prints a
+    // single-partition exchange; picks are TakeOrderedAndProject, per-
+    // round work is one broadcast onto the O(n) distance relation
+    // (measured 4 textual)
+    "q282_kcenter_greedy" -> 4,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

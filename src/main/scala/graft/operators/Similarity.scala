@@ -256,6 +256,53 @@ object Similarity extends QueryModule {
       .orderBy(col("k"))
   }
 
+  /** Gonzalez farthest-point k-center seeding (Gonzalez 1985 — the
+    * 2-approximation greedy every coreset/diversity-selection pipeline
+    * starts from, and the seeding k-means++ descends from): pick an
+    * arbitrary first center (min vec_id), then K−1 times pick the point
+    * FARTHEST from its nearest chosen center; after each round report
+    * the covering radius max_v min_c d²(v, c). The guarantee is
+    * machine-checkable from the output alone: the k+1 picks are
+    * pairwise ≥ r_k apart, so ANY k-clustering co-locates two of them
+    * and OPT ≥ r_k/2 — greedy is within 2× of optimal, certified by its
+    * own trajectory (the spec pins the pairwise-separation invariant).
+    *
+    * Exactness: q281's e4-quantized coordinates make every distance an
+    * exact long; argmax ties break on vec_id. Scale shape: K
+    * plan-unrolled rounds (q272's pattern — K is a constant, never
+    * data-dependent); each round is ONE broadcast of the 1-row new
+    * center onto the running min-distance relation (O(n) work per
+    * round, no pairwise materialization) + a TakeOrdered pick and a
+    * 1-row radius agg.
+    */
+  private def q282(t: Tables): DataFrame = {
+    val K = 4
+    val quant = "transform(embedding, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))"
+    val e = t.embeddings.select(col("vec_id"), expr(quant).as("vq"))
+    val d2 = "aggregate(zip_with(vq, cv, (x, y) -> x - y), 0L, (acc, z) -> acc + z * z)"
+    var cur = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("cid"), col("vq").as("cv"))
+    var dist: DataFrame = null
+    var out: DataFrame = null
+    for (k <- 1 to K) {
+      dist =
+        if (k == 1)
+          e.crossJoin(broadcast(cur))
+            .select(col("vec_id"), col("vq"), expr(d2).as("dmin"))
+        else
+          dist.crossJoin(broadcast(cur))
+            .select(col("vec_id"), col("vq"),
+              least(col("dmin"), expr(d2)).as("dmin"))
+      val row = cur.select(lit(k).as("k"), col("cid").as("center_id"))
+        .crossJoin(dist.agg(max(col("dmin")).as("radius2")))
+      out = if (out == null) row else out.unionByName(row)
+      if (k < K)
+        cur = dist.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("cid"), col("vq").as("cv"))
+    }
+    out.orderBy(col("k"))
+  }
+
   private def q269(t: Tables): DataFrame = {
     val dims = Seq(8, 16, 32, 64)
     val e = vectors(t)
@@ -2110,6 +2157,7 @@ object Similarity extends QueryModule {
     "q256_retrieval_quality" -> ((s, d) => q256(Tables(s, d))),
     "q269_mrl_fidelity" -> ((s, d) => q269(Tables(s, d))),
     "q281_jl_distortion" -> ((s, d) => q281(Tables(s, d))),
+    "q282_kcenter_greedy" -> ((s, d) => q282(Tables(s, d))),
     "q272_mmr_rerank" -> ((s, d) => q272(Tables(s, d)))
   )
 
@@ -2825,6 +2873,51 @@ object Similarity extends QueryModule {
          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
     "q272_mmr_rerank" -> mmrOracle,
+    "q282_kcenter_greedy" ->
+      s"""WITH e AS (
+         | SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS vq
+         | FROM embeddings),
+         | c1 AS (SELECT vec_id AS cid, vq AS cv FROM e ORDER BY vec_id LIMIT 1),
+         | d1 AS (
+         |  SELECT vec_id, vq, CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |    i -> (vq[i] - cv[i]) * (vq[i] - cv[i]))) AS BIGINT) AS dmin
+         |  FROM e, c1),
+         | r1 AS (
+         |  SELECT 1 AS k, cid AS center_id, CAST(max(dmin) AS BIGINT) AS radius2
+         |  FROM d1, c1 GROUP BY cid),
+         | c2 AS (SELECT vec_id AS cid, vq AS cv FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1),
+         | d2 AS (
+         |  SELECT d1.vec_id, d1.vq, least(dmin,
+         |   CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |    i -> (d1.vq[i] - cv[i]) * (d1.vq[i] - cv[i]))) AS BIGINT)) AS dmin
+         |  FROM d1, c2),
+         | r2 AS (
+         |  SELECT 2 AS k, cid AS center_id, CAST(max(dmin) AS BIGINT) AS radius2
+         |  FROM d2, c2 GROUP BY cid),
+         | c3 AS (SELECT vec_id AS cid, vq AS cv FROM d2 ORDER BY dmin DESC, vec_id LIMIT 1),
+         | d3 AS (
+         |  SELECT d2.vec_id, d2.vq, least(dmin,
+         |   CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |    i -> (d2.vq[i] - cv[i]) * (d2.vq[i] - cv[i]))) AS BIGINT)) AS dmin
+         |  FROM d2, c3),
+         | r3 AS (
+         |  SELECT 3 AS k, cid AS center_id, CAST(max(dmin) AS BIGINT) AS radius2
+         |  FROM d3, c3 GROUP BY cid),
+         | c4 AS (SELECT vec_id AS cid, vq AS cv FROM d3 ORDER BY dmin DESC, vec_id LIMIT 1),
+         | d4 AS (
+         |  SELECT d3.vec_id, d3.vq, least(dmin,
+         |   CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |    i -> (d3.vq[i] - cv[i]) * (d3.vq[i] - cv[i]))) AS BIGINT)) AS dmin
+         |  FROM d3, c4),
+         | r4 AS (
+         |  SELECT 4 AS k, cid AS center_id, CAST(max(dmin) AS BIGINT) AS radius2
+         |  FROM d4, c4 GROUP BY cid)
+         |SELECT k, center_id, radius2 FROM (
+         | SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         | UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+         |ORDER BY k""".stripMargin,
     "q281_jl_distortion" ->
       s"""WITH signs AS (
          | SELECT j, i,

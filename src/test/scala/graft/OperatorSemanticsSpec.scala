@@ -759,3 +759,44 @@ class JlDistortionSpec extends AnyFunSuite {
     assert(rows.last._6 >= 950000L, "k=32 should concentrate within the band")
   }
 }
+
+class KCenterSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q282 trajectory replays from a scalar greedy; separation invariant certifies the 2-approx") {
+    val rows = SparkEntry.queries("q282_kcenter_greedy")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("center_id"), r.getAs[Long]("radius2")))
+      .sortBy(_._1)
+    assert(rows.map(_._1) sameElements Array(1, 2, 3, 4))
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x * 10000.0 + 0.5).toLong).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // scalar greedy replay
+    var centers = List(vecs.head)
+    var dmin = vecs.map(v => d2(v._2, centers.head._2))
+    rows.foreach { case (k, cid, r2) =>
+      assert(cid == centers.head._1, s"k=$k center")
+      assert(r2 == dmin.max, s"k=$k radius")
+      if (k < 4) {
+        val next = vecs.indices.maxBy(i => (dmin(i), -vecs(i)._1))
+        centers ::= vecs(next)
+        dmin = vecs.indices.map(i => math.min(dmin(i), d2(vecs(i)._2, vecs(next)._2))).toArray
+      }
+    }
+    // Gonzalez separation invariant = the 2-approx certificate: every
+    // pair among the first k+1 picks is >= r_k apart (squared compare)
+    val picks = centers.reverse.toArray // in pick order
+    rows.dropRight(1).foreach { case (k, _, r2) =>
+      val firstK1 = picks.take(k + 1)
+      for (i <- firstK1.indices; j <- (i + 1) until firstK1.length)
+        assert(d2(firstK1(i)._2, firstK1(j)._2) >= r2,
+          s"picks ${firstK1(i)._1},${firstK1(j)._1} closer than r_$k")
+    }
+    // radii are monotone non-increasing (more centers never cover worse)
+    rows.map(_._3).sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+  }
+}
