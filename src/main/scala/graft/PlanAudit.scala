@@ -113,7 +113,11 @@ object PlanAudit {
       // r17 session 2: q279's crosses are the 1-row truth-size and
       // n(n-1)/2 scalars broadcast onto the 4-row scheme relation
       // (q232's scalar class)
-      "q279_blocking_bench")
+      "q279_blocking_bench",
+      // r17 session 2: q283's crosses are the 1-row domain scalars onto
+      // the bounded cell relation plus the |preds|x|buckets| and
+      // |preds|x|cells| estimation/truth grids (q161's metadata class)
+      "q283_selectivity_audit")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -183,7 +187,11 @@ object PlanAudit {
       // r17 session 2: q274's pooled-ECDF cum window runs on the len
       // DOMAIN histogram (q136's bounded class — the corpus collapsed
       // map-side first)
-      "q274_quantile_norm")
+      "q274_quantile_norm",
+      // r17 session 2: q283's cum window runs on the whole-unit value
+      // CELL domain (q194's value-bounded class — corpus collapsed
+      // map-side first)
+      "q283_selectivity_audit")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 3, "q38_ngram_jaccard" -> 6, "q13_set_ops" -> 4,
@@ -784,6 +792,11 @@ object PlanAudit {
     // round work is one broadcast onto the O(n) distance relation
     // (measured 4 textual)
     "q282_kcenter_greedy" -> 4,
+    // q283 (r17): ONE corpus-scale exchange — the value-cell rollup —
+    // printing under the histogram/cum, bucket-summary, truth and
+    // domain-scalar branches; everything downstream rides the bounded
+    // cell domain + |preds| grids (measured 11 textual)
+    "q283_selectivity_audit" -> 11,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

@@ -800,3 +800,55 @@ class KCenterSpec extends AnyFunSuite {
     rows.map(_._3).sliding(2).foreach { case Array(a, b) => assert(b <= a) }
   }
 }
+
+class SelectivityAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q283 estimates replay from scalar histograms; equi-depth balances mass; width wins here") {
+    val rows = SparkEntry.queries("q283_selectivity_audit")(spark, sf).collect()
+      .map(r => ((r.getAs[String]("method"), r.getAs[Long]("pid")),
+        (r.getAs[Long]("lo_v"), r.getAs[Long]("hi_v"), r.getAs[Long]("actual"),
+          r.getAs[Long]("est_e6"), r.getAs[Long]("abs_err_e6")))).toMap
+    assert(rows.size == 12)
+    val cellCnt = Tables(spark, sf).events
+      .select(expr("CAST(floor(value) AS BIGINT)").as("c")).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cells = cellCnt.keys.toArray.sorted
+    val n = cellCnt.values.sum
+    val (vmin, vmax) = (cells.min, cells.max)
+    val wWidth = (vmax - vmin) / 8 + 1
+    var cum = 0L
+    val assign = cells.map { c =>
+      val before = cum; cum += cellCnt(c)
+      (c, math.min((c - vmin) / wWidth, 7L), math.min(before * 8 / n, 7L))
+    }
+    def bucketize(pick: ((Long, Long, Long)) => Long) =
+      assign.groupBy(pick).map { case (_, cs) =>
+        (cs.map(_._1).min, cs.map(_._1).max, cs.map(x => cellCnt(x._1)).sum) }
+    def estimate(bks: Iterable[(Long, Long, Long)], a: Long, b: Long): Long =
+      bks.map { case (lo, hi, cnt) =>
+        val ovl = math.max(0L, math.min(hi + 1, b) - math.max(lo, a))
+        val len = hi - lo + 1
+        (2 * 1000000L * ovl * cnt + len) / (2 * len)
+      }.sum
+    val (wb, db) = (bucketize(_._2), bucketize(_._3))
+    // equi-depth's defining property: bucket masses are balanced
+    assert(db.map(_._3).max <= 2 * n / 8 + cellCnt.values.max,
+      "equi-depth bucket mass unbalanced")
+    (0L until 6L).foreach { p =>
+      val (a, b) = (p * 50, p * 50 + 75)
+      val actual = cells.filter(c => c >= a && c < b).map(cellCnt).sum
+      Seq("equi_width" -> wb, "equi_depth" -> db).foreach { case (m, bks) =>
+        val (loV, hiV, act, est, err) = rows((m, p))
+        assert((loV, hiV) == (a, b))
+        assert(act == actual, s"$m pred $p actual")
+        assert(est == estimate(bks, a, b), s"$m pred $p estimate")
+        assert(err == math.abs(est - 1000000L * actual))
+      }
+    }
+    // the fixture's verdict (probed both SFs): smooth density -> width wins
+    val totW = (0L until 6L).map(p => rows(("equi_width", p))._5).sum
+    val totD = (0L until 6L).map(p => rows(("equi_depth", p))._5).sum
+    assert(totW < totD, s"equi-width $totW should beat equi-depth $totD on this column")
+  }
+}
