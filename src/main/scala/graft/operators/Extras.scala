@@ -535,6 +535,56 @@ object Extras extends QueryModule {
       .orderBy(col("method"), col("pid"))
   }
 
+  /** Experiment-sizing table: minimum detectable effect + required
+    * sample size per metric segment (the standard two-sample power
+    * formula, e.g. Kohavi et al.'s "Trustworthy Online Controlled
+    * Experiments" ch. 17: MDE = (z_{α/2}+z_β)·√(2σ²/n) at α=0.05,
+    * power=0.8) — the table an experimentation platform computes from
+    * production data BEFORE any A/B test runs: per event type, the
+    * user-level metric's n/mean/variance, the absolute and relative MDE
+    * at the current population, and the users-per-arm needed to detect
+    * a 10% lift. (A CUPED variance-reduction twin was probed and ruled
+    * out on this corpus: pre/post per-entity correlation is ≈ 0.01–0.1
+    * for both events and orders — no persistence, nothing to reduce.)
+    *
+    * Exactness: the per-user metric quantizes half-up to WHOLE value
+    * units (deliberately coarser than the usual e2 — keeps n·Σx² inside
+    * long range out to corpus scale), so n/Σx/Σx² are exact longs and
+    * the variance numerator n·Σx²−(Σx)² is an exact long; only the
+    * final MDE/required-n step takes ONE √ of a double built from those
+    * longs (IEEE-correctly-rounded in both engines — q65's sqrt
+    * precedent), then quantizes. Scale shape: one (event_type, user)
+    * rollup, one |types| rollup — both partial-aggregable; nothing else.
+    */
+  private def q284(t: Tables): DataFrame = {
+    // z_{0.025} + z_{0.2} = 1.9600 + 0.8416; every fractional literal is
+    // an explicit DOUBLE on both engines (a bare 2.8016 parses as
+    // DECIMAL in each, with engine-specific scale rules)
+    val z = "CAST(2.8016 AS DOUBLE)"
+    t.events.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(expr("(2 * sum(v) + 100) DIV 200").as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2)
+      .withColumn("mean_e2", expr("(2 * 100 * sx + n) DIV (2 * n)"))
+      .withColumn("var_num", expr("n * sxx - sx * sx"))
+      .withColumn("mde_abs_e2", expr(
+        s"CAST(floor($z * sqrt(CAST(2 AS DOUBLE) * var_num / (n * (n - CAST(1 AS DOUBLE))) / n) " +
+          s"* 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      .withColumn("mde_rel_e4", expr(
+        "(2 * 10000 * mde_abs_e2 + mean_e2) DIV (2 * mean_e2)"))
+      .withColumn("n_per_arm_10pct", expr(
+        s"CAST(ceil(CAST(2 AS DOUBLE) * $z * $z * (var_num / (n * (n - CAST(1 AS DOUBLE)))) " +
+          s"/ ((CAST(0.1 AS DOUBLE) * sx / n) * (CAST(0.1 AS DOUBLE) * sx / n))) AS BIGINT)"))
+      .select(col("event_type"), col("n"), col("mean_e2"), col("mde_abs_e2"),
+        col("mde_rel_e4"), col("n_per_arm_10pct"))
+      .orderBy(col("event_type"))
+  }
+
   /** Weighted corpus mixing: per-source sampling rates applied via the
     * same seedless hash — up-weight the `src1*` family to 100%, keep the
     * rest at 40%. The mixing step of every multi-source training run,
@@ -3028,6 +3078,7 @@ object Extras extends QueryModule {
     "q65_corpus_mix" -> ((s, d) => q65(Tables(s, d))),
     "q275_priority_sample" -> ((s, d) => q275(Tables(s, d))),
     "q283_selectivity_audit" -> ((s, d) => q283(Tables(s, d))),
+    "q284_mde_sizing" -> ((s, d) => q284(Tables(s, d))),
     "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
     "q119_cohort_retention" -> ((s, d) => q119(Tables(s, d))),
     "q94_balanced_cap" -> ((s, d) => q94(Tables(s, d))),
@@ -4260,6 +4311,33 @@ object Extras extends QueryModule {
         | CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         | max(rate) AS rate_pct
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q284_mde_sizing" ->
+      """WITH u AS (
+        | SELECT event_type, user_id,
+        |  (2 * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) + 100) // 200 AS x
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        | s AS (
+        | SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM u GROUP BY 1),
+        | m AS (
+        | SELECT event_type, n, sx, sxx,
+        |  (2 * 100 * sx + n) // (2 * n) AS mean_e2,
+        |  n * sxx - sx * sx AS var_num
+        | FROM s WHERE n >= 2),
+        | f AS (
+        | SELECT event_type, n, mean_e2, var_num, sx,
+        |  CAST(floor(CAST(2.8016 AS DOUBLE)
+        |    * sqrt(CAST(2 AS DOUBLE) * var_num / (n * (n - CAST(1 AS DOUBLE))) / n)
+        |    * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mde_abs_e2
+        | FROM m)
+        |SELECT event_type, n, mean_e2, mde_abs_e2,
+        | CAST((2 * 10000 * mde_abs_e2 + mean_e2) // (2 * mean_e2) AS BIGINT) AS mde_rel_e4,
+        | CAST(ceil(CAST(2 AS DOUBLE) * CAST(2.8016 AS DOUBLE) * CAST(2.8016 AS DOUBLE)
+        |   * (var_num / (n * (n - CAST(1 AS DOUBLE))))
+        |   / ((CAST(0.1 AS DOUBLE) * sx / n) * (CAST(0.1 AS DOUBLE) * sx / n)))
+        |  AS BIGINT) AS n_per_arm_10pct
+        |FROM f ORDER BY event_type""".stripMargin,
     "q283_selectivity_audit" ->
       """WITH h AS (
         | SELECT CAST(floor(value) AS BIGINT) AS cell, count(*) AS cnt

@@ -852,3 +852,39 @@ class SelectivityAuditSpec extends AnyFunSuite {
     assert(totW < totD, s"equi-width $totW should beat equi-depth $totD on this column")
   }
 }
+
+class MdeSizingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q284 replays from a scalar power computation; formula monotonicities hold") {
+    val rows = SparkEntry.queries("q284_mde_sizing")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Long]("mean_e2"),
+        r.getAs[Long]("mde_abs_e2"), r.getAs[Long]("mde_rel_e4"), r.getAs[Long]("n_per_arm_10pct")))
+    assert(rows.nonEmpty)
+    val evs = Tables(spark, sf).events.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val xByTU = evs.groupBy(_._1).map { case (k, vs) => k -> ((2 * vs.map(_._2).sum + 100) / 200) }
+    rows.foreach { case (et, n, meanE2, mdeAbs, mdeRel, nArm) =>
+      val xs = xByTU.collect { case ((t2, _), x) if t2 == et => x }.toArray
+      assert(n == xs.length.toLong)
+      val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+      assert(meanE2 == (2 * 100 * sx + n) / (2 * n))
+      val varNum = n * sxx - sx * sx
+      val mde = 2.8016 * math.sqrt(2.0 * varNum / (n * (n - 1.0)) / n)
+      assert(mdeAbs == math.floor(mde * 100 + 0.5).toLong, s"$et mde")
+      assert(mdeRel == (2 * 10000L * mdeAbs + meanE2) / (2 * meanE2))
+      val mean = sx.toDouble / n
+      val expArm = math.ceil(2.0 * 2.8016 * 2.8016 * (varNum / (n * (n - 1.0)))
+        / ((0.1 * mean) * (0.1 * mean))).toLong
+      assert(nArm == expArm, s"$et n/arm")
+      // detecting a 10% lift of THIS mean at THIS n would need nArm users:
+      // the implied MDE at nArm is <= 10% of the mean (+1 user granularity)
+      val mdeAtArm = 2.8016 * math.sqrt(2.0 * (varNum.toDouble / (n * (n - 1.0))) / nArm)
+      assert(mdeAtArm <= 0.1 * mean * 1.02, s"$et power formula inverted wrong")
+    }
+    // real per-segment spread at the fixture
+    assert(rows.map(_._5).distinct.length > 1, "MDE table is flat — no segment signal")
+  }
+}
