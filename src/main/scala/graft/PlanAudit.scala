@@ -117,7 +117,11 @@ object PlanAudit {
       // r17 session 2: q283's crosses are the 1-row domain scalars onto
       // the bounded cell relation plus the |preds|x|buckets| and
       // |preds|x|cells| estimation/truth grids (q161's metadata class)
-      "q283_selectivity_audit")
+      "q283_selectivity_audit",
+      // r17 session 2: q285's cross is the 1-row budget scalar onto the
+      // |sources| plan relation; q286's is the 1-row totals scalar onto
+      // the 2-row policy relation (q232's scalar class)
+      "q285_budget_mix", "q286_rep_selection")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -191,7 +195,10 @@ object PlanAudit {
       // r17 session 2: q283's cum window runs on the whole-unit value
       // CELL domain (q194's value-bounded class — corpus collapsed
       // map-side first)
-      "q283_selectivity_audit")
+      "q283_selectivity_audit",
+      // r17 session 2: q285's rank/cum windows run on the |sources|-row
+      // plan relation (domain-scale, the q83 class)
+      "q285_budget_mix")
   // ops that legitimately need several exchanges (multi-stage: explode→join→agg etc.)
   private val exchangeBudget: Map[String, Int] = Map(
     "q37_lsh_pairs" -> 3, "q38_ngram_jaccard" -> 6, "q13_set_ops" -> 4,
@@ -797,6 +804,15 @@ object PlanAudit {
     // domain-scalar branches; everything downstream rides the bounded
     // cell domain + |preds| grids (measured 11 textual)
     "q283_selectivity_audit" -> 11,
+    // q285 (r17): q276's corpus-scale (shingle, source) census + caps
+    // rollup; the plan windows and budget scalar ride the |sources|
+    // relation (measured 7 textual)
+    "q285_budget_mix" -> 7,
+    // q286 (r17): the component relation (jaccard pipeline + label
+    // propagation) reprints under both policy picks, the member-shingle
+    // explode and the totals branches — all candidate-bounded; the
+    // result is a 2-row policy relation (measured 14 textual)
+    "q286_rep_selection" -> 14,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

@@ -1085,6 +1085,97 @@ object Dedup extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Token-budget mix plan: fractional knapsack by novelty density
+    * (Dantzig 1957's greedy is OPTIMAL for linear utility with one
+    * capacity — new r17 session 2, the allocation step between q276's
+    * marginal audit and q65's mixing rates): given a char budget (40% of
+    * the corpus), take sources in order of unique-shingle density until
+    * the budget fills, the last source fractionally — the plan that
+    * maximizes retained novel content per budgeted char. Per source:
+    * rank, density e6, capacity, allocation, fully-taken flag.
+    *
+    * Scale shape: q276's one corpus-scale (shingle, source) census
+    * feeds a |sources|-row plan relation; the ranking windows run on
+    * that domain-bounded relation (|sources| rows — never the corpus);
+    * the budget is a 1-row scalar broadcast. All integer; density and
+    * nothing else quantizes (e6 half-up).
+    */
+  private def q285(t: Tables): DataFrame = {
+    val shx = Tables.localSplit(t.documents, col("doc_id"))
+      .select(col("source"),
+        explode(graft.functions.GraftFunctions.shingle_set(col("text"))).as("sh"))
+      .groupBy(col("sh"), col("source")).agg(count(lit(1)).as("df"))
+    val uniq = shx.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_src"), min(col("source")).as("only_src"))
+      .filter(col("n_src") === 1)
+      .groupBy(col("only_src").as("source"))
+      .agg(count(lit(1)).as("unique_types"))
+    val caps = t.documents.groupBy(col("source"))
+      .agg(sum(col("n_chars")).cast("long").as("cap"))
+    val tot = caps.agg(sum(col("cap")).as("total"))
+    val wRank = Window.orderBy(col("density_e6").desc, col("source"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, -1)
+    caps.join(uniq, Seq("source"), "left")
+      .withColumn("unique_types", coalesce(col("unique_types"), lit(0L)))
+      .withColumn("density_e6",
+        expr("(2 * 1000000 * unique_types + cap) DIV (2 * cap)"))
+      .crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(total * 40) DIV 100"))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("cum_before", coalesce(sum(col("cap")).over(wCum), lit(0L)))
+      .withColumn("alloc",
+        expr("greatest(0L, least(cap, budget - cum_before))"))
+      .select(col("source"), col("rank"), col("density_e6"), col("cap"),
+        col("alloc"), (col("alloc") === col("cap")).as("fully_taken"))
+      .orderBy(col("rank"))
+  }
+
+  /** Cluster-representative selection audit — WHICH member keep-one
+    * keeps matters (Lee et al. 2022 keep arbitrary; practitioners keep
+    * the longest variant): against q62's verified near-dup components,
+    * price both policies — arbitrary (min doc_id, q79's rule) vs
+    * longest (max chars) — on chars retained and on distinct-shingle
+    * coverage of the clustered content (the share of the clusters'
+    * union content the kept representatives still contain). Per policy:
+    * clusters, chars total/kept, shingle types total/covered, coverage
+    * e6 — the table that justifies (or refutes) a keep-longest default.
+    *
+    * Scale shape: rides the session-cached component relation (docs IN
+    * components only — candidate-bounded, ≪ corpus); per-cluster picks
+    * are component-partitioned window ranks; the shingle coverage join
+    * explodes ONLY member docs. All integer.
+    */
+  private def q286(t: Tables): DataFrame = {
+    val mem = components(t)
+      .join(t.documents.select(col("doc_id"), col("n_chars"), col("text")), Seq("doc_id"))
+    val keeps = Seq(
+      ("arbitrary", Window.partitionBy(col("component_id")).orderBy(col("doc_id"))),
+      ("longest", Window.partitionBy(col("component_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").desc)))
+      .map { case (name, w) =>
+        mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(lit(name).as("policy"), col("doc_id"), col("n_chars"))
+      }.reduce(_ unionByName _)
+    val shMem = mem.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.shingle_set(col("text"))).as("sh"))
+    val totals = mem
+      .agg(sum(col("n_chars")).as("chars_total"),
+        countDistinct(col("component_id")).as("n_clusters"))
+      .crossJoin(shMem.agg(countDistinct(col("sh")).as("types_total")))
+    keeps.join(shMem, Seq("doc_id"))
+      .groupBy(col("policy"))
+      .agg(countDistinct(col("sh")).as("types_covered"))
+      .join(keeps.groupBy(col("policy"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept")),
+        Seq("policy"))
+      .crossJoin(broadcast(totals))
+      .withColumn("coverage_e6",
+        expr("(2 * 1000000 * types_covered + types_total) DIV (2 * types_total)"))
+      .select(col("policy"), col("n_clusters"), col("n_kept"), col("chars_total"),
+        col("chars_kept"), col("types_total"), col("types_covered"), col("coverage_e6"))
+      .orderBy(col("policy"))
+  }
+
   /** Dup-graph transitivity audit (Watts & Strogatz 1998's global
     * clustering coefficient, on the dedup pass's own graphs): for the
     * LSH candidate graph and its Jaccard-verified subgraph, nodes,
@@ -2999,6 +3090,8 @@ object Dedup extends QueryModule {
     "q276_source_ablation" -> ((s, d) => q276(Tables(s, d))),
     "q277_linkage_score" -> ((s, d) => q277(Tables(s, d))),
     "q279_blocking_bench" -> ((s, d) => q279(Tables(s, d))),
+    "q285_budget_mix" -> ((s, d) => q285(Tables(s, d))),
+    "q286_rep_selection" -> ((s, d) => q286(Tables(s, d))),
     "q172_dup_transitivity" -> ((s, d) => q172(Tables(s, d))),
     "q212_assortativity" -> ((s, d) => q212(Tables(s, d))),
     "q180_lsh_occupancy" -> ((s, d) => q180(Tables(s, d))),
@@ -4071,6 +4164,76 @@ object Dedup extends QueryModule {
          | (2 * 10000 * n_reused_types + n_shingle_types) // (2 * n_shingle_types) AS type_reuse_e4,
          | (2 * 10000 * n_reused_occurrences + n_doc_shingles) // (2 * n_doc_shingles) AS occ_reuse_e4
          |FROM s ORDER BY source""".stripMargin,
+    "q285_budget_mix" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+         | shx AS (SELECT source, unnest(list_distinct($shinglesDuck)) AS sh FROM w),
+         | c AS (SELECT sh, source FROM shx GROUP BY 1, 2),
+         | unq AS (
+         | SELECT only_src AS source, count(*) AS unique_types FROM (
+         |  SELECT sh, count(*) AS n_src, min(source) AS only_src FROM c GROUP BY 1)
+         | WHERE n_src = 1 GROUP BY 1),
+         | caps AS (
+         | SELECT source, CAST(sum(n_chars) AS BIGINT) AS cap FROM documents GROUP BY 1),
+         | tot AS (SELECT CAST(sum(cap) AS BIGINT) AS total FROM caps),
+         | plan AS (
+         | SELECT caps.source, cap,
+         |  CAST(coalesce(unique_types, 0) AS BIGINT) AS unique_types,
+         |  CAST((2 * 1000000 * coalesce(unique_types, 0) + cap) // (2 * cap) AS BIGINT)
+         |   AS density_e6
+         | FROM caps LEFT JOIN unq ON unq.source = caps.source),
+         | ranked AS (
+         | SELECT source, cap, density_e6, (total * 40) // 100 AS budget,
+         |  CAST(row_number() OVER (ORDER BY density_e6 DESC, source) AS INTEGER) AS rank,
+         |  CAST(coalesce(sum(cap) OVER (ORDER BY density_e6 DESC, source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         | FROM plan CROSS JOIN tot)
+         |SELECT source, rank, density_e6, cap,
+         | CAST(greatest(0, least(cap, budget - cum_before)) AS BIGINT) AS alloc,
+         | (greatest(0, least(cap, budget - cum_before)) = cap) AS fully_taken
+         |FROM ranked ORDER BY rank""".stripMargin,
+    "q286_rep_selection" ->
+      s"""WITH RECURSIVE $duckJpairsCtes,
+         | edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |           UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         | nodes AS (SELECT DISTINCT u FROM edges),
+         | reach(u, v) AS (
+         |  SELECT u, u AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         | comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+         | mem AS (
+         |  SELECT c.doc_id, component_id, d.n_chars
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+         | keeps AS (
+         |  SELECT 'arbitrary' AS policy, doc_id, n_chars FROM (
+         |   SELECT doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY component_id ORDER BY doc_id) AS rn
+         |   FROM mem) WHERE rn = 1
+         |  UNION ALL
+         |  SELECT 'longest', doc_id, n_chars FROM (
+         |   SELECT doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY component_id ORDER BY n_chars DESC, doc_id DESC) AS rn
+         |   FROM mem) WHERE rn = 1),
+         | shm AS (
+         |  SELECT s.doc_id, sh FROM (
+         |   SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS sh FROM w) s
+         |  JOIN mem m ON m.doc_id = s.doc_id),
+         | totals AS (
+         |  SELECT (SELECT CAST(sum(n_chars) AS BIGINT) FROM mem) AS chars_total,
+         |   (SELECT count(DISTINCT component_id) FROM mem) AS n_clusters,
+         |   (SELECT count(DISTINCT sh) FROM shm) AS types_total)
+         |SELECT policy, n_clusters,
+         | (SELECT count(*) FROM keeps k2 WHERE k2.policy = k.policy) AS n_kept,
+         | chars_total,
+         | (SELECT CAST(sum(n_chars) AS BIGINT) FROM keeps k3 WHERE k3.policy = k.policy)
+         |  AS chars_kept,
+         | types_total,
+         | CAST(count(DISTINCT sh) AS BIGINT) AS types_covered,
+         | CAST((2 * 1000000 * count(DISTINCT sh) + types_total) // (2 * types_total)
+         |  AS BIGINT) AS coverage_e6
+         |FROM keeps k JOIN shm ON shm.doc_id = k.doc_id CROSS JOIN totals
+         |GROUP BY policy, n_clusters, chars_total, types_total
+         |ORDER BY policy""".stripMargin,
     "q279_blocking_bench" ->
       s"""WITH $sweepPairCtes,
          | truth AS (SELECT doc_a, doc_b FROM pj WHERE 3 * shared >= na + nb),

@@ -888,3 +888,59 @@ class MdeSizingSpec extends AnyFunSuite {
     assert(rows.map(_._5).distinct.length > 1, "MDE table is flat — no segment signal")
   }
 }
+
+class BudgetMixSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q285 greedy plan is feasible, prefix-shaped, and knapsack-optimal among alternatives") {
+    val rows = SparkEntry.queries("q285_budget_mix")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rank"), r.getAs[Long]("density_e6"),
+        r.getAs[Long]("cap"), r.getAs[Long]("alloc"), r.getAs[Boolean]("fully_taken")))
+      .sortBy(_._2)
+    val total = rows.map(_._4).sum
+    val budget = total * 40 / 100
+    // feasibility + budget exhaustion (budget < total here)
+    assert(rows.forall(r => r._5 >= 0 && r._5 <= r._4))
+    assert(rows.map(_._5).sum == budget, "greedy must exhaust the budget exactly")
+    // prefix shape: fully-taken sources, then at most one fractional, then zeros
+    val pattern = rows.map(r =>
+      if (r._5 == r._4) 'F' else if (r._5 == 0L) 'Z' else 'P').mkString
+    assert("^F*P?Z*$".r.matches(pattern), s"allocation not prefix-shaped: $pattern")
+    // ranks follow density (ties by source name)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1), "rank order violates density")
+    }
+    // Dantzig optimality spot-check: utility (density-weighted chars) beats
+    // a proportional allocation of the same budget
+    def utility(alloc: Map[String, Long]) = rows.map(r => r._3 * alloc(r._1)).sum
+    val greedy = rows.map(r => r._1 -> r._5).toMap
+    val proportional = rows.map(r => r._1 -> budget * r._4 / total).toMap
+    assert(utility(greedy) >= utility(proportional), "greedy lost to proportional")
+  }
+}
+
+class RepSelectionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q286 longest-keep dominates arbitrary on chars and coverage; both keep one per cluster") {
+    val rows = SparkEntry.queries("q286_rep_selection")(spark, sf).collect()
+      .map(r => r.getAs[String]("policy") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_kept"), r.getAs[Long]("chars_total"),
+          r.getAs[Long]("chars_kept"), r.getAs[Long]("types_total"),
+          r.getAs[Long]("types_covered"), r.getAs[Long]("coverage_e6"))).toMap
+    val (arb, lng) = (rows("arbitrary"), rows("longest"))
+    // identical cluster universe, exactly one representative each
+    assert(arb._1 == lng._1 && arb._2 == arb._1 && lng._2 == lng._1)
+    assert(arb._3 == lng._3 && arb._5 == lng._5)
+    // the policy's point: longest never retains fewer chars, and here
+    // strictly dominates on both axes (fixture-probed)
+    assert(lng._4 >= arb._4, "longest kept fewer chars than arbitrary")
+    assert(lng._6 >= arb._6, "longest covered fewer types")
+    assert(lng._4 > arb._4 || lng._6 > arb._6, "fixture lost its policy signal")
+    // coverage quantization consistency + bounds
+    rows.values.foreach { v =>
+      assert(v._6 <= v._5 && v._4 <= v._3)
+      assert(v._7 == (2 * 1000000L * v._6 + v._5) / (2 * v._5))
+    }
+  }
+}
