@@ -813,6 +813,11 @@ object PlanAudit {
     // explode and the totals branches — all candidate-bounded; the
     // result is a 2-row policy relation (measured 14 textual)
     "q286_rep_selection" -> 14,
+    // q287 (r17): ONE corpus-scale exchange — the (column, value)
+    // profile rollup off the 6-arm map-side explode — printing on the
+    // modal-pick and summary branches; per-column folds ride the
+    // distinct-value relations + 6-row assembly (measured 5 textual)
+    "q287_column_profile" -> 5,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

@@ -585,6 +585,63 @@ object Extras extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Column-profile summary — the Deequ/Great-Expectations-style
+    * profiling table (Schelter et al. 2018, "Automating large-scale data
+    * quality verification") a data platform computes on ingest, and the
+    * input its constraint-suggestion step reads: for every orders
+    * column, row/null/distinct counts, the uniqueness and constancy
+    * verdicts, the modal value with its share, and the value-distribution
+    * entropy — one pass tells you which columns are keys (entropy =
+    * ln n, unique), which are enums (tiny distinct set), and which are
+    * degenerate (constant).
+    *
+    * Engine parity: every column renders through an EXPLICIT string
+    * encoding (keys via integer cast, the date via its yyyy-MM-dd
+    * format, the price via e2 integer cast) — never a raw double/
+    * timestamp cast, whose formatting differs between engines. Entropy
+    * terms c·ln c quantize e6 PER VALUE GROUP then sum as longs
+    * (float-order rule; one ln of an exact integer per group — q102's
+    * discipline). Scale shape: the 6-arm explode collapses map-side
+    * into ONE (column, value) rollup; per-column summaries, modal picks
+    * and the entropy fold ride the distinct-value relations.
+    */
+  private def q287(t: Tables): DataFrame = {
+    val cols = Seq(
+      "o_orderkey" -> "CAST(o_orderkey AS STRING)",
+      "o_custkey" -> "CAST(o_custkey AS STRING)",
+      "o_orderstatus" -> "o_orderstatus",
+      "o_orderpriority" -> "o_orderpriority",
+      "o_orderdate" -> "date_format(o_orderdate, 'yyyy-MM-dd')",
+      "o_totalprice" -> "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)")
+    val stacked = t.orders.select(explode(map(
+      cols.flatMap { case (n, e) => Seq(lit(n), expr(e)) }: _*)).as(Seq("column", "value")))
+    val vals = stacked.groupBy(col("column"), col("value")).agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy(col("column")).orderBy(col("c").desc, col("value"))
+    val top = vals.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("column"), col("value").as("top_value"), col("c").as("top_c"))
+    val summary = vals
+      .withColumn("t_e6", expr(
+        "CASE WHEN value IS NULL THEN 0L " +
+          "ELSE CAST(floor(1000000 * c * ln(c) + CAST(0.5 AS DOUBLE)) AS BIGINT) END"))
+      .groupBy(col("column"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("value").isNull, col("c")).otherwise(0L)).as("n_null"),
+        sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
+        sum(col("t_e6")).as("sum_clnc_e6"))
+    summary.join(top, Seq("column"))
+      .withColumn("nn", col("n") - col("n_null"))
+      .withColumn("is_unique", col("n_distinct") === col("nn") && col("n_null") === 0)
+      .withColumn("is_constant", col("n_distinct") === 1)
+      .withColumn("top_share_e6", expr("(2 * 1000000 * top_c + nn) DIV (2 * nn)"))
+      .withColumn("entropy_e6", expr(
+        "CAST(floor(1000000 * ln(nn) + CAST(0.5 AS DOUBLE)) AS BIGINT) " +
+          "- (2 * sum_clnc_e6 + nn) DIV (2 * nn)"))
+      .select(col("column"), col("n"), col("n_null"), col("n_distinct"),
+        col("is_unique"), col("is_constant"), col("top_value"),
+        col("top_share_e6"), col("entropy_e6"))
+      .orderBy(col("column"))
+  }
+
   /** Weighted corpus mixing: per-source sampling rates applied via the
     * same seedless hash — up-weight the `src1*` family to 100%, keep the
     * rest at 40%. The mixing step of every multi-source training run,
@@ -3079,6 +3136,7 @@ object Extras extends QueryModule {
     "q275_priority_sample" -> ((s, d) => q275(Tables(s, d))),
     "q283_selectivity_audit" -> ((s, d) => q283(Tables(s, d))),
     "q284_mde_sizing" -> ((s, d) => q284(Tables(s, d))),
+    "q287_column_profile" -> ((s, d) => q287(Tables(s, d))),
     "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
     "q119_cohort_retention" -> ((s, d) => q119(Tables(s, d))),
     "q94_balanced_cap" -> ((s, d) => q94(Tables(s, d))),
@@ -4311,6 +4369,39 @@ object Extras extends QueryModule {
         | CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         | max(rate) AS rate_pct
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q287_column_profile" ->
+      """WITH stacked AS (
+        | SELECT 'o_orderkey' AS "column", CAST(o_orderkey AS VARCHAR) AS value FROM orders
+        | UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        | UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        | UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        | UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+        | UNION ALL SELECT 'o_totalprice',
+        |  CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR) FROM orders),
+        | vals AS (SELECT "column", value, count(*) AS c FROM stacked GROUP BY 1, 2),
+        | top AS (
+        | SELECT "column", value AS top_value, c AS top_c FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY "column" ORDER BY c DESC, value) AS rn
+        |  FROM vals) WHERE rn = 1),
+        | summary AS (
+        | SELECT "column", CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN value IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 0
+        |    ELSE CAST(floor(1000000 * c * ln(c) + CAST(0.5 AS DOUBLE)) AS BIGINT) END)
+        |   AS BIGINT) AS sum_clnc_e6
+        | FROM vals GROUP BY 1)
+        |SELECT s."column", n, n_null, n_distinct,
+        | (n_distinct = n - n_null AND n_null = 0) AS is_unique,
+        | (n_distinct = 1) AS is_constant,
+        | top_value,
+        | CAST((2 * 1000000 * top_c + (n - n_null)) // (2 * (n - n_null)) AS BIGINT)
+        |  AS top_share_e6,
+        | CAST(CAST(floor(1000000 * ln(n - n_null) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |   - (2 * sum_clnc_e6 + (n - n_null)) // (2 * (n - n_null)) AS BIGINT)
+        |  AS entropy_e6
+        |FROM summary s JOIN top ON top."column" = s."column"
+        |ORDER BY s."column"""".stripMargin,
     "q284_mde_sizing" ->
       """WITH u AS (
         | SELECT event_type, user_id,

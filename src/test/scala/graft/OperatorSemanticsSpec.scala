@@ -944,3 +944,41 @@ class RepSelectionSpec extends AnyFunSuite {
     }
   }
 }
+
+class ColumnProfileSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q287 profile replays from a scalar pass; key/enum verdicts read correctly") {
+    val rows = SparkEntry.queries("q287_column_profile")(spark, sf).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct"),
+          r.getAs[Boolean]("is_unique"), r.getAs[Boolean]("is_constant"),
+          r.getAs[String]("top_value"), r.getAs[Long]("top_share_e6"),
+          r.getAs[Long]("entropy_e6"))).toMap
+    assert(rows.size == 6)
+    val o = Tables(spark, sf).orders
+    val n = o.count()
+    // the key column: unique, entropy exactly ln n
+    val key = rows("o_orderkey")
+    assert(key._1 == n && key._3 == n && key._4 && !key._5)
+    val lnN = math.floor(1000000 * math.log(n.toDouble) + 0.5).toLong
+    assert(key._8 == lnN - (2 * lnN / n + n) / (2 * n) ||
+      math.abs(key._8 - lnN) <= 1, s"key entropy ${key._8} vs ln n $lnN")
+    // the enum column: scalar recompute of every profile field
+    val st = o.groupBy(col("o_orderstatus")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(p => (-p._2, p._1))
+    val enm = rows("o_orderstatus")
+    assert(enm._3 == st.length.toLong && !enm._4)
+    assert(enm._6 == st.head._1)
+    assert(enm._7 == (2 * 1000000L * st.head._2 + n) / (2 * n))
+    val sumClnc = st.map { case (_, c) =>
+      math.floor(1000000 * c * math.log(c.toDouble) + 0.5).toLong }.sum
+    assert(enm._8 == lnN - (2 * sumClnc + n) / (2 * n), "enum entropy")
+    // ordering: enum entropy far below the key's
+    assert(enm._8 < key._8 / 2)
+    rows.values.foreach { v =>
+      assert(v._2 == 0 && v._3 <= v._1 && v._7 >= 0 && v._7 <= 1000000L)
+      assert(!v._5, "no orders column is constant")
+    }
+  }
+}
