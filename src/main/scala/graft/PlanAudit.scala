@@ -121,7 +121,11 @@ object PlanAudit {
       // r17 session 2: q285's cross is the 1-row budget scalar onto the
       // |sources| plan relation; q286's is the 1-row totals scalar onto
       // the 2-row policy relation (q232's scalar class)
-      "q285_budget_mix", "q286_rep_selection")
+      "q285_budget_mix", "q286_rep_selection",
+      // r17 session 2: q289's crosses are the 1-row global-totals scalar
+      // onto the customer relation and the 1-row T/between/within
+      // summary onto the |nations| relation (q232's scalar class)
+      "q289_theil_decomp")
   // q50's band join key is computed from c_custkey, so Spark synthesizes an
   // isnotnull(<computed>) filter above the scan — nothing to push down.
   // q69's filter is Spark's own size(links)>0 guard under posexplode, over
@@ -818,6 +822,11 @@ object PlanAudit {
     // modal-pick and summary branches; per-column folds ride the
     // distinct-value relations + 6-row assembly (measured 5 textual)
     "q287_column_profile" -> 5,
+    // q289 (r17): the customer-revenue rollup is the ONE corpus-scale
+    // exchange; it reprints under the global-scalar, group-rollup,
+    // per-group-terms and totals branches (AQE reuses), everything
+    // downstream |nations|- or 1-row-bounded (measured 18 textual)
+    "q289_theil_decomp" -> 18,
     // q256 (r17): the bucket-keyed relation prints once per join side
     // and the two cosine rank windows share one qid exchange per branch
     // (truth is the declared |Q|·n broadcast sample cross, retrieved is

@@ -761,6 +761,69 @@ object Extras extends QueryModule {
     * with the same plan shape (q163's guard pattern; spec-pinned
     * identical at current scale).
     */
+  /** Theil-T inequality decomposition (Theil 1967; the decomposition
+    * treatment in Shorrocks 1980) — the inequality index whose
+    * BETWEEN/WITHIN split is exactly additive, which is why economists
+    * use it over Gini for group attribution (q133/q173 measure
+    * concentration; this says WHERE the inequality lives): customer
+    * revenue inequality per nation — each nation's population/income
+    * share, its own within-group Theil, its between-group term — plus
+    * the global index and both components on every row; T = between +
+    * within holds exactly by residual construction and the spec pins
+    * the closed-form Σ s_g·T_g against the residual.
+    *
+    * Exactness: every term is ONE ln of a ratio of exact integer
+    * products ((x·N/Σx)·ln(x·N/Σx) from e2 revenue longs), quantized e9
+    * PER CUSTOMER/GROUP then summed as longs (float-order rule, q102's
+    * discipline); means are half-up divisions. Scale shape: one
+    * customer-revenue rollup (corpus-scale), nation broadcast onto it,
+    * group + 1-row global rollups; |nations|-bounded after.
+    */
+  private def q289(t: Tables): DataFrame = {
+    val cust = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("x"))
+      .filter(col("x") > 0)
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("x"))
+    val glob = cust.agg(count(lit(1)).as("n_all"), sum(col("x")).as("sx_all"))
+    val grp = cust.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("sx_g"))
+    // per-customer terms against the GLOBAL and the GROUP mean, each one
+    // ln of exact-integer ratios, quantized e9 before summing
+    val terms = cust.crossJoin(broadcast(glob)).join(broadcast(grp), Seq("nation"))
+      .withColumn("t_glob_e9", expr(
+        "CAST(floor(1000000000 * (CAST(x AS DOUBLE) * n_all / sx_all) " +
+          "* ln(CAST(x AS DOUBLE) * n_all / sx_all) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      .withColumn("t_grp_e9", expr(
+        "CAST(floor(1000000000 * (CAST(x AS DOUBLE) * n_g / sx_g) " +
+          "* ln(CAST(x AS DOUBLE) * n_g / sx_g) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+    val perGroup = terms.groupBy(col("nation"))
+      .agg(max(col("n_g")).as("n_cust"), max(col("sx_g")).as("sx_g"),
+        sum(col("t_glob_e9")).as("sum_glob"), sum(col("t_grp_e9")).as("sum_grp"))
+      .crossJoin(broadcast(glob))
+      .withColumn("share_e6", expr("(2 * 1000000 * sx_g + sx_all) DIV (2 * sx_all)"))
+      .withColumn("theil_g_e9", expr("(2 * sum_grp + n_cust) DIV (2 * n_cust)"))
+      .withColumn("between_term_e9", expr(
+        "CAST(floor(1000000000 * (CAST(sx_g AS DOUBLE) / sx_all) " +
+          "* ln(CAST(sx_g AS DOUBLE) * n_all / (CAST(sx_all AS DOUBLE) * n_cust)) " +
+          "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+    val totals = perGroup
+      .agg(sum(col("sum_glob")).as("sg"), max(col("n_all")).as("na"),
+        sum(col("between_term_e9")).as("between_e9"))
+      .withColumn("theil_e9", expr("(2 * sg + na) DIV (2 * na)"))
+      .withColumn("within_e9", col("theil_e9") - col("between_e9"))
+      .select(col("theil_e9"), col("between_e9"), col("within_e9"))
+    perGroup
+      .crossJoin(broadcast(totals))
+      .select(col("nation"), col("n_cust"), col("share_e6"), col("theil_g_e9"),
+        col("between_term_e9"), col("theil_e9"), col("between_e9"), col("within_e9"))
+      .orderBy(col("nation"))
+  }
+
   private def q173(t: Tables): DataFrame = {
     val big: Column => Column =
       if (t.spark.conf.get("graft.hhi.decimal", "false").toBoolean) _.cast("decimal(19,0)")
@@ -3137,6 +3200,7 @@ object Extras extends QueryModule {
     "q283_selectivity_audit" -> ((s, d) => q283(Tables(s, d))),
     "q284_mde_sizing" -> ((s, d) => q284(Tables(s, d))),
     "q287_column_profile" -> ((s, d) => q287(Tables(s, d))),
+    "q289_theil_decomp" -> ((s, d) => q289(Tables(s, d))),
     "q96_funnel" -> ((s, d) => q96(Tables(s, d))),
     "q119_cohort_retention" -> ((s, d) => q119(Tables(s, d))),
     "q94_balanced_cap" -> ((s, d) => q94(Tables(s, d))),
@@ -4369,6 +4433,51 @@ object Extras extends QueryModule {
         | CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         | max(rate) AS rate_pct
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q289_theil_decomp" ->
+      """WITH cust AS (
+        | SELECT n_name AS nation, x FROM (
+        |  SELECT o_custkey,
+        |   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1) c
+        | JOIN customer ON c_custkey = o_custkey
+        | JOIN nation ON n_nationkey = c_nationkey
+        | WHERE x > 0),
+        | gtot AS (SELECT count(*) AS n_all, CAST(sum(x) AS BIGINT) AS sx_all FROM cust),
+        | grp AS (
+        | SELECT nation, count(*) AS n_g, CAST(sum(x) AS BIGINT) AS sx_g
+        | FROM cust GROUP BY 1),
+        | terms AS (
+        | SELECT cust.nation, n_all, sx_all, n_g, sx_g,
+        |  CAST(floor(1000000000 * (CAST(x AS DOUBLE) * n_all / sx_all)
+        |    * ln(CAST(x AS DOUBLE) * n_all / sx_all) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |   AS t_glob_e9,
+        |  CAST(floor(1000000000 * (CAST(x AS DOUBLE) * n_g / sx_g)
+        |    * ln(CAST(x AS DOUBLE) * n_g / sx_g) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |   AS t_grp_e9
+        | FROM cust CROSS JOIN gtot JOIN grp ON grp.nation = cust.nation),
+        | pg AS (
+        | SELECT nation, max(n_g) AS n_cust, max(sx_g) AS sx_g,
+        |  CAST(sum(t_glob_e9) AS BIGINT) AS sum_glob,
+        |  CAST(sum(t_grp_e9) AS BIGINT) AS sum_grp,
+        |  max(n_all) AS n_all, max(sx_all) AS sx_all
+        | FROM terms GROUP BY 1),
+        | pg2 AS (
+        | SELECT nation, n_cust,
+        |  CAST((2 * 1000000 * sx_g + sx_all) // (2 * sx_all) AS BIGINT) AS share_e6,
+        |  CAST((2 * sum_grp + n_cust) // (2 * n_cust) AS BIGINT) AS theil_g_e9,
+        |  CAST(floor(1000000000 * (CAST(sx_g AS DOUBLE) / sx_all)
+        |    * ln(CAST(sx_g AS DOUBLE) * n_all / (CAST(sx_all AS DOUBLE) * n_cust))
+        |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS between_term_e9,
+        |  sum_glob, n_all
+        | FROM pg),
+        | tt AS (
+        | SELECT
+        |  CAST((2 * sum(sum_glob) + max(n_all)) // (2 * max(n_all)) AS BIGINT) AS theil_e9,
+        |  CAST(sum(between_term_e9) AS BIGINT) AS between_e9
+        | FROM pg2)
+        |SELECT nation, n_cust, share_e6, theil_g_e9, between_term_e9,
+        | theil_e9, between_e9, CAST(theil_e9 - between_e9 AS BIGINT) AS within_e9
+        |FROM pg2 CROSS JOIN tt ORDER BY nation""".stripMargin,
     "q287_column_profile" ->
       """WITH stacked AS (
         | SELECT 'o_orderkey' AS "column", CAST(o_orderkey AS VARCHAR) AS value FROM orders

@@ -755,6 +755,55 @@ object Relational extends QueryModule {
     * per line BEFORE the sum (q208's rule); the rollup lands on the
     * ≤ |nations|² pair grid; top-20 is TakeOrderedAndProject.
     */
+  /** Price–volume–mix revenue bridge (the standard FP&A decomposition,
+    * e.g. Horngren's cost-accounting treatment of sales variances): the
+    * year-over-year revenue delta per part type split into a PRICE
+    * effect (ΔP·Q₂) and a VOLUME effect (ΔQ·P₁), where P is the
+    * period's average unit price Σext/Σqty — the "why did revenue move"
+    * table behind every revenue review, answered from the same
+    * P₂Q₂−P₁Q₁ = (P₂−P₁)Q₂ + (Q₂−Q₁)P₁ identity that makes the two
+    * effects sum EXACTLY to the delta. New/discontinued groups take the
+    * whole delta as volume (no price to compare).
+    *
+    * Exactness: prices quantize e2 (they are 2-decimal), quantities are
+    * integral; the price effect is one half-up rational
+    * E₂ − rhu(E₁·Q₂, Q₁) and the volume effect is defined RESIDUALLY, so
+    * additivity is exact by construction and the spec pins the
+    * closed-form (Q₂−Q₁)·P₁ against it instead. Scale shape: the only
+    * corpus-scale exchange is the fact-fact l⋈o join on the co-bucket
+    * spine key (orderkey — exchange-free on bucketed storage) feeding
+    * the (type, year) partial-aggregable rollup; part broadcasts;
+    * everything after is |types|-bounded.
+    */
+  private def q288(t: Tables): DataFrame = {
+    val base = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), expr("year(o_orderdate)").as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("yr").isin(1996, 1997))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("yr"))
+      .agg(
+        sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("e"),
+        sum(col("l_quantity").cast("long")).as("q"))
+    base.groupBy(col("p_type"))
+      .agg(
+        sum(when(col("yr") === 1996, col("e"))).as("e1"),
+        sum(when(col("yr") === 1996, col("q"))).as("q1"),
+        sum(when(col("yr") === 1997, col("e"))).as("e2"),
+        sum(when(col("yr") === 1997, col("q"))).as("q2"))
+      .na.fill(0L, Seq("e1", "q1", "e2", "q2"))
+      .withColumn("delta_e2", col("e2") - col("e1"))
+      .withColumn("price_eff_e2", expr(
+        "CASE WHEN q1 > 0 AND q2 > 0 " +
+          "THEN e2 - (2 * e1 * q2 + q1) DIV (2 * q1) ELSE 0L END"))
+      .withColumn("vol_eff_e2", col("delta_e2") - col("price_eff_e2"))
+      .select(col("p_type"), col("q1"), col("q2"), col("e1").as("rev1_e2"),
+        col("e2").as("rev2_e2"), col("delta_e2"), col("price_eff_e2"),
+        col("vol_eff_e2"))
+      .orderBy(col("p_type"))
+  }
+
   private def q214(t: Tables): DataFrame =
     t.lineitem
       .select(
@@ -854,6 +903,7 @@ object Relational extends QueryModule {
     "q230_stale_parts" -> ((s, d) => q230(s, d)),
     "q233_market_share" -> ((s, d) => q233(Tables(s, d))),
     "q214_nation_trade" -> ((s, d) => q214(Tables(s, d))),
+    "q288_pvm_bridge" -> ((s, d) => q288(Tables(s, d))),
     "q202_trailing_orders" -> ((s, d) => q202(Tables(s, d))),
     "q199_small_orders" -> ((s, d) => q199(Tables(s, d))),
     "q200_blocked_orders" -> ((s, d) => q200(Tables(s, d))),
@@ -1017,6 +1067,32 @@ object Relational extends QueryModule {
         |  + CAST(sum(rev_e2) AS BIGINT))
         |  // (2 * CAST(sum(rev_e2) AS BIGINT)) AS eu_share_e4
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q288_pvm_bridge" ->
+      """WITH base AS (
+        | SELECT p_type, year(o_orderdate) AS yr,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS e,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        | FROM lineitem
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN part ON p_partkey = l_partkey
+        | WHERE year(o_orderdate) IN (1996, 1997)
+        | GROUP BY 1, 2),
+        | p AS (
+        | SELECT p_type,
+        |  CAST(coalesce(sum(CASE WHEN yr = 1996 THEN e END), 0) AS BIGINT) AS e1,
+        |  CAST(coalesce(sum(CASE WHEN yr = 1996 THEN q END), 0) AS BIGINT) AS q1,
+        |  CAST(coalesce(sum(CASE WHEN yr = 1997 THEN e END), 0) AS BIGINT) AS e2,
+        |  CAST(coalesce(sum(CASE WHEN yr = 1997 THEN q END), 0) AS BIGINT) AS q2
+        | FROM base GROUP BY 1)
+        |SELECT p_type, q1, q2, e1 AS rev1_e2, e2 AS rev2_e2,
+        | e2 - e1 AS delta_e2,
+        | CAST(CASE WHEN q1 > 0 AND q2 > 0
+        |   THEN e2 - (2 * e1 * q2 + q1) // (2 * q1) ELSE 0 END AS BIGINT)
+        |  AS price_eff_e2,
+        | CAST((e2 - e1) - CASE WHEN q1 > 0 AND q2 > 0
+        |   THEN e2 - (2 * e1 * q2 + q1) // (2 * q1) ELSE 0 END AS BIGINT)
+        |  AS vol_eff_e2
+        |FROM p ORDER BY p_type""".stripMargin,
     "q214_nation_trade" ->
       """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
         | count(*) AS n_lines,

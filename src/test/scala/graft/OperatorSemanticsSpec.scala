@@ -982,3 +982,58 @@ class ColumnProfileSpec extends AnyFunSuite {
     }
   }
 }
+
+class PvmBridgeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q288 effects sum exactly to the delta and match the closed-form decomposition") {
+    val rows = SparkEntry.queries("q288_pvm_bridge")(spark, sf).collect()
+      .map(r => (r.getAs[String]("p_type"), r.getAs[Long]("q1"), r.getAs[Long]("q2"),
+        r.getAs[Long]("rev1_e2"), r.getAs[Long]("rev2_e2"), r.getAs[Long]("delta_e2"),
+        r.getAs[Long]("price_eff_e2"), r.getAs[Long]("vol_eff_e2")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tp, q1, q2, e1, e2, d, pe, ve) =>
+      // exact additivity (the identity the bridge is built on)
+      assert(d == e2 - e1 && pe + ve == d, s"$tp bridge does not close")
+      if (q1 > 0 && q2 > 0) {
+        // price effect is the half-up rational E2 - E1*Q2/Q1
+        assert(pe == e2 - (2 * e1 * q2 + q1) / (2 * q1), s"$tp price effect")
+        // and the residual volume effect equals the closed form (Q2-Q1)*P1
+        // up to the single quantization of P1 (bounded by |Q2-Q1| half-units)
+        val closed = (q2 - q1).toDouble * e1 / q1
+        assert(math.abs(ve - closed) <= math.abs(q2 - q1) / 2.0 + 1.0,
+          s"$tp volume effect $ve vs closed form $closed")
+      } else assert(pe == 0L && ve == d, s"$tp one-sided group")
+    }
+    // the fixture has both price and volume movement somewhere
+    assert(rows.exists(_._7 != 0) && rows.exists(_._8 != 0), "bridge is flat")
+  }
+}
+
+class TheilDecompSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q289 decomposition closes exactly; residual within matches the closed form") {
+    val rows = SparkEntry.queries("q289_theil_decomp")(spark, sf).collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("n_cust"), r.getAs[Long]("share_e6"),
+        r.getAs[Long]("theil_g_e9"), r.getAs[Long]("between_term_e9"),
+        r.getAs[Long]("theil_e9"), r.getAs[Long]("between_e9"), r.getAs[Long]("within_e9")))
+    assert(rows.nonEmpty)
+    val (t, b, w) = (rows.head._6, rows.head._7, rows.head._8)
+    // global columns constant; the decomposition closes exactly
+    rows.foreach(r => assert((r._6, r._7, r._8) == (t, b, w)))
+    assert(t == b + w, "T != between + within")
+    assert(rows.map(_._5).sum == b, "between is not the sum of its terms")
+    // the residual within equals the share-weighted within-group Theils
+    // up to the per-group e9 quantizations
+    val closedW = rows.map(r => r._3 / 1e6 * r._4).sum
+    assert(math.abs(w - closedW) < 5000.0 + rows.length,
+      s"within $w vs closed form $closedW")
+    // Theil nonnegativity: global, every group, and within
+    assert(t >= 0 && w >= -rows.length && rows.forall(_._4 >= 0))
+    // shares sum to one (e6, up to per-group half-ups)
+    assert(math.abs(rows.map(_._3).sum - 1000000L) <= rows.length)
+    // inequality genuinely present in the fixture
+    assert(t > 0, "fixture has no revenue inequality")
+  }
+}
