@@ -97,6 +97,9 @@ object GraftFunctions {
   def byte_histogram(c: Column): Column =
     Bridge.column(ByteHistogram(Bridge.expression(c)))
 
+  def byte_runs(c: Column): Column =
+    Bridge.column(ByteRuns(Bridge.expression(c)))
+
   def subword_count(c: Column): Column =
     Bridge.column(SubwordCount(Bridge.expression(c)))
 

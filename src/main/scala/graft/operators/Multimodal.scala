@@ -305,7 +305,8 @@ object Multimodal extends QueryModule {
     "q45_frame_sample" -> ((s, d) => q45(Tables(s, d))),
     "q61_byte_histogram" -> ((s, d) => q61(Tables(s, d))),
     "q82_modality_split" -> ((s, d) => q82(Tables(s, d))),
-    "q108_blob_neardup" -> ((s, d) => q108(Tables(s, d)))
+    "q108_blob_neardup" -> ((s, d) => q108(Tables(s, d))),
+    "q290_compress_probe" -> ((s, d) => q290(Tables(s, d)))
   )
 
   /** Near-duplicate blob detection — the perceptual-hash-shaped dedup the
@@ -326,6 +327,50 @@ object Multimodal extends QueryModule {
     * payloads. Quantization boundary misses are the standard LSH recall
     * trade — tighten tauPct/coarsen the profile to rebalance.
     */
+  /** Sequential-compressibility probe — the store-cost advisor q141's
+    * byte-DISTRIBUTION entropy cannot answer (a payload can have flat
+    * entropy yet long runs, or rich bytes yet poor bigram variety): per
+    * (source, media type), adjacent-equal pairs and run counts (the RLE
+    * gain axis — estimated RLE size is ~2 bytes/run), the longest run,
+    * and mean bigram richness (distinct bigrams / positions — the
+    * order-1 modeling gain axis). Together with q141 this is the table
+    * a lake's compression-codec chooser reads per column family.
+    *
+    * All four per-blob statistics come from ONE pass of the
+    * [[graft.functions.ByteRuns]] native kernel (the list-expression
+    * form hides an O(n²) substring rescan — ByteHistogram's lesson,
+    * kernel-ized the same way); everything after is exact longs with
+    * two half-up e6 quantizations. One (source, media_type)
+    * partial-aggregable rollup; nothing else shuffles.
+    *
+    * (A frame-energy VAD segmentation twin was probed and ruled out:
+    * synthetic payload frame variance is a tight unimodal band —
+    * p5 781 / p95 982 — a silence threshold would segment noise.)
+    */
+  private def q290(t: Tables): DataFrame =
+    Tables.localSplit(blobs(t), col("doc_id"))
+      .filter(length(col("text")) >= 2)
+      .select(col("source"), col("media_type"),
+        length(col("text")).cast("long").as("len"),
+        graft.functions.GraftFunctions.byte_runs(col("text")).as("st"))
+      .select(col("source"), col("media_type"), col("len"),
+        expr("st[0]").as("adj"), expr("st[1]").as("runs"),
+        expr("st[2]").as("mr"), expr("st[3]").as("bigrams"))
+      .withColumn("rich_e6",
+        expr("(2 * 1000000 * bigrams + (len - 1)) DIV (2 * (len - 1))"))
+      .groupBy(col("source"), col("media_type"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("len")).as("bytes_total"),
+        sum(col("adj")).as("adj_total"), sum(col("runs")).as("runs_total"),
+        max(col("mr")).as("max_run"),
+        expr("(2 * sum(rich_e6) + count(1)) DIV (2 * count(1))")
+          .as("mean_bigram_rich_e6"))
+      .withColumn("rle_ratio_e6",
+        expr("(2 * 1000000 * 2 * runs_total + bytes_total) DIV (2 * bytes_total)"))
+      .select(col("source"), col("media_type"), col("n_blobs"), col("bytes_total"),
+        col("adj_total"), col("runs_total"), col("max_run"), col("rle_ratio_e6"),
+        col("mean_bigram_rich_e6"))
+      .orderBy(col("source"), col("media_type"))
+
   private def q108(t: Tables): DataFrame = {
     val tauPct = t.spark.conf.get("graft.blob.tauPct", "5").toInt
     require(tauPct >= 0 && tauPct <= 100, s"graft.blob.tauPct out of range: $tauPct")
@@ -442,6 +487,38 @@ object Multimodal extends QueryModule {
         |    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) // 16 AS BIGINT))) AS bucket
         | FROM documents)
         |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    "q290_compress_probe" ->
+      """WITH b AS (
+        | SELECT source,
+        |  CASE ascii(substr(text, 1, 1)) % 3
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  text, length(text) AS len
+        | FROM documents WHERE length(text) >= 2),
+        | stats AS (
+        | SELECT source, media_type, len, adj, len - adj AS runs, bigrams,
+        |  CAST(list_max(list_transform(range(1, len(starts2)),
+        |    j -> starts2[j + 1] - starts2[j])) AS BIGINT) AS max_run,
+        |  CAST((2 * 1000000 * bigrams + (len - 1)) // (2 * (len - 1)) AS BIGINT)
+        |   AS rich_e6
+        | FROM (
+        |  SELECT source, media_type, len,
+        |   CAST(list_sum(list_transform(range(2, len + 1),
+        |     i -> CASE WHEN text[i] = text[i - 1] THEN 1 ELSE 0 END)) AS BIGINT) AS adj,
+        |   CAST(len(list_distinct(list_transform(range(2, len + 1),
+        |     i -> text[i - 1] || text[i]))) AS BIGINT) AS bigrams,
+        |   list_concat(list_filter(range(1, len + 1),
+        |     i -> i = 1 OR text[i] <> text[i - 1]), [len + 1]) AS starts2
+        |  FROM b))
+        |SELECT source, media_type, count(*) AS n_blobs,
+        | CAST(sum(len) AS BIGINT) AS bytes_total,
+        | CAST(sum(adj) AS BIGINT) AS adj_total,
+        | CAST(sum(runs) AS BIGINT) AS runs_total,
+        | CAST(max(max_run) AS BIGINT) AS max_run,
+        | CAST((2 * 1000000 * 2 * sum(runs) + sum(len)) // (2 * sum(len)) AS BIGINT)
+        |  AS rle_ratio_e6,
+        | CAST((2 * sum(rich_e6) + count(*)) // (2 * count(*)) AS BIGINT)
+        |  AS mean_bigram_rich_e6
+        |FROM stats GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q141_payload_entropy" ->
       """WITH h AS (
         | SELECT source,

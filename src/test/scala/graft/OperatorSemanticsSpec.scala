@@ -1037,3 +1037,49 @@ class TheilDecompSpec extends AnyFunSuite {
     assert(t > 0, "fixture has no revenue inequality")
   }
 }
+
+class CompressProbeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q290 kernel stats replay from a scalar byte walk; conservation laws hold") {
+    val rows = SparkEntry.queries("q290_compress_probe")(spark, sf).collect()
+      .map(r => ((r.getAs[String]("source"), r.getAs[String]("media_type")),
+        (r.getAs[Long]("n_blobs"), r.getAs[Long]("bytes_total"), r.getAs[Long]("adj_total"),
+          r.getAs[Long]("runs_total"), r.getAs[Long]("max_run"),
+          r.getAs[Long]("rle_ratio_e6"), r.getAs[Long]("mean_bigram_rich_e6")))).toMap
+    val docs = Tables(spark, sf).documents.select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def mt(t: String) = (t.head.toInt % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    val byCell = docs.filter(_._2.length >= 2).groupBy(d => (d._1, mt(d._2)))
+    assert(rows.keySet == byCell.keySet)
+    byCell.foreach { case (cell, ds) =>
+      val (nb, bt, adj, runs, mr, rle, rich) = rows(cell)
+      assert(nb == ds.length.toLong)
+      assert(bt == ds.map(_._2.length.toLong).sum)
+      val stats = ds.map { case (_, t) =>
+        val a = (1 until t.length).count(i => t(i) == t(i - 1)).toLong
+        var (rr, mx, cur) = (1L, 1L, 1L)
+        (1 until t.length).foreach { i =>
+          if (t(i) == t(i - 1)) { cur += 1; mx = math.max(mx, cur) }
+          else { cur = 1; rr += 1 }
+        }
+        val bg = (1 until t.length).map(i => t.substring(i - 1, i + 1)).distinct.length.toLong
+        (a, rr, mx, bg, t.length.toLong)
+      }
+      assert(adj == stats.map(_._1).sum, s"$cell adjacent pairs")
+      assert(runs == stats.map(_._2).sum, s"$cell runs")
+      assert(mr == stats.map(_._3).max, s"$cell max run")
+      // conservation: runs + adjacent pairs = total bytes (per blob: r + a = n)
+      assert(runs + adj == bt, s"$cell run/adjacency conservation")
+      assert(rle == (2 * 1000000L * 2 * runs + bt) / (2 * bt))
+      val richExp = stats.map { case (_, _, _, bg, n) =>
+        (2 * 1000000L * bg + (n - 1)) / (2 * (n - 1)) }
+      assert(rich == (2 * richExp.sum + nb) / (2 * nb), s"$cell bigram richness")
+    }
+    // signal: richness genuinely varies across cells
+    val riches = rows.values.map(_._7).toSeq
+    assert(riches.max - riches.min > 50000, "bigram richness is flat")
+  }
+}
