@@ -1335,11 +1335,16 @@ object Dedup extends QueryModule {
   }
 
   private def q172(t: Tables): DataFrame = {
-    val edges = pairStats(t)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("candidates").as("graph"))
-      .unionAll(
-        jaccardPairs(t)
-          .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("verified").as("graph")))
+    // r17: six consumers of `edges` (degree union ×2, the edge count,
+    // and all three legs of the triangle join) each re-derived the
+    // signature/verify chain — checkpoint the candidate-bounded edge
+    // list once and let every leg scan the materialized relation.
+    val edges = graft.Iterate.cutLineage(
+      pairStats(t)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("candidates").as("graph"))
+        .unionAll(
+          jaccardPairs(t)
+            .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("verified").as("graph"))))
     val deg = edges.select(col("graph"), col("a").as("x"))
       .unionAll(edges.select(col("graph"), col("b").as("x")))
       .groupBy(col("graph"), col("x"))
@@ -1431,16 +1436,33 @@ object Dedup extends QueryModule {
     // list is checkpointed (candidate-bounded — q248's class) so the
     // unrolled rounds join a materialized relation instead of
     // re-printing (and without the session cache, re-paying) the
-    // signature chain once per consuming branch
+    // signature chain once per consuming branch. r17: checkpointed
+    // PRE-PARTITIONED and PRE-SORTED on src (localCheckpoint preserves
+    // outputPartitioning/ordering through LogicalRDD), so the rank join
+    // of EVERY round and the degree rollup need no edge-side exchange
+    // or sort — three per-round edge shuffles collapse into this one
+    // (guide §2.4: operations keyed the same way share one exchange);
+    // each round pays only the slim (dst, c) contrib shuffle that
+    // pagerank fundamentally requires.
     val dir = graft.Iterate.cutLineage(
       edges
         .unionAll(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .repartition(col("src"))
+        .sortWithinPartitions(col("src")))
+    // exchange-free on dir's src partitioning
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nR = deg.agg(count(lit(1)).as("nn"))
-    var r = deg
-      .join(broadcast(nR))
-      .select(col("src").as("node"), col("deg"), expr("1000000 DIV nn").as("r"))
+    // |nodes| is a 1-row control-plane scalar: folding it in as a literal
+    // (through the audited bounded-gather seam) removes the per-round
+    // broadcast exchange + join the old plan paid four times. Scala Long
+    // division truncates exactly like Spark's DIV on these non-negative
+    // values, so the initial vector and the teleport term are
+    // bit-identical to the old in-plan expressions.
+    val nn = graft.Iterate
+      .gatherBoundedMatrix(deg.agg(count(lit(1)).as("nn")), 1, "q263 node count")
+      .head.getLong(0)
+    val teleport = (2L * 150000L + nn) / (2L * nn)
+    var r = deg.select(col("src").as("node"), col("deg"), lit(1000000L / nn).as("r"))
     for (_ <- 1 to 3) {
       val contrib = dir
         .join(
@@ -1457,10 +1479,7 @@ object Dedup extends QueryModule {
       r = graft.Iterate.cutLineage(
         r.select(col("node"), col("deg"))
           .join(contrib, Seq("node"), "left")
-          .join(broadcast(nR))
-          .withColumn(
-            "r",
-            expr("(2 * 150000 + nn) DIV (2 * nn)") + coalesce(col("contrib"), lit(0L)))
+          .withColumn("r", lit(teleport) + coalesce(col("contrib"), lit(0L)))
           .select(col("node"), col("deg"), col("r")))
     }
     r.select(col("node").as("doc_id"), col("deg").as("degree"), col("r").as("pr_e6"))
@@ -1530,15 +1549,24 @@ object Dedup extends QueryModule {
     val big: Column => Column =
       if (t.spark.conf.get("graft.assort.decimal", "false").toBoolean) _.cast("decimal(38,0)")
       else identity
-    val edges = pairStats(t)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("candidates").as("graph"))
-      .unionAll(
-        jaccardPairs(t)
-          .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("verified").as("graph")))
-    val deg = edges.select(col("graph"), col("a").as("x"))
-      .unionAll(edges.select(col("graph"), col("b").as("x")))
-      .groupBy(col("graph"), col("x"))
-      .agg(count(lit(1)).as("d"))
+    // r17: `edges` feeds three branches and `deg` three consumers
+    // (nodeStats + both endpoint-degree joins) — un-checkpointed, every
+    // consumer re-paid the signature/verify derivation and the
+    // endpoint-union shuffle. Both relations are candidate-bounded
+    // (never corpus²); checkpointing each once turns the plan into one
+    // edge materialization + one degree shuffle + the final edge-keyed
+    // joins.
+    val edges = graft.Iterate.cutLineage(
+      pairStats(t)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("candidates").as("graph"))
+        .unionAll(
+          jaccardPairs(t)
+            .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("verified").as("graph"))))
+    val deg = graft.Iterate.cutLineage(
+      edges.select(col("graph"), col("a").as("x"))
+        .unionAll(edges.select(col("graph"), col("b").as("x")))
+        .groupBy(col("graph"), col("x"))
+        .agg(count(lit(1)).as("d")))
     val nodeStats = deg
       .groupBy(col("graph"))
       .agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"))
@@ -1624,21 +1652,22 @@ object Dedup extends QueryModule {
       Tables.localSplit(t.documents, col("doc_id"))
         .select(lit(k.toLong).as("k"), col("doc_id"), explode(windowHashes(k)).as("h"))
     }.reduce(_ unionAll _)
-    val repeated = pos
-      .groupBy(col("k"), col("h"))
-      .agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") > 1)
-      .select(col("k").as("rk"), col("h").as("rh"))
-    val totals = pos.groupBy(col("k")).agg(count(lit(1)).as("n_windows"))
-    val dups = pos
-      .join(repeated, col("k") === col("rk") && col("h") === col("rh"), "left_semi")
+    // r17: the old three-branch shape (repeated-hash agg + totals agg +
+    // semi-join back) re-derived `pos` per branch — NINE corpus window
+    // explodes and two position-scale (k, h) shuffles. One count window
+    // over (k, h) tags every occurrence with its hash's multiplicity in
+    // a single derivation + single position-scale exchange; totals,
+    // dup-occurrence counts and affected-doc counts all fold off that
+    // one stream (count DISTINCT ignores the null the `when` leaves on
+    // non-repeated rows, reproducing the old left-join + fill-0 exactly).
+    val wOcc = Window.partitionBy(col("k"), col("h"))
+    pos
+      .withColumn("n_occ", count(lit(1)).over(wOcc))
       .groupBy(col("k"))
       .agg(
-        count(lit(1)).as("n_dup_windows"),
-        countDistinct(col("doc_id")).as("n_docs_affected"))
-    totals
-      .join(dups, Seq("k"), "left")
-      .na.fill(0L, Seq("n_dup_windows", "n_docs_affected"))
+        count(lit(1)).as("n_windows"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_windows"),
+        countDistinct(when(col("n_occ") > 1, col("doc_id"))).as("n_docs_affected"))
       .withColumn(
         "dup_share_e4",
         expr("(2 * 10000 * n_dup_windows + n_windows) DIV (2 * n_windows)"))

@@ -3043,14 +3043,28 @@ object Extras extends QueryModule {
     * (Θ(support · |candidates|)); the funnel is four 1-row folds.
     */
   private def q271(t: Tables): DataFrame = {
-    val items = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // r17: `items` feeds FIVE downstream branches (the item census, both
+    // sides of the pair self-join, and the three verification probes) and
+    // `pairs` four (the stage-2 fold and three apriori-gen/prune legs) —
+    // un-checkpointed, each branch re-paid the corpus distinct and the
+    // o-keyed self-join per use. Checkpoint each once; `items` is
+    // checkpointed PRE-PARTITIONED on the basket key `o` (localCheckpoint
+    // preserves outputPartitioning), so the pair self-join plans with
+    // ZERO exchange on either side (guide §2.4), and the verification
+    // probes ride the same materialized relation with the tiny candidate
+    // side broadcast.
+    val items = graft.Iterate.cutLineage(
+      t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .repartition(col("o")))
     val itemCnt = items.groupBy(col("p")).agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-    val pairs = items.as("a")
-      .join(items.as("b"), Seq("o"))
-      .filter(col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2)
+    val pairs = graft.Iterate.cutLineage(
+      items.as("a")
+        .join(items.as("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2))
     val cands = pairs.select(col("p1"), col("p2")).as("t1")
       .join(
         pairs.select(col("p1").as("q1"), col("p2").as("q2")).as("t2"),
