@@ -1458,7 +1458,13 @@ object Extras extends QueryModule {
     * order total is a single-row broadcast; top-25 is TakeOrdered.
     */
   private def q162(t: Tables): DataFrame = {
-    val items = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    // r17: `items` feeds four branches (both self-join sides, the part
+    // marginals, the order total) — checkpoint it once, PRE-PARTITIONED
+    // on the basket key so the self-join plans with zero exchange on
+    // either side (q271's shape; guide §2.4).
+    val items = graft.Iterate.cutLineage(
+      t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+        .repartition(col("l_orderkey")))
     val pairs = items.as("a")
       .join(items.as("b"), Seq("l_orderkey"))
       .filter(col("a.l_partkey") < col("b.l_partkey"))
@@ -2059,7 +2065,13 @@ object Extras extends QueryModule {
         col("o_orderpriority").as("priority"),
         datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
           .cast("long").as("lead"))
-    val hist = leads.groupBy(col("priority"), col("lead")).agg(count(lit(1)).as("c"))
+    // r17: `hist` is ≤|priority|·|day-domain| rows but feeds stats, the
+    // cumulative rank window, and (through them) both percentile probes —
+    // un-checkpointed, each branch re-paid the fact-fact join spine.
+    // Checkpoint the domain-scale histogram once; every consumer below is
+    // then metadata-scale work.
+    val hist = graft.Iterate.cutLineage(
+      leads.groupBy(col("priority"), col("lead")).agg(count(lit(1)).as("c")))
     val stats = hist.groupBy(col("priority"))
       .agg(
         sum(col("c")).as("n_lines"),

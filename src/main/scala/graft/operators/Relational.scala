@@ -693,14 +693,28 @@ object Relational extends QueryModule {
       .select(
         col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
-    val perOrder = lines
+    // r17: collapse lines once onto (order, supplier) — max(late) per
+    // pair — instead of running the fact-fact join twice (once for the
+    // double countDistinct, once for the late-pair distinct). The pair
+    // rollup, the per-order fold, and the final self-join all reuse the
+    // join's l_orderkey partitioning (hash(ok) satisfies every (ok, ...)
+    // clustering downstream), so the restructure removes a whole join
+    // pass AND its exchanges; counts are identical (countDistinct over
+    // lines ≡ count over the distinct-pair relation, any-late per pair ≡
+    // the late-line distinct). The pair relation is checkpointed: both
+    // downstream branches read the materialization, not the join.
+    val pairAgg = graft.Iterate.cutLineage(
+      lines
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("late_any")))
+    val perOrder = pairAgg
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-    lines
-      .filter(col("late"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        count(lit(1)).as("n_supp"),
+        sum(when(col("late_any"), 1L).otherwise(0L)).as("n_late_supp"))
+    pairAgg
+      .filter(col("late_any"))
+      .select(col("l_orderkey"), col("l_suppkey"))
       .join(
         perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1),
         Seq("l_orderkey"))

@@ -285,14 +285,20 @@ object Similarity extends QueryModule {
     var dist: DataFrame = null
     var out: DataFrame = null
     for (k <- 1 to K) {
-      dist =
+      // cut lineage per round (q62/q263's loop discipline): each round's
+      // running min-distance relation feeds THREE consumers — the radius
+      // agg, the next argmax pick, and the next round's update — so
+      // uncut, every branch re-printed (and re-ran) the whole crossJoin
+      // chain back to round 1; checkpointed, a round is one O(n)
+      // broadcast-update over the materialized relation.
+      dist = graft.Iterate.cutLineage(
         if (k == 1)
           e.crossJoin(broadcast(cur))
             .select(col("vec_id"), col("vq"), expr(d2).as("dmin"))
         else
           dist.crossJoin(broadcast(cur))
             .select(col("vec_id"), col("vq"),
-              least(col("dmin"), expr(d2)).as("dmin"))
+              least(col("dmin"), expr(d2)).as("dmin")))
       val row = cur.select(lit(k).as("k"), col("cid").as("center_id"))
         .crossJoin(dist.agg(max(col("dmin")).as("radius2")))
       out = if (out == null) row else out.unionByName(row)

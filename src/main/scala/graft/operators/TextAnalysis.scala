@@ -1384,19 +1384,27 @@ object TextAnalysis extends QueryModule {
         length(col("text")).cast("long").as("len"))
       .withColumn("cal", expr("((doc_id % 2147483647) * 2654435761) % 100 < 50"))
     val cal = docs.filter(col("cal"))
-    val calCnt = cal.groupBy(col("source")).agg(count(lit(1)).as("n_cal"))
+    // r17: calCnt/med/qhat are |sources|-row relations, but each is read
+    // by several branches (qhat's chain alone replays cal + med + a
+    // window; the final presentation join replays all three) —
+    // checkpoint each once so every corpus-scale calibration window runs
+    // exactly once.
+    val calCnt = graft.Iterate.cutLineage(
+      cal.groupBy(col("source")).agg(count(lit(1)).as("n_cal")))
     val wLen = Window.partitionBy(col("source")).orderBy(col("len"), col("doc_id"))
-    val med = cal.withColumn("rn", row_number().over(wLen))
-      .join(broadcast(calCnt), Seq("source"))
-      .filter(col("rn") === expr("(n_cal + 1) DIV 2"))
-      .select(col("source"), col("len").as("med"))
+    val med = graft.Iterate.cutLineage(
+      cal.withColumn("rn", row_number().over(wLen))
+        .join(broadcast(calCnt), Seq("source"))
+        .filter(col("rn") === expr("(n_cal + 1) DIV 2"))
+        .select(col("source"), col("len").as("med")))
     val calScores = cal.join(broadcast(med), Seq("source"))
       .withColumn("score", abs(col("len") - col("med")))
     val wSc = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
-    val qhat = calScores.withColumn("rn", row_number().over(wSc))
-      .join(broadcast(calCnt), Seq("source"))
-      .filter(col("rn") === expr("((n_cal + 1) * 9 + 9) DIV 10"))
-      .select(col("source"), col("score").as("qhat"))
+    val qhat = graft.Iterate.cutLineage(
+      calScores.withColumn("rn", row_number().over(wSc))
+        .join(broadcast(calCnt), Seq("source"))
+        .filter(col("rn") === expr("((n_cal + 1) * 9 + 9) DIV 10"))
+        .select(col("source"), col("score").as("qhat")))
     val agg = docs.filter(!col("cal"))
       .join(broadcast(med), Seq("source"))
       .join(broadcast(qhat), Seq("source"), "left")
