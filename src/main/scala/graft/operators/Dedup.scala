@@ -1101,10 +1101,14 @@ object Dedup extends QueryModule {
     * nothing else quantizes (e6 half-up).
     */
   private def q285(t: Tables): DataFrame = {
-    val shx = Tables.localSplit(t.documents, col("doc_id"))
-      .select(col("source"),
-        explode(graft.functions.GraftFunctions.shingle_set(col("text"))).as("sh"))
-      .groupBy(col("sh"), col("source")).agg(count(lit(1)).as("df"))
+    // r17: the (sh, source) rollup here was a third private derivation of
+    // the distinct (source, shingle) relation q92/q95 already share — the
+    // per-pair df count it computed was never read (uniq re-counts by sh).
+    // Ride sourceShingles instead: under the bench's session cache the
+    // corpus shingle explode + dedup shuffle now runs once for all three
+    // consumers (sourceShingles' isNotNull is neutral here: source is
+    // non-null by data generation at every SF, verified before the swap).
+    val shx = sourceShingles(t)
     val uniq = shx.groupBy(col("sh"))
       .agg(count(lit(1)).as("n_src"), min(col("source")).as("only_src"))
       .filter(col("n_src") === 1)
