@@ -713,13 +713,14 @@ object PlanAudit {
     // mode; default broadcast planning prints the rollup once more on
     // the pair-join branch — 10 textual)
     "q267_trend_audit" -> 10,
-    // q268 (r17): five O⋈L branches (base + three delta terms +
-    // recompute audit) each print a |nations| rollup; the branches
-    // where neither join side broadcasts shuffle on o_orderkey — the
-    // co-bucket key (exchange-free on bucketed storage) — and the
-    // delta sides' scans carry pushed date predicates; 25-row
-    // full-outer assembly + sort (measured 9)
-    "q268_ivm_delta" -> 9,
+    // q268 (r17 session 2): ONE O⋈L join — the four (o_old, l_old)
+    // delta terms are a disjoint partition of the recompute join this
+    // query must pay anyway, so they fold into conditional sums over it
+    // (was five separate fact-fact branches, measured 9). The join
+    // shuffles on o_orderkey — the co-bucket key (exchange-free on
+    // bucketed storage) — plus the |nations| rollup; dims broadcast
+    // (measured 2).
+    "q268_ivm_delta" -> 2,
     // q269 (r17): the |Q|·n sample cross rides the scan (broadcast
     // queries); the qid rank window + the (qid, d) rank window after
     // the ×4 dim explode each shuffle the SAMPLE relation (it prints

@@ -119,7 +119,16 @@ object Tables {
       (Tables(spark, sfDir).events, "user_id", BucketedEvents, "events_b")
     ).foreach { case (df, key, table, sub) =>
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      df.write
+      // r17 session 2: align the write on the bucket hash FIRST —
+      // repartition(buckets, key) uses the same Murmur3 pmod as the
+      // bucket id, so every task holds exactly one bucket and each
+      // bucket lands in ONE file. Unaligned, every upstream scan task
+      // wrote a file per bucket it touched (tasks × buckets tiny
+      // files — measured as a regression on plain-scan consumers), and
+      // multi-file buckets also make the reader distrust sortBy, forcing
+      // SMJ re-sorts the layout exists to skip.
+      df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+        .write
         .bucketBy(buckets, key)
         .sortBy(key)
         .option("path", s"$path/$sub")
@@ -143,6 +152,20 @@ object Tables {
   def localSplit(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
     if (df.sparkSession.conf.get("graft.local.split", "false").toBoolean) df.repartition(key)
     else df
+
+  /** Align a fact projection on its co-bucket key (r17). When the session
+    * reads bucketed fact tables (`graft.bucketed=true`) the scan already
+    * reports HashPartitioning(key) and an explicit repartition would ADD
+    * the exchange it exists to remove — so this is a no-op there. On the
+    * plain path it is one explicit key repartition placed BEFORE the
+    * downstream key-clustered operators (dedup/agg/self-join), which then
+    * all satisfy their distribution from this single exchange
+    * (hash(key) ⊆ any (key, …) clustering — guide §2.4's shared-exchange
+    * rule).
+    */
+  def bucketAligned(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    if (df.sparkSession.conf.get("graft.bucketed", "false").toBoolean) df
+    else df.repartition(key)
 }
 
 /** A bundle of named queries plus their DuckDB oracle SQL. SparkEntry

@@ -1148,13 +1148,16 @@ object Extras extends QueryModule {
       .withColumn("cum", sum(col("c")).over(cum))
       .join(broadcast(stats.select(col("seg").as("s2"), col("n_gaps"))),
         col("seg") === col("s2"))
-    def pct(p: Int) = ranked
-      .filter(expr(s"cum >= ($p * n_gaps + 99) DIV 100"))
-      .groupBy(col("seg")).agg(min(col("gap")).as(s"p${p}_gap"))
+    // r17 session 2: the three nearest-rank probes are conditional mins
+    // over the SAME ranked relation — one aggregation computes all three
+    // (min(when(cum ≥ rank, gap)) ≡ min over the filtered rows), saving
+    // two domain-scale jobs and two joins per run.
+    def pctCol(p: Int) =
+      min(when(expr(s"cum >= ($p * n_gaps + 99) DIV 100"), col("gap"))).as(s"p${p}_gap")
+    val pcts = ranked.groupBy(col("seg"))
+      .agg(pctCol(25), pctCol(50), pctCol(90))
     stats
-      .join(broadcast(pct(25)), Seq("seg"))
-      .join(broadcast(pct(50)), Seq("seg"))
-      .join(broadcast(pct(90)), Seq("seg"))
+      .join(broadcast(pcts), Seq("seg"))
       .select(
         col("seg"), col("n_gaps"), col("p25_gap"), col("p50_gap"),
         col("p90_gap"), col("max_gap"))
@@ -1463,8 +1466,9 @@ object Extras extends QueryModule {
     // on the basket key so the self-join plans with zero exchange on
     // either side (q271's shape; guide §2.4).
     val items = graft.Iterate.cutLineage(
-      t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-        .repartition(col("l_orderkey")))
+      Tables.bucketAligned(
+        t.lineitem.select(col("l_orderkey"), col("l_partkey")), col("l_orderkey"))
+        .dropDuplicates(Seq("l_orderkey", "l_partkey")))
     val pairs = items.as("a")
       .join(items.as("b"), Seq("l_orderkey"))
       .filter(col("a.l_partkey") < col("b.l_partkey"))
@@ -2065,13 +2069,15 @@ object Extras extends QueryModule {
         col("o_orderpriority").as("priority"),
         datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
           .cast("long").as("lead"))
-    // r17: `hist` is ≤|priority|·|day-domain| rows but feeds stats, the
-    // cumulative rank window, and (through them) both percentile probes —
-    // un-checkpointed, each branch re-paid the fact-fact join spine.
-    // Checkpoint the domain-scale histogram once; every consumer below is
-    // then metadata-scale work.
-    val hist = graft.Iterate.cutLineage(
-      leads.groupBy(col("priority"), col("lead")).agg(count(lit(1)).as("c")))
+    // r17 session 2: NOT checkpointed — a cutLineage here hid the
+    // orderkey join spine inside the checkpoint job, which made the
+    // PlanAudit bucketed-mode pin on this query vacuous
+    // ("bucketed-tables-not-read") and bought nothing: the two branch
+    // exchanges over this histogram are mirrored, so AQE exchange reuse
+    // already runs the fact join once (the q92/q143 lesson). With the
+    // percentile probes folded into one aggregation below, the relation
+    // has exactly two consumers.
+    val hist = leads.groupBy(col("priority"), col("lead")).agg(count(lit(1)).as("c"))
     val stats = hist.groupBy(col("priority"))
       .agg(
         sum(col("c")).as("n_lines"),
@@ -2083,12 +2089,15 @@ object Extras extends QueryModule {
       .withColumn("cum", sum(col("c")).over(cum))
       .join(broadcast(stats.select(col("priority").as("sp"), col("n_lines"))),
         col("priority") === col("sp"))
-    def pct(p: Int) = ranked
-      .filter(col("cum") >= expr(s"($p * n_lines + 99) DIV 100"))
-      .groupBy(col("priority")).agg(min(col("lead")).as(s"p${p}_lead"))
+    // r17 session 2: both nearest-rank probes fold into one conditional-
+    // min aggregation over `ranked` (q236's rewrite) — one job + one join
+    // instead of two of each.
+    def pctCol(p: Int) =
+      min(when(col("cum") >= expr(s"($p * n_lines + 99) DIV 100"), col("lead")))
+        .as(s"p${p}_lead")
+    val pcts = ranked.groupBy(col("priority")).agg(pctCol(50), pctCol(95))
     stats
-      .join(broadcast(pct(50)), Seq("priority"))
-      .join(broadcast(pct(95)), Seq("priority"))
+      .join(broadcast(pcts), Seq("priority"))
       .withColumn(
         "neg_share_e4",
         expr("(2 * 10000 * n_negative + n_lines) DIV (2 * n_lines)"))
@@ -2611,12 +2620,15 @@ object Extras extends QueryModule {
     val ranked = hist
       .withColumn("cum", sum(col("c")).over(cum))
       .join(broadcast(stats.select(col("wk").as("sw"), col("n_events"))), col("wk") === col("sw"))
-    def pct(p: Int) = ranked
-      .filter(col("cum") >= expr(s"($p * n_events + 99) DIV 100"))
-      .groupBy(col("wk")).agg(min(col("v")).as(s"p${p}_v"))
+    // r17 session 2: one conditional-min aggregation computes both
+    // nearest-rank probes (q236/q224's rewrite) — the ranked relation and
+    // the corpus histogram under it run once instead of per-percentile.
+    def pctCol(p: Int) =
+      min(when(col("cum") >= expr(s"($p * n_events + 99) DIV 100"), col("v")))
+        .as(s"p${p}_v")
+    val pcts = ranked.groupBy(col("wk")).agg(pctCol(50), pctCol(95))
     stats
-      .join(broadcast(pct(50)), Seq("wk"))
-      .join(broadcast(pct(95)), Seq("wk"))
+      .join(broadcast(pcts), Seq("wk"))
       .join(broadcast(weekly), col("wk") === col("wwk"))
       .withColumn("tol", greatest(lit(100L), expr("(mx - mn) DIV 10")))
       .select(
@@ -3065,10 +3077,17 @@ object Extras extends QueryModule {
     // ZERO exchange on either side (guide §2.4), and the verification
     // probes ride the same materialized relation with the tiny candidate
     // side broadcast.
+    // r17 session 2: repartition BEFORE the dedup, not after — hash(o)
+    // satisfies the distinct's (o, p) clustering, so the alignment and
+    // the dedup share ONE exchange (was: hash(o,p) distinct exchange +
+    // a second full repartition). Under a bucketed session the scan is
+    // already hash(o)-partitioned and bucketAligned is a no-op: zero
+    // exchanges end to end.
     val items = graft.Iterate.cutLineage(
-      t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-        .repartition(col("o")))
+      Tables.bucketAligned(
+        t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        col("o"))
+        .dropDuplicates(Seq("o", "p")))
     val itemCnt = items.groupBy(col("p")).agg(count(lit(1)).as("c")).filter(col("c") >= 2)
     val pairs = graft.Iterate.cutLineage(
       items.as("a")
