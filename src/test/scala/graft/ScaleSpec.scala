@@ -34,6 +34,25 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q268 computes all IVM terms from one fact join (r17 restructure pin)") {
+    // the four (o_old, l_old) delta terms are a disjoint partition of the
+    // recompute join the query must pay anyway — the r17 optimization
+    // folds them into conditional sums over ONE O⋈L join. Pin the shape:
+    // exactly one fact-fact join plus the broadcast dim hop (the pre-r17
+    // form planned five fact joins); OperatorSemanticsSpec pins values.
+    val df = SparkEntry.queries("q268_ivm_delta")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val fin = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i  => plan.substring(0, i)
+    }
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(fin).length
+    // one O⋈L fact join + the dim attach + the customer⋈nation hop
+    // inside dim = 3; the pre-r17 five-branch form planned ≥ 10
+    assert(joins <= 3, s"q268 must plan one fact join (+2 dim hops), found $joins joins:\n$fin")
+  }
+
   test("graft.bucketed: real queries plan orderkey-exchange-free with identical answers") {
     // the r16 verdict-#1 pin IN THE QUERY LIBRARY (PlanAudit's `bucketed`
     // mode covers all five claimants): q224's lineitem⋈orders spine and
