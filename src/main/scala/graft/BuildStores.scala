@@ -98,6 +98,12 @@ object BuildStores {
       // the stored days)
       val kl = graft.sources.KllStore.init(spark, s"$outDir/kll", t.events, corpus = sfDir)
       println(s"""{"store":"kll","version":${kl.version},"days":${kl.totalDays}}""")
+      // `catalog` — sources.CatalogStore: the published dataset catalog
+      // (`graft.catalog.store`; q68's base loads the v=1 snapshot through
+      // the DSv2 time-travel read)
+      val cv = graft.sources.CatalogStore.init(
+        spark, s"$outDir/catalog", graft.operators.CatalogOps.catalogBase(t))
+      println(s"""{"store":"catalog","version":$cv}""")
     } finally docs.unpersist()
     spark.stop()
   }

@@ -34,14 +34,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * datasets table: one row per dataset, thousands at most — the corpus
   * IDs live in the lake, not the catalog), and [[CatalogStore.readVersion]]
   * already re-counts and re-hashes the snapshot against its manifest on
-  * EVERY read. This source goes through that same audited, integrity-
-  * checked read at partition-planning time and ships the verified rows
-  * to executors inside the InputPartitions — the [[graft.Iterate
-  * .gatherBoundedMatrix]] seam enforces the metadata-scale bound at
-  * runtime (4M rows), so a data-scale relation can never silently ride
-  * this path. Column pruning is pushed into the materialization: a
-  * key-only scan ships keys, not titles.
+  * EVERY read. This source performs that integrity-checked read at
+  * partition-planning time as ONE scan job (manifest count+hash
+  * recomputed driver-side from the collected rows — see
+  * `CatalogStore.readVersionRowsVerified`) and ships the verified rows
+  * to executors inside the InputPartitions. The metadata-scale bound
+  * (4M rows) is enforced at runtime against the committed manifest
+  * BEFORE the collect and re-checked against the actual row count after,
+  * so a data-scale relation can never silently ride this path. Column
+  * pruning applies driver-side after the manifest fold (the hash is over
+  * all three columns): executors receive only the requested columns.
   */
+object CatalogSnapshotSource {
+  /** Schema of an immutable published version — (dir, version) → schema.
+    * Bounded in practice by the number of distinct stores a JVM touches;
+    * entries are a handful of StructFields each.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]()
+}
+
 class CatalogSnapshotSource extends TableProvider {
   private def resolve(options: CaseInsensitiveStringMap): (String, Long) = {
     val dir = Option(options.get("path")).getOrElse(
@@ -56,9 +68,14 @@ class CatalogSnapshotSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (dir, v) = resolve(options)
     // footer-only read: schema on read of the pinned snapshot, minus the
-    // shard storage detail
-    val full = SparkSession.active.read.parquet(CatalogStore.snapshotPath(dir, v)).schema
-    StructType(full.fields.filterNot(_.name == "shard"))
+    // shard storage detail. Published versions are immutable, so the
+    // schema of (dir, v) can never change — cache it per JVM (plan-time
+    // METADATA, the same class as Spark's own file-index caching; the
+    // DATA is still read and integrity-verified on every execution).
+    CatalogSnapshotSource.schemaCache.computeIfAbsent((dir, v), { _ =>
+      val full = SparkSession.active.read.parquet(CatalogStore.snapshotPath(dir, v)).schema
+      StructType(full.fields.filterNot(_.name == "shard"))
+    })
   }
 
   override def getTable(
@@ -86,10 +103,11 @@ private[sources] class CatalogSnapshotScanBuilder(
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new CatalogSnapshotScan(dir, version, required)
+  override def build(): Scan = new CatalogSnapshotScan(dir, version, required, full)
 }
 
-private[sources] class CatalogSnapshotScan(dir: String, version: Long, required: StructType)
+private[sources] class CatalogSnapshotScan(
+    dir: String, version: Long, required: StructType, full: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -98,15 +116,20 @@ private[sources] class CatalogSnapshotScan(dir: String, version: Long, required:
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    // the integrity-checked store read (manifest count+hash verified),
-    // pruned to the required columns, bounded by the metadata-scale seam
-    val verified = CatalogStore.readVersion(spark, dir, version)
-      .selectExpr(required.fieldNames.toIndexedSeq: _*)
-    val rows = graft.Iterate.gatherBoundedMatrix(
-      verified, 4000000, s"catalog snapshot $dir v=$version")
+    // the integrity-checked store read as ONE scan job: rows gathered
+    // through the metadata-scale seam, manifest count+hash recomputed
+    // driver-side from those same rows (CatalogStore.readVersionRowsVerified
+    // — readVersion's separate verification aggregate plus a second
+    // collect paid two full snapshot scans per read, the r17 q68
+    // regression). The hash needs all three columns, so pruning applies
+    // here on the driver, after the fold.
+    val (rows, fullSchema) = CatalogStore.readVersionRowsVerified(
+      spark, dir, version, 4000000, s"catalog snapshot $dir v=$version",
+      knownSchema = Some(full))
+    val idx = required.fieldNames.map(fullSchema.fieldIndex).toIndexedSeq
     // external (serializable) values ride the partitions; readers convert
     // to InternalRow against the pruned schema
-    val ext: Array[Seq[Any]] = rows.map(_.toSeq)
+    val ext: Array[Seq[Any]] = rows.map(r => idx.map(r.get))
     val slices = math.max(1, math.min(4, ext.length))
     val step = (ext.length + slices - 1) / math.max(1, slices)
     (0 until slices).map { i =>

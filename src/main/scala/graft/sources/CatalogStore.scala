@@ -208,7 +208,10 @@ object CatalogStore {
     * scan is cheap; an unparseable marker is treated as corruption, not
     * leniency.
     */
-  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+  /** The committed marker's manifest (rows, xor), verified readable — the
+    * shared front half of both verified-read paths.
+    */
+  private def markerManifest(spark: SparkSession, dir: String, version: Long): (Long, Long) = {
     val f = fs(spark, dir)
     require(isCommitted(f, dir, version), s"v=$version was never published at $dir")
     val markerPath = new Path(snapshotPath(dir, version), Marker)
@@ -219,9 +222,13 @@ object CatalogStore {
       finally in.close()
       new String(buf, "UTF-8")
     }
-    val (wantRows, wantXor) = parseManifest(markerBody).getOrElse(
+    parseManifest(markerBody).getOrElse(
       throw new IllegalStateException(
         s"v=$version at $dir: unreadable snapshot manifest in $Marker — refusing to serve"))
+  }
+
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val (wantRows, wantXor) = markerManifest(spark, dir, version)
     val df = spark.read.parquet(snapshotPath(dir, version)).select("dataset_key", "title", "revision")
     val (gotRows, gotXor) = manifestOf(df)
     if (gotRows != wantRows || gotXor != wantXor)
@@ -229,6 +236,62 @@ object CatalogStore {
         s"v=$version at $dir is CORRUPT: manifest says rows=$wantRows xor=$wantXor, " +
           s"snapshot reads rows=$gotRows xor=$gotXor — refusing to serve")
     df
+  }
+
+  /** The DSv2 snapshot scan's driver materialization: the same loud-fail
+    * integrity contract as [[readVersion]] but paid as ONE scan job — the
+    * rows come back through the bounded control-plane gather and the
+    * manifest count+hash are recomputed DRIVER-SIDE from the collected
+    * rows, evaluating the identical Catalyst `xxhash64(dataset_key,
+    * title, revision)` expression the writer's bit_xor aggregated (so the
+    * check can never drift from the written manifest's definition).
+    * readVersion's shape — a verification AGGREGATE job followed by the
+    * caller's own collect of the same files — paid two full scans per
+    * time-travel read; for a metadata-scale catalog both scans were pure
+    * per-read overhead (measured 2.5× on q68's bench path, r17 verdict #1).
+    * Returns the full-column rows plus their schema; callers prune.
+    */
+  private[sources] def readVersionRowsVerified(
+      spark: SparkSession, dir: String, version: Long,
+      maxRows: Int, what: String,
+      knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    val (wantRows, wantXor) = markerManifest(spark, dir, version)
+    // the metadata-scale bound is checked against the MANIFEST before
+    // anything is collected (the published row count is part of the
+    // atomic commit artifact), then re-checked against the actual
+    // collected count below — so the collect is ONE plain job instead of
+    // limit+collect's incremental 1→4→16-partition executeTake ladder
+    // (three scheduled jobs for a 16-shard snapshot). A snapshot whose
+    // files disagree with the manifest fails the count/xor check loudly.
+    require(wantRows <= maxRows,
+      s"$what: control-plane gather exceeded its declared domain bound of $maxRows rows " +
+        s"(manifest says $wantRows) — the relation is not metadata-scale; keep it in the engine")
+    // known schema (the DSv2 table's, already footer-read once at load
+    // time) skips a second parquet schema inference here
+    val reader = knownSchema.fold(spark.read)(s => spark.read.schema(
+      org.apache.spark.sql.types.StructType(s.fields :+
+        org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType))))
+    val df = reader.parquet(snapshotPath(dir, version)).select("dataset_key", "title", "revision")
+    val rows = df.collect()
+    val schema = df.schema
+    val hashExpr = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      schema.fields.zipWithIndex.map { case (fd, i) =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(i, fd.dataType, fd.nullable)
+      }.toIndexedSeq)
+    val toInternal =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(schema)
+    var gotXor = 0L
+    rows.foreach { r =>
+      gotXor ^= hashExpr
+        .eval(toInternal(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+        .asInstanceOf[Long]
+    }
+    if (rows.length.toLong != wantRows || gotXor != wantXor)
+      throw new IllegalStateException(
+        s"v=$version at $dir is CORRUPT: manifest says rows=$wantRows xor=$wantXor, " +
+          s"snapshot reads rows=${rows.length} xor=$gotXor — refusing to serve")
+    (rows, schema)
   }
 
   /** Keep-latest merge of the current snapshot with a change batch —

@@ -222,6 +222,33 @@ class CatalogStoreSpec extends AnyFunSuite {
     assert(before.nonEmpty) // sanity: the store really had published data
   }
 
+  // r18: the DSv2 snapshot scan verifies the manifest DRIVER-SIDE from the
+  // one collected row set (readVersionRowsVerified) instead of running a
+  // separate verification aggregate — pin that the integrity contract
+  // survived the optimization: corruption still fails loudly through the
+  // DSv2 path, and the healthy read stays row-identical to readVersion.
+  test("DSv2 snapshot read: driver-side manifest fold serves verified rows, refuses corruption") {
+    val dir = tmp()
+    CatalogStore.init(spark, dir, base())
+    def dsv2() = spark.read.format("graft.sources.CatalogSnapshotSource")
+      .option("path", dir).option("version", "1").load()
+    val got = dsv2().collect().map(_.toString).sorted.toSeq
+    val want = CatalogStore.readVersion(spark, dir, 1L).collect().map(_.toString).sorted.toSeq
+    assert(got == want, "DSv2 read diverges from readVersion")
+    // silent corruption: drop one shard's part file — the survivors still
+    // read as a valid (smaller) parquet dataset, so only the manifest
+    // count/xor fold can notice
+    val part = new java.io.File(s"$dir/v=1").listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet")).head
+    assert(part.delete())
+    val e = intercept[Throwable](dsv2().collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("CORRUPT")),
+      s"expected loud CORRUPT refusal, got: ${messages(e).mkString(" | ")}")
+  }
+
   // reference datasets/create.py:19-39 — POST rejects a title failing
   // TITLE_PATTERN (BAD_REQUEST) or already held by another dataset
   // (CONFLICT via datasets_title_idx); pinned by
