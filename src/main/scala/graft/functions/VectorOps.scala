@@ -97,6 +97,12 @@ object GraftFunctions {
   def byte_histogram(c: Column): Column =
     Bridge.column(ByteHistogram(Bridge.expression(c)))
 
+  /** Bit-parallel exact Levenshtein — value-identical to the built-in
+    * `levenshtein` for every input (see [[EditDistance]]).
+    */
+  def levenshtein_bp(a: Column, b: Column): Column =
+    Bridge.column(EditDistance(Bridge.expression(a), Bridge.expression(b)))
+
   def byte_runs(c: Column): Column =
     Bridge.column(ByteRuns(Bridge.expression(c)))
 

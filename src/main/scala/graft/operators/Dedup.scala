@@ -545,7 +545,12 @@ object Dedup extends QueryModule {
         "jaccard",
         round(col("shared") / (col("nsh_a") + col("nsh_b") - col("shared")), 6))
       .withColumn(
-        "lev", levenshtein(col("a.cap_text"), col("b.cap_text")).cast("long"))
+        // bit-parallel exact Levenshtein (Myers) — value-identical to the
+        // built-in levenshtein() the oracle mirrors, ~20× less kernel work
+        // per pair (EditDistance scaladoc; EditDistanceSpec pins equality)
+        "lev",
+        graft.functions.GraftFunctions
+          .levenshtein_bp(col("a.cap_text"), col("b.cap_text")).cast("long"))
       .withColumn(
         "maxlen",
         greatest(length(col("a.cap_text")), length(col("b.cap_text"))).cast("long"))
