@@ -1470,6 +1470,13 @@ object Dedup extends QueryModule {
     val nn = graft.Iterate
       .gatherBoundedMatrix(deg.agg(count(lit(1)).as("nn")), 1, "q263 node count")
       .head.getLong(0)
+    // empty candidate graph (a corpus with no LSH pairs): the old
+    // plan-side `DIV nn` degraded to an empty result; the driver-side
+    // fold must not turn that into an ArithmeticException at build time
+    // (r17 ADVICE) — return the empty ranked relation directly
+    if (nn == 0L)
+      return deg.select(
+        col("src").as("doc_id"), col("deg").as("degree"), lit(0L).as("pr_e6"))
     val teleport = (2L * 150000L + nn) / (2L * nn)
     var r = deg.select(col("src").as("node"), col("deg"), lit(1000000L / nn).as("r"))
     for (_ <- 1 to 3) {
@@ -4202,6 +4209,12 @@ object Dedup extends QueryModule {
          | (2 * 10000 * n_reused_types + n_shingle_types) // (2 * n_shingle_types) AS type_reuse_e4,
          | (2 * 10000 * n_reused_occurrences + n_doc_shingles) // (2 * n_doc_shingles) AS occ_reuse_e4
          |FROM s ORDER BY source""".stripMargin,
+    // INVARIANT (r17 ADVICE): q285's Spark side rides sourceShingles,
+    // which filters source IS NOT NULL; this oracle groups null sources
+    // like any other value. The two agree only because `source` is
+    // non-null by data generation at every SF — a future dataset with
+    // null sources would diverge here LOUDLY (hash mismatch), which is
+    // the desired failure mode.
     "q285_budget_mix" ->
       s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
          | shx AS (SELECT source, unnest(list_distinct($shinglesDuck)) AS sh FROM w),

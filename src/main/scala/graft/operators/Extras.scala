@@ -86,6 +86,14 @@ object Extras extends QueryModule {
       .withColumn("band", floor((expr(sLat) + 85) / bandWidth).cast("long") + col("off"))
     custB
       .join(broadcast(suppB), Seq("band"))
+      // r18: exact Δlat prefilter BEFORE the trig — haversine ≥ R·|Δlat|,
+      // so any pair with |Δlat| ≥ 3000/6371 rad (≈ 0.47088) fails
+      // dist < 3000 outright; 0.4709 leaves a 0.1 km slack so last-ulp
+      // FP noise in either expression can never flip a boundary pair
+      // (the band join only bounds Δlat to < 54°, so about half the
+      // banded pairs skip the sin/asin/sqrt entirely). Results identical:
+      // the predicate is a strict superset of the survivors.
+      .filter(abs(col("clat_r") - col("slat_r")) < 0.4709)
       .withColumn("dist_km", expr(hav))
       .filter(col("dist_km") < 3000)
       .groupBy(col("s_suppkey"))
@@ -616,9 +624,13 @@ object Extras extends QueryModule {
     val stacked = t.orders.select(explode(map(
       cols.flatMap { case (n, e) => Seq(lit(n), expr(e)) }: _*)).as(Seq("column", "value")))
     val vals = stacked.groupBy(col("column"), col("value")).agg(count(lit(1)).as("c"))
-    val wTop = Window.partitionBy(col("column")).orderBy(col("c").desc, col("value"))
-    val top = vals.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
-      .select(col("column"), col("value").as("top_value"), col("c").as("top_c"))
+    // r18: the modal pick rides the SAME per-column aggregate as the
+    // summary — min(struct(-c, value)) is exactly the old
+    // row_number-over-(c DESC, value ASC) = 1 winner (struct order:
+    // largest count, then smallest value; these six columns are
+    // non-null by construction, so no null-ordering edge exists), which
+    // drops the window's exchange+sort and the 6-row join — one
+    // (column, value) rollup, one per-column fold, nothing else.
     val summary = vals
       .withColumn("t_e6", expr(
         "CASE WHEN value IS NULL THEN 0L " +
@@ -627,8 +639,13 @@ object Extras extends QueryModule {
       .agg(sum(col("c")).as("n"),
         sum(when(col("value").isNull, col("c")).otherwise(0L)).as("n_null"),
         sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
-        sum(col("t_e6")).as("sum_clnc_e6"))
-    summary.join(top, Seq("column"))
+        sum(col("t_e6")).as("sum_clnc_e6"),
+        min(when(col("value").isNotNull,
+          struct((-col("c")).as("neg_c"), col("value").as("value")))).as("top"))
+    summary
+      .withColumn("top_value", col("top.value"))
+      .withColumn("top_c", -col("top.neg_c"))
+      .drop("top")
       .withColumn("nn", col("n") - col("n_null"))
       .withColumn("is_unique", col("n_distinct") === col("nn") && col("n_null") === 0)
       .withColumn("is_constant", col("n_distinct") === 1)

@@ -853,17 +853,26 @@ object Relational extends QueryModule {
     * date, new shipments by ship date — so all three delta terms are
     * live: base orders keep shipping lines, new orders ship against
     * both sides). Per nation: the view before, the three delta terms,
-    * the view after (base + Δ), an independent full recompute, and the
-    * equality boolean — the IVM correctness certificate.
+    * the view after (base + Δ), a recompute column, and the equality
+    * boolean.
     *
-    * Scale shape: the three production terms each join a DELTA side to
-    * a base side on o_orderkey — the co-bucket key (exchange-free on
-    * bucketed storage; see "Bucketed layout proof") — and their scans
-    * carry the pushed date predicates, so at 100 TB each term's cost is
-    * ∝ |Δ| with the base side partition/bucket-pruned, never |base|².
-    * The full-recompute branch is the AUDIT (declared — run once to
-    * certify, not per batch); dims broadcast; every rollup lands on the
-    * |nations| grid.
+    * Scale shape (r17 fold — the shape ScaleSpec pins): this query's
+    * declared output always includes the recompute column, so the full
+    * O⋈L join is paid regardless, and ALL FIVE sums (base, the three
+    * delta terms, recompute) are conditional sums over the disjoint
+    * (o_old, l_old) partition of that ONE join — one fact-fact join on
+    * o_orderkey (the co-bucket key; exchange-free on bucketed storage),
+    * dims broadcast, rollup on the |nations| grid. Honest caveat on the
+    * certificate: in this folded form `ivm_ok` holds by arithmetic
+    * identity (the four terms partition the same join the recompute
+    * sums), so it certifies the DELTA-RULE DECOMPOSITION, not an
+    * independent execution — the cross-engine audit is the DuckDB
+    * oracle, which derives the terms via separate flag-joins and must
+    * hash-match. Production IVM maintains the view from pruned delta
+    * scans WITHOUT a recompute; each term's former per-Δ join (cost
+    * ∝ |Δ|, base side bucket-pruned) remains the deployment shape — this
+    * query just stops paying the same join five times to print one
+    * table that includes the audit column.
     */
   private def q268(t: Tables): DataFrame = {
     val cut = lit(java.sql.Date.valueOf("2001-01-01")).cast("timestamp")
