@@ -103,7 +103,13 @@ object CatalogOps extends QueryModule {
         .groupBy(col("node_id"))
         .agg(min(col("depth")).as("depth"))
         .join(visited.select(col("node_id")), Seq("node_id"), "left_anti")
-      val roundCp = Iterate.cutLineage(roundNew)
+      // r18: LAZY cut — the bounded stats gather right below is the
+      // round's action anyway, so the checkpoint materializes inside it
+      // instead of paying a dedicated eager job per round (cutLineageLazy's
+      // documented use case; solo A/B 3.30 -> 2.19 s). `edges` stays EAGER:
+      // it feeds all eight hop joins of every round, and a lazy first
+      // materialization under that fan-out measured 0.65 s SLOWER.
+      val roundCp = Iterate.cutLineageLazy(roundNew)
       // loop-control statistics only (≤ Hops rows off checkpointed data,
       // not a data collect): new-node count per depth this round
       val stats = graft.Iterate
