@@ -250,17 +250,25 @@ object Bench {
       s""""slow_rep_delta_cs":{${entries.mkString(",")}}"""
     }
     // Full per-rep centisecond detail goes to an explicit output file —
-    // GRAFT_BENCH_OUT if set, else java.io.tmpdir, NEVER the process CWD
-    // (which is usually the repo checkout the bench runs from, and a
-    // bench run must not dirty it): one object per run, query order = the
-    // sorted "queries" order, so any both-reps-slow outlier is
-    // adjudicable from the artifact alone. best-effort, but HONEST:
-    // advertise the path only when this run's write landed — a stale
-    // previous run's detail presented as this run's would misadjudicate
-    // an outlier; on failure try to remove any stale copy so nothing
-    // plausible-but-wrong remains
+    // GRAFT_BENCH_OUT if set, else the build's `target/` dir when the
+    // bench runs from a checkout (gitignored build output — r17 verdict
+    // #2: at 290 queries the 2000-char stdout line can only carry the
+    // NAMELESS sorted array, so the named per-query detail must live at
+    // a path the driver can find deterministically; tmpdir is the
+    // fallback), never the tracked tree itself: one object per run,
+    // query order = the sorted "queries" order, so any both-reps-slow
+    // outlier is adjudicable from the artifact alone. best-effort, but
+    // HONEST: advertise the path only when this run's write landed — a
+    // stale previous run's detail presented as this run's would
+    // misadjudicate an outlier; on failure try to remove any stale copy
+    // so nothing plausible-but-wrong remains
     val benchOut = sys.env.get("GRAFT_BENCH_OUT")
-    val repsDir = java.nio.file.Paths.get(benchOut.getOrElse(sys.props("java.io.tmpdir")))
+    val defaultOut = {
+      val t = java.nio.file.Paths.get("target")
+      if (java.nio.file.Files.isDirectory(t)) t.toAbsolutePath.toString
+      else sys.props("java.io.tmpdir")
+    }
+    val repsDir = java.nio.file.Paths.get(benchOut.getOrElse(defaultOut))
     // an EXPLICITLY configured output dir is a user intent: create it if
     // missing, and never fail silently — a dropped detail file with no
     // diagnostic looked like a run that wrote nothing
@@ -274,8 +282,14 @@ object Bench {
     val repsPath = repsDir.resolve("bench_reps_latest.json")
     val repsFileOk =
       try {
+        // "q_cs": the FULL-NAME → min-centiseconds map, directly
+        // consumable (no order-zip needed) — the named per-query contract
+        // the one-line JSON lost at 290 queries (r17 verdict #2)
+        val namedMin = results.map { case (k, v) =>
+          "\"" + k + "\":" + math.rint(v * 100).toLong
+        }.mkString("{", ",", "}")
         val detail =
-          s"""{"sf":"$sfDir","cpus":$cpus,"order":[${
+          s"""{"sf":"$sfDir","cpus":$cpus,"q_cs":$namedMin,"order":[${
             results.map("\"" + _._1 + "\"").mkString(",")}],$repArrays}"""
         java.nio.file.Files.write(repsPath, detail.getBytes("UTF-8"))
         true
