@@ -473,7 +473,7 @@ object PlanAudit {
     // q162: the distinct-items subtree prints per consuming branch
     // (self-join ×2, part marginals, order total — AQE reuses); pair
     // agg + two marginal joins, all basket- or co-occurrence-bounded
-    "q162_basket_pairs" -> 9,
+    "q162_basket_pairs" -> 5,
     // q164: the pair-table agg prints per consuming branch (left agg,
     // right agg, |types| total — AQE reuses); the full-outer token join
     // and everything after are vocab-bounded
@@ -521,7 +521,7 @@ object PlanAudit {
     // l_orderkey (the co-bucket key; distincts expand two-phase);
     // supplier broadcast; per-supplier rollup; top-20 TakeOrdered
     // (measured 5)
-    "q200_blocked_orders" -> 5,
+    "q200_blocked_orders" -> 3,
     // q201 (r16 wave 4): checksum work map-side next to the scan; q24's
     // source-partitioned batch window (one shuffle, rollup reuses) →
     // sort (measured 2)
@@ -583,13 +583,13 @@ object PlanAudit {
     // exchanges at runtime, ScaleSpec's q92 pin covers the class); the
     // graph itself is candidate-bounded so every exchange after the chain
     // is edge- or degree-scale
-    "q172_dup_transitivity" -> 21,
+    "q172_dup_transitivity" -> 9,
     // q212 (r16 wave 9): q172's class exactly — the pairStats chain
     // prints once per consuming branch (degree union ×2, the two
     // endpoint-degree joins, the per-graph sum fold; AQE reuses the
     // identical exchanges at runtime); everything after the chain is
     // edge- or degree-scale (measured 22)
-    "q212_assortativity" -> 22,
+    "q212_assortativity" -> 7,
     // q215 (r16 wave 11): the shared knnEdges chain (cell-keyed pair
     // self-join + the per-query rank window) prints once per consuming
     // branch — in-degree agg, the zero-degree left join, the |cells|
@@ -620,7 +620,7 @@ object PlanAudit {
     // otherwise reprint per consuming branch, measured 22 textual); the
     // remaining exchanges are the domain-scale stats/cumulative/pick
     // chain (q224's class, measured 8)
-    "q236_order_cadence" -> 8,
+    "q236_order_cadence" -> 4,
     // q237 (r16 wave 27): the o_custkey first-year agg + its co-
     // partitioned rejoin to the fact (q199's class, 3 textual incl.
     // AQE-reused prints), the ≤|years|² (cohort, age) rollup, its
@@ -740,7 +740,7 @@ object PlanAudit {
     // every stage (items ×~12, pair agg ×3, plus the candidate-bounded
     // lattice/closure/verify joins and 4-row sort); AQE reuses the
     // repeated subtrees at runtime (measured 36 textual)
-    "q271_apriori_funnel" -> 36,
+    "q271_apriori_funnel" -> 13,
     // q272 (r17): pool + pairwise grid + per-round selections run on
     // CHECKPOINTED bounded relations outside this plan (q263's loop
     // discipline — uncut the 4 unrolled rounds printed 145 textual
@@ -793,7 +793,7 @@ object PlanAudit {
     // key; the cal chain reprints under the med/qhat/test/assembly
     // branches (AQE reuses at runtime), med/qhat/counts are |sources|-
     // row broadcasts (measured 15 textual)
-    "q280_conformal_coverage" -> 15,
+    "q280_conformal_coverage" -> 4,
     // q281 (r17): sample-bounded by construction — the (pair, j)
     // projection rollup, the k-arm prefix rollup, the 4-row k rollup +
     // sort; the sign matrix and sample sides broadcast (measured 4
@@ -822,7 +822,7 @@ object PlanAudit {
     // profile rollup off the 6-arm map-side explode — printing on the
     // modal-pick and summary branches; per-column folds ride the
     // distinct-value relations + 6-row assembly (measured 5 textual)
-    "q287_column_profile" -> 5,
+    "q287_column_profile" -> 3,
     // q289 (r17): the customer-revenue rollup is the ONE corpus-scale
     // exchange; it reprints under the global-scalar, group-rollup,
     // per-group-terms and totals branches (AQE reuses), everything
@@ -861,7 +861,7 @@ object PlanAudit {
     // AQE-reuse class; every branch after the histogram is value-domain-
     // scale) — plus the day-sketch agg (partial-aggregable KLL buffers),
     // the ≤7-sketch week merge, and the output sort (measured 13)
-    "q255_kll_quantiles" -> 13,
+    "q255_kll_quantiles" -> 9,
     // q253 (r16 wave 42): the ONE corpus-scale l_orderkey rollup (the
     // co-bucket key; its countDistinct plans two-phase) + the 4-row
     // class rollup + sort (measured 4)
@@ -896,7 +896,7 @@ object PlanAudit {
     // rank picks, the final stats⋈p50⋈p95 assembly); AQE reuses the
     // identical exchanges at runtime (q215/q172's class); every branch
     // after the histogram is ≤|priority|·|day domain| rows (measured 11)
-    "q224_lead_time" -> 11,
+    "q224_lead_time" -> 7,
     // q228 (r16): q211's pair relations (assignment argmin agg, the ADC
     // (qid, vec) rollup, the broadcast sample cross) + the two per-query
     // rank windows sharing one qid exchange + the |Q|-row rollup — all
@@ -962,7 +962,7 @@ object PlanAudit {
     // A/B 2x, see the scaladoc) + the repeated-set semi-join + the dup
     // rollup (countDistinct two-phase) + totals branch + |K|-row join
     // + sort
-    "q187_window_k_sweep" -> 7,
+    "q187_window_k_sweep" -> 4,
     // q188: q62's component machinery (loop outside the plan, q147's
     // class) + the provenance join + origin self-join + matrix rollup
     // (countDistinct two-phase) + sort — all component-bounded
